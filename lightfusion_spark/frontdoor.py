@@ -104,6 +104,59 @@ def parse_create_function(sql: str) -> CreateFunctionStmt | None:
     return CreateFunctionStmt(name, input_type, return_type, model_path)
 
 
+_EXTERNAL_TABLE_HEAD_RE = re.compile(
+    r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+(?P<tail>.*?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_STORED_AS_RE = re.compile(r"\bSTORED\s+AS\s+(?P<fmt>[A-Za-z]+)", re.IGNORECASE)
+_DELIMITER_RE = re.compile(r"\bDELIMITER\s+'(?P<delim>[^']*)'", re.IGNORECASE)
+_LOCATION_RE = re.compile(r"\bLOCATION\s+'(?P<loc>[^']*)'", re.IGNORECASE)
+_HEADER_RE = re.compile(r"\bWITH\s+HEADER\s+ROW\b", re.IGNORECASE)
+
+_EXTERNAL_FORMATS = {"csv", "parquet", "json"}
+
+
+@dataclass
+class CreateExternalTableStmt:
+    name: str
+    format: str  # "csv" | "parquet" | "json"
+    location: str
+    delimiter: str = ","
+    header: bool = False
+
+
+def parse_create_external_table(sql: str) -> CreateExternalTableStmt | None:
+    """Parse DataFusion's ``CREATE EXTERNAL TABLE name STORED AS CSV
+    DELIMITER '\\t' LOCATION 'path'`` DDL (the reference's TSV example,
+    ``examples/lightfusion_tsv.rs:20-24``).  Clause order is free; returns
+    None when the statement is not an external-table DDL."""
+    m = _EXTERNAL_TABLE_HEAD_RE.match(sql)
+    if m is None:
+        return None
+    tail = m.group("tail")
+    fmt_m = _STORED_AS_RE.search(tail)
+    loc_m = _LOCATION_RE.search(tail)
+    if fmt_m is None or loc_m is None:
+        raise InvalidDdlError(
+            "CREATE EXTERNAL TABLE requires STORED AS <format> and LOCATION '<path>'"
+        )
+    fmt = fmt_m.group("fmt").lower()
+    if fmt not in _EXTERNAL_FORMATS:
+        raise UnsupportedTypeError(
+            f"unsupported external table format: {fmt.upper()} "
+            f"(supported: {', '.join(sorted(f.upper() for f in _EXTERNAL_FORMATS))})"
+        )
+    delim_m = _DELIMITER_RE.search(tail)
+    return CreateExternalTableStmt(
+        name=m.group("name"),
+        format=fmt,
+        location=loc_m.group("loc"),
+        delimiter=delim_m.group("delim") if delim_m else ",",
+        header=_HEADER_RE.search(tail) is not None,
+    )
+
+
 def parse_set_lightfusion(sql: str) -> tuple[str, str] | None:
     m = SET_LIGHTFUSION_RE.match(sql)
     if m is None:
@@ -116,12 +169,15 @@ def parse_set_lightfusion(sql: str) -> tuple[str, str] | None:
 
 
 # A ``[`` after one of these tokens is an array *literal*; after any other
-# identifier, a ``)``/``]``, or a quoted value it is a *subscript*.
+# identifier, a ``)``/``]``, or a quoted value it is a *subscript*.  Tokens
+# that can legally be column names in that position (``values``, ``end``,
+# ``set``, ``using``...) are deliberately absent so ``SELECT values[1]``
+# stays a subscript.
 _KEYWORDS_BEFORE_LITERAL = frozenset(
-    """select from where and or not in on when then else end as by having
-    return values union all distinct like between is join case asc desc
-    limit offset group order set using with cross inner left right full
-    semi anti exists any some array_contains if coalesce""".split()
+    """select where and or not in when then else as by having
+    return union all distinct like between is join asc desc
+    limit offset with cross inner
+    exists any some""".split()
 )
 _TRAILING_WORD_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)\s*$")
 
@@ -193,9 +249,55 @@ def rewrite_array_literals(sql: str) -> str:
 INFO_SCHEMA_RE = re.compile(r"\binformation_schema\.df_settings\b", re.IGNORECASE)
 
 
+def _map_unquoted(sql: str, fn) -> str:
+    """Apply ``fn`` to every maximal run of SQL text that is outside
+    single/double/backtick quotes and ``--`` comments."""
+    out: list[str] = []
+    plain: list[str] = []
+    i, n = 0, len(sql)
+
+    def flush_plain() -> None:
+        if plain:
+            out.append(fn("".join(plain)))
+            plain.clear()
+
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"', "`"):
+            flush_plain()
+            j = i + 1
+            while j < n:
+                if sql[j] == ch:
+                    if ch == "'" and j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            flush_plain()
+            j = sql.find("\n", i)
+            j = n if j == -1 else j
+            out.append(sql[i:j])
+            i = j
+            continue
+        plain.append(ch)
+        i += 1
+    flush_plain()
+    return "".join(out)
+
+
 def preprocess(sql: str) -> str:
-    """Pure-string rewrites applied to pass-through SQL."""
-    sql = INFO_SCHEMA_RE.sub("df_settings", sql)
+    """Pure-string rewrites applied to pass-through SQL.
+
+    Both rewrites are quote-aware: string literals, quoted identifiers and
+    ``--`` comments are never touched, so e.g. the *data value*
+    ``'information_schema.df_settings'`` survives intact.
+    """
+    if INFO_SCHEMA_RE.search(sql):
+        sql = _map_unquoted(sql, lambda s: INFO_SCHEMA_RE.sub("df_settings", s))
     if "[" in sql:
         sql = rewrite_array_literals(sql)
     return sql

@@ -34,6 +34,7 @@ columns, pushed-down column pruning).
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -49,16 +50,49 @@ from ..ml.lgbm_model import LightGBMModel, load_model, parse_model_str
 SUPPORTED_INPUT_TYPES = {"float", "double"}
 SUPPORTED_RETURN_TYPES = {"double"}
 
-# Per-process (executor-side) model cache: path -> parsed model.
-_MODEL_CACHE: dict[str, LightGBMModel] = {}
+# Per-process (executor-side) model cache keyed by (path, content digest), so
+# re-creating a function after the model file changed never serves a stale
+# parsed model from a warm executor.
+_MODEL_CACHE: dict[tuple[str, str], LightGBMModel] = {}
 
 
-def _get_model(model_path: str, model_text: str | None = None) -> LightGBMModel:
-    model = _MODEL_CACHE.get(model_path)
+def _get_model(cache_key: tuple[str, str], model_text: str | None = None) -> LightGBMModel:
+    model = _MODEL_CACHE.get(cache_key)
     if model is None:
-        model = parse_model_str(model_text) if model_text is not None else load_model(model_path)
-        _MODEL_CACHE[model_path] = model
+        model = parse_model_str(model_text) if model_text is not None else load_model(cache_key[0])
+        _MODEL_CACHE[cache_key] = model
     return model
+
+
+def _assemble_features(series: pd.Series, n_features: int) -> np.ndarray:
+    """Series of per-row float vectors -> one (n_rows, n_features) tensor.
+
+    The analogue of the reference's zero-copy slice over the Arrow list
+    array's flat values buffer (``src/udf.rs:213-217``): Arrow hands pandas
+    one ndarray per row; a single C-level ``np.concatenate`` + ``reshape``
+    builds the tensor without a per-row Python loop.
+
+    Null semantics (SURVEY §7.6 — the reference declares list items
+    non-null and never checks, ``src/udf.rs:70``): a NULL *array* is a hard,
+    clearly-worded error; a NULL *element* arrives as NaN and flows into the
+    model's missing-value routing.
+    """
+    arrs = series.to_numpy()
+    null_mask = pd.isnull(arrs)
+    if null_mask.any():
+        raise ValueError(
+            f"lightfusion inference: {int(null_mask.sum())} of {len(arrs)} input "
+            "rows have a NULL feature array; feature vectors must be non-null "
+            f"ARRAY<FLOAT|DOUBLE> of length {n_features}"
+        )
+    flat = np.concatenate(arrs, dtype=np.float64, casting="unsafe")
+    if flat.size != len(arrs) * n_features:
+        lengths = {len(a) for a in arrs}
+        raise ValueError(
+            f"lightfusion inference: feature vector length(s) {sorted(lengths)} "
+            f"!= model n_features {n_features}"
+        )
+    return flat.reshape(len(arrs), n_features)
 
 
 def make_lightgbm_udf(
@@ -90,31 +124,23 @@ def make_lightgbm_udf(
 
     # Validate the model *now* (CREATE FUNCTION time), like Booster::from_file
     # failing at create in the reference (src/lib.rs:67-71).
-    model = load_model(model_path)
-    model_text = None
-    if ship_model_text:
-        with open(model_path, "r", encoding="utf-8") as fh:
-            model_text = fh.read()
+    with open(model_path, "r", encoding="utf-8") as fh:
+        text = fh.read()
+    model = parse_model_str(text)
+    cache_key = (model_path, hashlib.sha256(text.encode("utf-8")).hexdigest()[:16])
+    model_text = text if ship_model_text else None
     n_features = model.num_features
-    del model
+    del model, text
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def predict(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        mdl = _get_model(model_path, model_text)
+        mdl = _get_model(cache_key, model_text)
         for series in batches:
             n_rows = len(series)
             if n_rows == 0:
                 yield pd.Series([], dtype=object)
                 continue
-            # One contiguous (n_rows, n_features) float64 tensor per Arrow
-            # batch — the analogue of the reference's zero-copy slice of the
-            # list array's flat values buffer (src/udf.rs:213-217).
-            feats = np.vstack([np.asarray(v, dtype=np.float64) for v in series])
-            if feats.shape[1] != n_features:
-                raise ValueError(
-                    f"feature vector length {feats.shape[1]} != model "
-                    f"n_features {n_features}"
-                )
+            feats = _assemble_features(series, n_features)
             out = np.empty((n_rows, mdl.n_outputs), dtype=np.float64)
             # Micro-batching loop with partial tail chunk (src/udf.rs:181-192,209)
             for start in range(0, n_rows, batch_size):

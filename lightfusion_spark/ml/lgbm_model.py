@@ -90,11 +90,16 @@ class Tree:
             is_nan = np.isnan(vals)
             missing_type = (dtyp >> 2) & 3
             default_left = (dtyp & _DEFAULT_LEFT_MASK) != 0
-            # missing_type != NaN  =>  NaN is treated as 0.0 (LightGBM converts)
+            # LightGBM NumericalDecision semantics:
+            #   missing_type != NaN  =>  NaN is converted to 0.0 first;
+            #   missing_type == Zero =>  |v| <= kZeroThreshold (1e-35) takes
+            #                            the default_left branch;
+            #   missing_type == NaN  =>  NaN takes the default_left branch.
             vals = np.where(is_nan & (missing_type != _MISSING_TYPE_NAN), 0.0, vals)
-            go_left = vals <= thr
-            use_default = is_nan & (missing_type == _MISSING_TYPE_NAN)
-            go_left = np.where(use_default, default_left, go_left)
+            use_default = (is_nan & (missing_type == _MISSING_TYPE_NAN)) | (
+                (missing_type == _MISSING_TYPE_ZERO) & (np.abs(vals) <= 1e-35)
+            )
+            go_left = np.where(use_default, default_left, vals <= thr)
 
             nxt = np.where(go_left, self.left_child[idx], self.right_child[idx])
             node[active] = nxt

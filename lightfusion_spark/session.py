@@ -28,6 +28,7 @@ from . import config as lf_config
 from . import frontdoor
 from .functions.argmax import register_argmax
 from .functions.inference import register_lightgbm_function
+from .sources.tsv import read_headerless_tsv
 
 #: Confs applied at builder time when we create the session ourselves.
 BUILDER_DEFAULTS = {
@@ -55,6 +56,25 @@ class LightFusionSession:
                 return_type=stmt.return_type,
             )
             # DDL in Spark returns an empty result; mirror that shape.
+            return self.spark.sql("SELECT 1 WHERE false")
+        ext = frontdoor.parse_create_external_table(query)
+        if ext is not None:
+            if ext.format == "csv":
+                if ext.header:
+                    df = (
+                        self.spark.read.option("delimiter", ext.delimiter)
+                        .option("header", "true")
+                        .option("inferSchema", "true")
+                        .csv(ext.location)
+                    )
+                else:
+                    # DataFusion-compatible column_1..column_N naming
+                    df = read_headerless_tsv(self.spark, ext.location, delimiter=ext.delimiter)
+            elif ext.format == "parquet":
+                df = self.spark.read.parquet(ext.location)
+            else:
+                df = self.spark.read.json(ext.location)
+            df.createOrReplaceTempView(ext.name)
             return self.spark.sql("SELECT 1 WHERE false")
         kv = frontdoor.parse_set_lightfusion(query)
         if kv is not None:

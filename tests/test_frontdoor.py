@@ -78,3 +78,38 @@ def test_preprocess_info_schema():
         preprocess("SELECT * FROM information_schema.df_settings")
         == "SELECT * FROM df_settings"
     )
+
+
+def test_preprocess_info_schema_quote_aware():
+    # rewrite applies outside quotes only (ADVICE r1): string data survives
+    q = "SELECT 'information_schema.df_settings' AS s FROM information_schema.df_settings"
+    assert preprocess(q) == "SELECT 'information_schema.df_settings' AS s FROM df_settings"
+
+
+def test_subscript_on_keywordish_identifiers():
+    # `values`/`end`/`set` are legal column names; [ after them is a subscript
+    assert rewrite_array_literals("SELECT values[1] FROM t") == "SELECT values[1] FROM t"
+    assert rewrite_array_literals("SELECT end[0] FROM t") == "SELECT end[0] FROM t"
+    assert rewrite_array_literals("SELECT set[2] FROM t") == "SELECT set[2] FROM t"
+
+
+def test_parse_create_external_table():
+    from lightfusion_spark.frontdoor import parse_create_external_table
+
+    s = parse_create_external_table(
+        "CREATE EXTERNAL TABLE m STORED AS CSV DELIMITER '\t' LOCATION 'multiclass.test'"
+    )
+    assert (s.name, s.format, s.delimiter, s.location) == ("m", "csv", "\t", "multiclass.test")
+    assert s.header is False
+    s2 = parse_create_external_table(
+        "CREATE EXTERNAL TABLE p STORED AS PARQUET LOCATION '/tmp/x.parquet'"
+    )
+    assert (s2.format, s2.location) == ("parquet", "/tmp/x.parquet")
+    assert parse_create_external_table("CREATE TABLE t (a INT)") is None
+    assert parse_create_external_table("SELECT 1") is None
+    with pytest.raises(errors.InvalidDdlError):
+        parse_create_external_table("CREATE EXTERNAL TABLE bad STORED AS CSV")
+    with pytest.raises(errors.UnsupportedTypeError):
+        parse_create_external_table(
+            "CREATE EXTERNAL TABLE bad STORED AS AVRO LOCATION 'x'"
+        )

@@ -167,3 +167,22 @@ def test_feature_count_validation():
     m = parse_model_str(SIMPLE_MODEL)
     with pytest.raises(ValueError):
         m.predict_raw(np.zeros((1, 1)))
+
+
+def test_zero_missing_type_default_direction():
+    """missing_type==Zero (decision_type bits 2-3 == 1): a |v|<=1e-35 value
+    takes the default branch, not the threshold comparison (ADVICE r1)."""
+    # decision_type=4: numerical, default-RIGHT, missing=Zero
+    zero_right = SIMPLE_MODEL.replace("decision_type=2 2", "decision_type=4 2")
+    m = parse_model_str(zero_right)
+    # root f0=0.0 is "missing" -> default right -> leaf 1 = 20 (NOT 0<=0.5 left)
+    assert m.predict_raw(np.array([[0.0, 0.0]]))[0, 0] == 20.0
+    # non-zero value still routed by threshold: 0.3 <= 0.5 -> left; f1=0 <= 1.5 -> leaf 0
+    assert m.predict_raw(np.array([[0.3, 0.3]]))[0, 0] == 10.0
+    # decision_type=6: default-LEFT, missing=Zero -> zero goes left
+    zero_left = SIMPLE_MODEL.replace("decision_type=2 2", "decision_type=6 6")
+    m2 = parse_model_str(zero_left)
+    # root: 0.0 missing -> default left -> node1; f1 0.0 missing -> left -> leaf 0
+    assert m2.predict_raw(np.array([[0.0, 0.0]]))[0, 0] == 10.0
+    # NaN under missing=Zero converts to 0.0 then takes the default branch
+    assert m.predict_raw(np.array([[np.nan, 0.0]]))[0, 0] == 20.0

@@ -160,3 +160,63 @@ def test_array_literal_rewrite_preserves_subscripts(engine):
     # [1,2,3] -> array(1,2,3); trailing [1] stays a subscript (0-based? Spark arrays
     # are 1-based via [] ? no: [] subscript on arrays is 0-based in Spark SQL)
     assert rows[0]["arr"] == ["a", "b"]
+
+
+def test_null_array_row_errors_clearly(engine):
+    """SURVEY §7.6: NULL feature array -> clear error (reference never checks,
+    src/udf.rs:70)."""
+    engine.sql(f"CREATE FUNCTION fnull(DOUBLE[]) LANGUAGE LIGHTGBM AS '{MODEL_PATH}'")
+    df = engine.spark.createDataFrame(
+        [(1, [0.0] * N_FEATURES), (2, None)], "id int, v array<double>"
+    )
+    df.createOrReplaceTempView("null_input")
+    with pytest.raises(Exception, match="NULL feature array"):
+        engine.sql("SELECT fnull(v) AS p FROM null_input").collect()
+
+
+def test_null_element_becomes_nan_missing(engine, fixture_model):
+    """A NULL *element* arrives as NaN and takes LightGBM missing routing."""
+    engine.sql(f"CREATE FUNCTION felem(DOUBLE[]) LANGUAGE LIGHTGBM AS '{MODEL_PATH}'")
+    vec = [float(i) / 10 for i in range(N_FEATURES)]
+    row = [(1, [None if i == 0 else v for i, v in enumerate(vec)])]
+    df = engine.spark.createDataFrame(row, "id int, v array<double>")
+    df.createOrReplaceTempView("elem_input")
+    got = np.array(engine.sql("SELECT felem(v) AS p FROM elem_input").collect()[0]["p"])
+    feats = np.array(vec)
+    feats[0] = np.nan
+    np.testing.assert_allclose(got, fixture_model.predict(feats.reshape(1, -1))[0], rtol=1e-12)
+
+
+def test_ragged_vector_errors(engine):
+    engine.sql(f"CREATE FUNCTION frag(DOUBLE[]) LANGUAGE LIGHTGBM AS '{MODEL_PATH}'")
+    df = engine.spark.createDataFrame([(1, [1.0, 2.0])], "id int, v array<double>")
+    df.createOrReplaceTempView("ragged_input")
+    with pytest.raises(Exception, match="n_features"):
+        engine.sql("SELECT frag(v) AS p FROM ragged_input").collect()
+
+
+def test_external_table_ddl_verbatim(engine):
+    """The reference's exact TSV flow (examples/lightfusion_tsv.rs:20-63)
+    runs through the front-door DDL text unchanged."""
+    engine.sql("SET lightfusion.batch_size = 1")
+    engine.sql(f"CREATE FUNCTION fddl(DOUBLE[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM AS '{MODEL_PATH}'")
+    engine.sql(
+        "CREATE EXTERNAL TABLE m2 STORED AS CSV DELIMITER '\t' LOCATION 'data/multiclass.test'"
+    )
+    cols = ",\n".join(f"column_{i}" for i in range(2, 30))
+    res = engine.sql(
+        f"SELECT column_1 as label, argmax(fddl([{cols}])) as inferred FROM m2"
+    )
+    assert res.where("label <> inferred").count() == 0
+    assert res.count() == 500
+
+
+def test_argmax_float32_arrays(engine):
+    """Reference accepts List<F32> (src/argmax.rs:28-41); Spark reaches the
+    ARRAY<DOUBLE>-typed SQL UDF through an implicit, exact float->double cast."""
+    df = engine.spark.createDataFrame(
+        [(1, [1.5, 9.25, 3.0]), (2, [7.0, 2.0, 7.0])], "id int, v array<float>"
+    )
+    df.createOrReplaceTempView("f32_input")
+    rows = engine.sql("SELECT id, argmax(v) AS a FROM f32_input ORDER BY id").collect()
+    assert [r["a"] for r in rows] == [1, 0]
