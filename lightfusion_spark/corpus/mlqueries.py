@@ -1,0 +1,194 @@
+"""Layer A — the reference-authored ML-UDF surface as driver-checkable
+queries.
+
+The LightGBM inference UDF is not directly expressible in DuckDB SQL —
+but the fixture models are small tree ensembles, so the oracle *compiles
+the model into SQL*: every tree becomes a nested CASE expression, class
+scores are leaf-value sums, and argmax/softmax are reproduced with
+list/exp functions.  That upgrades inference from a rows-only check to a
+full value-hash parity check.
+
+Reference parity targets: inference semantics ``src/udf.rs:114-241``,
+argmax ``src/argmax.rs:15-120``, settings ``src/config.rs:45-52``,
+the TSV example flow ``examples/lightfusion_tsv.rs``.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from ..functions.argmax import argmax, register_argmax
+from ..functions.inference import register_lightgbm_function
+from ..ml.lgbm_model import LightGBMModel, load_model
+from .registry import register
+from .util import table
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+EMBED_MODEL = os.path.join(REPO_ROOT, "models", "embed_cls.lgbm")
+MULTI_MODEL = os.path.join(REPO_ROOT, "models", "multiclass.lgbm")
+TSV_PATH = os.path.join(REPO_ROOT, "data", "multiclass.test")
+
+
+# ---------------------------------------------------------------------------
+# model -> SQL compilation (oracle side)
+# ---------------------------------------------------------------------------
+
+def _node_sql(tree, i: int, feat_ref) -> str:
+    """Nested CASE expression for the subtree rooted at internal node i."""
+
+    def child_sql(c: int) -> str:
+        if c < 0:  # negative child encodes leaf ~c
+            return repr(float(tree.leaf_value[-c - 1]))
+        return _node_sql(tree, c, feat_ref)
+
+    f = int(tree.split_feature[i])
+    thr = repr(float(tree.threshold[i]))
+    return (
+        f"(CASE WHEN {feat_ref(f)} <= {thr} THEN {child_sql(int(tree.left_child[i]))} "
+        f"ELSE {child_sql(int(tree.right_child[i]))} END)"
+    )
+
+
+def model_class_scores_sql(model: LightGBMModel, feat_ref) -> list[str]:
+    """One SQL expression per class: the sum of its trees' outputs.
+
+    Addition order matches the scorer's (tree index order), so the raw
+    scores are bit-identical to ``LightGBMModel.predict_raw``.
+    """
+    k = max(model.num_tree_per_iteration, 1)
+    per_class: dict[int, list[str]] = defaultdict(list)
+    for t_idx, tree in enumerate(model.trees):
+        cls = t_idx % k if model.n_outputs > 1 else 0
+        per_class[cls].append(_node_sql(tree, 0, feat_ref))
+    return [" + ".join(per_class[c]) for c in sorted(per_class)]
+
+
+def _infer_embeddings_oracle() -> str:
+    model = load_model(EMBED_MODEL)
+    feat_ref = lambda f: f"CAST(embedding[{f + 1}] AS DOUBLE)"  # noqa: E731
+    scores = model_class_scores_sql(model, feat_ref)
+    n = len(scores)
+    score_cols = ", ".join(f"{s} AS s{i}" for i, s in enumerate(scores))
+    s_list = ", ".join(f"s{i}" for i in range(n))
+    exp_sum = " + ".join(f"exp(s{i} - smax)" for i in range(n))
+    return f"""
+    WITH scored AS (SELECT vec_id, {score_cols} FROM embeddings),
+    m AS (SELECT vec_id, [{s_list}] AS s, GREATEST({s_list}) AS smax, {s_list} FROM scored)
+    SELECT vec_id,
+           CAST(list_position(s, smax) - 1 AS INTEGER) AS predicted,
+           ROUND(1.0 / ({exp_sum}), 6) AS p_max
+    FROM m
+    """
+
+
+def _tsv_flagship_oracle() -> str:
+    model = load_model(MULTI_MODEL)
+    feat_ref = lambda f: f"column_{f + 2}"  # noqa: E731  (col 1 is the label)
+    scores = model_class_scores_sql(model, feat_ref)
+    n = len(scores)
+    score_cols = ", ".join(f"{s} AS s{i}" for i, s in enumerate(scores))
+    s_list = ", ".join(f"s{i}" for i in range(n))
+    columns = ", ".join(
+        ["'column_1': 'INTEGER'"] + [f"'column_{i}': 'DOUBLE'" for i in range(2, 30)]
+    )
+    return f"""
+    WITH m AS (SELECT * FROM read_csv('{TSV_PATH}', delim='\t', header=false,
+                                      columns={{{columns}}})),
+    scored AS (SELECT column_1 AS label, {score_cols} FROM m),
+    pred AS (SELECT label,
+                    CAST(list_position([{s_list}], GREATEST({s_list})) - 1 AS INTEGER) AS inferred
+             FROM scored)
+    SELECT label, inferred, COUNT(*) AS n FROM pred GROUP BY label, inferred
+    """
+
+
+# ---------------------------------------------------------------------------
+# queries (Spark side)
+# ---------------------------------------------------------------------------
+
+@register(
+    "lgbm_infer_embeddings",
+    oracle=_infer_embeddings_oracle(),
+    doc="A2: batched LightGBM inference pandas UDF + A3 argmax over the "
+    "embeddings table; oracle is the model compiled to SQL",
+)
+def lgbm_infer_embeddings(spark, sf_dir):
+    register_argmax(spark)
+    udf = register_lightgbm_function(
+        spark, "f_emb", EMBED_MODEL, input_type="double", batch_size=64
+    )
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select("vec_id", udf(F.col("embedding").cast("array<double>")).alias("probs"))
+        .select(
+            "vec_id",
+            argmax(F.col("probs")).alias("predicted"),
+            F.round(F.array_max("probs"), 6).alias("p_max"),
+        )
+    )
+
+
+@register(
+    "argmax_embeddings",
+    oracle="""
+    SELECT vec_id,
+           CAST(list_position(embedding, list_max(embedding)) - 1 AS INTEGER) AS idx
+    FROM embeddings
+    """,
+    doc="A3: argmax as a pure JVM expression over ARRAY<FLOAT> (first-max-wins)",
+)
+def argmax_embeddings(spark, sf_dir):
+    register_argmax(spark)
+    table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql("SELECT vec_id, argmax(embedding) AS idx FROM embeddings")
+
+
+@register(
+    "settings_introspection",
+    oracle="""
+    SELECT 'lightfusion.batch_size' AS name, '7' AS value,
+           'Batch size used when predicting model' AS description
+    """,
+    doc="A4+A5: SET lightfusion.batch_size via front-door + df_settings view "
+    "(golden shape README.md:38-46)",
+)
+def settings_introspection(spark, sf_dir):
+    from ..session import configure_session
+
+    eng = configure_session(spark)
+    eng.sql("SET lightfusion.batch_size = 7")
+    return eng.sql(
+        "SELECT name, value, description FROM information_schema.df_settings "
+        "WHERE name LIKE 'lightfusion%'"
+    )
+
+
+@register(
+    "lgbm_tsv_flagship",
+    oracle=_tsv_flagship_oracle(),
+    doc="A1+A2+A3 e2e: the reference TSV example (examples/lightfusion_tsv.rs) "
+    "driven through the SQL front-door verbatim, aggregated to (label, "
+    "inferred, n); oracle re-reads the TSV and scores the compiled model",
+)
+def lgbm_tsv_flagship(spark, sf_dir):
+    from ..session import configure_session
+
+    eng = configure_session(spark)
+    eng.sql("SET lightfusion.batch_size = 64")
+    eng.sql(
+        f"CREATE FUNCTION f_tsv(DOUBLE[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM AS '{MULTI_MODEL}'"
+    )
+    eng.sql(
+        f"CREATE EXTERNAL TABLE mtsv STORED AS CSV DELIMITER '\t' LOCATION '{TSV_PATH}'"
+    )
+    cols = ", ".join(f"column_{i}" for i in range(2, 30))
+    return eng.sql(
+        f"""
+        SELECT label, inferred, COUNT(*) AS n FROM (
+          SELECT column_1 AS label, argmax(f_tsv([{cols}])) AS inferred FROM mtsv
+        ) GROUP BY label, inferred
+        """
+    )

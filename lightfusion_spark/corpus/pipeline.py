@@ -1,0 +1,387 @@
+"""§2.4 — LLM-training-data pipeline operators as driver-checkable queries.
+
+Each spec wraps an operator from ``lightfusion_spark.operators`` and
+pairs it with a DuckDB oracle that reproduces the *same algorithm* in
+pure SQL (same MD5-derived hashes, same shingles, same thresholds), so
+the distributed implementation is verified value-for-value — including
+the MinHash-LSH banding pipeline end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text as text_ops
+from .registry import register
+from .util import table
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipe_dedup_exact",
+    oracle="""
+    SELECT doc_id, md5(text) AS fp_md5 FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    """,
+    doc="exact dedup: deterministic first-writer-wins by content",
+)
+def pipe_dedup_exact(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    kept = dedup.exact_dedup(d, ["text"], "doc_id")
+    return kept.select("doc_id", F.md5("text").alias("fp_md5"))
+
+
+_MINHASH_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 3)
+),
+mh AS (
+  SELECT doc_id, k,
+         MIN(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || shingle), 1, 14) AS BIGINT)) AS minhash
+  FROM sh, (SELECT unnest(range(8)) AS k)
+  GROUP BY doc_id, k
+),
+sigs AS (
+  SELECT doc_id, CAST(k // 2 AS INTEGER) AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k) AS sig
+  FROM mh GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN cnt ca ON ca.doc_id = i.id_a
+JOIN cnt cb ON cb.doc_id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter) >= 0.5
+"""
+
+
+@register(
+    "pipe_dedup_minhash",
+    oracle=_MINHASH_ORACLE,
+    doc="fuzzy dedup: 3-word shingles -> 8 minhashes -> 4 LSH bands -> "
+    "exact-Jaccard verification >= 0.5 (banding avoids the O(n^2) pair scan)",
+)
+def pipe_dedup_minhash(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates(
+        d, "doc_id", "text", n_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return rf"""
+WITH words AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+    FROM documents)
+),
+hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(w), 1, 14) AS BIGINT) AS h FROM words
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
+
+
+@register(
+    "pipe_dedup_simhash",
+    oracle=_simhash_oracle(),
+    doc="16-bit SimHash fingerprint per document (bit-voting over word hashes)",
+)
+def pipe_dedup_simhash(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return dedup.simhash(d, "doc_id", "text", bits=16)
+
+
+@register(
+    "pipe_simhash_pairs",
+    oracle=f"""
+    WITH fp AS ({_simhash_oracle()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-dup pairs within Hamming distance 3 (at 100 TB: block "
+    "on fingerprint chunks — pigeonhole guarantees a shared exact chunk)",
+)
+def pipe_simhash_pairs(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    fp = dedup.simhash(d, "doc_id", "text", bits=16)
+    pairs = dedup.simhash_near_duplicates(fp, "doc_id", max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+_NGRAM_ORACLE = r"""
+WITH docs AS (SELECT doc_id, lang, lower(text) AS lt FROM documents WHERE lang = 'fr'),
+grams AS (
+  SELECT DISTINCT doc_id, lang, substr(lt, i, 3) AS gram
+  FROM (SELECT doc_id, lang, lt, unnest(range(1, length(lt) - 1)) AS i
+        FROM docs WHERE length(lt) >= 3)
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n_g FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM grams a JOIN grams b
+    ON a.lang = b.lang AND a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.n_inter AS DOUBLE) / (ca.n_g + cb.n_g - i.n_inter) AS jaccard
+FROM inter i
+JOIN cnt ca ON ca.doc_id = i.id_a
+JOIN cnt cb ON cb.doc_id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE) / (ca.n_g + cb.n_g - i.n_inter) >= 0.62
+"""
+
+
+@register(
+    "pipe_dedup_ngram",
+    oracle=_NGRAM_ORACLE,
+    doc="char-3-gram Jaccard near-dup within a language block (>= 0.62)",
+)
+def pipe_dedup_ngram(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").where(F.col("lang") == "fr")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", "lang", n=3, threshold=0.62)
+
+
+@register(
+    "pipe_neardup_embedding",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_inner_product(a.v, b.v)
+                   / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))),
+                   6) AS cos_sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.35
+    """,
+    doc="embedding-cosine near-dup pairs, label-blocked (blocking stands in "
+    "for LSH buckets at scale)",
+)
+def pipe_neardup_embedding(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_blocked(
+        e, "vec_id", "embedding", "label", threshold=0.35
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipe_sim_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_inner_product(q.v, c.v)
+                   / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))),
+                   6) AS cos_sim
+      FROM q JOIN e c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored) t
+    WHERE rn <= 5
+    """,
+    doc="exact brute-force top-5 cosine neighbors for 20 query vectors "
+    "(broadcast queries x corpus scan; per-partition partial top-k)",
+)
+def pipe_sim_topk(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return similarity.topk_cosine(e, q, "vec_id", "embedding", k=5)
+
+
+def _ann_lsh_oracle(planes) -> str:
+    bucket_terms = []
+    for p, plane in enumerate(planes):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        bucket_terms.append(
+            f"(CASE WHEN list_inner_product(v, [{lits}]) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    q AS (SELECT * FROM b WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_inner_product(q.v, c.v)
+                   / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))),
+                   6) AS cos_sim
+      FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored) t
+    WHERE rn <= 3
+    """
+
+
+_ANN_PLANES = similarity.random_hyperplanes(n_planes=4, dim=64, seed=7)
+
+
+@register(
+    "pipe_sim_ann_lsh",
+    oracle=_ann_lsh_oracle(_ANN_PLANES),
+    doc="approximate top-3 neighbors via sign-LSH (4 hyperplanes, 16 buckets): "
+    "candidate join on bucket id instead of the full cross product",
+)
+def pipe_sim_ann_lsh(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return similarity.topk_cosine_lsh(e, q, _ANN_PLANES, "vec_id", "embedding", k=3)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipe_text_stats",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
+               FROM documents)
+    SELECT doc_id,
+           LEN(toks) AS n_words,
+           LENGTH(text) AS n_chars_fn,
+           CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE) / LEN(toks) AS avg_word_len,
+           CAST(LEN(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
+           CAST(LEN(list_filter(toks, x -> list_contains(['a','and','is','of','the'], x))) AS DOUBLE) / LEN(toks) AS en_stop_ratio,
+           (LEN(toks) >= 10
+            AND CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE) / LEN(toks) BETWEEN 2 AND 12
+            AND CAST(LEN(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / LENGTH(text) <= 0.2
+           ) AS quality_keep
+    FROM t
+    """,
+    doc="per-document quality features (length/word-length/punct/stopword ratios)",
+)
+def pipe_text_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return text_ops.text_stats(d, "doc_id", "text")
+
+
+def _langid_oracle() -> str:
+    hits = {
+        code: f"LEN(list_filter(toks, x -> list_contains({words!r}, x)))".replace("'", "'")
+        for code, words in text_ops.LANG_STOPWORDS.items()
+    }
+    # repr of a python list of strings is valid DuckDB list syntax
+    return rf"""
+    WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+               FROM documents),
+    h AS (SELECT doc_id,
+                 {hits['de']} AS hits_de,
+                 {hits['en']} AS hits_en,
+                 {hits['es']} AS hits_es,
+                 {hits['fr']} AS hits_fr
+          FROM t)
+    SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+           CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                WHEN hits_de = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                WHEN hits_en = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                WHEN hits_es = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM h
+    """
+
+
+@register(
+    "pipe_text_langid",
+    oracle=_langid_oracle(),
+    doc="stopword-voting language heuristic with deterministic tie order",
+)
+def pipe_text_langid(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return text_ops.lang_id(d, "doc_id", "text")
+
+
+@register(
+    "pipe_text_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           LEN(string_split_regex(text, '\s+')) AS n_ws_tokens,
+           LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="token counting: whitespace + BPE-ish pre-tokenizer regex",
+)
+def pipe_text_tokens(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return text_ops.token_counts(d, "doc_id", "text")
+
+
+@register(
+    "pipe_text_fingerprint",
+    oracle=r"""
+    WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+               FROM documents)
+    SELECT doc_id, md5(norm) AS fp_md5,
+           CAST('0x' || substr(md5(norm), 1, 14) AS BIGINT) AS fp_bucket
+    FROM n
+    """,
+    doc="normalized-content fingerprint: md5 + 56-bit shuffle bucket",
+)
+def pipe_text_fingerprint(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return text_ops.fingerprint(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipe_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(16 + octet_length(encode(text)) % 32 AS INTEGER) AS fake_width,
+           CAST(16 + octet_length(encode(text)) % 24 AS INTEGER) AS fake_height,
+           CAST(1 + octet_length(encode(text)) % 7 AS INTEGER) AS fake_frames
+    FROM documents
+    """,
+    doc="binary payload column -> Arrow-batched mapInPandas 'decode' (codec "
+    "stubbed deterministically; schema/batching/partitioning are real)",
+)
+def pipe_multimodal_decode(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    payload = multimodal.attach_binary_payload(d, "doc_id", "text")
+    return multimodal.decode_media(payload)

@@ -1,0 +1,714 @@
+"""Layer B — the inherited relational surface, verified query-by-query.
+
+The reference implements none of these itself; they arrive through
+DataFusion's ``with_default_features()`` (reference ``src/lib.rs:106``,
+SURVEY §2.3).  Spark's Catalyst engine provides the same surface; each
+spec here is one category of that surface expressed as an idiomatic
+DataFrame plan with a matching DuckDB oracle, so the capability claim is
+*checked*, not asserted.
+
+Scale notes (100 TB):
+* every aggregation here is partial-aggregatable (map-side combine) —
+  the DECIMAL sums keep that exact;
+* small dimensions (region/nation/customer at dim-scale) broadcast —
+  Catalyst does this automatically under the 10 MB default threshold and
+  AQE; the join specs keep the small side on the right so the planner's
+  broadcast choice is visible in ``.explain``;
+* window specs partition by high-cardinality keys (custkey), never by a
+  constant, so no single-task bottleneck;
+* top-k is expressed as window-filter (rank <= k), which Spark executes
+  with per-partition partial top-k before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import register
+from .util import davg, dsum, sql_davg, sql_dsum, table, use_utc
+
+
+# ---------------------------------------------------------------------------
+# scans / projection / filter / predicates
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+      AND l_discount BETWEEN 0.04 AND 0.08
+      AND l_quantity < 24
+    """,
+    doc="filter + projection with row-level arithmetic; predicates push to parquet",
+)
+def rel_filter_project(spark, sf_dir):
+    use_utc(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp"))
+            & F.col("l_discount").between(0.04, 0.08)
+            & (F.col("l_quantity") < 24)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "rel_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    doc="DISTINCT (hash aggregate, partial+final)",
+)
+def rel_distinct(spark, sf_dir):
+    return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "rel_case_when",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_bucket,
+           COUNT(*) AS n
+    FROM customer GROUP BY 1
+    """,
+    doc="CASE WHEN bucketing + aggregate",
+)
+def rel_case_when(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_bucket")
+    )
+    return c.groupBy(bucket).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_join_inner_agg",
+    oracle=f"""
+    SELECT n_name, {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="3-way inner equi-join fact->dims + group agg; dims broadcast under AQE",
+)
+def rel_join_inner_agg(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    # fact joined to progressively smaller dims; Catalyst broadcasts the
+    # small sides (nation is 25 rows — always a broadcast-hash join).
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "rel_join_left",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+           COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 0.0) AS spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    doc="left outer join preserving customers with zero orders",
+)
+def rel_join_left(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double"), F.lit(0.0)).alias("spent"),
+        )
+    )
+
+
+@register(
+    "rel_join_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    doc="left-semi join (EXISTS): no row duplication from the probe side",
+)
+def rel_join_semi(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "rel_join_anti",
+    oracle="""
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+    doc="left-anti join (NOT EXISTS): customers with no pending order",
+)
+def rel_join_anti(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@register(
+    "rel_join_cross",
+    oracle="""
+    SELECT r_name, s AS status FROM region
+    CROSS JOIN (SELECT DISTINCT o_orderstatus AS s FROM orders) t
+    """,
+    doc="cross join of two tiny relations (5 x 3 rows)",
+)
+def rel_join_cross(spark, sf_dir):
+    r = table(spark, sf_dir, "region").select("r_name")
+    s = table(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("status")).distinct()
+    return r.crossJoin(s)
+
+
+@register(
+    "rel_join_theta",
+    oracle="""
+    SELECT a.s_suppkey AS suppkey_lo, b.s_suppkey AS suppkey_hi
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_acctbal < b.s_acctbal
+    """,
+    doc="non-equi (theta) join: equi key narrows, inequality filters",
+)
+def rel_join_theta(spark, sf_dir):
+    a = table(spark, sf_dir, "supplier").alias("a")
+    b = table(spark, sf_dir, "supplier").alias("b")
+    return a.join(
+        b,
+        (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+        & (F.col("a.s_acctbal") < F.col("b.s_acctbal")),
+    ).select(F.col("a.s_suppkey").alias("suppkey_lo"), F.col("b.s_suppkey").alias("suppkey_hi"))
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_agg_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_dsum("l_extendedprice", "sum_base_price")},
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+           {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+           {sql_davg("l_quantity", "avg_qty")},
+           {sql_davg("l_extendedprice", "avg_price")},
+           {sql_davg("l_discount", "avg_disc")},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary (partial+final hash agg)",
+)
+def rel_agg_q1(spark, sf_dir):
+    use_utc(spark)
+    li = table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc, "sum_disc_price"),
+            dsum(disc * (1 + F.col("l_tax")), "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "rel_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="multiple COUNT(DISTINCT) in one aggregate (expand + two-phase agg)",
+)
+def rel_agg_distinct(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "rel_agg_rollup",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {sql_dsum("o_totalprice", "total")}
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP hierarchy: (status,priority) -> (status) -> ()",
+)
+def rel_agg_rollup(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
+    )
+
+
+@register(
+    "rel_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE: all grouping-set combinations",
+)
+def rel_agg_cube(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "rel_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+    GROUP BY o_custkey HAVING COUNT(*) >= 15
+    """,
+    doc="HAVING (post-aggregation filter)",
+)
+def rel_having(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             RANK() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) t
+    WHERE rnk <= 5
+    """,
+    doc="ranking window + filter = top-k per group (partial top-k per partition)",
+)
+def rel_window_rank(spark, sf_dir):
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", F.rank().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "rel_window_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     LAG(CAST(o_orderdate AS DATE)) OVER w,
+                     CAST(o_orderdate AS DATE)) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="LAG analytic window: per-customer inter-order gap in days",
+)
+def rel_window_lag(spark, sf_dir):
+    use_utc(spark)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.to_date("o_orderdate")
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(d, F.lag(d).over(w)).alias("days_since_prev"),
+    )
+
+
+@register(
+    "rel_window_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    doc="ROWS frame: per-customer running total (exact decimal accumulation)",
+)
+def rel_window_frame(spark, sf_dir):
+    use_utc(spark)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    doc="global top-10 (Spark: per-partition TakeOrdered, no full sort)",
+)
+def rel_sort_limit(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "rel_topk_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) t
+    WHERE rn <= 3
+    """,
+    doc="top-3 per segment via row_number",
+)
+def rel_topk_group(spark, sf_dir):
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        table(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="UNION (distinct)",
+)
+def rel_set_union(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "rel_set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="INTERSECT (distinct)",
+)
+def rel_set_intersect(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "rel_set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+    """,
+    doc="EXCEPT (distinct): nations with customers but no high-balance supplier",
+)
+def rel_set_except(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.distinct().subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# subqueries / CTEs (expressed through spark.sql — same engine surface)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_subquery_scalar",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n FROM orders
+    WHERE o_totalprice > 1.5 * (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+        FROM orders)
+    GROUP BY o_orderstatus
+    """,
+    doc="scalar subquery in a predicate",
+)
+def rel_subquery_scalar(spark, sf_dir):
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n FROM orders
+        WHERE o_totalprice > 1.5 * (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+            FROM orders)
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@register(
+    "rel_subquery_in_exists",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                          WHERE n_regionkey IN (SELECT r_regionkey FROM region
+                                                WHERE r_name = 'ASIA'))
+      AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderstatus = 'F')
+    """,
+    doc="nested IN subqueries + correlated EXISTS",
+)
+def rel_subquery_in_exists(spark, sf_dir):
+    for t in ("customer", "nation", "region", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c_custkey FROM customer
+        WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                              WHERE n_regionkey IN (SELECT r_regionkey FROM region
+                                                    WHERE r_name = 'ASIA'))
+          AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderstatus = 'F')
+        """
+    )
+
+
+@register(
+    "rel_cte",
+    oracle="""
+    WITH nation_orders AS (
+      SELECT n_name, COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, n_orders FROM nation_orders WHERE n_orders >= 300
+    """,
+    doc="CTE feeding a filtered read",
+)
+def rel_cte(spark, sf_dir):
+    for t in ("orders", "customer", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        WITH nation_orders AS (
+          SELECT n_name, COUNT(*) AS n_orders
+          FROM orders JOIN customer ON o_custkey = c_custkey
+                      JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name
+        )
+        SELECT n_name, n_orders FROM nation_orders WHERE n_orders >= 300
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar function library
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_scalar_string",
+    oracle="""
+    SELECT doc_id,
+           UPPER(SUBSTR(text, 1, 12)) AS head,
+           LENGTH(text) AS n_chars_fn,
+           (text LIKE '%spark%') AS mentions_spark,
+           LEN(string_split_regex(text, '\\s+')) AS n_words,
+           regexp_extract(text, '[a-z]+') AS first_word,
+           source || ':' || lang AS tag
+    FROM documents
+    """,
+    doc="string functions: upper/substr/length/like/split/regexp/concat",
+)
+def rel_scalar_string(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 12)).alias("head"),
+        F.length("text").alias("n_chars_fn"),
+        F.col("text").like("%spark%").alias("mentions_spark"),
+        F.size(F.split("text", r"\s+")).alias("n_words"),
+        F.regexp_extract("text", "[a-z]+", 0).alias("first_word"),
+        F.concat_ws(":", "source", "lang").alias("tag"),
+    )
+
+
+@register(
+    "rel_scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
+           DAY(o_orderdate) AS dom, QUARTER(o_orderdate) AS qtr,
+           strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month_start,
+           strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch95
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    doc="date/time functions: extract parts, trunc, add, diff",
+)
+def rel_scalar_date(spark, sf_dir):
+    use_utc(spark)
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch95"),
+    )
+
+
+@register(
+    "rel_scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05) AS abs_v,
+           CEIL(l_quantity / 7) AS ceil_v,
+           FLOOR(l_extendedprice / 1000) AS floor_v,
+           ROUND(SQRT(l_extendedprice), 6) AS sqrt_v,
+           ROUND(LN(l_extendedprice), 6) AS ln_v,
+           MOD(CAST(l_quantity AS BIGINT), 5) AS mod_v
+    FROM lineitem WHERE l_orderkey <= 400
+    """,
+    doc="math functions; transcendentals rounded to 6 (libm last-ulp variance)",
+)
+def rel_scalar_math(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 400)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_v"),
+        F.ceil(F.col("l_quantity") / 7).alias("ceil_v"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("floor_v"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_v"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_v"),
+        (F.col("l_quantity").cast("bigint") % 5).alias("mod_v"),
+    )
+
+
+@register(
+    "rel_scalar_array",
+    oracle="""
+    SELECT vec_id,
+           LEN(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_v,
+           ROUND(CAST(embedding[64] AS DOUBLE), 6) AS last_v,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_v,
+           LEN(list_filter(embedding, x -> x > 0)) AS n_pos
+    FROM embeddings
+    """,
+    doc="array functions: size/element_at/max/filter over ARRAY<FLOAT>",
+)
+def rel_scalar_array(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_v"),
+        F.round(F.element_at("embedding", 64).cast("double"), 6).alias("last_v"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_v"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+@register(
+    "rel_scalar_json",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+    """,
+    doc="JSON extraction from a string column + typed filter",
+)
+def rel_scalar_json(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select("event_id", "event_type", k.alias("k")).where(k > 50)

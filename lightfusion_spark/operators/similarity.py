@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (SURVEY §2.4).
+
+The reference has no vector-search surface; these are engine extensions
+for training-data pipelines: exact brute-force top-k as the correctness
+baseline, and an LSH(random-hyperplane)-bucketed variant as the scale
+path.  Everything stays in JVM whole-stage codegen — the dot products
+are ``zip_with``/``aggregate`` higher-order functions, not Python UDFs.
+
+100 TB design notes
+-------------------
+* **Brute force** — correct but O(|Q|·|C|·d); usable when the query set
+  broadcasts (<< executor memory) and the corpus streams once.  The plan
+  below is exactly that shape: broadcast(queries) x corpus scan ->
+  per-partition partial top-k (window) -> final top-k.  No shuffle of
+  the corpus itself.
+* **LSH** — sign-of-projection onto ``n_planes`` fixed hyperplanes
+  bucketizes both sides; candidates only within the query's bucket.
+  Expected candidate volume drops ~2^planes; recall is tunable via
+  multi-probe (flip lowest-margin bits) or repeated tables.  The bucket
+  id is a plain integer column, so the candidate join is an ordinary
+  hash-partitioned equi-join — broadcast-free and skew-aware under AQE.
+* An IVF variant (k-means centroids as the coarse quantizer) has the
+  same plan shape: assign -> equi-join on centroid id -> local top-k.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_double(vec_col: str | Column) -> Column:
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return c.cast("array<double>")
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (matches DuckDB list_inner_product)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (F.sqrt(dot_expr(a, a)) * F.sqrt(dot_expr(b, b)))
+
+
+def topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query against the corpus.
+
+    Output: (query_id, neighbor_id, rank, cos_sim).  Ordering is by the
+    *rounded* similarity with the neighbor id as tiebreak, which makes
+    ranks reproducible across engines and partitionings.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), round_digits).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def random_hyperplanes(n_planes: int, dim: int, seed: int = 7) -> np.ndarray:
+    """Deterministic hyperplanes for sign-LSH (seeded; reproducible in SQL)."""
+    return np.random.RandomState(seed).standard_normal((n_planes, dim)).round(6)
+
+
+def lsh_bucket_expr(vec_col: str | Column, planes: np.ndarray) -> Column:
+    """Sign-of-projection bucket id: bit p set iff dot(v, plane_p) > 0."""
+    v = as_double(vec_col)
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot_expr(v, lit) > 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+def topk_cosine_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Output: (query_id, neighbor_id, rank, cos_sim) — rank within bucket.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(vec_col).alias("_qv"),
+        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(vec_col).alias("_cv"),
+        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), round_digits).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def cosine_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float,
+    round_digits: int = 6,
+) -> DataFrame:
+    """All pairs within a blocking key with cosine >= threshold.
+
+    Embedding near-duplicate detection; the blocking key bounds the pair
+    space the way LSH buckets would at scale.  Output (id_a, id_b, cos_sim).
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(block_col).alias("_blk"), as_double(vec_col).alias("_va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(block_col).alias("_blk"), as_double(vec_col).alias("_vb")
+    )
+    return (
+        a.join(b, "_blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("_va"), F.col("_vb")), round_digits).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,126 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2.4).
+
+Language ID, quality scoring, token counting, and document
+fingerprinting — all as built-in-function DataFrame projections (no
+Python in the hot path), each reproducible in ANSI SQL so the DuckDB
+oracle can verify them value-for-value.
+
+At 100 TB these are embarrassingly parallel single-pass projections:
+no shuffle at all unless the caller aggregates afterwards.  The regex
+work happens inside whole-stage codegen; for very hot paths the same
+expressions compile to dictionary-encoded columnar ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword-voting
+#: language heuristic.  Deliberately small and alphabetical so the SQL
+#: oracle can embed the identical literals.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["a", "and", "is", "of", "the"],
+    "de": ["das", "der", "die", "ist", "und"],
+    "fr": ["et", "la", "le", "les", "un"],
+    "es": ["el", "los", "un", "una", "y"],
+}
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, or single punctuation.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.split(F.lower(text_col), r"\s+")
+
+
+def _stop_hits(toks: Column, words: list[str]) -> Column:
+    """Occurrence count (with multiplicity) of tokens in a stopword list."""
+    lit = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lit, t)))
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features + a boolean keep/drop flag.
+
+    Mirrors the usual pre-training quality filters: length bounds,
+    word-length sanity, punctuation density, stopword density.
+    """
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_words = F.size(toks)
+    n_chars = F.length(t)
+    # sum of word lengths = chars minus separators; exact integer math
+    avg_word_len = (
+        F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w)) / n_words
+    )
+    n_punct = F.size(F.regexp_extract_all(t, F.lit("[^A-Za-z0-9\\s]"), 0))
+    stop_ratio = _stop_hits(toks, LANG_STOPWORDS["en"]) / n_words
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars_fn"),
+        avg_word_len.alias("avg_word_len"),
+        (n_punct / n_chars).alias("punct_ratio"),
+        stop_ratio.alias("en_stop_ratio"),
+        (
+            (n_words >= 10)
+            & (avg_word_len >= 2)
+            & (avg_word_len <= 12)
+            & ((n_punct / n_chars) <= 0.2)
+        ).alias("quality_keep"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-voting language heuristic.
+
+    Counts per-language stopword hits and picks the max, ties broken in
+    fixed (alphabetical-by-code: de, en, es, fr) preference order via
+    strict-greater comparisons; zero hits everywhere -> 'und' (undetermined).
+    """
+    toks = _tokens(F.col(text_col))
+    hits = {code: _stop_hits(toks, words) for code, words in LANG_STOPWORDS.items()}
+    de, en, es, fr = hits["de"], hits["en"], hits["es"], hits["fr"]
+    best = F.greatest(de, en, es, fr)
+    pred = (
+        F.when(best == 0, "und")
+        .when(de == best, "de")
+        .when(en == best, "en")
+        .when(es == best, "es")
+        .otherwise("fr")
+    )
+    return df.select(
+        F.col(id_col),
+        de.alias("hits_de"),
+        en.alias("hits_en"),
+        es.alias("hits_es"),
+        fr.alias("hits_fr"),
+        pred.alias("lang_pred"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish pre-tokenizer count."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(t, r"\s+")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)).alias("n_bpe_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalized-content fingerprint: md5 hex + a 56-bit integer bucket.
+
+    Normalization: lowercase + whitespace runs collapsed to single
+    spaces + trim.  The integer bucket is the first 14 hex digits —
+    handy as a shuffle/partition key for distributed dedup.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    fp = F.md5(norm)
+    return df.select(
+        F.col(id_col),
+        fp.alias("fp_md5"),
+        F.conv(F.substring(fp, 1, 14), 16, 10).cast("bigint").alias("fp_bucket"),
+    )

@@ -1,0 +1,67 @@
+"""Corpus smoke: every registered query runs and matches its DuckDB oracle
+at sf0.001 (the full-scale gate is tools/parity.py at sf0.01, which the
+driver replicates)."""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+
+from parity import compare, duck_connection  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# A fast, representative subset (full corpus takes ~2 min; CI stays snappy).
+SUBSET = [
+    "rel_filter_project",
+    "rel_join_inner_agg",
+    "rel_agg_q1",
+    "rel_agg_rollup",
+    "rel_window_rank",
+    "rel_set_except",
+    "rel_subquery_in_exists",
+    "rel_scalar_string",
+    "rel_scalar_json",
+    "lgbm_infer_embeddings",
+    "argmax_embeddings",
+    "lgbm_tsv_flagship",
+    "pipe_dedup_exact",
+    "pipe_dedup_minhash",
+    "pipe_sim_topk",
+    "pipe_text_stats",
+    "pipe_multimodal_decode",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(name, spark, duck):
+    import __spark_entry__ as e
+
+    sdf = e.queries()[name](spark, SF_DIR).toPandas()
+    oracle = e.oracle_sql()[name]
+    ddf = duck.execute(oracle).fetchdf()
+    problems = compare(name, sdf, ddf)
+    assert not problems, f"{name}: {problems}"
+    assert len(sdf) > 0, f"{name}: empty result is a vacuous check"
+
+
+def test_all_queries_have_oracles_or_are_flagged():
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    missing = set(qs) - set(oracles)
+    # every query currently has an oracle; if one is ever added without,
+    # this documents the intentional rows-only set
+    assert missing == set(), f"rows-only queries (document them): {missing}"

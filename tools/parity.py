@@ -1,0 +1,148 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` counterpart on DuckDB over the same parquet tables,
+then compares row count, column set, and values (sorted by all columns).
+Stricter than the driver: flags float columns that are not bit-identical
+even when they compare equal under tolerance, because the driver hashes
+values.
+
+Usage:  python tools/parity.py [--sf /root/testdata/sf0.01] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), na_position="first", kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        return [f"columns differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"]
+    if len(spark_df) != len(duck_df):
+        problems.append(f"row count: spark={len(spark_df)} duck={len(duck_df)}")
+        return problems
+    s, d = normalize(spark_df), normalize(duck_df)
+    for col in s.columns:
+        sv, dv = s[col].to_numpy(), d[col].to_numpy()
+        if np.issubdtype(np.asarray(sv).dtype, np.floating) or np.issubdtype(
+            np.asarray(dv).dtype, np.floating
+        ):
+            sv = np.asarray(sv, dtype=np.float64)
+            dv = np.asarray(dv, dtype=np.float64)
+            both_nan = np.isnan(sv) & np.isnan(dv)
+            exact = (sv == dv) | both_nan
+            if not exact.all():
+                bad = ~exact
+                diff = np.nanmax(np.abs(sv[bad] - dv[bad])) if bad.any() else 0.0
+                problems.append(
+                    f"col {col}: {int(bad.sum())}/{len(sv)} values differ "
+                    f"(max abs diff {diff:.3e}) — NOT hash-safe"
+                )
+        else:
+            sv_obj = pd.Series(sv).astype(object).where(pd.Series(sv).notna(), None)
+            dv_obj = pd.Series(dv).astype(object).where(pd.Series(dv).notna(), None)
+            neq = [
+                i
+                for i, (a, b) in enumerate(zip(sv_obj, dv_obj))
+                if a != b and not (a is None and b is None)
+            ]
+            if neq:
+                i = neq[0]
+                problems.append(
+                    f"col {col}: {len(neq)}/{len(sv)} values differ "
+                    f"(first at row {i}: spark={sv_obj[i]!r} duck={dv_obj[i]!r})"
+                )
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as e
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("parity")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connection(args.sf)
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    names = args.names or list(qs)
+    failed, rows_only = [], []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL  {name}: spark error: {type(exc).__name__}: {str(exc)[:300]}")
+            continue
+        if name not in oracles:
+            rows_only.append(name)
+            print(f"rows  {name}: {len(sdf)} rows (no oracle)")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL  {name}: duckdb error: {type(exc).__name__}: {str(exc)[:300]}")
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            failed.append(name)
+            print(f"FAIL  {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            print(f"ok    {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+    print(
+        f"\n{len(names) - len(failed) - len(rows_only)} ok, "
+        f"{len(rows_only)} rows-only, {len(failed)} failed of {len(names)}"
+    )
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
