@@ -18,5 +18,6 @@ from .registry import REGISTRY, QuerySpec, query_functions, oracle_strings
 from . import relational  # noqa: E402,F401
 from . import mlqueries  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
+from . import timeseries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query_functions", "oracle_strings"]

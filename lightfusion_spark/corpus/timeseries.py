@@ -1,0 +1,75 @@
+"""Event-time queries over the ``events`` table.
+
+The same transformation functions power the Structured Streaming surface
+(:mod:`lightfusion_spark.streaming.events`); here they run in batch with
+DuckDB oracles, so the streaming semantics (tumbling windows, session
+windows) are value-verified — the batch/stream parity tests close the
+loop on the streaming side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..streaming.events import sessionized_user_activity, windowed_event_stats
+from .registry import register
+from .util import table
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_US_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+@register(
+    "events_windowed_stats",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="tumbling 1-day event-time windows (same function as the streaming "
+    "path; epoch-aligned windows == date_trunc)",
+)
+def events_windowed_stats(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return windowed_event_stats(ev).select(
+        F.date_format("window_start", _TS_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           user_id, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="session windows (30-min gap) via Spark's native session_window; "
+    "oracle is the classic gaps-and-islands formulation",
+)
+def events_sessionize(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return sessionized_user_activity(ev, gap="30 minutes").select(
+        F.date_format("session_start", _TS_US_SPARK).alias("session_start"),
+        F.date_format("session_end", _TS_US_SPARK).alias("session_end"),
+        "user_id",
+        "n_events",
+    )

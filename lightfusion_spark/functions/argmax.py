@@ -12,13 +12,16 @@ occurrence, preserving first-max-wins.  Registered for SQL via a Spark 4 SQL
 scalar UDF (``CREATE FUNCTION ... RETURN expr``) so SQL queries also stay
 JVM-side.
 
+NaN semantics match the reference: ``argminmax`` ignores NaN elements
+(``Cargo.toml:20`` default features), so the maximum is taken over the
+non-NaN elements — expressed here as ``array_max(filter(v, NOT isnan))``,
+still a pure JVM expression.
+
 Deviations (documented, SURVEY.md §7):
 * return type ``INT`` — Spark has no unsigned types (reference returns
   ``UInt32``, ``src/argmax.rs:58-60``);
-* NaN: Spark orders NaN greater than any double, so an array containing NaN
-  argmaxes to the NaN position; the reference's ``argminmax`` ignores NaNs;
-* empty/null array -> NULL (the reference never sees one: list items are
-  declared non-nullable, ``src/udf.rs:70``).
+* empty/null/all-NaN array -> NULL (the reference never sees one: list
+  items are declared non-nullable, ``src/udf.rs:70``).
 """
 
 from __future__ import annotations
@@ -26,13 +29,17 @@ from __future__ import annotations
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
-ARGMAX_SQL_BODY = "CAST(array_position(v, array_max(v)) - 1 AS INT)"
+ARGMAX_SQL_BODY = (
+    "CAST(array_position(v, array_max(filter(v, x -> NOT isnan(x)))) - 1 AS INT)"
+)
 
 
 def argmax(col: Column | str) -> Column:
-    """DataFrame-API argmax: first index (0-based) of the array's maximum."""
+    """DataFrame-API argmax: first index (0-based) of the array's maximum,
+    ignoring NaN elements (first-max-wins on ties)."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.array_position(c, F.array_max(c)) - F.lit(1)).cast("int")
+    non_nan_max = F.array_max(F.filter(c, lambda x: ~F.isnan(x)))
+    return (F.array_position(c, non_nan_max) - F.lit(1)).cast("int")
 
 
 def register_argmax(spark: SparkSession) -> None:

@@ -95,19 +95,29 @@ def _assemble_features(series: pd.Series, n_features: int) -> np.ndarray:
     return flat.reshape(len(arrs), n_features)
 
 
+#: Models larger than this ride as a SparkContext broadcast (torrent-style
+#: distribution, one copy per executor) instead of being serialized into
+#: every task closure.
+BROADCAST_THRESHOLD_BYTES = 4 * 1024 * 1024
+
+
 def make_lightgbm_udf(
     model_path: str,
     batch_size: int = 1,
     input_type: str = "double",
     return_type: str = "double",
     ship_model_text: bool = True,
+    spark: SparkSession | None = None,
 ):
     """Build the inference pandas UDF for one registered function.
 
-    ``ship_model_text=True`` embeds the model text in the closure so
-    executors don't need the driver's filesystem — the Spark analogue of
-    broadcasting model bytes (models here are small; for multi-GB models
-    switch to ``SparkContext.broadcast`` or executor-local storage).
+    ``ship_model_text=True`` ships the model text to executors (they
+    don't need the driver's filesystem).  Small models embed in the UDF
+    closure; past :data:`BROADCAST_THRESHOLD_BYTES` (and when ``spark``
+    is provided) the text ships as a ``SparkContext.broadcast`` so each
+    executor receives one copy via the torrent protocol instead of one
+    copy per task.  Either way the parsed model is cached per executor
+    process keyed by content digest.
     """
     if input_type not in SUPPORTED_INPUT_TYPES:
         raise UnsupportedTypeError(
@@ -128,13 +138,20 @@ def make_lightgbm_udf(
         text = fh.read()
     model = parse_model_str(text)
     cache_key = (model_path, hashlib.sha256(text.encode("utf-8")).hexdigest()[:16])
-    model_text = text if ship_model_text else None
+    model_text: str | None = None
+    model_broadcast = None
+    if ship_model_text:
+        if spark is not None and len(text) > BROADCAST_THRESHOLD_BYTES:
+            model_broadcast = spark.sparkContext.broadcast(text)
+        else:
+            model_text = text
     n_features = model.num_features
     del model, text
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def predict(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        mdl = _get_model(cache_key, model_text)
+        shipped = model_broadcast.value if model_broadcast is not None else model_text
+        mdl = _get_model(cache_key, shipped)
         for series in batches:
             n_rows = len(series)
             if n_rows == 0:
@@ -172,7 +189,11 @@ def register_lightgbm_function(
     if batch_size is None:
         batch_size = lf_config.get_batch_size(spark)
     udf = make_lightgbm_udf(
-        model_path, batch_size=batch_size, input_type=input_type, return_type=return_type
+        model_path,
+        batch_size=batch_size,
+        input_type=input_type,
+        return_type=return_type,
+        spark=spark,
     )
     spark.udf.register(name, udf)
     return udf

@@ -1,0 +1,129 @@
+"""Structured Streaming over the events table.
+
+The reference is batch-only (SURVEY §2.3: no streaming code anywhere in
+it), so this module is an engine *extension*: the standard Spark
+streaming shapes — file source, event-time watermark, tumbling-window
+aggregation, session windows — wired for the driver's ``events`` table.
+
+Batch/stream parity is the design invariant: the same transformation
+functions accept either a batch DataFrame or a streaming DataFrame, so
+the batch oracle (tests) verifies the streaming semantics.
+
+At scale: the file source incrementally lists new files (checkpointed);
+the windowed aggregate keeps state per (window x event_type) — bounded
+by the watermark, which expires state ``delay`` behind the max observed
+event time.  ``availableNow`` gives batch-like runs over whatever has
+arrived, preserving exactly-once sink semantics via the checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Schema of events.parquet with ts as raw TIMESTAMP(NANOS) read as bigint
+#: (streaming sources require an explicit schema).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanoseconds since epoch
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        # glob (not bare file path): the file-stream source needs a
+        # pattern/directory it can re-list for newly arrived files
+        .parquet(f"{sf_dir}/events*.parquet")
+    )
+
+
+def with_event_time(events: DataFrame) -> DataFrame:
+    """Nanosecond bigint -> event_time TIMESTAMP (micros precision).
+
+    Integer division (``div``), not ``/``: float division of an ~1e18
+    nanosecond value loses the low microsecond digit to double rounding.
+    """
+    return events.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Tumbling-window count/sum per event type with a late-data watermark.
+
+    Works identically on batch and streaming inputs (the watermark is a
+    no-op in batch) — the parity the tests exploit.
+    """
+    ev = with_event_time(events)
+    return (
+        ev.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_user_activity(
+    events: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Session windows per user: activity bursts separated by >= ``gap``.
+
+    ``session_window`` is Spark's native stateful sessionization — state
+    per open session, merged on overlap, expired by the watermark.
+    """
+    ev = with_event_time(events)
+    return (
+        ev.withWatermark("event_time", gap)
+        .groupBy(F.session_window("event_time", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str
+) -> None:
+    """Drain everything currently available into an in-memory table named
+    ``query_name`` (complete mode), then stop — the batch-like streaming
+    execution used by the tests."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

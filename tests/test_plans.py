@@ -1,0 +1,77 @@
+"""Physical-plan property tests: the plans we ship are the plans we'd
+want on a 1000-executor cluster — pushdown, pruning, broadcasts, and a
+single Python crossing where Python is unavoidable."""
+
+import os
+import sys
+
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+from lightfusion_spark.plans.audit import (  # noqa: E402
+    audit_report,
+    formatted_plan,
+    join_nodes,
+    pushed_filters,
+    python_eval_nodes,
+    read_schemas,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_filter_pushdown_and_pruning(spark, queries):
+    plan = formatted_plan(queries["rel_filter_project"](spark, SF_DIR))
+    pushed = " ".join(pushed_filters(plan))
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    (schema,) = read_schemas(plan)
+    # scan reads only the columns the query touches — not all 11
+    assert schema <= {
+        "l_orderkey", "l_linenumber", "l_extendedprice",
+        "l_discount", "l_quantity", "l_shipdate",
+    }
+
+
+def test_small_dims_broadcast(spark, queries):
+    plan = formatted_plan(queries["rel_join_inner_agg"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in join_nodes(plan)
+    assert "CartesianProduct" not in join_nodes(plan)
+
+
+def test_argmax_stays_jvm_side(spark, queries):
+    plan = formatted_plan(queries["argmax_embeddings"](spark, SF_DIR))
+    assert python_eval_nodes(plan) == []
+
+
+def test_inference_crosses_python_once(spark, queries):
+    report = audit_report(queries["lgbm_infer_embeddings"](spark, SF_DIR))
+    assert report["python_eval_nodes"] == ["ArrowEvalPython"]
+    # the scan feeding the UDF reads only (vec_id, embedding)
+    assert all(set(s) <= {"vec_id", "embedding"} for s in report["read_schemas"])
+
+
+def test_simhash_is_python_free(spark, queries):
+    plan = formatted_plan(queries["pipe_dedup_simhash"](spark, SF_DIR))
+    assert python_eval_nodes(plan) == []
+
+
+def test_topk_broadcasts_queries(spark, queries):
+    plan = formatted_plan(queries["pipe_sim_topk"](spark, SF_DIR))
+    joins = join_nodes(plan)
+    # broadcast of the small query side — never a cartesian shuffle product
+    assert any(j.startswith("Broadcast") for j in joins)
+    assert "CartesianProduct" not in joins
+
+
+def test_multimodal_uses_arrow_map(spark, queries):
+    plan = formatted_plan(queries["pipe_multimodal_decode"](spark, SF_DIR))
+    assert "MapInPandas" in python_eval_nodes(plan)

@@ -1,0 +1,50 @@
+"""Streaming extension tests: batch/stream parity of the windowed
+aggregations (the batch run is the oracle for the streaming run)."""
+
+import os
+
+import pytest
+
+from lightfusion_spark.streaming import events as ev
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture()
+def batch_events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_windowed_stats_stream_matches_batch(spark, batch_events, tmp_path):
+    stream = ev.read_events_stream(spark, SF_DIR)
+    ev.run_available_now(
+        ev.windowed_event_stats(stream), "win_stats", str(tmp_path / "ckpt")
+    )
+    got = spark.sql("SELECT * FROM win_stats")
+    expected = ev.windowed_event_stats(batch_events)
+    assert _sorted_rows(got) == _sorted_rows(expected)
+    assert got.count() > 0
+
+
+def test_sessionization_stream_matches_batch(spark, batch_events, tmp_path):
+    stream = ev.read_events_stream(spark, SF_DIR)
+    ev.run_available_now(
+        ev.sessionized_user_activity(stream), "sessions", str(tmp_path / "ckpt2")
+    )
+    got = spark.sql("SELECT * FROM sessions")
+    expected = ev.sessionized_user_activity(batch_events)
+    assert _sorted_rows(got) == _sorted_rows(expected)
+    assert got.count() > 0
+
+
+def test_event_time_conversion(spark, batch_events):
+    from pyspark.sql import functions as F
+
+    df = ev.with_event_time(batch_events)
+    row = df.select(F.min("event_time").alias("lo"), F.max("event_time").alias("hi")).first()
+    assert row["lo"].year == 2024 and row["hi"].year == 2024
