@@ -404,3 +404,43 @@ def pipe_multimodal_decode(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     payload = multimodal.attach_binary_payload(d, "doc_id", "text")
     return multimodal.decode_media(payload)
+
+
+@register(
+    "pipe_sim_ivf",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS centroid_id, v AS cent FROM e ORDER BY vec_id LIMIT 16),
+    assign AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, cents.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_inner_product(e.v, cents.cent)
+                          / (sqrt(list_inner_product(e.v, e.v))
+                             * sqrt(list_inner_product(cents.cent, cents.cent))), 6) DESC,
+                          cents.centroid_id) AS rn
+        FROM e CROSS JOIN cents) t
+      WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, centroid_id FROM assign WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_inner_product(q.qv, c.v)
+                   / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(c.v, c.v))),
+                   6) AS cos_sim
+      FROM q JOIN assign c ON q.centroid_id = c.centroid_id AND q.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored) t
+    WHERE rn <= 3
+    """,
+    doc="IVF-style ANN: deterministic coarse quantizer -> cell assignment "
+    "(broadcast) -> candidate equi-join on centroid_id -> local top-3",
+)
+def pipe_sim_ivf(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return similarity.topk_cosine_ivf(e, q, "vec_id", "embedding", n_centroids=16, k=3)

@@ -712,3 +712,140 @@ def rel_scalar_json(spark, sf_dir):
     e = table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return e.select("event_id", "event_type", k.alias("k")).where(k > 50)
+
+
+@register(
+    "rel_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="explicit GROUPING SETS (neither pure rollup nor cube)",
+)
+def rel_grouping_sets(spark, sf_dir):
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "rel_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(median(o_totalprice), 6) AS med,
+           ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="exact median + continuous percentile (sort-based, not sketch)",
+)
+def rel_percentile(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("med"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+    )
+
+
+@register(
+    "rel_agg_argminmax",
+    oracle="""
+    SELECT o_orderstatus,
+           MAX(CASE WHEN rn_desc = 1 THEN o_orderkey END) AS biggest_order,
+           MAX(CASE WHEN rn_asc = 1 THEN o_orderkey END) AS smallest_order
+    FROM (
+      SELECT o_orderstatus, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_desc,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS rn_asc
+      FROM orders) t
+    GROUP BY o_orderstatus
+    """,
+    doc="max_by/min_by with a composite (value, key) tiebreak",
+)
+def rel_agg_argminmax(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias("biggest_order"),
+        F.expr("min_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias("smallest_order"),
+    )
+
+
+@register(
+    "rel_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="PIVOT (status columns per priority); oracle via FILTERed aggregates",
+)
+def rel_pivot(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+@register(
+    "rel_unpivot",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    """,
+    doc="UNPIVOT/melt wide columns to (key, metric, value) rows",
+)
+def rel_unpivot(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", F.col("c_nationkey").cast("double").alias("c_nationkey")
+    )
+    return c.unpivot(
+        ids=["c_custkey"],
+        values=["c_acctbal", "c_nationkey"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).withColumn("metric", F.regexp_replace("metric", "^c_", ""))
+
+
+@register(
+    "rel_scalar_string2",
+    oracle="""
+    SELECT doc_id,
+           levenshtein(source, lang) AS lev,
+           lpad(lang, 5, '_') AS padded,
+           reverse(lang) AS rev,
+           replace(source, 'src', 'source-') AS replaced,
+           strpos(text, 'the') AS first_the,
+           repeat(lang, 2) AS doubled
+    FROM documents
+    """,
+    doc="string functions round 2: levenshtein/lpad/reverse/replace/instr/repeat",
+)
+def rel_scalar_string2(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.levenshtein("source", "lang").alias("lev"),
+        F.lpad("lang", 5, "_").alias("padded"),
+        F.reverse("lang").alias("rev"),
+        F.regexp_replace("source", "src", "source-").alias("replaced"),
+        F.instr("text", "the").alias("first_the"),
+        F.repeat("lang", 2).alias("doubled"),
+    )

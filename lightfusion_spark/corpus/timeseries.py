@@ -73,3 +73,39 @@ def events_sessionize(spark, sf_dir):
         "user_id",
         "n_events",
     )
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           c.value AS click_value,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="as-of join: each purchase matched to the user's most recent prior "
+    "click (window-over-union operator; oracle is DuckDB's native ASOF JOIN)",
+)
+def events_asof_join(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(purchases, clicks, "user_id", "ts", ["value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format(F.timestamp_micros(F.expr("ts div 1000")), _TS_US_SPARK).alias(
+            "purchase_ts"
+        ),
+        F.col("value_asof").alias("click_value"),
+        F.date_format(
+            F.timestamp_micros(F.expr("ts_asof div 1000")), _TS_US_SPARK
+        ).alias("click_ts"),
+    )

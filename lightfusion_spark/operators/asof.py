@@ -1,0 +1,66 @@
+"""As-of (point-in-time) join — a custom operator Spark lacks natively.
+
+For every left row, attach the right row with the greatest timestamp
+<= the left timestamp within the same key (the semantics of DuckDB/kdb
+``ASOF JOIN`` and pandas ``merge_asof``).
+
+Spark-first formulation: union the two sides, then one window pass per
+key carrying the right side's values forward (``last(..., ignorenulls)``
+over rows preceding).  Compared to the ``cogroup().applyInPandas(
+pd.merge_asof)`` alternative this stays entirely in the JVM — one
+shuffle on the key, per-partition sort, no Python crossing, and no
+requirement that a whole key group fits in one pandas frame.
+
+At 100 TB: the single shuffle partitions by key; heavily skewed keys
+(one user with billions of events) are the failure mode — mitigate by
+range-bucketing time into the key (join on (key, time_bucket) and also
+carrying the previous bucket's last value forward), which keeps the
+window state bounded per task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: every left row + the most recent right values.
+
+    ``right`` must contain ``key_col``, ``ts_col`` and ``value_cols``;
+    output carries all left columns plus ``{v}{suffix}`` for each value
+    column and ``{ts_col}{suffix}`` (the matched right timestamp), all
+    NULL when no right row precedes.  Matching is inclusive (right ts ==
+    left ts matches), implemented by sorting right rows before left rows
+    at equal timestamps.
+    """
+    carried = [f"{v}{suffix}" for v in value_cols] + [f"{ts_col}{suffix}"]
+    l_tagged = left.withColumn("_side", F.lit(1))
+    r_tagged = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        *[F.col(v).alias(f"{v}{suffix}") for v in value_cols],
+        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        F.lit(0).alias("_side"),
+    )
+    merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    # right rows (side 0) sort before left rows at the same timestamp =>
+    # inclusive as-of semantics
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        *[c for c in merged.columns if c not in carried],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+    )
+    return filled.where(F.col("_side") == 1).drop("_side")

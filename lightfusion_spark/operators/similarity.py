@@ -179,3 +179,81 @@ def cosine_pairs_blocked(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def assign_to_centroids(
+    df,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Nearest-centroid (max cosine) assignment: (id, vec, centroid_id).
+
+    ``centroids`` is (centroid_id, _cent); it broadcasts — the corpus
+    never shuffles for assignment.
+    """
+    scored = (
+        df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            id_col,
+            "_v",
+            "centroid_id",
+            F.round(cosine_expr(F.col("_v"), F.col("_cent")), round_digits).alias("_cc"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cc").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "_v", "centroid_id")
+    )
+
+
+def topk_cosine_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantize, search one cell.
+
+    The coarse quantizer here is deterministic (the first ``n_centroids``
+    corpus vectors by id) so the oracle can replicate it; in production
+    it would be k-means centroids — the plan shape (assign -> equi-join
+    on centroid_id -> local top-k) is identical, which is the point.
+    nprobe=1; raise recall by probing the q nearest cells (union of
+    equi-joins), still never a cross product.
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), as_double(vec_col).alias("_cent"))
+    )
+    c_assign = assign_to_centroids(corpus, cents, id_col, vec_col, round_digits)
+    q_assign = assign_to_centroids(queries, cents, id_col, vec_col, round_digits)
+    q = q_assign.select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("_qv"), "centroid_id"
+    )
+    c = c_assign.select(
+        F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_cv"), "centroid_id"
+    )
+    scored = (
+        q.join(c, "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), round_digits).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
