@@ -849,3 +849,186 @@ def rel_scalar_string2(spark, sf_dir):
         F.instr("text", "the").alias("first_the"),
         F.repeat("lang", 2).alias("doubled"),
     )
+
+
+@register(
+    "rel_tpch_q3_shape",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped shipping priority: selective dim filter -> two "
+    "joins -> agg -> top-10 (AQE broadcasts the filtered customer side)",
+)
+def rel_tpch_q3_shape(spark, sf_dir):
+    use_utc(spark)
+    c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "rel_tpch_q5_shape",
+    oracle=f"""
+    SELECT n_name, {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5-shaped local-supplier volume: 5-way join with a "
+    "same-nation constraint and region pruning",
+)
+def rel_tpch_q5_shape(spark, sf_dir):
+    use_utc(spark)
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "rel_approx_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_distinct,
+           TRUE AS hll_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="approximate sketches: the query computes approx_count_distinct "
+    "(HLL++) and asserts it lands within 5% of the exact count — the "
+    "boolean makes an engine-specific sketch value-verifiable",
+)
+def rel_approx_sketch(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_distinct"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("_hll"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_distinct",
+            (
+                F.abs(F.col("_hll") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("hll_within_5pct"),
+        )
+    )
+
+
+@register(
+    "rel_window_analytics",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           DENSE_RANK()   OVER w AS drnk,
+           NTILE(4)       OVER w AS quartile,
+           CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pct_rank,
+           CAST(CUME_DIST()    OVER w AS DOUBLE) AS cume,
+           FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+           LAST_VALUE(o_orderkey)  OVER (PARTITION BY o_custkey
+                                         ORDER BY o_totalprice, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND UNBOUNDED FOLLOWING) AS last_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="analytic window battery: dense_rank/ntile/percent_rank/cume_dist/"
+    "first_value/last_value",
+)
+def rel_window_analytics(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w_full).alias("last_ok"),
+    )
+
+
+@register(
+    "rel_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+             AS n_similar_price
+    FROM orders
+    """,
+    doc="RANGE frame over a numeric ordering (value-based window bounds)",
+)
+def rel_window_range_frame(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-10000, 10000)
+    return o.select(
+        "o_orderkey", "o_custkey", F.count(F.lit(1)).over(w).alias("n_similar_price")
+    )
+
+
+@register(
+    "rel_salted_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="skew-safe two-phase salted aggregation over 5 hot keys — must be "
+    "bit-identical to the plain GROUP BY the oracle runs",
+)
+def rel_salted_agg(spark, sf_dir):
+    from ..operators.skew import salted_agg
+
+    ev = table(spark, sf_dir, "events")
+    return salted_agg(ev, ["event_type"], "event_id", n_salts=16)

@@ -75,3 +75,19 @@ def test_topk_broadcasts_queries(spark, queries):
 def test_multimodal_uses_arrow_map(spark, queries):
     plan = formatted_plan(queries["pipe_multimodal_decode"](spark, SF_DIR))
     assert "MapInPandas" in python_eval_nodes(plan)
+
+
+def test_no_corpus_query_regresses_to_pathological_plans(spark, queries):
+    """Blanket guard over the whole corpus: no cartesian shuffle product,
+    no row-pickling Python eval (Arrow-vectorized crossings only)."""
+    offenders = {}
+    for name, fn in queries.items():
+        plan = formatted_plan(fn(spark, SF_DIR))
+        bad = []
+        if "CartesianProduct" in join_nodes(plan):
+            bad.append("CartesianProduct")
+        if "BatchEvalPython" in python_eval_nodes(plan):
+            bad.append("BatchEvalPython")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"pathological plans: {offenders}"

@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis).
+
+The scorer's vectorized tree traversal is checked against an
+independent scalar walker implementing the LightGBM decision rules
+directly — any vectorization/masking bug shows up as a divergence on
+some random tree x row combination (NaN, zeros, and boundary values
+included by construction).
+"""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lightfusion_spark.frontdoor import rewrite_array_literals
+from lightfusion_spark.ml.lgbm_model import Tree
+from lightfusion_spark.operators.dedup import _MINHASH_MOD
+
+
+def scalar_tree_walk(tree: Tree, row: np.ndarray) -> float:
+    """Reference implementation: LightGBM NumericalDecision, one row."""
+    node = 0
+    while node >= 0:
+        v = float(row[tree.split_feature[node]])
+        dtyp = int(tree.decision_type[node])
+        missing_type = (dtyp >> 2) & 3
+        default_left = bool(dtyp & 2)
+        if math.isnan(v) and missing_type != 2:
+            v = 0.0
+        if (missing_type == 2 and math.isnan(v)) or (
+            missing_type == 1 and abs(v) <= 1e-35
+        ):
+            go_left = default_left
+        else:
+            go_left = v <= float(tree.threshold[node])
+        node = int(tree.left_child[node] if go_left else tree.right_child[node])
+    return float(tree.leaf_value[-node - 1])
+
+
+# Fixed 3-leaf topology (the fixture's): node0 -> (node1 | leaf1),
+# node1 -> (leaf0 | leaf2).  Randomized: features, thresholds, decision
+# types (numerical only: bit0 clear), leaf values.
+feature_values = st.one_of(
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.just(0.0),
+    st.just(float("nan")),
+    st.floats(min_value=-1.0, max_value=1.0),
+)
+
+
+@st.composite
+def tree_and_rows(draw):
+    n_features = draw(st.integers(2, 5))
+    thresholds = draw(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False), min_size=2, max_size=2
+        )
+    )
+    decision_types = draw(
+        st.lists(st.sampled_from([0, 2, 4, 6, 8, 10]), min_size=2, max_size=2)
+    )
+    tree = Tree(
+        num_leaves=3,
+        split_feature=np.array(
+            draw(st.lists(st.integers(0, n_features - 1), min_size=2, max_size=2)),
+            dtype=np.int64,
+        ),
+        threshold=np.array(thresholds, dtype=np.float64),
+        decision_type=np.array(decision_types, dtype=np.int64),
+        left_child=np.array([1, -1], dtype=np.int64),
+        right_child=np.array([-2, -3], dtype=np.int64),
+        leaf_value=np.array(
+            draw(
+                st.lists(
+                    st.floats(min_value=-5, max_value=5, allow_nan=False),
+                    min_size=3,
+                    max_size=3,
+                )
+            ),
+            dtype=np.float64,
+        ),
+    )
+    n_rows = draw(st.integers(1, 8))
+    rows = np.array(
+        [
+            [draw(feature_values) for _ in range(n_features)]
+            for _ in range(n_rows)
+        ],
+        dtype=np.float64,
+    )
+    return tree, rows
+
+
+@given(tree_and_rows())
+@settings(max_examples=200, deadline=None)
+def test_vectorized_traversal_matches_scalar_walk(tr):
+    tree, rows = tr
+    got = tree.predict(rows)
+    expected = [scalar_tree_walk(tree, row) for row in rows]
+    assert got.tolist() == expected
+
+
+@given(st.integers(0, 2**56 - 1), st.integers(0, 7))
+def test_minhash_family_never_overflows_int64(h, k):
+    v = (2 * k + 3) * h + k * 1000003
+    assert 0 <= v < 2**63  # ANSI-mode bigint arithmetic cannot overflow
+    assert 0 <= v % _MINHASH_MOD < _MINHASH_MOD
+
+
+@given(st.text(alphabet=st.characters(blacklist_characters="[]'\"`"), max_size=80))
+def test_rewrite_is_identity_without_brackets(s):
+    assert rewrite_array_literals(s) == s
+
+
+@given(st.lists(st.integers(-99, 99), min_size=1, max_size=5))
+def test_rewrite_converts_numeric_literals(xs):
+    lit = "[" + ", ".join(map(str, xs)) + "]"
+    assert rewrite_array_literals(f"SELECT {lit}") == (
+        "SELECT array(" + ", ".join(map(str, xs)) + ")"
+    )
+
+
+@given(st.text(alphabet="abc123,.' ", max_size=40))
+def test_rewrite_never_touches_quoted_text(s):
+    quoted = "'" + s.replace("'", "") + "'"
+    assert rewrite_array_literals(f"SELECT {quoted}") == f"SELECT {quoted}"

@@ -48,3 +48,23 @@ def test_event_time_conversion(spark, batch_events):
     df = ev.with_event_time(batch_events)
     row = df.select(F.min("event_time").alias("lo"), F.max("event_time").alias("hi")).first()
     assert row["lo"].year == 2024 and row["hi"].year == 2024
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact-dedup: dropDuplicatesWithinWatermark keeps state only
+    inside the watermark horizon (the streaming face of exact_dedup)."""
+    stream = ev.read_events_stream(spark, SF_DIR)
+    deduped = ev.with_event_time(stream).withWatermark(
+        "event_time", "10 days"
+    ).dropDuplicatesWithinWatermark(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_stream").first()
+    assert got["n"] == got["d"] > 0
