@@ -24,12 +24,16 @@ sys.path.insert(0, REPO_ROOT)
 BENCH_QUERIES = [
     "rel_agg_q1",
     "rel_join_inner_agg",
+    "rel_tpch_q3_shape",
+    "rel_tpch_q5_shape",
     "rel_window_frame",
     "rel_scalar_json",
     "lgbm_infer_embeddings",
     "lgbm_tsv_flagship",
     "pipe_dedup_minhash",
     "pipe_sim_topk",
+    "pipe_sim_ivf",
+    "events_asof_join",
     "pipe_text_stats",
 ]
 

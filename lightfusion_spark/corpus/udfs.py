@@ -81,3 +81,36 @@ def grouped_map_centroid(spark, sf_dir):
     return e.groupBy("label").applyInPandas(
         centroid, schema="label int, dim0 double, dim1 double, n bigint"
     )
+
+
+@register(
+    "udtf_split_words",
+    oracle=r"""
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, w AS word
+    FROM (
+      SELECT doc_id,
+             unnest(string_split_regex(text, '\s+')) AS w,
+             generate_subscripts(string_split_regex(text, '\s+'), 1) AS i
+      FROM documents WHERE doc_id < 50)
+    """,
+    doc="Python UDTF (table function) with LATERAL join — surface coverage; "
+    "at scale prefer explode/posexplode (JVM) for this shape",
+)
+def udtf_split_words(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split()):
+                yield i, w
+
+    spark.udtf.register("split_words", SplitWords)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.word
+        FROM documents d, LATERAL split_words(d.text) t
+        WHERE d.doc_id < 50
+        """
+    )

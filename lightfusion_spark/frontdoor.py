@@ -30,7 +30,7 @@ from . import config as lf_config
 from .errors import InvalidDdlError, UnsupportedTypeError
 
 CREATE_FUNCTION_RE = re.compile(
-    r"^\s*CREATE\s+FUNCTION\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*"
     r"\(\s*(?P<arg>[^)]*?)\s*\)\s*"
     r"(?:RETURNS\s+(?P<ret>[A-Za-z0-9_\[\]<>\s]+?)\s+)?"
     r"LANGUAGE\s+LIGHTGBM\s*"

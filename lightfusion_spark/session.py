@@ -81,7 +81,9 @@ class LightFusionSession:
             key, value = kv
             self.spark.conf.set(key, value)
             lf_config.refresh_settings_view(self.spark)
-            return self.spark.createDataFrame([(key, value)], "key string, value string")
+            # the reference's SET returns an empty batch (examples/
+            # lightfusion_tsv.rs:5-9); mirror that shape
+            return self.spark.sql("SELECT 1 WHERE false")
         return self.spark.sql(frontdoor.preprocess(query), **kwargs)
 
     def __getattr__(self, name):

@@ -77,11 +77,18 @@ def test_multimodal_uses_arrow_map(spark, queries):
     assert "MapInPandas" in python_eval_nodes(plan)
 
 
+# Queries that intentionally use row-based Python (documented slow-path
+# surface coverage, not hot-path operators).
+ROW_PYTHON_ALLOWED = {"udtf_split_words"}
+
+
 def test_no_corpus_query_regresses_to_pathological_plans(spark, queries):
     """Blanket guard over the whole corpus: no cartesian shuffle product,
     no row-pickling Python eval (Arrow-vectorized crossings only)."""
     offenders = {}
     for name, fn in queries.items():
+        if name in ROW_PYTHON_ALLOWED:
+            continue
         plan = formatted_plan(fn(spark, SF_DIR))
         bad = []
         if "CartesianProduct" in join_nodes(plan):

@@ -220,3 +220,43 @@ def test_argmax_float32_arrays(engine):
     df.createOrReplaceTempView("f32_input")
     rows = engine.sql("SELECT id, argmax(v) AS a FROM f32_input ORDER BY id").collect()
     assert [r["a"] for r in rows] == [1, 0]
+
+
+def test_create_or_replace_function(engine, fixture_model):
+    """CREATE OR REPLACE FUNCTION re-registers under the same name."""
+    engine.sql(f"CREATE OR REPLACE FUNCTION frep(DOUBLE[]) LANGUAGE LIGHTGBM AS '{MODEL_PATH}'")
+    engine.sql(f"CREATE OR REPLACE FUNCTION frep(DOUBLE[]) LANGUAGE LIGHTGBM AS '{MODEL_PATH}'")
+    row = _literal_row(seed=21)
+    lits = ", ".join(repr(float(x)) for x in row)
+    got = np.array(engine.sql(f"SELECT frep([{lits}]) AS p").collect()[0]["p"])
+    np.testing.assert_allclose(got, fixture_model.predict(row.reshape(1, -1))[0], rtol=1e-12)
+
+
+def test_float32_input_function(engine, fixture_model):
+    """FLOAT[] input arrays score identically (reference (F32,F64) arm,
+    src/udf.rs:23-28)."""
+    engine.sql(f"CREATE FUNCTION f32fn(FLOAT[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM AS '{MODEL_PATH}'")
+    rng = np.random.RandomState(5)
+    feats32 = rng.standard_normal((4, N_FEATURES)).astype(np.float32)
+    df = engine.spark.createDataFrame(
+        [(i, [float(x) for x in feats32[i]]) for i in range(4)], "id int, v array<float>"
+    )
+    df.createOrReplaceTempView("f32_feats")
+    rows = engine.sql("SELECT id, f32fn(v) AS p FROM f32_feats ORDER BY id").collect()
+    got = np.array([r["p"] for r in rows])
+    expected = fixture_model.predict(feats32.astype(np.float64))
+    np.testing.assert_allclose(got, expected, rtol=1e-12)
+
+
+def test_missing_model_file_errors_at_create(engine):
+    """Model load failure surfaces at CREATE time, like Booster::from_file
+    (src/lib.rs:67-71)."""
+    with pytest.raises(Exception, match="nonexistent"):
+        engine.sql("CREATE FUNCTION fmiss(DOUBLE[]) LANGUAGE LIGHTGBM AS 'models/nonexistent.lgbm'")
+
+
+def test_set_returns_empty_like_reference(engine):
+    out = engine.sql("SET lightfusion.batch_size = 3")
+    assert out.count() == 0  # reference SET returns an empty batch
+    assert engine.spark.conf.get("lightfusion.batch_size") == "3"
+    engine.sql("SET lightfusion.batch_size = 1")
