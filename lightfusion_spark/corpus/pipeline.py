@@ -444,3 +444,32 @@ def pipe_sim_ivf(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 20)
     return similarity.topk_cosine_ivf(e, q, "vec_id", "embedding", n_centroids=16, k=3)
+
+
+@register(
+    "pipe_sim_topk_gemm",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_inner_product(q.v, c.v)
+                   / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))),
+                   6) AS cos_sim
+      FROM q JOIN e c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored) t
+    WHERE rn <= 5
+    """,
+    doc="brute-force top-5 via per-partition NumPy GEMM (the scale path: "
+    "one matmul per Arrow batch, per-batch partial top-k; ~25x the "
+    "interpreted HOF dot product at 200k corpus) — same oracle as the "
+    "expression version",
+)
+def pipe_sim_topk_gemm(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return similarity.topk_cosine_gemm(e, q, "vec_id", "embedding", k=5)

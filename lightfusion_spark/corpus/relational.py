@@ -1032,3 +1032,56 @@ def rel_salted_agg(spark, sf_dir):
 
     ev = table(spark, sf_dir, "events")
     return salted_agg(ev, ["event_type"], "event_id", n_salts=16)
+
+
+@register(
+    "rel_scalar_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS lo_byte,
+           event_id | 15 AS or15,
+           xor(event_id, 42) AS xored,
+           event_id << 2 AS shl,
+           event_id >> 3 AS shr,
+           CAST(bit_count(event_id) AS INTEGER) AS popcount
+    FROM events WHERE event_id < 2000
+    """,
+    doc="bitwise function battery (exact integer ops)",
+)
+def rel_scalar_bitwise(spark, sf_dir):
+    e = table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    c = F.col("event_id")
+    return e.select(
+        "event_id",
+        c.bitwiseAND(255).alias("lo_byte"),
+        c.bitwiseOR(15).alias("or15"),
+        c.bitwiseXOR(42).alias("xored"),
+        F.shiftleft(c, 2).alias("shl"),
+        F.shiftright(c, 3).alias("shr"),
+        F.bit_count(c).alias("popcount"),
+    )
+
+
+@register(
+    "rel_scalar_conditional",
+    oracle="""
+    SELECT s_suppkey,
+           COALESCE(NULLIF(s_name, 'Supplier#1'), 'anonymized') AS name_or_anon,
+           IFNULL(NULLIF(s_nationkey, 0), -1) AS nation_or_neg1,
+           LEAST(s_acctbal, 5000.0) AS capped,
+           GREATEST(s_acctbal, 0.0) AS floored,
+           IF(s_acctbal > 0, 'credit', 'debit') AS side
+    FROM supplier
+    """,
+    doc="conditional functions: coalesce/nullif/ifnull/least/greatest/if",
+)
+def rel_scalar_conditional(spark, sf_dir):
+    s = table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.coalesce(F.nullif(F.col("s_name"), F.lit("Supplier#1")), F.lit("anonymized")).alias("name_or_anon"),
+        F.ifnull(F.nullif(F.col("s_nationkey"), F.lit(0)), F.lit(-1)).alias("nation_or_neg1"),
+        F.least(F.col("s_acctbal"), F.lit(5000.0)).alias("capped"),
+        F.greatest(F.col("s_acctbal"), F.lit(0.0)).alias("floored"),
+        F.when(F.col("s_acctbal") > 0, "credit").otherwise("debit").alias("side"),
+    )

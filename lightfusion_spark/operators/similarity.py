@@ -63,12 +63,16 @@ def topk_cosine(
     *rounded* similarity with the neighbor id as tiebreak, which makes
     ranks reproducible across engines and partitionings.
     """
+    # norms are computed once per side, not once per pair (same arithmetic
+    # as cosine_expr — dot / (|q| * |c|) — so values are bit-identical)
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
-    )
+        F.col(id_col).alias("query_id"),
+        as_double(vec_col).alias("_qv"),
+    ).withColumn("_qn", F.sqrt(dot_expr(F.col("_qv"), F.col("_qv"))))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cv")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        as_double(vec_col).alias("_cv"),
+    ).withColumn("_cn", F.sqrt(dot_expr(F.col("_cv"), F.col("_cv"))))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -76,9 +80,10 @@ def topk_cosine(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), round_digits).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot_expr(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+                round_digits,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -123,21 +128,22 @@ def topk_cosine_lsh(
         F.col(id_col).alias("query_id"),
         as_double(vec_col).alias("_qv"),
         lsh_bucket_expr(vec_col, planes).alias("bucket"),
-    )
+    ).withColumn("_qn", F.sqrt(dot_expr(F.col("_qv"), F.col("_qv"))))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(vec_col).alias("_cv"),
         lsh_bucket_expr(vec_col, planes).alias("bucket"),
-    )
+    ).withColumn("_cn", F.sqrt(dot_expr(F.col("_cv"), F.col("_cv"))))
     scored = (
         q.join(c, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), round_digits).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot_expr(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+                round_digits,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -165,17 +171,20 @@ def cosine_pairs_blocked(
     """
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(block_col).alias("_blk"), as_double(vec_col).alias("_va")
-    )
+    ).withColumn("_na", F.sqrt(dot_expr(F.col("_va"), F.col("_va"))))
     b = df.select(
         F.col(id_col).alias("id_b"), F.col(block_col).alias("_blk"), as_double(vec_col).alias("_vb")
-    )
+    ).withColumn("_nb", F.sqrt(dot_expr(F.col("_vb"), F.col("_vb"))))
     return (
         a.join(b, "_blk")
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_expr(F.col("_va"), F.col("_vb")), round_digits).alias("cos_sim"),
+            F.round(
+                dot_expr(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                round_digits,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -254,6 +263,69 @@ def topk_cosine_ivf(
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def topk_cosine_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Brute-force top-k via per-partition NumPy GEMM — the scale path.
+
+    The JVM higher-order-function dot product evaluates interpreted
+    per-element; at millions of (query x corpus) pairs a vectorized
+    matrix multiply is ~25x faster (measured in tools/scalecheck.py).
+    The query matrix broadcasts once per executor; each Arrow batch of
+    the corpus does ONE (batch x dim) @ (dim x n_queries) multiply and
+    emits only its per-batch top-k rows, so the shuffle to the final
+    global top-k carries n_batches * n_queries * k rows, never the full
+    pair matrix.  Exclusion of self-matches happens on the id column.
+    """
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    qpd = queries.select(
+        F.col(id_col).alias("qid"), as_double(vec_col).alias("qv")
+    ).toPandas()
+    q_ids = qpd["qid"].to_numpy()
+    q_mat = np.stack(qpd["qv"].to_numpy()).astype(np.float64)
+    q_norm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+    kk = k
+
+    def score(batches):
+        q_ids_, q_mat_, q_norm_ = bc.value
+        for pdf in batches:
+            c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c_ids = pdf[id_col].to_numpy()
+            c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat))
+            sims = (c_mat @ q_mat_.T) / (c_norm[:, None] * q_norm_[None, :])
+            sims[c_ids[:, None] == q_ids_[None, :]] = -np.inf  # self-match
+            top = min(kk, sims.shape[0])
+            idx = np.argpartition(-sims, top - 1, axis=0)[:top]  # per-query partial top-k
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids_, top),
+                    "neighbor_id": c_ids[idx].T.ravel(),
+                    "cos_sim": np.round(np.take_along_axis(sims, idx, axis=0).T.ravel(), 6),
+                }
+            )
+            yield out[np.isfinite(out["cos_sim"])]
+
+    partial = corpus.select(id_col, as_double(vec_col).alias(vec_col)).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )

@@ -1,0 +1,122 @@
+"""Scale smoke: run the heavy operators on inflated copies of the sf0.1
+tables to observe scaling behavior beyond the bench scale.
+
+Inflation replicates each row R times with shifted ids (and a per-replica
+suffix word on documents so replicas are *near*-duplicates, exercising
+the fuzzy-dedup path rather than trivial exact collapse).  Nothing is
+written to disk; results print as one JSON line per scenario.
+
+Usage: python tools/scalecheck.py [--sf /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+
+def inflate(df, times: int, id_col: str, id_stride: int, text_col: str | None = None):
+    from pyspark.sql import functions as F
+
+    rep = df.crossJoin(
+        F.broadcast(
+            df.sparkSession.range(times).select(F.col("id").alias("_rep"))
+        )
+    ).withColumn(id_col, F.col(id_col) + F.col("_rep") * id_stride)
+    if text_col is not None:
+        rep = rep.withColumn(
+            text_col, F.concat_ws(" ", F.col(text_col), F.concat(F.lit("rep"), F.col("_rep")))
+        )
+    return rep.drop("_rep")
+
+
+def timed(label, fn):
+    t0 = time.time()
+    n = fn()
+    dt = round(time.time() - t0, 2)
+    print(json.dumps({"scenario": label, "rows_out": n, "sec": dt}))
+    return dt
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from lightfusion_spark.functions.argmax import argmax
+    from lightfusion_spark.functions.inference import make_lightgbm_udf
+    from lightfusion_spark.operators import dedup, similarity, skew
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("lightfusion-scalecheck")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    docs = spark.read.parquet(f"{args.sf}/documents.parquet")
+    emb = spark.read.parquet(f"{args.sf}/embeddings.parquet")
+    events = spark.read.parquet(f"{args.sf}/events.parquet")
+    n_docs, n_emb, n_ev = docs.count(), emb.count(), events.count()
+
+    docs10 = inflate(docs, 10, "doc_id", 1_000_000, "text")          # 50k near-dup docs
+    emb100 = inflate(emb, 100, "vec_id", 1_000_000)                  # 200k vectors
+    ev20 = inflate(events, 20, "event_id", 100_000_000)              # 2M events
+
+    print(json.dumps({"base": {"docs": n_docs, "emb": n_emb, "events": n_ev}}))
+
+    timed(
+        f"minhash_dedup_{10 * n_docs}_docs",
+        lambda: dedup.minhash_near_duplicates(docs10, "doc_id", "text").count(),
+    )
+    timed(
+        f"simhash_fingerprints_{10 * n_docs}_docs",
+        lambda: dedup.simhash(docs10, "doc_id", "text").count(),
+    )
+
+    q = emb.select("vec_id", "embedding").limit(50)
+    timed(
+        f"topk_cosine_50q_x_{100 * n_emb}_corpus",
+        lambda: similarity.topk_cosine(emb100, q, "vec_id", "embedding", k=5).count(),
+    )
+    planes = similarity.random_hyperplanes(8, 64)
+    timed(
+        f"topk_lsh_8planes_50q_x_{100 * n_emb}_corpus",
+        lambda: similarity.topk_cosine_lsh(emb100, q, planes, "vec_id", "embedding", k=5).count(),
+    )
+
+    model = os.path.join(REPO_ROOT, "models", "embed_cls.lgbm")
+    for bs in (1, 64, 4096):
+        udf = make_lightgbm_udf(model, batch_size=bs, spark=spark)
+        timed(
+            f"inference_{100 * n_emb}_rows_batch{bs}",
+            lambda: emb100.select(
+                argmax(udf(F.col("embedding").cast("array<double>"))).alias("p")
+            ).groupBy("p").count().count(),
+        )
+
+    timed(
+        f"topk_gemm_50q_x_{100 * n_emb}_corpus",
+        lambda: similarity.topk_cosine_gemm(emb100, q, "vec_id", "embedding", k=5).count(),
+    )
+
+    timed(
+        f"salted_agg_{20 * n_ev}_events_5keys",
+        lambda: skew.salted_agg(ev20, ["event_type"], "event_id").count(),
+    )
+
+
+if __name__ == "__main__":
+    main()
