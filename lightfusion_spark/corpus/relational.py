@@ -1085,3 +1085,61 @@ def rel_scalar_conditional(spark, sf_dir):
         F.greatest(F.col("s_acctbal"), F.lit(0.0)).alias("floored"),
         F.when(F.col("s_acctbal") > 0, "credit").otherwise("debit").alias("side"),
     )
+
+
+@register(
+    "rel_part_stats",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           MIN(p_size) AS min_size, MAX(p_size) AS max_size
+    FROM part
+    WHERE p_type LIKE '%BRASS%' OR p_size >= 25
+    GROUP BY p_brand
+    """,
+    doc="part-dimension stats with a LIKE/disjunctive filter",
+)
+def rel_part_stats(spark, sf_dir):
+    p = table(spark, sf_dir, "part").where(
+        F.col("p_type").like("%BRASS%") | (F.col("p_size") >= 25)
+    )
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        davg("p_retailprice", "avg_price"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+@register(
+    "rel_join_part_supplier",
+    oracle=f"""
+    SELECT p_brand, n_name AS supplier_nation,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_retailprice > 950
+    GROUP BY p_brand, n_name
+    """,
+    doc="fact joined to part + supplier dims with a selective dim filter "
+    "(filter prunes the build side before broadcast)",
+)
+def rel_join_part_supplier(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_retailprice") > 950)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("p_brand", F.col("n_name").alias("supplier_nation"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

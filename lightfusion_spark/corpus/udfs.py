@@ -93,13 +93,13 @@ def grouped_map_centroid(spark, sf_dir):
              generate_subscripts(string_split_regex(text, '\s+'), 1) AS i
       FROM documents WHERE doc_id < 50)
     """,
-    doc="Python UDTF (table function) with LATERAL join — surface coverage; "
+    doc="Arrow-optimized Python UDTF with LATERAL join — surface coverage; "
     "at scale prefer explode/posexplode (JVM) for this shape",
 )
 def udtf_split_words(spark, sf_dir):
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos int, word string")
+    @udtf(returnType="pos int, word string", useArrow=True)
     class SplitWords:
         def eval(self, text: str):
             for i, w in enumerate(text.split()):

@@ -77,9 +77,9 @@ def test_multimodal_uses_arrow_map(spark, queries):
     assert "MapInPandas" in python_eval_nodes(plan)
 
 
-# Queries that intentionally use row-based Python (documented slow-path
-# surface coverage, not hot-path operators).
-ROW_PYTHON_ALLOWED = {"udtf_split_words"}
+# Queries that intentionally use row-based Python (none today — even the
+# UDTF runs Arrow-optimized; keep the escape hatch for future coverage).
+ROW_PYTHON_ALLOWED: set = set()
 
 
 def test_no_corpus_query_regresses_to_pathological_plans(spark, queries):
