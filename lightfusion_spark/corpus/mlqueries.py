@@ -41,7 +41,10 @@ def _node_sql(tree, i: int, feat_ref) -> str:
 
     def child_sql(c: int) -> str:
         if c < 0:  # negative child encodes leaf ~c
-            return repr(float(tree.leaf_value[-c - 1]))
+            # CAST: a bare numeric literal parses as DECIMAL in DuckDB and
+            # decimal leaf sums are exact, diverging from the scorer's
+            # float64 addition in the last ulp
+            return f"CAST({repr(float(tree.leaf_value[-c - 1]))} AS DOUBLE)"
         return _node_sql(tree, c, feat_ref)
 
     f = int(tree.split_feature[i])

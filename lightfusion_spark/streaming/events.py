@@ -127,3 +127,43 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + running decimal-exact value sum, emitted every
+    micro-batch.
+
+    This is the escape hatch for stateful logic the built-in windowed
+    aggregations can't express (custom eviction, per-key ML state,
+    cross-batch pattern detection).  State is per user_id — partitioned
+    by the grouping key, scaled horizontally like any keyed state; pair
+    with a watermark + ``GroupStateTimeout`` to bound it in production.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total_micros = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # exact integer accumulation (micro-units) — state must be
+            # deterministic across replays for exactly-once sinks
+            total_micros += int(round(pdf["value"].sum() * 1_000_000))
+        state.update((n, total_micros))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [total_micros / 1_000_000],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        stateStructType="n bigint, total_micros bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -125,3 +125,72 @@ def test_rewrite_converts_numeric_literals(xs):
 def test_rewrite_never_touches_quoted_text(s):
     quoted = "'" + s.replace("'", "") + "'"
     assert rewrite_array_literals(f"SELECT {quoted}") == f"SELECT {quoted}"
+
+
+@st.composite
+def random_model_and_rows(draw):
+    from lightfusion_spark.ml.fixture import TREE_TMPL, HEADER_TMPL
+    from lightfusion_spark.ml.lgbm_model import parse_model_str
+
+    num_class = draw(st.integers(2, 4))
+    n_features = draw(st.integers(2, 6))
+    n_iter = draw(st.integers(1, 2))
+    parts = [
+        HEADER_TMPL.format(
+            num_class=num_class,
+            max_feature_idx=n_features - 1,
+            feature_names=" ".join(f"Column_{i}" for i in range(n_features)),
+            feature_infos=" ".join("[-5:5]" for _ in range(n_features)),
+        )
+    ]
+    idx = 0
+    finite = st.floats(min_value=-4, max_value=4, allow_nan=False)
+    for _ in range(n_iter * num_class):
+        parts.append(
+            TREE_TMPL.format(
+                idx=idx,
+                f0=draw(st.integers(0, n_features - 1)),
+                f1=draw(st.integers(0, n_features - 1)),
+                t0=round(draw(finite), 3),
+                t1=round(draw(finite), 3),
+                l0=round(draw(finite), 3),
+                l1=round(draw(finite), 3),
+                l2=round(draw(finite), 3),
+            )
+        )
+        idx += 1
+    parts.append("end of trees\n")
+    model = parse_model_str("\n".join(parts))
+    n_rows = draw(st.integers(1, 5))
+    rows = np.array(
+        [[round(draw(finite), 3) for _ in range(n_features)] for _ in range(n_rows)],
+        dtype=np.float64,
+    )
+    return model, rows
+
+
+@given(random_model_and_rows())
+@settings(max_examples=25, deadline=None)
+def test_model_to_sql_compiler_matches_scorer(mr):
+    """The oracle generator (model compiled to SQL CASE trees) must agree
+    with the NumPy scorer on random models — executed through DuckDB."""
+    import duckdb
+
+    from lightfusion_spark.corpus.mlqueries import model_class_scores_sql
+
+    model, rows = mr
+    feat_ref = lambda f: f"f{f}"  # noqa: E731
+    score_exprs = model_class_scores_sql(model, feat_ref)
+    con = duckdb.connect()
+    expected = model.predict_raw(rows)
+    for r_idx, row in enumerate(rows):
+        # bind features and results as DOUBLE: bare numeric literals parse
+        # as DECIMAL in DuckDB (real oracles always mix with DOUBLE columns)
+        binds = ", ".join(
+            f"CAST({repr(float(v))} AS DOUBLE) AS f{i}" for i, v in enumerate(row)
+        )
+        sql = "SELECT " + ", ".join(
+            f"CAST({s} AS DOUBLE) AS s{c}" for c, s in enumerate(score_exprs)
+        ) + f" FROM (SELECT {binds})"
+        got = con.execute(sql).fetchone()
+        assert list(got) == expected[r_idx].tolist()

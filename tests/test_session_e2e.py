@@ -260,3 +260,19 @@ def test_set_returns_empty_like_reference(engine):
     assert out.count() == 0  # reference SET returns an empty batch
     assert engine.spark.conf.get("lightfusion.batch_size") == "3"
     engine.sql("SET lightfusion.batch_size = 1")
+
+
+def test_large_model_ships_via_broadcast(engine, fixture_model, monkeypatch):
+    """Models past the threshold ship as a SparkContext broadcast (one copy
+    per executor) instead of per-task closures."""
+    from lightfusion_spark.functions import inference
+
+    monkeypatch.setattr(inference, "BROADCAST_THRESHOLD_BYTES", 64)
+    udf = inference.make_lightgbm_udf(
+        MODEL_PATH, batch_size=16, spark=engine.spark
+    )
+    engine.spark.udf.register("fbig", udf)
+    row = _literal_row(seed=33)
+    lits = ", ".join(repr(float(x)) for x in row)
+    got = np.array(engine.sql(f"SELECT fbig([{lits}]) AS p").collect()[0]["p"])
+    np.testing.assert_allclose(got, fixture_model.predict(row.reshape(1, -1))[0], rtol=1e-12)

@@ -68,3 +68,40 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination()
     got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_stream").first()
     assert got["n"] == got["d"] > 0
+
+
+def test_stateful_user_counts(spark, batch_events, tmp_path):
+    """applyInPandasWithState: single availableNow batch -> running counts
+    equal the batch aggregation."""
+    from pyspark.sql import functions as F
+
+    stream = ev.read_events_stream(spark, SF_DIR)
+    counts = ev.stateful_user_counts(stream)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("user_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.sql(
+            "SELECT user_id, MAX(n_events) AS n_events, MAX(sum_value) AS sum_value "
+            "FROM user_counts GROUP BY user_id"
+        ).collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in batch_events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum("value") * 1_000_000).cast("bigint") / 1_000_000).alias("s"),
+        )
+        .collect()
+    }
+    assert len(got) > 0
+    mismatched = {u for u in expected if got.get(u, (None,))[0] != expected[u][0]}
+    assert not mismatched
