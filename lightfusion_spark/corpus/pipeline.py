@@ -77,12 +77,12 @@ cand AS (
   FROM sigs a JOIN sigs b
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 ),
-cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM base GROUP BY doc_id),
 inter AS (
   SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
   FROM cand c
-  JOIN sh sa ON sa.doc_id = c.id_a
-  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  JOIN base ba ON ba.doc_id = c.id_a
+  JOIN base bb ON bb.doc_id = c.id_b AND bb.h = ba.h
   GROUP BY c.id_a, c.id_b
 )
 SELECT i.id_a, i.id_b,

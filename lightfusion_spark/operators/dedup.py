@@ -92,24 +92,36 @@ def _hash_family_expr(base_col: Column, k: int) -> Column:
     return (base_col * F.lit(2 * k + 3) + F.lit(k * 1000003)) % F.lit(_MINHASH_MOD)
 
 
-def minhash_signatures(
-    shingles: DataFrame, id_col: str, n_hashes: int = 8
+def doc_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Wide minhash signature: (id, n_sh, m0..m{n-1}).
+    """(id, h): 56-bit hash per distinct shingle per doc.
+
+    Downstream stages (signatures AND exact-Jaccard verification) work
+    entirely on the 8-byte hash — the shingle strings never shuffle.
+    Jaccard over hashed shingles is the standard formulation (hashing is
+    what minhash assumes anyway); a 56-bit cross-doc collision perturbs
+    one intersection count with probability ~|shingles|²/2^57.
+    """
+    sh = doc_shingles(df, id_col, text_col, n)
+    return sh.select(F.col(id_col), _md5_long(F.col("shingle")).alias("h"))
+
+
+def minhash_signatures(
+    shingle_hashes: DataFrame, id_col: str, n_hashes: int = 8
+) -> DataFrame:
+    """Wide minhash signature: (id, n_sh, m0..m{n-1}) from (id, h).
 
     Single groupBy shuffle; the ``n_hashes`` mins partial-aggregate
     map-side, so the shuffle carries one narrow row per document.  The
     shingle-set cardinality ``n_sh`` rides along for free (the Jaccard
     verification needs it, and deriving it here saves a corpus re-scan).
     """
-    base = shingles.select(
-        F.col(id_col), _md5_long(F.col("shingle")).alias("_h")
-    )
     mins = [
-        F.min(_hash_family_expr(F.col("_h"), k)).alias(f"m{k}")
+        F.min(_hash_family_expr(F.col("h"), k)).alias(f"m{k}")
         for k in range(n_hashes)
     ]
-    return base.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"), *mins)
+    return shingle_hashes.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"), *mins)
 
 
 def lsh_candidate_pairs(
@@ -154,24 +166,26 @@ def jaccard_verified_pairs(
     id_col: str,
     threshold: float,
     counts: DataFrame | None = None,
+    shingle_col: str = "shingle",
 ) -> DataFrame:
-    """Exact word-shingle Jaccard for candidate pairs; keep >= threshold.
+    """Exact shingle-set Jaccard for candidate pairs; keep >= threshold.
 
     Joins only the candidate pairs against the shingle sets — the
     expensive exact check is confined to the LSH survivors.
     ``counts`` is an optional pre-computed (id, n_sh) relation (e.g. from
     :func:`minhash_signatures`); omitted, it is derived from ``shingles``.
-    Output: (id_a, id_b, jaccard).
+    ``shingle_col`` may be the hashed-shingle column, which keeps the
+    intersection shuffle at 8 bytes per key.  Output: (id_a, id_b, jaccard).
     """
     if counts is None:
         counts = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    sa = shingles.select(F.col(id_col).alias("id_a"), shingle_col)
+    sb = shingles.select(F.col(id_col).alias("id_b"), shingle_col)
     # the candidate set is tiny relative to the corpus; AQE turns these
     # joins into broadcast-hash joins at runtime without a manual hint
     inter = (
         candidates.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
+        .join(sb, ["id_b", shingle_col])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -204,17 +218,19 @@ def minhash_near_duplicates(
     """Full fuzzy-dedup pipeline: shingle -> minhash -> LSH bands ->
     exact-Jaccard verification.  Output (id_a, id_b, jaccard).
 
-    The shingle relation feeds both the signature pass and the
-    verification join.  Re-tokenizing per branch is cheap at test scale
-    (measured faster than a ``.cache()`` materialization barrier); at
-    100 TB write the shingle relation to a bucketed intermediate table
-    instead so neither branch re-reads the raw corpus.
+    The hashed-shingle relation feeds the signature pass and both sides
+    of the verification join; it is cached because it is narrow (id +
+    8-byte hash) and each consumer would otherwise re-tokenize + re-hash
+    the corpus (measured 16s/branch at 50k docs).  At 100 TB write it to
+    a bucketed intermediate table instead — same role, spillable, and
+    the verification joins co-locate on the bucket key.
     """
-    sh = doc_shingles(df, id_col, text_col, shingle_n)
-    sig = minhash_signatures(sh, id_col, n_hashes)
+    hashes = doc_shingle_hashes(df, id_col, text_col, shingle_n).cache()
+    sig = minhash_signatures(hashes, id_col, n_hashes)
     cand = lsh_candidate_pairs(sig, id_col, n_hashes, rows_per_band)
     return jaccard_verified_pairs(
-        sh, cand, id_col, threshold, counts=sig.select(id_col, "n_sh")
+        hashes, cand, id_col, threshold,
+        counts=sig.select(id_col, "n_sh"), shingle_col="h",
     )
 
 
