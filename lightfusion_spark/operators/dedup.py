@@ -267,22 +267,47 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
 
 
 def simhash_near_duplicates(
-    fingerprints: DataFrame, id_col: str, max_hamming: int = 3
+    fingerprints: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 16,
 ) -> DataFrame:
-    """Pairs of fingerprints within ``max_hamming`` bits.
+    """Pairs of fingerprints within ``max_hamming`` bits — EXACT, without
+    the O(n²) self-join.
 
-    Bounded self-join (fine at test scale); at 100 TB block on fingerprint
-    prefixes (split the fingerprint into max_hamming+1 chunks — any pair
-    within the radius shares at least one exact chunk, pigeonhole).
+    Pigeonhole blocking: split the fingerprint into ``max_hamming + 1``
+    chunks; any pair within the radius agrees on at least one whole
+    chunk, so candidates are the union of equi-joins on (chunk index,
+    chunk value) — plain hash-partitioned joins.  Selectivity grows with
+    chunk width: at 16 bits the 4-bit chunks are coarse (fine for tests
+    and for oracle compactness); production SimHash uses 60+ bits, where
+    15-bit chunks cut candidates by ~32k x (see tools/scalecheck.py).
     Output (id_a, id_b, hamming).
     """
-    a = fingerprints.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = fingerprints.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    chunk_structs = []
+    for c in range(n_chunks):
+        lo = c * chunk_bits
+        width = bits - lo if c == n_chunks - 1 else chunk_bits
+        val = F.shiftright(F.col("simhash"), lo).bitwiseAND((1 << width) - 1)
+        chunk_structs.append(F.struct(F.lit(c).alias("c"), val.alias("v")))
+    chunked = fingerprints.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*chunk_structs)).alias("ch")
+    ).select(id_col, "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    a = chunked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "c", "v"
+    )
+    b = chunked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "c", "v"
+    )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, ["c", "v"])
+        .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
