@@ -1143,3 +1143,28 @@ def rel_join_part_supplier(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "rel_scalar_struct_map",
+    oracle="""
+    SELECT n_nationkey,
+           {'name': n_name, 'region': n_regionkey}.name AS s_name,
+           {'name': n_name, 'region': n_regionkey}.region AS s_region,
+           (map {'key': n_name}['key'])[1] AS m_val,
+           CAST(cardinality(map {'a': 1, 'b': 2}) AS INTEGER) AS m_size
+    FROM nation
+    """,
+    doc="struct construction + field access, map literal + element lookup",
+)
+def rel_scalar_struct_map(spark, sf_dir):
+    n = table(spark, sf_dir, "nation")
+    s = F.struct(F.col("n_name").alias("name"), F.col("n_regionkey").alias("region"))
+    m = F.create_map(F.lit("key"), F.col("n_name"))
+    return n.select(
+        "n_nationkey",
+        s.getField("name").alias("s_name"),
+        s.getField("region").alias("s_region"),
+        F.element_at(m, "key").alias("m_val"),
+        F.size(F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2))).alias("m_size"),
+    )

@@ -66,7 +66,9 @@ def join_nodes(plan: str) -> list[str]:
 
 
 def codegen_stage_count(plan: str) -> int:
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)))
+    """Distinct whole-stage-codegen units (formatted mode annotates nodes
+    with ``[codegen id : N]``)."""
+    return len(set(re.findall(r"codegen id : (\d+)", plan)))
 
 
 def audit_report(df: DataFrame) -> dict:

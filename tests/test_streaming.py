@@ -105,3 +105,28 @@ def test_stateful_user_counts(spark, batch_events, tmp_path):
     assert len(got) > 0
     mismatched = {u for u in expected if got.get(u, (None,))[0] != expected[u][0]}
     assert not mismatched
+
+
+def test_foreach_batch_parquet_sink(spark, batch_events, tmp_path):
+    """foreachBatch: checkpointed batch-id-addressed writes — the pattern
+    for exactly-once delivery to non-idempotent sinks."""
+    out_dir = str(tmp_path / "sink")
+    stream = ev.read_events_stream(spark, SF_DIR)
+    stats = ev.windowed_event_stats(stream)
+
+    def write_batch(batch_df, batch_id: int):
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = (
+        stats.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt5"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out_dir)
+    expected = ev.windowed_event_stats(batch_events)
+    assert back.drop("batch").count() == expected.count()
+    got_total = back.agg({"n_events": "sum"}).first()[0]
+    assert got_total == batch_events.count()

@@ -89,6 +89,7 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--cpus", default="8", help="parallelism + shuffle partitions")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -97,9 +98,9 @@ def main() -> int:
     import __spark_entry__ as e
 
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{args.cpus}]")
         .appName("parity")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", args.cpus)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
