@@ -18,9 +18,19 @@ DEC = "decimal(28,6)"
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One driver table as a DataFrame (column-pruned parquet scan)."""
-    # events.ts is parquet TIMESTAMP(NANOS); Spark rejects it by default.
-    # Read nanos as BIGINT (queries convert explicitly when needed).
+    """One driver table as a DataFrame (column-pruned parquet scan).
+
+    Session confs applied on every load (the driver's session config is
+    not ours to choose):
+
+    * UTC session time — timestamp literals, day-window alignment and
+      ``date_format`` outputs must match DuckDB's naive timestamps
+      regardless of the host timezone;
+    * ``nanosAsLong`` — events.ts is parquet TIMESTAMP(NANOS), which
+      Spark otherwise rejects (queries convert explicitly via
+      ``timestamp_micros(ts div 1000)``).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -1,0 +1,74 @@
+"""asof_join unit tests: randomized comparison against pandas
+``merge_asof`` (an independent reference implementation), plus edge
+cases the events-table oracle can't isolate."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lightfusion_spark.operators.asof import asof_join
+
+
+def _reference_asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    return pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort"),
+        on="ts",
+        by="k",
+        direction="backward",
+        suffixes=("", "_r"),
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 7, 42])
+def test_asof_matches_pandas_merge_asof(spark, seed):
+    rng = np.random.RandomState(seed)
+    n_l, n_r, n_k = 200, 150, 8
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(n_l),
+            "k": rng.randint(0, n_k, n_l),
+            "ts": rng.randint(0, 10_000, n_l).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, n_k, n_r),
+            "ts": rng.randint(0, 10_000, n_r).astype(np.int64),
+            "v": rng.randn(n_r).round(6),
+        }
+    )
+    # merge_asof breaks right-side ties arbitrarily; keep one right row
+    # per (k, ts) so the expected value is well-defined
+    right = right.drop_duplicates(["k", "ts"], keep="last")
+
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    got = (
+        asof_join(ldf, rdf, "k", "ts", ["v"])
+        .select("lid", "v_asof", "ts_asof")
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    expected = _reference_asof(left, right).sort_values("lid").reset_index(drop=True)
+    assert got["v_asof"].round(6).where(got["v_asof"].notna()).equals(
+        expected["v"].round(6).where(expected["v"].notna())
+    )
+
+
+def test_asof_no_prior_row_is_null(spark):
+    left = spark.createDataFrame([(1, 1, 100), (2, 1, 5)], "lid int, k int, ts long")
+    right = spark.createDataFrame([(1, 50, 9.5)], "k int, ts long, v double")
+    rows = {r["lid"]: (r["v_asof"], r["ts_asof"]) for r in asof_join(
+        left, right, "k", "ts", ["v"]
+    ).collect()}
+    assert rows[1] == (9.5, 50)
+    assert rows[2] == (None, None)
+
+
+def test_asof_inclusive_on_equal_ts(spark):
+    left = spark.createDataFrame([(1, 1, 50)], "lid int, k int, ts long")
+    right = spark.createDataFrame([(1, 50, 3.0)], "k int, ts long, v double")
+    (row,) = asof_join(left, right, "k", "ts", ["v"]).collect()
+    assert row["v_asof"] == 3.0  # right ts == left ts matches
