@@ -473,3 +473,33 @@ def pipe_sim_topk_gemm(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 20)
     return similarity.topk_cosine_gemm(e, q, "vec_id", "embedding", k=5)
+
+
+@register(
+    "pipe_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (SELECT src, LEAST(src, MIN(dst)) AS comp FROM reach GROUP BY src)
+    SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON c.src = d.doc_id
+    """,
+    doc="duplicate clustering: connected components (min-label propagation) "
+    "over the minhash near-dup pair graph; every doc gets a canonical "
+    "cluster id (oracle: recursive-CTE transitive closure)",
+)
+def pipe_dedup_components(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        d, "doc_id", "text", n_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5
+    )
+    return dedup.connected_components(pairs, d, "doc_id")

@@ -370,3 +370,58 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str,
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a pair
+    graph via min-label propagation.  Output (id_col, component) for
+    EVERY vertex — singletons keep their own id; the component id is the
+    minimum member id (a deterministic canonical representative).
+
+    Each iteration is one join + one aggregation; labels converge in
+    O(graph diameter) rounds (near-dup families are shallow, so
+    typically 2-4).  The driver-side loop is the standard shape for
+    iterative graph algorithms on Spark (GraphFrames does the same);
+    ``localCheckpoint`` truncates the lineage each round so plans don't
+    grow superlinearly.  At extreme scale swap the propagation for the
+    large-star/small-star alternation — same join primitives, provably
+    O(log n) rounds.
+    """
+    a, b = pair_cols
+    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = fwd.union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+    comp = vertices.select(
+        F.col(id_col).alias("vid"), F.col(id_col).alias("comp")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nmin = (
+            edges.join(comp, edges.dst == comp.vid)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_comp = (
+            comp.join(nmin, comp.vid == nmin.src, "left")
+            .select(
+                comp.vid.alias("vid"),
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), F.col("n.vid") == F.col("o.vid"))
+            .where(F.col("n.comp") < F.col("o.comp"))
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    return comp.select(F.col("vid").alias(id_col), F.col("comp").alias("component"))
