@@ -1168,3 +1168,44 @@ def rel_scalar_struct_map(spark, sf_dir):
         F.element_at(m, "key").alias("m_val"),
         F.size(F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2))).alias("m_size"),
     )
+
+
+@register(
+    "rel_not_in_subquery",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+    """,
+    doc="NOT IN subquery (null-safe anti-join semantics; subquery is non-null "
+    "here, the case where NOT IN is well-defined)",
+)
+def rel_not_in_subquery(spark, sf_dir):
+    for t in ("supplier", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        """
+    )
+
+
+@register(
+    "rel_union_all",
+    oracle="""
+    SELECT n_nationkey AS k, 'nation' AS src FROM nation
+    UNION ALL
+    SELECT r_regionkey, 'region' FROM region
+    UNION ALL
+    SELECT r_regionkey, 'region' FROM region
+    """,
+    doc="UNION ALL multiset semantics (duplicates preserved)",
+)
+def rel_union_all(spark, sf_dir):
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"), F.lit("nation").alias("src")
+    )
+    r = table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k"), F.lit("region").alias("src")
+    )
+    return n.union(r).union(r)

