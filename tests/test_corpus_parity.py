@@ -31,9 +31,13 @@ SUBSET = [
     "lgbm_tsv_flagship",
     "pipe_dedup_exact",
     "pipe_dedup_minhash",
+    "pipe_dedup_components",
     "pipe_sim_topk",
+    "pipe_sim_topk_gemm",
     "pipe_text_stats",
     "pipe_multimodal_decode",
+    "events_asof_join",
+    "rel_join_full_outer",
 ]
 
 
