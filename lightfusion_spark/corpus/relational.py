@@ -665,8 +665,11 @@ def rel_scalar_math(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
         F.abs(F.col("l_discount") - 0.05).alias("abs_v"),
-        F.ceil(F.col("l_quantity") / 7).alias("ceil_v"),
-        F.floor(F.col("l_extendedprice") / 1000).alias("floor_v"),
+        # Spark's ceil/floor return BIGINT while DuckDB's return DOUBLE; the
+        # driver hashes 8 and 8.0 differently (CORRECTNESS_r02 red row), so
+        # cast to double — the values are integral and exactly representable.
+        F.ceil(F.col("l_quantity") / 7).cast("double").alias("ceil_v"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("double").alias("floor_v"),
         F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_v"),
         F.round(F.log("l_extendedprice"), 6).alias("ln_v"),
         (F.col("l_quantity").cast("bigint") % 5).alias("mod_v"),

@@ -41,26 +41,40 @@ def asof_join(
     NULL when no right row precedes.  Matching is inclusive (right ts ==
     left ts matches), implemented by sorting right rows before left rows
     at equal timestamps.
+
+    All carried fields come from ONE right row: they travel as a single
+    struct filled with one ``last(ignorenulls=True)`` pass.  (Filling each
+    column independently would let a NULL in one right value column mix an
+    older row's value with a newer row's timestamp — diverging from
+    ``merge_asof`` / DuckDB ASOF JOIN, where the whole match is one row.)
     """
-    carried = [f"{v}{suffix}" for v in value_cols] + [f"{ts_col}{suffix}"]
     l_tagged = left.withColumn("_side", F.lit(1))
     r_tagged = right.select(
         F.col(key_col),
         F.col(ts_col),
-        *[F.col(v).alias(f"{v}{suffix}") for v in value_cols],
-        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        F.struct(
+            F.col(ts_col).alias(f"{ts_col}{suffix}"),
+            *[F.col(v).alias(f"{v}{suffix}") for v in value_cols],
+        ).alias("_asof_row"),
         F.lit(0).alias("_side"),
     )
     merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     # right rows (side 0) sort before left rows at the same timestamp =>
-    # inclusive as-of semantics
+    # inclusive as-of semantics; left rows carry a NULL struct, which
+    # last(ignorenulls) skips.
     w = (
         Window.partitionBy(key_col)
         .orderBy(ts_col, "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = merged.select(
-        *[c for c in merged.columns if c not in carried],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+    filled = merged.withColumn(
+        "_asof_row", F.last("_asof_row", ignorenulls=True).over(w)
     )
-    return filled.where(F.col("_side") == 1).drop("_side")
+    return filled.where(F.col("_side") == 1).select(
+        *left.columns,
+        F.col(f"_asof_row.{ts_col}{suffix}").alias(f"{ts_col}{suffix}"),
+        *[
+            F.col(f"_asof_row.{v}{suffix}").alias(f"{v}{suffix}")
+            for v in value_cols
+        ],
+    )

@@ -67,6 +67,19 @@ def test_asof_no_prior_row_is_null(spark):
     assert rows[2] == (None, None)
 
 
+def test_asof_null_value_does_not_mix_rows(spark):
+    # The newest matching right row has v=NULL; all _asof fields must come
+    # from THAT row (merge_asof semantics), not mix the older row's value
+    # with the newer row's timestamp.
+    left = spark.createDataFrame([(1, 1, 30)], "lid int, k int, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, None)], "k int, ts long, v double"
+    )
+    (row,) = asof_join(left, right, "k", "ts", ["v"]).collect()
+    assert row["ts_asof"] == 20
+    assert row["v_asof"] is None
+
+
 def test_asof_inclusive_on_equal_ts(spark):
     left = spark.createDataFrame([(1, 1, 50)], "lid int, k int, ts long")
     right = spark.createDataFrame([(1, 50, 3.0)], "k int, ts long, v double")

@@ -55,6 +55,18 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     s, d = normalize(spark_df), normalize(duck_df)
     for col in s.columns:
         sv, dv = s[col].to_numpy(), d[col].to_numpy()
+        sk, dk = np.asarray(sv).dtype.kind, np.asarray(dv).dtype.kind
+        # The driver hashes values type-sensitively: an int64 8 and a float64
+        # 8.0 hash differently.  Coercing both sides to float (below) would
+        # mask that skew — exactly how rel_scalar_math's BIGINT-vs-DOUBLE
+        # ceil/floor passed here while failing the driver.  Fail fast when one
+        # side is a float kind and the other a bool/int/uint kind.
+        if sk != dk and "f" in (sk, dk) and {sk, dk} <= set("biuf"):
+            problems.append(
+                f"col {col}: dtype kind mismatch spark={np.asarray(sv).dtype} "
+                f"duck={np.asarray(dv).dtype} — driver hashes these differently"
+            )
+            continue
         if np.issubdtype(np.asarray(sv).dtype, np.floating) or np.issubdtype(
             np.asarray(dv).dtype, np.floating
         ):
