@@ -108,8 +108,18 @@ def pipe_dedup_minhash(spark, sf_dir):
 
 
 def _simhash_oracle(bits: int = 16) -> str:
+    # Mirrors operators.dedup.simhash: bit j comes from seeded hash j // 48
+    # (seed 0 = unseeded md5, seeds k>0 prefix the word with "k:").
+    lane = 48
+    n_lanes = (bits + lane - 1) // lane
+    hashes = ",\n         ".join(
+        "CAST('0x' || substr(md5("
+        + ("w" if k == 0 else f"'{k}:' || w")
+        + f"), 1, 14) AS BIGINT) AS h{k}"
+        for k in range(n_lanes)
+    )
     votes = ",\n         ".join(
-        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        f"SUM(CASE WHEN (h{j // lane} >> {j % lane}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
         for j in range(bits)
     )
     fp = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
@@ -120,7 +130,9 @@ WITH words AS (
     FROM documents)
 ),
 hashed AS (
-  SELECT doc_id, CAST('0x' || substr(md5(w), 1, 14) AS BIGINT) AS h FROM words
+  SELECT doc_id,
+         {hashes}
+  FROM words
 ),
 votes AS (
   SELECT doc_id,
@@ -156,7 +168,28 @@ def pipe_dedup_simhash(spark, sf_dir):
 def pipe_simhash_pairs(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     fp = dedup.simhash(d, "doc_id", "text", bits=16)
-    pairs = dedup.simhash_near_duplicates(fp, "doc_id", max_hamming=3)
+    pairs = dedup.simhash_near_duplicates(fp, "doc_id", max_hamming=3, bits=16)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@register(
+    "pipe_simhash_wide",
+    oracle=f"""
+    WITH fp AS ({_simhash_oracle(dedup.SIMHASH_BITS)})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+    doc="production-width (60-bit) SimHash near-dup pairs, Hamming <= 6; "
+    "pigeonhole blocking on 8-bit-plus chunks — each equi-join key matches "
+    "~1/256 of the corpus at radius 6, ~1/32768 at the default radius 3 "
+    "(64-bit is unusable cross-engine: DuckDB BIGINT shifts overflow at bit 63)",
+)
+def pipe_simhash_wide(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    fp = dedup.simhash(d, "doc_id", "text")  # operator default: 60-bit
+    pairs = dedup.simhash_near_duplicates(fp, "doc_id", max_hamming=6)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 

@@ -60,6 +60,7 @@ PRIORITY: list[str] = [
     "pipe_dedup_minhash",
     "pipe_dedup_simhash",
     "pipe_simhash_pairs",
+    "pipe_simhash_wide",
     "pipe_dedup_ngram",
     "pipe_neardup_embedding",
     "pipe_dedup_components",

@@ -238,23 +238,55 @@ def minhash_near_duplicates(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+#: Bits drawn from each seeded word hash (_md5_long yields 56; 48 leaves
+#: headroom and divides evenly into seeds).
+_SIMHASH_LANE_BITS = 48
+
+#: Widest cross-engine-safe fingerprint: DuckDB BIGINT shifts overflow at
+#: bit 63 (no wraparound), so the sign bit is unusable; 60 bits keeps both
+#: engines in plain signed-BIGINT arithmetic and still gives 15-bit chunks
+#: at max_hamming=3 — each pigeonhole equi-join key matches ~1/32768 of the
+#: corpus (vs ~1/16 at the old 16-bit default).
+SIMHASH_BITS = 60
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
     """Per-doc SimHash fingerprint over distinct lowercased words.
 
     Bit j of the fingerprint is 1 iff the sum over words of
     ``(bit_j(hash(word)) ? +1 : -1)`` is positive.  One explode + one
     groupBy shuffle; the ``bits`` conditional sums are a single
-    projection evaluated map-side.
+    projection evaluated map-side.  Fingerprints wider than one hash's
+    48 usable bits draw bit j from seeded hash ``j // 48`` (seed 0 is
+    the unseeded hash, so narrow fingerprints stay byte-compatible with
+    round-2 oracles); max supported width is 60 (see SIMHASH_BITS).
     """
+    if bits > SIMHASH_BITS:
+        raise ValueError(
+            f"bits={bits} > {SIMHASH_BITS}: DuckDB BIGINT shifts overflow at "
+            "bit 63, so wider fingerprints lose cross-engine reproducibility"
+        )
+    n_lanes = (bits + _SIMHASH_LANE_BITS - 1) // _SIMHASH_LANE_BITS
     words = df.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
         ).alias("w"),
-    ).withColumn("h", _md5_long(F.col("w")))
+    )
+    for k in range(n_lanes):
+        words = words.withColumn(
+            f"h{k}", _md5_long(F.col("w"), seed=k if k else None)
+        )
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col(f"h{j // _SIMHASH_LANE_BITS}"), j % _SIMHASH_LANE_BITS)
+                .bitwiseAND(1)
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"v{j}")
         for j in range(bits)
     ]
@@ -270,7 +302,7 @@ def simhash_near_duplicates(
     fingerprints: DataFrame,
     id_col: str,
     max_hamming: int = 3,
-    bits: int = 16,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Pairs of fingerprints within ``max_hamming`` bits — EXACT, without
     the O(n²) self-join.
@@ -279,9 +311,10 @@ def simhash_near_duplicates(
     chunks; any pair within the radius agrees on at least one whole
     chunk, so candidates are the union of equi-joins on (chunk index,
     chunk value) — plain hash-partitioned joins.  Selectivity grows with
-    chunk width: at 16 bits the 4-bit chunks are coarse (fine for tests
-    and for oracle compactness); production SimHash uses 60+ bits, where
-    15-bit chunks cut candidates by ~32k x (see tools/scalecheck.py).
+    chunk width: the default 60-bit fingerprints give 15-bit chunks, so
+    each equi-join key matches ~1/32768 of the corpus (see
+    tools/scalecheck.py for measured candidate volumes); 16-bit/4-bit
+    remains available as a compact test-scale parameter.
     Output (id_a, id_b, hamming).
     """
     n_chunks = max_hamming + 1

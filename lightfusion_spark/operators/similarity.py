@@ -275,6 +275,7 @@ def topk_cosine_gemm(
     vec_col: str = "embedding",
     k: int = 5,
     round_digits: int = 6,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Brute-force top-k via per-partition NumPy GEMM — the scale path.
 
@@ -286,13 +287,27 @@ def topk_cosine_gemm(
     emits only its per-batch top-k rows, so the shuffle to the final
     global top-k carries n_batches * n_queries * k rows, never the full
     pair matrix.  Exclusion of self-matches happens on the id column.
+
+    The query side is collected to the driver and broadcast, so it must
+    be small; ``max_query_rows`` (default 100k ~ a few hundred MB at
+    dim 1k) guards the driver against OOM — for larger query sets use
+    the LSH/IVF variants, which keep both sides distributed.
     """
     import pandas as pd
 
     spark = corpus.sparkSession
-    qpd = queries.select(
-        F.col(id_col).alias("qid"), as_double(vec_col).alias("qv")
-    ).toPandas()
+    qpd = (
+        queries.select(F.col(id_col).alias("qid"), as_double(vec_col).alias("qv"))
+        .limit(max_query_rows + 1)
+        .toPandas()
+    )
+    if len(qpd) > max_query_rows:
+        raise ValueError(
+            f"topk_cosine_gemm collects the query side to the driver; got more "
+            f"than max_query_rows={max_query_rows} query rows. Use "
+            "topk_cosine_lsh/topk_cosine_ivf for large query sets, or raise "
+            "max_query_rows explicitly if the driver has the memory."
+        )
     q_ids = qpd["qid"].to_numpy()
     q_mat = np.stack(qpd["qv"].to_numpy()).astype(np.float64)
     q_norm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))

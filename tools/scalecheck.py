@@ -85,14 +85,20 @@ def main() -> None:
         f"simhash_fingerprints_{10 * n_docs}_docs",
         lambda: dedup.simhash(docs10, "doc_id", "text").count(),
     )
-    # fingerprints cached: both chunk sides of the blocked join reuse them
-    fp60 = dedup.simhash(docs10, "doc_id", "text", bits=60).cache()
-    fp60.count()
-    timed(
-        f"simhash60_blocked_pairs_{10 * n_docs}_docs",
-        lambda: dedup.simhash_near_duplicates(fp60, "doc_id", max_hamming=3, bits=60).count(),
-    )
-    fp60.unpersist()
+    # fingerprints cached: both chunk sides of the blocked join reuse them.
+    # 16-bit vs 60-bit at the same radius measures the pigeonhole
+    # candidate-volume reduction (4-bit chunks match ~1/16 of the corpus,
+    # 15-bit chunks ~1/32768) — the reason 60-bit is the operator default.
+    for bits in (16, 60):
+        fp = dedup.simhash(docs10, "doc_id", "text", bits=bits).cache()
+        fp.count()
+        timed(
+            f"simhash{bits}_blocked_pairs_{10 * n_docs}_docs",
+            lambda fp=fp, bits=bits: dedup.simhash_near_duplicates(
+                fp, "doc_id", max_hamming=3, bits=bits
+            ).count(),
+        )
+        fp.unpersist()
 
     q = emb.select("vec_id", "embedding").limit(50)
     timed(
