@@ -31,8 +31,10 @@ BENCH_QUERIES = [
     "lgbm_infer_embeddings",
     "lgbm_tsv_flagship",
     "pipe_dedup_minhash",
+    "pipe_simhash_wide",
     "pipe_sim_topk",
     "pipe_sim_ivf",
+    "pipe_sim_ivf_kmeans",
     "events_asof_join",
     "pipe_text_stats",
 ]
@@ -92,11 +94,21 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Best-of-N per query: the host VM shows occasional multi-x slowdowns
+    # (measured in docs/SCALE.md), so a single sample makes round-over-round
+    # deltas meaningless.  Record the min (the least-noise estimate of true
+    # cost) plus the per-query spread so readers can judge noise.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        timings[name] = round(min(samples), 3)
+        spread[name] = round(max(samples) - min(samples), 3)
 
     print(
         json.dumps(
@@ -105,6 +117,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs_per_query": n_runs,
                 "sf": sf,
             }
         )

@@ -322,6 +322,66 @@ def pipe_sim_ann_lsh(spark, sf_dir):
     return similarity.topk_cosine_lsh(e, q, _ANN_PLANES, "vec_id", "embedding", k=3)
 
 
+def _multiprobe_oracle(planes, k: int = 3) -> str:
+    """Replay of similarity.topk_cosine_lsh_multiprobe at n_probes=2: the
+    second probe flips the query's lowest-|projection| bit (ties -> lowest
+    plane index, same as the Spark array_sort(struct(m, p)) ordering)."""
+    dp_cols = []
+    for p, plane in enumerate(planes):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        dp_cols.append(f"list_inner_product(v, [{lits}]) AS dp{p}")
+    n = len(planes)
+    bucket = " + ".join(
+        f"(CASE WHEN dp{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(n)
+    )
+    minm = "LEAST(" + ", ".join(f"abs(dp{p})" for p in range(n)) + ")"
+    flip = (
+        "CASE "
+        + " ".join(f"WHEN abs(dp{p}) = minm THEN {1 << p}" for p in range(n - 1))
+        + f" ELSE {1 << (n - 1)} END"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (SELECT vec_id, v, {', '.join(dp_cols)} FROM e),
+    b AS (SELECT vec_id, v, {bucket} AS bucket,
+                 {', '.join(f'dp{p}' for p in range(n))} FROM d),
+    q0 AS (SELECT *, {minm} AS minm FROM b WHERE vec_id < 20),
+    qp AS (
+      SELECT vec_id, v, bucket AS probe FROM q0
+      UNION ALL
+      SELECT vec_id, v, xor(bucket, {flip}) AS probe FROM q0
+    ),
+    scored AS (
+      SELECT qp.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_inner_product(qp.v, c.v)
+                   / (sqrt(list_inner_product(qp.v, qp.v))
+                      * sqrt(list_inner_product(c.v, c.v))), 6) AS cos_sim
+      FROM qp JOIN b c ON qp.probe = c.bucket AND qp.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored) t
+    WHERE rn <= {k}
+    """
+
+
+@register(
+    "pipe_sim_lsh_multiprobe",
+    oracle=_multiprobe_oracle(_ANN_PLANES),
+    doc="multi-probe sign-LSH top-3 (4 hyperplanes, n_probes=2): each query "
+    "also searches the bucket across its lowest-margin plane — the recall "
+    "knob for LSH without any cross product; only the small query side "
+    "explodes n_probes ways",
+)
+def pipe_sim_lsh_multiprobe(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return similarity.topk_cosine_lsh_multiprobe(
+        e, q, _ANN_PLANES, "vec_id", "embedding", k=3, n_probes=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -477,6 +537,80 @@ def pipe_sim_ivf(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 20)
     return similarity.topk_cosine_ivf(e, q, "vec_id", "embedding", n_centroids=16, k=3)
+
+
+def _kmeans_ivf_oracle(n_centroids: int, n_iters: int, dim: int, k: int) -> str:
+    """Replay of similarity.kmeans_centroids + _ivf_search in DuckDB.
+
+    Each Lloyd iteration is an assignment CTE (row_number over rounded
+    cosine, centroid-id tiebreak) and a centroid-update CTE (per-position
+    decimal mean, exactly the Spark plan's DECIMAL(28,9) arithmetic, so
+    centroids match bit-for-bit).
+    """
+    assign = """
+a{i} AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_inner_product(e.v, c.cent)
+                      / (sqrt(list_inner_product(e.v, e.v))
+                         * sqrt(list_inner_product(c.cent, c.cent))), 6) DESC,
+                      c.centroid_id) AS rn
+    FROM e CROSS JOIN c{i} c) t
+  WHERE rn = 1
+)"""
+    update = """
+c{j} AS (
+  SELECT centroid_id, list(m ORDER BY pos) AS cent FROM (
+    SELECT a.centroid_id, d.pos,
+           CAST(SUM(CAST(a.v[d.pos] AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS m
+    FROM a{i} a CROSS JOIN dims d
+    GROUP BY 1, 2) mm
+  GROUP BY centroid_id
+)"""
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"dims AS (SELECT unnest(range(1, {dim + 1})) AS pos)",
+        f"c0 AS (SELECT vec_id AS centroid_id, v AS cent FROM e ORDER BY vec_id LIMIT {n_centroids})",
+    ]
+    for i in range(n_iters):
+        ctes.append(assign.format(i=i))
+        ctes.append(update.format(i=i, j=i + 1))
+    ctes.append(assign.format(i=n_iters))  # final assignment to trained centroids
+    return f"""
+    WITH {', '.join(ctes)},
+    qa AS (SELECT * FROM a{n_iters} WHERE vec_id < 20),
+    scored AS (
+      SELECT qa.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_inner_product(qa.v, c.v)
+                   / (sqrt(list_inner_product(qa.v, qa.v))
+                      * sqrt(list_inner_product(c.v, c.v))), 6) AS cos_sim
+      FROM qa JOIN a{n_iters} c
+        ON qa.centroid_id = c.centroid_id AND qa.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored) t
+    WHERE rn <= {k}
+    """
+
+
+@register(
+    "pipe_sim_ivf_kmeans",
+    oracle=_kmeans_ivf_oracle(n_centroids=8, n_iters=2, dim=64, k=3),
+    doc="IVF ANN with a k-means-trained coarse quantizer: 2 Lloyd "
+    "iterations as DataFrame aggregations (decimal element means -> "
+    "bit-identical centroids, full DuckDB replay) then assign -> "
+    "equi-join on cell -> local top-3",
+)
+def pipe_sim_ivf_kmeans(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return similarity.topk_cosine_ivf_kmeans(
+        e, q, "vec_id", "embedding", n_centroids=8, n_iters=2, k=3
+    )
 
 
 @register(

@@ -67,7 +67,9 @@ PRIORITY: list[str] = [
     "pipe_sim_topk",
     "pipe_sim_topk_gemm",
     "pipe_sim_ann_lsh",
+    "pipe_sim_lsh_multiprobe",
     "pipe_sim_ivf",
+    "pipe_sim_ivf_kmeans",
     "pipe_text_stats",
     "pipe_text_langid",
     "pipe_text_tokens",

@@ -156,6 +156,106 @@ def topk_cosine_lsh(
     )
 
 
+def topk_cosine_lsh_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probes: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k: probe the query's own bucket plus the
+    ``n_probes - 1`` buckets reached by flipping its lowest-margin bits.
+
+    A query's nearest neighbors that land in an adjacent bucket almost
+    always differ in the plane the query is *closest to* (smallest
+    ``|dot(v, plane)|`` margin), so flipping the smallest-margin bits
+    recovers most of the recall lost to bucket boundaries at the cost of
+    ``n_probes`` equi-joins' worth of candidates — still never a cross
+    product, and only the (small) query side is exploded ``n_probes``
+    ways; the corpus is bucketed and shuffled once.  Probed buckets are
+    distinct by construction, so no candidate dedup is needed.
+    """
+    if not 1 <= n_probes <= len(planes) + 1:
+        raise ValueError(f"n_probes must be in [1, n_planes+1], got {n_probes}")
+    # Materialize the per-plane projections once (one dot product per
+    # plane); bucket/margin/probe arithmetic on top of them is cheap.
+    # A lambda capturing the raw vector would re-fold every dot product
+    # per reference (see dedup.doc_shingles for the same trick).
+    dps = F.array(
+        *[
+            dot_expr(
+                F.col("_qv"), F.array(*[F.lit(float(x)) for x in plane])
+            )
+            for plane in planes
+        ]
+    )
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
+    ).withColumn("_dps", dps)
+    bucket = None
+    for p in range(len(planes)):
+        bit = F.when(F.element_at("_dps", p + 1) > 0, F.lit(1 << p)).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    margins = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(F.element_at("_dps", p + 1)).alias("m"),
+                    F.lit(p).alias("p"),
+                )
+                for p in range(len(planes))
+            ]
+        )
+    )
+    q1 = q0.select(
+        "query_id",
+        "_qv",
+        F.sqrt(dot_expr(F.col("_qv"), F.col("_qv"))).alias("_qn"),
+        bucket.alias("_bucket"),
+        F.slice(margins, 1, n_probes - 1).alias("_flips"),
+    )
+    probes = F.concat(
+        F.array(F.col("_bucket")),
+        F.transform(
+            F.col("_flips"),
+            lambda s: F.col("_bucket").bitwiseXOR(
+                F.pow(F.lit(2.0), s["p"]).cast("int")
+            ),
+        ),
+    )
+    q = q1.select(
+        "query_id", "_qv", "_qn", F.explode(probes).alias("bucket")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(vec_col).alias("_cv"),
+        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+    ).withColumn("_cn", F.sqrt(dot_expr(F.col("_cv"), F.col("_cv"))))
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_expr(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+                round_digits,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def cosine_pairs_blocked(
     df: DataFrame,
     id_col: str,
@@ -220,29 +320,77 @@ def assign_to_centroids(
     )
 
 
-def topk_cosine_ivf(
-    corpus: DataFrame,
-    queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_centroids: int = 16,
-    k: int = 3,
-    round_digits: int = 6,
+def seed_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
 ) -> DataFrame:
-    """IVF-style approximate top-k: coarse quantize, search one cell.
+    """Deterministic init: the first ``n_centroids`` corpus vectors by id.
 
-    The coarse quantizer here is deterministic (the first ``n_centroids``
-    corpus vectors by id) so the oracle can replicate it; in production
-    it would be k-means centroids — the plan shape (assign -> equi-join
-    on centroid_id -> local top-k) is identical, which is the point.
-    nprobe=1; raise recall by probing the q nearest cells (union of
-    equi-joins), still never a cross product.
+    (Random init would be fine for quality but breaks oracle replay.)
     """
-    cents = (
+    return (
         corpus.orderBy(id_col)
         .limit(n_centroids)
         .select(F.col(id_col).alias("centroid_id"), as_double(vec_col).alias("_cent"))
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Lloyd's k-means as pure DataFrame aggregations: (centroid_id, _cent).
+
+    Each iteration is one broadcast-assign (the corpus never shuffles for
+    assignment) plus one posexplode + groupBy(centroid, position) mean —
+    a single hash shuffle of (n_rows x dim) narrow rows with map-side
+    partial aggregation.  The element mean goes through DECIMAL(28,9)
+    (exact, associative), so centroids are bit-identical regardless of
+    partitioning AND reproducible in a DuckDB oracle; binary doubles
+    never land exactly on a 0.5e-9 rounding tie, so the engines' decimal
+    rounding modes (HALF_UP vs half-even) cannot diverge.  Empty clusters
+    drop out in both engines alike.  At 100 TB: assignment is
+    embarrassingly parallel; the mean shuffle carries dim rows per
+    (cluster, partition) after partial agg — centroid count, not corpus
+    size, bounds the reduce side.
+    """
+    cents = seed_centroids(corpus, id_col, vec_col, n_centroids)
+    vecs = corpus.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    for _ in range(n_iters):
+        assigned = assign_to_centroids(vecs, cents, id_col, "_v", round_digits)
+        cents = (
+            assigned.select("centroid_id", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,9)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("_cent")
+            )
+        )
+    return cents
+
+
+def _ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    round_digits: int,
+) -> DataFrame:
+    """Shared IVF tail: assign both sides -> equi-join on cell -> top-k."""
     c_assign = assign_to_centroids(corpus, cents, id_col, vec_col, round_digits)
     q_assign = assign_to_centroids(queries, cents, id_col, vec_col, round_digits)
     q = q_assign.select(
@@ -266,6 +414,44 @@ def topk_cosine_ivf(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def topk_cosine_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantize, search one cell.
+
+    The coarse quantizer here is the deterministic seed (first
+    ``n_centroids`` vectors by id); ``topk_cosine_ivf_kmeans`` trains it
+    with Lloyd iterations.  The search plan shape (assign -> equi-join
+    on centroid id -> local top-k) is identical either way — that is the
+    point.  nprobe=1; raise recall by probing the q nearest cells (union
+    of equi-joins), still never a cross product.
+    """
+    cents = seed_centroids(corpus, id_col, vec_col, n_centroids)
+    return _ivf_search(corpus, queries, cents, id_col, vec_col, k, round_digits)
+
+
+def topk_cosine_ivf_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF top-k with a k-means-trained coarse quantizer (see
+    ``kmeans_centroids`` for the deterministic, oracle-replayable loop)."""
+    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, n_iters, round_digits)
+    return _ivf_search(corpus, queries, cents, id_col, vec_col, k, round_digits)
 
 
 def topk_cosine_gemm(
