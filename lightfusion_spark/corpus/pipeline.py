@@ -188,7 +188,11 @@ def pipe_simhash_pairs(spark, sf_dir):
 )
 def pipe_simhash_wide(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
-    fp = dedup.simhash(d, "doc_id", "text")  # operator default: 60-bit
+    # cache: both chunk sides of the pigeonhole join consume the (narrow:
+    # id + int64) fingerprint relation, and the 60 vote-sums that produce
+    # it are the expensive part — same pattern as the minhash pipeline;
+    # at 100 TB this is a bucketed intermediate table instead.
+    fp = dedup.simhash(d, "doc_id", "text").cache()  # operator default: 60-bit
     pairs = dedup.simhash_near_duplicates(fp, "doc_id", max_hamming=6)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
@@ -670,3 +674,46 @@ def pipe_dedup_components(spark, sf_dir):
         d, "doc_id", "text", n_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5
     )
     return dedup.connected_components(pairs, d, "doc_id")
+
+
+@register(
+    "pipe_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (SELECT src, LEAST(src, MIN(dst)) AS comp FROM reach GROUP BY src),
+    labeled AS (
+      SELECT d.doc_id, d.n_chars, COALESCE(c.comp, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.src = d.doc_id
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY component) AS cluster_size
+      FROM labeled
+    )
+    SELECT doc_id, component, CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM ranked WHERE rn = 1
+    """,
+    doc="end-to-end dedup: minhash pairs -> connected components -> keep the "
+    "highest-quality (longest, ties by id) member of each cluster; the "
+    "terminal filter of the canonical training-data pipeline",
+)
+def pipe_dedup_survivors(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        d, "doc_id", "text", n_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5
+    )
+    return dedup.dedup_keep_best(d, pairs, "doc_id", "n_chars").select(
+        "doc_id", "component", "cluster_size"
+    )

@@ -64,6 +64,7 @@ PRIORITY: list[str] = [
     "pipe_dedup_ngram",
     "pipe_neardup_embedding",
     "pipe_dedup_components",
+    "pipe_dedup_survivors",
     "pipe_sim_topk",
     "pipe_sim_topk_gemm",
     "pipe_sim_ann_lsh",
@@ -100,7 +101,6 @@ PRIORITY: list[str] = [
     "rel_subquery_in_exists",
     "rel_cte",
     "rel_scalar_math",
-    "rel_scalar_string",
     "rel_scalar_array",
     "rel_scalar_json",
     "rel_approx_sketch",

@@ -458,3 +458,37 @@ def connected_components(
         if changed == 0:
             break
     return comp.select(F.col("vid").alias(id_col), F.col("comp").alias("component"))
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality_col: str,
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """End-to-end corpus dedup: cluster the near-dup pair graph into
+    connected components and keep ONE survivor per cluster — the
+    highest-``quality_col`` member, ties broken by lowest id (so the
+    survivor is deterministic under any partitioning).
+
+    This is the terminal step of the canonical training-data pipeline
+    (pairs -> clusters -> survivor -> filtered corpus): the output is
+    ``df`` restricted to survivors, plus the cluster id and size so
+    downstream stages can weight or audit the collapse.  Cost on top of
+    ``connected_components``: one join to attach labels and one
+    window pass per cluster — both hash-partitioned on the component id.
+    Singletons (docs with no near-dup edge) survive trivially.
+    """
+    comp = connected_components(pairs, df, id_col, pair_cols)
+    labeled = df.join(comp, id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    wc = Window.partitionBy("component")
+    return (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

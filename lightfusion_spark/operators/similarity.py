@@ -377,6 +377,11 @@ def kmeans_centroids(
                     lambda s: s["m"],
                 ).alias("_cent")
             )
+            # n_centroids rows, but their lineage is a full pass over the
+            # corpus — materialize each round so the next assignment (and
+            # both _ivf_search assignments) broadcast the tiny table
+            # instead of re-running the training cascade.
+            .localCheckpoint(eager=True)
         )
     return cents
 

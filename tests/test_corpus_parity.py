@@ -32,6 +32,7 @@ SUBSET = [
     "pipe_dedup_exact",
     "pipe_dedup_minhash",
     "pipe_dedup_components",
+    "pipe_dedup_survivors",
     "pipe_sim_topk",
     "pipe_sim_topk_gemm",
     "pipe_text_stats",
