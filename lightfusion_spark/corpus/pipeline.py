@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, similarity, text as text_ops
+from ..operators import curation, dedup, multimodal, similarity, text as text_ops
 from .registry import register
 from .util import table
 
@@ -717,3 +717,148 @@ def pipe_dedup_survivors(spark, sf_dir):
     return dedup.dedup_keep_best(d, pairs, "doc_id", "n_chars").select(
         "doc_id", "component", "cluster_size"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus curation (decontamination, quality gate, packing, mixture)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipe_decontaminate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 3)
+    ),
+    g AS (
+      SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 14) AS BIGINT) AS g
+      FROM sh
+    ),
+    bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
+    hits AS (SELECT g.doc_id, COUNT(*) AS n FROM g JOIN bg USING (g)
+             GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hit_ngrams,
+           COALESCE(h.n, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """,
+    doc="benchmark n-gram decontamination (GPT-3 appendix-C style): flag "
+    "corpus docs sharing any word 3-gram with the held-out set "
+    "(doc_id %% 7 = 0 stands in for the benchmark); one broadcast hash "
+    "equi-join on 8-byte n-gram hashes — the corpus never shuffles",
+)
+def pipe_decontaminate(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    return curation.decontaminate(d, bench, "doc_id", "text", n=3)
+
+
+@register(
+    "pipe_quality_filter",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, source, text,
+                      string_split_regex(lower(text), '\s+') AS toks
+               FROM documents),
+    f AS (SELECT source,
+            (LEN(toks) BETWEEN 10 AND 100000
+             AND CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE)
+                 / LEN(toks) BETWEEN 2 AND 12
+             AND CAST(LEN(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                 / LENGTH(text) <= 0.2) AS keep
+          FROM t)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS retention
+    FROM f GROUP BY source
+    """,
+    doc="per-source retention report of the Gopher-style composite quality "
+    "gate (length / mean-word-length / punctuation rules); one narrow "
+    "projection + one small groupBy(source)",
+)
+def pipe_quality_filter(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return curation.quality_retention(d, "doc_id", "text")
+
+
+@register(
+    "pipe_pack_sequences",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LEN(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT)
+               % 8 AS pack_group
+      FROM documents
+    ),
+    c AS (
+      SELECT *,
+             SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS prev
+      FROM t
+    )
+    SELECT doc_id, n_tokens, pack_group,
+           CAST(FLOOR(prev / CAST(2048 AS DOUBLE)) AS BIGINT) AS pack_no
+    FROM c
+    """,
+    doc="token-budget shard packing: docs stream into ~2048-token packs, "
+    "sequential fill inside 8 parallel hash groups (never a global "
+    "single-partition cumulative sum); capacity is a power of two so the "
+    "floor division is exact in both engines",
+)
+def pipe_pack_sequences(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    n_ws_tokens = F.size(F.split(F.col("text"), r"\s+"))
+    return curation.pack_sequences(
+        d, "doc_id", n_ws_tokens, capacity=2048, n_groups=8
+    )
+
+
+_MIX_SHARES = {"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.2}
+_MIX_BUDGET = 10_000
+
+
+def _mixture_oracle() -> str:
+    case = " ".join(
+        f"WHEN '{k}' THEN CAST({v} AS DOUBLE)" for k, v in sorted(_MIX_SHARES.items())
+    )
+    return f"""
+    WITH base AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS tok
+                  FROM documents),
+    counts AS (SELECT source, CAST(SUM(tok) AS BIGINT) AS st
+               FROM base GROUP BY source),
+    rates AS (SELECT source,
+        ROUND(LEAST(CAST(1.0 AS DOUBLE),
+              (CASE source {case} ELSE CAST(0.0 AS DOUBLE) END)
+              * {_MIX_BUDGET} / st), 6) AS sample_rate
+      FROM counts),
+    u AS (SELECT doc_id, source,
+        ROUND((CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 14)
+                AS BIGINT) %% 1000000) / CAST(1000000 AS DOUBLE), 6) AS u
+      FROM base)
+    SELECT u.doc_id, u.source, r.sample_rate, u.u
+    FROM u JOIN rates r USING (source)
+    WHERE u.u < r.sample_rate
+    """.replace("%%", "%")
+
+
+@register(
+    "pipe_mixture_sample",
+    oracle=_mixture_oracle(),
+    doc="deterministic stratified sampling toward a target source mixture "
+    "under a global token budget: per-stratum rates from one tiny agg, "
+    "broadcast back, map-side keep iff hash-uniform(id, seed) < rate — "
+    "stable across re-runs and partitionings, unlike df.sample()",
+)
+def pipe_mixture_sample(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    kept = curation.mixture_sample(
+        d, "source", "doc_id", "n_chars", _MIX_SHARES, _MIX_BUDGET, seed=42
+    )
+    return kept.select("doc_id", "source", "sample_rate", "u")

@@ -76,6 +76,10 @@ PRIORITY: list[str] = [
     "pipe_text_tokens",
     "pipe_text_fingerprint",
     "pipe_multimodal_decode",
+    "pipe_decontaminate",
+    "pipe_quality_filter",
+    "pipe_pack_sequences",
+    "pipe_mixture_sample",
     # Timeseries / streaming-batch parity.
     "events_windowed_stats",
     "events_sessionize",
@@ -89,19 +93,15 @@ PRIORITY: list[str] = [
     "rel_join_inner_agg",
     "rel_join_right",
     "rel_join_full_outer",
-    "rel_join_anti",
     "rel_agg_q1",
     "rel_agg_rollup",
     "rel_pivot",
-    "rel_having",
     "rel_window_rank",
-    "rel_window_range_frame",
     "rel_topk_group",
     "rel_set_union",
     "rel_subquery_in_exists",
     "rel_cte",
     "rel_scalar_math",
-    "rel_scalar_array",
     "rel_scalar_json",
     "rel_approx_sketch",
     "rel_salted_agg",

@@ -1,0 +1,234 @@
+"""Corpus-curation operators for training-data pipelines (SURVEY §2.4).
+
+The four terminal stages of a pre-training data pipeline that sit
+*after* dedup and *before* the tokenizer:
+
+* :func:`decontaminate` — benchmark n-gram decontamination (the GPT-3
+  appendix-C style filter): drop or flag corpus documents that share a
+  word n-gram with a held-out evaluation set.
+* :func:`quality_retention` — per-source retention report for a
+  composite quality-rule gate (Gopher-style length / word-length /
+  punctuation rules).
+* :func:`pack_sequences` — token-budget shard packing: assign documents
+  to fixed-token-budget packs (the unit a trainer streams), scalable by
+  packing independently inside hash groups.
+* :func:`mixture_sample` — deterministic hash-based stratified
+  sampling that hits a target source-mixture under a global token
+  budget.
+
+All four are pure DataFrame algebra over built-in functions — no Python
+in the hot path — and every hash is the MD5-derived 56-bit scheme from
+``operators.dedup`` so a DuckDB oracle replays them value-for-value.
+
+Scale notes (100 TB):
+
+* ``decontaminate`` is one equi-join on an 8-byte n-gram hash. The
+  benchmark side of a decontamination run is small (benchmarks are
+  MBs, the corpus is TBs) — it is broadcast, so the corpus never
+  shuffles; only the exploded corpus n-grams stream past the hash set.
+* ``quality_retention`` is a narrow projection + one groupBy(source)
+  with map-side partial aggregation — one small shuffle.
+* ``pack_sequences`` avoids the classic global-cumulative-sum
+  bottleneck (a single-partition window) by packing independently
+  within ``n_groups`` hash groups: each group is a parallel sequential
+  fill, the window partitions by group, and the shuffle is one hash
+  exchange on the group id.  Packs never span groups, so writers can
+  emit pack files truly in parallel.
+* ``mixture_sample`` aggregates per-stratum counts (tiny), broadcasts
+  the resulting rate table back, and filters map-side on a per-row
+  deterministic uniform — no second shuffle, no sampling bias from
+  partitioning, and re-runs are reproducible because the uniform is a
+  pure function of (id, seed), never ``rand()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _md5_long, doc_shingles
+
+#: Denominator of the deterministic per-row uniform: u = h % 1e6 / 1e6.
+_U_MOD = 1_000_000
+
+
+def _uniform(id_col: str, seed: int):
+    """Deterministic U[0,1) from (id, seed) — reproducible across engines
+    and partitionings, unlike ``F.rand`` whose stream depends on the
+    partition index."""
+    h = _md5_long(F.col(id_col).cast("string"), seed=seed)
+    return (h % _U_MOD) / F.lit(float(_U_MOD))
+
+
+def decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Flag corpus documents sharing any word ``n``-gram with ``bench``.
+
+    Returns ``(id_col, n_hit_ngrams, contaminated)`` — one row per corpus
+    document; callers drop the flagged rows (``where(~contaminated)``)
+    or keep the counts for a contamination audit.
+
+    Both sides reduce to distinct 8-byte n-gram hashes; the join is a
+    hash equi-join on that key.  With ``broadcast_bench`` (the realistic
+    shape: benchmarks are MBs) the corpus side never shuffles.
+    """
+    corpus_grams = doc_shingles(df, id_col, text_col, n).select(
+        F.col(id_col), _md5_long(F.col("shingle")).alias("g")
+    )
+    bench_grams = (
+        doc_shingles(bench, id_col, text_col, n)
+        .select(_md5_long(F.col("shingle")).alias("g"))
+        .distinct()
+    )
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+    hits = (
+        corpus_grams.join(bench_grams, "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
+            (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def quality_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality-rule flags (Gopher-style) + the composite gate.
+
+    Rules (each its own boolean so audits can attribute drops):
+
+    * ``r_n_words``   — 10 <= word count <= 100_000
+    * ``r_word_len``  — 2 <= mean word length <= 12
+    * ``r_punct``     — punctuation chars <= 20% of characters
+    * ``keep``        — conjunction of all rules
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n_words = F.size(toks)
+    awl = F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)) / n_words
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"), 0))
+    punct_ratio = n_punct / F.length(F.col(text_col))
+    r1 = (n_words >= 10) & (n_words <= 100_000)
+    r2 = (awl >= 2) & (awl <= 12)
+    r3 = punct_ratio <= 0.2
+    return df.select(
+        F.col(id_col),
+        F.col("source"),
+        n_words.alias("n_words"),
+        r1.alias("r_n_words"),
+        r2.alias("r_word_len"),
+        r3.alias("r_punct"),
+        (r1 & r2 & r3).alias("keep"),
+    )
+
+
+def quality_retention(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-source retention report of the :func:`quality_rules` gate:
+    ``(source, n_docs, n_kept, retention)`` — the number every curation
+    run reports before anyone commits to a filter."""
+    flags = quality_rules(df, id_col, text_col)
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        )
+        .withColumn("retention", F.round(F.col("n_kept") / F.col("n_docs"), 6))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col,
+    capacity: int,
+    n_groups: int = 8,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs.
+
+    A document lands in the pack whose running total (of documents
+    before it, in deterministic ``id`` order within its hash group) has
+    not yet reached ``capacity``::
+
+        group   = md5_56(id) % n_groups          -- parallelism unit
+        prev    = sum(tokens) over (group order by id) - tokens
+        pack_no = floor(prev / capacity)
+
+    Packs are therefore ~``capacity`` tokens (the straddling document
+    spills into the next pack — the trainer-side convention where the
+    tokenizer truncates/continues across pack boundaries).  Returns the
+    input ids annotated with ``(pack_group, pack_no, n_tokens)``.
+
+    ``token_col`` may be a column name or a Column expression (e.g. a
+    token-count projection from ``operators.text.token_counts``).
+    """
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    grp = (_md5_long(F.col(id_col).cast("string")) % n_groups).alias("pack_group")
+    base = df.select(F.col(id_col), tok.cast("bigint").alias("n_tokens"), grp)
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.withColumn(
+        "pack_no", F.floor(prev / F.lit(capacity)).cast("bigint")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    token_col,
+    target_shares: dict[str, float],
+    token_budget: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic stratified sampling toward a target mixture.
+
+    Computes per-stratum token counts, derives the sampling rate that
+    would land each stratum at ``target_shares[stratum] * token_budget``
+    tokens (capped at 1.0 — no upsampling), then keeps a row iff its
+    deterministic uniform ``u(id, seed)`` falls under the stratum's
+    rate.  Returns the kept rows with ``(sample_rate, u)`` attached.
+
+    Unlisted strata get share 0.0 (dropped).  Because ``u`` is a pure
+    function of the id, the sample is stable across re-runs, cluster
+    sizes, and partitionings — the property ``df.sample()`` does NOT
+    have.
+    """
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    base = df.withColumn("_tok", tok.cast("bigint"))
+    counts = base.groupBy(strata_col).agg(F.sum("_tok").alias("_stratum_tokens"))
+    share = F.coalesce(
+        *[
+            F.when(F.col(strata_col) == k, F.lit(float(v)))
+            for k, v in sorted(target_shares.items())
+        ],
+        F.lit(0.0),
+    )
+    rates = counts.select(
+        F.col(strata_col),
+        F.round(
+            F.least(F.lit(1.0), share * token_budget / F.col("_stratum_tokens")), 6
+        ).alias("sample_rate"),
+    )
+    u = F.round(_uniform(id_col, seed), 6).alias("u")
+    return (
+        base.join(F.broadcast(rates), strata_col)
+        .withColumn("u", u)
+        .where(F.col("u") < F.col("sample_rate"))
+        .drop("_tok")
+    )

@@ -37,6 +37,9 @@ SUBSET = [
     "pipe_sim_topk_gemm",
     "pipe_text_stats",
     "pipe_multimodal_decode",
+    "pipe_decontaminate",
+    "pipe_pack_sequences",
+    "pipe_mixture_sample",
     "events_asof_join",
     "rel_join_full_outer",
 ]
