@@ -1266,3 +1266,38 @@ def rel_join_right(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.count("s_suppkey").alias("n_supp"))
     )
+
+
+@register(
+    "rel_cast_battery",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(TRUNC(l_quantity * 1.37) AS BIGINT)        AS d2i_pos,
+           CAST(TRUNC((l_discount - 0.05) * 100) AS BIGINT) AS d2i_neg,
+           CAST(l_orderkey AS INTEGER)                     AS big2int,
+           CAST(l_orderkey AS VARCHAR)                     AS int2str,
+           CAST('00042' AS BIGINT)                         AS str2int,
+           TRY_CAST(l_returnflag AS DOUBLE)                AS bad2dbl,
+           CAST(l_quantity > 25 AS INTEGER)                AS bool2int,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR)       AS date2str
+    FROM lineitem WHERE l_orderkey % 17 = 0
+    """,
+    doc="cross-engine CAST semantics battery.  The load-bearing row: Spark's "
+    "double->int cast TRUNCATES toward zero while DuckDB's CAST rounds "
+    "half-even, so the oracle spells Spark's semantics as TRUNC()+CAST — "
+    "documenting the deviation instead of hiding it.  try_cast of a "
+    "non-numeric string is NULL in both engines.",
+)
+def rel_cast_battery(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 17 == 0)
+    return li.select(
+        "l_orderkey",
+        (F.col("l_quantity") * 1.37).cast("bigint").alias("d2i_pos"),
+        ((F.col("l_discount") - 0.05) * 100).cast("bigint").alias("d2i_neg"),
+        F.col("l_orderkey").cast("int").alias("big2int"),
+        F.col("l_orderkey").cast("string").alias("int2str"),
+        F.lit("00042").cast("bigint").alias("str2int"),
+        F.col("l_returnflag").try_cast("double").alias("bad2dbl"),
+        (F.col("l_quantity") > 25).cast("int").alias("bool2int"),
+        F.col("l_shipdate").cast("date").cast("string").alias("date2str"),
+    )

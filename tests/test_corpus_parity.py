@@ -26,6 +26,7 @@ SUBSET = [
     "rel_subquery_in_exists",
     "rel_scalar_string",
     "rel_scalar_json",
+    "rel_cast_battery",
     "lgbm_infer_embeddings",
     "argmax_embeddings",
     "lgbm_tsv_flagship",
