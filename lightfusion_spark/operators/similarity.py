@@ -290,6 +290,9 @@ def cosine_pairs_blocked(
     )
 
 
+MAX_INLINE_CENTROIDS = 65_536
+
+
 def assign_to_centroids(
     df,
     centroids: DataFrame,
@@ -299,23 +302,64 @@ def assign_to_centroids(
 ) -> DataFrame:
     """Nearest-centroid (max cosine) assignment: (id, vec, centroid_id).
 
-    ``centroids`` is (centroid_id, _cent); it broadcasts — the corpus
-    never shuffles for assignment.
+    ``centroids`` is (centroid_id, _cent).  A coarse quantizer is tiny by
+    construction (n_centroids ~ sqrt(corpus) at most), so we collect it
+    and inline it as a literal array-of-arrays: assignment becomes a
+    *narrow* projection — score every centroid with a ``transform`` fold,
+    take the first maximum with ``array_max``/``array_position`` — with
+    ZERO shuffle of the corpus (the previous shape, crossJoin + window
+    argmin, shuffled (corpus x centroids) rows by id).  Tie-break is
+    first-max in centroid_id order, identical to the old
+    (score DESC, centroid_id ASC) window ordering.
     """
-    scored = (
-        df.select(F.col(id_col), as_double(vec_col).alias("_v"))
-        .crossJoin(F.broadcast(centroids))
-        .select(
-            id_col,
-            "_v",
-            "centroid_id",
-            F.round(cosine_expr(F.col("_v"), F.col("_cent")), round_digits).alias("_cc"),
+    rows = centroids.select("centroid_id", "_cent").orderBy("centroid_id").collect()
+    pairs = [(r["centroid_id"], [float(x) for x in r["_cent"]]) for r in rows]
+    return _assign_inline(df, pairs, id_col, vec_col, round_digits)
+
+
+def _assign_inline(
+    df,
+    cent_pairs: Sequence[tuple],
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """Assignment against driver-held (centroid_id, vector) pairs —
+    the literal-inline narrow projection described above."""
+    if len(cent_pairs) > MAX_INLINE_CENTROIDS:
+        raise ValueError(
+            f"assign_to_centroids: {len(cent_pairs)} centroids exceeds the "
+            f"{MAX_INLINE_CENTROIDS} inline cap — a coarse quantizer this "
+            "large should be a bucketed equi-join, not an inline scan"
         )
+    import math
+
+    cent_ids = F.array(*[F.lit(cid) for cid, _ in cent_pairs])
+    # Centroid norms are driver-side constants, and sqrt(dot(v,v)) is
+    # row-constant: compute each once, not once per (row, centroid).
+    # Python's left-to-right `sum` matches the engines' sequential
+    # inner-product folds bit-for-bit, so ROUND(.., 6) stays oracle-exact.
+    scores = F.array(
+        *[
+            F.round(
+                dot_expr(F.col("_v"), F.array(*[F.lit(x) for x in vec]))
+                / (F.col("_nv") * F.lit(math.sqrt(sum(x * x for x in vec)))),
+                round_digits,
+            )
+            for _, vec in cent_pairs
+        ]
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_cc").desc(), F.col("centroid_id"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
+        df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+        .withColumn("_nv", F.sqrt(dot_expr(F.col("_v"), F.col("_v"))))
+        .withColumn("_scores", scores)
+        .withColumn(
+            "centroid_id",
+            F.element_at(
+                cent_ids,
+                F.array_position(F.col("_scores"), F.array_max("_scores")).cast("int"),
+            ),
+        )
         .select(id_col, "_v", "centroid_id")
     )
 
@@ -344,46 +388,46 @@ def kmeans_centroids(
 ) -> DataFrame:
     """Lloyd's k-means as pure DataFrame aggregations: (centroid_id, _cent).
 
-    Each iteration is one broadcast-assign (the corpus never shuffles for
-    assignment) plus one posexplode + groupBy(centroid, position) mean —
-    a single hash shuffle of (n_rows x dim) narrow rows with map-side
-    partial aggregation.  The element mean goes through DECIMAL(28,9)
+    Centroid state lives on the driver (the Spark MLlib k-means shape):
+    each iteration is one *narrow* literal-inline assignment over the
+    corpus followed by ONE hash shuffle — per-position DECIMAL(28,9)
+    sums with map-side partial aggregation, so the reduce side carries
+    n_partitions x n_centroids rows of dim columns, bounded by centroid
+    count, never corpus size.  The element mean goes through decimal
     (exact, associative), so centroids are bit-identical regardless of
     partitioning AND reproducible in a DuckDB oracle; binary doubles
     never land exactly on a 0.5e-9 rounding tie, so the engines' decimal
     rounding modes (HALF_UP vs half-even) cannot diverge.  Empty clusters
     drop out in both engines alike.  At 100 TB: assignment is
-    embarrassingly parallel; the mean shuffle carries dim rows per
-    (cluster, partition) after partial agg — centroid count, not corpus
-    size, bounds the reduce side.
+    embarrassingly parallel; the per-iteration collect moves only
+    n_centroids x dim doubles to the driver.
     """
-    cents = seed_centroids(corpus, id_col, vec_col, n_centroids)
+    seed = seed_centroids(corpus, id_col, vec_col, n_centroids)
+    rows = seed.collect()
+    pairs = [(r["centroid_id"], [float(x) for x in r["_cent"]]) for r in rows]
+    if not pairs:
+        return seed
+    dim = len(pairs[0][1])
     vecs = corpus.select(F.col(id_col), as_double(vec_col).alias("_v"))
     for _ in range(n_iters):
-        assigned = assign_to_centroids(vecs, cents, id_col, "_v", round_digits)
-        cents = (
-            assigned.select("centroid_id", F.posexplode("_v").alias("pos", "x"))
-            .groupBy("centroid_id", "pos")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(28,9)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("m")
-            )
-            .groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("_cent")
-            )
-            # n_centroids rows, but their lineage is a full pass over the
-            # corpus — materialize each round so the next assignment (and
-            # both _ivf_search assignments) broadcast the tiny table
-            # instead of re-running the training cascade.
-            .localCheckpoint(eager=True)
+        assigned = _assign_inline(vecs, pairs, id_col, "_v", round_digits)
+        sums = assigned.groupBy("centroid_id").agg(
+            *[
+                F.sum(F.element_at("_v", i + 1).cast("decimal(28,9)"))
+                .cast("double")
+                .alias(f"_s{i}")
+                for i in range(dim)
+            ],
+            F.count(F.lit(1)).alias("_n"),
         )
-    return cents
+        pairs = sorted(
+            (r["centroid_id"], [r[f"_s{i}"] / r["_n"] for i in range(dim)])
+            for r in sums.collect()
+        )
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(cid, vec) for cid, vec in pairs], schema=seed.schema
+    )
 
 
 def _ivf_search(
