@@ -480,6 +480,135 @@ def pipe_text_fingerprint(spark, sf_dir):
     return text_ops.fingerprint(d, "doc_id", "text")
 
 
+@register(
+    "pipe_text_repetition",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, toks, LEN(toks) AS nw,
+                 list_transform(range(1, LEN(toks)),
+                                i -> toks[i] || ' ' || toks[i+1]) AS g2,
+                 list_transform(range(1, LEN(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+          FROM t),
+    m AS (SELECT doc_id, nw,
+                 CAST(list_max(list_transform(list_distinct(toks),
+                      w -> LEN(list_filter(toks, t -> t = w)))) AS DOUBLE) / nw AS top_word_frac,
+                 CASE WHEN nw < 2 THEN 0.0
+                      ELSE 1.0 - CAST(LEN(list_distinct(g2)) AS DOUBLE) / LEN(g2) END AS dup_2gram_frac,
+                 CASE WHEN nw < 3 THEN 0.0
+                      ELSE 1.0 - CAST(LEN(list_distinct(g3)) AS DOUBLE) / LEN(g3) END AS dup_3gram_frac
+          FROM g)
+    SELECT doc_id, nw AS n_words, top_word_frac, dup_2gram_frac, dup_3gram_frac,
+           (top_word_frac <= 0.2 AND dup_2gram_frac <= 0.6 AND dup_3gram_frac <= 0.5)
+             AS repetition_keep
+    FROM m
+    """,
+    doc="Gopher-style repetition filters: top-word fraction + duplicate "
+    "2/3-gram fractions, keep flag at published-ish thresholds; narrow "
+    "single-pass HOF projection, zero shuffle",
+)
+def pipe_text_repetition(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return text_ops.repetition_stats(d, "doc_id", "text")
+
+
+def _pii_enriched_sql() -> str:
+    """Deterministic PII injection (the corpus text has none): both engines
+    derive identical emails/IPs/phones from doc_id, so redaction is
+    verified on text where it actually fires."""
+    return """
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+             WHEN 1 THEN text || ' node at 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.17 up'
+             WHEN 2 THEN text || ' call +4930' || CAST(1000000 + doc_id AS VARCHAR) || ' today'
+             ELSE text END AS text2
+    FROM documents
+    """
+
+
+def _pii_enriched_df(d):
+    m = (F.col("doc_id") % 4).cast("int")
+    did = F.col("doc_id").cast("string")
+    return d.select(
+        "doc_id",
+        F.when(m == 0, F.concat("text", F.lit(" contact user"), did, F.lit("@example.com now")))
+        .when(m == 1, F.concat("text", F.lit(" node at 10.0."), (F.col("doc_id") % 200).cast("string"), F.lit(".17 up")))
+        .when(m == 2, F.concat("text", F.lit(" call +4930"), (F.col("doc_id") + 1000000).cast("string"), F.lit(" today")))
+        .otherwise(F.col("text"))
+        .alias("text2"),
+    )
+
+
+@register(
+    "pipe_text_pii",
+    oracle=f"""
+    WITH t AS ({_pii_enriched_sql()})
+    SELECT doc_id,
+           LEN(regexp_extract_all(text2, '{text_ops.EMAIL_RE}')) AS n_emails,
+           LEN(regexp_extract_all(text2, '{text_ops.IPV4_RE}')) AS n_ips,
+           LEN(regexp_extract_all(text2, '{text_ops.PHONE_RE}')) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(text2,
+             '{text_ops.EMAIL_RE}', '[EMAIL]', 'g'),
+             '{text_ops.IPV4_RE}', '[IP]', 'g'),
+             '{text_ops.PHONE_RE}', '[PHONE]', 'g') AS text_clean
+    FROM t
+    """,
+    doc="PII scrub (emails/IPv4/intl phones counted then replaced with "
+    "typed placeholders) over deterministically enriched text so the "
+    "patterns actually fire; regexes restricted to the Java∩RE2 common "
+    "subset",
+)
+def pipe_text_pii(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return text_ops.pii_redact(_pii_enriched_df(d), "doc_id", "text2")
+
+
+def _url_enriched_sql() -> str:
+    return """
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN text || ' see https://site' || CAST(doc_id % 13 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN text || ' http://a.net/x and http://a.net/y and https://CDN.Example.org/z'
+             ELSE text END AS text2
+    FROM documents
+    """
+
+
+def _url_enriched_df(d):
+    m = (F.col("doc_id") % 3).cast("int")
+    return d.select(
+        "doc_id",
+        F.when(m == 0, F.concat("text", F.lit(" see https://site"), (F.col("doc_id") % 13).cast("string"), F.lit(".example.org/p/"), F.col("doc_id").cast("string")))
+        .when(m == 1, F.concat("text", F.lit(" http://a.net/x and http://a.net/y and https://CDN.Example.org/z")))
+        .otherwise(F.col("text"))
+        .alias("text2"),
+    )
+
+
+@register(
+    "pipe_text_urls",
+    oracle=f"""
+    WITH t AS ({_url_enriched_sql()}),
+    d AS (SELECT doc_id,
+                 LEN(regexp_extract_all(text2, '{text_ops.URL_RE}')) AS n_urls,
+                 list_transform(regexp_extract_all(text2, '{text_ops.URL_DOMAIN_RE}', 1),
+                                x -> lower(x)) AS doms
+          FROM t)
+    SELECT doc_id, n_urls,
+           CASE WHEN LEN(doms) > 0 THEN doms[1] END AS first_domain,
+           LEN(list_distinct(doms)) AS n_unique_domains
+    FROM d
+    """,
+    doc="URL extraction: count, first domain (lowercased), distinct-domain "
+    "count — inputs to domain-blocklist filtering; enriched text as above",
+)
+def pipe_text_urls(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return text_ops.url_stats(_url_enriched_df(d), "doc_id", "text2")
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------

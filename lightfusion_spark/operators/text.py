@@ -110,6 +110,104 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: PII patterns — restricted to syntax with identical semantics in Java
+#: regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PHONE_RE = "\\+[0-9]{7,15}"
+URL_RE = "https?://[^\\s]+"
+URL_DOMAIN_RE = "https?://([^/\\s]+)"
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition filters: top-word fraction and duplicate
+    n-gram fractions (n=2,3), plus a keep flag at the published-ish
+    thresholds.
+
+    A document dominated by one word or by repeated n-grams is boilerplate
+    or spam; pre-training corpora drop it.  Everything is per-row
+    higher-order-function math inside whole-stage codegen — a narrow
+    single-pass projection, no shuffle, embarrassingly parallel at 100 TB.
+    """
+    toks = _tokens(F.col(text_col))
+    n_words = F.size(toks)
+    top_word_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda w: F.size(F.filter(toks, lambda t: t == w)),
+            )
+        ).cast("double")
+        / n_words
+    )
+
+    def dup_ngram_frac(n: int) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), n_words - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+        return F.when(n_words < n, F.lit(0.0)).otherwise(
+            1.0 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
+        )
+
+    dup2, dup3 = dup_ngram_frac(2), dup_ngram_frac(3)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        top_word_frac.alias("top_word_frac"),
+        dup2.alias("dup_2gram_frac"),
+        dup3.alias("dup_3gram_frac"),
+        ((top_word_frac <= 0.2) & (dup2 <= 0.6) & (dup3 <= 0.5)).alias(
+            "repetition_keep"
+        ),
+    )
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrub: count + replace emails, IPv4 addresses and +intl phone
+    numbers with typed placeholder tokens.
+
+    Counting happens before redaction; replacement order (email -> ip ->
+    phone) is fixed so the engines agree when patterns could overlap.
+    Pure regex projection — single pass, no shuffle.
+    """
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+    n_ips = F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), 0))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), IPV4_RE, "[IP]"
+        ),
+        PHONE_RE,
+        "[PHONE]",
+    )
+    return df.select(
+        F.col(id_col),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        clean.alias("text_clean"),
+    )
+
+
+def url_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """URL extraction: count, first domain (lowercased), distinct-domain
+    count — the usual inputs to domain-blocklist filtering."""
+    t = F.col(text_col)
+    domains = F.transform(
+        F.regexp_extract_all(t, F.lit(URL_DOMAIN_RE), 1), F.lower
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(URL_RE), 0)).alias("n_urls"),
+        F.when(F.size(domains) > 0, F.element_at(domains, 1)).alias("first_domain"),
+        F.size(F.array_distinct(domains)).alias("n_unique_domains"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Normalized-content fingerprint: md5 hex + a 56-bit integer bucket.
 

@@ -37,6 +37,9 @@ SUBSET = [
     "pipe_sim_topk",
     "pipe_sim_topk_gemm",
     "pipe_text_stats",
+    "pipe_text_repetition",
+    "pipe_text_pii",
+    "pipe_text_urls",
     "pipe_multimodal_decode",
     "pipe_decontaminate",
     "pipe_pack_sequences",

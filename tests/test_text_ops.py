@@ -1,0 +1,55 @@
+"""Edge-case tests for the text-analysis operators (synthetic rows the
+parquet corpus can't produce: single words, heavy repetition, real PII
+shapes, multi-URL lines)."""
+
+from lightfusion_spark.operators import text as text_ops
+
+
+def _rows(df):
+    return {r[0]: tuple(r[1:]) for r in df.collect()}
+
+
+def test_repetition_stats_flags_repeats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "all words here are fully distinct tokens"),
+            (3, "solo"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = _rows(text_ops.repetition_stats(df, "doc_id", "text"))
+    n_words, top, d2, d3, keep = out[1]
+    assert (n_words, top) == (4, 1.0)
+    assert d2 == 1.0 - 1.0 / 3.0 and d3 == 0.5 and keep is False
+    assert out[2][4] is True  # distinct doc keeps
+    # single word: no n-grams -> fractions 0, top_word_frac 1
+    assert out[3] == (1, 1.0, 0.0, 0.0, False)
+
+
+def test_pii_redact_counts_and_replaces(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d@e-f.org, ip 10.0.0.1, call +4930123456"),
+            (2, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = _rows(text_ops.pii_redact(df, "doc_id", "text"))
+    n_emails, n_ips, n_phones, clean = out[1]
+    assert (n_emails, n_ips, n_phones) == (2, 1, 1)
+    assert clean == "mail [EMAIL] and [EMAIL], ip [IP], call [PHONE]"
+    assert out[2] == (0, 0, 0, "nothing sensitive here")
+
+
+def test_url_stats_domains(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "see https://A.example.com/x and http://b.net/y https://a.example.com/z"),
+            (2, "no links"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = _rows(text_ops.url_stats(df, "doc_id", "text"))
+    assert out[1] == (3, "a.example.com", 2)
+    assert out[2] == (0, None, 0)
