@@ -672,8 +672,10 @@ def pipe_sim_ivf(spark, sf_dir):
     return similarity.topk_cosine_ivf(e, q, "vec_id", "embedding", n_centroids=16, k=3)
 
 
-def _kmeans_ivf_oracle(n_centroids: int, n_iters: int, dim: int, k: int) -> str:
-    """Replay of similarity.kmeans_centroids + _ivf_search in DuckDB.
+def _kmeans_assign_ctes(n_centroids: int, n_iters: int, dim: int) -> tuple:
+    """Shared DuckDB replay of similarity.kmeans_centroids: returns
+    (cte_list, final_assignment_name) where the final CTE is every corpus
+    row with its trained-centroid assignment.
 
     Each Lloyd iteration is an assignment CTE (row_number over rounded
     cosine, centroid-id tiebreak) and a centroid-update CTE (per-position
@@ -711,15 +713,20 @@ c{j} AS (
         ctes.append(assign.format(i=i))
         ctes.append(update.format(i=i, j=i + 1))
     ctes.append(assign.format(i=n_iters))  # final assignment to trained centroids
+    return ctes, f"a{n_iters}"
+
+
+def _kmeans_ivf_oracle(n_centroids: int, n_iters: int, dim: int, k: int) -> str:
+    ctes, fin = _kmeans_assign_ctes(n_centroids, n_iters, dim)
     return f"""
     WITH {', '.join(ctes)},
-    qa AS (SELECT * FROM a{n_iters} WHERE vec_id < 20),
+    qa AS (SELECT * FROM {fin} WHERE vec_id < 20),
     scored AS (
       SELECT qa.vec_id AS query_id, c.vec_id AS neighbor_id,
              ROUND(list_inner_product(qa.v, c.v)
                    / (sqrt(list_inner_product(qa.v, qa.v))
                       * sqrt(list_inner_product(c.v, c.v))), 6) AS cos_sim
-      FROM qa JOIN a{n_iters} c
+      FROM qa JOIN {fin} c
         ON qa.centroid_id = c.centroid_id AND qa.vec_id <> c.vec_id
     )
     SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, cos_sim FROM (
@@ -743,6 +750,38 @@ def pipe_sim_ivf_kmeans(spark, sf_dir):
     q = e.where(F.col("vec_id") < 20)
     return similarity.topk_cosine_ivf_kmeans(
         e, q, "vec_id", "embedding", n_centroids=8, n_iters=2, k=3
+    )
+
+
+def _semantic_dedup_oracle(n_centroids: int, n_iters: int, dim: int, threshold: float) -> str:
+    ctes, fin = _kmeans_assign_ctes(n_centroids, n_iters, dim)
+    return f"""
+    WITH {', '.join(ctes)},
+    dominated AS (
+      SELECT DISTINCT b.vec_id
+      FROM {fin} a JOIN {fin} b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE ROUND(list_inner_product(a.v, b.v)
+                  / (sqrt(list_inner_product(a.v, a.v))
+                     * sqrt(list_inner_product(b.v, b.v))), 6) >= {threshold}
+    )
+    SELECT f.vec_id, f.centroid_id, (d.vec_id IS NOT NULL) AS is_dup
+    FROM {fin} f LEFT JOIN dominated d ON f.vec_id = d.vec_id
+    """
+
+
+@register(
+    "pipe_dedup_semantic",
+    oracle=_semantic_dedup_oracle(n_centroids=8, n_iters=2, dim=64, threshold=0.35),
+    doc="SemDeDup-shaped semantic dedup: k-means cluster the embedding "
+    "space, intra-cluster cosine >= threshold marks higher-id rows as "
+    "duplicates (min-id survivor); pair join is quadratic only within a "
+    "cluster, bounded by the n_centroids knob",
+)
+def pipe_dedup_semantic(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        e, "vec_id", "embedding", n_centroids=8, n_iters=2, threshold=0.35
     )
 
 

@@ -503,6 +503,58 @@ def topk_cosine_ivf_kmeans(
     return _ivf_search(corpus, queries, cents, id_col, vec_col, k, round_digits)
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    threshold: float = 0.99,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023):
+    k-means-cluster the embedding space, then within each cluster mark
+    any row whose cosine similarity to a lower-id row meets the
+    threshold as a duplicate (deterministic min-id survivor).
+
+    Output: (id, centroid_id, is_dup).  Plan: the training loop (see
+    ``kmeans_centroids``), a narrow literal-inline assignment, ONE
+    equi-join on centroid_id for the intra-cluster pairs, and a left
+    anti-ish join to flag survivors.  The pair join is quadratic only
+    within a cluster — the SemDeDup contract — so n_centroids is the
+    knob that bounds candidate volume at 100 TB (clusters of ~n/k rows;
+    skewed clusters split under AQE skew-join handling).
+    """
+    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, n_iters, round_digits)
+    assigned = assign_to_centroids(corpus, cents, id_col, vec_col, round_digits)
+    a = assigned.select(
+        F.col(id_col).alias("_ida"), F.col("_v").alias("_va"), "centroid_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"), "centroid_id"
+    )
+    dominated = (
+        a.join(b, "centroid_id")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(
+            F.round(cosine_expr(F.col("_va"), F.col("_vb")), round_digits)
+            >= threshold
+        )
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, "centroid_id")
+        .join(dominated, id_col, "left")
+        .select(
+            id_col,
+            "centroid_id",
+            F.coalesce("_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
 def topk_cosine_gemm(
     corpus: DataFrame,
     queries: DataFrame,

@@ -25,3 +25,29 @@ def test_gemm_accepts_query_set_at_limit(spark):
     queries = _vecs(spark, 3)
     out = similarity.topk_cosine_gemm(corpus, queries, k=2, max_query_rows=3)
     assert out.count() == 6  # 3 queries x k=2
+
+
+def test_semantic_dedup_min_id_survivor(spark):
+    # two identical-direction pairs + one orthogonal singleton
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [2.0, 0.0]),   # cos=1 with id 1 -> dup
+        (3, [0.0, 1.0]),
+        (4, [0.0, 5.0]),   # cos=1 with id 3 -> dup
+        (5, [1.0, 1.0]),   # cos ~0.707 to both axes -> kept at 0.99
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["is_dup"]
+        for r in similarity.semantic_dedup(
+            df, n_centroids=1, n_iters=1, threshold=0.99
+        ).collect()
+    }
+    assert out == {1: False, 2: True, 3: False, 4: True, 5: False}
+
+
+def test_assign_inline_rejects_oversized_quantizer(spark):
+    df = _vecs(spark, 3)
+    pairs = [(i, [1.0, 0.0, 0.0]) for i in range(5)]
+    with pytest.raises(ValueError, match="inline cap"):
+        similarity._assign_inline(df, pairs * 20000, "vec_id", "embedding", 6)
