@@ -1301,3 +1301,152 @@ def rel_cast_battery(spark, sf_dir):
         (F.col("l_quantity") > 25).cast("int").alias("bool2int"),
         F.col("l_shipdate").cast("date").cast("string").alias("date2str"),
     )
+
+
+@register(
+    "rel_tpch_q10_shape",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+           c_acctbal, n_name
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1995-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    doc="TPC-H Q10-shaped returned-item report: date-windowed fact scan, "
+    "returnflag pushdown, three joins (nation broadcast), top-20 by "
+    "revenue",
+)
+def rel_tpch_q10_shape(spark, sf_dir):
+    use_utc(spark)
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "rel_tpch_q14_shape",
+    oracle="""
+    SELECT 100.0
+           * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(28,6))) AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+      AND l_shipdate <  TIMESTAMP '1995-09-01'
+    """,
+    doc="TPC-H Q14-shaped promo-revenue ratio: date-windowed fact scan, "
+    "one dim join, conditional decimal aggregation to a single row",
+)
+def rel_tpch_q14_shape(spark, sf_dir):
+    use_utc(spark)
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-09-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                100.0
+                * F.sum(promo.cast("decimal(28,6)")).cast("double")
+                / F.sum(rev.cast("decimal(28,6)")).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "rel_tpch_q17_shape",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey AS a_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                    / COUNT(*)) AS qty_cut
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+                  JOIN pa   ON l_partkey = a_partkey
+    WHERE p_brand = 'Brand#3' AND l_quantity < qty_cut
+    """,
+    doc="TPC-H Q17-shaped small-quantity-order revenue: the correlated "
+    "per-part AVG subquery decorrelated into a groupBy + join (exactly "
+    "what Catalyst plans for the subquery form), decimal-exact average",
+)
+def rel_tpch_q17_shape(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    pa = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (0.2 * davg("l_quantity", "_avg")).alias("qty_cut")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(pa, li.l_partkey == pa.a_partkey)
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("double") / 7.0)
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "rel_tpch_q18_shape",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey AS b_orderkey,
+             {sql_dsum("l_quantity", "sum_qty")}
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > 260
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+    FROM big JOIN orders   ON b_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    doc="TPC-H Q18-shaped large-volume customers: pre-aggregated HAVING "
+    "filter on the fact table (map-side partial sums), then two joins of "
+    "the tiny survivor set, top-20",
+)
+def rel_tpch_q18_shape(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("b_orderkey"))
+        .agg(dsum("l_quantity", "sum_qty"))
+        .where(F.col("sum_qty") > 260)
+    )
+    return (
+        big.join(o, big.b_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
