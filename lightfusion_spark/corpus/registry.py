@@ -59,22 +59,23 @@ PRIORITY: list[str] = [
     "pipe_dedup_exact",
     "pipe_dedup_minhash",
     "pipe_dedup_simhash",
-    "pipe_simhash_pairs",
     "pipe_simhash_wide",
     "pipe_dedup_ngram",
     "pipe_neardup_embedding",
+    "pipe_dedup_semantic",
     "pipe_dedup_components",
     "pipe_dedup_survivors",
-    "pipe_sim_topk",
     "pipe_sim_topk_gemm",
     "pipe_sim_ann_lsh",
     "pipe_sim_lsh_multiprobe",
-    "pipe_sim_ivf",
     "pipe_sim_ivf_kmeans",
     "pipe_text_stats",
     "pipe_text_langid",
     "pipe_text_tokens",
     "pipe_text_fingerprint",
+    "pipe_text_repetition",
+    "pipe_text_pii",
+    "pipe_text_urls",
     "pipe_multimodal_decode",
     "pipe_decontaminate",
     "pipe_quality_filter",
@@ -95,7 +96,6 @@ PRIORITY: list[str] = [
     "rel_join_full_outer",
     "rel_agg_q1",
     "rel_agg_rollup",
-    "rel_pivot",
     "rel_window_rank",
     "rel_topk_group",
     "rel_set_union",
@@ -106,6 +106,18 @@ PRIORITY: list[str] = [
     "rel_approx_sketch",
     "rel_salted_agg",
 ]
+
+#: Queries intentionally OUTSIDE the driver's 50-entry window: each is a
+#: redundant variant of an operator whose windowed sibling runs the same
+#: algorithm against the same oracle family.  All remain parity-checked
+#: by tools/parity.py and the CI subset.
+WINDOW_EXEMPT: frozenset[str] = frozenset(
+    {
+        "pipe_simhash_pairs",  # 16-bit test-scale variant of pipe_simhash_wide
+        "pipe_sim_topk",  # HOF-expression variant of pipe_sim_topk_gemm (same oracle)
+        "pipe_sim_ivf",  # seed-quantizer variant of pipe_sim_ivf_kmeans
+    }
+)
 
 
 def _ordered() -> list[str]:

@@ -5,7 +5,7 @@ leaving the whole ML/pipeline surface driver-unverified).
 """
 
 import __spark_entry__ as entry
-from lightfusion_spark.corpus.registry import PRIORITY, REGISTRY
+from lightfusion_spark.corpus.registry import PRIORITY, REGISTRY, WINDOW_EXEMPT
 
 DRIVER_WINDOW = 50
 
@@ -33,10 +33,17 @@ def test_window_covers_every_family():
         "settings_introspection",
     ):
         assert name in window, f"Layer-A query {name} outside driver window"
-    # Every pipeline / timeseries / UDF query currently registered.
+    # Every pipeline / timeseries / UDF query currently registered, except
+    # explicitly exempted redundant variants (whose windowed sibling runs
+    # the same algorithm).
     for name in REGISTRY:
         if name.startswith(("pipe_", "events_", "udaf_", "udtf_", "grouped_")):
-            assert name in window, f"{name} outside driver window"
+            assert name in window or name in WINDOW_EXEMPT, (
+                f"{name} outside driver window and not exempted"
+            )
+    for name in WINDOW_EXEMPT:
+        assert name in REGISTRY, f"stale WINDOW_EXEMPT entry {name}"
+        assert name not in window, f"{name} exempted but wastes a window slot"
     # One-plus rel_* representative per §2.3 category.
     for name in (
         "rel_filter_project",
