@@ -85,6 +85,7 @@ PRIORITY: list[str] = [
     "events_windowed_stats",
     "events_sessionize",
     "events_asof_join",
+    "events_attribution",
     # UDF / UDAF / UDTF surface.
     "udaf_mean_norm",
     "grouped_map_centroid",
@@ -102,7 +103,6 @@ PRIORITY: list[str] = [
     "rel_subquery_in_exists",
     "rel_cte",
     "rel_scalar_math",
-    "rel_scalar_json",
     "rel_approx_sketch",
     "rel_salted_agg",
 ]

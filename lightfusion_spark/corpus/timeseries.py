@@ -109,3 +109,38 @@ def events_asof_join(spark, sf_dir):
             F.timestamp_micros(F.expr("ts_asof div 1000")), _TS_US_SPARK
         ).alias("click_ts"),
     )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_time
+               FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, event_id AS click_id, ts AS click_time
+               FROM events WHERE event_type = 'click')
+    SELECT c.user_id, view_id, click_id,
+           strftime(view_time, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+           strftime(click_time, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+    FROM v JOIN c ON v.user_id = c.user_id
+                 AND view_time <= click_time
+                 AND click_time <= view_time + INTERVAL 1 HOUR
+    """,
+    doc="stream-stream-join shape in batch: attribute each click to the "
+    "same user's views within the hour before it (the same "
+    "view_click_attribution function runs the watermarked two-stream "
+    "join in Structured Streaming; batch/stream parity tested)",
+)
+def events_attribution(spark, sf_dir):
+    from ..streaming.events import view_click_attribution
+
+    ev = table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view")
+    clicks = ev.where(F.col("event_type") == "click")
+    out = view_click_attribution(views, clicks, horizon="1 hour")
+    return out.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        F.date_format("view_time", _TS_US_SPARK).alias("view_ts"),
+        F.date_format("click_time", _TS_US_SPARK).alias("click_ts"),
+    )

@@ -112,6 +112,47 @@ def sessionized_user_activity(
     )
 
 
+def view_click_attribution(
+    views: DataFrame, clicks: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: attribute each click to the same user's
+    views within ``horizon`` before it.
+
+    The canonical two-stream shape: both sides watermarked, the join
+    condition carries an event-time range, so Spark can bound buffered
+    state (a view can be dropped once the watermark passes view_time +
+    horizon).  Works identically on batch inputs — the parity the tests
+    exploit.  At scale, state is hash-partitioned by user_id like any
+    keyed join; the horizon, not the stream length, bounds its size.
+    """
+    v = (
+        with_event_time(views)
+        .withWatermark("event_time", horizon)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("event_time").alias("view_time"),
+        )
+    )
+    c = (
+        with_event_time(clicks)
+        .withWatermark("event_time", horizon)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("event_time").alias("click_time"),
+        )
+    )
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("view_time") <= F.col("click_time"))
+        & (F.col("click_time") <= F.col("view_time") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("c_user").alias("user_id"), "view_id", "click_id", "view_time", "click_time"
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, checkpoint_dir: str
 ) -> None:

@@ -130,3 +130,29 @@ def test_foreach_batch_parquet_sink(spark, batch_events, tmp_path):
     assert back.drop("batch").count() == expected.count()
     got_total = back.agg({"n_events": "sum"}).first()[0]
     assert got_total == batch_events.count()
+
+
+def test_stream_stream_join_matches_batch(spark, batch_events, tmp_path):
+    """view_click_attribution: watermarked two-stream inner join drained
+    with availableNow equals the same function applied in batch."""
+    from pyspark.sql import functions as F
+
+    stream = ev.read_events_stream(spark, SF_DIR)
+    sv = stream.where(F.col("event_type") == "view")
+    sc = stream.where(F.col("event_type") == "click")
+    q = (
+        ev.view_click_attribution(sv, sc)
+        .writeStream.format("memory")
+        .queryName("attr_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM attr_stream")
+    bv = batch_events.where(F.col("event_type") == "view")
+    bc = batch_events.where(F.col("event_type") == "click")
+    expected = ev.view_click_attribution(bv, bc)
+    assert _sorted_rows(got) == _sorted_rows(expected)
+    assert got.count() > 0
