@@ -32,11 +32,14 @@ BENCH_QUERIES = [
     "lgbm_tsv_flagship",
     "pipe_dedup_minhash",
     "pipe_simhash_wide",
-    "pipe_sim_topk",
-    "pipe_sim_ivf",
+    "pipe_dedup_semantic",
+    "pipe_sim_topk_gemm",
     "pipe_sim_ivf_kmeans",
     "events_asof_join",
+    "events_attribution",
     "pipe_text_stats",
+    "pipe_text_repetition",
+    "rel_tpch_q18_shape",
 ]
 
 
