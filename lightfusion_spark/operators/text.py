@@ -126,42 +126,82 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     A document dominated by one word or by repeated n-grams is boilerplate
     or spam; pre-training corpora drop it.  Everything is per-row
-    higher-order-function math inside whole-stage codegen — a narrow
-    single-pass projection, no shuffle, embarrassingly parallel at 100 TB.
-    """
-    toks = _tokens(F.col(text_col))
-    n_words = F.size(toks)
-    top_word_frac = (
-        F.array_max(
-            F.transform(
-                F.array_distinct(toks),
-                lambda w: F.size(F.filter(toks, lambda t: t == w)),
-            )
-        ).cast("double")
-        / n_words
-    )
+    higher-order-function math — a narrow single-pass projection, no
+    shuffle, embarrassingly parallel at 100 TB.
 
-    def dup_ngram_frac(n: int) -> Column:
-        grams = F.transform(
-            F.sequence(F.lit(1), n_words - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
+    Plan shape matters here: lambda HOFs evaluate outside whole-stage
+    codegen, so a naive single projection re-evaluates ``split(lower(
+    text))`` inside every lambda element access — O(n²) regex work per
+    row.  We therefore *stage* the projection: tokens, then derived
+    arrays, then stats.  Catalyst's CollapseProject keeps the stages
+    separate (each alias is non-trivial and referenced more than once),
+    so the token array materializes exactly once per row.  The top-word
+    count is a sorted-run fold — O(n log n), not O(distinct · n).
+    """
+    step1 = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
+
+    t = F.col("__toks")
+    nw = F.size(t)
+
+    def grams(n: int) -> Column:
+        # null (not []) when the doc is too short; the frac guard below
+        # never looks at it in that case.
+        return F.when(
+            nw >= n,
+            F.transform(
+                F.sequence(F.lit(1), nw - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j) for j in range(n)]
+                ),
             ),
         )
-        return F.when(n_words < n, F.lit(0.0)).otherwise(
-            1.0 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
+
+    step2 = step1.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        F.array_sort(t).alias("__sorted"),
+        grams(2).alias("__g2"),
+        grams(3).alias("__g3"),
+    )
+
+    # Max run length over the sorted tokens == count of the most frequent
+    # token.  Single linear fold; `run` resets to 1 on every new token, so
+    # the "" sentinel prev cannot inflate a count.
+    srt = F.col("__sorted")
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step_fn(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
         )
 
-    dup2, dup3 = dup_ngram_frac(2), dup_ngram_frac(3)
-    return df.select(
+    top_count = F.aggregate(srt, zero, step_fn, lambda acc: acc["best"])
+
+    def dup_frac(g: Column, n: int) -> Column:
+        return F.when(F.col("n_words") < n, F.lit(0.0)).otherwise(
+            1.0 - F.size(F.array_distinct(g)).cast("double") / F.size(g)
+        )
+
+    step3 = step2.select(
         F.col(id_col),
-        n_words.alias("n_words"),
-        top_word_frac.alias("top_word_frac"),
-        dup2.alias("dup_2gram_frac"),
-        dup3.alias("dup_3gram_frac"),
-        ((top_word_frac <= 0.2) & (dup2 <= 0.6) & (dup3 <= 0.5)).alias(
-            "repetition_keep"
-        ),
+        F.col("n_words"),
+        (top_count.cast("double") / F.col("n_words")).alias("top_word_frac"),
+        dup_frac(F.col("__g2"), 2).alias("dup_2gram_frac"),
+        dup_frac(F.col("__g3"), 3).alias("dup_3gram_frac"),
+    )
+
+    return step3.select(
+        "*",
+        (
+            (F.col("top_word_frac") <= 0.2)
+            & (F.col("dup_2gram_frac") <= 0.6)
+            & (F.col("dup_3gram_frac") <= 0.5)
+        ).alias("repetition_keep"),
     )
 
 
