@@ -334,32 +334,42 @@ def _assign_inline(
         )
     import math
 
-    cent_ids = F.array(*[F.lit(cid) for cid, _ in cent_pairs])
     # Centroid norms are driver-side constants, and sqrt(dot(v,v)) is
     # row-constant: compute each once, not once per (row, centroid).
     # Python's left-to-right `sum` matches the engines' sequential
     # inner-product folds bit-for-bit, so ROUND(.., 6) stays oracle-exact.
-    scores = F.array(
-        *[
-            F.round(
-                dot_expr(F.col("_v"), F.array(*[F.lit(x) for x in vec]))
-                / (F.col("_nv") * F.lit(math.sqrt(sum(x * x for x in vec)))),
-                round_digits,
-            )
-            for _, vec in cent_pairs
-        ]
+    #
+    # The whole scoring expression is built as ONE SQL string parsed by a
+    # single F.expr: building it per-centroid from F.lit objects costs a
+    # py4j round trip per literal (n_centroids x dim of them), which at
+    # 8x64 already dominated wall-clock over the actual job.  CAST of the
+    # repr string round-trips every double exactly, and the zip_with fold
+    # is the same sequential left fold dot_expr emits, so scores are
+    # bit-identical to the unrolled form.
+    def dlit(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    cents_sql = ",".join(
+        "array(" + ",".join(dlit(x) for x in vec) + ")" for _, vec in cent_pairs
+    )
+    norms_sql = ",".join(
+        dlit(math.sqrt(sum(x * x for x in vec))) for _, vec in cent_pairs
+    )
+    ids_sql = ",".join(f"CAST({int(cid)} AS BIGINT)" for cid, _ in cent_pairs)
+    scores_sql = (
+        f"zip_with(array({cents_sql}), array({norms_sql}), (c, nc) -> "
+        f"round(aggregate(zip_with(_v, c, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+        f" (acc, v) -> acc + v) / (_nv * nc), {round_digits}))"
+    )
+    pick_sql = (
+        f"element_at(array({ids_sql}), "
+        "CAST(array_position(_scores, array_max(_scores)) AS INT))"
     )
     return (
         df.select(F.col(id_col), as_double(vec_col).alias("_v"))
         .withColumn("_nv", F.sqrt(dot_expr(F.col("_v"), F.col("_v"))))
-        .withColumn("_scores", scores)
-        .withColumn(
-            "centroid_id",
-            F.element_at(
-                cent_ids,
-                F.array_position(F.col("_scores"), F.array_max("_scores")).cast("int"),
-            ),
-        )
+        .withColumn("_scores", F.expr(scores_sql))
+        .withColumn("centroid_id", F.expr(pick_sql))
         .select(id_col, "_v", "centroid_id")
     )
 
@@ -413,9 +423,10 @@ def kmeans_centroids(
         assigned = _assign_inline(vecs, pairs, id_col, "_v", round_digits)
         sums = assigned.groupBy("centroid_id").agg(
             *[
-                F.sum(F.element_at("_v", i + 1).cast("decimal(28,9)"))
-                .cast("double")
-                .alias(f"_s{i}")
+                F.expr(
+                    f"CAST(sum(CAST(element_at(_v, {i + 1}) AS DECIMAL(28,9)))"
+                    f" AS DOUBLE) AS _s{i}"
+                )
                 for i in range(dim)
             ],
             F.count(F.lit(1)).alias("_n"),
