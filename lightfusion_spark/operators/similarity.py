@@ -101,14 +101,27 @@ def random_hyperplanes(n_planes: int, dim: int, seed: int = 7) -> np.ndarray:
     return np.random.RandomState(seed).standard_normal((n_planes, dim)).round(6)
 
 
+def planes_lit(planes: np.ndarray) -> Column:
+    """The hyperplane matrix as ONE parsed literal expression.
+
+    Building it from per-element ``F.lit`` costs a py4j round trip per
+    number (n_planes x dim of them); a single SQL string is one.  CAST of
+    the repr string round-trips every double exactly.
+    """
+    rows = ",".join(
+        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in plane) + ")"
+        for plane in planes
+    )
+    return F.expr(f"array({rows})")
+
+
 def lsh_bucket_expr(vec_col: str | Column, planes: np.ndarray) -> Column:
     """Sign-of-projection bucket id: bit p set iff dot(v, plane_p) > 0."""
     v = as_double(vec_col)
-    bucket = F.lit(0)
-    for p, plane in enumerate(planes):
-        lit = F.array(*[F.lit(float(x)) for x in plane])
-        bucket = bucket + F.when(dot_expr(v, lit) > 0, F.lit(1 << p)).otherwise(0)
-    return bucket
+    bits = F.array(*[F.lit(1 << p) for p in range(len(planes))])
+    dps = F.transform(planes_lit(planes), lambda p: dot_expr(v, p))
+    signed = F.zip_with(dps, bits, lambda d, b: F.when(d > 0, b).otherwise(0))
+    return F.aggregate(signed, F.lit(0), lambda a, x: a + x)
 
 
 def topk_cosine_lsh(
@@ -184,13 +197,8 @@ def topk_cosine_lsh_multiprobe(
     # plane); bucket/margin/probe arithmetic on top of them is cheap.
     # A lambda capturing the raw vector would re-fold every dot product
     # per reference (see dedup.doc_shingles for the same trick).
-    dps = F.array(
-        *[
-            dot_expr(
-                F.col("_qv"), F.array(*[F.lit(float(x)) for x in plane])
-            )
-            for plane in planes
-        ]
+    dps = F.transform(
+        planes_lit(planes), lambda p: dot_expr(F.col("_qv"), p)
     )
     q0 = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
