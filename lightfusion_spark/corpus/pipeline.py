@@ -1030,3 +1030,72 @@ def pipe_mixture_sample(spark, sf_dir):
         d, "source", "doc_id", "n_chars", _MIX_SHARES, _MIX_BUDGET, seed=42
     )
     return kept.select("doc_id", "source", "sample_rate", "u")
+
+
+# ---------------------------------------------------------------------------
+# training export: split assignment + shard shuffle
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipe_split_stratified",
+    oracle="""
+    WITH u AS (
+      SELECT source, n_chars,
+             ROUND((CAST('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)),
+                                        1, 14) AS BIGINT)
+                    % 1000000) / CAST(1000000 AS DOUBLE), 6) AS u
+      FROM documents
+    ),
+    a AS (
+      SELECT source, n_chars,
+             CASE WHEN u < 0.8 THEN 'train'
+                  WHEN u < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM u
+    )
+    SELECT source, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM a GROUP BY source, split
+    """,
+    doc="deterministic train/val/test split: hash-threshold assignment "
+    "(pure function of doc_id — stable across re-runs, cluster sizes, "
+    "and corpus growth, unlike randomSplit), audited as per-(source, "
+    "split) document and char counts.  Zero-shuffle assignment; the "
+    "audit agg is one tiny map-side-combined exchange",
+)
+def pipe_split_stratified(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    parts = curation.train_val_test_split(d, "doc_id", (0.8, 0.1, 0.1), seed=13)
+    return parts.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+@register(
+    "pipe_shard_assign",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('5:' || CAST(doc_id AS VARCHAR)), 1, 14)
+                  AS BIGINT) % 16 AS shard,
+             CAST('0x' || substr(md5('6:' || CAST(doc_id AS VARCHAR)), 1, 14)
+                  AS BIGINT) AS oh
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY oh, doc_id) - 1
+             AS shard_pos
+    FROM h
+    """,
+    doc="deterministic global shuffle into training shards: uniform hash "
+    "shard + reproducible in-shard position = a global permutation with "
+    "NO global sort (a single-partition ORDER BY would bottleneck at "
+    "100 TB); one hash exchange, per-shard windows, one writer task per "
+    "shard",
+)
+def pipe_shard_assign(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return curation.shard_assign(d, "doc_id", n_shards=16, seed=5).select(
+        "doc_id", "shard", "shard_pos"
+    )

@@ -1450,3 +1450,117 @@ def rel_tpch_q18_shape(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# lateral / generator, higher-order functions, regexp
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_explode",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(text, '\\s+')) AS tok,
+             unnest(range(len(string_split_regex(text, '\\s+')))) AS pos
+      FROM documents
+    )
+    SELECT tok,
+           COUNT(*) AS n_occur,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(CAST(pos AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_pos
+    FROM toks
+    GROUP BY tok
+    HAVING COUNT(*) > 50
+    """,
+    doc="generator/lateral surface: posexplode of a split column into "
+    "(pos, token) rows, re-aggregated into a vocabulary profile.  The "
+    "explode is a narrow per-row flatMap (no shuffle); the only exchange "
+    "is the final token groupBy with map-side partial aggregation, so at "
+    "100 TB the exploded rows never materialize across the wire",
+)
+def rel_explode(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_occur"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            davg("pos", "avg_pos"),
+        )
+        .where(F.col("n_occur") > 50)
+    )
+
+
+@register(
+    "rel_higher_order",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(list_sum(list_transform(e, x -> x * x)), 6) AS sum_sq,
+           LEN(list_filter(e, x -> x > 0.25)) AS n_big,
+           list_max(list_transform(e, x -> abs(x))) AS max_abs,
+           ROUND(list_sum(list_transform(range(1, len(e) + 1),
+                                         i -> e[i] * e[len(e) + 1 - i])), 6)
+             AS rev_dot
+    FROM v
+    """,
+    doc="higher-order array functions: transform / filter / aggregate-fold "
+    "/ zip_with stay in whole-stage codegen (no Python), the JVM analogue "
+    "of the reference's vectorized list-array kernels "
+    "(reference src/udf.rs:137-155).  Sums are sequential folds on both "
+    "engines; round(6) absorbs pairwise-vs-sequential last-ulp drift",
+)
+def rel_higher_order(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    v = emb.select("vec_id", e.alias("e"))
+    fold = lambda col: F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x)
+    return v.select(
+        "vec_id",
+        F.round(
+            F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x), 6
+        ).alias("sum_sq"),
+        F.size(F.filter(F.col("e"), lambda x: x > 0.25)).alias("n_big"),
+        F.array_max(F.transform(F.col("e"), F.abs)).alias("max_abs"),
+        F.round(
+            fold(F.zip_with(F.col("e"), F.reverse(F.col("e")), lambda a, b: a * b)), 6
+        ).alias("rev_dot"),
+    )
+
+
+@register(
+    "rel_regexp",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+           substr(regexp_replace(text, '[aeiou]+', '_', 'g'), 1, 40) AS devoweled,
+           LEN(regexp_extract_all(text, '[a-z]*a[a-z]*')) AS n_a_words,
+           regexp_matches(text, 'table\\s+value') AS has_phrase
+    FROM documents
+    WHERE doc_id < 3000
+    """,
+    doc="regexp surface: extract with group index, global replace "
+    "(DuckDB needs the 'g' flag to match Spark's replace-all), "
+    "extract_all count, rlike boolean.  Patterns restricted to the "
+    "RE2/Java-regex common subset so both engines agree",
+)
+def rel_regexp(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.where(F.col("doc_id") < 3000).select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.substring(F.regexp_replace("text", r"[aeiou]+", "_"), 1, 40).alias(
+            "devoweled"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]*a[a-z]*"), 0)).alias(
+            "n_a_words"
+        ),
+        F.col("text").rlike(r"table\s+value").alias("has_phrase"),
+    )

@@ -232,3 +232,55 @@ def mixture_sample(
         .where(F.col("u") < F.col("sample_rate"))
         .drop("_tok")
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hash threshold.
+
+    A row's split is a pure function of ``(id, seed)``: the hash-uniform
+    ``u`` lands in ``[0, f_train)`` -> train, ``[f_train, f_train+f_val)``
+    -> val, else test.  Unlike ``df.randomSplit`` the assignment is
+    stable across re-runs, cluster sizes and partitionings, documents
+    never migrate between splits when the corpus grows (new ids draw
+    fresh uniforms; existing ids keep theirs), and the three splits are
+    disjoint by construction.  Adds ``(u, split)``.
+    """
+    f_train, f_val = float(fractions[0]), float(fractions[1])
+    u = F.round(_uniform(id_col, seed), 6)
+    split = (
+        F.when(F.col("u") < f_train, F.lit("train"))
+        .when(F.col("u") < f_train + f_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("u", u).withColumn("split", split)
+
+
+def shard_assign(
+    df: DataFrame, id_col: str, n_shards: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic global shuffle into training shards.
+
+    The trainer-facing export step: every row gets a shard (uniform by
+    hash) and a reproducible pseudo-random position inside its shard —
+    together a global permutation of the corpus WITHOUT a global sort.
+    One hash exchange on ``shard``; the per-shard window never sees more
+    than |corpus| / n_shards rows, so parallelism is the shard count
+    (pick n_shards ~ output-file count at 100 TB, e.g. 100k), and each
+    shard is one writer task (`partitionBy(shard)`).
+
+    Adds ``(shard, shard_pos)``; ``shard_pos`` is 0-based and dense.
+    """
+    sid = F.col(id_col).cast("string")
+    shard = (_md5_long(sid, seed=seed) % n_shards).alias("shard")
+    order_h = _md5_long(sid, seed=seed + 1).alias("_order_h")
+    w = Window.partitionBy("shard").orderBy("_order_h", id_col)
+    return (
+        df.select("*", shard, order_h)
+        .withColumn("shard_pos", F.row_number().over(w) - F.lit(1))
+        .drop("_order_h")
+    )

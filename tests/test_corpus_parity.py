@@ -44,8 +44,13 @@ SUBSET = [
     "pipe_decontaminate",
     "pipe_pack_sequences",
     "pipe_mixture_sample",
+    "pipe_split_stratified",
+    "pipe_shard_assign",
     "events_asof_join",
     "rel_join_full_outer",
+    "rel_explode",
+    "rel_higher_order",
+    "rel_regexp",
 ]
 
 

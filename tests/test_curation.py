@@ -93,3 +93,46 @@ def test_quality_rules_composite_gate(spark):
     flags = curation.quality_rules(d, "doc_id", "text").collect()
     for r in flags:
         assert r["keep"] == (r["r_n_words"] and r["r_word_len"] and r["r_punct"])
+
+
+def test_split_is_deterministic_disjoint_and_total(spark):
+    d = _docs(spark)
+    a = curation.train_val_test_split(d, "doc_id", (0.5, 0.25, 0.25), seed=3)
+    b = curation.train_val_test_split(d, "doc_id", (0.5, 0.25, 0.25), seed=3)
+    got_a = {r["doc_id"]: r["split"] for r in a.collect()}
+    got_b = {r["doc_id"]: r["split"] for r in b.collect()}
+    assert got_a == got_b  # pure function of (id, seed)
+    assert set(got_a) == {1, 2, 3, 4}  # total: every row assigned
+    assert set(got_a.values()) <= {"train", "val", "test"}
+
+
+def test_split_assignment_stable_under_corpus_growth(spark):
+    d = _docs(spark)
+    small = curation.train_val_test_split(d.where("doc_id <= 2"), "doc_id", seed=3)
+    full = curation.train_val_test_split(d, "doc_id", seed=3)
+    small_map = {r["doc_id"]: r["split"] for r in small.collect()}
+    full_map = {r["doc_id"]: r["split"] for r in full.collect()}
+    # adding docs 3/4 must not move docs 1/2 between splits
+    assert all(full_map[k] == v for k, v in small_map.items())
+
+
+def test_shard_assign_dense_positions_and_determinism(spark):
+    d = _docs(spark)
+    out = curation.shard_assign(d, "doc_id", n_shards=2, seed=1)
+    rows = out.select("doc_id", "shard", "shard_pos").collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))  # dense, 0-based
+    again = {
+        (r["doc_id"], r["shard"], r["shard_pos"])
+        for r in curation.shard_assign(d, "doc_id", n_shards=2, seed=1).collect()
+    }
+    assert again == {(r["doc_id"], r["shard"], r["shard_pos"]) for r in rows}
+
+
+def test_shard_assign_keeps_payload_columns(spark):
+    d = _docs(spark)
+    out = curation.shard_assign(d, "doc_id", n_shards=4)
+    assert set(out.columns) == {"doc_id", "text", "source", "n_chars", "shard", "shard_pos"}
