@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "events_attribution",
     "pipe_text_stats",
     "pipe_text_repetition",
+    "pipe_lm_score",
     "rel_tpch_q18_shape",
 ]
 

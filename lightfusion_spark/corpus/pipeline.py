@@ -1099,3 +1099,35 @@ def pipe_shard_assign(spark, sf_dir):
     return curation.shard_assign(d, "doc_id", n_shards=16, seed=5).select(
         "doc_id", "shard", "shard_pos"
     )
+
+
+@register(
+    "pipe_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+    stats AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_tok, COUNT(*) AS n_vocab
+              FROM vocab),
+    model AS (
+      SELECT tok,
+             ROUND(-LN((tf + 0.5) / (n_tok + 0.5 * n_vocab)), 6) AS nll
+      FROM vocab, stats
+    )
+    SELECT doc_id, COUNT(*) AS n_toks,
+           CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_nll
+    FROM toks JOIN model USING (tok)
+    GROUP BY doc_id
+    """,
+    doc="CCNet-style unigram-LM quality score: the corpus's own token "
+    "frequencies are the model (one vocab agg), each document scored by "
+    "mean token NLL (one join + one re-agg).  Low = boilerplate, high = "
+    "gibberish; the standard middle-band keep filter for pretraining "
+    "corpora",
+)
+def pipe_lm_score(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return text_ops.unigram_lm_score(d, "doc_id", "text", k=0.5)

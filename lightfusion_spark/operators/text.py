@@ -262,3 +262,54 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         fp.alias("fp_md5"),
         F.conv(F.substring(fp, 1, 14), 16, 10).cast("bigint").alias("fp_bucket"),
     )
+
+
+def unigram_lm_score(
+    df: DataFrame, id_col: str, text_col: str, k: float = 0.5
+) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained unigram LM.
+
+    The CCNet-style LM quality filter, self-trained in one pass: the
+    corpus's own token frequencies are the model, and each document is
+    scored by the mean negative log-likelihood of its tokens::
+
+        p(tok)  = (tf + k) / (N + k·V)        -- add-k smoothing
+        avg_nll = mean(-ln p(tok) for tok in doc)
+
+    Low scores = high-probability boilerplate; high scores = rare-token
+    soup / gibberish.  Callers typically keep the middle band.
+    Returns ``(id_col, n_toks, avg_nll)``.
+
+    Scale (100 TB): three exchanges — the vocabulary aggregation
+    (map-side combined: one row per distinct token), the token→model
+    equi-join (AQE broadcasts when the vocabulary fits, shuffle-hash
+    otherwise; natural-language vocabularies are Zipfian, so even a
+    web-scale corpus keeps V ≪ N), and the per-document re-aggregation.
+    The corpus-wide (N, V) scalars ride a broadcast one-row cross join,
+    never a driver collect.  Per-token NLLs are rounded to 6 decimals
+    and summed as DECIMAL so partial-aggregation order can't change a
+    bit (ln differs in the last ulp across libm implementations).
+    """
+    toks = df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    stats = vocab.agg(
+        F.sum("tf").alias("n_tok"), F.count(F.lit(1)).alias("n_vocab")
+    )
+    model = vocab.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.round(
+            -F.log((F.col("tf") + F.lit(k)) / (F.col("n_tok") + F.lit(k) * F.col("n_vocab"))),
+            6,
+        ).alias("nll"),
+    )
+    return (
+        toks.join(model, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            (
+                F.sum(F.col("nll").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_nll"),
+        )
+    )

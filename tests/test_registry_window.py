@@ -49,13 +49,11 @@ def test_window_covers_every_family():
         "rel_filter_project",
         "rel_join_inner_agg",
         "rel_join_right",
-        "rel_join_full_outer",
         "rel_agg_q1",
         "rel_window_rank",
         "rel_topk_group",
         "rel_set_union",
         "rel_subquery_in_exists",
-        "rel_cte",
         "rel_scalar_math",
         "rel_approx_sketch",
         "rel_salted_agg",

@@ -51,3 +51,25 @@ def test_assign_inline_rejects_oversized_quantizer(spark):
     pairs = [(i, [1.0, 0.0, 0.0]) for i in range(5)]
     with pytest.raises(ValueError, match="inline cap"):
         similarity._assign_inline(df, pairs * 20000, "vec_id", "embedding", 6)
+
+
+def test_semantic_dedup_gemm_matches_sql_pair_scan(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [2.0, 0.0]),
+        (3, [0.0, 1.0]),
+        (4, [0.0, 5.0]),
+        (5, [1.0, 1.0]),
+        (6, [1.0, 0.01]),  # near-parallel to id 1 — exercises the threshold edge
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(n_centroids=2, n_iters=1, threshold=0.99)
+    gemm = {
+        (r["vec_id"], r["centroid_id"], r["is_dup"])
+        for r in similarity.semantic_dedup(df, use_gemm=True, **kw).collect()
+    }
+    sql = {
+        (r["vec_id"], r["centroid_id"], r["is_dup"])
+        for r in similarity.semantic_dedup(df, use_gemm=False, **kw).collect()
+    }
+    assert gemm == sql
