@@ -291,7 +291,15 @@ def unigram_lm_score(
     bit (ln differs in the last ulp across libm implementations).
     """
     toks = df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    # The vocabulary is tiny (one row per distinct token) but feeds two
+    # branches (the (N, V) scalars and the model); without a lineage cut
+    # each branch would re-tokenize the full corpus — localCheckpoint
+    # makes it one vocabulary pass + one scoring pass over the corpus.
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     stats = vocab.agg(
         F.sum("tf").alias("n_tok"), F.count(F.lit(1)).alias("n_vocab")
     )
