@@ -59,3 +59,22 @@ def test_external_table_parquet_and_json(engine, nation, tmp_path):
     assert engine.sql("SELECT COUNT(*) AS n FROM nation_ext").first()["n"] == 25
     engine.sql(f"CREATE EXTERNAL TABLE nation_j STORED AS JSON LOCATION '{jpath}'")
     assert engine.sql("SELECT COUNT(*) AS n FROM nation_j").first()["n"] == 25
+
+
+def test_orc_round_trip(spark, nation, tmp_path):
+    path = str(tmp_path / "nation_orc")
+    nation.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    _assert_same_rows(back, nation)
+
+
+def test_orc_predicate_pushdown(spark, tmp_path):
+    from lightfusion_spark.plans.audit import formatted_plan
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    path = str(tmp_path / "orders_orc")
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path).where("o_totalprice > 100000").select("o_orderkey")
+    plan = formatted_plan(back)
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200]
+    assert back.count() == orders.where("o_totalprice > 100000").count()
