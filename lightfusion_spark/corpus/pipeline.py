@@ -1131,3 +1131,68 @@ def pipe_shard_assign(spark, sf_dir):
 def pipe_lm_score(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     return text_ops.unigram_lm_score(d, "doc_id", "text", k=0.5)
+
+
+@register(
+    "pipe_lm_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+    stats AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_tok, COUNT(*) AS n_vocab
+              FROM vocab),
+    model AS (
+      SELECT tok,
+             ROUND(-LN((tf + 0.5) / (n_tok + 0.5 * n_vocab)), 6) AS nll
+      FROM vocab, stats
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+               AS avg_nll
+      FROM toks JOIN model USING (tok)
+      GROUP BY doc_id
+    ),
+    bucketed AS (
+      SELECT d.lang,
+             CASE NTILE(3) OVER (PARTITION BY d.lang
+                                 ORDER BY s.avg_nll, s.doc_id)
+                  WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             ROUND(s.avg_nll, 6) AS r_nll
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT lang, bucket, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(r_nll AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+             AS mean_nll
+    FROM bucketed GROUP BY lang, bucket
+    """,
+    doc="CCNet-style perplexity bucketing: per-language head/middle/tail "
+    "tertiles of the unigram-LM score (NTILE over a per-lang window with "
+    "a deterministic doc_id tiebreak).  The standard head-keep / "
+    "tail-drop curation policy; per-lang partitioning keeps the window "
+    "parallel across languages at scale",
+)
+def pipe_lm_buckets(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    scored = text_ops.unigram_lm_score(d, "doc_id", "text", k=0.5)
+    joined = scored.join(d.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    tier = F.ntile(3).over(w)
+    bucketed = joined.select(
+        "lang",
+        F.when(tier == 1, "head").when(tier == 2, "middle").otherwise("tail").alias("bucket"),
+        F.round("avg_nll", 6).alias("r_nll"),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("r_nll").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_nll"),
+    )

@@ -102,6 +102,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--cpus", default="8", help="parallelism + shuffle partitions")
+    ap.add_argument(
+        "--tz",
+        default="UTC",
+        help="session timezone to START the session with — queries must force "
+        "UTC themselves (util.table/use_utc), so a hostile non-UTC value "
+        "here proves invariance to the driver's session config",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -114,7 +121,7 @@ def main() -> int:
         .appName("parity")
         .config("spark.sql.shuffle.partitions", args.cpus)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.session.timeZone", args.tz)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
