@@ -89,6 +89,7 @@ PRIORITY: list[str] = [
     "events_sessionize",
     "events_asof_join",
     "events_attribution",
+    "events_range_join",
     # UDF / UDAF / UDTF surface.
     "udaf_mean_norm",
     "grouped_map_centroid",
@@ -99,7 +100,6 @@ PRIORITY: list[str] = [
     "rel_join_right",
     "rel_agg_q1",
     "rel_window_rank",
-    "rel_topk_group",
     "rel_set_union",
     "rel_subquery_in_exists",
     "rel_scalar_math",
@@ -122,6 +122,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "rel_join_full_outer",  # green in CORRECTNESS_r02; slot ceded to pipe_lm_score
         "rel_agg_rollup",  # green in CORRECTNESS_r02; agg family repped by rel_agg_q1
         "rel_cte",  # green in CORRECTNESS_r02; family repped by rel_subquery_in_exists
+        "rel_topk_group",  # green in CORRECTNESS_r02; ranking family repped by rel_window_rank
     }
 )
 

@@ -144,3 +144,45 @@ def events_attribution(spark, sf_dir):
         F.date_format("view_time", _TS_US_SPARK).alias("view_ts"),
         F.date_format("click_time", _TS_US_SPARK).alias("click_ts"),
     )
+
+
+@register(
+    "events_range_join",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id AS window_id, ts AS w_start, ts + INTERVAL 1 HOUR AS w_end
+      FROM events WHERE event_type = 'purchase' AND value > 330
+    )
+    SELECT window_id, e.event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM iv JOIN events e ON e.ts BETWEEN iv.w_start AND iv.w_end
+    GROUP BY window_id, e.event_type
+    """,
+    doc="keyless range join: count all activity (any user) inside the hour "
+    "after each high-value purchase.  Naively a BroadcastNestedLoopJoin "
+    "(every event x every window); the bucketed_range_join operator "
+    "makes it a hash equi-join on 1-hour time buckets (each interval "
+    "explodes into <=2 buckets) + an exact BETWEEN refinement",
+)
+def events_range_join(spark, sf_dir):
+    from ..operators.asof import bucketed_range_join
+
+    ev = table(spark, sf_dir, "events")
+    hour_ns = 3_600_000_000_000
+    iv = ev.where((F.col("event_type") == "purchase") & (F.col("value") > 330)).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.lit(hour_ns)).alias("w_end"),
+    )
+    joined = bucketed_range_join(
+        ev.select(F.col("ts"), F.col("event_type"), F.col("value")),
+        iv,
+        "ts",
+        "w_start",
+        "w_end",
+        bucket=hour_ns,
+    )
+    return joined.groupBy("window_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+    )

@@ -78,3 +78,45 @@ def asof_join(
             for v in value_cols
         ],
     )
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    left_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket: int,
+) -> DataFrame:
+    """Exact interval join without an equi-key and without a cross product.
+
+    ``left rows whose left_ts falls in [start, end]`` naively plans a
+    BroadcastNestedLoopJoin (every row against every interval) — the
+    classic range-join trap.  Bucketing makes it an ordinary hash
+    equi-join: each interval explodes into the coarse time buckets it
+    covers, each left row computes its single bucket, the sides
+    equi-join on the bucket id, and an exact BETWEEN filter removes the
+    bucket-boundary false positives.  A left row occupies exactly one
+    bucket, so a (row, interval) pair can match only once — no dedup
+    pass.  Timestamps are integers (nanos); ``bucket`` is the bucket
+    width in the same unit.
+
+    Scale: candidate volume is |left| + Σ(interval_span / bucket) rows
+    through one hash exchange — pick ``bucket`` ≈ the typical interval
+    length so each interval explodes into ~2 buckets.  Skewed buckets
+    (a hot hour) are ordinary join skew — AQE splits them.
+    """
+    l2 = left.withColumn("_bk", F.expr(f"{left_ts} div {bucket}"))
+    iv = intervals.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_col} div {bucket}"), F.expr(f"{end_col} div {bucket}")
+            )
+        ),
+    )
+    return (
+        l2.join(iv, "_bk")
+        .where(F.col(left_ts).between(F.col(start_col), F.col(end_col)))
+        .drop("_bk")
+    )

@@ -85,3 +85,32 @@ def test_asof_inclusive_on_equal_ts(spark):
     right = spark.createDataFrame([(1, 50, 3.0)], "k int, ts long, v double")
     (row,) = asof_join(left, right, "k", "ts", ["v"]).collect()
     assert row["v_asof"] == 3.0  # right ts == left ts matches
+
+
+def test_bucketed_range_join_boundaries_and_plan(spark):
+    from lightfusion_spark.operators.asof import bucketed_range_join
+    from lightfusion_spark.plans.audit import formatted_plan, join_nodes
+
+    left = spark.createDataFrame(
+        [(1, 100), (2, 1000), (3, 1500), (4, 1501), (5, 2499)], "row_id long, ts long"
+    )
+    iv = spark.createDataFrame(
+        [(10, 1000, 1500), (20, 2400, 3000)], "window_id long, s long, e long"
+    )
+    out = bucketed_range_join(left, iv, "ts", "s", "e", bucket=1000)
+    got = {(r["row_id"], r["window_id"]) for r in out.collect()}
+    # inclusive on both ends: ts=1000 and ts=1500 match [1000,1500]; 1501 not
+    assert got == {(2, 10), (3, 10), (5, 20)}
+    plan = formatted_plan(out)
+    joins = join_nodes(plan)
+    assert joins and all("NestedLoop" not in j and "Cartesian" not in j for j in joins), joins
+
+
+def test_bucketed_range_join_pairs_unique_across_buckets(spark):
+    from lightfusion_spark.operators.asof import bucketed_range_join
+
+    left = spark.createDataFrame([(1, 150)], "row_id long, ts long")
+    # interval spans two buckets; the pair must still appear exactly once
+    iv = spark.createDataFrame([(10, 50, 250)], "window_id long, s long, e long")
+    out = bucketed_range_join(left, iv, "ts", "s", "e", bucket=100)
+    assert out.count() == 1

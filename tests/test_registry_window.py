@@ -51,7 +51,6 @@ def test_window_covers_every_family():
         "rel_join_right",
         "rel_agg_q1",
         "rel_window_rank",
-        "rel_topk_group",
         "rel_set_union",
         "rel_subquery_in_exists",
         "rel_scalar_math",
