@@ -307,22 +307,83 @@ def assign_to_centroids(
     id_col: str,
     vec_col: str,
     round_digits: int = 6,
+    use_gemm: bool = True,
 ) -> DataFrame:
     """Nearest-centroid (max cosine) assignment: (id, vec, centroid_id).
 
     ``centroids`` is (centroid_id, _cent).  A coarse quantizer is tiny by
     construction (n_centroids ~ sqrt(corpus) at most), so we collect it
-    and inline it as a literal array-of-arrays: assignment becomes a
-    *narrow* projection — score every centroid with a ``transform`` fold,
-    take the first maximum with ``array_max``/``array_position`` — with
-    ZERO shuffle of the corpus (the previous shape, crossJoin + window
-    argmin, shuffled (corpus x centroids) rows by id).  Tie-break is
-    first-max in centroid_id order, identical to the old
-    (score DESC, centroid_id ASC) window ordering.
+    to the driver and assignment stays a *narrow* projection with ZERO
+    shuffle of the corpus (the previous shape, crossJoin + window argmin,
+    shuffled (corpus x centroids) rows by id).  Tie-break is first-max in
+    centroid_id order, identical to the old (score DESC, centroid_id ASC)
+    window ordering.
+
+    ``use_gemm`` (default) scores all centroids with ONE NumPy matmul
+    per Arrow batch (``_assign_gemm``); the interpreted ``zip_with``
+    fold (``_assign_inline``) costs ~0.9 ms/row at 64 centroids x dim 64
+    — 170 s for 200k rows, measured in tools/scalecheck.py — vs ~2 s
+    for the GEMM path, same rounded scores.
     """
     rows = centroids.select("centroid_id", "_cent").orderBy("centroid_id").collect()
     pairs = [(r["centroid_id"], [float(x) for x in r["_cent"]]) for r in rows]
+    if use_gemm:
+        return _assign_gemm(df, pairs, id_col, vec_col, round_digits)
     return _assign_inline(df, pairs, id_col, vec_col, round_digits)
+
+
+def _assign_gemm(
+    df,
+    cent_pairs: Sequence[tuple],
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """GEMM nearest-centroid assignment: one (batch x dim) @ (dim x k)
+    multiply per Arrow batch, ``argmax`` row-wise (NumPy argmax takes the
+    first maximum, matching ``_assign_inline``'s array_position pick and
+    the oracle's sequential scan).
+
+    Oracle-exactness: scores are rounded to ``round_digits`` before the
+    argmax.  NumPy's pairwise-summed dot differs from the engines'
+    sequential fold by ~1 ulp; a flip would need the true cosine within
+    ~1e-15 of a 0.5e-6 rounding boundary, which real-valued data never
+    hits — the same argument (and the same measured hash-match) as the
+    verified ``topk_cosine_gemm``.
+    """
+    if len(cent_pairs) > MAX_INLINE_CENTROIDS:
+        raise ValueError(
+            f"assign_to_centroids: {len(cent_pairs)} centroids exceeds the "
+            f"{MAX_INLINE_CENTROIDS} inline cap — a coarse quantizer this "
+            "large should be a bucketed equi-join, not an inline scan"
+        )
+    import pandas as pd
+
+    c_ids = np.array([int(cid) for cid, _ in cent_pairs], dtype=np.int64)
+    c_mat = np.array([vec for _, vec in cent_pairs], dtype=np.float64)
+    c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat))
+
+    src = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    id_field = src.schema[id_col]
+    out_schema = (
+        f"`{id_col}` {id_field.dataType.simpleString()}, "
+        "_v array<double>, centroid_id bigint"
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            nv = np.sqrt(np.einsum("ij,ij->i", v, v))
+            scores = np.round(
+                (v @ c_mat.T) / (nv[:, None] * c_norm[None, :]), round_digits
+            )
+            pdf = pdf[[id_col, "_v"]].copy()
+            pdf["centroid_id"] = c_ids[np.argmax(scores, axis=1)]
+            yield pdf
+
+    return src.mapInPandas(assign, out_schema)
 
 
 def _assign_inline(
@@ -428,7 +489,7 @@ def kmeans_centroids(
     dim = len(pairs[0][1])
     vecs = corpus.select(F.col(id_col), as_double(vec_col).alias("_v"))
     for _ in range(n_iters):
-        assigned = _assign_inline(vecs, pairs, id_col, "_v", round_digits)
+        assigned = _assign_gemm(vecs, pairs, id_col, "_v", round_digits)
         sums = assigned.groupBy("centroid_id").agg(
             *[
                 F.expr(
@@ -525,31 +586,37 @@ def topk_cosine_ivf_kmeans(
 def _cluster_dominated_gemm(
     assigned: DataFrame, id_col: str, threshold: float, round_digits: int
 ) -> DataFrame:
-    """Per-cluster dominated-id scan as one NumPy matmul per group.
+    """Per-cluster dominated scan as one NumPy matmul per group.
 
     For each centroid group: cos(i,j) = (V·Vᵀ) / (‖v‖ outer ‖v‖),
     rounded to ``round_digits``; a row is dominated when any lower-id
     row in the same cluster meets the threshold.  Ids are unique per
     cluster (a row is assigned exactly once), so no global distinct is
-    needed.  Emits only dominated ids — the shuffle after this node
-    carries O(duplicates), not O(pairs).
+    needed.  Emits the full (id, centroid_id, is_dup) verdict per row —
+    the group already holds every cluster member, so this IS the
+    operator output: no flag join, and the assignment projection is
+    evaluated once, not once per consumer.
     """
     import numpy as np
     import pandas as pd
 
-    out_schema = f"{id_col} long"
+    out_schema = f"{id_col} long, centroid_id long, is_dup boolean"
 
     def find_dominated(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        cid = pdf["centroid_id"].to_numpy()
         if len(pdf) < 2:
-            return pd.DataFrame({id_col: np.array([], dtype=np.int64)})
-        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
-        ids = pdf[id_col].to_numpy()[order]
+            return pd.DataFrame(
+                {id_col: ids, "centroid_id": cid, "is_dup": np.zeros(len(pdf), bool)}
+            )
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
         mat = np.vstack(pdf["_v"].to_numpy()[order]).astype(np.float64)
         norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
         cos = np.round((mat @ mat.T) / np.outer(norms, norms), round_digits)
         # strict upper triangle = (lower id, higher id) pairs
         hit = np.triu(cos >= threshold, k=1).any(axis=0)
-        return pd.DataFrame({id_col: ids[hit]})
+        return pd.DataFrame({id_col: ids, "centroid_id": cid[order], "is_dup": hit})
 
     return assigned.groupBy("centroid_id").applyInPandas(find_dominated, out_schema)
 
@@ -580,7 +647,8 @@ def semantic_dedup(
     ``applyInPandas`` per cluster: a single (m × dim)·(dim × m) NumPy
     matmul replaces m²·dim interpreted fold steps (same ~25× win the
     top-k GEMM path measured in tools/scalecheck.py), and each group
-    emits only its dominated ids.  One cluster must fit an executor's
+    emits its rows' (id, centroid_id, is_dup) verdicts directly — no
+    flag join.  One cluster must fit an executor's
     memory — at 100 TB that is exactly the SemDeDup regime, where
     n_centroids is chosen to keep clusters at ~1e4-1e5 rows.
     ``use_gemm=False`` keeps the pure-SQL equi-join pair scan (the
@@ -588,11 +656,11 @@ def semantic_dedup(
     cosine to ``round_digits`` before the threshold, so they agree.
     """
     cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, n_iters, round_digits)
-    assigned = assign_to_centroids(corpus, cents, id_col, vec_col, round_digits)
+    assigned = assign_to_centroids(
+        corpus, cents, id_col, vec_col, round_digits, use_gemm=use_gemm
+    )
     if use_gemm:
-        dominated = _cluster_dominated_gemm(
-            assigned, id_col, threshold, round_digits
-        ).withColumn("_dup", F.lit(True))
+        return _cluster_dominated_gemm(assigned, id_col, threshold, round_digits)
     else:
         a = assigned.select(
             F.col(id_col).alias("_ida"), F.col("_v").alias("_va"), "centroid_id"

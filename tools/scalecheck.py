@@ -7,6 +7,10 @@ the fuzzy-dedup path rather than trivial exact collapse).  Nothing is
 written to disk; results print as one JSON line per scenario.
 
 Usage: python tools/scalecheck.py [--sf /root/testdata/sf0.1]
+                                  [--only SUBSTR [SUBSTR ...]]
+
+``--only`` runs just the scenarios whose label contains any of the given
+substrings (the full sweep takes ~15 min; a single scenario seconds).
 """
 
 from __future__ import annotations
@@ -36,7 +40,12 @@ def inflate(df, times: int, id_col: str, id_stride: int, text_col: str | None = 
     return rep.drop("_rep")
 
 
+ONLY: list[str] = []
+
+
 def timed(label, fn):
+    if ONLY and not any(s in label for s in ONLY):
+        return None
     t0 = time.time()
     n = fn()
     dt = round(time.time() - t0, 2)
@@ -47,7 +56,9 @@ def timed(label, fn):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--only", nargs="*", default=[])
     args = ap.parse_args()
+    ONLY[:] = args.only
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -129,6 +140,47 @@ def main() -> None:
     timed(
         f"salted_agg_{20 * n_ev}_events_5keys",
         lambda: skew.salted_agg(ev20, ["event_type"], "event_id").count(),
+    )
+
+    # Semantic dedup: per-cluster GEMM pair scan at 100x vectors (64 cells
+    # keep clusters ~n/64; the SQL pair-scan variant at this size would
+    # evaluate ~64x(n/64)^2/2 interpreted folds — the reason GEMM is the
+    # default; the SQL shape remains the sf0.01 oracle literal).
+    timed(
+        f"semantic_dedup_gemm_{100 * n_emb}_vectors_64cells",
+        lambda: similarity.semantic_dedup(
+            emb100, "vec_id", "embedding", n_centroids=64, n_iters=1, threshold=0.35
+        ).count(),
+    )
+
+    # Keyless range join at 2M events x 100 hot windows: bucketed
+    # equi-join vs the naive broadcast nested-loop the same predicate
+    # plans without bucketing.
+    from lightfusion_spark.operators.asof import bucketed_range_join
+
+    hour_ns = 3_600_000_000_000
+    iv = (
+        events.where(F.col("event_type") == "purchase")
+        .orderBy(F.col("value").desc(), "event_id")
+        .limit(100)
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.lit(hour_ns)).alias("w_end"),
+        )
+        .cache()
+    )
+    iv.count()
+    left = ev20.select("ts", "event_type", "value")
+    timed(
+        f"range_join_bucketed_{20 * n_ev}_events_x_100_windows",
+        lambda: bucketed_range_join(left, iv, "ts", "w_start", "w_end", hour_ns).count(),
+    )
+    timed(
+        f"range_join_naive_bnlj_{20 * n_ev}_events_x_100_windows",
+        lambda: left.join(
+            iv, F.col("ts").between(F.col("w_start"), F.col("w_end"))
+        ).count(),
     )
 
 
