@@ -464,6 +464,7 @@ def kmeans_centroids(
     n_centroids: int = 16,
     n_iters: int = 2,
     round_digits: int = 6,
+    exact_reduce: bool = True,
 ) -> DataFrame:
     """Lloyd's k-means as pure DataFrame aggregations: (centroid_id, _cent).
 
@@ -480,6 +481,15 @@ def kmeans_centroids(
     drop out in both engines alike.  At 100 TB: assignment is
     embarrassingly parallel; the per-iteration collect moves only
     n_centroids x dim doubles to the driver.
+
+    ``exact_reduce=False`` is the production fast path: plain DOUBLE
+    sums (14x faster at 200k x dim 64 — 18 s vs 1.3 s per iteration,
+    tools/scalecheck.py) whose partial-aggregation order can move the
+    centroid by ~1 ulp.  Assignment scores round to ``round_digits``
+    before the argmax, so that jitter essentially never flips a
+    membership — but bit-exact replay (the oracle contract) is only
+    guaranteed with the decimal reduction, which every registered
+    query keeps.
     """
     seed = seed_centroids(corpus, id_col, vec_col, n_centroids)
     rows = seed.collect()
@@ -490,14 +500,20 @@ def kmeans_centroids(
     vecs = corpus.select(F.col(id_col), as_double(vec_col).alias("_v"))
     for _ in range(n_iters):
         assigned = _assign_gemm(vecs, pairs, id_col, "_v", round_digits)
-        sums = assigned.groupBy("centroid_id").agg(
-            *[
+        if exact_reduce:
+            sum_cols = [
                 F.expr(
                     f"CAST(sum(CAST(element_at(_v, {i + 1}) AS DECIMAL(28,9)))"
                     f" AS DOUBLE) AS _s{i}"
                 )
                 for i in range(dim)
-            ],
+            ]
+        else:
+            sum_cols = [
+                F.sum(F.element_at("_v", i + 1)).alias(f"_s{i}") for i in range(dim)
+            ]
+        sums = assigned.groupBy("centroid_id").agg(
+            *sum_cols,
             F.count(F.lit(1)).alias("_n"),
         )
         pairs = sorted(
@@ -766,3 +782,82 @@ def topk_cosine_gemm(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    clip: float = 1.0,
+) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column.
+
+    ``q_i = floor(clamp(x_i, -clip, clip) / clip * 127 + 0.5)`` — an
+    8-byte-per-dim array<double> becomes 1 byte per dim (4 bytes here,
+    Spark arrays have no TINYINT element specialization on the wire, but
+    Parquet dictionary/bit-packing stores the int range in ~1 byte): the
+    standard memory-bound ANN trade.  ``floor(x + 0.5)`` rather than
+    ``round(x)`` because it is bit-deterministic and identical in Spark
+    and DuckDB (ROUND on DOUBLE is HALF_UP in Spark but banker's in
+    DuckDB — the cross-engine trap rel_cast_battery documents); clamping
+    first bounds the int range at ±127 exactly.
+
+    Output: (id, q array<int>, n_clipped int).  Dequantize with
+    ``dequantize_expr`` (x̂_i = q_i / 127 * clip); reconstruction error
+    is bounded by clip/254 per element plus the clipping loss, which
+    ``n_clipped`` makes observable per row.
+
+    At 100 TB this is a narrow projection (zero shuffle) that cuts the
+    embedding bytes ~4-8x before they enter any join/shuffle — quantize
+    BEFORE the candidate join, not after, is the point.
+    """
+    v = as_double(vec_col)
+    clamped = F.transform(
+        v, lambda x: F.least(F.greatest(x, F.lit(-clip)), F.lit(clip))
+    )
+    q = F.transform(
+        clamped, lambda x: F.floor(x / F.lit(clip) * 127 + F.lit(0.5)).cast("int")
+    )
+    n_clipped = F.aggregate(
+        v,
+        F.lit(0),
+        lambda acc, x: acc
+        + F.when((x < F.lit(-clip)) | (x > F.lit(clip)), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return df.select(
+        F.col(id_col),
+        q.alias("q"),
+        n_clipped.cast("int").alias("n_clipped"),
+    )
+
+
+def dequantize_expr(q_col: Column | str, clip: float = 1.0) -> Column:
+    """Inverse of ``quantize_embeddings``: x̂_i = q_i / 127 * clip."""
+    c = F.col(q_col) if isinstance(q_col, str) else q_col
+    return F.transform(c, lambda x: x.cast("double") / F.lit(127.0) * F.lit(clip))
+
+
+def topk_cosine_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    clip: float = 1.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact-over-quantized top-k: quantize both sides to int8, then run
+    the GEMM top-k on the dequantized vectors.
+
+    Recall loss comes only from quantization (cosine perturbation
+    ~1/127 per unit vector); the search itself is exact.  Dequantized
+    values are exact multiples of clip/127, so the rounded cosine is
+    engine-reproducible the same way the float path is.
+    """
+    cq = quantize_embeddings(corpus, id_col, vec_col, clip).select(
+        F.col(id_col), dequantize_expr("q", clip).alias(vec_col)
+    )
+    qq = quantize_embeddings(queries, id_col, vec_col, clip).select(
+        F.col(id_col), dequantize_expr("q", clip).alias(vec_col)
+    )
+    return topk_cosine_gemm(cq, qq, id_col, vec_col, k=k, round_digits=round_digits)

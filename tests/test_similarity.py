@@ -73,3 +73,46 @@ def test_semantic_dedup_gemm_matches_sql_pair_scan(spark):
         for r in similarity.semantic_dedup(df, use_gemm=False, **kw).collect()
     }
     assert gemm == sql
+
+
+def test_quantize_roundtrip_bounds(spark):
+    rows = [(1, [0.5, -0.25, 0.0]), (2, [1.5, -2.0, 0.99])]  # id 2 clips twice
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in similarity.quantize_embeddings(df).collect()}
+    assert out[1]["n_clipped"] == 0 and out[2]["n_clipped"] == 2
+    assert out[2]["q"][0] == 127 and out[2]["q"][1] == -127
+    # reconstruction error within clip/254 per unclipped element
+    q1 = out[1]["q"]
+    for orig, q in zip(rows[0][1], q1):
+        assert abs(orig - q / 127.0) <= 1.0 / 254 + 1e-12
+
+
+def test_quantized_topk_agrees_with_exact_on_separated_data(spark):
+    # well-separated directions: int8 noise cannot reorder the top-1
+    rows = [(i, [1.0 if j == i % 4 else 0.01 for j in range(4)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.topk_cosine_gemm(df, df.where("vec_id < 2"), k=1).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.topk_cosine_quantized(df, df.where("vec_id < 2"), k=1).collect()
+    }
+    assert exact == quant
+
+
+def test_kmeans_fast_reduce_matches_exact_assignments(spark):
+    df = _vecs(spark, 40)
+    kw = dict(n_centroids=4, n_iters=2)
+    exact = similarity.kmeans_centroids(df, "vec_id", "embedding", exact_reduce=True, **kw)
+    fast = similarity.kmeans_centroids(df, "vec_id", "embedding", exact_reduce=False, **kw)
+    a_e = {
+        (r["vec_id"], r["centroid_id"])
+        for r in similarity.assign_to_centroids(df, exact, "vec_id", "embedding").collect()
+    }
+    a_f = {
+        (r["vec_id"], r["centroid_id"])
+        for r in similarity.assign_to_centroids(df, fast, "vec_id", "embedding").collect()
+    }
+    assert a_e == a_f
