@@ -117,6 +117,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
     {
         "pipe_simhash_pairs",  # 16-bit test-scale variant of pipe_simhash_wide
         "pipe_sim_topk",  # HOF-expression variant of pipe_sim_topk_gemm (same oracle)
+        "pipe_sim_topk_quantized",  # int8-quantized variant of pipe_sim_topk_gemm
         "pipe_sim_ivf",  # seed-quantizer variant of pipe_sim_ivf_kmeans
         "pipe_lm_buckets",  # composition of windowed pipe_lm_score + window family
         "rel_join_full_outer",  # green in CORRECTNESS_r02; slot ceded to pipe_lm_score
