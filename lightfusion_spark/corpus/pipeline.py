@@ -679,7 +679,8 @@ def _kmeans_assign_ctes(n_centroids: int, n_iters: int, dim: int) -> tuple:
 
     Each Lloyd iteration is an assignment CTE (row_number over rounded
     cosine, centroid-id tiebreak) and a centroid-update CTE (per-position
-    decimal mean, exactly the Spark plan's DECIMAL(28,9) arithmetic, so
+    mean over FLOOR(x*1e9+0.5) scaled-BIGINT sums — exactly the Spark
+    plan's arithmetic, same IEEE multiply-then-floor in both engines, so
     centroids match bit-for-bit).
     """
     assign = """
@@ -699,7 +700,8 @@ a{i} AS (
 c{j} AS (
   SELECT centroid_id, list(m ORDER BY pos) AS cent FROM (
     SELECT a.centroid_id, d.pos,
-           CAST(SUM(CAST(a.v[d.pos] AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS m
+           CAST(SUM(CAST(FLOOR(a.v[d.pos] * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1e9 / COUNT(*) AS m
     FROM a{i} a CROSS JOIN dims d
     GROUP BY 1, 2) mm
   GROUP BY centroid_id
@@ -741,7 +743,7 @@ def _kmeans_ivf_oracle(n_centroids: int, n_iters: int, dim: int, k: int) -> str:
     "pipe_sim_ivf_kmeans",
     oracle=_kmeans_ivf_oracle(n_centroids=8, n_iters=2, dim=64, k=3),
     doc="IVF ANN with a k-means-trained coarse quantizer: 2 Lloyd "
-    "iterations as DataFrame aggregations (decimal element means -> "
+    "iterations as DataFrame aggregations (scaled-BIGINT element means -> "
     "bit-identical centroids, full DuckDB replay) then assign -> "
     "equi-join on cell -> local top-3",
 )

@@ -470,26 +470,33 @@ def kmeans_centroids(
 
     Centroid state lives on the driver (the Spark MLlib k-means shape):
     each iteration is one *narrow* literal-inline assignment over the
-    corpus followed by ONE hash shuffle — per-position DECIMAL(28,9)
-    sums with map-side partial aggregation, so the reduce side carries
+    corpus followed by ONE hash shuffle — per-position sums with
+    map-side partial aggregation, so the reduce side carries
     n_partitions x n_centroids rows of dim columns, bounded by centroid
-    count, never corpus size.  The element mean goes through decimal
-    (exact, associative), so centroids are bit-identical regardless of
-    partitioning AND reproducible in a DuckDB oracle; binary doubles
-    never land exactly on a 0.5e-9 rounding tie, so the engines' decimal
-    rounding modes (HALF_UP vs half-even) cannot diverge.  Empty clusters
-    drop out in both engines alike.  At 100 TB: assignment is
+    count, never corpus size.  The exact reduction quantizes each
+    element to the 1e-9 grid with ``FLOOR(x * 1e9 + 0.5)`` (the same
+    bit-deterministic form the int8 quantizer uses — identical IEEE
+    multiply-then-floor in Spark and DuckDB, immune to the engines'
+    HALF_UP-vs-banker's ROUND split) and sums BIGINTs: exact,
+    associative, and pure codegen'd long arithmetic — no BigDecimal in
+    the inner loop — so centroids are bit-identical regardless of
+    partitioning AND reproducible in a DuckDB oracle.  Overflow bound:
+    int64 holds sum(|x|*1e9) for ~9.2e9 rows per (centroid, dim) at
+    |x|<=1; Spark 4's ANSI mode makes an overflow loud, and beyond that
+    scale pre-aggregate per partition or drop to decimal.  Empty
+    clusters drop out in both engines alike.  At 100 TB: assignment is
     embarrassingly parallel; the per-iteration collect moves only
     n_centroids x dim doubles to the driver.
 
-    ``exact_reduce=False`` is the production fast path: plain DOUBLE
-    sums (14x faster at 200k x dim 64 — 18 s vs 1.3 s per iteration,
-    tools/scalecheck.py) whose partial-aggregation order can move the
-    centroid by ~1 ulp.  Assignment scores round to ``round_digits``
-    before the argmax, so that jitter essentially never flips a
-    membership — but bit-exact replay (the oracle contract) is only
-    guaranteed with the decimal reduction, which every registered
-    query keeps.
+    ``exact_reduce=False`` is plain DOUBLE sums, whose partial-
+    aggregation order can move the centroid by ~1 ulp.  Assignment
+    scores round to ``round_digits`` before the argmax, so that jitter
+    essentially never flips a membership — but bit-exact replay (the
+    oracle contract) is only guaranteed with the scaled-integer
+    reduction, which every registered query keeps.  (The earlier
+    DECIMAL(28,9) exact path was 14x slower than double — 18 s vs
+    1.3 s per iteration at 200k x dim 64, tools/scalecheck.py; the
+    scaled-BIGINT form closes that gap while staying exact.)
     """
     seed = seed_centroids(corpus, id_col, vec_col, n_centroids)
     rows = seed.collect()
@@ -498,28 +505,29 @@ def kmeans_centroids(
         return seed
     dim = len(pairs[0][1])
     vecs = corpus.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    if exact_reduce:
+        # FLOOR(x*1e9+0.5) scaled-BIGINT partial sums: exact, associative,
+        # codegen'd long arithmetic the DuckDB oracle replays bit-for-bit.
+        sum_col = F.expr("CAST(sum(FLOOR(_x * 1e9 + 0.5D)) AS DOUBLE) / 1e9")
+    else:
+        sum_col = F.sum("_x")
     for _ in range(n_iters):
         assigned = _assign_gemm(vecs, pairs, id_col, "_v", round_digits)
-        if exact_reduce:
-            sum_cols = [
-                F.expr(
-                    f"CAST(sum(CAST(element_at(_v, {i + 1}) AS DECIMAL(28,9)))"
-                    f" AS DOUBLE) AS _s{i}"
-                )
-                for i in range(dim)
-            ]
-        else:
-            sum_cols = [
-                F.sum(F.element_at("_v", i + 1)).alias(f"_s{i}") for i in range(dim)
-            ]
-        sums = assigned.groupBy("centroid_id").agg(
-            *sum_cols,
-            F.count(F.lit(1)).alias("_n"),
+        # posexplode keeps the agg plan at two expressions regardless of
+        # dim (vs dim sum columns: same shuffled bytes after map-side
+        # partial agg — n_partitions x k x dim rows either way — but a
+        # far smaller plan to analyze/codegen per iteration).
+        sums = (
+            assigned.select("centroid_id", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("centroid_id", "_pos")
+            .agg(sum_col.alias("_s"), F.count(F.lit(1)).alias("_n"))
         )
-        pairs = sorted(
-            (r["centroid_id"], [r[f"_s{i}"] / r["_n"] for i in range(dim)])
-            for r in sums.collect()
-        )
+        acc: dict[int, list[float]] = {}
+        for r in sums.collect():
+            acc.setdefault(r["centroid_id"], [0.0] * dim)[r["_pos"]] = (
+                r["_s"] / r["_n"]
+            )
+        pairs = sorted(acc.items())
     spark = corpus.sparkSession
     return spark.createDataFrame(
         [(cid, vec) for cid, vec in pairs], schema=seed.schema
