@@ -153,6 +153,18 @@ def main() -> None:
         ).count(),
     )
 
+    # K-means reduce A/B at 100x vectors: the exact scaled-BIGINT
+    # reduction (oracle contract) vs plain double sums (production fast
+    # path) — the gap was 14x when the exact path was DECIMAL(28,9).
+    for exact in (True, False):
+        timed(
+            f"kmeans_1iter_{100 * n_emb}_vectors_16cells_exact{exact}",
+            lambda exact=exact: similarity.kmeans_centroids(
+                emb100, "vec_id", "embedding",
+                n_centroids=16, n_iters=1, exact_reduce=exact,
+            ).count(),
+        )
+
     # Keyless range join at 2M events x 100 hot windows: bucketed
     # equi-join vs the naive broadcast nested-loop the same predicate
     # plans without bucketing.
