@@ -11,7 +11,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..streaming.events import sessionized_user_activity, windowed_event_stats
+from ..streaming.events import (
+    event_time_col,
+    sessionized_user_activity,
+    ts_micros_col,
+    windowed_event_stats,
+)
 from .registry import register
 from .util import table
 
@@ -92,7 +97,11 @@ def events_sessionize(spark, sf_dir):
 def events_asof_join(spark, sf_dir):
     from ..operators.asof import asof_join
 
+    # normalize ts to an event-time timestamp up front (dtype-probing:
+    # works for both timestamp[us] and legacy bigint-nanos testdata);
+    # the as-of window orders by it directly.
     ev = table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts", event_time_col(ev))
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
@@ -101,13 +110,9 @@ def events_asof_join(spark, sf_dir):
     return joined.select(
         "event_id",
         "user_id",
-        F.date_format(F.timestamp_micros(F.expr("ts div 1000")), _TS_US_SPARK).alias(
-            "purchase_ts"
-        ),
+        F.date_format("ts", _TS_US_SPARK).alias("purchase_ts"),
         F.col("value_asof").alias("click_value"),
-        F.date_format(
-            F.timestamp_micros(F.expr("ts_asof div 1000")), _TS_US_SPARK
-        ).alias("click_ts"),
+        F.date_format("ts_asof", _TS_US_SPARK).alias("click_ts"),
     )
 
 
@@ -167,20 +172,23 @@ def events_attribution(spark, sf_dir):
 def events_range_join(spark, sf_dir):
     from ..operators.asof import bucketed_range_join
 
+    # integer-micros view of ts (dtype-probing) — bucketed_range_join
+    # needs integer bucket arithmetic whatever the storage dtype.
     ev = table(spark, sf_dir, "events")
-    hour_ns = 3_600_000_000_000
+    ev = ev.withColumn("ts_us", ts_micros_col(ev))
+    hour_us = 3_600_000_000
     iv = ev.where((F.col("event_type") == "purchase") & (F.col("value") > 330)).select(
         F.col("event_id").alias("window_id"),
-        F.col("ts").alias("w_start"),
-        (F.col("ts") + F.lit(hour_ns)).alias("w_end"),
+        F.col("ts_us").alias("w_start"),
+        (F.col("ts_us") + F.lit(hour_us)).alias("w_end"),
     )
     joined = bucketed_range_join(
-        ev.select(F.col("ts"), F.col("event_type"), F.col("value")),
+        ev.select(F.col("ts_us"), F.col("event_type"), F.col("value")),
         iv,
-        "ts",
+        "ts_us",
         "w_start",
         "w_end",
-        bucket=hour_ns,
+        bucket=hour_us,
     )
     return joined.groupBy("window_id", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -26,9 +26,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     * UTC session time — timestamp literals, day-window alignment and
       ``date_format`` outputs must match DuckDB's naive timestamps
       regardless of the host timezone;
-    * ``nanosAsLong`` — events.ts is parquet TIMESTAMP(NANOS), which
-      Spark otherwise rejects (queries convert explicitly via
-      ``timestamp_micros(ts div 1000)``).
+    * ``nanosAsLong`` — a no-op for the current testdata (events.ts is
+      parquet TIMESTAMP[us], read as TIMESTAMP_NTZ), kept so legacy
+      TIMESTAMP(NANOS) files still load; event-time code probes the
+      loaded dtype (``streaming.events.event_time_col``) instead of
+      assuming either representation.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

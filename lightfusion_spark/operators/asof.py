@@ -98,8 +98,9 @@ def bucketed_range_join(
     equi-join on the bucket id, and an exact BETWEEN filter removes the
     bucket-boundary false positives.  A left row occupies exactly one
     bucket, so a (row, interval) pair can match only once — no dedup
-    pass.  Timestamps are integers (nanos); ``bucket`` is the bucket
-    width in the same unit.
+    pass.  Timestamps are integers (any epoch unit — the callers pass
+    microseconds via ``ts_micros_col``); ``bucket`` is the bucket width
+    in the same unit.
 
     Scale: candidate volume is |left| + Σ(interval_span / bucket) rows
     through one hash exchange — pick ``bucket`` ≈ the typical interval

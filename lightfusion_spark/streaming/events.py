@@ -26,14 +26,16 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-#: Schema of events.parquet with ts as raw TIMESTAMP(NANOS) read as bigint
-#: (streaming sources require an explicit schema).
+#: Fallback schema for events.parquet when no batch file exists to probe
+#: (streaming sources require an explicit schema).  Matches the current
+#: testdata layout: ts is parquet TIMESTAMP[us].
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanoseconds since epoch
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -42,11 +44,25 @@ EVENTS_SCHEMA = StructType(
 )
 
 
+def events_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """Stream schema derived from the batch parquet footer, so testdata
+    regeneration (e.g. ts flipping bigint-nanos <-> timestamp[us]) can
+    never leave the stream schema stale.  Falls back to EVENTS_SCHEMA if
+    the batch file is unreadable."""
+    try:
+        return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    except Exception:
+        return EVENTS_SCHEMA
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet."""
+    # both confs are no-ops for the current timestamp[us] data, kept for
+    # robustness against legacy TIMESTAMP(NANOS) testdata
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(events_schema(spark, sf_dir))
         .option("maxFilesPerTrigger", 1)
         # glob (not bare file path): the file-stream source needs a
         # pattern/directory it can re-list for newly arrived files
@@ -54,13 +70,40 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def with_event_time(events: DataFrame) -> DataFrame:
-    """Nanosecond bigint -> event_time TIMESTAMP (micros precision).
+def _ts_dtype(events: DataFrame, col: str = "ts") -> str:
+    return dict(events.dtypes).get(col, "")
 
-    Integer division (``div``), not ``/``: float division of an ~1e18
-    nanosecond value loses the low microsecond digit to double rounding.
+
+def event_time_col(events: DataFrame, col: str = "ts"):
+    """Column expression turning ``col`` into an event-time TIMESTAMP
+    (ltz — watermarks reject TIMESTAMP_NTZ), whatever representation the
+    driver's testdata currently uses:
+
+    * ``timestamp`` / ``timestamp_ntz`` (current data) — cast to ltz;
+      the loaders pin the session to UTC, so the NTZ wall clock maps to
+      the same instant and ``date_format`` output is unchanged;
+    * ``bigint`` nanoseconds (legacy ``nanosAsLong`` data) — integer
+      ``div 1000`` to micros (``div``, not ``/``: float division of an
+      ~1e18 nanosecond value loses the low microsecond digit).
     """
-    return events.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    if _ts_dtype(events, col).startswith("timestamp"):
+        return F.col(col).cast("timestamp")
+    return F.timestamp_micros(F.expr(f"{col} div 1000"))
+
+
+def ts_micros_col(events: DataFrame, col: str = "ts"):
+    """BIGINT microseconds-since-epoch from either ts representation —
+    the integer form bucketed range joins need.  NTZ wall clocks are
+    interpreted in the session timezone (UTC, set by the loaders)."""
+    if _ts_dtype(events, col).startswith("timestamp"):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    return F.expr(f"{col} div 1000")
+
+
+def with_event_time(events: DataFrame) -> DataFrame:
+    """Attach ``event_time`` (timestamp, micros precision) — dtype-probing;
+    see :func:`event_time_col`."""
+    return events.withColumn("event_time", event_time_col(events))
 
 
 def windowed_event_stats(

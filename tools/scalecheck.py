@@ -76,6 +76,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     docs = spark.read.parquet(f"{args.sf}/documents.parquet")
     emb = spark.read.parquet(f"{args.sf}/embeddings.parquet")
@@ -169,29 +170,33 @@ def main() -> None:
     # equi-join vs the naive broadcast nested-loop the same predicate
     # plans without bucketing.
     from lightfusion_spark.operators.asof import bucketed_range_join
+    from lightfusion_spark.streaming.events import ts_micros_col
 
-    hour_ns = 3_600_000_000_000
+    hour_us = 3_600_000_000
     iv = (
-        events.where(F.col("event_type") == "purchase")
+        events.withColumn("ts_us", ts_micros_col(events))
+        .where(F.col("event_type") == "purchase")
         .orderBy(F.col("value").desc(), "event_id")
         .limit(100)
         .select(
             F.col("event_id").alias("window_id"),
-            F.col("ts").alias("w_start"),
-            (F.col("ts") + F.lit(hour_ns)).alias("w_end"),
+            F.col("ts_us").alias("w_start"),
+            (F.col("ts_us") + F.lit(hour_us)).alias("w_end"),
         )
         .cache()
     )
     iv.count()
-    left = ev20.select("ts", "event_type", "value")
+    left = ev20.withColumn("ts_us", ts_micros_col(ev20)).select(
+        "ts_us", "event_type", "value"
+    )
     timed(
         f"range_join_bucketed_{20 * n_ev}_events_x_100_windows",
-        lambda: bucketed_range_join(left, iv, "ts", "w_start", "w_end", hour_ns).count(),
+        lambda: bucketed_range_join(left, iv, "ts_us", "w_start", "w_end", hour_us).count(),
     )
     timed(
         f"range_join_naive_bnlj_{20 * n_ev}_events_x_100_windows",
         lambda: left.join(
-            iv, F.col("ts").between(F.col("w_start"), F.col("w_end"))
+            iv, F.col("ts_us").between(F.col("w_start"), F.col("w_end"))
         ).count(),
     )
 
