@@ -45,10 +45,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 #: Curated export order.  The driver's correctness gate evaluates only the
 #: FIRST 50 ``queries()`` entries (CORRECTNESS_r02 was exactly the first 50
-#: registered names), so the names below are emitted first: every Layer-A ML
-#: query, every pipeline/timeseries/UDF query, and one-plus representative
-#: rel_* per SURVEY §2.3 category.  Everything else follows in registration
-#: order and stays covered by tools/parity.py + CI.
+#: registered names), so the names below are emitted first.  Round-4
+#: rotation: the 13 queries that had never seen a driver window (r3 verdict
+#: item 3) rotate IN; 13 pipe_* queries hash-verified green in
+#: CORRECTNESS_r03 rotate OUT to WINDOW_EXEMPT, each leaving its operator
+#: family represented by a windowed sibling.  Everything else follows in
+#: registration order and stays covered by tools/parity.py + CI.
 PRIORITY: list[str] = [
     # §2.1/§2.2 Layer A — the reference-authored surface.
     "lgbm_tsv_flagship",
@@ -59,32 +61,25 @@ PRIORITY: list[str] = [
     "pipe_dedup_exact",
     "pipe_dedup_minhash",
     "pipe_dedup_simhash",
-    "pipe_simhash_wide",
+    "pipe_simhash_pairs",
     "pipe_dedup_ngram",
     "pipe_neardup_embedding",
     "pipe_dedup_semantic",
-    "pipe_dedup_components",
-    "pipe_dedup_survivors",
+    "pipe_sim_topk",
     "pipe_sim_topk_gemm",
-    "pipe_sim_ann_lsh",
-    "pipe_sim_lsh_multiprobe",
+    "pipe_sim_topk_quantized",
+    "pipe_sim_ivf",
     "pipe_sim_ivf_kmeans",
     "pipe_text_stats",
     "pipe_text_langid",
-    "pipe_text_tokens",
-    "pipe_text_fingerprint",
-    "pipe_text_repetition",
-    "pipe_text_pii",
-    "pipe_text_urls",
     "pipe_multimodal_decode",
     "pipe_decontaminate",
     "pipe_quality_filter",
-    "pipe_pack_sequences",
-    "pipe_mixture_sample",
     "pipe_lm_score",
+    "pipe_lm_buckets",
     "pipe_split_stratified",
-    "pipe_shard_assign",
-    # Timeseries / streaming-batch parity.
+    # Timeseries / streaming-batch parity (repaired this round — the
+    # whole family needs fresh official rows).
     "events_windowed_stats",
     "events_sessionize",
     "events_asof_join",
@@ -105,25 +100,43 @@ PRIORITY: list[str] = [
     "rel_scalar_math",
     "rel_approx_sketch",
     "rel_salted_agg",
+    # §2.3 never-windowed rotation (r3 verdict item 3).
+    "rel_cast_battery",
+    "rel_explode",
+    "rel_higher_order",
+    "rel_regexp",
+    "rel_tpch_q10_shape",
+    "rel_tpch_q14_shape",
+    "rel_tpch_q17_shape",
+    "rel_tpch_q18_shape",
 ]
 
-#: Queries intentionally OUTSIDE the driver's 50-entry window: each is a
-#: redundant variant of an operator whose windowed sibling runs the same
-#: algorithm against the same oracle family, or was hash-verified green
-#: by the round-2 driver gate (a matter of record) and ceded its slot to
-#: a newer operator.  All remain parity-checked by tools/parity.py and
-#: the CI subset.
+#: Queries intentionally OUTSIDE the driver's 50-entry window: each was
+#: hash-verified green by an earlier driver gate (a matter of record) and
+#: ceded its slot to a never-windowed query, or is a redundant variant of
+#: an operator whose windowed sibling runs the same algorithm.  All remain
+#: parity-checked by tools/parity.py and the CI subset.
 WINDOW_EXEMPT: frozenset[str] = frozenset(
     {
-        "pipe_simhash_pairs",  # 16-bit test-scale variant of pipe_simhash_wide
-        "pipe_sim_topk",  # HOF-expression variant of pipe_sim_topk_gemm (same oracle)
-        "pipe_sim_topk_quantized",  # int8-quantized variant of pipe_sim_topk_gemm
-        "pipe_sim_ivf",  # seed-quantizer variant of pipe_sim_ivf_kmeans
-        "pipe_lm_buckets",  # composition of windowed pipe_lm_score + window family
-        "rel_join_full_outer",  # green in CORRECTNESS_r02; slot ceded to pipe_lm_score
-        "rel_agg_rollup",  # green in CORRECTNESS_r02; agg family repped by rel_agg_q1
-        "rel_cte",  # green in CORRECTNESS_r02; family repped by rel_subquery_in_exists
-        "rel_topk_group",  # green in CORRECTNESS_r02; ranking family repped by rel_window_rank
+        # green in CORRECTNESS_r03; family stays repped in-window.
+        "pipe_simhash_wide",  # 60-bit sibling of windowed pipe_dedup_simhash/pipe_simhash_pairs
+        "pipe_dedup_components",  # downstream of windowed pipe_dedup_minhash pairs
+        "pipe_dedup_survivors",  # downstream of windowed pipe_dedup_minhash pairs
+        "pipe_sim_ann_lsh",  # ANN family repped by pipe_sim_topk*/pipe_sim_ivf*
+        "pipe_sim_lsh_multiprobe",  # recall-knob variant of pipe_sim_ann_lsh
+        "pipe_text_tokens",  # text family repped by pipe_text_stats/langid
+        "pipe_text_fingerprint",  # text family repped by pipe_text_stats/langid
+        "pipe_text_repetition",  # text family repped by pipe_text_stats/langid
+        "pipe_text_pii",  # text family repped by pipe_text_stats/langid
+        "pipe_text_urls",  # text family repped by pipe_text_stats/langid
+        "pipe_pack_sequences",  # curation family repped by quality_filter/decontaminate
+        "pipe_shard_assign",  # curation family repped by split_stratified
+        "pipe_mixture_sample",  # curation family repped by quality_filter/split_stratified
+        # green in CORRECTNESS_r02; agg/join/ranking families still repped.
+        "rel_join_full_outer",
+        "rel_agg_rollup",
+        "rel_cte",
+        "rel_topk_group",
     }
 )
 

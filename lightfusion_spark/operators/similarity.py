@@ -56,13 +56,32 @@ def topk_cosine(
     vec_col: str = "embedding",
     k: int = 5,
     round_digits: int = 6,
+    max_query_rows: int = 10_000,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors of each query against the corpus.
+    """Exact top-k cosine neighbors of each query against the corpus —
+    the ORACLE BASELINE, not the scale path.
 
     Output: (query_id, neighbor_id, rank, cos_sim).  Ordering is by the
     *rounded* similarity with the neighbor id as tiebreak, which makes
     ranks reproducible across engines and partitionings.
+
+    The plan is a broadcast nested-loop join scoring every (query,
+    corpus) pair with an interpreted higher-order-function dot product —
+    exactly the SQL an oracle can mirror, and a scale-killer beyond a
+    bounded query set (|Q|x|C| pairs).  ``max_query_rows`` enforces that
+    bound up front; production callers with larger query sets belong on
+    ``topk_cosine_gemm`` (same exact results, one NumPy matmul per Arrow
+    batch) or the LSH/IVF variants (both sides stay distributed).
     """
+    n_q = queries.limit(max_query_rows + 1).count()
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"topk_cosine is the oracle-baseline BNLJ: it scores every "
+            f"(query x corpus) pair and got more than "
+            f"max_query_rows={max_query_rows} query rows. Use "
+            "topk_cosine_gemm (exact) or topk_cosine_lsh/ivf (approximate) "
+            "for large query sets, or raise max_query_rows explicitly."
+        )
     # norms are computed once per side, not once per pair (same arithmetic
     # as cosine_expr — dot / (|q| * |c|) — so values are bit-identical)
     q = queries.select(

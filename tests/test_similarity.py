@@ -20,6 +20,23 @@ def test_gemm_rejects_oversized_query_set(spark):
         )
 
 
+def test_bnlj_baseline_rejects_oversized_query_set(spark):
+    """topk_cosine is the oracle-baseline BNLJ (|Q|x|C| pairs) — its
+    query-side bound must trip before the plan executes, so no unbounded
+    BNLJ variant is reachable (r3 verdict item 6)."""
+    corpus = _vecs(spark, 10)
+    queries = _vecs(spark, 5)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        similarity.topk_cosine(corpus, queries, k=2, max_query_rows=3)
+
+
+def test_bnlj_baseline_accepts_query_set_at_limit(spark):
+    corpus = _vecs(spark, 10)
+    queries = _vecs(spark, 3)
+    out = similarity.topk_cosine(corpus, queries, k=2, max_query_rows=3)
+    assert out.count() == 6  # 3 queries x k=2
+
+
 def test_gemm_accepts_query_set_at_limit(spark):
     corpus = _vecs(spark, 10)
     queries = _vecs(spark, 3)
