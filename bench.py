@@ -113,6 +113,12 @@ def main() -> None:
             samples.append(time.time() - t0)
         timings[name] = round(min(samples), 3)
         spread[name] = round(max(samples) - min(samples), 3)
+        # Measurement isolation: a few operators cache intermediate
+        # relations (minhash shingle hashes, simhash fingerprints); each
+        # timed rebuild creates fresh entries, and the accumulated blocks
+        # squeeze execution memory for LATER queries.  Dropping them
+        # between queries keeps each measurement independent.
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

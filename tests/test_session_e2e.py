@@ -59,11 +59,15 @@ def test_argmax_composition(f0, fixture_model):
 def test_argmax_builtin_semantics(engine):
     rows = engine.sql(
         "SELECT argmax([1.0, 5.0, 5.0, 2.0]) AS a, argmax([3.0]) AS b, "
-        "argmax([1, 7, 2]) AS c"
+        "argmax([1, 7, 2]) AS c, "
+        "argmax(CAST(array(1, 5, 3) AS ARRAY<BIGINT>)) AS d"
     ).collect()
     assert rows[0]["a"] == 1  # first-max-wins (src/argmax.rs:115)
     assert rows[0]["b"] == 0
     assert rows[0]["c"] == 1  # int array through implicit cast
+    # bigint array through the same coercion (src/argmax.rs:71-93 accepts
+    # List<Int64>; Spark reaches parity via implicit ARRAY<DOUBLE> cast)
+    assert rows[0]["d"] == 1
 
 
 def test_batch_size_set_and_introspection(engine):
