@@ -609,6 +609,55 @@ def pipe_text_urls(spark, sf_dir):
     return text_ops.url_stats(_url_enriched_df(d), "doc_id", "text2")
 
 
+#: BM25 demo query: a bag of terms that actually occur in the synthetic
+#: corpus vocabulary.
+_BM25_TERMS = ["spark", "join", "vector", "data"]
+
+
+@register(
+    "pipe_text_bm25",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks,
+             LEN(string_split_regex(lower(text), '\s+')) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM d
+    ),
+    m AS (
+      SELECT doc_id, dl, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, dl, UNNEST(toks) AS tok FROM d)
+      WHERE tok IN ('spark', 'join', 'vector', 'data')
+      GROUP BY doc_id, dl, tok
+    ),
+    freq AS (SELECT tok, COUNT(*) AS dfreq FROM m GROUP BY tok),
+    sc AS (
+      SELECT m.doc_id,
+             ROUND(
+               LN((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+               6
+             ) AS s
+      FROM m JOIN freq USING (tok), stats
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS b
+      FROM sc GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.dl AS n_toks, COALESCE(agg.b, 0.0) AS bm25
+    FROM d LEFT JOIN agg USING (doc_id)
+    """,
+    doc="Okapi BM25 relevance of every document to a query-term bag "
+    "(targeted corpus selection); constants pre-folded identically in "
+    "both engines (k1=1.2, b=0.75 -> tf*2.2, 0.25+0.75*dl/avgdl)",
+)
+def pipe_text_bm25(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return text_ops.bm25_scores(d, "doc_id", "text", _BM25_TERMS)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------

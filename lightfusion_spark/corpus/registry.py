@@ -132,6 +132,8 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_pack_sequences",  # curation family repped by quality_filter/decontaminate
         "pipe_shard_assign",  # curation family repped by split_stratified
         "pipe_mixture_sample",  # curation family repped by quality_filter/split_stratified
+        # new in round 4 — next rotation candidate; text family repped in-window.
+        "pipe_text_bm25",
         # green in CORRECTNESS_r02; agg/join/ranking families still repped.
         "rel_join_full_outer",
         "rel_agg_rollup",

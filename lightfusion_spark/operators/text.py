@@ -321,3 +321,82 @@ def unigram_lm_score(
             ).alias("avg_nll"),
         )
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a bag of query terms —
+    the classic retrieval/quality-ranking primitive (targeted corpus
+    selection: "find the docs most about X" at pre-training scale).
+
+    score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 − b + b·dl/avgdl))
+    idf(t)   = ln((N − df(t) + 0.5) / (df(t) + 0.5) + 1)      [RSJ+1, ≥ 0]
+
+    Returns ``(id_col, n_toks, bm25)`` for EVERY document (0.0 when no
+    term matches).
+
+    Scale (100 TB): the exploded token stream is filtered to the query
+    term set *before* any shuffle (an isin over a literal array — pushes
+    into the scan projection), so the wide intermediate is |matches|,
+    not |tokens|.  Three exchanges on top of it: per-(doc, term) tf,
+    per-term document frequency (≤ |terms| rows, broadcast back), and
+    the final per-doc sum.  The corpus scalars (N, avgdl) ride a
+    broadcast one-row cross join, never a driver collect.  Per-term
+    scores round to 6 decimals and sum as DECIMAL so partial-aggregation
+    order can't change a bit (ln differs in the last ulp across libm
+    implementations).
+    """
+    d = df.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col), F.col("_toks"), F.size("_toks").alias("dl")
+    ).localCheckpoint(eager=False)  # one tokenize pass feeds 3 branches
+
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    matches = (
+        d.select(F.col(id_col), "dl", F.explode("_toks").alias("tok"))
+        .where(F.col("tok").isin(query_terms))
+        .groupBy(id_col, "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = matches.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
+    scored = (
+        matches.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("dfreq") + 0.5)
+                    / (F.col("dfreq") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum(F.col("_s").cast("decimal(28,6)")).cast("double").alias("_bm25"))
+    )
+    return (
+        d.select(F.col(id_col), F.col("dl").alias("n_toks"))
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_toks",
+            F.coalesce("_bm25", F.lit(0.0)).alias("bm25"),
+        )
+    )
