@@ -53,3 +53,22 @@ def test_url_stats_domains(spark):
     out = _rows(text_ops.url_stats(df, "doc_id", "text"))
     assert out[1] == (3, "a.example.com", 2)
     assert out[2] == (0, None, 0)
+
+
+def test_bm25_zero_match_and_monotonic_tf(spark):
+    """Docs with no query-term hit score exactly 0.0; with equal length,
+    more hits of the same term strictly increase the score."""
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark pad"),
+            (2, "spark pad pad pad"),
+            (3, "pad pad pad pad"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = _rows(text_ops.bm25_scores(df, "doc_id", "text", ["spark"]))
+    assert out[3] == (4, 0.0)
+    n1, s1 = out[1]
+    n2, s2 = out[2]
+    assert n1 == n2 == 4
+    assert s1 > s2 > 0.0
