@@ -721,6 +721,49 @@ def pipe_sim_ivf(spark, sf_dir):
     return similarity.topk_cosine_ivf(e, q, "vec_id", "embedding", n_centroids=16, k=3)
 
 
+@register(
+    "pipe_sim_ivf_probe2",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS centroid_id, v AS cent FROM e ORDER BY vec_id LIMIT 16),
+    ranked AS (
+      SELECT e.vec_id, e.v, cents.centroid_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(list_inner_product(e.v, cents.cent)
+                        / (sqrt(list_inner_product(e.v, e.v))
+                           * sqrt(list_inner_product(cents.cent, cents.cent))), 6) DESC,
+                        cents.centroid_id) AS rn
+      FROM e CROSS JOIN cents
+    ),
+    assign AS (SELECT vec_id, v, centroid_id FROM ranked WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, centroid_id
+          FROM ranked WHERE vec_id < 20 AND rn <= 2),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_inner_product(q.qv, c.v)
+                   / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(c.v, c.v))),
+                   6) AS cos_sim
+      FROM q JOIN assign c ON q.centroid_id = c.centroid_id AND q.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored) t
+    WHERE rn <= 3
+    """,
+    doc="IVF ANN with nprobe=2 (the recall knob): each query searches its "
+    "two nearest cells; candidates stay a hash equi-join on centroid_id "
+    "(a neighbor lives in exactly one cell, so no dedup pass)",
+)
+def pipe_sim_ivf_probe2(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return similarity.topk_cosine_ivf_probe(
+        e, q, "vec_id", "embedding", n_centroids=16, nprobe=2, k=3
+    )
+
+
 def _kmeans_assign_ctes(n_centroids: int, n_iters: int, dim: int) -> tuple:
     """Shared DuckDB replay of similarity.kmeans_centroids: returns
     (cte_list, final_assignment_name) where the final CTE is every corpus

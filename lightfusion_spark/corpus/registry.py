@@ -132,8 +132,9 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_pack_sequences",  # curation family repped by quality_filter/decontaminate
         "pipe_shard_assign",  # curation family repped by split_stratified
         "pipe_mixture_sample",  # curation family repped by quality_filter/split_stratified
-        # new in round 4 — next rotation candidate; text family repped in-window.
+        # new in round 4 — next rotation candidates; families repped in-window.
         "pipe_text_bm25",
+        "pipe_sim_ivf_probe2",
         # green in CORRECTNESS_r02; agg/join/ranking families still repped.
         "rel_join_full_outer",
         "rel_agg_rollup",

@@ -626,6 +626,114 @@ def topk_cosine_ivf_kmeans(
     return _ivf_search(corpus, queries, cents, id_col, vec_col, k, round_digits)
 
 
+def assign_topn_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-``nprobe`` centroid assignment: up to ``nprobe`` output rows
+    per input row, one per probed cell — the IVF recall knob's query-side
+    expansion.  Scoring is the same per-Arrow-batch GEMM as
+    ``_assign_gemm``; the stable descending argsort breaks rounded-score
+    ties toward the lower centroid id, identical to the oracle's
+    ``ROW_NUMBER() OVER (ORDER BY score DESC, centroid_id)``.
+    """
+    import pandas as pd
+
+    rows = centroids.select("centroid_id", "_cent").orderBy("centroid_id").collect()
+    pairs = [(r["centroid_id"], [float(x) for x in r["_cent"]]) for r in rows]
+    if len(pairs) > MAX_INLINE_CENTROIDS:
+        raise ValueError(
+            f"assign_topn_centroids: {len(pairs)} centroids exceeds the "
+            f"{MAX_INLINE_CENTROIDS} inline cap"
+        )
+    p = min(nprobe, len(pairs))
+    c_ids = np.array([int(cid) for cid, _ in pairs], dtype=np.int64)
+    c_mat = np.array([vec for _, vec in pairs], dtype=np.float64)
+    c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat))
+
+    src = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    id_field = src.schema[id_col]
+    out_schema = (
+        f"`{id_col}` {id_field.dataType.simpleString()}, "
+        "_v array<double>, centroid_id bigint"
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            nv = np.sqrt(np.einsum("ij,ij->i", v, v))
+            scores = np.round(
+                (v @ c_mat.T) / (nv[:, None] * c_norm[None, :]), round_digits
+            )
+            top = np.argsort(-scores, axis=1, kind="stable")[:, :p]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(p),
+                    "_v": pdf["_v"].to_numpy().repeat(p),
+                    "centroid_id": c_ids[top].reshape(-1),
+                }
+            )
+
+    return src.mapInPandas(assign, out_schema)
+
+
+def topk_cosine_ivf_probe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF top-k with multi-cell probing — the standard IVF recall knob.
+
+    Each query searches its ``nprobe`` nearest cells instead of one:
+    candidate volume (and recall) scales ~linearly with ``nprobe`` while
+    the plan stays a hash equi-join on centroid_id — never a cross
+    product.  A (query, neighbor) pair cannot duplicate: the corpus side
+    keeps its unique nearest-cell assignment, so each neighbor meets a
+    query through at most one of its probed cells — no dedup pass.
+    """
+    cents = seed_centroids(corpus, id_col, vec_col, n_centroids)
+    c_assign = assign_to_centroids(corpus, cents, id_col, vec_col, round_digits)
+    q_assign = assign_topn_centroids(
+        queries, cents, id_col, vec_col, nprobe, round_digits
+    )
+    q = q_assign.select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("_qv"), "centroid_id"
+    )
+    c = c_assign.select(
+        F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_cv"), "centroid_id"
+    )
+    scored = (
+        q.join(c, "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_expr(F.col("_qv"), F.col("_cv")), round_digits
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def _cluster_dominated_gemm(
     assigned: DataFrame, id_col: str, threshold: float, round_digits: int
 ) -> DataFrame:

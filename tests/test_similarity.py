@@ -133,3 +133,46 @@ def test_kmeans_fast_reduce_matches_exact_assignments(spark):
         for r in similarity.assign_to_centroids(df, fast, "vec_id", "embedding").collect()
     }
     assert a_e == a_f
+
+
+def test_ivf_probe_all_cells_equals_exact(spark):
+    """nprobe = n_centroids degenerates IVF to exact search: every query
+    probes every cell, so results must equal the brute-force baseline —
+    the recall knob's boundary condition."""
+    import math
+
+    rows = [
+        (i, [math.sin(i * 1.7 + j) for j in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 5")
+    exact = {
+        tuple(r)
+        for r in similarity.topk_cosine(df, q, k=3).collect()
+    }
+    probed = {
+        tuple(r)
+        for r in similarity.topk_cosine_ivf_probe(
+            df, q, n_centroids=4, nprobe=4, k=3
+        ).collect()
+    }
+    assert probed == exact
+
+
+def test_ivf_probe2_expands_candidates(spark):
+    """nprobe=2 candidate sets contain the nprobe=1 cells' candidates."""
+    import math
+
+    rows = [
+        (i, [math.cos(i * 0.9 + j * 0.3) for j in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 5")
+    one = similarity.topk_cosine_ivf(df, q, n_centroids=8, k=3)
+    two = similarity.topk_cosine_ivf_probe(df, q, n_centroids=8, nprobe=2, k=3)
+    # recall can only improve: every query's top-1 similarity under
+    # nprobe=2 is >= its top-1 under nprobe=1
+    best1 = {r["query_id"]: r["cos_sim"] for r in one.where("rank = 1").collect()}
+    best2 = {r["query_id"]: r["cos_sim"] for r in two.where("rank = 1").collect()}
+    assert set(best1) <= set(best2)
+    assert all(best2[qid] >= best1[qid] for qid in best1)
