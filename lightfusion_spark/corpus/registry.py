@@ -135,6 +135,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         # new in round 4 — next rotation candidates; families repped in-window.
         "pipe_text_bm25",
         "pipe_sim_ivf_probe2",
+        "events_asof_forward",
         # green in CORRECTNESS_r02; agg/join/ranking families still repped.
         "rel_join_full_outer",
         "rel_agg_rollup",

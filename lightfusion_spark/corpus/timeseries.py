@@ -117,6 +117,60 @@ def events_asof_join(spark, sf_dir):
 
 
 @register(
+    "events_asof_forward",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         m AS (
+           SELECT c.event_id, p.ts AS p_ts, p.value AS p_value,
+                  ROW_NUMBER() OVER (PARTITION BY c.event_id ORDER BY p.ts) AS rn
+           FROM c JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts
+         ),
+         m1 AS (SELECT event_id, p_ts, p_value FROM m WHERE rn = 1)
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           CASE WHEN m1.p_ts - c.ts <= INTERVAL 2 HOUR THEN m1.p_value END
+             AS next_purchase_value,
+           CASE WHEN m1.p_ts - c.ts <= INTERVAL 2 HOUR
+                THEN strftime(m1.p_ts, '%Y-%m-%d %H:%M:%S.%f') END AS purchase_ts
+    FROM c LEFT JOIN m1 USING (event_id)
+    """,
+    doc="forward as-of join with tolerance: each click matched to the "
+    "user's NEXT purchase within 2 hours (merge_asof direction='forward' "
+    "+ tolerance parity; single descending window pass, no inequality "
+    "join on the Spark side — the oracle's inequality join is fine at "
+    "oracle scale only)",
+)
+def events_asof_forward(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts", event_time_col(ev))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        "user_id",
+        "ts",
+        ["value"],
+        direction="forward",
+        tolerance="INTERVAL 2 HOUR",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_US_SPARK).alias("click_ts"),
+        F.col("value_asof").alias("next_purchase_value"),
+        F.date_format("ts_asof", _TS_US_SPARK).alias("purchase_ts"),
+    )
+
+
+@register(
     "events_attribution",
     oracle="""
     WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_time

@@ -32,13 +32,27 @@ def asof_join(
     ts_col: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """Left as-of join: every left row + the most recent right values.
+    """Left as-of join: every left row + the nearest right values.
+
+    ``direction`` (the pandas ``merge_asof`` surface):
+
+    * ``"backward"`` (default) — the right row with the greatest
+      timestamp <= the left timestamp;
+    * ``"forward"`` — the right row with the smallest timestamp >= the
+      left timestamp (same single window pass, descending order).
+
+    ``tolerance`` (optional) — a SQL expression string bounding the
+    match distance (e.g. ``"INTERVAL 1 HOUR"`` for timestamp columns or
+    ``"3600000000"`` for integer micros); matches farther than that are
+    nulled out whole-row, exactly like ``merge_asof``'s tolerance.
 
     ``right`` must contain ``key_col``, ``ts_col`` and ``value_cols``;
     output carries all left columns plus ``{v}{suffix}`` for each value
     column and ``{ts_col}{suffix}`` (the matched right timestamp), all
-    NULL when no right row precedes.  Matching is inclusive (right ts ==
+    NULL when no right row qualifies.  Matching is inclusive (right ts ==
     left ts matches), implemented by sorting right rows before left rows
     at equal timestamps.
 
@@ -48,6 +62,8 @@ def asof_join(
     older row's value with a newer row's timestamp — diverging from
     ``merge_asof`` / DuckDB ASOF JOIN, where the whole match is one row.)
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join direction must be backward|forward, got {direction!r}")
     l_tagged = left.withColumn("_side", F.lit(1))
     r_tagged = right.select(
         F.col(key_col),
@@ -61,15 +77,28 @@ def asof_join(
     merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     # right rows (side 0) sort before left rows at the same timestamp =>
     # inclusive as-of semantics; left rows carry a NULL struct, which
-    # last(ignorenulls) skips.
+    # last(ignorenulls) skips.  Backward scans time ascending (nearest
+    # preceding right row is the last seen); forward scans descending
+    # (nearest following right row is the last seen).
+    ts_order = F.col(ts_col) if direction == "backward" else F.col(ts_col).desc()
     w = (
         Window.partitionBy(key_col)
-        .orderBy(ts_col, "_side")
+        .orderBy(ts_order, "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = merged.withColumn(
         "_asof_row", F.last("_asof_row", ignorenulls=True).over(w)
     )
+    if tolerance is not None:
+        gap = (
+            F.expr(f"{ts_col} - _asof_row.{ts_col}{suffix}")
+            if direction == "backward"
+            else F.expr(f"_asof_row.{ts_col}{suffix} - {ts_col}")
+        )
+        filled = filled.withColumn(
+            "_asof_row",
+            F.when(gap <= F.expr(tolerance), F.col("_asof_row")),
+        )
     return filled.where(F.col("_side") == 1).select(
         *left.columns,
         F.col(f"_asof_row.{ts_col}{suffix}").alias(f"{ts_col}{suffix}"),

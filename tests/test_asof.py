@@ -114,3 +114,49 @@ def test_bucketed_range_join_pairs_unique_across_buckets(spark):
     iv = spark.createDataFrame([(10, 50, 250)], "window_id long, s long, e long")
     out = bucketed_range_join(left, iv, "ts", "s", "e", bucket=100)
     assert out.count() == 1
+
+
+def test_asof_forward_direction(spark):
+    from lightfusion_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 250), (3, 1, 400)], "row_id long, k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 150, 10.0), (1, 250, 20.0), (1, 300, 30.0)], "k long, ts long, v double"
+    )
+    out = {
+        r["row_id"]: (r["ts_asof"], r["v_asof"])
+        for r in asof_join(
+            left, right, "k", "ts", ["v"], direction="forward"
+        ).collect()
+    }
+    # next right row at-or-after each left ts; inclusive at equality (250)
+    assert out == {1: (150, 10.0), 2: (250, 20.0), 3: (None, None)}
+
+
+def test_asof_tolerance_nulls_whole_match(spark):
+    from lightfusion_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 500)], "row_id long, k long, ts long"
+    )
+    right = spark.createDataFrame([(1, 90, 7.0)], "k long, ts long, v double")
+    out = {
+        r["row_id"]: (r["ts_asof"], r["v_asof"])
+        for r in asof_join(
+            left, right, "k", "ts", ["v"], tolerance="50"
+        ).collect()
+    }
+    # row 1: gap 10 <= 50 -> matched; row 2: gap 410 -> BOTH fields null
+    assert out == {1: (90, 7.0), 2: (None, None)}
+
+
+def test_asof_rejects_bad_direction(spark):
+    import pytest as _pytest
+
+    from lightfusion_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1, 1, 1)], "row_id long, k long, ts long")
+    with _pytest.raises(ValueError, match="backward|forward"):
+        asof_join(df, df, "k", "ts", [], direction="nearest")
