@@ -45,12 +45,15 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 #: Curated export order.  The driver's correctness gate evaluates only the
 #: FIRST 50 ``queries()`` entries (CORRECTNESS_r02 was exactly the first 50
-#: registered names), so the names below are emitted first.  Round-4
-#: rotation: the 13 queries that had never seen a driver window (r3 verdict
-#: item 3) rotate IN; 13 pipe_* queries hash-verified green in
-#: CORRECTNESS_r03 rotate OUT to WINDOW_EXEMPT, each leaving its operator
-#: family represented by a windowed sibling.  Everything else follows in
-#: registration order and stays covered by tools/parity.py + CI.
+#: registered names), so the names below are emitted first.  Round-5
+#: rotation: the 3 operators added in round 4 (`pipe_text_bm25`,
+#: `pipe_sim_ivf_probe2`, `events_asof_forward`) had never seen a driver
+#: window (r4 verdict item 1) and rotate IN; three r4-green pipe_* siblings
+#: rotate OUT to WINDOW_EXEMPT, each leaving its operator family represented
+#: by a windowed sibling.  Everything else follows in registration order and
+#: stays covered by tools/parity.py + CI; tests/test_registry_window.py
+#: additionally asserts every registered query is either in the current
+#: window or has a recorded green row from a past driver window.
 PRIORITY: list[str] = [
     # §2.1/§2.2 Layer A — the reference-authored surface.
     "lgbm_tsv_flagship",
@@ -61,17 +64,16 @@ PRIORITY: list[str] = [
     "pipe_dedup_exact",
     "pipe_dedup_minhash",
     "pipe_dedup_simhash",
-    "pipe_simhash_pairs",
     "pipe_dedup_ngram",
     "pipe_neardup_embedding",
     "pipe_dedup_semantic",
     "pipe_sim_topk",
     "pipe_sim_topk_gemm",
-    "pipe_sim_topk_quantized",
     "pipe_sim_ivf",
     "pipe_sim_ivf_kmeans",
+    "pipe_sim_ivf_probe2",
     "pipe_text_stats",
-    "pipe_text_langid",
+    "pipe_text_bm25",
     "pipe_multimodal_decode",
     "pipe_decontaminate",
     "pipe_quality_filter",
@@ -83,6 +85,7 @@ PRIORITY: list[str] = [
     "events_windowed_stats",
     "events_sessionize",
     "events_asof_join",
+    "events_asof_forward",
     "events_attribution",
     "events_range_join",
     # UDF / UDAF / UDTF surface.
@@ -111,31 +114,33 @@ PRIORITY: list[str] = [
     "rel_tpch_q18_shape",
 ]
 
-#: Queries intentionally OUTSIDE the driver's 50-entry window: each was
-#: hash-verified green by an earlier driver gate (a matter of record) and
-#: ceded its slot to a never-windowed query, or is a redundant variant of
-#: an operator whose windowed sibling runs the same algorithm.  All remain
-#: parity-checked by tools/parity.py and the CI subset.
+#: Queries intentionally OUTSIDE the driver's 50-entry window.  Every name
+#: here MUST have a green row in a recorded past driver window (enforced by
+#: tests/test_registry_window.py, which cross-checks CORRECTNESS_r*.json):
+#: each was hash-verified by an earlier driver gate and ceded its slot to a
+#: never-windowed query.  All remain parity-checked by tools/parity.py and
+#: the CI subset.
 WINDOW_EXEMPT: frozenset[str] = frozenset(
     {
         # green in CORRECTNESS_r03; family stays repped in-window.
-        "pipe_simhash_wide",  # 60-bit sibling of windowed pipe_dedup_simhash/pipe_simhash_pairs
+        "pipe_simhash_wide",  # 60-bit sibling of windowed pipe_dedup_simhash
         "pipe_dedup_components",  # downstream of windowed pipe_dedup_minhash pairs
         "pipe_dedup_survivors",  # downstream of windowed pipe_dedup_minhash pairs
         "pipe_sim_ann_lsh",  # ANN family repped by pipe_sim_topk*/pipe_sim_ivf*
         "pipe_sim_lsh_multiprobe",  # recall-knob variant of pipe_sim_ann_lsh
-        "pipe_text_tokens",  # text family repped by pipe_text_stats/langid
-        "pipe_text_fingerprint",  # text family repped by pipe_text_stats/langid
-        "pipe_text_repetition",  # text family repped by pipe_text_stats/langid
-        "pipe_text_pii",  # text family repped by pipe_text_stats/langid
-        "pipe_text_urls",  # text family repped by pipe_text_stats/langid
+        "pipe_text_tokens",  # text family repped by pipe_text_stats/bm25
+        "pipe_text_fingerprint",  # text family repped by pipe_text_stats/bm25
+        "pipe_text_repetition",  # text family repped by pipe_text_stats/bm25
+        "pipe_text_pii",  # text family repped by pipe_text_stats/bm25
+        "pipe_text_urls",  # text family repped by pipe_text_stats/bm25
         "pipe_pack_sequences",  # curation family repped by quality_filter/decontaminate
         "pipe_shard_assign",  # curation family repped by split_stratified
         "pipe_mixture_sample",  # curation family repped by quality_filter/split_stratified
-        # new in round 4 — next rotation candidates; families repped in-window.
-        "pipe_text_bm25",
-        "pipe_sim_ivf_probe2",
-        "events_asof_forward",
+        # green in CORRECTNESS_r04; rotated out for the round-5 window so the
+        # three round-4 operators get official rows; families stay repped.
+        "pipe_simhash_pairs",  # simhash family repped by pipe_dedup_simhash
+        "pipe_sim_topk_quantized",  # top-k family repped by pipe_sim_topk/_gemm
+        "pipe_text_langid",  # text family repped by pipe_text_stats
         # green in CORRECTNESS_r02; agg/join/ranking families still repped.
         "rel_join_full_outer",
         "rel_agg_rollup",

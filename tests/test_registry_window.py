@@ -4,10 +4,30 @@ lands inside that window (round-2 verdict: all 50 slots were spent on rel_*,
 leaving the whole ML/pipeline surface driver-unverified).
 """
 
+import json
+from pathlib import Path
+
 import __spark_entry__ as entry
 from lightfusion_spark.corpus.registry import PRIORITY, REGISTRY, WINDOW_EXEMPT
 
 DRIVER_WINDOW = 50
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _past_green_rows() -> set[str]:
+    """Query names with a hash-verified green row in ANY past driver window.
+
+    Reconstructed from the committed CORRECTNESS_r*.json files rather than a
+    hand-maintained list, so the record can't drift from what the driver
+    actually verified.
+    """
+    green: set[str] = set()
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rows = json.loads(path.read_text())
+        for name, row in rows.items():
+            if row.get("rows_match") and row.get("schema_match") and not row.get("err"):
+                green.add(name)
+    return green
 
 
 def test_priority_names_all_registered():
@@ -58,6 +78,32 @@ def test_window_covers_every_family():
         "rel_salted_agg",
     ):
         assert name in window, f"§2.3 representative {name} outside driver window"
+
+
+def test_every_query_windowed_now_or_green_in_a_past_window():
+    """r4 verdict item 7: a registered query must either sit in the CURRENT
+    driver window or hold a green row from a PAST driver window.  A new query
+    parked in WINDOW_EXEMPT without ever being windowed fails here loudly
+    instead of surfacing as a judge finding a round later."""
+    window = set(list(entry.queries())[:DRIVER_WINDOW])
+    green = _past_green_rows()
+    never_verified = [
+        n for n in REGISTRY if n not in window and n not in green
+    ]
+    assert not never_verified, (
+        "queries neither in the current driver window nor green in any past "
+        f"window — rotate them into PRIORITY: {never_verified}"
+    )
+
+
+def test_window_exempt_only_for_past_green_queries():
+    """WINDOW_EXEMPT's contract: exemption is only for queries the driver has
+    already hash-verified (the advisor flagged round 4 for breaking this)."""
+    green = _past_green_rows()
+    unearned = sorted(WINDOW_EXEMPT - green)
+    assert not unearned, (
+        f"WINDOW_EXEMPT entries with no past green driver row: {unearned}"
+    )
 
 
 def test_all_registered_queries_still_exported():
