@@ -658,6 +658,55 @@ def pipe_text_bm25(spark, sf_dir):
     return text_ops.bm25_scores(d, "doc_id", "text", _BM25_TERMS)
 
 
+@register(
+    "pipe_text_bm25_terms",
+    oracle=r"""
+    WITH terms AS (
+      SELECT * FROM (VALUES ('spark'), ('join'), ('vector'), ('data')) t(tok)
+    ),
+    d AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks,
+             LEN(string_split_regex(lower(text), '\s+')) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM d
+    ),
+    m AS (
+      SELECT doc_id, dl, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, dl, UNNEST(toks) AS tok FROM d)
+      WHERE tok IN (SELECT tok FROM terms)
+      GROUP BY doc_id, dl, tok
+    ),
+    freq AS (SELECT tok, COUNT(*) AS dfreq FROM m GROUP BY tok),
+    sc AS (
+      SELECT m.doc_id,
+             ROUND(
+               LN((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+               6
+             ) AS s
+      FROM m JOIN freq USING (tok), stats
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS b
+      FROM sc GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.dl AS n_toks, COALESCE(agg.b, 0.0) AS bm25
+    FROM d LEFT JOIN agg USING (doc_id)
+    """,
+    doc="BM25 with the query terms as a TABLE (broadcast left-semi prune "
+    "instead of an isin literal) — the retrieval surface where the term "
+    "set comes from another query's output; same math, same output as "
+    "pipe_text_bm25",
+)
+def pipe_text_bm25_terms(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    terms = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    return text_ops.bm25_scores_terms(d, "doc_id", "text", terms)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------

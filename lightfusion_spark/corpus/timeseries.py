@@ -84,7 +84,8 @@ def events_sessionize(spark, sf_dir):
     "events_asof_join",
     oracle="""
     WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-         c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+         c AS (SELECT user_id, ts, MAX(value) AS value
+               FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
     SELECT p.event_id, p.user_id,
            strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
            c.value AS click_value,
@@ -92,7 +93,10 @@ def events_sessionize(spark, sf_dir):
     FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
     doc="as-of join: each purchase matched to the user's most recent prior "
-    "click (window-over-union operator; oracle is DuckDB's native ASOF JOIN)",
+    "click (window-over-union operator; oracle is DuckDB's native ASOF "
+    "JOIN).  The right side is pre-aggregated to one row per (user_id, ts) "
+    "in BOTH engines so the match is deterministic even if testdata ever "
+    "grows duplicate-timestamp clicks (ASOF tiebreaks are engine lottery)",
 )
 def events_asof_join(spark, sf_dir):
     from ..operators.asof import asof_join
@@ -105,7 +109,11 @@ def events_asof_join(spark, sf_dir):
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
     joined = asof_join(purchases, clicks, "user_id", "ts", ["value"])
     return joined.select(
         "event_id",
@@ -120,7 +128,8 @@ def events_asof_join(spark, sf_dir):
     "events_asof_forward",
     oracle="""
     WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-         p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         p AS (SELECT user_id, ts, MAX(value) AS value
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
          m AS (
            SELECT c.event_id, p.ts AS p_ts, p.value AS p_value,
                   ROW_NUMBER() OVER (PARTITION BY c.event_id ORDER BY p.ts) AS rn
@@ -149,8 +158,10 @@ def events_asof_forward(spark, sf_dir):
     clicks = ev.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
     )
     joined = asof_join(
         clicks,

@@ -34,6 +34,7 @@ def asof_join(
     suffix: str = "_asof",
     direction: str = "backward",
     tolerance: str | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row + the nearest right values.
 
@@ -48,6 +49,14 @@ def asof_join(
     match distance (e.g. ``"INTERVAL 1 HOUR"`` for timestamp columns or
     ``"3600000000"`` for integer micros); matches farther than that are
     nulled out whole-row, exactly like ``merge_asof``'s tolerance.
+
+    ``tiebreak_col`` (optional) — a right-side column (e.g. a unique row
+    id) breaking ties among right rows sharing the same (key, ts): the
+    row with the GREATEST tiebreak value wins, in both directions.
+    Without it, which of several equal-timestamp right rows is matched
+    is plan-dependent (Spark's sort is not stable across partitionings)
+    — fine when (key, ts) is unique on the right, a data-dependent
+    lottery otherwise.
 
     ``right`` must contain ``key_col``, ``ts_col`` and ``value_cols``;
     output carries all left columns plus ``{v}{suffix}`` for each value
@@ -73,17 +82,23 @@ def asof_join(
             *[F.col(v).alias(f"{v}{suffix}") for v in value_cols],
         ).alias("_asof_row"),
         F.lit(0).alias("_side"),
+        *([F.col(tiebreak_col).alias("_tiebreak")] if tiebreak_col else []),
     )
     merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     # right rows (side 0) sort before left rows at the same timestamp =>
     # inclusive as-of semantics; left rows carry a NULL struct, which
     # last(ignorenulls) skips.  Backward scans time ascending (nearest
     # preceding right row is the last seen); forward scans descending
-    # (nearest following right row is the last seen).
+    # (nearest following right row is the last seen).  The tiebreak (when
+    # given) sorts ascending among equal-ts right rows in BOTH directions,
+    # so last() always lands on the greatest tiebreak value.
     ts_order = F.col(ts_col) if direction == "backward" else F.col(ts_col).desc()
+    order = [ts_order, F.col("_side")]
+    if tiebreak_col:
+        order.append(F.col("_tiebreak").asc_nulls_first())
     w = (
         Window.partitionBy(key_col)
-        .orderBy(ts_order, "_side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = merged.withColumn(

@@ -643,6 +643,8 @@ def assign_topn_centroids(
     """
     import pandas as pd
 
+    if nprobe < 1:
+        raise ValueError(f"assign_topn_centroids: nprobe must be >= 1, got {nprobe}")
     rows = centroids.select("centroid_id", "_cent").orderBy("centroid_id").collect()
     pairs = [(r["centroid_id"], [float(x) for x in r["_cent"]]) for r in rows]
     if len(pairs) > MAX_INLINE_CENTROIDS:

@@ -351,23 +351,95 @@ def bm25_scores(
     scores round to 6 decimals and sum as DECIMAL so partial-aggregation
     order can't change a bit (ln differs in the last ulp across libm
     implementations).
+
+    Fault tolerance / storage: only the tiny ``(id, dl)`` frame is
+    localCheckpoint-pinned (it feeds the corpus stats AND the final
+    every-document left join — ~16 bytes/row, not the |tokens|-sized
+    arrays).  The matches branch re-tokenizes from the raw text instead:
+    its explode is filtered to the term set in the same stage, so the
+    retokenize trades bounded CPU for not parking a token-array copy of
+    the corpus in executor block storage (and for lineage that can
+    recompute the wide branch after an executor loss).
     """
-    d = df.select(
-        F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
-    ).select(
-        F.col(id_col), F.col("_toks"), F.size("_toks").alias("dl")
-    ).localCheckpoint(eager=False)  # one tokenize pass feeds 3 branches
+    tok_expr = _tokens(F.col(text_col))
+    base = df.select(F.col(id_col), F.col(text_col))
+    d = base.select(
+        F.col(id_col), F.size(tok_expr).alias("dl")
+    ).localCheckpoint(eager=False)  # (id, dl) only — tiny, feeds 2 branches
 
     stats = d.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     matches = (
-        d.select(F.col(id_col), "dl", F.explode("_toks").alias("tok"))
+        base.select(
+            F.col(id_col), F.size(tok_expr).alias("dl"), F.explode(tok_expr).alias("tok")
+        )
         .where(F.col("tok").isin(query_terms))
         .groupBy(id_col, "dl", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return _bm25_score_matches(d, matches, stats, id_col, k1, b)
+
+
+def bm25_scores_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: DataFrame,
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """``bm25_scores`` with the query terms supplied as a DataFrame — the
+    retrieval-style surface: score the corpus against a (small) term table
+    without rebuilding the plan per query set.
+
+    Identical math and output schema to :func:`bm25_scores`; the only
+    difference is where the term set lives.  The literal-list variant
+    prunes the exploded token stream with an ``isin`` over a constant
+    array (foldable into the stage); here the prune is a **broadcast
+    LEFT SEMI join** against the distinct term table — the term set never
+    touches the driver as Python values, so it can come straight from
+    another query's output (top-k terms, a decontamination list, …) and
+    can be thousands of terms without blowing up the plan string.  The
+    wide intermediate stays |matches|, not |tokens|, and everything after
+    the semi join is the same three bounded exchanges.
+    """
+    tok_expr = _tokens(F.col(text_col))
+    base = df.select(F.col(id_col), F.col(text_col))
+    d = base.select(
+        F.col(id_col), F.size(tok_expr).alias("dl")
+    ).localCheckpoint(eager=False)  # (id, dl) only — tiny, feeds 2 branches
+
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    term_set = terms.select(F.col(term_col).alias("tok")).distinct()
+    matches = (
+        base.select(
+            F.col(id_col), F.size(tok_expr).alias("dl"), F.explode(tok_expr).alias("tok")
+        )
+        .join(F.broadcast(term_set), "tok", "leftsemi")
+        .groupBy(id_col, "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return _bm25_score_matches(d, matches, stats, id_col, k1, b)
+
+
+def _bm25_score_matches(
+    d: DataFrame,
+    matches: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared BM25 tail: per-term scoring over the pruned ``(id, dl, tok,
+    tf)`` matches, then the every-document left join (docs with no match
+    score 0.0).  ``d`` is the checkpointed ``(id, dl)`` frame; ``stats``
+    the one-row ``(n_docs, avgdl)`` aggregate."""
     dfreq = matches.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
     scored = (
         matches.join(F.broadcast(dfreq), "tok")

@@ -152,6 +152,23 @@ def test_asof_tolerance_nulls_whole_match(spark):
     assert out == {1: (90, 7.0), 2: (None, None)}
 
 
+def test_asof_tiebreak_picks_greatest_both_directions(spark):
+    # duplicate (k, ts) right rows: with tiebreak_col the row with the
+    # GREATEST tiebreak wins, deterministically, in both directions.
+    left = spark.createDataFrame([(1, 1, 100)], "row_id long, k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 50, 10, 1.0), (1, 50, 30, 3.0), (1, 50, 20, 2.0)],
+        "k long, ts long, rid long, v double",
+    )
+    for direction in ("backward", "forward"):
+        lts = 100 if direction == "backward" else 10
+        l = spark.createDataFrame([(1, 1, lts)], "row_id long, k long, ts long")
+        (row,) = asof_join(
+            l, right, "k", "ts", ["v"], direction=direction, tiebreak_col="rid"
+        ).collect()
+        assert (row["ts_asof"], row["v_asof"]) == (50, 3.0), direction
+
+
 def test_asof_rejects_bad_direction(spark):
     import pytest as _pytest
 
