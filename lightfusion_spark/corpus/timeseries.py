@@ -125,6 +125,48 @@ def events_asof_join(spark, sf_dir):
 
 
 @register(
+    "events_asof_bucketed",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, MAX(value) AS value
+               FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           c.value AS click_value,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="skew-safe as-of join: the SAME match as events_asof_join (same "
+    "oracle), computed by asof_join_bucketed — windows partitioned by "
+    "(user_id, 1-hour time bucket) with per-bucket boundary rows carried "
+    "across buckets, so one hot user never serializes onto one task",
+)
+def events_asof_bucketed(spark, sf_dir):
+    from ..operators.asof import asof_join_bucketed
+
+    ev = table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", ts_micros_col(ev))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts_us")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("value"))
+    )
+    joined = asof_join_bucketed(
+        purchases, clicks, "user_id", "ts_us", ["value"], bucket=3_600_000_000
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format(F.timestamp_micros("ts_us"), _TS_US_SPARK).alias("purchase_ts"),
+        F.col("value_asof").alias("click_value"),
+        F.date_format(F.timestamp_micros("ts_us_asof"), _TS_US_SPARK).alias("click_ts"),
+    )
+
+
+@register(
     "events_asof_forward",
     oracle="""
     WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

@@ -124,6 +124,146 @@ def asof_join(
     )
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    bucket: int,
+    suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: str | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Skew-safe :func:`asof_join`: identical semantics, bounded task state.
+
+    ``asof_join`` partitions its window by key alone, so one hot key (a
+    user with billions of events) serializes onto a single task.  This
+    variant implements the time-bucketed key-carry pattern that
+    ``asof_join``'s module docstring describes: partition by **(key,
+    time-bucket)** so no task ever sorts more than one bucket of one key,
+    and carry each bucket's boundary row across buckets through a
+    window over per-bucket *summaries* (≤ one row per (key, bucket) —
+    millions of times smaller than the event stream, so the hot key's
+    sequential pass is over its bucket count, not its row count).
+
+    ``ts_col`` must be integral (e.g. epoch micros — see
+    ``streaming.events.ts_micros_col``); ``bucket`` is the bucket width in
+    the same unit.  ``direction`` / ``tolerance`` / ``tiebreak_col`` as in
+    :func:`asof_join`.
+
+    Plan shape (3 shuffles, all bounded): (1) per-(key, bucket) boundary
+    aggregation of the right side — map-side combinable; (2) the carry
+    window over (key, bucket) summaries; (3) the main union window
+    hash-partitioned by (key, bucket).  Pick ``bucket`` so a typical
+    (key, bucket) slice fits a task comfortably; smaller buckets raise
+    summary volume, never correctness.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join_bucketed direction must be backward|forward, got {direction!r}")
+    if bucket <= 0:
+        raise ValueError(f"asof_join_bucketed bucket must be a positive int, got {bucket}")
+    # floor-division bucket id (pmod keeps it exact for negative ts too,
+    # where SQL `div` truncates toward zero).
+    _bk = F.expr(f"(({ts_col} - pmod({ts_col}, {bucket})) div {bucket})")
+    ts_type = dict(left.dtypes)[ts_col]
+
+    payload = F.struct(
+        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        *[F.col(v).alias(f"{v}{suffix}") for v in value_cols],
+    )
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    r = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        payload.alias("_asof_row"),
+        tb.alias("_tb"),
+        _bk.alias("_bk"),
+    )
+
+    # (1) each bucket's boundary right row: the one asof_join's scan would
+    # have in hand when leaving the bucket — nearest-to-the-boundary ts,
+    # greatest tiebreak on ties (same rule as asof_join's window order).
+    # max_by over (±ts, tb): ts negated for forward (ts is integral by
+    # contract) so the tiebreak rule stays "greatest wins" for any
+    # orderable tiebreak type in both directions.
+    ts_rank = F.col(ts_col) if direction == "backward" else -F.col(ts_col)
+    summaries = r.groupBy(key_col, "_bk").agg(
+        F.max_by(
+            "_asof_row", F.struct(ts_rank.alias("_ts"), F.col("_tb"))
+        ).alias("_last")
+    )
+
+    # (2) carry = that boundary row from the nearest preceding bucket (in
+    # scan direction), computed over the summary table and materialized as
+    # one synthetic right row per (key, bucket), sorted to the bucket edge
+    # where the scan enters (side -1 beats real rows at the same ts).
+    lb = left.select(F.col(key_col), _bk.alias("_bk")).distinct()
+    allb = lb.join(summaries, [key_col, "_bk"], "full").select(key_col, "_bk", "_last")
+    bk_order = F.col("_bk") if direction == "backward" else F.col("_bk").desc()
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(bk_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    edge = (
+        F.col("_bk") * bucket
+        if direction == "backward"
+        else F.col("_bk") * bucket + (bucket - 1)
+    )
+    carry = (
+        allb.withColumn("_carry", F.last("_last", ignorenulls=True).over(w_prev))
+        .where(F.col("_carry").isNotNull())
+        .select(
+            F.col(key_col),
+            edge.cast(ts_type).alias(ts_col),
+            F.col("_carry").alias("_asof_row"),
+            F.lit(-1).alias("_side"),
+            F.col("_bk"),
+        )
+    )
+
+    # (3) the same union-window scan as asof_join, per (key, bucket).
+    l_tagged = left.withColumn("_side", F.lit(1)).withColumn("_bk", _bk)
+    r_tagged = r.select(
+        key_col, ts_col, "_asof_row", F.lit(0).alias("_side"), "_bk", "_tb"
+    )
+    merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True).unionByName(
+        carry, allowMissingColumns=True
+    )
+    ts_order = F.col(ts_col) if direction == "backward" else F.col(ts_col).desc()
+    order = [ts_order, F.col("_side")]
+    if tiebreak_col:
+        order.append(F.col("_tb").asc_nulls_first())
+    w = (
+        Window.partitionBy(key_col, "_bk")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.withColumn(
+        "_asof_row", F.last("_asof_row", ignorenulls=True).over(w)
+    )
+    if tolerance is not None:
+        gap = (
+            F.expr(f"{ts_col} - _asof_row.{ts_col}{suffix}")
+            if direction == "backward"
+            else F.expr(f"_asof_row.{ts_col}{suffix} - {ts_col}")
+        )
+        filled = filled.withColumn(
+            "_asof_row",
+            F.when(gap <= F.expr(tolerance), F.col("_asof_row")),
+        )
+    return filled.where(F.col("_side") == 1).select(
+        *left.columns,
+        F.col(f"_asof_row.{ts_col}{suffix}").alias(f"{ts_col}{suffix}"),
+        *[
+            F.col(f"_asof_row.{v}{suffix}").alias(f"{v}{suffix}")
+            for v in value_cols
+        ],
+    )
+
+
 def bucketed_range_join(
     left: DataFrame,
     intervals: DataFrame,

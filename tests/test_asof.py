@@ -177,3 +177,69 @@ def test_asof_rejects_bad_direction(spark):
     df = spark.createDataFrame([(1, 1, 1)], "row_id long, k long, ts long")
     with _pytest.raises(ValueError, match="backward|forward"):
         asof_join(df, df, "k", "ts", [], direction="nearest")
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("seed,bucket", [(0, 500), (7, 100), (42, 37)])
+def test_asof_bucketed_equals_plain(spark, direction, seed, bucket):
+    """The skew-safe variant is semantics-identical to asof_join for any
+    bucket width — including widths that force most matches across bucket
+    boundaries (bucket=37 on a 0..10k ts range)."""
+    from lightfusion_spark.operators.asof import asof_join, asof_join_bucketed
+
+    rng = np.random.RandomState(seed)
+    n_l, n_r, n_k = 300, 200, 6
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(n_l),
+            "k": rng.randint(0, n_k, n_l),
+            "ts": rng.randint(0, 10_000, n_l).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, n_k, n_r),
+            "ts": rng.randint(0, 10_000, n_r).astype(np.int64),
+            "rid": np.arange(n_r),
+            "v": rng.randn(n_r).round(6),
+        }
+    )
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    kw = dict(direction=direction, tolerance="1500", tiebreak_col="rid")
+    plain = {
+        r["lid"]: (r["ts_asof"], r["v_asof"])
+        for r in asof_join(ldf, rdf, "k", "ts", ["v"], **kw).collect()
+    }
+    bucketed = {
+        r["lid"]: (r["ts_asof"], r["v_asof"])
+        for r in asof_join_bucketed(
+            ldf, rdf, "k", "ts", ["v"], bucket=bucket, **kw
+        ).collect()
+    }
+    assert bucketed == plain
+
+
+def test_asof_bucketed_partitions_by_key_and_bucket(spark):
+    """The whole point: the big window must hash-partition on (key, bucket),
+    not key alone — one hot key spreads over ts-range/bucket tasks."""
+    from lightfusion_spark.operators.asof import asof_join_bucketed
+    from lightfusion_spark.plans.audit import formatted_plan
+
+    left = spark.createDataFrame([(1, 1, 100)], "lid long, k long, ts long")
+    right = spark.createDataFrame([(1, 50, 1.0)], "k long, ts long, v double")
+    plan = formatted_plan(
+        asof_join_bucketed(left, right, "k", "ts", ["v"], bucket=1000)
+    )
+    import re
+
+    assert re.search(r"hashpartitioning\(k#\d+L, _bk#\d+L", plan), plan
+
+
+def test_asof_bucketed_validates_args(spark):
+    from lightfusion_spark.operators.asof import asof_join_bucketed
+
+    df = spark.createDataFrame([(1, 1)], "k long, ts long")
+    with pytest.raises(ValueError, match="bucket"):
+        asof_join_bucketed(df, df, "k", "ts", [], bucket=0)
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join_bucketed(df, df, "k", "ts", [], bucket=10, direction="nearest")
