@@ -731,6 +731,36 @@ def pipe_multimodal_decode(spark, sf_dir):
 
 
 @register(
+    "pipe_multimodal_codec",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+           CAST(4 + doc_id % 13 AS INTEGER) AS width,
+           CAST(3 + doc_id % 7 AS INTEGER) AS height,
+           CAST(list_sum([ (doc_id*31 + 3*i) % 256
+                           FOR i IN range((4+doc_id%13)*(3+doc_id%7)) ]) AS DOUBLE)
+             / ((4+doc_id%13)*(3+doc_id%7)) AS mean_r,
+           CAST(list_sum([ (doc_id*31 + 3*i + 1) % 256
+                           FOR i IN range((4+doc_id%13)*(3+doc_id%7)) ]) AS DOUBLE)
+             / ((4+doc_id%13)*(3+doc_id%7)) AS mean_g,
+           CAST(list_sum([ (doc_id*31 + 3*i + 2) % 256
+                           FOR i IN range((4+doc_id%13)*(3+doc_id%7)) ]) AS DOUBLE)
+             / ((4+doc_id%13)*(3+doc_id%7)) AS mean_b
+    FROM documents
+    """,
+    doc="REAL image codec round trip: deterministic synthetic PPM(P6) "
+    "payloads for even doc ids, 24-bit BMP (padded, bottom-up, BGR) for "
+    "odd, decoded by the pure-Python parsers in operators/multimodal.py; "
+    "the oracle replays the pixel formula analytically, so a single "
+    "header-parse or row-layout bug breaks the hash",
+)
+def pipe_multimodal_codec(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    payload = multimodal.synthesize_media(d, "doc_id")
+    return multimodal.decode_media(payload, real=True)
+
+
+@register(
     "pipe_sim_ivf",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
