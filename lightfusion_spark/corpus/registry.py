@@ -74,11 +74,12 @@ PRIORITY: list[str] = [
     "pipe_sim_ivf_probe2",
     "pipe_text_stats",
     "pipe_text_bm25",
+    "pipe_text_bm25_terms",
     "pipe_multimodal_decode",
+    "pipe_multimodal_codec",
     "pipe_decontaminate",
     "pipe_quality_filter",
     "pipe_lm_score",
-    "pipe_lm_buckets",
     "pipe_split_stratified",
     # Timeseries / streaming-batch parity (repaired this round — the
     # whole family needs fresh official rows).
@@ -86,6 +87,7 @@ PRIORITY: list[str] = [
     "events_sessionize",
     "events_asof_join",
     "events_asof_forward",
+    "events_asof_bucketed",
     "events_attribution",
     "events_range_join",
     # UDF / UDAF / UDTF surface.
@@ -109,8 +111,6 @@ PRIORITY: list[str] = [
     "rel_higher_order",
     "rel_regexp",
     "rel_tpch_q10_shape",
-    "rel_tpch_q14_shape",
-    "rel_tpch_q17_shape",
     "rel_tpch_q18_shape",
 ]
 
@@ -137,10 +137,12 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_shard_assign",  # curation family repped by split_stratified
         "pipe_mixture_sample",  # curation family repped by quality_filter/split_stratified
         # green in CORRECTNESS_r04; rotated out for the round-5 window so the
-        # three round-4 operators get official rows; families stay repped.
+        # three round-4 operators + three round-5 operators get official
+        # rows; families stay repped.
         "pipe_simhash_pairs",  # simhash family repped by pipe_dedup_simhash
         "pipe_sim_topk_quantized",  # top-k family repped by pipe_sim_topk/_gemm
         "pipe_text_langid",  # text family repped by pipe_text_stats
+        "pipe_lm_buckets",  # LM family repped by pipe_lm_score
         # green in CORRECTNESS_r02; agg/join/ranking families still repped.
         "rel_join_full_outer",
         "rel_agg_rollup",

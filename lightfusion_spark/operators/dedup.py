@@ -405,33 +405,141 @@ def ngram_jaccard_pairs(
     )
 
 
+#: Rounds the last connected_components call took to converge — a
+#: diagnostic for tools/scalecheck.py's O(diameter)-vs-O(log n) A/B.
+last_cc_rounds: int = 0
+
+
 def connected_components(
     pairs: DataFrame,
     vertices: DataFrame,
     id_col: str,
     pair_cols: tuple[str, str] = ("id_a", "id_b"),
     max_iterations: int = 25,
+    algorithm: str = "two_phase",
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over a pair
-    graph via min-label propagation.  Output (id_col, component) for
-    EVERY vertex — singletons keep their own id; the component id is the
-    minimum member id (a deterministic canonical representative).
+    graph.  Output (id_col, component) for EVERY vertex — singletons
+    keep their own id; the component id is the minimum member id (a
+    deterministic canonical representative), whichever algorithm runs.
 
-    Each iteration is one join + one aggregation; labels converge in
-    O(graph diameter) rounds (near-dup families are shallow, so
-    typically 2-4).  The driver-side loop is the standard shape for
-    iterative graph algorithms on Spark (GraphFrames does the same);
-    ``localCheckpoint`` truncates the lineage each round so plans don't
-    grow superlinearly.  At extreme scale swap the propagation for the
-    large-star/small-star alternation — same join primitives, provably
-    O(log n) rounds.
+    ``algorithm``:
+
+    * ``"two_phase"`` (default) — the large-star/small-star alternation
+      (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+      each round contracts edges toward component minima from BOTH ends,
+      converging in O(log n) rounds on any topology.  The 100 TB choice:
+      a long duplicate chain (template spam) costs ~log2(chain) rounds
+      instead of one round per hop.
+    * ``"propagation"`` — plain min-label propagation: one join + one
+      aggregation per round, O(graph diameter) rounds.  Near-dup
+      families are usually shallow (2-4 hops), where its simpler rounds
+      win; it degrades on deep chains.
+
+    Both loops are driver-side with ``localCheckpoint`` truncating
+    lineage each round (the standard Spark shape for iterative graph
+    algorithms — GraphFrames does the same).  ``last_cc_rounds`` records
+    the converged round count for diagnostics.
     """
     a, b = pair_cols
-    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-    edges = fwd.union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+    edges0 = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if algorithm == "two_phase":
+        return _cc_two_phase(edges0, vertices, id_col, max_iterations)
+    if algorithm == "propagation":
+        return _cc_propagation(edges0, vertices, id_col, max_iterations)
+    raise ValueError(
+        f"connected_components algorithm must be two_phase|propagation, got {algorithm!r}"
+    )
+
+
+def _cc_two_phase(
+    edges0: DataFrame, vertices: DataFrame, id_col: str, max_iterations: int
+) -> DataFrame:
+    """Large-star/small-star alternation.  Each round:
+
+    * **large-star** — per node u over its full neighborhood Γ(u):
+      m = min(Γ(u) ∪ {u}); rewire every LARGER neighbor v > u to m.
+    * **small-star** — orient edges large→small; per node u over its
+      smaller neighbors: m = min(Γ(u)); rewire them (and u) to m.
+
+    The edge set monotonically contracts toward one star per component
+    (center = component min); convergence is detected by an edge-set
+    signature (count + xxhash64 sum) going stable.  Every step is an
+    equi-join/aggregation on node ids — no driver-side graph state.
+    """
+    global last_cc_rounds
+    edges = edges0.localCheckpoint(eager=True)
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_iterations):
+        # large-star over the symmetrized neighborhood
+        sym = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+        ls = (
+            sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(
+                F.col("dst").alias("src"),
+                F.least(F.col("_mn"), F.col("src")).alias("dst"),
+            )
+            .distinct()
+        )
+        # small-star over edges oriented large -> small
+        directed = ls.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        ).where(F.col("src") != F.col("dst"))
+        mins2 = directed.groupBy("src").agg(F.min("dst").alias("_m"))
+        ss = (
+            directed.join(mins2, "src")
+            .where(F.col("dst") != F.col("_m"))
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+            .union(mins2.select(F.col("src"), F.col("_m").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        # order-insensitive set signature; bit_xor (not sum) — edges are
+        # distinct, and xor can't hit ANSI long-overflow
+        row = ss.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        edges = ss
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    last_cc_rounds = rounds
+    labels = edges.groupBy("src").agg(F.min("dst").alias("component"))
+    return (
+        vertices.select(F.col(id_col).alias("vid"))
+        .join(labels, F.col("vid") == F.col("src"), "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.coalesce("component", F.col("vid")).alias("component"),
+        )
+    )
+
+
+def _cc_propagation(
+    edges0: DataFrame, vertices: DataFrame, id_col: str, max_iterations: int
+) -> DataFrame:
+    """Min-label propagation (the pre-round-5 implementation)."""
+    global last_cc_rounds
+    edges = edges0.union(
+        edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     comp = vertices.select(
         F.col(id_col).alias("vid"), F.col(id_col).alias("comp")
     ).localCheckpoint(eager=True)
+    rounds = 0
     for _ in range(max_iterations):
         nmin = (
             edges.join(comp, edges.dst == comp.vid)
@@ -455,8 +563,10 @@ def connected_components(
             .count()
         )
         comp = new_comp
+        rounds += 1
         if changed == 0:
             break
+    last_cc_rounds = rounds
     return comp.select(F.col("vid").alias(id_col), F.col("comp").alias("component"))
 
 

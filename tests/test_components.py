@@ -1,0 +1,85 @@
+"""Connected-components tests: both algorithms against a pure-Python
+union-find reference on random graphs, and the round-count contrast that
+motivates the two-phase default (O(log n) vs O(diameter) on a path)."""
+
+import numpy as np
+import pytest
+
+from lightfusion_spark.operators import dedup
+
+
+def _union_find(n_vertices, pairs):
+    parent = list(range(n_vertices))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min member id
+    roots = {}
+    for v in range(n_vertices):
+        r = find(v)
+        roots.setdefault(r, v if v < r else r)
+    return {v: min(find(v), roots[find(v)]) for v in range(n_vertices)}
+
+
+def _labels(spark, n, pairs, algorithm, max_iterations=25):
+    vs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    ps = spark.createDataFrame(pairs or [(0, 0)], "id_a long, id_b long")
+    if not pairs:
+        ps = ps.limit(0)
+    out = dedup.connected_components(
+        ps, vs, "doc_id", max_iterations=max_iterations, algorithm=algorithm
+    )
+    return {r["doc_id"]: r["component"] for r in out.collect()}
+
+
+@pytest.mark.parametrize("algorithm", ["two_phase", "propagation"])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_matches_union_find_on_random_graphs(spark, algorithm, seed):
+    rng = np.random.RandomState(seed)
+    n = 60
+    pairs = [
+        (int(a), int(b))
+        for a, b in rng.randint(0, n, size=(45, 2))
+        if a != b
+    ]
+    expected = _union_find(n, pairs)
+    got = _labels(spark, n, pairs, algorithm)
+    assert got == expected
+
+
+@pytest.mark.parametrize("algorithm", ["two_phase", "propagation"])
+def test_no_edges_all_singletons(spark, algorithm):
+    got = _labels(spark, 5, [], algorithm)
+    assert got == {i: i for i in range(5)}
+
+
+def test_two_phase_path_graph_converges_in_log_rounds(spark):
+    """The motivating case: a 64-node chain. Propagation moves the min
+    label one hop per round (O(diameter)); two-phase halves the distance
+    per round (O(log n))."""
+    n = 64
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    got = _labels(spark, n, pairs, "two_phase", max_iterations=25)
+    assert got == {i: 0 for i in range(n)}
+    assert dedup.last_cc_rounds <= 10, dedup.last_cc_rounds
+
+    # propagation at the same budget must NOT have finished the chain —
+    # the degradation the two-phase default removes
+    got_prop = _labels(spark, n, pairs, "propagation", max_iterations=8)
+    assert dedup.last_cc_rounds == 8
+    assert got_prop != {i: 0 for i in range(n)}
+
+
+def test_rejects_unknown_algorithm(spark):
+    vs = spark.createDataFrame([(1,)], "doc_id long")
+    ps = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="two_phase|propagation"):
+        dedup.connected_components(ps, vs, "doc_id", algorithm="nope")

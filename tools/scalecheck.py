@@ -143,6 +143,26 @@ def main() -> None:
         lambda: skew.salted_agg(ev20, ["event_type"], "event_id").count(),
     )
 
+    # Connected-components round-count A/B on a worst-case path graph
+    # (template-spam chains): two-phase contracts O(log n), propagation
+    # crawls one hop per round.  rows_out records the converged ROUNDS.
+    def _cc_rounds(n, algorithm, max_iterations):
+        vs = spark.range(n).select(F.col("id").alias("doc_id"))
+        ps = spark.range(n - 1).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        out = dedup.connected_components(
+            ps, vs, "doc_id", max_iterations=max_iterations, algorithm=algorithm
+        )
+        assert out.where(F.col("component") != 0).count() == 0, algorithm
+        return dedup.last_cc_rounds
+
+    # same 64-node chain: ~6 rounds vs 63
+    timed("cc_two_phase_path64_rounds", lambda: _cc_rounds(64, "two_phase", 25))
+    timed("cc_propagation_path64_rounds", lambda: _cc_rounds(64, "propagation", 70))
+    # 8x the chain costs two-phase only ~log2(8)=3 more rounds
+    timed("cc_two_phase_path512_rounds", lambda: _cc_rounds(512, "two_phase", 25))
+
     # Semantic dedup: per-cluster GEMM pair scan at 100x vectors (64 cells
     # keep clusters ~n/64; the SQL pair-scan variant at this size would
     # evaluate ~64x(n/64)^2/2 interpreted folds — the reason GEMM is the
