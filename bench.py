@@ -36,10 +36,13 @@ BENCH_QUERIES = [
     "pipe_sim_topk_gemm",
     "pipe_sim_ivf_kmeans",
     "events_asof_join",
+    "events_asof_bucketed",
     "events_attribution",
     "pipe_text_stats",
     "pipe_text_repetition",
+    "pipe_text_bm25",
     "pipe_lm_score",
+    "pipe_multimodal_codec",
     "rel_tpch_q18_shape",
 ]
 
@@ -98,27 +101,44 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # Best-of-N per query: the host VM shows occasional multi-x slowdowns
-    # (measured in docs/SCALE.md), so a single sample makes round-over-round
-    # deltas meaningless.  Record the min (the least-noise estimate of true
-    # cost) plus the per-query spread so readers can judge noise.
+    # Best-of-N per query with ADAPTIVE re-runs: the host VM shows
+    # occasional multi-x slowdowns (measured in docs/SCALE.md), so a single
+    # sample makes round-over-round deltas meaningless — and a fixed pair
+    # of samples can still be one cold + one warm (round-4 bench:
+    # pipe_dedup_semantic spread 7.8 s on a 4.0 s best).  Each query runs
+    # at least ``n_runs`` times, then keeps re-running (up to ``max_runs``)
+    # until its two best samples agree within 50% of the best.  Reported
+    # ``spread`` is that two-best gap — the confidence of the min
+    # estimate — and ``samples`` the per-query run count.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    max_runs = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "5"))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    n_samples: dict[str, int] = {}
+
+    def _two_best_gap(samples: list[float]) -> float:
+        lo = sorted(samples)
+        return lo[1] - lo[0]
+
     for name in BENCH_QUERIES:
-        samples = []
-        for _ in range(n_runs):
+        samples: list[float] = []
+        while len(samples) < n_runs or (
+            len(samples) < max_runs
+            and _two_best_gap(samples) > 0.5 * min(samples)
+        ):
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
+            # Measurement isolation: a few operators cache intermediate
+            # relations (minhash shingle hashes, simhash fingerprints);
+            # each timed rebuild creates fresh entries, and the
+            # accumulated blocks squeeze execution memory for LATER
+            # queries.  Dropping them between runs keeps each
+            # measurement independent.
+            spark.catalog.clearCache()
         timings[name] = round(min(samples), 3)
-        spread[name] = round(max(samples) - min(samples), 3)
-        # Measurement isolation: a few operators cache intermediate
-        # relations (minhash shingle hashes, simhash fingerprints); each
-        # timed rebuild creates fresh entries, and the accumulated blocks
-        # squeeze execution memory for LATER queries.  Dropping them
-        # between queries keeps each measurement independent.
-        spark.catalog.clearCache()
+        spread[name] = round(_two_best_gap(samples), 3)
+        n_samples[name] = len(samples)
 
     print(
         json.dumps(
@@ -128,6 +148,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "samples": n_samples,
                 "runs_per_query": n_runs,
                 "sf": sf,
             }
