@@ -1372,11 +1372,11 @@ def pipe_lm_score(spark, sf_dir):
                                  ORDER BY s.avg_nll, s.doc_id)
                   WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                   ELSE 'tail' END AS bucket,
-             ROUND(s.avg_nll, 6) AS r_nll
+             CAST(FLOOR(s.avg_nll * 1000000.0 + 0.5) AS BIGINT) AS micro_nll
       FROM scored s JOIN documents d USING (doc_id)
     )
     SELECT lang, bucket, COUNT(*) AS n_docs,
-           CAST(SUM(CAST(r_nll AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+           (CAST(SUM(micro_nll) AS DOUBLE) / 1000000.0) / COUNT(*)
              AS mean_nll
     FROM bucketed GROUP BY lang, bucket
     """,
@@ -1384,7 +1384,10 @@ def pipe_lm_score(spark, sf_dir):
     "tertiles of the unigram-LM score (NTILE over a per-lang window with "
     "a deterministic doc_id tiebreak).  The standard head-keep / "
     "tail-drop curation policy; per-lang partitioning keeps the window "
-    "parallel across languages at scale",
+    "parallel across languages at scale.  Doc scores quantize to integer "
+    "micro-nll via FLOOR(x*1e6+0.5) — explicit IEEE arithmetic identical "
+    "in both engines, where engine ROUND() implementations diverged on 2 "
+    "of 5000 docs at sf0.1 — and bucket means are exact integer sums",
 )
 def pipe_lm_buckets(spark, sf_dir):
     from pyspark.sql.window import Window
@@ -1397,12 +1400,12 @@ def pipe_lm_buckets(spark, sf_dir):
     bucketed = joined.select(
         "lang",
         F.when(tier == 1, "head").when(tier == 2, "middle").otherwise("tail").alias("bucket"),
-        F.round("avg_nll", 6).alias("r_nll"),
+        F.floor(F.col("avg_nll") * 1e6 + F.lit(0.5)).alias("micro_nll"),
     )
     return bucketed.groupBy("lang", "bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
         (
-            F.sum(F.col("r_nll").cast("decimal(28,6)")).cast("double")
+            (F.sum("micro_nll").cast("double") / F.lit(1e6))
             / F.count(F.lit(1))
         ).alias("mean_nll"),
     )

@@ -77,6 +77,24 @@ def test_multimodal_uses_arrow_map(spark, queries):
     assert "MapInPandas" in python_eval_nodes(plan)
 
 
+def test_multimodal_codec_prunes_to_id_column(spark, queries):
+    report = audit_report(queries["pipe_multimodal_codec"](spark, SF_DIR))
+    # synth + real decode are the only Python crossings, and the scan
+    # reads ONLY doc_id (payloads are synthesized, text never read)
+    assert report["python_eval_nodes"] == ["MapInPandas", "MapInPandas"]
+    assert all(set(s) == {"doc_id"} for s in report["read_schemas"])
+
+
+def test_bm25_terms_prunes_via_broadcast_semi_join(spark, queries):
+    plan = formatted_plan(queries["pipe_text_bm25_terms"](spark, SF_DIR))
+    # the term-table prune and score joins all broadcast; the token
+    # stream itself never becomes a shuffle-join side, and nothing
+    # crosses into Python
+    assert python_eval_nodes(plan) == []
+    joins = join_nodes(plan)
+    assert all(j.startswith("Broadcast") for j in joins), joins
+
+
 # Queries that intentionally use row-based Python (none today — even the
 # UDTF runs Arrow-optimized; keep the escape hatch for future coverage).
 ROW_PYTHON_ALLOWED: set = set()
