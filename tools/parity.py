@@ -122,6 +122,11 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", args.cpus)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", args.tz)
+        # the compare collects full result sets; pair-emitting queries at
+        # sf0.1 return millions of rows (pipe_simhash_pairs: ~6M), which
+        # default driver sizing drops with TaskResultLost
+        .config("spark.driver.memory", "16g")
+        .config("spark.driver.maxResultSize", "8g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
