@@ -707,6 +707,86 @@ def pipe_text_bm25_terms(spark, sf_dir):
     return text_ops.bm25_scores_terms(d, "doc_id", "text", terms)
 
 
+#: Deterministic multi-line view of the single-line synthetic documents:
+#: a plain-string replace both engines perform byte-identically, planting
+#: a crawl-style repeated footer line while splitting the remaining
+#: content into lines.  (Real inputs arrive multi-line already; the
+#: operator is separator-generic.)
+_MULTILINE_SQL = "replace(text, ' the ', concat(chr(10), 'COMMON FOOTER', chr(10)))"
+_MULTILINE_DUCK = "replace(text, ' the ', chr(10) || 'COMMON FOOTER' || chr(10))"
+
+
+@register(
+    "pipe_boilerplate_lines",
+    oracle=f"""
+    WITH docs2 AS (SELECT doc_id, {_MULTILINE_DUCK} AS text FROM documents),
+    nz AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+      FROM docs2
+    ),
+    freq AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS n_docs
+      FROM nz WHERE len(line) > 0 GROUP BY line
+    ),
+    total AS (SELECT COUNT(*) AS n_total FROM docs2)
+    SELECT line, n_docs, CAST(n_docs AS DOUBLE) / n_total AS doc_frac
+    FROM freq, total
+    WHERE CAST(n_docs AS DOUBLE) / n_total >= 0.02
+    """,
+    doc="CCNet-style boilerplate detection: distinct lines present in "
+    ">= 2% of documents (explode -> per-doc distinct -> one count per "
+    "distinct line; corpus size rides a broadcast one-row cross join)",
+)
+def pipe_boilerplate_lines(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").withColumn("text", F.expr(_MULTILINE_SQL))
+    return text_ops.boilerplate_lines(d, "doc_id", "text", min_doc_frac=0.02)
+
+
+@register(
+    "pipe_strip_boilerplate",
+    oracle=f"""
+    WITH docs2 AS (SELECT doc_id, {_MULTILINE_DUCK} AS text FROM documents),
+    lines AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+      FROM docs2
+    ),
+    nz AS (SELECT * FROM lines WHERE len(line) > 0),
+    total AS (SELECT COUNT(*) AS n_total FROM docs2),
+    bp AS (
+      SELECT line FROM (
+        SELECT line, COUNT(DISTINCT doc_id) AS n_docs
+        FROM nz GROUP BY line
+      ), total
+      WHERE CAST(n_docs AS DOUBLE) / n_total >= 0.02
+    ),
+    kept AS (SELECT * FROM nz WHERE line NOT IN (SELECT line FROM bp)),
+    reb AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    orig AS (SELECT doc_id, COUNT(*) AS n_lines FROM nz GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(reb.clean_text, '') AS clean_text,
+           COALESCE(orig.n_lines, 0) AS n_lines,
+           COALESCE(orig.n_lines, 0) - COALESCE(reb.n_kept, 0) AS n_removed
+    FROM docs2 d
+    LEFT JOIN orig ON d.doc_id = orig.doc_id
+    LEFT JOIN reb ON d.doc_id = reb.doc_id
+    """,
+    doc="boilerplate REMOVAL: strip the >=2%-frequent lines from every "
+    "document and rebuild the text in original line order (broadcast "
+    "anti-join against the bounded boilerplate set; per-doc rebuild via "
+    "array_sort on unique positions, so output bytes are "
+    "partitioning-independent)",
+)
+def pipe_strip_boilerplate(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").withColumn("text", F.expr(_MULTILINE_SQL))
+    return text_ops.strip_boilerplate(d, "doc_id", "text", min_doc_frac=0.02)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------

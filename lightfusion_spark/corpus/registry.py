@@ -75,6 +75,8 @@ PRIORITY: list[str] = [
     "pipe_text_stats",
     "pipe_text_bm25",
     "pipe_text_bm25_terms",
+    "pipe_boilerplate_lines",
+    "pipe_strip_boilerplate",
     "pipe_multimodal_decode",
     "pipe_multimodal_codec",
     "pipe_decontaminate",
@@ -106,10 +108,8 @@ PRIORITY: list[str] = [
     "rel_approx_sketch",
     "rel_salted_agg",
     # §2.3 never-windowed rotation (r3 verdict item 3).
-    "rel_cast_battery",
     "rel_explode",
     "rel_higher_order",
-    "rel_regexp",
     "rel_tpch_q10_shape",
     "rel_tpch_q18_shape",
 ]

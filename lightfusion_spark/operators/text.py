@@ -472,3 +472,96 @@ def _bm25_score_matches(
             F.coalesce("_bm25", F.lit(0.0)).alias("bm25"),
         )
     )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_doc_frac: float = 0.05,
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style boilerplate detection: the distinct lines appearing in
+    at least ``min_doc_frac`` of all documents (navigation chrome, cookie
+    banners, license footers — the lines a crawl repeats everywhere).
+
+    Returns ``(line, n_docs, doc_frac)``.  Empty lines are ignored.
+
+    Scale (100 TB): one explode → per-(doc, line) distinct → one count
+    per distinct line (map-side combinable; Zipf keeps the distinct-line
+    relation far below the token stream).  The corpus size rides a
+    broadcast one-row cross join.  The report is small BY CONSTRUCTION:
+    at most ``1/min_doc_frac`` lines can exceed the threshold per
+    average document line count, which is what lets
+    :func:`strip_boilerplate` broadcast it back against the corpus.
+    """
+    lines = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), sep)).alias("line")
+    ).where(F.length("line") > 0)
+    per_doc = lines.distinct()
+    total = df.agg(F.count(F.lit(1)).alias("_n_docs"))
+    return (
+        per_doc.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "line",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("_n_docs")).alias("doc_frac"),
+        )
+        .where(F.col("doc_frac") >= min_doc_frac)
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_doc_frac: float = 0.05,
+    sep: str = "\n",
+) -> DataFrame:
+    """Remove boilerplate lines (per :func:`boilerplate_lines`) from every
+    document and rebuild the text in original line order.
+
+    Returns ``(id_col, clean_text, n_lines, n_removed)`` for EVERY
+    document — ``clean_text`` is ``""`` when all lines were boilerplate;
+    empty lines are dropped from both the rebuild and the counts.
+
+    Scale: the boilerplate set is bounded (see :func:`boilerplate_lines`)
+    and broadcast into a LEFT ANTI join against the exploded lines — the
+    line stream itself never shuffle-joins.  The rebuild is one
+    hash-partitioned aggregation per document: ``collect_list`` of
+    (pos, line) structs, ``array_sort`` (pos is unique per doc, so the
+    order is total and partitioning-independent), then a JVM-side join —
+    deterministic output bytes under any cluster layout.
+    """
+    bp = boilerplate_lines(df, id_col, text_col, min_doc_frac, sep).select("line")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).where(F.length("line") > 0)
+    kept = lines.join(F.broadcast(bp), "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    orig = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        df.select(F.col(id_col))
+        .join(orig, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            (
+                F.coalesce("n_lines", F.lit(0)) - F.coalesce("_n_kept", F.lit(0))
+            ).alias("n_removed"),
+        )
+    )

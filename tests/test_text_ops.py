@@ -72,3 +72,40 @@ def test_bm25_zero_match_and_monotonic_tf(spark):
     n2, s2 = out[2]
     assert n1 == n2 == 4
     assert s1 > s2 > 0.0
+
+
+def test_boilerplate_lines_threshold_and_empty_lines(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "FOOTER\nunique one\n\nNAV"),
+            (2, "FOOTER\nunique two\nNAV"),
+            (3, "FOOTER\nunique three"),
+            (4, "solo document"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = _rows(
+        text_ops.boilerplate_lines(docs, "doc_id", "text", min_doc_frac=0.5)
+    )
+    # FOOTER in 3/4 docs, NAV in 2/4 (= threshold, inclusive); empty line
+    # ignored; unique lines absent
+    assert out == {"FOOTER": (3, 0.75), "NAV": (2, 0.5)}
+
+
+def test_strip_boilerplate_rebuild_order_and_all_boilerplate_doc(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "FOOTER\nalpha\nFOOTER\nbeta"),
+            (2, "FOOTER\nFOOTER"),
+            (3, "gamma\ndelta"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = _rows(
+        text_ops.strip_boilerplate(docs, "doc_id", "text", min_doc_frac=0.6)
+    )
+    # FOOTER (2/3 docs) stripped wherever it appears; line order kept;
+    # doc 2 becomes empty but still present
+    assert out[1] == ("alpha\nbeta", 4, 2)
+    assert out[2] == ("", 2, 2)
+    assert out[3] == ("gamma\ndelta", 2, 0)
