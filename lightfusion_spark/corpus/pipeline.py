@@ -787,6 +787,34 @@ def pipe_strip_boilerplate(spark, sf_dir):
     return text_ops.strip_boilerplate(d, "doc_id", "text", min_doc_frac=0.02)
 
 
+@register(
+    "pipe_chunk_documents",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS toks,
+             LEN(string_split_regex(text, '\s+')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks, n,
+             unnest(range(0, CAST(FLOOR((n - 1) / 12.0) AS BIGINT) + 1)) AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(LEAST(16, n - chunk_id * 12) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(list_slice(toks, chunk_id * 12 + 1, chunk_id * 12 + 16), ' ')
+             AS chunk_text
+    FROM c
+    """,
+    doc="pretraining/RAG chunking: every document split into 16-token "
+    "windows with 4-token overlap (stride 12) — pure projection + "
+    "explode, zero shuffles, token slicing inside whole-stage codegen",
+)
+def pipe_chunk_documents(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return text_ops.chunk_documents(d, "doc_id", "text", chunk_tokens=16, overlap=4)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------

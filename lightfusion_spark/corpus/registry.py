@@ -77,6 +77,7 @@ PRIORITY: list[str] = [
     "pipe_text_bm25_terms",
     "pipe_boilerplate_lines",
     "pipe_strip_boilerplate",
+    "pipe_chunk_documents",
     "pipe_multimodal_decode",
     "pipe_multimodal_codec",
     "pipe_decontaminate",
@@ -108,7 +109,6 @@ PRIORITY: list[str] = [
     "rel_approx_sketch",
     "rel_salted_agg",
     # §2.3 never-windowed rotation (r3 verdict item 3).
-    "rel_explode",
     "rel_higher_order",
     "rel_tpch_q10_shape",
     "rel_tpch_q18_shape",

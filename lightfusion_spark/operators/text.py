@@ -565,3 +565,56 @@ def strip_boilerplate(
             ).alias("n_removed"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split every document into fixed-token-count chunks with overlap —
+    the standard pretraining/RAG windowing step (long docs become
+    model-sized pieces; the overlap preserves cross-boundary context).
+
+    Chunk ``i`` covers whitespace tokens ``[i*stride, i*stride +
+    chunk_tokens)`` with ``stride = chunk_tokens - overlap``; chunks are
+    emitted while their start lies inside the document, so the tail is
+    covered exactly once and every token belongs to >= 1 chunk.  Returns
+    ``(id_col, chunk_id, n_chunk_tokens, chunk_text)``.
+
+    Scale (100 TB): a pure projection + explode — zero shuffles, no
+    Python, output rows ≈ n_tokens/stride per doc.  Token slicing is
+    `slice` over the split array inside whole-stage codegen; emitting
+    chunk TEXT multiplies bytes by ~(1 + overlap/stride), which is the
+    operator's semantics — follow with pack_sequences/shard_assign for
+    the write side.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < chunk_tokens, got {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    chunk_ids = F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int"))
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        n.alias("_n"),
+        F.explode(chunk_ids).alias("chunk_id"),
+    )
+    sliced = F.slice(
+        F.col("_toks"), F.col("chunk_id") * stride + 1, F.lit(chunk_tokens)
+    )
+    return exploded.select(
+        F.col(id_col),
+        "chunk_id",
+        F.least(
+            F.lit(chunk_tokens), F.col("_n") - F.col("chunk_id") * stride
+        ).alias("n_chunk_tokens"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+    )

@@ -109,3 +109,30 @@ def test_strip_boilerplate_rebuild_order_and_all_boilerplate_doc(spark):
     assert out[1] == ("alpha\nbeta", 4, 2)
     assert out[2] == ("", 2, 2)
     assert out[3] == ("gamma\ndelta", 2, 0)
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6"), (2, "a b"), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    out = text_ops.chunk_documents(docs, "doc_id", "text", chunk_tokens=4, overlap=1)
+    rows = {(r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+            for r in out.collect()}
+    # stride 3: starts at 0, 3, 6 for the 7-token doc; tail chunk short
+    assert rows[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert rows[(1, 1)] == (4, "t3 t4 t5 t6")
+    assert rows[(1, 2)] == (1, "t6")
+    # docs shorter than one chunk emit exactly one chunk
+    assert rows[(2, 0)] == (2, "a b")
+    assert rows[(3, 0)] == (1, "solo")
+    assert len(rows) == 5
+    # every token of doc 1 appears in some chunk (coverage), and
+    # consecutive chunks overlap by exactly `overlap` where full-length
+    assert rows[(1, 0)][1].split()[-1] == rows[(1, 1)][1].split()[0]
+    with pytest.raises(ValueError, match="overlap"):
+        text_ops.chunk_documents(docs, "doc_id", "text", chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        text_ops.chunk_documents(docs, "doc_id", "text", chunk_tokens=0)
