@@ -117,13 +117,16 @@ def main() -> None:
     n_samples: dict[str, int] = {}
 
     def _two_best_gap(samples: list[float]) -> float:
+        if len(samples) < 2:  # single-run mode (SPARK_GRAFT_BENCH_RUNS=1)
+            return 0.0
         lo = sorted(samples)
         return lo[1] - lo[0]
 
     for name in BENCH_QUERIES:
         samples: list[float] = []
-        while len(samples) < n_runs or (
-            len(samples) < max_runs
+        while len(samples) < max(n_runs, 1) or (
+            n_runs >= 2
+            and len(samples) < max_runs
             and _two_best_gap(samples) > 0.5 * min(samples)
         ):
             t0 = time.time()

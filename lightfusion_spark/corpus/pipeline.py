@@ -635,18 +635,19 @@ _BM25_TERMS = ["spark", "join", "vector", "data"]
     freq AS (SELECT tok, COUNT(*) AS dfreq FROM m GROUP BY tok),
     sc AS (
       SELECT m.doc_id,
-             ROUND(
+             CAST(FLOOR(
                LN((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
-               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
-               6
-             ) AS s
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               * 1000000.0 + 0.5
+             ) AS BIGINT) AS s_micro
       FROM m JOIN freq USING (tok), stats
     ),
     agg AS (
-      SELECT doc_id, CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS b
+      SELECT doc_id, SUM(s_micro) AS b_micro
       FROM sc GROUP BY doc_id
     )
-    SELECT d.doc_id, d.dl AS n_toks, COALESCE(agg.b, 0.0) AS bm25
+    SELECT d.doc_id, d.dl AS n_toks,
+           CAST(COALESCE(agg.b_micro, 0) AS DOUBLE) / 1000000.0 AS bm25
     FROM d LEFT JOIN agg USING (doc_id)
     """,
     doc="Okapi BM25 relevance of every document to a query-term bag "
@@ -682,18 +683,19 @@ def pipe_text_bm25(spark, sf_dir):
     freq AS (SELECT tok, COUNT(*) AS dfreq FROM m GROUP BY tok),
     sc AS (
       SELECT m.doc_id,
-             ROUND(
+             CAST(FLOOR(
                LN((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
-               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
-               6
-             ) AS s
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               * 1000000.0 + 0.5
+             ) AS BIGINT) AS s_micro
       FROM m JOIN freq USING (tok), stats
     ),
     agg AS (
-      SELECT doc_id, CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS b
+      SELECT doc_id, SUM(s_micro) AS b_micro
       FROM sc GROUP BY doc_id
     )
-    SELECT d.doc_id, d.dl AS n_toks, COALESCE(agg.b, 0.0) AS bm25
+    SELECT d.doc_id, d.dl AS n_toks,
+           CAST(COALESCE(agg.b_micro, 0) AS DOUBLE) / 1000000.0 AS bm25
     FROM d LEFT JOIN agg USING (doc_id)
     """,
     doc="BM25 with the query terms as a TABLE (broadcast left-semi prune "

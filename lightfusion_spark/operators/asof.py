@@ -199,8 +199,25 @@ def asof_join_bucketed(
     # scan direction), computed over the summary table and materialized as
     # one synthetic right row per (key, bucket), sorted to the bucket edge
     # where the scan enters (side -1 beats real rows at the same ts).
-    lb = left.select(F.col(key_col), _bk.alias("_bk")).distinct()
-    allb = lb.join(summaries, [key_col, "_bk"], "full").select(key_col, "_bk", "_last")
+    # null-safe merge: plain asof_join's window groups NULL keys into one
+    # partition (they match each other), so the carry bookkeeping must
+    # too — a name-list full join would keep null-key rows apart and
+    # leave duplicate (null, bucket) rows whose carry could leak the
+    # same bucket's boundary row.
+    lb = left.select(F.col(key_col).alias("_lk"), _bk.alias("_lbk")).distinct()
+    summ = summaries.select(
+        F.col(key_col).alias("_sk"), F.col("_bk").alias("_sbk"), "_last"
+    )
+    allb = lb.join(
+        summ,
+        F.col("_lk").eqNullSafe(F.col("_sk"))
+        & F.col("_lbk").eqNullSafe(F.col("_sbk")),
+        "full",
+    ).select(
+        F.coalesce("_sk", "_lk").alias(key_col),
+        F.coalesce("_sbk", "_lbk").alias("_bk"),
+        "_last",
+    )
     bk_order = F.col("_bk") if direction == "backward" else F.col("_bk").desc()
     w_prev = (
         Window.partitionBy(key_col)

@@ -174,7 +174,7 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids = pdf[id_col].to_numpy()
+            ids = pdf["doc_id"].to_numpy()  # aliased below, whatever id_col was
             payloads = []
             for i in ids:
                 i = int(i)

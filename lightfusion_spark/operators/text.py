@@ -441,12 +441,16 @@ def _bm25_score_matches(
     score 0.0).  ``d`` is the checkpointed ``(id, dl)`` frame; ``stats``
     the one-row ``(n_docs, avgdl)`` aggregate."""
     dfreq = matches.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
+    # per-term scores quantize to integer micro-units via FLOOR(x*1e6+0.5)
+    # — explicit IEEE arithmetic identical across engines, where engine
+    # ROUND() implementations diverge near decimal midpoints (the
+    # pipe_lm_buckets sf0.1 lesson); the per-doc sum is then exact longs.
     scored = (
         matches.join(F.broadcast(dfreq), "tok")
         .crossJoin(F.broadcast(stats))
         .select(
             F.col(id_col),
-            F.round(
+            F.floor(
                 F.log(
                     (F.col("n_docs") - F.col("dfreq") + 0.5)
                     / (F.col("dfreq") + 0.5)
@@ -456,12 +460,13 @@ def _bm25_score_matches(
                 / (
                     F.col("tf")
                     + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-                ),
-                6,
-            ).alias("_s"),
+                )
+                * 1e6
+                + F.lit(0.5)
+            ).alias("_s_micro"),
         )
         .groupBy(id_col)
-        .agg(F.sum(F.col("_s").cast("decimal(28,6)")).cast("double").alias("_bm25"))
+        .agg(F.sum("_s_micro").alias("_bm25_micro"))
     )
     return (
         d.select(F.col(id_col), F.col("dl").alias("n_toks"))
@@ -469,9 +474,20 @@ def _bm25_score_matches(
         .select(
             F.col(id_col),
             "n_toks",
-            F.coalesce("_bm25", F.lit(0.0)).alias("bm25"),
+            (
+                F.coalesce("_bm25_micro", F.lit(0)).cast("double") / F.lit(1e6)
+            ).alias("bm25"),
         )
     )
+
+
+def _literal_regex(sep: str) -> str:
+    r"""Quote a literal separator for Java-regex ``F.split`` (``\Q…\E``),
+    so ``sep="|"`` splits on pipes — matching the literal semantics of
+    the ``array_join`` rebuild and the DuckDB ``string_split`` oracle."""
+    if "\\E" in sep:
+        raise ValueError(r"separator may not contain the \E regex terminator")
+    return "\\Q" + sep + "\\E"
 
 
 def boilerplate_lines(
@@ -496,7 +512,8 @@ def boilerplate_lines(
     :func:`strip_boilerplate` broadcast it back against the corpus.
     """
     lines = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), sep)).alias("line")
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), _literal_regex(sep))).alias("line"),
     ).where(F.length("line") > 0)
     per_doc = lines.distinct()
     total = df.agg(F.count(F.lit(1)).alias("_n_docs"))
@@ -528,34 +545,45 @@ def strip_boilerplate(
     empty lines are dropped from both the rebuild and the counts.
 
     Scale: the boilerplate set is bounded (see :func:`boilerplate_lines`)
-    and broadcast into a LEFT ANTI join against the exploded lines — the
-    line stream itself never shuffle-joins.  The rebuild is one
-    hash-partitioned aggregation per document: ``collect_list`` of
-    (pos, line) structs, ``array_sort`` (pos is unique per doc, so the
-    order is total and partitioning-independent), then a JVM-side join —
-    deterministic output bytes under any cluster layout.
+    and broadcast-marked onto the exploded lines with one LEFT join —
+    the line stream itself never shuffle-joins, and the pre-strip line
+    count, kept count, and ordered rebuild all come out of a SINGLE
+    per-document aggregation over that one explode (``collect_list`` of
+    (pos, line) structs for non-boilerplate lines, ``array_sort`` —
+    pos is unique per doc, so the order is total and
+    partitioning-independent).  Two corpus scans total: the detection
+    aggregate and this one.
     """
-    bp = boilerplate_lines(df, id_col, text_col, min_doc_frac, sep).select("line")
+    bp = boilerplate_lines(df, id_col, text_col, min_doc_frac, sep).select(
+        "line", F.lit(True).alias("_bp")
+    )
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), _literal_regex(sep))).alias(
+            "pos", "line"
+        ),
     ).where(F.length("line") > 0)
-    kept = lines.join(F.broadcast(bp), "line", "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda x: x["line"],
-            ),
-            sep,
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("_n_kept"),
+    keep = F.col("_bp").isNull()
+    per_doc = (
+        lines.join(F.broadcast(bp), "line", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.when(keep, 1)).alias("_n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("pos", "line")))
+                    ),
+                    lambda x: x["line"],
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
     )
-    orig = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
     return (
         df.select(F.col(id_col))
-        .join(orig, id_col, "left")
-        .join(rebuilt, id_col, "left")
+        .join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),

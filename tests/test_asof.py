@@ -235,6 +235,36 @@ def test_asof_bucketed_partitions_by_key_and_bucket(spark):
     assert re.search(r"hashpartitioning\(k#\d+L, _bk#\d+L", plan), plan
 
 
+def test_asof_bucketed_null_keys_match_plain(spark):
+    """Window partitioning groups NULL keys together in asof_join, so the
+    bucketed variant's carry bookkeeping must too (a name-list join would
+    keep null-key rows apart and can leak a same-bucket boundary row)."""
+    from lightfusion_spark.operators.asof import asof_join, asof_join_bucketed
+
+    left = spark.createDataFrame(
+        [(1, None, 10), (2, None, 250), (3, 7, 150)],
+        "lid long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(None, 90, 1.0), (None, 240, 2.0), (7, 100, 3.0)],
+        "k long, ts long, v double",
+    )
+    for direction in ("backward", "forward"):
+        plain = {
+            r["lid"]: (r["ts_asof"], r["v_asof"])
+            for r in asof_join(
+                left, right, "k", "ts", ["v"], direction=direction
+            ).collect()
+        }
+        bucketed = {
+            r["lid"]: (r["ts_asof"], r["v_asof"])
+            for r in asof_join_bucketed(
+                left, right, "k", "ts", ["v"], bucket=100, direction=direction
+            ).collect()
+        }
+        assert bucketed == plain, direction
+
+
 def test_asof_bucketed_validates_args(spark):
     from lightfusion_spark.operators.asof import asof_join_bucketed
 

@@ -136,3 +136,18 @@ def test_chunk_documents_windows_and_tail(spark):
         text_ops.chunk_documents(docs, "doc_id", "text", chunk_tokens=4, overlap=4)
     with pytest.raises(ValueError, match="chunk_tokens"):
         text_ops.chunk_documents(docs, "doc_id", "text", chunk_tokens=0)
+
+
+def test_strip_boilerplate_regex_metachar_separator(spark):
+    docs = spark.createDataFrame(
+        [(1, "FOOTER|alpha|beta"), (2, "FOOTER|gamma"), (3, "FOOTER")],
+        ["doc_id", "text"],
+    )
+    out = _rows(
+        text_ops.strip_boilerplate(docs, "doc_id", "text", min_doc_frac=0.9, sep="|")
+    )
+    # '|' must split literally (not as regex alternation) and rebuild with
+    # the same literal separator
+    assert out[1] == ("alpha|beta", 3, 1)
+    assert out[2] == ("gamma", 2, 1)
+    assert out[3] == ("", 1, 1)
