@@ -790,6 +790,88 @@ def pipe_strip_boilerplate(spark, sf_dir):
 
 
 @register(
+    "pipe_e2e_curation",
+    oracle=rf"""
+    WITH docs2 AS (SELECT doc_id, {_MULTILINE_DUCK} AS text FROM documents),
+    lines AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+      FROM docs2
+    ),
+    nz AS (SELECT * FROM lines WHERE len(line) > 0),
+    total AS (SELECT COUNT(*) AS n_total FROM docs2),
+    bp AS (
+      SELECT line FROM (
+        SELECT line, COUNT(DISTINCT doc_id) AS n_docs
+        FROM nz GROUP BY line
+      ), total
+      WHERE CAST(n_docs AS DOUBLE) / n_total >= 0.02
+    ),
+    kept AS (SELECT * FROM nz WHERE line NOT IN (SELECT line FROM bp)),
+    reb AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    orig AS (SELECT doc_id, COUNT(*) AS n_lines FROM nz GROUP BY doc_id),
+    stripped AS (
+      SELECT d.doc_id,
+             COALESCE(reb.clean_text, '') AS clean_text,
+             COALESCE(orig.n_lines, 0) AS n_lines,
+             COALESCE(orig.n_lines, 0) - COALESCE(reb.n_kept, 0) AS n_removed
+      FROM docs2 d
+      LEFT JOIN orig ON d.doc_id = orig.doc_id
+      LEFT JOIN reb ON d.doc_id = reb.doc_id
+    ),
+    survivors AS (
+      SELECT * FROM (
+        SELECT s.*, ROW_NUMBER() OVER (PARTITION BY clean_text
+                                       ORDER BY doc_id) AS rn
+        FROM stripped s WHERE len(clean_text) > 0
+      ) WHERE rn = 1
+    ),
+    toks AS (
+      SELECT doc_id, n_lines, n_removed,
+             string_split_regex(clean_text, '\s+') AS tk,
+             LEN(string_split_regex(clean_text, '\s+')) AS n
+      FROM survivors
+    ),
+    chunks AS (
+      SELECT doc_id, n_lines, n_removed, n,
+             unnest(range(0, CAST(FLOOR((n - 1) / 12.0) AS BIGINT) + 1)) AS cid
+      FROM toks
+    )
+    SELECT doc_id, n_lines, n_removed,
+           CAST(COUNT(*) AS INTEGER) AS n_chunks,
+           CAST(SUM(LEAST(16, n - cid * 12)) AS BIGINT) AS n_chunk_tokens
+    FROM chunks GROUP BY doc_id, n_lines, n_removed
+    """,
+    doc="END-TO-END curation composition: multi-line view -> boilerplate "
+    "strip -> drop emptied docs -> exact dedup on cleaned text "
+    "(deterministic min-id survivor) -> 16/4 token chunking -> per-doc "
+    "chunk summary.  Verifies the operators COMPOSE (the per-stage "
+    "queries verify them in isolation); every stage is the same library "
+    "call the standalone query uses",
+)
+def pipe_e2e_curation(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").withColumn("text", F.expr(_MULTILINE_SQL))
+    stripped = text_ops.strip_boilerplate(d, "doc_id", "text", min_doc_frac=0.02)
+    nonempty = stripped.where(F.length("clean_text") > 0)
+    survivors = dedup.exact_dedup(nonempty, ["clean_text"], "doc_id")
+    chunks = text_ops.chunk_documents(
+        survivors, "doc_id", "clean_text", chunk_tokens=16, overlap=4
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("n_chunk_tokens"),
+    )
+    return survivors.select("doc_id", "n_lines", "n_removed").join(
+        per_doc, "doc_id"
+    )
+
+
+@register(
     "pipe_chunk_documents",
     oracle=r"""
     WITH t AS (

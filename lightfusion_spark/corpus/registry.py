@@ -64,7 +64,6 @@ PRIORITY: list[str] = [
     "pipe_dedup_exact",
     "pipe_dedup_minhash",
     "pipe_dedup_simhash",
-    "pipe_dedup_ngram",
     "pipe_neardup_embedding",
     "pipe_dedup_semantic",
     "pipe_sim_topk",
@@ -78,6 +77,7 @@ PRIORITY: list[str] = [
     "pipe_boilerplate_lines",
     "pipe_strip_boilerplate",
     "pipe_chunk_documents",
+    "pipe_e2e_curation",
     "pipe_multimodal_decode",
     "pipe_multimodal_codec",
     "pipe_decontaminate",
@@ -143,6 +143,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_sim_topk_quantized",  # top-k family repped by pipe_sim_topk/_gemm
         "pipe_text_langid",  # text family repped by pipe_text_stats
         "pipe_lm_buckets",  # LM family repped by pipe_lm_score
+        "pipe_dedup_ngram",  # dedup family repped by exact/minhash/simhash/semantic
         # green in CORRECTNESS_r02; agg/join/ranking families still repped.
         "rel_join_full_outer",
         "rel_agg_rollup",
