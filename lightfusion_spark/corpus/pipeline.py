@@ -839,7 +839,8 @@ def pipe_strip_boilerplate(spark, sf_dir):
     ),
     chunks AS (
       SELECT doc_id, n_lines, n_removed, n,
-             unnest(range(0, CAST(FLOOR((n - 1) / 12.0) AS BIGINT) + 1)) AS cid
+             unnest(range(0, CASE WHEN n <= 16 THEN 1
+                  ELSE CAST(CEIL((n - 16) / 12.0) AS BIGINT) + 1 END)) AS cid
       FROM toks
     )
     SELECT doc_id, n_lines, n_removed,
@@ -881,7 +882,8 @@ def pipe_e2e_curation(spark, sf_dir):
     ),
     c AS (
       SELECT doc_id, toks, n,
-             unnest(range(0, CAST(FLOOR((n - 1) / 12.0) AS BIGINT) + 1)) AS chunk_id
+             unnest(range(0, CASE WHEN n <= 16 THEN 1
+                  ELSE CAST(CEIL((n - 16) / 12.0) AS BIGINT) + 1 END)) AS chunk_id
       FROM t
     )
     SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,

@@ -607,9 +607,11 @@ def chunk_documents(
     model-sized pieces; the overlap preserves cross-boundary context).
 
     Chunk ``i`` covers whitespace tokens ``[i*stride, i*stride +
-    chunk_tokens)`` with ``stride = chunk_tokens - overlap``; chunks are
-    emitted while their start lies inside the document, so the tail is
-    covered exactly once and every token belongs to >= 1 chunk.  Returns
+    chunk_tokens)`` with ``stride = chunk_tokens - overlap``; windows
+    advance until one reaches the document end (the HuggingFace
+    ``return_overflowing_tokens`` rule), so every chunk except the last
+    is exactly ``chunk_tokens`` long, every token belongs to >= 1 chunk,
+    and no chunk is fully contained in its predecessor.  Returns
     ``(id_col, chunk_id, n_chunk_tokens, chunk_text)``.
 
     Scale (100 TB): a pure projection + explode — zero shuffles, no
@@ -628,7 +630,12 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     toks = F.split(F.col(text_col), r"\s+")
     n = F.size(toks)
-    chunk_ids = F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int"))
+    last_chunk = (
+        F.when(n <= chunk_tokens, F.lit(0))
+        .otherwise(F.ceil((n - chunk_tokens) / stride))
+        .cast("int")
+    )
+    chunk_ids = F.sequence(F.lit(0), last_chunk)
     exploded = df.select(
         F.col(id_col),
         toks.alias("_toks"),

@@ -121,14 +121,14 @@ def test_chunk_documents_windows_and_tail(spark):
     out = text_ops.chunk_documents(docs, "doc_id", "text", chunk_tokens=4, overlap=1)
     rows = {(r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
             for r in out.collect()}
-    # stride 3: starts at 0, 3, 6 for the 7-token doc; tail chunk short
+    # stride 3: starts at 0 and 3 for the 7-token doc — the second window
+    # reaches the end, so no redundant third chunk is emitted
     assert rows[(1, 0)] == (4, "t0 t1 t2 t3")
     assert rows[(1, 1)] == (4, "t3 t4 t5 t6")
-    assert rows[(1, 2)] == (1, "t6")
     # docs shorter than one chunk emit exactly one chunk
     assert rows[(2, 0)] == (2, "a b")
     assert rows[(3, 0)] == (1, "solo")
-    assert len(rows) == 5
+    assert len(rows) == 4
     # every token of doc 1 appears in some chunk (coverage), and
     # consecutive chunks overlap by exactly `overlap` where full-length
     assert rows[(1, 0)][1].split()[-1] == rows[(1, 1)][1].split()[0]
@@ -151,3 +151,66 @@ def test_strip_boilerplate_regex_metachar_separator(spark):
     assert out[1] == ("alpha|beta", 3, 1)
     assert out[2] == ("gamma", 2, 1)
     assert out[3] == ("", 1, 1)
+
+
+def test_chunk_documents_reconstruction_invariant(spark):
+    """Over random docs: chunk 0's tokens plus every later chunk's tokens
+    beyond the overlap reconstruct the document exactly, and every chunk
+    except the last is full-length."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    words = ["w%d" % i for i in range(40)]
+    docs = [
+        (i, " ".join(rng.choice(words, size=rng.randint(1, 60))))
+        for i in range(50)
+    ]
+    chunk_tokens, overlap = 7, 3
+    stride = chunk_tokens - overlap
+    out = text_ops.chunk_documents(
+        spark.createDataFrame(docs, ["doc_id", "text"]),
+        "doc_id", "text", chunk_tokens=chunk_tokens, overlap=overlap,
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    for doc_id, text in docs:
+        toks = text.split()
+        chunks = by_doc[doc_id]
+        assert sorted(chunks) == list(range(len(chunks)))
+        rebuilt = []
+        for cid in sorted(chunks):
+            ctoks = chunks[cid]["chunk_text"].split()
+            assert chunks[cid]["n_chunk_tokens"] == len(ctoks)
+            if cid < len(chunks) - 1:
+                assert len(ctoks) == chunk_tokens
+            rebuilt.extend(ctoks if cid == 0 else ctoks[overlap:])
+            assert ctoks == toks[cid * stride : cid * stride + chunk_tokens]
+        assert rebuilt == toks, doc_id
+
+
+def test_strip_boilerplate_identity_when_nothing_qualifies(spark):
+    """With a threshold no line can reach, strip is the identity transform
+    modulo empty-line removal — over random multi-line docs."""
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    docs = []
+    for i in range(30):
+        lines = [
+            "".join(rng.choice(list("abc "), size=rng.randint(0, 8)))
+            for _ in range(rng.randint(1, 10))
+        ]
+        docs.append((i, "\n".join(lines)))
+    out = {
+        r["doc_id"]: r
+        for r in text_ops.strip_boilerplate(
+            spark.createDataFrame(docs, ["doc_id", "text"]),
+            "doc_id", "text", min_doc_frac=1.1,
+        ).collect()
+    }
+    for i, text in docs:
+        nonempty = [l for l in text.split("\n") if l]
+        assert out[i]["clean_text"] == "\n".join(nonempty), i
+        assert out[i]["n_lines"] == len(nonempty)
+        assert out[i]["n_removed"] == 0
