@@ -25,11 +25,12 @@ from .util import table
     SELECT doc_id, md5(text) AS fp_md5 FROM documents
     QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
     """,
-    doc="exact dedup: deterministic first-writer-wins by content",
+    doc="exact dedup: deterministic first-writer-wins by content; the "
+    "shuffle key is the 16-byte MD5 digest, not the document text",
 )
 def pipe_dedup_exact(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
-    kept = dedup.exact_dedup(d, ["text"], "doc_id")
+    kept = dedup.exact_dedup(d, ["text"], "doc_id", hash_shuffle_key=True)
     return kept.select("doc_id", F.md5("text").alias("fp_md5"))
 
 
@@ -859,7 +860,9 @@ def pipe_e2e_curation(spark, sf_dir):
     d = table(spark, sf_dir, "documents").withColumn("text", F.expr(_MULTILINE_SQL))
     stripped = text_ops.strip_boilerplate(d, "doc_id", "text", min_doc_frac=0.02)
     nonempty = stripped.where(F.length("clean_text") > 0)
-    survivors = dedup.exact_dedup(nonempty, ["clean_text"], "doc_id")
+    survivors = dedup.exact_dedup(
+        nonempty, ["clean_text"], "doc_id", hash_shuffle_key=True
+    )
     chunks = text_ops.chunk_documents(
         survivors, "doc_id", "clean_text", chunk_tokens=16, overlap=4
     )

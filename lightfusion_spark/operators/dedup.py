@@ -41,13 +41,36 @@ def _md5_long(col: Column, seed: int | None = None) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("bigint")
 
 
-def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    hash_shuffle_key: bool = False,
+) -> DataFrame:
     """Keep the first row (by ``order_col``) of every duplicate group.
 
     The classic ``row_number() OVER (PARTITION BY key ORDER BY tiebreak)``
     formulation — deterministic, unlike ``dropDuplicates`` whose survivor
     depends on partitioning.
+
+    ``hash_shuffle_key=True`` partitions the window by an MD5 digest of
+    each key column instead of the column itself — at 100 TB the
+    difference between shuffling 16 bytes per row and shuffling every
+    document's full text.  Results are identical unless two distinct
+    keys collide in 128 bits (~2^-64 at 10^10 rows — ignorable; use the
+    raw key when even that is unacceptable).
     """
+    if hash_shuffle_key:
+        fp = {c: f"_fp_{c}" for c in key_cols}
+        out = df
+        for c, a in fp.items():
+            out = out.withColumn(a, F.md5(F.col(c).cast("string")))
+        w = Window.partitionBy(*fp.values()).orderBy(order_col)
+        return (
+            out.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", *fp.values())
+        )
     w = Window.partitionBy(*key_cols).orderBy(order_col)
     return (
         df.withColumn("_rn", F.row_number().over(w))
