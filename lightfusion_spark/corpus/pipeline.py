@@ -34,6 +34,31 @@ def pipe_dedup_exact(spark, sf_dir):
     return kept.select("doc_id", F.md5("text").alias("fp_md5"))
 
 
+@register(
+    "pipe_dedup_incremental",
+    oracle="""
+    WITH new AS (SELECT doc_id, md5(text) AS fp_md5 FROM documents
+                 WHERE doc_id % 2 = 1),
+         corp AS (SELECT DISTINCT md5(text) AS fp_md5 FROM documents
+                  WHERE doc_id % 2 = 0)
+    SELECT doc_id, fp_md5 FROM (
+      SELECT n.doc_id, n.fp_md5,
+             ROW_NUMBER() OVER (PARTITION BY n.fp_md5 ORDER BY n.doc_id) AS rn
+      FROM new n WHERE n.fp_md5 NOT IN (SELECT fp_md5 FROM corp)
+    ) WHERE rn = 1
+    """,
+    doc="continual-ingest dedup: an arriving batch (odd doc ids) checked "
+    "against the historical corpus (even ids) by 16-byte digest "
+    "anti-join, then deduped within the batch — the fingerprint-store "
+    "pattern; nothing wider than a digest ever shuffles",
+)
+def pipe_dedup_incremental(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 2 == 1)
+    corpus = d.where(F.col("doc_id") % 2 == 0)
+    return dedup.incremental_dedup(new, corpus, "doc_id", "text")
+
+
 def _minhash_mins_sql(n_hashes: int) -> str:
     from ..operators.dedup import _MINHASH_MOD
 

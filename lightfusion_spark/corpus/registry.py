@@ -62,6 +62,7 @@ PRIORITY: list[str] = [
     "settings_introspection",
     # §2.4 LLM-pipeline operators.
     "pipe_dedup_exact",
+    "pipe_dedup_incremental",
     "pipe_dedup_minhash",
     "pipe_dedup_simhash",
     "pipe_neardup_embedding",
@@ -110,7 +111,6 @@ PRIORITY: list[str] = [
     "rel_salted_agg",
     # §2.3 never-windowed rotation (r3 verdict item 3).
     "rel_higher_order",
-    "rel_tpch_q10_shape",
     "rel_tpch_q18_shape",
 ]
 

@@ -79,6 +79,37 @@ def exact_dedup(
     )
 
 
+def incremental_dedup(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Continual-ingest dedup: drop arriving documents whose content
+    already exists in the historical corpus, then exact-dedup within the
+    batch (deterministic min-id survivor).  Returns the surviving new
+    rows as ``(id_col, fp_md5)``.
+
+    Scale (100 TB corpus, any batch size): both sides reduce to 16-byte
+    MD5 digests before anything joins — the fingerprint "store" is a
+    digest column, not document text.  The membership test is a LEFT
+    ANTI equi-join on the digest (corpus side distinct first, map-side
+    combinable); when the corpus fingerprint relation is maintained as
+    a bucketed table on ``fp_md5`` the per-batch join is co-located and
+    shuffle-free on the corpus side.  In-batch dedup is the same
+    digest-keyed window as :func:`exact_dedup`.
+    """
+    nf = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp_md5"))
+    cf = corpus.select(F.md5(F.col(text_col)).alias("fp_md5")).distinct()
+    fresh = nf.join(cf, "fp_md5", "left_anti")
+    w = Window.partitionBy("fp_md5").orderBy(id_col)
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) long form — one row per distinct word n-gram per doc.
 
