@@ -109,8 +109,8 @@ PRIORITY: list[str] = [
     "rel_scalar_math",
     "rel_approx_sketch",
     "rel_salted_agg",
-    # §2.3 never-windowed rotation (r3 verdict item 3).
-    "rel_higher_order",
+    # §2.3 rotation: newest-surface queries get the remaining slots.
+    "rel_recursive_cte",
     "rel_tpch_q18_shape",
 ]
 

@@ -585,6 +585,34 @@ def rel_cte(spark, sf_dir):
     )
 
 
+@register(
+    "rel_recursive_cte",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12
+    )
+    SELECT m, COUNT(o_orderkey) AS n_orders
+    FROM months LEFT JOIN orders ON EXTRACT(MONTH FROM o_orderdate) = m
+    GROUP BY m
+    """,
+    doc="WITH RECURSIVE (Spark 4's recursive CTE): a 12-step recursive "
+    "series anchoring a left join + aggregate over orders — the "
+    "iterative-union surface DuckDB and Spark both execute natively",
+)
+def rel_recursive_cte(spark, sf_dir):
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12
+        )
+        SELECT m, COUNT(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders ON EXTRACT(MONTH FROM o_orderdate) = m
+        GROUP BY m
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # scalar function library
 # ---------------------------------------------------------------------------
