@@ -111,7 +111,7 @@ PRIORITY: list[str] = [
     "rel_salted_agg",
     # §2.3 rotation: newest-surface queries get the remaining slots.
     "rel_recursive_cte",
-    "rel_tpch_q18_shape",
+    "rel_variant",
 ]
 
 #: Queries intentionally OUTSIDE the driver's 50-entry window.  Every name

@@ -613,6 +613,44 @@ def rel_recursive_cte(spark, sf_dir):
     )
 
 
+@register(
+    "rel_variant",
+    oracle=r"""
+    SELECT doc_id,
+           lang AS lang_v,
+           source AS source_v,
+           string_split(text, ' ')[1] AS first_word,
+           CAST(LEN(string_split_regex(text, '\s+')) AS BIGINT) AS n_words
+    FROM documents
+    """,
+    doc="Spark 4 VARIANT round trip: each row serialized to JSON, parsed "
+    "to a VARIANT, then typed fields extracted back with variant_get "
+    "(nested object paths + array indexing).  The oracle is the "
+    "identity on the original columns — the hash verifies the "
+    "build->parse->extract loop loses nothing",
+)
+def rel_variant(spark, sf_dir):
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        r"""
+        SELECT doc_id,
+               variant_get(v, '$.meta.lang', 'string') AS lang_v,
+               variant_get(v, '$.meta.source', 'string') AS source_v,
+               variant_get(v, '$.words[0]', 'string') AS first_word,
+               variant_get(v, '$.n_words', 'long') AS n_words
+        FROM (
+          SELECT doc_id,
+                 parse_json(to_json(named_struct(
+                   'meta', named_struct('lang', lang, 'source', source),
+                   'words', slice(split(text, ' '), 1, 3),
+                   'n_words', CAST(size(split(text, '\\s+')) AS BIGINT)
+                 ))) AS v
+          FROM documents
+        )
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # scalar function library
 # ---------------------------------------------------------------------------
