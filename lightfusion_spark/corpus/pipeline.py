@@ -37,9 +37,9 @@ def pipe_dedup_exact(spark, sf_dir):
 @register(
     "pipe_dedup_incremental",
     oracle="""
-    WITH new AS (SELECT doc_id, md5(text) AS fp_md5 FROM documents
+    WITH new AS (SELECT doc_id, COALESCE(md5(text), '') AS fp_md5 FROM documents
                  WHERE doc_id % 2 = 1),
-         corp AS (SELECT DISTINCT md5(text) AS fp_md5 FROM documents
+         corp AS (SELECT DISTINCT COALESCE(md5(text), '') AS fp_md5 FROM documents
                   WHERE doc_id % 2 = 0)
     SELECT doc_id, fp_md5 FROM (
       SELECT n.doc_id, n.fp_md5,
@@ -888,15 +888,20 @@ def pipe_e2e_curation(spark, sf_dir):
     survivors = dedup.exact_dedup(
         nonempty, ["clean_text"], "doc_id", hash_shuffle_key=True
     )
+    # n_lines/n_removed ride the chunk rows (passthrough) so the final
+    # aggregate needs no join back to survivors — a self-join would make
+    # Catalyst execute the whole strip->dedup subtree twice.
     chunks = text_ops.chunk_documents(
-        survivors, "doc_id", "clean_text", chunk_tokens=16, overlap=4
+        survivors,
+        "doc_id",
+        "clean_text",
+        chunk_tokens=16,
+        overlap=4,
+        passthrough_cols=["n_lines", "n_removed"],
     )
-    per_doc = chunks.groupBy("doc_id").agg(
+    return chunks.groupBy("doc_id", "n_lines", "n_removed").agg(
         F.count(F.lit(1)).cast("int").alias("n_chunks"),
         F.sum("n_chunk_tokens").alias("n_chunk_tokens"),
-    )
-    return survivors.select("doc_id", "n_lines", "n_removed").join(
-        per_doc, "doc_id"
     )
 
 

@@ -53,18 +53,35 @@ def exact_dedup(
     formulation — deterministic, unlike ``dropDuplicates`` whose survivor
     depends on partitioning.
 
-    ``hash_shuffle_key=True`` partitions the window by an MD5 digest of
-    each key column instead of the column itself — at 100 TB the
-    difference between shuffling 16 bytes per row and shuffling every
-    document's full text.  Results are identical unless two distinct
-    keys collide in 128 bits (~2^-64 at 10^10 rows — ignorable; use the
-    raw key when even that is unacceptable).
+    ``hash_shuffle_key=True`` partitions the window by a 16-byte MD5
+    digest of each key column instead of the column itself.  To be
+    precise about what that buys: the exchange still ships the full row
+    either way (the output needs it), so shuffle BYTES are unchanged —
+    the win is the sort/partition KEY: the per-task sort and partitioner
+    compare fixed 16-byte values instead of arbitrarily long document
+    texts, which is what dominates the window's comparison cost on
+    megabyte documents.  (When only the survivor IDs are needed, the
+    truly minimal-shuffle shape is ``groupBy(digest).agg(min(id))`` —
+    map-side combined — and a join back; ``incremental_dedup`` uses the
+    projection-first pattern.)  Key columns must be STRING (digesting a
+    cast of a complex/float key would change grouping semantics — e.g.
+    ``0.0`` vs ``-0.0`` — so non-string keys are rejected; serialize
+    explicitly first).  Results are identical to the raw-key path unless
+    two distinct keys collide in 128 bits (~2^-64 at 10^10 rows).
     """
     if hash_shuffle_key:
+        dtypes = dict(df.dtypes)
+        bad = [c for c in key_cols if dtypes.get(c) != "string"]
+        if bad:
+            raise ValueError(
+                f"hash_shuffle_key requires string key columns, got "
+                f"{ {c: dtypes.get(c) for c in bad} } — serialize non-string "
+                "keys explicitly before hashing"
+            )
         fp = {c: f"_fp_{c}" for c in key_cols}
         out = df
         for c, a in fp.items():
-            out = out.withColumn(a, F.md5(F.col(c).cast("string")))
+            out = out.withColumn(a, F.unhex(F.md5(F.col(c))))
         w = Window.partitionBy(*fp.values()).orderBy(order_col)
         return (
             out.withColumn("_rn", F.row_number().over(w))
@@ -90,24 +107,25 @@ def incremental_dedup(
     batch (deterministic min-id survivor).  Returns the surviving new
     rows as ``(id_col, fp_md5)``.
 
-    Scale (100 TB corpus, any batch size): both sides reduce to 16-byte
-    MD5 digests before anything joins — the fingerprint "store" is a
-    digest column, not document text.  The membership test is a LEFT
-    ANTI equi-join on the digest (corpus side distinct first, map-side
-    combinable); when the corpus fingerprint relation is maintained as
-    a bucketed table on ``fp_md5`` the per-batch join is co-located and
-    shuffle-free on the corpus side.  In-batch dedup is the same
-    digest-keyed window as :func:`exact_dedup`.
+    Scale (100 TB corpus, any batch size): both sides reduce to MD5
+    digest projections before anything joins — the fingerprint "store"
+    is a digest column, not document text.  The membership test is a
+    LEFT ANTI equi-join on the digest (corpus side distinct first,
+    map-side combinable); when the corpus fingerprint relation is
+    maintained as a bucketed table on ``fp_md5`` the per-batch join is
+    co-located and shuffle-free on the corpus side.  In-batch dedup is
+    :func:`exact_dedup` on the digest.
+
+    NULL contents are treated as EQUAL to each other (digest coalesced
+    to a sentinel): NULL-text arrivals dedupe against NULL-text corpus
+    rows and against each other, instead of silently bypassing the
+    anti-join under SQL null-equality.
     """
-    nf = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp_md5"))
-    cf = corpus.select(F.md5(F.col(text_col)).alias("fp_md5")).distinct()
+    fp = F.coalesce(F.md5(F.col(text_col)), F.lit("")).alias("fp_md5")
+    nf = new.select(F.col(id_col), fp)
+    cf = corpus.select(fp).distinct()
     fresh = nf.join(cf, "fp_md5", "left_anti")
-    w = Window.partitionBy("fp_md5").orderBy(id_col)
-    return (
-        fresh.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    return exact_dedup(fresh, ["fp_md5"], id_col)
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:

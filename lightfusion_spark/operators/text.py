@@ -601,6 +601,7 @@ def chunk_documents(
     text_col: str,
     chunk_tokens: int = 128,
     overlap: int = 32,
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
     """Split every document into fixed-token-count chunks with overlap —
     the standard pretraining/RAG windowing step (long docs become
@@ -612,7 +613,10 @@ def chunk_documents(
     ``return_overflowing_tokens`` rule), so every chunk except the last
     is exactly ``chunk_tokens`` long, every token belongs to >= 1 chunk,
     and no chunk is fully contained in its predecessor.  Returns
-    ``(id_col, chunk_id, n_chunk_tokens, chunk_text)``.
+    ``(id_col, *passthrough_cols, chunk_id, n_chunk_tokens,
+    chunk_text)`` — ``passthrough_cols`` are per-document metadata
+    copied onto every chunk row, so downstream aggregations don't have
+    to join back to (and re-execute) the document lineage.
 
     Scale (100 TB): a pure projection + explode — zero shuffles, no
     Python, output rows ≈ n_tokens/stride per doc.  Token slicing is
@@ -636,8 +640,10 @@ def chunk_documents(
         .cast("int")
     )
     chunk_ids = F.sequence(F.lit(0), last_chunk)
+    extra = list(passthrough_cols or [])
     exploded = df.select(
         F.col(id_col),
+        *[F.col(c) for c in extra],
         toks.alias("_toks"),
         n.alias("_n"),
         F.explode(chunk_ids).alias("chunk_id"),
@@ -647,6 +653,7 @@ def chunk_documents(
     )
     return exploded.select(
         F.col(id_col),
+        *extra,
         "chunk_id",
         F.least(
             F.lit(chunk_tokens), F.col("_n") - F.col("chunk_id") * stride

@@ -83,3 +83,34 @@ def test_rejects_unknown_algorithm(spark):
     ps = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="two_phase|propagation"):
         dedup.connected_components(ps, vs, "doc_id", algorithm="nope")
+
+
+def test_incremental_dedup_nulls_and_membership(spark):
+    """NULL contents are equal to each other: they dedupe against NULL
+    corpus rows and within the batch, instead of slipping through the
+    anti-join under SQL null-equality."""
+    new = spark.createDataFrame(
+        [(1, "seen"), (2, "fresh"), (3, None), (4, None), (5, "fresh")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(100, "seen"), (101, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"] for r in
+           dedup.incremental_dedup(new, corpus, "doc_id", "text").collect()}
+    # 'seen' and NULLs exist in the corpus -> dropped; 'fresh' kept once
+    assert out == {2}
+
+    # without corpus NULLs, batch NULLs collapse to one survivor
+    corpus2 = spark.createDataFrame([(100, "seen")], "doc_id long, text string")
+    out2 = {r["doc_id"] for r in
+            dedup.incremental_dedup(new, corpus2, "doc_id", "text").collect()}
+    assert out2 == {2, 3}
+
+
+def test_exact_dedup_hash_key_rejects_non_string(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 2.5)], "doc_id long, val double")
+    with pytest.raises(ValueError, match="string"):
+        dedup.exact_dedup(df, ["val"], "doc_id", hash_shuffle_key=True)

@@ -4,19 +4,14 @@ classic formulation on the real testdata.  (Recursive CTEs and VARIANT
 are oracle-verified corpus queries: rel_recursive_cte, rel_variant.)
 """
 
-import os
-
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
-
-
-def _orders(spark):
+def _orders(spark, sf_dir):
     from lightfusion_spark.corpus.util import table
 
-    table(spark, SF_DIR, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
 
 
-def test_pipe_syntax_matches_classic_sql(spark):
-    _orders(spark)
+def test_pipe_syntax_matches_classic_sql(spark, sf_dir):
+    _orders(spark, sf_dir)
     piped = spark.sql(
         """
         FROM orders
@@ -42,8 +37,8 @@ def test_pipe_syntax_matches_classic_sql(spark):
     assert piped  # non-degenerate
 
 
-def test_sql_scalar_function_in_query(spark):
-    _orders(spark)
+def test_sql_scalar_function_in_query(spark, sf_dir):
+    _orders(spark, sf_dir)
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE) RETURNS STRING "
         "RETURN CASE WHEN p < 50000 THEN 'low' WHEN p < 150000 THEN 'mid' "
