@@ -59,6 +59,50 @@ def pipe_dedup_incremental(spark, sf_dir):
     return dedup.incremental_dedup(new, corpus, "doc_id", "text")
 
 
+@register(
+    "pipe_dedup_spans",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS tk,
+             LEN(string_split_regex(text, '\s+')) AS nt
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(range(0, nt - 4)) AS start,
+             unnest([md5(array_to_string(tk[i+1 : i+5], ' '))
+                     FOR i IN range(0, nt - 4)]) AS g
+      FROM t WHERE nt >= 5
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1),
+    ss AS (
+      SELECT doc_id, list_sort(list(start)) AS starts
+      FROM grams WHERE g IN (SELECT g FROM dup) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(array_to_string(
+             [tk[j+1] FOR j IN range(0, nt)
+              IF LEN(list_filter(COALESCE(ss.starts, []),
+                                 s -> s <= j AND j < s + 5)) = 0], ' '), '')
+             AS clean_text,
+           CAST(nt AS INTEGER) AS n_tokens,
+           CAST(nt - LEN([j FOR j IN range(0, nt)
+              IF LEN(list_filter(COALESCE(ss.starts, []),
+                                 s -> s <= j AND j < s + 5)) = 0]) AS INTEGER)
+             AS n_removed
+    FROM t LEFT JOIN ss USING (doc_id)
+    """,
+    doc="span-level exact-substring dedup (Lee et al. 2022): every token "
+    "covered by a word 5-gram occurring more than once in the corpus is "
+    "removed, the rest of the document kept — duplicated-coverage via "
+    "one digest count (nothing wider than 16 bytes shuffles), rebuild "
+    "via a JVM-side coverage filter",
+)
+def pipe_dedup_spans(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(d, "doc_id", "text", ngram=5)
+
+
 def _minhash_mins_sql(n_hashes: int) -> str:
     from ..operators.dedup import _MINHASH_MOD
 

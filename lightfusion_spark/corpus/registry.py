@@ -65,7 +65,7 @@ PRIORITY: list[str] = [
     "pipe_dedup_incremental",
     "pipe_dedup_minhash",
     "pipe_dedup_simhash",
-    "pipe_neardup_embedding",
+    "pipe_dedup_spans",
     "pipe_dedup_semantic",
     "pipe_sim_topk",
     "pipe_sim_topk_gemm",
@@ -144,6 +144,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_text_langid",  # text family repped by pipe_text_stats
         "pipe_lm_buckets",  # LM family repped by pipe_lm_score
         "pipe_dedup_ngram",  # dedup family repped by exact/minhash/simhash/semantic
+        "pipe_neardup_embedding",  # embedding near-dup repped by pipe_dedup_semantic
         # green in CORRECTNESS_r02; agg/join/ranking families still repped.
         "rel_join_full_outer",
         "rel_agg_rollup",

@@ -128,6 +128,72 @@ def incremental_dedup(
     return exact_dedup(fresh, ["fp_md5"], id_col)
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 13,
+) -> DataFrame:
+    """Span-level exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): remove every token
+    covered by a word ``ngram`` that occurs MORE THAN ONCE in the whole
+    corpus (across documents or repeated within one), keeping the rest
+    of each document intact.  The practical Spark substitute for the
+    paper's suffix-array pass: suffix arrays need global sorted order,
+    while duplicated-n-gram coverage is pure hash aggregation.
+
+    Returns ``(id_col, clean_text, n_tokens, n_removed)`` for EVERY
+    document (docs shorter than ``ngram`` tokens pass through whole).
+
+    Scale (100 TB): gram hashing is a projection + explode (one 16-byte
+    MD5 per token position); the global duplicate test is one
+    map-side-combinable count over digests — nothing wider than a
+    digest shuffles until the per-doc start-position lists (bounded by
+    duplicated positions, not tokens) join back for the rebuild.  The
+    coverage filter is O(tokens x duplicated-spans) per document,
+    JVM-side; heavily templated docs (every position duplicated) cost
+    O(tokens^2/ngram) there — at that point the whole doc is
+    boilerplate and cheaper to drop via exact/minhash dedup first.
+    """
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+    toks = F.split(F.col(text_col), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("_tk"), F.size(toks).alias("_nt"))
+    grams = base.where(F.col("_nt") >= ngram).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, _nt - {ngram}), i -> "
+                f"named_struct('start', i, "
+                f"'g', md5(concat_ws(' ', slice(_tk, i + 1, {ngram})))))"
+            )
+        ).alias("_gr"),
+    ).select(F.col(id_col), F.col("_gr.start").alias("_start"), F.col("_gr.g").alias("_g"))
+    dup = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_cnt")).where(
+        F.col("_cnt") > 1
+    )
+    starts = (
+        grams.join(dup.select("_g"), "_g")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("_start")).alias("_ss"))
+    )
+    kept = F.expr(
+        f"filter(transform(_tk, (t, j) -> named_struct('t', t, 'j', j)), "
+        f"x -> NOT exists(coalesce(_ss, cast(array() as array<int>)), "
+        f"s -> s <= x.j AND x.j < s + {ngram}))"
+    )
+    return (
+        base.join(starts, id_col, "left")
+        .withColumn("_kept", kept)
+        .select(
+            F.col(id_col),
+            F.array_join(F.expr("transform(_kept, x -> x.t)"), " ").alias("clean_text"),
+            F.col("_nt").alias("n_tokens"),
+            (F.col("_nt") - F.size("_kept")).alias("n_removed"),
+        )
+    )
+
+
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) long form — one row per distinct word n-gram per doc.
 

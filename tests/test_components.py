@@ -114,3 +114,39 @@ def test_exact_dedup_hash_key_rejects_non_string(spark):
     df = spark.createDataFrame([(1, 2.5)], "doc_id long, val double")
     with pytest.raises(ValueError, match="string"):
         dedup.exact_dedup(df, ["val"], "doc_id", hash_shuffle_key=True)
+
+
+def test_remove_duplicate_spans(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e unique tail one"),
+            (2, "x y a b c d e other words here"),
+            (3, "totally different content z"),
+            (4, "short"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in dedup.remove_duplicate_spans(
+            docs, "doc_id", "text", ngram=5
+        ).collect()
+    }
+    # the shared 5-gram "a b c d e" is excised from BOTH docs; everything
+    # else (including docs shorter than the n-gram) passes through whole
+    assert out[1] == ("unique tail one", 8, 5)
+    assert out[2] == ("x y other words here", 10, 5)
+    assert out[3] == ("totally different content z", 4, 0)
+    assert out[4] == ("short", 1, 0)
+
+    # within-doc repetition counts as duplication too
+    rep = spark.createDataFrame(
+        [(1, "p q r s t p q r s t mid")], ["doc_id", "text"]
+    )
+    (row,) = dedup.remove_duplicate_spans(rep, "doc_id", "text", ngram=5).collect()
+    assert row["clean_text"] == "mid" and row["n_removed"] == 10
+
+    import pytest
+
+    with pytest.raises(ValueError, match="ngram"):
+        dedup.remove_duplicate_spans(docs, "doc_id", "text", ngram=0)
