@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "lgbm_infer_embeddings",
     "lgbm_tsv_flagship",
     "pipe_dedup_minhash",
+    "pipe_dedup_spans",
     "pipe_simhash_wide",
     "pipe_dedup_semantic",
     "pipe_sim_topk_gemm",
