@@ -63,8 +63,8 @@ def pipe_dedup_incremental(spark, sf_dir):
     "pipe_dedup_spans",
     oracle=r"""
     WITH t AS (
-      SELECT doc_id, string_split_regex(text, '\s+') AS tk,
-             LEN(string_split_regex(text, '\s+')) AS nt
+      SELECT doc_id, string_split_regex(COALESCE(text, ''), '\s+') AS tk,
+             LEN(string_split_regex(COALESCE(text, ''), '\s+')) AS nt
       FROM documents
     ),
     grams AS (

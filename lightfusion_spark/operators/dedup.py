@@ -70,13 +70,17 @@ def exact_dedup(
     two distinct keys collide in 128 bits (~2^-64 at 10^10 rows).
     """
     if hash_shuffle_key:
-        dtypes = dict(df.dtypes)
-        bad = [c for c in key_cols if dtypes.get(c) != "string"]
+        dtypes = {name.lower(): dt for name, dt in df.dtypes}
+        missing = [c for c in key_cols if c.lower() not in dtypes]
+        if missing:
+            raise ValueError(
+                f"hash_shuffle_key key columns not in the DataFrame: {missing}"
+            )
+        bad = {c: dtypes[c.lower()] for c in key_cols if dtypes[c.lower()] != "string"}
         if bad:
             raise ValueError(
-                f"hash_shuffle_key requires string key columns, got "
-                f"{ {c: dtypes.get(c) for c in bad} } — serialize non-string "
-                "keys explicitly before hashing"
+                f"hash_shuffle_key requires string key columns, got {bad} — "
+                "serialize non-string keys explicitly before hashing"
             )
         fp = {c: f"_fp_{c}" for c in key_cols}
         out = df
@@ -143,7 +147,8 @@ def remove_duplicate_spans(
     while duplicated-n-gram coverage is pure hash aggregation.
 
     Returns ``(id_col, clean_text, n_tokens, n_removed)`` for EVERY
-    document (docs shorter than ``ngram`` tokens pass through whole).
+    document (docs shorter than ``ngram`` tokens pass through whole;
+    NULL text is treated as the empty document, never NULL output).
 
     Scale (100 TB): gram hashing is a projection + explode (one 16-byte
     MD5 per token position); the global duplicate test is one
@@ -157,18 +162,26 @@ def remove_duplicate_spans(
     """
     if ngram < 1:
         raise ValueError(f"ngram must be >= 1, got {ngram}")
-    toks = F.split(F.col(text_col), r"\s+")
+    # NULL text is treated as the empty document (mirrors incremental_dedup's
+    # NULL handling; without it every output column would go NULL).
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")
     base = df.select(F.col(id_col), toks.alias("_tk"), F.size(toks).alias("_nt"))
+    # cached: the dup-count aggregate AND the starts join both consume the
+    # gram relation — without this each branch re-tokenizes + re-hashes the
+    # corpus (the minhash_near_duplicates lesson).  unhex: shuffle the
+    # 16-byte digest, not its 32-char hex spelling.
     grams = base.where(F.col("_nt") >= ngram).select(
         F.col(id_col),
         F.explode(
             F.expr(
                 f"transform(sequence(0, _nt - {ngram}), i -> "
                 f"named_struct('start', i, "
-                f"'g', md5(concat_ws(' ', slice(_tk, i + 1, {ngram})))))"
+                f"'g', unhex(md5(concat_ws(' ', slice(_tk, i + 1, {ngram}))))))"
             )
         ).alias("_gr"),
-    ).select(F.col(id_col), F.col("_gr.start").alias("_start"), F.col("_gr.g").alias("_g"))
+    ).select(
+        F.col(id_col), F.col("_gr.start").alias("_start"), F.col("_gr.g").alias("_g")
+    ).cache()
     dup = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_cnt")).where(
         F.col("_cnt") > 1
     )

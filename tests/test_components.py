@@ -109,8 +109,6 @@ def test_incremental_dedup_nulls_and_membership(spark):
 
 
 def test_exact_dedup_hash_key_rejects_non_string(spark):
-    import pytest
-
     df = spark.createDataFrame([(1, 2.5)], "doc_id long, val double")
     with pytest.raises(ValueError, match="string"):
         dedup.exact_dedup(df, ["val"], "doc_id", hash_shuffle_key=True)
@@ -146,7 +144,26 @@ def test_remove_duplicate_spans(spark):
     (row,) = dedup.remove_duplicate_spans(rep, "doc_id", "text", ngram=5).collect()
     assert row["clean_text"] == "mid" and row["n_removed"] == 10
 
-    import pytest
-
     with pytest.raises(ValueError, match="ngram"):
         dedup.remove_duplicate_spans(docs, "doc_id", "text", ngram=0)
+
+
+def test_remove_duplicate_spans_null_text(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in dedup.remove_duplicate_spans(
+            docs, "doc_id", "text", ngram=2
+        ).collect()
+    }
+    # NULL text -> the empty document, never NULL output
+    assert out[1] == ("", 1, 0)
+    assert out[2] == ("a b c", 3, 0)
+
+
+def test_exact_dedup_hash_key_reports_missing_column(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="not in the DataFrame"):
+        dedup.exact_dedup(df, ["nope"], "doc_id", hash_shuffle_key=True)
