@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "lgbm_tsv_flagship",
     "pipe_dedup_minhash",
     "pipe_dedup_spans",
+    "pipe_dedup_incremental",
     "pipe_simhash_wide",
     "pipe_dedup_semantic",
     "pipe_sim_topk_gemm",
@@ -44,6 +45,7 @@ BENCH_QUERIES = [
     "pipe_text_bm25",
     "pipe_lm_score",
     "pipe_multimodal_codec",
+    "pipe_e2e_curation",
     "rel_tpch_q18_shape",
 ]
 
