@@ -133,6 +133,11 @@ def main() -> None:
     # and the adaptive re-run trigger never see it as noise
     # (events_asof_bucketed measured 9.5 s cold vs 1.6 s warm at sf0.1).
     warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(warm_dir):
+        # fall back to the timed dataset: the warmup then costs one full-
+        # size run per query instead of crashing before timing anything
+        print(f"warmup dir {warm_dir} missing; warming on {sf_dir}", file=sys.stderr)
+        warm_dir = sf_dir
 
     for name in BENCH_QUERIES:
         qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
@@ -157,20 +162,24 @@ def main() -> None:
         spread[name] = round(_two_best_gap(samples), 3)
         n_samples[name] = len(samples)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "samples": n_samples,
-                "runs_per_query": n_runs,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_wall_sec",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "spread": spread,
+            "samples": n_samples,
+            "runs_per_query": n_runs,
+            "sf": sf,
+        }
     )
+    # The summary also lands in a file: round-5's recorded bench lost the
+    # HEAD of this line to output truncation, so stdout is not the only copy.
+    with open(os.path.join(REPO_ROOT, "BENCH_LAST.json"), "w", encoding="utf-8") as fh:
+        fh.write(line + "\n")
+    sys.stdout.flush()
+    print("\n" + line, flush=True)
 
 
 if __name__ == "__main__":

@@ -28,6 +28,10 @@ every hash bit-for-bit; at production scale swap ``_md5_long`` for
 
 from __future__ import annotations
 
+import hashlib
+import warnings
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -83,6 +87,12 @@ def exact_dedup(
                 "serialize non-string keys explicitly before hashing"
             )
         fp = {c: f"_fp_{c}" for c in key_cols}
+        clash = sorted({*fp.values(), "_rn"} & {name for name, _ in df.dtypes})
+        if clash:
+            raise ValueError(
+                f"hash_shuffle_key needs temp columns {clash} but the input "
+                "already has them — rename or drop those columns first"
+            )
         out = df
         for c, a in fp.items():
             out = out.withColumn(a, F.unhex(F.md5(F.col(c))))
@@ -91,6 +101,11 @@ def exact_dedup(
             out.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn", *fp.values())
+        )
+    if "_rn" in {name for name, _ in df.dtypes}:
+        raise ValueError(
+            "exact_dedup needs a temp column _rn but the input already has "
+            "one — rename or drop it first"
         )
     w = Window.partitionBy(*key_cols).orderBy(order_col)
     return (
@@ -132,11 +147,39 @@ def incremental_dedup(
     return exact_dedup(fresh, ["fp_md5"], id_col)
 
 
+def _materialize_bucketed(
+    rel: DataFrame, checkpoint_path: str, bucket_cols: list[str], n_buckets: int
+) -> DataFrame:
+    """Spill a multi-consumer narrow relation to a BUCKETED parquet table
+    instead of ``.cache()``.
+
+    The 100-TB alternative to pinning a corpus-sized intermediate in
+    executor MEMORY_AND_DISK (docs/SCALE.md): the relation is written once,
+    hash-bucketed on the downstream join/agg key, and every consumer reads
+    it back through the catalog — the bucketed scan exposes the hash
+    distribution to the planner, so groupBy/join on ``bucket_cols`` skips
+    its Exchange entirely.  The catalog entry is keyed by the path, so
+    re-running the same pipeline overwrites in place.
+    """
+    spark = rel.sparkSession
+    table_name = "lf_ckpt_" + hashlib.md5(checkpoint_path.encode()).hexdigest()[:12]
+    w = (
+        rel.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .option("path", checkpoint_path)
+    )
+    w.saveAsTable(table_name)
+    return spark.table(table_name)
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     id_col: str,
     text_col: str,
     ngram: int = 13,
+    checkpoint_path: str | None = None,
+    checkpoint_buckets: int = 64,
 ) -> DataFrame:
     """Span-level exact-substring dedup (Lee et al., "Deduplicating
     Training Data Makes Language Models Better"): remove every token
@@ -159,6 +202,16 @@ def remove_duplicate_spans(
     JVM-side; heavily templated docs (every position duplicated) cost
     O(tokens^2/ngram) there — at that point the whole doc is
     boilerplate and cheaper to drop via exact/minhash dedup first.
+
+    The gram relation feeds two consumers (the dup-count aggregate and
+    the starts join).  By default it is ``.cache()``-ed — the CALLER owns
+    the cache lifecycle (``spark.catalog.clearCache()`` or unpersist
+    after the consuming action), same contract as
+    :func:`minhash_near_duplicates`.  At corpus scale pass
+    ``checkpoint_path`` instead: the gram relation is written ONCE as a
+    parquet table bucketed on the gram digest (so the dup-count groupBy
+    and the dup join both read it exchange-free) and nothing corpus-sized
+    pins executor storage.
     """
     if ngram < 1:
         raise ValueError(f"ngram must be >= 1, got {ngram}")
@@ -181,7 +234,11 @@ def remove_duplicate_spans(
         ).alias("_gr"),
     ).select(
         F.col(id_col), F.col("_gr.start").alias("_start"), F.col("_gr.g").alias("_g")
-    ).cache()
+    )
+    if checkpoint_path is not None:
+        grams = _materialize_bucketed(grams, checkpoint_path, ["_g"], checkpoint_buckets)
+    else:
+        grams = grams.cache()
     dup = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_cnt")).where(
         F.col("_cnt") > 1
     )
@@ -365,18 +422,29 @@ def minhash_near_duplicates(
     rows_per_band: int = 2,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    checkpoint_path: str | None = None,
+    checkpoint_buckets: int = 64,
 ) -> DataFrame:
     """Full fuzzy-dedup pipeline: shingle -> minhash -> LSH bands ->
     exact-Jaccard verification.  Output (id_a, id_b, jaccard).
 
     The hashed-shingle relation feeds the signature pass and both sides
-    of the verification join; it is cached because it is narrow (id +
-    8-byte hash) and each consumer would otherwise re-tokenize + re-hash
-    the corpus (measured 16s/branch at 50k docs).  At 100 TB write it to
-    a bucketed intermediate table instead — same role, spillable, and
-    the verification joins co-locate on the bucket key.
+    of the verification join; by default it is cached because it is
+    narrow (id + 8-byte hash) and each consumer would otherwise
+    re-tokenize + re-hash the corpus (measured 16s/branch at 50k docs) —
+    the CALLER owns the cache lifecycle.  At 100 TB pass
+    ``checkpoint_path``: the shingle-hash relation is written ONCE as a
+    parquet table bucketed on ``id_col`` (the signature groupBy and the
+    verification joins co-locate on it, exchange-free) and nothing
+    corpus-sized pins executor MEMORY_AND_DISK.
     """
-    hashes = doc_shingle_hashes(df, id_col, text_col, shingle_n).cache()
+    hashes = doc_shingle_hashes(df, id_col, text_col, shingle_n)
+    if checkpoint_path is not None:
+        hashes = _materialize_bucketed(
+            hashes, checkpoint_path, [id_col], checkpoint_buckets
+        )
+    else:
+        hashes = hashes.cache()
     sig = minhash_signatures(hashes, id_col, n_hashes)
     cand = lsh_candidate_pairs(sig, id_col, n_hashes, rows_per_band)
     return jaccard_verified_pairs(
@@ -557,8 +625,21 @@ def ngram_jaccard_pairs(
 
 
 #: Rounds the last connected_components call took to converge — a
-#: diagnostic for tools/scalecheck.py's O(diameter)-vs-O(log n) A/B.
+#: convenience alias kept for tools/scalecheck.py's O(diameter)-vs-O(log n)
+#: A/B; concurrent callers should use :func:`connected_components_detailed`,
+#: whose :class:`CCResult` carries the round count per call.
 last_cc_rounds: int = 0
+
+
+@dataclass
+class CCResult:
+    """Per-call result of :func:`connected_components_detailed`:
+    the label DataFrame plus the loop diagnostics that a module global
+    can't report safely under concurrent calls."""
+
+    labels: DataFrame
+    rounds: int
+    converged: bool
 
 
 def connected_components(
@@ -589,9 +670,28 @@ def connected_components(
 
     Both loops are driver-side with ``localCheckpoint`` truncating
     lineage each round (the standard Spark shape for iterative graph
-    algorithms — GraphFrames does the same).  ``last_cc_rounds`` records
-    the converged round count for diagnostics.
+    algorithms — GraphFrames does the same).  If ``max_iterations`` is
+    exhausted before convergence a ``RuntimeWarning`` fires (the labels
+    may still be coarsening); :func:`connected_components_detailed`
+    returns the converged flag + round count explicitly.
     """
+    return connected_components_detailed(
+        pairs, vertices, id_col, pair_cols, max_iterations, algorithm
+    ).labels
+
+
+def connected_components_detailed(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str,
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    max_iterations: int = 25,
+    algorithm: str = "two_phase",
+) -> CCResult:
+    """:func:`connected_components` returning :class:`CCResult` — the
+    label DataFrame plus per-call ``rounds``/``converged`` diagnostics
+    (safe under concurrent calls, unlike the ``last_cc_rounds`` alias)."""
+    global last_cc_rounds
     a, b = pair_cols
     edges0 = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -599,17 +699,28 @@ def connected_components(
         .distinct()
     )
     if algorithm == "two_phase":
-        return _cc_two_phase(edges0, vertices, id_col, max_iterations)
-    if algorithm == "propagation":
-        return _cc_propagation(edges0, vertices, id_col, max_iterations)
-    raise ValueError(
-        f"connected_components algorithm must be two_phase|propagation, got {algorithm!r}"
-    )
+        res = _cc_two_phase(edges0, vertices, id_col, max_iterations)
+    elif algorithm == "propagation":
+        res = _cc_propagation(edges0, vertices, id_col, max_iterations)
+    else:
+        raise ValueError(
+            f"connected_components algorithm must be two_phase|propagation, got {algorithm!r}"
+        )
+    last_cc_rounds = res.rounds
+    if not res.converged:
+        warnings.warn(
+            f"connected_components ({algorithm}) exhausted max_iterations="
+            f"{max_iterations} before the edge set stabilized — component "
+            "labels may be under-merged; raise max_iterations",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    return res
 
 
 def _cc_two_phase(
     edges0: DataFrame, vertices: DataFrame, id_col: str, max_iterations: int
-) -> DataFrame:
+) -> CCResult:
     """Large-star/small-star alternation.  Each round:
 
     * **large-star** — per node u over its full neighborhood Γ(u):
@@ -622,10 +733,10 @@ def _cc_two_phase(
     signature (count + xxhash64 sum) going stable.  Every step is an
     equi-join/aggregation on node ids — no driver-side graph state.
     """
-    global last_cc_rounds
     edges = edges0.localCheckpoint(eager=True)
     prev_sig = None
     rounds = 0
+    converged = False
     for _ in range(max_iterations):
         # large-star over the symmetrized neighborhood
         sym = edges.union(
@@ -665,11 +776,11 @@ def _cc_two_phase(
         sig = (row["n"], row["h"])
         edges = ss
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
-    last_cc_rounds = rounds
     labels = edges.groupBy("src").agg(F.min("dst").alias("component"))
-    return (
+    out = (
         vertices.select(F.col(id_col).alias("vid"))
         .join(labels, F.col("vid") == F.col("src"), "left")
         .select(
@@ -677,13 +788,13 @@ def _cc_two_phase(
             F.coalesce("component", F.col("vid")).alias("component"),
         )
     )
+    return CCResult(labels=out, rounds=rounds, converged=converged)
 
 
 def _cc_propagation(
     edges0: DataFrame, vertices: DataFrame, id_col: str, max_iterations: int
-) -> DataFrame:
+) -> CCResult:
     """Min-label propagation (the pre-round-5 implementation)."""
-    global last_cc_rounds
     edges = edges0.union(
         edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -691,6 +802,7 @@ def _cc_propagation(
         F.col(id_col).alias("vid"), F.col(id_col).alias("comp")
     ).localCheckpoint(eager=True)
     rounds = 0
+    converged = False
     for _ in range(max_iterations):
         nmin = (
             edges.join(comp, edges.dst == comp.vid)
@@ -716,9 +828,10 @@ def _cc_propagation(
         comp = new_comp
         rounds += 1
         if changed == 0:
+            converged = True
             break
-    last_cc_rounds = rounds
-    return comp.select(F.col("vid").alias(id_col), F.col("comp").alias("component"))
+    out = comp.select(F.col("vid").alias(id_col), F.col("comp").alias("component"))
+    return CCResult(labels=out, rounds=rounds, converged=converged)
 
 
 def dedup_keep_best(

@@ -72,10 +72,21 @@ def test_two_phase_path_graph_converges_in_log_rounds(spark):
     assert dedup.last_cc_rounds <= 10, dedup.last_cc_rounds
 
     # propagation at the same budget must NOT have finished the chain —
-    # the degradation the two-phase default removes
-    got_prop = _labels(spark, n, pairs, "propagation", max_iterations=8)
+    # the degradation the two-phase default removes; exhausting the budget
+    # warns instead of silently returning under-merged labels
+    with pytest.warns(RuntimeWarning, match="max_iterations"):
+        got_prop = _labels(spark, n, pairs, "propagation", max_iterations=8)
     assert dedup.last_cc_rounds == 8
     assert got_prop != {i: 0 for i in range(n)}
+
+
+def test_detailed_result_reports_rounds_and_convergence(spark):
+    vs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    ps = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")
+    res = dedup.connected_components_detailed(ps, vs, "doc_id")
+    assert res.converged and res.rounds >= 1
+    got = {r["doc_id"]: r["component"] for r in res.labels.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
 
 
 def test_rejects_unknown_algorithm(spark):
@@ -167,3 +178,57 @@ def test_exact_dedup_hash_key_reports_missing_column(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="not in the DataFrame"):
         dedup.exact_dedup(df, ["nope"], "doc_id", hash_shuffle_key=True)
+
+
+def test_exact_dedup_rejects_temp_column_collisions(spark):
+    hashed = spark.createDataFrame(
+        [(1, "x", "boom")], "doc_id long, text string, _fp_text string"
+    )
+    with pytest.raises(ValueError, match="_fp_text"):
+        dedup.exact_dedup(hashed, ["text"], "doc_id", hash_shuffle_key=True)
+    plain = spark.createDataFrame([(1, "x", 9)], "doc_id long, text string, _rn int")
+    with pytest.raises(ValueError, match="_rn"):
+        dedup.exact_dedup(plain, ["text"], "doc_id")
+
+
+def test_span_and_minhash_checkpoint_path_parity(spark, tmp_path):
+    """checkpoint_path= (bucketed parquet intermediate) must return
+    byte-identical results to the default .cache() path — the 100 TB
+    spill story with no semantic drift."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e unique tail one"),
+            (2, "x y a b c d e other words here"),
+            (3, "totally different content z"),
+            (4, "a b c d e other words here too"),
+        ],
+        ["doc_id", "text"],
+    )
+    base_spans = sorted(
+        map(tuple, dedup.remove_duplicate_spans(docs, "doc_id", "text", ngram=5).collect())
+    )
+    ckpt_spans = sorted(
+        map(
+            tuple,
+            dedup.remove_duplicate_spans(
+                docs, "doc_id", "text", ngram=5,
+                checkpoint_path=str(tmp_path / "grams"), checkpoint_buckets=4,
+            ).collect(),
+        )
+    )
+    assert ckpt_spans == base_spans
+
+    kwargs = dict(n_hashes=8, rows_per_band=2, shingle_n=2, threshold=0.3)
+    base_mh = sorted(
+        map(tuple, dedup.minhash_near_duplicates(docs, "doc_id", "text", **kwargs).collect())
+    )
+    ckpt_mh = sorted(
+        map(
+            tuple,
+            dedup.minhash_near_duplicates(
+                docs, "doc_id", "text", **kwargs,
+                checkpoint_path=str(tmp_path / "shingles"), checkpoint_buckets=4,
+            ).collect(),
+        )
+    )
+    assert ckpt_mh == base_mh and len(base_mh) > 0
