@@ -69,15 +69,16 @@ PRIORITY: list[str] = [
     "pipe_dedup_semantic",
     "pipe_sim_topk",
     "pipe_sim_topk_gemm",
-    "pipe_sim_ivf",
     "pipe_sim_ivf_kmeans",
     "pipe_sim_ivf_probe2",
     "pipe_text_stats",
     "pipe_text_bm25",
-    "pipe_text_bm25_terms",
     "pipe_boilerplate_lines",
-    "pipe_strip_boilerplate",
     "pipe_chunk_documents",
+    # round-6 additions: real subword tokenization + token-exact variants.
+    "pipe_tokenize_bpe",
+    "pipe_chunk_bpe",
+    "pipe_pack_bpe",
     "pipe_e2e_curation",
     "pipe_multimodal_decode",
     "pipe_multimodal_codec",
@@ -150,6 +151,11 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "rel_agg_rollup",
         "rel_cte",
         "rel_topk_group",
+        # green in CORRECTNESS_r05; rotated out for the round-6 window so the
+        # round-6 additions get official rows; families stay repped.
+        "pipe_sim_ivf",  # IVF family repped by pipe_sim_ivf_kmeans/_probe2
+        "pipe_text_bm25_terms",  # BM25 family repped by pipe_text_bm25
+        "pipe_strip_boilerplate",  # boilerplate family repped by pipe_boilerplate_lines
     }
 )
 

@@ -1,0 +1,138 @@
+"""Subword-tokenization queries: real BPE token counts, token-exact
+chunking and token-budget packing (SURVEY §2.4, round-6 item 1).
+
+Oracle strategy: the committed fixture ``data/bpe_expected.parquet``
+maps ``md5(text)`` → token ids, produced by an INDEPENDENT rank-order
+BPE encoder (``tools/gen_bpe_fixture.py``) — so the driver's hash
+compare pins the production encoder against a second implementation,
+and the downstream windowing/packing math is replayed natively in
+DuckDB SQL over the fixture's id lists.  The content-hash join keeps
+the oracle valid for any dataset whose texts are covered (sf0.001 +
+sf0.01 committed); an uncovered text drops its row and fails the
+row-count gate loudly instead of silently passing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ..operators import curation
+from ..operators.tokenize import chunk_token_ids, tokenize_bpe
+from .registry import register
+from .util import table
+
+REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_EXPECTED = os.path.join(REPO_ROOT, "data", "bpe_expected.parquet")
+
+#: Shared oracle prefix: documents joined to their expected tokenization
+#: by content hash (NULL text == the empty document, as in the operator).
+_FIXTURE_JOIN = f"""
+    f AS (SELECT DISTINCT fp_md5, n_tokens, token_ids_str
+          FROM read_parquet('{_EXPECTED}')),
+    t AS (SELECT d.doc_id, f.n_tokens, f.token_ids_str
+          FROM documents d
+          JOIN f ON md5(coalesce(d.text, '')) = f.fp_md5)
+"""
+
+_CHUNK, _OVERLAP = 96, 32
+_STRIDE = _CHUNK - _OVERLAP
+_PACK_CAPACITY = 512  # power of two: FLOOR(x/512.0) is exact in both engines
+
+
+@register(
+    "pipe_tokenize_bpe",
+    oracle=f"""
+    WITH {_FIXTURE_JOIN}
+    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+           token_ids_str AS token_ids
+    FROM t
+    """,
+    doc="byte-level BPE tokenization (GPT-2 family) as Arrow-batched "
+    "mapInPandas with a per-executor merges cache; oracle is the "
+    "committed fixture from the independent rank-order encoder",
+)
+def pipe_tokenize_bpe(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    t = tokenize_bpe(d, "doc_id", "text")
+    return t.select(
+        "doc_id", "n_tokens", F.array_join("token_ids", " ").alias("token_ids")
+    )
+
+
+@register(
+    "pipe_chunk_bpe",
+    oracle=f"""
+    WITH {_FIXTURE_JOIN},
+    ids AS (
+      SELECT doc_id, n_tokens AS n,
+             CASE WHEN token_ids_str = '' THEN CAST([] AS INTEGER[])
+                  ELSE [CAST(x AS INTEGER) FOR x IN
+                        string_split(token_ids_str, ' ')] END AS ids
+      FROM t),
+    c AS (
+      SELECT doc_id, n, ids,
+             unnest(range(0, CASE WHEN n <= {_CHUNK} THEN 1
+                          ELSE CAST(CEIL((n - {_CHUNK}) / CAST({_STRIDE} AS DOUBLE))
+                               AS BIGINT) + 1 END)) AS chunk_id
+      FROM ids)
+    SELECT doc_id,
+           CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(GREATEST(0, LEAST({_CHUNK}, n - chunk_id * {_STRIDE})) AS INTEGER)
+             AS n_chunk_tokens,
+           array_to_string(
+             list_slice(ids, chunk_id * {_STRIDE} + 1,
+                        LEAST(chunk_id * {_STRIDE} + {_CHUNK}, CAST(n AS BIGINT))),
+             ' ') AS chunk_ids
+    FROM c
+    """,
+    doc="token-EXACT chunking: BPE ids -> fixed 96-id windows with 32-id "
+    "overlap, pure JVM slice/explode (zero shuffles); oracle replays the "
+    "windowing natively over the fixture's id lists",
+)
+def pipe_chunk_bpe(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    t = tokenize_bpe(d, "doc_id", "text")
+    chunks = chunk_token_ids(
+        t, "doc_id", "token_ids", chunk_tokens=_CHUNK, overlap=_OVERLAP
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.array_join("chunk_ids", " ").alias("chunk_ids"),
+    )
+
+
+@register(
+    "pipe_pack_bpe",
+    oracle=f"""
+    WITH {_FIXTURE_JOIN},
+    b AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT)
+               % 8 AS pack_group
+      FROM t),
+    c AS (
+      SELECT *,
+             SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS prev
+      FROM b)
+    SELECT doc_id, n_tokens, pack_group,
+           CAST(FLOOR(prev / CAST({_PACK_CAPACITY} AS DOUBLE)) AS BIGINT) AS pack_no
+    FROM c
+    """,
+    doc="token-budget packing over REAL subword counts (the number a "
+    "trainer actually streams), parallel fill in 8 hash groups — the "
+    "token-exact upgrade of pipe_pack_sequences",
+)
+def pipe_pack_bpe(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    t = tokenize_bpe(d, "doc_id", "text")
+    return curation.pack_sequences(
+        t, "doc_id", "n_tokens", capacity=_PACK_CAPACITY, n_groups=8
+    )
