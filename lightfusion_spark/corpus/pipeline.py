@@ -1032,6 +1032,36 @@ def pipe_multimodal_codec(spark, sf_dir):
 
 
 @register(
+    "pipe_multimodal_png",
+    oracle="""
+    SELECT doc_id,
+           'png' AS fmt,
+           CAST(4 + doc_id % 13 AS INTEGER) AS width,
+           CAST(3 + doc_id % 7 AS INTEGER) AS height,
+           CAST(list_sum([ (doc_id*31 + 3*i) % 256
+                           FOR i IN range((4+doc_id%13)*(3+doc_id%7)) ]) AS DOUBLE)
+             / ((4+doc_id%13)*(3+doc_id%7)) AS mean_r,
+           CAST(list_sum([ (doc_id*31 + 3*i + 1) % 256
+                           FOR i IN range((4+doc_id%13)*(3+doc_id%7)) ]) AS DOUBLE)
+             / ((4+doc_id%13)*(3+doc_id%7)) AS mean_g,
+           CAST(list_sum([ (doc_id*31 + 3*i + 2) % 256
+                           FOR i IN range((4+doc_id%13)*(3+doc_id%7)) ]) AS DOUBLE)
+             / ((4+doc_id%13)*(3+doc_id%7)) AS mean_b
+    FROM documents
+    """,
+    doc="REAL PNG codec round trip (round-6 item 2): 8-bit RGB "
+    "non-interlaced PNGs whose scanline filters cycle through all five "
+    "types (None/Sub/Up/Average/Paeth), decoded by the stdlib-zlib parser "
+    "in operators/multimodal.py; the oracle replays the pixel formula "
+    "analytically, so a defilter or chunk-walk bug breaks the hash",
+)
+def pipe_multimodal_png(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    payload = multimodal.synthesize_media(d, "doc_id", formats=("png",))
+    return multimodal.decode_media(payload, real=True)
+
+
+@register(
     "pipe_sim_ivf",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

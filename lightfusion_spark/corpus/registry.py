@@ -82,6 +82,7 @@ PRIORITY: list[str] = [
     "pipe_e2e_curation",
     "pipe_multimodal_decode",
     "pipe_multimodal_codec",
+    "pipe_multimodal_png",
     "pipe_decontaminate",
     "pipe_quality_filter",
     "pipe_lm_score",
@@ -91,7 +92,6 @@ PRIORITY: list[str] = [
     "events_windowed_stats",
     "events_sessionize",
     "events_asof_join",
-    "events_asof_forward",
     "events_asof_bucketed",
     "events_attribution",
     "events_range_join",
@@ -156,6 +156,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_sim_ivf",  # IVF family repped by pipe_sim_ivf_kmeans/_probe2
         "pipe_text_bm25_terms",  # BM25 family repped by pipe_text_bm25
         "pipe_strip_boilerplate",  # boilerplate family repped by pipe_boilerplate_lines
+        "events_asof_forward",  # as-of family repped by events_asof_join/_bucketed
     }
 )
 

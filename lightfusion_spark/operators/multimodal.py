@@ -7,15 +7,17 @@ Python row objects one at a time.
 
 Two decode paths:
 
-* ``real=True`` — a REAL, dependency-free image decode for the two
-  uncompressed formats a pure-Python parser can own outright: binary
-  **PPM (P6)** and **24-bit uncompressed BMP** (bottom-up or top-down,
-  row padding handled).  ``decode_image`` parses headers + pixel data
-  and emits (format, width, height, per-channel mean) — byte-exact,
-  so a SQL oracle replaying the pixel formula verifies the whole
-  encode→decode round trip.  Compressed formats (JPEG/PNG/MP3/…) still
-  raise ``NotImplementedError``: their codec libraries are not in this
-  environment, and that seam is where PIL/ffmpeg would plug in.
+* ``real=True`` — a REAL, dependency-free image decode for the three
+  formats a pure-Python parser can own outright: binary **PPM (P6)**,
+  **24-bit uncompressed BMP** (bottom-up or top-down, row padding
+  handled), and **8-bit RGB non-interlaced PNG** (stdlib ``zlib``
+  inflate + all five scanline defilters including Paeth).
+  ``decode_image`` parses headers + pixel data and emits (format,
+  width, height, per-channel mean) — byte-exact, so a SQL oracle
+  replaying the pixel formula verifies the whole encode→decode round
+  trip.  Formats beyond that (JPEG/MP3/… and non-RGB8 PNG profiles)
+  still raise ``NotImplementedError``: their codec libraries are not in
+  this environment, and that seam is where PIL/ffmpeg would plug in.
 * ``real=False`` — the original deterministic fake decoder (metadata
   from byte length only), kept for payloads in formats the real parser
   doesn't own.
@@ -31,6 +33,7 @@ shuffle kilobytes not megabytes.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -69,7 +72,7 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
 
 
 # ---------------------------------------------------------------------------
-# real codecs: binary PPM (P6) and 24-bit uncompressed BMP
+# real codecs: binary PPM (P6), 24-bit uncompressed BMP, and 8-bit RGB PNG
 # ---------------------------------------------------------------------------
 
 
@@ -95,6 +98,145 @@ def encode_bmp24(width: int, height: int, rgb: np.ndarray) -> bytes:
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
     )
     return bytes(header) + bytes(body)
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9.4): pick whichever of left /
+    above / upper-left is closest to ``a + b - c``, ties a > b > c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, rgb: np.ndarray) -> bytes:
+    """8-bit RGB non-interlaced PNG (color type 2).
+
+    Each scanline's filter type cycles ``row % 5`` through
+    None/Sub/Up/Average/Paeth — deliberately, so a decode round trip
+    exercises ALL five defilters (a fixed filter 0 would leave the
+    Sub/Up/Average/Paeth arms untested).
+    """
+    px = np.ascontiguousarray(rgb, dtype=np.uint8).reshape(height, width, 3)
+    bpp = 3
+    raw = px.reshape(height, width * bpp).astype(np.int16)
+    lines = bytearray()
+    prior = np.zeros(width * bpp, dtype=np.int16)
+    for y in range(height):
+        cur = raw[y]
+        ftype = y % 5
+        left = np.concatenate([np.zeros(bpp, dtype=np.int16), cur[:-bpp]])
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:  # Sub
+            filt = cur - left
+        elif ftype == 2:  # Up
+            filt = cur - prior
+        elif ftype == 3:  # Average
+            filt = cur - (left + prior) // 2
+        else:  # Paeth
+            up_left = np.concatenate([np.zeros(bpp, dtype=np.int16), prior[:-bpp]])
+            pred = np.fromiter(
+                (
+                    _paeth(int(left[x]), int(prior[x]), int(up_left[x]))
+                    for x in range(width * bpp)
+                ),
+                dtype=np.int16,
+                count=width * bpp,
+            )
+            filt = cur - pred
+        lines.append(ftype)
+        lines += (filt % 256).astype(np.uint8).tobytes()
+        prior = cur
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> tuple[str, int, int, np.ndarray]:
+    """Parse an 8-bit RGB non-interlaced PNG: chunk walk (multiple IDATs
+    concatenated, ancillary chunks skipped), stdlib ``zlib`` inflate,
+    then the five scanline defilters including Paeth.  Anything beyond
+    that profile (palette, alpha, 16-bit, interlaced) raises — the seam
+    where a real codec library would plug in."""
+    pos = len(_PNG_MAGIC)
+    width = height = -1
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    f"PNG depth={depth} color_type={color} interlace={interlace} "
+                    "unsupported (8-bit RGB non-interlaced only)"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width < 0 or not idat:
+        raise ValueError("malformed PNG: missing IHDR or IDAT")
+    bpp = 3
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"malformed PNG: {len(raw)} filtered bytes for {height}x{width}"
+        )
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        line_start = y * (stride + 1)
+        ftype = raw[line_start]
+        filt = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=line_start + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            cur = filt
+        elif ftype == 2:  # Up — vectorizable, no intra-row dependency
+            cur = (filt + prior) % 256
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth depend on left pixel
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + int(prior[x])) // 2
+                else:
+                    up_left = int(prior[x - bpp]) if x >= bpp else 0
+                    pred = _paeth(left, int(prior[x]), up_left)
+                cur[x] = (int(filt[x]) + pred) % 256
+        else:
+            raise ValueError(f"malformed PNG: unknown filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prior = cur
+    return "png", width, height, out.reshape(height, width, 3)
 
 
 def _decode_ppm(payload: bytes) -> tuple[str, int, int, np.ndarray]:
@@ -153,24 +295,35 @@ def decode_image(payload: bytes) -> tuple[str, int, int, float, float, float]:
         fmt, w, h, px = _decode_ppm(payload)
     elif payload[:2] == b"BM":
         fmt, w, h, px = _decode_bmp(payload)
+    elif payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        fmt, w, h, px = _decode_png(payload)
     else:
         raise NotImplementedError(
             f"unrecognized/compressed image format (magic {payload[:2]!r}); "
-            "real decode owns PPM(P6) + BMP24 only — JPEG/PNG need codec "
-            "libraries not present in this environment"
+            "real decode owns PPM(P6) + BMP24 + 8-bit RGB PNG only — JPEG "
+            "needs codec libraries not present in this environment"
         )
     n = w * h
     sums = px.reshape(n, 3).sum(axis=0, dtype=np.int64)
     return fmt, w, h, float(sums[0]) / n, float(sums[1]) / n, float(sums[2]) / n
 
 
-def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+_ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp24, "png": encode_png}
+
+
+def synthesize_media(
+    df: DataFrame, id_col: str = "doc_id", formats: tuple[str, ...] = ("ppm", "bmp")
+) -> DataFrame:
     """Deterministic synthetic image payloads for codec verification:
     doc ``i`` gets a (4 + i%13) x (3 + i%7) image whose raster-order
-    pixel ``p`` has channels ((i*31 + 3p + c) % 256), written as PPM for
-    even ids and BMP for odd — so the decode side must parse two real
-    container layouts (padding, bottom-up rows, BGR) to recover the same
-    analytic pixel stats."""
+    pixel ``p`` has channels ((i*31 + 3p + c) % 256), written in
+    container ``formats[i % len(formats)]`` — default PPM for even ids
+    and BMP for odd, so the decode side must parse real container
+    layouts (padding, bottom-up rows, BGR, or PNG's filtered+deflated
+    scanlines) to recover the same analytic pixel stats."""
+    unknown = [f for f in formats if f not in _ENCODERS]
+    if unknown:
+        raise ValueError(f"unknown synth formats {unknown}; pick from {sorted(_ENCODERS)}")
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -180,7 +333,7 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 i = int(i)
                 w, h = 4 + i % 13, 3 + i % 7
                 vals = ((i * 31 + np.arange(w * h * 3)) % 256).astype(np.uint8)
-                enc = encode_ppm if i % 2 == 0 else encode_bmp24
+                enc = _ENCODERS[formats[i % len(formats)]]
                 payloads.append(enc(w, h, vals))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 

@@ -93,6 +93,130 @@ def test_unsupported_formats_raise():
         _decode_bmp(bytes(bad))
 
 
+@pytest.mark.parametrize("w,h", [(1, 1), (4, 3), (5, 7), (16, 9), (2, 11)])
+def test_png_round_trip(w, h):
+    """h >= 5 rows exercises all five filter types (encoder cycles
+    row % 5 through None/Sub/Up/Average/Paeth)."""
+    from lightfusion_spark.operators.multimodal import _decode_png, encode_png
+
+    px = _img(w, h, seed=4)
+    payload = encode_png(w, h, px)
+    fmt, gw, gh, got = _decode_png(payload)
+    assert (fmt, gw, gh) == ("png", w, h)
+    assert np.array_equal(got, px)
+    fmt, gw, gh, mr, mg, mb = decode_image(payload)
+    assert (fmt, gw, gh) == ("png", w, h)
+    assert mr == float(px[:, :, 0].sum(dtype=np.int64)) / (w * h)
+
+
+def test_png_decoder_against_hand_built_spec_bytes():
+    """Decoder-only verification (no encoder in the loop): a 2x2 RGB PNG
+    whose Sub and Paeth filtered scanlines were computed BY HAND from the
+    PNG spec (§9.2/§9.4), so an encoder+decoder shared misreading of the
+    filter math cannot cancel out."""
+    import struct
+    import zlib
+
+    from lightfusion_spark.operators.multimodal import _decode_png, _png_chunk
+
+    # pixels row0: (1,2,3),(4,5,6); row1: (7,8,9),(10,11,12)
+    # row0 Sub   : raw - left          = 1,2,3, 3,3,3
+    # row1 Paeth : x<3 pred=up (1,2,3) -> 6,6,6; x>=3 pred=left (7,8,9) -> 3,3,3
+    scanlines = bytes([1, 1, 2, 3, 3, 3, 3]) + bytes([4, 6, 6, 6, 3, 3, 3])
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(scanlines))
+        + _png_chunk(b"IEND", b"")
+    )
+    fmt, w, h, px = _decode_png(payload)
+    assert (fmt, w, h) == ("png", 2, 2)
+    assert np.array_equal(
+        px, np.array([[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]], np.uint8)
+    )
+
+
+def test_png_average_filter_hand_case():
+    """Average defilter (floor((left+up)/2)) on hand-computed bytes."""
+    import struct
+    import zlib
+
+    from lightfusion_spark.operators.multimodal import _decode_png, _png_chunk
+
+    # 2x2, row0 None: 10,20,30,40,50,60
+    # row1 Average: raw 15,25,35,45,55,65
+    #   x<3 pred=floor((0+up)/2)=5,10,15 -> filt 10,15,20
+    #   x>=3 pred=floor((left+up)/2)=floor((15+40)/2)=27, (25+50)/2=37, (35+60)/2=47
+    #        -> filt 18,18,18
+    scanlines = bytes([0, 10, 20, 30, 40, 50, 60]) + bytes([3, 10, 15, 20, 18, 18, 18])
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(scanlines))
+        + _png_chunk(b"IEND", b"")
+    )
+    _, _, _, px = _decode_png(payload)
+    assert np.array_equal(
+        px,
+        np.array([[[10, 20, 30], [40, 50, 60]], [[15, 25, 35], [45, 55, 65]]], np.uint8),
+    )
+
+
+def test_png_multiple_idat_and_ancillary_chunks():
+    """Chunk walk: IDAT split across chunks + ancillary chunks skipped."""
+    import struct
+    import zlib
+
+    from lightfusion_spark.operators.multimodal import _decode_png, _png_chunk, encode_png
+
+    px = _img(3, 2, seed=5)
+    # rebuild the encoder's payload with the IDAT split in two + a tEXt chunk
+    scan = _extract_idat(encode_png(3, 2, px))
+    comp = zlib.compress(scan)
+    half = len(comp) // 2
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0))
+        + _png_chunk(b"tEXt", b"Comment\x00synthetic")
+        + _png_chunk(b"IDAT", comp[:half])
+        + _png_chunk(b"IDAT", comp[half:])
+        + _png_chunk(b"IEND", b"")
+    )
+    _, w, h, got = _decode_png(payload)
+    assert (w, h) == (3, 2)
+    assert np.array_equal(got, px)
+
+
+def _extract_idat(png: bytes) -> bytes:
+    import struct
+
+    pos = 8
+    out = bytearray()
+    while pos + 8 <= len(png):
+        (length,) = struct.unpack_from(">I", png, pos)
+        tag = png[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            out += png[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    import zlib
+
+    return zlib.decompress(bytes(out))
+
+
+def test_png_unsupported_profiles_raise():
+    import struct
+
+    from lightfusion_spark.operators.multimodal import _decode_png, _png_chunk
+
+    for depth, color, interlace in [(16, 2, 0), (8, 6, 0), (8, 2, 1)]:
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace))
+        )
+        with pytest.raises(NotImplementedError, match="PNG"):
+            _decode_png(payload)
+
+
 def test_synthesize_and_decode_media_spark(spark):
     from lightfusion_spark.operators import multimodal
 
