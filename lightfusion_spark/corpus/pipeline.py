@@ -1144,6 +1144,78 @@ def pipe_sim_ivf_probe2(spark, sf_dir):
     )
 
 
+@register(
+    "pipe_sim_recall_ivf",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    -- exact top-3 (the ground truth)
+    q0 AS (SELECT * FROM e WHERE vec_id < 20),
+    xscored AS (
+      SELECT q0.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_inner_product(q0.v, c.v)
+                   / (sqrt(list_inner_product(q0.v, q0.v)) * sqrt(list_inner_product(c.v, c.v))),
+                   6) AS cos_sim
+      FROM q0 JOIN e c ON q0.vec_id <> c.vec_id),
+    exact AS (SELECT query_id, neighbor_id FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM xscored) t WHERE rn <= 3),
+    -- IVF nprobe=1 approximate top-3 (the pipe_sim_ivf plan)
+    cents AS (SELECT vec_id AS centroid_id, v AS cent FROM e ORDER BY vec_id LIMIT 16),
+    assign AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, cents.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_inner_product(e.v, cents.cent)
+                          / (sqrt(list_inner_product(e.v, e.v))
+                             * sqrt(list_inner_product(cents.cent, cents.cent))), 6) DESC,
+                          cents.centroid_id) AS rn
+        FROM e CROSS JOIN cents) t
+      WHERE rn = 1),
+    qa AS (SELECT vec_id AS query_id, v AS qv, centroid_id FROM assign WHERE vec_id < 20),
+    ascored AS (
+      SELECT qa.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_inner_product(qa.qv, c.v)
+                   / (sqrt(list_inner_product(qa.qv, qa.qv)) * sqrt(list_inner_product(c.v, c.v))),
+                   6) AS cos_sim
+      FROM qa JOIN assign c ON qa.centroid_id = c.centroid_id AND qa.query_id <> c.vec_id),
+    approx AS (SELECT query_id, neighbor_id FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM ascored) t WHERE rn <= 3),
+    -- recall@3
+    hits AS (
+      SELECT ex.query_id,
+             CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM exact ex LEFT JOIN approx ap
+        ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id),
+    perq AS (SELECT query_id, COUNT(*) AS n_exact, SUM(hit) AS n_hit
+             FROM hits GROUP BY query_id)
+    SELECT CAST(3 AS INTEGER) AS k,
+           COUNT(*) AS n_queries,
+           CAST(SUM(n_hit) AS BIGINT) AS n_hits,
+           CAST(SUM(n_exact) AS BIGINT) AS n_exact,
+           ROUND(CAST(SUM(n_hit) AS DOUBLE) / SUM(n_exact), 6) AS micro_recall,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(n_hit AS DOUBLE) / n_exact, 6)
+                                AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS macro_recall
+    FROM perq
+    """,
+    doc="ANN recall measurement (round-6 item 5): recall@3 of the IVF "
+    "nprobe=1 search vs the exact brute-force ground truth, micro + "
+    "macro, one-row report — the number that makes nprobe/band tuning "
+    "an experiment instead of a guess (recall-vs-nprobe table in "
+    "tools/scalecheck.py)",
+)
+def pipe_sim_recall_ivf(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    exact = similarity.topk_cosine(e, q, "vec_id", "embedding", k=3)
+    approx = similarity.topk_cosine_ivf(e, q, "vec_id", "embedding", n_centroids=16, k=3)
+    return similarity.recall_report(approx, exact, k=3)
+
+
 def _kmeans_assign_ctes(n_centroids: int, n_iters: int, dim: int) -> tuple:
     """Shared DuckDB replay of similarity.kmeans_centroids: returns
     (cte_list, final_assignment_name) where the final CTE is every corpus

@@ -71,6 +71,7 @@ PRIORITY: list[str] = [
     "pipe_sim_topk_gemm",
     "pipe_sim_ivf_kmeans",
     "pipe_sim_ivf_probe2",
+    "pipe_sim_recall_ivf",
     "pipe_text_stats",
     "pipe_text_bm25",
     "pipe_boilerplate_lines",
@@ -86,7 +87,6 @@ PRIORITY: list[str] = [
     "pipe_decontaminate",
     "pipe_quality_filter",
     "pipe_lm_score",
-    "pipe_split_stratified",
     # Timeseries / streaming-batch parity (repaired this round — the
     # whole family needs fresh official rows).
     "events_windowed_stats",
@@ -157,6 +157,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_text_bm25_terms",  # BM25 family repped by pipe_text_bm25
         "pipe_strip_boilerplate",  # boilerplate family repped by pipe_boilerplate_lines
         "events_asof_forward",  # as-of family repped by events_asof_join/_bucketed
+        "pipe_split_stratified",  # curation family repped by quality_filter/decontaminate
     }
 )
 

@@ -176,3 +176,29 @@ def test_ivf_probe2_expands_candidates(spark):
     best2 = {r["query_id"]: r["cos_sim"] for r in two.where("rank = 1").collect()}
     assert set(best1) <= set(best2)
     assert all(best2[qid] >= best1[qid] for qid in best1)
+
+
+def test_recall_report(spark):
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators import similarity
+
+    # exact: q1 -> {a,b,c}; q2 -> {a,b}  |  approx: q1 hits a,b; q2 hits none
+    exact = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3), (2, "a", 1), (2, "b", 2)],
+        "query_id long, neighbor_id string, rank int",
+    )
+    approx = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "x", 3), (2, "y", 1), (2, "z", 2)],
+        "query_id long, neighbor_id string, rank int",
+    )
+    (row,) = similarity.recall_report(approx, exact, k=3).collect()
+    assert (row["k"], row["n_queries"], row["n_hits"], row["n_exact"]) == (3, 2, 2, 5)
+    assert row["micro_recall"] == 0.4
+    # macro: mean(2/3, 0/2) = 0.333333 (rounded per query first)
+    assert row["macro_recall"] == round((0.666667 + 0.0) / 2, 6)
+
+    # rank > k rows are ignored: evaluating the same frames at k=1
+    (row1,) = similarity.recall_report(approx, exact, k=1).collect()
+    assert (row1["n_hits"], row1["n_exact"]) == (1, 2)
+    assert row1["micro_recall"] == 0.5

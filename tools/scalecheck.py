@@ -64,6 +64,7 @@ def main() -> None:
 
     from lightfusion_spark.functions.argmax import argmax
     from lightfusion_spark.functions.inference import make_lightgbm_udf
+    from lightfusion_spark.operators import asof as asof_mod
     from lightfusion_spark.operators import dedup, similarity, skew
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -219,6 +220,127 @@ def main() -> None:
             iv, F.col("ts_us").between(F.col("w_start"), F.col("w_end"))
         ).count(),
     )
+
+    # ------------------------------------------------------------------
+    # ANN recall vs knob (round-6 item 5): recall@5 of each approximate
+    # search against the exact GEMM ground truth for 50 queries, so the
+    # nprobe/bands/quantization trade-off is a measured table, not folklore.
+    # rows_out carries micro-recall in millionths (1e6 = perfect recall).
+    _exact_memo: dict[str, object] = {}
+
+    def _exact_topk():
+        # built lazily (and cached) so --only filters skip the ground-truth
+        # pass entirely when no recall scenario is selected
+        if "df" not in _exact_memo:
+            df = similarity.topk_cosine_gemm(emb, q, "vec_id", "embedding", k=5).cache()
+            df.count()
+            _exact_memo["df"] = df
+        return _exact_memo["df"]
+
+    def _recall(label, approx_fn):
+        def run():
+            rep = similarity.recall_report(approx_fn(), _exact_topk(), k=5).collect()[0]
+            return int(round(rep["micro_recall"] * 1_000_000))
+
+        timed(label, run)
+
+    for nprobe in (1, 2, 4):
+        _recall(
+            f"recall_at5_ivf16_nprobe{nprobe}_x1e6",
+            lambda nprobe=nprobe: similarity.topk_cosine_ivf_probe(
+                emb, q, "vec_id", "embedding",
+                n_centroids=16, nprobe=nprobe, k=5,
+            ),
+        )
+    for n_planes in (4, 8):
+        pl = similarity.random_hyperplanes(n_planes, 64)
+        _recall(
+            f"recall_at5_lsh_{n_planes}planes_x1e6",
+            lambda pl=pl: similarity.topk_cosine_lsh(
+                emb, q, pl, "vec_id", "embedding", k=5
+            ),
+        )
+    pl8 = similarity.random_hyperplanes(8, 64)
+    _recall(
+        "recall_at5_lsh_8planes_probe2_x1e6",
+        lambda: similarity.topk_cosine_lsh_multiprobe(
+            emb, q, pl8, "vec_id", "embedding", k=5, n_probes=2
+        ),
+    )
+    _recall(
+        "recall_at5_quantized_int8_x1e6",
+        lambda: similarity.topk_cosine_quantized(
+            emb, q, "vec_id", "embedding", k=5
+        ),
+    )
+    if "df" in _exact_memo:
+        _exact_memo["df"].unpersist()
+
+    # ------------------------------------------------------------------
+    # As-of join skew stress (round-6 item 8): one hot user owns ~50% of
+    # 10M events; the plain key-partitioned window serializes those ~5M
+    # rows onto a single task's sort, the (key, time-bucket) variant
+    # bounds task state at one bucket of one key.
+    ev100 = inflate(events, 100, "event_id", 100_000_000)
+    hot = ev100.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(0)).otherwise(F.col("user_id")),
+    ).withColumn("ts_us", ts_micros_col(ev100))
+    hot_right = hot.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "value"
+    )
+    hot_left = hot.select("event_id", "user_id", "ts_us")
+    timed(
+        f"asof_plain_hotkey50pct_{100 * n_ev}_events",
+        lambda: asof_mod.asof_join(
+            hot_left, hot_right, "user_id", "ts_us", ["value"],
+            tiebreak_col=None,
+        ).where(F.col("value_asof").isNotNull()).count(),
+    )
+    timed(
+        f"asof_bucketed_hotkey50pct_{100 * n_ev}_events",
+        lambda: asof_mod.asof_join_bucketed(
+            hot_left, hot_right, "user_id", "ts_us", ["value"],
+            bucket=hour_us,
+        ).where(F.col("value_asof").isNotNull()).count(),
+    )
+
+    # ------------------------------------------------------------------
+    # Cache vs bucketed-checkpoint A/B (round-6 item 4): the two span/
+    # minhash spill strategies at 50k docs — parity of counts plus the
+    # wall-time cost of trading MEMORY_AND_DISK for a one-time bucketed
+    # write (the 100 TB default).
+    import shutil
+    import tempfile
+
+    ckpt_root = tempfile.mkdtemp(prefix="lf_ckpt_")
+    try:
+        timed(
+            f"span_dedup_cache_{10 * n_docs}_docs",
+            lambda: dedup.remove_duplicate_spans(docs10, "doc_id", "text").count(),
+        )
+        spark.catalog.clearCache()
+        timed(
+            f"span_dedup_bucketed_ckpt_{10 * n_docs}_docs",
+            lambda: dedup.remove_duplicate_spans(
+                docs10, "doc_id", "text",
+                checkpoint_path=os.path.join(ckpt_root, "grams"),
+            ).count(),
+        )
+        timed(
+            f"minhash_cache_{10 * n_docs}_docs",
+            lambda: dedup.minhash_near_duplicates(docs10, "doc_id", "text").count(),
+        )
+        spark.catalog.clearCache()
+        timed(
+            f"minhash_bucketed_ckpt_{10 * n_docs}_docs",
+            lambda: dedup.minhash_near_duplicates(
+                docs10, "doc_id", "text",
+                checkpoint_path=os.path.join(ckpt_root, "shingles"),
+            ).count(),
+        )
+    finally:
+        shutil.rmtree(ckpt_root, ignore_errors=True)
 
 
 if __name__ == "__main__":
