@@ -29,6 +29,7 @@ from .util import table
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 EMBED_MODEL = os.path.join(REPO_ROOT, "models", "embed_cls.lgbm")
 MULTI_MODEL = os.path.join(REPO_ROOT, "models", "multiclass.lgbm")
+QUALITY_MODEL = os.path.join(REPO_ROOT, "models", "quality_cls.lgbm")
 TSV_PATH = os.path.join(REPO_ROOT, "data", "multiclass.test")
 
 
@@ -167,6 +168,46 @@ def settings_introspection(spark, sf_dir):
         "SELECT name, value, description FROM information_schema.df_settings "
         "WHERE name LIKE 'lightfusion%'"
     )
+
+
+def _quality_model_oracle() -> str:
+    model = load_model(QUALITY_MODEL)
+    s0, s1 = model_class_scores_sql(model, lambda f: f"f{f}")
+    return rf"""
+    WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
+               FROM documents),
+    feats AS (SELECT doc_id,
+        LEN(toks) AS n_words,
+        CAST(LEN(toks) AS DOUBLE) AS f0,
+        CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE) / LEN(toks) AS f1,
+        CAST(LEN(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / LENGTH(text) AS f2,
+        CAST(LEN(list_filter(toks, x -> list_contains(['a','and','is','of','the'], x))) AS DOUBLE) / LEN(toks) AS f3
+      FROM t),
+    scored AS (SELECT doc_id, n_words, {s0} AS s0, {s1} AS s1 FROM feats),
+    p AS (SELECT doc_id, n_words,
+                 ROUND(exp(s1 - GREATEST(s0, s1))
+                       / (exp(s0 - GREATEST(s0, s1)) + exp(s1 - GREATEST(s0, s1))), 6)
+                   AS p_keep
+          FROM scored)
+    SELECT doc_id, n_words, p_keep, p_keep >= 0.5 AS keep FROM p
+    """
+
+
+@register(
+    "pipe_quality_model",
+    oracle=_quality_model_oracle(),
+    doc="model-based quality filtering flagship (round-6 item 6): JVM "
+    "text features (the text_stats signals) -> LightGBM classifier via "
+    "the batched inference UDF -> retention gate on softmax p_keep; "
+    "oracle compiles the committed quality_cls.lgbm fixture into SQL "
+    "CASE trees over the same feature SQL, the lgbm_infer_embeddings "
+    "pattern",
+)
+def pipe_quality_model(spark, sf_dir):
+    from ..operators.curation import quality_model_filter
+
+    d = table(spark, sf_dir, "documents")
+    return quality_model_filter(spark, d, "doc_id", "text", QUALITY_MODEL)
 
 
 @register(

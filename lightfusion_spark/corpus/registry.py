@@ -75,11 +75,12 @@ PRIORITY: list[str] = [
     "pipe_text_stats",
     "pipe_text_bm25",
     "pipe_boilerplate_lines",
-    "pipe_chunk_documents",
-    # round-6 additions: real subword tokenization + token-exact variants.
+    # round-6 additions: real subword tokenization + token-exact variants,
+    # and the model-based quality gate (Layer A composed into §2.4).
     "pipe_tokenize_bpe",
     "pipe_chunk_bpe",
     "pipe_pack_bpe",
+    "pipe_quality_model",
     "pipe_e2e_curation",
     "pipe_multimodal_decode",
     "pipe_multimodal_codec",
@@ -158,6 +159,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_strip_boilerplate",  # boilerplate family repped by pipe_boilerplate_lines
         "events_asof_forward",  # as-of family repped by events_asof_join/_bucketed
         "pipe_split_stratified",  # curation family repped by quality_filter/decontaminate
+        "pipe_chunk_documents",  # chunking repped by the token-exact pipe_chunk_bpe
     }
 )
 

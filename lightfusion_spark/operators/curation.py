@@ -234,6 +234,59 @@ def mixture_sample(
     )
 
 
+def quality_model_filter(
+    spark,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model_path: str,
+    threshold: float = 0.5,
+    batch_size: int = 256,
+) -> DataFrame:
+    """MODEL-based quality filtering — the canonical production use of
+    the reference's own capability (batch inference inside a data
+    pipeline, round-6 item 6): cheap JVM text features → LightGBM
+    classifier → retention gate.
+
+    Features are the four ``text.text_stats`` signals (n_words,
+    avg_word_len, punct_ratio, en_stop_ratio) assembled JVM-side into
+    one ``array<double>``; the classifier runs through the same
+    Arrow-batched iterator pandas UDF as every other model in the repo
+    (per-executor parsed-model cache, micro-batched with partial tail —
+    ``functions/inference.py``).  ``p_keep`` is the softmax probability
+    of class 1 rounded to 6 digits BEFORE the gate compares it to
+    ``threshold``, so the keep decision is engine-reproducible.
+
+    Returns ``(id_col, n_words, p_keep, keep)`` for every document.
+
+    Scale (100 TB): feature extraction is a narrow single-pass
+    projection and inference is embarrassingly parallel — the whole
+    filter is shuffle-free; the model ships once per executor (closure
+    or torrent broadcast past 4 MB).
+    """
+    from ..functions.inference import make_lightgbm_udf
+    from .text import text_stats
+
+    feats = text_stats(df, id_col, text_col)
+    vec = F.array(
+        F.col("n_words").cast("double"),
+        F.col("avg_word_len"),
+        F.col("punct_ratio"),
+        F.col("en_stop_ratio"),
+    )
+    udf = make_lightgbm_udf(model_path, batch_size=batch_size, spark=spark)
+    p_keep = F.round(F.element_at(F.col("_probs"), 2), 6)
+    return (
+        feats.select(F.col(id_col), F.col("n_words"), udf(vec).alias("_probs"))
+        .select(
+            F.col(id_col),
+            F.col("n_words"),
+            p_keep.alias("p_keep"),
+            (p_keep >= F.lit(threshold)).alias("keep"),
+        )
+    )
+
+
 def train_val_test_split(
     df: DataFrame,
     id_col: str,

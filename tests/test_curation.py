@@ -136,3 +136,50 @@ def test_shard_assign_keeps_payload_columns(spark):
     d = _docs(spark)
     out = curation.shard_assign(d, "doc_id", n_shards=4)
     assert set(out.columns) == {"doc_id", "text", "source", "n_chars", "shard", "shard_pos"}
+
+
+def test_quality_model_filter(spark):
+    """Features -> LightGBM -> gate: p_keep orders documents by the
+    fixture model's quality notion and the gate is the rounded-p
+    threshold comparison (engine-reproducible by construction)."""
+    import os
+
+    from lightfusion_spark.ml.fixture import build_quality_model_text
+    from lightfusion_spark.ml.lgbm_model import parse_model_str
+    from lightfusion_spark.operators.curation import quality_model_filter
+
+    model_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "models", "quality_cls.lgbm",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the fast table scan and the merge join of the sort order table"),
+            (2, "x!!! ???? ;;; ### !!!! ???? *** ((($$$)))"),
+            (3, "word " * 80),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in quality_model_filter(
+        spark, docs, "doc_id", "text", model_path).collect()}
+    assert set(out) == {1, 2, 3}
+    # independent reference: score the same features with the parsed model
+    model = parse_model_str(build_quality_model_text())
+    import numpy as np
+
+    def feats(text):
+        toks = text.lower().split()
+        n = len(toks)
+        awl = sum(len(t) for t in toks) / n
+        import re as _re
+
+        punct = len(_re.findall(r"[^A-Za-z0-9\s]", text)) / len(text)
+        stop = sum(t in {"a", "and", "is", "of", "the"} for t in toks) / n
+        return [float(n), awl, punct, stop]
+
+    for doc_id, text in [(1, "the fast table scan and the merge join of the sort order table")]:
+        p = model.predict(np.array([feats(text)]))[0][1]
+        assert out[doc_id]["p_keep"] == round(float(p), 6)
+    # the punctuation-soup doc must score lower than the clean one
+    assert out[2]["p_keep"] < out[1]["p_keep"]
+    assert all((r["keep"] == (r["p_keep"] >= 0.5)) for r in out.values())
