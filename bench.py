@@ -47,6 +47,12 @@ BENCH_QUERIES = [
     "pipe_multimodal_codec",
     "pipe_e2e_curation",
     "rel_tpch_q18_shape",
+    # round-6 operators
+    "pipe_tokenize_bpe",
+    "pipe_chunk_bpe",
+    "pipe_multimodal_png",
+    "pipe_quality_model",
+    "pipe_sim_recall_ivf",
 ]
 
 
