@@ -194,3 +194,60 @@ def test_model_to_sql_compiler_matches_scorer(mr):
         ) + f" FROM (SELECT {binds})"
         got = con.execute(sql).fetchone()
         assert list(got) == expected[r_idx].tolist()
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE: operator encoder vs the independent rank-order encoder
+# ---------------------------------------------------------------------------
+
+_BPE_FIXTURES = {}
+
+
+def _bpe_fixture():
+    """Tokenizer + reference closure over the committed merges (cached —
+    hypothesis calls the test body many times)."""
+    if not _BPE_FIXTURES:
+        import os
+        import sys
+
+        from lightfusion_spark.operators.tokenize import (
+            BPETokenizer,
+            DEFAULT_MERGES_PATH,
+            parse_merges,
+        )
+
+        sys.path.insert(
+            0,
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+            ),
+        )
+        from gen_bpe_fixture import reference_encode
+
+        with open(DEFAULT_MERGES_PATH, "r", encoding="utf-8") as fh:
+            merges = parse_merges(fh.read())
+        _BPE_FIXTURES["tok"] = BPETokenizer(merges)
+        _BPE_FIXTURES["ref"] = lambda t: reference_encode(t, merges)
+        _BPE_FIXTURES["inv_vocab"] = {
+            i: s for s, i in _BPE_FIXTURES["tok"].vocab.items()
+        }
+        _BPE_FIXTURES["inv_bytes"] = {
+            c: b for b, c in _BPE_FIXTURES["tok"].byte_enc.items()
+        }
+    return _BPE_FIXTURES
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_bpe_encoders_agree_and_round_trip(text):
+    """For ARBITRARY unicode text: (1) the min-rank iterative encoder and
+    the independent rank-order encoder agree; (2) decoding the ids through
+    the derived vocab reproduces the input bytes exactly (no text is ever
+    lost or altered by tokenization — the byte-level BPE contract)."""
+    fx = _bpe_fixture()
+    ids = fx["tok"].encode(text)
+    assert ids == fx["ref"](text)
+    decoded = bytes(
+        fx["inv_bytes"][ch] for i in ids for ch in fx["inv_vocab"][i]
+    ).decode("utf-8")
+    assert decoded == text

@@ -37,7 +37,12 @@ from lightfusion_spark.operators.tokenize import (  # noqa: E402
 )
 
 TESTDATA = "/root/testdata"
-N_MERGES = 400
+#: Deliberately BELOW the tiny corpus's saturation point (127 merges, at
+#: which every in-vocab word collapses to one token and BPE degenerates
+#: into whitespace counting): at 80 merges the corpus tokenizes at ~1.9
+#: subword tokens per word, so the token-exact chunk/pack variants are
+#: measurably different from the whitespace-based ones.
+N_MERGES = 80
 
 
 def reference_encode(text: str, merges: list[tuple[str, str]]) -> list[int]:
