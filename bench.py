@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "pipe_multimodal_png",
     "pipe_quality_model",
     "pipe_sim_recall_ivf",
+    "pipe_e2e_model_curation",
 ]
 
 

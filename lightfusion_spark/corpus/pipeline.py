@@ -949,6 +949,127 @@ def pipe_e2e_curation(spark, sf_dir):
     )
 
 
+def _e2e_model_oracle() -> str:
+    from .mlqueries import QUALITY_MODEL, load_model, model_class_scores_sql
+
+    s0, s1 = model_class_scores_sql(load_model(QUALITY_MODEL), lambda f: f"f{f}")
+    return rf"""
+    WITH docs2 AS (SELECT doc_id, {_MULTILINE_DUCK} AS text FROM documents),
+    lines AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+      FROM docs2
+    ),
+    nz AS (SELECT * FROM lines WHERE len(line) > 0),
+    total AS (SELECT COUNT(*) AS n_total FROM docs2),
+    bp AS (
+      SELECT line FROM (
+        SELECT line, COUNT(DISTINCT doc_id) AS n_docs
+        FROM nz GROUP BY line
+      ), total
+      WHERE CAST(n_docs AS DOUBLE) / n_total >= 0.02
+    ),
+    kept AS (SELECT * FROM nz WHERE line NOT IN (SELECT line FROM bp)),
+    reb AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    orig AS (SELECT doc_id, COUNT(*) AS n_lines FROM nz GROUP BY doc_id),
+    stripped AS (
+      SELECT d.doc_id,
+             COALESCE(reb.clean_text, '') AS clean_text,
+             COALESCE(orig.n_lines, 0) AS n_lines,
+             COALESCE(orig.n_lines, 0) - COALESCE(reb.n_kept, 0) AS n_removed
+      FROM docs2 d
+      LEFT JOIN orig ON d.doc_id = orig.doc_id
+      LEFT JOIN reb ON d.doc_id = reb.doc_id
+    ),
+    nonempty AS (SELECT * FROM stripped WHERE len(clean_text) > 0),
+    fvals AS (
+      SELECT doc_id, clean_text, n_lines, n_removed,
+             CAST(LEN(toks) AS DOUBLE) AS f0,
+             CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE)
+               / LEN(toks) AS f1,
+             CAST(LEN(regexp_extract_all(clean_text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+               / LENGTH(clean_text) AS f2,
+             CAST(LEN(list_filter(toks, x ->
+               list_contains(['a','and','is','of','the'], x))) AS DOUBLE)
+               / LEN(toks) AS f3
+      FROM (SELECT *, string_split_regex(lower(clean_text), '\s+') AS toks
+            FROM nonempty)
+    ),
+    scored AS (SELECT doc_id, clean_text, n_lines, n_removed,
+                      {s0} AS s0, {s1} AS s1 FROM fvals),
+    gated AS (
+      SELECT doc_id, clean_text, n_lines, n_removed,
+             ROUND(exp(s1 - GREATEST(s0, s1))
+                   / (exp(s0 - GREATEST(s0, s1)) + exp(s1 - GREATEST(s0, s1))), 6)
+               AS p_keep
+      FROM scored
+    ),
+    keptg AS (SELECT * FROM gated WHERE p_keep >= 0.5),
+    survivors AS (
+      SELECT * FROM (
+        SELECT k.*, ROW_NUMBER() OVER (PARTITION BY clean_text
+                                       ORDER BY doc_id) AS rn
+        FROM keptg k
+      ) WHERE rn = 1
+    ),
+    toks2 AS (
+      SELECT doc_id, n_lines, n_removed, p_keep,
+             LEN(string_split_regex(clean_text, '\s+')) AS n
+      FROM survivors
+    ),
+    chunks AS (
+      SELECT doc_id, n_lines, n_removed, p_keep, n,
+             unnest(range(0, CASE WHEN n <= 16 THEN 1
+                  ELSE CAST(CEIL((n - 16) / 12.0) AS BIGINT) + 1 END)) AS cid
+      FROM toks2
+    )
+    SELECT doc_id, n_lines, n_removed, p_keep,
+           CAST(COUNT(*) AS INTEGER) AS n_chunks,
+           CAST(SUM(LEAST(16, n - cid * 12)) AS BIGINT) AS n_chunk_tokens
+    FROM chunks GROUP BY doc_id, n_lines, n_removed, p_keep
+    """
+
+
+@register(
+    "pipe_e2e_model_curation",
+    oracle=_e2e_model_oracle(),
+    doc="END-TO-END curation with the MODEL gate in the loop: boilerplate "
+    "strip -> drop emptied docs -> LightGBM quality gate (Layer A's "
+    "batched inference composed mid-pipeline, features on the STRIPPED "
+    "text) -> exact dedup on cleaned text -> 16/4 chunking -> per-doc "
+    "summary carrying p_keep.  The oracle replays every stage natively "
+    "in SQL including the compiled model — a full value-hash check of "
+    "the composition",
+)
+def pipe_e2e_model_curation(spark, sf_dir):
+    from ..operators.curation import quality_model_filter
+    from .mlqueries import QUALITY_MODEL
+
+    d = table(spark, sf_dir, "documents").withColumn("text", F.expr(_MULTILINE_SQL))
+    stripped = text_ops.strip_boilerplate(d, "doc_id", "text", min_doc_frac=0.02)
+    nonempty = stripped.where(F.length("clean_text") > 0)
+    gated = quality_model_filter(
+        spark, nonempty, "doc_id", "clean_text", QUALITY_MODEL,
+        passthrough_cols=["clean_text", "n_lines", "n_removed"],
+    )
+    survivors = dedup.exact_dedup(
+        gated.where(F.col("keep")), ["clean_text"], "doc_id", hash_shuffle_key=True
+    )
+    chunks = text_ops.chunk_documents(
+        survivors, "doc_id", "clean_text", chunk_tokens=16, overlap=4,
+        passthrough_cols=["n_lines", "n_removed", "p_keep"],
+    )
+    return chunks.groupBy("doc_id", "n_lines", "n_removed", "p_keep").agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("n_chunk_tokens"),
+    )
+
+
 @register(
     "pipe_chunk_documents",
     oracle=r"""

@@ -62,7 +62,6 @@ PRIORITY: list[str] = [
     "settings_introspection",
     # §2.4 LLM-pipeline operators.
     "pipe_dedup_exact",
-    "pipe_dedup_incremental",
     "pipe_dedup_minhash",
     "pipe_dedup_simhash",
     "pipe_dedup_spans",
@@ -81,6 +80,7 @@ PRIORITY: list[str] = [
     "pipe_chunk_bpe",
     "pipe_pack_bpe",
     "pipe_quality_model",
+    "pipe_e2e_model_curation",
     "pipe_e2e_curation",
     "pipe_multimodal_decode",
     "pipe_multimodal_codec",
@@ -160,6 +160,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "events_asof_forward",  # as-of family repped by events_asof_join/_bucketed
         "pipe_split_stratified",  # curation family repped by quality_filter/decontaminate
         "pipe_chunk_documents",  # chunking repped by the token-exact pipe_chunk_bpe
+        "pipe_dedup_incremental",  # dedup family repped by exact/minhash/simhash/spans/semantic
     }
 )
 

@@ -242,6 +242,7 @@ def quality_model_filter(
     model_path: str,
     threshold: float = 0.5,
     batch_size: int = 256,
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
     """MODEL-based quality filtering — the canonical production use of
     the reference's own capability (batch inference inside a data
@@ -257,7 +258,9 @@ def quality_model_filter(
     of class 1 rounded to 6 digits BEFORE the gate compares it to
     ``threshold``, so the keep decision is engine-reproducible.
 
-    Returns ``(id_col, n_words, p_keep, keep)`` for every document.
+    Returns ``(id_col, *passthrough_cols, n_words, p_keep, keep)`` for
+    every document — ``passthrough_cols`` ride through so pipeline
+    composers don't join back to (and re-execute) the input lineage.
 
     Scale (100 TB): feature extraction is a narrow single-pass
     projection and inference is embarrassingly parallel — the whole
@@ -267,7 +270,8 @@ def quality_model_filter(
     from ..functions.inference import make_lightgbm_udf
     from .text import text_stats
 
-    feats = text_stats(df, id_col, text_col)
+    extra = list(passthrough_cols or [])
+    feats = text_stats(df, id_col, text_col, passthrough_cols=extra)
     vec = F.array(
         F.col("n_words").cast("double"),
         F.col("avg_word_len"),
@@ -277,9 +281,12 @@ def quality_model_filter(
     udf = make_lightgbm_udf(model_path, batch_size=batch_size, spark=spark)
     p_keep = F.round(F.element_at(F.col("_probs"), 2), 6)
     return (
-        feats.select(F.col(id_col), F.col("n_words"), udf(vec).alias("_probs"))
+        feats.select(
+            F.col(id_col), *extra, F.col("n_words"), udf(vec).alias("_probs")
+        )
         .select(
             F.col(id_col),
+            *extra,
             F.col("n_words"),
             p_keep.alias("p_keep"),
             (p_keep >= F.lit(threshold)).alias("keep"),

@@ -40,11 +40,19 @@ def _stop_hits(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(lit, t)))
 
 
-def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def text_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    passthrough_cols: list[str] | None = None,
+) -> DataFrame:
     """Per-document quality features + a boolean keep/drop flag.
 
     Mirrors the usual pre-training quality filters: length bounds,
     word-length sanity, punctuation density, stopword density.
+    ``passthrough_cols`` are copied onto the output unchanged, so
+    composers (e.g. ``curation.quality_model_filter``) don't need a join
+    back to (and a re-execution of) the input lineage.
     """
     t = F.col(text_col)
     toks = _tokens(t)
@@ -58,6 +66,7 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     stop_ratio = _stop_hits(toks, LANG_STOPWORDS["en"]) / n_words
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (passthrough_cols or [])],
         n_words.alias("n_words"),
         n_chars.alias("n_chars_fn"),
         avg_word_len.alias("avg_word_len"),
