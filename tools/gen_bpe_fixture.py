@@ -3,8 +3,8 @@
 * ``data/bpe_merges.txt`` — merges trained on the sf0.001 documents
   corpus by ``operators.tokenize.train_bpe``;
 * ``data/bpe_expected.parquet`` — expected tokenization for every
-  DISTINCT document text across sf0.001 + sf0.01, keyed by ``md5(text)``
-  so the DuckDB oracle joins on content, not ids.
+  DISTINCT document text across sf0.001 + sf0.01 + sf0.1, keyed by
+  ``md5(text)`` so the DuckDB oracle joins on content, not ids.
 
 The expected ids are produced by :func:`reference_encode`, an
 INDEPENDENT encoder (apply merges in rank order, replacing all
@@ -98,7 +98,9 @@ def main() -> None:
         assert parse_merges(fh.read()) == merges
 
     seen: dict[str, tuple[int, str]] = {}
-    for sf in ("sf0.001", "sf0.01"):
+    # training stays sf0.001-only; COVERAGE spans every local scale so the
+    # sf0.1 full-corpus parity sweep holds for the BPE queries too
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
         for text in load_texts(sf):
             fp = hashlib.md5(text.encode("utf-8")).hexdigest()
             if fp in seen:
