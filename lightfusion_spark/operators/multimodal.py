@@ -153,8 +153,10 @@ def encode_png(width: int, height: int, rgb: np.ndarray) -> bytes:
             up_left = np.concatenate([np.zeros(bpp, dtype=np.int16), prior[:-bpp]])
             pred = np.fromiter(
                 (
-                    _paeth(int(left[x]), int(prior[x]), int(up_left[x]))
-                    for x in range(width * bpp)
+                    _paeth(a, b, c)
+                    for a, b, c in zip(
+                        left.tolist(), prior.tolist(), up_left.tolist()
+                    )
                 ),
                 dtype=np.int16,
                 count=width * bpp,
@@ -220,18 +222,35 @@ def _decode_png(payload: bytes) -> tuple[str, int, int, np.ndarray]:
             cur = filt
         elif ftype == 2:  # Up — vectorizable, no intra-row dependency
             cur = (filt + prior) % 256
-        elif ftype in (1, 3, 4):  # Sub/Average/Paeth depend on left pixel
-            cur = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                left = cur[x - bpp] if x >= bpp else 0
-                if ftype == 1:
-                    pred = left
-                elif ftype == 3:
-                    pred = (left + int(prior[x])) // 2
-                else:
-                    up_left = int(prior[x - bpp]) if x >= bpp else 0
-                    pred = _paeth(left, int(prior[x]), up_left)
-                cur[x] = (int(filt[x]) + pred) % 256
+        elif ftype == 1:  # Sub — per-channel cumulative sum mod 256
+            cur = (filt.reshape(-1, bpp).cumsum(axis=0) % 256).reshape(stride)
+        elif ftype in (3, 4):  # Average/Paeth depend on the decoded left
+            # pixel — inherently sequential; plain-int list loops beat
+            # numpy scalar indexing ~10x here (profiled)
+            f = filt.tolist()
+            pr = prior.tolist()
+            out_row: list[int] = [0] * stride
+            if ftype == 3:
+                for x in range(stride):
+                    left = out_row[x - bpp] if x >= bpp else 0
+                    out_row[x] = (f[x] + ((left + pr[x]) >> 1)) & 255
+            else:
+                for x in range(stride):
+                    left = out_row[x - bpp] if x >= bpp else 0
+                    up = pr[x]
+                    up_left = pr[x - bpp] if x >= bpp else 0
+                    p = left + up - up_left
+                    pa = abs(p - left)
+                    pb = abs(p - up)
+                    pc = abs(p - up_left)
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = up_left
+                    out_row[x] = (f[x] + pred) & 255
+            cur = np.array(out_row, dtype=np.int32)
         else:
             raise ValueError(f"malformed PNG: unknown filter type {ftype}")
         out[y] = cur.astype(np.uint8)
