@@ -170,26 +170,48 @@ def settings_introspection(spark, sf_dir):
     )
 
 
-def _quality_model_oracle() -> str:
+def quality_gate_ctes(source: str, text_col: str, carry_cols: list[str]) -> str:
+    """Shared oracle fragment for the LightGBM quality gate: the CTE
+    suffix ``fvals, scored, gated`` over ``source`` (a prior CTE whose
+    rows contain ``text_col`` + ``carry_cols``).  ``gated`` emits
+    ``(*carry_cols, n_words, p_keep)`` with the committed quality model
+    compiled to CASE trees over the ``text_stats`` feature SQL — ONE
+    copy of the feature + softmax arithmetic, used by both
+    ``pipe_quality_model`` and ``pipe_e2e_model_curation`` so the two
+    oracles cannot drift."""
     model = load_model(QUALITY_MODEL)
     s0, s1 = model_class_scores_sql(model, lambda f: f"f{f}")
+    carry = ", ".join(carry_cols)
     return rf"""
-    WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
-               FROM documents),
-    feats AS (SELECT doc_id,
-        LEN(toks) AS n_words,
-        CAST(LEN(toks) AS DOUBLE) AS f0,
-        CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE) / LEN(toks) AS f1,
-        CAST(LEN(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / LENGTH(text) AS f2,
-        CAST(LEN(list_filter(toks, x -> list_contains(['a','and','is','of','the'], x))) AS DOUBLE) / LEN(toks) AS f3
-      FROM t),
-    scored AS (SELECT doc_id, n_words, {s0} AS s0, {s1} AS s1 FROM feats),
-    p AS (SELECT doc_id, n_words,
-                 ROUND(exp(s1 - GREATEST(s0, s1))
-                       / (exp(s0 - GREATEST(s0, s1)) + exp(s1 - GREATEST(s0, s1))), 6)
-                   AS p_keep
-          FROM scored)
-    SELECT doc_id, n_words, p_keep, p_keep >= 0.5 AS keep FROM p
+    fvals AS (
+      SELECT {carry},
+             LEN(toks) AS n_words,
+             CAST(LEN(toks) AS DOUBLE) AS f0,
+             CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE)
+               / LEN(toks) AS f1,
+             CAST(LEN(regexp_extract_all({text_col}, '[^A-Za-z0-9\s]')) AS DOUBLE)
+               / LENGTH({text_col}) AS f2,
+             CAST(LEN(list_filter(toks, x ->
+               list_contains(['a','and','is','of','the'], x))) AS DOUBLE)
+               / LEN(toks) AS f3
+      FROM (SELECT *, string_split_regex(lower({text_col}), '\s+') AS toks
+            FROM {source})
+    ),
+    scored AS (SELECT {carry}, n_words, {s0} AS s0, {s1} AS s1 FROM fvals),
+    gated AS (
+      SELECT {carry}, n_words,
+             ROUND(exp(s1 - GREATEST(s0, s1))
+                   / (exp(s0 - GREATEST(s0, s1)) + exp(s1 - GREATEST(s0, s1))), 6)
+               AS p_keep
+      FROM scored
+    )"""
+
+
+def _quality_model_oracle() -> str:
+    return rf"""
+    WITH t AS (SELECT doc_id, text FROM documents),
+    {quality_gate_ctes('t', 'text', ['doc_id'])}
+    SELECT doc_id, n_words, p_keep, p_keep >= 0.5 AS keep FROM gated
     """
 
 

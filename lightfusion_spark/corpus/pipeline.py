@@ -859,10 +859,12 @@ def pipe_strip_boilerplate(spark, sf_dir):
     return text_ops.strip_boilerplate(d, "doc_id", "text", min_doc_frac=0.02)
 
 
-@register(
-    "pipe_e2e_curation",
-    oracle=rf"""
-    WITH docs2 AS (SELECT doc_id, {_MULTILINE_DUCK} AS text FROM documents),
+#: Shared oracle prefix for the two e2e compositions: the multi-line
+#: view → boilerplate-strip CTE chain ending in ``stripped`` (doc_id,
+#: clean_text, n_lines, n_removed) — ONE copy, so the strip replay
+#: cannot drift between `pipe_e2e_curation` and `pipe_e2e_model_curation`.
+_STRIP_CTES = f"""
+    docs2 AS (SELECT doc_id, {_MULTILINE_DUCK} AS text FROM documents),
     lines AS (
       SELECT doc_id,
              unnest(string_split(text, chr(10))) AS line,
@@ -893,7 +895,13 @@ def pipe_strip_boilerplate(spark, sf_dir):
       FROM docs2 d
       LEFT JOIN orig ON d.doc_id = orig.doc_id
       LEFT JOIN reb ON d.doc_id = reb.doc_id
-    ),
+    )"""
+
+
+@register(
+    "pipe_e2e_curation",
+    oracle=rf"""
+    WITH {_STRIP_CTES},
     survivors AS (
       SELECT * FROM (
         SELECT s.*, ROW_NUMBER() OVER (PARTITION BY clean_text
@@ -950,66 +958,17 @@ def pipe_e2e_curation(spark, sf_dir):
 
 
 def _e2e_model_oracle() -> str:
-    from .mlqueries import QUALITY_MODEL, load_model, model_class_scores_sql
+    from .mlqueries import quality_gate_ctes
 
-    s0, s1 = model_class_scores_sql(load_model(QUALITY_MODEL), lambda f: f"f{f}")
+    gate = quality_gate_ctes(
+        "nonempty", "clean_text", ["doc_id", "clean_text", "n_lines", "n_removed"]
+    )
     return rf"""
-    WITH docs2 AS (SELECT doc_id, {_MULTILINE_DUCK} AS text FROM documents),
-    lines AS (
-      SELECT doc_id,
-             unnest(string_split(text, chr(10))) AS line,
-             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
-      FROM docs2
-    ),
-    nz AS (SELECT * FROM lines WHERE len(line) > 0),
-    total AS (SELECT COUNT(*) AS n_total FROM docs2),
-    bp AS (
-      SELECT line FROM (
-        SELECT line, COUNT(DISTINCT doc_id) AS n_docs
-        FROM nz GROUP BY line
-      ), total
-      WHERE CAST(n_docs AS DOUBLE) / n_total >= 0.02
-    ),
-    kept AS (SELECT * FROM nz WHERE line NOT IN (SELECT line FROM bp)),
-    reb AS (
-      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
-             COUNT(*) AS n_kept
-      FROM kept GROUP BY doc_id
-    ),
-    orig AS (SELECT doc_id, COUNT(*) AS n_lines FROM nz GROUP BY doc_id),
-    stripped AS (
-      SELECT d.doc_id,
-             COALESCE(reb.clean_text, '') AS clean_text,
-             COALESCE(orig.n_lines, 0) AS n_lines,
-             COALESCE(orig.n_lines, 0) - COALESCE(reb.n_kept, 0) AS n_removed
-      FROM docs2 d
-      LEFT JOIN orig ON d.doc_id = orig.doc_id
-      LEFT JOIN reb ON d.doc_id = reb.doc_id
-    ),
+    WITH {_STRIP_CTES},
     nonempty AS (SELECT * FROM stripped WHERE len(clean_text) > 0),
-    fvals AS (
-      SELECT doc_id, clean_text, n_lines, n_removed,
-             CAST(LEN(toks) AS DOUBLE) AS f0,
-             CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE)
-               / LEN(toks) AS f1,
-             CAST(LEN(regexp_extract_all(clean_text, '[^A-Za-z0-9\s]')) AS DOUBLE)
-               / LENGTH(clean_text) AS f2,
-             CAST(LEN(list_filter(toks, x ->
-               list_contains(['a','and','is','of','the'], x))) AS DOUBLE)
-               / LEN(toks) AS f3
-      FROM (SELECT *, string_split_regex(lower(clean_text), '\s+') AS toks
-            FROM nonempty)
-    ),
-    scored AS (SELECT doc_id, clean_text, n_lines, n_removed,
-                      {s0} AS s0, {s1} AS s1 FROM fvals),
-    gated AS (
-      SELECT doc_id, clean_text, n_lines, n_removed,
-             ROUND(exp(s1 - GREATEST(s0, s1))
-                   / (exp(s0 - GREATEST(s0, s1)) + exp(s1 - GREATEST(s0, s1))), 6)
-               AS p_keep
-      FROM scored
-    ),
-    keptg AS (SELECT * FROM gated WHERE p_keep >= 0.5),
+    {gate},
+    keptg AS (SELECT doc_id, clean_text, n_lines, n_removed, p_keep
+              FROM gated WHERE p_keep >= 0.5),
     survivors AS (
       SELECT * FROM (
         SELECT k.*, ROW_NUMBER() OVER (PARTITION BY clean_text

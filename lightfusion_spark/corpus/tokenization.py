@@ -8,8 +8,9 @@ compare pins the production encoder against a second implementation,
 and the downstream windowing/packing math is replayed natively in
 DuckDB SQL over the fixture's id lists.  The content-hash join keeps
 the oracle valid for any dataset whose texts are covered (sf0.001 +
-sf0.01 committed); an uncovered text drops its row and fails the
-row-count gate loudly instead of silently passing.
+sf0.01 + sf0.1 committed — the full local corpus); an uncovered text
+drops its row and fails the row-count gate loudly instead of silently
+passing.
 """
 
 from __future__ import annotations

@@ -143,10 +143,15 @@ def format_merges(merges: list[tuple[str, str]]) -> str:
 
 
 def parse_merges(text: str) -> list[tuple[str, str]]:
+    """Inverse of :func:`format_merges`.  Only a ``#version`` header line
+    (the published merges-file convention) is skipped — ``#`` itself is a
+    legal BPE symbol (a markdown/C-heavy corpus legitimately learns the
+    merge ``('#', '#')``), so blanket ``#``-comment handling would
+    silently drop merges and shift every later rank/vocab id."""
     merges: list[tuple[str, str]] = []
     for line in text.splitlines():
         line = line.rstrip("\n")
-        if not line or line.startswith("#"):
+        if not line or line.startswith("#version"):
             continue
         a, sep, b = line.partition(" ")
         if not sep or not b:

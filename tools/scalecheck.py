@@ -113,7 +113,10 @@ def main() -> None:
         )
         fp.unpersist()
 
-    q = emb.select("vec_id", "embedding").limit(50)
+    # deterministic query set: limit() without ordering is not guaranteed
+    # to pick the same rows across evaluations, and the recall table
+    # compares results of SEPARATE runs over q
+    q = emb.select("vec_id", "embedding").orderBy("vec_id").limit(50)
     timed(
         f"topk_cosine_50q_x_{100 * n_emb}_corpus",
         lambda: similarity.topk_cosine(emb100, q, "vec_id", "embedding", k=5).count(),
@@ -238,8 +241,12 @@ def main() -> None:
         return _exact_memo["df"]
 
     def _recall(label, approx_fn):
+        if ONLY and not any(s in label for s in ONLY):
+            return
+        exact = _exact_topk()  # built+cached BEFORE the timed section
+
         def run():
-            rep = similarity.recall_report(approx_fn(), _exact_topk(), k=5).collect()[0]
+            rep = similarity.recall_report(approx_fn(), exact, k=5).collect()[0]
             return int(round(rep["micro_recall"] * 1_000_000))
 
         timed(label, run)
