@@ -112,8 +112,8 @@ PRIORITY: list[str] = [
     "rel_approx_sketch",
     "rel_salted_agg",
     # §2.3 rotation: newest-surface queries get the remaining slots.
-    "rel_recursive_cte",
-    "rel_variant",
+    "rel_lateral_join",
+    "rel_group_by_all",
 ]
 
 #: Queries intentionally OUTSIDE the driver's 50-entry window.  Every name
@@ -161,6 +161,8 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_split_stratified",  # curation family repped by quality_filter/decontaminate
         "pipe_chunk_documents",  # chunking repped by the token-exact pipe_chunk_bpe
         "pipe_dedup_incremental",  # dedup family repped by exact/minhash/simhash/spans/semantic
+        "rel_recursive_cte",  # Spark-4 SQL family repped by windowed rel_lateral_join/group_by_all
+        "rel_variant",  # ditto; both r5-green
     }
 )
 

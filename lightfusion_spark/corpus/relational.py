@@ -1630,3 +1630,59 @@ def rel_regexp(spark, sf_dir):
         ),
         F.col("text").rlike(r"table\s+value").alias("has_phrase"),
     )
+
+
+@register(
+    "rel_lateral_join",
+    oracle="""
+    SELECT n_name, c.c_custkey, c.c_name, c.c_acctbal
+    FROM nation, LATERAL (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) c
+    """,
+    doc="LATERAL correlated subquery join (Spark 3.2+/4 surface): per "
+    "nation, the top-2 customers by account balance via an ORDER BY + "
+    "LIMIT inside the lateral — the per-group-top-k idiom without a "
+    "window function; deterministic tiebreak on c_custkey",
+)
+def rel_lateral_join(spark, sf_dir):
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n_name, c.c_custkey, c.c_name, c.c_acctbal
+        FROM nation JOIN LATERAL (
+          SELECT c_custkey, c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) c
+        """
+    )
+
+
+@register(
+    "rel_group_by_all",
+    oracle="""
+    SELECT o_orderpriority,
+           EXTRACT(YEAR FROM o_orderdate) AS yr,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders GROUP BY ALL
+    """,
+    doc="GROUP BY ALL (Spark 3.4+/4 surface): grouping keys inferred "
+    "from the non-aggregate select list; DECIMAL sum per the registry's "
+    "float discipline",
+)
+def rel_group_by_all(spark, sf_dir):
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               YEAR(o_orderdate) AS yr,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM orders GROUP BY ALL
+        """
+    )
