@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "pipe_tokenize_bpe",
     "pipe_chunk_bpe",
     "pipe_multimodal_png",
+    "pipe_multimodal_jpeg",
     "pipe_quality_model",
     "pipe_sim_recall_ivf",
     "pipe_e2e_model_curation",

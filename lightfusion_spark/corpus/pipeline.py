@@ -9,6 +9,8 @@ the MinHash-LSH banding pipeline end to end.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from ..operators import curation, dedup, multimodal, similarity, text as text_ops
@@ -1138,6 +1140,34 @@ def pipe_multimodal_codec(spark, sf_dir):
 def pipe_multimodal_png(spark, sf_dir):
     d = table(spark, sf_dir, "documents").select("doc_id")
     payload = multimodal.synthesize_media(d, "doc_id", formats=("png",))
+    return multimodal.decode_media(payload, real=True)
+
+
+_JPEG_EXPECTED = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "data",
+    "jpeg_expected.parquet",
+)
+
+
+@register(
+    "pipe_multimodal_jpeg",
+    oracle=f"""
+    SELECT d.doc_id, f.fmt, f.width, f.height, f.mean_r, f.mean_g, f.mean_b
+    FROM documents d
+    JOIN read_parquet('{_JPEG_EXPECTED}') f ON d.doc_id = f.doc_id
+    """,
+    doc="REAL baseline JPEG round trip: 4:4:4 JFIF payloads (DCT + "
+    "standard Huffman tables + bit stuffing, operators/jpegcodec.py) "
+    "decoded by a parser that reads DQT/DHT back out of the FILE; the "
+    "oracle is the committed encoder-side reconstruction fixture "
+    "(quantize->dequantize->IDCT, no entropy coding), so a Huffman/"
+    "stuffing/marker bug breaks the hash.  JPEG is lossy: 'correct' = "
+    "byte-equal to the reconstruction, not to the source pixels",
+)
+def pipe_multimodal_jpeg(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    payload = multimodal.synthesize_media(d, "doc_id", formats=("jpeg",))
     return multimodal.decode_media(payload, real=True)
 
 

@@ -85,6 +85,7 @@ PRIORITY: list[str] = [
     "pipe_multimodal_decode",
     "pipe_multimodal_codec",
     "pipe_multimodal_png",
+    "pipe_multimodal_jpeg",
     "pipe_decontaminate",
     "pipe_quality_filter",
     "pipe_lm_score",
@@ -94,7 +95,6 @@ PRIORITY: list[str] = [
     "events_sessionize",
     "events_asof_join",
     "events_asof_bucketed",
-    "events_attribution",
     "events_range_join",
     # UDF / UDAF / UDTF surface.
     "udaf_mean_norm",
@@ -163,6 +163,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_dedup_incremental",  # dedup family repped by exact/minhash/simhash/spans/semantic
         "rel_recursive_cte",  # Spark-4 SQL family repped by windowed rel_lateral_join/group_by_all
         "rel_variant",  # ditto; both r5-green
+        "events_attribution",  # timeseries family repped by 4 windowed events_* siblings
     }
 )
 

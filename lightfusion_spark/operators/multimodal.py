@@ -316,18 +316,34 @@ def decode_image(payload: bytes) -> tuple[str, int, int, float, float, float]:
         fmt, w, h, px = _decode_bmp(payload)
     elif payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         fmt, w, h, px = _decode_png(payload)
+    elif payload[:2] == b"\xff\xd8":
+        from .jpegcodec import decode_jpeg
+
+        w, h, px = decode_jpeg(payload)
+        fmt = "jpeg"
     else:
         raise NotImplementedError(
-            f"unrecognized/compressed image format (magic {payload[:2]!r}); "
-            "real decode owns PPM(P6) + BMP24 + 8-bit RGB PNG only — JPEG "
-            "needs codec libraries not present in this environment"
+            f"unrecognized image format (magic {payload[:2]!r}); real decode "
+            "owns PPM(P6) + BMP24 + 8-bit RGB PNG + baseline 4:4:4 JPEG — "
+            "audio/video and exotic profiles stay the codec-library seam"
         )
     n = w * h
     sums = px.reshape(n, 3).sum(axis=0, dtype=np.int64)
     return fmt, w, h, float(sums[0]) / n, float(sums[1]) / n, float(sums[2]) / n
 
 
-_ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp24, "png": encode_png}
+def _encode_jpeg(width: int, height: int, rgb: np.ndarray) -> bytes:
+    from .jpegcodec import encode_jpeg
+
+    return encode_jpeg(width, height, rgb)
+
+
+_ENCODERS = {
+    "ppm": encode_ppm,
+    "bmp": encode_bmp24,
+    "png": encode_png,
+    "jpeg": _encode_jpeg,
+}
 
 
 def synthesize_media(

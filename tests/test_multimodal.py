@@ -79,8 +79,8 @@ def test_ppm_header_with_comments_and_whitespace():
 
 
 def test_unsupported_formats_raise():
-    with pytest.raises(NotImplementedError, match="JPEG|codec|magic"):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
+    with pytest.raises(NotImplementedError, match="codec|magic"):
+        decode_image(b"\x00\x01 unknown container bytes")
     with pytest.raises(NotImplementedError, match="maxval"):
         decode_image(b"P6\n2 2\n65535\n" + b"\x00" * 24)
     from lightfusion_spark.operators.multimodal import _decode_bmp
@@ -235,3 +235,75 @@ def test_synthesize_and_decode_media_spark(spark):
         )
         expect_r = float(sum((i * 31 + 3 * p) % 256 for p in range(n))) / n
         assert r["mean_r"] == expect_r
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (8, 8), (4, 3), (13, 7), (17, 9)])
+def test_jpeg_decode_equals_encoder_reconstruction(w, h):
+    """The lossy-codec contract: decode(encode(img)) must equal the
+    encoder-side reconstruction BYTE-FOR-BYTE (quantize -> dequantize ->
+    IDCT -> color-back, computed without the bitstream) — isolating the
+    entropy-coding and marker layers the decoder parses independently."""
+    from lightfusion_spark.operators import jpegcodec as jc
+
+    px = _img(w, h, seed=6)
+    payload = jc.encode_jpeg(w, h, px)
+    w2, h2, got = jc.decode_jpeg(payload)
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(got, jc.reconstruct_jpeg(w, h, px))
+    # the lossy result stays near the source (sanity, not exactness)
+    assert float(np.abs(got.astype(int) - px.astype(int)).mean()) < 40.0
+    # and routes through decode_image
+    fmt, gw, gh, mr, mg, mb = decode_image(payload)
+    n = w * h
+    assert (fmt, gw, gh) == ("jpeg", w, h)
+    assert mr == float(got[:, :, 0].sum(dtype=np.int64)) / n
+
+
+def test_jpeg_bit_stuffing_round_trip():
+    """A gradient image whose entropy stream contains 0xFF bytes must
+    survive the stuffing/unstuffing layer."""
+    from lightfusion_spark.operators import jpegcodec as jc
+
+    found = False
+    for seed in range(12):
+        px = _img(16, 16, seed=seed)
+        payload = jc.encode_jpeg(16, 16, px)
+        scan = payload[payload.find(b"\xff\xda") + 2 :]
+        if b"\xff\x00" in scan:
+            found = True
+            _, _, got = jc.decode_jpeg(payload)
+            assert np.array_equal(got, jc.reconstruct_jpeg(16, 16, px))
+    assert found, "no test image produced a stuffed 0xFF byte — widen the search"
+
+
+def test_jpeg_unsupported_profiles_raise():
+    from lightfusion_spark.operators import jpegcodec as jc
+
+    px = _img(8, 8)
+    payload = bytearray(jc.encode_jpeg(8, 8, px))
+    sof = payload.find(b"\xff\xc0")
+    payload[sof : sof + 2] = b"\xff\xc2"  # pretend progressive
+    with pytest.raises(NotImplementedError, match="baseline"):
+        jc.decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError, match="SOI"):
+        jc.decode_jpeg(b"not a jpeg")
+
+
+def test_jpeg_quality_monotonic():
+    """Higher quality -> no smaller file and no larger reconstruction
+    error (on a smooth gradient, where JPEG behaves predictably)."""
+    from lightfusion_spark.operators import jpegcodec as jc
+
+    w, h = 16, 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.stack([(xx * 16) % 256, (yy * 16) % 256, ((xx + yy) * 8) % 256],
+                  axis=-1).astype(np.uint8)
+    errs, sizes = [], []
+    for q in (25, 75, 95):
+        payload = jc.encode_jpeg(w, h, px, quality=q)
+        _, _, got = jc.decode_jpeg(payload)
+        assert np.array_equal(got, jc.reconstruct_jpeg(w, h, px, quality=q))
+        errs.append(float(np.abs(got.astype(int) - px.astype(int)).mean()))
+        sizes.append(len(payload))
+    assert errs[0] >= errs[1] >= errs[2]
+    assert sizes[0] <= sizes[2]
