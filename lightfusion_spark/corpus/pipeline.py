@@ -1172,6 +1172,37 @@ def pipe_multimodal_jpeg(spark, sf_dir):
 
 
 @register(
+    "pipe_multimodal_wav",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS ch,
+             256 + (doc_id % 7) * 64 AS n
+      FROM documents),
+    v AS (SELECT doc_id, ch, n,
+                 [ ((doc_id*37 + 5*j) % 4096 - 2048) FOR j IN range(n*ch) ] AS s
+          FROM p)
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(ch AS INTEGER) AS n_channels,
+           CAST(n AS INTEGER) AS n_frames,
+           sqrt(CAST(list_sum([ x*x FOR x IN s ]) AS DOUBLE) / (n*ch)) AS rms
+    FROM v
+    """,
+    doc="REAL audio codec round trip: deterministic 16-bit PCM WAV "
+    "payloads (RIFF chunk walk, fmt validation, interleaved-channel "
+    "layout) decoded by the pure-Python parser; the oracle replays the "
+    "sample formula analytically, so a header/layout bug breaks the "
+    "hash.  RMS is an exact int64 sum of squares with one float64 "
+    "division + sqrt (bit-reproducible across engines)",
+)
+def pipe_multimodal_wav(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    payload = multimodal.synthesize_audio(d, "doc_id")
+    return multimodal.decode_audio(payload)
+
+
+@register(
     "pipe_sim_ivf",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

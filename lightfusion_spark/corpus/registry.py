@@ -86,6 +86,7 @@ PRIORITY: list[str] = [
     "pipe_multimodal_codec",
     "pipe_multimodal_png",
     "pipe_multimodal_jpeg",
+    "pipe_multimodal_wav",
     "pipe_decontaminate",
     "pipe_quality_filter",
     "pipe_lm_score",
@@ -99,7 +100,6 @@ PRIORITY: list[str] = [
     # UDF / UDAF / UDTF surface.
     "udaf_mean_norm",
     "grouped_map_centroid",
-    "udtf_split_words",
     # §2.3 representatives — one-plus per category.
     "rel_filter_project",
     "rel_join_inner_agg",
@@ -164,6 +164,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "rel_recursive_cte",  # Spark-4 SQL family repped by windowed rel_lateral_join/group_by_all
         "rel_variant",  # ditto; both r5-green
         "events_attribution",  # timeseries family repped by 4 windowed events_* siblings
+        "udtf_split_words",  # UDF family repped by udaf_mean_norm + grouped_map_centroid
     }
 )
 

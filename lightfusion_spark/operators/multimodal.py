@@ -332,6 +332,123 @@ def decode_image(payload: bytes) -> tuple[str, int, int, float, float, float]:
     return fmt, w, h, float(sums[0]) / n, float(sums[1]) / n, float(sums[2]) / n
 
 
+# ---------------------------------------------------------------------------
+# real audio codec: WAV (RIFF, 16-bit PCM)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
+    """16-bit PCM WAV: RIFF header + interleaved little-endian samples.
+    ``samples`` is (n_frames, n_channels) int16."""
+    pcm = np.ascontiguousarray(samples, dtype="<i2")
+    if pcm.ndim != 2:
+        raise ValueError("samples must be (n_frames, n_channels)")
+    n_frames, n_ch = pcm.shape
+    data = pcm.tobytes()
+    block_align = n_ch * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, sample_rate, sample_rate * block_align, block_align, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a 16-bit PCM WAV: RIFF chunk walk (unknown chunks skipped,
+    word-aligned), fmt validation, samples back as (n_frames,
+    n_channels) int16.  Compressed/float WAV raises — the codec-library
+    seam, as for images."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: missing RIFF/WAVE header")
+    pos = 12
+    n_ch = sample_rate = bits = -1
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            audio_fmt, n_ch, sample_rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"WAV format={audio_fmt} bits={bits} unsupported "
+                    "(16-bit PCM only — compressed/float audio is the "
+                    "codec-library seam)"
+                )
+        elif tag == b"data":
+            data = body
+    if n_ch < 0 or data is None:
+        raise ValueError("malformed WAV: missing fmt or data chunk")
+    pcm = np.frombuffer(data, dtype="<i2")
+    return sample_rate, n_ch, pcm.reshape(-1, n_ch)
+
+
+#: Output schema of the real audio-decode stage.
+AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_channels int, n_frames int, rms double"
+)
+
+
+def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic WAV payloads: doc ``i`` gets ``1 + i%2``
+    channels and ``256 + (i%7)*64`` frames at 8 kHz, where frame ``s``
+    channel ``c`` holds ``(i*37 + 5*(s*ch + c)) % 4096 - 2048`` — an
+    integer formula a SQL oracle replays analytically, so the RIFF
+    chunk walk + PCM layout are verified value-for-value."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for i in ids:
+                i = int(i)
+                ch = 1 + i % 2
+                n = 256 + (i % 7) * 64
+                flat = (i * 37 + 5 * np.arange(n * ch)) % 4096 - 2048
+                payloads.append(
+                    encode_wav(8000, flat.astype(np.int16).reshape(n, ch))
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+
+
+def decode_audio(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched WAV decode: (sample_rate, n_channels, n_frames,
+    rms).  RMS is an exact int64 sum of squares divided once in float64
+    then sqrt — both engines' sqrt is correctly rounded, so the value is
+    bit-reproducible."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p in pdf[payload_col]:
+                rate, n_ch, pcm = decode_wav(p)
+                sq = np.square(pcm.astype(np.int64)).sum()
+                rows.append(
+                    (rate, n_ch, pcm.shape[0], float(np.sqrt(sq / pcm.size)))
+                )
+            out = pd.DataFrame(
+                rows, columns=["sample_rate", "n_channels", "n_frames", "rms"]
+            )
+            out.insert(0, "doc_id", pdf[id_col].to_numpy())
+            yield out
+
+    return df.mapInPandas(decode, schema=AUDIO_SCHEMA)
+
+
 def _encode_jpeg(width: int, height: int, rgb: np.ndarray) -> bytes:
     from .jpegcodec import encode_jpeg
 

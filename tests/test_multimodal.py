@@ -307,3 +307,47 @@ def test_jpeg_quality_monotonic():
         sizes.append(len(payload))
     assert errs[0] >= errs[1] >= errs[2]
     assert sizes[0] <= sizes[2]
+
+
+def test_wav_round_trip_and_chunk_walk():
+    from lightfusion_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.RandomState(9)
+    for n, ch in [(1, 1), (256, 2), (33, 1), (100, 3)]:
+        pcm = rng.randint(-32768, 32768, size=(n, ch)).astype(np.int16)
+        rate, gch, got = decode_wav(encode_wav(44100, pcm))
+        assert (rate, gch) == (44100, ch)
+        assert np.array_equal(got, pcm)
+
+    # unknown chunks are skipped, odd-length chunks word-aligned
+    pcm = rng.randint(-32768, 32768, size=(7, 1)).astype(np.int16)
+    payload = encode_wav(8000, pcm)
+    import struct
+
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd + pad
+    patched = payload[:12] + extra + payload[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    rate, gch, got = decode_wav(patched)
+    assert np.array_equal(got, pcm)
+
+    with pytest.raises(NotImplementedError, match="16-bit PCM"):
+        bad = bytearray(encode_wav(8000, pcm))
+        struct.pack_into("<H", bad, 20, 3)  # float format
+        decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"nope")
+
+
+def test_synthesize_and_decode_audio_spark(spark):
+    from lightfusion_spark.operators import multimodal
+
+    src = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    out = {r["doc_id"]: r for r in multimodal.decode_audio(
+        multimodal.synthesize_audio(src)).collect()}
+    for i in (0, 3, 9):
+        ch, n = 1 + i % 2, 256 + (i % 7) * 64
+        r = out[i]
+        assert (r["sample_rate"], r["n_channels"], r["n_frames"]) == (8000, ch, n)
+        flat = (i * 37 + 5 * np.arange(n * ch)) % 4096 - 2048
+        expect = float(np.sqrt(np.square(flat.astype(np.int64)).sum() / (n * ch)))
+        assert r["rms"] == expect
