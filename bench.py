@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "pipe_multimodal_png",
     "pipe_multimodal_jpeg",
     "pipe_multimodal_wav",
+    "pipe_multimodal_video",
     "pipe_quality_model",
     "pipe_sim_recall_ivf",
     "pipe_e2e_model_curation",

@@ -1202,6 +1202,34 @@ def pipe_multimodal_wav(spark, sf_dir):
     return multimodal.decode_audio(payload)
 
 
+_VIDEO_EXPECTED = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "data",
+    "video_expected.parquet",
+)
+
+
+@register(
+    "pipe_multimodal_video",
+    oracle=f"""
+    SELECT d.doc_id, f.frame_id, f.n_frames, f.width, f.height,
+           f.mean_r, f.mean_g, f.mean_b
+    FROM documents d
+    JOIN read_parquet('{_VIDEO_EXPECTED}') f ON d.doc_id = f.doc_id
+    """,
+    doc="video frame sampling: LFV1 motion-JPEG clips (2-5 REAL baseline "
+    "JPEG frames each) -> decode every 2nd frame only, per-frame channel "
+    "means out; the oracle is the committed encoder-reconstruction "
+    "fixture per sampled frame, so the container walk AND each frame's "
+    "Huffman/marker parsing are hash-verified.  MP4/WebM stay the "
+    "ffmpeg seam",
+)
+def pipe_multimodal_video(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    payload = multimodal.synthesize_video(d, "doc_id")
+    return multimodal.sample_video_frames(payload, every_k=2)
+
+
 @register(
     "pipe_sim_ivf",
     oracle="""

@@ -61,7 +61,6 @@ PRIORITY: list[str] = [
     "argmax_embeddings",
     "settings_introspection",
     # §2.4 LLM-pipeline operators.
-    "pipe_dedup_exact",
     "pipe_dedup_minhash",
     "pipe_dedup_simhash",
     "pipe_dedup_spans",
@@ -87,6 +86,7 @@ PRIORITY: list[str] = [
     "pipe_multimodal_png",
     "pipe_multimodal_jpeg",
     "pipe_multimodal_wav",
+    "pipe_multimodal_video",
     "pipe_decontaminate",
     "pipe_quality_filter",
     "pipe_lm_score",
@@ -165,6 +165,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "rel_variant",  # ditto; both r5-green
         "events_attribution",  # timeseries family repped by 4 windowed events_* siblings
         "udtf_split_words",  # UDF family repped by udaf_mean_norm + grouped_map_centroid
+        "pipe_dedup_exact",  # exact dedup exercised by BOTH windowed e2e compositions
     }
 )
 

@@ -449,6 +449,122 @@ def decode_audio(
     return df.mapInPandas(decode, schema=AUDIO_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# video plumbing: a minimal MJPEG-style container + frame sampling
+# ---------------------------------------------------------------------------
+
+VIDEO_MAGIC = b"LFV1"
+
+
+def encode_video(frames: list[bytes]) -> bytes:
+    """Minimal motion-JPEG container: magic + frame count + length-
+    prefixed JPEG frames.  Real pipelines would carry MP4/WebM here; the
+    frame-sampling plumbing downstream is identical, and every frame is
+    a REAL baseline JPEG from ``jpegcodec``."""
+    out = bytearray(VIDEO_MAGIC)
+    out += struct.pack("<I", len(frames))
+    for f in frames:
+        out += struct.pack("<I", len(f))
+        out += f
+    return bytes(out)
+
+
+def iter_video_frames(payload: bytes) -> list[bytes]:
+    if payload[:4] != VIDEO_MAGIC:
+        raise NotImplementedError(
+            f"unrecognized video container (magic {payload[:4]!r}); real "
+            "decode owns the LFV1 MJPEG container — MP4/WebM are the "
+            "ffmpeg seam"
+        )
+    (n,) = struct.unpack_from("<I", payload, 4)
+    pos = 8
+    frames = []
+    for _ in range(n):
+        (length,) = struct.unpack_from("<I", payload, pos)
+        frames.append(payload[pos + 4 : pos + 4 + length])
+        pos += 4 + length
+    if len(frames) != n:
+        raise ValueError("malformed LFV1: truncated frame stream")
+    return frames
+
+
+def synthesize_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic clips: doc ``i`` gets ``2 + i%4`` JPEG
+    frames of the (4 + i%13) x (3 + i%7) analytic image with a per-frame
+    offset (``i*31 + f*97``), so every sampled frame's expected decode
+    is precomputable by the encoder-side reconstruction."""
+    from .jpegcodec import encode_jpeg
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = 4 + i % 13, 3 + i % 7
+                frames = []
+                for f in range(2 + i % 4):
+                    vals = ((i * 31 + f * 97 + np.arange(w * h * 3)) % 256).astype(
+                        np.uint8
+                    )
+                    frames.append(encode_jpeg(w, h, vals))
+                payloads.append(encode_video(frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+
+
+#: Output schema of the frame-sampling stage.
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_id int, n_frames int, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_k: int = 2,
+) -> DataFrame:
+    """Frame sampling — the canonical video-pipeline step: decode every
+    ``every_k``-th frame of each clip (REAL JPEG decode per frame) and
+    emit per-frame features; the skipped frames' bytes are never
+    decoded.  One Arrow-batched crossing, no shuffle; at 100 TB the
+    payload column is pruned unless this stage runs and only kilobytes
+    of features continue downstream."""
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
+    from .jpegcodec import decode_jpeg
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col].to_numpy(), pdf[payload_col]):
+                frames = iter_video_frames(p)
+                for f in range(0, len(frames), every_k):
+                    w, h, px = decode_jpeg(frames[f])
+                    n = w * h
+                    sums = px.reshape(n, 3).sum(axis=0, dtype=np.int64)
+                    rows.append(
+                        (
+                            int(doc_id), f, len(frames), w, h,
+                            float(sums[0]) / n, float(sums[1]) / n, float(sums[2]) / n,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_id", "n_frames", "width", "height",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return df.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
 def _encode_jpeg(width: int, height: int, rgb: np.ndarray) -> bytes:
     from .jpegcodec import encode_jpeg
 

@@ -351,3 +351,40 @@ def test_synthesize_and_decode_audio_spark(spark):
         flat = (i * 37 + 5 * np.arange(n * ch)) % 4096 - 2048
         expect = float(np.sqrt(np.square(flat.astype(np.int64)).sum() / (n * ch)))
         assert r["rms"] == expect
+
+
+def test_video_container_and_frame_sampling(spark):
+    from lightfusion_spark.operators import jpegcodec as jc
+    from lightfusion_spark.operators import multimodal
+
+    # container round trip
+    frames = [jc.encode_jpeg(4, 3, _img(4, 3, seed=s)) for s in range(3)]
+    payload = multimodal.encode_video(frames)
+    assert multimodal.iter_video_frames(payload) == frames
+    with pytest.raises(NotImplementedError, match="container"):
+        multimodal.iter_video_frames(b"MP4?xxxx")
+
+    # Spark-side sampling: every 2nd frame of clips with 2..5 frames
+    src = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    out = multimodal.sample_video_frames(
+        multimodal.synthesize_video(src), every_k=2
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i in range(8):
+        n_frames = 2 + i % 4
+        rows = sorted(by_doc[i], key=lambda r: r["frame_id"])
+        assert [r["frame_id"] for r in rows] == list(range(0, n_frames, 2))
+        w, h = 4 + i % 13, 3 + i % 7
+        for r in rows:
+            assert (r["n_frames"], r["width"], r["height"]) == (n_frames, w, h)
+            vals = ((i * 31 + r["frame_id"] * 97 + np.arange(w * h * 3)) % 256).astype(
+                np.uint8
+            )
+            px = jc.reconstruct_jpeg(w, h, vals)
+            n = w * h
+            assert r["mean_r"] == float(px[:, :, 0].sum(dtype=np.int64)) / n
+
+    with pytest.raises(ValueError, match="every_k"):
+        multimodal.sample_video_frames(src, every_k=0)
