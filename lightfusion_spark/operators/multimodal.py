@@ -618,10 +618,11 @@ def decode_media(
 ) -> DataFrame:
     """Arrow-batched decode of a binary payload column.
 
-    ``real=True`` parses PPM(P6)/BMP24 payloads with the pure-Python
-    decoders above (other formats raise — that seam is where
-    PIL/ffmpeg/soundfile would plug in); ``real=False`` runs the
-    deterministic fake decoder.
+    ``real=True`` parses PPM(P6)/BMP24/PNG-RGB8/baseline-JPEG payloads
+    with the pure-Python decoders (other formats raise — that seam is
+    where PIL/ffmpeg/soundfile would plug in); ``real=False`` runs the
+    deterministic fake decoder.  Audio takes :func:`decode_audio`,
+    video clips :func:`sample_video_frames`.
     """
     if real:
 
