@@ -45,15 +45,16 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 #: Curated export order.  The driver's correctness gate evaluates only the
 #: FIRST 50 ``queries()`` entries (CORRECTNESS_r02 was exactly the first 50
-#: registered names), so the names below are emitted first.  Round-5
-#: rotation: the 3 operators added in round 4 (`pipe_text_bm25`,
-#: `pipe_sim_ivf_probe2`, `events_asof_forward`) had never seen a driver
-#: window (r4 verdict item 1) and rotate IN; three r4-green pipe_* siblings
-#: rotate OUT to WINDOW_EXEMPT, each leaving its operator family represented
-#: by a windowed sibling.  Everything else follows in registration order and
-#: stays covered by tools/parity.py + CI; tests/test_registry_window.py
-#: additionally asserts every registered query is either in the current
-#: window or has a recorded green row from a past driver window.
+#: registered names), so the names below are emitted first.  Round-6
+#: rotation: the 12 round-6 operators (BPE tokenize/chunk/pack, PNG/JPEG/
+#: WAV/video codecs, quality model + e2e model curation, ANN recall,
+#: LATERAL join, GROUP BY ALL) rotate IN — none has ever seen a driver
+#: window; 12 r5-green queries rotate OUT to WINDOW_EXEMPT, each leaving
+#: its operator family represented by a windowed sibling (or, for exact
+#: dedup, by the two e2e compositions that run it).  Everything else stays
+#: covered by tools/parity.py + CI; tests/test_registry_window.py asserts
+#: every registered query is either in the current window or has a
+#: recorded green row from a past driver window.
 PRIORITY: list[str] = [
     # §2.1/§2.2 Layer A — the reference-authored surface.
     "lgbm_tsv_flagship",
