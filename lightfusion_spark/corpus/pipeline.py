@@ -1143,11 +1143,15 @@ def pipe_multimodal_png(spark, sf_dir):
     return multimodal.decode_media(payload, real=True)
 
 
-_JPEG_EXPECTED = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "data",
-    "jpeg_expected.parquet",
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
+_JPEG_EXPECTED = os.path.join(_REPO_ROOT, "data", "jpeg_expected.parquet")
+#: The committed JPEG/video fixtures cover doc_id < 5000 (the full local
+#: corpus range, tools/gen_jpeg_fixture.py).  Both query sides bound to
+#: that range explicitly so a larger future corpus narrows the checked
+#: subset instead of silently hash-mismatching on uncovered ids.
+_FIXTURE_DOC_LIMIT = 5000
 
 
 @register(
@@ -1156,6 +1160,7 @@ _JPEG_EXPECTED = os.path.join(
     SELECT d.doc_id, f.fmt, f.width, f.height, f.mean_r, f.mean_g, f.mean_b
     FROM documents d
     JOIN read_parquet('{_JPEG_EXPECTED}') f ON d.doc_id = f.doc_id
+    WHERE d.doc_id < {_FIXTURE_DOC_LIMIT}
     """,
     doc="REAL baseline JPEG round trip: 4:4:4 JFIF payloads (DCT + "
     "standard Huffman tables + bit stuffing, operators/jpegcodec.py) "
@@ -1166,7 +1171,15 @@ _JPEG_EXPECTED = os.path.join(
     "byte-equal to the reconstruction, not to the source pixels",
 )
 def pipe_multimodal_jpeg(spark, sf_dir):
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    # the id list is tiny but the per-row codec work is Python-heavy; a
+    # local corpus arrives as 1-2 input splits, so spread the synth+decode
+    # across the executor cores (at 100 TB real payload splits do this)
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _FIXTURE_DOC_LIMIT)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     payload = multimodal.synthesize_media(d, "doc_id", formats=("jpeg",))
     return multimodal.decode_media(payload, real=True)
 
@@ -1202,11 +1215,7 @@ def pipe_multimodal_wav(spark, sf_dir):
     return multimodal.decode_audio(payload)
 
 
-_VIDEO_EXPECTED = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "data",
-    "video_expected.parquet",
-)
+_VIDEO_EXPECTED = os.path.join(_REPO_ROOT, "data", "video_expected.parquet")
 
 
 @register(
@@ -1216,6 +1225,7 @@ _VIDEO_EXPECTED = os.path.join(
            f.mean_r, f.mean_g, f.mean_b
     FROM documents d
     JOIN read_parquet('{_VIDEO_EXPECTED}') f ON d.doc_id = f.doc_id
+    WHERE d.doc_id < {_FIXTURE_DOC_LIMIT}
     """,
     doc="video frame sampling: LFV1 motion-JPEG clips (2-5 REAL baseline "
     "JPEG frames each) -> decode every 2nd frame only, per-frame channel "
@@ -1225,7 +1235,12 @@ _VIDEO_EXPECTED = os.path.join(
     "ffmpeg seam",
 )
 def pipe_multimodal_video(spark, sf_dir):
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _FIXTURE_DOC_LIMIT)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)  # see pipe_multimodal_jpeg
+    )
     payload = multimodal.synthesize_video(d, "doc_id")
     return multimodal.sample_video_frames(payload, every_k=2)
 

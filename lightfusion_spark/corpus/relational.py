@@ -1664,11 +1664,11 @@ def rel_lateral_join(spark, sf_dir):
 
 @register(
     "rel_group_by_all",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
            EXTRACT(YEAR FROM o_orderdate) AS yr,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+           {sql_dsum('o_totalprice', 'total')}
     FROM orders GROUP BY ALL
     """,
     doc="GROUP BY ALL (Spark 3.4+/4 surface): grouping keys inferred "
@@ -1682,7 +1682,7 @@ def rel_group_by_all(spark, sf_dir):
         SELECT o_orderpriority,
                YEAR(o_orderdate) AS yr,
                COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
         FROM orders GROUP BY ALL
         """
     )

@@ -173,35 +173,6 @@ class _BitWriter:
         return bytes(self.out)
 
 
-class _BitReader:
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("malformed JPEG: entropy data exhausted")
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
-                    raise ValueError("malformed JPEG: unexpected marker in scan")
-                self.pos += 1  # skip stuffed 0x00
-            self.acc = byte
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-
 def _extend(v: int, s: int) -> int:
     """JPEG EXTEND: map s-bit additional bits to the signed value."""
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
@@ -321,37 +292,40 @@ def encode_jpeg(width: int, height: int, rgb: np.ndarray, quality: int = 75) -> 
     w = _BitWriter()
     pred = [0, 0, 0]
     n_by, n_bx = qblocks[0].shape[0], qblocks[0].shape[1]
-    for by in range(n_by):
-        for bx in range(n_bx):
-            for c in range(3):
-                t = 0 if c == 0 else 1
-                zz = qblocks[c][by, bx][ZIGZAG]
-                diff = int(zz[0]) - pred[c]
-                pred[c] = int(zz[0])
-                s = _category(diff)
-                code, length = dc_codes[t][s]
+    # pre-zigzag all blocks per component, then plain-int list loops —
+    # numpy scalar indexing inside the per-coefficient loop measured ~10x
+    # slower (the PNG-defilter lesson)
+    zz_all = [qblocks[c][:, :, ZIGZAG].reshape(-1, 64).tolist() for c in range(3)]
+    for b in range(n_by * n_bx):
+        for c in range(3):
+            t = 0 if c == 0 else 1
+            dc_tab, ac_tab = dc_codes[t], ac_codes[t]
+            zz = zz_all[c][b]
+            diff = zz[0] - pred[c]
+            pred[c] = zz[0]
+            s = _category(diff)
+            code, length = dc_tab[s]
+            w.write(code, length)
+            if s:
+                w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            for k in range(1, 64):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, length = ac_tab[0xF0]  # ZRL
+                    w.write(code, length)
+                    run -= 16
+                s = _category(v)
+                code, length = ac_tab[(run << 4) | s]
                 w.write(code, length)
-                if s:
-                    w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+                w.write(v if v > 0 else v + (1 << s) - 1, s)
                 run = 0
-                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        code, length = ac_codes[t][0xF0]  # ZRL
-                        w.write(code, length)
-                        run -= 16
-                    s = _category(v)
-                    code, length = ac_codes[t][(run << 4) | s]
-                    w.write(code, length)
-                    w.write(v if v > 0 else v + (1 << s) - 1, s)
-                    run = 0
-                if last_nz < 63:
-                    code, length = ac_codes[t][0x00]  # EOB
-                    w.write(code, length)
+            if run:  # trailing zeros: zz[63] == 0 exactly when run > 0
+                code, length = ac_tab[0x00]  # EOB
+                w.write(code, length)
 
     def dqt(tid: int, table: np.ndarray) -> bytes:
         return _seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in table[ZIGZAG]))
@@ -406,9 +380,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"malformed JPEG: expected marker at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while payload[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 4 > len(payload):
+                raise ValueError("malformed JPEG: trailing fill bytes")
         marker = (payload[pos] << 8) | payload[pos + 1]
         if marker == 0xFFD9:
             break
+        if marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD7:
+            pos += 2  # TEM / RSTn are standalone: no length field
+            continue
         (length,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + length]
         pos += 2 + length
@@ -469,46 +451,77 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     if width < 0 or data_start < 0:
         raise ValueError("malformed JPEG: missing SOF0 or SOS")
     end = payload.rfind(b"\xff\xd9")
-    br = _BitReader(payload[data_start : end if end > 0 else len(payload)])
+    scan = payload[data_start : end if end > 0 else len(payload)]
+    # destuff once (baseline, no restarts: every 0xFF in entropy data is
+    # followed by 0x00) and unpack to a flat bit list — list indexing
+    # beats a per-bit method call ~10x on the decode hot path
+    if b"\xff" in scan.replace(b"\xff\x00", b""):
+        raise ValueError("malformed JPEG: unexpected marker in scan")
+    bits = np.unpackbits(
+        np.frombuffer(scan.replace(b"\xff\x00", b"\xff"), dtype=np.uint8)
+    ).tolist()
+    n_bits = len(bits)
+    bitpos = [0]
+
+    def read_bits(n: int) -> int:
+        p = bitpos[0]
+        if p + n > n_bits:
+            raise ValueError("malformed JPEG: entropy data exhausted")
+        v = 0
+        for i in range(n):
+            v = (v << 1) | bits[p + i]
+        bitpos[0] = p + n
+        return v
 
     def read_symbol(table: dict[tuple[int, int], int]) -> int:
+        p = bitpos[0]
         code = 0
         for ln in range(1, 17):
-            code = (code << 1) | br.read_bit()
+            if p >= n_bits:
+                raise ValueError("malformed JPEG: entropy data exhausted")
+            code = (code << 1) | bits[p]
+            p += 1
             sym = table.get((ln, code))
             if sym is not None:
+                bitpos[0] = p
                 return sym
         raise ValueError("malformed JPEG: invalid Huffman code")
 
     n_by, n_bx = (height + 7) // 8, (width + 7) // 8
-    qblocks = [np.zeros((n_by, n_bx, 64), np.int32) for _ in range(3)]
+    zz_planes = [np.zeros((n_by * n_bx, 64), np.int32) for _ in range(3)]
+    comp_tabs = [
+        (htables[(0, scan_tables[c][0])], htables[(1, scan_tables[c][1])])
+        for c in range(3)
+    ]
     pred = [0, 0, 0]
-    for by in range(n_by):
-        for bx in range(n_bx):
-            for c in range(3):
-                dc_tab = htables[(0, scan_tables[c][0])]
-                ac_tab = htables[(1, scan_tables[c][1])]
-                zz = np.zeros(64, np.int32)
-                s = read_symbol(dc_tab)
-                diff = _extend(br.read_bits(s), s) if s else 0
-                pred[c] += diff
-                zz[0] = pred[c]
-                k = 1
-                while k < 64:
-                    rs = read_symbol(ac_tab)
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    if k > 63:
-                        raise ValueError("malformed JPEG: AC run past block end")
-                    zz[k] = _extend(br.read_bits(rs & 15), rs & 15)
-                    k += 1
-                nat = np.zeros(64, np.int32)
-                nat[ZIGZAG] = zz
-                qblocks[c][by, bx] = nat
+    for b in range(n_by * n_bx):
+        for c in range(3):
+            dc_tab, ac_tab = comp_tabs[c]
+            zz = [0] * 64
+            s = read_symbol(dc_tab)
+            diff = _extend(read_bits(s), s) if s else 0
+            pred[c] += diff
+            zz[0] = pred[c]
+            k = 1
+            while k < 64:
+                rs = read_symbol(ac_tab)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                if k > 63:
+                    raise ValueError("malformed JPEG: AC run past block end")
+                zz[k] = _extend(read_bits(rs & 15), rs & 15)
+                k += 1
+            zz_planes[c][b] = zz
+    # de-zigzag all blocks per component in one fancy-index pass
+    qblocks = []
+    for c in range(3):
+        nat = np.zeros((n_by * n_bx, 64), np.int32)
+        nat[:, ZIGZAG] = zz_planes[c]
+        qblocks.append(nat.reshape(n_by, n_bx, 64))
 
     planes = [
         _dequantize_component(qblocks[c], qtables[comp_q[c]])[:height, :width] + 128.0

@@ -384,9 +384,19 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
                     "codec-library seam)"
                 )
         elif tag == b"data":
+            if len(body) < length:
+                raise ValueError(
+                    f"malformed WAV: data chunk declares {length} bytes, "
+                    f"only {len(body)} present (truncated payload)"
+                )
             data = body
     if n_ch < 0 or data is None:
         raise ValueError("malformed WAV: missing fmt or data chunk")
+    if len(data) % (n_ch * 2) != 0:
+        raise ValueError(
+            f"malformed WAV: {len(data)} data bytes are not a whole number "
+            f"of {n_ch}-channel 16-bit frames"
+        )
     pcm = np.frombuffer(data, dtype="<i2")
     return sample_rate, n_ch, pcm.reshape(-1, n_ch)
 
@@ -480,11 +490,13 @@ def iter_video_frames(payload: bytes) -> list[bytes]:
     pos = 8
     frames = []
     for _ in range(n):
+        if pos + 4 > len(payload):
+            raise ValueError("malformed LFV1: truncated frame table")
         (length,) = struct.unpack_from("<I", payload, pos)
+        if pos + 4 + length > len(payload):
+            raise ValueError("malformed LFV1: truncated frame stream")
         frames.append(payload[pos + 4 : pos + 4 + length])
         pos += 4 + length
-    if len(frames) != n:
-        raise ValueError("malformed LFV1: truncated frame stream")
     return frames
 
 
