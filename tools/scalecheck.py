@@ -284,6 +284,68 @@ def main() -> None:
         _exact_memo["df"].unpersist()
 
     # ------------------------------------------------------------------
+    # MinHash banding recall: fraction of TRUE near-dup pairs (exact
+    # shingle-Jaccard >= 0.5, brute-forced driver-side at sf0.01 scale)
+    # that each (n_hashes, rows_per_band) banding surfaces as candidates,
+    # plus the candidate volume — the P[collide] = 1-(1-j^r)^b trade
+    # measured instead of quoted.  rows_out = recall in millionths.
+    def _banding_truth():
+        if "pairs" not in _banding_memo:
+            import re as _re
+
+            import pyarrow.parquet as _pq
+
+            tbl = _pq.read_table(
+                "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+            )
+            shingles = {}
+            for i, t in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
+                toks = _re.split(r"\s+", (t or "").lower())
+                shingles[i] = {
+                    " ".join(toks[j : j + 3]) for j in range(max(len(toks) - 2, 0))
+                }
+            ids = sorted(shingles)
+            truth = set()
+            for a_i in range(len(ids)):
+                sa = shingles[ids[a_i]]
+                if not sa:
+                    continue
+                for b_i in range(a_i + 1, len(ids)):
+                    sb = shingles[ids[b_i]]
+                    inter = len(sa & sb)
+                    if inter and inter / (len(sa) + len(sb) - inter) >= 0.5:
+                        truth.add((ids[a_i], ids[b_i]))
+            _banding_memo["pairs"] = truth
+        return _banding_memo["pairs"]
+
+    _banding_memo: dict[str, object] = {}
+    docs001 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    for n_hashes, rpb in ((8, 2), (8, 4), (16, 4)):
+
+        def run(n_hashes=n_hashes, rpb=rpb):
+            truth = _banding_truth()
+            hashes = dedup.doc_shingle_hashes(docs001, "doc_id", "text", 3)
+            sig = dedup.minhash_signatures(hashes, "doc_id", n_hashes)
+            cand = {
+                (r["id_a"], r["id_b"])
+                for r in dedup.lsh_candidate_pairs(sig, "doc_id", n_hashes, rpb).collect()
+            }
+            hit = len(truth & cand)
+            print(
+                json.dumps(
+                    {
+                        "scenario_detail": f"banding {n_hashes}h/{rpb}r",
+                        "true_pairs": len(truth),
+                        "candidates": len(cand),
+                        "hits": hit,
+                    }
+                )
+            )
+            return int(round(hit / max(len(truth), 1) * 1_000_000))
+
+        timed(f"minhash_banding_recall_{n_hashes}h_{rpb}r_x1e6", run)
+
+    # ------------------------------------------------------------------
     # As-of join skew stress (round-6 item 8): one hot user owns ~50% of
     # 10M events; the plain key-partitioned window serializes those ~5M
     # rows onto a single task's sort, the (key, time-bucket) variant
