@@ -124,7 +124,11 @@ def _minhash_bands_sql(n_hashes: int, rows_per_band: int) -> str:
     return "\n  UNION ALL ".join(parts)
 
 
-_MINHASH_ORACLE = rf"""
+def _minhash_oracle(cand_pred: str) -> str:
+    """Full MinHash-LSH replay in SQL; ``cand_pred`` picks the candidate
+    pairing — ``a.doc_id < b.doc_id`` for the batch self-join,
+    side-splitting predicates for the continual-ingest variant."""
+    return rf"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
 ),
@@ -147,7 +151,7 @@ sigs AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sigs a JOIN sigs b
-    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ON a.band = b.band AND a.sig = b.sig AND {cand_pred}
 ),
 cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM base GROUP BY doc_id),
 inter AS (
@@ -166,6 +170,9 @@ WHERE CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter) >= 0.5
 """
 
 
+_MINHASH_ORACLE = _minhash_oracle("a.doc_id < b.doc_id")
+
+
 @register(
     "pipe_dedup_minhash",
     oracle=_MINHASH_ORACLE,
@@ -176,6 +183,25 @@ def pipe_dedup_minhash(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     return dedup.minhash_near_duplicates(
         d, "doc_id", "text", n_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5
+    )
+
+
+@register(
+    "pipe_dedup_minhash_incr",
+    oracle=_minhash_oracle("a.doc_id % 2 = 1 AND b.doc_id % 2 = 0"),
+    doc="continual-ingest FUZZY dedup: arriving docs (odd ids) near-dup-"
+    "checked against the historical corpus (even ids) — batch-side "
+    "banding cross-joined against the corpus band table (a maintained "
+    "bucketed store at scale), exact-Jaccard verification on candidates "
+    "only; the MinHash face of pipe_dedup_incremental",
+)
+def pipe_dedup_minhash_incr(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 2 == 1)
+    corpus = d.where(F.col("doc_id") % 2 == 0)
+    return dedup.minhash_incremental(
+        new, corpus, "doc_id", "text",
+        n_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5,
     )
 
 

@@ -63,6 +63,7 @@ PRIORITY: list[str] = [
     "settings_introspection",
     # §2.4 LLM-pipeline operators.
     "pipe_dedup_minhash",
+    "pipe_dedup_minhash_incr",
     "pipe_dedup_simhash",
     "pipe_dedup_spans",
     "pipe_dedup_semantic",
@@ -73,7 +74,6 @@ PRIORITY: list[str] = [
     "pipe_sim_recall_ivf",
     "pipe_text_stats",
     "pipe_text_bm25",
-    "pipe_boilerplate_lines",
     # round-6 additions: real subword tokenization + token-exact variants,
     # and the model-based quality gate (Layer A composed into §2.4).
     "pipe_tokenize_bpe",
@@ -167,6 +167,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "events_attribution",  # timeseries family repped by 4 windowed events_* siblings
         "udtf_split_words",  # UDF family repped by udaf_mean_norm + grouped_map_centroid
         "pipe_dedup_exact",  # exact dedup exercised by BOTH windowed e2e compositions
+        "pipe_boilerplate_lines",  # boilerplate strip runs inside BOTH windowed e2e compositions
     }
 )
 

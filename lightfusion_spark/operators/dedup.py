@@ -332,19 +332,7 @@ def minhash_signatures(
     return shingle_hashes.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"), *mins)
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    id_col: str,
-    n_hashes: int = 8,
-    rows_per_band: int = 2,
-) -> DataFrame:
-    """Band the wide signatures and emit candidate pairs (id_a < id_b).
-
-    Two docs become candidates iff ALL hashes inside some band agree —
-    the LSH trick that avoids the O(n²) all-pairs comparison at scale.
-    The band table is (n_docs * n_bands) narrow rows; the self-join is a
-    hash-partitioned equi-join on (band, sig).
-    """
+def _band_table(signatures: DataFrame, id_col: str, n_hashes: int, rows_per_band: int) -> DataFrame:
     n_bands = n_hashes // rows_per_band
     band_structs = []
     for b in range(n_bands):
@@ -355,14 +343,44 @@ def lsh_candidate_pairs(
                 F.concat_ws(",", *[m.cast("string") for m in members]).alias("sig"),
             )
         )
-    sigs = signatures.select(
+    return signatures.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    n_hashes: int = 8,
+    rows_per_band: int = 2,
+    signatures_b: DataFrame | None = None,
+) -> DataFrame:
+    """Band the wide signatures and emit candidate pairs.
+
+    Two docs become candidates iff ALL hashes inside some band agree —
+    the LSH trick that avoids the O(n²) all-pairs comparison at scale.
+    The band table is (n_docs * n_bands) narrow rows; the join is a
+    hash-partitioned equi-join on (band, sig).
+
+    Default (one signature table): a self-join emitting ``id_a < id_b``.
+    With ``signatures_b`` (the continual-ingest shape): pairs BETWEEN
+    the two tables — ``id_a`` from ``signatures``, ``id_b`` from
+    ``signatures_b`` — with only an inequality guard, since the sides
+    are distinct relations.
+    """
+    sigs = _band_table(signatures, id_col, n_hashes, rows_per_band)
     a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
-    b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
+    if signatures_b is None:
+        b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
+        pred = F.col("id_a") < F.col("id_b")
+    else:
+        b = _band_table(signatures_b, id_col, n_hashes, rows_per_band).select(
+            F.col(id_col).alias("id_b"), "band", "sig"
+        )
+        pred = F.col("id_a") != F.col("id_b")
     return (
         a.join(b, ["band", "sig"])
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(pred)
         .select("id_a", "id_b")
         .distinct()
     )
@@ -375,6 +393,8 @@ def jaccard_verified_pairs(
     threshold: float,
     counts: DataFrame | None = None,
     shingle_col: str = "shingle",
+    shingles_b: DataFrame | None = None,
+    counts_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs; keep >= threshold.
 
@@ -383,12 +403,23 @@ def jaccard_verified_pairs(
     ``counts`` is an optional pre-computed (id, n_sh) relation (e.g. from
     :func:`minhash_signatures`); omitted, it is derived from ``shingles``.
     ``shingle_col`` may be the hashed-shingle column, which keeps the
-    intersection shuffle at 8 bytes per key.  Output: (id_a, id_b, jaccard).
+    intersection shuffle at 8 bytes per key.  ``shingles_b``/``counts_b``
+    supply a distinct relation for the ``id_b`` side (the
+    continual-ingest shape); omitted, both sides read ``shingles``.
+    Output: (id_a, id_b, jaccard).
     """
     if counts is None:
         counts = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if shingles_b is None:
+        shingles_b = shingles
+    if counts_b is None:
+        counts_b = (
+            counts
+            if shingles_b is shingles
+            else shingles_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        )
     sa = shingles.select(F.col(id_col).alias("id_a"), shingle_col)
-    sb = shingles.select(F.col(id_col).alias("id_b"), shingle_col)
+    sb = shingles_b.select(F.col(id_col).alias("id_b"), shingle_col)
     # the candidate set is tiny relative to the corpus; AQE turns these
     # joins into broadcast-hash joins at runtime without a manual hint
     inter = (
@@ -398,7 +429,7 @@ def jaccard_verified_pairs(
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    cb = counts_b.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
         inter.join(ca, "id_a")
         .join(cb, "id_b")
@@ -450,6 +481,47 @@ def minhash_near_duplicates(
     return jaccard_verified_pairs(
         hashes, cand, id_col, threshold,
         counts=sig.select(id_col, "n_sh"), shingle_col="h",
+    )
+
+
+def minhash_incremental(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Continual-ingest FUZZY dedup: near-duplicate pairs BETWEEN
+    arriving documents and the historical corpus — the MinHash face of
+    :func:`incremental_dedup` (which handles exact content matches).
+    Output ``(id_a, id_b, jaccard)`` with ``id_a`` from ``new`` and
+    ``id_b`` from ``corpus``; callers drop arrivals appearing as
+    ``id_a`` (or route them to survivor selection).
+
+    Scale (100 TB corpus, any batch size): in production the corpus
+    side's band table and shingle-hash relation are MAINTAINED stores
+    (bucketed on (band, sig) and id respectively — each batch appends
+    its own rows after dedup), so the per-batch cost is banding the
+    batch + one co-located equi-join per relation; nothing corpus-sized
+    is recomputed.  Here both sides derive inline — the plan shape is
+    identical, and the band join is the same O(n·bands) candidate
+    generation as the batch variant, never all-pairs.  The two hashed
+    shingle relations are cached (each feeds its signature pass and the
+    verification join); the CALLER owns the cache lifecycle, as in
+    :func:`minhash_near_duplicates`.
+    """
+    nh = doc_shingle_hashes(new, id_col, text_col, shingle_n).cache()
+    ch = doc_shingle_hashes(corpus, id_col, text_col, shingle_n).cache()
+    ns = minhash_signatures(nh, id_col, n_hashes)
+    cs = minhash_signatures(ch, id_col, n_hashes)
+    cand = lsh_candidate_pairs(ns, id_col, n_hashes, rows_per_band, signatures_b=cs)
+    return jaccard_verified_pairs(
+        nh, cand, id_col, threshold,
+        counts=ns.select(id_col, "n_sh"), shingle_col="h",
+        shingles_b=ch, counts_b=cs.select(id_col, "n_sh"),
     )
 
 

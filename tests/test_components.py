@@ -232,3 +232,40 @@ def test_span_and_minhash_checkpoint_path_parity(spark, tmp_path):
         )
     )
     assert ckpt_mh == base_mh and len(base_mh) > 0
+
+
+def test_minhash_incremental_cross_side_pairs(spark):
+    """Incremental fuzzy dedup pairs arrivals against the corpus ONLY:
+    near-dups inside the batch or inside the corpus must not appear."""
+    corpus = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta"),
+            (101, "totally different corpus content here now ok"),
+            (102, "alpha beta gamma delta epsilon zeta eta iota"),  # near-dup of 100
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 100
+            (2, "alpha beta gamma delta epsilon zeta eta thetaX"),  # near-dup of 1
+            (3, "fresh unrelated arrival text with new words"),
+        ],
+        "doc_id long, text string",
+    )
+    from lightfusion_spark.operators import dedup
+
+    pairs = dedup.minhash_incremental(
+        new, corpus, "doc_id", "text", n_hashes=8, rows_per_band=2,
+        shingle_n=2, threshold=0.5,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # id_a always from the batch, id_b always from the corpus
+    assert all(a < 100 <= b for a, b in got)
+    assert (1, 100) in got and (1, 102) in got
+    # the batch-internal near-dup (1,2) and corpus-internal (100,102)
+    # never appear — they are the batch/corpus variants' job
+    assert (1, 2) not in got and (2, 1) not in got
+    assert (100, 102) not in got
+    for r in pairs:
+        assert r["jaccard"] >= 0.5
