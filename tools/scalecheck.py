@@ -284,6 +284,19 @@ def main() -> None:
         _exact_memo["df"].unpersist()
 
     # ------------------------------------------------------------------
+    # BPE tokenizer throughput at 50k docs: rows_out = total subword
+    # tokens; tokens/sec = rows_out / sec.  The per-executor word memo is
+    # what makes this scale with distinct-word volume, not token volume.
+    from lightfusion_spark.operators import tokenize as tok_mod
+
+    timed(
+        f"bpe_tokenize_{10 * n_docs}_docs_total_tokens",
+        lambda: tok_mod.tokenize_bpe(
+            docs10.repartition(int(cpus)), "doc_id", "text"
+        ).agg(F.sum("n_tokens")).collect()[0][0],
+    )
+
+    # ------------------------------------------------------------------
     # MinHash banding recall: fraction of TRUE near-dup pairs (exact
     # shingle-Jaccard >= 0.5, brute-forced driver-side at sf0.01 scale)
     # that each (n_hashes, rows_per_band) banding surfaces as candidates,
