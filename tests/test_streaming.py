@@ -156,3 +156,47 @@ def test_stream_stream_join_matches_batch(spark, batch_events, tmp_path):
     expected = ev.view_click_attribution(bv, bc)
     assert _sorted_rows(got) == _sorted_rows(expected)
     assert got.count() > 0
+
+
+def test_incremental_minhash_foreachbatch(spark, tmp_path):
+    """Continual-ingest FUZZY dedup's streaming face: arriving document
+    micro-batches are near-dup-checked against the static historical
+    corpus inside foreachBatch — the production pattern for a maintained
+    dedup store (the batch operator is the per-micro-batch body).  The
+    availableNow run must produce exactly the batch-mode pairs."""
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    expected = _sorted_rows(
+        dedup.minhash_incremental(
+            docs.where(F.col("doc_id") % 2 == 1), corpus, "doc_id", "text"
+        )
+    )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{SF_DIR}/documents*.parquet")
+    )
+    got: list[tuple] = []
+
+    def process(batch_df, epoch_id):
+        new = batch_df.where(F.col("doc_id") % 2 == 1)
+        got.extend(
+            tuple(r)
+            for r in dedup.minhash_incremental(
+                new, corpus, "doc_id", "text"
+            ).collect()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_mh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(got) == expected and len(expected) > 0
