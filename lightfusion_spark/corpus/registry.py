@@ -111,7 +111,7 @@ PRIORITY: list[str] = [
     "rel_subquery_in_exists",
     "rel_scalar_math",
     "rel_approx_sketch",
-    "rel_salted_agg",
+    "rel_salted_join",
     # §2.3 rotation: newest-surface queries get the remaining slots.
     "rel_lateral_join",
     "rel_group_by_all",
@@ -168,6 +168,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "udtf_split_words",  # UDF family repped by udaf_mean_norm + grouped_map_centroid
         "pipe_dedup_exact",  # exact dedup exercised by BOTH windowed e2e compositions
         "pipe_boilerplate_lines",  # boilerplate strip runs inside BOTH windowed e2e compositions
+        "rel_salted_agg",  # skew family repped by the windowed rel_salted_join
     }
 )
 

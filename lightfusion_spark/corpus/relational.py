@@ -1104,6 +1104,28 @@ def rel_salted_agg(spark, sf_dir):
 
 
 @register(
+    "rel_salted_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="skew-safe salted equi-join: the big side's hot keys fan out over "
+    "8 per-row deterministic salts while the small side replicates to "
+    "match — results must be EXACTLY the plain join the oracle runs "
+    "(the dimension-key rename keeps the salted join a plain column "
+    "equi-join)",
+)
+def rel_salted_join(spark, sf_dir):
+    from ..operators.skew import salted_join
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
+    )
+    return salted_join(o, c, ["o_custkey"], "o_orderkey", n_salts=8)
+
+
+@register(
     "rel_scalar_bitwise",
     oracle="""
     SELECT event_id,

@@ -54,3 +54,52 @@ def salted_agg(
             F.sum("_s").cast("double").alias("sum_value"),
         )
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_src_col: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: spread the big side's hot keys over
+    ``n_salts`` sub-partitions and replicate the small side to match.
+
+    The shuffle-join analogue of :func:`salted_agg`: a sort-merge or
+    shuffle-hash join partitions by the join key, so one hot key (a
+    viral item, a default user id) lands its entire row set on a single
+    task.  Salting joins on ``(key, salt)`` instead — the big side gets
+    a per-ROW deterministic salt (hashed from ``salt_src_col``, a
+    uniquifier column: salting by the key alone would not spread it!)
+    and the small side explodes ``n_salts`` ways, so each hot key's rows
+    fan out over ``n_salts`` tasks at the cost of an n_salts-times
+    larger small side — the standard trade when the small side is
+    thousands of times smaller.
+
+    Results are EXACTLY those of ``big.join(small, on, how)``: every big
+    row carries one salt and meets the one matching small replica.
+    ``how`` is limited to inner/left — for right/full outer the
+    replicated small side would emit one unmatched row per salt.
+
+    AQE's skew-join handles many such cases automatically at runtime;
+    explicit salting remains the tool when the skew is known up front,
+    when AQE's split thresholds don't trigger (moderate-but-chronic
+    skew), or when the join sits under a window/collect that AQE cannot
+    split.  Deterministic salt, as in :func:`salted_agg`.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports inner|left, got {how!r} — a replicated "
+            "small side would duplicate right/full-outer unmatched rows"
+        )
+    overlap = {"_salt"} & set(big.columns) | {"_salt"} & set(small.columns)
+    if overlap:
+        raise ValueError("salted_join needs a temp column _salt — rename it first")
+    salts = F.array(*[F.lit(i).cast("bigint") for i in range(n_salts)])
+    sm = small.withColumn("_salt", F.explode(salts))
+    bg = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_src_col)), F.lit(n_salts))
+    )
+    return bg.join(sm, [*on, "_salt"], how).drop("_salt")

@@ -273,3 +273,32 @@ def test_asof_bucketed_validates_args(spark):
         asof_join_bucketed(df, df, "k", "ts", [], bucket=0)
     with pytest.raises(ValueError, match="backward|forward"):
         asof_join_bucketed(df, df, "k", "ts", [], bucket=10, direction="nearest")
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must return EXACTLY the plain join's rows (inner and
+    left), including null-key and unmatched-row behavior."""
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i, i % 3 if i % 7 else None, f"r{i}") for i in range(200)],
+        "row_id long, k int, payload string",
+    )
+    small = spark.createDataFrame(
+        [(0, "zero"), (1, "one"), (9, "unmatched")], "k int, name string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            map(tuple, salted_join(big, small, ["k"], "row_id", 4, how).collect()),
+            key=repr,
+        )
+        want = sorted(map(tuple, big.join(small, ["k"], how).collect()), key=repr)
+        assert got == want, how
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner|left"):
+        salted_join(big, small, ["k"], "row_id", 4, "full")
+    with _pytest.raises(ValueError, match="_salt"):
+        salted_join(big.withColumn("_salt", F.lit(1)), small, ["k"], "row_id")

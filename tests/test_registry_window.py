@@ -75,7 +75,7 @@ def test_window_covers_every_family():
         "rel_subquery_in_exists",
         "rel_scalar_math",
         "rel_approx_sketch",
-        "rel_salted_agg",
+        "rel_salted_join",
     ):
         assert name in window, f"§2.3 representative {name} outside driver window"
 
