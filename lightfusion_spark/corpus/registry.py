@@ -157,7 +157,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         # round-6 additions get official rows; families stay repped.
         "pipe_sim_ivf",  # IVF family repped by pipe_sim_ivf_kmeans/_probe2
         "pipe_text_bm25_terms",  # BM25 family repped by pipe_text_bm25
-        "pipe_strip_boilerplate",  # boilerplate family repped by pipe_boilerplate_lines
+        "pipe_strip_boilerplate",  # strip stage runs inside BOTH windowed e2e compositions
         "events_asof_forward",  # as-of family repped by events_asof_join/_bucketed
         "pipe_split_stratified",  # curation family repped by quality_filter/decontaminate
         "pipe_chunk_documents",  # chunking repped by the token-exact pipe_chunk_bpe

@@ -29,6 +29,7 @@ every hash bit-for-bit; at production scale swap ``_md5_long`` for
 from __future__ import annotations
 
 import hashlib
+import os
 import warnings
 from dataclasses import dataclass
 
@@ -158,11 +159,21 @@ def _materialize_bucketed(
     hash-bucketed on the downstream join/agg key, and every consumer reads
     it back through the catalog — the bucketed scan exposes the hash
     distribution to the planner, so groupBy/join on ``bucket_cols`` skips
-    its Exchange entirely.  The catalog entry is keyed by the path, so
-    re-running the same pipeline overwrites in place.
+    its Exchange entirely.
+
+    The catalog entry is keyed by the ABSOLUTE path (relative and absolute
+    spellings of the same location resolve to one table), so re-running
+    the same pipeline overwrites in place.  Any earlier entry for the
+    path is dropped first: a second call with different ``bucket_cols`` /
+    ``n_buckets`` replaces the metadata rather than silently shadowing it.
+    The entry persists for the session (it is the read path for the
+    returned DataFrame); remote paths (s3://, hdfs://) are used verbatim.
     """
     spark = rel.sparkSession
+    if "://" not in checkpoint_path:
+        checkpoint_path = os.path.abspath(checkpoint_path)
     table_name = "lf_ckpt_" + hashlib.md5(checkpoint_path.encode()).hexdigest()[:12]
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     w = (
         rel.write.format("parquet")
         .mode("overwrite")
