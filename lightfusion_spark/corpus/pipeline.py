@@ -484,6 +484,75 @@ def pipe_sim_lsh_multiprobe(spark, sf_dir):
     )
 
 
+def _banded_lsh_oracle(planes, n_tables: int, k: int = 3) -> str:
+    """Replay of similarity.topk_cosine_lsh_banded: per-table band keys
+    (table index folded in as t*2^r + sign bits), candidate pairs as the
+    DISTINCT union over tables, scored once each."""
+    r = len(planes) // n_tables
+    selects = []
+    for t in range(n_tables):
+        bits = []
+        for j in range(r):
+            lits = ", ".join(repr(float(x)) for x in planes[t * r + j])
+            bits.append(
+                f"(CASE WHEN list_inner_product(v, [{lits}]) > 0 THEN {1 << j} ELSE 0 END)"
+            )
+        selects.append(
+            f"SELECT vec_id, {t * (1 << r)} + {' + '.join(bits)} AS key FROM e"
+        )
+    keys = "\n      UNION ALL\n      ".join(selects)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    keys AS (
+      {keys}
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM keys q JOIN keys c ON q.key = c.key AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 20
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROUND(list_inner_product(qv.v, cv.v)
+                   / (sqrt(list_inner_product(qv.v, qv.v))
+                      * sqrt(list_inner_product(cv.v, cv.v))), 6) AS cos_sim
+      FROM cand
+      JOIN e qv ON qv.vec_id = cand.query_id
+      JOIN e cv ON cv.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored) t
+    WHERE rn <= {k}
+    """
+
+
+#: 8 tables x 4 planes: measured micro-recall@5 = 0.676 on sf0.01 (vs 0.13
+#: for the single-table 4-plane code and 0.03 at 8 planes — the AND-only
+#: decay banding exists to fix), at ~40% of the brute-force pair space on
+#: RANDOM embeddings (the no-cluster worst case; see docs/SCALE.md).
+_BANDED_PLANES = similarity.random_hyperplanes(n_planes=32, dim=64, seed=11)
+_BANDED_TABLES = 8
+
+
+@register(
+    "pipe_sim_lsh_banded",
+    oracle=_banded_lsh_oracle(_BANDED_PLANES, _BANDED_TABLES),
+    doc="multi-table banded sign-LSH top-3 (8 tables x 4 planes, "
+    "OR-of-ANDs): each table proposes same-bucket candidates and the "
+    "deduplicated union is scored — recall@5 0.676 measured vs 0.13 for "
+    "the single-table teaching baseline; candidates stay an equi-join, "
+    "vectors join back only for surviving pairs",
+)
+def pipe_sim_lsh_banded(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return similarity.topk_cosine_lsh_banded(
+        e, q, _BANDED_PLANES, _BANDED_TABLES, "vec_id", "embedding", k=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
