@@ -13,7 +13,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from ..operators import curation, dedup, multimodal, similarity, text as text_ops
+from ..operators import curation, dedup, ingest, multimodal, similarity, text as text_ops
 from .registry import register
 from .util import table
 
@@ -1338,6 +1338,93 @@ def pipe_multimodal_video(spark, sf_dir):
     )
     payload = multimodal.synthesize_video(d, "doc_id")
     return multimodal.sample_video_frames(payload, every_k=2)
+
+
+# ---------------------------------------------------------------------------
+# raw-corpus ingestion (WARC -> HTML -> text)
+# ---------------------------------------------------------------------------
+
+_WARC_FIXTURE = os.path.join(_REPO_ROOT, "data", "sample.warc.gz")
+_WARC_EXPECTED = os.path.join(_REPO_ROOT, "data", "warc_expected.parquet")
+
+
+@register(
+    "pipe_ingest_warc",
+    oracle=f"""
+    SELECT record_idx, target_uri, http_status, title, text
+    FROM read_parquet('{_WARC_EXPECTED}')
+    """,
+    doc="raw-corpus front door: Common-Crawl-convention WARC archive "
+    "(one gzip member per record) -> member-at-a-time record parse -> "
+    "HTTP envelope split -> stdlib-HTMLParser text extraction (script/"
+    "style dropped, entities decoded, block-level tags split lines); "
+    "the oracle is the committed fixture expectation computed "
+    "ANALYTICALLY from the page template, never by the extractor "
+    "(tools/gen_warc_fixture.py), so a parsing bug breaks the hash. "
+    "Reads the committed fixture archive regardless of sf_dir, like the "
+    "jpeg/video codec queries",
+)
+def pipe_ingest_warc(spark, sf_dir):
+    recs = ingest.read_warc(spark, _WARC_FIXTURE)
+    return ingest.extract_html_text(recs, "payload").select(
+        "record_idx", "target_uri", "http_status", "title", "text"
+    )
+
+
+@register(
+    "pipe_ingest_warc_clean",
+    oracle=f"""
+    WITH docs AS (
+      SELECT record_idx, text FROM read_parquet('{_WARC_EXPECTED}')
+    ),
+    lines AS (
+      SELECT record_idx,
+             unnest(string_split(text, chr(10))) AS line,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+      FROM docs
+    ),
+    nz AS (SELECT * FROM lines WHERE len(line) > 0),
+    total AS (SELECT COUNT(*) AS n_total FROM docs),
+    bp AS (
+      SELECT line FROM (
+        SELECT line, COUNT(DISTINCT record_idx) AS n_docs
+        FROM nz GROUP BY line
+      ), total
+      WHERE CAST(n_docs AS DOUBLE) / n_total >= 0.5
+    ),
+    kept AS (SELECT * FROM nz WHERE line NOT IN (SELECT line FROM bp)),
+    reb AS (
+      SELECT record_idx, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY record_idx
+    ),
+    orig AS (SELECT record_idx, COUNT(*) AS n_lines FROM nz GROUP BY record_idx)
+    SELECT d.record_idx,
+           COALESCE(reb.clean_text, '') AS clean_text,
+           COALESCE(orig.n_lines, 0) AS n_lines,
+           COALESCE(orig.n_lines, 0) - COALESCE(reb.n_kept, 0) AS n_removed
+    FROM docs d
+    LEFT JOIN orig ON d.record_idx = orig.record_idx
+    LEFT JOIN reb ON d.record_idx = reb.record_idx
+    """,
+    doc="the full raw-corpus ingestion chain: WARC records -> HTML text "
+    "extraction -> strip_boilerplate (nav/footer chrome present on "
+    ">=50% of pages removed, original line order preserved) — the "
+    "crawl-to-clean-text composition every pretraining pipeline runs "
+    "first; oracle replays the strip over the analytic fixture "
+    "expectation.  NOTE: strip_boilerplate scans its input twice and "
+    "each scan re-runs the WARC+HTML extraction here — at real scale, "
+    "land the extracted text to parquet once and strip from there "
+    "(docs/SCALE.md ingestion section)",
+)
+def pipe_ingest_warc_clean(spark, sf_dir):
+    recs = ingest.read_warc(spark, _WARC_FIXTURE)
+    extracted = ingest.extract_html_text(recs, "payload").select(
+        "record_idx", "text"
+    )
+    return text_ops.strip_boilerplate(
+        extracted, "record_idx", "text", min_doc_frac=0.5
+    )
 
 
 @register(

@@ -1,12 +1,13 @@
 """Engine extension operators for large-scale training-data pipelines
 (SURVEY §2.4): deduplication, similarity search, text analysis, subword
 tokenization, corpus curation, multimodal codecs (image/audio/video),
-as-of joins, and skew-safe aggregation."""
+as-of joins, skew-safe aggregation, and raw-corpus ingestion (WARC/HTML)."""
 
 from . import (
     asof,
     curation,
     dedup,
+    ingest,
     jpegcodec,
     multimodal,
     similarity,
@@ -19,6 +20,7 @@ __all__ = [
     "asof",
     "curation",
     "dedup",
+    "ingest",
     "jpegcodec",
     "multimodal",
     "similarity",
