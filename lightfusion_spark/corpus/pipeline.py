@@ -2148,3 +2148,112 @@ def pipe_lm_buckets(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("mean_nll"),
     )
+
+
+#: Shared oracle CTE chain replaying ngram_lm_score (trigram
+#: Jelinek-Mercer, add-k per order, BOS chr(2) padding).  DuckDB lists
+#: are 1-based: real token j has padded position j+2.
+_NGRAM_LM_SCORED = """
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents
+    ),
+    pad AS (
+      SELECT doc_id, tk, list_concat([chr(2), chr(2)], tk) AS pt, len(tk) AS n
+      FROM docs
+    ),
+    emit AS (
+      SELECT doc_id,
+             unnest(tk) AS w,
+             unnest([pt[j+1] FOR j IN range(1, n+1)]) AS ctx1,
+             unnest([pt[j] || ' ' || pt[j+1] FOR j IN range(1, n+1)]) AS ctx2
+      FROM pad
+    ),
+    uni AS (SELECT w, COUNT(*) AS tf FROM emit GROUP BY w),
+    stats AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_tok, COUNT(*) AS n_vocab
+              FROM uni),
+    big AS (SELECT ctx1, w, COUNT(*) AS c2 FROM emit GROUP BY ctx1, w),
+    cbig AS (SELECT ctx1, CAST(SUM(c2) AS BIGINT) AS cc1 FROM big GROUP BY ctx1),
+    tri AS (SELECT ctx2, w, COUNT(*) AS c3 FROM emit GROUP BY ctx2, w),
+    ctri AS (SELECT ctx2, CAST(SUM(c3) AS BIGINT) AS cc2 FROM tri GROUP BY ctx2),
+    tokscore AS (
+      SELECT doc_id,
+             ROUND(-LN(0.2 * ((tf + 0.5) / (n_tok + 0.5 * n_vocab))
+                     + 0.3 * ((c2 + 0.5) / (cc1 + 0.5 * n_vocab))
+                     + 0.5 * ((c3 + 0.5) / (cc2 + 0.5 * n_vocab))), 6) AS nll
+      FROM emit
+      JOIN uni USING (w)
+      JOIN big USING (ctx1, w) JOIN cbig USING (ctx1)
+      JOIN tri USING (ctx2, w) JOIN ctri USING (ctx2), stats
+    ),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_toks,
+             CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+               AS avg_nll
+      FROM tokscore GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "pipe_lm_score_ngram",
+    oracle=_NGRAM_LM_SCORED + "\n    SELECT doc_id, n_toks, avg_nll FROM scored",
+    doc="interpolated trigram-LM quality score (Jelinek-Mercer "
+    "0.2/0.3/0.5, add-k per order, BOS-padded): the higher-order "
+    "upgrade the CCNet recipe calls for — word salad that fools the "
+    "unigram model now pays for improbable transitions.  Count tables "
+    "are Zipf-bounded map-side-combined aggregates; context totals "
+    "derive from pair counts, not a second corpus pass; all five "
+    "scoring joins are equi-joins",
+)
+def pipe_lm_score_ngram(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return text_ops.ngram_lm_score(d, "doc_id", "text", k=0.5)
+
+
+@register(
+    "pipe_lm_buckets_ngram",
+    oracle=_NGRAM_LM_SCORED
+    + """,
+    bucketed AS (
+      SELECT d.lang,
+             CASE NTILE(3) OVER (PARTITION BY d.lang
+                                 ORDER BY s.avg_nll, s.doc_id)
+                  WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             CAST(FLOOR(s.avg_nll * 1000000.0 + 0.5) AS BIGINT) AS micro_nll
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT lang, bucket, COUNT(*) AS n_docs,
+           (CAST(SUM(micro_nll) AS DOUBLE) / 1000000.0) / COUNT(*)
+             AS mean_nll
+    FROM bucketed GROUP BY lang, bucket
+    """,
+    doc="perplexity bucketing over the TRIGRAM score: per-language "
+    "head/middle/tail tertiles (same FLOOR micro-int discipline as "
+    "pipe_lm_buckets) — the bucketed variant of the CCNet keep policy "
+    "re-based on the order-aware model",
+)
+def pipe_lm_buckets_ngram(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    scored = text_ops.ngram_lm_score(d, "doc_id", "text", k=0.5)
+    joined = scored.join(d.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    tier = F.ntile(3).over(w)
+    bucket = (
+        F.when(tier == 1, "head").when(tier == 2, "middle").otherwise("tail")
+    )
+    micro = F.floor(F.col("avg_nll") * 1000000.0 + 0.5).cast("bigint")
+    return (
+        joined.select("lang", bucket.alias("bucket"), micro.alias("micro_nll"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            ((F.sum("micro_nll").cast("double") / 1000000.0) / F.count(F.lit(1))).alias(
+                "mean_nll"
+            ),
+        )
+    )
+
+

@@ -214,3 +214,37 @@ def test_strip_boilerplate_identity_when_nothing_qualifies(spark):
         assert out[i]["clean_text"] == "\n".join(nonempty), i
         assert out[i]["n_lines"] == len(nonempty)
         assert out[i]["n_removed"] == 0
+
+
+def test_ngram_lm_penalizes_shuffled_word_order(spark):
+    """The reason the trigram model exists: shuffled word salad has the
+    SAME unigram distribution as natural text (identical unigram score)
+    but improbable transitions (higher trigram NLL)."""
+    base = "the cat sat on the mat and the dog sat on the rug".split()
+    natural = " ".join(base)
+    shuffled = " ".join(
+        [base[i] for i in [7, 2, 11, 0, 9, 4, 1, 12, 5, 3, 10, 8, 6]]
+    )
+    # a background corpus of natural-order sentences trains the model
+    rows = [(i, natural) for i in range(10)] + [(100, shuffled)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uni = {
+        r["doc_id"]: r["avg_nll"]
+        for r in text_ops.unigram_lm_score(df, "doc_id", "text").collect()
+    }
+    tri = {
+        r["doc_id"]: r["avg_nll"]
+        for r in text_ops.ngram_lm_score(df, "doc_id", "text").collect()
+    }
+    assert abs(uni[100] - uni[0]) < 1e-9  # unigram is blind to order
+    assert tri[100] > tri[0] + 0.5  # trigram is not
+
+
+def test_ngram_lm_counts_every_token_once(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a"), (3, "")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["n_toks"] for r in
+           text_ops.ngram_lm_score(df, "doc_id", "text").collect()}
+    # empty text tokenizes to one empty token, matching unigram_lm_score
+    assert out == {1: 3, 2: 1, 3: 1}
