@@ -332,6 +332,98 @@ def unigram_lm_score(
     )
 
 
+def embed_text_tfidf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic text -> dense vector via the hashing trick over
+    TF-IDF weights — the dependency-free embedding operator that lets
+    the ANN / semantic-dedup family compose from RAW TEXT instead of a
+    precomputed embeddings table (round-7 item 6).
+
+    Each token hashes to a bucket in ``[0, dim)`` with a ±1 sign bit
+    (the signed feature-hashing construction of Weinberger et al.,
+    "Feature Hashing for Large Scale Multitask Learning": the sign
+    de-biases collisions, E[collision contribution] = 0)::
+
+        bucket(t) = md5_56(t) mod dim
+        sign(t)   = +1 / -1 from an independent md5 digit
+        v[b]      = Σ_{t: bucket(t)=b} sign(t) · tf(doc,t) · idf(t)
+        idf(t)    = round(ln((N+1)/(df+1)) + 1, 6)
+
+    Returns ``(id_col, embedding array<double>)``.  Not L2-normalized:
+    every downstream consumer here is cosine-based (scale-invariant),
+    and skipping the normalize keeps components exact decimal sums —
+    bit-reproducible in DuckDB, partial-aggregation-order-proof.
+
+    This is NOT a semantic encoder — it is the classic sparse-retrieval
+    projection (lexical overlap in ``dim`` dimensions).  Its job is to
+    make text -> embed -> ANN/semdedup a runnable, verifiable pipeline;
+    swap in a model encoder (Layer A inference UDF over a real encoder)
+    for semantic similarity without touching anything downstream.
+
+    Scale (100 TB): tf is one map-side-combinable groupBy over the
+    exploded token stream; df/idf is a second small agg over tf's
+    output (one row per distinct (doc, token), never re-scanning the
+    corpus); the scoring join is tf⋈idf on token (Zipf-bounded model
+    side, AQE-broadcast); bucket assembly is one groupBy(id) building a
+    ``map_from_entries`` -> dense array projection — no dim×docs
+    explosion, no Python, no driver state.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 14), 16, 10).cast("bigint")
+    sign_digit = F.conv(F.substring(F.md5(F.col("tok")), 15, 1), 16, 10).cast("int")
+    idf = F.round(
+        F.log((F.col("n_docs") + F.lit(1)).cast("double") / (F.col("df") + F.lit(1)))
+        + F.lit(1.0),
+        6,
+    ).cast("decimal(18,6)")
+    model = dfreq.crossJoin(F.broadcast(ndocs)).select(
+        "tok",
+        (h % F.lit(dim)).alias("bucket"),
+        F.when(sign_digit % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+        idf.alias("idf"),
+    )
+    contrib = (
+        tf.join(model, "tok")
+        .groupBy(id_col, "bucket")
+        .agg(
+            F.sum(F.col("sign") * F.col("tf") * F.col("idf"))
+            .cast("double")
+            .alias("val")
+        )
+    )
+    dense = F.expr(
+        "transform(sequence(0, {d}), i -> "
+        "coalesce(element_at(_m, i), cast(0.0 as double)))".format(d=dim - 1)
+    )
+    emb = (
+        contrib.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("bucket").cast("int"), F.col("val")))
+            ).alias("_m")
+        )
+        .select(F.col(id_col), dense.alias("embedding"))
+    )
+    # every input row gets a vector, even empty/null text (all-zero)
+    zeros = F.expr(f"transform(sequence(0, {dim - 1}), i -> cast(0.0 as double))")
+    return (
+        df.select(F.col(id_col))
+        .join(emb, id_col, "left")
+        .select(F.col(id_col), F.coalesce("embedding", zeros).alias("embedding"))
+    )
+
+
 #: BOS sentinel for n-gram contexts — a control char no whitespace-split
 #: token can contain (DuckDB spells it chr(2)).
 _BOS = "\x02"

@@ -248,3 +248,45 @@ def test_ngram_lm_counts_every_token_once(spark):
            text_ops.ngram_lm_score(df, "doc_id", "text").collect()}
     # empty text tokenizes to one empty token, matching unigram_lm_score
     assert out == {1: 3, 2: 1, 3: 1}
+
+
+def test_embed_text_shape_and_null_handling(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "spark join data"), (2, None), (3, "spark join data")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["embedding"]
+            for r in text_ops.embed_text_tfidf(df, "doc_id", "text", dim=16).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert all(len(v) == 16 for v in rows.values())
+    assert rows[2] == [0.0] * 16          # null text -> zero vector
+    assert rows[1] == rows[3]             # deterministic
+    assert any(x != 0.0 for x in rows[1])
+    with _pytest.raises(ValueError, match="dim"):
+        text_ops.embed_text_tfidf(df, "doc_id", "text", dim=0)
+
+
+def test_embed_text_lexical_similarity_orders_cosine(spark):
+    """Near-identical docs must land closer (cosine) than unrelated ones
+    — the property the downstream ANN relies on."""
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely unrelated vocabulary about spark shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    v = {r["doc_id"]: r["embedding"]
+         for r in text_ops.embed_text_tfidf(df, "doc_id", "text", dim=32).collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    assert cos(v[1], v[2]) > cos(v[1], v[3])
+    assert cos(v[1], v[2]) > cos(v[2], v[3])
