@@ -64,18 +64,23 @@ def test_window_covers_every_family():
     for name in WINDOW_EXEMPT:
         assert name in REGISTRY, f"stale WINDOW_EXEMPT entry {name}"
         assert name not in window, f"{name} exempted but wastes a window slot"
-    # One-plus rel_* representative per §2.3 category.
+    # One-plus rel_* representative per §2.3 category.  Round-7 rotation
+    # swapped representatives to the stalest-verified sibling per category
+    # (r02/r03 rows pre-date the heavy round-4..6 edits), so the category
+    # stays repped AND the oldest official row gets refreshed.
     for name in (
-        "rel_filter_project",
-        "rel_join_inner_agg",
-        "rel_join_right",
-        "rel_agg_q1",
-        "rel_window_rank",
-        "rel_set_union",
-        "rel_subquery_in_exists",
-        "rel_scalar_math",
-        "rel_approx_sketch",
-        "rel_salted_join",
+        "rel_distinct",  # projection/filter
+        "rel_join_left",  # joins
+        "rel_agg_rollup",  # aggregations
+        "rel_window_lag",  # windows
+        "rel_sort_limit",  # sort/limit/top-k
+        "rel_set_intersect",  # set ops
+        "rel_subquery_scalar",  # subqueries/CTEs
+        "rel_scalar_string",  # scalar function library
+        "rel_explode",  # generators / higher-order
+        "rel_approx_sketch",  # approximate/sketch
+        "rel_recursive_cte",  # Spark-4 surface
+        "udtf_split_words",  # UDF/UDAF/UDTF
     ):
         assert name in window, f"§2.3 representative {name} outside driver window"
 

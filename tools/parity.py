@@ -40,6 +40,18 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # Array-typed result columns (e.g. pipe_embed_text's array<double>
+    # vector) arrive as numpy arrays / lists, which pandas can neither sort
+    # nor factorize ("unhashable type: numpy.ndarray").  Canonicalize every
+    # such cell to a tuple: hashable, orderable, and equality-comparable
+    # elementwise — the same value identity the driver's hash uses.
+    for col in df.columns:
+        if df[col].dtype == object and df[col].map(
+            lambda v: isinstance(v, (list, np.ndarray))
+        ).any():
+            df[col] = df[col].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
     if len(df):
         df = df.sort_values(by=list(df.columns), na_position="first", kind="mergesort")
     return df.reset_index(drop=True)
