@@ -57,6 +57,13 @@ BENCH_QUERIES = [
     "pipe_quality_model",
     "pipe_sim_recall_ivf",
     "pipe_e2e_model_curation",
+    # round-7 operators
+    "pipe_ingest_warc",
+    "pipe_ingest_warc_clean",
+    "pipe_embed_text",
+    "pipe_embed_ivf_topk",
+    "pipe_sim_lsh_banded",
+    "pipe_lm_score_ngram",
 ]
 
 
