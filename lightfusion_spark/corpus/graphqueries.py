@@ -1,0 +1,158 @@
+"""Web-graph corpus queries: link extraction + PageRank host ranking.
+
+Round-7 addition to SURVEY §2.4's curation family (the reference has no
+graph surface; CommonCrawl-derived pretraining pipelines rank hosts by
+link centrality before sampling).  Two verified faces:
+
+* ``pipe_web_links`` — real extraction: the committed WARC fixture's
+  HTML pages through :func:`operators.webgraph.extract_links`, checked
+  against the analytically-derived expectation table (the href in the
+  page template resolves root-relative to the page's own URI — computed
+  by the fixture *generator*, never by the extractor);
+* ``pipe_web_pagerank`` — a deterministic formula graph over
+  ``documents`` (so every sf has it) through 5 fixed power iterations;
+  the DuckDB oracle replays all 5 iterations as an unrolled CTE chain
+  with the same exact-DECIMAL sums, so the final doubles are
+  bit-identical and the FLOOR(rank*1e9) output hashes exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ..operators import webgraph
+from .pipeline import _WARC_EXPECTED, _WARC_FIXTURE
+from .registry import register
+from .util import table
+
+#: Formula graph: hosts are doc_id mod 60; every non-dangling host s
+#: (s % 10 != 0 — six hosts keep NO out-links, exercising the dangling-
+#: mass redistribution) links to (7s+k) mod 60 for k in 1..3.  7 is
+#: coprime to 60, so every host has in-links and the graph is connected
+#: enough for ranks to spread in 5 iterations.
+_N_HOSTS = 60
+
+
+def _pagerank_oracle(iters: int, damping: str = "0.85") -> str:
+    """Unrolled fixed-iteration PageRank CTE chain (DuckDB).
+
+    Arithmetic contract shared with ``operators.webgraph.pagerank``:
+    per-node contribution sums and the dangling mass are exact
+    ``DECIMAL(38,20)`` sums cast back to DOUBLE (associative, so
+    partition order can't flip a bit); the update is evaluated in the
+    identical operation order ``base + d*(contrib + dm/n)`` with every
+    literal cast to DOUBLE (DuckDB would otherwise compute 1.0-0.85 in
+    DECIMAL and diverge from IEEE doubles).
+    """
+    d = f"CAST({damping} AS DOUBLE)"
+    parts = [
+        f"""WITH e0 AS (
+      SELECT DISTINCT (doc_id % {_N_HOSTS}) AS src,
+             ((doc_id % {_N_HOSTS}) * 7 + k.k) % {_N_HOSTS} AS dst
+      FROM documents CROSS JOIN (VALUES (1), (2), (3)) AS k(k)
+      WHERE (doc_id % {_N_HOSTS}) % 10 <> 0
+        AND (doc_id % {_N_HOSTS}) <> ((doc_id % {_N_HOSTS}) * 7 + k.k) % {_N_HOSTS}
+    ),
+    nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e0 GROUP BY src),
+    pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        p = f"pr{i - 1}"
+        parts.append(
+            f"""dm{i} AS (
+      SELECT COALESCE(CAST(SUM(CAST(rank AS DECIMAL(38,20))) AS DOUBLE),
+                      CAST(0 AS DOUBLE)) AS dm
+      FROM {p} WHERE node NOT IN (SELECT src FROM deg)
+    ),
+    c{i} AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(p.rank / d.deg AS DECIMAL(38,20))) AS DOUBLE) AS contrib
+      FROM e0 e JOIN {p} p ON p.node = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ),
+    pr{i} AS (
+      SELECT n.node,
+             (CAST(1.0 AS DOUBLE) - {d}) / (SELECT n FROM nn)
+             + {d} * (COALESCE(c.contrib, CAST(0 AS DOUBLE))
+                      + (SELECT dm FROM dm{i}) / (SELECT n FROM nn)) AS rank
+      FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    return (
+        body
+        + f"""
+    SELECT node AS host, CAST(FLOOR(rank * 1e9) AS BIGINT) AS rank_e9
+    FROM pr{iters}"""
+    )
+
+
+@register(
+    "pipe_web_pagerank",
+    oracle=_pagerank_oracle(5),
+    doc="PageRank host ranking, the web-graph quality prior of "
+    "CommonCrawl-derived curation: a 60-host formula graph (6 dangling "
+    "hosts exercise the mass-redistribution term) through 5 fixed power "
+    "iterations of operators/webgraph.py:pagerank — one equi-join + one "
+    "exact-DECIMAL aggregation per round, dangling mass as a broadcast "
+    "1-row relation, never a per-iteration collect.  The oracle unrolls "
+    "all 5 iterations as a CTE chain with the identical arithmetic, so "
+    "the FLOOR(rank*1e9) outputs hash exactly",
+)
+def pipe_web_pagerank(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _N_HOSTS).alias("src")
+    )
+    edges = (
+        d.where((F.col("src") % 10) != 0)
+        .select(
+            "src",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * 7 + F.col("k")) % _N_HOSTS).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = webgraph.pagerank(edges, iterations=5)
+    return ranks.select(
+        F.col("node").alias("host"),
+        F.floor(F.col("rank") * F.lit(1e9)).cast("bigint").alias("rank_e9"),
+    )
+
+
+@register(
+    "pipe_web_links",
+    oracle=f"""
+    SELECT record_idx, target_uri,
+           'https://example.com/d/' || doc_id AS link
+    FROM read_parquet('{_WARC_EXPECTED}')
+    WHERE doc_id >= 0
+    """,
+    doc="real link extraction from raw crawl HTML: the committed WARC "
+    "fixture's response records -> HTTP envelope split -> pure-JVM "
+    "href regexp + root-relative resolution against the page origin "
+    "(operators/webgraph.py:extract_links).  Each page's one template "
+    "href (/d/<id>) must resolve to the page's own URI; the 404 page "
+    "(no links) and the text/plain record (non-HTML, filtered by "
+    "content type) must contribute nothing.  The oracle derives the "
+    "expectation from the generator's table, never the extractor",
+)
+def pipe_web_links(spark, sf_dir):
+    from ..operators import ingest
+
+    recs = ingest.read_warc(spark, _WARC_FIXTURE)
+    pages = recs.where(
+        (F.col("warc_type") == "response")
+        & F.col("http_content_type").contains("text/html")
+    ).select(
+        "record_idx",
+        "target_uri",
+        F.decode(F.col("payload"), "UTF-8").alias("html"),
+    )
+    return webgraph.extract_links(pages, "target_uri", "html")

@@ -109,8 +109,11 @@ PRIORITY: list[str] = [
     "rel_scalar_string",
     "rel_scalar_date",
     "rel_scalar_array",
-    "rel_scalar_json",
-    "rel_pivot",
+    # Round-7 web-graph operators (never windowed; displaced rel_scalar_json
+    # + rel_pivot, whose categories stay repped by the three scalar siblings
+    # above and rel_agg_* — both re-verify next round).
+    "pipe_web_links",
+    "pipe_web_pagerank",
     # Category keepers with no r02/r03 sibling: generators (r4), UDTF (r5),
     # sketches (r6 — sole family member), Spark-4 SQL (r5).
     "rel_explode",

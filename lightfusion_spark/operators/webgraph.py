@@ -1,0 +1,263 @@
+"""Web-graph quality signals: link extraction and distributed PageRank.
+
+Pretraining-corpus curation uses the crawl's own link structure as a
+document-quality prior (CommonCrawl-derived pipelines rank hosts by
+centrality before sampling; the reference repo has no graph surface at
+all — this extends SURVEY §2.4's curation family).  Two pieces:
+
+* :func:`extract_links` / :func:`host_graph` — pure-JVM href extraction
+  from raw HTML (regexp, no Python crossing) and reduction to a
+  host-level edge list;
+* :func:`pagerank` — power-iteration PageRank as the standard Spark
+  iterative shape: one equi-join + one exact-decimal aggregation per
+  round, ``localCheckpoint`` truncating lineage, per-call
+  :class:`PRResult` diagnostics with an explicit ``converged`` flag
+  (the connected-components round-6 lesson: iteration exhaustion must
+  be loud, never silently-wrong labels).
+
+100 TB shape: the rank/contribution tables are (node, double) pairs —
+a few GB for billions of hosts, partitioned by node; every round
+shuffles only (node, contrib) pairs, never page payloads.  Dangling
+mass and the convergence delta reach the driver as ONE scalar each per
+round.  Skewed in-degree (everyone links to wikipedia.org) is a plain
+aggregation hot key: partial (map-side) aggregation absorbs it before
+the shuffle, so no salting is needed.
+"""
+
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Exact accumulator for rank sums: ranks live in [0, 1] so 18 integer
+#: digits is vast headroom; 20 fractional digits exceed double precision,
+#: making the double->decimal cast value-preserving for every operand the
+#: sum sees (partial-aggregation order can never flip a bit).
+_PR_DEC = "decimal(38,20)"
+
+#: scheme://host — host stops at /, :, ?, #.
+_URL_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+
+
+def host_of(col: F.Column) -> F.Column:
+    """Lowercased host of an absolute URL ('' when not absolute)."""
+    return F.lower(F.regexp_extract(col, _URL_HOST_RE, 1))
+
+
+def extract_links(
+    df: DataFrame, url_col: str, html_col: str
+) -> DataFrame:
+    """One row per outgoing link: ``(url_col, link)`` with ``link``
+    resolved to an absolute URL.
+
+    Pure JVM: ``regexp_extract_all`` over ``href="…"`` attributes +
+    ``explode`` — raw HTML never crosses into Python.  Resolution rules
+    (the cases that matter for host-graph construction):
+
+    * absolute (``scheme://…``) — kept as-is;
+    * protocol-relative (``//host/path``) — page scheme prepended;
+    * root-relative (``/path``) — page scheme+host prepended;
+    * everything else (relative paths, ``mailto:``, ``javascript:``,
+      bare fragments) — dropped.  Path-relative resolution needs the
+      page path's dirname; host-level graphs never need it (the host is
+      the page's own), so the complexity isn't worth a wrong edge.
+
+    Every non-HTML column of ``df`` is carried through (ids, status).
+    """
+    page = F.col(url_col)
+    scheme = F.regexp_extract(page, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    origin = F.regexp_extract(page, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1)
+    href = F.col("_href")
+    resolved = (
+        F.when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(F.lit(None))
+    )
+    carry = [c for c in df.columns if c != html_col]
+    return (
+        df.select(
+            *carry,
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(html_col), F.lit(r'href\s*=\s*"([^"]*)"'), 1
+                )
+            ).alias("_href"),
+        )
+        .select(*carry, resolved.alias("link"))
+        .where(F.col("link").isNotNull())
+    )
+
+
+def host_graph(links: DataFrame, src_url: str = "target_uri", dst_url: str = "link") -> DataFrame:
+    """Reduce page-level links to a distinct host-level edge list
+    ``(src, dst)``, self-loops dropped — the PageRank input."""
+    return (
+        links.select(
+            host_of(F.col(src_url)).alias("src"),
+            host_of(F.col(dst_url)).alias("dst"),
+        )
+        .where((F.col("src") != "") & (F.col("dst") != "") & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+
+
+@dataclass
+class PRResult:
+    """Per-call result of :func:`pagerank_detailed`: the rank DataFrame
+    plus the loop diagnostics (mirrors dedup's :class:`CCResult`)."""
+
+    ranks: DataFrame
+    iterations: int
+    converged: bool
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int | None = None,
+    tol: float = 1e-6,
+    max_iterations: int = 40,
+    checkpoint_interval: int = 5,
+) -> DataFrame:
+    """PageRank over a directed edge list; returns ``(node, rank)`` for
+    every vertex appearing as a source or destination.
+
+    Two modes:
+
+    * ``iterations=k`` — exactly ``k`` power iterations, no driver
+      round-trips inside the loop (the oracle-replayable mode: every
+      aggregation is an exact ``DECIMAL(38,20)`` sum, so the resulting
+      doubles are bit-reproducible across engines and partitionings);
+    * ``iterations=None`` — iterate until the L1 rank delta falls under
+      ``tol`` (one scalar to the driver per round) or ``max_iterations``
+      is exhausted, which warns here and is loud in
+      :func:`pagerank_detailed`'s ``converged`` flag.
+
+    Dangling nodes (no out-edges) redistribute their mass uniformly —
+    the standard correction, computed distributedly and attached as a
+    broadcast 1-row relation, never a per-iteration collect.
+    """
+    return pagerank_detailed(
+        edges, src, dst, damping, iterations, tol, max_iterations, checkpoint_interval
+    ).ranks
+
+
+def pagerank_detailed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int | None = None,
+    tol: float = 1e-6,
+    max_iterations: int = 40,
+    checkpoint_interval: int = 5,
+) -> PRResult:
+    """:func:`pagerank` returning :class:`PRResult` with per-call
+    ``iterations``/``converged`` diagnostics."""
+    # Materialize the loop invariants ONCE: without this every iteration's
+    # plan re-derives edges/nodes/degrees all the way from the source scan
+    # (5 iterations = 5 re-reads of the upstream relation — at 100 TB, five
+    # crawls).  localCheckpoint also truncates lineage so the iteration-k
+    # plan doesn't nest k copies of the edge derivation.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # ONE bounded driver scalar: the vertex count (like k-means' k x dim
+    # and CC's convergence signature — documented driver-side state).
+    n = nodes.count()
+    if n == 0:
+        return PRResult(ranks=nodes.withColumn("rank", F.lit(0.0)), iterations=0, converged=True)
+    n_d = float(n)
+    base = (1.0 - damping) / n_d  # IEEE double ops, replayed verbatim in oracles
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("double").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(n_d)).alias("rank"))
+    total_iters = iterations if iterations is not None else max_iterations
+    converged = iterations is not None
+    done = 0
+    for i in range(total_iters):
+        dangling = (
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("rank").cast(_PR_DEC)).cast("double"), F.lit(0.0)
+                ).alias("dm")
+            )
+        )
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(
+                F.sum((F.col("rank") / F.col("deg")).cast(_PR_DEC))
+                .cast("double")
+                .alias("contrib")
+            )
+        )
+        new_ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dm") / F.lit(n_d)
+                    )
+                ).alias("rank"),
+            )
+        )
+        done = i + 1
+        if iterations is None:
+            # convergence mode: materialize + truncate lineage every round
+            # (each round's plan would otherwise nest the previous one),
+            # then pull ONE scalar — the L1 delta.
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+            delta = (
+                ranks.select("node", F.col("rank").alias("_old"))
+                .join(new_ranks, "node")
+                .agg(
+                    F.sum(F.abs(F.col("rank") - F.col("_old")).cast(_PR_DEC))
+                    .cast("double")
+                    .alias("d")
+                )
+                .collect()[0]["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta <= tol:
+                converged = True
+                break
+        else:
+            if checkpoint_interval and done % checkpoint_interval == 0 and done < total_iters:
+                new_ranks = new_ranks.localCheckpoint(eager=True)
+            ranks = new_ranks
+    if not converged:
+        warnings.warn(
+            f"pagerank exhausted max_iterations={max_iterations} before the "
+            f"L1 delta reached tol={tol} — ranks are unconverged; raise "
+            "max_iterations or loosen tol",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    return PRResult(ranks=ranks, iterations=done, converged=converged)

@@ -1,0 +1,129 @@
+"""operators/webgraph.py: link extraction + PageRank.
+
+The registered queries (pipe_web_links, pipe_web_pagerank) pin the
+DuckDB-replayable faces; these tests pin the semantics the oracle can't
+express — convergence mode, the exhaustion warning, dangling-mass
+conservation, NetworkX-free reference parity, and href resolution rules.
+"""
+
+import math
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from lightfusion_spark.operators import webgraph
+
+
+def _reference_pagerank(n, edges, damping=0.85, iters=50):
+    """Driver-side dense power iteration — an independent oracle."""
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, set()).add(d)
+    ranks = {v: 1.0 / n for v in range(n)}
+    for _ in range(iters):
+        dm = sum(ranks[v] for v in range(n) if v not in out)
+        base = (1.0 - damping) / n
+        new = {v: base + damping * dm / n for v in range(n)}
+        for s, ds in out.items():
+            share = ranks[s] / len(ds)
+            for d in ds:
+                new[d] += damping * share
+        ranks = new
+    return ranks
+
+
+def _pr(spark, n, edges, **kw):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    return webgraph.pagerank_detailed(e, **kw)
+
+
+def test_matches_reference_on_a_cycle_with_chord(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)]
+    res = _pr(spark, 4, edges, iterations=None, tol=1e-12, max_iterations=100)
+    assert res.converged
+    got = {r["node"]: r["rank"] for r in res.ranks.collect()}
+    want = _reference_pagerank(4, edges, iters=200)
+    for v in range(4):
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+
+
+def test_dangling_mass_conserved(spark):
+    # node 2 has no out-edges: its mass must redistribute, and total
+    # rank must stay exactly 1 (up to float accumulation).
+    edges = [(0, 1), (1, 2), (3, 2)]
+    res = _pr(spark, 4, edges, iterations=8)
+    total = sum(r["rank"] for r in res.ranks.collect())
+    assert total == pytest.approx(1.0, abs=1e-12)
+
+
+def test_fixed_iterations_runs_exactly_and_reports_converged(spark):
+    res = _pr(spark, 3, [(0, 1), (1, 2), (2, 0)], iterations=3)
+    assert res.iterations == 3 and res.converged
+
+
+def test_exhaustion_warns_and_flags(spark):
+    # a negative tol can never be reached (the L1 delta is >= 0): the
+    # loop must exhaust LOUDLY (the connected-components round-6
+    # lesson), not return silently.  (tol=0.0 is reachable: a symmetric
+    # cycle sits at its exact fixed point from iteration 1.)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = _pr(
+            spark, 3, [(0, 1), (1, 2), (2, 0)],
+            iterations=None, tol=-1.0, max_iterations=2,
+        )
+    assert not res.converged and res.iterations == 2
+    assert any("unconverged" in str(x.message) for x in w)
+
+
+def test_every_vertex_ranked_including_sink_only(spark):
+    # vertex 5 appears only as a destination; it must still get a rank.
+    res = _pr(spark, 6, [(0, 5), (1, 5), (2, 5), (3, 5), (4, 5)], iterations=4)
+    rows = {r["node"]: r["rank"] for r in res.ranks.collect()}
+    assert set(rows) == {0, 1, 2, 3, 4, 5}
+    assert rows[5] == max(rows.values())  # everyone links to 5
+
+
+def test_extract_links_resolution_rules(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "https://ex.com/a/b?q=1",
+                '<a href="https://other.org/x">abs</a>'
+                '<a href="//cdn.net/lib.js">proto</a>'
+                '<a href="/root">rooted</a>'
+                '<a href="sibling.html">rel</a>'
+                '<a href="mailto:x@y.z">mail</a>'
+                '<a href="#frag">frag</a>',
+            )
+        ],
+        "url string, html string",
+    )
+    links = sorted(
+        r["link"] for r in webgraph.extract_links(df, "url", "html").collect()
+    )
+    # relative path / mailto / fragment dropped; the three resolvable kept
+    assert links == [
+        "https://cdn.net/lib.js",
+        "https://ex.com/root",
+        "https://other.org/x",
+    ]
+
+
+def test_host_graph_drops_self_loops_and_lowercases(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://EX.com/a", "https://ex.com/b"),  # self after lowering
+            ("https://ex.com/a", "https://Other.ORG/x"),
+        ],
+        "target_uri string, link string",
+    )
+    got = [(r["src"], r["dst"]) for r in webgraph.host_graph(df).collect()]
+    assert got == [("ex.com", "other.org")]
+
+
+def test_empty_edges(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    res = webgraph.pagerank_detailed(e, iterations=3)
+    assert res.converged and res.ranks.count() == 0
