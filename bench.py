@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "pipe_embed_ivf_topk",
     "pipe_sim_lsh_banded",
     "pipe_lm_score_ngram",
+    "pipe_web_pagerank",
+    "pipe_web_links",
 ]
 
 

@@ -22,7 +22,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from ..operators import webgraph
+from ..operators import urltools, webgraph
 from .pipeline import _WARC_EXPECTED, _WARC_FIXTURE
 from .registry import register
 from .util import table
@@ -156,3 +156,118 @@ def pipe_web_links(spark, sf_dir):
         F.decode(F.col("payload"), "UTF-8").alias("html"),
     )
     return webgraph.extract_links(pages, "target_uri", "html")
+
+
+def _messy_url_cols():
+    """Deterministic messy-URL synthesis from doc_id — every
+    canonicalization rule gets exercised: mixed-case scheme/host,
+    default vs explicit ports, bare-root paths, tracking params,
+    unsorted query, fragments.  The oracle computes the CANONICAL form
+    analytically from doc_id (never by canonicalizing), so any rule
+    regression breaks the hash."""
+    did = F.col("doc_id")
+    scheme_raw = F.when(did % 2 == 0, F.lit("http")).otherwise(F.lit("HTTPS"))
+    tld_raw = (
+        F.when(did % 4 == 0, F.lit("com"))
+        .when(did % 4 == 1, F.lit("ORG"))
+        .when(did % 4 == 2, F.lit("CO.UK"))
+        .otherwise(F.lit("net"))
+    )
+    port_raw = (
+        F.when((did % 3 == 0) & (did % 2 == 0), F.lit(":80"))
+        .when((did % 3 == 0) & (did % 2 == 1), F.lit(":443"))
+        .when(did % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path_raw = F.when(did % 5 == 0, F.lit("/")).otherwise(
+        F.concat(F.lit("/p/"), did.cast("string"))
+    )
+    query_raw = F.concat(
+        F.lit("?utm_source=t&z=1&id="), did.cast("string"), F.lit("&gclid=g")
+    )
+    frag_raw = F.when(did % 2 == 1, F.concat(F.lit("#sec"), did.cast("string"))).otherwise(
+        F.lit("")
+    )
+    return F.concat(
+        scheme_raw,
+        F.lit("://WWW.Site"),
+        (did % 25).cast("string"),
+        F.lit(".Example."),
+        tld_raw,
+        port_raw,
+        path_raw,
+        query_raw,
+        frag_raw,
+    )
+
+
+_URL_ORACLE_PARTS = """
+      CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END
+      || '://www.site' || (doc_id % 25) || '.example.'
+      || CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                         WHEN 2 THEN 'co.uk' ELSE 'net' END
+      || CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN '' ELSE '/p/' || doc_id END
+      || '?id=' || doc_id || '&z=1'
+"""
+
+_DOMAIN_ORACLE = """
+      CASE doc_id % 4 WHEN 0 THEN 'example.com' WHEN 1 THEN 'example.org'
+                      WHEN 2 THEN 'example.co.uk' ELSE 'example.net' END
+"""
+
+
+@register(
+    "pipe_url_canonicalize",
+    oracle=f"""
+    SELECT doc_id,
+           {_URL_ORACLE_PARTS} AS url_canon,
+           'www.site' || (doc_id % 25) || '.example.'
+             || CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                                WHEN 2 THEN 'co.uk' ELSE 'net' END AS host,
+           {_DOMAIN_ORACLE} AS domain
+    FROM documents
+    """,
+    doc="URL canonicalization, the first dedup a crawl frontier runs: "
+    "mixed-case scheme/host lowering, fragment drop, default-port strip "
+    "(:80/:443 only when they match the scheme), bare-root-path drop, "
+    "utm_*/gclid tracking-param removal, surviving-param sort — one "
+    "pure-JVM expression chain (operators/urltools.py), no Python, no "
+    "shuffle.  registrable_domain exercises the co.uk second-level "
+    "branch.  The oracle builds the canonical form analytically from "
+    "doc_id, never by canonicalizing",
+)
+def pipe_url_canonicalize(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    messy = d.select("doc_id", _messy_url_cols().alias("url"))
+    return messy.select(
+        "doc_id",
+        urltools.canonicalize_url("url").alias("url_canon"),
+        urltools.url_host(F.col("url")).alias("host"),
+        urltools.registrable_domain(urltools.url_host(F.col("url"))).alias("domain"),
+    )
+
+
+@register(
+    "pipe_url_blocklist",
+    oracle=f"""
+    SELECT {_DOMAIN_ORACLE} AS domain, COUNT(*) AS n_kept
+    FROM documents
+    WHERE doc_id % 4 IN (0, 1)
+    GROUP BY 1
+    """,
+    doc="domain-blocklist filtering (the UT1-style curation gate): "
+    "registrable-domain extraction + broadcast LEFT ANTI against the "
+    "blocked set — a map-side hash probe per row at 100 TB, no corpus "
+    "shuffle.  example.co.uk and example.net are blocked; the oracle "
+    "keeps doc_id%4 in (0,1) analytically",
+)
+def pipe_url_blocklist(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    messy = d.select("doc_id", _messy_url_cols().alias("url"))
+    kept = urltools.filter_blocked_domains(
+        messy, "url", ["example.co.uk", "example.net"]
+    )
+    return kept.groupBy(
+        urltools.registrable_domain(urltools.url_host(F.col("url"))).alias("domain")
+    ).agg(F.count(F.lit(1)).alias("n_kept"))

@@ -46,9 +46,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: Curated export order.  The driver's correctness gate evaluates only the
 #: FIRST 50 ``queries()`` entries (CORRECTNESS_r02 was exactly the first 50
 #: registered names), so the names below are emitted first.  Round-7
-#: rotation (two goals, per the round-6 verdict): (1) the 7 round-7
+#: rotation (two goals, per the round-6 verdict): (1) the 11 round-7
 #: operators (WARC ingestion, TF-IDF embedding + composed ANN, banded
-#: sign-LSH, trigram LM score/buckets) rotate IN — none has ever seen a
+#: sign-LSH, trigram LM score/buckets, web link extraction + PageRank,
+#: URL canonicalization + blocklist) rotate IN — none has ever seen a
 #: driver window; (2) the queries whose latest official row is OLDEST
 #: (r02/r03 — 54 queries pre-date the heavy dedup/similarity/text edits of
 #: rounds 4-6) take the remaining slots for fresh official rows.  All 46
@@ -105,15 +106,15 @@ PRIORITY: list[str] = [
     "rel_set_intersect",
     "rel_set_except",
     "rel_subquery_scalar",
-    "rel_cte",
     "rel_scalar_string",
     "rel_scalar_date",
-    "rel_scalar_array",
-    # Round-7 web-graph operators (never windowed; displaced rel_scalar_json
+    # Round-7 web-graph + URL operators (never windowed; displaced rel_scalar_json
     # + rel_pivot, whose categories stay repped by the three scalar siblings
     # above and rel_agg_* — both re-verify next round).
     "pipe_web_links",
     "pipe_web_pagerank",
+    "pipe_url_canonicalize",
+    "pipe_url_blocklist",
     # Category keepers with no r02/r03 sibling: generators (r4), UDTF (r5),
     # sketches (r6 — sole family member), Spark-4 SQL (r5).
     "rel_explode",

@@ -1,0 +1,79 @@
+"""operators/urltools.py: canonicalization / registrable-domain /
+blocklist semantics the analytic oracle queries don't reach."""
+
+from pyspark.sql import functions as F
+
+from lightfusion_spark.operators import urltools
+
+
+def _canon(spark, url):
+    df = spark.createDataFrame([(url,)], "u string")
+    return df.select(urltools.canonicalize_url("u").alias("c")).collect()[0]["c"]
+
+
+def test_canonicalize_core_rules(spark):
+    assert (
+        _canon(spark, "HTTPS://WWW.Ex.COM:443/a/b?utm_source=x&b=2&a=1#frag")
+        == "https://www.ex.com/a/b?a=1&b=2"
+    )
+
+
+def test_default_port_only_stripped_for_matching_scheme(spark):
+    # :443 on http is NOT the default — it must survive.
+    assert _canon(spark, "http://ex.com:443/x") == "http://ex.com:443/x"
+    assert _canon(spark, "http://ex.com:80/x") == "http://ex.com/x"
+
+
+def test_bare_root_and_empty_query(spark):
+    assert _canon(spark, "https://ex.com/") == "https://ex.com"
+    assert _canon(spark, "https://ex.com/?utm_campaign=only") == "https://ex.com"
+
+
+def test_non_absolute_passthrough(spark):
+    assert _canon(spark, "  /relative/path  ") == "/relative/path"
+
+
+def test_path_case_preserved(spark):
+    # only scheme+host lower; paths are case-sensitive resources.
+    assert _canon(spark, "http://EX.com/CaseSensitive") == "http://ex.com/CaseSensitive"
+
+
+def test_url_host_skips_userinfo_and_port(spark):
+    df = spark.createDataFrame(
+        [("https://user:pw@Sub.Ex.COM:8443/p",)], "u string"
+    )
+    assert (
+        df.select(urltools.url_host(F.col("u")).alias("h")).collect()[0]["h"]
+        == "sub.ex.com"
+    )
+
+
+def test_registrable_domain_second_level(spark):
+    df = spark.createDataFrame(
+        [("a.b.co.uk",), ("www.x.example.com",), ("localhost",), ("ex.org",)],
+        "h string",
+    )
+    got = [
+        r["d"]
+        for r in df.select(
+            urltools.registrable_domain(F.col("h")).alias("d")
+        ).collect()
+    ]
+    assert got == ["b.co.uk", "example.com", "localhost", "ex.org"]
+
+
+def test_blocklist_filters_subdomains_via_registrable_domain(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.bad.com/x"),
+            (2, "https://cdn.bad.com/y"),
+            (3, "https://good.org/z"),
+        ],
+        "id long, url string",
+    )
+    kept = urltools.filter_blocked_domains(df, "url", ["bad.com"])
+    assert [r["id"] for r in kept.collect()] == [3]
+    only_bad = urltools.filter_blocked_domains(df, "url", ["bad.com"], invert=True)
+    assert sorted(r["id"] for r in only_bad.collect()) == [1, 2]
+    # helper column must not leak into the output schema
+    assert kept.columns == ["id", "url"]
