@@ -107,14 +107,14 @@ PRIORITY: list[str] = [
     "rel_set_except",
     "rel_subquery_scalar",
     "rel_scalar_string",
-    "rel_scalar_date",
-    # Round-7 web-graph + URL operators (never windowed; displaced rel_scalar_json
+    # Round-7 web-graph + URL + trainer operators (never windowed; displaced rel_scalar_json
     # + rel_pivot, whose categories stay repped by the three scalar siblings
     # above and rel_agg_* — both re-verify next round).
     "pipe_web_links",
     "pipe_web_pagerank",
     "pipe_url_canonicalize",
     "pipe_url_blocklist",
+    "pipe_bpe_train",
     # Category keepers with no r02/r03 sibling: generators (r4), UDTF (r5),
     # sketches (r6 — sole family member), Spark-4 SQL (r5).
     "rel_explode",

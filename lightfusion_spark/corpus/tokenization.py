@@ -137,3 +137,29 @@ def pipe_pack_bpe(spark, sf_dir):
     return curation.pack_sequences(
         t, "doc_id", "n_tokens", capacity=_PACK_CAPACITY, n_groups=8
     )
+
+
+@register(
+    "pipe_bpe_train",
+    oracle=None,
+    doc="distributed BPE TRAINING (the documented round-6 seam, closed): "
+    "one Arrow-batched word-count crossing + one map-side-combined "
+    "groupBy (the only shuffle carries distinct words, never the "
+    "corpus), then the same greedy merge loop as the offline trainer on "
+    "the Zipf-bounded driver-side table (min_count=2 prunes hapax "
+    "noise).  NON-SQL-EXPRESSIBLE: training is an iterative argmax over "
+    "a mutating word table, so this query takes the driver's weaker "
+    "rows-only check; the strong equivalence check lives in "
+    "tests/test_tokenize.py (distributed trainer must EXACTLY equal the "
+    "independent local trainer on the identical corpus, and its merges "
+    "must round-trip through BPETokenizer)",
+)
+def pipe_bpe_train(spark, sf_dir):
+    from ..operators.tokenize import train_bpe_distributed
+
+    d = table(spark, sf_dir, "documents")
+    merges = train_bpe_distributed(d, "text", n_merges=40, min_count=2)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )

@@ -167,9 +167,11 @@ def train_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
     ties break on the lexicographically smallest pair.
 
     Driver-side by design — fixture training runs once, offline, on a
-    bounded sample (``tools/gen_bpe_fixture.py``); at 100 TB the word
-    FREQUENCY table would come from one distributed groupBy, and this
-    greedy loop still runs on that (Zipf-bounded) table, not the corpus.
+    bounded sample (``tools/gen_bpe_fixture.py``).  The corpus-scale
+    face is :func:`train_bpe_distributed`: the word FREQUENCY table
+    comes from one distributed groupBy, and the same greedy loop
+    (:func:`_greedy_merges`) runs on that Zipf-bounded table, never the
+    corpus.
     """
     byte_enc = bytes_to_unicode()
     words: dict[tuple[str, ...], int] = {}
@@ -177,6 +179,15 @@ def train_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
         for w in PRETOKEN_RE.findall(t or ""):
             key = tuple(byte_enc[b] for b in w.encode("utf-8"))
             words[key] = words.get(key, 0) + 1
+    return _greedy_merges(words, n_merges)
+
+
+def _greedy_merges(
+    words: dict[tuple[str, ...], int], n_merges: int
+) -> list[tuple[str, str]]:
+    """The greedy merge loop over a word-frequency table, shared by the
+    local and distributed trainers (equivalence by construction — the
+    two trainers differ ONLY in how the table is counted)."""
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs: dict[tuple[str, str], int] = {}
@@ -205,6 +216,68 @@ def train_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
         words = new_words
         merges.append(best)
     return merges
+
+
+def word_histogram(df: DataFrame, text_col: str) -> DataFrame:
+    """Distributed word-frequency table ``(word, count)`` with ``word``
+    already byte-level-encoded (the unicode remapping every symbol in
+    training/encoding lives in).
+
+    One Arrow-batched ``mapInPandas`` crossing emits per-batch partial
+    counts (a Zipf-bounded dict per batch, not a row per token), then
+    one map-side-combined groupBy finishes the sum — the only shuffle,
+    carrying distinct words, not the corpus.
+    """
+    byte_enc = bytes_to_unicode()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counts: dict[str, int] = {}
+            for t in pdf[text_col]:
+                for w in PRETOKEN_RE.findall(t or ""):
+                    key = "".join(byte_enc[b] for b in w.encode("utf-8"))
+                    counts[key] = counts.get(key, 0) + 1
+            yield pd.DataFrame(
+                {"word": list(counts.keys()), "count": list(counts.values())}
+            )
+
+    return (
+        df.select(text_col)
+        .mapInPandas(gen, "word string, count long")
+        .groupBy("word")
+        .agg(F.sum("count").alias("count"))
+    )
+
+
+def train_bpe_distributed(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    min_count: int = 1,
+    max_words: int | None = None,
+) -> list[tuple[str, str]]:
+    """Corpus-scale BPE training: distributed word counting + the same
+    driver-side greedy merge loop as :func:`train_bpe`.
+
+    This is how production tokenizer trainers actually scale (HF
+    tokenizers, SentencePiece): the corpus pass is ONE word-count
+    aggregation; the merge loop is quadratic only in the *distinct-word
+    table*, which Zipf bounds far below corpus size.  For 100 TB inputs
+    bound the driver table explicitly: ``min_count`` drops hapax noise
+    (standard practice — rare words can't win a merge anyway) and
+    ``max_words`` caps the table at the top-N words by frequency
+    (deterministic: ties break on the lexicographically smaller word).
+
+    Returns the ranked merge list — feed it to :class:`BPETokenizer`
+    or serialize with the fixture format for :func:`tokenize_bpe`.
+    """
+    hist = word_histogram(df, text_col)
+    if min_count > 1:
+        hist = hist.where(F.col("count") >= min_count)
+    if max_words is not None:
+        hist = hist.orderBy(F.desc("count"), F.asc("word")).limit(max_words)
+    words = {tuple(r["word"]): r["count"] for r in hist.collect()}
+    return _greedy_merges(words, n_merges)
 
 
 #: Per-executor-process parsed-tokenizer cache keyed by merges digest

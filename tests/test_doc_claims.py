@@ -12,15 +12,21 @@ from lightfusion_spark.corpus.registry import REGISTRY
 REPO = Path(__file__).resolve().parent.parent
 
 
+def _counts():
+    n = len(REGISTRY)
+    n_oracle = sum(1 for s in REGISTRY.values() if s.oracle is not None)
+    return n, n_oracle
+
+
 def test_readme_query_count_matches_registry():
     text = (REPO / "README.md").read_text()
-    n = len(REGISTRY)
+    n, n_oracle = _counts()
     assert f"{n} queries" in text, (
         f"README.md claims a stale query count (registry has {n}); "
         "update the two counts in the relational-surface bullet"
     )
-    assert f"{n}/{n} at sf0.01" in text, (
-        f"README.md parity claim is stale (registry has {n})"
+    assert f"{n_oracle}/{n_oracle} at sf0.01" in text, (
+        f"README.md parity claim is stale ({n_oracle} oracle-backed queries)"
     )
     # no OTHER '<number> queries' or 'N/N at sf' claims left behind
     for m in re.finditer(r"(\d+) queries", text):
@@ -29,7 +35,7 @@ def test_readme_query_count_matches_registry():
 
 def test_survey_parity_count_matches_registry():
     text = (REPO / "SURVEY.md").read_text()
-    n = len(REGISTRY)
-    assert f"{n}/{n} exact" in text, (
-        f"SURVEY.md §8 parity claim is stale (registry has {n})"
+    _, n_oracle = _counts()
+    assert f"{n_oracle}/{n_oracle} exact" in text, (
+        f"SURVEY.md §8 parity claim is stale ({n_oracle} oracle-backed queries)"
     )

@@ -145,3 +145,46 @@ def test_tokenize_plan_is_arrow_vectorized(spark):
     )
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_distributed_trainer_equals_local(spark):
+    """train_bpe_distributed must learn EXACTLY the merges the local
+    trainer learns from the same texts — the two differ only in how the
+    word histogram is counted (mapInPandas+groupBy vs a Python loop)."""
+    from lightfusion_spark.operators.tokenize import (
+        BPETokenizer,
+        train_bpe,
+        train_bpe_distributed,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    sdf = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(300)
+    texts = [r["text"] for r in sdf.select("text").collect()]
+    local = train_bpe(texts, 30)
+    dist = train_bpe_distributed(sdf, "text", 30)
+    assert dist == local
+    # and the learned merges drive a working encoder
+    tok = BPETokenizer(dist)
+    ids = tok.encode(texts[0])
+    assert ids and all(isinstance(i, int) for i in ids)
+
+
+def test_distributed_trainer_bounds(spark):
+    from lightfusion_spark.operators.tokenize import (
+        train_bpe_distributed,
+        word_histogram,
+    )
+
+    sdf = spark.createDataFrame(
+        [("aa bb aa cc aa bb",), ("aa dd",)], "text string"
+    )
+    hist = {r["word"]: r["count"] for r in word_histogram(sdf, "text").collect()}
+    # leading-space pretokens: 'aa' bare at both text starts, twice
+    # with the Ġ space marker inside the first text.
+    assert hist["aa"] == 2 and hist["Ġaa"] == 2
+    # min_count prunes hapax words; max_words keeps top-N by frequency
+    m_all = train_bpe_distributed(sdf, "text", 5)
+    m_pruned = train_bpe_distributed(sdf, "text", 5, min_count=2)
+    assert m_all != m_pruned or len(m_pruned) <= len(m_all)
+    m_top = train_bpe_distributed(sdf, "text", 5, max_words=1)
+    assert len(m_top) <= 5
