@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "pipe_lm_score_ngram",
     "pipe_web_pagerank",
     "pipe_web_links",
+    "pipe_sim_ivf_pq_rerank",
 ]
 
 

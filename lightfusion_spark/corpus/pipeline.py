@@ -2351,3 +2351,184 @@ def pipe_lm_buckets_ngram(spark, sf_dir):
     )
 
 
+
+
+def _ivf_pq_oracle(
+    n_centroids: int,
+    coarse_iters: int,
+    dim: int,
+    m: int,
+    pq_k: int,
+    pq_iters: int,
+    k: int,
+    rerank_depth: int | None = None,
+) -> str:
+    """DuckDB replay of operators/pq.py:topk_cosine_ivf_pq — the coarse
+    k-means chain (shared generator) PLUS, per subspace, an L2 Lloyd
+    chain (seeded by the rank of the first pq_k vectors, squared
+    distance spelled ``(x·x) - 2(x·c) + (c·c)`` and rounded exactly as
+    the GEMM side does) and finally the ADC score: the sum of per-
+    subspace codebook lookups over exact norms.  With ``rerank_depth``
+    the ADC ranking only shortlists; the shortlist is re-scored with
+    the exact cosine (the operator's IVF-PQ+R mode)."""
+    ctes, fin = _kmeans_assign_ctes(n_centroids, coarse_iters, dim)
+    sub = dim // m
+    ctes.append(f"sdims AS (SELECT unnest(range(1, {sub + 1})) AS pos)")
+    d2 = (
+        "ROUND(list_inner_product(ej.sv, ej.sv)"
+        " - 2*list_inner_product(ej.sv, c.cent)"
+        " + list_inner_product(c.cent, c.cent), 6)"
+    )
+    for j in range(m):
+        a, b = j * sub + 1, (j + 1) * sub
+        ej = f"e{j}s"
+        ctes.append(
+            f"{ej} AS (SELECT vec_id, list_slice(v, {a}, {b}) AS sv FROM e)"
+        )
+        ctes.append(
+            f"""p{j}c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, sv AS cent
+  FROM (SELECT vec_id, sv FROM {ej} ORDER BY vec_id LIMIT {pq_k}))"""
+        )
+        for i in range(pq_iters):
+            ctes.append(
+                f"""pa{j}_{i} AS (
+  SELECT vec_id, sv, code FROM (
+    SELECT ej.vec_id, ej.sv, c.code,
+           ROW_NUMBER() OVER (PARTITION BY ej.vec_id
+                              ORDER BY {d2} ASC, c.code) AS rn
+    FROM {ej} ej CROSS JOIN p{j}c{i} c) t
+  WHERE rn = 1)"""
+            )
+            ctes.append(
+                f"""p{j}c{i + 1} AS (
+  SELECT code, list(mm ORDER BY pos) AS cent FROM (
+    SELECT a.code, d.pos,
+           CAST(SUM(CAST(FLOOR(a.sv[d.pos] * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1e9 / COUNT(*) AS mm
+    FROM pa{j}_{i} a CROSS JOIN sdims d
+    GROUP BY 1, 2) q
+  GROUP BY code)"""
+            )
+        ctes.append(
+            f"""pa{j}_fin AS (
+  SELECT vec_id, code FROM (
+    SELECT ej.vec_id, c.code,
+           ROW_NUMBER() OVER (PARTITION BY ej.vec_id
+                              ORDER BY {d2} ASC, c.code) AS rn
+    FROM {ej} ej CROSS JOIN p{j}c{pq_iters} c) t
+  WHERE rn = 1)"""
+        )
+    code_cols = ", ".join(f"pa{j}_fin.code AS code{j}" for j in range(m))
+    code_joins = " ".join(
+        f"JOIN pa{j}_fin ON pa{j}_fin.vec_id = e.vec_id" for j in range(m)
+    )
+    ctes.append(f"cd AS (SELECT e.vec_id, {code_cols} FROM e {code_joins})")
+    adc = " + ".join(
+        f"list_inner_product(list_slice(qa.v, {j * sub + 1}, {(j + 1) * sub}),"
+        f" b{j}.cent)"
+        for j in range(m)
+    )
+    book_joins = " ".join(
+        f"JOIN p{j}c{pq_iters} b{j} ON b{j}.code = cd.code{j}" for j in range(m)
+    )
+    head = f"""
+    WITH {', '.join(ctes)},
+    qa AS (SELECT * FROM {fin} WHERE vec_id < 20),
+    scored AS (
+      SELECT qa.vec_id AS query_id, c.vec_id AS neighbor_id,
+             qa.v AS qv, c.v AS cv,
+             ROUND(({adc})
+                   / (sqrt(list_inner_product(qa.v, qa.v))
+                      * sqrt(list_inner_product(c.v, c.v))), 6) AS cos_pq
+      FROM qa JOIN {fin} c
+        ON qa.centroid_id = c.centroid_id AND qa.vec_id <> c.vec_id
+      JOIN cd ON cd.vec_id = c.vec_id
+      {book_joins}
+    )"""
+    if rerank_depth is None:
+        return (
+            head
+            + f"""
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, cos_pq FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_pq DESC, neighbor_id) AS rn
+      FROM scored) t
+    WHERE rn <= {k}
+    """
+        )
+    return (
+        head
+        + f""",
+    shortlist AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_pq DESC, neighbor_id) AS rn_pq
+        FROM scored) t
+      WHERE rn_pq <= {rerank_depth}
+    ),
+    rescored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_inner_product(qv, cv)
+                   / (sqrt(list_inner_product(qv, qv))
+                      * sqrt(list_inner_product(cv, cv))), 6) AS cos_sim
+      FROM shortlist
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM rescored) t
+    WHERE rn <= {k}
+    """
+    )
+
+
+@register(
+    "pipe_sim_ivf_pq",
+    oracle=_ivf_pq_oracle(
+        n_centroids=8, coarse_iters=2, dim=64, m=4, pq_k=16, pq_iters=2, k=3
+    ),
+    doc="IVF-PQ compressed ANN (Jegou et al. 2011), the memory step "
+    "beyond int8: k-means coarse cells prune candidates, 4 per-subspace "
+    "16-entry L2 codebooks compress dim-64 vectors to 4 codes, ADC "
+    "scores candidates as a sum of literal-codebook lookups over exact "
+    "norms.  Every stage — coarse Lloyd loop, per-subspace L2 Lloyd "
+    "loops (scaled-BIGINT exact means), compact-rank seeding, encode "
+    "argmin, the ADC sum — replays in ONE DuckDB oracle, hash-exact",
+)
+def pipe_sim_ivf_pq(spark, sf_dir):
+    from ..operators import pq
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return pq.topk_cosine_ivf_pq(
+        e, q, "vec_id", "embedding",
+        n_centroids=8, coarse_iters=2, m=4, pq_k=16, pq_iters=2, k=3,
+    )
+
+
+@register(
+    "pipe_sim_ivf_pq_rerank",
+    oracle=_ivf_pq_oracle(
+        n_centroids=8, coarse_iters=2, dim=64, m=4, pq_k=16, pq_iters=2,
+        k=3, rerank_depth=10,
+    ),
+    doc="IVF-PQ+R, the production refinement shape (FAISS IVFPQR): the "
+    "4-byte ADC probe shortlists depth-10 per query, then ONLY the "
+    "shortlist is re-scored with the exact cosine and re-ranked — full "
+    "vectors are touched for |queries| x 10 rows, not per candidate.  "
+    "Measured agreement@5 with exact-scored IVF on the random-vector "
+    "worst case: 0.30 ADC-only -> 0.94 at depth 40 (SCALE.md knob "
+    "table).  Same single-oracle replay as pipe_sim_ivf_pq plus the "
+    "shortlist/rescore windows",
+)
+def pipe_sim_ivf_pq_rerank(spark, sf_dir):
+    from ..operators import pq
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return pq.topk_cosine_ivf_pq(
+        e, q, "vec_id", "embedding",
+        n_centroids=8, coarse_iters=2, m=4, pq_k=16, pq_iters=2, k=3,
+        rerank_depth=10,
+    )

@@ -102,9 +102,7 @@ PRIORITY: list[str] = [
     "rel_window_lag",
     "rel_window_frame",
     "rel_sort_limit",
-    "rel_topk_group",
     "rel_set_intersect",
-    "rel_set_except",
     "rel_subquery_scalar",
     "rel_scalar_string",
     # Round-7 web-graph + URL + trainer operators (never windowed; displaced rel_scalar_json
@@ -115,6 +113,8 @@ PRIORITY: list[str] = [
     "pipe_url_canonicalize",
     "pipe_url_blocklist",
     "pipe_bpe_train",
+    "pipe_sim_ivf_pq",
+    "pipe_sim_ivf_pq_rerank",
     # Category keepers with no r02/r03 sibling: generators (r4), UDTF (r5),
     # sketches (r6 — sole family member), Spark-4 SQL (r5).
     "rel_explode",
