@@ -2532,3 +2532,39 @@ def pipe_sim_ivf_pq_rerank(spark, sf_dir):
         n_centroids=8, coarse_iters=2, m=4, pq_k=16, pq_iters=2, k=3,
         rerank_depth=10,
     )
+
+
+from ..sources.layout import zorder_key_sql as _zorder_key_sql  # noqa: E402
+
+
+@register(
+    "pipe_layout_zorder",
+    oracle=f"""
+    SELECT o_orderkey,
+           {_zorder_key_sql(
+               ['(o_custkey % 1024)',
+                '(CAST(FLOOR(o_totalprice) AS BIGINT) % 1024)'],
+               bits=10,
+           )} AS zkey
+    FROM orders
+    """,
+    doc="Z-order (Morton) layout key over (custkey-bin, totalprice-bin): "
+    "the Delta/Iceberg OPTIMIZE ZORDER recipe from plain Spark "
+    "primitives (sources/layout.py).  Pure codegen'd long shift/mask "
+    "arithmetic, replayed verbatim in DuckDB; FLOOR-before-CAST because "
+    "DuckDB's double->bigint cast rounds where Spark truncates.  The "
+    "actual skip benefit is measured in tests/test_layout.py: a "
+    "clustered write prunes files on BOTH dimensions' min/max stats",
+)
+def pipe_layout_zorder(spark, sf_dir):
+    from ..sources.layout import zorder_key
+
+    o = table(spark, sf_dir, "orders")
+    key = zorder_key(
+        [
+            F.col("o_custkey") % 1024,
+            F.floor(F.col("o_totalprice")).cast("bigint") % 1024,
+        ],
+        bits=10,
+    )
+    return o.select("o_orderkey", key.alias("zkey"))

@@ -98,7 +98,6 @@ PRIORITY: list[str] = [
     "rel_agg_rollup",
     "rel_agg_cube",
     "rel_grouping_sets",
-    "rel_having",
     "rel_window_lag",
     "rel_window_frame",
     "rel_sort_limit",
@@ -115,6 +114,7 @@ PRIORITY: list[str] = [
     "pipe_bpe_train",
     "pipe_sim_ivf_pq",
     "pipe_sim_ivf_pq_rerank",
+    "pipe_layout_zorder",
     # Category keepers with no r02/r03 sibling: generators (r4), UDTF (r5),
     # sketches (r6 — sole family member), Spark-4 SQL (r5).
     "rel_explode",

@@ -1,0 +1,93 @@
+"""Storage-layout clustering: Z-order (Morton) keys for multi-column
+data skipping.
+
+Parquet scans prune row groups and files on min/max statistics — but a
+table sorted on ONE column only skips for predicates on that column.
+Z-ordering interleaves the bits of several columns into one sort key,
+so a range-partitioned, sorted write gives every output file a tight
+hyper-rectangle in ALL clustered dimensions: filters on any of them
+prune files (the Delta/Iceberg ``OPTIMIZE ZORDER BY`` recipe, built
+here from plain Spark primitives).
+
+At 100 TB this is a write-once, skip-forever lever: one
+``repartitionByRange`` shuffle at layout time buys min/max pruning for
+every later scan.  The key is a pure-JVM bit expression; nothing here
+touches Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    column into one BIGINT.
+
+    Inputs must already be non-negative integers in ``[0, 2**bits)`` —
+    bin/bucket first (``pct_rank*2**bits``, ``% 2**bits``, epoch-day,
+    …); binning is a modeling choice this function deliberately does
+    not hide.  With ``n`` columns the key uses ``n*bits`` bits
+    (capped at 63).
+
+    The expression is a sum of shift/mask terms — pure codegen'd long
+    arithmetic, and replayable verbatim in DuckDB (same ``>> & <<``
+    semantics on BIGINT).
+    """
+    n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_key needs at least one column")
+    if n * bits > 63:
+        raise ValueError(
+            f"zorder_key: {n} cols x {bits} bits = {n * bits} bits "
+            "exceeds the 63-bit BIGINT budget — lower bits"
+        )
+    cs = [
+        (F.col(c) if isinstance(c, str) else c).cast("bigint") for c in cols
+    ]
+    key = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, c in enumerate(cs):
+            key = key + F.shiftleft(
+                F.shiftright(c, b).bitwiseAND(F.lit(1)), b * n + i
+            )
+    return key
+
+
+def zorder_key_sql(cols: list[str], bits: int = 16) -> str:
+    """The DuckDB spelling of :func:`zorder_key` (oracle replay): the
+    identical shift/mask sum over ``CAST(col AS BIGINT)``."""
+    n = len(cols)
+    terms = [
+        f"(((CAST({c} AS BIGINT) >> {b}) & 1) << {b * n + i})"
+        for b in range(bits)
+        for i, c in enumerate(cols)
+    ]
+    return " + ".join(terms)
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: list[Column | str],
+    bits: int = 16,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Rewrite ``df`` into Z-order layout: range-partition on the Morton
+    key (each output file covers one contiguous key range = one tight
+    hyper-rectangle) and sort within partitions (row groups inside a
+    file stay tight too).  Write the result with your normal parquet
+    sink; every later scan filtering on ANY clustered column then
+    prunes files/row-groups on min/max stats.
+
+    ``n_partitions`` sizes the output files — at scale pick
+    bytes/partition ≈ your target file size (SCALE.md).
+    """
+    key = zorder_key(cols, bits).alias("_zkey")
+    tagged = df.withColumn("_zkey", key)
+    part = (
+        tagged.repartitionByRange(n_partitions, "_zkey")
+        if n_partitions
+        else tagged.repartitionByRange("_zkey")
+    )
+    return part.sortWithinPartitions("_zkey").drop("_zkey")

@@ -1,0 +1,94 @@
+"""sources/layout.py: Z-order clustering — key bit-exactness and the
+actual data-skipping payoff (file-level min/max pruning on BOTH
+dimensions), which no SQL oracle can express.
+"""
+
+import glob
+
+import pyarrow.parquet as pa_pq
+import pytest
+from pyspark.sql import functions as F
+
+from lightfusion_spark.sources import layout
+
+
+def _ref_morton(vals, bits):
+    key = 0
+    n = len(vals)
+    for b in range(bits):
+        for i, v in enumerate(vals):
+            key += ((v >> b) & 1) << (b * n + i)
+    return key
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    rows = [(3, 5), (255, 0), (0, 255), (170, 85)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = [
+        r["k"]
+        for r in df.select(
+            layout.zorder_key(["x", "y"], bits=8).alias("k")
+        ).collect()
+    ]
+    assert got == [_ref_morton(v, 8) for v in rows]
+
+
+def test_bit_budget_guard(spark):
+    with pytest.raises(ValueError, match="63-bit"):
+        layout.zorder_key(["a", "b", "c", "d"], bits=16)
+    with pytest.raises(ValueError, match="at least one"):
+        layout.zorder_key([])
+
+
+def _files_overlapping(path, col, lo, hi):
+    """Count parquet files whose [min,max] for col intersects [lo,hi] —
+    exactly the statistic a pruning scan consults."""
+    hits = 0
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    assert files
+    for f in files:
+        md = pa_pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for ci in range(rgm.num_columns):
+                c = rgm.column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    fmin = s.min if fmin is None else min(fmin, s.min)
+                    fmax = s.max if fmax is None else max(fmax, s.max)
+        assert fmin is not None, f"no stats for {col} in {f}"
+        if not (fmax < lo or fmin > hi):
+            hits += 1
+    return hits, len(files)
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """The payoff claim: a z-ordered write lets a filter on EITHER
+    column skip most files, while a single-column sort only skips on
+    its own column."""
+    # deterministic pseudo-uniform grid points in [0, 256)^2
+    df = spark.range(20000).select(
+        ((F.col("id") * 2654435761) % 256).alias("x"),
+        ((F.col("id") * 97 + 13) % 256).alias("y"),
+    )
+    zpath = str(tmp_path / "zorder")
+    xpath = str(tmp_path / "xsort")
+    layout.cluster_by_zorder(df, ["x", "y"], bits=8, n_partitions=16).write.parquet(
+        zpath
+    )
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(xpath)
+    )
+    # filter on y: z-order must prune; x-sort cannot (y spans everywhere)
+    z_hit, z_n = _files_overlapping(zpath, "y", 16, 31)
+    x_hit, x_n = _files_overlapping(xpath, "y", 16, 31)
+    assert x_hit == x_n, "x-sorted layout unexpectedly pruned on y"
+    assert z_hit < z_n / 2, f"z-order pruned too little on y: {z_hit}/{z_n}"
+    # and z-order still prunes on x too
+    zx_hit, _ = _files_overlapping(zpath, "x", 16, 31)
+    assert zx_hit < z_n / 2, f"z-order pruned too little on x: {zx_hit}/{z_n}"
+    # layout changes bytes, not rows
+    assert spark.read.parquet(zpath).count() == 20000
