@@ -96,10 +96,8 @@ PRIORITY: list[str] = [
     "rel_join_anti",
     "rel_join_theta",
     "rel_agg_rollup",
-    "rel_agg_cube",
     "rel_grouping_sets",
     "rel_window_lag",
-    "rel_window_frame",
     "rel_sort_limit",
     "rel_set_intersect",
     "rel_subquery_scalar",
@@ -115,6 +113,8 @@ PRIORITY: list[str] = [
     "pipe_sim_ivf_pq",
     "pipe_sim_ivf_pq_rerank",
     "pipe_layout_zorder",
+    "events_gapfill",
+    "events_ohlc",
     # Category keepers with no r02/r03 sibling: generators (r4), UDTF (r5),
     # sketches (r6 — sole family member), Spark-4 SQL (r5).
     "rel_explode",

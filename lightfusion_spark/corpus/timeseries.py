@@ -301,3 +301,106 @@ def events_range_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "events_gapfill",
+    oracle="""
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+    agg AS (
+      SELECT user_id, ts_us - ts_us % 21600000000 AS t,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS v
+      FROM ev GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, MIN(t) AS lo, MAX(t) AS hi FROM agg GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(range(lo, hi + 1, 21600000000)) AS t FROM span
+    ),
+    j AS (
+      SELECT s.user_id, s.t, a.v
+      FROM spine s LEFT JOIN agg a ON a.user_id = s.user_id AND a.t = s.t
+    )
+    SELECT user_id, t AS ts_us,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           v IS NULL AS is_gap
+    FROM j
+    """,
+    doc="regular-grid gap filling (the time_bucket_gapfill / "
+    "resample().ffill() shape): per-user 6-hour grid over each user's "
+    "own span, exact-DECIMAL mean per bucket, forward-fill across "
+    "gaps with an is_gap marker.  operators/resample.py:gapfill — "
+    "spine is a JVM sequence/explode bounded by span/step rows per "
+    "key, fill is one last(ignoreNulls) window = ONE shuffle on the "
+    "key, zero Python",
+)
+def events_gapfill(spark, sf_dir):
+    from ..operators.resample import gapfill
+
+    ev = table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", ts_micros_col(ev))
+    step = 21_600_000_000  # 6 hours in micros
+    agg = (
+        ev.select("user_id", (F.col("ts_us") - F.col("ts_us") % step).alias("t"), "value")
+        .groupBy("user_id", "t")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
+    )
+    return gapfill(agg, "user_id", "t", "v", step=step).select(
+        F.col("user_id"),
+        F.col("t").alias("ts_us"),
+        F.col("v").alias("value"),
+        "is_gap",
+    )
+
+
+@register(
+    "events_ohlc",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, epoch_us(ts) AS ts_us, value, event_id FROM events
+    ),
+    tagged AS (
+      SELECT event_type, ts_us - ts_us % 86400000000 AS b, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, ts_us - ts_us % 86400000000
+                                ORDER BY ts_us, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, ts_us - ts_us % 86400000000
+                                ORDER BY ts_us DESC, event_id DESC) AS rn_d
+      FROM ev
+    )
+    SELECT event_type, b AS ts_us,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM tagged
+    GROUP BY 1, 2
+    """,
+    doc="OHLC downsampling: daily bars per event type — open/close by "
+    "(ts, event_id) deterministic tiebreak expressed as portable "
+    "ROW_NUMBER windows (composite arg_min exists in neither engine), "
+    "high/low/count plus the exact-DECIMAL sum.  "
+    "operators/resample.py:downsample_ohlc — one shuffle for the "
+    "windows, reused by the aggregation (same key)",
+)
+def events_ohlc(spark, sf_dir):
+    from ..operators.resample import downsample_ohlc
+
+    ev = table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", ts_micros_col(ev))
+    day = 86_400_000_000
+    return downsample_ohlc(
+        ev.select("event_type", "ts_us", "value", "event_id"),
+        "event_type",
+        "ts_us",
+        "value",
+        bucket=day,
+        tiebreak_col="event_id",
+    )
