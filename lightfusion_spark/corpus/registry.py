@@ -93,8 +93,6 @@ PRIORITY: list[str] = [
     "rel_distinct",
     "rel_join_left",
     "rel_join_semi",
-    "rel_join_anti",
-    "rel_join_theta",
     "rel_agg_rollup",
     "rel_grouping_sets",
     "rel_window_lag",
@@ -115,6 +113,8 @@ PRIORITY: list[str] = [
     "pipe_layout_zorder",
     "events_gapfill",
     "events_ohlc",
+    "rel_profile_orders",
+    "rel_skew_report",
     # Category keepers with no r02/r03 sibling: generators (r4), UDTF (r5),
     # sketches (r6 — sole family member), Spark-4 SQL (r5).
     "rel_explode",

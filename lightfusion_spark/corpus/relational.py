@@ -1708,3 +1708,81 @@ def rel_group_by_all(spark, sf_dir):
         FROM orders GROUP BY ALL
         """
     )
+
+
+def _profile_oracle(table_name: str, cols: list) -> str:
+    """DuckDB replay of operators/profile.py:profile_table — one UNION
+    ALL branch per column (the long format the operator unpivots to)."""
+    parts = []
+    for name, is_num in cols:
+        mn = f"CAST(MIN({name}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(MAX({name}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"""SELECT '{name}' AS "column", COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({name}) AS n_null,
+           COUNT(DISTINCT {name}) AS n_distinct,
+           {mn} AS min_value, {mx} AS max_value
+    FROM {table_name}"""
+        )
+    return "\n    UNION ALL\n    ".join(parts)
+
+
+@register(
+    "rel_profile_orders",
+    oracle=_profile_oracle(
+        "orders",
+        [
+            ("o_orderkey", True),
+            ("o_custkey", True),
+            ("o_orderstatus", False),
+            ("o_totalprice", True),
+            ("o_orderpriority", False),
+        ],
+    ),
+    doc="table profiling (the DuckDB-SUMMARIZE shape as ONE Spark "
+    "aggregation): per-column rows/nulls/exact-distinct plus numeric "
+    "min/max as doubles — all metrics expressions of a single agg, "
+    "unpivoted to long format JVM-side (operators/profile.py).  The "
+    "before-you-tune step of every partition-count / salt-factor / "
+    "broadcast-threshold decision",
+)
+def rel_profile_orders(spark, sf_dir):
+    from ..operators.profile import profile_table
+
+    o = table(spark, sf_dir, "orders")
+    return profile_table(
+        o,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+        ],
+    )
+
+
+@register(
+    "rel_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id AS key, COUNT(*) AS n FROM events GROUP BY 1
+    ),
+    total AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+    SELECT key, n, CAST((n * 1000000) // t AS BIGINT) AS share_ppm,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key) AS INTEGER) AS rank
+    FROM counts, total
+    ORDER BY n DESC, key LIMIT 10
+    """,
+    doc="key-skew report, the diagnosis side of the skew toolkit "
+    "(salted agg/join, AQE skew split): top-10 hottest keys with "
+    "integer parts-per-million share (BIGINT floor division — Spark "
+    "div == DuckDB // — because double-then-cast hits Spark-truncates "
+    "vs DuckDB-rounds).  Distributed sort-limit; the rank window only "
+    "sees the 10 survivors",
+)
+def rel_skew_report(spark, sf_dir):
+    from ..operators.profile import key_skew_report
+
+    ev = table(spark, sf_dir, "events")
+    return key_skew_report(ev, "user_id", top_n=10)

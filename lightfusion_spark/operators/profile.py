@@ -1,0 +1,95 @@
+"""Data profiling: per-column statistics and key-skew reports.
+
+The operational side of a 100 TB engine: before you pick a partition
+count, a salt factor, or a broadcast threshold you profile the data.
+``profile_table`` is the DuckDB-``SUMMARIZE`` shape as one Spark
+aggregation; ``key_skew_report`` names the hot keys that the skew
+toolkit (``operators/skew.py`` salted agg/join, AQE skew split) exists
+to absorb.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: Numeric types whose min/max are reported as doubles (strings would
+#: hit cross-engine float-rendering differences).
+_NUMERIC = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One row per column: ``(column, n_rows, n_null, n_distinct,
+    min_value, max_value)`` — min/max as doubles for numeric columns,
+    NULL otherwise.
+
+    Single-pass shape: ALL metrics are expressions of ONE aggregation
+    (count-distinct expands internally, which is the exact-answer cost;
+    swap ``approx_count_distinct`` in when ±2% serves), then the wide
+    row unpivots to long format JVM-side.  No shuffle beyond the
+    aggregation itself, no driver loop over the data.
+    """
+    cols = cols or df.columns
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"__null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__dist_{c}"))
+        if dtypes[c].startswith(_NUMERIC):
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__min_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+    structs = []
+    for c in cols:
+        is_num = dtypes[c].startswith(_NUMERIC)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("n_rows"),
+                F.col(f"__null_{c}").alias("n_null"),
+                F.col(f"__dist_{c}").alias("n_distinct"),
+                (F.col(f"__min_{c}") if is_num else F.lit(None).cast("double")).alias(
+                    "min_value"
+                ),
+                (F.col(f"__max_{c}") if is_num else F.lit(None).cast("double")).alias(
+                    "max_value"
+                ),
+            )
+        )
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def key_skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Top-``top_n`` hottest keys with their row share: ``(key, n,
+    share_ppm, rank)``.
+
+    ``share_ppm`` is integer parts-per-million via BIGINT floor
+    division (Spark ``div`` == DuckDB ``//`` for non-negative operands
+    — a double division then cast would hit Spark-truncates vs
+    DuckDB-rounds).  One map-side-combined count per key, one 1-row
+    total broadcast, then a distributed sort-limit
+    (``TakeOrderedAndProject``) — the rank window only ever sees the
+    ``top_n`` surviving rows, so no global single-task window and the
+    input rows are never reshuffled.
+
+    Reading it: share_ppm x n_partitions >> 1e6 on your biggest key
+    means that key serializes onto one task — reach for
+    ``skew.salted_agg`` / ``salted_join`` or AQE skew split.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    top = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n",
+            F.expr("(n * 1000000) div _total").alias("share_ppm"),
+        )
+        .orderBy(F.col("n").desc(), F.col("key"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("key"))
+    return top.withColumn("rank", F.row_number().over(w))
