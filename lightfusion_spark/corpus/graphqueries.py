@@ -35,8 +35,9 @@ from .util import table
 _N_HOSTS = 60
 
 
-def _pagerank_oracle(iters: int, damping: str = "0.85") -> str:
-    """Unrolled fixed-iteration PageRank CTE chain (DuckDB).
+def _pagerank_ctes(iters: int, damping: str = "0.85"):
+    """Unrolled fixed-iteration PageRank CTE chain (DuckDB); returns
+    (cte_sql, final_rank_cte_name) so multiple query tails share it.
 
     Arithmetic contract shared with ``operators.webgraph.pagerank``:
     per-node contribution sums and the dangling mass are exact
@@ -82,12 +83,16 @@ def _pagerank_oracle(iters: int, damping: str = "0.85") -> str:
       FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
     )"""
         )
-    body = ",\n    ".join(parts)
+    return ",\n    ".join(parts), f"pr{iters}"
+
+
+def _pagerank_oracle(iters: int, damping: str = "0.85") -> str:
+    body, fin = _pagerank_ctes(iters, damping)
     return (
         body
         + f"""
     SELECT node AS host, CAST(FLOOR(rank * 1e9) AS BIGINT) AS rank_e9
-    FROM pr{iters}"""
+    FROM {fin}"""
     )
 
 
@@ -271,3 +276,101 @@ def pipe_url_blocklist(spark, sf_dir):
     return kept.groupBy(
         urltools.registrable_domain(urltools.url_host(F.col("url"))).alias("domain")
     ).agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def _rank_sample_oracle(iters: int = 5, base_rate: str = "0.5", seed: int = 7) -> str:
+    body, fin = _pagerank_ctes(iters)
+    return (
+        body
+        + f""",
+    nhosts AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nh FROM nodes),
+    rates AS (
+      SELECT node AS host,
+             ROUND(LEAST(CAST(1.0 AS DOUBLE),
+                         rank * (SELECT nh FROM nhosts) * CAST({base_rate} AS DOUBLE)),
+                   6) AS keep_rate
+      FROM {fin}
+    ),
+    docs AS (
+      SELECT doc_id, doc_id % {_N_HOSTS} AS host,
+             ROUND((CAST('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)),
+                                        1, 14) AS BIGINT)
+                    % 1000000) / CAST(1000000 AS DOUBLE), 6) AS u
+      FROM documents
+    )
+    SELECT r.host, r.keep_rate, COUNT(*) AS n_kept
+    FROM docs d JOIN rates r ON r.host = d.host
+    WHERE d.u < r.keep_rate
+    GROUP BY 1, 2"""
+    )
+
+
+@register(
+    "pipe_web_rank_sample",
+    oracle=_rank_sample_oracle(),
+    doc="PageRank as a curation prior (the RefinedWeb/CCNet shape: crawl "
+    "mass follows host quality): per-host keep threshold "
+    "round(least(1, rank*n*base_rate), 6) — mean rate stays base_rate, "
+    "rank only redistributes it — and a row survives iff the "
+    "deterministic mixture_sample hash-uniform u(doc_id, seed) falls "
+    "under its host's threshold.  n_hosts and the rates are broadcast "
+    "1-row/tiny relations; the corpus never reshuffles.  The oracle "
+    "replays the full 5-iteration rank chain AND the md5 uniform",
+)
+def pipe_web_rank_sample(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % _N_HOSTS).alias("host")
+    )
+    edges = (
+        d.select((F.col("host")).alias("src"))
+        .where((F.col("src") % 10) != 0)
+        .select(
+            "src", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k")
+        )
+        .select("src", ((F.col("src") * 7 + F.col("k")) % _N_HOSTS).alias("dst"))
+        .distinct()
+    )
+    ranks = webgraph.pagerank(edges, iterations=5)
+    kept = webgraph.rank_weighted_sample(
+        d, ranks, "host", "doc_id", base_rate=0.5, seed=7
+    )
+    return kept.groupBy("host", "keep_rate").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+
+
+@register(
+    "pipe_web_robots",
+    oracle=f"""
+    SELECT record_idx, target_uri
+    FROM read_parquet('{_WARC_EXPECTED}')
+    WHERE doc_id = -1
+       OR (doc_id >= 0 AND CAST(doc_id AS VARCHAR) NOT LIKE '1%')
+    """,
+    doc="robots.txt-aware page filtering over the raw crawl: the "
+    "fixture's real robots.txt record is PARSED (Disallow: /private — "
+    "host from the record's own URL) and a second synthetic rule "
+    "(example.com, /d/1) is unioned in so the filter demonstrably "
+    "drops pages (the 111 /d/1-prefixed docs) while the real rule "
+    "matches nothing and the 404 page survives.  Rules broadcast; the "
+    "anti-join is a map-side probe per page "
+    "(operators/urltools.py:parse_robots_rules/filter_robots_disallowed)",
+)
+def pipe_web_robots(spark, sf_dir):
+    from ..operators import ingest
+
+    recs = ingest.read_warc(spark, _WARC_FIXTURE)
+    robots = recs.where(
+        (F.col("warc_type") == "response")
+        & F.col("target_uri").endswith("/robots.txt")
+    ).select(
+        "target_uri", F.decode(F.col("payload"), "UTF-8").alias("body")
+    )
+    rules = urltools.parse_robots_rules(robots, "target_uri", "body").union(
+        spark.createDataFrame([("example.com", "/d/1")], "host string, prefix string")
+    )
+    pages = recs.where(
+        (F.col("warc_type") == "response")
+        & F.col("http_content_type").contains("text/html")
+    ).select("record_idx", "target_uri")
+    return urltools.filter_robots_disallowed(pages, "target_uri", rules)

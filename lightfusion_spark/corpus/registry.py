@@ -92,9 +92,7 @@ PRIORITY: list[str] = [
     # an in-window representative (see test_registry_window.py).
     "rel_distinct",
     "rel_join_left",
-    "rel_join_semi",
     "rel_agg_rollup",
-    "rel_grouping_sets",
     "rel_window_lag",
     "rel_sort_limit",
     "rel_set_intersect",
@@ -115,6 +113,8 @@ PRIORITY: list[str] = [
     "events_ohlc",
     "rel_profile_orders",
     "rel_skew_report",
+    "pipe_web_rank_sample",
+    "pipe_web_robots",
     # Category keepers with no r02/r03 sibling: generators (r4), UDTF (r5),
     # sketches (r6 — sole family member), Spark-4 SQL (r5).
     "rel_explode",

@@ -133,3 +133,48 @@ def filter_blocked_domains(
     return tagged.join(
         F.broadcast(bdf), tagged["_rdomain"] == bdf["domain"], how
     ).drop("_rdomain")
+
+
+def parse_robots_rules(
+    df: DataFrame, url_col: str, body_col: str
+) -> DataFrame:
+    """Extract ``(host, prefix)`` Disallow rules from robots.txt bodies.
+
+    One row per non-empty ``Disallow:`` line; the host comes from the
+    robots.txt's own URL.  Deliberate simplification (documented, like
+    the PSL approximation): user-agent sections are not distinguished —
+    every Disallow applies, the conservative reading a curation
+    pipeline wants.  ``Allow:`` precedence and wildcards are the
+    caller's extension point.  Pure JVM: split/explode/regexp.
+    """
+    body = F.col(body_col)
+    line = F.explode(F.split(body, "\n")).alias("_line")
+    prefix = F.trim(F.regexp_extract(F.col("_line"), r"(?i)^\s*Disallow\s*:\s*(\S+)", 1))
+    return (
+        df.select(url_host(F.col(url_col)).alias("host"), line)
+        .select("host", prefix.alias("prefix"))
+        .where(F.col("prefix") != "")
+        .distinct()
+    )
+
+
+def filter_robots_disallowed(
+    pages: DataFrame, url_col: str, rules: DataFrame
+) -> DataFrame:
+    """Drop pages whose path falls under a Disallow prefix for their
+    host.  ``rules`` is ``(host, prefix)`` (see
+    :func:`parse_robots_rules`) — small by nature (one robots.txt per
+    host), so the join side broadcasts: a map-side probe per page, no
+    corpus shuffle.
+    """
+    path = F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    tagged = pages.withColumn("_host", url_host(F.col(url_col))).withColumn(
+        "_path", path
+    )
+    r = rules.select(F.col("host").alias("_rhost"), F.col("prefix").alias("_rprefix"))
+    cond = (F.col("_host") == F.col("_rhost")) & F.col("_path").startswith(
+        F.col("_rprefix")
+    )
+    return tagged.join(F.broadcast(r), cond, "left_anti").drop("_host", "_path")

@@ -261,3 +261,49 @@ def pagerank_detailed(
             stacklevel=3,
         )
     return PRResult(ranks=ranks, iterations=done, converged=converged)
+
+
+def rank_weighted_sample(
+    docs: DataFrame,
+    ranks: DataFrame,
+    host_col: str,
+    id_col: str,
+    base_rate: float = 0.5,
+    seed: int = 0,
+) -> DataFrame:
+    """Sample documents with probability proportional to their host's
+    PageRank — the step that turns the rank into a curation prior
+    (RefinedWeb/CCNet-style: crawl mass follows host quality).
+
+    Per-host keep threshold = ``round(least(1, rank * n_hosts *
+    base_rate), 6)`` (mean rank is 1/n, so the MEAN rate is
+    ``base_rate`` and rank only redistributes it); a row survives iff
+    its deterministic ``u(id, seed)`` (the ``curation.mixture_sample``
+    hash-uniform — stable across re-runs and partitionings) falls
+    under its host's threshold.  ``n_hosts`` attaches as a broadcast
+    1-row relation; the ranks join broadcasts (hosts ≪ docs).
+
+    Returns the kept rows with ``(keep_rate, u)`` attached.
+    """
+    from .curation import _uniform
+
+    n = ranks.agg(F.count(F.lit(1)).cast("double").alias("_n_hosts"))
+    rates = (
+        ranks.crossJoin(F.broadcast(n))
+        .select(
+            F.col("node").alias(host_col),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("rank") * F.col("_n_hosts") * F.lit(base_rate),
+                ),
+                6,
+            ).alias("keep_rate"),
+        )
+    )
+    u = F.round(_uniform(id_col, seed), 6).alias("u")
+    return (
+        docs.join(F.broadcast(rates), host_col)
+        .withColumn("u", u)
+        .where(F.col("u") < F.col("keep_rate"))
+    )

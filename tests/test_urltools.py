@@ -77,3 +77,36 @@ def test_blocklist_filters_subdomains_via_registrable_domain(spark):
     assert sorted(r["id"] for r in only_bad.collect()) == [1, 2]
     # helper column must not leak into the output schema
     assert kept.columns == ["id", "url"]
+
+
+def test_parse_robots_rules_from_fixture(spark):
+    """The committed WARC archive's real robots.txt record must parse to
+    exactly its one Disallow rule."""
+    import os
+
+    from lightfusion_spark.operators import ingest
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    recs = ingest.read_warc(spark, os.path.join(repo, "data", "sample.warc.gz"))
+    robots = recs.where(
+        (F.col("warc_type") == "response")
+        & F.col("target_uri").endswith("/robots.txt")
+    ).select("target_uri", F.decode(F.col("payload"), "UTF-8").alias("body"))
+    rules = urltools.parse_robots_rules(robots, "target_uri", "body").collect()
+    assert [(r["host"], r["prefix"]) for r in rules] == [("example.com", "/private")]
+
+
+def test_robots_filter_is_host_scoped_and_prefix_based(spark):
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.com/private/x"),   # disallowed
+            (2, "https://a.com/public"),      # allowed
+            (3, "https://b.com/private/x"),   # other host: allowed
+            (4, "https://a.com/privateer"),   # prefix match: disallowed
+        ],
+        "id long, url string",
+    )
+    rules = spark.createDataFrame([("a.com", "/private")], "host string, prefix string")
+    kept = urltools.filter_robots_disallowed(pages, "url", rules)
+    assert sorted(r["id"] for r in kept.collect()) == [2, 3]
+    assert kept.columns == ["id", "url"]

@@ -127,3 +127,32 @@ def test_empty_edges(spark):
     e = spark.createDataFrame([], "src long, dst long")
     res = webgraph.pagerank_detailed(e, iterations=3)
     assert res.converged and res.ranks.count() == 0
+
+
+def test_rank_weighted_sample_redistributes_not_inflates(spark):
+    """Mean keep rate must stay ~base_rate while hot hosts get more:
+    everyone links to host 9, so host 9's keep_rate must be the max
+    and a rank-uniform graph would give exactly base_rate."""
+    edges = [(s, 9) for s in range(9)] + [(9, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    # converged ranks, not a fixed iteration count: the hub and its sole
+    # beneficiary form a near-2-cycle whose iterates alternate which one
+    # is ahead until the fixed point (where the hub wins).
+    ranks = webgraph.pagerank(e, iterations=None, tol=1e-10, max_iterations=200)
+    docs = spark.createDataFrame(
+        [(i, i % 10) for i in range(2000)], "doc_id long, host long"
+    )
+    # base_rate low enough that no host's rate hits the 1.0 cap (the
+    # hub's rank is ~0.47, so 0.4 would cap BOTH hub and its beneficiary)
+    kept = webgraph.rank_weighted_sample(docs, ranks, "host", "doc_id", base_rate=0.1)
+    rates = {
+        r["host"]: r["keep_rate"]
+        for r in kept.select("host", "keep_rate").distinct().collect()
+    }
+    assert max(rates, key=rates.get) == 9
+    assert all(0.0 < v <= 1.0 for v in rates.values())
+    # the hub keeps a larger share of its docs than any spoke
+    from collections import Counter
+
+    per_host = Counter(r["host"] for r in kept.collect())
+    assert per_host[9] == max(per_host.values())
