@@ -46,11 +46,13 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: Curated export order.  The driver's correctness gate evaluates only the
 #: FIRST 50 ``queries()`` entries (CORRECTNESS_r02 was exactly the first 50
 #: registered names), so the names below are emitted first.  Round-7
-#: rotation (two goals, per the round-6 verdict): (1) the 11 round-7
-#: operators (WARC ingestion, TF-IDF embedding + composed ANN, banded
-#: sign-LSH, trigram LM score/buckets, web link extraction + PageRank,
-#: URL canonicalization + blocklist) rotate IN — none has ever seen a
-#: driver window; (2) the queries whose latest official row is OLDEST
+#: rotation (two goals, per the round-6 verdict): (1) every round-7
+#: operator (WARC ingestion, TF-IDF embedding + composed ANN, banded
+#: sign-LSH, trigram LM score/buckets, web link extraction + PageRank +
+#: rank-weighted sampling + robots gate, URL canonicalization +
+#: blocklist, distributed BPE training, IVF-PQ + rerank, Z-order
+#: layout, gapfill/OHLC resampling, profiling/skew reports) rotates IN
+#: — none has ever seen a driver window; (2) the queries whose latest official row is OLDEST
 #: (r02/r03 — 54 queries pre-date the heavy dedup/similarity/text edits of
 #: rounds 4-6) take the remaining slots for fresh official rows.  All 46
 #: rotated-out queries are r5/r6-green and move to WINDOW_EXEMPT with their
