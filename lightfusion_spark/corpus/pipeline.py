@@ -1752,7 +1752,15 @@ _EMBED_SOURCE_CTE = (
 )
 def pipe_embed_ivf_topk(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
-    emb = text_ops.embed_text_tfidf(d, "doc_id", "text", dim=64)
+    # materialize the derived embeddings ONCE: the IVF k-means loop scans
+    # its corpus ~6x (seed + 2 Lloyd assignment/update rounds + the final
+    # assigns), and without this each scan re-ran the whole tokenize ->
+    # tf -> idf-join -> assemble pipeline (9.2 s -> 4.9 s at sf0.1,
+    # docs/PLANS.md round-7 A/B).  At 100 TB this is the "land embeddings
+    # to parquet first" note made executable.
+    emb = text_ops.embed_text_tfidf(d, "doc_id", "text", dim=64).localCheckpoint(
+        eager=True
+    )
     q = emb.where(F.col("doc_id") < 20)
     return similarity.topk_cosine_ivf_kmeans(
         emb, q, "doc_id", "embedding", n_centroids=8, n_iters=2, k=3

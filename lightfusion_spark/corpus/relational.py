@@ -1786,3 +1786,83 @@ def rel_skew_report(spark, sf_dir):
 
     ev = table(spark, sf_dir, "events")
     return key_skew_report(ev, "user_id", top_n=10)
+
+
+@register(
+    "rel_cdc_latest",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, epoch_us(ts) AS seq, event_id, event_type, value,
+             CASE WHEN value < 10 THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY seq DESC, event_id DESC) AS rn
+      FROM ch
+    )
+    SELECT user_id, seq, event_id, event_type, value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="CDC latest-wins upsert compaction (the Delta-MERGE shape from "
+    "one window): events as a change stream keyed by user with "
+    "(ts, event_id) ordering — the tiebreak kills the survivor-depends-"
+    "on-partitioning nondeterminism batch-grain CDC feeds have — and a "
+    "derived delete op that drops keys whose FINAL change is a delete "
+    "(operators/cdc.py:latest_snapshot).  Output partitioning = key "
+    "partitioning, reused by every downstream join",
+)
+def rel_cdc_latest(spark, sf_dir):
+    from ..operators.cdc import latest_snapshot
+    from ..streaming.events import ts_micros_col
+
+    ev = table(spark, sf_dir, "events")
+    ch = ev.select(
+        "user_id",
+        ts_micros_col(ev).alias("seq"),
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("value") < 10, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    return latest_snapshot(
+        ch, ["user_id"], "seq", op_col="op", tiebreak_cols=["event_id"]
+    ).select("user_id", "seq", "event_id", "event_type", "value")
+
+
+@register(
+    "rel_scd2_asof",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, epoch_us(ts) AS valid_from, event_id, value
+      FROM events
+    ),
+    iv AS (
+      SELECT user_id, valid_from, event_id, value,
+             LEAD(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from, event_id) AS valid_to
+      FROM ch
+    )
+    SELECT user_id, valid_from, valid_to, value
+    FROM iv
+    WHERE valid_from <= 1705276800000000
+      AND (valid_to IS NULL OR 1705276800000000 < valid_to)
+    """,
+    doc="SCD2 validity intervals + temporal AS-OF: each change becomes "
+    "[seq, next_seq) via lead over the key (operators/cdc.py:"
+    "scd2_intervals), and the 2024-01-15 snapshot is a PURE FILTER on "
+    "the intervals — partition-prunable, no as-of join.  One row per "
+    "user: the change in effect at the cut",
+)
+def rel_scd2_asof(spark, sf_dir):
+    from ..operators.cdc import scd2_intervals, snapshot_as_of
+    from ..streaming.events import ts_micros_col
+
+    ev = table(spark, sf_dir, "events")
+    ch = ev.select(
+        "user_id", ts_micros_col(ev).alias("seq"), "event_id", "value"
+    )
+    iv = scd2_intervals(ch, ["user_id"], "seq", tiebreak_cols=["event_id"])
+    return snapshot_as_of(iv, at=1_705_276_800_000_000).select(
+        "user_id", "valid_from", "valid_to", "value"
+    )

@@ -404,3 +404,46 @@ def events_ohlc(spark, sf_dir):
         bucket=day,
         tiebreak_col="event_id",
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+    s1 AS (
+      SELECT user_id, MIN(t) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT s1.user_id, s1.t1,
+             MIN(CASE WHEN e.t >= s1.t1 THEN e.t END) AS t2
+      FROM s1 LEFT JOIN ev e
+        ON e.user_id = s1.user_id AND e.event_type = 'click'
+      GROUP BY 1, 2
+    ),
+    s3 AS (
+      SELECT s2.user_id, s2.t1, s2.t2,
+             MIN(CASE WHEN e.t >= s2.t2 THEN e.t END) AS t3
+      FROM s2 LEFT JOIN ev e
+        ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(1 AS INTEGER) AS stage, 'view' AS stage_name, COUNT(t1) AS n_keys FROM s3
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'click', COUNT(t2) FROM s3
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), 'purchase', COUNT(t3) FROM s3
+    """,
+    doc="ordered funnel (view -> click -> purchase): stage i counts only "
+    "at-or-after the user's stage i-1 entry — the order constraint a "
+    "naive GROUP BY misses, and the key-loss trap (a user whose clicks "
+    "all precede their first view must SURVIVE with a broken funnel, "
+    "not vanish) is a conditional aggregation, not a filter "
+    "(operators/funnel.py).  Chain length = stage count, every step "
+    "key-partitioned",
+)
+def events_funnel(spark, sf_dir):
+    from ..operators.funnel import funnel_counts
+
+    ev = table(spark, sf_dir, "events")
+    src = ev.select("user_id", ts_micros_col(ev).alias("t"), "event_type")
+    return funnel_counts(src, "user_id", "t", "event_type", ["view", "click", "purchase"])

@@ -317,6 +317,86 @@ def banded_keys_expr(vec_col: str | Column, planes: np.ndarray, n_tables: int) -
     return F.array(*keys)
 
 
+def _banded_keys_gemm(
+    df: DataFrame,
+    id_col: str,
+    id_alias: str,
+    vec_col: str,
+    planes: np.ndarray,
+    n_tables: int,
+) -> DataFrame:
+    """GEMM form of :func:`banded_keys_expr`: ONE (batch x dim) @
+    (dim x n_planes) multiply per Arrow batch computes every sign bit,
+    then the per-table bit folds are two tiny integer matmuls —
+    replacing n_tables*r interpreted ``aggregate(zip_with(...))`` folds
+    per row (the ~0.9 ms/row higher-order-lambda trap measured for
+    ``_assign_inline``).  Sign agreement with the engines' sequential
+    dot: a flip needs |dot| within ~1 ulp of 0, which real-valued data
+    never hits (the ``_assign_gemm`` rounding-boundary argument, at a
+    sign boundary instead).  Emits the exploded (id, _key) relation the
+    candidate equi-join consumes.
+    """
+    import pandas as pd
+
+    r = len(planes) // n_tables
+    p_mat = np.asarray(planes, dtype=np.float64)
+    pow2 = (1 << np.arange(r, dtype=np.int64))
+    table_base = (np.arange(n_tables, dtype=np.int64) * (1 << r))
+
+    src = df.select(F.col(id_col).alias(id_alias), as_double(vec_col).alias("_v"))
+    id_sql = src.schema[id_alias].dataType.simpleString()
+    out_schema = f"`{id_alias}` {id_sql}, _key bigint"
+
+    def keys(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            bits = (v @ p_mat.T) > 0  # (n, n_tables*r)
+            folded = (
+                bits.reshape(len(v), n_tables, r).astype(np.int64) @ pow2
+            ) + table_base[None, :]
+            ids = pdf[id_alias].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_alias: np.repeat(ids, n_tables),
+                    "_key": folded.reshape(-1),
+                }
+            )
+
+    return src.mapInPandas(keys, out_schema)
+
+
+def _cosine_pairs_gemm(
+    pairs: DataFrame, a_col: str, b_col: str, round_digits: int
+) -> DataFrame:
+    """Row-wise cosine over joined vector pairs in ONE Arrow crossing
+    (vectorized einsum across the batch) — the scoring tail for
+    candidate-pair relations where each row carries its own two vectors.
+    Rounded before ranking, the repo-wide oracle-exactness discipline.
+    """
+    keep = [c for c in pairs.columns if c not in (a_col, b_col)]
+    fields = ", ".join(
+        f"`{c}` {pairs.schema[c].dataType.simpleString()}" for c in keep
+    )
+    out_schema = f"{fields}, cos_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.stack(pdf[a_col].to_numpy()).astype(np.float64)
+            b = np.stack(pdf[b_col].to_numpy()).astype(np.float64)
+            dots = np.einsum("ij,ij->i", a, b)
+            na = np.sqrt(np.einsum("ij,ij->i", a, a))
+            nb = np.sqrt(np.einsum("ij,ij->i", b, b))
+            out = pdf[keep].copy()
+            out["cos_sim"] = np.round(dots / (na * nb), round_digits)
+            yield out
+
+    return pairs.mapInPandas(score, out_schema)
+
+
 def topk_cosine_lsh_banded(
     corpus: DataFrame,
     queries: DataFrame,
@@ -348,14 +428,8 @@ def topk_cosine_lsh_banded(
     once per side, not once per table.  Output matches every other
     ``topk_cosine*``: (query_id, neighbor_id, rank, cos_sim).
     """
-    qk = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(banded_keys_expr(vec_col, planes, n_tables)).alias("_key"),
-    )
-    ck = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.explode(banded_keys_expr(vec_col, planes, n_tables)).alias("_key"),
-    )
+    qk = _banded_keys_gemm(queries, id_col, "query_id", vec_col, planes, n_tables)
+    ck = _banded_keys_gemm(corpus, id_col, "neighbor_id", vec_col, planes, n_tables)
     cand = (
         qk.join(ck, "_key")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -364,17 +438,15 @@ def topk_cosine_lsh_banded(
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
-    ).withColumn("_qn", F.sqrt(dot_expr(F.col("_qv"), F.col("_qv"))))
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cv")
-    ).withColumn("_cn", F.sqrt(dot_expr(F.col("_cv"), F.col("_cv"))))
-    scored = cand.join(q, "query_id").join(c, "neighbor_id").select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            dot_expr(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
-            round_digits,
-        ).alias("cos_sim"),
+    )
+    # both hot paths ride GEMM crossings (keys above, scoring here): the
+    # r6 expression form paid ~0.5 ms/row of interpreted zip_with folds,
+    # 14.7 s at sf0.1 — see the A/B in docs/PLANS.md.
+    scored = _cosine_pairs_gemm(
+        cand.join(q, "query_id").join(c, "neighbor_id"), "_qv", "_cv", round_digits
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
