@@ -338,6 +338,10 @@ def _banded_keys_gemm(
     """
     import pandas as pd
 
+    if len(planes) % n_tables != 0:
+        raise ValueError(
+            f"planes rows ({len(planes)}) must be divisible by n_tables ({n_tables})"
+        )
     r = len(planes) // n_tables
     p_mat = np.asarray(planes, dtype=np.float64)
     pow2 = (1 << np.arange(r, dtype=np.int64))
