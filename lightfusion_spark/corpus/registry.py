@@ -79,15 +79,12 @@ PRIORITY: list[str] = [
     # edited since — these are the rows judge spot-checks flagged as stale).
     "pipe_simhash_wide",
     "pipe_sim_ann_lsh",
-    "pipe_sim_lsh_multiprobe",
     "pipe_dedup_components",
     "pipe_dedup_survivors",
     "pipe_text_tokens",
     "pipe_text_fingerprint",
     "pipe_text_repetition",
     "pipe_text_pii",
-    "pipe_text_urls",
-    "pipe_pack_sequences",
     "pipe_mixture_sample",
     "pipe_shard_assign",
     # Oldest official rows: r02 rel_* — chosen so every §2.3 category keeps
@@ -117,6 +114,9 @@ PRIORITY: list[str] = [
     "rel_skew_report",
     "pipe_web_rank_sample",
     "pipe_web_robots",
+    "rel_cdc_latest",
+    "rel_scd2_asof",
+    "events_funnel",
     # Category keepers with no r02/r03 sibling: generators (r4), UDTF (r5),
     # sketches (r6 — sole family member), Spark-4 SQL (r5).
     "rel_explode",
@@ -173,6 +173,13 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "events_range_join",
         "udaf_mean_norm",
         "grouped_map_centroid",
+        # r03-green, displaced late in round 7 by the CDC/funnel additions;
+        # families stay repped by windowed siblings (ann_lsh for the LSH
+        # pair, tokens/fingerprint/repetition/pii for text, mixture/shard
+        # for curation packing).
+        "pipe_sim_lsh_multiprobe",
+        "pipe_text_urls",
+        "pipe_pack_sequences",
         # r4/r5-green, rotated out in earlier rounds; families still repped.
         "pipe_simhash_pairs",
         "pipe_sim_topk_quantized",
