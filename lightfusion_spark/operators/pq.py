@@ -120,6 +120,8 @@ def pq_train_codebook(
     saturates in thousands of rows (the FAISS guidance) while encode
     (below) still sweeps everything.
     """
+    import pandas as pd
+
     first = corpus.select(as_double(vec_col).alias("_v")).first()
     if first is None:
         return [[] for _ in range(m)]
@@ -127,27 +129,70 @@ def pq_train_codebook(
     if dim % m != 0:
         raise ValueError(f"pq: dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
+    # ONE seed job for all m subspaces (slice driver-side), then ONE
+    # corpus pass per Lloyd iteration that assigns EVERY subspace in the
+    # same Arrow crossing and feeds one (subspace, code, pos) aggregation
+    # — m x fewer corpus scans than the per-subspace loop this replaces
+    # (at 100 TB, m fewer crawls per iteration; at bench scale,
+    # job-overhead x m fewer round trips).
+    seeds = (
+        corpus.select(F.col(id_col), as_double(vec_col).alias("_v"))
+        .orderBy(id_col)
+        .limit(pq_k)
+        .collect()
+    )
+    books: list[list[tuple[int, list[float]]]] = [
+        [
+            (c, [float(x) for x in r["_v"][j * sub : (j + 1) * sub]])
+            for c, r in enumerate(seeds)
+        ]
+        for j in range(m)
+    ]
+    src = corpus.select(as_double(vec_col).alias("_v"))
     sum_col = F.expr("CAST(sum(FLOOR(_x * 1e9 + 0.5D)) AS DOUBLE) / 1e9")
-    books: list[list[tuple[int, list[float]]]] = []
-    for j in range(m):
-        sliced = corpus.select(
-            F.col(id_col),
-            F.slice(as_double(vec_col), j * sub + 1, sub).alias("_sv"),
+    for _ in range(n_iters):
+        mats = [np.array([v for _, v in pairs], dtype=np.float64) for pairs in books]
+        code_ids = [np.array([c for c, _ in pairs], dtype=np.int64) for pairs in books]
+        c_sqs = [np.einsum("ij,ij->i", cm, cm) for cm in mats]
+
+        def assign_all(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                frames = []
+                for j in range(m):
+                    vj = v[:, j * sub : (j + 1) * sub]
+                    xj_sq = np.einsum("ij,ij->i", vj, vj)
+                    d2 = np.round(
+                        xj_sq[:, None] - 2.0 * (vj @ mats[j].T) + c_sqs[j][None, :],
+                        round_digits,
+                    )
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "subspace": j,
+                                "code": code_ids[j][np.argmin(d2, axis=1)],
+                                "_sv": list(vj),
+                            }
+                        )
+                    )
+                yield pd.concat(frames, ignore_index=True)
+
+        assigned = src.mapInPandas(
+            assign_all, "subspace int, code bigint, _sv array<double>"
         )
-        seeds = sliced.orderBy(id_col).limit(pq_k).collect()
-        pairs = [(c, [float(x) for x in r["_sv"]]) for c, r in enumerate(seeds)]
-        for _ in range(n_iters):
-            assigned = _assign_l2_gemm(sliced, pairs, id_col, "_sv", round_digits)
-            sums = (
-                assigned.select("code", F.posexplode("_v").alias("_pos", "_x"))
-                .groupBy("code", "_pos")
-                .agg(sum_col.alias("_s"), F.count(F.lit(1)).alias("_n"))
+        sums = (
+            assigned.select("subspace", "code", F.posexplode("_sv").alias("_pos", "_x"))
+            .groupBy("subspace", "code", "_pos")
+            .agg(sum_col.alias("_s"), F.count(F.lit(1)).alias("_n"))
+        )
+        accs: list[dict[int, list[float]]] = [{} for _ in range(m)]
+        for r in sums.collect():
+            accs[r["subspace"]].setdefault(r["code"], [0.0] * sub)[r["_pos"]] = (
+                r["_s"] / r["_n"]
             )
-            acc: dict[int, list[float]] = {}
-            for r in sums.collect():
-                acc.setdefault(r["code"], [0.0] * sub)[r["_pos"]] = r["_s"] / r["_n"]
-            pairs = sorted(acc.items())
-        books.append(pairs)
+        books = [sorted(acc.items()) for acc in accs]
     return books
 
 
