@@ -2370,6 +2370,7 @@ def _ivf_pq_oracle(
     pq_iters: int,
     k: int,
     rerank_depth: int | None = None,
+    nprobe: int = 1,
 ) -> str:
     """DuckDB replay of operators/pq.py:topk_cosine_ivf_pq — the coarse
     k-means chain (shared generator) PLUS, per subspace, an L2 Lloyd
@@ -2440,9 +2441,28 @@ def _ivf_pq_oracle(
     book_joins = " ".join(
         f"JOIN p{j}c{pq_iters} b{j} ON b{j}.code = cd.code{j}" for j in range(m)
     )
+    ci_books = f"c{coarse_iters}"
+    if nprobe == 1:
+        qa = f"qa AS (SELECT * FROM {fin} WHERE vec_id < 20)"
+    else:
+        # re-rank queries against the TRAINED coarse centroids and keep
+        # the nprobe nearest cells — the Spark side's stable-argsort
+        # tiebreak is the same (score DESC, centroid_id).
+        qa = f"""qr AS (
+      SELECT e.vec_id, e.v, c.centroid_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(list_inner_product(e.v, c.cent)
+                        / (sqrt(list_inner_product(e.v, e.v))
+                           * sqrt(list_inner_product(c.cent, c.cent))), 6) DESC,
+                        c.centroid_id) AS rn
+      FROM e CROSS JOIN {ci_books} c
+      WHERE e.vec_id < 20
+    ),
+    qa AS (SELECT vec_id, v, centroid_id FROM qr WHERE rn <= {nprobe})"""
     head = f"""
     WITH {', '.join(ctes)},
-    qa AS (SELECT * FROM {fin} WHERE vec_id < 20),
+    {qa},
     scored AS (
       SELECT qa.vec_id AS query_id, c.vec_id AS neighbor_id,
              qa.v AS qv, c.v AS cv,
@@ -2576,3 +2596,29 @@ def pipe_layout_zorder(spark, sf_dir):
         bits=10,
     )
     return o.select("o_orderkey", key.alias("zkey"))
+
+
+@register(
+    "pipe_sim_ivf_pq_probe2",
+    oracle=_ivf_pq_oracle(
+        n_centroids=8, coarse_iters=2, dim=64, m=4, pq_k=16, pq_iters=2,
+        k=3, rerank_depth=10, nprobe=2,
+    ),
+    doc="the full production ANN config — IVF-PQ+R with nprobe=2: each "
+    "query probes its two nearest trained cells (recall knob), the "
+    "4-byte ADC code shortlists depth-10 over the doubled candidate "
+    "set, exact cosine re-ranks the shortlist.  Candidates stay an "
+    "equi-join (a neighbor lives in one cell; no dedup pass); the "
+    "oracle adds the query-side rn<=2 cell ranking to the full PQ "
+    "replay",
+)
+def pipe_sim_ivf_pq_probe2(spark, sf_dir):
+    from ..operators import pq
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return pq.topk_cosine_ivf_pq(
+        e, q, "vec_id", "embedding",
+        n_centroids=8, coarse_iters=2, m=4, pq_k=16, pq_iters=2, k=3,
+        rerank_depth=10, nprobe=2,
+    )

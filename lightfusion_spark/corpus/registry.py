@@ -84,7 +84,6 @@ PRIORITY: list[str] = [
     "pipe_text_tokens",
     "pipe_text_fingerprint",
     "pipe_text_repetition",
-    "pipe_text_pii",
     "pipe_mixture_sample",
     "pipe_shard_assign",
     # Oldest official rows: r02 rel_* — chosen so every §2.3 category keeps
@@ -107,6 +106,7 @@ PRIORITY: list[str] = [
     "pipe_bpe_train",
     "pipe_sim_ivf_pq",
     "pipe_sim_ivf_pq_rerank",
+    "pipe_sim_ivf_pq_probe2",
     "pipe_layout_zorder",
     "events_gapfill",
     "events_ohlc",
@@ -179,6 +179,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         # for curation packing).
         "pipe_sim_lsh_multiprobe",
         "pipe_text_urls",
+        "pipe_text_pii",
         "pipe_pack_sequences",
         # r4/r5-green, rotated out in earlier rounds; families still repped.
         "pipe_simhash_pairs",

@@ -37,6 +37,7 @@ from pyspark.sql.window import Window
 from .similarity import (
     as_double,
     assign_to_centroids,
+    assign_topn_centroids,
     dot_expr,
     kmeans_centroids,
     planes_lit,
@@ -283,6 +284,7 @@ def topk_cosine_ivf_pq(
     k: int = 3,
     round_digits: int = 6,
     rerank_depth: int | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-PQ search: k-means coarse cells prune candidates, PQ codes
     prune bytes, ADC scores the survivors.
@@ -314,7 +316,16 @@ def topk_cosine_ivf_pq(
     c_codes = pq_encode(
         c_assign, codebook, id_col, "_v", round_digits, keep_cols=["centroid_id"]
     )
-    q_assign = assign_to_centroids(queries, cents, id_col, vec_col, round_digits)
+    # nprobe > 1: the query probes its n nearest cells (the IVF recall
+    # knob) — candidates stay an equi-join; a neighbor lives in exactly
+    # one cell, so no dedup pass is needed.
+    q_assign = (
+        assign_to_centroids(queries, cents, id_col, vec_col, round_digits)
+        if nprobe == 1
+        else assign_topn_centroids(
+            queries, cents, id_col, vec_col, nprobe, round_digits
+        )
+    )
 
     q = q_assign.select(
         F.col(id_col).alias("query_id"), F.col("_v").alias("_qv"), "centroid_id"
