@@ -89,3 +89,59 @@ def snapshot_as_of(
         (F.col(from_col) <= F.lit(at))
         & (F.col(end_col).isNull() | (F.lit(at) < F.col(end_col)))
     )
+
+
+def merge_into_state(
+    state_dir: str,
+    batch_df: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str | None = None,
+    delete_op: str = "D",
+    tiebreak_cols: list[str] | None = None,
+) -> None:
+    """One CDC merge cycle against a parquet state directory: read the
+    previous snapshot (if any), union the arriving batch, re-compact
+    with :func:`latest_snapshot`, and atomically-enough replace the
+    state (the result is pinned with ``localCheckpoint`` BEFORE the
+    overwrite, so the lazy read of the directory being replaced can
+    never feed its own overwrite).
+
+    This is the ``foreachBatch`` body for a maintained upsert store —
+    paired with a checkpointed ``writeStream`` it is idempotent under
+    micro-batch replay because compaction is deterministic ((seq,
+    tiebreak) total order) and the overwrite is whole-snapshot.  A
+    production deployment swaps this for a transactional table format's
+    MERGE (Delta/Iceberg); the compaction semantics — and the tests —
+    stay identical.
+
+    Deletes are kept as TOMBSTONES in the stored state (only the
+    (seq, tiebreak) winner per key is stored, whatever its op): if the
+    delete row itself were dropped at merge time, a later micro-batch
+    carrying an OLDER change for that key would resurrect it.  Read the
+    live view back with :func:`read_state`, which filters tombstones.
+    """
+    spark = batch_df.sparkSession
+    try:
+        prev = spark.read.parquet(state_dir)
+        merged = prev.unionByName(batch_df)
+    except Exception:  # first batch: no state yet
+        merged = batch_df
+    snap = latest_snapshot(
+        merged, key_cols, seq_col, op_col=None, tiebreak_cols=tiebreak_cols
+    ).localCheckpoint(eager=True)
+    snap.write.mode("overwrite").parquet(state_dir)
+
+
+def read_state(
+    spark,
+    state_dir: str,
+    op_col: str | None = None,
+    delete_op: str = "D",
+) -> DataFrame:
+    """The live view of a :func:`merge_into_state` store: the stored
+    per-key winners with delete tombstones filtered out."""
+    state = spark.read.parquet(state_dir)
+    if op_col is not None:
+        state = state.where(F.col(op_col) != delete_op)
+    return state

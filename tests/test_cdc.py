@@ -61,3 +61,76 @@ def test_scd2_current_marker(spark):
     )
     opens = [r for r in iv.collect() if r["valid_to"] == 999]
     assert {r["k"] for r in opens} == {"k1", "k2", "k3"}
+
+
+def test_streaming_upsert_state_matches_batch(spark, tmp_path):
+    """The streaming face: micro-batches merged into a parquet state dir
+    via merge_into_state inside foreachBatch must end at EXACTLY the
+    batch-mode latest_snapshot of the full change set — regardless of
+    how the changes were split into batches."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("seq"),
+        "event_id",
+        "value",
+        F.when(F.col("value") < 10, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    expected = sorted(
+        tuple(r)
+        for r in cdc.latest_snapshot(
+            ev, ["user_id"], "seq", op_col="op", tiebreak_cols=["event_id"]
+        ).collect()
+    )
+
+    # split the change set into two files so availableNow runs >1 batch
+    src_dir = str(tmp_path / "changes")
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src_dir)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src_dir)
+    state_dir = str(tmp_path / "state")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, epoch: cdc.merge_into_state(
+                state_dir, batch, ["user_id"], "seq",
+                op_col="op", tiebreak_cols=["event_id"],
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r)
+        for r in cdc.read_state(spark, state_dir, op_col="op").collect()
+    )
+    assert got == expected and len(got) > 0
+
+
+def test_streaming_merge_tombstones_block_resurrection(spark, tmp_path):
+    """A delete arriving in an early batch must not be resurrected by a
+    LATER batch carrying an OLDER change for the same key — the reason
+    merge_into_state stores tombstones instead of dropping deletes."""
+    state_dir = str(tmp_path / "state_ts")
+    b1 = spark.createDataFrame(
+        [("k", 5, 1, "D", None), ("other", 1, 2, "U", 7.0)],
+        "k string, seq long, tb long, op string, v double",
+    )
+    b2 = spark.createDataFrame(
+        [("k", 3, 3, "U", 99.0)],  # older than the delete
+        "k string, seq long, tb long, op string, v double",
+    )
+    for b in (b1, b2):
+        cdc.merge_into_state(state_dir, b, ["k"], "seq", op_col="op", tiebreak_cols=["tb"])
+    live = {r["k"]: r["v"] for r in cdc.read_state(spark, state_dir, op_col="op").collect()}
+    assert live == {"other": 7.0}  # k stays dead
