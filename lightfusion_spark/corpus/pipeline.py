@@ -2622,3 +2622,38 @@ def pipe_sim_ivf_pq_probe2(spark, sf_dir):
         n_centroids=8, coarse_iters=2, m=4, pq_k=16, pq_iters=2, k=3,
         rerank_depth=10, nprobe=2,
     )
+
+
+@register(
+    "pipe_corpus_health",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, source, text,
+                      string_split_regex(lower(text), '\s+') AS toks,
+                      md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+               FROM documents),
+    f AS (SELECT source, fp,
+            (LEN(toks) BETWEEN 10 AND 100000
+             AND CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE)
+                 / LEN(toks) BETWEEN 2 AND 12
+             AND CAST(LEN(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                 / LENGTH(text) <= 0.2) AS keep
+          FROM t)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT fp) AS dup_surplus,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS retention
+    FROM f GROUP BY source
+    """,
+    doc="the per-source corpus health dashboard (daily-report shape): "
+    "exact-dup overhang via distinct normalized fingerprints + the "
+    "Gopher-gate retention, ONE narrow projection + ONE groupBy(source) "
+    "(operators/curation.py:corpus_health_report).  Composes the "
+    "fingerprint and quality operators the way an operator actually "
+    "monitors a 100 TB corpus",
+)
+def pipe_corpus_health(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return curation.corpus_health_report(d, "doc_id", "text")
