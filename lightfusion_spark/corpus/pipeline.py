@@ -2657,3 +2657,59 @@ def pipe_sim_ivf_pq_probe2(spark, sf_dir):
 def pipe_corpus_health(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     return curation.corpus_health_report(d, "doc_id", "text")
+
+
+def _hard_negatives_oracle(n_centroids: int, n_iters: int, dim: int, k: int) -> str:
+    ctes, fin = _kmeans_assign_ctes(n_centroids, n_iters, dim)
+    return f"""
+    WITH {', '.join(ctes)},
+    p AS (SELECT vec_id AS query_id, vec_id + 100 AS positive_id
+          FROM embeddings WHERE vec_id < 15),
+    qa AS (SELECT a.* FROM {fin} a JOIN p ON p.query_id = a.vec_id),
+    scored AS (
+      SELECT qa.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_inner_product(qa.v, c.v)
+                   / (sqrt(list_inner_product(qa.v, qa.v))
+                      * sqrt(list_inner_product(c.v, c.v))), 6) AS cos_sim
+      FROM qa JOIN {fin} c
+        ON qa.centroid_id = c.centroid_id AND qa.vec_id <> c.vec_id
+    ),
+    hits AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored) t
+      WHERE rn <= {k + 1}
+    )
+    SELECT query_id, positive_id, neighbor_id AS negative_id,
+           CAST(rn2 AS INTEGER) AS rank, cos_sim FROM (
+      SELECT h.query_id, p.positive_id, h.neighbor_id, h.cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY h.query_id, p.positive_id
+                                ORDER BY h.cos_sim DESC, h.neighbor_id) AS rn2
+      FROM hits h JOIN p ON p.query_id = h.query_id
+      WHERE h.neighbor_id <> p.positive_id) t
+    WHERE rn2 <= {k}
+    """
+
+
+@register(
+    "pipe_hard_negatives",
+    oracle=_hard_negatives_oracle(n_centroids=8, n_iters=2, dim=64, k=3),
+    doc="hard-negative mining for contrastive training (the DPR/SimCSE "
+    "recipe: random negatives are too easy): for each (query, positive) "
+    "pair, the top-3 corpus items most similar to the query that are "
+    "neither the query nor its positive.  Rides the IVF scale path — "
+    "k-means cell equi-join candidates, k+1 deep search, broadcast "
+    "pairs relation for the exclusion — never a cross product "
+    "(operators/similarity.py:hard_negatives).  Full k-means + search + "
+    "exclusion + re-rank replayed in one oracle",
+)
+def pipe_hard_negatives(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    pairs = e.where(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("vec_id") + 100).alias("positive_id"),
+    )
+    return similarity.hard_negatives(
+        e, pairs, "vec_id", "embedding", k=3, n_centroids=8, n_iters=2
+    )

@@ -1237,3 +1237,55 @@ def recall_report(
             F.sum(per_q_recall).cast("double") / F.count(F.lit(1)), 6
         ).alias("macro_recall"),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_col: str = "query_id",
+    positive_col: str = "positive_id",
+    k: int = 3,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each
+    (query, positive) pair, the ``k`` corpus items most similar to the
+    query that are NOT the query and NOT its positive — the negatives
+    that actually move an embedding model (random negatives are too
+    easy; see DPR/SimCSE practice).
+
+    Built on the IVF scale path: candidates come from the k-means cell
+    equi-join (never a cross product); the positive is excluded by an
+    id comparison after the pairs relation (small — one row per
+    training pair) broadcasts onto the query side.  Output:
+    ``(query_id, positive_id, negative_id, rank, cos_sim)``.
+    """
+    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, n_iters, round_digits)
+    queries = corpus.join(
+        F.broadcast(pairs.select(F.col(query_col).alias(id_col))), id_col, "left_semi"
+    )
+    hits = _ivf_search(corpus, queries, cents, id_col, vec_col, k + 1, round_digits)
+    p = pairs.select(
+        F.col(query_col).alias("query_id"), F.col(positive_col).alias("positive_id")
+    )
+    negs = (
+        hits.join(F.broadcast(p), "query_id")
+        .where(F.col("neighbor_id") != F.col("positive_id"))
+    )
+    w = Window.partitionBy("query_id", "positive_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        negs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "positive_id",
+            F.col("neighbor_id").alias("negative_id"),
+            "rank",
+            "cos_sim",
+        )
+    )

@@ -256,3 +256,28 @@ def test_banded_lsh_beats_single_table_recall(spark):
     rs = similarity.recall_report(single, exact, 3).collect()[0]
     assert float(rb["micro_recall"]) > float(rs["micro_recall"])
     assert float(rb["micro_recall"]) >= 0.5
+
+
+def test_hard_negatives_excludes_self_and_positive(spark):
+    """The mined negatives must never contain the query itself or its
+    declared positive, and ranks must stay dense after the exclusion."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3)], "query_id long, positive_id long"
+    )
+    out = similarity.hard_negatives(
+        e, pairs, "vec_id", "embedding", k=3, n_centroids=2, n_iters=1
+    ).collect()
+    assert out
+    for r in out:
+        assert r["negative_id"] != r["query_id"]
+        assert r["negative_id"] != r["positive_id"]
+    by_q = {}
+    for r in out:
+        by_q.setdefault((r["query_id"], r["positive_id"]), []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))  # dense
