@@ -81,7 +81,6 @@ PRIORITY: list[str] = [
     "pipe_sim_ann_lsh",
     "pipe_dedup_components",
     "pipe_dedup_survivors",
-    "pipe_text_tokens",
     "pipe_mixture_sample",
     "pipe_shard_assign",
     # Oldest official rows: r02 rel_* — chosen so every §2.3 category keeps
@@ -107,6 +106,7 @@ PRIORITY: list[str] = [
     "pipe_sim_ivf_pq_probe2",
     "pipe_corpus_health",
     "pipe_hard_negatives",
+    "rel_histogram",
     "pipe_layout_zorder",
     "events_gapfill",
     "events_ohlc",
@@ -180,6 +180,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_sim_lsh_multiprobe",
         "pipe_text_urls",
         "pipe_text_pii",
+        "pipe_text_tokens",
         "pipe_text_fingerprint",
         "pipe_text_repetition",
         "pipe_pack_sequences",

@@ -1866,3 +1866,36 @@ def rel_scd2_asof(spark, sf_dir):
     return snapshot_as_of(iv, at=1_705_276_800_000_000).select(
         "user_id", "valid_from", "valid_to", "value"
     )
+
+
+@register(
+    "rel_histogram",
+    oracle="""
+    WITH s AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
+                      MAX(CAST(l_extendedprice AS DOUBLE)) AS hi
+               FROM lineitem),
+    b AS (
+      SELECT CAST(LEAST(15, FLOOR((CAST(l_extendedprice AS DOUBLE) - s.lo)
+                                  / ((s.hi - s.lo) / 16))) AS BIGINT) AS bin
+      FROM lineitem, s
+      WHERE l_extendedprice IS NOT NULL
+    ),
+    c AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY 1),
+    g AS (SELECT unnest(range(0, 16)) AS bin)
+    SELECT g.bin,
+           s.lo + g.bin * ((s.hi - s.lo) / 16) AS bin_lo,
+           COALESCE(c.n, 0) AS n_rows
+    FROM g CROSS JOIN s LEFT JOIN c ON c.bin = g.bin
+    """,
+    doc="fixed-width histogram with empty bins PRESENT (a chart with "
+    "silently-missing bars misleads): data-derived [min,max] as a "
+    "broadcast 1-row relation, pure row arithmetic for the bin index "
+    "(max folds into the last bin), sequence/explode spine "
+    "(operators/profile.py:histogram).  16 bins over "
+    "lineitem.l_extendedprice",
+)
+def rel_histogram(spark, sf_dir):
+    from ..operators.profile import histogram
+
+    li = table(spark, sf_dir, "lineitem")
+    return histogram(li, "l_extendedprice", bins=16)

@@ -93,3 +93,58 @@ def key_skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
     )
     w = Window.orderBy(F.col("n").desc(), F.col("key"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def histogram(
+    df: DataFrame, col: str, bins: int = 16
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: ``(bin, bin_lo, n_rows)``
+    with EMPTY BINS PRESENT (a monitoring chart with silently-missing
+    bars misleads).
+
+    Data-derived [min, max] attaches as a broadcast 1-row relation, the
+    bin index is pure row arithmetic (``least(bins-1, floor((x-lo)/w))``
+    — the max value folds into the last bin), and the bin spine is a
+    ``sequence``/``explode`` left join.  One aggregation total; no
+    driver round-trip.
+    """
+    if bins < 1:
+        raise ValueError(f"histogram: bins must be >= 1, got {bins}")
+    x = F.col(col).cast("double")
+    stats = df.agg(
+        F.min(x).alias("_lo"), F.max(x).alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    binned = (
+        df.where(x.isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor((x - F.col("_lo")) / width),
+                )
+            )
+            .cast("bigint")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    spine = (
+        stats.select(
+            F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"),
+            "_lo",
+            "_hi",
+        )
+        .select(
+            "bin",
+            (F.col("_lo") + F.col("bin") * ((F.col("_hi") - F.col("_lo")) / F.lit(float(bins))))
+            .alias("bin_lo"),
+        )
+    )
+    return (
+        spine.join(binned, "bin", "left")
+        .select("bin", "bin_lo", F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"))
+    )

@@ -37,3 +37,29 @@ def test_skew_report_tie_breaks_on_key(spark):
     df = spark.createDataFrame([("b",), ("a",), ("c",)], "k string")
     rows = profile.key_skew_report(df, "k", top_n=3).collect()
     assert [r["key"] for r in rows] == ["a", "b", "c"]
+
+
+def test_histogram_empty_bins_present_and_max_folds(spark):
+    df = spark.createDataFrame(
+        [(0.0,), (1.0,), (1.0,), (4.0,), (None,)], "x double"
+    )
+    rows = {r["bin"]: (r["bin_lo"], r["n_rows"]) for r in
+            profile.histogram(df, "x", bins=4).collect()}
+    # width 1.0; bins 0..3; max value 4.0 folds into bin 3; NULL ignored
+    assert rows == {
+        0: (0.0, 1), 1: (1.0, 2), 2: (2.0, 0), 3: (3.0, 1),
+    }
+
+
+def test_histogram_constant_column(spark):
+    df = spark.createDataFrame([(7.0,)] * 5, "x double")
+    rows = {r["bin"]: r["n_rows"] for r in profile.histogram(df, "x", bins=3).collect()}
+    assert rows == {0: 5, 1: 0, 2: 0}  # degenerate range: all in bin 0
+
+
+def test_histogram_rejects_bad_bins(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="bins"):
+        profile.histogram(df, "x", bins=0)
