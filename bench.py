@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "pipe_web_pagerank",
     "pipe_web_links",
     "pipe_sim_ivf_pq_rerank",
+    "events_gapfill",
+    "pipe_corpus_health",
 ]
 
 
