@@ -2713,3 +2713,45 @@ def pipe_hard_negatives(spark, sf_dir):
     return similarity.hard_negatives(
         e, pairs, "vec_id", "embedding", k=3, n_centroids=8, n_iters=2
     )
+
+
+@register(
+    "pipe_mixture_temperature",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             ROUND((CAST('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)),
+                                        1, 14) AS BIGINT)
+                    % 1000000) / CAST(1000000 AS DOUBLE), 6) AS u
+      FROM documents
+    ),
+    c AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS st FROM t GROUP BY 1),
+    tt AS (SELECT CAST(SUM(st) AS BIGINT) AS tot FROM c),
+    w AS (SELECT source, st,
+                 ROUND(POWER(CAST(st AS DOUBLE) / tot, 0.5), 6) AS w
+          FROM c, tt),
+    ws AS (SELECT CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS wsum FROM w),
+    r AS (SELECT source,
+                 ROUND(LEAST(CAST(1.0 AS DOUBLE),
+                             (w / wsum) * 200000 / st), 6) AS sample_rate
+          FROM w, ws)
+    SELECT t.doc_id, t.source, r.sample_rate, t.u
+    FROM t JOIN r ON r.source = t.source
+    WHERE t.u < r.sample_rate
+    """,
+    doc="temperature-based mixture reweighting (the XLM-R/mT5 knob): "
+    "target shares DERIVED from the data — q_i ∝ p_i^(1/T) over "
+    "observed token shares (T=2 here), so low-resource sources boost "
+    "without a hand-tuned share table.  The transcendental p^alpha is "
+    "rounded to 6 digits before DECIMAL-exact normalization (the "
+    "registry's libm discipline); keep rule and hash-uniform identical "
+    "to pipe_mixture_sample (operators/curation.py:"
+    "temperature_mixture_sample)",
+)
+def pipe_mixture_temperature(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    kept = curation.temperature_mixture_sample(
+        d, "source", "doc_id", "n_chars", temperature=2.0,
+        token_budget=200_000, seed=11,
+    )
+    return kept.select("doc_id", "source", "sample_rate", "u")

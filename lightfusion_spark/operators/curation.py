@@ -387,3 +387,71 @@ def corpus_health_report(
             F.round(F.col("n_kept") / F.col("n_docs"), 6).alias("retention"),
         )
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    token_col,
+    temperature: float,
+    token_budget: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based mixture reweighting (the XLM-R/mT5 pretraining
+    knob): target shares are DERIVED from the data instead of handed in
+    — ``q_i ∝ p_i^(1/T)`` over the observed token shares ``p_i``, so
+    ``T=1`` keeps the natural mixture, ``T→∞`` approaches uniform, and
+    low-resource strata get boosted without anyone hand-tuning a share
+    table.
+
+    Shapes and determinism follow :func:`mixture_sample` exactly: one
+    tiny per-stratum aggregation, rates broadcast back, keep iff the
+    hash-uniform ``u(id, seed)`` falls under the stratum rate.  The
+    ``p^(1/T)`` power is transcendental, so it is ROUNDed to 6 digits
+    before normalization (the registry's libm discipline); shares and
+    the normalizer are exact-DECIMAL sums.  No upsampling: rates cap
+    at 1.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    alpha = 1.0 / temperature
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    base = df.withColumn("_tok", tok.cast("bigint"))
+    counts = base.groupBy(strata_col).agg(F.sum("_tok").alias("_stratum_tokens"))
+    total = counts.agg(F.sum("_stratum_tokens").alias("_total_tokens"))
+    weighted = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "_w",
+            F.round(
+                F.pow(F.col("_stratum_tokens") / F.col("_total_tokens"), F.lit(alpha)),
+                6,
+            ),
+        )
+    )
+    wsum = weighted.agg(
+        F.sum(F.col("_w").cast("decimal(28,6)")).cast("double").alias("_wsum")
+    )
+    rates = (
+        weighted.crossJoin(F.broadcast(wsum))
+        .select(
+            F.col(strata_col),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.col("_w") / F.col("_wsum"))
+                    * token_budget
+                    / F.col("_stratum_tokens"),
+                ),
+                6,
+            ).alias("sample_rate"),
+        )
+    )
+    u = F.round(_uniform(id_col, seed), 6).alias("u")
+    return (
+        base.join(F.broadcast(rates), strata_col)
+        .withColumn("u", u)
+        .where(F.col("u") < F.col("sample_rate"))
+        .drop("_tok")
+    )

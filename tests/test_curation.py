@@ -183,3 +183,37 @@ def test_quality_model_filter(spark):
     # the punctuation-soup doc must score lower than the clean one
     assert out[2]["p_keep"] < out[1]["p_keep"]
     assert all((r["keep"] == (r["p_keep"] >= 0.5)) for r in out.values())
+
+
+def test_temperature_mixture_boosts_low_resource(spark):
+    """T>1 must give the small stratum a HIGHER sampling rate than the
+    natural mixture would, while T=1 reproduces the natural shares, and
+    rates never exceed 1 (no upsampling)."""
+    import pytest
+
+    from lightfusion_spark.operators import curation
+
+    rows = [(i, "big", 100) for i in range(90)] + [
+        (i + 1000, "small", 100) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+    def rates(t):
+        kept = curation.temperature_mixture_sample(
+            df, "source", "doc_id", "n_chars", temperature=t, token_budget=5000
+        )
+        return {
+            r["source"]: r["sample_rate"]
+            for r in kept.select("source", "sample_rate").distinct().collect()
+        }
+
+    r1, r5 = rates(1.0), rates(5.0)
+    # T=1: q == p, so every stratum gets the SAME rate (budget/total)
+    assert r1["big"] == pytest.approx(r1["small"], abs=2e-6)
+    # T=5 boosts the small stratum's rate above the big one's
+    assert r5["small"] > r5["big"]
+    assert all(0 < v <= 1.0 for v in r5.values())
+    with pytest.raises(ValueError, match="temperature"):
+        curation.temperature_mixture_sample(
+            df, "source", "doc_id", "n_chars", temperature=0.0, token_budget=5000
+        )
