@@ -2755,3 +2755,42 @@ def pipe_mixture_temperature(spark, sf_dir):
         token_budget=200_000, seed=11,
     )
     return kept.select("doc_id", "source", "sample_rate", "u")
+
+
+@register(
+    "pipe_multimodal_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 13 AS BIGINT) AS w,
+             CAST(3 + doc_id % 7 AS BIGINT) AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+             ((g1.oi * d.h) // 3) * d.w + ((g2.oj * d.w) // 3) AS pidx
+      FROM dims d
+      CROSS JOIN (SELECT unnest(range(0, 3)) AS oi) g1
+      CROSS JOIN (SELECT unnest(range(0, 3)) AS oj) g2
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(SUM((doc_id * 31 + 3 * pidx) % 256) AS DOUBLE) / 9 AS mean_r,
+           CAST(SUM((doc_id * 31 + 3 * pidx + 1) % 256) AS DOUBLE) / 9 AS mean_g,
+           CAST(SUM((doc_id * 31 + 3 * pidx + 2) % 256) AS DOUBLE) / 9 AS mean_b
+    FROM px GROUP BY 1, 2, 3, 4
+    """,
+    doc="REAL image resize after REAL decode (the thumbnail / model-"
+    "input-prep step): PPM/BMP payloads -> pure-Python decode -> "
+    "nearest-neighbor resize to 3x3 (integer-exact source mapping "
+    "(i*h)//3) -> exact channel means of the RESIZED pixels.  The "
+    "oracle replays pixel formula + resize index arithmetic + the "
+    "9-pixel sums analytically — a wrong resize index breaks the hash "
+    "(operators/multimodal.py:resize_media)",
+)
+def pipe_multimodal_resize(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    payload = multimodal.synthesize_media(d, "doc_id")
+    return multimodal.resize_media(payload, "doc_id", out_h=3, out_w=3)

@@ -81,7 +81,6 @@ PRIORITY: list[str] = [
     "pipe_sim_ann_lsh",
     "pipe_dedup_components",
     "pipe_dedup_survivors",
-    "pipe_shard_assign",
     # Oldest official rows: r02 rel_* — chosen so every §2.3 category keeps
     # an in-window representative (see test_registry_window.py).
     "rel_distinct",
@@ -107,6 +106,7 @@ PRIORITY: list[str] = [
     "pipe_hard_negatives",
     "rel_histogram",
     "pipe_mixture_temperature",
+    "pipe_multimodal_resize",
     "pipe_layout_zorder",
     "events_gapfill",
     "events_ohlc",
@@ -182,6 +182,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_text_pii",
         "pipe_text_tokens",
         "pipe_mixture_sample",
+        "pipe_shard_assign",
         "pipe_text_fingerprint",
         "pipe_text_repetition",
         "pipe_pack_sequences",

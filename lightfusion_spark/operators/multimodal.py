@@ -660,3 +660,81 @@ def decode_media(
             yield out
 
     return df.mapInPandas(decode, schema=DECODE_SCHEMA)
+
+
+def _decode_rgb(payload: bytes) -> tuple[str, int, int, np.ndarray]:
+    """Raw-pixel dispatch shared by :func:`decode_image` and the resize
+    path (decode_image collapses to channel means; resize needs px)."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpegcodec import decode_jpeg
+
+        w, h, px = decode_jpeg(payload)
+        return "jpeg", w, h, px
+    raise NotImplementedError(
+        f"unrecognized image format (magic {payload[:2]!r})"
+    )
+
+
+def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, 3) pixel array: output pixel
+    (i, j) takes source pixel ``(i*h // out_h, j*w // out_w)`` — the
+    integer-exact mapping an analytic oracle can replay (and the same
+    index formula PIL's NEAREST uses up to its +0.5 center offset,
+    which we deliberately omit to keep the arithmetic integer-only)."""
+    h, w = px.shape[:2]
+    rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return px[rows][:, cols]
+
+
+def resize_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    out_h: int = 3,
+    out_w: int = 3,
+) -> DataFrame:
+    """The vision-pipeline step after decode: Arrow-batched decode →
+    nearest-neighbor resize to (out_h, out_w) → exact per-channel means
+    of the RESIZED image.
+
+    Output ``(id, fmt, width, height, mean_r, mean_g, mean_b)`` where
+    width/height are the SOURCE dims (the resize target is the
+    operator's parameter, not data).  Channel means are exact integer
+    sums over out_h*out_w pixels divided once in float64 — analytic
+    SQL oracles replay them bit-for-bit, like ``decode_image``.  At
+    100 TB this is the thumbnail/model-input-prep crossing: one
+    mapInPandas, payload bytes never shuffle.
+    """
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf[payload_col]:
+                fmt, w, h, px = _decode_rgb(bytes(payload))
+                small = resize_nearest(px, out_h, out_w)
+                n = out_h * out_w
+                sums = small.reshape(n, 3).sum(axis=0, dtype=np.int64)
+                rows.append(
+                    (
+                        fmt,
+                        w,
+                        h,
+                        float(sums[0]) / n,
+                        float(sums[1]) / n,
+                        float(sums[2]) / n,
+                    )
+                )
+            out = pd.DataFrame(
+                rows, columns=["fmt", "width", "height", "mean_r", "mean_g", "mean_b"]
+            )
+            out.insert(0, id_col, pdf[id_col].to_numpy())
+            yield out
+
+    return df.mapInPandas(work, schema=DECODE_REAL_SCHEMA)

@@ -388,3 +388,35 @@ def test_video_container_and_frame_sampling(spark):
 
     with pytest.raises(ValueError, match="every_k"):
         multimodal.sample_video_frames(src, every_k=0)
+
+
+def test_resize_nearest_exact_mapping():
+    import numpy as np
+
+    from lightfusion_spark.operators import multimodal as mm
+
+    # 4x2 image with distinct values: resize to 2x2 must pick rows 0,2
+    # and cols 0,1 (the (i*h)//out integer mapping)
+    px = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(4, 2, 3)
+    small = mm.resize_nearest(px, 2, 2)
+    assert small.shape == (2, 2, 3)
+    assert (small[0, 0] == px[0, 0]).all()
+    assert (small[1, 0] == px[2, 0]).all()
+    # upsampling replicates source pixels
+    big = mm.resize_nearest(px[:1, :1], 3, 3)
+    assert (big == px[0, 0]).all()
+
+
+def test_resize_media_roundtrip(spark):
+    import numpy as np
+
+    from lightfusion_spark.operators import multimodal as mm
+
+    # a hand-built 2x2 PPM: resize to 1x1 must pick pixel (0,0) exactly
+    rgb = np.array([[[10, 20, 30], [40, 50, 60]],
+                    [[70, 80, 90], [100, 110, 120]]], dtype=np.uint8)
+    payload = mm.encode_ppm(2, 2, rgb)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    (row,) = mm.resize_media(df, "doc_id", out_h=1, out_w=1).collect()
+    assert (row["width"], row["height"]) == (2, 2)
+    assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (10.0, 20.0, 30.0)
