@@ -2794,3 +2794,40 @@ def pipe_multimodal_resize(spark, sf_dir):
     d = table(spark, sf_dir, "documents").select("doc_id")
     payload = multimodal.synthesize_media(d, "doc_id")
     return multimodal.resize_media(payload, "doc_id", out_h=3, out_w=3)
+
+
+@register(
+    "pipe_multimodal_audio_frames",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS ch,
+             256 + (doc_id % 7) * 64 AS n
+      FROM documents),
+    w AS (
+      SELECT doc_id, ch, n, g.wk
+      FROM p CROSS JOIN (SELECT unnest(range(0, 5)) AS wk) g
+      WHERE g.wk * 128 < n)
+    SELECT doc_id,
+           CAST(wk AS INTEGER) AS window_idx,
+           CAST(LEAST(n, (wk + 1) * 128) - wk * 128 AS INTEGER) AS n_frames_win,
+           sqrt(CAST(list_sum(
+                  [ x * x FOR x IN
+                    [ ((doc_id*37 + 5*j) % 4096 - 2048)
+                      FOR j IN range(wk * 128 * ch,
+                                     LEAST(n, (wk + 1) * 128) * ch) ] ])
+                AS DOUBLE)
+                / ((LEAST(n, (wk + 1) * 128) - wk * 128) * ch)) AS rms
+    FROM w
+    """,
+    doc="windowed audio features (the VAD/loudness-segmentation "
+    "primitive): WAV decode -> per-128-frame window RMS, tail window "
+    "keeping its TRUE frame count (padding would bias RMS low).  The "
+    "oracle replays the sample formula per window analytically — a "
+    "wrong window boundary or channel interleave breaks the hash "
+    "(operators/multimodal.py:audio_frame_features)",
+)
+def pipe_multimodal_audio_frames(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    payload = multimodal.synthesize_audio(d, "doc_id")
+    return multimodal.audio_frame_features(payload, "doc_id", frame_window=128)

@@ -80,7 +80,6 @@ PRIORITY: list[str] = [
     "pipe_simhash_wide",
     "pipe_sim_ann_lsh",
     "pipe_dedup_components",
-    "pipe_dedup_survivors",
     # Oldest official rows: r02 rel_* — chosen so every §2.3 category keeps
     # an in-window representative (see test_registry_window.py).
     "rel_distinct",
@@ -107,6 +106,7 @@ PRIORITY: list[str] = [
     "rel_histogram",
     "pipe_mixture_temperature",
     "pipe_multimodal_resize",
+    "pipe_multimodal_audio_frames",
     "pipe_layout_zorder",
     "events_gapfill",
     "events_ohlc",
@@ -183,6 +183,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_text_tokens",
         "pipe_mixture_sample",
         "pipe_shard_assign",
+        "pipe_dedup_survivors",
         "pipe_text_fingerprint",
         "pipe_text_repetition",
         "pipe_pack_sequences",

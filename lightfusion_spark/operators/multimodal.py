@@ -738,3 +738,50 @@ def resize_media(
             yield out
 
     return df.mapInPandas(work, schema=DECODE_REAL_SCHEMA)
+
+
+def audio_frame_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_window: int = 128,
+) -> DataFrame:
+    """Windowed audio features — the VAD/loudness-segmentation
+    primitive: decode once, then per ``frame_window``-frame window emit
+    ``(id, window_idx, n_frames_win, rms)``.  The tail window keeps its
+    true (shorter) frame count instead of padding — silence-padding an
+    RMS biases it low.
+
+    Same exactness contract as :func:`decode_audio`: int64
+    sum-of-squares per window, ONE float64 division, correctly-rounded
+    sqrt — analytic SQL oracles replay it bit-for-bit.  One Arrow
+    crossing; windows of one payload never split across tasks.
+    """
+    if frame_window < 1:
+        raise ValueError(f"frame_window must be >= 1, got {frame_window}")
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wins, nfr, rms = [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                rate, n_ch, pcm = decode_wav(p)
+                n = pcm.shape[0]
+                for k in range((n + frame_window - 1) // frame_window):
+                    seg = pcm[k * frame_window : (k + 1) * frame_window]
+                    sq = np.square(seg.astype(np.int64)).sum()
+                    ids.append(i)
+                    wins.append(k)
+                    nfr.append(seg.shape[0])
+                    rms.append(float(np.sqrt(sq / seg.size)))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "window_idx": wins,
+                    "n_frames_win": nfr,
+                    "rms": rms,
+                }
+            )
+
+    return df.mapInPandas(
+        work, schema=f"`{id_col}` bigint, window_idx int, n_frames_win int, rms double"
+    )

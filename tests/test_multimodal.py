@@ -420,3 +420,33 @@ def test_resize_media_roundtrip(spark):
     (row,) = mm.resize_media(df, "doc_id", out_h=1, out_w=1).collect()
     assert (row["width"], row["height"]) == (2, 2)
     assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (10.0, 20.0, 30.0)
+
+
+def test_audio_frame_features_windows_and_tail(spark):
+    import numpy as np
+
+    from lightfusion_spark.operators import multimodal as mm
+
+    # 5 frames mono, window 2 -> windows of 2, 2, 1 (true tail size)
+    pcm = np.array([[100], [200], [0], [0], [300]], dtype=np.int16)
+    payload = mm.encode_wav(8000, pcm)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    rows = sorted(
+        (r["window_idx"], r["n_frames_win"], r["rms"])
+        for r in mm.audio_frame_features(df, "doc_id", frame_window=2).collect()
+    )
+    import math
+
+    assert rows[0] == (0, 2, math.sqrt((100 * 100 + 200 * 200) / 2))
+    assert rows[1] == (1, 2, 0.0)
+    assert rows[2] == (2, 1, 300.0)  # tail: one frame, its own size
+
+
+def test_audio_frame_features_rejects_bad_window(spark):
+    import pytest
+
+    from lightfusion_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(1, bytearray(b""))], "doc_id long, payload binary")
+    with pytest.raises(ValueError, match="frame_window"):
+        mm.audio_frame_features(df, "doc_id", frame_window=0)
