@@ -1899,3 +1899,37 @@ def rel_histogram(spark, sf_dir):
 
     li = table(spark, sf_dir, "lineitem")
     return histogram(li, "l_extendedprice", bins=16)
+
+
+@register(
+    "rel_fuzzy_match",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             list_extract(string_split(p_name, ' '), -1) AS blk
+      FROM part
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS text_a, b.p_name AS text_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS distance
+    FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    doc="blocked fuzzy record linkage (the Fellegi-Sunter shape): "
+    "part names blocked on their last token (true matches share the "
+    "noun), levenshtein <= 3 refine INSIDE blocks only — the quadratic "
+    "cost is per-block, never corpus-wide, same discipline as the "
+    "simhash pigeonhole join.  levenshtein is a JVM built-in with "
+    "identical DuckDB semantics (operators/linkage.py)",
+)
+def rel_fuzzy_match(spark, sf_dir):
+    from ..operators.linkage import fuzzy_pairs_blocked
+
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return fuzzy_pairs_blocked(
+        p,
+        "p_partkey",
+        "p_name",
+        F.element_at(F.split(F.col("p_name"), " "), -1),
+        max_distance=3,
+    ).withColumn("distance", F.col("distance").cast("int"))
