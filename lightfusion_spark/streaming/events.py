@@ -251,3 +251,46 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_ohlc(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming face of ``operators/resample.downsample_ohlc``: per
+    (event_type, tumbling window) bars — open/high/low/close + count +
+    exact sum — as a single watermarked aggregation.
+
+    open/close use ``min_by``/``max_by`` over a ``struct(event_time,
+    event_id)`` ordering: the same deterministic (ts, tiebreak) rule the
+    batch operator expresses with ROW_NUMBER windows, but as a
+    declarative aggregate a streaming state store can maintain
+    incrementally (ranking windows cannot run on an unbounded stream).
+    Works identically on batch input — the parity
+    ``tests/test_streaming.py`` pins against the batch operator.
+    """
+    ev = with_event_time(events)
+    ordkey = F.struct(F.col("event_time"), F.col("event_id"))
+    return (
+        ev.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"), "event_type")
+        .agg(
+            F.min_by(F.col("value"), ordkey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by(F.col("value"), ordkey).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+            "sum_value",
+        )
+    )

@@ -200,3 +200,58 @@ def test_incremental_minhash_foreachbatch(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(got) == expected and len(expected) > 0
+
+
+def test_windowed_ohlc_stream_matches_batch_operator(spark, tmp_path):
+    """The streaming OHLC face (min_by/max_by declarative aggregates)
+    must produce the SAME bars as the batch downsample_ohlc (ROW_NUMBER
+    formulation) — the same-timestamp tiebreak included."""
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators.resample import downsample_ohlc
+    from lightfusion_spark.streaming import events as ev
+
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # batch reference via the integer-micros operator
+    b = batch.withColumn("ts_us", ev.ts_micros_col(batch))
+    want = {
+        (r["event_type"], r["ts_us"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n"], r["sum_value"]
+        )
+        for r in downsample_ohlc(
+            b.select("event_type", "ts_us", "value", "event_id"),
+            "event_type", "ts_us", "value",
+            bucket=86_400_000_000, tiebreak_col="event_id",
+        ).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{SF_DIR}/events*.parquet")
+    )
+    out_dir = str(tmp_path / "ohlc_out")
+    q = (
+        ev.windowed_ohlc(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ohlc"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_df = spark.read.parquet(out_dir)
+    got = {
+        (r["event_type"], int(r["window_start"].timestamp() * 1_000_000)): (
+            r["open"], r["high"], r["low"], r["close"], r["n"], r["sum_value"]
+        )
+        for r in got_df.collect()
+    }
+    # append mode only emits windows the watermark closed: the final
+    # ~(watermark + 1 window) days stay open at stream end, i.e. up to
+    # 3 days x 5 event types = 15 unemitted bars over the 30-day corpus.
+    # Every bar that IS emitted must match its batch counterpart exactly.
+    assert len(got) >= len(want) - 15 and len(got) > 0
+    for key, bar in got.items():
+        assert want[key] == bar, f"bar mismatch at {key}"
