@@ -251,3 +251,55 @@ def test_bpe_encoders_agree_and_round_trip(text):
         fx["inv_bytes"][ch] for i in ids for ch in fx["inv_vocab"][i]
     ).decode("utf-8")
     assert decoded == text
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization properties (round 7): idempotence is the defining
+# contract of a canonicalizer — canon(canon(u)) == canon(u) for ANY absolute
+# URL, else dedup keys depend on how many times a pipeline stage ran.
+# ---------------------------------------------------------------------------
+
+_URL_SAFE = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters="-._~"
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@st.composite
+def absolute_urls(draw):
+    scheme = draw(st.sampled_from(["http", "HTTPS", "ftp", "Http"]))
+    host = draw(
+        st.lists(_URL_SAFE.filter(bool), min_size=1, max_size=3).map(".".join)
+    )
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    path = draw(st.sampled_from(["", "/", "/a", "/A/b.html"]))
+    params = draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["utm_source", "gclid", "id", "z", "Q"]), _URL_SAFE
+            ),
+            max_size=3,
+        )
+    )
+    query = "&".join(f"{k}={v}" for k, v in params)
+    frag = draw(st.sampled_from(["", "#x", "#frag-1"]))
+    return f"{scheme}://{host}{port}{path}" + (f"?{query}" if query else "") + frag
+
+
+@given(st.lists(absolute_urls(), min_size=1, max_size=8, unique=True))
+@settings(max_examples=25, deadline=None)
+def test_canonicalize_url_idempotent(spark, urls):
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators.urltools import canonicalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    rows = df.select(
+        canonicalize_url("u").alias("once"),
+        canonicalize_url(canonicalize_url("u")).alias("twice"),
+    ).collect()
+    for r in rows:
+        assert r["once"] == r["twice"], r
