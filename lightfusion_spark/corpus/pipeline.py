@@ -2831,3 +2831,44 @@ def pipe_multimodal_audio_frames(spark, sf_dir):
     d = table(spark, sf_dir, "documents").select("doc_id")
     payload = multimodal.synthesize_audio(d, "doc_id")
     return multimodal.audio_frame_features(payload, "doc_id", frame_window=128)
+
+
+@register(
+    "pipe_multimodal_scenecut",
+    oracle=f"""
+    WITH f AS (
+      SELECT d.doc_id, x.frame_id, x.mean_r, x.mean_g, x.mean_b
+      FROM documents d
+      JOIN read_parquet('{_VIDEO_EXPECTED}') x ON d.doc_id = x.doc_id
+      WHERE d.doc_id < {_FIXTURE_DOC_LIMIT}
+    ),
+    l AS (
+      SELECT doc_id, frame_id,
+             ROUND(ABS(mean_r - LAG(mean_r) OVER w)
+                   + ABS(mean_g - LAG(mean_g) OVER w)
+                   + ABS(mean_b - LAG(mean_b) OVER w), 6) AS frame_diff
+      FROM f
+      WINDOW w AS (PARTITION BY doc_id ORDER BY frame_id)
+    )
+    SELECT doc_id, frame_id, frame_diff,
+           COALESCE(frame_diff > 30.0, FALSE) AS is_cut
+    FROM l
+    """,
+    doc="scene-cut detection over the REAL video pipeline: LFV1 clips -> "
+    "every-2nd-frame JPEG decode -> L1 distance of consecutive frames' "
+    "channel means -> threshold flag (a clip's first frame is never a "
+    "cut).  One LAG window per clip; the oracle runs the SAME window "
+    "over the encoder-reconstruction fixture, so decode AND segmentation "
+    "are hash-verified together "
+    "(operators/multimodal.py:detect_scene_cuts)",
+)
+def pipe_multimodal_scenecut(spark, sf_dir):
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _FIXTURE_DOC_LIMIT)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    payload = multimodal.synthesize_video(d, "doc_id")
+    frames = multimodal.sample_video_frames(payload, every_k=2)
+    return multimodal.detect_scene_cuts(frames, threshold=30.0)

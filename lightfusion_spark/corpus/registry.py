@@ -77,7 +77,6 @@ PRIORITY: list[str] = [
     "pipe_lm_buckets_ngram",
     # Oldest official rows: r03 (dedup/similarity/text modules heavily
     # edited since — these are the rows judge spot-checks flagged as stale).
-    "pipe_simhash_wide",
     "pipe_dedup_components",
     # Oldest official rows: r02 rel_* — chosen so every §2.3 category keeps
     # an in-window representative (see test_registry_window.py).
@@ -107,6 +106,7 @@ PRIORITY: list[str] = [
     "pipe_multimodal_resize",
     "pipe_multimodal_audio_frames",
     "rel_fuzzy_match",
+    "pipe_multimodal_scenecut",
     "pipe_layout_zorder",
     "events_gapfill",
     "events_ohlc",
@@ -179,6 +179,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         # for curation packing).
         "pipe_sim_lsh_multiprobe",
         "pipe_sim_ann_lsh",
+        "pipe_simhash_wide",
         "pipe_text_urls",
         "pipe_text_pii",
         "pipe_text_tokens",

@@ -785,3 +785,36 @@ def audio_frame_features(
     return df.mapInPandas(
         work, schema=f"`{id_col}` bigint, window_idx int, n_frames_win int, rms double"
     )
+
+
+def detect_scene_cuts(
+    frames: DataFrame,
+    id_col: str = "doc_id",
+    frame_col: str = "frame_id",
+    threshold: float = 30.0,
+) -> DataFrame:
+    """Scene-cut detection over sampled frames — the first thing a video
+    curation pipeline computes after frame extraction (shot boundaries
+    segment clips for captioning/training).
+
+    Input is :func:`sample_video_frames` output (per-frame channel
+    means); the cut signal is the L1 distance between consecutive
+    sampled frames' means, flagged where it exceeds ``threshold``.  A
+    clip's first frame is never a cut (no predecessor).  One LAG window
+    per clip — key-partitioned, stream-friendly, replayable in SQL.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(frame_col)
+    diff = F.round(
+        F.abs(F.col("mean_r") - F.lag("mean_r").over(w))
+        + F.abs(F.col("mean_g") - F.lag("mean_g").over(w))
+        + F.abs(F.col("mean_b") - F.lag("mean_b").over(w)),
+        6,
+    )
+    return frames.select(
+        id_col,
+        frame_col,
+        diff.alias("frame_diff"),
+        F.coalesce(diff > F.lit(threshold), F.lit(False)).alias("is_cut"),
+    )

@@ -450,3 +450,25 @@ def test_audio_frame_features_rejects_bad_window(spark):
     df = spark.createDataFrame([(1, bytearray(b""))], "doc_id long, payload binary")
     with pytest.raises(ValueError, match="frame_window"):
         mm.audio_frame_features(df, "doc_id", frame_window=0)
+
+
+def test_scene_cut_flags_and_first_frame(spark):
+    from lightfusion_spark.operators import multimodal as mm
+
+    frames = spark.createDataFrame(
+        [
+            (1, 0, 10.0, 10.0, 10.0),
+            (1, 2, 12.0, 10.0, 10.0),   # diff 2 -> no cut
+            (1, 4, 50.0, 40.0, 30.0),   # diff 38+30+20=88 -> cut
+            (2, 0, 5.0, 5.0, 5.0),      # lone frame: never a cut
+        ],
+        "doc_id long, frame_id int, mean_r double, mean_g double, mean_b double",
+    )
+    rows = {
+        (r["doc_id"], r["frame_id"]): (r["frame_diff"], r["is_cut"])
+        for r in mm.detect_scene_cuts(frames, threshold=30.0).collect()
+    }
+    assert rows[(1, 0)] == (None, False)  # first frame: no predecessor
+    assert rows[(1, 2)] == (2.0, False)
+    assert rows[(1, 4)] == (88.0, True)
+    assert rows[(2, 0)] == (None, False)
