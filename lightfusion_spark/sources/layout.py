@@ -91,3 +91,42 @@ def cluster_by_zorder(
         else tagged.repartitionByRange("_zkey")
     )
     return part.sortWithinPartitions("_zkey").drop("_zkey")
+
+
+def compact_parquet(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_mb: int = 512,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the other half of layout maintenance
+    (streaming sinks and fine-grained partitions leave thousands of
+    KB-sized files; every scan then pays a task per file and the
+    NameNode/listing pays per object).
+
+    Sizes the output from the SOURCE bytes on disk (not a row guess):
+    ``ceil(total_bytes / target_mb)`` output files via one
+    ``repartition`` — or ``repartitionByRange`` + sort when
+    ``sort_cols`` is given, so compaction can simultaneously restore a
+    clustered layout (compose with :func:`zorder_key` by passing the
+    key column).  Returns the number of output files written.
+
+    Writes to a NEW directory: compaction that rewrites in place can't
+    be made atomic on a plain filesystem — callers swap directories (or
+    use a transactional table format) after validating counts.
+    """
+    import glob as _glob
+    import math
+
+    df = spark.read.parquet(src_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(src_dir)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jvm_path).getLength()
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    if sort_cols:
+        out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("error").parquet(dst_dir)
+    return len(_glob.glob(f"{dst_dir}/part-*.parquet"))

@@ -92,3 +92,21 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
     assert zx_hit < z_n / 2, f"z-order pruned too little on x: {zx_hit}/{z_n}"
     # layout changes bytes, not rows
     assert spark.read.parquet(zpath).count() == 20000
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from lightfusion_spark.sources import layout
+
+    src = str(tmp_path / "tiny")
+    # 40 tiny files
+    spark.range(4000).repartition(40).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 40
+    dst = str(tmp_path / "compact")
+    n = layout.compact_parquet(spark, src, dst, target_mb=512)
+    assert n <= 2  # a few KB of data -> one target-sized file
+    assert spark.read.parquet(dst).count() == 4000
+    # sorted compaction restores a clustered layout
+    dst2 = str(tmp_path / "compact_sorted")
+    layout.compact_parquet(spark, src, dst2, target_mb=512, sort_cols=["id"])
+    got = [r["id"] for r in spark.read.parquet(dst2).collect()]
+    assert got == sorted(got) or len(glob.glob(f"{dst2}/part-*.parquet")) > 1
