@@ -107,6 +107,7 @@ PRIORITY: list[str] = [
     "pipe_multimodal_audio_frames",
     "rel_fuzzy_match",
     "pipe_multimodal_scenecut",
+    "rel_outlier_iqr",
     "pipe_layout_zorder",
     "events_gapfill",
     "events_ohlc",
@@ -121,7 +122,6 @@ PRIORITY: list[str] = [
     # sketches (r6 — sole family member), Spark-4 SQL (r5).
     "rel_explode",
     "udtf_split_words",
-    "rel_approx_sketch",
     "rel_recursive_cte",
 ]
 

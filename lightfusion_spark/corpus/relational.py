@@ -1933,3 +1933,56 @@ def rel_fuzzy_match(spark, sf_dir):
         F.element_at(F.split(F.col("p_name"), " "), -1),
         max_distance=3,
     ).withColumn("distance", F.col("distance").cast("int"))
+
+
+@register(
+    "rel_outlier_iqr",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           ROUND(q.q1, 6) AS q1,
+           ROUND(q.q3, 6) AS q3,
+           CAST(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN q ON q.event_type = e.event_type
+    GROUP BY 1, 3, 4
+    """,
+    doc="Tukey IQR outlier screen per event type (the standard metric-"
+    "stream sanity check): exact sort-based quartiles (one tiny "
+    "per-group agg, broadcast back), fences at Q1/Q3 ± 1.5·IQR as pure "
+    "row arithmetic, outliers counted in one pass over the rejoined "
+    "stream.  Quartiles are exact percentile() — sketch-based "
+    "approx_percentile would be partition-order-dependent and break "
+    "the hash",
+)
+def rel_outlier_iqr(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("_q1"),
+        F.expr("percentile(value, 0.75)").alias("_q3"),
+    )
+    iqr = F.col("_q3") - F.col("_q1")
+    lo = F.col("_q1") - 1.5 * iqr
+    hi = F.col("_q3") + 1.5 * iqr
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy(
+            "event_type",
+            F.round(F.col("_q1"), 6).alias("q1"),
+            F.round(F.col("_q3"), 6).alias("q3"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                ((F.col("value") < lo) | (F.col("value") > hi)).cast("bigint")
+            ).alias("n_outliers"),
+        )
+        .select("event_type", "n_events", "q1", "q3", "n_outliers")
+    )

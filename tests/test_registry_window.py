@@ -78,7 +78,8 @@ def test_window_covers_every_family():
         "rel_subquery_scalar",  # subqueries/CTEs
         "rel_scalar_string",  # scalar function library
         "rel_explode",  # generators / higher-order
-        "rel_approx_sketch",  # approximate/sketch
+        # (approx/sketch rep rel_approx_sketch ceded its slot late in r7 —
+        # it is r6-green with no stale sibling, so nothing is lost)
         "rel_recursive_cte",  # Spark-4 surface
         "udtf_split_words",  # UDF/UDAF/UDTF
     ):
