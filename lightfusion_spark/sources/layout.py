@@ -130,3 +130,45 @@ def compact_parquet(
         out = df.repartition(n_out)
     out.write.mode("error").parquet(dst_dir)
     return len(_glob.glob(f"{dst_dir}/part-*.parquet"))
+
+
+def file_stats_report(spark, path: str, cols: list[str]):
+    """Per-file min/max statistics from the parquet footers — the
+    observability half of layout maintenance: wide per-file ranges on a
+    filter column mean scans can't prune and a
+    :func:`cluster_by_zorder`/:func:`compact_parquet` rewrite pays for
+    itself.  Returns ``(file, n_rows, col, min_str, max_str)`` with
+    values as strings (footers are typed per column; a uniform report
+    schema beats per-type columns).
+
+    Footers are read driver-side via pyarrow — a footer is KBs and file
+    counts are thousands, so this is a metadata listing, not a data
+    scan; the distributed variant (binaryFile + footer parse) only pays
+    off past ~100k files.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    rows = []
+    for f in sorted(_glob.glob(f"{path}/*.parquet")):
+        md = _pq.ParquetFile(f).metadata
+        per_col: dict[str, list] = {c: [None, None] for c in cols}
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for ci in range(rgm.num_columns):
+                c = rgm.column(ci)
+                name = c.path_in_schema
+                if name in per_col and c.statistics is not None:
+                    lo, hi = per_col[name]
+                    s = c.statistics
+                    per_col[name] = [
+                        s.min if lo is None else min(lo, s.min),
+                        s.max if hi is None else max(hi, s.max),
+                    ]
+        base = f.rsplit("/", 1)[-1]
+        for c, (lo, hi) in per_col.items():
+            rows.append((base, md.num_rows, c, str(lo), str(hi)))
+    return spark.createDataFrame(
+        rows, "file string, n_rows bigint, col string, min_str string, max_str string"
+    )

@@ -110,3 +110,19 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     layout.compact_parquet(spark, src, dst2, target_mb=512, sort_cols=["id"])
     got = [r["id"] for r in spark.read.parquet(dst2).collect()]
     assert got == sorted(got) or len(glob.glob(f"{dst2}/part-*.parquet")) > 1
+
+
+def test_file_stats_report_reflects_layout(spark, tmp_path):
+    from lightfusion_spark.sources import layout
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "ranged")
+    spark.range(1000).select(F.col("id")).repartitionByRange(4, "id").write.parquet(src)
+    rep = layout.file_stats_report(spark, src, ["id"]).collect()
+    assert len(rep) == 4 and all(r["col"] == "id" for r in rep)
+    # range-partitioned files must have non-overlapping [min, max]
+    spans = sorted((int(r["min_str"]), int(r["max_str"])) for r in rep)
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    # one report row per (file, col) here, so per-file counts sum to the total
+    assert sum(r["n_rows"] for r in rep) == 1000
