@@ -424,6 +424,40 @@ def main() -> None:
     finally:
         shutil.rmtree(ckpt_root, ignore_errors=True)
 
+    # ------------------------------------------------------------------
+    # round-7 scenarios: the SCALE.md round-7 table, regenerable.
+    # ------------------------------------------------------------------
+    from lightfusion_spark.operators import webgraph
+
+    emb = spark.read.parquet(os.path.join(args.sf, "embeddings.parquet"))
+    eq = emb.where(F.col("vec_id") < 20)
+    planes = similarity.random_hyperplanes(n_planes=32, dim=64, seed=11)
+    timed(
+        "banded_lsh_gemm_8x4",
+        lambda: similarity.topk_cosine_lsh_banded(
+            emb, eq, planes, n_tables=8, k=3
+        ).count(),
+    )
+
+    docs_src = spark.read.parquet(os.path.join(args.sf, "documents.parquet"))
+    pr_edges = (
+        docs_src.select((F.col("doc_id") % 60).alias("src"))
+        .where((F.col("src") % 10) != 0)
+        .select("src", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"))
+        .select("src", ((F.col("src") * 7 + F.col("k")) % 60).alias("dst"))
+        .distinct()
+    )
+    timed(
+        "pagerank_5_iters_60_hosts",
+        lambda: webgraph.pagerank(pr_edges, iterations=5).count(),
+    )
+    timed(
+        "pagerank_converged_tol1e-9",
+        lambda: webgraph.pagerank(
+            pr_edges, iterations=None, tol=1e-9, max_iterations=100
+        ).count(),
+    )
+
 
 if __name__ == "__main__":
     main()
