@@ -867,3 +867,62 @@ def chunk_documents(
         ).alias("n_chunk_tokens"),
         F.array_join(sliced, " ").alias("chunk_text"),
     )
+
+
+def split_sentences(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Rule-based sentence segmentation: one row per sentence,
+    ``(id, sent_idx, sentence)`` — the unit RAG chunkers and quality
+    scorers actually want (fixed-token windows cut mid-thought;
+    sentence boundaries don't).
+
+    Boundary rule: split after ``.!?`` (plus closing quotes/brackets)
+    followed by whitespace and an upper-case/digit/quote opener — a
+    Java-regex lookbehind/lookahead pair, pure JVM ``split`` +
+    ``posexplode``, zero shuffle.  Deliberately rule-based: the
+    abbreviation-aware models are a library seam; this rule is the
+    deterministic, language-limited (Latin-script) baseline and says
+    so.  Empty/whitespace-only sentences are dropped.
+    """
+    boundary = r"""(?<=[.!?][\)\]"']?)\s+(?=["'\(\[]?[A-Z0-9])"""
+    sents = F.split(F.col(text_col), boundary)
+    return (
+        df.select(F.col(id_col), F.posexplode(sents).alias("sent_idx", "sentence"))
+        .withColumn("sentence", F.trim(F.col("sentence")))
+        .where(F.length(F.col("sentence")) > 0)
+    )
+
+
+def chunk_by_sentences(
+    df: DataFrame, id_col: str, text_col: str, max_chars: int = 512
+) -> DataFrame:
+    """Sentence-aware chunking: consecutive sentences grouped into
+    chunks of ~``max_chars``, never splitting inside a sentence —
+    ``(id, chunk_idx, chunk_text, n_sents, n_chars)``.
+
+    Assignment rule: a sentence joins chunk ``floor(chars_before /
+    max_chars)`` (cumulative length over a per-doc window).  This is
+    the DISTRIBUTABLE approximation of greedy packing — greedy's
+    running-total-with-reset is inherently sequential per doc — and
+    differs from it only in allowing a chunk to overflow by less than
+    one sentence; stated here because both definitions are common.
+    One per-doc window + one groupBy, both on the doc key.
+    """
+    from pyspark.sql.window import Window
+
+    sents = split_sentences(df, id_col, text_col)
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("sent_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chars_before = F.coalesce(
+        F.sum(F.length(F.col("sentence")) + 1).over(w), F.lit(0)
+    )
+    tagged = sents.withColumn(
+        "chunk_idx", F.floor(chars_before / F.lit(max_chars)).cast("int")
+    )
+    return tagged.groupBy(id_col, "chunk_idx").agg(
+        F.concat_ws(" ", F.collect_list("sentence")).alias("chunk_text"),
+        F.count(F.lit(1)).alias("n_sents"),
+        F.sum(F.length("sentence")).alias("n_chars"),
+    )

@@ -290,3 +290,51 @@ def test_embed_text_lexical_similarity_orders_cosine(spark):
 
     assert cos(v[1], v[2]) > cos(v[1], v[3])
     assert cos(v[1], v[2]) > cos(v[2], v[3])
+
+
+def test_split_sentences_rules(spark):
+    from lightfusion_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, 'First one. Second, with 3.14 inside! "Quoted?" Yes. last stays joined'),
+            (2, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = [
+        (r["doc_id"], r["sent_idx"], r["sentence"])
+        for r in text_ops.split_sentences(df, "doc_id", "text").collect()
+    ]
+    got = [s for (_, _, s) in rows]
+    # decimal 3.14 must NOT split (no following capital); lowercase
+    # continuation after '.' must not split either
+    assert got == [
+        "First one.",
+        "Second, with 3.14 inside!",
+        '"Quoted?"',
+        "Yes. last stays joined",
+    ]
+    # whitespace-only doc contributes nothing
+    assert all(d == 1 for (d, _, _) in rows)
+    assert [i for (_, i, _) in rows] == [0, 1, 2, 3]
+
+
+def test_chunk_by_sentences_never_splits_sentences(spark):
+    from lightfusion_spark.operators import text as text_ops
+
+    text = "Aaaa bbbb. Cccc dddd. Eeee ffff. Gggg hhhh."  # 4 x ~10-char sents
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = {
+        r["chunk_idx"]: r
+        for r in text_ops.chunk_by_sentences(df, "doc_id", "text", max_chars=22).collect()
+    }
+    # every chunk boundary falls BETWEEN sentences
+    for r in chunks.values():
+        assert r["chunk_text"].endswith(".")
+        assert r["n_sents"] >= 1
+    # all sentences preserved, in order, exactly once
+    joined = " ".join(chunks[i]["chunk_text"] for i in sorted(chunks))
+    assert joined == text
+    assert sum(r["n_sents"] for r in chunks.values()) == 4
+    assert len(chunks) >= 2  # max_chars forced a split
