@@ -949,3 +949,26 @@ def dedup_keep_best(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def cluster_report(
+    labels: DataFrame, id_col: str, component_col: str = "component"
+) -> DataFrame:
+    """Duplicate-cluster size distribution from
+    :func:`connected_components` output: ``(cluster_size, n_clusters,
+    n_docs)`` — the one-page answer to "how much of my corpus is
+    duplicated, and is it many small families or one template bomb?"
+
+    Singletons (size 1) are unduplicated docs; a heavy tail at large
+    sizes is template spam and the reason the two-phase CC exists.
+    Two small aggregations (component -> size, size -> counts); the
+    report is bounded by the distinct-size count, never corpus-sized.
+    """
+    sizes = labels.groupBy(component_col).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .withColumn("n_docs", F.col("cluster_size") * F.col("n_clusters"))
+    )

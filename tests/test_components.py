@@ -269,3 +269,16 @@ def test_minhash_incremental_cross_side_pairs(spark):
     assert (100, 102) not in got
     for r in pairs:
         assert r["jaccard"] >= 0.5
+
+
+def test_cluster_report_distribution(spark):
+    # components: {0,1,2} (size 3), {3,4} (size 2), {5} and {6} singletons
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 5), (6, 6)],
+        "doc_id long, component long",
+    )
+    rows = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+        for r in dedup.cluster_report(labels, "doc_id").collect()
+    }
+    assert rows == {3: (1, 3), 2: (1, 2), 1: (2, 2)}
