@@ -926,3 +926,54 @@ def chunk_by_sentences(
         F.count(F.lit(1)).alias("n_sents"),
         F.sum(F.length("sentence")).alias("n_chars"),
     )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str,
+    form: str = "NFC",
+    strip_controls: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode normalization — the ingestion step exact dedup silently
+    depends on: ``é`` as U+00E9 and as ``e``+U+0301 are the same text
+    but different bytes, so unnormalized corpora under-merge.
+
+    ``form`` is NFC (canonical, the dedup default) or NFKC (also folds
+    compatibility characters — ligatures, full-width forms; lossier,
+    right before tokenization).  ``strip_controls`` removes C0/C1
+    controls except tab/newline (crawl payloads carry NUL and friends
+    that break downstream tools).  Arrow-batched ``mapInPandas`` over
+    stdlib ``unicodedata`` — normalization tables are a data problem,
+    not logic; no JVM builtin exists and a row-at-a-time UDF would be
+    the slow path.
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"normalize_unicode: unknown form {form!r}")
+    out = out_col or text_col
+    cols = df.columns
+    out_cols = cols if out in cols else [*cols, out]
+    schema = ", ".join(
+        f"`{c}` {df.schema[c].dataType.simpleString()}" if c in df.columns else f"`{c}` string"
+        for c in out_cols
+    )
+    _CTRL = dict.fromkeys(
+        c for c in list(range(0x00, 0x20)) + list(range(0x7F, 0xA0))
+        if c not in (0x09, 0x0A)
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def norm(t):
+                if t is None:
+                    return None
+                t = unicodedata.normalize(form, t)
+                return t.translate(_CTRL) if strip_controls else t
+
+            pdf = pdf.copy()
+            pdf[out] = pdf[text_col].map(norm)
+            yield pdf[out_cols]
+
+    return df.mapInPandas(work, schema)

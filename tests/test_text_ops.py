@@ -338,3 +338,29 @@ def test_chunk_by_sentences_never_splits_sentences(spark):
     assert joined == text
     assert sum(r["n_sents"] for r in chunks.values()) == 4
     assert len(chunks) >= 2  # max_chars forced a split
+
+
+def test_normalize_unicode_folds_dedup_misses(spark):
+    from lightfusion_spark.operators import text as text_ops
+
+    composed = "café"   # e + combining acute
+    precomposed = "café"      # é
+    df = spark.createDataFrame(
+        [(1, composed), (2, precomposed), (3, "a\x00b\tc\nd"), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["text"]
+        for r in text_ops.normalize_unicode(df, "text").collect()
+    }
+    assert rows[1] == rows[2] == precomposed  # NFC merges the variants
+    assert rows[3] == "ab\tc\nd"              # NUL stripped, tab/newline kept
+    assert rows[4] is None
+    # NFKC additionally folds compatibility chars (the ligature ﬁ)
+    df2 = spark.createDataFrame([(1, "ﬁle")], "doc_id long, text string")
+    (r,) = text_ops.normalize_unicode(df2, "text", form="NFKC").collect()
+    assert r["text"] == "file"
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown form"):
+        text_ops.normalize_unicode(df, "text", form="NFX")
