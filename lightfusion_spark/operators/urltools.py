@@ -178,3 +178,66 @@ def filter_robots_disallowed(
         F.col("_rprefix")
     )
     return tagged.join(F.broadcast(r), cond, "left_anti").drop("_host", "_path")
+
+
+def parse_robots_directives(
+    df: DataFrame, url_col: str, body_col: str
+) -> DataFrame:
+    """Both robots.txt directive kinds as ``(host, allow, prefix)`` —
+    the input :func:`filter_robots` needs for precedence (the
+    Disallow-only :func:`parse_robots_rules` stays as the conservative
+    gate).  Same all-agents simplification, same pure-JVM shape."""
+    line = F.explode(F.split(F.col(body_col), "\n")).alias("_line")
+    kind = F.lower(
+        F.regexp_extract(F.col("_line"), r"(?i)^\s*(Allow|Disallow)\s*:", 1)
+    )
+    prefix = F.trim(
+        F.regexp_extract(F.col("_line"), r"(?i)^\s*(?:Allow|Disallow)\s*:\s*(\S+)", 1)
+    )
+    return (
+        df.select(url_host(F.col(url_col)).alias("host"), line)
+        .select("host", (kind == "allow").alias("allow"), prefix.alias("prefix"))
+        .where(F.col("prefix") != "")
+        .distinct()
+    )
+
+
+def filter_robots(
+    pages: DataFrame, url_col: str, directives: DataFrame
+) -> DataFrame:
+    """Robots filtering with the full precedence rule (Google's
+    published semantics): among all directives whose prefix matches the
+    page's path, the LONGEST wins; on equal length Allow beats
+    Disallow; no matching directive means allowed.
+
+    One broadcast join to the matching directives + one per-page window
+    picking the winner — pages without any match ride the left join
+    through untouched.
+    """
+    from pyspark.sql.window import Window
+
+    path = F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    tagged = pages.withColumn("_host", url_host(F.col(url_col))).withColumn(
+        "_path", path
+    )
+    d = directives.select(
+        F.col("host").alias("_rhost"),
+        F.col("allow").alias("_rallow"),
+        F.col("prefix").alias("_rprefix"),
+    )
+    cond = (F.col("_host") == F.col("_rhost")) & F.col("_path").startswith(
+        F.col("_rprefix")
+    )
+    joined = tagged.join(F.broadcast(d), cond, "left")
+    w = Window.partitionBy(*[F.col(c) for c in tagged.columns]).orderBy(
+        F.length(F.col("_rprefix")).desc(),
+        F.col("_rallow").desc(),  # equal length: Allow wins
+    )
+    winner = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .where(F.col("_rallow").isNull() | F.col("_rallow"))
+    )
+    return winner.select(*pages.columns)

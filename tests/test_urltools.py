@@ -110,3 +110,46 @@ def test_robots_filter_is_host_scoped_and_prefix_based(spark):
     kept = urltools.filter_robots_disallowed(pages, "url", rules)
     assert sorted(r["id"] for r in kept.collect()) == [2, 3]
     assert kept.columns == ["id", "url"]
+
+
+def test_robots_full_precedence_longest_match_wins(spark):
+    """Google's published rule: longest matching prefix wins; on equal
+    length Allow beats Disallow; no match means allowed."""
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.com/private/public/x"),  # Allow /private/public (longer) wins
+            (2, "https://a.com/private/secret"),    # only Disallow matches
+            (3, "https://a.com/open"),              # no directive matches
+            (4, "https://a.com/dual"),              # equal-length Allow vs Disallow -> Allow
+        ],
+        "id long, url string",
+    )
+    directives = spark.createDataFrame(
+        [
+            ("a.com", False, "/private"),
+            ("a.com", True, "/private/public"),
+            ("a.com", False, "/dual"),
+            ("a.com", True, "/dual"),
+        ],
+        "host string, allow boolean, prefix string",
+    )
+    kept = urltools.filter_robots(pages, "url", directives)
+    assert sorted(r["id"] for r in kept.collect()) == [1, 3, 4]
+    assert kept.columns == ["id", "url"]
+
+
+def test_parse_robots_directives_both_kinds(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "https://Ex.com/robots.txt",
+                "User-agent: *\nDisallow: /tmp\nAllow: /tmp/ok\n\nCrawl-delay: 5",
+            )
+        ],
+        "url string, body string",
+    )
+    rules = sorted(
+        (r["host"], r["allow"], r["prefix"])
+        for r in urltools.parse_robots_directives(df, "url", "body").collect()
+    )
+    assert rules == [("ex.com", False, "/tmp"), ("ex.com", True, "/tmp/ok")]
