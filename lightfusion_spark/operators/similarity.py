@@ -1289,3 +1289,31 @@ def hard_negatives(
             "cos_sim",
         )
     )
+
+
+def truncate_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    renormalize: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Matryoshka truncation (Kusupati et al. 2022): keep the first
+    ``dim`` components of an MRL-trained embedding — the
+    cost/recall knob that needs NO model change, just a projection.
+    ``renormalize`` restores unit norm (cosine consumers assume it
+    post-truncation; the full vector's norm no longer applies).
+
+    Pure JVM ``slice`` + element-wise divide; pair with
+    ``recall_report`` to measure what a given ``dim`` costs on YOUR
+    corpus before committing storage to it.  Zero-vector inputs stay
+    zero instead of dividing by zero.
+    """
+    if dim < 1:
+        raise ValueError(f"truncate_embeddings: dim must be >= 1, got {dim}")
+    out = out_col or vec_col
+    v = F.slice(as_double(vec_col), 1, dim)
+    if renormalize:
+        n = F.sqrt(dot_expr(v, v))
+        v = F.when(n == 0, v).otherwise(F.transform(v, lambda x: x / n))
+    return df.withColumn(out, v)

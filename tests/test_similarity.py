@@ -281,3 +281,25 @@ def test_hard_negatives_excludes_self_and_positive(spark):
         by_q.setdefault((r["query_id"], r["positive_id"]), []).append(r["rank"])
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))  # dense
+
+
+def test_truncate_embeddings_renorm_and_zero(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 100.0]), (2, [0.0, 0.0, 9.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r["embedding"]
+        for r in similarity.truncate_embeddings(df, "embedding", 2).collect()
+    }
+    assert rows[1] == pytest.approx([0.6, 0.8])  # renormed 3-4-5 triangle
+    assert rows[2] == [0.0, 0.0]  # zero prefix stays zero, no NaN
+    raw = {
+        r["vec_id"]: r["embedding"]
+        for r in similarity.truncate_embeddings(
+            df, "embedding", 2, renormalize=False
+        ).collect()
+    }
+    assert raw[1] == [3.0, 4.0]
+    with pytest.raises(ValueError, match="dim"):
+        similarity.truncate_embeddings(df, "embedding", 0)
