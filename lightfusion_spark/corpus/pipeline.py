@@ -595,17 +595,38 @@ _EMBED_TFIDF_CTES = """
 
 @register(
     "pipe_embed_text",
-    oracle="WITH " + _EMBED_TFIDF_CTES + "\n    SELECT doc_id, embedding FROM emb",
+    # The driver-facing shape is SCALAR columns: its canonicalizer does a
+    # pandas sort over every output column and dies on array cells
+    # ("unhashable type: numpy.ndarray" — the one red CORRECTNESS_r07 row),
+    # so the query face posexplodes the vector to (doc_id, bucket, value)
+    # and the oracle emits the grid⋈contrib rows directly instead of
+    # re-assembling + unnesting lists.  embed_text_tfidf itself keeps
+    # returning array<double> — that is the library API every downstream
+    # ANN/semdedup consumer composes with.
+    oracle="WITH "
+    + _EMBED_TFIDF_CTES
+    + """
+    SELECT g.doc_id,
+           g.bucket AS bucket,
+           COALESCE(c.val, 0.0) AS value
+    FROM grid g
+    LEFT JOIN contrib c ON g.doc_id = c.doc_id AND g.bucket = c.bucket
+    """,
     doc="text -> dense vector via signed feature hashing over TF-IDF "
     "(Weinberger et al.): md5 bucket + ±1 sign, idf from one Zipf-"
     "bounded agg over the tf relation, components as exact DECIMAL "
     "sums cast to double — the dependency-free embedding operator that "
     "lets the ANN/semantic-dedup family run from raw text; swap in a "
-    "model encoder without touching anything downstream",
+    "model encoder without touching anything downstream.  Driver face "
+    "is the posexploded (doc_id, bucket, value) long form — scalar "
+    "columns only (the gate cannot canonicalize array cells).",
 )
 def pipe_embed_text(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
-    return text_ops.embed_text_tfidf(d, "doc_id", "text", dim=64)
+    emb = text_ops.embed_text_tfidf(d, "doc_id", "text", dim=64)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("bucket", "value")
+    ).select("doc_id", F.col("bucket").cast("long").alias("bucket"), "value")
 
 
 

@@ -73,6 +73,30 @@ def test_query_matches_oracle(name, spark, duck):
     assert len(sdf) > 0, f"{name}: empty result is a vacuous check"
 
 
+def test_every_query_face_emits_only_scalar_columns(spark):
+    """The driver's canonicalizer pandas-sorts every output column and dies
+    on array/struct/map cells ("unhashable type: numpy.ndarray") — exactly
+    how pipe_embed_text stayed the one red CORRECTNESS row through round 7
+    while being parity-green locally.  Structurally pin the contract: every
+    REGISTERED face emits atomic columns only (posexplode / to_json nested
+    values at the face; library operators may of course return arrays)."""
+    import __spark_entry__ as e
+
+    nested = {}
+    for name, fn in e.queries().items():
+        df = fn(spark, SF_DIR)
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "struct", "map")
+        ]
+        if cols:
+            nested[name] = cols
+    assert not nested, (
+        f"query faces with driver-unhashable nested columns: {nested}"
+    )
+
+
 def test_all_queries_have_oracles_or_are_flagged():
     import __spark_entry__ as e
 

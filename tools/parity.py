@@ -40,17 +40,21 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # Array-typed result columns (e.g. pipe_embed_text's array<double>
-    # vector) arrive as numpy arrays / lists, which pandas can neither sort
-    # nor factorize ("unhashable type: numpy.ndarray").  Canonicalize every
-    # such cell to a tuple: hashable, orderable, and equality-comparable
-    # elementwise — the same value identity the driver's hash uses.
+    # Array/struct-typed result columns arrive as numpy arrays / lists /
+    # dicts, which the DRIVER's canonicalizer cannot sort or factorize
+    # ("unhashable type: numpy.ndarray" — pipe_embed_text's r07 ERR row).
+    # The gate replica must fail the same way the gate does, not paper over
+    # it: query faces owe SCALAR columns (posexplode / to_json the nested
+    # value).  Library operators may of course return arrays — only the
+    # registered driver faces are constrained.
     for col in df.columns:
         if df[col].dtype == object and df[col].map(
-            lambda v: isinstance(v, (list, np.ndarray))
+            lambda v: isinstance(v, (list, dict, np.ndarray))
         ).any():
-            df[col] = df[col].map(
-                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            raise TypeError(
+                f"column {col!r} holds array/struct cells — the driver "
+                "canonicalizer cannot hash these; emit scalar columns "
+                "(posexplode / to_json) from the query face"
             )
     if len(df):
         df = df.sort_values(by=list(df.columns), na_position="first", kind="mergesort")
@@ -64,7 +68,10 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     if len(spark_df) != len(duck_df):
         problems.append(f"row count: spark={len(spark_df)} duck={len(duck_df)}")
         return problems
-    s, d = normalize(spark_df), normalize(duck_df)
+    try:
+        s, d = normalize(spark_df), normalize(duck_df)
+    except TypeError as exc:  # array/struct cells — the driver gate errors too
+        return [str(exc)]
     for col in s.columns:
         sv, dv = s[col].to_numpy(), d[col].to_numpy()
         sk, dk = np.asarray(sv).dtype.kind, np.asarray(dv).dtype.kind
