@@ -308,7 +308,8 @@ def events_range_join(spark, sf_dir):
     oracle="""
     WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
     agg AS (
-      SELECT user_id, ts_us - ts_us % 21600000000 AS t,
+      -- floor bucketing (pmod): matches the operator for ts below the origin
+      SELECT user_id, ts_us - ((ts_us % 21600000000) + 21600000000) % 21600000000 AS t,
              CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS v
       FROM ev GROUP BY 1, 2
     ),
@@ -342,7 +343,7 @@ def events_gapfill(spark, sf_dir):
     ev = ev.withColumn("ts_us", ts_micros_col(ev))
     step = 21_600_000_000  # 6 hours in micros
     agg = (
-        ev.select("user_id", (F.col("ts_us") - F.col("ts_us") % step).alias("t"), "value")
+        ev.select("user_id", (F.col("ts_us") - F.pmod(F.col("ts_us"), F.lit(step))).alias("t"), "value")
         .groupBy("user_id", "t")
         .agg(
             (
@@ -366,10 +367,10 @@ def events_gapfill(spark, sf_dir):
       SELECT event_type, epoch_us(ts) AS ts_us, value, event_id FROM events
     ),
     tagged AS (
-      SELECT event_type, ts_us - ts_us % 86400000000 AS b, value,
-             ROW_NUMBER() OVER (PARTITION BY event_type, ts_us - ts_us % 86400000000
+      SELECT event_type, ts_us - ((ts_us % 86400000000) + 86400000000) % 86400000000 AS b, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, ts_us - ((ts_us % 86400000000) + 86400000000) % 86400000000
                                 ORDER BY ts_us, event_id) AS rn_a,
-             ROW_NUMBER() OVER (PARTITION BY event_type, ts_us - ts_us % 86400000000
+             ROW_NUMBER() OVER (PARTITION BY event_type, ts_us - ((ts_us % 86400000000) + 86400000000) % 86400000000
                                 ORDER BY ts_us DESC, event_id DESC) AS rn_d
       FROM ev
     )

@@ -122,10 +122,18 @@ def merge_into_state(
     live view back with :func:`read_state`, which filters tombstones.
     """
     spark = batch_df.sparkSession
-    try:
+    # "First batch" is decided by an EXPLICIT existence probe, never by
+    # catching the read error: a transient IO/permission failure or a
+    # corrupted state file must propagate, not silently discard all prior
+    # state by overwriting the store with only the arriving batch.
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = jvm_path.getFileSystem(
+        spark._jsc.hadoopConfiguration()  # resolves s3a/hdfs/local alike
+    )
+    if fs.exists(jvm_path):
         prev = spark.read.parquet(state_dir)
         merged = prev.unionByName(batch_df)
-    except Exception:  # first batch: no state yet
+    else:
         merged = batch_df
     snap = latest_snapshot(
         merged, key_cols, seq_col, op_col=None, tiebreak_cols=tiebreak_cols

@@ -194,7 +194,19 @@ def pq_train_codebook(
                 r["_s"] / r["_n"]
             )
         books = [sorted(acc.items()) for acc in accs]
-    return books
+    # Re-densify: a Lloyd iteration that empties a cluster drops its code,
+    # leaving survivors like [0,1,2,4] — but adc_dot_expr's LUT probe is
+    # POSITIONAL (element_at(book, code+1)), so sparse codes would read the
+    # wrong centroid (or NULL past the end).  Re-rank surviving codes to
+    # 0..len-1 in sorted-old-code order; pq_encode then emits the dense
+    # codes, so lookup-by-position IS lookup-by-code again.  Assignment
+    # winners are unchanged (same centroid set, same tie order: argmin's
+    # first-min index == smallest old code == smallest new code), and code
+    # VALUES never surface in a result — the DuckDB oracle joins its own
+    # codes by value, so parity is unaffected.
+    return [
+        [(rank, vec) for rank, (_, vec) in enumerate(pairs)] for pairs in books
+    ]
 
 
 def pq_encode(

@@ -25,6 +25,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _floor_bucket(ts, step: int, origin: int = 0):
+    """FLOOR-bucket an integer timestamp: ``origin + floor((ts-origin)/step)*step``.
+
+    Spelled with ``pmod`` in exact integer arithmetic (no double round-trip
+    — epoch micros brush against 2^53).  Spark's ``%`` is sign-preserving
+    (rounds toward zero), which put any ts BELOW the origin — or any
+    negative epoch — into the bucket one step LATER than floor semantics,
+    i.e. the value surfaced in a future bucket (ADVICE r7).  The DuckDB
+    oracles spell the identical ``((x % s) + s) % s`` so both engines share
+    true floor bucketing.
+    """
+    off = ts - F.lit(origin)
+    return off - F.pmod(off, F.lit(step)) + F.lit(origin)
+
+
 def gapfill(
     df: DataFrame,
     key_col: str,
@@ -49,10 +64,7 @@ def gapfill(
     spine is a JVM ``sequence``/``explode``, bounded by span/step rows
     per key.
     """
-    bucket = (
-        (F.col(ts_col) - F.lit(align_origin)) - (F.col(ts_col) - F.lit(align_origin)) % F.lit(step)
-        + F.lit(align_origin)
-    )
+    bucket = _floor_bucket(F.col(ts_col), step, align_origin)
     vals = df.select(
         F.col(key_col).alias("_k"),
         bucket.alias("_t"),
@@ -96,7 +108,7 @@ def downsample_ohlc(
     neither engine).  One shuffle for the windows, reused by the final
     aggregation (same partitioning key).
     """
-    b = (F.col(ts_col) - F.col(ts_col) % F.lit(bucket)).alias("_b")
+    b = _floor_bucket(F.col(ts_col), bucket).alias("_b")
     src = df.select(
         F.col(key_col).alias("_k"),
         b,

@@ -158,6 +158,18 @@ def parse_robots_rules(
     )
 
 
+def _page_path(url_col: str):
+    """A page URL's path for robots prefix matching, with the EMPTY path
+    coalesced to ``'/'``: :func:`canonicalize_url` strips a bare root
+    slash (``http://ex.com/`` -> ``http://ex.com``), and an empty
+    extracted path never startswith ``'/'`` — a site-wide ``Disallow: /``
+    would silently fail to block the host's root page (ADVICE r7)."""
+    raw = F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    return F.when(raw == "", F.lit("/")).otherwise(raw)
+
+
 def filter_robots_disallowed(
     pages: DataFrame, url_col: str, rules: DataFrame
 ) -> DataFrame:
@@ -167,9 +179,7 @@ def filter_robots_disallowed(
     host), so the join side broadcasts: a map-side probe per page, no
     corpus shuffle.
     """
-    path = F.regexp_extract(
-        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
-    )
+    path = _page_path(url_col)
     tagged = pages.withColumn("_host", url_host(F.col(url_col))).withColumn(
         "_path", path
     )
@@ -212,15 +222,20 @@ def filter_robots(
 
     One broadcast join to the matching directives + one per-page window
     picking the winner — pages without any match ride the left join
-    through untouched.
+    through untouched.  Each page is tagged with a unique surrogate row
+    id BEFORE the join and the winner window partitions on that id
+    alone: partitioning by every page column both silently deduplicated
+    identical page rows (two equal rows fell into one partition and the
+    ``_rn==1`` filter dropped one even when allowed) and shuffled on an
+    arbitrarily wide key that can include full HTML payloads (ADVICE
+    r7).  The id is per-evaluation only and never escapes.
     """
     from pyspark.sql.window import Window
 
-    path = F.regexp_extract(
-        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
-    )
-    tagged = pages.withColumn("_host", url_host(F.col(url_col))).withColumn(
-        "_path", path
+    tagged = (
+        pages.withColumn("_rid", F.monotonically_increasing_id())
+        .withColumn("_host", url_host(F.col(url_col)))
+        .withColumn("_path", _page_path(url_col))
     )
     d = directives.select(
         F.col("host").alias("_rhost"),
@@ -231,7 +246,7 @@ def filter_robots(
         F.col("_rprefix")
     )
     joined = tagged.join(F.broadcast(d), cond, "left")
-    w = Window.partitionBy(*[F.col(c) for c in tagged.columns]).orderBy(
+    w = Window.partitionBy(F.col("_rid")).orderBy(
         F.length(F.col("_rprefix")).desc(),
         F.col("_rallow").desc(),  # equal length: Allow wins
     )

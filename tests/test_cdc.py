@@ -134,3 +134,37 @@ def test_streaming_merge_tombstones_block_resurrection(spark, tmp_path):
         cdc.merge_into_state(state_dir, b, ["k"], "seq", op_col="op", tiebreak_cols=["tb"])
     live = {r["k"]: r["v"] for r in cdc.read_state(spark, state_dir, op_col="op").collect()}
     assert live == {"other": 7.0}  # k stays dead
+
+
+def test_merge_never_treats_read_failure_as_first_batch(spark, tmp_path):
+    """ADVICE r7: a corrupted/unreadable state directory must RAISE, not be
+    silently treated as 'no state yet' — that path overwrote the whole
+    upsert store with only the arriving batch (silent data loss).  Only a
+    genuinely ABSENT directory means first batch."""
+    import pytest
+
+    state_dir = str(tmp_path / "state_corrupt")
+    b1 = spark.createDataFrame(
+        [("k", 1, 1, "U", 1.0)], "k string, seq long, tb long, op string, v double"
+    )
+    cdc.merge_into_state(state_dir, b1, ["k"], "seq", op_col="op", tiebreak_cols=["tb"])
+    # corrupt the snapshot: replace every parquet part with garbage bytes
+    import glob
+    import os
+
+    parts = glob.glob(os.path.join(state_dir, "*.parquet"))
+    assert parts
+    for p in parts:
+        with open(p, "wb") as fh:
+            fh.write(b"not a parquet file")
+    b2 = spark.createDataFrame(
+        [("k2", 2, 2, "U", 2.0)], "k string, seq long, tb long, op string, v double"
+    )
+    with pytest.raises(Exception, match="(?i)parquet|footer|schema"):
+        cdc.merge_into_state(
+            state_dir, b2, ["k"], "seq", op_col="op", tiebreak_cols=["tb"]
+        )
+    # the store was NOT overwritten by the failing merge: the garbage bytes
+    # are still there (nothing replaced the state behind our back)
+    with open(parts[0], "rb") as fh:
+        assert fh.read() == b"not a parquet file"

@@ -52,6 +52,38 @@ def test_encode_codes_compact_and_in_range(spark):
         assert all(0 <= c < 4 for c in r["codes"])
 
 
+def test_emptied_cluster_codes_stay_dense(spark):
+    """Duplicate seed vectors force a cluster to EMPTY during Lloyd (ties
+    break to the lower code, so the duplicate centroid gets zero points).
+    Before the re-densify fix, the surviving codes skipped the dead rank
+    (e.g. [0, 2, 3]) while adc_dot_expr probes the codebook POSITIONALLY —
+    element_at(book, code+1) read the wrong centroid or NULL past the end.
+    Pin: codes returned by training are exactly 0..len-1 per subspace, and
+    the ADC search over such a corpus yields no NULL scores."""
+    # seeds = first pq_k=3 by id; vec 0 and 1 identical -> code 1 empties.
+    rows = [
+        (0, [0.0, 0.0, 5.0, 5.0]),
+        (1, [0.0, 0.0, 5.0, 5.0]),
+        (2, [10.0, 10.0, -5.0, -5.0]),
+        (3, [0.1, 0.1, 5.1, 5.1]),
+        (4, [10.1, 9.9, -5.1, -4.9]),
+        (5, [0.2, -0.1, 4.9, 5.2]),
+    ]
+    df = _vecs(spark, rows, dim=4)
+    book = pq.pq_train_codebook(df, "vec_id", "embedding", m=2, pq_k=3, n_iters=2)
+    for pairs in book:
+        assert [c for c, _ in pairs] == list(range(len(pairs))), (
+            f"sparse codes after an emptied cluster: {[c for c, _ in pairs]}"
+        )
+        assert len(pairs) < 3  # the duplicate-seed cluster really did empty
+    out = pq.topk_cosine_ivf_pq(
+        df, df.where(F.col("vec_id") < 2), n_centroids=2, coarse_iters=1,
+        m=2, pq_k=3, pq_iters=2, k=2,
+    ).collect()
+    assert out, "search returned nothing"
+    assert all(r["cos_pq"] is not None for r in out), "NULL ADC score"
+
+
 def test_adc_exact_on_representable_corpus(spark):
     """Two distinct patterns per subspace + pq_k>=2 -> Lloyd converges to
     the patterns themselves -> reconstruction is exact -> the ADC cosine

@@ -47,3 +47,39 @@ def test_ohlc_deterministic_tiebreak(spark):
     assert (b0["high"], b0["low"], b0["n"]) == (9.0, 5.0, 3)
     assert b0["sum_value"] == 21.0
     assert rows[200]["open"] == rows[200]["close"] == 1.0
+
+
+def test_floor_bucketing_below_origin(spark):
+    """ADVICE r7: sign-preserving % put any ts below the align origin (or
+    a negative epoch) into the bucket one step LATER than floor semantics
+    — the value surfaced in a future bucket.  Pin true floor bucketing on
+    both primitives."""
+    from lightfusion_spark.operators.resample import downsample_ohlc, gapfill
+
+    df = spark.createDataFrame(
+        [("k", -5, 1.0), ("k", 5, 2.0), ("k", 15, 3.0)],
+        "k string, t long, v double",
+    )
+    rows = {r["t"]: r for r in gapfill(df, "k", "t", "v", step=10).collect()}
+    # floor: -5 -> bucket -10 (NOT 0), 5 -> 0, 15 -> 10
+    assert sorted(rows) == [-10, 0, 10]
+    assert rows[-10]["v"] == 1.0 and not rows[-10]["is_gap"]
+    assert rows[0]["v"] == 2.0 and rows[10]["v"] == 3.0
+
+    bars = {
+        r["t"]: r
+        for r in downsample_ohlc(
+            df.withColumn("tb", F.lit(0)), "k", "t", "v", bucket=10, tiebreak_col="tb"
+        ).collect()
+    }
+    assert sorted(bars) == [-10, 0, 10]
+    assert bars[-10]["open"] == bars[-10]["close"] == 1.0
+
+
+def test_gapfill_floor_with_origin_below(spark):
+    from lightfusion_spark.operators.resample import gapfill
+
+    df = spark.createDataFrame([("k", 7, 1.0), ("k", 27, 2.0)], "k string, t long, v double")
+    rows = sorted(r["t"] for r in gapfill(df, "k", "t", "v", step=10, align_origin=12).collect())
+    # 7 is below origin 12 -> floor bucket 2 (12 - 10), not 12
+    assert rows == [2, 12, 22]

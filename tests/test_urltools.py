@@ -138,6 +138,42 @@ def test_robots_full_precedence_longest_match_wins(spark):
     assert kept.columns == ["id", "url"]
 
 
+def test_robots_duplicate_pages_survive_filtering(spark):
+    """ADVICE r7: filter_robots's winner window used to partition by every
+    page column, so two IDENTICAL page rows fell in one partition and the
+    rn==1 filter silently deduplicated the input.  Duplicates must ride
+    through 1:1 when allowed."""
+    pages = spark.createDataFrame(
+        [(1, "https://a.com/ok"), (1, "https://a.com/ok"), (2, "https://a.com/private/x")],
+        "id long, url string",
+    )
+    directives = spark.createDataFrame(
+        [("a.com", False, "/private")], "host string, allow boolean, prefix string"
+    )
+    kept = urltools.filter_robots(pages, "url", directives)
+    assert sorted(r["id"] for r in kept.collect()) == [1, 1]
+    assert kept.columns == ["id", "url"]
+
+
+def test_robots_blocks_root_page_after_canonicalization(spark):
+    """ADVICE r7: canonicalize_url strips a bare root slash, leaving an
+    EMPTY extracted path that never startswith('/') — a site-wide
+    'Disallow: /' failed to block the host's root page.  The empty path
+    now coalesces to '/' in both filter entry points."""
+    pages = spark.createDataFrame(
+        [(1, "https://a.com"), (2, "https://a.com/"), (3, "https://b.com")],
+        "id long, url string",
+    )
+    rules = spark.createDataFrame([("a.com", "/")], "host string, prefix string")
+    kept = urltools.filter_robots_disallowed(pages, "url", rules)
+    assert sorted(r["id"] for r in kept.collect()) == [3]
+    directives = spark.createDataFrame(
+        [("a.com", False, "/")], "host string, allow boolean, prefix string"
+    )
+    kept2 = urltools.filter_robots(pages, "url", directives)
+    assert sorted(r["id"] for r in kept2.collect()) == [3]
+
+
 def test_parse_robots_directives_both_kinds(spark):
     df = spark.createDataFrame(
         [
