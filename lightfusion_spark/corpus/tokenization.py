@@ -139,20 +139,44 @@ def pipe_pack_bpe(spark, sf_dir):
     )
 
 
+#: pipe_bpe_train's expected merge tables, one block per covered corpus,
+#: keyed by the corpus content signature (tools/gen_bpe_fixture.py:
+#: reference_train, an INDEPENDENT trainer implementation).
+_TRAIN_EXPECTED = os.path.join(REPO_ROOT, "data", "bpe_train_expected.parquet")
+
+
 @register(
     "pipe_bpe_train",
-    oracle=None,
+    # Training is an iterative argmax over a mutating word table — not
+    # SQL-expressible as a REPLAY.  But the trainer is DETERMINISTIC, so
+    # the oracle can assert the exact expected OUTPUT instead: the merge
+    # table precomputed by the independent offline trainer at fixture-
+    # build time, selected by the corpus's content signature (sum of
+    # per-doc md5 prefixes mod 2^61-1 — count alone is not an identity:
+    # two local corpora share n_docs=500).  An uncovered corpus joins to
+    # zero rows and fails the row-count gate loudly; the driver then
+    # hash-verifies rank order and pair bytes (round-7 verdict item 5).
+    oracle=f"""
+    WITH sig AS (
+      SELECT CAST(SUM(CAST('0x' || substr(md5(coalesce(text, '')), 1, 14)
+                           AS BIGINT)) % 2305843009213693951 AS BIGINT) AS s
+      FROM documents
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, "left", "right"
+    FROM read_parquet('{_TRAIN_EXPECTED}') f
+    JOIN sig ON f.corpus_sig = sig.s
+    """,
     doc="distributed BPE TRAINING (the documented round-6 seam, closed): "
     "one Arrow-batched word-count crossing + one map-side-combined "
     "groupBy (the only shuffle carries distinct words, never the "
     "corpus), then the same greedy merge loop as the offline trainer on "
     "the Zipf-bounded driver-side table (min_count=2 prunes hapax "
-    "noise).  NON-SQL-EXPRESSIBLE: training is an iterative argmax over "
-    "a mutating word table, so this query takes the driver's weaker "
-    "rows-only check; the strong equivalence check lives in "
-    "tests/test_tokenize.py (distributed trainer must EXACTLY equal the "
-    "independent local trainer on the identical corpus, and its merges "
-    "must round-trip through BPETokenizer)",
+    "noise).  Oracle: the trainer is deterministic, so the committed "
+    "expected-merges fixture from an INDEPENDENT trainer "
+    "implementation (tools/gen_bpe_fixture.py:reference_train) is "
+    "selected by corpus content signature and hash-compared rank by "
+    "rank; tests/test_tokenize.py additionally pins distributed == "
+    "local trainer and BPETokenizer round-trip",
 )
 def pipe_bpe_train(spark, sf_dir):
     from ..operators.tokenize import train_bpe_distributed

@@ -103,10 +103,8 @@ def test_all_queries_have_oracles_or_are_flagged():
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
     missing = set(qs) - set(oracles)
-    # the documented intentional rows-only set: BPE *training* is an
-    # iterative argmax over a mutating word table — not SQL-expressible.
-    # Its strong check is tests/test_tokenize.py (distributed trainer
-    # must EXACTLY equal the independent local trainer).
-    assert missing == {"pipe_bpe_train"}, (
-        f"undocumented rows-only queries: {missing - {'pipe_bpe_train'}}"
-    )
+    # Round 8 closed the last rows-only query: pipe_bpe_train's oracle
+    # asserts the deterministic trainer's exact expected OUTPUT (the
+    # committed independent-trainer merge table, selected by corpus
+    # content signature).  Every registered query is oracle-backed.
+    assert missing == set(), f"rows-only queries without an oracle: {missing}"

@@ -77,6 +77,74 @@ def reference_encode(text: str, merges: list[tuple[str, str]]) -> list[int]:
     return out
 
 
+#: pipe_bpe_train's face parameters — the expected-merges fixture must be
+#: trained with exactly these.
+TRAIN_N_MERGES = 40
+TRAIN_MIN_COUNT = 2
+
+
+def reference_train(texts: list[str], n_merges: int, min_count: int) -> list[tuple[str, str]]:
+    """Independent greedy BPE trainer (Sennrich et al.): its own word
+    counting, pair counting, and merge application — shares NO code with
+    ``_greedy_merges``/``train_bpe_distributed``, so the committed
+    expected-merges fixture genuinely cross-checks the distributed
+    trainer's word-histogram path AND merge loop instead of replaying
+    them.  Ties break to the lexicographically smallest pair (the
+    documented deterministic order both sides implement)."""
+    from collections import Counter
+
+    byte_enc = bytes_to_unicode()
+    freq: Counter[tuple[str, ...]] = Counter()
+    for t in texts:
+        for w in PRETOKEN_RE.findall(t or ""):
+            freq[tuple(byte_enc[b] for b in w.encode("utf-8"))] += 1
+    table = {w: c for w, c in freq.items() if c >= min_count}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter[tuple[str, str]] = Counter()
+        for w, c in table.items():
+            for a, b in zip(w, w[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        top = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == top)
+        merges.append(best)
+        ab = best[0] + best[1]
+        new_table: dict[tuple[str, ...], int] = {}
+        for w, c in table.items():
+            out: list[str] = []
+            i = 0
+            while i < len(w):
+                if i + 1 < len(w) and (w[i], w[i + 1]) == best:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            k = tuple(out)
+            new_table[k] = new_table.get(k, 0) + c
+        table = new_table
+    return merges
+
+
+#: 2^61 - 1 (prime): the corpus-signature modulus shared with the oracle.
+SIG_MOD = 2305843009213693951
+
+
+def corpus_signature(texts: list[str]) -> int:
+    """Order-insensitive corpus content signature, recomputable by a
+    static DuckDB oracle: ``SUM(first-14-hex of md5(coalesce(text,'')))
+    % (2^61-1)``."""
+    return (
+        sum(
+            int(hashlib.md5(t.encode("utf-8")).hexdigest()[:14], 16)
+            for t in texts
+        )
+        % SIG_MOD
+    )
+
+
 def load_texts(sf: str) -> list[str]:
     tbl = pq.read_table(
         os.path.join(TESTDATA, sf, "documents.parquet"), columns=["doc_id", "text"]
@@ -118,9 +186,39 @@ def main() -> None:
     )
     out_path = os.path.join(REPO_ROOT, "data", "bpe_expected.parquet")
     pq.write_table(table, out_path, compression="snappy")
+
+    # Expected MERGE TABLES for pipe_bpe_train, one per local corpus,
+    # keyed by a corpus CONTENT SIGNATURE the static oracle string can
+    # recompute from the registered views: sum over documents of the
+    # first-14-hex-digit md5 of coalesce(text, ''), mod 2^61-1 (DuckDB
+    # sums BIGINT into HUGEINT, so no overflow before the mod).  Count
+    # alone is NOT an identity — sf0.001 and sf0.01 both hold 500 docs
+    # with different content.  An uncovered corpus joins to zero rows
+    # and fails the driver's row-count gate loudly.
+    t_sig, t_rank, t_left, t_right = [], [], [], []
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        texts = load_texts(sf)
+        sig = corpus_signature(texts)
+        expected = reference_train(texts, TRAIN_N_MERGES, TRAIN_MIN_COUNT)
+        for rank, (a, b) in enumerate(expected):
+            t_sig.append(sig)
+            t_rank.append(rank)
+            t_left.append(a)
+            t_right.append(b)
+    train_table = pa.table(
+        {
+            "corpus_sig": pa.array(t_sig, pa.int64()),
+            "rank": pa.array(t_rank, pa.int32()),
+            "left": pa.array(t_left, pa.string()),
+            "right": pa.array(t_right, pa.string()),
+        }
+    )
+    train_path = os.path.join(REPO_ROOT, "data", "bpe_train_expected.parquet")
+    pq.write_table(train_table, train_path, compression="snappy")
     print(
-        f"wrote {len(merges)} merges to {merges_path} and "
-        f"{len(fps)} expected tokenizations to {out_path}"
+        f"wrote {len(merges)} merges to {merges_path}, "
+        f"{len(fps)} expected tokenizations to {out_path}, and "
+        f"{len(t_rank)} expected training merges to {train_path}"
     )
 
 
