@@ -45,21 +45,18 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 #: Curated export order.  The driver's correctness gate evaluates only the
 #: FIRST 50 ``queries()`` entries (CORRECTNESS_r02 was exactly the first 50
-#: registered names), so the names below are emitted first.  Round-7
-#: rotation (two goals, per the round-6 verdict): (1) every round-7
-#: operator (WARC ingestion, TF-IDF embedding + composed ANN, banded
-#: sign-LSH, trigram LM score/buckets, web link extraction + PageRank +
-#: rank-weighted sampling + robots gate, URL canonicalization +
-#: blocklist, distributed BPE training, IVF-PQ + rerank, Z-order
-#: layout, gapfill/OHLC resampling, profiling/skew reports) rotates IN
-#: — none has ever seen a driver window; (2) the queries whose latest official row is OLDEST
-#: (r02/r03 — 54 queries pre-date the heavy dedup/similarity/text edits of
-#: rounds 4-6) take the remaining slots for fresh official rows.  All 46
-#: rotated-out queries are r5/r6-green and move to WINDOW_EXEMPT with their
-#: families still repped.  Everything stays covered by tools/parity.py +
-#: CI; tests/test_registry_window.py asserts every registered query is
-#: either in the current window or has a recorded green row from a past
-#: driver window.
+#: registered names), so the names below are emitted first.  Round-8
+#: rotation (per the round-7 verdict): (1) every face CHANGED this round
+#: gets a fresh official row (scalar-column pipe_embed_text, the newly
+#: oracle-backed pipe_bpe_train, the PQ/floor-bucketing/robots fixes);
+#: (2) the ENTIRE 33-query r02 long tail — the stalest official rows in
+#: the registry — re-windows, plus the four oldest r03 pipeline rows and
+#: the three stalest category reps.  All rotated-out queries are r7-green
+#: (verified LAST round) and move to WINDOW_EXEMPT with their families
+#: still repped.  Everything stays covered by tools/parity.py + CI;
+#: tests/test_registry_window.py asserts every registered query is either
+#: in the current window or has a recorded green row from a past driver
+#: window.
 PRIORITY: list[str] = [
     # §2.1/§2.2 Layer A — the reference-authored surface (windowed every
     # round: these are the flagship parity claims vs the reference).
@@ -67,78 +64,105 @@ PRIORITY: list[str] = [
     "lgbm_infer_embeddings",
     "argmax_embeddings",
     "settings_introspection",
-    # Round-7 operators — never driver-windowed.
-    "pipe_ingest_warc",
-    "pipe_ingest_warc_clean",
+    # Round-8 changed/new faces — each needs a FRESH official row:
+    # pipe_embed_text's face now emits scalar columns (the one red r07
+    # row); pipe_bpe_train gained its expected-output oracle;
+    # pipe_sim_ivf_pq exercises the re-densified PQ codebook;
+    # events_gapfill/_ohlc moved to floor bucketing; pipe_web_robots
+    # coalesces the empty root path.
     "pipe_embed_text",
-    "pipe_embed_ivf_topk",
-    "pipe_sim_lsh_banded",
-    "pipe_lm_score_ngram",
-    "pipe_lm_buckets_ngram",
-    # Oldest official rows: r03 (dedup/similarity/text modules heavily
-    # edited since — these are the rows judge spot-checks flagged as stale).
-    "pipe_dedup_components",
-    # Oldest official rows: r02 rel_* — chosen so every §2.3 category keeps
-    # an in-window representative (see test_registry_window.py).
-    "rel_distinct",
-    "rel_join_left",
-    "rel_agg_rollup",
-    "rel_window_lag",
-    "rel_sort_limit",
-    "rel_set_intersect",
-    "rel_subquery_scalar",
-    "rel_scalar_string",
-    # Round-7 web-graph + URL + trainer operators (never windowed; displaced rel_scalar_json
-    # + rel_pivot, whose categories stay repped by the three scalar siblings
-    # above and rel_agg_* — both re-verify next round).
-    "pipe_web_links",
-    "pipe_web_pagerank",
-    "pipe_url_canonicalize",
-    "pipe_url_blocklist",
     "pipe_bpe_train",
     "pipe_sim_ivf_pq",
-    "pipe_sim_ivf_pq_rerank",
-    "pipe_sim_ivf_pq_probe2",
-    "pipe_corpus_health",
-    "pipe_hard_negatives",
-    "rel_histogram",
-    "pipe_mixture_temperature",
-    "pipe_multimodal_resize",
-    "pipe_multimodal_audio_frames",
-    "rel_fuzzy_match",
-    "pipe_multimodal_scenecut",
-    "rel_outlier_iqr",
-    "pipe_layout_zorder",
     "events_gapfill",
     "events_ohlc",
-    "rel_profile_orders",
-    "rel_skew_report",
-    "pipe_web_rank_sample",
     "pipe_web_robots",
-    "rel_cdc_latest",
-    "rel_scd2_asof",
-    "events_funnel",
-    # Category keepers with no r02/r03 sibling: generators (r4), UDTF (r5),
-    # sketches (r6 — sole family member), Spark-4 SQL (r5).
-    "rel_explode",
-    "udtf_split_words",
-    "rel_recursive_cte",
+    # Category reps with no r02-era sibling, themselves the stalest of
+    # their family: generators/higher-order (r4), Spark-4 VARIANT (r5),
+    # UDF/UDAF (r6).
+    "rel_higher_order",
+    "rel_variant",
+    "udaf_mean_norm",
+    # The ENTIRE r02 long tail (33 queries whose latest official row
+    # still dates to round 2 — the stalest block in the registry, judge
+    # item 3; my full parity sweeps say all exact, but official rows
+    # beat spot-checks).
+    "rel_case_when",
+    "rel_join_semi",
+    "rel_join_anti",
+    "rel_join_cross",
+    "rel_join_theta",
+    "rel_join_full_outer",
+    "rel_join_part_supplier",
+    "rel_agg_distinct",
+    "rel_agg_cube",
+    "rel_agg_argminmax",
+    "rel_grouping_sets",
+    "rel_having",
+    "rel_pivot",
+    "rel_unpivot",
+    "rel_window_frame",
+    "rel_window_analytics",
+    "rel_window_range_frame",
+    "rel_topk_group",
+    "rel_set_except",
+    "rel_union_all",
+    "rel_cte",
+    "rel_not_in_subquery",
+    "rel_percentile",
+    "rel_scalar_date",
+    "rel_scalar_array",
+    "rel_scalar_json",
+    "rel_scalar_string2",
+    "rel_scalar_bitwise",
+    "rel_scalar_conditional",
+    "rel_scalar_struct_map",
+    "rel_part_stats",
+    "rel_tpch_q3_shape",
+    "rel_tpch_q5_shape",
+    # The oldest r03 pipeline rows take the remaining slots (the rest of
+    # the r03 block re-windows in round 9; any new round-8 operator
+    # displaces from the END of this group).
+    "pipe_simhash_wide",
+    "pipe_text_tokens",
+    "pipe_text_fingerprint",
+    "pipe_sim_ann_lsh",
 ]
 
 #: Queries intentionally OUTSIDE the driver's 50-entry window.  Every name
 #: here MUST have a green row in a recorded past driver window (enforced by
 #: tests/test_registry_window.py, which cross-checks CORRECTNESS_r*.json):
-#: each was hash-verified by an earlier driver gate and ceded its slot —
-#: round 7 cedes the whole r5/r6-green block so the never-windowed round-7
-#: operators and the stale r02/r03 rows get official verification.  All
-#: remain parity-checked by tools/parity.py and the CI subset.
+#: each was hash-verified by an earlier driver gate and ceded its slot.
+#: Round 8 cedes the whole r7-green block (verified LAST round — the
+#: freshest rows in the registry) so the r02/r03 long tail gets official
+#: re-verification; all remain parity-checked by tools/parity.py and CI.
 WINDOW_EXEMPT: frozenset[str] = frozenset(
     {
-        # r6-green, rotated out for round 7 (families repped by windowed
-        # siblings: banded LSH + ann_lsh/multiprobe rep similarity; the two
-        # ingest/e2e compositions run strip/exact-dedup/chunk/inference;
-        # trigram LM queries rep the LM family; simhash_wide + components/
-        # survivors rep the dedup graph side).
+        # r7-green, rotated out for round 8 (families repped by windowed
+        # siblings or by their own round-7 rows).
+        "pipe_sim_lsh_banded",
+        "pipe_ingest_warc",
+        "pipe_ingest_warc_clean",
+        "pipe_embed_ivf_topk",
+        "pipe_dedup_components",
+        "pipe_lm_score_ngram",
+        "pipe_lm_buckets_ngram",
+        "pipe_sim_ivf_pq_rerank",
+        "pipe_sim_ivf_pq_probe2",
+        "pipe_layout_zorder",
+        "pipe_corpus_health",
+        "pipe_hard_negatives",
+        "pipe_mixture_temperature",
+        "pipe_multimodal_resize",
+        "pipe_multimodal_audio_frames",
+        "pipe_multimodal_scenecut",
+        "events_funnel",
+        "pipe_web_pagerank",
+        "pipe_web_links",
+        "pipe_url_canonicalize",
+        "pipe_url_blocklist",
+        "pipe_web_rank_sample",
+        "udtf_split_words",
+        # r5/r6-green, rotated out in round 7; families still repped.
         "pipe_dedup_minhash",
         "pipe_dedup_minhash_incr",
         "pipe_dedup_simhash",
@@ -171,25 +195,17 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "events_asof_join",
         "events_asof_bucketed",
         "events_range_join",
-        "udaf_mean_norm",
         "grouped_map_centroid",
-        # r03-green, displaced late in round 7 by the CDC/funnel additions;
-        # families stay repped by windowed siblings (ann_lsh for the LSH
-        # pair, tokens/fingerprint/repetition/pii for text, mixture/shard
-        # for curation packing).
+        # r3/r4/r5-green, awaiting their round-9 re-window (round 8's
+        # slots went to the older r02 block); families still repped.
         "pipe_sim_lsh_multiprobe",
-        "pipe_sim_ann_lsh",
-        "pipe_simhash_wide",
         "pipe_text_urls",
         "pipe_text_pii",
-        "pipe_text_tokens",
         "pipe_mixture_sample",
         "pipe_shard_assign",
         "pipe_dedup_survivors",
-        "pipe_text_fingerprint",
         "pipe_text_repetition",
         "pipe_pack_sequences",
-        # r4/r5-green, rotated out in earlier rounds; families still repped.
         "pipe_simhash_pairs",
         "pipe_sim_topk_quantized",
         "pipe_text_langid",

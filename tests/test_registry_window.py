@@ -64,24 +64,24 @@ def test_window_covers_every_family():
     for name in WINDOW_EXEMPT:
         assert name in REGISTRY, f"stale WINDOW_EXEMPT entry {name}"
         assert name not in window, f"{name} exempted but wastes a window slot"
-    # One-plus rel_* representative per §2.3 category.  Round-7 rotation
-    # swapped representatives to the stalest-verified sibling per category
-    # (r02/r03 rows pre-date the heavy round-4..6 edits), so the category
-    # stays repped AND the oldest official row gets refreshed.
+    # One-plus representative per §2.3 category.  Round-8 rotation picks
+    # the stalest-verified sibling per category (the r02 block plus
+    # rel_higher_order r4, rel_variant r5, udaf_mean_norm r6), so the
+    # category stays repped AND the oldest official row gets refreshed.
     for name in (
-        "rel_distinct",  # projection/filter
-        "rel_join_left",  # joins
-        "rel_agg_rollup",  # aggregations
-        "rel_window_lag",  # windows
-        "rel_sort_limit",  # sort/limit/top-k
-        "rel_set_intersect",  # set ops
-        "rel_subquery_scalar",  # subqueries/CTEs
-        "rel_scalar_string",  # scalar function library
-        "rel_explode",  # generators / higher-order
-        # (approx/sketch rep rel_approx_sketch ceded its slot late in r7 —
-        # it is r6-green with no stale sibling, so nothing is lost)
-        "rel_recursive_cte",  # Spark-4 surface
-        "udtf_split_words",  # UDF/UDAF/UDTF
+        "rel_case_when",  # projection/filter/predicates
+        "rel_join_semi",  # joins
+        "rel_agg_cube",  # aggregations
+        "rel_window_frame",  # windows
+        "rel_topk_group",  # sort/limit/top-k
+        "rel_set_except",  # set ops
+        "rel_cte",  # subqueries/CTEs
+        "rel_scalar_date",  # scalar function library
+        "rel_higher_order",  # generators / higher-order
+        "rel_percentile",  # approximate/sketch
+        "rel_variant",  # Spark-4 surface
+        "udaf_mean_norm",  # UDF/UDAF/UDTF
+        "events_gapfill",  # timeseries/streaming-adjacent resampling
     ):
         assert name in window, f"§2.3 representative {name} outside driver window"
 
