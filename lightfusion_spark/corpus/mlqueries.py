@@ -23,14 +23,14 @@ from pyspark.sql import functions as F
 from ..functions.argmax import argmax, register_argmax
 from ..functions.inference import register_lightgbm_function
 from ..ml.lgbm_model import LightGBMModel, load_model
+from ..fixtures import fixture_path
 from .registry import register
 from .util import table
 
-REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-EMBED_MODEL = os.path.join(REPO_ROOT, "models", "embed_cls.lgbm")
-MULTI_MODEL = os.path.join(REPO_ROOT, "models", "multiclass.lgbm")
-QUALITY_MODEL = os.path.join(REPO_ROOT, "models", "quality_cls.lgbm")
-TSV_PATH = os.path.join(REPO_ROOT, "data", "multiclass.test")
+EMBED_MODEL = fixture_path("models", "embed_cls.lgbm")
+MULTI_MODEL = fixture_path("models", "multiclass.lgbm")
+QUALITY_MODEL = fixture_path("models", "quality_cls.lgbm")
+TSV_PATH = fixture_path("data", "multiclass.test")
 
 
 # ---------------------------------------------------------------------------

@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from ..fixtures import fixture_path
 from ..operators import curation, dedup, ingest, multimodal, similarity, text as text_ops
 from .registry import register
 from .util import table
@@ -1316,10 +1317,7 @@ def pipe_multimodal_png(spark, sf_dir):
     return multimodal.decode_media(payload, real=True)
 
 
-_REPO_ROOT = os.path.dirname(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
-_JPEG_EXPECTED = os.path.join(_REPO_ROOT, "data", "jpeg_expected.parquet")
+_JPEG_EXPECTED = fixture_path("data", "jpeg_expected.parquet")
 #: The committed JPEG/video fixtures cover doc_id < 5000 (the full local
 #: corpus range, tools/gen_jpeg_fixture.py).  Both query sides bound to
 #: that range explicitly so a larger future corpus narrows the checked
@@ -1388,7 +1386,7 @@ def pipe_multimodal_wav(spark, sf_dir):
     return multimodal.decode_audio(payload)
 
 
-_VIDEO_EXPECTED = os.path.join(_REPO_ROOT, "data", "video_expected.parquet")
+_VIDEO_EXPECTED = fixture_path("data", "video_expected.parquet")
 
 
 @register(
@@ -1422,8 +1420,8 @@ def pipe_multimodal_video(spark, sf_dir):
 # raw-corpus ingestion (WARC -> HTML -> text)
 # ---------------------------------------------------------------------------
 
-_WARC_FIXTURE = os.path.join(_REPO_ROOT, "data", "sample.warc.gz")
-_WARC_EXPECTED = os.path.join(_REPO_ROOT, "data", "warc_expected.parquet")
+_WARC_FIXTURE = fixture_path("data", "sample.warc.gz")
+_WARC_EXPECTED = fixture_path("data", "warc_expected.parquet")
 
 
 @register(

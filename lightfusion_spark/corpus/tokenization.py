@@ -1,7 +1,7 @@
 """Subword-tokenization queries: real BPE token counts, token-exact
 chunking and token-budget packing (SURVEY §2.4, round-6 item 1).
 
-Oracle strategy: the committed fixture ``data/bpe_expected.parquet``
+Oracle strategy: the committed fixture ``fixtures/data/bpe_expected.parquet``
 maps ``md5(text)`` → token ids, produced by an INDEPENDENT rank-order
 BPE encoder (``tools/gen_bpe_fixture.py``) — so the driver's hash
 compare pins the production encoder against a second implementation,
@@ -15,19 +15,15 @@ passing.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import functions as F
 
+from ..fixtures import fixture_path
 from ..operators import curation
 from ..operators.tokenize import chunk_token_ids, tokenize_bpe
 from .registry import register
 from .util import table
 
-REPO_ROOT = os.path.dirname(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
-_EXPECTED = os.path.join(REPO_ROOT, "data", "bpe_expected.parquet")
+_EXPECTED = fixture_path("data", "bpe_expected.parquet")
 
 #: Shared oracle prefix: documents joined to their expected tokenization
 #: by content hash (NULL text == the empty document, as in the operator).
@@ -142,7 +138,7 @@ def pipe_pack_bpe(spark, sf_dir):
 #: pipe_bpe_train's expected merge tables, one block per covered corpus,
 #: keyed by the corpus content signature (tools/gen_bpe_fixture.py:
 #: reference_train, an INDEPENDENT trainer implementation).
-_TRAIN_EXPECTED = os.path.join(REPO_ROOT, "data", "bpe_train_expected.parquet")
+_TRAIN_EXPECTED = fixture_path("data", "bpe_train_expected.parquet")
 
 
 @register(

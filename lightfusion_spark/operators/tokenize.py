@@ -17,7 +17,7 @@ MIT-licensed ``encoder.py``):
 Vocabulary ids are DERIVED from the merges file alone: the 256 base byte
 symbols take ids 0-255 in sorted-codepoint order, and the symbol created
 by merge ``i`` takes id ``256 + i`` — no separate vocab artifact to keep
-in sync.  The committed fixture (``data/bpe_merges.txt``) is trained by
+in sync.  The committed fixture (``fixtures/data/bpe_merges.txt``) is trained by
 :func:`train_bpe` on the sf0.001 documents corpus
 (``tools/gen_bpe_fixture.py`` regenerates it deterministically).
 
@@ -50,11 +50,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-REPO_ROOT = os.path.dirname(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
+from ..fixtures import fixture_path
+
 #: The committed merges fixture (trained on sf0.001 documents).
-DEFAULT_MERGES_PATH = os.path.join(REPO_ROOT, "data", "bpe_merges.txt")
+DEFAULT_MERGES_PATH = fixture_path("data", "bpe_merges.txt")
 
 #: GPT-2's pre-tokenizer, with ``\p{L}`` → ``[^\W\d_]`` and ``\p{N}`` →
 #: ``\d`` (Python ``re`` has no ``\p`` classes; these Unicode-aware

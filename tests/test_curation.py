@@ -148,10 +148,9 @@ def test_quality_model_filter(spark):
     from lightfusion_spark.ml.lgbm_model import parse_model_str
     from lightfusion_spark.operators.curation import quality_model_filter
 
-    model_path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "models", "quality_cls.lgbm",
-    )
+    from lightfusion_spark.fixtures import fixture_path
+
+    model_path = fixture_path("models", "quality_cls.lgbm")
     docs = spark.createDataFrame(
         [
             (1, "the fast table scan and the merge join of the sort order table"),

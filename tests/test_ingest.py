@@ -8,8 +8,9 @@ import pytest
 
 from lightfusion_spark.operators import ingest
 
-REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-FIXTURE = os.path.join(REPO_ROOT, "data", "sample.warc.gz")
+from lightfusion_spark.fixtures import fixture_path
+
+FIXTURE = fixture_path("data", "sample.warc.gz")
 
 
 def _record(rec_type=b"response", body=b"HTTP/1.1 200 OK\r\n\r\nhi", uri=b"https://x/1"):

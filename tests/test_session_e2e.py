@@ -15,7 +15,10 @@ import pytest
 from lightfusion_spark import config as lf_config
 from lightfusion_spark.ml import load_model
 
-MODEL_PATH = "models/multiclass.lgbm"
+from lightfusion_spark.fixtures import fixture_path
+
+MODEL_PATH = fixture_path("models", "multiclass.lgbm")
+TSV_PATH = fixture_path("data", "multiclass.test")
 N_FEATURES = 28
 
 
@@ -146,7 +149,7 @@ def test_tsv_scan_flow(engine, fixture_model):
     scan -> 28-col array -> f0 -> argmax == label for all 500 rows."""
     from lightfusion_spark.sources.tsv import read_headerless_tsv
 
-    df = read_headerless_tsv(engine.spark, "data/multiclass.test")
+    df = read_headerless_tsv(engine.spark, TSV_PATH)
     assert df.columns[:2] == ["column_1", "column_2"] and len(df.columns) == 29
     df.createOrReplaceTempView("m")
     engine.sql(f"CREATE FUNCTION ftsv(DOUBLE[]) LANGUAGE LIGHTGBM AS '{MODEL_PATH}'")
@@ -205,7 +208,7 @@ def test_external_table_ddl_verbatim(engine):
     engine.sql("SET lightfusion.batch_size = 1")
     engine.sql(f"CREATE FUNCTION fddl(DOUBLE[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM AS '{MODEL_PATH}'")
     engine.sql(
-        "CREATE EXTERNAL TABLE m2 STORED AS CSV DELIMITER '\t' LOCATION 'data/multiclass.test'"
+        f"CREATE EXTERNAL TABLE m2 STORED AS CSV DELIMITER '\t' LOCATION '{TSV_PATH}'"
     )
     cols = ",\n".join(f"column_{i}" for i in range(2, 30))
     res = engine.sql(

@@ -86,8 +86,9 @@ def test_parse_robots_rules_from_fixture(spark):
 
     from lightfusion_spark.operators import ingest
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    recs = ingest.read_warc(spark, os.path.join(repo, "data", "sample.warc.gz"))
+    from lightfusion_spark.fixtures import fixture_path
+
+    recs = ingest.read_warc(spark, fixture_path("data", "sample.warc.gz"))
     robots = recs.where(
         (F.col("warc_type") == "response")
         & F.col("target_uri").endswith("/robots.txt")

@@ -1,8 +1,8 @@
 """Generate the committed BPE fixtures (deterministic, offline):
 
-* ``data/bpe_merges.txt`` — merges trained on the sf0.001 documents
+* ``fixtures/data/bpe_merges.txt`` — merges trained on the sf0.001 documents
   corpus by ``operators.tokenize.train_bpe``;
-* ``data/bpe_expected.parquet`` — expected tokenization for every
+* ``fixtures/data/bpe_expected.parquet`` — expected tokenization for every
   DISTINCT document text across sf0.001 + sf0.01 + sf0.1, keyed by
   ``md5(text)`` so the DuckDB oracle joins on content, not ids.
 
@@ -158,7 +158,7 @@ def load_texts(sf: str) -> list[str]:
 def main() -> None:
     train_texts = load_texts("sf0.001")
     merges = train_bpe(train_texts, N_MERGES)
-    merges_path = os.path.join(REPO_ROOT, "data", "bpe_merges.txt")
+    merges_path = os.path.join(REPO_ROOT, "lightfusion_spark", "fixtures", "data", "bpe_merges.txt")
     with open(merges_path, "w", encoding="utf-8") as fh:
         fh.write(format_merges(merges))
     # round-trip check: the file parses back to the exact merge list
@@ -184,7 +184,7 @@ def main() -> None:
             "token_ids_str": pa.array([seen[f][1] for f in fps], pa.string()),
         }
     )
-    out_path = os.path.join(REPO_ROOT, "data", "bpe_expected.parquet")
+    out_path = os.path.join(REPO_ROOT, "lightfusion_spark", "fixtures", "data", "bpe_expected.parquet")
     pq.write_table(table, out_path, compression="snappy")
 
     # Expected MERGE TABLES for pipe_bpe_train, one per local corpus,
@@ -213,7 +213,7 @@ def main() -> None:
             "right": pa.array(t_right, pa.string()),
         }
     )
-    train_path = os.path.join(REPO_ROOT, "data", "bpe_train_expected.parquet")
+    train_path = os.path.join(REPO_ROOT, "lightfusion_spark", "fixtures", "data", "bpe_train_expected.parquet")
     pq.write_table(train_table, train_path, compression="snappy")
     print(
         f"wrote {len(merges)} merges to {merges_path}, "

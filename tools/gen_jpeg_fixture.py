@@ -1,5 +1,5 @@
 """Generate the committed JPEG decode fixture (deterministic, offline):
-``data/jpeg_expected.parquet`` — for every doc_id in the local corpus
+``fixtures/data/jpeg_expected.parquet`` — for every doc_id in the local corpus
 range, the channel means a CORRECT decoder must produce for the
 synthetic payload ``synthesize_media(formats=("jpeg",))`` builds.
 
@@ -57,7 +57,7 @@ def main() -> None:
             "mean_b": pa.array(rows["mean_b"], pa.float64()),
         }
     )
-    out = os.path.join(REPO_ROOT, "data", "jpeg_expected.parquet")
+    out = os.path.join(REPO_ROOT, "lightfusion_spark", "fixtures", "data", "jpeg_expected.parquet")
     pq.write_table(table, out, compression="snappy")
     print(f"wrote {N_DOCS} expected JPEG decodes to {out}")
 

@@ -1,5 +1,5 @@
 """Generate the committed video frame-sample fixture (deterministic,
-offline): ``data/video_expected.parquet`` — for every doc_id in the
+offline): ``fixtures/data/video_expected.parquet`` — for every doc_id in the
 local corpus range, the per-sampled-frame channel means a CORRECT
 decoder must produce for ``synthesize_video``'s LFV1 clips at the
 default sampling stride (every 2nd frame).
@@ -66,7 +66,7 @@ def main() -> None:
             "mean_b": pa.array(cols["mean_b"], pa.float64()),
         }
     )
-    out = os.path.join(REPO_ROOT, "data", "video_expected.parquet")
+    out = os.path.join(REPO_ROOT, "lightfusion_spark", "fixtures", "data", "video_expected.parquet")
     pq.write_table(table, out, compression="snappy")
     print(f"wrote {len(cols['doc_id'])} expected sampled frames to {out}")
 

@@ -1,12 +1,12 @@
 """Build the committed WARC ingestion fixture (run once, offline):
 
-* ``data/sample.warc.gz`` — a Common-Crawl-convention archive (ONE GZIP
+* ``fixtures/data/sample.warc.gz`` — a Common-Crawl-convention archive (ONE GZIP
   MEMBER PER RECORD) containing a warcinfo record, a request/response
   pair per sf0.001 document (HTML pages wrapping the document text in a
   deterministic template with entities, inline tags, script/style junk,
   and boilerplate nav/footer blocks), one 404 response, and one
   text/plain response.
-* ``data/warc_expected.parquet`` — the expected extraction for every
+* ``fixtures/data/warc_expected.parquet`` — the expected extraction for every
   response record, computed ANALYTICALLY from the template (never by
   running the extractor), so an entity-decoding, block-splitting, or
   script-stripping bug in operators/ingest.py breaks the oracle hash
@@ -155,10 +155,10 @@ def main() -> None:
         )
     )
 
-    warc_path = os.path.join(REPO_ROOT, "data", "sample.warc.gz")
+    warc_path = os.path.join(REPO_ROOT, "lightfusion_spark", "fixtures", "data", "sample.warc.gz")
     with open(warc_path, "wb") as fh:
         fh.write(b"".join(members))
-    exp_path = os.path.join(REPO_ROOT, "data", "warc_expected.parquet")
+    exp_path = os.path.join(REPO_ROOT, "lightfusion_spark", "fixtures", "data", "warc_expected.parquet")
     pq.write_table(
         pa.table(
             {

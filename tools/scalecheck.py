@@ -127,7 +127,7 @@ def main() -> None:
         lambda: similarity.topk_cosine_lsh(emb100, q, planes, "vec_id", "embedding", k=5).count(),
     )
 
-    model = os.path.join(REPO_ROOT, "models", "embed_cls.lgbm")
+    model = os.path.join(REPO_ROOT, "lightfusion_spark", "fixtures", "models", "embed_cls.lgbm")
     for bs in (1, 64, 4096):
         udf = make_lightgbm_udf(model, batch_size=bs, spark=spark)
         timed(
