@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "pipe_sim_ivf_pq_rerank",
     "events_gapfill",
     "pipe_corpus_health",
+    # round-8 operators
+    "events_stream_join",
 ]
 
 

@@ -125,7 +125,9 @@ PRIORITY: list[str] = [
     "pipe_simhash_wide",
     "pipe_text_tokens",
     "pipe_text_fingerprint",
-    "pipe_sim_ann_lsh",
+    # Round-8 NEW operator — never driver-windowed (displaced the last
+    # r03 slot, pipe_sim_ann_lsh, which stays exempt on its r03 row).
+    "events_stream_join",
 ]
 
 #: Queries intentionally OUTSIDE the driver's 50-entry window.  Every name
@@ -198,6 +200,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "grouped_map_centroid",
         # r3/r4/r5-green, awaiting their round-9 re-window (round 8's
         # slots went to the older r02 block); families still repped.
+        "pipe_sim_ann_lsh",
         "pipe_sim_lsh_multiprobe",
         "pipe_text_urls",
         "pipe_text_pii",

@@ -448,3 +448,43 @@ def events_funnel(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     src = ev.select("user_id", ts_micros_col(ev).alias("t"), "event_type")
     return funnel_counts(src, "user_id", "t", "event_type", ["view", "click", "purchase"])
+
+
+@register(
+    "events_stream_join",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, epoch_us(ts) AS t
+               FROM events WHERE event_type = 'click')
+    SELECT p.user_id,
+           p.event_id AS purchase_id, p.t AS purchase_ts_us,
+           c.event_id AS click_id, c.t AS click_ts_us
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.t >= p.t
+     AND c.t <= p.t + 1800000000
+    """,
+    doc="stream-stream LEFT OUTER interval join (post-purchase "
+    "engagement: each purchase paired with the user's clicks in the "
+    "following 30 minutes, purchases with none surviving null-extended) "
+    "— streaming/events.py:interval_join, the watermark-bounded "
+    "two-stream operator whose outer rows can only be emitted once the "
+    "watermark proves no match can still arrive.  Batch face here "
+    "(watermarks are no-ops on batch); the streaming run is pinned "
+    "bar-for-bar against this batch semantics in tests/test_streaming.py",
+)
+def events_stream_join(spark, sf_dir):
+    from ..streaming.events import interval_join
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase")
+    c = ev.where(F.col("event_type") == "click")
+    j = interval_join(p, c, how="left_outer", upper="30 minutes")
+    return j.select(
+        "user_id",
+        F.col("left_id").alias("purchase_id"),
+        F.unix_micros("left_time").alias("purchase_ts_us"),
+        F.col("right_id").alias("click_id"),
+        F.unix_micros("right_time").alias("click_ts_us"),
+    )

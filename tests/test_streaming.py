@@ -255,3 +255,86 @@ def test_windowed_ohlc_stream_matches_batch_operator(spark, tmp_path):
     assert len(got) >= len(want) - 15 and len(got) > 0
     for key, bar in got.items():
         assert want[key] == bar, f"bar mismatch at {key}"
+
+
+def test_interval_join_outer_stream_matches_batch(spark, batch_events, tmp_path):
+    """interval_join(left_outer): the watermark-bounded two-stream outer
+    join drained with availableNow equals the batch run.  Outer
+    null-extended rows only emit once the watermark PASSES
+    left_time + upper, so the stream gets a second file carrying one
+    far-future sentinel event that pushes the watermark beyond every
+    real row (the no-data final micro-batch then evicts + emits all
+    remaining unmatched state); the sentinel's own row is filtered from
+    the comparison by its impossible user_id."""
+    from pyspark.sql import functions as F
+
+    # two-file source: all real events, then the watermark-flush sentinel
+    src_dir = tmp_path / "ev_src"
+    batch_events.coalesce(1).write.parquet(str(src_dir / "f1"))
+    max_ts = batch_events.select(
+        F.max(ev.event_time_col(batch_events)).alias("m")
+    ).first()["m"]
+
+    # TWO staggered sentinel files, each carrying BOTH event types:
+    # the query has two watermarked branches (purchases and clicks) and
+    # the global watermark is their MIN, so a purchase-only sentinel
+    # leaves the click branch — and therefore the global watermark —
+    # behind (observed directly: watermark stuck at the last real click).
+    # Sentinel 1 advances the watermark past every real row; eviction
+    # emits in the batch AFTER the advance, so sentinel 2's batch
+    # performs it and flushes the remaining unmatched-left rows.
+    import time
+
+    for i, days in enumerate((30, 60), start=2):
+        sentinel = spark.createDataFrame(
+            [(-999990 - 2 * i - k, -1, et, 0.0, "{}") for k, et in enumerate(("purchase", "click"))],
+            "event_id long, user_id long, event_type string, value double, props string",
+        ).select(
+            "event_id",
+            (
+                F.lit(max_ts).cast("timestamp")
+                .cast("timestamp_ntz")  # match the source schema's ntz dtype
+                + F.expr(f"INTERVAL {days} DAYS")
+            ).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).toDF(*batch_events.columns)
+        time.sleep(1.1)  # file-source ordering is by modification time
+        sentinel.coalesce(1).write.parquet(str(src_dir / f"f{i}"))
+
+    schema = batch_events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*/"))
+    )
+    sp = stream.where(F.col("event_type") == "purchase")
+    sc = stream.where(F.col("event_type") == "click")
+    q = (
+        ev.interval_join(sp, sc, how="left_outer", upper="30 minutes")
+        .writeStream.format("memory")
+        .queryName("ivj_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ivj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM ivj_stream WHERE user_id != -1")
+
+    bp = batch_events.where(F.col("event_type") == "purchase")
+    bc = batch_events.where(F.col("event_type") == "click")
+    expected = ev.interval_join(bp, bc, how="left_outer", upper="30 minutes")
+    assert _sorted_rows(got) == _sorted_rows(expected)
+    # the fixture must actually exercise BOTH sides of the outer join
+    assert expected.where(F.col("right_id").isNull()).count() > 0
+    assert expected.where(F.col("right_id").isNotNull()).count() > 0
+
+
+def test_interval_join_rejects_unsupported_how(spark, batch_events):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner/left_outer"):
+        ev.interval_join(batch_events, batch_events, how="full_outer")
