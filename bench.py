@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "pipe_corpus_health",
     # round-8 operators
     "events_stream_join",
+    "pipe_text_keywords",
+    "pipe_embed_project",
+    "pipe_pca_top",
 ]
 
 

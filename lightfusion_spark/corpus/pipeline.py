@@ -1961,9 +1961,10 @@ def pipe_dedup_survivors(spark, sf_dir):
 # corpus curation (decontamination, quality gate, packing, mixture)
 # ---------------------------------------------------------------------------
 
-@register(
-    "pipe_decontaminate",
-    oracle=r"""
+#: Shared by pipe_decontaminate AND pipe_decontaminate_bloom: the Bloom
+#: prefilter is correctness-preserving (no false negatives; false
+#: positives die in the exact join), so both faces owe the SAME output.
+_DECON_ORACLE = r"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
     ),
@@ -1983,7 +1984,12 @@ def pipe_dedup_survivors(spark, sf_dir):
            CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hit_ngrams,
            COALESCE(h.n, 0) > 0 AS contaminated
     FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
-    """,
+    """
+
+
+@register(
+    "pipe_decontaminate",
+    oracle=_DECON_ORACLE,
     doc="benchmark n-gram decontamination (GPT-3 appendix-C style): flag "
     "corpus docs sharing any word 3-gram with the held-out set "
     "(doc_id %% 7 = 0 stands in for the benchmark); one broadcast hash "
@@ -2891,3 +2897,207 @@ def pipe_multimodal_scenecut(spark, sf_dir):
     payload = multimodal.synthesize_video(d, "doc_id")
     frames = multimodal.sample_video_frames(payload, every_k=2)
     return multimodal.detect_scene_cuts(frames, threshold=30.0)
+
+
+# ---------------------------------------------------------------------------
+# round-8 extensions: bloom decontamination, keyword extraction, weighted
+# sampling, JL projection, distributed PCA
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipe_decontaminate_bloom",
+    oracle=_DECON_ORACLE,
+    doc="decontamination behind a Bloom prefilter "
+    "(curation.decontaminate_bloom): the bench gram set becomes a "
+    "16 KiB deterministic md5-probed bit array built by ONE bit_or "
+    "groupBy; ~all non-bench corpus grams short-circuit in the "
+    "map-side probe and only survivors reach the exact equi-join.  "
+    "Output is IDENTICAL to pipe_decontaminate by construction (no "
+    "false negatives; false positives die in the exact join) — the "
+    "shared oracle IS the claim.  The 100 TB point: a 10^9-gram bench "
+    "set is ~8 GB of hashes (unbroadcastable) but ~128 MB of bloom "
+    "bits at 1% FP",
+)
+def pipe_decontaminate_bloom(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    return curation.decontaminate_bloom(d, bench, "doc_id", "text", n=3)
+
+
+@register(
+    "pipe_text_keywords",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           WHERE term != '' GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             ROUND(tf * ROUND(LN(CAST(n_docs + 1 AS DOUBLE) / (df + 1))
+                              + 1.0, 6), 6) AS score
+      FROM tf JOIN dfreq USING (term), nd
+    ),
+    r AS (SELECT doc_id, term, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term ASC) AS rank
+          FROM scored)
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, score
+    FROM r WHERE rank <= 3
+    """,
+    doc="per-document keyword extraction: top-3 TF-IDF terms with "
+    "deterministic (score desc, term asc) tie order — the per-doc dual "
+    "of the hashing-trick embedding (text.top_terms_tfidf).  Two "
+    "map-side-combinable aggs + a Zipf-bounded broadcast idf join + one "
+    "per-doc ROW_NUMBER window",
+)
+def pipe_text_keywords(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return text_ops.top_terms_tfidf(d, "doc_id", "text", k=3)
+
+
+@register(
+    "pipe_sample_weighted",
+    oracle=r"""
+    WITH w AS (
+      SELECT source, doc_id,
+             CAST(LENGTH(COALESCE(text, '')) AS DOUBLE) AS weight,
+             ((CAST('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 14)
+                    AS BIGINT) % 1000000) + 1) / 1000001.0 AS u
+      FROM documents
+    ),
+    k AS (SELECT source, doc_id, weight,
+                 ROUND(LN(u) / weight, 6) AS key
+          FROM w WHERE weight > 0),
+    r AS (SELECT source, doc_id, weight,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY key DESC, doc_id ASC) AS rank
+          FROM k)
+    SELECT source, doc_id, weight, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 20
+    """,
+    doc="weighted sampling WITHOUT replacement, 20 docs per source, "
+    "weight = document length (token-mass-proportional selection — a "
+    "uniform row sample under-represents long documents' tokens): the "
+    "Efraimidis-Spirakis A-ES top-k by round(ln(u)/w, 6) with a "
+    "deterministic md5 uniform (curation.weighted_reservoir_sample).  "
+    "One row-local key projection + one per-stratum top-k window = a "
+    "single shuffle; no driver reservoir state",
+)
+def pipe_sample_weighted(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double").alias("weight"),
+    )
+    return curation.weighted_reservoir_sample(
+        d, "doc_id", "weight", k=20, strata_col="source"
+    )
+
+
+@register(
+    "pipe_embed_project",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    din AS (SELECT unnest(range(0, 64)) AS i),
+    dout AS (SELECT unnest(range(0, 16)) AS j),
+    m AS (
+      SELECT i, j,
+             CASE WHEN CAST('0x' || substr(md5('29:' || CAST(i AS VARCHAR)
+                        || ':' || CAST(j AS VARCHAR)), 1, 1) AS BIGINT) % 2 = 0
+                  THEN 0.25 ELSE -0.25 END AS w
+      FROM din CROSS JOIN dout
+    ),
+    x AS (SELECT vec_id, d.i AS i, v[d.i + 1] AS x FROM e CROSS JOIN din d)
+    SELECT x.vec_id, m.j AS pos,
+           CAST(SUM(CAST(FLOOR(x.x * m.w * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1e9 AS value
+    FROM x JOIN m ON m.i = x.i
+    GROUP BY 1, 2
+    """,
+    doc="Johnson-Lindenstrauss random projection 64 -> 16 dims "
+    "(similarity.project_jl): deterministic Achlioptas ±1/sqrt(16) "
+    "signs from md5(seed:i:j) — no RNG, the oracle rebuilds the "
+    "identical matrix — with every output component an exact "
+    "scaled-BIGINT sum of per-term contributions (partition-order-"
+    "proof).  The 100 TB front-end for the whole ANN family: project "
+    "once, land the 4x narrower vectors, index those.  Driver face is "
+    "the posexploded long form (scalar-column contract)",
+)
+def pipe_embed_project(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    proj = similarity.project_jl(e, "vec_id", "embedding", out_dim=16, seed=29)
+    return proj.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "value")
+    ).select("vec_id", F.col("pos").cast("long").alias("pos"), "value")
+
+
+def _pca_oracle(dim: int = 64, n_iters: int = 4) -> str:
+    """DuckDB replay of operators/pca.py:pca_top_component — exact mean +
+    covariance via scaled-BIGINT sums, then the power iteration UNROLLED
+    (the kmeans/pagerank oracle pattern): each step is the identical
+    ``floor(c*v*1e9+0.5)`` matvec, scaled norm, and ROUND(...,6)
+    re-normalization the driver-side loop applies."""
+    ctes = [
+        "e AS (SELECT vec_id, embedding AS v FROM embeddings)",
+        "nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e)",
+        f"din AS (SELECT unnest(range(0, {dim})) AS i)",
+        "x AS (SELECT vec_id, d.i AS i, v[d.i + 1] AS x FROM e CROSS JOIN din d)",
+        """mu AS (SELECT i,
+      CAST(SUM(CAST(FLOOR(x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9
+        / (SELECT n FROM nd) AS mu
+      FROM x GROUP BY i)""",
+        "xc AS (SELECT x.vec_id, x.i, x.x - mu.mu AS x FROM x JOIN mu USING (i))",
+        """c AS (SELECT a.i AS i, b.i AS j,
+      CAST(SUM(CAST(FLOOR(a.x * b.x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9
+        / (SELECT n FROM nd) AS c
+      FROM xc a JOIN xc b USING (vec_id) GROUP BY 1, 2)""",
+        f"v0 AS (SELECT i AS j, ROUND(1.0 / SQRT({dim}), 6) AS val FROM din)",
+    ]
+    for t in range(1, n_iters + 1):
+        ctes.append(
+            f"""w{t} AS (SELECT c.i,
+      CAST(SUM(CAST(FLOOR(c.c * v.val * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS w
+      FROM c JOIN v{t - 1} v ON v.j = c.j GROUP BY c.i)"""
+        )
+        ctes.append(
+            f"""n{t} AS (SELECT SQRT(
+      CAST(SUM(CAST(FLOOR(w * w * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9) AS nm
+      FROM w{t})"""
+        )
+        ctes.append(
+            f"v{t} AS (SELECT i AS j, ROUND(w / (SELECT nm FROM n{t}), 6) AS val "
+            f"FROM w{t})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(j AS INTEGER) AS pos, val AS loading,
+           ROUND((SELECT nm FROM n{n_iters}), 6) AS eigenvalue
+    FROM v{n_iters}"""
+    )
+
+
+@register(
+    "pipe_pca_top",
+    oracle=_pca_oracle(dim=64, n_iters=4),
+    doc="distributed PCA, top principal component (operators/pca.py): "
+    "ONE Arrow crossing reduces the N x 64 embedding table to partial "
+    "64x64 integer covariance sums (dim^2 keys shuffle, never the "
+    "corpus), then 4 power-iteration steps run driver-side on the tiny "
+    "matrix — but with engine-replayable arithmetic per step (scaled-"
+    "BIGINT matvec + norm, ROUND(...,6) re-normalization), so the "
+    "'iterative eigensolver' is hash-exact against the unrolled oracle.  "
+    "The front-door to all-but-the-top embedding cleanup and PCA-"
+    "whitened quantization; at 100 TB the corpus is touched exactly "
+    "twice (mean + covariance pass)",
+)
+def pipe_pca_top(spark, sf_dir):
+    from ..operators import pca
+
+    e = table(spark, sf_dir, "embeddings")
+    return pca.pca_top_component(e, "embedding", n_iters=4)

@@ -113,21 +113,22 @@ PRIORITY: list[str] = [
     "rel_scalar_array",
     "rel_scalar_json",
     "rel_scalar_string2",
-    "rel_scalar_bitwise",
     "rel_scalar_conditional",
-    "rel_scalar_struct_map",
     "rel_part_stats",
     "rel_tpch_q3_shape",
     "rel_tpch_q5_shape",
-    # The oldest r03 pipeline rows take the remaining slots (the rest of
-    # the r03 block re-windows in round 9; any new round-8 operator
-    # displaces from the END of this group).
-    "pipe_simhash_wide",
-    "pipe_text_tokens",
-    "pipe_text_fingerprint",
-    # Round-8 NEW operator — never driver-windowed (displaced the last
-    # r03 slot, pipe_sim_ann_lsh, which stays exempt on its r03 row).
+    # Round-8 NEW operators — never driver-windowed.  They displaced the
+    # r03 trio (pipe_simhash_wide/_text_tokens/_text_fingerprint —
+    # re-window in round 9 with the rest of the r03 block) and two of the
+    # 33 r02 scalar rows (struct_map + bitwise; the scalar family keeps
+    # four windowed reps and 31 r02 rows still refresh, over the >=30
+    # bar).
     "events_stream_join",
+    "pipe_decontaminate_bloom",
+    "pipe_text_keywords",
+    "pipe_sample_weighted",
+    "pipe_embed_project",
+    "pipe_pca_top",
 ]
 
 #: Queries intentionally OUTSIDE the driver's 50-entry window.  Every name
@@ -200,6 +201,9 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "grouped_map_centroid",
         # r3/r4/r5-green, awaiting their round-9 re-window (round 8's
         # slots went to the older r02 block); families still repped.
+        "pipe_simhash_wide",
+        "pipe_text_tokens",
+        "pipe_text_fingerprint",
         "pipe_sim_ann_lsh",
         "pipe_sim_lsh_multiprobe",
         "pipe_text_urls",

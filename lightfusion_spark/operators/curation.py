@@ -455,3 +455,183 @@ def temperature_mixture_sample(
         .where(F.col("u") < F.col("sample_rate"))
         .drop("_tok")
     )
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    strata_col: str | None = None,
+    seed: int = 13,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per stratum — the
+    Efraimidis–Spirakis A-ES scheme: each row draws a deterministic
+    uniform ``u`` and is ranked by ``ln(u) / w``; the top ``k`` keys are
+    a weighted sample without replacement (P(i first) = w_i / Σw).  The
+    curation use: token-count-weighted document selection, where a
+    uniform row sample would under-represent long documents' token mass.
+
+    Deterministic and engine-replayable: ``u = (md5_56(seed:id) % 1e6
+    + 1) / (1e6 + 1)`` (never 0, so ``ln`` is finite) and the key is
+    ``round(ln(u)/w, 6)`` — the repo's transcendental-rounding rule.
+    Ties (and k-th-place ties) order by (key desc, id asc).  Rows with
+    non-positive weight are EXCLUDED (they cannot be drawn by A-ES).
+
+    Returns ``(strata_col?, id_col, weight_col, rank)``.
+
+    Scale (100 TB): one projection computes keys row-local, one per-
+    stratum ROW_NUMBER window takes the top k — a single shuffle on the
+    stratum key.  Unlike driver-side reservoirs, nothing accumulates
+    state: the "reservoir" is the window's top-k, which Spark maintains
+    with a partial top-k (TakeOrdered-style) on the map side.
+    """
+    from pyspark.sql.window import Window
+
+    u = (
+        (_md5_long(F.col(id_col).cast("string"), seed=seed) % _U_MOD) + 1
+    ) / F.lit(float(_U_MOD + 1))
+    key = F.round(F.log(u) / F.col(weight_col), 6)
+    parts = [strata_col] if strata_col is not None else []
+    src = (
+        df.where(F.col(weight_col) > 0)
+        .select(*parts, F.col(id_col), F.col(weight_col), key.alias("_key"))
+    )
+    w = Window.partitionBy(*[F.col(c) for c in parts] or [F.lit(1)]).orderBy(
+        F.col("_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        src.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(*parts, id_col, weight_col, "rank")
+    )
+
+
+def _bloom_word_count(n_bits: int) -> int:
+    if n_bits <= 0 or n_bits % 64 != 0:
+        raise ValueError(f"bloom: n_bits must be a positive multiple of 64, got {n_bits}")
+    return n_bits // 64
+
+
+def _bloom_positions(col, n_bits: int, n_hashes: int, seed: int) -> list:
+    """All probe positions from ONE md5 evaluation: six hex digits per
+    probe (24 bits >> log2(n_bits)) sliced out of the 32-digit digest —
+    5x cheaper than a digest per probe at n_hashes=5 (measured 13.8 ->
+    ~4 s on the sf0.01 decontamination face)."""
+    if n_hashes < 1 or n_hashes > 5:
+        raise ValueError(f"bloom: n_hashes must be 1..5, got {n_hashes}")
+    digest = F.md5(F.concat_ws(":", F.lit(str(seed)), col.cast("string")))
+    return [
+        F.conv(F.substring(digest, p * 6 + 1, 6), 16, 10).cast("bigint") % n_bits
+        for p in range(n_hashes)
+    ]
+
+
+def bloom_build(
+    hashes: DataFrame,
+    value_col: str,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 5,
+    seed: int = 40,
+) -> list[int]:
+    """Distributed Bloom-filter build over a hash column: each value sets
+    ``n_hashes`` md5-derived bit positions; the bit array is aggregated
+    as ``n_bits/64`` longs via one map-side-combinable ``bit_or`` groupBy
+    and only those words (16 KiB at 2^17 bits) reach the driver.
+
+    Deterministic by construction (md5 probes, no RNG), so the filter is
+    reproducible across runs/engines — the property that lets
+    :func:`decontaminate_bloom` stay oracle-exact.
+    """
+    n_words = _bloom_word_count(n_bits)
+    probes = F.array(*_bloom_positions(F.col(value_col), n_bits, n_hashes, seed))
+    words = (
+        hashes.select(F.explode(probes).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            # shiftleft()'s python signature only takes an int literal, so
+            # the column-shift is spelled in SQL
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    out = [0] * n_words
+    for r in words:
+        out[r["w"]] = r["bits"]
+    return out
+
+
+def bloom_might_contain(
+    col,
+    words: list[int],
+    n_bits: int,
+    n_hashes: int = 5,
+    seed: int = 40,
+):
+    """JVM membership probe against a literal Bloom bit array: true iff
+    ALL ``n_hashes`` positions are set — no false negatives ever, false
+    positives at the classic ``(1 - e^(-kn/m))^k`` rate."""
+    _bloom_word_count(n_bits)
+    words_lit = F.array(*[F.lit(x).cast("long") for x in words])
+    cond = None
+    for pos in _bloom_positions(col, n_bits, n_hashes, seed):
+        word = F.element_at(words_lit, (pos / 64).cast("int") + 1)
+        c = F.getbit(word, (pos % 64).cast("int")) == 1
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def decontaminate_bloom(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 5,
+    seed: int = 40,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom prefilter on the corpus side —
+    IDENTICAL output by construction (a Bloom filter has no false
+    negatives, and every false positive dies in the exact join that
+    follows), which is why the registered face shares the exact
+    operator's DuckDB oracle verbatim.
+
+    Why it exists (100 TB): plain decontaminate broadcasts the FULL
+    distinct bench n-gram hash set (8 bytes each — a 10^9-gram
+    benchmark suite is ~8 GB, past broadcast limits).  The Bloom bit
+    array is ~1-2 bits per gram (128 MB for 10^9 at 1% FP), cheap to
+    broadcast; ~99% of corpus grams short-circuit in the map-side probe
+    and only the survivors (true hits + the FP trickle) reach the exact
+    equi-join, whose build side can then stay a broadcast.  At test
+    scale the measured prefilter pass-rate is asserted in
+    tests/test_curation.py.
+    """
+    corpus_grams = doc_shingles(df, id_col, text_col, n).select(
+        F.col(id_col), _md5_long(F.col("shingle")).alias("g")
+    )
+    bench_grams = (
+        doc_shingles(bench, id_col, text_col, n)
+        .select(_md5_long(F.col("shingle")).alias("g"))
+        .distinct()
+    )
+    words = bloom_build(bench_grams, "g", n_bits, n_hashes, seed)
+    pref = corpus_grams.where(
+        bloom_might_contain(F.col("g"), words, n_bits, n_hashes, seed)
+    )
+    hits = (
+        pref.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
+            (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -1,0 +1,149 @@
+"""Distributed PCA: exact covariance aggregation + top-component power
+iteration.
+
+The production shape for principal components over a corpus-scale
+embedding table (Spark MLlib's RowMatrix follows it too): ONE distributed
+pass reduces N×dim vectors to the dim×dim covariance matrix — thousands
+of doubles, independent of N — and the eigen-solve runs driver-side on
+that tiny matrix.  Nothing quadratic in N ever exists; the corpus is
+touched exactly twice (mean pass + covariance pass) and never shuffles
+by more than (pos) / (i, j) keys.
+
+Every floating-point reduction uses the repo's scaled-BIGINT discipline
+(``floor(x*1e9 + 0.5)`` per term, associative integer sums), and the
+driver-side power iteration applies the identical formula per step — so
+the registered query is hash-exact against a DuckDB oracle that replays
+the whole chain, unrolled iterations included, despite "iterative
+eigensolver" sounding oracle-hopeless.
+
+Reference scope: the reference engine has no linear-algebra surface at
+all (`/root/reference/src/lib.rs` — LightGBM inference only); this is a
+§2.4 north-star extension like the IVF/PQ family it feeds (component
+removal — the "all-but-the-top" embedding cleanup — and PCA-whitened
+quantization both start from exactly this operator).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import as_double
+
+#: Shared scaling for exact associative float sums.
+_S = 1e9
+
+
+def _round6(x: float) -> float:
+    """ROUND half-away-from-zero at 6 decimals — Spark/DuckDB ``ROUND``
+    semantics (python's builtin ``round`` is banker's and diverges)."""
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def column_means(df: DataFrame, vec_col: str) -> tuple[list[float], int]:
+    """Per-dimension means as ``(int_sum/1e9)/n`` — one posexplode +
+    map-side-combinable groupBy(pos), JVM-only."""
+    src = df.select(as_double(vec_col).alias("_v"))
+    sums = (
+        src.select(F.posexplode("_v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.expr(f"CAST(FLOOR(x * {_S} + 0.5D) AS BIGINT)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    if not sums:
+        return [], 0
+    n = sums[0]["n"]
+    mu = [0.0] * len(sums)
+    for r in sums:
+        mu[r["pos"]] = (r["s"] / _S) / n
+    return mu, n
+
+
+def covariance_matrix(df: DataFrame, vec_col: str) -> tuple[np.ndarray, list[float], int]:
+    """The dim×dim covariance ``C = Σ (x-μ)(x-μ)ᵀ / n`` via one Arrow
+    crossing emitting per-batch PARTIAL integer sums per (i, j) — each
+    batch contributes dim² rows however many vectors it holds, so the
+    only shuffle carries dim² keys, never the corpus.  Exact: the floor
+    is applied per (row, i, j) term before any summation."""
+    mu_list, n = column_means(df, vec_col)
+    if n == 0:
+        return np.zeros((0, 0)), [], 0
+    dim = len(mu_list)
+    mu = np.array(mu_list, dtype=np.float64)
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["_v"].to_numpy()).astype(np.float64) - mu[None, :]
+            terms = v[:, :, None] * v[:, None, :]  # (rows, i, j)
+            ints = np.floor(terms * _S + 0.5).astype(np.int64).sum(axis=0)
+            ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "s": ints.ravel()}
+            )
+
+    rows = (
+        df.select(as_double(vec_col).alias("_v"))
+        .mapInPandas(partials, "i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    c = np.zeros((dim, dim), dtype=np.float64)
+    for r in rows:
+        c[r["i"], r["j"]] = (r["s"] / _S) / n
+    return c, mu_list, n
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str,
+    n_iters: int = 4,
+) -> DataFrame:
+    """Top principal component by power iteration on the distributed
+    covariance matrix.
+
+    The iteration runs driver-side on the dim×dim matrix (the correct
+    altitude: after the covariance reduction the problem is kilobytes)
+    but applies engine-replayable arithmetic at every step —
+    ``w_i = (Σ_j floor(C_ij · v_j · 1e9 + 0.5)) / 1e9``, norms through
+    the same scaling, components re-rounded to 6 decimals per iteration
+    — so the DuckDB oracle unrolls the identical ``n_iters`` steps and
+    hash-matches bit for bit.  ``v₀ = 1/√dim`` per entry (exact 0.125
+    at dim=64).
+
+    Returns ``(pos, loading, eigenvalue)`` — 64 rows; ``eigenvalue`` is
+    the final pre-normalization ‖w‖ (the Rayleigh estimate power
+    iteration converges to), rounded 6, constant across rows.
+    """
+    c, _, n = covariance_matrix(df, vec_col)
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], "pos int, loading double, eigenvalue double")
+    dim = c.shape[0]
+    v = [_round6(1.0 / math.sqrt(dim))] * dim
+    norm = 0.0
+    for _ in range(n_iters):
+        w = [
+            sum(int(math.floor(c[i, j] * v[j] * _S + 0.5)) for j in range(dim)) / _S
+            for i in range(dim)
+        ]
+        norm = math.sqrt(
+            sum(int(math.floor(wi * wi * _S + 0.5)) for wi in w) / _S
+        )
+        if norm == 0.0:  # degenerate (zero covariance): keep v as-is
+            break
+        v = [_round6(wi / norm) for wi in w]
+    lam = _round6(norm)
+    return spark.createDataFrame(
+        [(i, v[i], lam) for i in range(dim)],
+        "pos int, loading double, eigenvalue double",
+    )

@@ -1317,3 +1317,73 @@ def truncate_embeddings(
         n = F.sqrt(dot_expr(v, v))
         v = F.when(n == 0, v).otherwise(F.transform(v, lambda x: x / n))
     return df.withColumn(out, v)
+
+
+def jl_projection_matrix(in_dim: int, out_dim: int, seed: int = 29) -> np.ndarray:
+    """Deterministic dense ±1/sqrt(out_dim) Johnson–Lindenstrauss matrix
+    (the Achlioptas sign construction): entry sign from an md5 digit of
+    ``seed:i:j`` — no RNG, so any engine (and the DuckDB oracle) rebuilds
+    the identical matrix from the same three integers."""
+    import hashlib
+
+    m = np.empty((in_dim, out_dim), dtype=np.float64)
+    scale = 1.0 / float(np.sqrt(out_dim))
+    for i in range(in_dim):
+        for j in range(out_dim):
+            d = int(hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[:1], 16)
+            m[i, j] = scale if d % 2 == 0 else -scale
+    return m
+
+
+def project_jl(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int = 16,
+    seed: int = 29,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: ``in_dim -> out_dim``
+    with pairwise distances preserved within (1±ε) w.h.p. — the cheap
+    front-end that makes every downstream ANN/brute-force pass ~in/out×
+    fewer multiplies at 100 TB (project ONCE, land the narrow vectors,
+    index those).
+
+    One Arrow crossing per batch; each output component is an exact
+    scaled-BIGINT sum of per-term ``floor(v_i * m_ij * 1e9 + 0.5)``
+    contributions — associative integer adds, so the result is
+    independent of batch/partition boundaries and bit-identical to the
+    DuckDB replay (the repo's GEMM-exactness discipline).
+
+    Returns ``(id_col, *keep_cols, embedding array<double>)``.
+    """
+    import pandas as pd
+
+    first = df.select(as_double(vec_col).alias("_v")).first()
+    if first is None:
+        schema = f"{id_col} long, embedding array<double>"
+        return df.sparkSession.createDataFrame([], schema)
+    in_dim = len(first["_v"])
+    m = jl_projection_matrix(in_dim, out_dim, seed)
+    keep = list(keep_cols)
+    src = df.select(
+        F.col(id_col), *[F.col(c) for c in keep], as_double(vec_col).alias("_v")
+    )
+    field_sql = ", ".join(
+        f"`{c}` {src.schema[c].dataType.simpleString()}" for c in [id_col, *keep]
+    )
+
+    def proj(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            # exact per-term scaled-int sums: (n, in) x (in, out) with the
+            # flooring applied to each term BEFORE summation
+            terms = v[:, :, None] * m[None, :, :]  # (n, in, out)
+            ints = np.floor(terms * 1e9 + 0.5).astype(np.int64).sum(axis=1)
+            out = pdf[[id_col, *keep]].copy()
+            out["embedding"] = [list(row) for row in ints / 1e9]
+            yield out
+
+    return src.mapInPandas(proj, f"{field_sql}, embedding array<double>")

@@ -977,3 +977,55 @@ def normalize_unicode(
             yield pdf[out_cols]
 
     return df.mapInPandas(work, schema)
+
+
+def top_terms_tfidf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Per-document keyword extraction: the ``k`` highest-TF-IDF terms,
+    deterministically tie-broken — the classic corpus-statistics
+    summarizer (and the per-doc dual of :func:`embed_text_tfidf`, which
+    folds the same weights into a dense vector instead of ranking them).
+
+    Returns ``(id_col, rank, term, score)`` with
+    ``score = round(tf * idf, 6)`` and ``idf = round(ln((N+1)/(df+1))
+    + 1, 6)`` (the same smoothed idf as the embedding operator, exact
+    DECIMAL-free per-row arithmetic so DuckDB replays it bit-for-bit).
+    Ties order by (score desc, term asc).
+
+    Scale (100 TB): tf is one map-side-combinable groupBy over the
+    exploded token stream; df is a second agg over tf's distinct
+    (doc, term) output; the idf join-back is Zipf-bounded and
+    AQE-broadcast; the top-k is one per-doc ROW_NUMBER window — the
+    corpus shuffles once on (doc, term) and once on doc.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(
+        F.log((F.col("n_docs") + F.lit(1)).cast("double") / (F.col("df") + F.lit(1)))
+        + F.lit(1.0),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq.crossJoin(F.broadcast(ndocs))), "term")
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(F.col("tf") * idf, 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col(id_col), "rank", "term", "score")
+    )

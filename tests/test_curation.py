@@ -216,3 +216,69 @@ def test_temperature_mixture_boosts_low_resource(spark):
         curation.temperature_mixture_sample(
             df, "source", "doc_id", "n_chars", temperature=0.0, token_budget=5000
         )
+
+
+def test_weighted_reservoir_is_deterministic_and_weight_biased(spark):
+    """A-ES sampling: top-k by round(ln(u)/w, 6) — deterministic across
+    runs/partitionings, excludes non-positive weights, and heavier rows
+    win in expectation (checked exactly: one row carrying ~all the mass
+    must always be drawn)."""
+    from lightfusion_spark.operators.curation import weighted_reservoir_sample
+
+    rows = [(i, "s", 1.0) for i in range(50)] + [(99, "s", 1e7), (100, "s", 0.0), (101, "s", -2.0)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    got = weighted_reservoir_sample(df, "doc_id", "w", k=5, strata_col="source")
+    ids = [r["doc_id"] for r in got.orderBy("rank").collect()]
+    assert len(ids) == 5
+    assert 99 in ids  # ln(u)/1e7 ~ 0- beats every unit-weight key
+    assert 100 not in ids and 101 not in ids  # non-positive weights excluded
+    again = weighted_reservoir_sample(
+        df.repartition(7), "doc_id", "w", k=5, strata_col="source"
+    )
+    assert [r["doc_id"] for r in again.orderBy("rank").collect()] == ids
+
+
+def test_decontaminate_bloom_equals_exact(spark, sf_dir):
+    """The Bloom prefilter must be invisible in the OUTPUT (no false
+    negatives; false positives die in the exact join) while measurably
+    pruning the gram stream before the join."""
+    from lightfusion_spark.operators.curation import (
+        _md5_long,
+        bloom_build,
+        bloom_might_contain,
+        decontaminate,
+        decontaminate_bloom,
+        doc_shingles,
+    )
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    exact = {tuple(r) for r in decontaminate(d, bench, "doc_id", "text").collect()}
+    bloom = {tuple(r) for r in decontaminate_bloom(d, bench, "doc_id", "text").collect()}
+    assert bloom == exact
+
+    # the prefilter really prunes: non-bench grams mostly short-circuit
+    grams = doc_shingles(d, "doc_id", "text", 3).select(
+        _md5_long(F.col("shingle")).alias("g")
+    )
+    bg = doc_shingles(bench, "doc_id", "text", 3).select(
+        _md5_long(F.col("shingle")).alias("g")
+    ).distinct()
+    words = bloom_build(bg, "g")
+    total = grams.count()
+    passed = grams.where(bloom_might_contain(F.col("g"), words, 1 << 17)).count()
+    true_hits = grams.join(bg, "g").count()
+    assert passed < total  # something was pruned
+    # false-positive overhang stays small at this fill factor
+    assert (passed - true_hits) / max(1, total - true_hits) < 0.05
+
+
+def test_bloom_rejects_bad_geometry(spark):
+    from lightfusion_spark.operators.curation import bloom_build
+
+    df = spark.range(1).select(F.col("id").alias("g"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(df, "g", n_bits=100)

@@ -1,0 +1,103 @@
+"""operators/pca.py + similarity.project_jl: the linear-algebra pair —
+distributed covariance/power-iteration PCA and Johnson-Lindenstrauss
+projection.  The registered oracles pin exact replay; these tests pin the
+MATH (agreement with numpy's dense solutions) and partition invariance."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lightfusion_spark.operators import pca, similarity
+
+
+def _vec_df(spark, mat, ids=None):
+    ids = ids if ids is not None else range(len(mat))
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in zip(ids, mat)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+@pytest.fixture(scope="module")
+def aniso(spark):
+    """Deterministic anisotropic cloud: one dominant direction."""
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((200, 8))
+    base[:, 0] *= 6.0  # dominant variance along e0 (mixed by rotation below)
+    q, _ = np.linalg.qr(rng.standard_normal((8, 8)))
+    return base @ q
+
+
+def test_covariance_matches_numpy(spark, aniso):
+    df = _vec_df(spark, aniso)
+    c, mu, n = pca.covariance_matrix(df, "embedding")
+    assert n == 200
+    np.testing.assert_allclose(mu, aniso.mean(axis=0), atol=1e-8)
+    expected = np.cov(aniso, rowvar=False, bias=True)
+    np.testing.assert_allclose(c, expected, atol=1e-6)
+    # exact-arithmetic partition invariance: bit-identical, not just close
+    c2, _, _ = pca.covariance_matrix(df.repartition(13), "embedding")
+    assert (c == c2).all()
+
+
+def test_pca_top_component_matches_dense_eig(spark, aniso):
+    df = _vec_df(spark, aniso)
+    got = pca.pca_top_component(df, "embedding", n_iters=8).collect()
+    v = np.array([r["loading"] for r in sorted(got, key=lambda r: r["pos"])])
+    lam = got[0]["eigenvalue"]
+    c = np.cov(aniso, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(c)
+    top = evecs[:, -1]
+    assert abs(float(v @ top)) / np.linalg.norm(v) > 0.999
+    assert lam == pytest.approx(evals[-1], rel=1e-3)
+
+
+def test_pca_empty_input(spark):
+    df = _vec_df(spark, np.zeros((0, 4)))
+    assert pca.pca_top_component(df, "embedding").count() == 0
+
+
+def test_jl_projection_exact_and_partition_invariant(spark):
+    rng = np.random.RandomState(3)
+    mat = rng.standard_normal((50, 8)).round(6)
+    df = _vec_df(spark, mat)
+    got = {
+        r["vec_id"]: r["embedding"]
+        for r in similarity.project_jl(df, "vec_id", "embedding", out_dim=4).collect()
+    }
+    m = similarity.jl_projection_matrix(8, 4)
+    # manual replication of the per-term scaled-int sum
+    for i, row in enumerate(mat):
+        terms = row[:, None] * m
+        expect = np.floor(terms * 1e9 + 0.5).astype(np.int64).sum(axis=0) / 1e9
+        assert got[i] == list(expect)
+    again = {
+        r["vec_id"]: r["embedding"]
+        for r in similarity.project_jl(
+            df.repartition(11), "vec_id", "embedding", out_dim=4
+        ).collect()
+    }
+    assert again == got
+
+
+def test_jl_preserves_pairwise_geometry(spark):
+    """JL guarantee (loose check at small scale): projected pairwise
+    squared distances stay within a broad multiplicative band."""
+    rng = np.random.RandomState(11)
+    mat = rng.standard_normal((40, 64))
+    df = _vec_df(spark, mat)
+    got = {
+        r["vec_id"]: np.array(r["embedding"])
+        for r in similarity.project_jl(df, "vec_id", "embedding", out_dim=16).collect()
+    }
+    ratios = []
+    for a in range(0, 40, 5):
+        for b in range(a + 1, 40, 7):
+            d_in = float(np.sum((mat[a] - mat[b]) ** 2))
+            d_out = float(np.sum((got[a] - got[b]) ** 2))
+            ratios.append(d_out / d_in)
+    r = np.array(ratios)
+    assert 0.4 < r.mean() < 1.6
+    assert (r > 0.15).all() and (r < 3.5).all()

@@ -364,3 +364,28 @@ def test_normalize_unicode_folds_dedup_misses(spark):
 
     with pytest.raises(ValueError, match="unknown form"):
         text_ops.normalize_unicode(df, "text", form="NFX")
+
+
+def test_top_terms_tfidf_ranks_distinctive_terms(spark):
+    from lightfusion_spark.operators.text import top_terms_tfidf
+
+    df = spark.createDataFrame(
+        [
+            (1, "zebra zebra zebra common common"),
+            (2, "common words only here"),
+            (3, "common words appear everywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    got = top_terms_tfidf(df, "doc_id", "text", k=2)
+    rows = {(r["doc_id"], r["rank"]): (r["term"], r["score"]) for r in got.collect()}
+    # doc 1: 'zebra' (df=1, tf=3) must outrank 'common' (df=3)
+    assert rows[(1, 1)][0] == "zebra"
+    assert rows[(1, 2)][0] == "common"
+    assert rows[(1, 1)][1] > rows[(1, 2)][1]
+    # every doc gets at most k rows, ranks are 1..k, ties deterministic
+    for (doc, rank) in rows:
+        assert 1 <= rank <= 2
+    again = {(r["doc_id"], r["rank"]): (r["term"], r["score"])
+             for r in top_terms_tfidf(df.repartition(5), "doc_id", "text", k=2).collect()}
+    assert again == rows
