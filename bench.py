@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "pipe_text_keywords",
     "pipe_embed_project",
     "pipe_pca_top",
+    "pipe_embed_detop",
 ]
 
 

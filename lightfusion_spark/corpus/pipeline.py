@@ -3101,3 +3101,50 @@ def pipe_pca_top(spark, sf_dir):
 
     e = table(spark, sf_dir, "embeddings")
     return pca.pca_top_component(e, "embedding", n_iters=4)
+
+
+def _detop_oracle(dim: int = 64, n_iters: int = 4) -> str:
+    """All-but-the-top replay: the unrolled PCA chain, then per-vector
+    projection coefficients as scaled-BIGINT sums over the CENTERED
+    components and the plain-IEEE element update."""
+    base = _pca_oracle(dim, n_iters)
+    head = base[: base.index("\n    SELECT CAST(j AS INTEGER)")]
+    return (
+        head
+        + f""",
+    dots AS (SELECT xc.vec_id,
+      CAST(SUM(CAST(FLOOR(xc.x * v.val * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+        / 1e9 AS d
+      FROM xc JOIN v{n_iters} v ON v.j = xc.i GROUP BY 1)
+    SELECT xc.vec_id, xc.i AS pos, xc.x - d.d * v.val AS value
+    FROM xc
+    JOIN dots d USING (vec_id)
+    JOIN v{n_iters} v ON v.j = xc.i"""
+    )
+
+
+@register(
+    "pipe_embed_detop",
+    oracle=_detop_oracle(dim=64, n_iters=4),
+    doc="all-but-the-top embedding cleanup (Mu & Viswanath, ICLR 2018): "
+    "center the table and remove each vector's projection on the top "
+    "principal component — the dominant direction carries frequency, "
+    "not meaning, and stripping it sharpens cosine similarity for the "
+    "whole ANN/semdedup family downstream.  Composes "
+    "pca.top_component_values (covariance computed ONCE) with "
+    "pca.remove_component (one Arrow crossing, zero shuffles); the "
+    "oracle replays the entire chain — unrolled power iteration "
+    "included — and hash-matches bit for bit.  Driver face is the "
+    "posexploded long form",
+)
+def pipe_embed_detop(spark, sf_dir):
+    from ..operators import pca
+
+    e = table(spark, sf_dir, "embeddings")
+    v, _lam, mu, n = pca.top_component_values(e, "embedding", n_iters=4)
+    if n == 0:
+        return spark.createDataFrame([], "vec_id long, pos long, value double")
+    stripped = pca.remove_component(e, "vec_id", "embedding", v, mean=mu)
+    return stripped.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "value")
+    ).select("vec_id", F.col("pos").cast("long").alias("pos"), "value")

@@ -113,7 +113,6 @@ PRIORITY: list[str] = [
     "rel_scalar_array",
     "rel_scalar_json",
     "rel_scalar_string2",
-    "rel_scalar_conditional",
     "rel_part_stats",
     "rel_tpch_q3_shape",
     "rel_tpch_q5_shape",
@@ -129,6 +128,7 @@ PRIORITY: list[str] = [
     "pipe_sample_weighted",
     "pipe_embed_project",
     "pipe_pca_top",
+    "pipe_embed_detop",
 ]
 
 #: Queries intentionally OUTSIDE the driver's 50-entry window.  Every name

@@ -124,10 +124,25 @@ def pca_top_component(
     the final pre-normalization ‖w‖ (the Rayleigh estimate power
     iteration converges to), rounded 6, constant across rows.
     """
-    c, _, n = covariance_matrix(df, vec_col)
+    v, lam, _mu, n = top_component_values(df, vec_col, n_iters)
     spark = df.sparkSession
     if n == 0:
         return spark.createDataFrame([], "pos int, loading double, eigenvalue double")
+    return spark.createDataFrame(
+        [(i, v[i], lam) for i in range(len(v))],
+        "pos int, loading double, eigenvalue double",
+    )
+
+
+def top_component_values(
+    df: DataFrame, vec_col: str, n_iters: int = 4
+) -> tuple[list[float], float, list[float], int]:
+    """The power-iteration core: ``(component, eigenvalue, mean, n)`` as
+    plain python values — for composing consumers (:func:`remove_component`)
+    without a second covariance pass."""
+    c, mu, n = covariance_matrix(df, vec_col)
+    if n == 0:
+        return [], 0.0, [], 0
     dim = c.shape[0]
     v = [_round6(1.0 / math.sqrt(dim))] * dim
     norm = 0.0
@@ -142,8 +157,49 @@ def pca_top_component(
         if norm == 0.0:  # degenerate (zero covariance): keep v as-is
             break
         v = [_round6(wi / norm) for wi in w]
-    lam = _round6(norm)
-    return spark.createDataFrame(
-        [(i, v[i], lam) for i in range(dim)],
-        "pos int, loading double, eigenvalue double",
+    return v, _round6(norm), mu, n
+
+
+def remove_component(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    component: list[float],
+    mean: list[float] | None = None,
+) -> DataFrame:
+    """All-but-the-top embedding post-processing (Mu & Viswanath, ICLR
+    2018): center on ``mean`` (when given) and remove the projection on
+    ``component`` — ``x' = xc - (xc·v)·v``.  Embedding tables cluster
+    tightly around a dominant direction that carries frequency, not
+    meaning; stripping it measurably sharpens cosine similarity, which
+    is why this is the standard cleanup between ``pca_top_component``
+    and the ANN/semantic-dedup family.
+
+    One Arrow crossing, zero shuffles; the projection coefficient is the
+    scaled-BIGINT per-term sum (partition-order-proof), the element
+    update plain IEEE arithmetic — the DuckDB oracle composes the same
+    chain off the unrolled PCA CTEs.
+    """
+    v = np.array(component, dtype=np.float64)
+    mu = (
+        np.array(mean, dtype=np.float64)
+        if mean is not None
+        else np.zeros_like(v)
     )
+
+    def strip(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["_v"].to_numpy()).astype(np.float64) - mu[None, :]
+            dots = (
+                np.floor(x * v[None, :] * _S + 0.5).astype(np.int64).sum(axis=1)
+                / _S
+            )
+            out = pdf[[id_col]].copy()
+            out["embedding"] = [list(row) for row in x - dots[:, None] * v[None, :]]
+            yield out
+
+    src = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    id_t = src.schema[id_col].dataType.simpleString()
+    return src.mapInPandas(strip, f"`{id_col}` {id_t}, embedding array<double>")

@@ -101,3 +101,25 @@ def test_jl_preserves_pairwise_geometry(spark):
     r = np.array(ratios)
     assert 0.4 < r.mean() < 1.6
     assert (r > 0.15).all() and (r < 3.5).all()
+
+
+def test_remove_component_orthogonalizes(spark, aniso):
+    df = _vec_df(spark, aniso)
+    v, lam, mu, n = pca.top_component_values(df, "embedding", n_iters=8)
+    assert n == 200 and lam > 0
+    stripped = {
+        r["vec_id"]: np.array(r["embedding"])
+        for r in pca.remove_component(df, "vec_id", "embedding", v, mean=mu).collect()
+    }
+    vv = np.array(v)
+    resid = np.array([abs(float(x @ vv)) for x in stripped.values()])
+    # projections on the removed direction collapse to ~0 (scaled-int
+    # rounding leaves <=1e-6-scale residue)
+    assert resid.max() < 1e-5
+    # variance along the top direction is gone, the rest preserved
+    x0 = aniso - aniso.mean(axis=0)
+    before = float(np.var(x0 @ vv))
+    total_before = float(np.sum(np.var(x0, axis=0)))
+    total_after = float(np.sum(np.var(np.stack(list(stripped.values())), axis=0)))
+    assert before > 0.3 * total_before  # the direction actually mattered
+    assert total_after == pytest.approx(total_before - before, rel=1e-2)
