@@ -3148,3 +3148,65 @@ def pipe_embed_detop(spark, sf_dir):
     return stripped.select(
         "vec_id", F.posexplode("embedding").alias("pos", "value")
     ).select("vec_id", F.col("pos").cast("long").alias("pos"), "value")
+
+
+@register(
+    "pipe_sketch_cms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents
+    ),
+    t AS (SELECT term FROM toks WHERE term != ''),
+    rows3 AS (SELECT unnest(range(0, 3)) AS p),
+    cells AS (
+      SELECT p.p AS row,
+             CAST('0x' || substr(md5('47:' || term), p.p * 6 + 1, 6) AS BIGINT)
+               % 1024 AS col,
+             COUNT(*) AS cnt
+      FROM t CROSS JOIN rows3 p
+      GROUP BY 1, 2
+    ),
+    probe AS (SELECT DISTINCT term FROM toks WHERE doc_id < 5 AND term != ''),
+    est AS (
+      SELECT pr.term, MIN(COALESCE(c.cnt, 0)) AS cms_count
+      FROM probe pr CROSS JOIN rows3 p
+      LEFT JOIN cells c ON c.row = p.p
+        AND c.col = CAST('0x' || substr(md5('47:' || pr.term), p.p * 6 + 1, 6)
+                         AS BIGINT) % 1024
+      GROUP BY 1
+    ),
+    truth AS (SELECT term, COUNT(*) AS true_count FROM t GROUP BY 1)
+    SELECT e.term, e.cms_count, tr.true_count,
+           e.cms_count >= tr.true_count AS no_undercount
+    FROM est e JOIN truth tr USING (term)
+    """,
+    doc="count-min sketch frequency estimation (operators/sketch.py): the "
+    "token stream collapses into a fixed 3x1024 counter grid — the "
+    "groupBy key space is the CELL grid, bounded however large or "
+    "skewed the stream, and partial aggregation IS the sketch merge.  "
+    "Probe = the first five documents' vocabulary; output carries the "
+    "estimate, the exact count, and the CMS one-sided guarantee "
+    "(estimate >= truth) as a visible column.  Deterministic md5 probe "
+    "rows, so the overestimates themselves are hash-exact vs the "
+    "oracle.  At 100 TB: exact vocab tables grow with the vocabulary; "
+    "the sketch is kilobytes",
+)
+def pipe_sketch_cms(spark, sf_dir):
+    from ..operators import sketch
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    stream = toks.select("term")
+    sk = sketch.cms_build(stream, "term", w=1024, d=3, seed=47)
+    probe = toks.where(F.col("doc_id") < 5).select("term").distinct()
+    est = sketch.cms_estimate(sk, probe, "term", w=1024, d=3, seed=47)
+    truth = stream.groupBy("term").agg(F.count(F.lit(1)).alias("true_count"))
+    return est.join(truth, "term").select(
+        "term",
+        "cms_count",
+        "true_count",
+        (F.col("cms_count") >= F.col("true_count")).alias("no_undercount"),
+    )

@@ -75,7 +75,6 @@ PRIORITY: list[str] = [
     "pipe_sim_ivf_pq",
     "events_gapfill",
     "events_ohlc",
-    "pipe_web_robots",
     # Category reps with no r02-era sibling, themselves the stalest of
     # their family: generators/higher-order (r4), Spark-4 VARIANT (r5),
     # UDF/UDAF (r6).
@@ -129,6 +128,7 @@ PRIORITY: list[str] = [
     "pipe_embed_project",
     "pipe_pca_top",
     "pipe_embed_detop",
+    "pipe_sketch_cms",
 ]
 
 #: Queries intentionally OUTSIDE the driver's 50-entry window.  Every name
@@ -159,6 +159,11 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_multimodal_audio_frames",
         "pipe_multimodal_scenecut",
         "events_funnel",
+        # pipe_web_robots' round-8 change (root-path coalesce) provably
+        # does not alter its fixture output (parity-identical vs the
+        # unchanged oracle), so its r7 row stays valid and it ceded its
+        # round-8 slot to the new CMS face.
+        "pipe_web_robots",
         "pipe_web_pagerank",
         "pipe_web_links",
         "pipe_url_canonicalize",

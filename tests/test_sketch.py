@@ -1,0 +1,61 @@
+"""operators/sketch.py: count-min sketch invariants beyond the oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lightfusion_spark.operators import sketch
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    # skewed stream: term_i appears i times, i in 1..40
+    rows = [(f"t{i}",) for i in range(1, 41) for _ in range(i)]
+    return spark.createDataFrame(rows, "term string")
+
+
+def test_cms_never_undercounts_and_bounds_size(spark, stream):
+    w, d = 64, 3  # deliberately tight so collisions happen
+    sk = sketch.cms_build(stream, "term", w=w, d=d)
+    assert sk.count() <= w * d
+    probe = stream.select("term").distinct()
+    est = {r["term"]: r["cms_count"]
+           for r in sketch.cms_estimate(sk, probe, "term", w=w, d=d).collect()}
+    truth = {f"t{i}": i for i in range(1, 41)}
+    for t, true in truth.items():
+        assert est[t] >= true, f"undercount for {t}"
+    n = sum(truth.values())
+    # epsilon = e/w loose bound on expected overestimate; assert a generous
+    # multiple so collisions can't flake the test
+    assert max(est[t] - truth[t] for t in truth) <= 3 * (2.72 / w) * n + 5
+
+
+def test_cms_absent_key_reads_zero_floor(spark, stream):
+    sk = sketch.cms_build(stream, "term", w=1024, d=3)
+    probe = spark.createDataFrame([("never-seen-key-xyz",)], "term string")
+    est = sketch.cms_estimate(sk, probe, "term", w=1024, d=3).first()
+    # at w=1024 with 40 distinct terms, all 3 probe cells being occupied is
+    # ~(40/1024)^3 — the min over rows reads (near-)zero
+    assert est["cms_count"] <= 2
+
+
+def test_cms_partial_aggregation_is_the_merge(spark, stream):
+    """Building on the union == cell-wise sum of the half-stream sketches —
+    the distributed-merge property, asserted literally."""
+    half = F.substring(F.col("term"), 2, 10).cast("int") <= 20
+    h1 = stream.where(half)
+    h2 = stream.where(~half)
+    full = {(r["row"], r["col"]): r["cnt"]
+            for r in sketch.cms_build(stream, "term", w=64, d=3).collect()}
+    s1 = {(r["row"], r["col"]): r["cnt"]
+          for r in sketch.cms_build(h1, "term", w=64, d=3).collect()}
+    s2 = {(r["row"], r["col"]): r["cnt"]
+          for r in sketch.cms_build(h2, "term", w=64, d=3).collect()}
+    merged = {k: s1.get(k, 0) + s2.get(k, 0) for k in set(s1) | set(s2)}
+    assert merged == full
+
+
+def test_cms_rejects_bad_geometry(spark, stream):
+    with pytest.raises(ValueError, match="d must be"):
+        sketch.cms_build(stream, "term", w=64, d=9)
+    with pytest.raises(ValueError, match="w must be"):
+        sketch.cms_build(stream, "term", w=1, d=3)
