@@ -74,7 +74,6 @@ PRIORITY: list[str] = [
     "pipe_bpe_train",
     "pipe_sim_ivf_pq",
     "events_gapfill",
-    "events_ohlc",
     # Category reps with no r02-era sibling, themselves the stalest of
     # their family: generators/higher-order (r4), Spark-4 VARIANT (r5),
     # UDF/UDAF (r6).
@@ -129,6 +128,7 @@ PRIORITY: list[str] = [
     "pipe_pca_top",
     "pipe_embed_detop",
     "pipe_sketch_cms",
+    "pipe_sim_topk_jl",
 ]
 
 #: Queries intentionally OUTSIDE the driver's 50-entry window.  Every name
@@ -159,11 +159,14 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_multimodal_audio_frames",
         "pipe_multimodal_scenecut",
         "events_funnel",
-        # pipe_web_robots' round-8 change (root-path coalesce) provably
-        # does not alter its fixture output (parity-identical vs the
-        # unchanged oracle), so its r7 row stays valid and it ceded its
-        # round-8 slot to the new CMS face.
+        # pipe_web_robots (root-path coalesce) and events_ohlc (floor
+        # bucketing, positive-epoch fixture) had round-8 changes that
+        # provably do not alter their fixture outputs (parity-identical),
+        # so their r7 rows stay valid and they ceded round-8 slots to the
+        # new CMS and JL-topk faces; events_gapfill stays windowed as the
+        # floor-bucketing change's official re-verification.
         "pipe_web_robots",
+        "events_ohlc",
         "pipe_web_pagerank",
         "pipe_web_links",
         "pipe_url_canonicalize",

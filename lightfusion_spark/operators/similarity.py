@@ -1387,3 +1387,55 @@ def project_jl(
             yield out
 
     return src.mapInPandas(proj, f"{field_sql}, embedding array<double>")
+
+
+def topk_cosine_jl(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    depth: int = 10,
+    k: int = 3,
+    seed: int = 29,
+    round_digits: int = 6,
+) -> DataFrame:
+    """JL-compressed shortlist + exact re-rank — the projection analogue
+    of IVF-PQ+R: score candidates in the ``out_dim`` projected space
+    (in/out × fewer multiplies per pair), shortlist ``depth`` per query,
+    then re-score ONLY the shortlist with the exact full-dimension
+    cosine.  JL preserves pairwise geometry within (1±ε) w.h.p., so a
+    modest ``depth`` recovers near-exact top-k while the expensive pass
+    touches |queries| × depth rows.
+
+    At 100 TB the projection runs ONCE (land the narrow vectors to
+    parquet) and every shortlist pass reads 4× fewer bytes; the re-rank
+    joins full vectors for survivors only.
+    """
+    pc = project_jl(corpus, id_col, vec_col, out_dim, seed)
+    pq = project_jl(queries, id_col, vec_col, out_dim, seed)
+    shortlist = topk_cosine_gemm(
+        pc, pq, id_col, "embedding", k=depth, round_digits=round_digits
+    )
+    c = corpus.select(F.col(id_col).alias("_nid"), as_double(vec_col).alias("_cv"))
+    q = queries.select(F.col(id_col).alias("_qid"), as_double(vec_col).alias("_qv"))
+    cand = (
+        shortlist.select("query_id", "neighbor_id")
+        .join(c, F.col("neighbor_id") == F.col("_nid"))
+        .join(F.broadcast(q), F.col("query_id") == F.col("_qid"))
+    )
+    rescored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("_qv"), F.col("_cv")), round_digits).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

@@ -123,3 +123,34 @@ def test_remove_component_orthogonalizes(spark, aniso):
     total_after = float(np.sum(np.var(np.stack(list(stripped.values())), axis=0)))
     assert before > 0.3 * total_before  # the direction actually mattered
     assert total_after == pytest.approx(total_before - before, rel=1e-2)
+
+
+def test_jl_rerank_recall_vs_exact(spark, sf_dir):
+    """Measured agreement@3 of the JL shortlist+rerank against exact
+    brute-force top-3 on the real embeddings fixture — the number that
+    justifies the depth knob (and mirrors the IVF-PQ recall table)."""
+    from lightfusion_spark.operators import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.topk_cosine(e, q, "vec_id", "embedding", k=3).collect()
+    }
+    agreements = []
+    for depth in (10, 50, 100):
+        jl = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.topk_cosine_jl(
+                e, q, "vec_id", "embedding", out_dim=16, depth=depth, k=3
+            ).collect()
+        }
+        agreements.append(len(exact & jl) / len(exact))
+    # Uniform random 64-d vectors are JL's true worst case (all cosines
+    # ~N(0, 1/64): neighbor gaps sit below the 16-dim distortion), so
+    # absolute agreement is modest by design — measured 0.22/0.47/0.65
+    # at depth 10/50/100, the knob table recorded in SCALE.md.  Pin the
+    # CLAIM: deeper shortlists recover strictly more, and depth-100
+    # recovers most of the exact set even here.
+    assert agreements[0] < agreements[1] < agreements[2]
+    assert agreements[2] > 0.5, f"agreement@3 ladder {agreements}"
