@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "pipe_embed_project",
     "pipe_pca_top",
     "pipe_embed_detop",
+    "pipe_sim_topk_jl",
+    "pipe_sketch_cms",
 ]
 
 

@@ -477,6 +477,9 @@ def weighted_reservoir_sample(
     ``round(ln(u)/w, 6)`` — the repo's transcendental-rounding rule.
     Ties (and k-th-place ties) order by (key desc, id asc).  Rows with
     non-positive weight are EXCLUDED (they cannot be drawn by A-ES).
+    ``id_col`` is the randomness source, so it must be unique per row
+    within a stratum — duplicate ids draw the SAME uniform and share
+    their fate (deterministic, but not independent draws).
 
     Returns ``(strata_col?, id_col, weight_col, rank)``.
 

@@ -1359,12 +1359,6 @@ def project_jl(
     """
     import pandas as pd
 
-    first = df.select(as_double(vec_col).alias("_v")).first()
-    if first is None:
-        schema = f"{id_col} long, embedding array<double>"
-        return df.sparkSession.createDataFrame([], schema)
-    in_dim = len(first["_v"])
-    m = jl_projection_matrix(in_dim, out_dim, seed)
     keep = list(keep_cols)
     src = df.select(
         F.col(id_col), *[F.col(c) for c in keep], as_double(vec_col).alias("_v")
@@ -1372,6 +1366,13 @@ def project_jl(
     field_sql = ", ".join(
         f"`{c}` {src.schema[c].dataType.simpleString()}" for c in [id_col, *keep]
     )
+    first = src.first()
+    if first is None:  # empty input: empty output with the REAL id/keep schema
+        return df.sparkSession.createDataFrame(
+            [], f"{field_sql}, embedding array<double>"
+        )
+    in_dim = len(first["_v"])
+    m = jl_projection_matrix(in_dim, out_dim, seed)
 
     def proj(batches):
         for pdf in batches:
