@@ -303,3 +303,47 @@ def test_canonicalize_url_idempotent(spark, urls):
     ).collect()
     for r in rows:
         assert r["once"] == r["twice"], r
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab cd.", min_size=0, max_size=30),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(1, 12),
+)
+@settings(max_examples=40, deadline=None)
+def test_independent_bpe_trainers_agree(texts, n_merges):
+    """tools/gen_bpe_fixture.reference_train shares no code with the
+    production trainer's _greedy_merges loop — the property the
+    pipe_bpe_train oracle rests on is that the two implementations emit
+    IDENTICAL ranked merges for any corpus (at min_count=1, where
+    train_bpe's counting matches)."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(
+        0,
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from gen_bpe_fixture import reference_train
+    from lightfusion_spark.operators.tokenize import train_bpe
+
+    assert reference_train(texts, n_merges, 1) == train_bpe(texts, n_merges)
+
+
+@given(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_round6_matches_duckdb_round(x):
+    """operators/pca._round6 claims Spark/DuckDB ROUND semantics
+    (half away from zero) — the assumption the PCA power-iteration
+    oracle's hash-exactness rests on.  Pin it against DuckDB itself."""
+    import duckdb
+
+    from lightfusion_spark.operators.pca import _round6
+
+    got = duckdb.sql(f"SELECT ROUND(CAST({x!r} AS DOUBLE), 6)").fetchone()[0]
+    assert _round6(x) == got, (x, _round6(x), got)
