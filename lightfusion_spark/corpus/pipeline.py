@@ -3295,3 +3295,80 @@ def pipe_sim_topk_jl(spark, sf_dir):
     return similarity.topk_cosine_jl(
         e, q, "vec_id", "embedding", out_dim=16, depth=25, k=3
     )
+
+
+@register(
+    "pipe_text_novelty",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 3)
+    ),
+    g AS (SELECT DISTINCT doc_id,
+                 CAST('0x' || substr(md5(shingle), 1, 14) AS BIGINT) AS g
+          FROM sh),
+    gdf AS (SELECT g, COUNT(*) AS df FROM g GROUP BY 1),
+    per AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+                   CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+            FROM g JOIN gdf USING (g) GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(per.n_grams, 0) AS n_grams,
+           COALESCE(per.n_novel, 0) AS n_novel,
+           ROUND(CAST(per.n_novel AS DOUBLE) / per.n_grams, 6) AS novelty
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    doc="per-document n-gram novelty (dedup.ngram_novelty): the fraction "
+    "of a doc's distinct word 3-grams appearing in NO other document — "
+    "the memorization/duplication diagnostic that flags documents "
+    "ASSEMBLED from corpus-repeated content even when no single "
+    "near-dup pair fires (the doc-level complement of span dedup).  "
+    "One shingle pass, Zipf-bounded gram-df agg, digest equi-join — "
+    "no pair space",
+)
+def pipe_text_novelty(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return dedup.ngram_novelty(d, "doc_id", "text", n=3)
+
+
+@register(
+    "pipe_source_overlap",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, string_split_regex(lower(text), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM (SELECT source, t, unnest(range(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 3)
+    ),
+    g AS (SELECT DISTINCT source,
+                 CAST('0x' || substr(md5(shingle), 1, 14) AS BIGINT) AS g
+          FROM sh),
+    sizes AS (SELECT source, COUNT(*) AS n FROM g GROUP BY 1),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT s.source_a, s.source_b, s.n_shared, sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(s.n_shared AS DOUBLE) / sa.n, 6) AS overlap_a,
+           ROUND(CAST(s.n_shared AS DOUBLE) / sb.n, 6) AS overlap_b
+    FROM shared s
+    JOIN sizes sa ON sa.source = s.source_a
+    JOIN sizes sb ON sb.source = s.source_b
+    """,
+    doc="source x source shared-content matrix (dedup.source_overlap_matrix): "
+    "distinct 3-gram fingerprints shared between every source pair plus "
+    "each side's containment ratio — the cross-corpus contamination "
+    "dashboard that decides dedup ordering and mixture weights before "
+    "any per-document pass.  The corpus reduces ONCE to the distinct "
+    "(source, digest) relation; the pair join is digest-keyed and "
+    "bounded by cross-source duplicate mass, the output by |sources|^2",
+)
+def pipe_source_overlap(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return dedup.source_overlap_matrix(d, "source", "text", n=3)

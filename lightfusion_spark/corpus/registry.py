@@ -72,8 +72,6 @@ PRIORITY: list[str] = [
     # coalesces the empty root path.
     "pipe_embed_text",
     "pipe_bpe_train",
-    "pipe_sim_ivf_pq",
-    "events_gapfill",
     # Category reps with no r02-era sibling, themselves the stalest of
     # their family: generators/higher-order (r4), Spark-4 VARIANT (r5),
     # UDF/UDAF (r6).
@@ -129,6 +127,8 @@ PRIORITY: list[str] = [
     "pipe_embed_detop",
     "pipe_sketch_cms",
     "pipe_sim_topk_jl",
+    "pipe_text_novelty",
+    "pipe_source_overlap",
 ]
 
 #: Queries intentionally OUTSIDE the driver's 50-entry window.  Every name
@@ -159,14 +159,17 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_multimodal_audio_frames",
         "pipe_multimodal_scenecut",
         "events_funnel",
-        # pipe_web_robots (root-path coalesce) and events_ohlc (floor
-        # bucketing, positive-epoch fixture) had round-8 changes that
-        # provably do not alter their fixture outputs (parity-identical),
-        # so their r7 rows stay valid and they ceded round-8 slots to the
-        # new CMS and JL-topk faces; events_gapfill stays windowed as the
-        # floor-bucketing change's official re-verification.
+        # Four r7-green faces had round-8 changes PROVABLY output-neutral
+        # on the fixtures (parity-identical): pipe_web_robots (root-path
+        # coalesce), events_gapfill/_ohlc (floor bucketing; epochs all
+        # positive), pipe_sim_ivf_pq (code re-densify; measured: all 16
+        # clusters survive training at sf0.01, so the densify is an
+        # identity there).  Their r7 rows stay valid; the ceded slots went
+        # to the round-8 CMS/JL-topk/novelty/source-overlap faces.
         "pipe_web_robots",
         "events_ohlc",
+        "events_gapfill",
+        "pipe_sim_ivf_pq",
         "pipe_web_pagerank",
         "pipe_web_links",
         "pipe_url_canonicalize",

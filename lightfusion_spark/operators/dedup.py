@@ -972,3 +972,99 @@ def cluster_report(
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .withColumn("n_docs", F.col("cluster_size") * F.col("n_clusters"))
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: what fraction of a document's distinct
+    word n-grams appear in NO other document — the memorization /
+    duplication diagnostic (a near-zero score means the document is
+    assembled from corpus-repeated content even if no single near-dup
+    pair flags it; the doc-level complement of span-level dedup).
+
+    Returns ``(id_col, n_grams, n_novel, novelty)`` with ``novelty =
+    round(n_novel / n_grams, 6)`` (0-gram docs row with novelty NULL).
+
+    Scale (100 TB): one shingle pass → distinct (doc, gram-digest)
+    projection; gram document-frequency is a map-side-combinable agg
+    over that relation (one row per distinct gram — Zipf-bounded); the
+    df join-back is a hash equi-join on the 8-byte digest.  No pair
+    space, no driver state.
+    """
+    grams = doc_shingles(df, id_col, text_col, n).select(
+        F.col(id_col), _md5_long(F.col("shingle")).alias("g")
+    ).distinct()
+    gdf = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        grams.join(gdf, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise source×source shared-content matrix: for every ordered
+    source pair (a < b), how many distinct n-gram fingerprints appear in
+    BOTH — the cross-corpus contamination dashboard (which crawls/dumps
+    duplicate each other, and how badly) that decides dedup ordering and
+    mixture weights before any per-document pass runs.
+
+    Returns ``(source_a, source_b, n_shared, n_a, n_b, overlap_a,
+    overlap_b)`` where ``overlap_x = round(n_shared / n_x, 6)`` is the
+    containment of x's gram set in the intersection.
+
+    Scale (100 TB): the corpus reduces to the distinct (source, digest)
+    relation ONCE; the pair join is digest-keyed between source-tagged
+    gram sets — its size is bounded by cross-source duplicate mass
+    (grams in ≥2 sources), not the corpus, and the result is
+    |sources|² rows.  No document pair space ever exists.
+    """
+    grams = doc_shingles(df, source_col, text_col, n).select(
+        F.col(source_col).alias("_src"), _md5_long(F.col("shingle")).alias("g")
+    ).distinct()
+    sizes = grams.groupBy("_src").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(F.col("_src").alias("source_a"), "g")
+    b = grams.select(F.col("_src").alias("source_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("_src").alias("source_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("_src").alias("source_b"), F.col("n_grams").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_shared") / F.col("n_a"), 6).alias("overlap_a"),
+            F.round(F.col("n_shared") / F.col("n_b"), 6).alias("overlap_b"),
+        )
+    )

@@ -282,3 +282,42 @@ def test_bloom_rejects_bad_geometry(spark):
 
     with _pytest.raises(ValueError, match="multiple of 64"):
         bloom_build(df, "g", n_bits=100)
+
+
+def test_ngram_novelty_flags_assembled_documents(spark):
+    from lightfusion_spark.operators.dedup import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # unique content
+            (2, "the quick brown fox jumps"),        # copied verbatim by 3
+            (3, "the quick brown fox jumps"),
+            (4, "xy"),                               # too short: 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in ngram_novelty(df, "doc_id", "text").collect()}
+    assert rows[1]["novelty"] == 1.0
+    assert rows[2]["novelty"] == 0.0 and rows[3]["novelty"] == 0.0  # fully shared
+    assert rows[4]["n_grams"] == 0 and rows[4]["novelty"] is None
+    assert rows[1]["n_grams"] == 3  # 5 tokens -> 3 trigrams
+
+
+def test_source_overlap_matrix_containment(spark):
+    from lightfusion_spark.operators.dedup import source_overlap_matrix
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, "one two three four"),        # grams: {123, 234}
+            ("b", 2, "one two three five six"),    # shares {123}
+            ("c", 3, "totally different words here"),
+        ],
+        "source string, doc_id long, text string",
+    )
+    rows = {(r["source_a"], r["source_b"]): r
+            for r in source_overlap_matrix(df, "source", "text").collect()}
+    ab = rows[("a", "b")]
+    assert ab["n_shared"] == 1 and ab["n_a"] == 2 and ab["n_b"] == 3
+    assert ab["overlap_a"] == 0.5 and abs(ab["overlap_b"] - 0.333333) < 1e-6
+    # disjoint sources produce NO row (inner join on shared grams)
+    assert ("a", "c") not in rows and ("b", "c") not in rows

@@ -81,7 +81,7 @@ def test_window_covers_every_family():
         "rel_percentile",  # approximate/sketch
         "rel_variant",  # Spark-4 surface
         "udaf_mean_norm",  # UDF/UDAF/UDTF
-        "events_gapfill",  # timeseries/streaming-adjacent resampling
+        "events_stream_join",  # timeseries/streaming family
     ):
         assert name in window, f"§2.3 representative {name} outside driver window"
 
