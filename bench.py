@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "pipe_embed_detop",
     "pipe_sim_topk_jl",
     "pipe_sketch_cms",
+    "pipe_text_novelty",
+    "pipe_source_overlap",
 ]
 
 

@@ -39,3 +39,12 @@ def test_survey_parity_count_matches_registry():
     assert f"{n_oracle}/{n_oracle} exact" in text, (
         f"SURVEY.md §8 parity claim is stale ({n_oracle} oracle-backed queries)"
     )
+
+
+def test_bench_queries_all_registered():
+    """A typo'd bench entry crashes bench.py at round end (rc != 0) —
+    cheaper to catch here."""
+    import bench
+
+    missing = [n for n in bench.BENCH_QUERIES if n not in REGISTRY]
+    assert not missing, f"bench names not in REGISTRY: {missing}"

@@ -338,3 +338,48 @@ def test_interval_join_rejects_unsupported_how(spark, batch_events):
 
     with _pytest.raises(ValueError, match="inner/left_outer"):
         ev.interval_join(batch_events, batch_events, how="full_outer")
+
+
+def test_stateful_transitions_span_batch_boundaries(spark, batch_events, tmp_path):
+    """Keyed-state transition extraction drained over a TWO-file source —
+    the file split is BY TIME, so the transition spanning the batch
+    boundary only exists if the state carries the last event across
+    batches.  The union of all emissions must equal the batch LAG
+    computation exactly.  (transformWithStateInPandas port is blocked by
+    the container lacking google.protobuf — documented in the operator.)"""
+    from pyspark.sql import functions as F
+
+    src_dir = tmp_path / "tws_src"
+    med_ts = batch_events.select(F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)")).first()[0]
+    early = batch_events.where(F.unix_micros(F.col("ts").cast("timestamp")) <= med_ts)
+    late = batch_events.where(F.unix_micros(F.col("ts").cast("timestamp")) > med_ts)
+    early.coalesce(1).write.parquet(str(src_dir / "f1"))
+    import time
+
+    time.sleep(1.1)
+    late.coalesce(1).write.parquet(str(src_dir / "f2"))
+    assert early.count() > 0 and late.count() > 0
+
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*/"))
+    )
+    q = (
+        ev.transition_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName("tws_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM tws_stream")
+    expected = ev.transition_counts_batch(batch_events)
+    assert _sorted_rows(got) == _sorted_rows(expected)
+    # the boundary-spanning transitions really exist: more transitions
+    # than either half alone could produce
+    n_early = ev.transition_counts_batch(early).count()
+    n_late = ev.transition_counts_batch(late).count()
+    assert got.count() > n_early + n_late
