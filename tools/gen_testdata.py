@@ -54,6 +54,12 @@ BASE_ROWS = {  # rows at sf=0.001; scaled linearly except the fixed dims
 }
 FIXED = {"region", "nation"}
 EPOCH_2024 = np.datetime64("2024-01-01T00:00:00", "us")
+#: TPC-H-ish date origin: the driver's orders/lineitem dates span
+#: 1995-2001 and several rel_* queries filter inside that range
+#: (rel_agg_q1's 1998-09-02 cutoff, the tpch_q3/q5 shapes) — a 2024
+#: origin made those queries EMPTY on generated data, which the
+#: corpus-parity tests reject as vacuous.
+EPOCH_1995 = np.datetime64("1995-01-01T00:00:00", "us")
 
 
 def _n(table: str, sf: float) -> int:
@@ -143,7 +149,7 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> dict[str, int]:
 
     n_cust = _n("customer", sf)
     n = _n("orders", sf)
-    odate = EPOCH_2024 + rng.integers(0, 365 * 24 * 3600, n) * np.timedelta64(1, "s")
+    odate = EPOCH_1995 + rng.integers(0, 2400 * 24 * 3600, n) * np.timedelta64(1, "s")
     write(
         "orders",
         pa.table(
@@ -161,7 +167,7 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> dict[str, int]:
     n_part, n_supp, n_ord = _n("part", sf), _n("supplier", sf), _n("orders", sf)
     n = _n("lineitem", sf)
     okey = np.sort(rng.integers(0, n_ord, n))
-    sdate = EPOCH_2024 + rng.integers(0, 420 * 24 * 3600, n) * np.timedelta64(1, "s")
+    sdate = EPOCH_1995 + rng.integers(0, 2500 * 24 * 3600, n) * np.timedelta64(1, "s")
     # per-order line numbers 1..k in arrival order
     linenumber = np.ones(n, dtype=np.int32)
     for i in range(1, n):
@@ -195,7 +201,11 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> dict[str, int]:
             {
                 "event_id": pa.array(range(n), pa.int64()),
                 "ts": pa.array(ts),
-                "user_id": pa.array(rng.integers(0, max(2, n // 10), n), pa.int64()),
+                # ~64 events/user (the driver's density): enough same-user
+                # within-the-hour pairs that the attribution/interval-join
+                # parity tests exercise real matches (n//10 users made the
+                # stream-stream joins vacuously empty on generated data)
+                "user_id": pa.array(rng.integers(0, max(2, n // 64), n), pa.int64()),
                 "event_type": rng.choice(EVENT_TYPES, n).tolist(),
                 "value": np.round(rng.uniform(0, 100, n), 3),
                 "props": [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n)],
