@@ -576,7 +576,15 @@ def bloom_might_contain(
     """JVM membership probe against a literal Bloom bit array: true iff
     ALL ``n_hashes`` positions are set — no false negatives ever, false
     positives at the classic ``(1 - e^(-kn/m))^k`` rate."""
-    _bloom_word_count(n_bits)
+    n_words = _bloom_word_count(n_bits)
+    if len(words) != n_words:
+        # a short array would make element_at read NULL past the end and
+        # the probe silently return false — a FALSE NEGATIVE, the one
+        # failure mode a Bloom filter must never have
+        raise ValueError(
+            f"bloom: words has {len(words)} longs but n_bits={n_bits} "
+            f"needs exactly {n_words}"
+        )
     words_lit = F.array(*[F.lit(x).cast("long") for x in words])
     cond = None
     for pos in _bloom_positions(col, n_bits, n_hashes, seed):

@@ -321,3 +321,15 @@ def test_source_overlap_matrix_containment(spark):
     assert ab["overlap_a"] == 0.5 and abs(ab["overlap_b"] - 0.333333) < 1e-6
     # disjoint sources produce NO row (inner join on shared grams)
     assert ("a", "c") not in rows and ("b", "c") not in rows
+
+
+def test_bloom_probe_rejects_mismatched_word_array(spark):
+    """A wrong-sized bit array would read NULL past the end of the literal
+    and silently report 'absent' — a false NEGATIVE, the one failure mode
+    a Bloom filter must never have.  Geometry mismatch raises instead."""
+    import pytest as _pytest
+
+    from lightfusion_spark.operators.curation import bloom_might_contain
+
+    with _pytest.raises(ValueError, match="needs exactly"):
+        bloom_might_contain(F.lit("x"), [0] * 10, n_bits=1 << 17)
