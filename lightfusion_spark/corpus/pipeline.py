@@ -1495,8 +1495,16 @@ def pipe_ingest_warc(spark, sf_dir):
 )
 def pipe_ingest_warc_clean(spark, sf_dir):
     recs = ingest.read_warc(spark, _WARC_FIXTURE)
-    extracted = ingest.extract_html_text(recs, "payload").select(
-        "record_idx", "text"
+    # strip_boilerplate's detection + rebuild branches each re-scan their
+    # input; without this pin the WHOLE ingest (WARC record walk + HTML
+    # extraction, two Arrow crossings) re-ran per branch — MapInPandas x8
+    # in the round-7 plan audit.  One localCheckpoint lands the extracted
+    # text once (x2 after), the same fix the embed-IVF path got; at 100 TB
+    # this is "land extracted text to parquet before cleaning", executable.
+    extracted = (
+        ingest.extract_html_text(recs, "payload")
+        .select("record_idx", "text")
+        .localCheckpoint(eager=False)
     )
     return text_ops.strip_boilerplate(
         extracted, "record_idx", "text", min_doc_frac=0.5
