@@ -3288,7 +3288,7 @@ def _jl_topk_oracle(
     oracle=_jl_topk_oracle(depth=25),
     doc="JL-compressed shortlist + exact re-rank (the projection analogue "
     "of IVF-PQ+R): candidates score in the 16-dim projected space (4x "
-    "fewer multiplies per pair), depth-10 shortlist per query, exact "
+    "fewer multiplies per pair), depth-25 shortlist per query, exact "
     "64-dim cosine re-scores the shortlist ONLY "
     "(similarity.topk_cosine_jl).  The full replay — md5 sign matrix, "
     "scaled-int projection, both rankings — is hash-exact.  Recall on "

@@ -39,27 +39,57 @@ _S = 1e9
 
 
 def _round6(x: float) -> float:
-    """ROUND half-away-from-zero at 6 decimals — Spark/DuckDB ``ROUND``
-    semantics (python's builtin ``round`` is banker's and diverges)."""
+    """ROUND half-away-from-zero at 6 decimals — Spark AND DuckDB
+    ``ROUND``-on-DOUBLE semantics (python's builtin ``round`` is
+    banker's and diverges).  Measured both ways: the
+    ``test_round6_matches_duckdb_round`` property pins DuckDB at 6
+    digits, and the 0-digit probe (``ROUND(2.5)=3, ROUND(-2.5)=-3``,
+    where ties ARE float-representable) confirms half-away there too —
+    an older ``similarity.quantize_embeddings`` comment claiming DuckDB
+    banker's was wrong and has been reconciled to this one."""
     return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
 
 
 def column_means(df: DataFrame, vec_col: str) -> tuple[list[float], int]:
     """Per-dimension means as ``(int_sum/1e9)/n`` — one posexplode +
-    map-side-combinable groupBy(pos), JVM-only."""
+    map-side-combinable groupBy(pos), JVM-only.
+
+    Geometry guard (mirrors the bloom/cms validation): every position's
+    row count must equal every other's AND the input row count — ragged
+    vectors or NULL embedding rows would otherwise feed an
+    arbitrary-position count into every mean (the ``collect()`` is
+    unordered) and silently skew the whole covariance chain downstream.
+    """
     src = df.select(as_double(vec_col).alias("_v"))
+    n_rows = src.count()
     sums = (
         src.select(F.posexplode("_v").alias("pos", "x"))
         .groupBy("pos")
         .agg(
             F.sum(F.expr(f"CAST(FLOOR(x * {_S} + 0.5D) AS BIGINT)")).alias("s"),
             F.count(F.lit(1)).alias("n"),
+            F.count("x").alias("nx"),  # non-NULL elements: catches NULLs INSIDE a vector
         )
         .collect()
     )
     if not sums:
+        if n_rows:
+            raise ValueError(
+                f"pca: all {n_rows} rows have NULL/empty {vec_col!r} vectors"
+            )
         return [], 0
-    n = sums[0]["n"]
+    counts = {r["n"] for r in sums} | {r["nx"] for r in sums}
+    positions = {r["pos"] for r in sums}
+    if counts != {n_rows} or positions != set(range(len(sums))):
+        raise ValueError(
+            "pca: ragged or NULL vectors in "
+            f"{vec_col!r} — per-position (rows, non-NULL) counts "
+            f"{sorted(counts)} over positions {sorted(positions)} vs "
+            f"{n_rows} input rows; every row must carry the "
+            "same-dimension vector with no NULL elements. Filter or "
+            "impute upstream."
+        )
+    n = n_rows
     mu = [0.0] * len(sums)
     for r in sums:
         mu[r["pos"]] = (r["s"] / _S) / n
@@ -71,7 +101,17 @@ def covariance_matrix(df: DataFrame, vec_col: str) -> tuple[np.ndarray, list[flo
     crossing emitting per-batch PARTIAL integer sums per (i, j) — each
     batch contributes dim² rows however many vectors it holds, so the
     only shuffle carries dim² keys, never the corpus.  Exact: the floor
-    is applied per (row, i, j) term before any summation."""
+    is applied per (row, i, j) term before any summation.
+
+    Operating bound (the price of exactness): each (i, j) cell sums N
+    int64 terms of magnitude ≈ ``|x_i-μ_i|·|x_j-μ_j|·1e9``, so the
+    arithmetic requires ``N · max|x-μ|² · 1e9 < 2^63`` ≈ 9.2e18 —
+    unit-normalized embeddings (|x-μ| ≤ 2) hold to N ≈ 2.3e9 rows;
+    beyond that, or with unnormalized features, pre-scale the vectors
+    or swap the BIGINT sum for DECIMAL(38,0) (exact to 1e38, ~4 bytes
+    wider per partial).  Under non-ANSI Spark arithmetic an overflow
+    would WRAP silently, which is why the bound is stated here rather
+    than discovered in production (ADVICE r8)."""
     mu_list, n = column_means(df, vec_col)
     if n == 0:
         return np.zeros((0, 0)), [], 0

@@ -1113,10 +1113,17 @@ def quantize_embeddings(
     Spark arrays have no TINYINT element specialization on the wire, but
     Parquet dictionary/bit-packing stores the int range in ~1 byte): the
     standard memory-bound ANN trade.  ``floor(x + 0.5)`` rather than
-    ``round(x)`` because it is bit-deterministic and identical in Spark
-    and DuckDB (ROUND on DOUBLE is HALF_UP in Spark but banker's in
-    DuckDB — the cross-engine trap rel_cast_battery documents); clamping
-    first bounds the int range at ±127 exactly.
+    ``round(x)`` because it is EXPLICIT about the tie rule: measured,
+    ROUND on DOUBLE is half-away-from-zero in BOTH engines
+    (``ROUND(2.5)=3``, ``ROUND(-2.5)=-3`` in DuckDB; Spark HALF_UP ==
+    away-from-zero) — an earlier revision of this docstring claimed
+    DuckDB was banker's, contradicting ``pca._round6``; the
+    ``test_round6_matches_duckdb_round`` property pins the half-away
+    behavior at 6 digits, and the direct 0-digit probe (where ties ARE
+    representable) confirms it too.  ``floor(x+0.5)`` stays because it
+    states the rule in arithmetic instead of relying on either engine's
+    ROUND documentation.  Clamping first bounds the int range at ±127
+    exactly.
 
     Output: (id, q array<int>, n_clipped int).  Dequantize with
     ``dequantize_expr`` (x̂_i = q_i / 127 * clip); reconstruction error
@@ -1354,6 +1361,14 @@ def project_jl(
     contributions — associative integer adds, so the result is
     independent of batch/partition boundaries and bit-identical to the
     DuckDB replay (the repo's GEMM-exactness discipline).
+
+    Operating bound: each output component sums ``in_dim`` int64 terms
+    of magnitude ``|v_i|·(1/√out_dim)·1e9``, so exactness requires
+    ``in_dim · max|v| · 1e9 / √out_dim < 2^63`` — comfortable for any
+    real embedding (unit vectors at in_dim 4096: ~1e12, six orders
+    under the 9.2e18 ceiling); per-ROW sums never grow with corpus
+    size, unlike the covariance reduction whose N-term bound
+    ``operators/pca.py:covariance_matrix`` documents (ADVICE r8).
 
     Returns ``(id_col, *keep_cols, embedding array<double>)``.
     """

@@ -159,3 +159,37 @@ def test_jl_rerank_recall_vs_exact(spark, sf_dir):
     assert agreements[0] <= agreements[1] <= agreements[2]
     assert agreements[2] > agreements[0]
     assert agreements[2] > 0.5, f"agreement@3 ladder {agreements}"
+
+
+def test_pca_rejects_ragged_and_null_vectors(spark):
+    """ADVICE r8: ragged vector lengths, NULL vector rows, and NULL
+    ELEMENTS inside a vector must all raise loudly instead of feeding an
+    arbitrary-position count (unordered collect) into every mean."""
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged or NULL"):
+        pca.column_means(ragged, "embedding")
+    nullrow = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="ragged or NULL"):
+        pca.column_means(nullrow, "embedding")
+    allnull = spark.createDataFrame(
+        [(0, None), (1, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="NULL/empty"):
+        pca.column_means(allnull, "embedding")
+    nullelem = spark.createDataFrame(
+        [(0, [1.0, None]), (1, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged or NULL"):
+        pca.column_means(nullelem, "embedding")
+    # the guard must not reject the healthy shape
+    ok = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    mu, n = pca.column_means(ok, "embedding")
+    assert n == 2 and mu == [2.0, 3.0]
