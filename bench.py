@@ -79,6 +79,14 @@ BENCH_QUERIES = [
     "pipe_sketch_cms",
     "pipe_text_novelty",
     "pipe_source_overlap",
+    # round-9: the heaviest operator families previously without a
+    # headline number (r8 verdict item 3) + the new trainer
+    "pipe_dedup_components",
+    "pipe_hard_negatives",
+    "pipe_sim_ivf_pq",
+    "pipe_probe_train",
+    "events_stream_join_full",
+    "pipe_warc_robots_clean",
 ]
 
 

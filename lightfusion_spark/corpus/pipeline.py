@@ -3380,3 +3380,413 @@ def pipe_text_novelty(spark, sf_dir):
 def pipe_source_overlap(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     return dedup.source_overlap_matrix(d, "source", "text", n=3)
+
+
+# ---------------------------------------------------------------------------
+# round-9 driver faces for the previously pytest-only operators
+# (round-8 verdict item 2: every oracle-expressible operator gets an
+# official CORRECTNESS row; the pytest-only set shrinks to the genuinely
+# streaming/filesystem ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipe_normalize_unicode",
+    oracle=r"""
+    WITH src AS (
+      SELECT doc_id,
+             text || ' cafe' || chr(769) || ' No' || chr(776) || 'el'
+                  || chr(7) || ' f' || chr(64257) || 'n' AS text
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, strlen(text) AS n_raw,
+             regexp_replace(nfc_normalize(text),
+                            '[\x00-\x08\x0B-\x1F\x7F-\x9F]', '', 'g') AS norm
+      FROM src
+    )
+    SELECT doc_id, n_raw, strlen(norm) AS n_norm, md5(norm) AS norm_hash FROM n
+    """,
+    doc="unicode NFC normalization + C0/C1 control stripping "
+    "(operators/text.py:normalize_unicode, Arrow-batched stdlib "
+    "unicodedata): every doc gets a suffix with DECOMPOSED accents "
+    "(e+U+0301, o+U+0308), a BEL control, and the U+FB01 fi-ligature "
+    "appended, so the face proves composition actually happened "
+    "(byte length shrinks), controls are stripped, and NFC — unlike "
+    "NFKC — preserves compatibility chars; DuckDB nfc_normalize + a "
+    "codepoint-class regexp replay it, and the md5 over the normalized "
+    "UTF-8 pins every byte.  Byte lengths (octet_length/strlen) on "
+    "purpose: Spark length() counts UTF-16 units, DuckDB counts "
+    "graphemes — the one cross-engine trap in this face.  Previously "
+    "pytest-only",
+)
+def pipe_normalize_unicode(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    # decomposed accents + BEL + fi-ligature, via escapes so the
+    # source stays ASCII-clean:
+    suffix = " cafe\u0301 No\u0308el\u0007 f\ufb01n"
+    src = d.select(
+        "doc_id", F.concat(F.col("text"), F.lit(suffix)).alias("text")
+    ).withColumn("n_raw", F.octet_length("text"))
+    norm = text_ops.normalize_unicode(
+        src, "text", form="NFC", strip_controls=True, out_col="norm_text"
+    )
+    return norm.select(
+        "doc_id",
+        "n_raw",
+        F.octet_length("norm_text").alias("n_norm"),
+        F.md5("norm_text").alias("norm_hash"),
+    )
+
+
+@register(
+    "pipe_sentence_chunks",
+    oracle=r"""
+    WITH src AS (
+      SELECT doc_id,
+             regexp_replace(upper(text), '((\S+ ){4}\S+) ', '\1. ', 'g') AS text
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             regexp_replace(text,
+               '([.!?][\)\]"'']?)\s+(["''\(\[]?[A-Z0-9])',
+               '\1' || chr(1) || '\2', 'g') AS t
+      FROM src
+    ),
+    parts AS (
+      SELECT doc_id,
+             unnest(string_split(t, chr(1))) AS piece,
+             unnest(range(1, len(string_split(t, chr(1))) + 1)) AS idx
+      FROM b
+    ),
+    sent AS (
+      SELECT doc_id, trim(piece) AS sentence, idx
+      FROM parts WHERE length(trim(piece)) > 0
+    ),
+    cum AS (
+      SELECT doc_id, sentence, idx,
+             COALESCE(SUM(length(sentence) + 1) OVER (
+               PARTITION BY doc_id ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM sent
+    )
+    SELECT doc_id,
+           CAST(FLOOR(before / 120.0) AS INTEGER) AS chunk_idx,
+           string_agg(sentence, ' ' ORDER BY idx) AS chunk_text,
+           COUNT(*) AS n_sents,
+           CAST(SUM(length(sentence)) AS BIGINT) AS n_chars
+    FROM cum GROUP BY doc_id, CAST(FLOOR(before / 120.0) AS INTEGER)
+    """,
+    doc="sentence segmentation + sentence-aware chunking "
+    "(operators/text.py:split_sentences/chunk_by_sentences): document "
+    "text is upper-cased and every 5th token boundary gets a period so "
+    "the Latin-script boundary rule ([.!?] + closer, whitespace, "
+    "upper/digit opener) has real work; chunks are cumulative-length "
+    "buckets of 120 chars, never splitting a sentence.  The oracle "
+    "emulates the Java lookbehind/lookahead split in RE2 (no "
+    "lookarounds) by rewriting each boundary's whitespace to a "
+    "chr(1) sentinel with both context groups preserved, then replays "
+    "the window + bucket math; chunk_text is order-pinned by the "
+    "round-9 sort_array fix (collect_list alone has no order "
+    "guarantee under real partitioning).  Previously pytest-only",
+)
+def pipe_sentence_chunks(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    sent_text = F.regexp_replace(
+        F.upper(F.col("text")), r"((\S+ ){4}\S+) ", "$1. "
+    )
+    src = d.select("doc_id", sent_text.alias("text"))
+    return text_ops.chunk_by_sentences(src, "doc_id", "text", max_chars=120)
+
+
+@register(
+    "pipe_truncate_matryoshka",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v[1:8] AS tv FROM e),
+    t AS (
+      SELECT vec_id,
+             CASE WHEN list_inner_product(tv, tv) = 0 THEN tv
+                  ELSE list_transform(tv, x ->
+                         x / sqrt(list_inner_product(tv, tv))) END AS nv
+      FROM s
+    )
+    SELECT vec_id, CAST(pos AS INTEGER) AS pos, ROUND(val, 6) AS val FROM (
+      SELECT vec_id, unnest(range(0, len(nv))) AS pos, unnest(nv) AS val FROM t
+    )
+    """,
+    doc="matryoshka truncation (Kusupati et al. 2022, "
+    "operators/similarity.py:truncate_embeddings): keep the first 8 of "
+    "64 dims and restore unit norm — the no-retrain cost/recall knob; "
+    "face posexplodes the truncated vector to scalar (vec_id, pos, "
+    "val) rows (driver-face contract) with ROUND(...,6) on both "
+    "sides.  Slice + renorm replayed as plain SQL list ops; "
+    "zero-vector inputs stay zero on both sides.  Previously "
+    "pytest-only",
+)
+def pipe_truncate_matryoshka(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    t = similarity.truncate_embeddings(e, "embedding", dim=8, renormalize=True)
+    return t.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "pos", F.round("val", 6).alias("val"))
+
+
+@register(
+    "pipe_cluster_report",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (SELECT src, LEAST(src, MIN(dst)) AS comp FROM reach GROUP BY src),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.src = d.doc_id
+    ),
+    sizes AS (
+      SELECT component, COUNT(*) AS cluster_size FROM labeled GROUP BY component
+    )
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           cluster_size * COUNT(*) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+    doc="duplicate-cluster size distribution "
+    "(operators/dedup.py:cluster_report): minhash pairs -> connected "
+    "components -> (cluster_size, n_clusters, n_docs) — the one-page "
+    "'how duplicated is my corpus' answer; oracle extends the "
+    "recursive-CTE closure the components face already proves with "
+    "the two-level size aggregation.  Previously pytest-only",
+)
+def pipe_cluster_report(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        d, "doc_id", "text", n_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5
+    )
+    labels = dedup.connected_components(pairs, d, "doc_id")
+    return dedup.cluster_report(labels, "doc_id")
+
+
+@register(
+    "pipe_warc_robots_clean",
+    oracle=f"""
+    WITH allpages AS (
+      SELECT record_idx, target_uri, text FROM read_parquet('{_WARC_EXPECTED}')
+      WHERE doc_id >= -1
+    ),
+    d(host, allow, prefix) AS (
+      VALUES ('example.com', FALSE, '/private'),
+             ('example.com', FALSE, '/d/1'),
+             ('example.com', TRUE,  '/d/11'),
+             ('example.com', TRUE,  '/d/12'),
+             ('example.com', FALSE, '/d/12')
+    ),
+    p AS (
+      SELECT record_idx, target_uri, text,
+             lower(regexp_extract(target_uri,
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host,
+             CASE WHEN regexp_extract(target_uri,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+                  THEN '/'
+                  ELSE regexp_extract(target_uri,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) END AS path
+      FROM allpages
+    ),
+    j AS (
+      SELECT p.record_idx, p.text, d.allow, d.prefix
+      FROM p LEFT JOIN d ON p.host = d.host AND starts_with(p.path, d.prefix)
+    ),
+    w AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY record_idx
+        ORDER BY length(prefix) DESC, allow DESC) AS rn
+      FROM j
+    ),
+    docs AS (
+      SELECT record_idx, text FROM w
+      WHERE rn = 1 AND (allow IS NULL OR allow)
+    ),
+    lines AS (
+      SELECT record_idx,
+             unnest(string_split(text, chr(10))) AS line,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+      FROM docs
+    ),
+    nz AS (SELECT * FROM lines WHERE len(line) > 0),
+    total AS (SELECT COUNT(*) AS n_total FROM docs),
+    bp AS (
+      SELECT line FROM (
+        SELECT line, COUNT(DISTINCT record_idx) AS n_docs
+        FROM nz GROUP BY line
+      ), total
+      WHERE CAST(n_docs AS DOUBLE) / n_total >= 0.5
+    ),
+    kept AS (SELECT * FROM nz WHERE line NOT IN (SELECT line FROM bp)),
+    reb AS (
+      SELECT record_idx, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY record_idx
+    ),
+    orig AS (SELECT record_idx, COUNT(*) AS n_lines FROM nz GROUP BY record_idx)
+    SELECT d.record_idx,
+           COALESCE(reb.clean_text, '') AS clean_text,
+           COALESCE(orig.n_lines, 0) AS n_lines,
+           COALESCE(orig.n_lines, 0) - COALESCE(reb.n_kept, 0) AS n_removed
+    FROM docs d
+    LEFT JOIN orig ON d.record_idx = orig.record_idx
+    LEFT JOIN reb ON d.record_idx = reb.record_idx
+    """,
+    doc="the production crawl-to-clean-text chain WITH the robots gate "
+    "(round-8 verdict item 7): WARC records -> robots FULL-precedence "
+    "filter on the slim (record_idx, target_uri) page list (real "
+    "Disallow:/private parsed from the archive + the synthetic "
+    "precedence directives of pipe_robots_precedence) -> left-semi "
+    "join back to the records -> HTML text extraction -> "
+    "strip_boilerplate over the 412 SURVIVORS (the >=50% boilerplate "
+    "threshold is computed over the gated corpus, exactly as a "
+    "production pipeline would).  The gate runs BEFORE extraction on "
+    "purpose: payload bytes of blocked pages never cross to Python, "
+    "and the winner window shuffles only the slim list.  The "
+    "localCheckpoint pins the extracted text so strip_boilerplate's "
+    "two branches don't re-run the WARC+HTML chain (the round-8 "
+    "x8-MapInPandas fix, plan-tested)",
+)
+def pipe_warc_robots_clean(spark, sf_dir):
+    from ..operators import urltools
+
+    recs = ingest.read_warc(spark, _WARC_FIXTURE)
+    robots = recs.where(
+        (F.col("warc_type") == "response")
+        & F.col("target_uri").endswith("/robots.txt")
+    ).select(
+        "target_uri", F.decode(F.col("payload"), "UTF-8").alias("body")
+    )
+    directives = urltools.parse_robots_directives(
+        robots, "target_uri", "body"
+    ).union(
+        spark.createDataFrame(
+            [
+                ("example.com", False, "/d/1"),
+                ("example.com", True, "/d/11"),
+                ("example.com", True, "/d/12"),
+                ("example.com", False, "/d/12"),
+            ],
+            "host string, allow boolean, prefix string",
+        )
+    )
+    pages = recs.where(
+        (F.col("warc_type") == "response")
+        & F.col("http_content_type").contains("text/html")
+    ).select("record_idx", "target_uri")
+    allowed = urltools.filter_robots(pages, "target_uri", directives)
+    gated = recs.join(
+        allowed.select("record_idx"), "record_idx", "left_semi"
+    )
+    extracted = (
+        ingest.extract_html_text(gated, "payload")
+        .select("record_idx", "text")
+        .localCheckpoint(eager=False)
+    )
+    return text_ops.strip_boilerplate(
+        extracted, "record_idx", "text", min_doc_frac=0.5
+    )
+
+
+def _probe_oracle(epochs: int = 3, lr: str = "0.5") -> str:
+    """Unrolled full-batch gradient-descent replay (DuckDB) for
+    pipe_probe_train — the PCA-unroll recipe applied to training: each
+    epoch is one CTE computing the scaled-BIGINT per-term gradient sums
+    off the previous epoch's 1-row weight CTE, then a ROUND(...,6)
+    weight update; the final SELECT unions every (epoch, pos) row."""
+    k = 4
+    xs = ["x0", "x1", "x2", "x3"]
+    z = " + ".join(f"w_{j} * {x}" for j, x in enumerate(xs))
+    ctes = [
+        r"""feats AS (
+      SELECT 1.0 AS x0,
+             n_chars / 1000.0 AS x1,
+             len(string_split_regex(text, '\s+')) / 100.0 AS x2,
+             len(list_distinct(string_split_regex(text, '\s+')))
+               / len(string_split_regex(text, '\s+')) AS x3,
+             CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END AS y
+      FROM documents
+    )""",
+        "cnt AS (SELECT COUNT(*) AS n FROM feats)",
+        "w0 AS (SELECT "
+        + ", ".join(f"0.0 AS w_{j}" for j in range(k))
+        + ")",
+    ]
+    for e in range(1, epochs + 1):
+        grads = ",\n             ".join(
+            f"SUM(CAST(FLOOR((p - y) * d * {x} * 1e9 + 0.5) AS BIGINT)) AS s{j}"
+            for j, x in enumerate(xs)
+        )
+        ctes.append(
+            f"""g{e} AS (
+      SELECT {grads},
+             SUM(CAST(FLOOR((p - y) * (p - y) * 1e9 + 0.5) AS BIGINT)) AS sl
+      FROM (
+        SELECT f.*, 0.5 + 0.5 * z / (1.0 + abs(z)) AS p,
+               0.5 / ((1.0 + abs(z)) * (1.0 + abs(z))) AS d
+        FROM (SELECT f.*, {z} AS z FROM feats f, w{e - 1}) f
+      )
+    )"""
+        )
+        ups = ", ".join(
+            f"ROUND(w_{j} - {lr} * ((s{j} / 1e9) / n), 6) AS w_{j}"
+            for j in range(k)
+        )
+        ctes.append(f"w{e} AS (SELECT {ups} FROM w{e - 1}, g{e}, cnt)")
+        ctes.append(
+            f"l{e} AS (SELECT ROUND((sl / 1e9) / n, 6) AS loss FROM g{e}, cnt)"
+        )
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({e} AS INTEGER) AS epoch, CAST({j} AS INTEGER) AS pos, "
+        f"w_{j} AS weight, loss FROM w{e}, l{e}"
+        for e in range(1, epochs + 1)
+        for j in range(k)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + unions
+
+
+@register(
+    "pipe_probe_train",
+    oracle=_probe_oracle(),
+    doc="distributed linear-probe TRAINING (round-8 verdict stretch "
+    "item 8, operators/probe.py): a 4-feature quality probe (bias, "
+    "chars/1000, tokens/100, distinct-token ratio) fit to the "
+    "n_chars>300 label by 3 full-batch gradient epochs — Elliott "
+    "rational sigmoid (no transcendentals, so every per-row value is "
+    "bit-identical across engines), per-term scaled-BIGINT gradient "
+    "sums (one map-side-combinable agg per epoch, driver holds 4 "
+    "floats), ROUND(...,6) weight updates.  Output is the full "
+    "(epoch, pos, weight, loss) trajectory; the oracle unrolls all 3 "
+    "epochs as CTEs off the same arithmetic — an ITERATIVE TRAINER "
+    "that is hash-exact, like the PCA power iteration before it.  "
+    "Agreement with an independent NumPy fit + actually-learns "
+    "assertions in tests/test_probe.py",
+)
+def pipe_probe_train(spark, sf_dir):
+    from ..operators import probe
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    feats = d.select(
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("x1"),
+        (F.size(toks) / F.lit(100.0)).alias("x2"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("x3"),
+        F.when(F.col("n_chars") > 300, 1.0).otherwise(0.0).alias("y"),
+    )
+    _w, hist = probe.train_linear_probe(
+        feats, ["x0", "x1", "x2", "x3"], "y", lr=0.5, epochs=3
+    )
+    return probe.probe_history_df(spark, hist)

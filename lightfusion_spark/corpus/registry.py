@@ -44,202 +44,234 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 #: Curated export order.  The driver's correctness gate evaluates only the
-#: FIRST 50 ``queries()`` entries (CORRECTNESS_r02 was exactly the first 50
-#: registered names), so the names below are emitted first.  Round-8
-#: rotation (per the round-7 verdict): (1) every face CHANGED this round
-#: gets a fresh official row (scalar-column pipe_embed_text, the newly
-#: oracle-backed pipe_bpe_train, the PQ/floor-bucketing/robots fixes);
-#: (2) the ENTIRE 33-query r02 long tail — the stalest official rows in
-#: the registry — re-windows, plus the four oldest r03 pipeline rows and
-#: the three stalest category reps.  All rotated-out queries are r7-green
-#: (verified LAST round) and move to WINDOW_EXEMPT with their families
-#: still repped.  Everything stays covered by tools/parity.py + CI;
-#: tests/test_registry_window.py asserts every registered query is either
-#: in the current window or has a recorded green row from a past driver
-#: window.
+#: FIRST 50 ``queries()`` entries, so the names below are emitted first.
+#: Round-9 rotation (per the round-8 verdict, item 1): the window =
+#: 4 flagship Layer-A queries (windowed every round) + 10 NEW round-9
+#: faces (never driver-verified) + the 30 stalest official rows — the
+#: full r02 trio (3), the full r03 block (12), the full r04 block (12),
+#: and rel_salted_agg (r05, doubling as the aggregation-family rep) —
+#: + 8 per-category §2.3 representatives, each the STALEST verified
+#: sibling of its family (r06/r07: rel_filter_project, rel_window_rank,
+#: rel_sort_limit, rel_set_union, rel_explode, rel_approx_sketch,
+#: rel_group_by_all, grouped_map_centroid), keeping the one-rep-per-
+#: category invariant tests/test_registry_window.py enforces.
+#: 4+10+3+12+12+1+8 = 50 exactly.  The round-10 re-window backlog is
+#: the remaining 10 r05 rows (events_asof_forward, events_attribution,
+#: pipe_boilerplate_lines, pipe_chunk_documents, pipe_dedup_exact,
+#: pipe_dedup_incremental, pipe_sim_ivf, pipe_split_stratified,
+#: pipe_strip_boilerplate, pipe_text_bm25_terms), then the r06 block.
+#: Every rotated-out name was officially green in r05-r08 and moves to
+#: WINDOW_EXEMPT; tests/test_registry_window.py asserts every
+#: registered query is either in the current window or has a recorded
+#: green row from a past driver window, and tools/parity.py + CI keep
+#: sweeping the whole registry regardless.
 PRIORITY: list[str] = [
-    # §2.1/§2.2 Layer A — the reference-authored surface (windowed every
-    # round: these are the flagship parity claims vs the reference).
+    # 2.1/2.2 Layer A -- the reference-authored surface (windowed every round: the flagship parity claims vs the reference).
     "lgbm_tsv_flagship",
     "lgbm_infer_embeddings",
     "argmax_embeddings",
     "settings_introspection",
-    # Round-8 changed/new faces — each needs a FRESH official row:
-    # pipe_embed_text's face now emits scalar columns (the one red r07
-    # row); pipe_bpe_train gained its expected-output oracle;
-    # pipe_sim_ivf_pq exercises the re-densified PQ codebook;
-    # events_gapfill/_ohlc moved to floor bucketing; pipe_web_robots
-    # coalesces the empty root path.
-    "pipe_embed_text",
-    "pipe_bpe_train",
-    # Category reps with no r02-era sibling, themselves the stalest of
-    # their family: generators/higher-order (r4), Spark-4 VARIANT (r5),
-    # UDF/UDAF (r6).
-    "rel_higher_order",
-    "rel_variant",
-    "udaf_mean_norm",
-    # The ENTIRE r02 long tail (33 queries whose latest official row
-    # still dates to round 2 — the stalest block in the registry, judge
-    # item 3; my full parity sweeps say all exact, but official rows
-    # beat spot-checks).
-    "rel_case_when",
-    "rel_join_semi",
-    "rel_join_anti",
-    "rel_join_cross",
-    "rel_join_theta",
-    "rel_join_full_outer",
-    "rel_join_part_supplier",
-    "rel_agg_distinct",
-    "rel_agg_cube",
-    "rel_agg_argminmax",
-    "rel_grouping_sets",
-    "rel_having",
-    "rel_pivot",
-    "rel_unpivot",
-    "rel_window_frame",
-    "rel_window_analytics",
-    "rel_window_range_frame",
-    "rel_topk_group",
-    "rel_set_except",
-    "rel_union_all",
-    "rel_cte",
-    "rel_not_in_subquery",
-    "rel_percentile",
-    "rel_scalar_date",
-    "rel_scalar_array",
-    "rel_scalar_json",
-    "rel_scalar_string2",
-    "rel_part_stats",
-    "rel_tpch_q3_shape",
-    "rel_tpch_q5_shape",
-    # Round-8 NEW operators — never driver-windowed.  They displaced the
-    # r03 trio (pipe_simhash_wide/_text_tokens/_text_fingerprint —
-    # re-window in round 9 with the rest of the r03 block) and two of the
-    # 33 r02 scalar rows (struct_map + bitwise; the scalar family keeps
-    # four windowed reps and 31 r02 rows still refresh, over the >=30
-    # bar).
-    "events_stream_join",
-    "pipe_decontaminate_bloom",
-    "pipe_text_keywords",
-    "pipe_sample_weighted",
-    "pipe_embed_project",
-    "pipe_pca_top",
-    "pipe_embed_detop",
-    "pipe_sketch_cms",
-    "pipe_sim_topk_jl",
-    "pipe_text_novelty",
-    "pipe_source_overlap",
+    # Round-9 NEW faces -- never driver-windowed.  Five give official rows to previously pytest-only operators (r8 verdict item 2), two stress Catalyst subquery decorrelation (item 5), one extends the interval join to full outer (item 4), one composes robots gating into the WARC cleaning path (item 7), one trains a linear probe in-engine (item 8).
+    "pipe_normalize_unicode",
+    "pipe_sentence_chunks",
+    "pipe_truncate_matryoshka",
+    "pipe_cluster_report",
+    "pipe_robots_precedence",
+    "rel_tpch_q2_shape",
+    "rel_tpch_q20_shape",
+    "events_stream_join_full",
+    "pipe_warc_robots_clean",
+    "pipe_probe_train",
+    # The r02 trio -- the 3 stalest official rows in the registry (last green round 2; judge-reconfirmed exact in the r8 J8 sweep).
+    "rel_scalar_bitwise",
+    "rel_scalar_conditional",
+    "rel_scalar_struct_map",
+    # The FULL r03 block (12 -- every row whose latest official green is round 3; all J8-reconfirmed).
+    "pipe_sim_ann_lsh",
+    "pipe_sim_lsh_multiprobe",
+    "pipe_simhash_wide",
+    "pipe_text_tokens",
+    "pipe_text_fingerprint",
+    "pipe_text_repetition",
+    "pipe_text_pii",
+    "pipe_text_urls",
+    "pipe_dedup_survivors",
+    "pipe_mixture_sample",
+    "pipe_pack_sequences",
+    "pipe_shard_assign",
+    # The FULL r04 block (12 -- every row whose latest official green is round 4).
+    "pipe_dedup_ngram",
+    "pipe_lm_buckets",
+    "pipe_neardup_embedding",
+    "pipe_sim_topk_quantized",
+    "pipe_simhash_pairs",
+    "pipe_text_langid",
+    "rel_cast_battery",
+    "rel_regexp",
+    "rel_tpch_q10_shape",
+    "rel_tpch_q14_shape",
+    "rel_tpch_q17_shape",
+    "rel_tpch_q18_shape",
+    # rel_salted_agg: the stalest r05 row AND the aggregation-family rep.
+    "rel_salted_agg",
+    # One representative per remaining 2.3 category, each the stalest verified sibling of its family (r06/r07); joins/aggregations/subqueries/scalar/streaming are already repped above by the TPC-H shapes, rel_salted_agg, the q2/q20 faces, the r02 scalar trio, and events_stream_join_full.
+    "rel_filter_project",
+    "rel_window_rank",
+    "rel_sort_limit",
+    "rel_set_union",
+    "rel_explode",
+    "rel_approx_sketch",
+    "rel_group_by_all",
+    "grouped_map_centroid",
 ]
 
 #: Queries intentionally OUTSIDE the driver's 50-entry window.  Every name
 #: here MUST have a green row in a recorded past driver window (enforced by
 #: tests/test_registry_window.py, which cross-checks CORRECTNESS_r*.json):
 #: each was hash-verified by an earlier driver gate and ceded its slot.
-#: Round 8 cedes the whole r7-green block (verified LAST round — the
-#: freshest rows in the registry) so the r02/r03 long tail gets official
-#: re-verification; all remain parity-checked by tools/parity.py and CI.
+#: Round 9 cedes the whole round-8 window except the 4 flagship queries
+#: (those 46 rows are the freshest in the registry) so the r02-r04 long
+#: tail gets official re-verification; the 10 remaining r05 rows are the
+#: round-10 backlog (listed in the PRIORITY header note).
 WINDOW_EXEMPT: frozenset[str] = frozenset(
     {
-        # r7-green, rotated out for round 8 (families repped by windowed
-        # siblings or by their own round-7 rows).
-        "pipe_sim_lsh_banded",
-        "pipe_ingest_warc",
-        "pipe_ingest_warc_clean",
-        "pipe_embed_ivf_topk",
-        "pipe_dedup_components",
-        "pipe_lm_score_ngram",
-        "pipe_lm_buckets_ngram",
-        "pipe_sim_ivf_pq_rerank",
-        "pipe_sim_ivf_pq_probe2",
-        "pipe_layout_zorder",
-        "pipe_corpus_health",
-        "pipe_hard_negatives",
-        "pipe_mixture_temperature",
-        "pipe_multimodal_resize",
-        "pipe_multimodal_audio_frames",
-        "pipe_multimodal_scenecut",
+        "events_asof_bucketed",
+        "events_asof_forward",
+        "events_asof_join",
+        "events_attribution",
         "events_funnel",
-        # Four r7-green faces had round-8 changes PROVABLY output-neutral
-        # on the fixtures (parity-identical): pipe_web_robots (root-path
-        # coalesce), events_gapfill/_ohlc (floor bucketing; epochs all
-        # positive), pipe_sim_ivf_pq (code re-densify; measured: all 16
-        # clusters survive training at sf0.01, so the densify is an
-        # identity there).  Their r7 rows stay valid; the ceded slots went
-        # to the round-8 CMS/JL-topk/novelty/source-overlap faces.
-        "pipe_web_robots",
-        "events_ohlc",
         "events_gapfill",
-        "pipe_sim_ivf_pq",
-        "pipe_web_pagerank",
-        "pipe_web_links",
-        "pipe_url_canonicalize",
-        "pipe_url_blocklist",
-        "pipe_web_rank_sample",
-        "udtf_split_words",
-        # r5/r6-green, rotated out in round 7; families still repped.
+        "events_ohlc",
+        "events_range_join",
+        "events_sessionize",
+        "events_stream_join",
+        "events_windowed_stats",
+        "pipe_boilerplate_lines",
+        "pipe_bpe_train",
+        "pipe_chunk_bpe",
+        "pipe_chunk_documents",
+        "pipe_corpus_health",
+        "pipe_decontaminate",
+        "pipe_decontaminate_bloom",
+        "pipe_dedup_components",
+        "pipe_dedup_exact",
+        "pipe_dedup_incremental",
         "pipe_dedup_minhash",
         "pipe_dedup_minhash_incr",
+        "pipe_dedup_semantic",
         "pipe_dedup_simhash",
         "pipe_dedup_spans",
-        "pipe_dedup_semantic",
+        "pipe_e2e_curation",
+        "pipe_e2e_model_curation",
+        "pipe_embed_detop",
+        "pipe_embed_ivf_topk",
+        "pipe_embed_project",
+        "pipe_embed_text",
+        "pipe_hard_negatives",
+        "pipe_ingest_warc",
+        "pipe_ingest_warc_clean",
+        "pipe_layout_zorder",
+        "pipe_lm_buckets_ngram",
+        "pipe_lm_score",
+        "pipe_lm_score_ngram",
+        "pipe_mixture_temperature",
+        "pipe_multimodal_audio_frames",
+        "pipe_multimodal_codec",
+        "pipe_multimodal_decode",
+        "pipe_multimodal_jpeg",
+        "pipe_multimodal_png",
+        "pipe_multimodal_resize",
+        "pipe_multimodal_scenecut",
+        "pipe_multimodal_video",
+        "pipe_multimodal_wav",
+        "pipe_pack_bpe",
+        "pipe_pca_top",
+        "pipe_quality_filter",
+        "pipe_quality_model",
+        "pipe_sample_weighted",
+        "pipe_sim_ivf",
+        "pipe_sim_ivf_kmeans",
+        "pipe_sim_ivf_pq",
+        "pipe_sim_ivf_pq_probe2",
+        "pipe_sim_ivf_pq_rerank",
+        "pipe_sim_ivf_probe2",
+        "pipe_sim_lsh_banded",
+        "pipe_sim_recall_ivf",
         "pipe_sim_topk",
         "pipe_sim_topk_gemm",
-        "pipe_sim_ivf_kmeans",
-        "pipe_sim_ivf_probe2",
-        "pipe_sim_recall_ivf",
-        "pipe_text_stats",
-        "pipe_text_bm25",
-        "pipe_tokenize_bpe",
-        "pipe_chunk_bpe",
-        "pipe_pack_bpe",
-        "pipe_quality_model",
-        "pipe_e2e_model_curation",
-        "pipe_e2e_curation",
-        "pipe_multimodal_decode",
-        "pipe_multimodal_codec",
-        "pipe_multimodal_png",
-        "pipe_multimodal_jpeg",
-        "pipe_multimodal_wav",
-        "pipe_multimodal_video",
-        "pipe_decontaminate",
-        "pipe_quality_filter",
-        "pipe_lm_score",
-        "events_windowed_stats",
-        "events_sessionize",
-        "events_asof_join",
-        "events_asof_bucketed",
-        "events_range_join",
-        "grouped_map_centroid",
-        # r3/r4/r5-green, awaiting their round-9 re-window (round 8's
-        # slots went to the older r02 block); families still repped.
-        "pipe_simhash_wide",
-        "pipe_text_tokens",
-        "pipe_text_fingerprint",
-        "pipe_sim_ann_lsh",
-        "pipe_sim_lsh_multiprobe",
-        "pipe_text_urls",
-        "pipe_text_pii",
-        "pipe_mixture_sample",
-        "pipe_shard_assign",
-        "pipe_dedup_survivors",
-        "pipe_text_repetition",
-        "pipe_pack_sequences",
-        "pipe_simhash_pairs",
-        "pipe_sim_topk_quantized",
-        "pipe_text_langid",
-        "pipe_lm_buckets",
-        "pipe_dedup_ngram",
-        "pipe_neardup_embedding",
-        "pipe_sim_ivf",
-        "pipe_text_bm25_terms",
-        "pipe_strip_boilerplate",
-        "events_asof_forward",
+        "pipe_sim_topk_jl",
+        "pipe_sketch_cms",
+        "pipe_source_overlap",
         "pipe_split_stratified",
-        "pipe_chunk_documents",
-        "pipe_dedup_incremental",
-        "events_attribution",
-        "pipe_dedup_exact",
-        "pipe_boilerplate_lines",
+        "pipe_strip_boilerplate",
+        "pipe_text_bm25",
+        "pipe_text_bm25_terms",
+        "pipe_text_keywords",
+        "pipe_text_novelty",
+        "pipe_text_stats",
+        "pipe_tokenize_bpe",
+        "pipe_url_blocklist",
+        "pipe_url_canonicalize",
+        "pipe_web_links",
+        "pipe_web_pagerank",
+        "pipe_web_rank_sample",
+        "pipe_web_robots",
+        "rel_agg_argminmax",
+        "rel_agg_cube",
+        "rel_agg_distinct",
+        "rel_agg_q1",
+        "rel_agg_rollup",
+        "rel_case_when",
+        "rel_cdc_latest",
+        "rel_cte",
+        "rel_distinct",
+        "rel_fuzzy_match",
+        "rel_grouping_sets",
+        "rel_having",
+        "rel_higher_order",
+        "rel_histogram",
+        "rel_join_anti",
+        "rel_join_cross",
+        "rel_join_full_outer",
+        "rel_join_inner_agg",
+        "rel_join_left",
+        "rel_join_part_supplier",
+        "rel_join_right",
+        "rel_join_semi",
+        "rel_join_theta",
+        "rel_lateral_join",
+        "rel_not_in_subquery",
+        "rel_outlier_iqr",
+        "rel_part_stats",
+        "rel_percentile",
+        "rel_pivot",
+        "rel_profile_orders",
+        "rel_recursive_cte",
+        "rel_salted_join",
+        "rel_scalar_array",
+        "rel_scalar_date",
+        "rel_scalar_json",
+        "rel_scalar_math",
+        "rel_scalar_string",
+        "rel_scalar_string2",
+        "rel_scd2_asof",
+        "rel_set_except",
+        "rel_set_intersect",
+        "rel_skew_report",
+        "rel_subquery_in_exists",
+        "rel_subquery_scalar",
+        "rel_topk_group",
+        "rel_tpch_q3_shape",
+        "rel_tpch_q5_shape",
+        "rel_union_all",
+        "rel_unpivot",
+        "rel_variant",
+        "rel_window_analytics",
+        "rel_window_frame",
+        "rel_window_lag",
+        "rel_window_range_frame",
+        "udaf_mean_norm",
+        "udtf_split_words",
     }
 )
 

@@ -1986,3 +1986,75 @@ def rel_outlier_iqr(spark, sf_dir):
         )
         .select("event_type", "n_events", "q1", "q3", "n_outliers")
     )
+
+
+_TPCH_Q2_SQL = """
+SELECT DISTINCT p.p_partkey, p.p_size, s.s_suppkey, s.s_acctbal, n.n_name,
+       l.l_extendedprice AS supply_cost
+FROM part p, supplier s, lineitem l, nation n, region r
+WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = 'EUROPE' AND p.p_size = 7
+  AND l.l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice)
+    FROM lineitem l2, supplier s2, nation n2, region r2
+    WHERE l2.l_partkey = p.p_partkey AND l2.l_suppkey = s2.s_suppkey
+      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE')
+"""
+
+
+@register(
+    "rel_tpch_q2_shape",
+    oracle=_TPCH_Q2_SQL,
+    doc="TPC-H Q2-shaped minimum-cost supplier: a REAL correlated scalar "
+    "MIN-subquery handed to Catalyst verbatim (unlike the q17 face, "
+    "which pre-decorrelates by hand) — this is the subquery-"
+    "decorrelation stressor the round-8 verdict asked for; Catalyst "
+    "rewrites the correlated aggregate into a per-part MIN join "
+    "(RewriteCorrelatedScalarSubquery), no CartesianProduct, dims "
+    "broadcast.  lineitem stands in for partsupp (l_extendedprice as "
+    "the supply cost) — the testdata has no partsupp table, a "
+    "documented shape deviation.  The SAME SQL text runs on both "
+    "engines (equality on stored doubles, no arithmetic)",
+)
+def rel_tpch_q2_shape(spark, sf_dir):
+    use_utc(spark)
+    for t in ("part", "supplier", "lineitem", "nation", "region"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q2_SQL)
+
+
+_TPCH_Q20_SQL = """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+  AND s.s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > 60)
+"""
+
+
+@register(
+    "rel_tpch_q20_shape",
+    oracle=_TPCH_Q20_SQL,
+    doc="TPC-H Q20-shaped supplier shortlist: nested IN-subqueries over "
+    "an aggregated-HAVING fact subquery, handed to Catalyst verbatim — "
+    "it plans both INs as LeftSemi hash joins (the part shortlist "
+    "broadcast into the lineitem scan, the aggregated supplier set "
+    "semi-joined back to supplier), the exact plan you want at 100x: "
+    "the fact table is filtered by date + broadcast-semi BEFORE its "
+    "one shuffle on (l_suppkey, l_partkey).  Constant quantity "
+    "threshold stands in for the correlated 0.5*ps_availqty (no "
+    "partsupp in the testdata; the decorrelation stress lives in the "
+    "q2 face).  Exact DECIMAL HAVING sum; same SQL both engines",
+)
+def rel_tpch_q20_shape(spark, sf_dir):
+    use_utc(spark)
+    for t in ("supplier", "nation", "lineitem", "part"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q20_SQL)

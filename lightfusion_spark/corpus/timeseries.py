@@ -488,3 +488,45 @@ def events_stream_join(spark, sf_dir):
         F.col("right_id").alias("click_id"),
         F.unix_micros("right_time").alias("click_ts_us"),
     )
+
+
+@register(
+    "events_stream_join_full",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, epoch_us(ts) AS t
+               FROM events WHERE event_type = 'click')
+    SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+           p.event_id AS purchase_id, p.t AS purchase_ts_us,
+           c.event_id AS click_id, c.t AS click_ts_us
+    FROM p FULL JOIN c
+      ON c.user_id = p.user_id
+     AND c.t >= p.t
+     AND c.t <= p.t + 1800000000
+    """,
+    doc="stream-stream FULL OUTER interval join (round-8 verdict item "
+    "4): purchases paired with same-user clicks in the following 30 "
+    "minutes, AND purchases with no such click AND clicks following no "
+    "purchase both surviving null-extended — the attribution view that "
+    "keeps the orphaned engagement rows a left-outer join drops.  In "
+    "streaming both eviction directions run off the watermark "
+    "(streaming/events.py:interval_join; stream-vs-batch parity incl. "
+    "both-side null flushes in tests/test_streaming.py); batch face "
+    "here, oracle is a plain FULL JOIN with the same time-range "
+    "condition and the coalesced key",
+)
+def events_stream_join_full(spark, sf_dir):
+    from ..streaming.events import interval_join
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase")
+    c = ev.where(F.col("event_type") == "click")
+    j = interval_join(p, c, how="full_outer", upper="30 minutes")
+    return j.select(
+        "user_id",
+        F.col("left_id").alias("purchase_id"),
+        F.unix_micros("left_time").alias("purchase_ts_us"),
+        F.col("right_id").alias("click_id"),
+        F.unix_micros("right_time").alias("click_ts_us"),
+    )

@@ -1,0 +1,184 @@
+"""Distributed linear-probe training: full-batch gradient descent with
+exact, engine-replayable arithmetic.
+
+The "linear probe" is the workhorse of representation-quality and
+data-quality work (Alain & Bengio 2016's probing classifiers; the
+fastText/DSIR-style quality filters CCNet-descended pipelines train):
+a single linear layer fit on cheap features, then used as a corpus
+gate.  The round-8 verdict's stretch item asks for the TRAINING side
+in-engine, closing the loop the LightGBM-based
+``curation.quality_model_filter`` starts (that operator *applies* a
+model someone else trained; this one trains its sibling on the
+cluster, with no model file and no driver-side data pass).
+
+Design for exact replay (the repo's iterative-oracle recipe, proven by
+``operators/pca.py``'s unrolled power iteration):
+
+* the activation is the **Elliott fast sigmoid** ``p = 0.5 +
+  0.5·z/(1+|z|)`` (Elliott 1993, "A better activation function for
+  artificial neural networks") — RATIONAL arithmetic only, so every
+  per-row value is bit-identical across Spark, DuckDB, and NumPy;
+  ``exp``-based logistic would hang the oracle on libm's last-ulp
+  differences, compounded across epochs;
+* squared-error loss; the gradient term per (row, feature) is
+  ``t_ij = (p_i − y_i) · p'_i · x_ij`` with ``p' = 0.5/(1+|z|)²``,
+  floored to scaled BIGINT **per term** (``floor(t·1e9 + 0.5)``) and
+  summed associatively — partition order can never change a bit;
+* weights update driver-side on k scalars per epoch:
+  ``w_j ← round6(w_j − lr·((s_j/1e9)/n))`` — the identical expression
+  the DuckDB oracle's unrolled per-epoch CTE chain computes.
+
+Operating bounds: per-feature sums hold ``n · max|t| · 1e9 < 2^63``
+(|t| ≤ 0.5·0.5·max|x|, so ~4.6e9 rows at max|x| = 1 — beyond that,
+pre-scale features or widen to DECIMAL(38,0)); keeping ``|s| < 2^53``
+(n ≲ 3.6e13 rows) additionally makes the BIGINT→DOUBLE conversion in
+the update exact, which the oracle's ``s/1e9`` relies on.
+
+Scale (100 TB): each epoch is ONE map-side-combinable aggregation over
+the feature relation (no shuffle wider than k+1 partial sums), driver
+state is k floats, and the feature projection is a pure JVM expression
+— the classic "giant X, tiny w" shape.  Epoch count is fixed (full
+history returned); there is no silent-convergence claim to get wrong,
+but consumers can read the loss column and decide.
+
+Reference scope: the reference engine (/root/reference/src/lib.rs) has
+inference only (LightGBM UDF) and no training surface at all — this is
+a §2.4 north-star extension.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .pca import _round6
+
+#: Shared scaling for exact associative float sums.
+_S = 1e9
+
+
+def _z_expr(w: list[float], feature_cols: list[str]):
+    """w·x as a LEFT-ASSOCIATIVE chain — the one float expression whose
+    grouping must match the oracle text exactly."""
+    terms = [F.lit(wj) * F.col(c) for wj, c in zip(w, feature_cols)]
+    return reduce(lambda a, b: a + b, terms)
+
+
+def train_linear_probe(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    lr: float = 0.5,
+    epochs: int = 3,
+) -> tuple[list[float], list[dict]]:
+    """Fit ``p = elliott(w·x)`` to the 0/1 ``label_col`` by full-batch
+    gradient descent.  Returns ``(final_weights, history)`` where
+    ``history[e] = {"epoch": e+1, "loss": float, "weights": [...]}``
+    (loss is measured with the ENTERING weights, so epoch 1's loss is
+    the zero-init loss — the value that proves later epochs improved).
+
+    One distributed aggregation per epoch; ``df`` should be cached or a
+    cheap scan, since each epoch re-reads it (at real scale: land the
+    feature projection to parquet first, the same advice as the k-means
+    loops in SCALE.md).
+    """
+    k = len(feature_cols)
+    if k == 0:
+        raise ValueError("train_linear_probe: need at least one feature")
+    n = df.count()
+    if n == 0:
+        raise ValueError("train_linear_probe: empty input")
+    w = [0.0] * k
+    history: list[dict] = []
+    for e in range(epochs):
+        z = _z_expr(w, feature_cols)
+        p = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+        d = F.lit(0.5) / ((F.lit(1.0) + F.abs(z)) * (F.lit(1.0) + F.abs(z)))
+        y = F.col(label_col)
+        t = (p - y) * d
+        aggs = [
+            F.sum(F.floor(t * F.col(c) * _S + F.lit(0.5))).alias(f"s{j}")
+            for j, c in enumerate(feature_cols)
+        ]
+        aggs.append(
+            F.sum(F.floor((p - y) * (p - y) * _S + F.lit(0.5))).alias("sl")
+        )
+        row = df.agg(*aggs).collect()[0]
+        loss = _round6((row["sl"] / _S) / n)
+        w = [
+            _round6(w[j] - lr * ((row[f"s{j}"] / _S) / n)) for j in range(k)
+        ]
+        history.append({"epoch": e + 1, "loss": loss, "weights": list(w)})
+    return w, history
+
+
+def probe_history_df(spark, history: list[dict]) -> DataFrame:
+    """Training history in driver-face long form: one row per
+    (epoch, pos) with the post-update weight and the entering loss."""
+    rows = [
+        (h["epoch"], j, h["weights"][j], h["loss"])
+        for h in history
+        for j in range(len(h["weights"]))
+    ]
+    return spark.createDataFrame(
+        rows, "epoch int, pos int, weight double, loss double"
+    )
+
+
+def apply_probe(
+    df: DataFrame,
+    feature_cols: list[str],
+    weights: list[float],
+    threshold: float = 0.5,
+    score_col: str = "p_keep",
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Score + gate with a trained probe — the linear sibling of
+    ``curation.quality_model_filter`` (same round-6 discipline: the
+    score is rounded to 6 digits BEFORE the threshold compare, so the
+    keep decision is engine-reproducible).  Pure JVM expression chain:
+    zero shuffles, composes into any scan."""
+    z = _z_expr(weights, feature_cols)
+    p = F.round(
+        F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z)), 6
+    )
+    out = df.withColumn(score_col, p)
+    return out.withColumn(keep_col, F.col(score_col) >= F.lit(threshold))
+
+
+def _elliott_np(z):
+    """NumPy reference of the activation, for agreement tests."""
+    import numpy as np
+
+    return 0.5 + 0.5 * z / (1.0 + np.abs(z))
+
+
+def train_linear_probe_numpy(X, y, lr: float = 0.5, epochs: int = 3):
+    """Independent NumPy reference implementing the IDENTICAL floored
+    arithmetic (used by tests to pin the distributed trainer exactly —
+    same floor discipline, same update order)."""
+    import numpy as np
+
+    n, k = X.shape
+    w = [0.0] * k
+    history = []
+    for _ in range(epochs):
+        # left-associative w·x on purpose — BLAS (X @ w) may reorder or
+        # fuse the sum; the engines build the chain term by term
+        z = w[0] * X[:, 0]
+        for j in range(1, k):
+            z = z + w[j] * X[:, j]
+        p = _elliott_np(z)
+        d = 0.5 / ((1.0 + np.abs(z)) * (1.0 + np.abs(z)))
+        t = (p - y) * d
+        s = [
+            int(np.floor(t * X[:, j] * _S + 0.5).astype(np.int64).sum())
+            for j in range(k)
+        ]
+        sl = int(np.floor((p - y) * (p - y) * _S + 0.5).astype(np.int64).sum())
+        loss = _round6((sl / _S) / n)
+        w = [_round6(w[j] - lr * ((s[j] / _S) / n)) for j in range(k)]
+        history.append({"loss": loss, "weights": list(w)})
+    return w, history

@@ -906,6 +906,13 @@ def chunk_by_sentences(
     differs from it only in allowing a chunk to overflow by less than
     one sentence; stated here because both definitions are common.
     One per-doc window + one groupBy, both on the doc key.
+
+    ``chunk_text`` rebuilds the sentences in ``sent_idx`` order via
+    ``sort_array(collect_list(struct(sent_idx, sentence)))`` —
+    ``collect_list`` alone has NO order guarantee under real
+    multi-partition execution (it happened to look ordered on local
+    runs), so without the sort the chunk text was nondeterministic at
+    scale; the struct sort pins it for any partitioning.
     """
     from pyspark.sql.window import Window
 
@@ -921,8 +928,13 @@ def chunk_by_sentences(
     tagged = sents.withColumn(
         "chunk_idx", F.floor(chars_before / F.lit(max_chars)).cast("int")
     )
+    ordered = F.sort_array(
+        F.collect_list(F.struct(F.col("sent_idx"), F.col("sentence")))
+    )
     return tagged.groupBy(id_col, "chunk_idx").agg(
-        F.concat_ws(" ", F.collect_list("sentence")).alias("chunk_text"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["sentence"]), " "
+        ).alias("chunk_text"),
         F.count(F.lit(1)).alias("n_sents"),
         F.sum(F.length("sentence")).alias("n_chars"),
     )

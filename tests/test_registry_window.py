@@ -64,24 +64,25 @@ def test_window_covers_every_family():
     for name in WINDOW_EXEMPT:
         assert name in REGISTRY, f"stale WINDOW_EXEMPT entry {name}"
         assert name not in window, f"{name} exempted but wastes a window slot"
-    # One-plus representative per §2.3 category.  Round-8 rotation picks
-    # the stalest-verified sibling per category (the r02 block plus
-    # rel_higher_order r4, rel_variant r5, udaf_mean_norm r6), so the
-    # category stays repped AND the oldest official row gets refreshed.
+    # One-plus representative per §2.3 category.  Round-9 rotation picks
+    # the stalest-verified sibling per category (everything below is an
+    # r05-r07 row or a brand-new face; the r08-refreshed siblings ceded
+    # their slots), so the category stays repped AND the oldest official
+    # row gets refreshed.
     for name in (
-        "rel_case_when",  # projection/filter/predicates
-        "rel_join_semi",  # joins
-        "rel_agg_cube",  # aggregations
-        "rel_window_frame",  # windows
-        "rel_topk_group",  # sort/limit/top-k
-        "rel_set_except",  # set ops
-        "rel_cte",  # subqueries/CTEs
-        "rel_scalar_date",  # scalar function library
-        "rel_higher_order",  # generators / higher-order
-        "rel_percentile",  # approximate/sketch
-        "rel_variant",  # Spark-4 surface
-        "udaf_mean_norm",  # UDF/UDAF/UDTF
-        "events_stream_join",  # timeseries/streaming family
+        "rel_filter_project",  # projection/filter/predicates (r6)
+        "rel_tpch_q10_shape",  # joins (r4 block)
+        "rel_salted_agg",  # aggregations (r5, stalest sibling)
+        "rel_window_rank",  # windows (r6)
+        "rel_sort_limit",  # sort/limit/top-k (r7)
+        "rel_set_union",  # set ops (r6)
+        "rel_tpch_q2_shape",  # subqueries/CTEs (new: correlated scalar)
+        "rel_scalar_bitwise",  # scalar function library (r2 trio)
+        "rel_explode",  # generators / higher-order (r7)
+        "rel_approx_sketch",  # approximate/sketch (r6)
+        "rel_group_by_all",  # Spark-4 surface (r6)
+        "grouped_map_centroid",  # UDF/UDAF/UDTF (r6)
+        "events_stream_join_full",  # timeseries/streaming family (new)
     ):
         assert name in window, f"§2.3 representative {name} outside driver window"
 

@@ -337,7 +337,93 @@ def test_interval_join_rejects_unsupported_how(spark, batch_events):
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="inner/left_outer"):
-        ev.interval_join(batch_events, batch_events, how="full_outer")
+        ev.interval_join(batch_events, batch_events, how="left_semi")
+
+
+def test_interval_join_full_outer_stream_matches_batch(
+    spark, batch_events, tmp_path
+):
+    """interval_join(full_outer) — round-8 verdict item 4: BOTH eviction
+    directions (unmatched purchases null-extended on the right,
+    unmatched clicks null-extended on the left) must flush off the
+    watermark and match the batch run bar for bar.  Same two-staggered-
+    sentinel-files machinery as the left_outer test (the global
+    watermark is the MIN across both branches; eviction emits one batch
+    after the advance)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    src_dir = tmp_path / "ev_src_full"
+    batch_events.coalesce(1).write.parquet(str(src_dir / "f1"))
+    max_ts = batch_events.select(
+        F.max(ev.event_time_col(batch_events)).alias("m")
+    ).first()["m"]
+    for i, days in enumerate((30, 60), start=2):
+        sentinel = spark.createDataFrame(
+            [
+                (-999990 - 2 * i - k, -1, et, 0.0, "{}")
+                for k, et in enumerate(("purchase", "click"))
+            ],
+            "event_id long, user_id long, event_type string, value double, props string",
+        ).select(
+            "event_id",
+            (
+                F.lit(max_ts).cast("timestamp")
+                .cast("timestamp_ntz")
+                + F.expr(f"INTERVAL {days} DAYS")
+            ).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).toDF(*batch_events.columns)
+        time.sleep(1.1)
+        sentinel.coalesce(1).write.parquet(str(src_dir / f"f{i}"))
+
+    schema = batch_events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*/"))
+    )
+    sp = stream.where(F.col("event_type") == "purchase")
+    sc = stream.where(F.col("event_type") == "click")
+    q = (
+        ev.interval_join(sp, sc, how="full_outer", upper="30 minutes")
+        .writeStream.format("memory")
+        .queryName("ivj_full_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ivj_full"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM ivj_full_stream WHERE user_id != -1")
+
+    bp = batch_events.where(F.col("event_type") == "purchase")
+    bc = batch_events.where(F.col("event_type") == "click")
+    expected = ev.interval_join(bp, bc, how="full_outer", upper="30 minutes")
+
+    def _null_safe_sorted(df):
+        # full-outer rows carry NULLs in either id column; plain tuple
+        # sort chokes on None < int
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: tuple((v is None, str(v)) for v in t),
+        )
+
+    assert _null_safe_sorted(got) == _null_safe_sorted(expected)
+    # the fixture must exercise ALL THREE row classes: matched pairs,
+    # purchase-only (right-null), and click-only (left-null)
+    assert expected.where(F.col("right_id").isNull()).count() > 0
+    assert expected.where(F.col("left_id").isNull()).count() > 0
+    assert (
+        expected.where(
+            F.col("left_id").isNotNull() & F.col("right_id").isNotNull()
+        ).count()
+        > 0
+    )
 
 
 def test_stateful_transitions_span_batch_boundaries(spark, batch_events, tmp_path):
