@@ -3790,3 +3790,47 @@ def pipe_probe_train(spark, sf_dir):
         feats, ["x0", "x1", "x2", "x3"], "y", lr=0.5, epochs=3
     )
     return probe.probe_history_df(spark, hist)
+
+
+_FIXTURE_DATA_DIR = os.path.dirname(_WARC_EXPECTED)
+
+
+@register(
+    "pipe_file_stats",
+    oracle=f"""
+    WITH f AS (
+      SELECT file_name, num_rows
+      FROM parquet_file_metadata('{_FIXTURE_DATA_DIR}/*.parquet')
+    ),
+    m AS (
+      SELECT file_name,
+             MIN(CAST(stats_min_value AS BIGINT)) AS lo,
+             MAX(CAST(stats_max_value AS BIGINT)) AS hi
+      FROM parquet_metadata('{_FIXTURE_DATA_DIR}/*.parquet')
+      WHERE path_in_schema = 'doc_id'
+      GROUP BY file_name
+    )
+    SELECT regexp_extract(f.file_name, '([^/]+)$', 1) AS file,
+           f.num_rows AS n_rows, 'doc_id' AS col,
+           COALESCE(CAST(m.lo AS VARCHAR), 'None') AS min_str,
+           COALESCE(CAST(m.hi AS VARCHAR), 'None') AS max_str
+    FROM f LEFT JOIN m USING (file_name)
+    """,
+    doc="parquet-footer layout observability "
+    "(sources/layout.py:file_stats_report): per-file row counts and "
+    "min/max doc_id ranges read from the FOOTERS of the committed "
+    "fixture parquet files (sf-independent, like every fixture face) — "
+    "wide per-file ranges on a filter column mean scans can't prune "
+    "and a Z-order/compaction rewrite pays for itself.  The oracle is "
+    "DuckDB's parquet_metadata()/parquet_file_metadata() over the SAME "
+    "footers — two independent parquet readers agreeing on the "
+    "statistics bytes, row-group mins folded to file mins on both "
+    "sides; files without the column report 'None' (the operator's "
+    "uniform-string contract).  Previously pytest-only "
+    "(filesystem-metadata-by-nature; the fixture corpus makes it "
+    "driver-checkable after all)",
+)
+def pipe_file_stats(spark, sf_dir):
+    from ..sources import layout
+
+    return layout.file_stats_report(spark, _FIXTURE_DATA_DIR, ["doc_id"])
