@@ -458,6 +458,49 @@ def main() -> None:
         ).count(),
     )
 
+    # round-9: linear-probe training — per-epoch cost is one cached-scan
+    # aggregation (k+1 BIGINT partial sums), so wall time should be
+    # ~linear in epochs; the 3ep/6ep pair measures that directly.
+    from lightfusion_spark.operators import probe as probe_mod
+
+    docs50k = inflate(docs_src, 10, "doc_id", 1_000_000, "text")
+    ptoks = F.split(F.col("text"), r"\s+")
+    feats = docs50k.select(
+        F.lit(1.0).alias("x0"),
+        (F.length("text") / F.lit(1000.0)).alias("x1"),
+        (F.size(ptoks) / F.lit(100.0)).alias("x2"),
+        (F.size(F.array_distinct(ptoks)) / F.size(ptoks)).alias("x3"),
+        F.when(F.length("text") > 300, 1.0).otherwise(0.0).alias("y"),
+    ).cache()
+    n_feats = feats.count()
+    for ep in (3, 6):
+        timed(
+            f"probe_train_{ep}ep_{n_feats}_rows",
+            lambda ep=ep: len(
+                probe_mod.train_linear_probe(
+                    feats, ["x0", "x1", "x2", "x3"], "y", epochs=ep
+                )[1]
+            ),
+        )
+    feats.unpersist()
+
+    # round-9: interval join outer forms — the outer variants must cost
+    # ~the inner join (state/geometry identical; only null-extension
+    # differs), measured on the 2M-event inflation.
+    from lightfusion_spark.streaming import events as ev_mod
+
+    events_src = spark.read.parquet(os.path.join(args.sf, "events.parquet"))
+    ev2m = inflate(events_src, 20, "event_id", 100_000_000)
+    ip = ev2m.where(F.col("event_type") == "purchase")
+    ic = ev2m.where(F.col("event_type") == "click")
+    for how in ("inner", "left_outer", "full_outer"):
+        timed(
+            f"interval_join_{how}_2M_events",
+            lambda how=how: ev_mod.interval_join(
+                ip, ic, how=how, upper="30 minutes"
+            ).count(),
+        )
+
 
 if __name__ == "__main__":
     main()
