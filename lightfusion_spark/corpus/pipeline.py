@@ -3834,3 +3834,69 @@ def pipe_file_stats(spark, sf_dir):
     from ..sources import layout
 
     return layout.file_stats_report(spark, _FIXTURE_DATA_DIR, ["doc_id"])
+
+
+@register(
+    "pipe_cluster_embeddings",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS centroid_id, v AS cent FROM e ORDER BY vec_id LIMIT 16),
+    assign AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, cents.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_inner_product(e.v, cents.cent)
+                          / (sqrt(list_inner_product(e.v, e.v))
+                             * sqrt(list_inner_product(cents.cent, cents.cent))), 6) DESC,
+                          cents.centroid_id) AS rn
+        FROM e CROSS JOIN cents) t
+      WHERE rn = 1
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_inner_product(q.v, c.v)
+                   / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))),
+                   6) AS cos_sim
+      FROM assign q JOIN assign c
+        ON q.centroid_id = c.centroid_id AND q.vec_id <> c.vec_id
+    ),
+    knn AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored) t
+      WHERE rn <= 3
+    ),
+    edges AS (
+      SELECT query_id AS a, neighbor_id AS b FROM knn
+      UNION ALL
+      SELECT neighbor_id, query_id FROM knn
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, g.b FROM reach r JOIN edges g ON r.dst = g.a
+    ),
+    comp AS (SELECT src, LEAST(src, MIN(dst)) AS comp FROM reach GROUP BY src)
+    SELECT v.vec_id, COALESCE(c.comp, v.vec_id) AS component
+    FROM e v LEFT JOIN comp c ON c.src = v.vec_id
+    """,
+    doc="corpus topic clustering: k-NN graph (IVF cell join, corpus as "
+    "its own query set, k=3 — at most k*n edges, never a pair product) "
+    "-> connected components over the neighbor chains "
+    "(similarity.knn_graph + cluster_embeddings_knn) — the graph-side "
+    "sibling of semantic dedup, labeling every vector with its "
+    "content-cluster representative.  The oracle replays the whole "
+    "chain: deterministic coarse cells, per-cell kNN ranking, "
+    "symmetrized edges, recursive-CTE transitive closure.  Components "
+    "are cell-bounded by construction (edges never cross cells), which "
+    "also bounds the oracle's closure size",
+)
+def pipe_cluster_embeddings(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    return similarity.cluster_embeddings_knn(
+        e, "vec_id", "embedding", k=3, n_centroids=16
+    )

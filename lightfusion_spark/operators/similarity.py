@@ -1455,3 +1455,73 @@ def topk_cosine_jl(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_centroids: int = 16,
+    sim_threshold: float | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """k-nearest-neighbor graph over an embedding corpus: one directed
+    edge ``(id_a, id_b, cos_sim)`` per (vector, top-k neighbor), built
+    on the IVF scale path (cell equi-join, never an all-pairs product)
+    with the corpus as its own query set.  ``sim_threshold`` optionally
+    drops weak edges — the usual knob between 'every vector gets k
+    edges' and 'only genuinely similar vectors connect'.
+
+    Scale (100 TB): the candidate space is per-cell, so edge
+    construction costs what one IVF search over the corpus costs; the
+    output is at most ``k·n`` edges — linear in the corpus, never
+    quadratic.
+    """
+    pairs = topk_cosine_ivf(
+        corpus, corpus, id_col, vec_col, n_centroids, k, round_digits
+    )
+    if sim_threshold is not None:
+        pairs = pairs.where(F.col("cos_sim") >= sim_threshold)
+    return pairs.select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        "cos_sim",
+    )
+
+
+def cluster_embeddings_knn(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_centroids: int = 16,
+    sim_threshold: float | None = None,
+    round_digits: int = 6,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Corpus clustering via the k-NN graph: connected components over
+    :func:`knn_graph` edges — the scalable skeleton of topic/content
+    clustering (and the graph-side sibling of ``semantic_dedup``, which
+    clusters by centroid cell instead of by neighbor chains).  Every
+    vector gets a ``(id_col, component)`` label; the component id is
+    the minimum member id (deterministic canonical representative),
+    singletons keep their own id.
+
+    Composition, not new machinery: the edges come from the IVF cell
+    join and the labels from the O(log n)-round large-star/small-star
+    alternation ``dedup.connected_components`` already provides (with
+    its converged-or-warn contract).  At 100 TB both pieces keep their
+    own scale stories; nothing here adds a shuffle beyond them.
+    """
+    from .dedup import connected_components
+
+    edges = knn_graph(
+        corpus, id_col, vec_col, k, n_centroids, sim_threshold, round_digits
+    )
+    return connected_components(
+        edges.select("id_a", "id_b"),
+        corpus,
+        id_col,
+        max_iterations=max_iterations,
+    )

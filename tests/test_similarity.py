@@ -303,3 +303,35 @@ def test_truncate_embeddings_renorm_and_zero(spark):
     assert raw[1] == [3.0, 4.0]
     with pytest.raises(ValueError, match="dim"):
         similarity.truncate_embeddings(df, "embedding", 0)
+
+
+def test_knn_graph_and_clusters(spark, sf_dir):
+    from lightfusion_spark.operators import similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = sim.knn_graph(e, "vec_id", "embedding", k=3, n_centroids=8)
+    rows = edges.collect()
+    n = e.count()
+    # at most k edges per vector, no self-loops
+    assert len(rows) <= 3 * n
+    assert all(r["id_a"] != r["id_b"] for r in rows)
+    from collections import Counter
+
+    out_deg = Counter(r["id_a"] for r in rows)
+    assert max(out_deg.values()) <= 3
+    # a similarity floor only removes edges
+    thinner = sim.knn_graph(
+        e, "vec_id", "embedding", k=3, n_centroids=8, sim_threshold=0.2
+    ).count()
+    assert thinner <= len(rows)
+
+    labels = sim.cluster_embeddings_knn(e, "vec_id", "embedding", k=3, n_centroids=8)
+    lab = {r["vec_id"]: r["component"] for r in labels.collect()}
+    assert len(lab) == n  # every vector labeled
+    # component id is the minimum member id (canonical representative)
+    comps = {}
+    for v, c in lab.items():
+        comps.setdefault(c, []).append(v)
+    assert all(c == min(vs) for c, vs in comps.items())
+    # edges never cross components (labels are consistent with the graph)
+    assert all(lab[r["id_a"]] == lab[r["id_b"]] for r in rows)
