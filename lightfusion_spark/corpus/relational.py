@@ -2058,3 +2058,43 @@ def rel_tpch_q20_shape(spark, sf_dir):
     for t in ("supplier", "nation", "lineitem", "part"):
         table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_TPCH_Q20_SQL)
+
+
+_TPCH_Q21_SQL = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s, lineitem l1, orders o
+WHERE s.s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+  AND o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 10
+"""
+
+
+@register(
+    "rel_tpch_q21_shape",
+    oracle=_TPCH_Q21_SQL,
+    doc="TPC-H Q21-shaped waiting-supplier report: correlated EXISTS and "
+    "NOT EXISTS subqueries handed to Catalyst verbatim — the third leg "
+    "of the decorrelation trio (q2 = correlated scalar agg, q20 = "
+    "nested IN, q21 = existential + anti) — planned as a LeftSemi and "
+    "a LeftAnti join on l_orderkey with the inequality residuals, no "
+    "CartesianProduct.  'Late' is l_shipdate > o_orderdate + 60 days "
+    "(the testdata has no commit/receipt dates — documented shape "
+    "deviation); the NOT EXISTS correlates to the OUTER order's date, "
+    "the genuinely hard decorrelation case.  Deterministic top-10 "
+    "(total order: numwait desc, unique s_name); same SQL both engines",
+)
+def rel_tpch_q21_shape(spark, sf_dir):
+    use_utc(spark)
+    for t in ("supplier", "lineitem", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q21_SQL)
