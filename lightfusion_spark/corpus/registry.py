@@ -74,12 +74,19 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: green row from a past driver window, and tools/parity.py + CI keep
 #: sweeping the whole registry regardless.
 PRIORITY: list[str] = [
-    # 2.1/2.2 Layer A -- the reference-authored surface (windowed every round: the flagship parity claims vs the reference).
+    # 2.1/2.2 Layer A -- the reference-authored surface (windowed
+    # every round: the flagship parity claims vs the reference).
     "lgbm_tsv_flagship",
     "lgbm_infer_embeddings",
     "argmax_embeddings",
     "settings_introspection",
-    # Round-9 NEW faces -- never driver-windowed.  Five give official rows to previously pytest-only operators (r8 verdict item 2), two stress Catalyst subquery decorrelation (item 5), one extends the interval join to full outer (item 4), one composes robots gating into the WARC cleaning path (item 7), one trains a linear probe in-engine (item 8).
+    # Round-9 NEW faces -- never driver-windowed.  Five give official
+    # rows to previously pytest-only operators (r8 verdict item 2),
+    # three stress Catalyst subquery decorrelation (item 5 + the q21
+    # anti-join leg), one extends the interval join to full outer
+    # (item 4), one composes robots gating into the WARC cleaning path
+    # (item 7), one trains a linear probe in-engine (item 8), one
+    # oracles parquet footers, one clusters the embedding corpus.
     "pipe_normalize_unicode",
     "pipe_sentence_chunks",
     "pipe_truncate_matryoshka",
@@ -93,11 +100,13 @@ PRIORITY: list[str] = [
     "pipe_file_stats",
     "pipe_cluster_embeddings",
     "rel_tpch_q21_shape",
-    # The r02 trio -- the 3 stalest official rows in the registry (last green round 2; judge-reconfirmed exact in the r8 J8 sweep).
+    # The r02 trio -- the 3 stalest official rows in the registry
+    # (last green round 2; judge-reconfirmed exact in the r8 J8 sweep).
     "rel_scalar_bitwise",
     "rel_scalar_conditional",
     "rel_scalar_struct_map",
-    # The FULL r03 block (12 -- every row whose latest official green is round 3; all J8-reconfirmed).
+    # The FULL r03 block (12 -- every row whose latest official green
+    # is round 3; all J8-reconfirmed).
     "pipe_sim_ann_lsh",
     "pipe_sim_lsh_multiprobe",
     "pipe_simhash_wide",
@@ -123,7 +132,11 @@ PRIORITY: list[str] = [
     "rel_tpch_q18_shape",
     # rel_salted_agg: the stalest r05 row AND the aggregation-family rep.
     "rel_salted_agg",
-    # One representative per remaining 2.3 category, each the stalest verified sibling of its family (r06/r07); joins/aggregations/subqueries/scalar/streaming are already repped above by the TPC-H shapes, rel_salted_agg, the q2/q20 faces, the r02 scalar trio, and events_stream_join_full.
+    # One representative per remaining 2.3 category, each the stalest
+    # verified sibling of its family (r06/r07); joins/aggregations/
+    # subqueries/scalar/streaming are already repped above by the TPC-H
+    # shapes, rel_salted_agg, the q2/q20/q21 faces, the r02 scalar
+    # trio, and events_stream_join_full.
     "rel_filter_project",
     "rel_window_rank",
     "rel_sort_limit",
