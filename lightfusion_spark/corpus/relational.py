@@ -2035,7 +2035,7 @@ WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
       AND l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
     GROUP BY l_suppkey, l_partkey
-    HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > 60)
+    HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > 40)
 """
 
 

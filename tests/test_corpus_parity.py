@@ -51,6 +51,18 @@ SUBSET = [
     "rel_explode",
     "rel_higher_order",
     "rel_regexp",
+    # round-9 additions: the decorrelation trio, the trainer, the
+    # full-outer interval join, and the graduated pytest-only faces
+    # (all verified non-empty on tools/gen_testdata.py output too)
+    "rel_tpch_q2_shape",
+    "rel_tpch_q20_shape",
+    "rel_tpch_q21_shape",
+    "pipe_probe_train",
+    "events_stream_join_full",
+    "pipe_sentence_chunks",
+    "pipe_normalize_unicode",
+    "pipe_cluster_embeddings",
+    "pipe_file_stats",
 ]
 
 
