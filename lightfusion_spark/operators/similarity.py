@@ -1476,10 +1476,40 @@ def knn_graph(
     Scale (100 TB): the candidate space is per-cell, so edge
     construction costs what one IVF search over the corpus costs; the
     output is at most ``k·n`` edges — linear in the corpus, never
-    quadratic.
+    quadratic.  Because corpus == queries here, the centroid GEMM
+    assignment is computed ONCE and localCheckpointed, then self-joined
+    — the generic ``_ivf_search(corpus, corpus)`` path would run the
+    identical Arrow crossing twice, once per join side (the same
+    re-derivation class as the r7 embed-IVF and r8 WARC fixes; at real
+    scale: land the assignment to parquet, self-join from there).
     """
-    pairs = topk_cosine_ivf(
-        corpus, corpus, id_col, vec_col, n_centroids, k, round_digits
+    cents = seed_centroids(corpus, id_col, vec_col, n_centroids)
+    assign = assign_to_centroids(
+        corpus, cents, id_col, vec_col, round_digits
+    ).localCheckpoint(eager=False)
+    q = assign.select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("_qv"), "centroid_id"
+    )
+    c = assign.select(
+        F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_cv"), "centroid_id"
+    )
+    scored = (
+        q.join(c, "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), round_digits).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    pairs = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
     )
     if sim_threshold is not None:
         pairs = pairs.where(F.col("cos_sim") >= sim_threshold)
