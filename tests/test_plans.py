@@ -116,3 +116,16 @@ def test_no_corpus_query_regresses_to_pathological_plans(spark, queries):
         if bad:
             offenders[name] = bad
     assert not offenders, f"pathological plans: {offenders}"
+
+
+def test_warc_clean_faces_collapse_ingest_into_one_checkpoint(spark, queries):
+    """The r8 fix (and its r9 robots-composed sibling): strip_boilerplate
+    scans its input twice, and WITHOUT the localCheckpoint each branch
+    re-ran the whole WARC+HTML ingest (x8 MapInPandas in the r7 plan
+    audit).  With the checkpoint the cleaned plan contains ZERO Python
+    crossings — both branches scan the pinned extraction."""
+    for name in ("pipe_ingest_warc_clean", "pipe_warc_robots_clean"):
+        plan = formatted_plan(queries[name](spark, SF_DIR))
+        assert python_eval_nodes(plan) == [], (
+            f"{name}: ingest re-derivation crept back into the cleaned plan"
+        )
