@@ -3417,8 +3417,11 @@ def pipe_source_overlap(spark, sf_dir):
     "codepoint-class regexp replay it, and the md5 over the normalized "
     "UTF-8 pins every byte.  Byte lengths (octet_length/strlen) on "
     "purpose: Spark length() counts UTF-16 units, DuckDB counts "
-    "graphemes — the one cross-engine trap in this face.  Previously "
-    "pytest-only",
+    "graphemes — one of two cross-engine traps in this face; the other "
+    "is NUL: DuckDB nfc_normalize truncates at an embedded NUL iff "
+    "non-ASCII follows (property-found, pinned in test_property.py), "
+    "so the oracle equivalence holds on NUL-free text — which the "
+    "corpus and suffix are.  Previously pytest-only",
 )
 def pipe_normalize_unicode(spark, sf_dir):
     d = table(spark, sf_dir, "documents")

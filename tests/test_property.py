@@ -347,3 +347,83 @@ def test_round6_matches_duckdb_round(x):
 
     got = duckdb.sql(f"SELECT ROUND(CAST({x!r} AS DOUBLE), 6)").fetchone()[0]
     assert _round6(x) == got, (x, _round6(x), got)
+
+
+@given(st.text(max_size=60).filter(lambda s: "\x00" not in s))
+@settings(max_examples=150, deadline=None)
+def test_normalize_unicode_core_matches_duckdb(s):
+    """The cross-engine assumption pipe_normalize_unicode rests on:
+    stdlib unicodedata NFC + C0/C1-control translate == DuckDB
+    nfc_normalize + codepoint-class regexp_replace, for arbitrary
+    NUL-FREE text (hypothesis found the boundary: DuckDB's
+    nfc_normalize truncates at an embedded NUL iff non-ASCII content
+    follows it — utf8proc's C-string path — while Python keeps the
+    tail; pinned separately below.  The corpus and the face's suffix
+    are NUL-free, so the registered oracle sits inside the valid
+    region)."""
+    import unicodedata
+
+    import duckdb
+
+    ctrl = dict.fromkeys(
+        c
+        for c in list(range(0x00, 0x20)) + list(range(0x7F, 0xA0))
+        if c not in (0x09, 0x0A)
+    )
+    py = unicodedata.normalize("NFC", s).translate(ctrl)
+    got = duckdb.execute(
+        r"SELECT regexp_replace(nfc_normalize(?),"
+        r" '[\x00-\x08\x0B-\x1F\x7F-\x9F]', '', 'g')",
+        [s],
+    ).fetchone()[0]
+    assert py == got, (s, py, got)
+
+
+@given(
+    st.text(
+        alphabet="AB ab12.!?\"'()[] \t",
+        max_size=80,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_sentence_boundary_emulation_matches_lookaround_split(s):
+    """pipe_sentence_chunks' oracle emulates the Java lookbehind/
+    lookahead boundary split in RE2 (no lookarounds) by rewriting each
+    boundary's whitespace to a chr(1) sentinel.  Property-pin the
+    equivalence on arbitrary text over the full punctuation alphabet
+    (the `regex` module supports the variable-length lookbehind Java
+    does; stdlib `re` does not)."""
+    import duckdb
+    import regex
+
+    java_like = regex.split(
+        r"""(?<=[.!?][\)\]"']?)\s+(?=["'\(\[]?[A-Z0-9])""", s
+    )
+    duck = duckdb.execute(
+        r"""SELECT string_split(
+              regexp_replace(?,
+                '([.!?][\)\]"'']?)\s+(["''\(\[]?[A-Z0-9])',
+                '\1' || chr(1) || '\2', 'g'),
+              chr(1))""",
+        [s],
+    ).fetchone()[0]
+    assert java_like == duck, (s, java_like, duck)
+
+
+def test_duckdb_nfc_normalize_truncates_at_nul_before_non_ascii():
+    """Pin the engine-difference the property test above excludes, so a
+    future DuckDB that fixes it flips THIS test instead of silently
+    widening the oracle's valid region: nfc_normalize('\x00' + non-ASCII)
+    returns '' (truncation at the NUL), while pure-ASCII tails survive
+    and Python's unicodedata keeps everything."""
+    import unicodedata
+
+    import duckdb
+
+    assert duckdb.execute(
+        "SELECT nfc_normalize(?)", ["\x00\xa0"]
+    ).fetchone()[0] == ""
+    assert duckdb.execute(
+        "SELECT nfc_normalize(?)", ["\x00abc"]
+    ).fetchone()[0] == "\x00abc"
+    assert unicodedata.normalize("NFC", "\x00\xa0") == "\x00\xa0"
