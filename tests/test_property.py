@@ -10,6 +10,7 @@ included by construction).
 import math
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -394,7 +395,10 @@ def test_sentence_boundary_emulation_matches_lookaround_split(s):
     (the `regex` module supports the variable-length lookbehind Java
     does; stdlib `re` does not)."""
     import duckdb
-    import regex
+
+    regex = pytest.importorskip(
+        "regex"
+    )  # stdlib re lacks variable-length lookbehind; not a baked-in dep
 
     java_like = regex.split(
         r"""(?<=[.!?][\)\]"']?)\s+(?=["'\(\[]?[A-Z0-9])""", s
