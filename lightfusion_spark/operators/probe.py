@@ -105,7 +105,25 @@ def train_linear_probe(
         aggs.append(
             F.sum(F.floor((p - y) * (p - y) * _S + F.lit(0.5))).alias("sl")
         )
+        # NULL geometry guard in the SAME aggregation (no extra pass) —
+        # a NULL feature or label would silently drop its row from the
+        # affected sums only, skewing the gradient (the pca ADVICE-r8
+        # failure class); count and refuse instead.
+        anynull = reduce(
+            lambda a, b: a | b,
+            [F.col(c).isNull() for c in [*feature_cols, label_col]],
+        )
+        aggs.append(
+            F.sum(F.when(anynull, 1).otherwise(0)).alias("n_bad")
+        )
         row = df.agg(*aggs).collect()[0]
+        if row["n_bad"]:
+            raise ValueError(
+                f"train_linear_probe: {row['n_bad']} rows carry NULL in "
+                f"{[*feature_cols, label_col]} — a NULL would silently drop "
+                "its row from the affected gradient sums only. Filter or "
+                "impute upstream."
+            )
         loss = _round6((row["sl"] / _S) / n)
         w = [
             _round6(w[j] - lr * ((row[f"s{j}"] / _S) / n)) for j in range(k)

@@ -88,3 +88,15 @@ def test_probe_input_guards(spark):
     df = spark.createDataFrame([(1.0, 0.0)], "x0 double, y double")
     with pytest.raises(ValueError, match="at least one feature"):
         probe.train_linear_probe(df, [], "y")
+
+
+def test_probe_rejects_null_features_and_labels(spark):
+    """Same failure class as the pca ADVICE-r8 guard: a NULL feature or
+    label silently drops its row from the affected gradient sums ONLY,
+    skewing the fit — refuse loudly instead."""
+    df = spark.createDataFrame(
+        [(1.0, 0.5, 1.0), (1.0, None, 0.0), (1.0, 0.2, None)],
+        "x0 double, x1 double, y double",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        probe.train_linear_probe(df, ["x0", "x1"], "y", epochs=1)
