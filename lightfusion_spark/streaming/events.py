@@ -456,3 +456,99 @@ def transition_counts_batch(events: DataFrame) -> DataFrame:
         .where(F.col("prev_type").isNotNull())
         .select("user_id", "prev_type", F.col("event_type").alias("next_type"), "ts_us")
     )
+
+
+def heavy_hitters_batch(
+    events: DataFrame, group_col: str = "event_type", key_col: str = "user_id"
+) -> DataFrame:
+    """Exact per-group key frequencies — the batch oracle for
+    :func:`heavy_hitters_stream` (and the thing you CANNOT afford on an
+    unbounded stream, which is why the sketch exists)."""
+    return events.groupBy(group_col, key_col).agg(
+        F.count(F.lit(1)).alias("est_count")
+    )
+
+
+def heavy_hitters_stream(
+    events: DataFrame,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    capacity: int = 8,
+) -> DataFrame:
+    """Streaming heavy hitters per group via the Misra–Gries summary
+    (Misra & Gries 1982, "Finding repeated elements"): keyed state holds
+    AT MOST ``capacity`` (key, counter) pairs per group, whatever the
+    stream length — the hot-key/skew monitor a training-data ingest
+    pipeline runs next to its joins.
+
+    Guarantees (the classic MG bounds, property-tested):
+
+    * every key with true count > n/(capacity+1) is IN the summary;
+    * for any tracked key, ``true − est ≤ n/(capacity+1)`` (estimates
+      never exceed the truth).
+
+    Per micro-batch the processor folds the batch's rows (ordered by
+    ``(ts_us, event_id)`` for deterministic replay) into the state and
+    emits the CURRENT summary — ``(group, key, est_count,
+    n_processed)`` in update mode; consumers take each group's rows at
+    max ``n_processed``.  With ``capacity`` ≥ the group's distinct-key
+    count the summary is exact and equals :func:`heavy_hitters_batch`
+    — the parity tests pin exactly that, plus the error bound under a
+    too-small capacity, plus cross-batch statefulness over a time-split
+    two-file source.
+
+    Implemented on ``applyInPandasWithState`` (the container lacks
+    google.protobuf for the transformWithStateInPandas port — same
+    documented seam as transition extraction).  State per group is two
+    parallel arrays + a count: O(capacity), never O(distinct keys) —
+    that is the whole point at 100 TB-rate streams.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            keys, counts, n_seen = state.get
+            counters = dict(zip(keys, counts))
+        else:
+            counters, n_seen = {}, 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"], kind="mergesort")
+        for k in batch["key"]:
+            k = int(k)
+            n_seen += 1
+            if k in counters:
+                counters[k] += 1
+            elif len(counters) < capacity:
+                counters[k] = 1
+            else:
+                for kk in list(counters):
+                    counters[kk] -= 1
+                    if counters[kk] == 0:
+                        del counters[kk]
+        state.update((list(counters), [counters[k] for k in counters], n_seen))
+        if counters:
+            items = sorted(counters.items())
+            yield pd.DataFrame(
+                {
+                    "group": key[0],
+                    "key": [k for k, _ in items],
+                    "est_count": [c for _, c in items],
+                    "n_processed": n_seen,
+                }
+            )
+
+    ev = with_event_time(events).select(
+        F.col(group_col).alias("group"),
+        F.col(key_col).alias("key"),
+        F.unix_micros(F.col("event_time")).alias("ts_us"),
+        "event_id",
+    )
+    return ev.groupBy("group").applyInPandasWithState(
+        update,
+        outputStructType="group string, key long, est_count long, n_processed long",
+        stateStructType="keys array<long>, counts array<long>, n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -469,3 +469,132 @@ def test_stateful_transitions_span_batch_boundaries(spark, batch_events, tmp_pat
     n_early = ev.transition_counts_batch(early).count()
     n_late = ev.transition_counts_batch(late).count()
     assert got.count() > n_early + n_late
+
+
+def _final_summary(spark, view):
+    """Each group's rows at its max n_processed — the last emission."""
+    return spark.sql(f"""
+        SELECT group, key, est_count FROM {view} t
+        WHERE n_processed = (SELECT MAX(n_processed) FROM {view} u
+                             WHERE u.group = t.group)
+    """)
+
+
+def test_heavy_hitters_stream_exact_when_capacity_suffices(
+    spark, batch_events, tmp_path
+):
+    """Misra-Gries streaming heavy hitters drained over a time-split
+    two-file source: with capacity >= the per-group distinct-key count
+    the summary is EXACT and equals the batch groupBy count — and
+    n_processed proves the state accumulated across both files."""
+    from pyspark.sql import functions as F
+
+    src_dir = tmp_path / "hh_src"
+    med_ts = batch_events.select(
+        F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)")
+    ).first()[0]
+    early = batch_events.where(
+        F.unix_micros(F.col("ts").cast("timestamp")) <= med_ts
+    )
+    late = batch_events.where(
+        F.unix_micros(F.col("ts").cast("timestamp")) > med_ts
+    )
+    early.coalesce(1).write.parquet(str(src_dir / "f1"))
+    import time
+
+    time.sleep(1.1)
+    late.coalesce(1).write.parquet(str(src_dir / "f2"))
+
+    n_distinct = (
+        batch_events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .agg(F.max("d"))
+        .first()[0]
+    )
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*/"))
+    )
+    q = (
+        ev.heavy_hitters_stream(stream, capacity=n_distinct)
+        .writeStream.format("memory")
+        .queryName("hh_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = _final_summary(spark, "hh_stream")
+    expected = ev.heavy_hitters_batch(batch_events).select(
+        F.col("event_type").alias("group"),
+        F.col("user_id").alias("key"),
+        "est_count",
+    )
+    # exact parity at sufficient capacity
+    assert _sorted_rows(got) == _sorted_rows(expected)
+    # state really crossed the file boundary
+    per_group_n = spark.sql(
+        "SELECT group, MAX(n_processed) AS n FROM hh_stream GROUP BY group"
+    ).collect()
+    totals = {
+        r["event_type"]: r["n"]
+        for r in batch_events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r["group"]: r["n"] for r in per_group_n} == totals
+
+
+def test_heavy_hitters_stream_bounds_under_small_capacity(
+    spark, batch_events, tmp_path
+):
+    """The MG guarantees under a deliberately too-small capacity: every
+    tracked key's estimate undercounts by at most n/(capacity+1), and
+    every TRUE heavy hitter (count > n/(capacity+1)) is in the summary."""
+    from pyspark.sql import functions as F
+
+    capacity = 4
+    src_dir = tmp_path / "hh_small_src"
+    batch_events.coalesce(1).write.parquet(str(src_dir / "f1"))
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*/"))
+    )
+    q = (
+        ev.heavy_hitters_stream(stream, capacity=capacity)
+        .writeStream.format("memory")
+        .queryName("hh_small_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hh_small"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["group"], r["key"]): r["est_count"]
+        for r in _final_summary(spark, "hh_small_stream").collect()
+    }
+    exact = {
+        (r["event_type"], r["user_id"]): r["est_count"]
+        for r in ev.heavy_hitters_batch(batch_events).collect()
+    }
+    totals = {}
+    for (g, _k), c in exact.items():
+        totals[g] = totals.get(g, 0) + c
+    assert got, "sketch emitted nothing"
+    for (g, k), est in got.items():
+        true = exact[(g, k)]
+        assert est <= true
+        assert true - est <= totals[g] / (capacity + 1), (g, k, est, true)
+    # every true heavy hitter survives
+    for (g, k), true in exact.items():
+        if true > totals[g] / (capacity + 1):
+            assert (g, k) in got, (g, k, true)
+    # and the state is genuinely bounded
+    per_group = {}
+    for g, _k in got:
+        per_group[g] = per_group.get(g, 0) + 1
+    assert all(v <= capacity for v in per_group.values())
