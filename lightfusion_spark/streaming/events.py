@@ -552,3 +552,106 @@ def heavy_hitters_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def reservoir_sample_batch(
+    events: DataFrame,
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    k: int = 5,
+    seed: int = 13,
+) -> DataFrame:
+    """Deterministic uniform k-per-group sample as a batch window: rank
+    by the 56-bit md5 priority ``h(seed:id)`` descending (id ascending
+    on ties), keep the top k — the batch twin / oracle of
+    :func:`reservoir_sample_stream`, and the uniform sibling of
+    ``curation.weighted_reservoir_sample`` (same hash-priority recipe,
+    weight ≡ 1)."""
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import _md5_long
+
+    h = _md5_long(F.col(id_col).cast("string"), seed=seed)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_h").desc(), F.col(id_col)
+    )
+    return (
+        events.withColumn("_h", h)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col(group_col).alias("group"),
+            F.col(id_col).alias("key"),
+            "rank",
+        )
+    )
+
+
+def reservoir_sample_stream(
+    events: DataFrame,
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    k: int = 5,
+    seed: int = 13,
+) -> DataFrame:
+    """Streaming uniform reservoir, k per group, EXACTLY replayable:
+    each row's priority is the deterministic 56-bit md5 ``h(seed:id)``
+    and the keyed state holds the running top-k by (priority desc, id
+    asc) — so the reservoir after ANY prefix equals the batch window
+    over that prefix bit-for-bit (top-k by a fixed priority is
+    associative: top-k(A ∪ B) = top-k(top-k(A) ∪ B)), unlike the
+    classic randomized Algorithm R whose sample depends on arrival
+    order.  The sampling-without-replacement guarantee is the same
+    hash-uniformity argument as ``curation.weighted_reservoir_sample``
+    with weight ≡ 1.
+
+    State per group is O(k); emission is the current reservoir per
+    micro-batch in update mode — ``(group, key, rank, n_seen)``;
+    consumers take each group's rows at max ``n_seen``.  Same
+    applyInPandasWithState seam note as the other stateful operators.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def prio(i: int) -> int:
+        return int(
+            hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:14], 16
+        )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ids, hs, n_seen = state.get
+            pool = list(zip(list(hs), list(ids)))
+        else:
+            pool, n_seen = [], 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        for i in batch["key"]:
+            i = int(i)
+            n_seen += 1
+            pool.append((prio(i), i))
+        # top-k by (priority desc, id asc)
+        pool.sort(key=lambda t: (-t[0], t[1]))
+        pool = pool[:k]
+        state.update(([i for _, i in pool], [h for h, _ in pool], n_seen))
+        yield pd.DataFrame(
+            {
+                "group": key[0],
+                "key": [i for _, i in pool],
+                "rank": range(1, len(pool) + 1),
+                "n_seen": n_seen,
+            }
+        )
+
+    ev = events.select(
+        F.col(group_col).alias("group"), F.col(id_col).alias("key")
+    )
+    return ev.groupBy("group").applyInPandasWithState(
+        update,
+        outputStructType="group string, key long, rank long, n_seen long",
+        stateStructType="ids array<long>, hashes array<long>, n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

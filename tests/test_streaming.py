@@ -598,3 +598,70 @@ def test_heavy_hitters_stream_bounds_under_small_capacity(
     for g, _k in got:
         per_group[g] = per_group.get(g, 0) + 1
     assert all(v <= capacity for v in per_group.values())
+
+
+def test_reservoir_sample_stream_matches_batch_exactly(
+    spark, batch_events, tmp_path
+):
+    """Deterministic streaming reservoir over a time-split two-file
+    source: the final per-group reservoir must equal the batch
+    hash-priority window BIT-FOR-BIT (top-k by a fixed priority is
+    associative, so arrival order and batch boundaries cannot matter —
+    unlike classic Algorithm R)."""
+    from pyspark.sql import functions as F
+
+    src_dir = tmp_path / "rs_src"
+    med_ts = batch_events.select(
+        F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)")
+    ).first()[0]
+    early = batch_events.where(
+        F.unix_micros(F.col("ts").cast("timestamp")) <= med_ts
+    )
+    late = batch_events.where(
+        F.unix_micros(F.col("ts").cast("timestamp")) > med_ts
+    )
+    early.coalesce(1).write.parquet(str(src_dir / "f1"))
+    import time
+
+    time.sleep(1.1)
+    late.coalesce(1).write.parquet(str(src_dir / "f2"))
+
+    k = 5
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*/"))
+    )
+    q = (
+        ev.reservoir_sample_stream(stream, k=k)
+        .writeStream.format("memory")
+        .queryName("rs_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("""
+        SELECT group, key, rank FROM rs_stream t
+        WHERE n_seen = (SELECT MAX(n_seen) FROM rs_stream u
+                        WHERE u.group = t.group)
+    """)
+    expected = ev.reservoir_sample_batch(batch_events, k=k)
+    assert _sorted_rows(got) == _sorted_rows(expected)
+    assert got.count() > 0
+    # the sample is a strict subset per group (reservoir really capped)
+    per_group = {
+        r["group"]: r["n"]
+        for r in got.groupBy("group").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(v <= k for v in per_group.values())
+    # a MID-STREAM reservoir equals the batch window over that prefix:
+    # the first emission per group (after file 1) vs batch over `early`
+    first = spark.sql("""
+        SELECT group, key, rank FROM rs_stream t
+        WHERE n_seen = (SELECT MIN(n_seen) FROM rs_stream u
+                        WHERE u.group = t.group)
+    """)
+    prefix_expected = ev.reservoir_sample_batch(early, k=k)
+    assert _sorted_rows(first) == _sorted_rows(prefix_expected)
