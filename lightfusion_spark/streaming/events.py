@@ -507,6 +507,11 @@ def heavy_hitters_stream(
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    if capacity < 1:
+        raise ValueError(
+            f"heavy_hitters_stream: capacity must be >= 1, got {capacity}"
+        )
+
     def update(key, pdfs, state: GroupState):
         if state.exists:
             keys, counts, n_seen = state.get
@@ -615,6 +620,9 @@ def reservoir_sample_stream(
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if k < 1:
+        raise ValueError(f"reservoir_sample_stream: k must be >= 1, got {k}")
 
     def prio(i: int) -> int:
         return int(

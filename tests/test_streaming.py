@@ -665,3 +665,12 @@ def test_reservoir_sample_stream_matches_batch_exactly(
     """)
     prefix_expected = ev.reservoir_sample_batch(early, k=k)
     assert _sorted_rows(first) == _sorted_rows(prefix_expected)
+
+
+def test_stateful_samplers_reject_nonpositive_sizes(spark, batch_events):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="capacity"):
+        ev.heavy_hitters_stream(batch_events, capacity=0)
+    with _pytest.raises(ValueError, match="k must be"):
+        ev.reservoir_sample_stream(batch_events, k=0)
