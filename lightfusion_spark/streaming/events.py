@@ -663,3 +663,142 @@ def reservoir_sample_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _ewma_fold(values, mean, var, n, alpha, z_threshold, warmup):
+    """The shared sequential fold of the EWMA anomaly detector — ONE
+    implementation used by both the streaming state processor and the
+    batch twin, so stream-vs-batch parity tests the STATE PLUMBING, not
+    two transcriptions of the same arithmetic.  Returns (flags, zs,
+    mean, var, n); ``z`` is the deviation in pre-update sigmas (0.0
+    while variance is still 0).
+
+    EWMA mean + exponential variance are the RFC 6298 SRTT/RTTVAR
+    shape: ``mean += α·dev``, ``var = (1-α)·(var + α·dev²)`` — each
+    row is judged against the statistics BEFORE it updates them, so a
+    spike cannot mask itself.  Rows seen while ``n < warmup`` never
+    FLAG (their ``z`` is still reported): with two or three samples the
+    variance estimate is so tight that ordinary values z-score above
+    any threshold — the cold-start false-positive every production
+    detector suppresses with a warm-up count."""
+    flags, zs = [], []
+    for v in values:
+        v = float(v)
+        if n == 0:
+            flags.append(False)
+            zs.append(0.0)
+            mean, var = v, 0.0
+        else:
+            dev = v - mean
+            sd = var**0.5
+            z = abs(dev) / sd if sd > 0.0 else 0.0
+            zs.append(z)
+            flags.append(n >= warmup and z > z_threshold)
+            mean = mean + alpha * dev
+            var = (1.0 - alpha) * (var + alpha * dev * dev)
+        n += 1
+    return flags, zs, mean, var, n
+
+
+def ewma_anomalies_stream(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    alpha: float = 0.125,
+    z_threshold: float = 3.0,
+    warmup: int = 8,
+) -> DataFrame:
+    """Streaming per-group drift/anomaly detection: EWMA mean +
+    exponential variance in keyed state (three numbers per group,
+    FOREVER — the O(1)-state monitor an ingest pipeline runs beside its
+    quality gates), each arriving value scored in pre-update sigmas and
+    flagged above ``z_threshold``.
+
+    Rows are folded in ``(ts_us, event_id)`` order per batch for
+    deterministic replay; output is append-mode
+    ``(group, event_id, ts_us, value, z, is_anomaly)`` — one row per
+    input row, so downstream alerting/retention logic composes
+    directly.  The batch twin :func:`ewma_anomalies_batch` runs the
+    IDENTICAL fold (shared helper) over sorted groups; the parity test
+    splits the stream mid-series and the state must carry mean/var
+    across the boundary bit-for-bit.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"ewma_anomalies: alpha must be in (0, 1], got {alpha}")
+    if z_threshold <= 0.0:
+        raise ValueError(
+            f"ewma_anomalies: z_threshold must be > 0, got {z_threshold}"
+        )
+
+    def update(key, pdfs, state: GroupState):
+        mean, var, n = state.get if state.exists else (0.0, 0.0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"], kind="mergesort")
+        flags, zs, mean, var, n = _ewma_fold(
+            batch["value"], mean, var, n, alpha, z_threshold, warmup
+        )
+        state.update((float(mean), float(var), int(n)))
+        out = batch[["event_id", "ts_us", "value"]].copy()
+        out.insert(0, "group", key[0])
+        out["z"] = zs
+        out["is_anomaly"] = flags
+        yield out
+
+    ev = with_event_time(events).select(
+        F.col(group_col).alias("group"),
+        "event_id",
+        F.unix_micros(F.col("event_time")).alias("ts_us"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return ev.groupBy("group").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "group string, event_id long, ts_us long, value double, "
+            "z double, is_anomaly boolean"
+        ),
+        stateStructType="mean double, var double, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def ewma_anomalies_batch(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    alpha: float = 0.125,
+    z_threshold: float = 3.0,
+    warmup: int = 8,
+) -> DataFrame:
+    """Batch twin of :func:`ewma_anomalies_stream`: the same shared
+    fold over each group sorted by (ts_us, event_id), via grouped
+    ``applyInPandas`` (a recursive EWMA is inherently sequential per
+    group — there is no window-function form; the group is the
+    parallelism unit, as in every per-entity scan)."""
+    import pandas as pd
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+        flags, zs, _m, _v, _n = _ewma_fold(
+            pdf["value"], 0.0, 0.0, 0, alpha, z_threshold, warmup
+        )
+        out = pdf[["group", "event_id", "ts_us", "value"]].copy()
+        out["z"] = zs
+        out["is_anomaly"] = flags
+        return out
+
+    ev = with_event_time(events).select(
+        F.col(group_col).alias("group"),
+        "event_id",
+        F.unix_micros(F.col("event_time")).alias("ts_us"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return ev.groupBy("group").applyInPandas(
+        run,
+        "group string, event_id long, ts_us long, value double, "
+        "z double, is_anomaly boolean",
+    )

@@ -674,3 +674,92 @@ def test_stateful_samplers_reject_nonpositive_sizes(spark, batch_events):
         ev.heavy_hitters_stream(batch_events, capacity=0)
     with _pytest.raises(ValueError, match="k must be"):
         ev.reservoir_sample_stream(batch_events, k=0)
+
+
+def test_ewma_anomalies_stream_matches_batch(spark, batch_events, tmp_path):
+    """EWMA drift detector over a time-split two-file source: per-row
+    flags and z-scores must equal the batch twin BIT-FOR-BIT (shared
+    fold; only the state plumbing differs) — in particular for rows
+    just after the split, whose mean/var carried across the boundary."""
+    from pyspark.sql import functions as F
+
+    src_dir = tmp_path / "ew_src"
+    med_ts = batch_events.select(
+        F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)")
+    ).first()[0]
+    early = batch_events.where(
+        F.unix_micros(F.col("ts").cast("timestamp")) <= med_ts
+    )
+    late = batch_events.where(
+        F.unix_micros(F.col("ts").cast("timestamp")) > med_ts
+    )
+    early.coalesce(1).write.parquet(str(src_dir / "f1"))
+    import time
+
+    time.sleep(1.1)
+    late.coalesce(1).write.parquet(str(src_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*/"))
+    )
+    q = (
+        ev.ewma_anomalies_stream(stream, z_threshold=2.5)
+        .writeStream.format("memory")
+        .queryName("ew_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ew"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM ew_stream")
+    expected = ev.ewma_anomalies_batch(batch_events, z_threshold=2.5)
+    assert _sorted_rows(got) == _sorted_rows(expected)
+    # the detector actually fires somewhere AND not everywhere
+    n_flag = expected.where(F.col("is_anomaly")).count()
+    assert 0 < n_flag < expected.count()
+    # and some post-boundary row depends on pre-boundary state: the
+    # FIRST late row per group must NOT be scored as a cold start (z=0)
+    first_late = (
+        ev.ewma_anomalies_batch(batch_events, z_threshold=2.5)
+        .where(F.col("ts_us") > med_ts)
+        .groupBy("group")
+        .agg(F.min_by("z", F.struct("ts_us", "event_id")).alias("z0"))
+    )
+    assert any(r["z0"] != 0.0 for r in first_late.collect())
+
+
+def test_ewma_detects_constructed_spike(spark):
+    """A flat series with one spike: exactly the spike flags; the z of
+    the spike is enormous; the flat rows never flag."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    vals = [10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 10.1, 9.9, 500.0, 10.0]
+    for i, v in enumerate(vals):
+        rows.append((i, base + dt.timedelta(minutes=i), 1, "m", v, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = ev.ewma_anomalies_batch(df, z_threshold=3.0).collect()
+    flagged = {r["event_id"] for r in out if r["is_anomaly"]}
+    assert flagged == {8}
+    z_spike = next(r["z"] for r in out if r["event_id"] == 8)
+    assert z_spike > 100
+    # the row AFTER the spike is judged against spike-inflated variance,
+    # so it must not flag either
+    assert not next(r["is_anomaly"] for r in out if r["event_id"] == 9)
+
+
+def test_ewma_rejects_bad_knobs(spark, batch_events):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        ev.ewma_anomalies_stream(batch_events, alpha=0.0)
+    with _pytest.raises(ValueError, match="z_threshold"):
+        ev.ewma_anomalies_stream(batch_events, z_threshold=-1.0)
