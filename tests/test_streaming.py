@@ -763,3 +763,25 @@ def test_ewma_rejects_bad_knobs(spark, batch_events):
         ev.ewma_anomalies_stream(batch_events, alpha=0.0)
     with _pytest.raises(ValueError, match="z_threshold"):
         ev.ewma_anomalies_stream(batch_events, z_threshold=-1.0)
+
+
+def test_interval_join_right_outer_batch_semantics(spark, batch_events):
+    """right_outer is the mirror of the tested left_outer: inner pairs
+    plus every unmatched RIGHT row null-extended on the left, with the
+    coalesced key surviving on right-only rows."""
+    from pyspark.sql import functions as F
+
+    p = batch_events.where(F.col("event_type") == "purchase")
+    c = batch_events.where(F.col("event_type") == "click")
+    inner = ev.interval_join(p, c, how="inner", upper="30 minutes")
+    right = ev.interval_join(p, c, how="right_outer", upper="30 minutes")
+    n_inner = inner.count()
+    n_clicks = c.count()
+    n_matched_clicks = inner.select("right_id").distinct().count()
+    assert (
+        right.count() == n_inner + (n_clicks - n_matched_clicks)
+    )
+    orphans = right.where(F.col("left_id").isNull())
+    assert orphans.count() == n_clicks - n_matched_clicks > 0
+    # the coalesced key is never NULL, even on right-only rows
+    assert right.where(F.col("user_id").isNull()).count() == 0
