@@ -501,6 +501,43 @@ def main() -> None:
             ).count(),
         )
 
+    # round-9: the O(1)-state streaming monitors, drained end-to-end with
+    # availableNow over the REAL sf events parquet (read-only source;
+    # checkpoints in a temp dir) — measures the full stateful-streaming
+    # path, not just the fold.
+    import tempfile
+
+    def _drain(make_query, mode):
+        with tempfile.TemporaryDirectory() as ck:
+            stream = ev_mod.read_events_stream(spark, args.sf)
+            q = (
+                make_query(stream)
+                .writeStream.format("noop")
+                .outputMode(mode)  # must match the op's own output mode
+                .option("checkpointLocation", f"{ck}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return 1
+
+    timed(
+        "stream_drain_ewma_anomalies_100k_events",
+        lambda: _drain(lambda s: ev_mod.ewma_anomalies_stream(s), "append"),
+    )
+    timed(
+        "stream_drain_heavy_hitters_cap8_100k_events",
+        lambda: _drain(
+            lambda s: ev_mod.heavy_hitters_stream(s, capacity=8), "update"
+        ),
+    )
+    timed(
+        "stream_drain_reservoir_k5_100k_events",
+        lambda: _drain(
+            lambda s: ev_mod.reservoir_sample_stream(s, k=5), "update"
+        ),
+    )
+
 
 if __name__ == "__main__":
     main()
