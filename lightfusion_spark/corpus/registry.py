@@ -155,6 +155,13 @@ PRIORITY: list[str] = [
 #: (those 46 rows are the freshest in the registry) so the r02-r04 long
 #: tail gets official re-verification; the 10 remaining r05 rows are the
 #: round-10 backlog (listed in the PRIORITY header note).
+#: Output-neutral round-9 library changes under exempt faces (the r8
+#: slot-freeing rule: provably unchanged output keeps the old green
+#: row): pipe_pca_top / pipe_embed_detop — pca.column_means gained the
+#: ragged/NULL geometry GUARD (raises on bad input, arithmetic
+#: untouched; the fixture vectors are healthy, and all three round-9
+#: FULL sweeps — sf0.01, hostile, sf0.1 — re-verified both faces
+#: hash-exact after the change).
 WINDOW_EXEMPT: frozenset[str] = frozenset(
     {
         "events_asof_bucketed",
