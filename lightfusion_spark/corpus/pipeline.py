@@ -3903,3 +3903,109 @@ def pipe_cluster_embeddings(spark, sf_dir):
     return similarity.cluster_embeddings_knn(
         e, "vec_id", "embedding", k=3, n_centroids=16
     )
+
+
+@register(
+    "pipe_hybrid_rrf",
+    oracle=r"""
+    WITH qt(query_id, tok) AS (
+      VALUES (0, 'spark'), (0, 'join'), (1, 'vector'), (1, 'data'),
+             (2, 'table'), (2, 'query'), (3, 'row'), (3, 'hash')
+    ),
+    d AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks,
+             LEN(string_split_regex(lower(text), '\s+')) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM d
+    ),
+    m AS (
+      SELECT doc_id, dl, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, dl, UNNEST(toks) AS tok FROM d)
+      WHERE tok IN (SELECT tok FROM qt)
+      GROUP BY doc_id, dl, tok
+    ),
+    freq AS (SELECT tok, COUNT(*) AS dfreq FROM m GROUP BY tok),
+    sc AS (
+      SELECT m.doc_id, m.tok,
+             CAST(FLOOR(
+               LN((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               * 1000000.0 + 0.5
+             ) AS BIGINT) AS s_micro
+      FROM m JOIN freq USING (tok), stats
+    ),
+    lex AS (
+      SELECT qt.query_id, sc.doc_id, SUM(s_micro) AS b_micro
+      FROM sc JOIN qt ON sc.tok = qt.tok
+      GROUP BY qt.query_id, sc.doc_id
+    ),
+    lexd AS (
+      SELECT query_id, doc_id, r FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY b_micro DESC, doc_id) AS r
+        FROM lex WHERE doc_id <> query_id) t
+      WHERE r <= 10
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 4),
+    scoredv AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+             ROUND(list_inner_product(q.v, c.v)
+                   / (sqrt(list_inner_product(q.v, q.v))
+                      * sqrt(list_inner_product(c.v, c.v))), 6) AS cos_sim
+      FROM q JOIN e c ON q.vec_id <> c.vec_id
+    ),
+    vecd AS (
+      SELECT query_id, doc_id, r FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, doc_id) AS r
+        FROM scoredv) t
+      WHERE r <= 10
+    ),
+    f AS (
+      SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+             COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / (60 + l.r), 0.0)
+                   + COALESCE(1.0 / (60 + v.r), 0.0), 6) AS rrf_score
+      FROM lexd l FULL JOIN vecd v
+        ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id) AS rn
+      FROM f) t
+    WHERE rn <= 5
+    """,
+    doc="hybrid retrieval: per-query BM25 (multi-query surface, "
+    "operators/text.py:bm25_scores_multi — per-(doc,term) scores "
+    "computed ONCE over the union of query terms, fanned out by a "
+    "broadcast join) + brute cosine, each depth-10, fused by "
+    "Reciprocal Rank Fusion (Cormack et al. 2009, "
+    "operators/retrieval.py): score = round(1/(60+lex_rank) + "
+    "1/(60+vec_rank), 6), missing source contributes 0, per-query "
+    "top-5.  The seed doc is excluded from its own lexical list "
+    "(more-like-this semantics; cosine already id-excludes).  The "
+    "oracle replays BOTH sources and the fusion — rank-based fusion "
+    "needs no score calibration, which is also what makes it "
+    "hash-exact.  At scale swap the vector source for any "
+    "topk_cosine_* ANN variant; the fusion is source-agnostic",
+)
+def pipe_hybrid_rrf(spark, sf_dir):
+    from ..operators import retrieval
+
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    qt = spark.createDataFrame(
+        [
+            (0, "spark"), (0, "join"), (1, "vector"), (1, "data"),
+            (2, "table"), (2, "query"), (3, "row"), (3, "hash"),
+        ],
+        "query_id long, term string",
+    )
+    qv = e.where(F.col("vec_id") < 4)
+    return retrieval.hybrid_topk_rrf(d, e, qt, qv, k=5, depth=10)

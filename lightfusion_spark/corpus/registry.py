@@ -46,24 +46,26 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: Curated export order.  The driver's correctness gate evaluates only the
 #: FIRST 50 ``queries()`` entries, so the names below are emitted first.
 #: Round-9 rotation (per the round-8 verdict, item 1): the window =
-#: 4 flagship Layer-A queries (windowed every round) + 13 NEW round-9
-#: faces (never driver-verified) + the 27 stalest official rows — the
-#: full r02 trio (3), the full r03 block (12), 9 of the 12 r04 rows
-#: (pipe_simhash_pairs, pipe_text_langid and pipe_neardup_embedding
-#: deferred to round 10 to make room for the 11th-13th new faces —
-#: pipe_file_stats, pipe_cluster_embeddings, rel_tpch_q21_shape; their
-#: families stay repped by the in-window pipe_simhash_wide, the five
-#: pipe_text_* rows, and the sim_ann_lsh/multiprobe/quantized +
-#: truncate/cluster similarity rows), and rel_salted_agg (r05,
+#: 4 flagship Layer-A queries (windowed every round) + 14 NEW round-9
+#: faces (never driver-verified) + the 26 stalest official rows — the
+#: full r02 trio (3), the full r03 block (12), 8 of the 12 r04 rows
+#: (pipe_simhash_pairs, pipe_text_langid, pipe_neardup_embedding and
+#: rel_tpch_q14_shape deferred to round 10 to make room for the
+#: 11th-14th new faces — pipe_file_stats, pipe_cluster_embeddings,
+#: rel_tpch_q21_shape, pipe_hybrid_rrf; their families stay repped by
+#: the in-window pipe_simhash_wide, the five pipe_text_* rows, the
+#: sim_ann_lsh/multiprobe/quantized + truncate/cluster similarity
+#: rows, and the SIX in-window TPC-H shapes — q10/q17/q18 plus the
+#: new q2/q20/q21), and rel_salted_agg (r05,
 #: doubling as the aggregation-family rep) —
 #: + 8 per-category §2.3 representatives, each the STALEST verified
 #: sibling of its family (r06/r07: rel_filter_project, rel_window_rank,
 #: rel_sort_limit, rel_set_union, rel_explode, rel_approx_sketch,
 #: rel_group_by_all, grouped_map_centroid), keeping the one-rep-per-
 #: category invariant tests/test_registry_window.py enforces.
-#: 4+13+3+12+9+1+8 = 50 exactly.  The round-10 re-window backlog is
-#: pipe_simhash_pairs + pipe_text_langid + pipe_neardup_embedding
-#: (r04) plus the 10 remaining
+#: 4+14+3+12+8+1+8 = 50 exactly.  The round-10 re-window backlog is
+#: pipe_simhash_pairs + pipe_text_langid + pipe_neardup_embedding +
+#: rel_tpch_q14_shape (r04) plus the 10 remaining
 #: r05 rows (events_asof_forward, events_attribution,
 #: pipe_boilerplate_lines, pipe_chunk_documents, pipe_dedup_exact,
 #: pipe_dedup_incremental, pipe_sim_ivf, pipe_split_stratified,
@@ -100,6 +102,7 @@ PRIORITY: list[str] = [
     "pipe_file_stats",
     "pipe_cluster_embeddings",
     "rel_tpch_q21_shape",
+    "pipe_hybrid_rrf",
     # The r02 trio -- the 3 stalest official rows in the registry
     # (last green round 2; judge-reconfirmed exact in the r8 J8 sweep).
     "rel_scalar_bitwise",
@@ -119,15 +122,15 @@ PRIORITY: list[str] = [
     "pipe_mixture_sample",
     "pipe_pack_sequences",
     "pipe_shard_assign",
-    # 9 of the 12 r04 rows (pipe_simhash_pairs, pipe_text_langid and
-    # pipe_neardup_embedding deferred to round 10, see header note).
+    # 8 of the 12 r04 rows (pipe_simhash_pairs, pipe_text_langid,
+    # pipe_neardup_embedding and rel_tpch_q14_shape deferred to round
+    # 10, see header note).
     "pipe_dedup_ngram",
     "pipe_lm_buckets",
     "pipe_sim_topk_quantized",
     "rel_cast_battery",
     "rel_regexp",
     "rel_tpch_q10_shape",
-    "rel_tpch_q14_shape",
     "rel_tpch_q17_shape",
     "rel_tpch_q18_shape",
     # rel_salted_agg: the stalest r05 row AND the aggregation-family rep.
@@ -292,6 +295,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "rel_skew_report",
         "rel_subquery_in_exists",
         "rel_subquery_scalar",
+        "rel_tpch_q14_shape",
         "rel_topk_group",
         "rel_tpch_q3_shape",
         "rel_tpch_q5_shape",

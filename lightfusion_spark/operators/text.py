@@ -1041,3 +1041,86 @@ def top_terms_tfidf(
         .where(F.col("rank") <= k)
         .select(F.col(id_col), "rank", "term", "score")
     )
+
+
+def bm25_scores_multi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: DataFrame,
+    query_col: str = "query_id",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 for MANY queries at once: ``query_terms`` is a
+    ``(query_col, term_col)`` relation and the output is
+    ``(query_col, id_col, bm25)`` — one score per (query, matching
+    document).  The retrieval building block :mod:`.retrieval` fuses
+    with the vector side.
+
+    Identical math to :func:`bm25_scores` per query, computed the
+    multi-query-efficient way: per-(doc, term) scores are derived ONCE
+    over the UNION of all queries' terms (idf/dfreq are corpus
+    properties, independent of which query asked), then the broadcast
+    ``query_terms`` join fans each scored term out to its querying
+    queries and the per-(query, doc) sum aggregates exact micro-int
+    longs.  Non-matching (query, doc) pairs are ABSENT (retrieval
+    semantics), unlike the every-doc-with-0.0 single-query surface.
+
+    Scale (100 TB): everything the single-query operator does once —
+    the token-stream semi-join prune, the three bounded exchanges —
+    plus one broadcast fan-out join; cost grows with |distinct terms|
+    and |matches|, not with |queries| × |corpus|.
+    """
+    tok_expr = _tokens(F.col(text_col))
+    qt = query_terms.select(
+        F.col(query_col).alias("_qid"), F.col(term_col).alias("tok")
+    ).distinct()
+    term_set = qt.select("tok").distinct()
+    base = df.select(F.col(id_col), F.col(text_col))
+    d = base.select(F.col(id_col), F.size(tok_expr).alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    matches = (
+        base.select(
+            F.col(id_col),
+            F.size(tok_expr).alias("dl"),
+            F.explode(tok_expr).alias("tok"),
+        )
+        .join(F.broadcast(term_set), "tok", "leftsemi")
+        .groupBy(id_col, "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = matches.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
+    scored = (
+        matches.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            "tok",
+            F.floor(
+                F.log(
+                    (F.col("n_docs") - F.col("dfreq") + 0.5)
+                    / (F.col("dfreq") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+                * 1e6
+                + F.lit(0.5)
+            ).alias("_s_micro"),
+        )
+    )
+    return (
+        scored.join(F.broadcast(qt), "tok")
+        .groupBy(F.col("_qid").alias(query_col), id_col)
+        .agg(
+            (F.sum("_s_micro").cast("double") / F.lit(1e6)).alias("bm25")
+        )
+    )
