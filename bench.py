@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "pipe_probe_train",
     "events_stream_join_full",
     "pipe_warc_robots_clean",
+    "pipe_hybrid_rrf",
+    "pipe_cluster_embeddings",
 ]
 
 
