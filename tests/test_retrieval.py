@@ -84,3 +84,45 @@ def test_hybrid_more_like_this_excludes_seed(spark):
         by_rank = sorted(rows, key=lambda r: r["rank"])
         scores = [r["rrf_score"] for r in by_rank]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_rrf_fuse_matches_python_reference_on_random_rankings(spark):
+    """Seeded-random many-query fusion vs an independent python
+    reference (dict-merge + sort) — one Spark job, exact equality."""
+    import random
+
+    rng = random.Random(17)
+    lex_rows, vec_rows = [], []
+    for q in range(25):
+        docs = rng.sample(range(1000), 12)
+        for r, d in enumerate(docs[:8], start=1):
+            lex_rows.append((q, d, r))
+        vdocs = rng.sample(docs, 6) + rng.sample(range(1000, 1100), 4)
+        for r, d in enumerate(vdocs, start=1):
+            vec_rows.append((q, d, r))
+    lex = _ranking(spark, lex_rows)
+    vec = _ranking(spark, vec_rows)
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["rrf_score"])
+        for r in retrieval.rrf_fuse([lex, vec], k=5).collect()
+    }
+
+    # independent reference
+    ref = {}
+    lex_idx = {(q, d): r for q, d, r in lex_rows}
+    vec_idx = {(q, d): r for q, d, r in vec_rows}
+    for q in range(25):
+        scores = {}
+        for (qq, d), r in lex_idx.items():
+            if qq == q:
+                scores[d] = scores.get(d, 0.0) + 1.0 / (60 + r)
+        for (qq, d), r in vec_idx.items():
+            if qq == q:
+                scores[d] = scores.get(d, 0.0) + 1.0 / (60 + r)
+        ranked = sorted(
+            ((round(s, 6), d) for d, s in scores.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        for i, (s, d) in enumerate(ranked, start=1):
+            ref[(q, i)] = (d, s)
+    assert got == ref
