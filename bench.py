@@ -89,6 +89,13 @@ BENCH_QUERIES = [
     "pipe_warc_robots_clean",
     "pipe_hybrid_rrf",
     "pipe_cluster_embeddings",
+    # round-10: the categorical-split scorer, the full redaction chain,
+    # and the three streaming batch twins
+    "pipe_quality_model_categorical",
+    "pipe_text_redact",
+    "events_reservoir_batch",
+    "events_heavy_hitters_batch",
+    "events_ewma_batch",
 ]
 
 

@@ -30,6 +30,7 @@ from .util import table
 EMBED_MODEL = fixture_path("models", "embed_cls.lgbm")
 MULTI_MODEL = fixture_path("models", "multiclass.lgbm")
 QUALITY_MODEL = fixture_path("models", "quality_cls.lgbm")
+QUALITY_CAT_MODEL = fixture_path("models", "quality_cat.lgbm")
 TSV_PATH = fixture_path("data", "multiclass.test")
 
 
@@ -38,7 +39,13 @@ TSV_PATH = fixture_path("data", "multiclass.test")
 # ---------------------------------------------------------------------------
 
 def _node_sql(tree, i: int, feat_ref) -> str:
-    """Nested CASE expression for the subtree rooted at internal node i."""
+    """Nested CASE expression for the subtree rooted at internal node i.
+
+    Categorical nodes (``decision_type`` bit0) compile the uint32 bitset
+    to an explicit ``IN`` list over ``TRUNC(feature)`` — the
+    ``CategoricalDecision`` membership test for non-NaN inputs (negative
+    and out-of-range values fall through to the ELSE/right branch, same
+    as the scorer; the corpus features are never NaN/NULL)."""
 
     def child_sql(c: int) -> str:
         if c < 0:  # negative child encodes leaf ~c
@@ -49,9 +56,21 @@ def _node_sql(tree, i: int, feat_ref) -> str:
         return _node_sql(tree, c, feat_ref)
 
     f = int(tree.split_feature[i])
-    thr = repr(float(tree.threshold[i]))
+    if int(tree.decision_type[i]) & 1:  # categorical split
+        cat_idx = int(tree.threshold[i])
+        start, end = tree.cat_boundaries[cat_idx], tree.cat_boundaries[cat_idx + 1]
+        cats = [
+            32 * w + b
+            for w in range(end - start)
+            for b in range(32)
+            if (int(tree.cat_threshold[start + w]) >> b) & 1
+        ]
+        in_list = ", ".join(str(c) for c in cats)
+        cond = f"CAST(TRUNC({feat_ref(f)}) AS BIGINT) IN ({in_list})"
+    else:
+        cond = f"{feat_ref(f)} <= {repr(float(tree.threshold[i]))}"
     return (
-        f"(CASE WHEN {feat_ref(f)} <= {thr} THEN {child_sql(int(tree.left_child[i]))} "
+        f"(CASE WHEN {cond} THEN {child_sql(int(tree.left_child[i]))} "
         f"ELSE {child_sql(int(tree.right_child[i]))} END)"
     )
 
@@ -170,7 +189,13 @@ def settings_introspection(spark, sf_dir):
     )
 
 
-def quality_gate_ctes(source: str, text_col: str, carry_cols: list[str]) -> str:
+def quality_gate_ctes(
+    source: str,
+    text_col: str,
+    carry_cols: list[str],
+    model_path: str | None = None,
+    extra_feature_sql: list[str] | None = None,
+) -> str:
     """Shared oracle fragment for the LightGBM quality gate: the CTE
     suffix ``fvals, scored, gated`` over ``source`` (a prior CTE whose
     rows contain ``text_col`` + ``carry_cols``).  ``gated`` emits
@@ -178,10 +203,19 @@ def quality_gate_ctes(source: str, text_col: str, carry_cols: list[str]) -> str:
     compiled to CASE trees over the ``text_stats`` feature SQL — ONE
     copy of the feature + softmax arithmetic, used by both
     ``pipe_quality_model`` and ``pipe_e2e_model_curation`` so the two
-    oracles cannot drift."""
-    model = load_model(QUALITY_MODEL)
+    oracles cannot drift.
+
+    ``model_path`` (default: the 4-feature ``quality_cls`` fixture) and
+    ``extra_feature_sql`` (SQL expressions appended as ``f4, f5, ...``,
+    mirroring ``quality_model_filter``'s ``extra_features``) let the
+    categorical-split variant reuse the same CTE suffix."""
+    model = load_model(model_path or QUALITY_MODEL)
     s0, s1 = model_class_scores_sql(model, lambda f: f"f{f}")
     carry = ", ".join(carry_cols)
+    extra = "".join(
+        f",\n             {sql} AS f{4 + i}"
+        for i, sql in enumerate(extra_feature_sql or [])
+    )
     return rf"""
     fvals AS (
       SELECT {carry},
@@ -193,7 +227,7 @@ def quality_gate_ctes(source: str, text_col: str, carry_cols: list[str]) -> str:
                / LENGTH({text_col}) AS f2,
              CAST(LEN(list_filter(toks, x ->
                list_contains(['a','and','is','of','the'], x))) AS DOUBLE)
-               / LEN(toks) AS f3
+               / LEN(toks) AS f3{extra}
       FROM (SELECT *, string_split_regex(lower({text_col}), '\s+') AS toks
             FROM {source})
     ),
@@ -230,6 +264,50 @@ def pipe_quality_model(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents")
     return quality_model_filter(spark, d, "doc_id", "text", QUALITY_MODEL)
+
+
+#: SQL for the categorical 5th feature: ``srcN`` -> N, the code the
+#: fixture model's bitsets are defined over.  Identical text in Spark
+#: SQL and DuckDB (regexp_replace + cast are common-subset).
+_SOURCE_CODE_SQL = "CAST(regexp_replace(source, '^src', '') AS DOUBLE)"
+
+
+def _quality_model_cat_oracle() -> str:
+    return rf"""
+    WITH t AS (SELECT doc_id, text, source FROM documents),
+    {quality_gate_ctes('t', 'text', ['doc_id', 'source'],
+                       model_path=QUALITY_CAT_MODEL,
+                       extra_feature_sql=[_SOURCE_CODE_SQL])}
+    SELECT doc_id, source, n_words, p_keep, p_keep >= 0.5 AS keep FROM gated
+    """
+
+
+@register(
+    "pipe_quality_model_categorical",
+    oracle=_quality_model_cat_oracle(),
+    doc="A2 categorical-split parity: the quality gate scored by a "
+    "LightGBM model whose every tree roots at a categorical split "
+    "(decision_type bit0, uint32-bitset membership over the document's "
+    "source id; one bitset spans two words) — the Booster::predict "
+    "path the reference gets from LightGBM C++ for free "
+    "(src/udf.rs:92-97) and the round-9 verdict's top capability gap. "
+    "Oracle compiles the categorical nodes to TRUNC(f) IN (...) CASE "
+    "trees; scorer semantics (NaN/negative/out-of-range -> right) are "
+    "unit-tested against a row-wise reference",
+)
+def pipe_quality_model_categorical(spark, sf_dir):
+    from ..operators.curation import quality_model_filter
+
+    d = table(spark, sf_dir, "documents")
+    return quality_model_filter(
+        spark,
+        d,
+        "doc_id",
+        "text",
+        QUALITY_CAT_MODEL,
+        passthrough_cols=["source"],
+        extra_features=[F.expr(_SOURCE_CODE_SQL)],
+    )
 
 
 @register(

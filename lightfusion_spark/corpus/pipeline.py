@@ -811,6 +811,92 @@ def pipe_text_pii(spark, sf_dir):
     return text_ops.pii_redact(_pii_enriched_df(d), "doc_id", "text2")
 
 
+def _redact_enriched_sql() -> str:
+    """Seven-class PII injection (one class per doc_id % 8 residue; the
+    eighth residue rides through untouched) so every link of the full
+    redaction chain fires on real rows."""
+    return """
+    SELECT doc_id,
+           CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN text || ' mail user' || CAST(doc_id AS VARCHAR) || '@corp.example.org now'
+             WHEN 1 THEN text || ' see https://site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/p?x=1 ok'
+             WHEN 2 THEN text || ' host 192.168.' || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) || ' up'
+             WHEN 3 THEN text || ' card 4111 1111 1111 ' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' on file'
+             WHEN 4 THEN text || ' ssn 123-45-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' here'
+             WHEN 5 THEN text || ' iban DE' || CAST(10 + doc_id % 90 AS VARCHAR) || '500105170648489890 set'
+             WHEN 6 THEN text || ' call +49151' || CAST(10000 + doc_id % 90000 AS VARCHAR) || ' now'
+             ELSE text END AS text2
+    FROM documents
+    """
+
+
+def _redact_enriched_df(d):
+    m = (F.col("doc_id") % 8).cast("int")
+    did = F.col("doc_id").cast("string")
+
+    def s(x):
+        return x.cast("string")
+
+    return d.select(
+        "doc_id",
+        F.when(m == 0, F.concat("text", F.lit(" mail user"), did, F.lit("@corp.example.org now")))
+        .when(m == 1, F.concat("text", F.lit(" see https://site"), s(F.col("doc_id") % 50), F.lit(".example.com/p?x=1 ok")))
+        .when(m == 2, F.concat("text", F.lit(" host 192.168."), s(F.col("doc_id") % 200), F.lit("."), s(F.col("doc_id") % 250), F.lit(" up")))
+        .when(m == 3, F.concat("text", F.lit(" card 4111 1111 1111 "), s(F.col("doc_id") % 9000 + 1000), F.lit(" on file")))
+        .when(m == 4, F.concat("text", F.lit(" ssn 123-45-"), s(F.col("doc_id") % 9000 + 1000), F.lit(" here")))
+        .when(m == 5, F.concat("text", F.lit(" iban DE"), s(F.col("doc_id") % 90 + 10), F.lit("500105170648489890 set")))
+        .when(m == 6, F.concat("text", F.lit(" call +49151"), s(F.col("doc_id") % 90000 + 10000), F.lit(" now")))
+        .otherwise(F.col("text"))
+        .alias("text2"),
+    )
+
+
+def redaction_oracle_sql(col: str) -> tuple[str, str, str]:
+    """DuckDB replay of ``text.redact_pii`` built FROM the operator's own
+    ``REDACTION_CHAIN`` (one source of truth, the quality_gate_ctes
+    pattern): returns (per-class count select-list, nested replace
+    expression, total-count expression)."""
+    counts = ",\n           ".join(
+        f"LEN(regexp_extract_all({col}, '{rx}')) AS n_{name}"
+        for name, rx, _ in text_ops.REDACTION_CHAIN
+    )
+    clean = col
+    for _, rx, tok in text_ops.REDACTION_CHAIN:
+        clean = f"regexp_replace({clean}, '{rx}', '{tok}', 'g')"
+    total = " + ".join(f"n_{name}" for name, _, _ in text_ops.REDACTION_CHAIN)
+    return counts, clean, total
+
+
+def _text_redact_oracle() -> str:
+    counts, clean, total = redaction_oracle_sql("text2")
+    return f"""
+    WITH t AS ({_redact_enriched_sql()}),
+    c AS (
+      SELECT doc_id,
+           {counts},
+           {clean} AS text_redacted
+      FROM t
+    )
+    SELECT *, {total} AS n_redacted FROM c
+    """
+
+
+@register(
+    "pipe_text_redact",
+    oracle=_text_redact_oracle(),
+    doc="full-chain PII redaction (round-9 verdict item 6): emails, "
+    "URLs, IPv4, card numbers, SSNs, IBANs and intl phones counted on "
+    "the original text then sequentially replaced with typed tokens in "
+    "fixed chain order (text.redact_pii / REDACTION_CHAIN — the oracle "
+    "SQL is GENERATED from the same chain, so operator and oracle "
+    "cannot drift); input deterministically enriched so every class "
+    "fires; single-pass JVM regex projection, zero shuffle",
+)
+def pipe_text_redact(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return text_ops.redact_pii(_redact_enriched_df(d), "doc_id", "text2")
+
+
 def _url_enriched_sql() -> str:
     return """
     SELECT doc_id,
@@ -1078,56 +1164,70 @@ _STRIP_CTES = f"""
     "pipe_e2e_curation",
     oracle=rf"""
     WITH {_STRIP_CTES},
+    red AS (
+      SELECT doc_id, n_lines, n_removed,
+             {redaction_oracle_sql('clean_text')[1]} AS text_redacted,
+             {' + '.join(f"LEN(regexp_extract_all(clean_text, '{rx}'))"
+                         for _n, rx, _t in text_ops.REDACTION_CHAIN)}
+               AS n_redacted
+      FROM stripped WHERE len(clean_text) > 0
+    ),
     survivors AS (
       SELECT * FROM (
-        SELECT s.*, ROW_NUMBER() OVER (PARTITION BY clean_text
+        SELECT r.*, ROW_NUMBER() OVER (PARTITION BY text_redacted
                                        ORDER BY doc_id) AS rn
-        FROM stripped s WHERE len(clean_text) > 0
+        FROM red r
       ) WHERE rn = 1
     ),
     toks AS (
-      SELECT doc_id, n_lines, n_removed,
-             string_split_regex(clean_text, '\s+') AS tk,
-             LEN(string_split_regex(clean_text, '\s+')) AS n
+      SELECT doc_id, n_lines, n_removed, n_redacted,
+             string_split_regex(text_redacted, '\s+') AS tk,
+             LEN(string_split_regex(text_redacted, '\s+')) AS n
       FROM survivors
     ),
     chunks AS (
-      SELECT doc_id, n_lines, n_removed, n,
+      SELECT doc_id, n_lines, n_removed, n_redacted, n,
              unnest(range(0, CASE WHEN n <= 16 THEN 1
                   ELSE CAST(CEIL((n - 16) / 12.0) AS BIGINT) + 1 END)) AS cid
       FROM toks
     )
-    SELECT doc_id, n_lines, n_removed,
+    SELECT doc_id, n_lines, n_removed, n_redacted,
            CAST(COUNT(*) AS INTEGER) AS n_chunks,
            CAST(SUM(LEAST(16, n - cid * 12)) AS BIGINT) AS n_chunk_tokens
-    FROM chunks GROUP BY doc_id, n_lines, n_removed
+    FROM chunks GROUP BY doc_id, n_lines, n_removed, n_redacted
     """,
     doc="END-TO-END curation composition: multi-line view -> boilerplate "
-    "strip -> drop emptied docs -> exact dedup on cleaned text "
-    "(deterministic min-id survivor) -> 16/4 token chunking -> per-doc "
-    "chunk summary.  Verifies the operators COMPOSE (the per-stage "
-    "queries verify them in isolation); every stage is the same library "
-    "call the standalone query uses",
+    "strip -> drop emptied docs -> full-chain PII redaction "
+    "(text.redact_pii, round-9 verdict item 6 — redact BEFORE dedup so "
+    "near-identical docs differing only in their PII collapse) -> exact "
+    "dedup on redacted text (deterministic min-id survivor) -> 16/4 "
+    "token chunking -> per-doc chunk summary carrying n_redacted.  "
+    "Verifies the operators COMPOSE (the per-stage queries verify them "
+    "in isolation); every stage is the same library call the standalone "
+    "query uses",
 )
 def pipe_e2e_curation(spark, sf_dir):
     d = table(spark, sf_dir, "documents").withColumn("text", F.expr(_MULTILINE_SQL))
     stripped = text_ops.strip_boilerplate(d, "doc_id", "text", min_doc_frac=0.02)
     nonempty = stripped.where(F.length("clean_text") > 0)
+    red = text_ops.redact_pii(
+        nonempty, "doc_id", "clean_text", passthrough_cols=["n_lines", "n_removed"]
+    ).select("doc_id", "n_lines", "n_removed", "n_redacted", "text_redacted")
     survivors = dedup.exact_dedup(
-        nonempty, ["clean_text"], "doc_id", hash_shuffle_key=True
+        red, ["text_redacted"], "doc_id", hash_shuffle_key=True
     )
-    # n_lines/n_removed ride the chunk rows (passthrough) so the final
-    # aggregate needs no join back to survivors — a self-join would make
-    # Catalyst execute the whole strip->dedup subtree twice.
+    # n_lines/n_removed/n_redacted ride the chunk rows (passthrough) so
+    # the final aggregate needs no join back to survivors — a self-join
+    # would make Catalyst execute the whole strip->dedup subtree twice.
     chunks = text_ops.chunk_documents(
         survivors,
         "doc_id",
-        "clean_text",
+        "text_redacted",
         chunk_tokens=16,
         overlap=4,
-        passthrough_cols=["n_lines", "n_removed"],
+        passthrough_cols=["n_lines", "n_removed", "n_redacted"],
     )
-    return chunks.groupBy("doc_id", "n_lines", "n_removed").agg(
+    return chunks.groupBy("doc_id", "n_lines", "n_removed", "n_redacted").agg(
         F.count(F.lit(1)).cast("int").alias("n_chunks"),
         F.sum("n_chunk_tokens").alias("n_chunk_tokens"),
     )

@@ -45,36 +45,34 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 #: Curated export order.  The driver's correctness gate evaluates only the
 #: FIRST 50 ``queries()`` entries, so the names below are emitted first.
-#: Round-9 rotation (per the round-8 verdict, item 1): the window =
-#: 4 flagship Layer-A queries (windowed every round) + 14 NEW round-9
-#: faces (never driver-verified) + the 26 stalest official rows — the
-#: full r02 trio (3), the full r03 block (12), 8 of the 12 r04 rows
-#: (pipe_simhash_pairs, pipe_text_langid, pipe_neardup_embedding and
-#: rel_tpch_q14_shape deferred to round 10 to make room for the
-#: 11th-14th new faces — pipe_file_stats, pipe_cluster_embeddings,
-#: rel_tpch_q21_shape, pipe_hybrid_rrf; their families stay repped by
-#: the in-window pipe_simhash_wide, the five pipe_text_* rows, the
-#: sim_ann_lsh/multiprobe/quantized + truncate/cluster similarity
-#: rows, and the SIX in-window TPC-H shapes — q10/q17/q18 plus the
-#: new q2/q20/q21), and rel_salted_agg (r05,
-#: doubling as the aggregation-family rep) —
-#: + 8 per-category §2.3 representatives, each the STALEST verified
-#: sibling of its family (r06/r07: rel_filter_project, rel_window_rank,
-#: rel_sort_limit, rel_set_union, rel_explode, rel_approx_sketch,
-#: rel_group_by_all, grouped_map_centroid), keeping the one-rep-per-
-#: category invariant tests/test_registry_window.py enforces.
-#: 4+14+3+12+8+1+8 = 50 exactly.  The round-10 re-window backlog is
-#: pipe_simhash_pairs + pipe_text_langid + pipe_neardup_embedding +
-#: rel_tpch_q14_shape (r04) plus the 10 remaining
-#: r05 rows (events_asof_forward, events_attribution,
-#: pipe_boilerplate_lines, pipe_chunk_documents, pipe_dedup_exact,
-#: pipe_dedup_incremental, pipe_sim_ivf, pipe_split_stratified,
-#: pipe_strip_boilerplate, pipe_text_bm25_terms), then the r06 block.
-#: Every rotated-out name was officially green in r05-r08 and moves to
-#: WINDOW_EXEMPT; tests/test_registry_window.py asserts every
-#: registered query is either in the current window or has a recorded
-#: green row from a past driver window, and tools/parity.py + CI keep
-#: sweeping the whole registry regardless.
+#: Round-10 rotation (per the round-9 verdict, items 1/2/3/5/6): the
+#: window = 4 flagship Layer-A queries (windowed every round)
+#: + 6 NEW round-10 faces (never driver-verified: the categorical-split
+#: LightGBM gate, the three streaming batch twins — reservoir / heavy
+#: hitters / EWMA — the TPC-H pipe-syntax face, and full-chain PII
+#: redaction)
+#: + pipe_e2e_curation, an r06 row whose OUTPUT changed this round
+#: (redaction composed before dedup adds n_redacted and re-keys the
+#: dedup) so its old green row no longer vouches for it
+#: + the full recorded backlog: the 4 r04 rows and all 10 r05 rows
+#: + 6 per-category §2.3 representatives from the r07/r08 blocks, each
+#: its family's STALEST verified sibling (rel_distinct, rel_window_lag,
+#: rel_topk_group, rel_set_intersect, udtf_split_words, rel_percentile)
+#: + 19 rows of the r06 block: its four rel family reps (rel_agg_q1,
+#: rel_subquery_in_exists, rel_scalar_math, rel_lateral_join) and the
+#: alphabetical first 15 of the remainder.
+#: 4+6+1+4+10+6+19 = 50 exactly.  The round-11 re-window backlog is the
+#: 19 remaining r06 rows (pipe_multimodal_decode/_jpeg/_png/_video/
+#: _wav, pipe_pack_bpe, pipe_quality_filter, pipe_quality_model,
+#: pipe_sim_ivf_kmeans, pipe_sim_ivf_probe2, pipe_sim_recall_ivf,
+#: pipe_sim_topk, pipe_sim_topk_gemm, pipe_text_bm25, pipe_text_stats,
+#: pipe_tokenize_bpe, rel_join_inner_agg, rel_join_right,
+#: rel_salted_join), then the r07 block (38 rows left after this
+#: round's four picks).  Every rotated-out name was officially green in
+#: r05-r09 and moves to WINDOW_EXEMPT; tests/test_registry_window.py
+#: asserts every registered query is either in the current window or
+#: has a recorded green row from a past driver window, and
+#: tools/parity.py + CI keep sweeping the whole registry regardless.
 PRIORITY: list[str] = [
     # 2.1/2.2 Layer A -- the reference-authored surface (windowed
     # every round: the flagship parity claims vs the reference).
@@ -82,133 +80,113 @@ PRIORITY: list[str] = [
     "lgbm_infer_embeddings",
     "argmax_embeddings",
     "settings_introspection",
-    # Round-9 NEW faces -- never driver-windowed.  Five give official
-    # rows to previously pytest-only operators (r8 verdict item 2),
-    # three stress Catalyst subquery decorrelation (item 5 + the q21
-    # anti-join leg), one extends the interval join to full outer
-    # (item 4), one composes robots gating into the WARC cleaning path
-    # (item 7), one trains a linear probe in-engine (item 8), one
-    # oracles parquet footers, one clusters the embedding corpus.
-    "pipe_normalize_unicode",
-    "pipe_sentence_chunks",
-    "pipe_truncate_matryoshka",
-    "pipe_cluster_report",
-    "pipe_robots_precedence",
-    "rel_tpch_q2_shape",
-    "rel_tpch_q20_shape",
-    "events_stream_join_full",
-    "pipe_warc_robots_clean",
-    "pipe_probe_train",
-    "pipe_file_stats",
-    "pipe_cluster_embeddings",
-    "rel_tpch_q21_shape",
-    "pipe_hybrid_rrf",
-    # The r02 trio -- the 3 stalest official rows in the registry
-    # (last green round 2; judge-reconfirmed exact in the r8 J8 sweep).
-    "rel_scalar_bitwise",
-    "rel_scalar_conditional",
-    "rel_scalar_struct_map",
-    # The FULL r03 block (12 -- every row whose latest official green
-    # is round 3; all J8-reconfirmed).
-    "pipe_sim_ann_lsh",
-    "pipe_sim_lsh_multiprobe",
-    "pipe_simhash_wide",
-    "pipe_text_tokens",
-    "pipe_text_fingerprint",
-    "pipe_text_repetition",
-    "pipe_text_pii",
-    "pipe_text_urls",
-    "pipe_dedup_survivors",
-    "pipe_mixture_sample",
-    "pipe_pack_sequences",
-    "pipe_shard_assign",
-    # 8 of the 12 r04 rows (pipe_simhash_pairs, pipe_text_langid,
-    # pipe_neardup_embedding and rel_tpch_q14_shape deferred to round
-    # 10, see header note).
-    "pipe_dedup_ngram",
-    "pipe_lm_buckets",
-    "pipe_sim_topk_quantized",
-    "rel_cast_battery",
-    "rel_regexp",
-    "rel_tpch_q10_shape",
-    "rel_tpch_q17_shape",
-    "rel_tpch_q18_shape",
-    # rel_salted_agg: the stalest r05 row AND the aggregation-family rep.
-    "rel_salted_agg",
-    # One representative per remaining 2.3 category, each the stalest
-    # verified sibling of its family (r06/r07); joins/aggregations/
-    # subqueries/scalar/streaming are already repped above by the TPC-H
-    # shapes, rel_salted_agg, the q2/q20/q21 faces, the r02 scalar
-    # trio, and events_stream_join_full.
-    "rel_filter_project",
-    "rel_window_rank",
-    "rel_sort_limit",
-    "rel_set_union",
-    "rel_explode",
-    "rel_approx_sketch",
-    "rel_group_by_all",
-    "grouped_map_centroid",
+    # Round-10 NEW faces -- never driver-windowed (verdict items
+    # 2, 3, 5, 6).
+    "pipe_quality_model_categorical",
+    "events_reservoir_batch",
+    "events_heavy_hitters_batch",
+    "events_ewma_batch",
+    "rel_tpch_pipe_syntax",
+    "pipe_text_redact",
+    # Changed face: redaction composed into the e2e curation chain
+    # (new n_redacted column + dedup re-keyed on redacted text), so
+    # the r06 green row no longer vouches for today's output.
+    "pipe_e2e_curation",
+    # The 4 r04 rows deferred in round 9 -- the stalest officials.
+    "pipe_simhash_pairs",
+    "pipe_text_langid",
+    "pipe_neardup_embedding",
+    "rel_tpch_q14_shape",
+    # The FULL r05 block (10 -- every row whose latest official
+    # green is round 5).
+    "events_asof_forward",
+    "events_attribution",
+    "pipe_boilerplate_lines",
+    "pipe_chunk_documents",
+    "pipe_dedup_exact",
+    "pipe_dedup_incremental",
+    "pipe_sim_ivf",
+    "pipe_split_stratified",
+    "pipe_strip_boilerplate",
+    "pipe_text_bm25_terms",
+    # Per-category 2.3 representatives, each the STALEST verified
+    # sibling of its family (r07/r08): projection/filter, windows,
+    # sort/limit/top-k, set ops, UDTF, approximate.
+    "rel_distinct",
+    "rel_window_lag",
+    "rel_topk_group",
+    "rel_set_intersect",
+    "udtf_split_words",
+    "rel_percentile",
+    # 19 rows of the r06 block: its four rel family reps
+    # (aggregations, subqueries, scalar library, lateral/generator)
+    # then the alphabetical first 15 of the remainder.
+    "rel_agg_q1",
+    "rel_subquery_in_exists",
+    "rel_scalar_math",
+    "rel_lateral_join",
+    "events_asof_bucketed",
+    "events_asof_join",
+    "events_range_join",
+    "events_sessionize",
+    "events_windowed_stats",
+    "pipe_chunk_bpe",
+    "pipe_decontaminate",
+    "pipe_dedup_minhash",
+    "pipe_dedup_minhash_incr",
+    "pipe_dedup_semantic",
+    "pipe_dedup_simhash",
+    "pipe_dedup_spans",
+    "pipe_e2e_model_curation",
+    "pipe_lm_score",
+    "pipe_multimodal_codec",
 ]
 
 #: Queries intentionally OUTSIDE the driver's 50-entry window.  Every name
 #: here MUST have a green row in a recorded past driver window (enforced by
 #: tests/test_registry_window.py, which cross-checks CORRECTNESS_r*.json):
 #: each was hash-verified by an earlier driver gate and ceded its slot.
-#: Round 9 cedes the whole round-8 window except the 4 flagship queries
-#: (those 46 rows are the freshest in the registry) so the r02-r04 long
-#: tail gets official re-verification; the 10 remaining r05 rows are the
-#: round-10 backlog (listed in the PRIORITY header note).
-#: Output-neutral round-9 library changes under exempt faces (the r8
-#: slot-freeing rule: provably unchanged output keeps the old green
-#: row): pipe_pca_top / pipe_embed_detop — pca.column_means gained the
-#: ragged/NULL geometry GUARD (raises on bad input, arithmetic
-#: untouched; the fixture vectors are healthy, and all three round-9
-#: FULL sweeps — sf0.01, hostile, sf0.1 — re-verified both faces
-#: hash-exact after the change).
+#: Round 10 cedes the whole round-9 window except the 4 flagship queries
+#: (those 46 rows are the freshest in the registry) so the r04-r06 long
+#: tail gets official re-verification; the r11 backlog (19 r06 rows,
+#: then the r07 block) is listed in the PRIORITY header note.
+#: Output-neutral round-10 library changes under exempt faces:
+#: pipe_quality_model / pipe_e2e_model_curation oracles go through
+#: quality_gate_ctes, which gained OPTIONAL model_path/extra-feature
+#: parameters (defaults preserve the old SQL byte-for-byte) -- and both
+#: rows are IN this round's window anyway, so they re-verify officially.
 WINDOW_EXEMPT: frozenset[str] = frozenset(
     {
-        "events_asof_bucketed",
-        "events_asof_forward",
-        "events_asof_join",
-        "events_attribution",
         "events_funnel",
         "events_gapfill",
         "events_ohlc",
-        "events_range_join",
-        "events_sessionize",
         "events_stream_join",
-        "events_windowed_stats",
-        "pipe_boilerplate_lines",
+        "events_stream_join_full",
+        "grouped_map_centroid",
         "pipe_bpe_train",
-        "pipe_chunk_bpe",
-        "pipe_chunk_documents",
+        "pipe_cluster_embeddings",
+        "pipe_cluster_report",
         "pipe_corpus_health",
-        "pipe_decontaminate",
         "pipe_decontaminate_bloom",
         "pipe_dedup_components",
-        "pipe_dedup_exact",
-        "pipe_dedup_incremental",
-        "pipe_dedup_minhash",
-        "pipe_dedup_minhash_incr",
-        "pipe_dedup_semantic",
-        "pipe_dedup_simhash",
-        "pipe_dedup_spans",
-        "pipe_e2e_curation",
-        "pipe_e2e_model_curation",
+        "pipe_dedup_ngram",
+        "pipe_dedup_survivors",
         "pipe_embed_detop",
         "pipe_embed_ivf_topk",
         "pipe_embed_project",
         "pipe_embed_text",
+        "pipe_file_stats",
         "pipe_hard_negatives",
+        "pipe_hybrid_rrf",
         "pipe_ingest_warc",
         "pipe_ingest_warc_clean",
         "pipe_layout_zorder",
+        "pipe_lm_buckets",
         "pipe_lm_buckets_ngram",
-        "pipe_lm_score",
         "pipe_lm_score_ngram",
+        "pipe_mixture_sample",
         "pipe_mixture_temperature",
         "pipe_multimodal_audio_frames",
-        "pipe_multimodal_codec",
         "pipe_multimodal_decode",
         "pipe_multimodal_jpeg",
         "pipe_multimodal_png",
@@ -216,37 +194,47 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_multimodal_scenecut",
         "pipe_multimodal_video",
         "pipe_multimodal_wav",
-        "pipe_neardup_embedding",
+        "pipe_normalize_unicode",
         "pipe_pack_bpe",
+        "pipe_pack_sequences",
         "pipe_pca_top",
+        "pipe_probe_train",
         "pipe_quality_filter",
         "pipe_quality_model",
+        "pipe_robots_precedence",
         "pipe_sample_weighted",
-        "pipe_sim_ivf",
-        "pipe_simhash_pairs",
+        "pipe_sentence_chunks",
+        "pipe_shard_assign",
+        "pipe_sim_ann_lsh",
         "pipe_sim_ivf_kmeans",
         "pipe_sim_ivf_pq",
         "pipe_sim_ivf_pq_probe2",
         "pipe_sim_ivf_pq_rerank",
         "pipe_sim_ivf_probe2",
         "pipe_sim_lsh_banded",
+        "pipe_sim_lsh_multiprobe",
         "pipe_sim_recall_ivf",
         "pipe_sim_topk",
         "pipe_sim_topk_gemm",
         "pipe_sim_topk_jl",
+        "pipe_sim_topk_quantized",
+        "pipe_simhash_wide",
         "pipe_sketch_cms",
         "pipe_source_overlap",
-        "pipe_split_stratified",
-        "pipe_strip_boilerplate",
         "pipe_text_bm25",
-        "pipe_text_bm25_terms",
+        "pipe_text_fingerprint",
         "pipe_text_keywords",
-        "pipe_text_langid",
         "pipe_text_novelty",
+        "pipe_text_pii",
+        "pipe_text_repetition",
         "pipe_text_stats",
+        "pipe_text_tokens",
+        "pipe_text_urls",
         "pipe_tokenize_bpe",
+        "pipe_truncate_matryoshka",
         "pipe_url_blocklist",
         "pipe_url_canonicalize",
+        "pipe_warc_robots_clean",
         "pipe_web_links",
         "pipe_web_pagerank",
         "pipe_web_rank_sample",
@@ -254,13 +242,16 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "rel_agg_argminmax",
         "rel_agg_cube",
         "rel_agg_distinct",
-        "rel_agg_q1",
         "rel_agg_rollup",
+        "rel_approx_sketch",
         "rel_case_when",
+        "rel_cast_battery",
         "rel_cdc_latest",
         "rel_cte",
-        "rel_distinct",
+        "rel_explode",
+        "rel_filter_project",
         "rel_fuzzy_match",
+        "rel_group_by_all",
         "rel_grouping_sets",
         "rel_having",
         "rel_higher_order",
@@ -274,29 +265,35 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "rel_join_right",
         "rel_join_semi",
         "rel_join_theta",
-        "rel_lateral_join",
         "rel_not_in_subquery",
         "rel_outlier_iqr",
         "rel_part_stats",
-        "rel_percentile",
         "rel_pivot",
         "rel_profile_orders",
         "rel_recursive_cte",
+        "rel_regexp",
+        "rel_salted_agg",
         "rel_salted_join",
         "rel_scalar_array",
+        "rel_scalar_bitwise",
+        "rel_scalar_conditional",
         "rel_scalar_date",
         "rel_scalar_json",
-        "rel_scalar_math",
         "rel_scalar_string",
         "rel_scalar_string2",
+        "rel_scalar_struct_map",
         "rel_scd2_asof",
         "rel_set_except",
-        "rel_set_intersect",
+        "rel_set_union",
         "rel_skew_report",
-        "rel_subquery_in_exists",
+        "rel_sort_limit",
         "rel_subquery_scalar",
-        "rel_tpch_q14_shape",
-        "rel_topk_group",
+        "rel_tpch_q10_shape",
+        "rel_tpch_q17_shape",
+        "rel_tpch_q18_shape",
+        "rel_tpch_q20_shape",
+        "rel_tpch_q21_shape",
+        "rel_tpch_q2_shape",
         "rel_tpch_q3_shape",
         "rel_tpch_q5_shape",
         "rel_union_all",
@@ -304,10 +301,9 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "rel_variant",
         "rel_window_analytics",
         "rel_window_frame",
-        "rel_window_lag",
         "rel_window_range_frame",
+        "rel_window_rank",
         "udaf_mean_norm",
-        "udtf_split_words",
     }
 )
 

@@ -1710,6 +1710,44 @@ def rel_group_by_all(spark, sf_dir):
     )
 
 
+@register(
+    "rel_tpch_pipe_syntax",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice * (1.0 - l_discount)', 'sum_disc_price')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="SQL pipe syntax (Spark 4 |> operators, the last pytest-only "
+    "§2.3 sub-surface — round-9 verdict item 5): the TPC-H Q1 pricing "
+    "summary as a FROM |> WHERE |> EXTEND |> AGGREGATE..GROUP BY |> "
+    "ORDER BY chain; Catalyst lowers the pipeline to the identical "
+    "filter->project->hash-agg plan as the classic formulation "
+    "(tests/test_spark4_surface.py pins piped == classic on the same "
+    "session), and the oracle is the equivalent plain SQL",
+)
+def rel_tpch_pipe_syntax(spark, sf_dir):
+    use_utc(spark)
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |> EXTEND l_extendedprice * (1.0 - l_discount) AS disc_price
+        |> AGGREGATE CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                       AS sum_qty,
+                     CAST(SUM(CAST(disc_price AS DECIMAL(28,6))) AS DOUBLE)
+                       AS sum_disc_price,
+                     COUNT(*) AS count_order
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
 def _profile_oracle(table_name: str, cols: list) -> str:
     """DuckDB replay of operators/profile.py:profile_table — one UNION
     ALL branch per column (the long format the operator unpivots to)."""

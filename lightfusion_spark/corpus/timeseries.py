@@ -530,3 +530,143 @@ def events_stream_join_full(spark, sf_dir):
         F.col("right_id").alias("click_id"),
         F.unix_micros("right_time").alias("click_ts_us"),
     )
+
+
+@register(
+    "events_reservoir_batch",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, event_id,
+             CAST('0x' || substr(md5('13:' || CAST(event_id AS VARCHAR)), 1, 14)
+                  AS BIGINT) AS hp
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY hp DESC, event_id) AS rank
+      FROM h
+    )
+    SELECT event_type AS grp, event_id AS key, rank FROM r WHERE rank <= 5
+    """,
+    doc="batch twin of the streaming deterministic reservoir (round-9 "
+    "verdict item 2): uniform k-per-group sample as a top-k window over "
+    "the 56-bit md5 priority h(seed:id) — the EXACT set the streaming "
+    "reservoir's keyed state converges to after any full replay, because "
+    "top-k by a fixed priority is associative "
+    "(streaming/events.py:reservoir_sample_batch; prefix-exact "
+    "stream-vs-batch parity in tests/test_streaming.py)",
+)
+def events_reservoir_batch(spark, sf_dir):
+    from ..streaming.events import reservoir_sample_batch
+
+    ev = table(spark, sf_dir, "events")
+    res = reservoir_sample_batch(ev, "event_type", "event_id", k=5, seed=13)
+    return res.select(F.col("group").alias("grp"), "key", "rank")
+
+
+@register(
+    "events_heavy_hitters_batch",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS est_count
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, user_id, est_count,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY est_count DESC, user_id) AS rank
+      FROM c
+    )
+    SELECT event_type AS grp, user_id AS key, est_count, rank
+    FROM r WHERE rank <= 8
+    """,
+    doc="batch twin of the streaming Misra-Gries heavy hitters (round-9 "
+    "verdict item 2): exact per-group key frequencies, top-8 per group "
+    "by (count desc, key asc) — the set the capacity-8 MG summary "
+    "guarantees to contain every key above n/9, and equals exactly when "
+    "capacity covers the distinct keys "
+    "(streaming/events.py:heavy_hitters_batch; MG bound + exactness "
+    "parity in tests/test_streaming.py).  Map-side partial aggregation "
+    "then a per-group top-k — no global sort at any scale",
+)
+def events_heavy_hitters_batch(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from ..streaming.events import heavy_hitters_batch
+
+    ev = table(spark, sf_dir, "events")
+    hh = heavy_hitters_batch(ev, "event_type", "user_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("est_count").desc(), F.col("user_id")
+    )
+    return (
+        hh.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 8)
+        .select(
+            F.col("event_type").alias("grp"),
+            F.col("user_id").alias("key"),
+            "est_count",
+            "rank",
+        )
+    )
+
+
+@register(
+    "events_ewma_batch",
+    oracle="""
+    WITH RECURSIVE ranked AS (
+      SELECT event_type AS grp, event_id, epoch_us(ts) AS ts_us, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY epoch_us(ts), event_id) AS i
+      FROM events WHERE user_id % 17 = 0
+    ),
+    fold AS (
+      SELECT grp, i, event_id, ts_us, value,
+             CAST(0.0 AS DOUBLE) AS z, FALSE AS is_anomaly,
+             value AS mean, CAST(0.0 AS DOUBLE) AS var, 1 AS n
+      FROM ranked WHERE i = 1
+      UNION ALL
+      SELECT r.grp, r.i, r.event_id, r.ts_us, r.value,
+             CASE WHEN sqrt(f.var) > 0.0
+                  THEN abs(r.value - f.mean) / sqrt(f.var)
+                  ELSE 0.0 END AS z,
+             (f.n >= 8 AND
+              (CASE WHEN sqrt(f.var) > 0.0
+                    THEN abs(r.value - f.mean) / sqrt(f.var)
+                    ELSE 0.0 END) > 3.0) AS is_anomaly,
+             f.mean + 0.125 * (r.value - f.mean) AS mean,
+             0.875 * (f.var + 0.125 * (r.value - f.mean) * (r.value - f.mean))
+               AS var,
+             f.n + 1 AS n
+      FROM fold f JOIN ranked r ON r.grp = f.grp AND r.i = f.i + 1
+    )
+    SELECT grp, event_id, ts_us, value, ROUND(z, 6) AS z, is_anomaly
+    FROM fold
+    """,
+    doc="batch twin of the streaming EWMA drift monitor (round-9 verdict "
+    "item 2): the per-group recursive fold (mean' = mean + a*dev, var' = "
+    "(1-a)*(var + a*dev^2), z scored in PRE-update sigmas, 8-sample "
+    "warm-up) over (ts, event_id) order — the oracle UNROLLS the "
+    "recurrence as a recursive CTE, hash-exact because a=0.125 is a "
+    "power of two and +,-,*,/,sqrt are all IEEE-correctly-rounded, so "
+    "both engines reproduce the fold bit-for-bit "
+    "(streaming/events.py:ewma_anomalies_batch, shared _ewma_fold with "
+    "the streaming path; mid-series-split state parity in "
+    "tests/test_streaming.py).  Input thinned to user_id%17 to bound "
+    "the oracle's recursion depth; the Spark side is grouped "
+    "applyInPandas — the group is the parallelism unit",
+)
+def events_ewma_batch(spark, sf_dir):
+    from ..streaming.events import ewma_anomalies_batch
+
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") % 17 == 0)
+    out = ewma_anomalies_batch(ev, "event_type", "value")
+    return out.select(
+        F.col("group").alias("grp"),
+        "event_id",
+        "ts_us",
+        "value",
+        F.round("z", 6).alias("z"),
+        "is_anomaly",
+    )

@@ -28,7 +28,13 @@ wheel and the reference's model blob is a missing LFS pointer
 Semantics implemented (matching LightGBM's ``Tree::Predict``):
 
 * numerical splits: ``value <= threshold`` goes left, else right;
-* ``decision_type`` bit flags: bit0 = categorical split (rejected here),
+* categorical splits (``decision_type`` bit0): the node's ``threshold``
+  holds the *categorical-split index*; ``cat_boundaries`` maps that index
+  to a word range inside ``cat_threshold`` (a uint32 bitset); a row whose
+  truncated feature value is a member of the bitset goes left, anything
+  else — negative values, NaN, out-of-range categories — goes right
+  (LightGBM ``Tree::CategoricalDecision`` / ``Common::FindInBitset``);
+* ``decision_type`` bit flags: bit0 = categorical split,
   bit1 = default-left for missing values, bits 2-3 = missing type
   (0 = none, 1 = zero, 2 = NaN);
 * child encoding: a negative child ``c`` denotes leaf ``~c`` (= ``-c - 1``);
@@ -68,6 +74,28 @@ class Tree:
     right_child: np.ndarray  # (num_leaves - 1,) int
     leaf_value: np.ndarray  # (num_leaves,) float64
     shrinkage: float = 1.0
+    #: categorical-split bitsets (``num_cat > 0`` trees only):
+    #: ``cat_boundaries`` (n_cat_splits + 1,) prefix offsets into
+    #: ``cat_threshold`` (uint32 bitset words); a categorical node's
+    #: ``threshold`` value is its index into ``cat_boundaries``.
+    cat_boundaries: np.ndarray | None = None
+    cat_threshold: np.ndarray | None = None
+
+    def _categorical_go_left(self, vals: np.ndarray, thr: np.ndarray) -> np.ndarray:
+        """Vectorized ``Tree::CategoricalDecision`` (LightGBM tree.h):
+        membership of ``trunc(value)`` in the node's uint32 bitset goes
+        left; NaN, negatives and out-of-range categories go right."""
+        # NaN -> -1 -> the int_fval < 0 "go right" branch (LightGBM's
+        # comment: "NaN is always in the right").
+        int_fval = np.trunc(np.where(np.isnan(vals), -1.0, vals)).astype(np.int64)
+        cat_idx = thr.astype(np.int64)
+        start = self.cat_boundaries[cat_idx]
+        n_words = self.cat_boundaries[cat_idx + 1] - start
+        word = int_fval >> 5
+        in_range = (int_fval >= 0) & (word < n_words)
+        safe_word = np.where(in_range, start + word, 0)
+        bit = (self.cat_threshold[safe_word] >> (int_fval & 31)) & 1
+        return in_range & (bit == 1)
 
     def predict(self, features: np.ndarray) -> np.ndarray:
         """Score a (n_rows, n_features) float64 matrix -> (n_rows,) raw values."""
@@ -95,11 +123,17 @@ class Tree:
             #   missing_type == Zero =>  |v| <= kZeroThreshold (1e-35) takes
             #                            the default_left branch;
             #   missing_type == NaN  =>  NaN takes the default_left branch.
-            vals = np.where(is_nan & (missing_type != _MISSING_TYPE_NAN), 0.0, vals)
+            num_vals = np.where(is_nan & (missing_type != _MISSING_TYPE_NAN), 0.0, vals)
             use_default = (is_nan & (missing_type == _MISSING_TYPE_NAN)) | (
-                (missing_type == _MISSING_TYPE_ZERO) & (np.abs(vals) <= 1e-35)
+                (missing_type == _MISSING_TYPE_ZERO) & (np.abs(num_vals) <= 1e-35)
             )
-            go_left = np.where(use_default, default_left, vals <= thr)
+            go_left = np.where(use_default, default_left, num_vals <= thr)
+
+            is_cat = (dtyp & _CATEGORICAL_MASK) != 0
+            if is_cat.any():
+                go_left = np.where(
+                    is_cat, self._categorical_go_left(vals, thr), go_left
+                )
 
             nxt = np.where(go_left, self.left_child[idx], self.right_child[idx])
             node[active] = nxt
@@ -181,15 +215,35 @@ def parse_model_str(text: str) -> LightGBMModel:
         if cur is None:
             return
         num_leaves = int(cur["num_leaves"])
-        if int(cur.get("num_cat", "0")) > 0:
-            raise NotImplementedError("categorical splits are not supported")
         dtyp = (
             np.array([int(x) for x in cur["decision_type"].split()], dtype=np.int64)
             if cur.get("decision_type")
             else np.full(max(num_leaves - 1, 0), 2, dtype=np.int64)
         )
-        if (dtyp & _CATEGORICAL_MASK).any():
-            raise NotImplementedError("categorical splits are not supported")
+        num_cat = int(cur.get("num_cat", "0"))
+        cat_boundaries = cat_threshold = None
+        if num_cat > 0:
+            cat_boundaries = np.array(
+                [int(x) for x in cur["cat_boundaries"].split()], dtype=np.int64
+            )
+            cat_threshold = np.array(
+                [int(x) for x in cur["cat_threshold"].split()], dtype=np.int64
+            )
+            if len(cat_boundaries) != num_cat + 1:
+                raise ValueError(
+                    f"cat_boundaries has {len(cat_boundaries)} entries, "
+                    f"expected num_cat + 1 = {num_cat + 1}"
+                )
+            if cat_boundaries[-1] != len(cat_threshold):
+                raise ValueError(
+                    "cat_boundaries does not cover cat_threshold: "
+                    f"last offset {cat_boundaries[-1]} != {len(cat_threshold)} words"
+                )
+        elif (dtyp & _CATEGORICAL_MASK).any():
+            raise ValueError(
+                "decision_type marks a categorical split but the tree has no "
+                "cat_boundaries/cat_threshold section"
+            )
         trees.append(
             Tree(
                 num_leaves=num_leaves,
@@ -210,6 +264,8 @@ def parse_model_str(text: str) -> LightGBMModel:
                     [float(x) for x in cur["leaf_value"].split()], dtype=np.float64
                 ),
                 shrinkage=float(cur.get("shrinkage", "1")),
+                cat_boundaries=cat_boundaries,
+                cat_threshold=cat_threshold,
             )
         )
         cur = None

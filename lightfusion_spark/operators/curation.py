@@ -243,6 +243,7 @@ def quality_model_filter(
     threshold: float = 0.5,
     batch_size: int = 256,
     passthrough_cols: list[str] | None = None,
+    extra_features: list | None = None,
 ) -> DataFrame:
     """MODEL-based quality filtering — the canonical production use of
     the reference's own capability (batch inference inside a data
@@ -262,6 +263,11 @@ def quality_model_filter(
     every document — ``passthrough_cols`` ride through so pipeline
     composers don't join back to (and re-execute) the input lineage.
 
+    ``extra_features``: Column expressions appended (in order, cast to
+    double) after the four text signals — e.g. a categorical source
+    code for a model with categorical splits.  They may reference any
+    passthrough column.
+
     Scale (100 TB): feature extraction is a narrow single-pass
     projection and inference is embarrassingly parallel — the whole
     filter is shuffle-free; the model ships once per executor (closure
@@ -277,6 +283,7 @@ def quality_model_filter(
         F.col("avg_word_len"),
         F.col("punct_ratio"),
         F.col("en_stop_ratio"),
+        *[e.cast("double") for e in (extra_features or [])],
     )
     udf = make_lightgbm_udf(model_path, batch_size=batch_size, spark=spark)
     p_keep = F.round(F.element_at(F.col("_probs"), 2), 6)

@@ -126,6 +126,24 @@ IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 PHONE_RE = "\\+[0-9]{7,15}"
 URL_RE = "https?://[^\\s]+"
 URL_DOMAIN_RE = "https?://([^/\\s]+)"
+CCARD_RE = "\\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\\b"
+SSN_RE = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+IBAN_RE = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b"
+
+#: Full redaction chain, in application order (fixed so engines agree
+#: when patterns could overlap: emails go before the URL catch-all so a
+#: mailto-ish token is typed [EMAIL], card numbers before the bare-digit
+#: phone/SSN shapes).  Each entry: (name, regex, replacement token) —
+#: regexes stay in the Java∩RE2 common subset like the trio above.
+REDACTION_CHAIN: list[tuple[str, str, str]] = [
+    ("emails", EMAIL_RE, "[EMAIL]"),
+    ("urls", URL_RE, "[URL]"),
+    ("ips", IPV4_RE, "[IP]"),
+    ("cards", CCARD_RE, "[CARD]"),
+    ("ssns", SSN_RE, "[SSN]"),
+    ("ibans", IBAN_RE, "[IBAN]"),
+    ("phones", PHONE_RE, "[PHONE]"),
+]
 
 
 def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -240,6 +258,47 @@ def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_phones.alias("n_phones"),
         clean.alias("text_clean"),
     )
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chain: list[tuple[str, str, str]] | None = None,
+    passthrough_cols: list[str] | None = None,
+) -> DataFrame:
+    """Full-chain PII redaction — the curation sibling of
+    :func:`pii_redact` (round-9 verdict item 6): every class in
+    ``REDACTION_CHAIN`` (emails, URLs, IPv4, card numbers, SSNs, IBANs,
+    intl phones) counted on the ORIGINAL text, then replaced
+    sequentially in chain order with typed placeholder tokens.
+
+    Emits ``(id, *passthrough, n_<class>..., n_redacted, text_redacted)``.
+    Counts are per-class occurrences in the input text; ``n_redacted``
+    is their sum (on overlapping matches an earlier replacement can
+    consume a later class's span — the fixed chain order makes that
+    deterministic, and counting on the original keeps the per-class
+    numbers independent of it).
+
+    Pure regex projection — single pass, JVM-side, no shuffle; at
+    100 TB this runs at scan speed like every other text filter.
+    """
+    chain = chain if chain is not None else REDACTION_CHAIN
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(rx), 0)).alias(f"n_{name}")
+        for name, rx, _ in chain
+    ]
+    clean = t
+    for _, rx, tok in chain:
+        clean = F.regexp_replace(clean, rx, tok)
+    total = None
+    for name, _, _ in chain:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return df.select(
+        F.col(id_col), *(passthrough_cols or []), *counts, clean.alias("text_redacted")
+    ).withColumn("n_redacted", total)
 
 
 def url_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -143,8 +143,9 @@ def file_stats_report(spark, path: str, cols: list[str]):
 
     Footers are read driver-side via pyarrow — a footer is KBs and file
     counts are thousands, so this is a metadata listing, not a data
-    scan; the distributed variant (binaryFile + footer parse) only pays
-    off past ~100k files.
+    scan; past ~100k files use :func:`file_stats_report_distributed`,
+    which produces the identical report with the footer parsing fanned
+    out to executors.
     """
     import glob as _glob
 
@@ -152,23 +153,75 @@ def file_stats_report(spark, path: str, cols: list[str]):
 
     rows = []
     for f in sorted(_glob.glob(f"{path}/*.parquet")):
-        md = _pq.ParquetFile(f).metadata
-        per_col: dict[str, list] = {c: [None, None] for c in cols}
-        for rg in range(md.num_row_groups):
-            rgm = md.row_group(rg)
-            for ci in range(rgm.num_columns):
-                c = rgm.column(ci)
-                name = c.path_in_schema
-                if name in per_col and c.statistics is not None:
-                    lo, hi = per_col[name]
-                    s = c.statistics
-                    per_col[name] = [
-                        s.min if lo is None else min(lo, s.min),
-                        s.max if hi is None else max(hi, s.max),
-                    ]
-        base = f.rsplit("/", 1)[-1]
-        for c, (lo, hi) in per_col.items():
-            rows.append((base, md.num_rows, c, str(lo), str(hi)))
-    return spark.createDataFrame(
-        rows, "file string, n_rows bigint, col string, min_str string, max_str string"
+        rows.extend(_footer_stats_rows(_pq.ParquetFile(f).metadata, f, cols))
+    return spark.createDataFrame(rows, _FILE_STATS_SCHEMA)
+
+
+_FILE_STATS_SCHEMA = (
+    "file string, n_rows bigint, col string, min_str string, max_str string"
+)
+
+
+def _footer_stats_rows(md, path: str, cols: list[str]) -> list[tuple]:
+    """Fold one parquet footer's row-group statistics into per-column
+    (min, max) report rows — shared by the driver-side and distributed
+    report paths so the two cannot drift."""
+    per_col: dict[str, list] = {c: [None, None] for c in cols}
+    for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
+        for ci in range(rgm.num_columns):
+            c = rgm.column(ci)
+            name = c.path_in_schema
+            if name in per_col and c.statistics is not None:
+                lo, hi = per_col[name]
+                s = c.statistics
+                per_col[name] = [
+                    s.min if lo is None else min(lo, s.min),
+                    s.max if hi is None else max(hi, s.max),
+                ]
+    base = path.rsplit("/", 1)[-1]
+    return [
+        (base, md.num_rows, c, str(lo), str(hi)) for c, (lo, hi) in per_col.items()
+    ]
+
+
+def file_stats_report_distributed(spark, path: str, cols: list[str], tasks: int = 32):
+    """Distributed twin of :func:`file_stats_report` — the >100k-files
+    path (round-9 verdict item 7).  The driver only LISTS the directory
+    (file paths are cheap strings); the expensive part — opening every
+    footer and folding its row-group statistics — fans out as a
+    ``mapInPandas`` over the file list, each task reading only the last
+    KBs of its files from shared storage.
+
+    ``binaryFile`` was deliberately NOT used: it ships ENTIRE file
+    contents through the scan just to parse the trailing footer, which
+    at 100 TB turns a metadata report into a full-corpus read.
+    Distributing the listing instead keeps total I/O at
+    O(files × footer_size) while the parse parallelizes across
+    executors (pyarrow opens the path directly — on a cluster that is
+    the same DFS the executors already read data from).
+
+    Output rows are byte-identical to the driver-side report
+    (shared :func:`_footer_stats_rows` fold; pytest pins equality).
+    """
+    import glob as _glob
+
+    files = sorted(_glob.glob(f"{path}/*.parquet"))
+    col_list = list(cols)
+
+    def parse(batches):
+        import pandas as pd
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            out = []
+            for f in pdf["file_path"]:
+                out.extend(_footer_stats_rows(_pq.ParquetFile(f).metadata, f, col_list))
+            yield pd.DataFrame(
+                out, columns=["file", "n_rows", "col", "min_str", "max_str"]
+            )
+
+    fdf = spark.createDataFrame([(f,) for f in files], "file_path string")
+    return fdf.repartition(min(tasks, max(1, len(files)))).mapInPandas(
+        parse, _FILE_STATS_SCHEMA
     )

@@ -126,3 +126,28 @@ def test_file_stats_report_reflects_layout(spark, tmp_path):
         assert hi1 < lo2
     # one report row per (file, col) here, so per-file counts sum to the total
     assert sum(r["n_rows"] for r in rep) == 1000
+
+
+def test_file_stats_report_distributed_matches_driver_path(spark, tmp_path):
+    """The >100k-files variant (mapInPandas over the file LIST — footer
+    parse fans out, data pages never read) must produce byte-identical
+    rows to the driver-side pyarrow listing on the same directory."""
+    from lightfusion_spark.sources import layout
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "ranged2")
+    (spark.range(2000)
+     .select(F.col("id"), (F.col("id") % 7).alias("grp"))
+     .repartitionByRange(6, "id").write.parquet(src))
+    driver_rows = sorted(
+        tuple(r) for r in layout.file_stats_report(spark, src, ["id", "grp"]).collect()
+    )
+    dist_rows = sorted(
+        tuple(r) for r in
+        layout.file_stats_report_distributed(spark, src, ["id", "grp"]).collect()
+    )
+    assert driver_rows == dist_rows and len(driver_rows) == 12
+    # the distributed plan carries only the path strings into Python —
+    # no binaryFile scan of data bytes
+    plan = layout.file_stats_report_distributed(spark, src, ["id"])._jdf.queryExecution().executedPlan().toString()
+    assert "binaryFile" not in plan

@@ -64,25 +64,25 @@ def test_window_covers_every_family():
     for name in WINDOW_EXEMPT:
         assert name in REGISTRY, f"stale WINDOW_EXEMPT entry {name}"
         assert name not in window, f"{name} exempted but wastes a window slot"
-    # One-plus representative per §2.3 category.  Round-9 rotation picks
+    # One-plus representative per §2.3 category.  Round-10 rotation picks
     # the stalest-verified sibling per category (everything below is an
-    # r05-r07 row or a brand-new face; the r08-refreshed siblings ceded
+    # r04-r08 row or a brand-new face; the r09-refreshed siblings ceded
     # their slots), so the category stays repped AND the oldest official
     # row gets refreshed.
     for name in (
-        "rel_filter_project",  # projection/filter/predicates (r6)
-        "rel_tpch_q10_shape",  # joins (r4 block)
-        "rel_salted_agg",  # aggregations (r5, stalest sibling)
-        "rel_window_rank",  # windows (r6)
-        "rel_sort_limit",  # sort/limit/top-k (r7)
-        "rel_set_union",  # set ops (r6)
-        "rel_tpch_q2_shape",  # subqueries/CTEs (new: correlated scalar)
-        "rel_scalar_bitwise",  # scalar function library (r2 trio)
-        "rel_explode",  # generators / higher-order (r7)
-        "rel_approx_sketch",  # approximate/sketch (r6)
-        "rel_group_by_all",  # Spark-4 surface (r6)
-        "grouped_map_centroid",  # UDF/UDAF/UDTF (r6)
-        "events_stream_join_full",  # timeseries/streaming family (new)
+        "rel_distinct",  # projection/filter/predicates (r7, stalest sibling)
+        "rel_tpch_q14_shape",  # joins (r4 — the last deferred r04 row)
+        "rel_agg_q1",  # aggregations (r6 block)
+        "rel_window_lag",  # windows (r7)
+        "rel_topk_group",  # sort/limit/top-k (r8)
+        "rel_set_intersect",  # set ops (r7)
+        "rel_subquery_in_exists",  # subqueries/CTEs (r6 block)
+        "rel_scalar_math",  # scalar function library (r6 block)
+        "rel_lateral_join",  # generators / lateral (r6 block)
+        "rel_percentile",  # approximate/sketch (r8)
+        "rel_tpch_pipe_syntax",  # Spark-4 surface (new: |> pipeline)
+        "udtf_split_words",  # UDF/UDAF/UDTF (r7, stalest sibling)
+        "events_ewma_batch",  # timeseries/streaming family (new twin)
     ):
         assert name in window, f"§2.3 representative {name} outside driver window"
 

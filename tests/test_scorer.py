@@ -157,10 +157,91 @@ def test_fixture_model_hand_computed_row():
     assert raw[0, 1] == pytest.approx(-0.4)
 
 
-def test_categorical_rejected():
+CAT_MODEL = """tree
+version=v4
+num_class=1
+num_tree_per_iteration=1
+label_index=0
+max_feature_idx=1
+objective=regression
+
+Tree=0
+num_leaves=3
+num_cat=2
+split_feature=0 1
+split_gain=1 1
+threshold=0 1
+decision_type=1 1
+left_child=1 -1
+right_child=-2 -3
+cat_boundaries=0 1 3
+cat_threshold=37 2 2
+leaf_value=10 20 30
+shrinkage=1
+
+end of trees
+"""
+# node0: categorical split 0 on f0, bitset word 37 = {0, 2, 5}
+# node1: categorical split 1 on f1, TWO words [2, 2] = {1, 33}
+
+
+def test_categorical_decision_bitset_membership():
+    m = parse_model_str(CAT_MODEL)
+    out = m.predict_raw(np.array([
+        [0.0, 1.0],    # f0 in {0,2,5} -> left; f1=1 in {1,33} -> leaf 0
+        [2.0, 33.0],   # left; 33 hits the SECOND bitset word -> leaf 0
+        [5.0, 2.0],    # left; 2 not in {1,33} -> leaf 2
+        [1.0, 0.0],    # f0=1 not in set -> right -> leaf 1
+        [6.0, 0.0],    # out of bitset range (still word 0, bit unset) -> leaf 1
+        [64.0, 0.0],   # beyond the bitset's words entirely -> right -> leaf 1
+    ]))
+    assert out[:, 0].tolist() == [10.0, 10.0, 30.0, 20.0, 20.0, 20.0]
+
+
+def test_categorical_decision_nan_negative_fractional():
+    """CategoricalDecision edge routing: NaN -> right, negative int -> right,
+    fractional values truncate toward zero (so -0.5 -> category 0)."""
+    m = parse_model_str(CAT_MODEL)
+    out = m.predict_raw(np.array([
+        [np.nan, 1.0],   # NaN -> right -> leaf 1
+        [-3.0, 1.0],     # negative -> right -> leaf 1
+        [-0.5, 1.0],     # trunc(-0.5) = 0, NOT negative -> in {0,2,5} -> leaf 0
+        [2.9, 1.0],      # trunc(2.9) = 2 -> left -> leaf 0
+        [0.0, np.nan],   # left, then NaN at node1 -> right -> leaf 2
+    ]))
+    assert out[:, 0].tolist() == [20.0, 20.0, 10.0, 10.0, 30.0]
+
+
+def test_categorical_mixed_with_numerical():
+    """The committed quality_cat fixture: every tree roots at a categorical
+    split with a numerical split below — vectorized scorer vs a hand walk."""
+    from lightfusion_spark.ml.fixture import build_quality_cat_model_text
+
+    m = parse_model_str(build_quality_cat_model_text())
+    assert len(m.trees) == 4 and m.num_features == 5
+    t0 = m.trees[0]  # cats {0,2,5,7,11,13,17,19}; below: n_words <= 20
+    assert list(t0.cat_boundaries) == [0, 1]
+    # source 2 (in set), n_words 10 <= 20 -> leaf 0 = -(-0.35) = 0.35
+    assert t0.predict(np.array([[10.0, 5.0, 0.01, 0.1, 2.0]]))[0] == 0.35
+    # source 2, n_words 30 -> leaf 2 = -(0.45) = -0.45
+    assert t0.predict(np.array([[30.0, 5.0, 0.01, 0.1, 2.0]]))[0] == -0.45
+    # source 3 (not in set) -> right -> leaf 1 = -(0.12) = -0.12
+    assert t0.predict(np.array([[10.0, 5.0, 0.01, 0.1, 3.0]]))[0] == -0.12
+    t2 = m.trees[2]  # iteration 1 class 0: cats {1,4,9,16,33}, two words
+    assert list(t2.cat_boundaries) == [0, 2]
+    assert t2.predict(np.array([[10.0, 5.0, 0.5, 0.1, 33.0]]))[0] != \
+        t2.predict(np.array([[10.0, 5.0, 0.5, 0.1, 32.0]]))[0]
+
+
+def test_categorical_malformed_rejected():
+    # bit0 set but no cat_boundaries/cat_threshold section
     bad = SIMPLE_MODEL.replace("decision_type=2 2", "decision_type=1 2")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="categorical"):
         parse_model_str(bad)
+    # cat_boundaries length inconsistent with num_cat
+    bad2 = CAT_MODEL.replace("cat_boundaries=0 1 3", "cat_boundaries=0 1")
+    with pytest.raises(ValueError, match="cat_boundaries"):
+        parse_model_str(bad2)
 
 
 def test_feature_count_validation():

@@ -42,6 +42,43 @@ def test_pii_redact_counts_and_replaces(spark):
     assert out[2] == (0, 0, 0, "nothing sensitive here")
 
 
+def test_redact_pii_full_chain(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co see https://x.net/p card 4111 1111 1111 1234 ok"),
+            (2, "ssn 123-45-6789 iban DE44500105175407324931 call +4915112345678"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in
+           text_ops.redact_pii(df, "doc_id", "text").collect()}
+    r1 = got[1]
+    assert (r1["n_emails"], r1["n_urls"], r1["n_cards"]) == (1, 1, 1)
+    assert r1["n_redacted"] == 3
+    assert r1["text_redacted"] == "mail [EMAIL] see [URL] card [CARD] ok"
+    r2 = got[2]
+    assert (r2["n_ssns"], r2["n_ibans"], r2["n_phones"]) == (1, 1, 1)
+    assert r2["text_redacted"] == "ssn [SSN] iban [IBAN] call [PHONE]"
+    r3 = got[3]
+    assert r3["n_redacted"] == 0 and r3["text_redacted"] == "nothing sensitive here"
+
+
+def test_redact_pii_chain_order_on_overlap(spark):
+    """Chain order is fixed: a URL containing an email-shaped token is
+    counted by BOTH classes (counts are on the original text) but the
+    EMAIL replacement fires first, splitting the URL span — determinism,
+    not double-redaction, is the contract."""
+    df = spark.createDataFrame(
+        [(1, "go https://u@example.com/path now")], ["doc_id", "text"]
+    )
+    row = text_ops.redact_pii(df, "doc_id", "text").collect()[0]
+    assert row["n_emails"] == 1 and row["n_urls"] == 1
+    # email replaced first ('https://[EMAIL]/path'), then the URL pass
+    # consumes the whole remaining span — one typed token survives
+    assert row["text_redacted"] == "go [URL] now"
+
+
 def test_url_stats_domains(spark):
     df = spark.createDataFrame(
         [

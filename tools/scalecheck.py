@@ -538,6 +538,100 @@ def main() -> None:
         ),
     )
 
+    # round-10 (r9 verdict item 8): measured scaling CURVES for the five
+    # most expensive bench queries — each run at 1x and 10x corpus with
+    # identical knobs and a FIXED query set, best-of-2 per point, and
+    # the observed exponent log10(t10x/t1x) printed (1.0 = linear; <1 =
+    # fixed overhead still dominates at this size; >1 = superlinear,
+    # the thing the 100 TB claims say must not happen).
+    import math
+
+    from lightfusion_spark.operators import pq as pq_mod
+
+    emb10 = inflate(emb, 10, "vec_id", 1_000_000)
+
+    def curve(label, run_1x, run_10x):
+        if ONLY and not any(s in label for s in ONLY):
+            return
+
+        def best(fn):
+            ts = []
+            for _ in range(2):
+                t0 = time.time()
+                fn()
+                ts.append(time.time() - t0)
+            return min(ts)
+
+        t1, t10 = best(run_1x), best(run_10x)
+        print(
+            json.dumps(
+                {
+                    "curve": label,
+                    "sec_1x": round(t1, 2),
+                    "sec_10x": round(t10, 2),
+                    "exponent": round(math.log(t10 / t1) / math.log(10), 2),
+                }
+            )
+        )
+
+    qv = emb.select("vec_id", "embedding").orderBy("vec_id").limit(20)
+
+    curve(
+        "curve_cluster_embeddings_knn",
+        lambda: similarity.cluster_embeddings_knn(
+            emb, "vec_id", "embedding", k=3, n_centroids=16
+        ).count(),
+        lambda: similarity.cluster_embeddings_knn(
+            emb10, "vec_id", "embedding", k=3, n_centroids=16
+        ).count(),
+    )
+    curve(
+        "curve_sim_ivf_pq",
+        lambda: pq_mod.topk_cosine_ivf_pq(
+            emb, qv, "vec_id", "embedding",
+            n_centroids=8, coarse_iters=2, m=4, pq_k=16, pq_iters=2, k=3,
+        ).count(),
+        lambda: pq_mod.topk_cosine_ivf_pq(
+            emb10, qv, "vec_id", "embedding",
+            n_centroids=8, coarse_iters=2, m=4, pq_k=16, pq_iters=2, k=3,
+        ).count(),
+    )
+    curve(
+        "curve_sim_ivf_pq_rerank",
+        lambda: pq_mod.topk_cosine_ivf_pq(
+            emb, qv, "vec_id", "embedding",
+            n_centroids=8, coarse_iters=2, m=4, pq_k=16, pq_iters=2, k=3,
+            rerank_depth=10,
+        ).count(),
+        lambda: pq_mod.topk_cosine_ivf_pq(
+            emb10, qv, "vec_id", "embedding",
+            n_centroids=8, coarse_iters=2, m=4, pq_k=16, pq_iters=2, k=3,
+            rerank_depth=10,
+        ).count(),
+    )
+
+    from lightfusion_spark.operators import text as text_mod
+
+    def _embed_ivf(src):
+        e = text_mod.embed_text_tfidf(src, "doc_id", "text", dim=64).localCheckpoint(
+            eager=True
+        )
+        q = e.where(F.col("doc_id") < 20)
+        return similarity.topk_cosine_ivf_kmeans(
+            e, q, "doc_id", "embedding", n_centroids=8, n_iters=2, k=3
+        ).count()
+
+    curve(
+        "curve_embed_ivf_topk",
+        lambda: _embed_ivf(docs),
+        lambda: _embed_ivf(docs10),
+    )
+    curve(
+        "curve_lm_score_ngram",
+        lambda: text_mod.ngram_lm_score(docs, "doc_id", "text", k=0.5).count(),
+        lambda: text_mod.ngram_lm_score(docs10, "doc_id", "text", k=0.5).count(),
+    )
+
 
 if __name__ == "__main__":
     main()
