@@ -266,6 +266,54 @@ def pipe_quality_model(spark, sf_dir):
     return quality_model_filter(spark, d, "doc_id", "text", QUALITY_MODEL)
 
 
+def _model_calibration_oracle() -> str:
+    return rf"""
+    WITH t AS (SELECT doc_id, text FROM documents),
+    {quality_gate_ctes('t', 'text', ['doc_id'])},
+    lab AS (
+      SELECT p_keep,
+             CASE WHEN n_words >= 30 THEN 1 ELSE 0 END AS label
+      FROM gated
+    ),
+    b AS (
+      SELECT LEAST(CAST(FLOOR(p_keep * 10) AS INT), 9) AS bin, p_keep, label
+      FROM lab
+    ),
+    agg AS (
+      SELECT bin, COUNT(*) AS n,
+             ROUND(CAST(SUM(CAST(p_keep AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_score,
+             ROUND(CAST(SUM(CAST(label AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS frac_pos
+      FROM b GROUP BY bin
+    )
+    SELECT bin, n, mean_score, frac_pos,
+           ROUND(frac_pos - mean_score, 6) AS gap
+    FROM agg
+    """
+
+
+@register(
+    "pipe_model_calibration",
+    oracle=_model_calibration_oracle(),
+    doc="model-calibration audit (curation.calibration_report): the "
+    "quality gate's softmax p_keep binned into 10 reliability buckets "
+    "against a deterministic outcome proxy (n_words >= 30), each bin "
+    "reporting count, mean predicted score, observed positive "
+    "fraction, and their signed gap — the rows ECE is computed from.  "
+    "Composes the A2 inference path into a one-aggregation audit; "
+    "DECIMAL-exact sums so partial-agg order cannot move a bin; oracle "
+    "recompiles the model via the shared quality_gate_ctes fragment",
+)
+def pipe_model_calibration(spark, sf_dir):
+    from ..operators.curation import calibration_report, quality_model_filter
+
+    d = table(spark, sf_dir, "documents")
+    gate = quality_model_filter(spark, d, "doc_id", "text", QUALITY_MODEL)
+    labeled = gate.withColumn("label", (F.col("n_words") >= 30).cast("int"))
+    return calibration_report(labeled, "p_keep", "label", n_bins=10)
+
+
 #: SQL for the categorical 5th feature: ``srcN`` -> N, the code the
 #: fixture model's bitsets are defined over.  Identical text in Spark
 #: SQL and DuckDB (regexp_replace + cast are common-subset).

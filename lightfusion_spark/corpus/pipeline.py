@@ -2257,6 +2257,45 @@ def pipe_split_stratified(spark, sf_dir):
 
 
 @register(
+    "pipe_split_group",
+    oracle="""
+    WITH u AS (
+      SELECT source, n_chars,
+             ROUND((CAST('0x' || substr(md5('7:' || source), 1, 14) AS BIGINT)
+                    % 1000000) / CAST(1000000 AS DOUBLE), 6) AS u
+      FROM documents
+    ),
+    a AS (
+      SELECT source, n_chars,
+             CASE WHEN u < 0.6 THEN 'train'
+                  WHEN u < 0.8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM u
+    )
+    SELECT source, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM a GROUP BY source, split
+    """,
+    doc="leakage-safe GROUP-aware split (curation.group_aware_split): "
+    "the split hash is taken on the correlation unit (here the source "
+    "domain) so every row of a group lands in ONE split — "
+    "near-duplicates/same-origin docs straddling train and test are "
+    "the eval-contamination vector a row-level split cannot close.  "
+    "The audit shape itself proves the invariant: grouping by (source, "
+    "split) yields exactly one row per source (driver-verified row "
+    "count == distinct sources).  Zero-shuffle assignment + one tiny "
+    "map-side-combined audit agg",
+)
+def pipe_split_group(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    parts = curation.group_aware_split(d, "source", (0.6, 0.2, 0.2), seed=7)
+    return parts.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+@register(
     "pipe_shard_assign",
     oracle="""
     WITH h AS (

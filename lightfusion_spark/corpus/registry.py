@@ -47,10 +47,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: FIRST 50 ``queries()`` entries, so the names below are emitted first.
 #: Round-10 rotation (per the round-9 verdict, items 1/2/3/5/6): the
 #: window = 4 flagship Layer-A queries (windowed every round)
-#: + 6 NEW round-10 faces (never driver-verified: the categorical-split
+#: + 8 NEW round-10 faces (never driver-verified: the categorical-split
 #: LightGBM gate, the three streaming batch twins — reservoir / heavy
 #: hitters / EWMA — the TPC-H pipe-syntax face, and full-chain PII
-#: redaction)
+#: redaction, plus the leakage-safe group-aware split and the
+#: model-calibration report)
 #: + pipe_e2e_curation, an r06 row whose OUTPUT changed this round
 #: (redaction composed before dedup adds n_redacted and re-keys the
 #: dedup) so its old green row no longer vouches for it
@@ -60,8 +61,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: rel_topk_group, rel_set_intersect, udtf_split_words, rel_percentile)
 #: + 19 rows of the r06 block: its four rel family reps (rel_agg_q1,
 #: rel_subquery_in_exists, rel_scalar_math, rel_lateral_join) and the
-#: alphabetical first 15 of the remainder.
-#: 4+6+1+4+10+6+19 = 50 exactly.  The round-11 re-window backlog is the
+#: alphabetical first 15 of the remainder MINUS the two rows the two
+#: late new faces displaced (pipe_lm_score, pipe_multimodal_codec —
+#: both keep their r06 green rows and head the r11 backlog).
+#: 4+8+1+4+10+6+17 = 50 exactly.  The round-11 re-window backlog is the
 #: 19 remaining r06 rows (pipe_multimodal_decode/_jpeg/_png/_video/
 #: _wav, pipe_pack_bpe, pipe_quality_filter, pipe_quality_model,
 #: pipe_sim_ivf_kmeans, pipe_sim_ivf_probe2, pipe_sim_recall_ivf,
@@ -88,6 +91,8 @@ PRIORITY: list[str] = [
     "events_ewma_batch",
     "rel_tpch_pipe_syntax",
     "pipe_text_redact",
+    "pipe_split_group",
+    "pipe_model_calibration",
     # Changed face: redaction composed into the e2e curation chain
     # (new n_redacted column + dedup re-keyed on redacted text), so
     # the r06 green row no longer vouches for today's output.
@@ -138,8 +143,6 @@ PRIORITY: list[str] = [
     "pipe_dedup_simhash",
     "pipe_dedup_spans",
     "pipe_e2e_model_curation",
-    "pipe_lm_score",
-    "pipe_multimodal_codec",
 ]
 
 #: Queries intentionally OUTSIDE the driver's 50-entry window.  Every name
@@ -181,12 +184,14 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_ingest_warc",
         "pipe_ingest_warc_clean",
         "pipe_layout_zorder",
+        "pipe_lm_score",
         "pipe_lm_buckets",
         "pipe_lm_buckets_ngram",
         "pipe_lm_score_ngram",
         "pipe_mixture_sample",
         "pipe_mixture_temperature",
         "pipe_multimodal_audio_frames",
+        "pipe_multimodal_codec",
         "pipe_multimodal_decode",
         "pipe_multimodal_jpeg",
         "pipe_multimodal_png",

@@ -317,14 +317,90 @@ def train_val_test_split(
     fresh uniforms; existing ids keep theirs), and the three splits are
     disjoint by construction.  Adds ``(u, split)``.
     """
+    return _threshold_split(df, id_col, fractions, seed)
+
+
+def _threshold_split(
+    df: DataFrame, key_col: str, fractions: tuple[float, float, float], seed: int
+) -> DataFrame:
+    """Shared hash-threshold assignment for the row-level and group-level
+    split operators (one recipe, so the two cannot drift)."""
     f_train, f_val = float(fractions[0]), float(fractions[1])
-    u = F.round(_uniform(id_col, seed), 6)
+    u = F.round(_uniform(key_col, seed), 6)
     split = (
         F.when(F.col("u") < f_train, F.lit("train"))
         .when(F.col("u") < f_train + f_val, F.lit("val"))
         .otherwise(F.lit("test"))
     )
     return df.withColumn("u", u).withColumn("split", split)
+
+
+def group_aware_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    seed: int = 0,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split hash is taken
+    on ``group_col`` (a dedup-cluster id, a source domain, an author —
+    whatever unit correlates documents), so EVERY row of a group lands
+    in the same split.  Near-duplicates or same-origin documents
+    straddling train and test are the eval-contamination vector a
+    row-level split cannot close — dedup first, then split by the
+    surviving correlation unit.
+
+    Same stable hash-threshold recipe as :func:`train_val_test_split`
+    (shared ``_threshold_split``): assignment is a pure function of
+    ``(group, seed)``, so it never changes across re-runs, cluster
+    sizes, partitionings, or corpus growth, and fractions are realized
+    in expectation over GROUPS (weight skew across groups is the
+    caller's to audit — the split face emits per-group counts for
+    exactly that).  Adds ``(u, split)``; zero shuffle — the assignment
+    is a row-local projection.
+    """
+    return _threshold_split(df, group_col, fractions, seed)
+
+
+def calibration_report(
+    df: DataFrame, score_col: str, label_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Reliability summary of a [0,1] model score against binary
+    outcomes — the audit a model-based quality gate owes its users
+    before its threshold means anything: bin by ``floor(score·n_bins)``
+    (top edge clamped into the last bin), and per bin report the count,
+    the mean score (predicted positive rate), the observed positive
+    fraction, and their signed gap.  The weighted |gap| sum over bins
+    is the standard Expected Calibration Error; rows carry everything
+    needed to compute it (test-pinned).
+
+    Determinism discipline: both means go through exact DECIMAL sums
+    before one final rounded division, so partial-aggregation order can
+    never move a bin's value.  ONE map-side-combinable aggregation over
+    ≤ ``n_bins`` groups — scan-speed at any corpus size.
+    """
+    if n_bins < 1:
+        raise ValueError(f"calibration_report: n_bins must be >= 1, got {n_bins}")
+    s = F.col(score_col)
+    b = F.least(
+        F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    n = F.count(F.lit(1))
+    mean_score = F.round(
+        F.sum(s.cast("decimal(18,6)")).cast("double") / n, 6
+    )
+    frac_pos = F.round(
+        F.sum(F.col(label_col).cast("int").cast("decimal(18,6)")).cast("double") / n,
+        6,
+    )
+    return (
+        df.groupBy(b.alias("bin"))
+        .agg(
+            n.alias("n"),
+            mean_score.alias("mean_score"),
+            frac_pos.alias("frac_pos"),
+        )
+        .withColumn("gap", F.round(F.col("frac_pos") - F.col("mean_score"), 6))
+    )
 
 
 def shard_assign(

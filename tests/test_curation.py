@@ -333,3 +333,63 @@ def test_bloom_probe_rejects_mismatched_word_array(spark):
 
     with _pytest.raises(ValueError, match="needs exactly"):
         bloom_might_contain(F.lit("x"), [0] * 10, n_bits=1 << 17)
+
+
+def test_group_aware_split_no_group_straddles(spark):
+    """Every row of a group must land in ONE split (the leakage
+    invariant), assignment must match the row-level recipe applied to
+    the group key, and growth must not migrate existing groups."""
+    from lightfusion_spark.operators.curation import (
+        group_aware_split,
+        train_val_test_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 7}") for i in range(200)], "doc_id long, grp string"
+    )
+    parts = group_aware_split(df, "grp", (0.5, 0.25, 0.25), seed=3)
+    per_group = (
+        parts.groupBy("grp").agg(F.countDistinct("split").alias("k")).collect()
+    )
+    assert all(r["k"] == 1 for r in per_group)
+    # equals the row-level operator keyed on the group column
+    alt = train_val_test_split(
+        df.select(F.col("grp").alias("gid")).distinct(), "gid", (0.5, 0.25, 0.25), 3
+    ).collect()
+    want = {r["gid"]: r["split"] for r in alt}
+    got = {r["grp"]: r["split"] for r in parts.select("grp", "split").distinct().collect()}
+    assert got == want
+    # corpus growth: new rows of an EXISTING group join its split
+    grown = group_aware_split(
+        df.union(spark.createDataFrame([(999, "g3")], "doc_id long, grp string")),
+        "grp", (0.5, 0.25, 0.25), seed=3,
+    )
+    assert {r["split"] for r in grown.where("grp = 'g3'").collect()} == {got["g3"]}
+
+
+def test_calibration_report_bins_and_ece(spark):
+    from lightfusion_spark.operators.curation import calibration_report
+
+    rows = [
+        # bin 0: scores 0.05/0.05, labels 0,1 -> mean 0.05, frac_pos 0.5
+        (0.05, 0), (0.05, 1),
+        # bin 9: 0.95 and the CLAMPED 1.0 edge, labels 1,1
+        (0.95, 1), (1.0, 1),
+        # bin 5: 0.55, label 0
+        (0.55, 0),
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {r["bin"]: r for r in calibration_report(df, "score", "label").collect()}
+    assert set(got) == {0, 5, 9}
+    assert got[0]["n"] == 2 and got[0]["mean_score"] == 0.05 and got[0]["frac_pos"] == 0.5
+    assert got[9]["n"] == 2 and got[9]["mean_score"] == 0.975 and got[9]["frac_pos"] == 1.0
+    assert got[5]["gap"] == -0.55  # frac_pos 0 - mean 0.55
+    # ECE from the emitted rows: sum(n/N * |gap|)
+    n_total = sum(r["n"] for r in got.values())
+    ece = sum(r["n"] / n_total * abs(r["gap"]) for r in got.values())
+    assert abs(ece - (2 / 5 * 0.45 + 1 / 5 * 0.55 + 2 / 5 * 0.025)) < 1e-9
+    # knob guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_bins"):
+        calibration_report(df, "score", "label", n_bins=0)
