@@ -1462,9 +1462,10 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     sim_threshold: float | None = None,
     round_digits: int = 6,
+    target_cell_rows: int = 500,
 ) -> DataFrame:
     """k-nearest-neighbor graph over an embedding corpus: one directed
     edge ``(id_a, id_b, cos_sim)`` per (vector, top-k neighbor), built
@@ -1482,7 +1483,22 @@ def knn_graph(
     identical Arrow crossing twice, once per join side (the same
     re-derivation class as the r7 embed-IVF and r8 WARC fixes; at real
     scale: land the assignment to parquet, self-join from there).
+
+    ``n_centroids`` must grow with the corpus or the cell self-join
+    goes quadratic: per-cell cost is O(cell²), and a FIXED centroid
+    count makes cell size ∝ n, so total work ∝ n²/c — measured in
+    tools/scalecheck.py as exponent 1.58 (6.2 s → 236 s) for a 10×
+    corpus at a pinned ``n_centroids=16``, vs exponent 0.55 when
+    centroids scale with n.  Pass ``n_centroids=None`` to size the
+    codebook automatically as ``ceil(n / target_cell_rows)`` (one
+    extra count job; at real scale you know n from table stats and
+    should pass it explicitly).
     """
+    if n_centroids is None:
+        import math as _math
+
+        n_rows = corpus.count()
+        n_centroids = max(16, _math.ceil(n_rows / max(1, target_cell_rows)))
     cents = seed_centroids(corpus, id_col, vec_col, n_centroids)
     assign = assign_to_centroids(
         corpus, cents, id_col, vec_col, round_digits
@@ -1525,10 +1541,11 @@ def cluster_embeddings_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     sim_threshold: float | None = None,
     round_digits: int = 6,
     max_iterations: int = 25,
+    target_cell_rows: int = 500,
 ) -> DataFrame:
     """Corpus clustering via the k-NN graph: connected components over
     :func:`knn_graph` edges — the scalable skeleton of topic/content
@@ -1536,7 +1553,9 @@ def cluster_embeddings_knn(
     clusters by centroid cell instead of by neighbor chains).  Every
     vector gets a ``(id_col, component)`` label; the component id is
     the minimum member id (deterministic canonical representative),
-    singletons keep their own id.
+    singletons keep their own id.  ``n_centroids=None`` auto-sizes the
+    codebook to keep cells bounded — see :func:`knn_graph` for the
+    measured superlinearity a fixed codebook causes at scale.
 
     Composition, not new machinery: the edges come from the IVF cell
     join and the labels from the O(log n)-round large-star/small-star
@@ -1547,7 +1566,8 @@ def cluster_embeddings_knn(
     from .dedup import connected_components
 
     edges = knn_graph(
-        corpus, id_col, vec_col, k, n_centroids, sim_threshold, round_digits
+        corpus, id_col, vec_col, k, n_centroids, sim_threshold, round_digits,
+        target_cell_rows,
     )
     return connected_components(
         edges.select("id_a", "id_b"),

