@@ -96,6 +96,12 @@ BENCH_QUERIES = [
     "events_reservoir_batch",
     "events_heavy_hitters_batch",
     "events_ewma_batch",
+    # late round-10: the heavy new faces (fuzzy decontamination runs the
+    # full cross-corpus MinHash machinery; q8 is the widest join tree in
+    # the registry; preference pairs = window + rank-pruned self-join)
+    "pipe_decontaminate_fuzzy",
+    "rel_tpch_q8_shape",
+    "pipe_preference_pairs",
 ]
 
 

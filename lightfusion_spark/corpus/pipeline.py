@@ -206,6 +206,42 @@ def pipe_dedup_minhash_incr(spark, sf_dir):
     )
 
 
+@register(
+    "pipe_decontaminate_fuzzy",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT * FROM ({_minhash_oracle("a.doc_id % 10 != 9 AND b.doc_id % 10 = 9")}) t
+    ),
+    hits AS (
+      SELECT id_a, COUNT(*) AS n_bench_matches, MAX(jaccard) AS max_jaccard
+      FROM pairs GROUP BY id_a
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_bench_matches, 0) AS n_bench_matches,
+           h.max_jaccard,
+           COALESCE(h.n_bench_matches, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 9) d
+    LEFT JOIN hits h ON d.doc_id = h.id_a
+    """,
+    doc="FUZZY benchmark decontamination (curation.decontaminate_fuzzy): "
+    "corpus docs (doc_id % 10 != 9) MinHash-near-dup-matched against a "
+    "held-out eval set (doc_id % 10 = 9), then one per-doc aggregation "
+    "turns verified pairs into (n_bench_matches, max_jaccard, "
+    "contaminated).  Paraphrased eval leakage clears the exact n-gram "
+    "gate (pipe_decontaminate) but sits at high shingle-Jaccard — this "
+    "is the gate that catches it; candidate volume stays bounded by "
+    "bench-side banding, never a corpus self-join",
+)
+def pipe_decontaminate_fuzzy(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 10 != 9)
+    bench = d.where(F.col("doc_id") % 10 == 9)
+    return curation.decontaminate_fuzzy(
+        corpus, bench, "doc_id", "text",
+        n_hashes=8, rows_per_band=2, shingle_n=3, threshold=0.5,
+    )
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     # Mirrors operators.dedup.simhash: bit j comes from seeded hash j // 48
     # (seed 0 = unseeded md5, seeds k>0 prefix the word with "k:").
@@ -2293,6 +2329,78 @@ def pipe_split_group(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
+
+
+@register(
+    "pipe_preference_pairs",
+    oracle="""
+    WITH ranked AS (
+      SELECT source AS "group", doc_id AS _id,
+             ROUND(CAST(n_chars AS DOUBLE), 6) AS _score,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ROUND(CAST(n_chars AS DOUBLE), 6) DESC, doc_id ASC
+             ) AS _rk,
+             COUNT(*) OVER (PARTITION BY source) AS _m
+      FROM documents
+    ),
+    chosen AS (
+      SELECT "group", _rk AS pair_rank, _id AS chosen_id, _score AS chosen_score
+      FROM ranked WHERE _rk <= 2 AND 2 * _rk <= _m
+    ),
+    rejected AS (
+      SELECT "group" AS group_r, _m + 1 - _rk AS pair_rank_r,
+             _id AS rejected_id, _score AS rejected_score
+      FROM ranked
+    )
+    SELECT "group", pair_rank, chosen_id, chosen_score,
+           rejected_id, rejected_score,
+           ROUND(chosen_score - rejected_score, 6) AS score_gap
+    FROM chosen JOIN rejected
+      ON "group" = group_r AND pair_rank = pair_rank_r
+    WHERE chosen_score - rejected_score >= 1.0
+    """,
+    doc="preference-pair construction for DPO/reward-model training "
+    "(curation.preference_pairs): within each prompt group (here the "
+    "source domain) pair the i-th best-scored document with the i-th "
+    "worst (i <= 2), dropping pairs whose score gap is under the "
+    "margin.  One window pass yields both sides (the i-th worst is "
+    "rank m+1-i of the SAME total order) and the self-join input is "
+    "rank-filtered to <= 2 rows per group per side — deterministic, "
+    "never all-pairs, one shuffle on the group key",
+)
+def pipe_preference_pairs(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return curation.preference_pairs(
+        d, "source", "doc_id", "n_chars", max_pairs_per_group=2, margin=1.0
+    )
+
+
+@register(
+    "pipe_curriculum_order",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             NTILE(4) OVER (ORDER BY n_chars ASC, doc_id ASC) AS stage
+      FROM documents
+    )
+    SELECT doc_id, n_chars, stage,
+           ROW_NUMBER() OVER (
+             PARTITION BY stage ORDER BY n_chars ASC, doc_id ASC
+           ) AS stage_pos
+    FROM s
+    """,
+    doc="curriculum ordering (curation.curriculum_order): NTILE the "
+    "corpus into 4 equal difficulty stages over a score (here doc "
+    "length — short/easy first) with a deterministic position inside "
+    "each stage; the stream order a curriculum scheduler consumes.  "
+    "Total order = (score, id) so the assignment is engine-exact; "
+    "NULL scores are refused loudly rather than sorted "
+    "engine-dependently",
+)
+def pipe_curriculum_order(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return curation.curriculum_order(d, "doc_id", "n_chars", n_stages=4)
 
 
 @register(

@@ -59,16 +59,24 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: + 6 per-category §2.3 representatives from the r07/r08 blocks, each
 #: its family's STALEST verified sibling (rel_distinct, rel_window_lag,
 #: rel_topk_group, rel_set_intersect, udtf_split_words, rel_percentile)
-#: + 19 rows of the r06 block: its four rel family reps (rel_agg_q1,
+#: + 6 more NEW faces landed later in the round (TPC-H q7/q8/q9
+#: shapes, preference pairs, curriculum ordering, fuzzy
+#: decontamination)
+#: + 11 rows of the r06 block: its four rel family reps (rel_agg_q1,
 #: rel_subquery_in_exists, rel_scalar_math, rel_lateral_join) and the
-#: alphabetical first 15 of the remainder MINUS the two rows the two
-#: late new faces displaced (pipe_lm_score, pipe_multimodal_codec —
-#: both keep their r06 green rows and head the r11 backlog).
-#: 4+8+1+4+10+6+17 = 50 exactly.  The round-11 re-window backlog is the
-#: 19 remaining r06 rows (pipe_multimodal_decode/_jpeg/_png/_video/
-#: _wav, pipe_pack_bpe, pipe_quality_filter, pipe_quality_model,
-#: pipe_sim_ivf_kmeans, pipe_sim_ivf_probe2, pipe_sim_recall_ivf,
-#: pipe_sim_topk, pipe_sim_topk_gemm, pipe_text_bm25, pipe_text_stats,
+#: alphabetical first 15 of the remainder MINUS the eight rows the
+#: eight late new faces displaced (pipe_lm_score,
+#: pipe_multimodal_codec, then pipe_decontaminate, pipe_dedup_minhash,
+#: pipe_dedup_minhash_incr, pipe_dedup_semantic, pipe_dedup_simhash,
+#: pipe_dedup_spans — all keep their r06 green rows and head the r11
+#: backlog).
+#: 4+14+1+4+10+6+11 = 50 exactly.  The round-11 re-window backlog is
+#: the 25 remaining r06 rows (the 6 displaced dedup/decontaminate rows
+#: above, pipe_lm_score, pipe_multimodal_codec,
+#: pipe_multimodal_decode/_jpeg/_png/_video/_wav, pipe_pack_bpe,
+#: pipe_quality_filter, pipe_quality_model, pipe_sim_ivf_kmeans,
+#: pipe_sim_ivf_probe2, pipe_sim_recall_ivf, pipe_sim_topk,
+#: pipe_sim_topk_gemm, pipe_text_bm25, pipe_text_stats,
 #: pipe_tokenize_bpe, rel_join_inner_agg, rel_join_right,
 #: rel_salted_join), then the r07 block (38 rows left after this
 #: round's four picks).  Every rotated-out name was officially green in
@@ -93,6 +101,21 @@ PRIORITY: list[str] = [
     "pipe_text_redact",
     "pipe_split_group",
     "pipe_model_calibration",
+    # Late round-10 NEW faces: three more TPC-H join shapes (the
+    # nation-role self-join q7, the market-share ratio q8, the
+    # profit q9), preference-pair construction + curriculum ordering
+    # (curation), and FUZZY benchmark decontamination (the MinHash
+    # sibling of pipe_decontaminate).  They displace the six r06
+    # dedup/decontaminate rows below back to the r11 backlog head —
+    # each of those keeps its r06 green row, and the dedup family
+    # stays repped in-window by pipe_dedup_exact /
+    # pipe_dedup_incremental / pipe_decontaminate_fuzzy.
+    "rel_tpch_q7_shape",
+    "rel_tpch_q8_shape",
+    "rel_tpch_q9_shape",
+    "pipe_preference_pairs",
+    "pipe_curriculum_order",
+    "pipe_decontaminate_fuzzy",
     # Changed face: redaction composed into the e2e curation chain
     # (new n_redacted column + dedup re-keyed on redacted text), so
     # the r06 green row no longer vouches for today's output.
@@ -136,12 +159,6 @@ PRIORITY: list[str] = [
     "events_sessionize",
     "events_windowed_stats",
     "pipe_chunk_bpe",
-    "pipe_decontaminate",
-    "pipe_dedup_minhash",
-    "pipe_dedup_minhash_incr",
-    "pipe_dedup_semantic",
-    "pipe_dedup_simhash",
-    "pipe_dedup_spans",
     "pipe_e2e_model_curation",
 ]
 
@@ -170,8 +187,14 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_cluster_embeddings",
         "pipe_cluster_report",
         "pipe_corpus_health",
+        "pipe_decontaminate",
         "pipe_decontaminate_bloom",
         "pipe_dedup_components",
+        "pipe_dedup_minhash",
+        "pipe_dedup_minhash_incr",
+        "pipe_dedup_semantic",
+        "pipe_dedup_simhash",
+        "pipe_dedup_spans",
         "pipe_dedup_ngram",
         "pipe_dedup_survivors",
         "pipe_embed_detop",

@@ -729,3 +729,197 @@ def decontaminate_bloom(
             (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    score_col: str,
+    max_pairs_per_group: int = 1,
+    margin: float = 0.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Chosen/rejected pair construction for preference tuning (DPO,
+    RLHF reward modelling): within each ``group_col`` (a prompt, a
+    query, a task id), pair the i-th best-scored row with the i-th
+    worst (i = 1..``max_pairs_per_group``), keeping a pair only when
+    the score gap clears ``margin`` — pairs a model can't distinguish
+    teach nothing and dilute the batch.
+
+    Deterministic by construction: rows are totally ordered by
+    ``(score DESC, id ASC)``, so ranks, pairs, and output are a pure
+    function of the data — no sampling, no ties left to the engine.
+    The i-th worst is rank ``m+1-i`` of the SAME ordering (a reversed
+    total order is the same total order), so one window pass yields
+    both sides; ``2·i <= m`` stops the pair index from crossing the
+    middle (a row never pairs with itself, a (chosen, rejected) row
+    pair is never emitted twice in reversed roles).
+
+    Scale (100 TB): one shuffle on ``group_col`` for the window, then a
+    self-equi-join on ``(group, pair index)`` — both sides are already
+    rank-filtered to ≤ ``max_pairs_per_group`` rows per group, so the
+    join input is tiny regardless of group fan-out.  Skewed prompt
+    groups cost what their window sort costs; nothing is all-pairs.
+    """
+    if max_pairs_per_group < 1:
+        raise ValueError(
+            "preference_pairs: max_pairs_per_group must be >= 1, got "
+            f"{max_pairs_per_group}"
+        )
+    ranked = df.select(
+        F.col(group_col).alias("group"),
+        F.col(id_col).alias("_id"),
+        F.round(F.col(score_col).cast("double"), round_digits).alias("_score"),
+    ).select(
+        "*",
+        F.row_number().over(
+            Window.partitionBy("group").orderBy(
+                F.col("_score").desc(), F.col("_id").asc()
+            )
+        ).alias("_rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("group")).alias("_m"),
+    )
+    chosen = ranked.where(
+        (F.col("_rk") <= max_pairs_per_group) & (2 * F.col("_rk") <= F.col("_m"))
+    ).select(
+        "group",
+        F.col("_rk").alias("pair_rank"),
+        F.col("_id").alias("chosen_id"),
+        F.col("_score").alias("chosen_score"),
+    )
+    rejected = ranked.select(
+        F.col("group").alias("group_r"),
+        (F.col("_m") + 1 - F.col("_rk")).alias("pair_rank_r"),
+        F.col("_id").alias("rejected_id"),
+        F.col("_score").alias("rejected_score"),
+    )
+    return (
+        chosen.join(
+            rejected,
+            (F.col("group") == F.col("group_r"))
+            & (F.col("pair_rank") == F.col("pair_rank_r")),
+        )
+        .where(
+            F.col("chosen_score") - F.col("rejected_score") >= F.lit(float(margin))
+        )
+        .select(
+            "group",
+            "pair_rank",
+            "chosen_id",
+            "chosen_score",
+            "rejected_id",
+            "rejected_score",
+            F.round(F.col("chosen_score") - F.col("rejected_score"), round_digits)
+            .alias("score_gap"),
+        )
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_stages: int = 4,
+    ascending: bool = True,
+) -> DataFrame:
+    """Curriculum assignment: bucket the corpus into ``n_stages``
+    equal-size difficulty stages (NTILE over the score) and give each
+    row its deterministic position within its stage — the order a
+    curriculum scheduler streams (easy → hard when ``ascending``, the
+    reverse for anti-curriculum).  Emits ``(id, score, stage,
+    stage_pos)``.
+
+    NULL scores are refused loudly (same contract as the probe/PCA
+    geometry guards): a NULL would sort differently across engines and
+    silently concentrate in stage 1 or ``n_stages``.
+
+    Scale (100 TB): NTILE needs a total order — a GLOBAL sort (one
+    range-partitioned shuffle, Spark's sort machinery; no single-task
+    bottleneck because range partitioning splits the order across
+    executors).  ``stage_pos`` reuses the same sort within stages.  At
+    trainer scale you materialize this once per curriculum build, not
+    per epoch.
+    """
+    if n_stages < 1:
+        raise ValueError(f"curriculum_order: n_stages must be >= 1, got {n_stages}")
+    n_null = df.where(F.col(score_col).isNull()).limit(1).count()
+    if n_null:
+        raise ValueError(
+            f"curriculum_order: NULL {score_col} rows present — score or drop "
+            "them explicitly before ordering"
+        )
+    direction = (
+        (F.col(score_col).asc(), F.col(id_col).asc())
+        if ascending
+        else (F.col(score_col).desc(), F.col(id_col).desc())
+    )
+    w = Window.orderBy(*direction)
+    staged = df.select(
+        F.col(id_col),
+        F.col(score_col),
+        F.ntile(n_stages).over(w).alias("stage"),
+    )
+    ws = Window.partitionBy("stage").orderBy(*direction)
+    return staged.select(
+        id_col,
+        score_col,
+        "stage",
+        F.row_number().over(ws).alias("stage_pos"),
+    )
+
+
+def decontaminate_fuzzy(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: flag corpus documents that are
+    MinHash near-duplicates of a held-out evaluation set.  The exact
+    :func:`decontaminate` catches verbatim n-gram overlap; paraphrased
+    or lightly-edited eval leakage (the common contamination mode in
+    scraped corpora — same answer, reflowed words) clears an exact
+    n-gram gate while sitting at high shingle-Jaccard, which is
+    precisely what the fuzzy pair machinery measures.
+
+    Composition, not new machinery: the cross-corpus pairs come from
+    ``dedup.minhash_incremental`` (corpus side banded against the bench
+    side — LSH candidates, then exact-Jaccard verification), then one
+    per-document aggregation turns pairs into a verdict.  Every corpus
+    row is emitted: ``(id, n_bench_matches, max_jaccard,
+    contaminated)`` — ``max_jaccard`` is NULL for clean documents.
+
+    Scale (100 TB): the bench side is benchmark-sized (MBs); the corpus
+    never self-joins — candidates are the (band, sig) equi-join of
+    corpus bands against bench bands, so candidate volume is bounded by
+    bench fan-out, and the exact verification touches only survivors.
+    Inherits the banded, never-all-pairs story of
+    :func:`~lightfusion_spark.operators.dedup.minhash_incremental`
+    wholesale.
+    """
+    from .dedup import minhash_incremental
+
+    pairs = minhash_incremental(
+        df, bench, id_col, text_col,
+        n_hashes=n_hashes, rows_per_band=rows_per_band,
+        shingle_n=shingle_n, threshold=threshold,
+    )
+    hits = pairs.groupBy("id_a").agg(
+        F.count(F.lit(1)).alias("n_bench_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(hits, F.col(id_col) == F.col("id_a"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bench_matches", F.lit(0)).alias("n_bench_matches"),
+            "max_jaccard",
+            (F.coalesce("n_bench_matches", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -393,3 +393,101 @@ def test_calibration_report_bins_and_ece(spark):
 
     with _pytest.raises(ValueError, match="n_bins"):
         calibration_report(df, "score", "label", n_bins=0)
+
+
+def test_preference_pairs_invariants(spark):
+    import pytest as _pytest
+
+    from lightfusion_spark.operators.curation import preference_pairs
+
+    rows = [
+        # group a: 5 rows, scores 10..50 -> pairs (50,10),(40,20); 30 is the
+        # middle row and must pair with nothing
+        ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0),
+        ("a", 4, 40.0), ("a", 5, 50.0),
+        # group b: 2 rows with gap 0.5 -> killed by margin=1
+        ("b", 6, 7.0), ("b", 7, 7.5),
+        # group c: singleton -> cannot pair with itself
+        ("c", 8, 99.0),
+        # group d: tie on score -> deterministic id tie-break
+        ("d", 9, 5.0), ("d", 10, 5.0), ("d", 11, 1.0), ("d", 12, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, score double")
+    out = preference_pairs(
+        df, "grp", "id", "score", max_pairs_per_group=2, margin=1.0
+    ).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["group"], []).append(r)
+        assert r["chosen_id"] != r["rejected_id"]
+        assert r["chosen_score"] - r["rejected_score"] >= 1.0
+        assert r["score_gap"] == round(r["chosen_score"] - r["rejected_score"], 6)
+    a = sorted((r["pair_rank"], r["chosen_id"], r["rejected_id"])
+               for r in by_group["a"])
+    assert a == [(1, 5, 1), (2, 4, 2)]  # middle row 3 never paired
+    assert "b" not in by_group  # margin killed the weak pair
+    assert "c" not in by_group  # singleton can't self-pair
+    # tie-break: (5.0, id 9) beats (5.0, id 10); worst is (1.0, id 12)
+    d = sorted((r["pair_rank"], r["chosen_id"], r["rejected_id"])
+               for r in by_group["d"])
+    assert d == [(1, 9, 12), (2, 10, 11)]
+    with _pytest.raises(ValueError, match="max_pairs_per_group"):
+        preference_pairs(df, "grp", "id", "score", max_pairs_per_group=0)
+
+
+def test_curriculum_order_stages(spark):
+    import pytest as _pytest
+
+    from lightfusion_spark.operators.curation import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(10)], "id long, score double"
+    )
+    out = curriculum_order(df, "id", "score", n_stages=4).collect()
+    assert len(out) == 10
+    stages = {}
+    for r in out:
+        stages.setdefault(r["stage"], []).append(r)
+    # NTILE: first (10 % 4) = 2 stages get 3 rows, the rest 2
+    assert sorted(len(v) for v in stages.values()) == [2, 2, 3, 3]
+    assert len(stages[1]) == 3 and len(stages[2]) == 3
+    # ascending: stage 1 holds the LOWEST scores (ids 8,9 have scores 92,91)
+    assert {r["id"] for r in stages[1]} == {7, 8, 9}
+    # stage_pos is 1..len within each stage following the same order
+    for v in stages.values():
+        assert sorted(r["stage_pos"] for r in v) == list(range(1, len(v) + 1))
+    # descending flips stage membership
+    rev = curriculum_order(df, "id", "score", n_stages=4, ascending=False).collect()
+    rev_stages = {}
+    for r in rev:
+        rev_stages.setdefault(r["stage"], set()).add(r["id"])
+    assert rev_stages[1] == {0, 1, 2}
+    # NULL scores refused loudly
+    with_null = spark.createDataFrame(
+        [(1, 1.0), (2, None)], "id long, score double"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        curriculum_order(with_null, "id", "score")
+    with _pytest.raises(ValueError, match="n_stages"):
+        curriculum_order(df, "id", "score", n_stages=0)
+
+
+def test_decontaminate_fuzzy_catches_near_matches(spark):
+    from lightfusion_spark.operators.curation import decontaminate_fuzzy
+
+    bench_text = "the quick brown fox jumps over the lazy dog every single day"
+    near = bench_text.replace("lazy", "sleepy")  # light paraphrase
+    clean = "completely unrelated content about spark shuffle partitioning"
+    corpus = spark.createDataFrame(
+        [(1, bench_text), (2, near), (3, clean)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in decontaminate_fuzzy(corpus, bench, "doc_id", "text").collect()
+    }
+    assert set(got) == {1, 2, 3}  # every corpus row emitted
+    assert got[1]["contaminated"] and got[1]["max_jaccard"] == 1.0
+    assert got[2]["contaminated"] and 0.5 <= got[2]["max_jaccard"] < 1.0
+    assert not got[3]["contaminated"]
+    assert got[3]["max_jaccard"] is None and got[3]["n_bench_matches"] == 0
