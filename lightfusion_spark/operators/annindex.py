@@ -1,0 +1,174 @@
+"""Persisted IVF index: build once, search many.
+
+Every ANN operator in ``operators.similarity`` trains its coarse
+quantizer per call — correct for the oracle-replay contract, wasteful
+for the production shape, where one corpus serves thousands of query
+batches.  This module splits the two phases at a storage boundary:
+
+* :func:`build_ivf_index` — train the deterministic k-means codebook,
+  assign the corpus, and persist BOTH as parquet: a tiny ``centroids``
+  table and a ``cells`` table **partitioned by centroid_id**, plus a
+  one-row ``meta`` table pinning the knobs the index was built with.
+* :func:`search_ivf_index` — load the codebook (centroid-count rows),
+  assign the query batch, and probe only its cells.  The probed cell
+  ids are collected into a LITERAL ``isin`` filter on the partition
+  column, so the scan reads **only the probed cell directories** —
+  static partition pruning, visible in the plan's PartitionFilters and
+  measured by the files-read test.
+
+Scale (100 TB): the index build is the one full-corpus pass (k-means
+is linear per iteration, the assignment write is one shuffle-free
+projection plus the partitioned write); after that a query batch costs
+``nprobe x |queries|`` cell scans regardless of corpus size — the
+corpus is never re-read, never re-trained, never re-assigned.  The
+parity contract stays intact: with ``nprobe=1`` the search result is
+bit-identical to ``topk_cosine_ivf_kmeans`` at the same knobs
+(test-pinned), because the persisted assignment IS that operator's
+intermediate state and parquet round-trips doubles exactly.
+
+Reference parity note: the reference engine (milenkovicm/lightfusion)
+has no index persistence — this is part of the large-scale
+training-pipeline layer the repo adds beyond reference scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .similarity import (
+    as_double,
+    assign_to_centroids,
+    assign_topn_centroids,
+    cosine_expr,
+    kmeans_centroids,
+)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    round_digits: int = 6,
+) -> dict:
+    """Train and persist an IVF index under ``path``; returns the
+    manifest dict that was written (n_centroids, dim, n_rows, knobs).
+
+    Layout::
+
+        {path}/centroids/   (centroid_id, _cent)            — codebook
+        {path}/cells/       (id, _v) partitioned by centroid_id
+        {path}/meta/        one row: the build knobs + corpus stats
+
+    The cells table stores the (already cast-to-double) vectors so a
+    search needs ONLY the index — the source corpus can be cold
+    storage.  Writing ``partitionBy("centroid_id")`` is what buys the
+    search-side pruning: each cell is its own directory, and a probe
+    filter on the partition column never opens the others.
+    """
+    cents = kmeans_centroids(
+        corpus, id_col, vec_col, n_centroids, n_iters, round_digits
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    assign = assign_to_centroids(corpus, cents, id_col, vec_col, round_digits)
+    assign.select(F.col(id_col), F.col("_v"), F.col("centroid_id")).write.partitionBy(
+        "centroid_id"
+    ).mode("overwrite").parquet(f"{path}/cells")
+    spark = corpus.sparkSession
+    dim_row = corpus.select(F.size(as_double(vec_col)).alias("d")).first()
+    meta = {
+        "id_col": id_col,
+        "n_centroids": int(n_centroids),
+        "n_iters": int(n_iters),
+        "round_digits": int(round_digits),
+        "dim": int(dim_row["d"]) if dim_row else 0,
+        "n_rows": int(corpus.count()),
+    }
+    spark.createDataFrame(
+        [tuple(meta.values())],
+        schema=(
+            "id_col string, n_centroids int, n_iters int, round_digits int, "
+            "dim int, n_rows bigint"
+        ),
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    return meta
+
+
+def read_index_meta(spark: SparkSession, path: str) -> dict:
+    row = spark.read.parquet(f"{path}/meta").first()
+    return row.asDict()
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Top-``k`` cosine search of a persisted index: ``(query_id,
+    neighbor_id, rank, cos_sim)``.  ``nprobe`` probes each query's
+    nearest cells (the recall knob); duplicates cannot arise because
+    the corpus side keeps its unique build-time cell assignment.
+
+    The probed cell set is collected (bounded by ``nprobe x
+    |queries|`` — query batches are small by definition; a corpus-sized
+    "query" side is a k-NN graph, built corpus-side by
+    ``similarity.knn_graph``) and pushed as a literal partition filter,
+    so only those cell directories are scanned.  Dimension mismatches
+    against the build-time manifest are refused loudly rather than
+    producing NaN cosines.
+    """
+    meta = read_index_meta(spark, path)
+    round_digits = int(meta["round_digits"])
+    qdim_row = queries.select(F.size(as_double(vec_col)).alias("d")).first()
+    if qdim_row and int(qdim_row["d"]) != int(meta["dim"]):
+        raise ValueError(
+            f"search_ivf_index: query dim {qdim_row['d']} != index dim "
+            f"{meta['dim']} (built at {path})"
+        )
+    cents = spark.read.parquet(f"{path}/centroids")
+    if nprobe == 1:
+        q_assign = assign_to_centroids(queries, cents, id_col, vec_col, round_digits)
+    else:
+        q_assign = assign_topn_centroids(
+            queries, cents, id_col, vec_col, nprobe, round_digits
+        )
+    q = q_assign.select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("_qv"), "centroid_id"
+    ).localCheckpoint(eager=True)
+    probed = sorted({r["centroid_id"] for r in q.select("centroid_id").collect()})
+    cells = (
+        spark.read.parquet(f"{path}/cells")
+        # literal partition filter: ONLY the probed cell directories open
+        .where(F.col("centroid_id").isin(probed))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("_v").alias("_cv"),
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+        )
+    )
+    scored = (
+        q.join(cells, "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), round_digits).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

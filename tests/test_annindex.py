@@ -1,0 +1,109 @@
+"""Persisted IVF index: build-once/search-many parity + pruning.
+
+Filesystem-by-nature (the operator's whole point is the storage
+boundary), so pytest-verified rather than driver-faced — the parity
+pin against ``topk_cosine_ivf_kmeans`` ties it to a driver-green
+operator (`pipe_sim_ivf_kmeans`'s machinery) instead.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lightfusion_spark.operators import annindex, similarity
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "idx")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    meta = annindex.build_ivf_index(
+        emb, path, "vec_id", "embedding", n_centroids=8, n_iters=2
+    )
+    return path, emb, meta
+
+
+def test_search_matches_train_per_call_path(spark, built_index):
+    # nprobe=1 search of the persisted index must be BIT-identical to the
+    # train-per-call operator at the same knobs: the persisted assignment
+    # IS that operator's intermediate state, and parquet round-trips
+    # doubles exactly.
+    path, emb, meta = built_index
+    q = emb.where(F.col("vec_id") < 10)
+    got = annindex.search_ivf_index(spark, path, q, "vec_id", "embedding", k=3)
+    want = similarity.topk_cosine_ivf_kmeans(
+        emb, q, "vec_id", "embedding", n_centroids=8, n_iters=2, k=3
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_meta_manifest(spark, built_index):
+    path, emb, meta = built_index
+    assert meta["n_rows"] == emb.count()
+    assert meta["n_centroids"] == 8
+    on_disk = annindex.read_index_meta(spark, path)
+    assert on_disk == meta
+
+
+def test_search_reads_only_probed_cells(spark, built_index):
+    # the pruning claim, measured: the files the search actually touched
+    # (input_file_name over the joined cells) lie ONLY under the probed
+    # cell directories — not all cells that exist on disk.
+    path, emb, meta = built_index
+    q = emb.where(F.col("vec_id") < 4)
+    cents = spark.read.parquet(f"{path}/centroids")
+    probed = {
+        r["centroid_id"]
+        for r in similarity.assign_to_centroids(
+            q, cents, "vec_id", "embedding", 6
+        ).collect()
+    }
+    all_cells = {
+        int(d.split("=")[1])
+        for d in os.listdir(f"{path}/cells")
+        if d.startswith("centroid_id=")
+    }
+    assert probed < all_cells  # a strict subset, or the test proves nothing
+    touched = (
+        spark.read.parquet(f"{path}/cells")
+        .where(F.col("centroid_id").isin(sorted(probed)))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    touched_cells = {
+        int(part.split("=")[1])
+        for r in touched
+        for part in r["f"].split("/")
+        if part.startswith("centroid_id=")
+    }
+    assert touched_cells == probed
+
+
+def test_nprobe_widens_candidates_not_duplicates(spark, built_index):
+    path, emb, meta = built_index
+    q = emb.where(F.col("vec_id") < 10)
+    r1 = annindex.search_ivf_index(spark, path, q, "vec_id", "embedding", k=3, nprobe=1)
+    r2 = annindex.search_ivf_index(spark, path, q, "vec_id", "embedding", k=3, nprobe=2)
+    # no (query, neighbor) duplicates at nprobe=2
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in r2.collect()]
+    assert len(pairs) == len(set(pairs))
+    # wider probing can only improve (or tie) each query's best cosine
+    best1 = {r["query_id"]: r["cos_sim"] for r in r1.where("rank = 1").collect()}
+    best2 = {r["query_id"]: r["cos_sim"] for r in r2.where("rank = 1").collect()}
+    assert set(best1) <= set(best2)
+    assert all(best2[k] >= best1[k] for k in best1)
+
+
+def test_dim_mismatch_refused(spark, built_index):
+    path, emb, meta = built_index
+    bad = emb.select(
+        "vec_id", F.slice("embedding", 1, meta["dim"] - 1).alias("embedding")
+    ).limit(2)
+    with pytest.raises(ValueError, match="dim"):
+        annindex.search_ivf_index(spark, path, bad, "vec_id", "embedding", k=3)

@@ -640,6 +640,55 @@ def main() -> None:
         lambda: text_mod.ngram_lm_score(docs10, "doc_id", "text", k=0.5).count(),
     )
 
+    # round-10: build-once/search-many A/B for the persisted IVF index
+    # (operators/annindex.py) — the production amortization claim,
+    # measured: 1 build + M searches vs M train-per-call searches.
+    if not ONLY or any(s in "ann_index_amortization" for s in ONLY):
+        import shutil
+        import tempfile
+
+        from lightfusion_spark.operators import annindex
+
+        emb10 = inflate(emb, 10, "vec_id", 1_000_000)
+        idx_dir = tempfile.mkdtemp(prefix="scalecheck_ivf_")
+        try:
+            batches = [
+                emb10.where((F.col("vec_id") % 1_000_003) % 97 == i).limit(20)
+                .localCheckpoint(eager=True)
+                for i in range(5)
+            ]
+            t0 = time.time()
+            annindex.build_ivf_index(
+                emb10, idx_dir, "vec_id", "embedding", n_centroids=16, n_iters=2
+            )
+            t_build = time.time() - t0
+            t0 = time.time()
+            for b in batches:
+                annindex.search_ivf_index(
+                    spark, idx_dir, b, "vec_id", "embedding", k=3
+                ).count()
+            t_search5 = time.time() - t0
+            t0 = time.time()
+            for b in batches:
+                similarity.topk_cosine_ivf_kmeans(
+                    emb10, b, "vec_id", "embedding",
+                    n_centroids=16, n_iters=2, k=3,
+                ).count()
+            t_retrain5 = time.time() - t0
+            print(
+                json.dumps(
+                    {
+                        "scenario": "ann_index_amortization",
+                        "corpus": 10 * n_emb,
+                        "build_sec": round(t_build, 2),
+                        "search_5_batches_sec": round(t_search5, 2),
+                        "train_per_call_5_batches_sec": round(t_retrain5, 2),
+                    }
+                )
+            )
+        finally:
+            shutil.rmtree(idx_dir, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()
