@@ -1688,6 +1688,51 @@ def pipe_sim_ivf(spark, sf_dir):
 
 
 @register(
+    "pipe_diversity_sample",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS centroid_id, v AS cent FROM e ORDER BY vec_id LIMIT 16),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, cents.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_inner_product(e.v, cents.cent)
+                          / (sqrt(list_inner_product(e.v, e.v))
+                             * sqrt(list_inner_product(cents.cent, cents.cent))), 6) DESC,
+                          cents.centroid_id) AS rn
+        FROM e CROSS JOIN cents) t
+      WHERE rn = 1
+    ),
+    pri AS (
+      SELECT vec_id, centroid_id,
+             CAST('0x' || substr(md5('3:' || CAST(vec_id AS VARCHAR)), 1, 14)
+                  AS BIGINT) AS p
+      FROM assign
+    )
+    SELECT vec_id, centroid_id, CAST(rn AS INTEGER) AS sample_rank FROM (
+      SELECT vec_id, centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY centroid_id
+                                ORDER BY p, vec_id) AS rn
+      FROM pri) t
+    WHERE rn <= 5
+    """,
+    doc="cluster-stratified diversity sampling (curation.diversity_sample): "
+    "assign every vector to its coarse IVF cell, keep the top 5 per cell "
+    "by deterministic md5 priority — the eval-set/annotation-batch "
+    "constructor a uniform sample gets wrong (uniform reproduces cluster "
+    "skew; capping per cell makes every occupied region of embedding "
+    "space contribute).  Broadcast centroids, one Arrow GEMM assignment "
+    "pass, WindowGroupLimit-pruned per-cell top-k",
+)
+def pipe_diversity_sample(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    return curation.diversity_sample(
+        e, "vec_id", "embedding", quota_per_cluster=5, n_centroids=16, seed=3
+    )
+
+
+@register(
     "pipe_sim_ivf_probe2",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

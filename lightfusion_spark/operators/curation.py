@@ -923,3 +923,58 @@ def decontaminate_fuzzy(
             (F.coalesce("n_bench_matches", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def diversity_sample(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    quota_per_cluster: int,
+    n_centroids: int = 16,
+    seed: int = 0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cluster-stratified sampling over an embedding column: assign each
+    vector to its coarse cell (the deterministic IVF quantizer), then
+    keep up to ``quota_per_cluster`` rows per cell by deterministic
+    hash priority.  Emits ``(id, centroid_id, sample_rank)``.
+
+    This is the eval-set / few-shot-pool / annotation-batch constructor
+    a uniform sample gets wrong: uniform sampling reproduces the
+    corpus's cluster skew, so head topics swamp the tail and the sample
+    "covers" only what was already overrepresented.  Capping per cell
+    guarantees every occupied region of embedding space contributes, at
+    the cost of deliberately non-proportional rates — the same
+    trade :func:`temperature_mixture_sample` makes for source strata,
+    here for semantic strata that no metadata column captures.
+
+    Determinism: cell assignment is the seeded-centroid GEMM the IVF
+    faces replay in SQL; the in-cell priority is the md5 uniform of
+    ``(seed, id)`` — a pure function of the data, reproducible across
+    engines, partitionings, and re-runs.
+
+    Scale (100 TB): centroids broadcast (literal-inlined); assignment
+    is one Arrow-batched GEMM pass; the per-cell top-``quota`` is a
+    rank window whose partial (WindowGroupLimit) prunes each partition
+    to its local top rows BEFORE the exchange, so the shuffle carries
+    ~``quota x partitions`` rows per cell, never the corpus.
+    """
+    if quota_per_cluster < 1:
+        raise ValueError(
+            "diversity_sample: quota_per_cluster must be >= 1, got "
+            f"{quota_per_cluster}"
+        )
+    from .similarity import assign_to_centroids, seed_centroids
+
+    cents = seed_centroids(corpus, id_col, vec_col, n_centroids)
+    assign = assign_to_centroids(corpus, cents, id_col, vec_col, round_digits)
+    pri = _md5_long(F.col(id_col).cast("string"), seed=seed)
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.col("_pri").asc(), F.col(id_col).asc()
+    )
+    return (
+        assign.select(F.col(id_col), F.col("centroid_id"), pri.alias("_pri"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= quota_per_cluster)
+        .select(id_col, "centroid_id", "sample_rank")
+    )

@@ -491,3 +491,31 @@ def test_decontaminate_fuzzy_catches_near_matches(spark):
     assert got[2]["contaminated"] and 0.5 <= got[2]["max_jaccard"] < 1.0
     assert not got[3]["contaminated"]
     assert got[3]["max_jaccard"] is None and got[3]["n_bench_matches"] == 0
+
+
+def test_diversity_sample_quota_and_determinism(spark, sf_dir):
+    import pytest as _pytest
+
+    from lightfusion_spark.operators.curation import diversity_sample
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = diversity_sample(e, "vec_id", "embedding", quota_per_cluster=3,
+                           n_centroids=8, seed=1)
+    rows = out.collect()
+    per_cell = {}
+    for r in rows:
+        per_cell.setdefault(r["centroid_id"], []).append(r["sample_rank"])
+    # quota respected, ranks dense from 1
+    for ranks in per_cell.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+    # deterministic across re-runs and partitionings
+    again = diversity_sample(e.repartition(7), "vec_id", "embedding",
+                             quota_per_cluster=3, n_centroids=8, seed=1)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    # a different seed picks a different sample (overwhelmingly likely)
+    other = diversity_sample(e, "vec_id", "embedding", quota_per_cluster=3,
+                             n_centroids=8, seed=2)
+    assert {r["vec_id"] for r in rows} != {r["vec_id"] for r in other.collect()}
+    with _pytest.raises(ValueError, match="quota_per_cluster"):
+        diversity_sample(e, "vec_id", "embedding", quota_per_cluster=0)
