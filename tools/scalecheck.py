@@ -640,6 +640,35 @@ def main() -> None:
         lambda: text_mod.ngram_lm_score(docs10, "doc_id", "text", k=0.5).count(),
     )
 
+    # round-10 late addition: 1x/10x curve for the new heavy operator
+    # (fuzzy decontamination = the full cross-corpus MinHash machinery;
+    # the corpus side is the 10x-inflated table, the bench side stays
+    # fixed — the realistic geometry, and the one that must stay linear).
+    from lightfusion_spark.operators import curation as cur_mod
+
+    bench_docs = docs.where(F.col("doc_id") % 10 == 9).localCheckpoint(eager=True)
+
+    def _noop(df):
+        # .count() is NOT a valid forcing function here: the verdict's
+        # left join has unique right-side keys, so Catalyst eliminates
+        # it under count() and skips the entire MinHash pipeline.  The
+        # noop sink evaluates every column (same forcing bench.py uses).
+        df.write.format("noop").mode("overwrite").save()
+
+    curve(
+        "curve_decontaminate_fuzzy",
+        lambda: _noop(
+            cur_mod.decontaminate_fuzzy(
+                docs.where(F.col("doc_id") % 10 != 9), bench_docs, "doc_id", "text"
+            )
+        ),
+        lambda: _noop(
+            cur_mod.decontaminate_fuzzy(
+                docs10.where(F.col("doc_id") % 10 != 9), bench_docs, "doc_id", "text"
+            )
+        ),
+    )
+
     # round-10: build-once/search-many A/B for the persisted IVF index
     # (operators/annindex.py) — the production amortization claim,
     # measured: 1 build + M searches vs M train-per-call searches.
