@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "pipe_decontaminate_fuzzy",
     "rel_tpch_q8_shape",
     "pipe_preference_pairs",
+    "pipe_sketch_hll",
 ]
 
 

@@ -3512,6 +3512,66 @@ def pipe_sketch_cms(spark, sf_dir):
     )
 
 
+@register(
+    "pipe_sketch_hll",
+    oracle="""
+    SELECT event_type AS stratum,
+           COUNT(DISTINCT user_id) AS exact_distinct,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS stratum,
+           COUNT(DISTINCT user_id) AS exact_distinct,
+           TRUE AS est_within_5pct
+    FROM events
+    """,
+    doc="mergeable HLL distinct-count sketches (sketch.hll_sketches / "
+    "hll_estimate, the Spark-4 DataSketches surface): one KB-sized "
+    "sketch per event_type, then the GLOBAL cardinality estimated from "
+    "the per-stratum sketches ALONE (hll_union_agg — the raw data is "
+    "never re-read; the 'ALL' row is the merge property made visible).  "
+    "Sketch binaries are engine-specific, so the face verifies every "
+    "estimate against the exact distinct within the lg_k=12 error "
+    "bound (the rel_approx_sketch boolean pattern); at 100 TB the "
+    "per-day/per-source sketch table replaces COUNT(DISTINCT) re-scans",
+)
+def pipe_sketch_hll(spark, sf_dir):
+    from ..operators import sketch
+
+    ev = table(spark, sf_dir, "events")
+    sk = sketch.hll_sketches(ev, "event_type", "user_id", lg_k=12)
+    within = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact) <= 0.05 * exact
+    )
+    exact_per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    per = (
+        sketch.hll_estimate(sk, ["event_type"])
+        .join(exact_per, "event_type")
+        .select(
+            F.col("event_type").alias("stratum"),
+            "exact_distinct",
+            within(F.col("n_distinct_est"), F.col("exact_distinct")).alias(
+                "est_within_5pct"
+            ),
+        )
+    )
+    exact_all = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    glob = (
+        sketch.hll_estimate(sk)
+        .crossJoin(exact_all)
+        .select(
+            F.lit("ALL").alias("stratum"),
+            "exact_distinct",
+            within(F.col("n_distinct_est"), F.col("exact_distinct")).alias(
+                "est_within_5pct"
+            ),
+        )
+    )
+    return per.unionAll(glob)
+
+
 def _jl_topk_oracle(
     in_dim: int = 64,
     out_dim: int = 16,

@@ -59,19 +59,19 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: + 6 per-category §2.3 representatives from the r07/r08 blocks, each
 #: its family's STALEST verified sibling (rel_distinct, rel_window_lag,
 #: rel_topk_group, rel_set_intersect, udtf_split_words, rel_percentile)
-#: + 7 more NEW faces landed later in the round (TPC-H q7/q8/q9
+#: + 8 more NEW faces landed later in the round (TPC-H q7/q8/q9
 #: shapes, preference pairs, curriculum ordering, fuzzy
-#: decontamination, diversity sampling)
-#: + 10 rows of the r06 block: its four rel family reps (rel_agg_q1,
+#: decontamination, diversity sampling, mergeable HLL sketches)
+#: + 9 rows of the r06 block: its four rel family reps (rel_agg_q1,
 #: rel_subquery_in_exists, rel_scalar_math, rel_lateral_join) and the
 #: alphabetical first 15 of the remainder MINUS the nine rows the
 #: nine late new faces displaced (pipe_lm_score,
 #: pipe_multimodal_codec, then pipe_decontaminate, pipe_dedup_minhash,
 #: pipe_dedup_minhash_incr, pipe_dedup_semantic, pipe_dedup_simhash,
-#: pipe_dedup_spans, pipe_chunk_bpe — all keep their r06 green rows
-#: and head the r11 backlog).
-#: 4+15+1+4+10+6+10 = 50 exactly.  The round-11 re-window backlog is
-#: the 26 remaining r06 rows (the 7 displaced rows
+#: pipe_dedup_spans, pipe_chunk_bpe, events_windowed_stats — all keep
+#: their r06 green rows and head the r11 backlog).
+#: 4+16+1+4+10+6+9 = 50 exactly.  The round-11 re-window backlog is
+#: the 27 remaining r06 rows (the 8 displaced rows
 #: above, pipe_lm_score, pipe_multimodal_codec,
 #: pipe_multimodal_decode/_jpeg/_png/_video/_wav, pipe_pack_bpe,
 #: pipe_quality_filter, pipe_quality_model, pipe_sim_ivf_kmeans,
@@ -119,6 +119,10 @@ PRIORITY: list[str] = [
     # ... and cluster-stratified diversity sampling (displaces
     # pipe_chunk_bpe — r06 green — to the r11 backlog).
     "pipe_diversity_sample",
+    # ... and mergeable HLL distinct-count sketches (displaces
+    # events_windowed_stats — r06 green, its family still repped by
+    # four sibling events rows — to the r11 backlog).
+    "pipe_sketch_hll",
     # Changed face: redaction composed into the e2e curation chain
     # (new n_redacted column + dedup re-keyed on redacted text), so
     # the r06 green row no longer vouches for today's output.
@@ -161,7 +165,6 @@ PRIORITY: list[str] = [
     "events_asof_join",
     "events_range_join",
     "events_sessionize",
-    "events_windowed_stats",
     "pipe_e2e_model_curation",
 ]
 
@@ -185,6 +188,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "events_ohlc",
         "events_stream_join",
         "events_stream_join_full",
+        "events_windowed_stats",
         "grouped_map_centroid",
         "pipe_bpe_train",
         "pipe_chunk_bpe",

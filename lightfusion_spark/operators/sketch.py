@@ -102,3 +102,45 @@ def cms_estimate(
         joined.groupBy(key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_count"))
     )
+
+
+def hll_sketches(
+    df: DataFrame, stratum_col: str, key_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-stratum mergeable HLL sketches: ``(stratum, hll_sketch)``.
+
+    The 100 TB distinct-count pattern: each stratum (a source, a day, a
+    shard) keeps a KB-sized Datasketches HLL binary instead of its key
+    set, and ANY later slice's cardinality is a sketch union
+    (:func:`hll_estimate`) — never a re-scan of the data.  Relative
+    error is ~1.04/sqrt(2^lg_k) (±1.6% at the default lg_k=12), and
+    union does not degrade the bound.  One map-side-combinable groupBy;
+    the sketch column persists to parquet like any binary column, so a
+    daily pipeline appends one sketch row per stratum per run.
+
+    Spark-4 surface (`hll_sketch_agg`, Apache DataSketches HLL);
+    engine-specific binaries, so faces verify the ESTIMATE against the
+    exact count within the error bound (the `rel_approx_sketch`
+    boolean-verification pattern) rather than hashing sketch bytes.
+    """
+    return df.groupBy(stratum_col).agg(
+        F.expr(f"hll_sketch_agg({key_col}, {int(lg_k)})").alias("hll_sketch")
+    )
+
+
+def hll_estimate(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Union-merge HLL sketches and estimate: one row per group (or ONE
+    global row with ``group_cols=None``) with ``n_distinct_est``.  The
+    merge is the whole point: the global estimate comes from the
+    per-stratum sketches alone — the raw data is never re-read.
+    """
+    est = F.expr(f"hll_sketch_estimate(hll_union_agg({sketch_col}))").alias(
+        "n_distinct_est"
+    )
+    if group_cols:
+        return sketches.groupBy(*group_cols).agg(est)
+    return sketches.agg(est)

@@ -59,3 +59,47 @@ def test_cms_rejects_bad_geometry(spark, stream):
         sketch.cms_build(stream, "term", w=64, d=9)
     with pytest.raises(ValueError, match="w must be"):
         sketch.cms_build(stream, "term", w=1, d=3)
+
+
+@pytest.fixture(scope="module")
+def strata(spark):
+    # 3 strata with overlapping key sets: a={0..599}, b={300..899},
+    # c={600..1199} -> per-stratum 600 distinct, global 1200 distinct.
+    rows = [(s, k + off) for s, off in (("a", 0), ("b", 300), ("c", 600))
+            for k in range(600)]
+    return spark.createDataFrame(rows, "src string, user int")
+
+
+def test_hll_estimates_within_bound(spark, strata):
+    """Per-stratum estimates land inside the lg_k=12 relative-error bound
+    (~1.04/sqrt(4096) = 1.6%; assert 5% so the test can't flake)."""
+    sk = sketch.hll_sketches(strata, "src", "user", lg_k=12)
+    est = {r["src"]: r["n_distinct_est"]
+           for r in sketch.hll_estimate(sk, ["src"]).collect()}
+    assert set(est) == {"a", "b", "c"}
+    for s in est:
+        assert abs(est[s] - 600) <= 0.05 * 600, (s, est[s])
+
+
+def test_hll_union_estimates_global_without_rescan(spark, strata):
+    """The merge property: the GLOBAL cardinality from the three KB-sized
+    per-stratum sketches alone — overlapping keys must not double-count
+    (600*3 = 1800 rows of keys but only 1200 distinct)."""
+    sk = sketch.hll_sketches(strata, "src", "user", lg_k=12).localCheckpoint()
+    glob = sketch.hll_estimate(sk).first()["n_distinct_est"]
+    assert abs(glob - 1200) <= 0.05 * 1200, glob
+    # and the union bound does not degrade: same answer as sketching the
+    # whole stream in one pass
+    one_pass = sketch.hll_sketches(
+        strata.withColumn("src", F.lit("all")), "src", "user", lg_k=12
+    )
+    direct = sketch.hll_estimate(one_pass).first()["n_distinct_est"]
+    assert glob == direct
+
+
+def test_hll_sketch_is_kb_sized(spark, strata):
+    """The 100 TB point: a stratum's sketch is O(2^lg_k) bytes no matter
+    how many rows it saw."""
+    sk = sketch.hll_sketches(strata, "src", "user", lg_k=12)
+    sizes = [len(r["hll_sketch"]) for r in sk.collect()]
+    assert all(s <= 6 * 4096 for s in sizes), sizes
