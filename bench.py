@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "rel_tpch_q8_shape",
     "pipe_preference_pairs",
     "pipe_sketch_hll",
+    "pipe_sketch_quantile",
+    "pipe_nb_domain",
 ]
 
 

@@ -3572,6 +3572,140 @@ def pipe_sketch_hll(spark, sf_dir):
     return per.unionAll(glob)
 
 
+@register(
+    "pipe_sketch_quantile",
+    oracle=r"""
+    WITH binned AS (
+      SELECT event_type AS stratum,
+             CAST(LEAST(63, GREATEST(0,
+                  CAST(FLOOR((value - 0.0) / 8.0) AS INT))) AS INT) AS bin,
+             COUNT(*) AS cnt
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    strata AS (
+      SELECT stratum, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY stratum ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY stratum) AS total
+      FROM binned
+    ),
+    gbins AS (SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+              FROM binned GROUP BY bin),
+    gmerged AS (
+      SELECT 'ALL' AS stratum, bin, cnt,
+             SUM(cnt) OVER (ORDER BY bin) AS cum,
+             SUM(cnt) OVER () AS total
+      FROM gbins
+    ),
+    allrows AS (SELECT * FROM strata UNION ALL SELECT * FROM gmerged),
+    qs AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS q)
+    SELECT stratum, q,
+           0.0 + 8.0 * (CAST(bin AS DOUBLE)
+             + (q * CAST(total AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+               / CAST(cnt AS DOUBLE)) AS est
+    FROM allrows, qs
+    WHERE CAST(cum AS DOUBLE) >= q * CAST(total AS DOUBLE)
+      AND CAST(cum - cnt AS DOUBLE) < q * CAST(total AS DOUBLE)
+    """,
+    doc="mergeable quantile histograms (sketch.hist_sketch / "
+    "hist_quantiles — the third mergeable-summary leg after CMS and "
+    "HLL): per-event-type p50/p90/p99 of value over a fixed 64-bin "
+    "[0,512) grid, plus the GLOBAL quantiles computed from the "
+    "per-stratum bin rows ALONE (the 'ALL' rows are the merge property "
+    "made visible — the raw data is never re-sorted).  Counts are "
+    "integers and the interpolation is row-level IEEE arithmetic, so "
+    "unlike the HLL face the ESTIMATES themselves hash-compare "
+    "bit-for-bit; max error is one bin width by construction",
+)
+def pipe_sketch_quantile(spark, sf_dir):
+    from ..operators import sketch
+
+    ev = table(spark, sf_dir, "events")
+    sk = sketch.hist_sketch(ev, "event_type", "value", lo=0.0, hi=512.0, n_bins=64)
+    qs = [0.5, 0.9, 0.99]
+    per = sketch.hist_quantiles(
+        sk, qs, lo=0.0, hi=512.0, n_bins=64, group_cols=["event_type"]
+    ).select(F.col("event_type").alias("stratum"), "q", "est")
+    glob = sketch.hist_quantiles(sk, qs, lo=0.0, hi=512.0, n_bins=64).select(
+        F.lit("ALL").alias("stratum"), "q", "est"
+    )
+    return per.unionAll(glob)
+
+
+@register(
+    "pipe_nb_domain",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, source AS label,
+             unnest(string_split_regex(lower(text), '\s+')) AS token
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, label, token FROM tk WHERE token <> ''),
+    counts AS (SELECT label, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT DISTINCT token FROM counts),
+    vsize AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM vocab),
+    tc AS (SELECT label, CAST(SUM(c) AS BIGINT) AS tc
+           FROM counts GROUP BY label),
+    classes AS (SELECT source AS label, COUNT(*) AS n_docs
+                FROM documents GROUP BY 1),
+    ntot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    priors AS (
+      SELECT label,
+             CAST(FLOOR(ROUND(LN(CAST(n_docs AS DOUBLE) / n), 6)
+                        * 1000000.0 + 0.5) AS BIGINT) AS prior_micro
+      FROM classes, ntot
+    ),
+    model AS (
+      SELECT cl.label, vb.token,
+             CAST(FLOOR(ROUND(LN(
+                    (CAST(COALESCE(c.c, 0) AS DOUBLE) + 1.0)
+                    / (CAST(t.tc AS DOUBLE) + 1.0 * v.v)), 6)
+                  * 1000000.0 + 0.5) AS BIGINT) AS lp_micro
+      FROM classes cl
+      CROSS JOIN vocab vb
+      LEFT JOIN counts c ON c.label = cl.label AND c.token = vb.token
+      JOIN tc t ON t.label = cl.label, vsize v
+    ),
+    tokscore AS (
+      SELECT tks.doc_id, m.label,
+             CAST(SUM(m.lp_micro) AS BIGINT) AS tok_micro
+      FROM toks tks JOIN model m ON m.token = tks.token
+      GROUP BY 1, 2
+    ),
+    scoredall AS (
+      SELECT d.doc_id, p.label,
+             p.prior_micro + COALESCE(ts.tok_micro, 0) AS score_micro
+      FROM documents d
+      CROSS JOIN priors p
+      LEFT JOIN tokscore ts
+        ON ts.doc_id = d.doc_id AND ts.label = p.label
+    )
+    SELECT doc_id, label AS pred, score_micro
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score_micro DESC, label ASC) AS rn
+          FROM scoredall)
+    WHERE rn = 1
+    """,
+    doc="in-engine multinomial Naive Bayes domain classifier "
+    "(nbayes.train_naive_bayes / apply_naive_bayes): train "
+    "P(token|source) with add-1 smoothing over the documents table — "
+    "the CLOSED-FORM trained model beside the iterative probe; the "
+    "whole fit is one map-side-combinable token-count aggregation — "
+    "then argmax-posterior every doc (self-classification face: the "
+    "DSIR/CCNet-style domain router used for mixture reweighting).  "
+    "Log-probs are ROUND(LN(...),6) then summed as scaled BIGINTs, so "
+    "the per-doc scores and deterministic (score DESC, label ASC) "
+    "argmax hash-compare exactly; the oracle replays training AND "
+    "scoring end-to-end",
+)
+def pipe_nb_domain(spark, sf_dir):
+    from ..operators import nbayes
+
+    d = table(spark, sf_dir, "documents")
+    priors, model = nbayes.train_naive_bayes(d, "source", "text")
+    return nbayes.apply_naive_bayes(d, "doc_id", "text", priors, model)
+
+
 def _jl_topk_oracle(
     in_dim: int = 64,
     out_dim: int = 16,

@@ -144,3 +144,103 @@ def hll_estimate(
     if group_cols:
         return sketches.groupBy(*group_cols).agg(est)
     return sketches.agg(est)
+
+
+def hist_sketch(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Per-stratum mergeable quantile histograms: ``(stratum, bin, cnt)``.
+
+    The third leg of the mergeable-summary trio (CMS = frequencies,
+    HLL = distinct counts, this = quantiles; Agarwal et al. 2013,
+    "Mergeable summaries"): each stratum keeps ``n_bins`` integer
+    counters over a fixed ``[lo, hi)`` grid, and ANY later slice's
+    quantiles come from summing the matching bin rows
+    (:func:`hist_quantiles`) — never a re-sort of the data.  One
+    map-side-combinable groupBy whose key space is capped at
+    ``strata × n_bins`` cells; merge = cell-wise addition, so partial
+    aggregation IS the merge and the error bound (one bin width =
+    ``(hi−lo)/n_bins``) survives union un-degraded — unlike sampling
+    approaches, which degrade as streams merge.
+
+    Unlike the HLL sketch (engine-specific binary), the histogram is
+    plain integer rows, so registered faces hash-verify the ESTIMATES
+    themselves.  Out-of-range values clamp into the edge bins (their
+    quantile estimates then saturate at the grid edge — pick ``lo``/
+    ``hi`` from domain knowledge or a footer-stats pass); NULLs are
+    ignored, matching SQL percentile semantics.
+    """
+    if not hi > lo:
+        raise ValueError(f"hist_sketch: need hi > lo, got [{lo}, {hi})")
+    if n_bins < 2:
+        raise ValueError(f"hist_sketch: need n_bins >= 2, got {n_bins}")
+    width = (hi - lo) / n_bins
+    b = F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(width))
+    b = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b.cast("int")))
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(stratum_col), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Estimate quantiles from histogram-sketch rows alone: one row per
+    (group, q) — or per q with ``group_cols=None``, which merges EVERY
+    sketch row into one global histogram (the merge property made
+    visible: the raw data is never re-read).
+
+    Estimate = linear interpolation inside the first bin whose
+    cumulative count reaches ``q·total``; max error is one bin width.
+    All arithmetic is row-level IEEE ops over integer counts, so
+    estimates replay bit-exactly across engines.  ``lo``/``hi``/
+    ``n_bins`` must match the :func:`hist_sketch` call (the sketch is
+    gridless rows; the grid is the caller's contract).  ``qs`` must lie
+    in (0, 1] — q=0 is the grid floor by definition, not a lookup.
+    """
+    if any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"hist_quantiles: qs must be in (0, 1], got {qs}")
+    width = (hi - lo) / n_bins
+    gcols = list(group_cols or [])
+    merged = sketch.groupBy(*gcols, "bin").agg(F.sum("cnt").alias("cnt"))
+    from pyspark.sql.window import Window
+
+    part = Window.partitionBy(*gcols)
+    cum = F.sum("cnt").over(part.orderBy("bin"))
+    total = F.sum("cnt").over(part)
+    rows = merged.select(
+        *gcols,
+        "bin",
+        "cnt",
+        cum.alias("cum"),
+        total.alias("total"),
+    ).select(
+        *gcols,
+        "bin",
+        "cnt",
+        "cum",
+        (F.col("cum") - F.col("cnt")).alias("cumb"),
+        "total",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    )
+    target = F.col("q") * F.col("total").cast("double")
+    est = F.lit(float(lo)) + F.lit(width) * (
+        F.col("bin").cast("double")
+        + (target - F.col("cumb").cast("double")) / F.col("cnt").cast("double")
+    )
+    return rows.where(
+        (F.col("cum").cast("double") >= target)
+        & (F.col("cumb").cast("double") < target)
+    ).select(*gcols, "q", est.alias("est"))

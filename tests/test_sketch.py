@@ -103,3 +103,65 @@ def test_hll_sketch_is_kb_sized(spark, strata):
     sk = sketch.hll_sketches(strata, "src", "user", lg_k=12)
     sizes = [len(r["hll_sketch"]) for r in sk.collect()]
     assert all(s <= 6 * 4096 for s in sizes), sizes
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    # stratum a: 1..100 uniform; stratum b: 101..200 uniform
+    rows = [("a", float(i)) for i in range(1, 101)] + [
+        ("b", float(i)) for i in range(101, 201)
+    ]
+    return spark.createDataFrame(rows, "src string, v double")
+
+
+def test_hist_quantiles_within_one_bin(spark, values):
+    """Uniform 1..100: every estimate lands within one bin width of the
+    true quantile."""
+    sk = sketch.hist_sketch(values, "src", "v", lo=0.0, hi=200.0, n_bins=50)
+    est = {
+        (r["src"], r["q"]): r["est"]
+        for r in sketch.hist_quantiles(
+            sk, [0.25, 0.5, 0.9], lo=0.0, hi=200.0, n_bins=50, group_cols=["src"]
+        ).collect()
+    }
+    width = 4.0
+    for (s, q), e in est.items():
+        truth = (1 if s == "a" else 101) + 99 * q
+        assert abs(e - truth) <= width, (s, q, e, truth)
+
+
+def test_hist_merge_equals_one_pass_global(spark, values):
+    """The merge property: quantiles from the two per-stratum sketches
+    alone == quantiles of a sketch built in one global pass."""
+    sk = sketch.hist_sketch(values, "src", "v", lo=0.0, hi=200.0, n_bins=50)
+    merged = sketch.hist_quantiles(sk, [0.5, 0.99], lo=0.0, hi=200.0, n_bins=50)
+    one = sketch.hist_sketch(
+        values.withColumn("src", F.lit("all")), "src", "v", lo=0.0, hi=200.0, n_bins=50
+    )
+    direct = sketch.hist_quantiles(one, [0.5, 0.99], lo=0.0, hi=200.0, n_bins=50)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_hist_q1_is_grid_end_and_clamping(spark):
+    """q=1 interpolates to the end of the last occupied bin; values
+    outside [lo, hi) clamp into the edge bins."""
+    df = spark.createDataFrame(
+        [("s", -5.0), ("s", 3.0), ("s", 999.0)], "src string, v double"
+    )
+    sk = sketch.hist_sketch(df, "src", "v", lo=0.0, hi=10.0, n_bins=10)
+    bins = sorted((r["bin"], r["cnt"]) for r in sk.collect())
+    assert bins == [(0, 1), (3, 1), (9, 1)]  # -5 -> bin 0, 999 -> bin 9
+    est = sketch.hist_quantiles(sk, [1.0], lo=0.0, hi=10.0, n_bins=10).first()
+    assert est["est"] == 10.0  # end of bin 9
+
+
+def test_hist_guards(spark, values):
+    with pytest.raises(ValueError, match="hi > lo"):
+        sketch.hist_sketch(values, "src", "v", lo=5.0, hi=5.0)
+    with pytest.raises(ValueError, match="n_bins"):
+        sketch.hist_sketch(values, "src", "v", lo=0.0, hi=1.0, n_bins=1)
+    sk = sketch.hist_sketch(values, "src", "v", lo=0.0, hi=200.0, n_bins=50)
+    with pytest.raises(ValueError, match="0, 1"):
+        sketch.hist_quantiles(sk, [0.0, 0.5], lo=0.0, hi=200.0, n_bins=50)
