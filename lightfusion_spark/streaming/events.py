@@ -802,3 +802,81 @@ def ewma_anomalies_batch(
         "group string, event_id long, ts_us long, value double, "
         "z double, is_anomaly boolean",
     )
+
+
+def hist_sketch_stream(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Streaming twin of ``sketch.hist_sketch``: keyed state holds the
+    group's ``n_bins`` integer bin counters — O(n_bins) per group
+    whatever the stream length — and each micro-batch emits the CURRENT
+    nonzero bins as ``(group, bin, cnt, n_processed)`` in update mode
+    (consumers take each group's rows at max ``n_processed`` and feed
+    them straight to ``sketch.hist_quantiles`` for live p50/p99).
+
+    Bin counting is ASSOCIATIVE and ORDER-INDEPENDENT, so unlike the
+    sequential EWMA fold this monitor's parity with the batch sketch is
+    bit-exact at any prefix with no ordering discipline at all — the
+    strongest stream-vs-batch guarantee in the repo, shared with the
+    reservoir.  Values clamp into the edge bins and NULLs are ignored,
+    exactly as in the batch operator (``n_processed`` counts folded,
+    i.e. non-NULL, values).
+
+    Implemented on ``applyInPandasWithState`` (the container lacks
+    google.protobuf for the transformWithStateInPandas port — same
+    documented seam as the other monitors).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not hi > lo:
+        raise ValueError(f"hist_sketch_stream: need hi > lo, got [{lo}, {hi})")
+    if n_bins < 2:
+        raise ValueError(f"hist_sketch_stream: need n_bins >= 2, got {n_bins}")
+    width = (hi - lo) / n_bins
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            counts_list, n_seen = state.get
+            counts = np.asarray(counts_list, dtype=np.int64)
+        else:
+            counts, n_seen = np.zeros(n_bins, dtype=np.int64), 0
+        for pdf in pdfs:
+            v = pdf["value"].dropna().to_numpy(dtype=np.float64)
+            if not len(v):
+                continue
+            b = np.clip(
+                np.floor((v - lo) / width).astype(np.int64), 0, n_bins - 1
+            )
+            counts += np.bincount(b, minlength=n_bins)
+            n_seen += len(v)
+        state.update((counts.tolist(), n_seen))
+        nz = np.flatnonzero(counts)
+        if len(nz):
+            yield pd.DataFrame(
+                {
+                    "group": key[0],
+                    "bin": nz,
+                    "cnt": counts[nz],
+                    "n_processed": n_seen,
+                }
+            )
+
+    ev = events.select(
+        F.col(group_col).alias("group"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return ev.groupBy("group").applyInPandasWithState(
+        update,
+        outputStructType="group string, bin int, cnt long, n_processed long",
+        stateStructType="counts array<long>, n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

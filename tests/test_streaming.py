@@ -785,3 +785,91 @@ def test_interval_join_right_outer_batch_semantics(spark, batch_events):
     assert orphans.count() == n_clicks - n_matched_clicks > 0
     # the coalesced key is never NULL, even on right-only rows
     assert right.where(F.col("user_id").isNull()).count() == 0
+
+
+def test_hist_sketch_stream_matches_batch_exactly(
+    spark, batch_events, tmp_path
+):
+    """Streaming histogram sketch over a time-split two-file source:
+    bin counting is associative and order-independent, so the final
+    per-group bins equal the BATCH sketch bit-for-bit — and quantiles
+    computed from the streamed bins equal the batch-sketch quantiles."""
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators import sketch
+
+    src_dir = tmp_path / "hist_src"
+    med_ts = batch_events.select(
+        F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)")
+    ).first()[0]
+    early = batch_events.where(
+        F.unix_micros(F.col("ts").cast("timestamp")) <= med_ts
+    )
+    late = batch_events.where(
+        F.unix_micros(F.col("ts").cast("timestamp")) > med_ts
+    )
+    early.coalesce(1).write.parquet(str(src_dir / "f1"))
+    import time
+
+    time.sleep(1.1)
+    late.coalesce(1).write.parquet(str(src_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*/"))
+    )
+    q = (
+        ev.hist_sketch_stream(stream, lo=0.0, hi=512.0, n_bins=64)
+        .writeStream.format("memory")
+        .queryName("hist_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hist"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("""
+        SELECT group, bin, cnt FROM hist_stream t
+        WHERE n_processed = (SELECT MAX(n_processed) FROM hist_stream u
+                             WHERE u.group = t.group)
+    """)
+    expected = sketch.hist_sketch(
+        batch_events, "event_type", "value", lo=0.0, hi=512.0, n_bins=64
+    ).select(F.col("event_type").alias("group"), "bin", "cnt")
+    assert _sorted_rows(got) == _sorted_rows(expected)
+    # state really crossed the file boundary: n_processed == group sizes
+    per_group_n = spark.sql(
+        "SELECT group, MAX(n_processed) AS n FROM hist_stream GROUP BY group"
+    ).collect()
+    totals = {
+        r["event_type"]: r["n"]
+        for r in batch_events.where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r["group"]: r["n"] for r in per_group_n} == totals
+    # composition: live quantiles from the streamed bins == batch-sketch
+    # quantiles (the monitor's consumer contract)
+    live = sketch.hist_quantiles(
+        got, [0.5, 0.99], lo=0.0, hi=512.0, n_bins=64, group_cols=["group"]
+    )
+    batch_q = sketch.hist_quantiles(
+        sketch.hist_sketch(
+            batch_events, "event_type", "value", lo=0.0, hi=512.0, n_bins=64
+        ),
+        [0.5, 0.99],
+        lo=0.0,
+        hi=512.0,
+        n_bins=64,
+        group_cols=["event_type"],
+    )
+    assert _sorted_rows(live) == _sorted_rows(batch_q)
+
+
+def test_hist_sketch_stream_guards(spark, batch_events):
+    with pytest.raises(ValueError, match="hi > lo"):
+        ev.hist_sketch_stream(batch_events, lo=1.0, hi=1.0)
+    with pytest.raises(ValueError, match="n_bins"):
+        ev.hist_sketch_stream(batch_events, n_bins=1)
