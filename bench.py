@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "pipe_sketch_hll",
     "pipe_sketch_quantile",
     "pipe_nb_domain",
+    "pipe_dsir_select",
 ]
 
 

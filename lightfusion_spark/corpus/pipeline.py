@@ -3706,6 +3706,91 @@ def pipe_nb_domain(spark, sf_dir):
     return nbayes.apply_naive_bayes(d, "doc_id", "text", priors, model)
 
 
+@register(
+    "pipe_dsir_select",
+    oracle=r"""
+    WITH rawtk AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    rawg AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('17:' || gram), 1, 14) AS BIGINT)
+               % 1024 AS bucket
+      FROM (SELECT doc_id,
+                   unnest(list_concat(tk,
+                     [tk[j] || ' ' || tk[j+1] FOR j IN range(1, len(tk))]))
+                     AS gram
+            FROM rawtk)
+    ),
+    tgtg AS (
+      SELECT CAST('0x' || substr(md5('17:' || gram), 1, 14) AS BIGINT)
+               % 1024 AS bucket
+      FROM (SELECT unnest(list_concat(tk,
+                     [tk[j] || ' ' || tk[j+1] FOR j IN range(1, len(tk))]))
+                     AS gram
+            FROM rawtk WHERE source = 'src0')
+    ),
+    cr AS (SELECT bucket, COUNT(*) AS cr FROM rawg GROUP BY bucket),
+    ct AS (SELECT bucket, COUNT(*) AS ct FROM tgtg GROUP BY bucket),
+    tr AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr FROM cr),
+    tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt FROM ct),
+    ratios AS (
+      SELECT cr.bucket,
+             CAST(FLOOR(ROUND(LN(
+                    (CAST(COALESCE(ct.ct, 0) AS DOUBLE) + 1.0)
+                    / (CAST(tt.tt AS DOUBLE) + 1024.0)), 6)
+                  * 1000000.0 + 0.5) AS BIGINT)
+             - CAST(FLOOR(ROUND(LN(
+                    (CAST(cr.cr AS DOUBLE) + 1.0)
+                    / (CAST(tr.tr AS DOUBLE) + 1024.0)), 6)
+                  * 1000000.0 + 0.5) AS BIGINT) AS ratio_micro
+      FROM cr LEFT JOIN ct USING (bucket), tr, tt
+    ),
+    sums AS (
+      SELECT g.doc_id, CAST(SUM(r.ratio_micro) AS BIGINT) AS logw_micro
+      FROM rawg g JOIN ratios r USING (bucket) GROUP BY g.doc_id
+    ),
+    weights AS (
+      SELECT d.doc_id, COALESCE(s.logw_micro, 0) AS logw_micro
+      FROM documents d LEFT JOIN sums s USING (doc_id)
+    ),
+    keyed AS (
+      SELECT doc_id, logw_micro,
+             (CAST(logw_micro AS DOUBLE) / 1000000.0)
+             + ROUND(-LN(-LN(
+                 ((CAST('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)),
+                        1, 14) AS BIGINT) % 1000000) + 1) / 1000001.0)), 6)
+               AS key
+      FROM weights
+    )
+    SELECT doc_id, logw_micro, rank
+    FROM (SELECT doc_id, logw_micro,
+                 ROW_NUMBER() OVER (ORDER BY key DESC, doc_id ASC) AS rank
+          FROM keyed)
+    WHERE rank <= 25
+    """,
+    doc="DSIR data selection (Xie et al. 2023, curation.dsir_weights / "
+    "dsir_select): importance log-weights log p_target − log p_raw "
+    "under two hashed unigram+bigram bag models (1024 md5 buckets — "
+    "the vocabulary is bounded BY CONSTRUCTION, the paper's trick), "
+    "then a Gumbel-top-k resample of 25 docs ∝ exp(logw) toward the "
+    "src0 target domain.  Bucket log-probs are ROUND(LN,6) micro-int "
+    "differences and the Gumbel uses the A-ES deterministic md5 "
+    "uniform, so the weights, the draw, and the ranks all replay "
+    "hash-exactly; the ratio table broadcasts (≤1024 rows) and "
+    "selection is a map-side partial top-k window",
+)
+def pipe_dsir_select(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    target = d.where(F.col("source") == "src0")
+    return curation.dsir_select(
+        d, target, "doc_id", "text", k=25, n_buckets=1024
+    )
+
+
 def _jl_topk_oracle(
     in_dim: int = 64,
     out_dim: int = 16,

@@ -978,3 +978,150 @@ def diversity_sample(
         .where(F.col("sample_rank") <= quota_per_cluster)
         .select(id_col, "centroid_id", "sample_rank")
     )
+
+
+def _dsir_grams(df: DataFrame, text_col: str):
+    """Unigrams + bigrams of the whitespace tokens of ``lower(text)``
+    as one exploded ``gram`` column (empties dropped BEFORE bigram
+    formation, so both engines see identical adjacency)."""
+    tk = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    grams = F.concat(
+        tk,
+        F.expr(
+            "transform(slice(_tk, 1, greatest(size(_tk) - 1, 0)), (x, i) -> "
+            "concat(x, ' ', _tk[i + 1]))"
+        ),
+    )
+    return df.withColumn("_tk", tk).withColumn("gram", F.explode(grams))
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    seed: int = 17,
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by ``log p_target(x) − log p_raw(x)`` under two hashed
+    bag-of-ngrams models — the published recipe for steering a
+    web-scale corpus toward a trusted target domain without training a
+    classifier.  Returns ``(id, logw_micro)`` (BIGINT micro units).
+
+    Features are unigrams+bigrams hashed into ``n_buckets`` md5 buckets
+    — the vocabulary is bounded BY CONSTRUCTION (the paper's trick), so
+    both bag models and the per-bucket log-ratio table are ≤ n_buckets
+    rows however large either corpus is; the ratio table broadcasts and
+    scoring is one map-side join + one grouped BIGINT sum.  Bucket
+    log-probs are add-``alpha`` smoothed, ``ROUND(LN(·),6)``-rounded,
+    and differenced in micro units, so weights replay hash-exactly in
+    DuckDB (same discipline as ``nbayes``).  Documents with no tokens
+    get ``logw_micro = 0`` (equal prior odds — they carry no evidence).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"dsir_weights: need n_buckets >= 2, got {n_buckets}")
+    bucket = (
+        _md5_long(F.col("gram"), seed=seed) % F.lit(int(n_buckets))
+    ).alias("bucket")
+
+    raw_counts = (
+        _dsir_grams(df, text_col)
+        .select(bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    tgt_counts = (
+        _dsir_grams(target_df, text_col)
+        .select(bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot_r = raw_counts.agg(F.sum("cr").alias("tr"))
+    tot_t = tgt_counts.agg(F.sum("ct").alias("tt"))
+    a, b = float(alpha), float(alpha) * float(n_buckets)
+    # Per-bucket log-ratio over the RAW-occupied buckets (every scored
+    # gram lands in one by construction); ≤ n_buckets rows, broadcast.
+    lp = lambda c, t: F.floor(  # noqa: E731
+        F.round(
+            F.log(
+                (F.coalesce(c, F.lit(0)).cast("double") + F.lit(a))
+                / (t.cast("double") + F.lit(b))
+            ),
+            6,
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    ratios = (
+        raw_counts.join(tgt_counts, "bucket", "left")
+        .crossJoin(tot_r)
+        .crossJoin(tot_t)
+        .select(
+            "bucket",
+            (lp(F.col("ct"), F.col("tt")) - lp(F.col("cr"), F.col("tr"))).alias(
+                "ratio_micro"
+            ),
+        )
+    )
+    doc_sums = (
+        _dsir_grams(df, text_col)
+        .select(F.col(id_col).alias("_id"), bucket)
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy("_id")
+        .agg(F.sum("ratio_micro").alias("logw_micro"))
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(doc_sums, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("logw_micro"), F.lit(0)).alias("logw_micro"),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    seed: int = 17,
+    sample_seed: int = 13,
+) -> DataFrame:
+    """The DSIR resample step: draw ``k`` documents WITHOUT replacement
+    with probability ∝ ``exp(logw)`` via the Gumbel-top-k trick — rank
+    by ``logw + g`` where ``g = −ln(−ln(u))`` on a deterministic md5
+    uniform, take the top k (Gumbel-max: argmax of logits+Gumbel is a
+    softmax draw; top-k extends it to sampling without replacement).
+    Returns ``(id, logw_micro, rank)``.
+
+    Engine-replayable like the A-ES sampler: ``u = (md5_56(seed:id) %
+    1e6 + 1) / (1e6 + 1)`` (never 0 or 1, so both logs are finite) and
+    the Gumbel is ``round(−ln(−ln(u)), 6)``; ``logw`` re-enters as the
+    exact double ``logw_micro / 1e6``.  Ties order (key DESC, id ASC).
+    One window over the key projection — the selection itself is a
+    map-side partial top-k, same shape as the weighted reservoir.
+    """
+    weights = dsir_weights(
+        df, target_df, id_col, text_col, n_buckets=n_buckets, alpha=alpha, seed=seed
+    )
+    u = (
+        (_md5_long(F.col(id_col).cast("string"), seed=sample_seed) % _U_MOD) + 1
+    ) / F.lit(float(_U_MOD + 1))
+    g = F.round(-F.log(-F.log(u)), 6)
+    key = (F.col("logw_micro").cast("double") / F.lit(1e6)) + g
+    w = Window.orderBy(F.col("_key").desc(), F.col(id_col).asc())
+    return (
+        weights.select(id_col, "logw_micro", key.alias("_key"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "logw_micro", "rank")
+    )
