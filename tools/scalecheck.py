@@ -669,6 +669,30 @@ def main() -> None:
         ),
     )
 
+    # round-10 late additions: curves for the two new trained/selection
+    # operators.  NB scales both sides (train + score are corpus passes);
+    # DSIR inflates the RAW side against a FIXED target — the realistic
+    # geometry (the target is a trusted MB-scale sample), and the one
+    # the broadcast-ratio-table design says must stay linear.
+    from lightfusion_spark.operators import nbayes as nb_mod
+
+    def _nb(src):
+        priors, model = nb_mod.train_naive_bayes(src, "source", "text")
+        nb_mod.apply_naive_bayes(src, "doc_id", "text", priors, model).count()
+
+    curve("curve_nb_domain", lambda: _nb(docs), lambda: _nb(docs10))
+
+    tgt_docs = docs.where(F.col("source") == "src0").localCheckpoint(eager=True)
+    curve(
+        "curve_dsir_select",
+        lambda: cur_mod.dsir_select(
+            docs, tgt_docs, "doc_id", "text", k=25, n_buckets=1024
+        ).count(),
+        lambda: cur_mod.dsir_select(
+            docs10, tgt_docs, "doc_id", "text", k=25, n_buckets=1024
+        ).count(),
+    )
+
     # round-10: build-once/search-many A/B for the persisted IVF index
     # (operators/annindex.py) — the production amortization claim,
     # measured: 1 build + M searches vs M train-per-call searches.
