@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "pipe_sketch_quantile",
     "pipe_nb_domain",
     "pipe_dsir_select",
+    "pipe_bt_sources",
 ]
 
 

@@ -3791,6 +3791,150 @@ def pipe_dsir_select(spark, sf_dir):
     )
 
 
+def _bt_oracle(epochs: int = 3) -> str:
+    """Unrolled replay of the pipe_bt_sources chain: type-token-ratio
+    scoring, length-decile contexts, preference-pair construction,
+    cross-source win/pair counts, then ``epochs`` Bradley-Terry MM
+    updates (btrank.bt_strengths) with the scaled-int term sums and the
+    DECIMAL(28,6) mean-1 rescale — the same unrolled-CTE recipe as the
+    probe trainer and the PCA power iteration."""
+    head = r"""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+             ROUND(CAST(len(list_distinct(tk)) AS DOUBLE)
+                   / CAST(len(tk) AS DOUBLE), 6) AS ttr
+      FROM (SELECT doc_id, source, n_chars,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> x <> '') AS tk
+            FROM documents)
+      WHERE len(tk) > 0
+    ),
+    ctxd AS (
+      SELECT doc_id, source, ttr,
+             NTILE(10) OVER (ORDER BY n_chars, doc_id) AS grp
+      FROM scored
+    ),
+    ranked AS (
+      SELECT grp, doc_id, source, ttr,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY ttr DESC, doc_id ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY grp) AS m
+      FROM ctxd
+    ),
+    prs AS (
+      SELECT c.source AS winner, r.source AS loser
+      FROM (SELECT grp, rk AS pr, source, ttr AS cs FROM ranked
+            WHERE rk <= 5 AND 2 * rk <= m) c
+      JOIN (SELECT grp, m + 1 - rk AS pr, source, ttr AS rs
+            FROM ranked) r
+        ON r.grp = c.grp AND r.pr = c.pr
+      WHERE c.cs - r.rs >= 0.000001 AND c.source <> r.source
+    ),
+    dir AS (SELECT winner AS w, loser AS l, COUNT(*) AS n
+            FROM prs GROUP BY 1, 2),
+    wins AS (SELECT w AS item, CAST(SUM(n) AS BIGINT) AS wins
+             FROM dir GROUP BY w),
+    und AS (SELECT LEAST(w, l) AS a, GREATEST(w, l) AS b,
+                   CAST(SUM(n) AS BIGINT) AS n
+            FROM dir GROUP BY 1, 2),
+    sym AS (SELECT a AS i, b AS j, n FROM und
+            UNION ALL SELECT b AS i, a AS j, n FROM und),
+    kk AS (SELECT CAST(COUNT(DISTINCT i) AS DOUBLE) AS k FROM sym),
+    g0 AS (SELECT DISTINCT i, 1.0 AS g FROM sym)"""
+    step = r""",
+    e{e} AS (
+      SELECT s.i,
+             ROUND(CAST(COALESCE(MAX(w.wins), 0) AS DOUBLE)
+                   / (CAST(SUM(CAST(FLOOR(CAST(s.n AS DOUBLE)
+                          / (gi.g + gj.g) * 1000000000.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) / 1000000000.0), 6) AS graw
+      FROM sym s
+      JOIN g{p} gi ON gi.i = s.i
+      JOIN g{p} gj ON gj.i = s.j
+      LEFT JOIN wins w ON w.item = s.i
+      GROUP BY s.i
+    ),
+    n{e} AS (SELECT CAST(SUM(CAST(graw AS DECIMAL(28,6))) AS DOUBLE) AS s
+             FROM e{e}),
+    g{e} AS (SELECT i, ROUND(graw * k / s, 6) AS g FROM e{e}, n{e}, kk)"""
+    tail = r"""
+    SELECT g.i AS item, g.g AS strength6,
+           COALESCE(w.wins, 0) AS wins, p.n_pairs
+    FROM g{E} g
+    LEFT JOIN wins w ON w.item = g.i
+    JOIN (SELECT i, CAST(SUM(n) AS BIGINT) AS n_pairs
+          FROM sym GROUP BY i) p ON p.i = g.i"""
+    return (
+        head
+        + "".join(step.format(e=e, p=e - 1) for e in range(1, epochs + 1))
+        + tail.format(E=epochs)
+    )
+
+
+@register(
+    "pipe_bt_sources",
+    oracle=_bt_oracle(epochs=3),
+    doc="in-engine Bradley-Terry preference-strength fitting "
+    "(btrank.bt_strengths, Hunter 2004 MM — the third trained-model "
+    "family: iterative MM on SUFFICIENT STATISTICS): rank the 20 "
+    "sources by pairwise type-token-ratio wins inside length-decile "
+    "contexts (preference_pairs constructs the cross-source duels), "
+    "3 MM epochs with per-term scaled-BIGINT denominator sums and the "
+    "DECIMAL(28,6) mean-1 rescale, all unrolled in the oracle — "
+    "hash-exact like the probe trainer.  Corpus-scale work is two "
+    "aggregations (win counts + pair-count matrix); driver state is "
+    "O(items²) over the ARMS being ranked, refused loudly past "
+    "max_items",
+)
+def pipe_bt_sources(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from ..operators import btrank
+
+    d = table(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    scored = (
+        d.select("doc_id", "source", "n_chars", tk.alias("_tk"))
+        .where(F.size("_tk") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(
+                F.size(F.array_distinct("_tk")).cast("double")
+                / F.size("_tk").cast("double"),
+                6,
+            ).alias("ttr"),
+        )
+    )
+    ctxd = scored.withColumn(
+        "ctx", F.ntile(10).over(Window.orderBy("n_chars", "doc_id"))
+    )
+    pairs = curation.preference_pairs(
+        ctxd, "ctx", "doc_id", "ttr", max_pairs_per_group=5, margin=1e-6
+    )
+    src = d.select("doc_id", "source")
+    wl = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("chosen_id"),
+                F.col("source").alias("winner"),
+            ),
+            "chosen_id",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("rejected_id"),
+                F.col("source").alias("loser"),
+            ),
+            "rejected_id",
+        )
+        .where(F.col("winner") != F.col("loser"))
+    )
+    out, _hist = btrank.bt_strengths(wl, "winner", "loser", epochs=3)
+    return out
+
+
 def _jl_topk_oracle(
     in_dim: int = 64,
     out_dim: int = 16,
