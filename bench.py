@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "pipe_nb_domain",
     "pipe_dsir_select",
     "pipe_bt_sources",
+    "pipe_sketch_joinsize",
 ]
 
 

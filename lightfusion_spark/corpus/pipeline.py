@@ -3791,6 +3791,85 @@ def pipe_dsir_select(spark, sf_dir):
     )
 
 
+@register(
+    "pipe_sketch_joinsize",
+    oracle=r"""
+    WITH rows3 AS (SELECT unnest(range(0, 3)) AS p),
+    ca AS (
+      SELECT p.p AS row,
+             CAST('0x' || substr(md5('47:' || CAST(user_id AS VARCHAR)),
+                  p.p * 6 + 1, 6) AS BIGINT) % 1024 AS col,
+             COUNT(*) AS cnt_a
+      FROM events CROSS JOIN rows3 p WHERE event_type = 'click'
+      GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT p.p AS row,
+             CAST('0x' || substr(md5('47:' || CAST(user_id AS VARCHAR)),
+                  p.p * 6 + 1, 6) AS BIGINT) % 1024 AS col,
+             COUNT(*) AS cnt_b
+      FROM events CROSS JOIN rows3 p WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    dots AS (
+      SELECT ca.row, CAST(SUM(ca.cnt_a * cb.cnt_b) AS BIGINT) AS dot
+      FROM ca JOIN cb ON cb.row = ca.row AND cb.col = ca.col
+      GROUP BY ca.row
+    ),
+    est AS (
+      SELECT CAST(MIN(COALESCE(d.dot, 0)) AS BIGINT) AS join_size_est
+      FROM rows3 p LEFT JOIN dots d ON d.row = p.p
+    ),
+    exact AS (
+      SELECT CAST(SUM(a.na * b.nb) AS BIGINT) AS exact_join_size
+      FROM (SELECT user_id, COUNT(*) AS na FROM events
+            WHERE event_type = 'click' GROUP BY 1) a
+      JOIN (SELECT user_id, COUNT(*) AS nb FROM events
+            WHERE event_type = 'purchase' GROUP BY 1) b USING (user_id)
+    )
+    SELECT e.join_size_est, x.exact_join_size,
+           e.join_size_est >= x.exact_join_size AS never_undercounts
+    FROM est e, exact x
+    """,
+    doc="join-cardinality estimation from CMS sketches alone "
+    "(sketch.cms_join_size — the Cormode-Muthukrishnan inner product): "
+    "|clicks JOIN purchases ON user_id| estimated as the MIN over hash "
+    "rows of the cell-wise product of the two 3x1024 sketches — two "
+    "KB-sized tables join and reduce to ONE row, the raw events are "
+    "never re-joined.  Collisions only ADD cross terms, so the "
+    "estimate is one-sided (>= true), carried as a verified column "
+    "beside the exact size; integer arithmetic end to end, so the "
+    "estimate itself is hash-exact.  The 100 TB use is join PLANNING: "
+    "pick shuffle partitions / salting / broadcast from sketches "
+    "without scanning either side",
+)
+def pipe_sketch_joinsize(spark, sf_dir):
+    from ..operators import sketch
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    purch = ev.where(F.col("event_type") == "purchase").select("user_id")
+    sa = sketch.cms_build(clicks, "user_id", w=1024, d=3, seed=47)
+    sb = sketch.cms_build(purch, "user_id", w=1024, d=3, seed=47)
+    est = sketch.cms_join_size(sa, sb, d=3)
+    exact = (
+        clicks.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("na"))
+        .join(
+            purch.groupBy("user_id").agg(F.count(F.lit(1)).alias("nb")),
+            "user_id",
+        )
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("exact_join_size"))
+    )
+    return est.crossJoin(exact).select(
+        "join_size_est",
+        "exact_join_size",
+        (F.col("join_size_est") >= F.col("exact_join_size")).alias(
+            "never_undercounts"
+        ),
+    )
+
+
 def _bt_oracle(epochs: int = 3) -> str:
     """Unrolled replay of the pipe_bt_sources chain: type-token-ratio
     scoring, length-decile contexts, preference-pair construction,

@@ -59,23 +59,24 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: + 6 per-category §2.3 representatives from the r07/r08 blocks, each
 #: its family's STALEST verified sibling (rel_distinct, rel_window_lag,
 #: rel_topk_group, rel_set_intersect, udtf_split_words, rel_percentile)
-#: + 12 more NEW faces landed later in the round (TPC-H q7/q8/q9
+#: + 13 more NEW faces landed later in the round (TPC-H q7/q8/q9
 #: shapes, preference pairs, curriculum ordering, fuzzy
 #: decontamination, diversity sampling, mergeable HLL sketches,
 #: mergeable quantile histograms, the Naive Bayes domain classifier,
-#: DSIR importance resampling, Bradley-Terry strength fitting)
-#: + 5 rows of the r06 block: its four rel family reps (rel_agg_q1,
+#: DSIR importance resampling, Bradley-Terry strength fitting, CMS
+#: join-size estimation)
+#: + 4 rows of the r06 block: its four rel family reps (rel_agg_q1,
 #: rel_subquery_in_exists, rel_scalar_math, rel_lateral_join) and the
-#: alphabetical first 15 of the remainder MINUS the twelve rows the
-#: twelve late new faces displaced (pipe_lm_score,
+#: alphabetical first 15 of the remainder MINUS the thirteen rows the
+#: thirteen late new faces displaced (pipe_lm_score,
 #: pipe_multimodal_codec, then pipe_decontaminate, pipe_dedup_minhash,
 #: pipe_dedup_minhash_incr, pipe_dedup_semantic, pipe_dedup_simhash,
 #: pipe_dedup_spans, pipe_chunk_bpe, events_windowed_stats,
 #: events_asof_join, events_range_join, events_asof_bucketed,
-#: events_sessionize — all keep their r06 green rows and head the r11
-#: backlog).
-#: 4+20+1+4+10+6+5 = 50 exactly.  The round-11 re-window backlog is
-#: the 31 remaining r06 rows (the 12 displaced rows
+#: events_sessionize, pipe_e2e_model_curation — all keep their r06
+#: green rows and head the r11 backlog).
+#: 4+21+1+4+10+6+4 = 50 exactly.  The round-11 re-window backlog is
+#: the 32 remaining r06 rows (the 13 displaced rows
 #: above, pipe_lm_score, pipe_multimodal_codec,
 #: pipe_multimodal_decode/_jpeg/_png/_video/_wav, pipe_pack_bpe,
 #: pipe_quality_filter, pipe_quality_model, pipe_sim_ivf_kmeans,
@@ -147,6 +148,11 @@ PRIORITY: list[str] = [
     # streaming batch twins plus events_asof_forward and
     # events_attribution — to the r11 backlog).
     "pipe_bt_sources",
+    # ... and CMS join-cardinality estimation (the sketch inner
+    # product; displaces pipe_e2e_model_curation — r06 green, the e2e
+    # composition family still repped in-window by pipe_e2e_curation —
+    # to the r11 backlog).
+    "pipe_sketch_joinsize",
     # Changed face: redaction composed into the e2e curation chain
     # (new n_redacted column + dedup re-keyed on redacted text), so
     # the r06 green row no longer vouches for today's output.
@@ -177,15 +183,14 @@ PRIORITY: list[str] = [
     "rel_set_intersect",
     "udtf_split_words",
     "rel_percentile",
-    # 10 rows of the r06 block: its four rel family reps
-    # (aggregations, subqueries, scalar library, lateral/generator)
-    # then the alphabetical first of the remainder minus the rows the
-    # late new faces displaced (see the header note).
+    # The r06 block's four rel family reps (aggregations, subqueries,
+    # scalar library, lateral/generator); the block's remaining
+    # alphabetical picks were displaced one-for-one by the late new
+    # faces (see the header note).
     "rel_agg_q1",
     "rel_subquery_in_exists",
     "rel_scalar_math",
     "rel_lateral_join",
-    "pipe_e2e_model_curation",
 ]
 
 #: Queries intentionally OUTSIDE the driver's 50-entry window.  Every name
@@ -209,6 +214,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "events_gapfill",
         "events_range_join",
         "events_sessionize",
+        "pipe_e2e_model_curation",
         "events_ohlc",
         "events_stream_join",
         "events_stream_join_full",

@@ -244,3 +244,45 @@ def hist_quantiles(
         (F.col("cum").cast("double") >= target)
         & (F.col("cumb").cast("double") < target)
     ).select(*gcols, "q", est.alias("est"))
+
+
+def cms_join_size(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    d: int = 3,
+) -> DataFrame:
+    """Estimate an equi-join's output cardinality from two CMS sketches
+    alone — the classic sketch inner product (Cormode & Muthukrishnan
+    2005 §4.3): ``|A ⋈ B| = Σ_k a_k·b_k``, and each CMS hash row's
+    cell-wise inner product overestimates that sum (colliding keys only
+    ADD cross terms), so the MIN over the ``d`` rows is a one-sided
+    estimate: ``estimate >= true`` always, ``<= true + εN_aN_b/w``
+    w.h.p.  Both sketches must share (w, d, seed) — same grid, or the
+    products are meaningless.
+
+    The 100 TB use is join PLANNING: deciding shuffle partitions, skew
+    salting, or broadcast-vs-merge for a join between two corpus-scale
+    tables without scanning either — two KB-sized sketch tables join on
+    (row, col) and reduce to ONE row ``(join_size_est)``.  Integer
+    arithmetic end to end, so faces hash-verify the estimate exactly.
+    """
+    a = sketch_a.select("row", "col", F.col("cnt").alias("cnt_a"))
+    b = sketch_b.select("row", "col", F.col("cnt").alias("cnt_b"))
+    per_row = (
+        a.join(b, ["row", "col"])
+        .groupBy("row")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("dot"))
+    )
+    # a hash row with NO colliding cells has dot 0 only if the sketches
+    # share no occupied cell in that row — true inner product is then 0
+    # too (every key of A hashes somewhere in every row); rows absent
+    # from the join entirely mean disjoint occupancy => estimate 0.
+    rows = per_row.sparkSession.range(int(d)).select(
+        F.col("id").cast("int").alias("row")
+    )
+    return (
+        rows.join(per_row, "row", "left")
+        .agg(
+            F.min(F.coalesce(F.col("dot"), F.lit(0))).alias("join_size_est")
+        )
+    )

@@ -165,3 +165,36 @@ def test_hist_guards(spark, values):
     sk = sketch.hist_sketch(values, "src", "v", lo=0.0, hi=200.0, n_bins=50)
     with pytest.raises(ValueError, match="0, 1"):
         sketch.hist_quantiles(sk, [0.0, 0.5], lo=0.0, hi=200.0, n_bins=50)
+
+
+def test_cms_join_size_never_undercounts_and_is_tight(spark):
+    """Inner-product estimate >= true join size always; exact when no
+    row has colliding keys (w >> distinct keys)."""
+    a = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 2, 3]], "k long"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in [1, 2, 2, 2, 4]], "k long"
+    )
+    # true join size: 3*1 + 2*3 = 9
+    sa = sketch.cms_build(a, "k", w=1024, d=3)
+    sb = sketch.cms_build(b, "k", w=1024, d=3)
+    est = sketch.cms_join_size(sa, sb, d=3).first()["join_size_est"]
+    assert est >= 9
+    assert est == 9  # 4 distinct keys in 1024 cells: no collisions
+    # and under a tiny grid it still never undercounts
+    sa2 = sketch.cms_build(a, "k", w=2, d=3)
+    sb2 = sketch.cms_build(b, "k", w=2, d=3)
+    assert sketch.cms_join_size(sa2, sb2, d=3).first()["join_size_est"] >= 9
+
+
+def test_cms_join_size_disjoint_keys_estimate_zero_possible(spark):
+    """Disjoint key sets: with a wide grid the estimate collapses to 0
+    (no shared occupied cells in at least one hash row)."""
+    a = spark.createDataFrame([(1,), (2,)], "k long")
+    b = spark.createDataFrame([(100001,), (100002,)], "k long")
+    sa = sketch.cms_build(a, "k", w=1024, d=3)
+    sb = sketch.cms_build(b, "k", w=1024, d=3)
+    est = sketch.cms_join_size(sa, sb, d=3).first()["join_size_est"]
+    assert est >= 0
+    assert est == 0
