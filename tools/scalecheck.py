@@ -693,6 +693,54 @@ def main() -> None:
         ).count(),
     )
 
+    from lightfusion_spark.operators import btrank as bt_mod
+    from lightfusion_spark.operators import sketch as sk_mod
+    from pyspark.sql.window import Window as _W
+
+    def _bt(src):
+        tk = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+        scored = (
+            src.select("doc_id", "source", "n_chars", tk.alias("_tk"))
+            .where(F.size("_tk") > 0)
+            .select(
+                "doc_id", "source", "n_chars",
+                F.round(
+                    F.size(F.array_distinct("_tk")).cast("double")
+                    / F.size("_tk").cast("double"), 6,
+                ).alias("ttr"),
+            )
+            .withColumn("ctx", F.ntile(10).over(_W.orderBy("n_chars", "doc_id")))
+        )
+        pairs = cur_mod.preference_pairs(
+            scored, "ctx", "doc_id", "ttr", max_pairs_per_group=5, margin=1e-6
+        )
+        src_ids = src.select("doc_id", "source")
+        wl = (
+            pairs.join(
+                src_ids.select(F.col("doc_id").alias("chosen_id"),
+                               F.col("source").alias("winner")), "chosen_id")
+            .join(src_ids.select(F.col("doc_id").alias("rejected_id"),
+                                 F.col("source").alias("loser")), "rejected_id")
+            .where(F.col("winner") != F.col("loser"))
+        )
+        bt_mod.bt_strengths(wl, "winner", "loser", epochs=3)
+
+    curve("curve_bt_sources", lambda: _bt(docs), lambda: _bt(docs10))
+
+    # mergeable-sketch build at 1x/10x events: the "one pass, KB
+    # output" claim as a measured number (the sketch grid is the
+    # groupBy key space, so 10x rows should cost ~the scan).
+    ev10b = inflate(events, 10, "event_id", 100_000_000)
+    curve(
+        "curve_hist_sketch_build",
+        lambda: sk_mod.hist_sketch(
+            events, "event_type", "value", lo=0.0, hi=512.0, n_bins=64
+        ).count(),
+        lambda: sk_mod.hist_sketch(
+            ev10b, "event_type", "value", lo=0.0, hi=512.0, n_bins=64
+        ).count(),
+    )
+
     # round-10: build-once/search-many A/B for the persisted IVF index
     # (operators/annindex.py) — the production amortization claim,
     # measured: 1 build + M searches vs M train-per-call searches.
