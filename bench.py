@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "pipe_dsir_select",
     "pipe_bt_sources",
     "pipe_sketch_joinsize",
+    "pipe_privacy_kanon",
 ]
 
 

@@ -3792,6 +3792,65 @@ def pipe_dsir_select(spark, sf_dir):
 
 
 @register(
+    "pipe_privacy_kanon",
+    oracle=r"""
+    WITH q AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(FLOOR(value / 50.0) AS BIGINT) AS vbucket,
+             user_id
+      FROM events
+    ),
+    classes AS (
+      SELECT event_type, day, vbucket, COUNT(*) AS sz,
+             COUNT(DISTINCT user_id) AS ndiv
+      FROM q GROUP BY 1, 2, 3
+    )
+    SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_classes,
+           CAST(MIN(sz) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           (CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+             * 1000000) // CAST(SUM(sz) AS BIGINT) AS risk_ppm,
+           CAST(MIN(ndiv) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN ndiv < 2 THEN sz ELSE 0 END) AS BIGINT)
+             AS n_rows_homogeneous
+    FROM classes
+    """,
+    doc="k-anonymity / l-diversity release-gate report "
+    "(privacy.k_anonymity_report): equivalence classes over the "
+    "(event_type, day, value-bucket) quasi-identifiers with user_id as "
+    "the sensitive attribute — rows in classes smaller than k=5 are "
+    "re-identifiable to within 5 candidates, classes with fewer than "
+    "l=2 distinct users leak the user even when k-anonymous (the "
+    "homogeneity attack).  One map-side-combinable groupBy + a bounded "
+    "agg over the class-size table; risk_ppm is an exact integer ratio "
+    "(div == //), so the whole report hash-verifies.  The structured "
+    "sibling of detect/redact_pii: those strip identifiers from text, "
+    "this measures the joinability of what remains",
+)
+def pipe_privacy_kanon(spark, sf_dir):
+    from ..operators import privacy
+    from ..streaming.events import ts_micros_col
+
+    ev = table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        (ts_micros_col(ev) / F.lit(86400000000)).cast("long").alias("day"),
+        F.floor(F.col("value") / F.lit(50.0)).alias("vbucket"),
+        "user_id",
+    )
+    return privacy.k_anonymity_report(
+        q,
+        ["event_type", "day", "vbucket"],
+        k=5,
+        sensitive_col="user_id",
+        l_threshold=2,
+    )
+
+
+@register(
     "pipe_sketch_joinsize",
     oracle=r"""
     WITH rows3 AS (SELECT unnest(range(0, 3)) AS p),
