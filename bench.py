@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "pipe_bt_sources",
     "pipe_sketch_joinsize",
     "pipe_privacy_kanon",
+    "pipe_mixture_domain",
 ]
 
 

@@ -3632,9 +3632,12 @@ def pipe_sketch_quantile(spark, sf_dir):
     return per.unionAll(glob)
 
 
-@register(
-    "pipe_nb_domain",
-    oracle=r"""
+#: Shared oracle CTE chain replaying NB training + argmax scoring
+#: (nbayes.train_naive_bayes / apply_naive_bayes on documents.source);
+#: ends at `ranked` — (doc_id, label, score_micro, rn), rn=1 is the
+#: prediction.  Used by pipe_nb_domain and the pipe_mixture_domain
+#: composition.
+_NB_RANKED = r"""
     WITH tk AS (
       SELECT doc_id, source AS label,
              unnest(string_split_regex(lower(text), '\s+')) AS token
@@ -3679,12 +3682,19 @@ def pipe_sketch_quantile(spark, sf_dir):
       CROSS JOIN priors p
       LEFT JOIN tokscore ts
         ON ts.doc_id = d.doc_id AND ts.label = p.label
-    )
-    SELECT doc_id, label AS pred, score_micro
-    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                       ORDER BY score_micro DESC, label ASC) AS rn
-          FROM scoredall)
-    WHERE rn = 1
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score_micro DESC, label ASC) AS rn
+      FROM scoredall
+    )"""
+
+
+@register(
+    "pipe_nb_domain",
+    oracle=_NB_RANKED
+    + """
+    SELECT doc_id, label AS pred, score_micro FROM ranked WHERE rn = 1
     """,
     doc="in-engine multinomial Naive Bayes domain classifier "
     "(nbayes.train_naive_bayes / apply_naive_bayes): train "
@@ -3789,6 +3799,58 @@ def pipe_dsir_select(spark, sf_dir):
     return curation.dsir_select(
         d, target, "doc_id", "text", k=25, n_buckets=1024
     )
+
+
+@register(
+    "pipe_mixture_domain",
+    oracle=_NB_RANKED
+    + """,
+    nbpred AS (SELECT doc_id, label AS pred FROM ranked WHERE rn = 1),
+    t AS (
+      SELECT d.doc_id, p.pred, d.n_chars,
+             ROUND((CAST('0x' || substr(md5('19:' ||
+                    CAST(d.doc_id AS VARCHAR)), 1, 14) AS BIGINT)
+                    % 1000000) / CAST(1000000 AS DOUBLE), 6) AS u
+      FROM documents d JOIN nbpred p USING (doc_id)
+    ),
+    c AS (SELECT pred, CAST(SUM(n_chars) AS BIGINT) AS st FROM t GROUP BY 1),
+    tt AS (SELECT CAST(SUM(st) AS BIGINT) AS tot FROM c),
+    w AS (SELECT pred, st,
+                 ROUND(POWER(CAST(st AS DOUBLE) / tot, 0.5), 6) AS w
+          FROM c, tt),
+    ws AS (SELECT CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS wsum
+           FROM w),
+    r AS (SELECT pred,
+                 ROUND(LEAST(CAST(1.0 AS DOUBLE),
+                             (w / wsum) * 200000 / st), 6) AS sample_rate
+          FROM w, ws)
+    SELECT t.doc_id, t.pred, r.sample_rate, t.u
+    FROM t JOIN r ON r.pred = t.pred
+    WHERE t.u < r.sample_rate
+    """,
+    doc="domain-routed mixture sampling — the CCNet/DSIR loop CLOSED in "
+    "one chain: the in-engine NB classifier assigns every document a "
+    "PREDICTED domain, then temperature mixture sampling (T=2) "
+    "reweights over those predictions instead of trusted labels — the "
+    "production shape, where incoming web data has no source labels "
+    "and the router's output IS the stratum.  The oracle replays NB "
+    "training, argmax routing, and the temperature chain end-to-end; "
+    "composes pipe_nb_domain with the pipe_mixture_temperature "
+    "machinery (model broadcast + tiny rate table broadcast — the "
+    "corpus crosses once per stage)",
+)
+def pipe_mixture_domain(spark, sf_dir):
+    from ..operators import nbayes
+
+    d = table(spark, sf_dir, "documents")
+    priors, model = nbayes.train_naive_bayes(d, "source", "text")
+    pred = nbayes.apply_naive_bayes(d, "doc_id", "text", priors, model)
+    routed = d.join(pred.select("doc_id", "pred"), "doc_id")
+    kept = curation.temperature_mixture_sample(
+        routed, "pred", "doc_id", "n_chars", temperature=2.0,
+        token_budget=200_000, seed=19,
+    )
+    return kept.select("doc_id", "pred", "sample_rate", "u")
 
 
 @register(

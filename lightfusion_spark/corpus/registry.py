@@ -55,18 +55,20 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: + pipe_e2e_curation, an r06 row whose OUTPUT changed this round
 #: (redaction composed before dedup adds n_redacted and re-keys the
 #: dedup) so its old green row no longer vouches for it
-#: + the recorded backlog: the 4 r04 rows and 9 of the 10 r05 rows
+#: + the recorded backlog: the 4 r04 rows and 8 of the 10 r05 rows
 #: + 6 per-category §2.3 representatives from the r07/r08 blocks, each
 #: its family's STALEST verified sibling (rel_distinct, rel_window_lag,
 #: rel_topk_group, rel_set_intersect, udtf_split_words, rel_percentile)
-#: + 14 more NEW faces landed later in the round (TPC-H q7/q8/q9
+#: + 15 more NEW faces landed later in the round (TPC-H q7/q8/q9
 #: shapes, preference pairs, curriculum ordering, fuzzy
 #: decontamination, diversity sampling, mergeable HLL sketches,
 #: mergeable quantile histograms, the Naive Bayes domain classifier,
 #: DSIR importance resampling, Bradley-Terry strength fitting, CMS
-#: join-size estimation, the k-anonymity release gate — the last of
-#: which displaces the r05 row pipe_boilerplate_lines, sibling-repped
-#: by pipe_strip_boilerplate, back to the r11 backlog head)
+#: join-size estimation, the k-anonymity release gate, the
+#: domain-routed mixture composition — the last two of which displace
+#: the r05 rows pipe_boilerplate_lines (sibling-repped by
+#: pipe_strip_boilerplate) and events_attribution (events family
+#: four-way repped) back to the r11 backlog head)
 #: + 4 rows of the r06 block: its four rel family reps (rel_agg_q1,
 #: rel_subquery_in_exists, rel_scalar_math, rel_lateral_join) and the
 #: alphabetical first 15 of the remainder MINUS the thirteen rows the
@@ -77,7 +79,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: events_asof_join, events_range_join, events_asof_bucketed,
 #: events_sessionize, pipe_e2e_model_curation — all keep their r06
 #: green rows and head the r11 backlog).
-#: 4+22+1+4+9+6+4 = 50 exactly.  The round-11 re-window backlog is
+#: 4+23+1+4+8+6+4 = 50 exactly.  The round-11 re-window backlog is
 #: the 32 remaining r06 rows (the 13 displaced rows
 #: above, pipe_lm_score, pipe_multimodal_codec,
 #: pipe_multimodal_decode/_jpeg/_png/_video/_wav, pipe_pack_bpe,
@@ -161,6 +163,12 @@ PRIORITY: list[str] = [
     # same line detector — back to the head of the r11 backlog as its
     # stalest row).
     "pipe_privacy_kanon",
+    # ... and the domain-routed mixture composition (NB router ->
+    # temperature mixture over PREDICTED domains; displaces
+    # events_attribution — r05 green, the events family still repped
+    # in-window by the three streaming batch twins plus
+    # events_asof_forward — back to the r11 backlog).
+    "pipe_mixture_domain",
     # Changed face: redaction composed into the e2e curation chain
     # (new n_redacted column + dedup re-keyed on redacted text), so
     # the r06 green row no longer vouches for today's output.
@@ -173,7 +181,6 @@ PRIORITY: list[str] = [
     # The FULL r05 block (10 -- every row whose latest official
     # green is round 5).
     "events_asof_forward",
-    "events_attribution",
     "pipe_chunk_documents",
     "pipe_dedup_exact",
     "pipe_dedup_incremental",
@@ -217,6 +224,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
     {
         "events_asof_bucketed",
         "events_asof_join",
+        "events_attribution",
         "events_funnel",
         "events_gapfill",
         "events_range_join",
