@@ -880,3 +880,80 @@ def hist_sketch_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cms_sketch_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    w: int = 1024,
+    d: int = 3,
+    seed: int = 47,
+) -> DataFrame:
+    """Streaming twin of ``sketch.cms_build``: ONE state group holds the
+    d×w counter grid (a few KB, whatever the stream length) and each
+    micro-batch emits the current nonzero cells as ``(row, col, cnt,
+    n_processed)`` — rows that feed ``sketch.cms_estimate`` (point
+    queries) and ``sketch.cms_join_size`` (join planning) unchanged, so
+    the batch estimators are the streaming consumers.
+
+    Cell counting is associative and order-independent, so the streamed
+    grid equals the batch ``cms_build`` BIT-FOR-BIT at any prefix —
+    the same guarantee class as the histogram monitor and the
+    reservoir.  The Python fold replays the JVM md5-slice probe scheme
+    (six hex chars per hash row of ``md5(seed:key)``), pinned by the
+    parity test; a drift between the two would break every downstream
+    estimate, so the test compares cells, not estimates.
+
+    Implemented on ``applyInPandasWithState`` (same protobuf seam note
+    as the other monitors).  The single state group serializes the
+    fold; that is the CMS's nature (one global grid) — at real scale
+    shard the stream into G independent grids keyed by
+    ``hash(key) % G`` and merge cell-wise, exactly like the batch
+    sketch's partial aggregation.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if d < 1 or d > 5:
+        raise ValueError(f"cms_sketch_stream: d must be 1..5, got {d}")
+    if w < 2:
+        raise ValueError(f"cms_sketch_stream: w must be >= 2, got {w}")
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            flat, n_seen = state.get
+            grid = np.asarray(flat, dtype=np.int64).reshape(d, w)
+        else:
+            grid, n_seen = np.zeros((d, w), dtype=np.int64), 0
+        for pdf in pdfs:
+            for k in pdf["key"].dropna():
+                digest = hashlib.md5(f"{seed}:{int(k)}".encode()).hexdigest()
+                for p in range(d):
+                    grid[p, int(digest[p * 6 : p * 6 + 6], 16) % w] += 1
+                n_seen += 1
+        state.update((grid.ravel().tolist(), n_seen))
+        rr, cc = np.nonzero(grid)
+        if len(rr):
+            yield pd.DataFrame(
+                {
+                    "row": rr.astype(np.int64),
+                    "col": cc.astype(np.int64),
+                    "cnt": grid[rr, cc],
+                    "n_processed": n_seen,
+                }
+            )
+
+    ev = events.select(
+        F.lit(1).alias("grid_id"), F.col(key_col).cast("long").alias("key")
+    )
+    return ev.groupBy("grid_id").applyInPandasWithState(
+        update,
+        outputStructType="row long, col long, cnt long, n_processed long",
+        stateStructType="flat array<long>, n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -198,3 +198,46 @@ def test_cms_join_size_disjoint_keys_estimate_zero_possible(spark):
     est = sketch.cms_join_size(sa, sb, d=3).first()["join_size_est"]
     assert est >= 0
     assert est == 0
+
+
+def test_sketch_tables_persist_and_append(spark, strata, values, tmp_path):
+    """The production daily-append pattern: land per-stratum sketch rows
+    in parquet each run, answer later questions from the accumulated
+    table alone.  Day-1 and day-2 HLL/histogram sketch rows written
+    separately, read back, and merged must answer identically to a
+    sketch built over the union — for the histogram BIT-for-bit, for
+    HLL within the union-stable bound."""
+    from pyspark.sql import functions as F
+
+    d1 = strata.where(F.col("src") != "c")
+    d2 = strata.where(F.col("src") == "c")
+    p = str(tmp_path / "hll_table")
+    sketch.hll_sketches(d1, "src", "user", lg_k=12).write.parquet(p)
+    sketch.hll_sketches(d2, "src", "user", lg_k=12).write.mode("append").parquet(p)
+    acc = spark.read.parquet(p)
+    est = sketch.hll_estimate(acc).first()["n_distinct_est"]
+    direct = sketch.hll_estimate(
+        sketch.hll_sketches(strata, "src", "user", lg_k=12)
+    ).first()["n_distinct_est"]
+    assert est == direct  # union of persisted sketches == one-pass union
+
+    h1 = values.where(F.col("src") == "a")
+    h2 = values.where(F.col("src") == "b")
+    ph = str(tmp_path / "hist_table")
+    sketch.hist_sketch(h1, "src", "v", lo=0.0, hi=200.0, n_bins=50).write.parquet(ph)
+    sketch.hist_sketch(h2, "src", "v", lo=0.0, hi=200.0, n_bins=50).write.mode(
+        "append"
+    ).parquet(ph)
+    live = sketch.hist_quantiles(
+        spark.read.parquet(ph), [0.5, 0.99], lo=0.0, hi=200.0, n_bins=50
+    )
+    full = sketch.hist_quantiles(
+        sketch.hist_sketch(values, "src", "v", lo=0.0, hi=200.0, n_bins=50),
+        [0.5, 0.99],
+        lo=0.0,
+        hi=200.0,
+        n_bins=50,
+    )
+    assert sorted(map(tuple, live.collect())) == sorted(
+        map(tuple, full.collect())
+    )

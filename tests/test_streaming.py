@@ -873,3 +873,75 @@ def test_hist_sketch_stream_guards(spark, batch_events):
         ev.hist_sketch_stream(batch_events, lo=1.0, hi=1.0)
     with pytest.raises(ValueError, match="n_bins"):
         ev.hist_sketch_stream(batch_events, n_bins=1)
+
+
+def test_cms_sketch_stream_matches_batch_exactly(
+    spark, batch_events, tmp_path
+):
+    """Streaming CMS over a time-split two-file source: the Python
+    md5-slice fold must reproduce the JVM cms_build grid BIT-FOR-BIT
+    (cells, not estimates — a probe-scheme drift would silently skew
+    every downstream estimate), and the streamed cells must feed
+    cms_estimate unchanged."""
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators import sketch
+
+    src_dir = tmp_path / "cms_src"
+    med_ts = batch_events.select(
+        F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)")
+    ).first()[0]
+    early = batch_events.where(
+        F.unix_micros(F.col("ts").cast("timestamp")) <= med_ts
+    )
+    late = batch_events.where(
+        F.unix_micros(F.col("ts").cast("timestamp")) > med_ts
+    )
+    early.coalesce(1).write.parquet(str(src_dir / "f1"))
+    import time
+
+    time.sleep(1.1)
+    late.coalesce(1).write.parquet(str(src_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*/"))
+    )
+    q = (
+        ev.cms_sketch_stream(stream, "user_id", w=64, d=3, seed=47)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("""
+        SELECT row, col, cnt FROM cms_stream t
+        WHERE n_processed = (SELECT MAX(n_processed) FROM cms_stream)
+    """)
+    expected = sketch.cms_build(
+        batch_events.select("user_id"), "user_id", w=64, d=3, seed=47
+    ).select(F.col("row").cast("long"), F.col("col"), "cnt")
+    assert _sorted_rows(got) == _sorted_rows(expected)
+    # streamed cells feed the batch point-estimator unchanged, and the
+    # CMS one-sided guarantee holds against exact counts
+    probe = batch_events.select("user_id").distinct().limit(10)
+    est = sketch.cms_estimate(got, probe, "user_id", w=64, d=3, seed=47)
+    truth = (
+        batch_events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(probe, "user_id")
+    )
+    joined = est.join(truth, "user_id").collect()
+    assert len(joined) == 10
+    assert all(r["cms_count"] >= r["n"] for r in joined)
+
+
+def test_cms_sketch_stream_guards(spark, batch_events):
+    with pytest.raises(ValueError, match="d must"):
+        ev.cms_sketch_stream(batch_events, "user_id", d=0)
+    with pytest.raises(ValueError, match="w must"):
+        ev.cms_sketch_stream(batch_events, "user_id", w=1)
