@@ -146,6 +146,69 @@ def hll_estimate(
     return sketches.agg(est)
 
 
+def hll_append_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    stratum_col: str,
+    key_col: str,
+    lg_k: int = 12,
+    batch_id: int = 0,
+) -> None:
+    """One sketch-append cycle against a parquet sketch store: build the
+    arriving batch's per-stratum HLL sketches (:func:`hll_sketches`) and
+    APPEND one ``(stratum, batch_id, hll_sketch)`` row per stratum.
+
+    This is the ``foreachBatch`` body for a maintained distinct-count
+    store — the incremental face of the batch sketch, and the "daily
+    pipeline appends one sketch row per stratum per run" pattern the
+    batch docstring describes.  Unlike the CDC store
+    (:func:`~lightfusion_spark.operators.cdc.merge_into_state`), append
+    here needs NO read-modify-write cycle: HLL union is IDEMPOTENT
+    (registers are maxima, coupon lists are sets), so a micro-batch
+    replayed after a checkpoint recovery duplicates store ROWS but can
+    never change any downstream ESTIMATE — the estimate-level guarantee
+    the parity tests assert.  The store grows one row per stratum per
+    batch; :func:`hll_compact_state` folds it back to one row per
+    stratum whenever that matters, preserving every estimate exactly.
+
+    At 100 TB the append writes O(strata) KB-sized rows per run and the
+    raw keys are never stored — any later slice's cardinality is a
+    union over the store alone (:func:`hll_estimate`), never a re-scan.
+    A production deployment swaps the parquet append for a
+    transactional table format's append; the union semantics — and the
+    tests — stay identical.
+    """
+    sk = hll_sketches(batch_df, stratum_col, key_col, lg_k=lg_k)
+    sk = sk.select(
+        F.col(stratum_col),
+        F.lit(int(batch_id)).cast("long").alias("batch_id"),
+        "hll_sketch",
+    )
+    sk.write.mode("append").parquet(state_dir)
+
+
+def hll_compact_state(
+    spark,
+    state_dir: str,
+    stratum_col: str,
+) -> None:
+    """Fold a :func:`hll_append_batch` store back to ONE row per
+    stratum: union-merge each stratum's appended sketches
+    (``hll_union_agg`` — the same merge every estimate goes through, so
+    compaction is estimate-preserving by construction) and replace the
+    store.  ``batch_id`` keeps the latest id folded in, recording how
+    far the compacted row has seen.  The result is pinned with
+    ``localCheckpoint`` BEFORE the overwrite (the CDC-store lesson: the
+    lazy read of the directory being replaced must never feed its own
+    overwrite)."""
+    state = spark.read.parquet(state_dir)
+    compacted = state.groupBy(stratum_col).agg(
+        F.max("batch_id").alias("batch_id"),
+        F.expr("hll_union_agg(hll_sketch)").alias("hll_sketch"),
+    ).select(stratum_col, "batch_id", "hll_sketch").localCheckpoint(eager=True)
+    compacted.write.mode("overwrite").parquet(state_dir)
+
+
 def hist_sketch(
     df: DataFrame,
     stratum_col: str,

@@ -945,3 +945,142 @@ def test_cms_sketch_stream_guards(spark, batch_events):
         ev.cms_sketch_stream(batch_events, "user_id", d=0)
     with pytest.raises(ValueError, match="w must"):
         ev.cms_sketch_stream(batch_events, "user_id", w=1)
+
+
+def test_hll_append_stream_matches_batch_estimate(
+    spark, batch_events, tmp_path
+):
+    """Streaming HLL sketch-append over a time-split two-file source:
+    each micro-batch appends per-stratum sketch rows to the parquet
+    store (hll_append_batch inside foreachBatch — the daily-append
+    production pattern).  HLL union is partition-independent (coupon
+    lists are sets, registers are maxima), so the union estimate over
+    the appended rows equals the one-pass batch sketch's estimate
+    EXACTLY — per stratum and globally — without the raw keys ever
+    being stored."""
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators import sketch
+
+    src_dir = tmp_path / "hll_src"
+    med_ts = batch_events.select(
+        F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)")
+    ).first()[0]
+    early = batch_events.where(
+        F.unix_micros(F.col("ts").cast("timestamp")) <= med_ts
+    )
+    late = batch_events.where(
+        F.unix_micros(F.col("ts").cast("timestamp")) > med_ts
+    )
+    early.coalesce(1).write.parquet(str(src_dir / "f1"))
+    import time
+
+    time.sleep(1.1)
+    late.coalesce(1).write.parquet(str(src_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*/"))
+    )
+    state_dir = str(tmp_path / "hll_state")
+
+    def process(batch_df, epoch_id):
+        sketch.hll_append_batch(
+            batch_df, state_dir, "event_type", "user_id",
+            lg_k=12, batch_id=epoch_id,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    store = spark.read.parquet(state_dir)
+    n_strata = batch_events.select("event_type").distinct().count()
+    # the append really spanned micro-batches: more rows than strata,
+    # and at least two distinct batch ids
+    assert store.count() > n_strata
+    assert store.select("batch_id").distinct().count() >= 2
+
+    batch_sk = sketch.hll_sketches(
+        batch_events, "event_type", "user_id", lg_k=12
+    ).localCheckpoint(eager=True)
+    want_per = _sorted_rows(sketch.hll_estimate(batch_sk, ["event_type"]))
+    got_per = _sorted_rows(sketch.hll_estimate(store, ["event_type"]))
+    assert got_per == want_per and len(got_per) == n_strata
+    assert (
+        sketch.hll_estimate(store).first()["n_distinct_est"]
+        == sketch.hll_estimate(batch_sk).first()["n_distinct_est"]
+    )
+
+
+def test_hll_append_replay_is_estimate_idempotent(spark, batch_events, tmp_path):
+    """A replayed micro-batch (checkpoint recovery re-runs foreachBatch)
+    duplicates store ROWS but cannot move any ESTIMATE: HLL union is
+    idempotent.  This is why the append store needs no read-modify-write
+    cycle, unlike the CDC upsert store."""
+    from lightfusion_spark.operators import sketch
+
+    state_dir = str(tmp_path / "hll_state")
+    sketch.hll_append_batch(batch_events, state_dir, "event_type", "user_id", batch_id=0)
+    once_per = _sorted_rows(
+        sketch.hll_estimate(spark.read.parquet(state_dir), ["event_type"])
+    )
+    once_glob = sketch.hll_estimate(
+        spark.read.parquet(state_dir)
+    ).first()["n_distinct_est"]
+    # replay the SAME batch (same id, same data)
+    sketch.hll_append_batch(batch_events, state_dir, "event_type", "user_id", batch_id=0)
+    store = spark.read.parquet(state_dir)
+    assert _sorted_rows(sketch.hll_estimate(store, ["event_type"])) == once_per
+    assert sketch.hll_estimate(store).first()["n_distinct_est"] == once_glob
+
+
+def test_hll_compact_preserves_estimates(spark, batch_events, tmp_path):
+    """Compaction folds the append store to ONE row per stratum through
+    the same union every estimate goes through — so it preserves every
+    estimate exactly while bounding the store at O(strata) rows."""
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators import sketch
+
+    state_dir = str(tmp_path / "hll_state")
+    # three appends: two disjoint halves, then a replay of the first
+    sketch.hll_append_batch(
+        batch_events.where(F.col("user_id") % 2 == 0),
+        state_dir, "event_type", "user_id", batch_id=0,
+    )
+    sketch.hll_append_batch(
+        batch_events.where(F.col("user_id") % 2 == 1),
+        state_dir, "event_type", "user_id", batch_id=1,
+    )
+    sketch.hll_append_batch(
+        batch_events.where(F.col("user_id") % 2 == 0),
+        state_dir, "event_type", "user_id", batch_id=2,
+    )
+    before_per = _sorted_rows(
+        sketch.hll_estimate(spark.read.parquet(state_dir), ["event_type"])
+    )
+    before_glob = sketch.hll_estimate(
+        spark.read.parquet(state_dir)
+    ).first()["n_distinct_est"]
+
+    sketch.hll_compact_state(spark, state_dir, "event_type")
+    store = spark.read.parquet(state_dir)
+    n_strata = batch_events.select("event_type").distinct().count()
+    assert store.count() == n_strata
+    assert store.agg(F.max("batch_id")).first()[0] == 2
+    assert _sorted_rows(sketch.hll_estimate(store, ["event_type"])) == before_per
+    assert sketch.hll_estimate(store).first()["n_distinct_est"] == before_glob
+    # and the full-data batch sketch still agrees after compaction
+    batch_per = _sorted_rows(
+        sketch.hll_estimate(
+            sketch.hll_sketches(batch_events, "event_type", "user_id", lg_k=12),
+            ["event_type"],
+        )
+    )
+    assert _sorted_rows(sketch.hll_estimate(store, ["event_type"])) == batch_per
