@@ -209,6 +209,127 @@ def hll_compact_state(
     compacted.write.mode("overwrite").parquet(state_dir)
 
 
+def sketch_append_batch(
+    batch_sketch: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    cnt_col: str = "cnt",
+) -> None:
+    """One ADDITIVE-sketch append cycle: write the arriving batch's
+    sketch cells (``hist_sketch`` bins or ``cms_build`` cells — any
+    ``(cell..., cnt)`` rows whose merge is cell-wise addition) to a
+    parquet store as ``(cell..., cnt, batch_id, segment='raw')`` rows.
+
+    The replay-safety mechanism is the OPPOSITE of the HLL store's
+    (:func:`hll_append_batch`): addition is not idempotent, so a
+    replayed micro-batch would double-count if appends were blind.
+    Instead the append is batch-id-ADDRESSED — the per-batch sketch is
+    a deterministic function of the batch's rows, so a replay writes
+    byte-identical rows under the same ``batch_id`` and the read side
+    (:func:`sketch_state_cells`) collapses them (MAX per cell per
+    batch) before summing.  This is the checkpointed
+    batch-id-addressed-write pattern; with ``foreachBatch`` +
+    checkpointing only the in-flight batch can ever replay, and it is
+    exactly the one the dedup makes harmless.
+
+    At 100 TB each append writes O(strata × n_bins) (hist) or O(d·w)
+    (CMS) integer rows — KBs — regardless of input size, and any later
+    slice's estimate sums matching cells instead of re-scanning data.
+    """
+    cell_cols = [c for c in batch_sketch.columns if c != cnt_col]
+    (
+        batch_sketch.select(
+            *cell_cols,
+            F.col(cnt_col),
+            F.lit(int(batch_id)).cast("long").alias("batch_id"),
+            F.lit("raw").alias("segment"),
+        ).write.mode("append").parquet(state_dir)
+    )
+
+
+def _sketch_state_parts(state: DataFrame, cnt_col: str):
+    """Split a :func:`sketch_append_batch` store into (cell_cols, fence,
+    compacted rows, fence-filtered + replay-deduped raw rows).  The
+    fence = the compacted segment's batch_id: raw rows at or below it
+    were already folded in, so surviving copies (a replay that landed
+    after compaction) must be DROPPED, not summed."""
+    cell_cols = [
+        c for c in state.columns if c not in (cnt_col, "batch_id", "segment")
+    ]
+    fence = (
+        state.where(F.col("segment") == "compacted")
+        .agg(F.max("batch_id"))
+        .first()[0]
+    )  # bounded 1-row driver reduction (the CDC existence-probe class)
+    raw = state.where(F.col("segment") == "raw")
+    if fence is not None:
+        raw = raw.where(F.col("batch_id") > fence)
+    deduped = raw.groupBy(*cell_cols, "batch_id").agg(
+        F.max(cnt_col).alias(cnt_col)
+    )
+    compacted = state.where(F.col("segment") == "compacted")
+    return cell_cols, fence, compacted, deduped
+
+
+def sketch_state_cells(
+    spark, state_dir: str, cnt_col: str = "cnt"
+) -> DataFrame:
+    """The live cell view of a :func:`sketch_append_batch` store: the
+    compacted segment plus fence-filtered, replay-deduped raw batches,
+    summed per cell — equal to the one-pass batch sketch over all data
+    ingested so far (cell-wise addition is partition-independent), so
+    the streamed store feeds ``hist_quantiles`` / ``cms_estimate`` /
+    ``cms_join_size`` unchanged."""
+    state = spark.read.parquet(state_dir)
+    cell_cols, _, compacted, deduped = _sketch_state_parts(state, cnt_col)
+    return (
+        deduped.select(*cell_cols, cnt_col)
+        .unionByName(compacted.select(*cell_cols, cnt_col))
+        .groupBy(*cell_cols)
+        .agg(F.sum(cnt_col).alias(cnt_col))
+    )
+
+
+def sketch_compact_state(
+    spark, state_dir: str, through_batch_id: int, cnt_col: str = "cnt"
+) -> None:
+    """Fold raw batches with ``batch_id <= through_batch_id`` into the
+    compacted segment (one row per cell, ``batch_id =
+    through_batch_id`` as the new fence); later raw rows are kept
+    as-is.  ``through_batch_id`` is the caller's FENCE and must only
+    cover batches the streaming checkpoint has committed: a batch that
+    can still replay must stay raw (addressed, deduplicable) — once
+    folded, a late replay of it is dropped by the fence rather than
+    double-counted, which is the correct outcome for a committed batch.
+    The result is pinned with ``localCheckpoint`` before the overwrite
+    (the CDC-store lesson)."""
+    state = spark.read.parquet(state_dir)
+    cell_cols, fence, compacted, deduped = _sketch_state_parts(state, cnt_col)
+    if fence is not None and through_batch_id < fence:
+        raise ValueError(
+            f"sketch_compact_state: through_batch_id {through_batch_id} is "
+            f"below the existing compaction fence {fence}"
+        )
+    eligible = deduped.where(F.col("batch_id") <= through_batch_id)
+    keep = deduped.where(F.col("batch_id") > through_batch_id).select(
+        *cell_cols, cnt_col, "batch_id", F.lit("raw").alias("segment")
+    )
+    folded = (
+        eligible.select(*cell_cols, cnt_col)
+        .unionByName(compacted.select(*cell_cols, cnt_col))
+        .groupBy(*cell_cols)
+        .agg(F.sum(cnt_col).alias(cnt_col))
+        .select(
+            *cell_cols,
+            cnt_col,
+            F.lit(int(through_batch_id)).cast("long").alias("batch_id"),
+            F.lit("compacted").alias("segment"),
+        )
+    )
+    new_state = folded.unionByName(keep).localCheckpoint(eager=True)
+    new_state.write.mode("overwrite").parquet(state_dir)
+
+
 def hist_sketch(
     df: DataFrame,
     stratum_col: str,

@@ -1040,6 +1040,189 @@ def test_hll_append_replay_is_estimate_idempotent(spark, batch_events, tmp_path)
     assert sketch.hll_estimate(store).first()["n_distinct_est"] == once_glob
 
 
+def test_additive_append_stream_matches_batch_sketch(
+    spark, batch_events, tmp_path
+):
+    """Streaming ADDITIVE sketch-append (histogram instantiation): each
+    micro-batch appends its deterministic per-batch bin rows under its
+    batch_id; the live cell view sums fence-filtered, replay-deduped
+    rows and must equal the one-pass batch hist_sketch EXACTLY —
+    cell-wise addition is partition-independent — and feed
+    hist_quantiles unchanged."""
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators import sketch
+
+    src_dir = tmp_path / "add_src"
+    med_ts = batch_events.select(
+        F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)")
+    ).first()[0]
+    early = batch_events.where(
+        F.unix_micros(F.col("ts").cast("timestamp")) <= med_ts
+    )
+    late = batch_events.where(
+        F.unix_micros(F.col("ts").cast("timestamp")) > med_ts
+    )
+    early.coalesce(1).write.parquet(str(src_dir / "f1"))
+    import time
+
+    time.sleep(1.1)
+    late.coalesce(1).write.parquet(str(src_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*/"))
+    )
+    state_dir = str(tmp_path / "hist_state")
+
+    def process(batch_df, epoch_id):
+        sketch.sketch_append_batch(
+            sketch.hist_sketch(
+                batch_df, "event_type", "value", lo=0.0, hi=512.0, n_bins=64
+            ),
+            state_dir,
+            batch_id=epoch_id,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_add"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    store = spark.read.parquet(state_dir)
+    assert store.select("batch_id").distinct().count() >= 2
+    got = sketch.sketch_state_cells(spark, state_dir)
+    expected = sketch.hist_sketch(
+        batch_events, "event_type", "value", lo=0.0, hi=512.0, n_bins=64
+    )
+    assert _sorted_rows(got.select("event_type", "bin", "cnt")) == _sorted_rows(
+        expected.select("event_type", "bin", "cnt")
+    )
+    live = sketch.hist_quantiles(
+        got, [0.5, 0.99], lo=0.0, hi=512.0, n_bins=64,
+        group_cols=["event_type"],
+    )
+    batch_q = sketch.hist_quantiles(
+        expected, [0.5, 0.99], lo=0.0, hi=512.0, n_bins=64,
+        group_cols=["event_type"],
+    )
+    assert _sorted_rows(live) == _sorted_rows(batch_q)
+
+
+def test_additive_append_replay_dedup_and_compaction_fence(
+    spark, batch_events, tmp_path
+):
+    """The two replay windows of the addressed-append store: BEFORE
+    compaction a replayed batch collapses by (cell, batch_id) dedup;
+    AFTER its batch is folded, a late replay is dropped by the fence.
+    Either way the cells never move.  Compaction below the existing
+    fence is refused."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators import sketch
+
+    state_dir = str(tmp_path / "hist_state")
+    b0 = batch_events.where(F.col("user_id") % 2 == 0)
+    b1 = batch_events.where(F.col("user_id") % 2 == 1)
+    hs = lambda df: sketch.hist_sketch(
+        df, "event_type", "value", lo=0.0, hi=512.0, n_bins=64
+    )
+    sketch.sketch_append_batch(hs(b0), state_dir, batch_id=0)
+    sketch.sketch_append_batch(hs(b1), state_dir, batch_id=1)
+    want = _sorted_rows(
+        sketch.sketch_state_cells(spark, state_dir).select(
+            "event_type", "bin", "cnt"
+        )
+    )
+    # the store really equals the one-pass sketch over b0 ∪ b1
+    assert want == _sorted_rows(hs(batch_events).select("event_type", "bin", "cnt"))
+
+    # replay window 1: batch 0 re-appends BEFORE any compaction
+    sketch.sketch_append_batch(hs(b0), state_dir, batch_id=0)
+    assert _sorted_rows(
+        sketch.sketch_state_cells(spark, state_dir).select(
+            "event_type", "bin", "cnt"
+        )
+    ) == want
+
+    # fold batches <= 0; batch 1 stays raw (still replayable)
+    sketch.sketch_compact_state(spark, state_dir, through_batch_id=0)
+    state = spark.read.parquet(state_dir)
+    assert state.where("segment = 'compacted'").select("batch_id").distinct().collect() == [
+        (0,)
+    ]
+    assert state.where("segment = 'raw'").agg(F.min("batch_id")).first()[0] == 1
+    assert _sorted_rows(
+        sketch.sketch_state_cells(spark, state_dir).select(
+            "event_type", "bin", "cnt"
+        )
+    ) == want
+
+    # replay window 2: batch 0 re-appends AFTER being folded -> fenced out
+    sketch.sketch_append_batch(hs(b0), state_dir, batch_id=0)
+    assert _sorted_rows(
+        sketch.sketch_state_cells(spark, state_dir).select(
+            "event_type", "bin", "cnt"
+        )
+    ) == want
+
+    # compacting below the fence is a caller bug, refused loudly
+    with _pytest.raises(ValueError, match="below the existing"):
+        sketch.sketch_compact_state(spark, state_dir, through_batch_id=-1)
+
+    # full fold: one compacted row per cell, nothing raw survives
+    sketch.sketch_compact_state(spark, state_dir, through_batch_id=1)
+    state = spark.read.parquet(state_dir)
+    assert state.where("segment = 'raw' AND batch_id > 0").count() == 0
+    assert _sorted_rows(
+        sketch.sketch_state_cells(spark, state_dir).select(
+            "event_type", "bin", "cnt"
+        )
+    ) == want
+
+
+def test_additive_append_cms_instantiation(spark, batch_events, tmp_path):
+    """The same store maintains a CMS (cells are (row, col) instead of
+    (stratum, bin)): two appended halves sum to the full-data cms_build
+    grid exactly, and the live view feeds cms_estimate unchanged."""
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators import sketch
+
+    state_dir = str(tmp_path / "cms_state")
+    b0 = batch_events.where(F.col("user_id") % 2 == 0)
+    b1 = batch_events.where(F.col("user_id") % 2 == 1)
+    cb = lambda df: sketch.cms_build(
+        df.select("user_id"), "user_id", w=64, d=3, seed=47
+    )
+    sketch.sketch_append_batch(cb(b0), state_dir, batch_id=0)
+    sketch.sketch_append_batch(cb(b1), state_dir, batch_id=1)
+    got = sketch.sketch_state_cells(spark, state_dir)
+    expected = cb(batch_events)
+    assert _sorted_rows(
+        got.select(F.col("row").cast("long"), F.col("col").cast("long"), "cnt")
+    ) == _sorted_rows(
+        expected.select(
+            F.col("row").cast("long"), F.col("col").cast("long"), "cnt"
+        )
+    )
+    probe = batch_events.select("user_id").distinct().limit(10)
+    est = sketch.cms_estimate(got, probe, "user_id", w=64, d=3, seed=47)
+    truth = (
+        batch_events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(probe, "user_id")
+    )
+    joined = est.join(truth, "user_id").collect()
+    assert len(joined) == 10
+    assert all(r["cms_count"] >= r["n"] for r in joined)
+
+
 def test_hll_compact_preserves_estimates(spark, batch_events, tmp_path):
     """Compaction folds the append store to ONE row per stratum through
     the same union every estimate goes through — so it preserves every
