@@ -741,6 +741,66 @@ def main() -> None:
         ).count(),
     )
 
+    # round-10 (late): the maintained sketch-store claim as numbers —
+    # the store's footprint is O(cells), INDEPENDENT of ingested rows
+    # (10x events, identical value distribution => identical occupied
+    # bins => identical store rows), and the read side prices in the
+    # store size, not the ingested volume.  Append cost follows the
+    # one-pass sketch build (the scan dominates); what must NOT grow
+    # is the store itself and the estimate reads over it.
+    if not ONLY or any(s in "sketch_store_append" for s in ONLY):
+        import shutil
+        import tempfile
+
+        def _store_roundtrip(src):
+            d = tempfile.mkdtemp(prefix="scalecheck_sketch_store_")
+            try:
+                halves = [
+                    src.where(F.col("event_id") % 2 == i) for i in (0, 1)
+                ]
+                t0 = time.time()
+                for i, h in enumerate(halves):
+                    sk_mod.sketch_append_batch(
+                        sk_mod.hist_sketch(
+                            h, "event_type", "value",
+                            lo=0.0, hi=512.0, n_bins=64,
+                        ),
+                        d,
+                        batch_id=i,
+                    )
+                t_append = time.time() - t0
+                store_rows = spark.read.parquet(d).count()
+                t0 = time.time()
+                cells = sk_mod.sketch_state_cells(spark, d)
+                n_cells = cells.count()
+                sk_mod.hist_quantiles(
+                    cells, [0.5, 0.99], lo=0.0, hi=512.0, n_bins=64,
+                    group_cols=["event_type"],
+                ).count()
+                t_read = time.time() - t0
+                return t_append, t_read, store_rows, n_cells
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+
+        a1, r1, rows1, cells1 = _store_roundtrip(events)
+        a10, r10x, rows10, cells10 = _store_roundtrip(ev10b)
+        print(
+            json.dumps(
+                {
+                    "check": "sketch_store_append",
+                    "append_sec_1x": round(a1, 2),
+                    "append_sec_10x": round(a10, 2),
+                    "read_sec_1x": round(r1, 2),
+                    "read_sec_10x": round(r10x, 2),
+                    "store_rows_1x": rows1,
+                    "store_rows_10x": rows10,
+                    "cells_1x": cells1,
+                    "cells_10x": cells10,
+                    "store_flat": rows1 == rows10,
+                }
+            )
+        )
+
     # round-10: build-once/search-many A/B for the persisted IVF index
     # (operators/annindex.py) — the production amortization claim,
     # measured: 1 build + M searches vs M train-per-call searches.
