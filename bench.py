@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "pipe_sketch_joinsize",
     "pipe_privacy_kanon",
     "pipe_mixture_domain",
+    "pipe_sketch_append",
 ]
 
 

@@ -3632,6 +3632,100 @@ def pipe_sketch_quantile(spark, sf_dir):
     return per.unionAll(glob)
 
 
+@register(
+    "pipe_sketch_append",
+    oracle=r"""
+    WITH perday AS (
+      SELECT event_type AS stratum,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(LEAST(63, GREATEST(0,
+                  CAST(FLOOR((value - 0.0) / 8.0) AS INT))) AS INT) AS bin,
+             COUNT(*) AS cnt
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    binned AS (SELECT stratum, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+               FROM perday GROUP BY 1, 2),
+    ndays AS (SELECT COUNT(DISTINCT day) AS n_days FROM perday),
+    strata AS (
+      SELECT stratum, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY stratum ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY stratum) AS total
+      FROM binned
+    ),
+    gbins AS (SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+              FROM binned GROUP BY bin),
+    gmerged AS (
+      SELECT 'ALL' AS stratum, bin, cnt,
+             SUM(cnt) OVER (ORDER BY bin) AS cum,
+             SUM(cnt) OVER () AS total
+      FROM gbins
+    ),
+    allrows AS (SELECT * FROM strata UNION ALL SELECT * FROM gmerged),
+    qs AS (SELECT UNNEST([0.5, 0.99]) AS q)
+    SELECT stratum, q,
+           0.0 + 8.0 * (CAST(bin AS DOUBLE)
+             + (q * CAST(total AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+               / CAST(cnt AS DOUBLE)) AS est,
+           n_days
+    FROM allrows, qs, ndays
+    WHERE CAST(cum AS DOUBLE) >= q * CAST(total AS DOUBLE)
+      AND CAST(cum - cnt AS DOUBLE) < q * CAST(total AS DOUBLE)
+    """,
+    doc="the maintained sketch-store pattern end-to-end in batch "
+    "(sketch.sketch_append_batch semantics via the pure "
+    "sketch_cells_of merge): every DAILY per-event-type histogram "
+    "append is built in one pass (hist_sketch extra_group_cols=[day], "
+    "day = epoch-micros div 86400000000 — TZ-proof), the earliest "
+    "day's append is deliberately REPLAYED (union of identical "
+    "store rows), and the store merge must collapse the replay per "
+    "(cell, batch_id) before summing — so the p50/p99 per stratum "
+    "plus merged-global 'ALL' rows equal the one-pass sketch's "
+    "quantiles exactly, which is what the oracle computes.  A broken "
+    "dedup double-counts the replayed day and hash-mismatches.  "
+    "n_days proves the store really merged multiple appends.  "
+    "Integer cells + IEEE interpolation keep every estimate "
+    "hash-exact (the pipe_sketch_quantile recipe); the streaming "
+    "twin and fenced compaction are pytest-verified in "
+    "tests/test_streaming.py",
+)
+def pipe_sketch_append(spark, sf_dir):
+    from ..operators import sketch
+    from ..streaming.events import ts_micros_col
+
+    ev = table(spark, sf_dir, "events")
+    evd = ev.withColumn(
+        "day", (ts_micros_col(ev) / F.lit(86400000000)).cast("long")
+    )
+    # every daily append in one pass, in store-row shape
+    store = sketch.hist_sketch(
+        evd, "event_type", "value", lo=0.0, hi=512.0, n_bins=64,
+        extra_group_cols=["day"],
+    ).select(
+        "event_type",
+        "bin",
+        "cnt",
+        F.col("day").alias("batch_id"),
+        F.lit("raw").alias("segment"),
+    )
+    # a replayed append: the earliest day's rows land a second time,
+    # byte-identical (1-row broadcast join, no collect)
+    earliest = store.groupBy().agg(F.min("batch_id").alias("batch_id"))
+    replay = store.join(F.broadcast(earliest), "batch_id").select(
+        *store.columns
+    )
+    cells = sketch.sketch_cells_of(store.unionByName(replay))
+    qs = [0.5, 0.99]
+    per = sketch.hist_quantiles(
+        cells, qs, lo=0.0, hi=512.0, n_bins=64, group_cols=["event_type"]
+    ).select(F.col("event_type").alias("stratum"), "q", "est")
+    glob = sketch.hist_quantiles(
+        cells, qs, lo=0.0, hi=512.0, n_bins=64
+    ).select(F.lit("ALL").alias("stratum"), "q", "est")
+    n_days = store.agg(F.countDistinct("batch_id").alias("n_days"))
+    return per.unionAll(glob).crossJoin(F.broadcast(n_days))
+
+
 #: Shared oracle CTE chain replaying NB training + argmax scoring
 #: (nbayes.train_naive_bayes / apply_naive_bayes on documents.source);
 #: ends at `ranked` — (doc_id, label, score_micro, rn), rn=1 is the

@@ -55,19 +55,21 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: + pipe_e2e_curation, an r06 row whose OUTPUT changed this round
 #: (redaction composed before dedup adds n_redacted and re-keys the
 #: dedup) so its old green row no longer vouches for it
-#: + the recorded backlog: the 4 r04 rows and 8 of the 10 r05 rows
+#: + the recorded backlog: the 4 r04 rows and 7 of the 10 r05 rows
 #: + 6 per-category §2.3 representatives from the r07/r08 blocks, each
 #: its family's STALEST verified sibling (rel_distinct, rel_window_lag,
 #: rel_topk_group, rel_set_intersect, udtf_split_words, rel_percentile)
-#: + 15 more NEW faces landed later in the round (TPC-H q7/q8/q9
+#: + 16 more NEW faces landed later in the round (TPC-H q7/q8/q9
 #: shapes, preference pairs, curriculum ordering, fuzzy
 #: decontamination, diversity sampling, mergeable HLL sketches,
 #: mergeable quantile histograms, the Naive Bayes domain classifier,
 #: DSIR importance resampling, Bradley-Terry strength fitting, CMS
 #: join-size estimation, the k-anonymity release gate, the
-#: domain-routed mixture composition — the last two of which displace
+#: domain-routed mixture composition, and the maintained sketch-store
+#: face pipe_sketch_append — the last three of which displace
 #: the r05 rows pipe_boilerplate_lines (sibling-repped by
-#: pipe_strip_boilerplate) and events_attribution (events family
+#: pipe_strip_boilerplate), events_attribution (events family
+#: four-way repped) and pipe_dedup_incremental (dedup family
 #: four-way repped) back to the r11 backlog head)
 #: + 4 rows of the r06 block: its four rel family reps (rel_agg_q1,
 #: rel_subquery_in_exists, rel_scalar_math, rel_lateral_join) and the
@@ -79,7 +81,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: events_asof_join, events_range_join, events_asof_bucketed,
 #: events_sessionize, pipe_e2e_model_curation — all keep their r06
 #: green rows and head the r11 backlog).
-#: 4+23+1+4+8+6+4 = 50 exactly.  The round-11 re-window backlog is
+#: 4+24+1+4+7+6+4 = 50 exactly.  The round-11 re-window backlog is
 #: the 32 remaining r06 rows (the 13 displaced rows
 #: above, pipe_lm_score, pipe_multimodal_codec,
 #: pipe_multimodal_decode/_jpeg/_png/_video/_wav, pipe_pack_bpe,
@@ -118,7 +120,8 @@ PRIORITY: list[str] = [
     # dedup/decontaminate rows below back to the r11 backlog head —
     # each of those keeps its r06 green row, and the dedup family
     # stays repped in-window by pipe_dedup_exact /
-    # pipe_dedup_incremental / pipe_decontaminate_fuzzy.
+    # pipe_decontaminate_fuzzy (pipe_dedup_incremental later ceded
+    # its slot to pipe_sketch_append — see below).
     "rel_tpch_q7_shape",
     "rel_tpch_q8_shape",
     "rel_tpch_q9_shape",
@@ -169,6 +172,14 @@ PRIORITY: list[str] = [
     # in-window by the three streaming batch twins plus
     # events_asof_forward — back to the r11 backlog).
     "pipe_mixture_domain",
+    # ... and the maintained sketch-store face: N daily histogram
+    # appends built in one pass, a deliberately REPLAYED day, and the
+    # store's dedup-then-sum merge down to hash-exact quantiles
+    # (displaces pipe_dedup_incremental — r05 green, the dedup family
+    # still repped in-window by pipe_dedup_exact, pipe_simhash_pairs,
+    # pipe_neardup_embedding and pipe_decontaminate_fuzzy — to the
+    # r11 backlog).
+    "pipe_sketch_append",
     # Changed face: redaction composed into the e2e curation chain
     # (new n_redacted column + dedup re-keyed on redacted text), so
     # the r06 green row no longer vouches for today's output.
@@ -178,12 +189,12 @@ PRIORITY: list[str] = [
     "pipe_text_langid",
     "pipe_neardup_embedding",
     "rel_tpch_q14_shape",
-    # The FULL r05 block (10 -- every row whose latest official
-    # green is round 5).
+    # The r05 block (7 of its 10 rows -- every row whose latest
+    # official green is round 5, minus the three late-face
+    # displacements noted in the header).
     "events_asof_forward",
     "pipe_chunk_documents",
     "pipe_dedup_exact",
-    "pipe_dedup_incremental",
     "pipe_sim_ivf",
     "pipe_split_stratified",
     "pipe_strip_boilerplate",
@@ -244,6 +255,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_decontaminate",
         "pipe_decontaminate_bloom",
         "pipe_dedup_components",
+        "pipe_dedup_incremental",
         "pipe_dedup_minhash",
         "pipe_dedup_minhash_incr",
         "pipe_dedup_semantic",

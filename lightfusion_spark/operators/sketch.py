@@ -247,20 +247,25 @@ def sketch_append_batch(
     )
 
 
-def _sketch_state_parts(state: DataFrame, cnt_col: str):
-    """Split a :func:`sketch_append_batch` store into (cell_cols, fence,
-    compacted rows, fence-filtered + replay-deduped raw rows).  The
-    fence = the compacted segment's batch_id: raw rows at or below it
+def _probe_fence(state: DataFrame):
+    """The compaction fence = the compacted segment's batch_id (None if
+    never compacted).  Bounded 1-row driver reduction (the CDC
+    existence-probe class)."""
+    return (
+        state.where(F.col("segment") == "compacted")
+        .agg(F.max("batch_id"))
+        .first()[0]
+    )
+
+
+def _split_state(state: DataFrame, cnt_col: str, fence):
+    """Split store rows into (cell_cols, compacted rows, fence-filtered
+    + replay-deduped raw rows).  The fence: raw rows at or below it
     were already folded in, so surviving copies (a replay that landed
     after compaction) must be DROPPED, not summed."""
     cell_cols = [
         c for c in state.columns if c not in (cnt_col, "batch_id", "segment")
     ]
-    fence = (
-        state.where(F.col("segment") == "compacted")
-        .agg(F.max("batch_id"))
-        .first()[0]
-    )  # bounded 1-row driver reduction (the CDC existence-probe class)
     raw = state.where(F.col("segment") == "raw")
     if fence is not None:
         raw = raw.where(F.col("batch_id") > fence)
@@ -268,7 +273,27 @@ def _sketch_state_parts(state: DataFrame, cnt_col: str):
         F.max(cnt_col).alias(cnt_col)
     )
     compacted = state.where(F.col("segment") == "compacted")
-    return cell_cols, fence, compacted, deduped
+    return cell_cols, compacted, deduped
+
+
+def sketch_cells_of(
+    state: DataFrame, cnt_col: str = "cnt", fence: int | None = None
+) -> DataFrame:
+    """The PURE live-cell merge over store-shaped rows ``(cell...,
+    cnt, batch_id, segment)``: fence-filter, collapse per-batch replay
+    duplicates (MAX per (cell, batch_id)), and sum compacted + raw per
+    cell.  ``fence`` is the compaction fence when the caller knows it
+    (:func:`sketch_state_cells` probes it from the store; a raw-only
+    state needs ``None``).  Exposed separately so batch pipelines can
+    run the exact store merge over in-engine rows — e.g. per-day
+    sketches built in one pass — without a filesystem round-trip."""
+    cell_cols, compacted, deduped = _split_state(state, cnt_col, fence)
+    return (
+        deduped.select(*cell_cols, cnt_col)
+        .unionByName(compacted.select(*cell_cols, cnt_col))
+        .groupBy(*cell_cols)
+        .agg(F.sum(cnt_col).alias(cnt_col))
+    )
 
 
 def sketch_state_cells(
@@ -281,13 +306,7 @@ def sketch_state_cells(
     the streamed store feeds ``hist_quantiles`` / ``cms_estimate`` /
     ``cms_join_size`` unchanged."""
     state = spark.read.parquet(state_dir)
-    cell_cols, _, compacted, deduped = _sketch_state_parts(state, cnt_col)
-    return (
-        deduped.select(*cell_cols, cnt_col)
-        .unionByName(compacted.select(*cell_cols, cnt_col))
-        .groupBy(*cell_cols)
-        .agg(F.sum(cnt_col).alias(cnt_col))
-    )
+    return sketch_cells_of(state, cnt_col, _probe_fence(state))
 
 
 def sketch_compact_state(
@@ -304,7 +323,8 @@ def sketch_compact_state(
     The result is pinned with ``localCheckpoint`` before the overwrite
     (the CDC-store lesson)."""
     state = spark.read.parquet(state_dir)
-    cell_cols, fence, compacted, deduped = _sketch_state_parts(state, cnt_col)
+    fence = _probe_fence(state)
+    cell_cols, compacted, deduped = _split_state(state, cnt_col, fence)
     if fence is not None and through_batch_id < fence:
         raise ValueError(
             f"sketch_compact_state: through_batch_id {through_batch_id} is "
@@ -337,6 +357,7 @@ def hist_sketch(
     lo: float,
     hi: float,
     n_bins: int = 128,
+    extra_group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-stratum mergeable quantile histograms: ``(stratum, bin, cnt)``.
 
@@ -358,6 +379,12 @@ def hist_sketch(
     quantile estimates then saturate at the grid edge — pick ``lo``/
     ``hi`` from domain knowledge or a footer-stats pass); NULLs are
     ignored, matching SQL percentile semantics.
+
+    ``extra_group_cols`` adds partition columns (a day, a shard) to
+    the group key — the one-pass way to build what N per-partition
+    sketch runs would (e.g. every daily append of a
+    :func:`sketch_append_batch` store at once); merge back by summing
+    cells, the same merge as always.
     """
     if not hi > lo:
         raise ValueError(f"hist_sketch: need hi > lo, got [{lo}, {hi})")
@@ -366,9 +393,10 @@ def hist_sketch(
     width = (hi - lo) / n_bins
     b = F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(width))
     b = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b.cast("int")))
+    extras = [F.col(c) for c in (extra_group_cols or [])]
     return (
         df.where(F.col(value_col).isNotNull())
-        .groupBy(F.col(stratum_col), b.alias("bin"))
+        .groupBy(F.col(stratum_col), *extras, b.alias("bin"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 

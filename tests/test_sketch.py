@@ -130,6 +130,24 @@ def test_hist_quantiles_within_one_bin(spark, values):
         assert abs(e - truth) <= width, (s, q, e, truth)
 
 
+def test_hist_extra_group_cols_sums_back_to_plain_sketch(spark, values):
+    """extra_group_cols builds every per-partition sketch in one pass
+    (the daily-append construction); summing cells over the partition
+    column must reproduce the plain sketch exactly."""
+    parted = values.withColumn("part", (F.col("v").cast("int") % 3))
+    per = sketch.hist_sketch(
+        parted, "src", "v", lo=0.0, hi=200.0, n_bins=50,
+        extra_group_cols=["part"],
+    )
+    summed = per.groupBy("src", "bin").agg(F.sum("cnt").alias("cnt"))
+    plain = sketch.hist_sketch(values, "src", "v", lo=0.0, hi=200.0, n_bins=50)
+    assert sorted(tuple(r) for r in summed.collect()) == sorted(
+        tuple(r) for r in plain.collect()
+    )
+    # and there really were multiple partitions per stratum
+    assert per.select("part").distinct().count() == 3
+
+
 def test_hist_merge_equals_one_pass_global(spark, values):
     """The merge property: quantiles from the two per-stratum sketches
     alone == quantiles of a sketch built in one global pass."""
