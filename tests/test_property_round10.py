@@ -88,3 +88,74 @@ def test_bt_strengths_positive_and_mean_one(spark, outcomes):
     total = sum(r["strength6"] for r in got)
     assert abs(total - k) < 1e-3 * k, (total, k)
     assert len(hist) == 3
+
+
+@_prop
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 9)),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    replays=st.lists(st.integers(0, 2), max_size=2),
+    compact_at=st.one_of(st.none(), st.integers(0, 2)),
+)
+def test_sketch_store_any_append_replay_compact_sequence(
+    spark, batches, replays, compact_at
+):
+    """For ANY sequence of appends, then an optional fenced compaction,
+    then ANY replays (of folded or unfolded batches alike), the store's
+    live cells equal the ground-truth histogram of each batch counted
+    ONCE — replays collapse by (cell, batch_id) dedup before the fence
+    and are dropped by it after, and compaction itself moves nothing.
+    Drives the real parquet store, not a reimplementation."""
+    import collections
+    import math
+    import shutil
+    import tempfile
+
+    lo, hi, nb = 0.0, 10.0, 5
+    width = (hi - lo) / nb
+
+    def batch_df(b):
+        return spark.createDataFrame(
+            [(g, float(v)) for g, v in b], "g string, v double"
+        )
+
+    d = tempfile.mkdtemp(prefix="prop_sketch_store_")
+    try:
+        for i, b in enumerate(batches):
+            sketch.sketch_append_batch(
+                sketch.hist_sketch(batch_df(b), "g", "v", lo=lo, hi=hi, n_bins=nb),
+                d,
+                batch_id=i,
+            )
+        if compact_at is not None:
+            sketch.sketch_compact_state(
+                spark, d, through_batch_id=min(compact_at, len(batches) - 1)
+            )
+        for r in replays:
+            i = min(r, len(batches) - 1)
+            sketch.sketch_append_batch(
+                sketch.hist_sketch(
+                    batch_df(batches[i]), "g", "v", lo=lo, hi=hi, n_bins=nb
+                ),
+                d,
+                batch_id=i,
+            )
+        got = {
+            (r["g"], r["bin"]): r["cnt"]
+            for r in sketch.sketch_state_cells(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    truth: collections.Counter = collections.Counter()
+    for b in batches:  # each batch exactly once, replays notwithstanding
+        for g, v in b:
+            truth[(g, min(nb - 1, max(0, math.floor((v - lo) / width))))] += 1
+    assert got == dict(truth), (got, dict(truth), batches, replays, compact_at)
