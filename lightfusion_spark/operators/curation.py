@@ -43,6 +43,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -717,6 +719,100 @@ def decontaminate_bloom(
     )
     hits = (
         pref.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
+            (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@dataclass(frozen=True)
+class ContaminationIndex:
+    """The bench side of :func:`decontaminate_bloom`, built ONCE and
+    reused across calls: the distinct benchmark n-gram hashes pinned in
+    memory (``localCheckpoint`` — micro-batches must not re-shingle the
+    benchmark suite) plus the Bloom bit array over them and the exact
+    geometry it was built with (a probe with different geometry would
+    silently produce false negatives, so the gate re-derives every
+    probe from the stored values)."""
+
+    bench_grams: DataFrame
+    words: list[int]
+    n: int
+    n_bits: int
+    n_hashes: int
+    seed: int
+
+
+def contamination_index(
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 5,
+    seed: int = 40,
+) -> ContaminationIndex:
+    """Precompute the benchmark-suite side of the decontamination gate.
+
+    The continual-ingest pattern: a crawl pipeline gates every arriving
+    micro-batch against the SAME benchmark suite, so shingling the
+    suite, deduping its grams and folding the Bloom array per batch is
+    pure waste — at 100 TB ingest the bench side is a fixed artifact
+    (rebuild only when the benchmark suite changes).  Build once here,
+    gate each batch with :func:`decontaminate_bloom_indexed`; the
+    composition is output-identical to :func:`decontaminate_bloom` on
+    the same inputs (asserted in tests/test_curation.py), which keeps
+    the streaming gate under the batch operator's oracle."""
+    bench_grams = (
+        doc_shingles(bench, id_col, text_col, n)
+        .select(_md5_long(F.col("shingle")).alias("g"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    words = bloom_build(bench_grams, "g", n_bits, n_hashes, seed)
+    return ContaminationIndex(
+        bench_grams=bench_grams,
+        words=words,
+        n=n,
+        n_bits=n_bits,
+        n_hashes=n_hashes,
+        seed=seed,
+    )
+
+
+def decontaminate_bloom_indexed(
+    df: DataFrame,
+    index: ContaminationIndex,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """:func:`decontaminate_bloom`'s per-batch body against a prebuilt
+    :class:`ContaminationIndex`: the arriving batch's grams
+    short-circuit on the broadcast-literal Bloom probe and only
+    survivors reach the exact equi-join against the pinned bench grams
+    — the ``foreachBatch`` gate for continual-ingest decontamination
+    (the decontamination sibling of the incremental-dedup foreachBatch
+    face).  No false negatives by Bloom construction; every false
+    positive dies in the exact join, so the verdicts equal the batch
+    operator's exactly."""
+    corpus_grams = doc_shingles(df, id_col, text_col, index.n).select(
+        F.col(id_col), _md5_long(F.col("shingle")).alias("g")
+    )
+    pref = corpus_grams.where(
+        bloom_might_contain(
+            F.col("g"), index.words, index.n_bits, index.n_hashes, index.seed
+        )
+    )
+    hits = (
+        pref.join(F.broadcast(index.bench_grams), "g")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
     )

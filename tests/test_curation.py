@@ -274,6 +274,41 @@ def test_decontaminate_bloom_equals_exact(spark, sf_dir):
     assert (passed - true_hits) / max(1, total - true_hits) < 0.05
 
 
+def test_contamination_index_equals_one_shot_bloom(spark, sf_dir):
+    """The prebuilt index composition must be output-identical to the
+    one-shot decontaminate_bloom — on the full corpus AND on disjoint
+    batches gated against the SAME index object (the continual-ingest
+    contract: batch verdicts union to the full-corpus verdicts)."""
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators.curation import (
+        contamination_index,
+        decontaminate_bloom,
+        decontaminate_bloom_indexed,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    idx = contamination_index(bench, "doc_id", "text")
+
+    want = {tuple(r) for r in decontaminate_bloom(d, bench, "doc_id", "text").collect()}
+    got_full = {
+        tuple(r)
+        for r in decontaminate_bloom_indexed(d, idx, "doc_id", "text").collect()
+    }
+    assert got_full == want and len(want) > 0
+
+    got_batched: set = set()
+    for i in (0, 1, 2):
+        got_batched |= {
+            tuple(r)
+            for r in decontaminate_bloom_indexed(
+                d.where(F.col("doc_id") % 3 == i), idx, "doc_id", "text"
+            ).collect()
+        }
+    assert got_batched == want
+
+
 def test_bloom_rejects_bad_geometry(spark):
     from lightfusion_spark.operators.curation import bloom_build
 

@@ -202,6 +202,55 @@ def test_incremental_minhash_foreachbatch(spark, tmp_path):
     assert sorted(got) == expected and len(expected) > 0
 
 
+def test_streaming_decontamination_gate_foreachbatch(spark, tmp_path):
+    """Continual-ingest decontamination: the benchmark-suite index is
+    built ONCE (contamination_index — bench grams pinned, Bloom array
+    collected) and every arriving document micro-batch is gated inside
+    foreachBatch with decontaminate_bloom_indexed.  The availableNow
+    verdicts must equal the one-shot batch decontaminate_bloom exactly
+    — the decontamination sibling of the incremental-dedup foreachBatch
+    face."""
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators.curation import (
+        contamination_index,
+        decontaminate_bloom,
+        decontaminate_bloom_indexed,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    expected = sorted(
+        tuple(r)
+        for r in decontaminate_bloom(docs, bench, "doc_id", "text").collect()
+    )
+
+    idx = contamination_index(bench, "doc_id", "text")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{SF_DIR}/documents*.parquet")
+    )
+    got: list[tuple] = []
+
+    def gate(batch_df, epoch_id):
+        got.extend(
+            tuple(r)
+            for r in decontaminate_bloom_indexed(
+                batch_df, idx, "doc_id", "text"
+            ).collect()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ckpt_decon"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(got) == expected and len(expected) > 0
+
+
 def test_windowed_ohlc_stream_matches_batch_operator(spark, tmp_path):
     """The streaming OHLC face (min_by/max_by declarative aggregates)
     must produce the SAME bars as the batch downsample_ohlc (ROW_NUMBER
