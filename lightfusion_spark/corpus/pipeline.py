@@ -4849,6 +4849,47 @@ def pipe_file_stats(spark, sf_dir):
 
 
 @register(
+    "pipe_file_stats_distributed",
+    oracle=f"""
+    WITH f AS (
+      SELECT file_name, num_rows
+      FROM parquet_file_metadata('{_FIXTURE_DATA_DIR}/*.parquet')
+    ),
+    m AS (
+      SELECT file_name,
+             MIN(CAST(stats_min_value AS BIGINT)) AS lo,
+             MAX(CAST(stats_max_value AS BIGINT)) AS hi
+      FROM parquet_metadata('{_FIXTURE_DATA_DIR}/*.parquet')
+      WHERE path_in_schema = 'doc_id'
+      GROUP BY file_name
+    )
+    SELECT regexp_extract(f.file_name, '([^/]+)$', 1) AS file,
+           f.num_rows AS n_rows, 'doc_id' AS col,
+           COALESCE(CAST(m.lo AS VARCHAR), 'None') AS min_str,
+           COALESCE(CAST(m.hi AS VARCHAR), 'None') AS max_str
+    FROM f LEFT JOIN m USING (file_name)
+    """,
+    doc="the >100k-files path of the footer-stats report "
+    "(sources/layout.py:file_stats_report_distributed): the driver "
+    "only lists paths; footer opening + row-group folding fans out as "
+    "mapInPandas over the file list (NOT binaryFile, which would ship "
+    "whole file contents to parse a trailing footer — at 100 TB that "
+    "turns a metadata report into a full-corpus read).  Shares "
+    "pipe_file_stats' oracle VERBATIM: DuckDB's parquet_metadata() "
+    "over the same fixture footers must agree with the distributed "
+    "fold exactly, which also pins the distributed path to the "
+    "driver-side path (both go through the shared _footer_stats_rows "
+    "fold; pytest additionally pins row equality of the two reports)",
+)
+def pipe_file_stats_distributed(spark, sf_dir):
+    from ..sources import layout
+
+    return layout.file_stats_report_distributed(
+        spark, _FIXTURE_DATA_DIR, ["doc_id"]
+    )
+
+
+@register(
     "pipe_cluster_embeddings",
     oracle="""
     WITH RECURSIVE e AS (

@@ -55,22 +55,25 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: + pipe_e2e_curation, an r06 row whose OUTPUT changed this round
 #: (redaction composed before dedup adds n_redacted and re-keys the
 #: dedup) so its old green row no longer vouches for it
-#: + the recorded backlog: the 4 r04 rows and 7 of the 10 r05 rows
+#: + the recorded backlog: the 4 r04 rows and 6 of the 10 r05 rows
 #: + 6 per-category §2.3 representatives from the r07/r08 blocks, each
 #: its family's STALEST verified sibling (rel_distinct, rel_window_lag,
 #: rel_topk_group, rel_set_intersect, udtf_split_words, rel_percentile)
-#: + 16 more NEW faces landed later in the round (TPC-H q7/q8/q9
+#: + 17 more NEW faces landed later in the round (TPC-H q7/q8/q9
 #: shapes, preference pairs, curriculum ordering, fuzzy
 #: decontamination, diversity sampling, mergeable HLL sketches,
 #: mergeable quantile histograms, the Naive Bayes domain classifier,
 #: DSIR importance resampling, Bradley-Terry strength fitting, CMS
 #: join-size estimation, the k-anonymity release gate, the
-#: domain-routed mixture composition, and the maintained sketch-store
-#: face pipe_sketch_append — the last three of which displace
+#: domain-routed mixture composition, the maintained sketch-store
+#: face pipe_sketch_append, and the distributed footer-stats face
+#: pipe_file_stats_distributed — the last four of which displace
 #: the r05 rows pipe_boilerplate_lines (sibling-repped by
 #: pipe_strip_boilerplate), events_attribution (events family
-#: four-way repped) and pipe_dedup_incremental (dedup family
-#: four-way repped) back to the r11 backlog head)
+#: four-way repped), pipe_dedup_incremental (dedup family
+#: four-way repped) and pipe_split_stratified (judge-reconfirmed J9;
+#: split family repped by pipe_split_group) back to the r11 backlog
+#: head)
 #: + 4 rows of the r06 block: its four rel family reps (rel_agg_q1,
 #: rel_subquery_in_exists, rel_scalar_math, rel_lateral_join) and the
 #: alphabetical first 15 of the remainder MINUS the thirteen rows the
@@ -81,7 +84,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: events_asof_join, events_range_join, events_asof_bucketed,
 #: events_sessionize, pipe_e2e_model_curation — all keep their r06
 #: green rows and head the r11 backlog).
-#: 4+24+1+4+7+6+4 = 50 exactly.  The round-11 re-window backlog is
+#: 4+25+1+4+6+6+4 = 50 exactly.  The round-11 re-window backlog is
 #: the 32 remaining r06 rows (the 13 displaced rows
 #: above, pipe_lm_score, pipe_multimodal_codec,
 #: pipe_multimodal_decode/_jpeg/_png/_video/_wav, pipe_pack_bpe,
@@ -180,6 +183,12 @@ PRIORITY: list[str] = [
     # pipe_neardup_embedding and pipe_decontaminate_fuzzy — to the
     # r11 backlog).
     "pipe_sketch_append",
+    # ... and the distributed footer-stats face (the >100k-files path,
+    # sharing pipe_file_stats' oracle verbatim; displaces
+    # pipe_split_stratified — r05 green AND re-confirmed exact by the
+    # round-9 judge's own parity run, the split family still repped
+    # in-window by pipe_split_group — to the r11 backlog).
+    "pipe_file_stats_distributed",
     # Changed face: redaction composed into the e2e curation chain
     # (new n_redacted column + dedup re-keyed on redacted text), so
     # the r06 green row no longer vouches for today's output.
@@ -189,14 +198,13 @@ PRIORITY: list[str] = [
     "pipe_text_langid",
     "pipe_neardup_embedding",
     "rel_tpch_q14_shape",
-    # The r05 block (7 of its 10 rows -- every row whose latest
-    # official green is round 5, minus the three late-face
+    # The r05 block (6 of its 10 rows -- every row whose latest
+    # official green is round 5, minus the four late-face
     # displacements noted in the header).
     "events_asof_forward",
     "pipe_chunk_documents",
     "pipe_dedup_exact",
     "pipe_sim_ivf",
-    "pipe_split_stratified",
     "pipe_strip_boilerplate",
     "pipe_text_bm25_terms",
     # Per-category 2.3 representatives, each the STALEST verified
@@ -315,6 +323,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_simhash_wide",
         "pipe_sketch_cms",
         "pipe_source_overlap",
+        "pipe_split_stratified",
         "pipe_text_bm25",
         "pipe_text_fingerprint",
         "pipe_text_keywords",
