@@ -850,6 +850,72 @@ def main() -> None:
         finally:
             shutil.rmtree(idx_dir, ignore_errors=True)
 
+    # round-10 (late): build-once/gate-many A/B for the continual-ingest
+    # decontamination gate — the same amortization claim as the ANN
+    # index, measured: 1 contamination_index build + M batch gates vs
+    # M one-shot decontaminate_bloom calls (each of which re-shingles
+    # the benchmark suite and re-folds its Bloom array).
+    if not ONLY or any(s in "decontamination_gate_amortization" for s in ONLY):
+        from lightfusion_spark.operators import curation
+
+        # Two geometries, both recorded in SCALE.md:
+        # (a) tiny bench / big batches — the amortized bench work is
+        #     noise next to corpus-side shingling (measured first; the
+        #     honest negative result), and
+        # (b) big bench / small batches — the production continual-
+        #     ingest shape (a fixed benchmark suite much larger than
+        #     each arriving micro-batch), where the one-shot operator
+        #     re-pays the whole bench shingle+Bloom per batch.
+        def _amortization(tag, bench, gate_batches):
+            t0 = time.time()
+            cidx = curation.contamination_index(bench, "doc_id", "text")
+            t_build = time.time() - t0
+            t0 = time.time()
+            for b in gate_batches:
+                curation.decontaminate_bloom_indexed(
+                    b, cidx, "doc_id", "text"
+                ).write.format("noop").mode("overwrite").save()
+            t_gate = time.time() - t0
+            t0 = time.time()
+            for b in gate_batches:
+                curation.decontaminate_bloom(
+                    b, bench, "doc_id", "text"
+                ).write.format("noop").mode("overwrite").save()
+            t_oneshot = time.time() - t0
+            print(
+                json.dumps(
+                    {
+                        "scenario": f"decontamination_gate_amortization_{tag}",
+                        "bench_docs": bench.count(),
+                        "batch_docs": gate_batches[0].count(),
+                        "index_build_sec": round(t_build, 2),
+                        "gate_5_batches_sec": round(t_gate, 2),
+                        "oneshot_5_batches_sec": round(t_oneshot, 2),
+                    }
+                )
+            )
+
+        _amortization(
+            "tiny_bench",
+            docs10.where(F.col("doc_id") % 97 == 0).localCheckpoint(eager=True),
+            [
+                docs10.where(F.col("doc_id") % 5 == i).localCheckpoint(
+                    eager=True
+                )
+                for i in range(5)
+            ],
+        )
+        _amortization(
+            "big_bench",
+            docs10.where(F.col("doc_id") % 5 == 0).localCheckpoint(eager=True),
+            [
+                docs10.where(F.col("doc_id") % 50 == 7 + i).localCheckpoint(
+                    eager=True
+                )
+                for i in range(5)
+            ],
+        )
+
 
 if __name__ == "__main__":
     main()
