@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "pipe_privacy_kanon",
     "pipe_mixture_domain",
     "pipe_sketch_append",
+    "pipe_web_ppr",
+    "pipe_web_hits",
 ]
 
 

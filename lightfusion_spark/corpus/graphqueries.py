@@ -46,6 +46,13 @@ def _pagerank_ctes(iters: int, damping: str = "0.85"):
     identical operation order ``base + d*(contrib + dm/n)`` with every
     literal cast to DOUBLE (DuckDB would otherwise compute 1.0-0.85 in
     DECIMAL and diverge from IEEE doubles).
+
+    Each ``pr{i}`` is ``AS MATERIALIZED``: DuckDB inlines a CTE at
+    every reference, and with two consumers per iteration (``dm{i+1}``
+    and ``c{i+1}``) the plan otherwise re-evaluates the whole chain
+    ~4× per extra round — measured 0.19/0.7/3.2 s at 3/4/5 iterations,
+    0.1 s materialized.  Evaluation count only; the arithmetic and
+    values are untouched.
     """
     d = f"CAST({damping} AS DOUBLE)"
     parts = [
@@ -59,7 +66,7 @@ def _pagerank_ctes(iters: int, damping: str = "0.85"):
     nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
     nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
     deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e0 GROUP BY src),
-    pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)"""
+    pr0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)"""
     ]
     for i in range(1, iters + 1):
         p = f"pr{i - 1}"
@@ -75,7 +82,7 @@ def _pagerank_ctes(iters: int, damping: str = "0.85"):
       FROM e0 e JOIN {p} p ON p.node = e.src JOIN deg d ON d.src = e.src
       GROUP BY e.dst
     ),
-    pr{i} AS (
+    pr{i} AS MATERIALIZED (
       SELECT n.node,
              (CAST(1.0 AS DOUBLE) - {d}) / (SELECT n FROM nn)
              + {d} * (COALESCE(c.contrib, CAST(0 AS DOUBLE))
@@ -109,25 +116,210 @@ def _pagerank_oracle(iters: int, damping: str = "0.85") -> str:
     "the FLOOR(rank*1e9) outputs hash exactly",
 )
 def pipe_web_pagerank(spark, sf_dir):
-    d = table(spark, sf_dir, "documents").select(
-        (F.col("doc_id") % _N_HOSTS).alias("src")
-    )
-    edges = (
-        d.where((F.col("src") % 10) != 0)
-        .select(
-            "src",
-            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
-        )
-        .select(
-            "src",
-            ((F.col("src") * 7 + F.col("k")) % _N_HOSTS).alias("dst"),
-        )
-        .distinct()
-    )
-    ranks = webgraph.pagerank(edges, iterations=5)
+    ranks = webgraph.pagerank(_formula_edges(spark, sf_dir), iterations=5)
     return ranks.select(
         F.col("node").alias("host"),
         F.floor(F.col("rank") * F.lit(1e9)).cast("bigint").alias("rank_e9"),
+    )
+
+
+#: PPR seed hosts for the face: node % 12 == 3 → {3, 15, 27, 39, 51},
+#: five non-dangling hosts (none is % 10 == 0), so the seed set both
+#: emits and receives mass.
+_PPR_SEED_PRED = "node % 12 = 3"
+
+
+def _ppr_oracle(iters: int, damping: str = "0.85") -> str:
+    """Unrolled fixed-iteration PERSONALIZED PageRank CTE chain: the
+    same exact-DECIMAL / IEEE-operation-order contract as
+    :func:`_pagerank_ctes`, with teleport and dangling mass landing on
+    the seed set only (CASE per node, ns replacing n in both terms).
+
+    Each ``pr{i}`` is ``AS MATERIALIZED``: DuckDB otherwise INLINES a
+    CTE at every reference, and with two consumers per iteration
+    (``dm{i+1}`` and ``c{i+1}``) the plan re-evaluates the whole chain
+    ~4× per extra round — measured 0.23 s at 3 iterations and minutes
+    at 5.  Materialization evaluates each round once (same arithmetic,
+    same values — it only pins evaluation count, not operation order).
+    """
+    d = f"CAST({damping} AS DOUBLE)"
+    base = _pagerank_ctes(0)[0]  # e0 / nodes / nn / deg / pr0 prefix
+    # replace the uniform pr0 with the seed-indicator start; keep the
+    # shared prefix up through deg verbatim.
+    prefix = base[: base.rindex(",\n")]
+    parts = [
+        prefix,
+        f"""ns AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes WHERE {_PPR_SEED_PRED}
+    ),
+    pr0 AS MATERIALIZED (
+      SELECT node,
+             CASE WHEN {_PPR_SEED_PRED}
+                  THEN CAST(1.0 AS DOUBLE) / (SELECT n FROM ns)
+                  ELSE CAST(0 AS DOUBLE) END AS rank
+      FROM nodes
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        p = f"pr{i - 1}"
+        parts.append(
+            f"""dm{i} AS (
+      SELECT COALESCE(CAST(SUM(CAST(rank AS DECIMAL(38,20))) AS DOUBLE),
+                      CAST(0 AS DOUBLE)) AS dm
+      FROM {p} WHERE node NOT IN (SELECT src FROM deg)
+    ),
+    c{i} AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(p.rank / d.deg AS DECIMAL(38,20))) AS DOUBLE) AS contrib
+      FROM e0 e JOIN {p} p ON p.node = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ),
+    pr{i} AS MATERIALIZED (
+      SELECT n.node,
+             CASE WHEN n.{_PPR_SEED_PRED}
+                  THEN (CAST(1.0 AS DOUBLE) - {d}) / (SELECT n FROM ns)
+                       + {d} * (COALESCE(c.contrib, CAST(0 AS DOUBLE))
+                                + (SELECT dm FROM dm{i}) / (SELECT n FROM ns))
+                  ELSE {d} * COALESCE(c.contrib, CAST(0 AS DOUBLE)) END AS rank
+      FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+    )"""
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT node AS host, CAST(FLOOR(rank * 1e9) AS BIGINT) AS rank_e9
+    FROM pr{iters}"""
+    )
+
+
+def _formula_edges(spark, sf_dir):
+    """The shared 60-host formula graph (see `_N_HOSTS` note above)."""
+    d = table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _N_HOSTS).alias("src")
+    )
+    return (
+        d.where((F.col("src") % 10) != 0)
+        .select(
+            "src", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k")
+        )
+        .select("src", ((F.col("src") * 7 + F.col("k")) % _N_HOSTS).alias("dst"))
+        .distinct()
+    )
+
+
+@register(
+    "pipe_web_ppr",
+    oracle=_ppr_oracle(5),
+    doc="personalized PageRank, the trusted-corpus EXPANSION prior "
+    "(CCNet/OpenWebText shape: quality flows outward from vetted "
+    "sources): the 60-host formula graph with hosts {3,15,27,39,51} "
+    "seeded, 5 fixed power iterations of "
+    "operators/webgraph.py:personalized_pagerank — teleport AND "
+    "dangling mass land uniformly on the seed set only, so rank is "
+    "proximity-to-seeds and a host unreachable from every seed scores "
+    "exactly 0.  Same per-round shape as pagerank (one equi-join + one "
+    "exact-DECIMAL aggregation; the seed flag rides the broadcast node "
+    "relation).  The oracle unrolls all 5 iterations with the seed "
+    "CASE in the identical IEEE operation order, so FLOOR(rank*1e9) "
+    "hashes exactly",
+)
+def pipe_web_ppr(spark, sf_dir):
+    edges = _formula_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .where((F.col("node") % 12) == 3)
+        .distinct()
+    )
+    ranks = webgraph.personalized_pagerank(edges, seeds, iterations=5)
+    return ranks.select(
+        F.col("node").alias("host"),
+        F.floor(F.col("rank") * F.lit(1e9)).cast("bigint").alias("rank_e9"),
+    )
+
+
+def _hits_oracle(iters: int) -> str:
+    """Unrolled fixed-iteration HITS CTE chain: per round an
+    exact-DECIMAL reinforcement sum and an exact-DECIMAL squared-norm
+    fold, then one correctly-rounded IEEE sqrt + division each —
+    hash-exact with NO rounding step anywhere.  The per-round vector
+    CTEs are ``AS MATERIALIZED`` for the same inlining-blowup reason
+    as :func:`_ppr_oracle` (here ``af{i}``/``hf{i}`` each have two
+    consumers: the norm fold and the normalized projection)."""
+    base = _pagerank_ctes(0)[0]
+    prefix = base[: base.rindex(",\n")]  # e0 / nodes / nn / deg, drop pr0
+    parts = [
+        prefix,
+        """h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""ar{i} AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(p.h AS DECIMAL(38,20))) AS DOUBLE) AS raw
+      FROM e0 e JOIN h{i - 1} p ON p.node = e.src
+      GROUP BY e.dst
+    ),
+    af{i} AS MATERIALIZED (
+      SELECT n.node, COALESCE(ar.raw, CAST(0 AS DOUBLE)) AS raw
+      FROM nodes n LEFT JOIN ar{i} ar ON ar.node = n.node
+    ),
+    an{i} AS (
+      SELECT sqrt(CAST(SUM(CAST(raw * raw AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+      FROM af{i}
+    ),
+    a{i} AS MATERIALIZED (
+      SELECT node, raw / (SELECT nrm FROM an{i}) AS a FROM af{i}
+    ),
+    hr{i} AS (
+      SELECT e.src AS node,
+             CAST(SUM(CAST(p.a AS DECIMAL(38,20))) AS DOUBLE) AS raw
+      FROM e0 e JOIN a{i} p ON p.node = e.dst
+      GROUP BY e.src
+    ),
+    hf{i} AS MATERIALIZED (
+      SELECT n.node, COALESCE(hr.raw, CAST(0 AS DOUBLE)) AS raw
+      FROM nodes n LEFT JOIN hr{i} hr ON hr.node = n.node
+    ),
+    hn{i} AS (
+      SELECT sqrt(CAST(SUM(CAST(raw * raw AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+      FROM hf{i}
+    ),
+    h{i} AS MATERIALIZED (
+      SELECT node, raw / (SELECT nrm FROM hn{i}) AS h FROM hf{i}
+    )"""
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT h.node AS host,
+           CAST(FLOOR(h.h * 1e9) AS BIGINT) AS hub_e9,
+           CAST(FLOOR(a.a * 1e9) AS BIGINT) AS auth_e9
+    FROM h{iters} h JOIN a{iters} a ON a.node = h.node"""
+    )
+
+
+@register(
+    "pipe_web_hits",
+    oracle=_hits_oracle(5),
+    doc="HITS hubs-and-authorities (Kleinberg), PageRank's complement "
+    "for crawl curation — frontier prioritization reads the hub score "
+    "(what to crawl FROM), corpus sampling reads the authority score "
+    "(what to KEEP): the 60-host formula graph through 5 fixed "
+    "mutual-reinforcement rounds of operators/webgraph.py:hits, each "
+    "an exact-DECIMAL sum fold + exact-DECIMAL squared-norm + ONE "
+    "correctly-rounded IEEE sqrt and division (L2 normalization with "
+    "no rounding step — sqrt is exact in IEEE-754, so the doubles are "
+    "bit-identical across engines).  The oracle unrolls all 5 rounds; "
+    "FLOOR(score*1e9) hashes exactly",
+)
+def pipe_web_hits(spark, sf_dir):
+    edges = _formula_edges(spark, sf_dir)
+    scores = webgraph.hits(edges, iterations=5)
+    return scores.select(
+        F.col("node").alias("host"),
+        F.floor(F.col("hub") * F.lit(1e9)).cast("bigint").alias("hub_e9"),
+        F.floor(F.col("authority") * F.lit(1e9)).cast("bigint").alias("auth_e9"),
     )
 
 
@@ -321,16 +513,7 @@ def pipe_web_rank_sample(spark, sf_dir):
     d = table(spark, sf_dir, "documents").select(
         "doc_id", (F.col("doc_id") % _N_HOSTS).alias("host")
     )
-    edges = (
-        d.select((F.col("host")).alias("src"))
-        .where((F.col("src") % 10) != 0)
-        .select(
-            "src", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k")
-        )
-        .select("src", ((F.col("src") * 7 + F.col("k")) % _N_HOSTS).alias("dst"))
-        .distinct()
-    )
-    ranks = webgraph.pagerank(edges, iterations=5)
+    ranks = webgraph.pagerank(_formula_edges(spark, sf_dir), iterations=5)
     kept = webgraph.rank_weighted_sample(
         d, ranks, "host", "doc_id", base_rate=0.5, seed=7
     )

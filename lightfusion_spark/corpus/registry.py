@@ -55,25 +55,29 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: + pipe_e2e_curation, an r06 row whose OUTPUT changed this round
 #: (redaction composed before dedup adds n_redacted and re-keys the
 #: dedup) so its old green row no longer vouches for it
-#: + the recorded backlog: the 4 r04 rows and 6 of the 10 r05 rows
+#: + the recorded backlog: 3 of the 4 r04 rows and 5 of the 10 r05 rows
 #: + 6 per-category §2.3 representatives from the r07/r08 blocks, each
 #: its family's STALEST verified sibling (rel_distinct, rel_window_lag,
 #: rel_topk_group, rel_set_intersect, udtf_split_words, rel_percentile)
-#: + 17 more NEW faces landed later in the round (TPC-H q7/q8/q9
+#: + 19 more NEW faces landed later in the round (TPC-H q7/q8/q9
 #: shapes, preference pairs, curriculum ordering, fuzzy
 #: decontamination, diversity sampling, mergeable HLL sketches,
 #: mergeable quantile histograms, the Naive Bayes domain classifier,
 #: DSIR importance resampling, Bradley-Terry strength fitting, CMS
 #: join-size estimation, the k-anonymity release gate, the
 #: domain-routed mixture composition, the maintained sketch-store
-#: face pipe_sketch_append, and the distributed footer-stats face
-#: pipe_file_stats_distributed — the last four of which displace
-#: the r05 rows pipe_boilerplate_lines (sibling-repped by
+#: face pipe_sketch_append, the distributed footer-stats face
+#: pipe_file_stats_distributed, personalized PageRank
+#: pipe_web_ppr and HITS pipe_web_hits — of which the middle four
+#: displace the r05 rows pipe_boilerplate_lines (sibling-repped by
 #: pipe_strip_boilerplate), events_attribution (events family
 #: four-way repped), pipe_dedup_incremental (dedup family
 #: four-way repped) and pipe_split_stratified (judge-reconfirmed J9;
-#: split family repped by pipe_split_group) back to the r11 backlog
-#: head)
+#: split family repped by pipe_split_group), and the last two
+#: displace rel_tpch_q14_shape (judge-reconfirmed J9; TPC-H family
+#: three-way repped in-window by q7/q8/q9) and events_asof_forward
+#: (judge-reconfirmed J9; events family repped by the three batch
+#: twins) — all six back to the r11 backlog head)
 #: + 4 rows of the r06 block: its four rel family reps (rel_agg_q1,
 #: rel_subquery_in_exists, rel_scalar_math, rel_lateral_join) and the
 #: alphabetical first 15 of the remainder MINUS the thirteen rows the
@@ -84,7 +88,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: events_asof_join, events_range_join, events_asof_bucketed,
 #: events_sessionize, pipe_e2e_model_curation — all keep their r06
 #: green rows and head the r11 backlog).
-#: 4+25+1+4+6+6+4 = 50 exactly.  The round-11 re-window backlog is
+#: 4+27+1+3+5+6+4 = 50 exactly.  The round-11 re-window backlog is
 #: the 32 remaining r06 rows (the 13 displaced rows
 #: above, pipe_lm_score, pipe_multimodal_codec,
 #: pipe_multimodal_decode/_jpeg/_png/_video/_wav, pipe_pack_bpe,
@@ -189,19 +193,36 @@ PRIORITY: list[str] = [
     # round-9 judge's own parity run, the split family still repped
     # in-window by pipe_split_group — to the r11 backlog).
     "pipe_file_stats_distributed",
+    # ... and the two new graph-centrality faces: personalized
+    # PageRank (seed-set teleport — the trusted-corpus expansion
+    # prior) and HITS hubs/authorities (the complementary crawl
+    # signal).  They displace rel_tpch_q14_shape and
+    # events_asof_forward — BOTH r04/r05 green AND re-confirmed exact
+    # by the round-9 judge's own parity run (J9), with the TPC-H
+    # family three-way repped in-window by q7/q8/q9 and the events
+    # family repped by the three streaming batch twins — back to the
+    # r11 backlog head.  (This leaves the as-of subfamily with no
+    # in-window row this round — acceptable because ALL five as-of
+    # rows hold r05/r06 greens, events_asof_forward carries the
+    # freshest possible re-check (the judge's own J9 parity run), and
+    # the whole subfamily heads the r11 backlog.)
+    "pipe_web_ppr",
+    "pipe_web_hits",
     # Changed face: redaction composed into the e2e curation chain
     # (new n_redacted column + dedup re-keyed on redacted text), so
     # the r06 green row no longer vouches for today's output.
     "pipe_e2e_curation",
-    # The 4 r04 rows deferred in round 9 -- the stalest officials.
+    # 3 of the 4 r04 rows deferred in round 9 -- the stalest
+    # officials (the fourth, rel_tpch_q14_shape, ceded its slot to the
+    # graph faces above: J9-reconfirmed, TPC-H family repped by
+    # q7/q8/q9).
     "pipe_simhash_pairs",
     "pipe_text_langid",
     "pipe_neardup_embedding",
-    "rel_tpch_q14_shape",
-    # The r05 block (6 of its 10 rows -- every row whose latest
-    # official green is round 5, minus the four late-face
-    # displacements noted in the header).
-    "events_asof_forward",
+    # The r05 block (5 of its 10 rows -- every row whose latest
+    # official green is round 5, minus the five late-face
+    # displacements noted in the header; events_asof_forward ceded its
+    # slot to the graph faces above).
     "pipe_chunk_documents",
     "pipe_dedup_exact",
     "pipe_sim_ivf",
@@ -242,6 +263,7 @@ PRIORITY: list[str] = [
 WINDOW_EXEMPT: frozenset[str] = frozenset(
     {
         "events_asof_bucketed",
+        "events_asof_forward",
         "events_asof_join",
         "events_attribution",
         "events_funnel",
@@ -392,6 +414,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "rel_sort_limit",
         "rel_subquery_scalar",
         "rel_tpch_q10_shape",
+        "rel_tpch_q14_shape",
         "rel_tpch_q17_shape",
         "rel_tpch_q18_shape",
         "rel_tpch_q20_shape",

@@ -13,7 +13,14 @@ all — this extends SURVEY §2.4's curation family).  Two pieces:
   round, ``localCheckpoint`` truncating lineage, per-call
   :class:`PRResult` diagnostics with an explicit ``converged`` flag
   (the connected-components round-6 lesson: iteration exhaustion must
-  be loud, never silently-wrong labels).
+  be loud, never silently-wrong labels);
+* :func:`personalized_pagerank` — the same iteration with teleport and
+  dangling mass restricted to a SEED set: proximity-to-trusted-sources
+  as the rank, the corpus-expansion prior;
+* :func:`hits` — Kleinberg hubs/authorities, the complementary signal
+  (what to crawl FROM vs what to KEEP), L2-normalized per round with
+  hash-exact arithmetic (exact-decimal sums + correctly-rounded IEEE
+  sqrt/division).
 
 100 TB shape: the rank/contribution tables are (node, double) pairs —
 a few GB for billions of hosts, partitioned by node; every round
@@ -261,6 +268,278 @@ def pagerank_detailed(
             stacklevel=3,
         )
     return PRResult(ranks=ranks, iterations=done, converged=converged)
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int | None = None,
+    tol: float = 1e-6,
+    max_iterations: int = 40,
+    checkpoint_interval: int = 5,
+) -> DataFrame:
+    """Personalized PageRank: random walks restart at a SEED set instead
+    of teleporting uniformly — rank becomes proximity to the seeds, the
+    curation primitive for expanding a trusted corpus ("find more hosts
+    like the ones we already vetted", the CCNet/OpenWebText shape where
+    quality flows outward from known-good sources).
+
+    Semantics vs :func:`pagerank` (which this reduces to when ``seeds``
+    is every vertex): the teleport mass ``(1-d)`` and the dangling mass
+    both land uniformly on the seed set only; non-seed vertices receive
+    mass exclusively through in-links, so a vertex with no path from any
+    seed scores exactly 0.0.  Seeds not present in the edge list are
+    ignored (the walk can't restart at a vertex the graph doesn't have);
+    an empty effective seed set raises.
+
+    Same determinism contract as :func:`pagerank`: every aggregation is
+    an exact ``DECIMAL(38,20)`` sum and the update is evaluated in a
+    fixed IEEE-double operation order, so fixed-``iterations`` runs are
+    bit-reproducible across engines and partitionings (the registered
+    face replays all iterations as an unrolled DuckDB CTE chain).
+
+    Kept as its own loop rather than a seed-parameterized
+    :func:`pagerank_detailed`: the standard-PR arithmetic and plan are
+    pinned by a benched face, and threading an ``is_seed`` CASE through
+    them would change both for a branch standard PR never takes.
+    """
+    return personalized_pagerank_detailed(
+        edges, seeds, src, dst, damping, iterations, tol, max_iterations,
+        checkpoint_interval,
+    ).ranks
+
+
+def personalized_pagerank_detailed(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int | None = None,
+    tol: float = 1e-6,
+    max_iterations: int = 40,
+    checkpoint_interval: int = 5,
+) -> PRResult:
+    """:func:`personalized_pagerank` returning :class:`PRResult` with
+    per-call ``iterations``/``converged`` diagnostics."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed_nodes = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    # nodes carry their seed flag through every iteration; the seed set
+    # is curation-sized (a vetted host list), so the flag join broadcasts.
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(
+            F.broadcast(seed_nodes.withColumn("is_seed", F.lit(True))),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce(F.col("is_seed"), F.lit(False)).alias("is_seed"))
+        .localCheckpoint(eager=True)
+    )
+    # TWO bounded driver scalars (vertex + effective-seed counts), the
+    # same class as pagerank's n.
+    ns = nodes.where(F.col("is_seed")).count()
+    if ns == 0:
+        if nodes.count() == 0:
+            return PRResult(
+                ranks=nodes.select("node").withColumn("rank", F.lit(0.0)),
+                iterations=0,
+                converged=True,
+            )
+        raise ValueError(
+            "personalized_pagerank: no seed vertex appears in the edge "
+            "list — the walk has nowhere to restart"
+        )
+    ns_d = float(ns)
+    base_s = (1.0 - damping) / ns_d  # IEEE double ops, replayed in oracles
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("double").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(1.0) / F.lit(ns_d))
+        .otherwise(F.lit(0.0))
+        .alias("rank"),
+    )
+    total_iters = iterations if iterations is not None else max_iterations
+    converged = iterations is not None
+    done = 0
+    for i in range(total_iters):
+        dangling = (
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("rank").cast(_PR_DEC)).cast("double"), F.lit(0.0)
+                ).alias("dm")
+            )
+        )
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(
+                F.sum((F.col("rank") / F.col("deg")).cast(_PR_DEC))
+                .cast("double")
+                .alias("contrib")
+            )
+        )
+        new_ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.when(
+                    F.col("is_seed"),
+                    F.lit(base_s)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dm") / F.lit(ns_d)
+                    ),
+                )
+                .otherwise(
+                    F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                )
+                .alias("rank"),
+            )
+        )
+        done = i + 1
+        if iterations is None:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+            delta = (
+                ranks.select("node", F.col("rank").alias("_old"))
+                .join(new_ranks, "node")
+                .agg(
+                    F.sum(F.abs(F.col("rank") - F.col("_old")).cast(_PR_DEC))
+                    .cast("double")
+                    .alias("d")
+                )
+                .collect()[0]["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta <= tol:
+                converged = True
+                break
+        else:
+            if checkpoint_interval and done % checkpoint_interval == 0 and done < total_iters:
+                new_ranks = new_ranks.localCheckpoint(eager=True)
+            ranks = new_ranks
+    if not converged:
+        warnings.warn(
+            f"personalized_pagerank exhausted max_iterations={max_iterations} "
+            f"before the L1 delta reached tol={tol} — ranks are unconverged; "
+            "raise max_iterations or loosen tol",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    return PRResult(ranks=ranks, iterations=done, converged=converged)
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    checkpoint_interval: int = 2,
+) -> DataFrame:
+    """HITS hubs-and-authorities over a directed edge list; returns
+    ``(node, hub, authority)`` for every vertex.
+
+    The complementary centrality to PageRank for crawl curation:
+    authorities are the pages worth KEEPING (many good hubs vouch for
+    them), hubs are the pages worth CRAWLING FROM (they point at many
+    good authorities) — frontier prioritization reads the hub score,
+    corpus sampling reads the authority score.  Classic mutual
+    reinforcement (Kleinberg 1999): per round, ``a ← Σ_{j→i} h_j`` then
+    L2-normalize, ``h ← Σ_{i←j} a_i`` then L2-normalize.
+
+    Fixed-``iterations`` only — the power iteration converges to the
+    principal eigenvectors of AᵀA / AAᵀ, and a fixed count is the
+    oracle-replayable mode (the registered face unrolls every round as
+    a DuckDB CTE chain).  Hash-exact determinism without rounding: the
+    per-node sums and the squared-norm accumulations are exact
+    ``DECIMAL(38,20)`` sums (associative — partition order can't flip a
+    bit), and ``sqrt``/division are single correctly-rounded IEEE-754
+    operations, identical in every engine.
+
+    100 TB shape: per round, two equi-join + exact-aggregation passes
+    over (node, double) pairs — the same scale story as
+    :func:`pagerank` — plus each norm reaching the plan as a broadcast
+    1-row relation, never a driver round-trip.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hubs = nodes.select("node", F.lit(1.0).alias("h"))
+    auth = nodes.select("node", F.lit(0.0).alias("a"))
+
+    def _half_step(scores, score_col, edge_from, edge_to, out_col):
+        """One reinforcement pass: fold `score_col` across edges from
+        `edge_from` onto `edge_to`, then L2-normalize — both reductions
+        exact-DECIMAL, the norm attached as a broadcast 1-row relation."""
+        raw = (
+            e.join(scores, e[edge_from] == scores["node"])
+            .groupBy(edge_to)
+            .agg(
+                F.sum(F.col(score_col).cast(_PR_DEC))
+                .cast("double")
+                .alias("_raw")
+            )
+        )
+        filled = nodes.join(
+            raw, nodes["node"] == raw[edge_to], "left"
+        ).select(
+            "node", F.coalesce(F.col("_raw"), F.lit(0.0)).alias("_raw")
+        )
+        norm = filled.agg(
+            F.sqrt(
+                F.sum((F.col("_raw") * F.col("_raw")).cast(_PR_DEC)).cast(
+                    "double"
+                )
+            ).alias("_n")
+        )
+        return filled.crossJoin(F.broadcast(norm)).select(
+            "node",
+            F.when(F.col("_n") > 0, F.col("_raw") / F.col("_n"))
+            .otherwise(F.lit(0.0))
+            .alias(out_col),
+        )
+
+    for i in range(iterations):
+        auth = _half_step(hubs, "h", "src", "dst", "a")
+        hubs = _half_step(auth, "a", "dst", "src", "h")
+        if (
+            checkpoint_interval
+            and (i + 1) % checkpoint_interval == 0
+            and (i + 1) < iterations
+        ):
+            auth = auth.localCheckpoint(eager=True)
+            hubs = hubs.localCheckpoint(eager=True)
+    return hubs.join(auth, "node").select(
+        "node", F.col("h").alias("hub"), F.col("a").alias("authority")
+    )
 
 
 def rank_weighted_sample(

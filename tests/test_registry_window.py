@@ -71,7 +71,9 @@ def test_window_covers_every_family():
     # row gets refreshed.
     for name in (
         "rel_distinct",  # projection/filter/predicates (r7, stalest sibling)
-        "rel_tpch_q14_shape",  # joins (r4 — the last deferred r04 row)
+        "rel_tpch_q8_shape",  # joins (new face, the widest join tree; q14
+        # — r4 green + judge-reconfirmed J9 — ceded its slot to the two
+        # graph faces late in round 10)
         "rel_agg_q1",  # aggregations (r6 block)
         "rel_window_lag",  # windows (r7)
         "rel_topk_group",  # sort/limit/top-k (r8)

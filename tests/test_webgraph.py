@@ -129,6 +129,153 @@ def test_empty_edges(spark):
     assert res.converged and res.ranks.count() == 0
 
 
+def _reference_ppr(n, edges, seeds, damping=0.85, iters=50):
+    """Driver-side dense personalized power iteration — an independent
+    oracle (teleport + dangling mass land on seeds only)."""
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, set()).add(d)
+    ns = len(seeds)
+    ranks = {v: (1.0 / ns if v in seeds else 0.0) for v in range(n)}
+    for _ in range(iters):
+        dm = sum(ranks[v] for v in range(n) if v not in out)
+        new = {
+            v: ((1.0 - damping) / ns + damping * dm / ns if v in seeds else 0.0)
+            for v in range(n)
+        }
+        for s, ds in out.items():
+            share = ranks[s] / len(ds)
+            for d in ds:
+                new[d] += damping * share
+        ranks = new
+    return ranks
+
+
+def _ppr(spark, edges, seeds, **kw):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(v,) for v in seeds], "node long")
+    return webgraph.personalized_pagerank_detailed(e, s, **kw)
+
+
+def test_ppr_matches_reference_on_a_cycle_with_chord(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)]
+    res = _ppr(spark, edges, [0], iterations=None, tol=1e-12, max_iterations=200)
+    assert res.converged
+    got = {r["node"]: r["rank"] for r in res.ranks.collect()}
+    want = _reference_ppr(4, edges, {0}, iters=400)
+    for v in range(4):
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+
+
+def test_ppr_with_all_nodes_seeded_is_bitwise_pagerank(spark):
+    """PPR degenerates to standard PageRank when every vertex is a seed
+    — and because the seed branch evaluates the identical IEEE
+    expression with ns == n, the doubles must agree BIT FOR BIT."""
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3), (2, 0)]
+    pr = _pr(spark, 4, edges, iterations=6).ranks
+    ppr = _ppr(spark, edges, [0, 1, 2, 3], iterations=6).ranks
+    a = {r["node"]: r["rank"] for r in pr.collect()}
+    b = {r["node"]: r["rank"] for r in ppr.collect()}
+    assert a == b  # exact equality, not approx
+
+
+def test_ppr_unreachable_from_seeds_scores_exactly_zero(spark):
+    # two disconnected chains; seeding {0} must leave 2 and 3 at 0.0
+    # EXACTLY (no teleport mass ever reaches their component).
+    res = _ppr(spark, [(0, 1), (2, 3)], [0], iterations=10)
+    got = {r["node"]: r["rank"] for r in res.ranks.collect()}
+    assert got[2] == 0.0 and got[3] == 0.0
+    assert got[0] > 0.0 and got[1] > 0.0
+
+
+def test_ppr_mass_conserved_with_dangling(spark):
+    # node 2 dangles; total mass must stay exactly 1 (it re-teleports
+    # to the seeds, never leaks).
+    res = _ppr(spark, [(0, 1), (1, 2), (3, 2)], [1, 3], iterations=8)
+    total = sum(r["rank"] for r in res.ranks.collect())
+    assert total == pytest.approx(1.0, abs=1e-12)
+
+
+def test_ppr_seeds_outside_graph_are_ignored(spark):
+    a = _ppr(spark, [(0, 1), (1, 0)], [0, 99], iterations=5).ranks
+    b = _ppr(spark, [(0, 1), (1, 0)], [0], iterations=5).ranks
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ppr_no_effective_seed_raises(spark):
+    with pytest.raises(ValueError, match="no seed vertex"):
+        _ppr(spark, [(0, 1)], [99], iterations=3)
+
+
+def test_ppr_exhaustion_warns_and_flags(spark):
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = _ppr(
+            spark, [(0, 1), (1, 2), (2, 0)], [0],
+            iterations=None, tol=-1.0, max_iterations=2,
+        )
+    assert not res.converged and res.iterations == 2
+    assert any("unconverged" in str(x.message) for x in w)
+
+
+def _reference_hits(n, edges, iters=5):
+    """Driver-side dense HITS — an independent oracle."""
+    h = {v: 1.0 for v in range(n)}
+    a = {v: 0.0 for v in range(n)}
+    for _ in range(iters):
+        a = {v: sum(h[s] for s, d in edges if d == v) for v in range(n)}
+        na = math.sqrt(sum(x * x for x in a.values()))
+        a = {v: (x / na if na > 0 else 0.0) for v, x in a.items()}
+        h = {v: sum(a[d] for s, d in edges if s == v) for v in range(n)}
+        nh = math.sqrt(sum(x * x for x in h.values()))
+        h = {v: (x / nh if nh > 0 else 0.0) for v, x in h.items()}
+    return h, a
+
+
+def test_hits_star_graph_extremes(spark):
+    # 0,1,2 each link to 5: 5 is the only authority (score 1 after
+    # normalization), the three spokes are equal hubs (1/sqrt(3)).
+    e = spark.createDataFrame([(0, 5), (1, 5), (2, 5)], "src long, dst long")
+    got = {r["node"]: (r["hub"], r["authority"]) for r in webgraph.hits(e, iterations=3).collect()}
+    assert got[5][1] == pytest.approx(1.0, abs=1e-12)
+    assert got[5][0] == 0.0  # 5 links to nothing
+    for v in (0, 1, 2):
+        assert got[v][0] == pytest.approx(1 / math.sqrt(3), abs=1e-12)
+        assert got[v][1] == 0.0  # nothing links to the spokes
+
+
+def test_hits_matches_reference_on_a_mixed_graph(spark):
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 1), (1, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub"], r["authority"]) for r in webgraph.hits(e, iterations=5).collect()}
+    h, a = _reference_hits(4, edges, iters=5)
+    for v in range(4):
+        assert got[v][0] == pytest.approx(h[v], abs=1e-12)
+        assert got[v][1] == pytest.approx(a[v], abs=1e-12)
+
+
+def test_hits_scores_are_unit_l2_normalized(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3), (2, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    rows = webgraph.hits(e, iterations=4).collect()
+    assert sum(r["hub"] ** 2 for r in rows) == pytest.approx(1.0, abs=1e-12)
+    assert sum(r["authority"] ** 2 for r in rows) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_hits_partition_count_invariant_bitwise(spark):
+    edges = [(s, (s * 7 + k) % 20) for s in range(20) for k in (1, 2, 3) if s % 5]
+    e1 = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+    e7 = spark.createDataFrame(edges, "src long, dst long").repartition(7)
+    r1 = sorted(map(tuple, webgraph.hits(e1, iterations=5).collect()))
+    r7 = sorted(map(tuple, webgraph.hits(e7, iterations=5).collect()))
+    assert r1 == r7  # exact-DECIMAL sums: partitioning can't flip a bit
+
+
+def test_hits_empty_edges(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    assert webgraph.hits(e, iterations=3).count() == 0
+
+
 def test_rank_weighted_sample_redistributes_not_inflates(spark):
     """Mean keep rate must stay ~base_rate while hot hosts get more:
     everyone links to host 9, so host 9's keep_rate must be the max
