@@ -916,6 +916,56 @@ def main() -> None:
             ],
         )
 
+    # round-10 (late): scaling curves for the graph-centrality family.
+    # The registered faces run a FIXED 60-host formula graph (their cost
+    # is iteration machinery, not data), so the curves here scale the
+    # graph itself: the same topology at 100k vs 1M hosts (300k vs 3M
+    # directed edges) through the identical 5 fixed iterations.  The
+    # per-round cost model says join+agg over the edge list => expect
+    # ~linear in |E| once past fixed overhead.
+    if not ONLY or any(s in "curve_web_centrality" for s in ONLY):
+        from lightfusion_spark.operators import webgraph as wg_mod
+
+        def _host_graph(n_hosts):
+            return (
+                spark.range(n_hosts)
+                .select(F.col("id").alias("src"))
+                .where((F.col("src") % 10) != 0)
+                .select(
+                    "src",
+                    F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+                )
+                .select(
+                    "src",
+                    ((F.col("src") * 7 + F.col("k")) % n_hosts).alias("dst"),
+                )
+                .localCheckpoint(eager=True)
+            )
+
+        g1, g10 = _host_graph(100_000), _host_graph(1_000_000)
+        seeds1 = spark.range(100_000).where(F.col("id") % 12 == 3).select(
+            F.col("id").alias("node")
+        )
+        seeds10 = spark.range(1_000_000).where(F.col("id") % 12 == 3).select(
+            F.col("id").alias("node")
+        )
+        noop = lambda df: df.write.format("noop").mode("overwrite").save()
+        curve(
+            "curve_web_pagerank",
+            lambda: noop(wg_mod.pagerank(g1, iterations=5)),
+            lambda: noop(wg_mod.pagerank(g10, iterations=5)),
+        )
+        curve(
+            "curve_web_ppr",
+            lambda: noop(wg_mod.personalized_pagerank(g1, seeds1, iterations=5)),
+            lambda: noop(wg_mod.personalized_pagerank(g10, seeds10, iterations=5)),
+        )
+        curve(
+            "curve_web_hits",
+            lambda: noop(wg_mod.hits(g1, iterations=5)),
+            lambda: noop(wg_mod.hits(g10, iterations=5)),
+        )
+
 
 if __name__ == "__main__":
     main()
