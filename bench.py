@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "pipe_sketch_append",
     "pipe_web_ppr",
     "pipe_web_hits",
+    "pipe_corpus_drift",
 ]
 
 

@@ -4391,6 +4391,98 @@ def pipe_source_overlap(spark, sf_dir):
     return dedup.source_overlap_matrix(d, "source", "text", n=3)
 
 
+@register(
+    "pipe_corpus_drift",
+    oracle=r"""
+    WITH old_docs AS (SELECT source, text FROM documents WHERE doc_id % 7 <> 6),
+    new_docs AS (SELECT source, text FROM documents WHERE doc_id % 7 <> 0),
+    co AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_old
+      FROM (SELECT source,
+                   unnest(string_split_regex(lower(text), '\s+')) AS tok
+            FROM old_docs)
+      GROUP BY source, tok
+    ),
+    cn AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_new
+      FROM (SELECT source,
+                   unnest(string_split_regex(lower(text), '\s+')) AS tok
+            FROM new_docs)
+      GROUP BY source, tok
+    ),
+    tot AS (
+      SELECT source,
+             COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new,
+             COALESCE(vocab_old, 0) AS vocab_old,
+             COALESCE(vocab_new, 0) AS vocab_new
+      FROM (SELECT source, CAST(SUM(c_old) AS BIGINT) AS n_old,
+                   CAST(COUNT(*) AS BIGINT) AS vocab_old
+            FROM co GROUP BY source) o
+      FULL JOIN (SELECT source, CAST(SUM(c_new) AS BIGINT) AS n_new,
+                        CAST(COUNT(*) AS BIGINT) AS vocab_new
+                 FROM cn GROUP BY source) n USING (source)
+    ),
+    pt AS (
+      SELECT j.source, j.tok,
+             ABS(j.c_old * t.n_new - j.c_new * t.n_old) AS cross_abs,
+             (CASE WHEN t.n_new = 0 THEN 0
+                   ELSE j.c_new * 1000000 // t.n_new END
+              - CASE WHEN t.n_old = 0 THEN 0
+                     ELSE j.c_old * 1000000 // t.n_old END) AS delta_ppm
+      FROM (SELECT source, tok,
+                   COALESCE(c_old, 0) AS c_old, COALESCE(c_new, 0) AS c_new
+            FROM co FULL JOIN cn USING (source, tok)) j
+      JOIN tot t USING (source)
+    ),
+    summ AS (
+      SELECT source, CAST(SUM(cross_abs) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS vocab_union
+      FROM pt GROUP BY source
+    ),
+    top AS (
+      SELECT source, tok AS top_token, delta_ppm AS top_delta_ppm
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY source
+              ORDER BY ABS(delta_ppm) DESC, tok ASC) AS rn
+            FROM pt)
+      WHERE rn = 1
+    )
+    SELECT t.source,
+           t.n_old AS n_tokens_old, t.n_new AS n_tokens_new,
+           t.vocab_old, t.vocab_new,
+           COALESCE(s.vocab_union, 0) AS vocab_union,
+           CASE WHEN t.n_old = 0 OR t.n_new = 0 THEN CAST(1.0 AS DOUBLE)
+                ELSE ROUND(CAST(s.s AS DOUBLE)
+                           / (CAST(2.0 AS DOUBLE) * CAST(t.n_old AS DOUBLE)
+                              * CAST(t.n_new AS DOUBLE)), 6) END AS tv,
+           top.top_token,
+           CAST(COALESCE(top.top_delta_ppm, 0) AS BIGINT) AS top_delta_ppm
+    FROM tot t
+    LEFT JOIN summ s USING (source)
+    LEFT JOIN top USING (source)
+    """,
+    doc="per-source distribution drift between two corpus snapshots "
+    "(operators/curation.py:corpus_drift) — the release gate a "
+    "recurring crawl runs before swapping training data: total "
+    "variation distance between unigram distributions computed EXACTLY "
+    "in integers (BIGINT sum of |c_old*N_new - c_new*N_old| cross "
+    "products; one double division at the very end), plus the "
+    "most-moved token by exact integer ppm share delta with a "
+    "token-ascending tiebreak.  The snapshots are deterministic "
+    "membership churns of documents (doc_id%7<>6 vs doc_id%7<>0).  "
+    "Shape: one explode+groupBy per snapshot, a full-outer join of the "
+    "two Zipf-bounded count tables, broadcast totals, one agg + one "
+    "window — the corpora scan once each",
+)
+def pipe_corpus_drift(spark, sf_dir):
+    from ..operators import curation
+
+    d = table(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 7 != 6)
+    new = d.where(F.col("doc_id") % 7 != 0)
+    return curation.corpus_drift(old, new, "text")
+
+
 # ---------------------------------------------------------------------------
 # round-9 driver faces for the previously pytest-only operators
 # (round-8 verdict item 2: every oracle-expressible operator gets an

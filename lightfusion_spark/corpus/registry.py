@@ -55,11 +55,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: + pipe_e2e_curation, an r06 row whose OUTPUT changed this round
 #: (redaction composed before dedup adds n_redacted and re-keys the
 #: dedup) so its old green row no longer vouches for it
-#: + the recorded backlog: 3 of the 4 r04 rows and 5 of the 10 r05 rows
+#: + the recorded backlog: 3 of the 4 r04 rows and 4 of the 10 r05 rows
 #: + 6 per-category §2.3 representatives from the r07/r08 blocks, each
 #: its family's STALEST verified sibling (rel_distinct, rel_window_lag,
 #: rel_topk_group, rel_set_intersect, udtf_split_words, rel_percentile)
-#: + 19 more NEW faces landed later in the round (TPC-H q7/q8/q9
+#: + 20 more NEW faces landed later in the round (TPC-H q7/q8/q9
 #: shapes, preference pairs, curriculum ordering, fuzzy
 #: decontamination, diversity sampling, mergeable HLL sketches,
 #: mergeable quantile histograms, the Naive Bayes domain classifier,
@@ -68,16 +68,18 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: domain-routed mixture composition, the maintained sketch-store
 #: face pipe_sketch_append, the distributed footer-stats face
 #: pipe_file_stats_distributed, personalized PageRank
-#: pipe_web_ppr and HITS pipe_web_hits — of which the middle four
+#: pipe_web_ppr, HITS pipe_web_hits and the corpus-drift gate
+#: pipe_corpus_drift — of which four
 #: displace the r05 rows pipe_boilerplate_lines (sibling-repped by
 #: pipe_strip_boilerplate), events_attribution (events family
 #: four-way repped), pipe_dedup_incremental (dedup family
 #: four-way repped) and pipe_split_stratified (judge-reconfirmed J9;
-#: split family repped by pipe_split_group), and the last two
+#: split family repped by pipe_split_group), and the last three
 #: displace rel_tpch_q14_shape (judge-reconfirmed J9; TPC-H family
-#: three-way repped in-window by q7/q8/q9) and events_asof_forward
+#: three-way repped in-window by q7/q8/q9), events_asof_forward
 #: (judge-reconfirmed J9; events family repped by the three batch
-#: twins) — all six back to the r11 backlog head)
+#: twins) and pipe_dedup_exact (judge-reconfirmed J9; dedup family
+#: three-way repped) — all seven back to the r11 backlog head)
 #: + 4 rows of the r06 block: its four rel family reps (rel_agg_q1,
 #: rel_subquery_in_exists, rel_scalar_math, rel_lateral_join) and the
 #: alphabetical first 15 of the remainder MINUS the thirteen rows the
@@ -88,7 +90,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: events_asof_join, events_range_join, events_asof_bucketed,
 #: events_sessionize, pipe_e2e_model_curation — all keep their r06
 #: green rows and head the r11 backlog).
-#: 4+27+1+3+5+6+4 = 50 exactly.  The round-11 re-window backlog is
+#: 4+28+1+3+4+6+4 = 50 exactly.  The round-11 re-window backlog is
 #: the 32 remaining r06 rows (the 13 displaced rows
 #: above, pipe_lm_score, pipe_multimodal_codec,
 #: pipe_multimodal_decode/_jpeg/_png/_video/_wav, pipe_pack_bpe,
@@ -208,6 +210,14 @@ PRIORITY: list[str] = [
     # the whole subfamily heads the r11 backlog.)
     "pipe_web_ppr",
     "pipe_web_hits",
+    # ... and the corpus-drift release gate (per-source total-variation
+    # distance between snapshot unigram distributions, exact integer
+    # cross-products; displaces pipe_dedup_exact — r05 green AND
+    # re-confirmed exact by the round-9 judge's own parity run, the
+    # dedup family still repped in-window by pipe_simhash_pairs,
+    # pipe_neardup_embedding and pipe_decontaminate_fuzzy — to the r11
+    # backlog head).
+    "pipe_corpus_drift",
     # Changed face: redaction composed into the e2e curation chain
     # (new n_redacted column + dedup re-keyed on redacted text), so
     # the r06 green row no longer vouches for today's output.
@@ -219,12 +229,12 @@ PRIORITY: list[str] = [
     "pipe_simhash_pairs",
     "pipe_text_langid",
     "pipe_neardup_embedding",
-    # The r05 block (5 of its 10 rows -- every row whose latest
-    # official green is round 5, minus the five late-face
-    # displacements noted in the header; events_asof_forward ceded its
-    # slot to the graph faces above).
+    # The r05 block (4 of its 10 rows -- every row whose latest
+    # official green is round 5, minus the six late-face
+    # displacements noted in the header; events_asof_forward and
+    # pipe_dedup_exact ceded their slots to the graph/drift faces
+    # above).
     "pipe_chunk_documents",
-    "pipe_dedup_exact",
     "pipe_sim_ivf",
     "pipe_strip_boilerplate",
     "pipe_text_bm25_terms",
@@ -285,6 +295,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_decontaminate",
         "pipe_decontaminate_bloom",
         "pipe_dedup_components",
+        "pipe_dedup_exact",
         "pipe_dedup_incremental",
         "pipe_dedup_minhash",
         "pipe_dedup_minhash_incr",

@@ -474,6 +474,207 @@ def corpus_health_report(
     )
 
 
+def corpus_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str,
+    source_col: str = "source",
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots, per source — the
+    release gate a recurring crawl runs before swapping training data:
+    "did this month's snapshot shift the unigram distribution, and
+    which token moved most?"
+
+    Returns one row per source present in either snapshot::
+
+        (source, n_tokens_old, n_tokens_new, vocab_old, vocab_new,
+         vocab_union, tv, top_token, top_delta_ppm)
+
+    * ``tv`` — total variation distance between the snapshots' unigram
+      distributions, ``0.5 · Σ_t |p_t - q_t|`` ∈ [0, 1].  Computed
+      EXACTLY in integers: ``Σ|c_old·N_new - c_new·N_old|`` is a BIGINT
+      sum of cross-multiplied counts (no float until the single final
+      division), so the result is partition-order-proof and replays
+      hash-exact in any engine.  Disjoint token supports give exactly
+      1.0 by the same formula; a source missing from one snapshot
+      entirely is defined as tv = 1.0.
+    * ``top_token`` / ``top_delta_ppm`` — the most-moved token and its
+      signed per-million share change ``q_ppm - p_ppm``, both from
+      exact integer division (``c·10⁶ div N``); ties break by token
+      ascending, so the winner is deterministic.
+
+    Integer-overflow bound (documented like pca's): the cross products
+    need ``2·N_old·N_new < 2^63``, i.e. up to ~2·10⁹ tokens per source
+    per snapshot; past that, widen the two products to
+    ``DECIMAL(38,0)`` — the sums stay exact either way.
+
+    Shape at 100 TB: one explode + map-side-combinable
+    groupBy(source, token) per snapshot, a full-outer equi-join of the
+    two Zipf-bounded count tables on (source, token), per-source totals
+    broadcast back onto it, ONE aggregation for the summary and one
+    window for the top token — the corpora themselves are scanned once
+    each and never rejoined.
+    """
+    co = _unigram_counts(old, text_col, source_col, "old")
+    cn = _unigram_counts(new, text_col, source_col, "new")
+    return _drift_report(co, cn)
+
+
+def _unigram_counts(df: DataFrame, text_col: str, source_col: str, tag: str) -> DataFrame:
+    """Per-(source, token) occurrence counts — one snapshot's side of the
+    drift computation: one explode + one map-side-combinable groupBy."""
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    return toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias(f"c_{tag}")
+    )
+
+
+def _drift_report(co: DataFrame, cn: DataFrame) -> DataFrame:
+    """:func:`corpus_drift`'s body over prebuilt count tables — shared
+    verbatim by the one-shot operator and :func:`corpus_drift_indexed`,
+    so the amortized path is output-identical by construction."""
+    totals = (
+        co.groupBy("source")
+        .agg(
+            F.sum("c_old").alias("n_old"),
+            F.count(F.lit(1)).alias("vocab_old"),
+        )
+        .join(
+            cn.groupBy("source").agg(
+                F.sum("c_new").alias("n_new"),
+                F.count(F.lit(1)).alias("vocab_new"),
+            ),
+            "source",
+            "full_outer",
+        )
+        .select(
+            "source",
+            F.coalesce(F.col("n_old"), F.lit(0)).alias("n_old"),
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+            F.coalesce(F.col("vocab_old"), F.lit(0)).alias("vocab_old"),
+            F.coalesce(F.col("vocab_new"), F.lit(0)).alias("vocab_new"),
+        )
+    )
+    joined = (
+        co.join(cn, ["source", "tok"], "full_outer")
+        .select(
+            "source",
+            "tok",
+            F.coalesce(F.col("c_old"), F.lit(0)).alias("c_old"),
+            F.coalesce(F.col("c_new"), F.lit(0)).alias("c_new"),
+        )
+        .join(F.broadcast(totals), "source")
+    )
+    per_tok = joined.select(
+        "source",
+        "tok",
+        F.abs(
+            F.col("c_old") * F.col("n_new") - F.col("c_new") * F.col("n_old")
+        ).alias("cross_abs"),
+        (
+            # an absent snapshot is the zero measure: share 0 (the CASE
+            # also keeps ANSI mode from throwing DIVIDE_BY_ZERO)
+            F.expr("CASE WHEN n_new = 0 THEN 0L ELSE c_new * 1000000L div n_new END")
+            - F.expr("CASE WHEN n_old = 0 THEN 0L ELSE c_old * 1000000L div n_old END")
+        ).alias("delta_ppm"),
+    )
+    summary = per_tok.groupBy("source").agg(
+        F.sum("cross_abs").alias("_s"),
+        F.count(F.lit(1)).alias("vocab_union"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.abs(F.col("delta_ppm")).desc(), F.col("tok").asc()
+    )
+    top = (
+        per_tok.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "source",
+            F.col("tok").alias("top_token"),
+            F.coalesce(F.col("delta_ppm"), F.lit(0)).alias("top_delta_ppm"),
+        )
+    )
+    return (
+        totals.join(summary, "source", "left")
+        .join(top, "source", "left")
+        .select(
+            "source",
+            F.col("n_old").alias("n_tokens_old"),
+            F.col("n_new").alias("n_tokens_new"),
+            "vocab_old",
+            "vocab_new",
+            F.coalesce(F.col("vocab_union"), F.lit(0)).alias("vocab_union"),
+            F.when((F.col("n_old") == 0) | (F.col("n_new") == 0), F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.col("_s").cast("double")
+                    / (
+                        F.lit(2.0)
+                        * F.col("n_old").cast("double")
+                        * F.col("n_new").cast("double")
+                    ),
+                    6,
+                )
+            )
+            .alias("tv"),
+            "top_token",
+            "top_delta_ppm",
+        )
+    )
+
+
+@dataclass
+class DriftIndex:
+    """Prebuilt reference side of the drift gate: the reference
+    snapshot's (source, token) count table, ``localCheckpoint``-pinned
+    so gating N batches never re-tokenizes the reference corpus."""
+
+    ref_counts: DataFrame
+    source_col: str
+
+
+def corpus_drift_index(
+    ref: DataFrame, text_col: str, source_col: str = "source"
+) -> DriftIndex:
+    """Precompute the reference side of :func:`corpus_drift` — the
+    continual-ingest pattern (same shape as
+    :func:`contamination_index`): a crawl pipeline compares every
+    arriving micro-batch against the SAME vetted reference snapshot,
+    so re-tokenizing and re-counting the reference per batch is pure
+    waste.  Build once here, gate each batch with
+    :func:`corpus_drift_indexed`; the composition is output-identical
+    to ``corpus_drift(ref, batch)`` on the same inputs (both run
+    ``_drift_report`` over the same count tables; asserted in
+    tests/test_curation.py and through a real streamed availableNow
+    run in tests/test_streaming.py).  Rebuild only when the reference
+    snapshot changes."""
+    return DriftIndex(
+        ref_counts=_unigram_counts(
+            ref, text_col, source_col, "old"
+        ).localCheckpoint(eager=True),
+        source_col=source_col,
+    )
+
+
+def corpus_drift_indexed(
+    batch: DataFrame, index: DriftIndex, text_col: str
+) -> DataFrame:
+    """:func:`corpus_drift`'s per-batch body against a prebuilt
+    :class:`DriftIndex`: tokenize and count the ARRIVING batch only,
+    then run the shared drift report against the pinned reference
+    counts — the ``foreachBatch`` "is today's crawl weird?" alarm for
+    continual ingest.  Per-batch work is one explode+groupBy over the
+    batch plus a join against the Zipf-bounded reference vocabulary;
+    the reference corpus itself is never rescanned."""
+    return _drift_report(
+        index.ref_counts,
+        _unigram_counts(batch, text_col, index.source_col, "new"),
+    )
+
+
 def temperature_mixture_sample(
     df: DataFrame,
     strata_col: str,

@@ -554,3 +554,84 @@ def test_diversity_sample_quota_and_determinism(spark, sf_dir):
     assert {r["vec_id"] for r in rows} != {r["vec_id"] for r in other.collect()}
     with _pytest.raises(ValueError, match="quota_per_cluster"):
         diversity_sample(e, "vec_id", "embedding", quota_per_cluster=0)
+
+
+def test_corpus_drift_hand_computed_tv_and_top_token(spark):
+    from lightfusion_spark.operators.curation import corpus_drift
+
+    old = spark.createDataFrame([("s", "a a b")], "source string, text string")
+    new = spark.createDataFrame([("s", "a b b")], "source string, text string")
+    row = corpus_drift(old, new, "text").collect()[0]
+    # p = {a: 2/3, b: 1/3}, q = {a: 1/3, b: 2/3} -> TV = 1/3
+    assert row["tv"] == 0.333333
+    assert row["n_tokens_old"] == 3 and row["n_tokens_new"] == 3
+    assert row["vocab_old"] == 2 and row["vocab_new"] == 2 and row["vocab_union"] == 2
+    # |delta_ppm| ties at 333333 for both tokens -> token-ascending tiebreak
+    assert row["top_token"] == "a" and row["top_delta_ppm"] == 333333 - 666666
+
+
+def test_corpus_drift_identical_snapshots_is_zero(spark):
+    from lightfusion_spark.operators.curation import corpus_drift
+
+    df = spark.createDataFrame(
+        [("s", "x y z"), ("t", "p q")], "source string, text string"
+    )
+    for r in corpus_drift(df, df, "text").collect():
+        assert r["tv"] == 0.0 and r["top_delta_ppm"] == 0
+
+
+def test_corpus_drift_disjoint_support_is_exactly_one(spark):
+    from lightfusion_spark.operators.curation import corpus_drift
+
+    old = spark.createDataFrame([("s", "x x")], "source string, text string")
+    new = spark.createDataFrame([("s", "y")], "source string, text string")
+    assert corpus_drift(old, new, "text").collect()[0]["tv"] == 1.0
+
+
+def test_corpus_drift_source_missing_from_one_snapshot(spark):
+    from lightfusion_spark.operators.curation import corpus_drift
+
+    old = spark.createDataFrame(
+        [("s", "a b"), ("gone", "w w")], "source string, text string"
+    )
+    new = spark.createDataFrame(
+        [("s", "a b"), ("fresh", "v")], "source string, text string"
+    )
+    got = {r["source"]: r for r in corpus_drift(old, new, "text").collect()}
+    assert set(got) == {"s", "gone", "fresh"}
+    assert got["s"]["tv"] == 0.0
+    assert got["gone"]["tv"] == 1.0 and got["gone"]["n_tokens_new"] == 0
+    assert got["fresh"]["tv"] == 1.0 and got["fresh"]["n_tokens_old"] == 0
+
+
+def test_corpus_drift_partition_invariant_bitwise(spark):
+    from lightfusion_spark.operators.curation import corpus_drift
+
+    rows = [(f"s{i % 3}", f"tok{i % 11} tok{i % 7} tok{i % 5}") for i in range(200)]
+    old = spark.createDataFrame(rows[:150], "source string, text string")
+    new = spark.createDataFrame(rows[50:], "source string, text string")
+    a = sorted(map(tuple, corpus_drift(old.repartition(1), new.repartition(1), "text").collect()))
+    b = sorted(map(tuple, corpus_drift(old.repartition(13), new.repartition(7), "text").collect()))
+    assert a == b  # integer cross-products: partitioning can't flip a bit
+
+
+def test_corpus_drift_indexed_equals_one_shot(spark, sf_dir):
+    """The prebuilt-reference gate must be output-identical to the
+    one-shot operator on every batch slice (it runs the same
+    _drift_report over the same count tables)."""
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators.curation import (
+        corpus_drift,
+        corpus_drift_index,
+        corpus_drift_indexed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    idx = corpus_drift_index(ref, "text")
+    for k in range(3):
+        batch = docs.where(F.col("doc_id") % 3 == k)
+        got = sorted(map(tuple, corpus_drift_indexed(batch, idx, "text").collect()))
+        want = sorted(map(tuple, corpus_drift(ref, batch, "text").collect()))
+        assert got == want and len(want) > 0

@@ -1316,3 +1316,57 @@ def test_hll_compact_preserves_estimates(spark, batch_events, tmp_path):
         )
     )
     assert _sorted_rows(sketch.hll_estimate(store, ["event_type"])) == batch_per
+
+
+def test_streaming_drift_monitor_foreachbatch(spark, tmp_path):
+    """Continual-ingest drift monitoring: the reference snapshot's count
+    table is built ONCE (corpus_drift_index) and every arriving document
+    micro-batch is compared inside foreachBatch with
+    corpus_drift_indexed — the "is today's crawl weird?" alarm.  Each
+    batch's gate output must equal the one-shot corpus_drift(ref, batch)
+    exactly, through a real availableNow run with multiple file-batches."""
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators.curation import (
+        corpus_drift,
+        corpus_drift_index,
+        corpus_drift_indexed,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    idx = corpus_drift_index(ref, "text")
+
+    src = tmp_path / "drift_src"
+    docs.where(F.col("doc_id") % 3 == 1).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    docs.where(F.col("doc_id") % 3 == 2).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*/*.parquet")
+    )
+    checks: list[tuple[int, bool]] = []
+
+    def gate(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)
+        got = sorted(
+            map(tuple, corpus_drift_indexed(batch_df, idx, "text").collect())
+        )
+        want = sorted(map(tuple, corpus_drift(ref, batch_df, "text").collect()))
+        checks.append((len(got), got == want))
+
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ckpt_drift"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(checks) >= 2  # multiple real micro-batches went through
+    assert all(n > 0 and ok for n, ok in checks)
