@@ -966,6 +966,26 @@ def main() -> None:
             lambda: noop(wg_mod.hits(g10, iterations=5)),
         )
 
+    # round-10 (late): the corpus-drift gate's curve — both snapshot
+    # sides scale with the corpus (the worst case; the indexed monitor
+    # pins the reference side, so production per-batch cost scales only
+    # with the batch).
+    if not ONLY or any(s in "curve_corpus_drift" for s in ONLY):
+        from lightfusion_spark.operators import curation as cur2_mod
+
+        def _drift(src):
+            cur2_mod.corpus_drift(
+                src.where(F.col("doc_id") % 7 != 6),
+                src.where(F.col("doc_id") % 7 != 0),
+                "text",
+            ).write.format("noop").mode("overwrite").save()
+
+        curve(
+            "curve_corpus_drift",
+            lambda: _drift(docs),
+            lambda: _drift(docs10),
+        )
+
 
 if __name__ == "__main__":
     main()
