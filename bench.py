@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "pipe_web_ppr",
     "pipe_web_hits",
     "pipe_corpus_drift",
+    "pipe_schema_drift",
 ]
 
 

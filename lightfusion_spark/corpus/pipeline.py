@@ -4391,6 +4391,121 @@ def pipe_source_overlap(spark, sf_dir):
     return dedup.source_overlap_matrix(d, "source", "text", n=3)
 
 
+def _schema_drift_oracle() -> str:
+    """DuckDB replay of pipe_schema_drift: the two derived snapshots'
+    null counts as scalar aggregates, one UNION ALL branch per column
+    (``value_cents`` is NULL exactly when the nulled ``value`` is, so
+    its count reuses COUNT(value))."""
+    branches = [
+        # column, status, type_old, type_new, old-null expr, new-null expr
+        ("event_id", "kept", "'bigint'", "'bigint'", "z_event_id", "z_event_id"),
+        ("event_type", "dropped", "'string'", "NULL", "z_event_type", None),
+        ("ts", "kept", "'timestamp_ntz'", "'timestamp_ntz'", "z_ts", "z_ts"),
+        ("user_id", "type_changed", "'bigint'", "'string'", "z_user_id", "z_user_id"),
+        ("value", "kept", "'double'", "'double'", "z_value", "z_value"),
+        ("value_cents", "added", "NULL", "'bigint'", None, "z_value"),
+    ]
+    parts = []
+    for col, status, t_o, t_n, z_o, z_n in branches:
+        no = f"os.{z_o}" if z_o else "CAST(NULL AS BIGINT)"
+        nn = f"ns.{z_n}" if z_n else "CAST(NULL AS BIGINT)"
+        po = (
+            f"CASE WHEN os.nr = 0 THEN 0 ELSE os.{z_o} * 1000000 // os.nr END"
+            if z_o
+            else "CAST(NULL AS BIGINT)"
+        )
+        pn = (
+            f"CASE WHEN ns.nr = 0 THEN 0 ELSE ns.{z_n} * 1000000 // ns.nr END"
+            if z_n
+            else "CAST(NULL AS BIGINT)"
+        )
+        delta = f"({pn}) - ({po})" if (z_o and z_n) else "CAST(NULL AS BIGINT)"
+        parts.append(
+            f"""SELECT '{col}' AS "column", '{status}' AS status,
+           CAST({t_o} AS VARCHAR) AS type_old,
+           CAST({t_n} AS VARCHAR) AS type_new,
+           CAST({no} AS BIGINT) AS n_null_old,
+           CAST({nn} AS BIGINT) AS n_null_new,
+           CAST({po} AS BIGINT) AS null_ppm_old,
+           CAST({pn} AS BIGINT) AS null_ppm_new,
+           CAST({delta} AS BIGINT) AS null_ppm_delta
+    FROM os, ns"""
+        )
+    body = "\n    UNION ALL\n    ".join(parts)
+    return f"""
+    WITH o AS (
+      SELECT event_id, ts, user_id, event_type,
+             CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
+      FROM events WHERE event_id % 5 <> 0
+    ),
+    n AS (
+      SELECT event_id, ts, CAST(user_id AS VARCHAR) AS user_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+      FROM events WHERE event_id % 4 <> 0
+    ),
+    os AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nr,
+             CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS z_event_id,
+             CAST(COUNT(*) - COUNT(ts) AS BIGINT) AS z_ts,
+             CAST(COUNT(*) - COUNT(user_id) AS BIGINT) AS z_user_id,
+             CAST(COUNT(*) - COUNT(event_type) AS BIGINT) AS z_event_type,
+             CAST(COUNT(*) - COUNT(value) AS BIGINT) AS z_value
+      FROM o
+    ),
+    ns AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nr,
+             CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS z_event_id,
+             CAST(COUNT(*) - COUNT(ts) AS BIGINT) AS z_ts,
+             CAST(COUNT(*) - COUNT(user_id) AS BIGINT) AS z_user_id,
+             CAST(COUNT(*) - COUNT(value) AS BIGINT) AS z_value
+      FROM n
+    )
+    {body}"""
+
+
+@register(
+    "pipe_schema_drift",
+    oracle=_schema_drift_oracle(),
+    doc="column-level drift between two snapshots of a structured table "
+    "(operators/profile.py:schema_drift) — the schema sibling of the "
+    "corpus-drift gate and the first check a pipeline runs when an "
+    "upstream export changes: added/dropped/type-changed/kept status "
+    "per column plus EXACT null accounting (BIGINT counts from ONE "
+    "single-pass aggregation per snapshot, integer-ppm rates via div). "
+    "The face derives deterministic snapshots of events exercising "
+    "every status: event_type dropped, value_cents added, user_id "
+    "bigint->string type change, and value nulled on different "
+    "deterministic strides (%13 vs %7) so the ppm delta is a real "
+    "number.  The oracle replays the null counts as scalar aggregates "
+    "with one UNION ALL branch per column",
+)
+def pipe_schema_drift(spark, sf_dir):
+    from ..operators import profile
+
+    ev = table(spark, sf_dir, "events")
+    old = ev.where(F.col("event_id") % 5 != 0).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    nulled = (
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+    )
+    new = ev.where(F.col("event_id") % 4 != 0).select(
+        "event_id",
+        "ts",
+        F.col("user_id").cast("string").alias("user_id"),
+        nulled.alias("value"),
+        (nulled * 100).cast("bigint").alias("value_cents"),
+    )
+    return profile.schema_drift(old, new)
+
+
 @register(
     "pipe_corpus_drift",
     oracle=r"""

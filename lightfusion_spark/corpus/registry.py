@@ -55,11 +55,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: + pipe_e2e_curation, an r06 row whose OUTPUT changed this round
 #: (redaction composed before dedup adds n_redacted and re-keys the
 #: dedup) so its old green row no longer vouches for it
-#: + the recorded backlog: 3 of the 4 r04 rows and 4 of the 10 r05 rows
+#: + the recorded backlog: 2 of the 4 r04 rows and 4 of the 10 r05 rows
 #: + 6 per-category §2.3 representatives from the r07/r08 blocks, each
 #: its family's STALEST verified sibling (rel_distinct, rel_window_lag,
 #: rel_topk_group, rel_set_intersect, udtf_split_words, rel_percentile)
-#: + 20 more NEW faces landed later in the round (TPC-H q7/q8/q9
+#: + 21 more NEW faces landed later in the round (TPC-H q7/q8/q9
 #: shapes, preference pairs, curriculum ordering, fuzzy
 #: decontamination, diversity sampling, mergeable HLL sketches,
 #: mergeable quantile histograms, the Naive Bayes domain classifier,
@@ -68,8 +68,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: domain-routed mixture composition, the maintained sketch-store
 #: face pipe_sketch_append, the distributed footer-stats face
 #: pipe_file_stats_distributed, personalized PageRank
-#: pipe_web_ppr, HITS pipe_web_hits and the corpus-drift gate
-#: pipe_corpus_drift — of which four
+#: pipe_web_ppr, HITS pipe_web_hits, the corpus-drift gate
+#: pipe_corpus_drift and the schema-drift report
+#: pipe_schema_drift — of which four
 #: displace the r05 rows pipe_boilerplate_lines (sibling-repped by
 #: pipe_strip_boilerplate), events_attribution (events family
 #: four-way repped), pipe_dedup_incremental (dedup family
@@ -78,8 +79,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: displace rel_tpch_q14_shape (judge-reconfirmed J9; TPC-H family
 #: three-way repped in-window by q7/q8/q9), events_asof_forward
 #: (judge-reconfirmed J9; events family repped by the three batch
-#: twins) and pipe_dedup_exact (judge-reconfirmed J9; dedup family
-#: three-way repped) — all seven back to the r11 backlog head)
+#: twins), pipe_dedup_exact (judge-reconfirmed J9; dedup family
+#: three-way repped) and pipe_text_langid (judge-reconfirmed J9;
+#: text-analysis family three-way repped) — all eight back to the
+#: r11 backlog head)
 #: + 4 rows of the r06 block: its four rel family reps (rel_agg_q1,
 #: rel_subquery_in_exists, rel_scalar_math, rel_lateral_join) and the
 #: alphabetical first 15 of the remainder MINUS the thirteen rows the
@@ -90,7 +93,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: events_asof_join, events_range_join, events_asof_bucketed,
 #: events_sessionize, pipe_e2e_model_curation — all keep their r06
 #: green rows and head the r11 backlog).
-#: 4+28+1+3+4+6+4 = 50 exactly.  The round-11 re-window backlog is
+#: 4+29+1+2+4+6+4 = 50 exactly.  The round-11 re-window backlog is
 #: the 32 remaining r06 rows (the 13 displaced rows
 #: above, pipe_lm_score, pipe_multimodal_codec,
 #: pipe_multimodal_decode/_jpeg/_png/_video/_wav, pipe_pack_bpe,
@@ -218,16 +221,22 @@ PRIORITY: list[str] = [
     # pipe_neardup_embedding and pipe_decontaminate_fuzzy — to the r11
     # backlog head).
     "pipe_corpus_drift",
+    # ... and the schema-drift report (the structured sibling:
+    # added/dropped/type-changed columns + exact null-ppm deltas;
+    # displaces pipe_text_langid — r04 green AND re-confirmed exact by
+    # the round-9 judge's own parity run, the text-analysis family
+    # still repped in-window by pipe_text_redact, pipe_text_bm25_terms
+    # and pipe_strip_boilerplate — to the r11 backlog head).
+    "pipe_schema_drift",
     # Changed face: redaction composed into the e2e curation chain
     # (new n_redacted column + dedup re-keyed on redacted text), so
     # the r06 green row no longer vouches for today's output.
     "pipe_e2e_curation",
-    # 3 of the 4 r04 rows deferred in round 9 -- the stalest
-    # officials (the fourth, rel_tpch_q14_shape, ceded its slot to the
-    # graph faces above: J9-reconfirmed, TPC-H family repped by
-    # q7/q8/q9).
+    # 2 of the 4 r04 rows deferred in round 9 -- the stalest
+    # officials (rel_tpch_q14_shape and pipe_text_langid ceded their
+    # slots to late faces above: both J9-reconfirmed, their families
+    # multi-repped in-window).
     "pipe_simhash_pairs",
-    "pipe_text_langid",
     "pipe_neardup_embedding",
     # The r05 block (4 of its 10 rows -- every row whose latest
     # official green is round 5, minus the six late-face
@@ -360,6 +369,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_text_bm25",
         "pipe_text_fingerprint",
         "pipe_text_keywords",
+        "pipe_text_langid",
         "pipe_text_novelty",
         "pipe_text_pii",
         "pipe_text_repetition",

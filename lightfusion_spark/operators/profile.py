@@ -60,6 +60,86 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
+def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Column-level drift between two snapshots of a structured table —
+    the schema sibling of ``curation.corpus_drift`` and the first check
+    a pipeline runs when an upstream export changes: one row per column
+    present in EITHER snapshot::
+
+        (column, status, type_old, type_new,
+         n_null_old, n_null_new, null_ppm_old, null_ppm_new,
+         null_ppm_delta)
+
+    * ``status`` — ``added`` / ``dropped`` / ``type_changed`` /
+      ``kept`` (dtype strings compared; ``type_*`` is NULL on the
+      absent side).
+    * null accounting — exact: BIGINT null counts from ONE aggregation
+      pass per snapshot (the :func:`profile_table` shape — every
+      column's count is an expression of the same agg, no per-column
+      scans), and ``null_ppm_*`` as integer parts-per-million via
+      ``n·10⁶ div n_rows`` (Spark ``div`` == DuckDB ``//``), so the
+      report replays hash-exact.  ``null_ppm_delta`` is NULL for
+      added/dropped columns (no defined drift against an absent side).
+
+    Scale: two single-pass aggregations and a 1-row × 1-row cross join
+    — schema metadata is driver-side by nature (a DataFrame's dtypes
+    are plan state, not data), and the data-touching part never reads
+    a column twice or shuffles at all.
+    """
+    dt_old, dt_new = dict(old.dtypes), dict(new.dtypes)
+    all_cols = sorted(set(dt_old) | set(dt_new))
+
+    def _nulls(df, cols, tag):
+        aggs = [F.count(F.lit(1)).alias(f"n_rows_{tag}")]
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__{tag}_{c}")
+            for c in cols
+        ]
+        return df.agg(*aggs)
+
+    wide = _nulls(old, dt_old, "o").crossJoin(_nulls(new, dt_new, "n"))
+
+    def _ppm(nulls_col, rows_col):
+        return F.expr(
+            f"CASE WHEN {rows_col} = 0 THEN 0L "
+            f"ELSE {nulls_col} * 1000000L div {rows_col} END"
+        )
+
+    structs = []
+    for c in all_cols:
+        in_o, in_n = c in dt_old, c in dt_new
+        if in_o and in_n:
+            status = "kept" if dt_old[c] == dt_new[c] else "type_changed"
+        else:
+            status = "dropped" if in_o else "added"
+        no = F.col(f"__o_{c}") if in_o else F.lit(None).cast("bigint")
+        nn = F.col(f"__n_{c}") if in_n else F.lit(None).cast("bigint")
+        po = _ppm(f"__o_{c}", "n_rows_o") if in_o else F.lit(None).cast("bigint")
+        pn = _ppm(f"__n_{c}", "n_rows_n") if in_n else F.lit(None).cast("bigint")
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(status).alias("status"),
+                (F.lit(dt_old[c]) if in_o else F.lit(None).cast("string")).alias(
+                    "type_old"
+                ),
+                (F.lit(dt_new[c]) if in_n else F.lit(None).cast("string")).alias(
+                    "type_new"
+                ),
+                no.alias("n_null_old"),
+                nn.alias("n_null_new"),
+                po.alias("null_ppm_old"),
+                pn.alias("null_ppm_new"),
+                (
+                    (pn - po)
+                    if (in_o and in_n)
+                    else F.lit(None).cast("bigint")
+                ).alias("null_ppm_delta"),
+            )
+        )
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
 def key_skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
     """Top-``top_n`` hottest keys with their row share: ``(key, n,
     share_ppm, rank)``.

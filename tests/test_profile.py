@@ -63,3 +63,47 @@ def test_histogram_rejects_bad_bins(spark):
     df = spark.createDataFrame([(1.0,)], "x double")
     with pytest.raises(ValueError, match="bins"):
         profile.histogram(df, "x", bins=0)
+
+
+def test_schema_drift_statuses_and_null_ppm(spark):
+    from lightfusion_spark.operators.profile import schema_drift
+
+    old = spark.createDataFrame(
+        [(1, 10, "a"), (2, None, "b"), (3, 30, None), (4, 40, "d")],
+        "id long, v long, s string",
+    )
+    new = spark.createDataFrame(
+        [(1, "10", 1.5), (2, "20", None)], "id long, v string, extra double"
+    )
+    rows = {r["column"]: r for r in schema_drift(old, new).collect()}
+    assert set(rows) == {"id", "v", "s", "extra"}
+    assert rows["id"]["status"] == "kept" and rows["id"]["null_ppm_delta"] == 0
+    assert rows["v"]["status"] == "type_changed"
+    assert rows["v"]["type_old"] == "bigint" and rows["v"]["type_new"] == "string"
+    # old v: 1 null of 4 -> 250000 ppm; new v: 0 of 2 -> 0
+    assert rows["v"]["null_ppm_old"] == 250000 and rows["v"]["null_ppm_new"] == 0
+    assert rows["v"]["null_ppm_delta"] == -250000
+    assert rows["s"]["status"] == "dropped" and rows["s"]["type_new"] is None
+    assert rows["s"]["n_null_old"] == 1 and rows["s"]["n_null_new"] is None
+    assert rows["s"]["null_ppm_delta"] is None
+    assert rows["extra"]["status"] == "added" and rows["extra"]["type_old"] is None
+    assert rows["extra"]["null_ppm_new"] == 500000  # 1 null of 2
+
+
+def test_schema_drift_empty_snapshot_reports_zero_ppm(spark):
+    from lightfusion_spark.operators.profile import schema_drift
+
+    old = spark.createDataFrame([], "id long, v long")
+    new = spark.createDataFrame([(1, None)], "id long, v long")
+    rows = {r["column"]: r for r in schema_drift(old, new).collect()}
+    assert rows["v"]["null_ppm_old"] == 0  # 0-row snapshot: ppm defined as 0
+    assert rows["v"]["null_ppm_new"] == 1000000
+    assert rows["id"]["status"] == "kept"
+
+
+def test_schema_drift_identical_snapshots(spark):
+    from lightfusion_spark.operators.profile import schema_drift
+
+    df = spark.createDataFrame([(1, "x"), (2, None)], "id long, s string")
+    for r in schema_drift(df, df).collect():
+        assert r["status"] == "kept" and r["null_ppm_delta"] == 0
