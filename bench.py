@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "pipe_web_hits",
     "pipe_corpus_drift",
     "pipe_schema_drift",
+    "pipe_drift_numeric",
 ]
 
 

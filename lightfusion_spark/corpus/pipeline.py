@@ -4507,6 +4507,109 @@ def pipe_schema_drift(spark, sf_dir):
 
 
 @register(
+    "pipe_drift_numeric",
+    oracle=r"""
+    WITH o AS (
+      SELECT event_type AS stratum, value FROM events
+      WHERE event_id % 5 <> 0 AND value IS NOT NULL
+    ),
+    n AS (
+      SELECT event_type AS stratum, value FROM events
+      WHERE event_id % 4 <> 0 AND value IS NOT NULL
+    ),
+    co AS (
+      SELECT stratum,
+             CAST(LEAST(63, GREATEST(0,
+                  CAST(FLOOR((value - 0.0) / 8.0) AS INT))) AS INT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS c_old
+      FROM o GROUP BY 1, 2
+    ),
+    cn AS (
+      SELECT stratum,
+             CAST(LEAST(63, GREATEST(0,
+                  CAST(FLOOR((value - 0.0) / 8.0) AS INT))) AS INT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS c_new
+      FROM n GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT stratum,
+             COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new,
+             COALESCE(bins_old, 0) AS bins_old,
+             COALESCE(bins_new, 0) AS bins_new
+      FROM (SELECT stratum, CAST(SUM(c_old) AS BIGINT) AS n_old,
+                   CAST(COUNT(*) AS BIGINT) AS bins_old
+            FROM co GROUP BY stratum) a
+      FULL JOIN (SELECT stratum, CAST(SUM(c_new) AS BIGINT) AS n_new,
+                        CAST(COUNT(*) AS BIGINT) AS bins_new
+                 FROM cn GROUP BY stratum) b USING (stratum)
+    ),
+    pt AS (
+      SELECT j.stratum, j.bin,
+             ABS(j.c_old * t.n_new - j.c_new * t.n_old) AS cross_abs,
+             (CASE WHEN t.n_new = 0 THEN 0
+                   ELSE j.c_new * 1000000 // t.n_new END
+              - CASE WHEN t.n_old = 0 THEN 0
+                     ELSE j.c_old * 1000000 // t.n_old END) AS delta_ppm
+      FROM (SELECT stratum, bin,
+                   COALESCE(c_old, 0) AS c_old, COALESCE(c_new, 0) AS c_new
+            FROM co FULL JOIN cn USING (stratum, bin)) j
+      JOIN tot t USING (stratum)
+    ),
+    summ AS (
+      SELECT stratum, CAST(SUM(cross_abs) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS bins_union
+      FROM pt GROUP BY stratum
+    ),
+    top AS (
+      SELECT stratum, bin AS top_bin, delta_ppm AS top_delta_ppm
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY stratum
+              ORDER BY ABS(delta_ppm) DESC, bin ASC) AS rn
+            FROM pt)
+      WHERE rn = 1
+    )
+    SELECT t.stratum,
+           t.n_old AS n_values_old, t.n_new AS n_values_new,
+           t.bins_old AS n_bins_old, t.bins_new AS n_bins_new,
+           COALESCE(s.bins_union, 0) AS n_bins_union,
+           CASE WHEN t.n_old = 0 OR t.n_new = 0 THEN CAST(1.0 AS DOUBLE)
+                ELSE ROUND(CAST(s.s AS DOUBLE)
+                           / (CAST(2.0 AS DOUBLE) * CAST(t.n_old AS DOUBLE)
+                              * CAST(t.n_new AS DOUBLE)), 6) END AS tv,
+           top.top_bin,
+           CAST(COALESCE(top.top_delta_ppm, 0) AS BIGINT) AS top_delta_ppm
+    FROM tot t
+    LEFT JOIN summ s USING (stratum)
+    LEFT JOIN top USING (stratum)
+    """,
+    doc="numeric-distribution drift, the third leg of the monitoring "
+    "trio (corpus_drift = text, schema_drift = structure, this = "
+    "values): per-stratum total variation distance between two "
+    "snapshots' binned value distributions on the hist_sketch grid "
+    "(operators/curation.py:numeric_drift — the report is "
+    "corpus_drift's _drift_report VERBATIM over (stratum, bin) cells, "
+    "same exact BIGINT cross-product arithmetic), plus the most-moved "
+    "bin by exact integer ppm delta.  Snapshots are the same "
+    "deterministic event_id strides as pipe_schema_drift; the grid is "
+    "pipe_sketch_quantile's [0,512)/64.  NULLs excluded (null drift "
+    "is schema_drift's job), out-of-grid clamps to edge bins",
+)
+def pipe_drift_numeric(spark, sf_dir):
+    from ..operators import curation
+
+    ev = table(spark, sf_dir, "events")
+    return curation.numeric_drift(
+        ev.where(F.col("event_id") % 5 != 0),
+        ev.where(F.col("event_id") % 4 != 0),
+        "event_type",
+        "value",
+        0.0,
+        512.0,
+        64,
+    )
+
+
+@register(
     "pipe_corpus_drift",
     oracle=r"""
     WITH old_docs AS (SELECT source, text FROM documents WHERE doc_id % 7 <> 6),

@@ -55,11 +55,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: + pipe_e2e_curation, an r06 row whose OUTPUT changed this round
 #: (redaction composed before dedup adds n_redacted and re-keys the
 #: dedup) so its old green row no longer vouches for it
-#: + the recorded backlog: 2 of the 4 r04 rows and 4 of the 10 r05 rows
+#: + the recorded backlog: 1 of the 4 r04 rows and 4 of the 10 r05 rows
 #: + 6 per-category §2.3 representatives from the r07/r08 blocks, each
 #: its family's STALEST verified sibling (rel_distinct, rel_window_lag,
 #: rel_topk_group, rel_set_intersect, udtf_split_words, rel_percentile)
-#: + 21 more NEW faces landed later in the round (TPC-H q7/q8/q9
+#: + 22 more NEW faces landed later in the round (TPC-H q7/q8/q9
 #: shapes, preference pairs, curriculum ordering, fuzzy
 #: decontamination, diversity sampling, mergeable HLL sketches,
 #: mergeable quantile histograms, the Naive Bayes domain classifier,
@@ -69,8 +69,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: face pipe_sketch_append, the distributed footer-stats face
 #: pipe_file_stats_distributed, personalized PageRank
 #: pipe_web_ppr, HITS pipe_web_hits, the corpus-drift gate
-#: pipe_corpus_drift and the schema-drift report
-#: pipe_schema_drift — of which four
+#: pipe_corpus_drift, the schema-drift report pipe_schema_drift and
+#: the numeric-drift leg pipe_drift_numeric — of which four
 #: displace the r05 rows pipe_boilerplate_lines (sibling-repped by
 #: pipe_strip_boilerplate), events_attribution (events family
 #: four-way repped), pipe_dedup_incremental (dedup family
@@ -80,9 +80,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: three-way repped in-window by q7/q8/q9), events_asof_forward
 #: (judge-reconfirmed J9; events family repped by the three batch
 #: twins), pipe_dedup_exact (judge-reconfirmed J9; dedup family
-#: three-way repped) and pipe_text_langid (judge-reconfirmed J9;
-#: text-analysis family three-way repped) — all eight back to the
-#: r11 backlog head)
+#: three-way repped), pipe_text_langid (judge-reconfirmed J9;
+#: text-analysis family three-way repped) and pipe_simhash_pairs
+#: (judge-reconfirmed J9; dedup family still two-way repped) — all
+#: nine back to the r11 backlog head)
 #: + 4 rows of the r06 block: its four rel family reps (rel_agg_q1,
 #: rel_subquery_in_exists, rel_scalar_math, rel_lateral_join) and the
 #: alphabetical first 15 of the remainder MINUS the thirteen rows the
@@ -93,7 +94,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: events_asof_join, events_range_join, events_asof_bucketed,
 #: events_sessionize, pipe_e2e_model_curation — all keep their r06
 #: green rows and head the r11 backlog).
-#: 4+29+1+2+4+6+4 = 50 exactly.  The round-11 re-window backlog is
+#: 4+30+1+1+4+6+4 = 50 exactly.  The round-11 re-window backlog is
 #: the 32 remaining r06 rows (the 13 displaced rows
 #: above, pipe_lm_score, pipe_multimodal_codec,
 #: pipe_multimodal_decode/_jpeg/_png/_video/_wav, pipe_pack_bpe,
@@ -228,15 +229,21 @@ PRIORITY: list[str] = [
     # still repped in-window by pipe_text_redact, pipe_text_bm25_terms
     # and pipe_strip_boilerplate — to the r11 backlog head).
     "pipe_schema_drift",
+    # ... and the numeric-drift leg of the monitoring trio (TV over
+    # hist_sketch bins — corpus_drift's report verbatim over cells;
+    # displaces pipe_simhash_pairs — r04 green AND re-confirmed exact
+    # by the round-9 judge's own parity run, the dedup family still
+    # repped in-window by pipe_neardup_embedding and
+    # pipe_decontaminate_fuzzy — to the r11 backlog head).
+    "pipe_drift_numeric",
     # Changed face: redaction composed into the e2e curation chain
     # (new n_redacted column + dedup re-keyed on redacted text), so
     # the r06 green row no longer vouches for today's output.
     "pipe_e2e_curation",
-    # 2 of the 4 r04 rows deferred in round 9 -- the stalest
-    # officials (rel_tpch_q14_shape and pipe_text_langid ceded their
-    # slots to late faces above: both J9-reconfirmed, their families
-    # multi-repped in-window).
-    "pipe_simhash_pairs",
+    # 1 of the 4 r04 rows deferred in round 9 -- the stalest officials
+    # (rel_tpch_q14_shape, pipe_text_langid and pipe_simhash_pairs
+    # ceded their slots to late faces above: all J9-reconfirmed, their
+    # families multi-repped in-window).
     "pipe_neardup_embedding",
     # The r05 block (4 of its 10 rows -- every row whose latest
     # official green is round 5, minus the six late-face
@@ -362,6 +369,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_sim_topk_gemm",
         "pipe_sim_topk_jl",
         "pipe_sim_topk_quantized",
+        "pipe_simhash_pairs",
         "pipe_simhash_wide",
         "pipe_sketch_cms",
         "pipe_source_overlap",

@@ -626,6 +626,58 @@ def _drift_report(co: DataFrame, cn: DataFrame) -> DataFrame:
     )
 
 
+def numeric_drift(
+    old: DataFrame,
+    new: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Per-stratum distribution drift of a NUMERIC column between two
+    snapshots — the third leg of the drift-monitoring trio
+    (:func:`corpus_drift` = text, ``profile.schema_drift`` = structure,
+    this = values): total variation distance between the snapshots'
+    binned value distributions on the :func:`~.sketch.hist_sketch`
+    grid, plus the most-moved bin.
+
+    Composition, not new machinery: each snapshot becomes a mergeable
+    histogram (``strata × n_bins`` integer cells — the sketch the
+    monitoring stores already maintain), and the TV/top-mover report is
+    :func:`corpus_drift`'s ``_drift_report`` VERBATIM over (stratum,
+    bin) cells instead of (source, token) counts — the same exact
+    integer cross-product arithmetic, so the result replays hash-exact.
+    NULL values are excluded (null drift is ``schema_drift``'s job);
+    out-of-grid values clamp into the edge bins exactly as the sketch
+    documents.
+
+    Returns ``(stratum, n_values_old, n_values_new, n_bins_old,
+    n_bins_new, n_bins_union, tv, top_bin, top_delta_ppm)``.
+    """
+    from .sketch import hist_sketch
+
+    def _cells(df, tag):
+        return hist_sketch(df, stratum_col, value_col, lo, hi, n_bins).select(
+            F.col(stratum_col).alias("source"),
+            F.col("bin").alias("tok"),
+            F.col("cnt").alias(f"c_{tag}"),
+        )
+
+    rep = _drift_report(_cells(old, "old"), _cells(new, "new"))
+    return rep.select(
+        F.col("source").alias("stratum"),
+        F.col("n_tokens_old").alias("n_values_old"),
+        F.col("n_tokens_new").alias("n_values_new"),
+        F.col("vocab_old").alias("n_bins_old"),
+        F.col("vocab_new").alias("n_bins_new"),
+        F.col("vocab_union").alias("n_bins_union"),
+        "tv",
+        F.col("top_token").alias("top_bin"),
+        "top_delta_ppm",
+    )
+
+
 @dataclass
 class DriftIndex:
     """Prebuilt reference side of the drift gate: the reference

@@ -635,3 +635,34 @@ def test_corpus_drift_indexed_equals_one_shot(spark, sf_dir):
         got = sorted(map(tuple, corpus_drift_indexed(batch, idx, "text").collect()))
         want = sorted(map(tuple, corpus_drift(ref, batch, "text").collect()))
         assert got == want and len(want) > 0
+
+
+def test_numeric_drift_hand_computed(spark):
+    """Two strata, hand-checkable bins on a [0,10)/5-bin grid (width 2):
+    stratum s shifts half its mass one bin right -> TV = 0.5."""
+    from lightfusion_spark.operators.curation import numeric_drift
+
+    old = spark.createDataFrame(
+        [("s", 1.0), ("s", 1.5), ("t", 9.0)], "g string, v double"
+    )
+    new = spark.createDataFrame(
+        [("s", 1.0), ("s", 3.0), ("t", 9.5)], "g string, v double"
+    )
+    rows = {r["stratum"]: r for r in numeric_drift(old, new, "g", "v", 0.0, 10.0, 5).collect()}
+    # s: old = {bin0: 2}, new = {bin0: 1, bin1: 1} -> TV = 0.5
+    assert rows["s"]["tv"] == 0.5
+    assert rows["s"]["n_values_old"] == 2 and rows["s"]["n_values_new"] == 2
+    # top mover: bin0 lost 500000 ppm, bin1 gained 500000 -> tie, bin0 wins
+    assert rows["s"]["top_bin"] == 0 and rows["s"]["top_delta_ppm"] == -500000
+    # t: both values land in bin4 -> no drift
+    assert rows["t"]["tv"] == 0.0
+
+
+def test_numeric_drift_ignores_nulls_and_clamps(spark):
+    from lightfusion_spark.operators.curation import numeric_drift
+
+    old = spark.createDataFrame([("s", 1.0), ("s", None)], "g string, v double")
+    new = spark.createDataFrame([("s", -50.0)], "g string, v double")  # clamps to bin 0
+    row = numeric_drift(old, new, "g", "v", 0.0, 10.0, 5).collect()[0]
+    assert row["n_values_old"] == 1  # the NULL is excluded
+    assert row["tv"] == 0.0  # 1.0 -> bin0 and the clamped -50.0 -> bin0
