@@ -655,16 +655,29 @@ def numeric_drift(
     Returns ``(stratum, n_values_old, n_values_new, n_bins_old,
     n_bins_new, n_bins_union, tv, top_bin, top_delta_ppm)``.
     """
+    return _numeric_rename(
+        _drift_report(
+            _numeric_cells(old, stratum_col, value_col, lo, hi, n_bins, "old"),
+            _numeric_cells(new, stratum_col, value_col, lo, hi, n_bins, "new"),
+        )
+    )
+
+
+def _numeric_cells(df, stratum_col, value_col, lo, hi, n_bins, tag):
+    """One snapshot's histogram cells in :func:`_drift_report`'s
+    (source, tok, c_tag) shape."""
     from .sketch import hist_sketch
 
-    def _cells(df, tag):
-        return hist_sketch(df, stratum_col, value_col, lo, hi, n_bins).select(
-            F.col(stratum_col).alias("source"),
-            F.col("bin").alias("tok"),
-            F.col("cnt").alias(f"c_{tag}"),
-        )
+    return hist_sketch(df, stratum_col, value_col, lo, hi, n_bins).select(
+        F.col(stratum_col).alias("source"),
+        F.col("bin").alias("tok"),
+        F.col("cnt").alias(f"c_{tag}"),
+    )
 
-    rep = _drift_report(_cells(old, "old"), _cells(new, "new"))
+
+def _numeric_rename(rep: DataFrame) -> DataFrame:
+    """Project :func:`_drift_report`'s token-named columns onto the
+    numeric report's bin-named schema."""
     return rep.select(
         F.col("source").alias("stratum"),
         F.col("n_tokens_old").alias("n_values_old"),
@@ -725,6 +738,65 @@ def corpus_drift_indexed(
         index.ref_counts,
         _unigram_counts(batch, text_col, index.source_col, "new"),
     )
+
+
+@dataclass
+class NumericDriftIndex:
+    """Prebuilt reference side of :func:`numeric_drift`: the reference
+    snapshot's histogram cells, pinned, plus the grid they were binned
+    on (a batch compared on a different grid would be nonsense — the
+    gate re-bins every batch with the INDEX's grid)."""
+
+    ref_cells: DataFrame
+    stratum_col: str
+    value_col: str
+    lo: float
+    hi: float
+    n_bins: int
+
+
+def numeric_drift_index(
+    ref: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> NumericDriftIndex:
+    """Precompute the reference side of :func:`numeric_drift` — the
+    numeric leg of the continual-ingest monitor (same pattern as
+    :func:`corpus_drift_index`): the reference histogram is ``strata ×
+    n_bins`` integer cells, pinned once; each arriving batch re-bins on
+    the SAME grid and runs the shared drift report.  Output-identical
+    to ``numeric_drift(ref, batch, …)`` on the same inputs (asserted
+    in tests/test_curation.py).  Rebuild only when the reference
+    snapshot (or the grid) changes."""
+    cells = _numeric_cells(
+        ref, stratum_col, value_col, lo, hi, n_bins, "old"
+    ).localCheckpoint(eager=True)
+    return NumericDriftIndex(
+        ref_cells=cells,
+        stratum_col=stratum_col,
+        value_col=value_col,
+        lo=lo,
+        hi=hi,
+        n_bins=n_bins,
+    )
+
+
+def numeric_drift_indexed(
+    batch: DataFrame, index: NumericDriftIndex
+) -> DataFrame:
+    """:func:`numeric_drift`'s per-batch body against a prebuilt
+    :class:`NumericDriftIndex`: bin the ARRIVING batch on the index's
+    grid, then run the shared drift report against the pinned
+    reference cells — per batch, one cell aggregation over the batch
+    plus a join against at most ``strata × n_bins`` reference rows."""
+    cn = _numeric_cells(
+        batch, index.stratum_col, index.value_col, index.lo, index.hi,
+        index.n_bins, "new",
+    )
+    return _numeric_rename(_drift_report(index.ref_cells, cn))
 
 
 def temperature_mixture_sample(

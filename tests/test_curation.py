@@ -666,3 +666,31 @@ def test_numeric_drift_ignores_nulls_and_clamps(spark):
     row = numeric_drift(old, new, "g", "v", 0.0, 10.0, 5).collect()[0]
     assert row["n_values_old"] == 1  # the NULL is excluded
     assert row["tv"] == 0.0  # 1.0 -> bin0 and the clamped -50.0 -> bin0
+
+
+def test_numeric_drift_indexed_equals_one_shot(spark, sf_dir):
+    """The prebuilt-reference numeric gate must be output-identical to
+    the one-shot operator on every batch slice."""
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators.curation import (
+        numeric_drift,
+        numeric_drift_index,
+        numeric_drift_indexed,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ref = ev.where(F.col("event_id") % 3 == 0)
+    idx = numeric_drift_index(ref, "event_type", "value", 0.0, 512.0, 64)
+    for k in range(3):
+        batch = ev.where(F.col("event_id") % 3 == k)
+        got = sorted(map(tuple, numeric_drift_indexed(batch, idx).collect()))
+        want = sorted(
+            map(
+                tuple,
+                numeric_drift(
+                    ref, batch, "event_type", "value", 0.0, 512.0, 64
+                ).collect(),
+            )
+        )
+        assert got == want and len(want) > 0
