@@ -69,6 +69,31 @@ def build_ivf_index(
     search-side pruning: each cell is its own directory, and a probe
     filter on the partition column never opens the others.
     """
+    # geometry guard (pca-style): a ragged corpus would build a
+    # valid-looking index whose mismatched cells pass the search-side
+    # dim check yet return wrong/NULL cosines — refuse at build time,
+    # in ONE bounded agg over the corpus
+    geo = corpus.select(F.size(as_double(vec_col)).alias("d")).agg(
+        F.min("d").alias("dmin"),
+        F.max("d").alias("dmax"),
+        F.count(F.lit(1)).alias("n"),
+        F.count("d").alias("nd"),  # ANSI: size(NULL) is NULL — catch it
+    ).first()
+    if geo is None or geo["dmin"] is None:
+        raise ValueError(
+            f"build_ivf_index: empty corpus or all-NULL {vec_col!r}"
+        )
+    if geo["nd"] != geo["n"]:
+        raise ValueError(
+            f"build_ivf_index: {geo['n'] - geo['nd']} NULL {vec_col!r} "
+            "rows — filter or impute upstream."
+        )
+    if geo["dmin"] != geo["dmax"] or geo["dmin"] < 1:
+        raise ValueError(
+            f"build_ivf_index: ragged {vec_col!r} geometry — vector sizes "
+            f"span [{geo['dmin']}, {geo['dmax']}]; every row must carry "
+            "the same-dimension vector. Filter or impute upstream."
+        )
     cents = kmeans_centroids(
         corpus, id_col, vec_col, n_centroids, n_iters, round_digits
     )

@@ -65,6 +65,11 @@ def bt_strengths(
     records ``{"epoch", "strengths": {item: γ}}`` for the oracle's
     unrolled replay.
 
+    NULL rows and self-pairs (winner == loser) are dropped before any
+    statistic is computed: a self-pair says nothing about relative
+    strength, and counting it as a win would inflate the item's fitted
+    γ.  A table with ONLY such rows is refused loudly.
+
     The pair table may be corpus-sized; the ITEM set may not —
     driver state is O(items²) pair counts (the sufficient statistic),
     so more than ``max_items`` distinct items is refused loudly rather
@@ -78,7 +83,12 @@ def bt_strengths(
         raise ValueError(f"bt_strengths: epochs must be >= 1, got {epochs}")
     counts = (
         pairs.where(
-            F.col(winner_col).isNotNull() & F.col(loser_col).isNotNull()
+            F.col(winner_col).isNotNull()
+            & F.col(loser_col).isNotNull()
+            # self-pairs (winner == loser) carry no information and must
+            # not inflate wins or the MM denominators — dropped at the
+            # aggregation, before any sufficient statistic is built
+            & (F.col(winner_col) != F.col(loser_col))
         )
         .groupBy(
             F.col(winner_col).alias("w"), F.col(loser_col).alias("l")
@@ -87,7 +97,11 @@ def bt_strengths(
         .collect()
     )
     if not counts:
-        raise ValueError("bt_strengths: no non-NULL pairs")
+        raise ValueError(
+            "bt_strengths: no cross-item pairs (every row was NULL or a "
+            "winner == loser self-pair) — BT needs comparisons between "
+            "distinct items"
+        )
     wins: dict = {}
     npair: dict = {}
     for r in counts:
@@ -103,8 +117,6 @@ def bt_strengths(
         )
     opp: dict = {i: [] for i in items}
     for (a, b), n in npair.items():
-        if a == b:
-            continue  # self-pairs carry no information
         opp[a].append((b, n))
         opp[b].append((a, n))
     g = {i: 1.0 for i in items}

@@ -1237,6 +1237,63 @@ def preference_pairs(
     )
 
 
+def global_row_number(
+    df: DataFrame,
+    ordering,
+    rn_col: str = "_grn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scalable exact global row number over a TOTAL order — the
+    distributed replacement for ``row_number().over(Window.orderBy(...))``,
+    which Spark executes by moving every row into ONE task (the
+    WindowExec "No Partition Defined" path — a single-task sort/OOM at
+    corpus scale).
+
+    Classic two-pass pattern instead: (1) ``repartitionByRange`` on the
+    ordering (range partition *p* holds a contiguous slice of the total
+    order) + ``sortWithinPartitions``, pinned with a lazy
+    ``localCheckpoint`` so both passes see identical partition
+    membership; (2) one cheap count-per-partition aggregate gives the
+    driver O(P) prefix offsets, broadcast-joined back; the within-
+    partition index comes from ``monotonically_increasing_id``'s
+    documented layout (partition id in the upper 31 bits, record index
+    in the lower 33) — no window, no second data shuffle.
+
+    ``ordering`` must be a TOTAL order (include a unique id as the
+    final key): ties split across range-partition boundaries would
+    otherwise make the rank nondeterministic.
+    """
+    spark = df.sparkSession
+    n_parts = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    part = (
+        df.repartitionByRange(n_parts, *ordering)
+        .sortWithinPartitions(*ordering)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+    part = part.withColumn("_pid", F.shiftright("_mid", 33))
+    cnts = sorted(
+        (r["_pid"], r["n"])
+        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in cnts:
+        offsets.append((pid, acc))
+        acc += n
+    off = spark.createDataFrame(offsets, "_pid long, _off long")
+    return (
+        part.join(F.broadcast(off), "_pid")
+        .withColumn(
+            rn_col,
+            F.col("_off") + (F.col("_mid") % F.lit(1 << 33)) + F.lit(1),
+        )
+        .drop("_pid", "_mid", "_off")
+    )
+
+
 def curriculum_order(
     df: DataFrame,
     id_col: str,
@@ -1245,22 +1302,26 @@ def curriculum_order(
     ascending: bool = True,
 ) -> DataFrame:
     """Curriculum assignment: bucket the corpus into ``n_stages``
-    equal-size difficulty stages (NTILE over the score) and give each
-    row its deterministic position within its stage — the order a
-    curriculum scheduler streams (easy → hard when ``ascending``, the
-    reverse for anti-curriculum).  Emits ``(id, score, stage,
-    stage_pos)``.
+    equal-size difficulty stages (exact NTILE semantics over the score)
+    and give each row its deterministic position within its stage — the
+    order a curriculum scheduler streams (easy → hard when
+    ``ascending``, the reverse for anti-curriculum).  Emits ``(id,
+    score, stage, stage_pos)``.
 
     NULL scores are refused loudly (same contract as the probe/PCA
     geometry guards): a NULL would sort differently across engines and
     silently concentrate in stage 1 or ``n_stages``.
 
-    Scale (100 TB): NTILE needs a total order — a GLOBAL sort (one
-    range-partitioned shuffle, Spark's sort machinery; no single-task
-    bottleneck because range partitioning splits the order across
-    executors).  ``stage_pos`` reuses the same sort within stages.  At
-    trainer scale you materialize this once per curriculum build, not
-    per epoch.
+    Scale (100 TB): an unpartitioned ``ntile().over(Window.orderBy())``
+    would move ALL rows to a single task (WindowExec's "No Partition
+    Defined" path) — a single-task sort/OOM at corpus scale.  Instead
+    the global rank comes from :func:`global_row_number` (range
+    partition + per-partition offsets — the sort is split across
+    executors, driver state is O(partitions)), and stage / stage_pos
+    are then pure per-row integer arithmetic reproducing NTILE's exact
+    bucket sizes: with ``q, r = divmod(n, k)`` the first ``r`` stages
+    get ``q+1`` rows.  At trainer scale you materialize this once per
+    curriculum build, not per epoch.
     """
     if n_stages < 1:
         raise ValueError(f"curriculum_order: n_stages must be >= 1, got {n_stages}")
@@ -1275,18 +1336,44 @@ def curriculum_order(
         if ascending
         else (F.col(score_col).desc(), F.col(id_col).desc())
     )
-    w = Window.orderBy(*direction)
-    staged = df.select(
-        F.col(id_col),
-        F.col(score_col),
-        F.ntile(n_stages).over(w).alias("stage"),
+    ranked = global_row_number(
+        df.select(F.col(id_col), F.col(score_col)), direction, rn_col="_rn"
     )
-    ws = Window.partitionBy("stage").orderBy(*direction)
+    return _ntile_from_rank(ranked, id_col, score_col, n_stages)
+
+
+def _ntile_from_rank(
+    ranked: DataFrame, id_col: str, score_col: str, n_stages: int
+) -> DataFrame:
+    """NTILE(k) + in-stage position from an exact global rank ``_rn``
+    over ``n`` rows, as pure JVM integer arithmetic: ``q, r =
+    divmod(n, k)``; ranks ``<= r*(q+1)`` fall in the first ``r``
+    (larger) stages, the rest in stages of size ``q``; ``stage_pos =
+    rn - stage_start``.  Bit-identical to Spark's/DuckDB's NTILE tie
+    handling because the rank itself encodes the total order."""
+    # the count is known exactly from the rank pass — one max, no rescan
+    n = ranked.agg(F.max("_rn").alias("n")).collect()[0]["n"] or 0
+    q, r = divmod(n, n_stages)
+    rn = F.col("_rn")
+    big = F.lit(r * (q + 1))  # rows covered by the r larger stages
+    # integer DIV (not double /): exact past 2^53 rows
+    stage = F.when(
+        rn <= big,
+        F.expr(f"CAST((_rn - 1) DIV {q + 1} AS INT) + 1"),
+    ).otherwise(
+        F.expr(
+            f"CAST({r + 1} + (_rn - {r * (q + 1)} - 1) DIV {max(q, 1)} AS INT)"
+        )
+    )
+    staged = ranked.withColumn("stage", stage)
+    start = (F.col("stage") - 1) * F.lit(q) + F.least(
+        F.col("stage") - 1, F.lit(r)
+    )
     return staged.select(
         id_col,
         score_col,
         "stage",
-        F.row_number().over(ws).alias("stage_pos"),
+        (F.col("_rn") - start).cast("int").alias("stage_pos"),
     )
 
 

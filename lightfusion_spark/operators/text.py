@@ -284,7 +284,10 @@ def redact_pii(
     100 TB this runs at scan speed like every other text filter.
     """
     chain = chain if chain is not None else REDACTION_CHAIN
-    t = F.col(text_col)
+    # NULL text == empty text for the redaction contract: counts are 0
+    # and text_redacted is '' — without the coalesce, size(extract_all)
+    # yields -1 (legacy) / NULL (ANSI) and the output row is poisoned
+    t = F.coalesce(F.col(text_col), F.lit(""))
     counts = [
         F.size(F.regexp_extract_all(t, F.lit(rx), 0)).alias(f"n_{name}")
         for name, rx, _ in chain

@@ -902,7 +902,12 @@ def cms_sketch_stream(
     reservoir.  The Python fold replays the JVM md5-slice probe scheme
     (six hex chars per hash row of ``md5(seed:key)``), pinned by the
     parity test; a drift between the two would break every downstream
-    estimate, so the test compares cells, not estimates.
+    estimate, so the test compares cells, not estimates.  Key
+    canonicalization matches the batch sketch EXACTLY: the key is cast
+    to string JVM-side (so Spark's own cast produces the same text
+    ``cms_build`` hashes — "1.5" stays "1.5", never a long-cast), and a
+    NULL key hashes ``f"{seed}"`` — the ``concat_ws`` skip-NULL form the
+    batch digest uses — instead of being dropped.
 
     Implemented on ``applyInPandasWithState`` (same protobuf seam note
     as the other monitors).  The single state group serializes the
@@ -930,8 +935,11 @@ def cms_sketch_stream(
         else:
             grid, n_seen = np.zeros((d, w), dtype=np.int64), 0
         for pdf in pdfs:
-            for k in pdf["key"].dropna():
-                digest = hashlib.md5(f"{seed}:{int(k)}".encode()).hexdigest()
+            for k in pdf["key"]:
+                # NULL key == md5(f"{seed}") — concat_ws skips NULL
+                # operands in the batch digest, so the stream must too
+                text = f"{seed}" if pd.isna(k) else f"{seed}:{k}"
+                digest = hashlib.md5(text.encode()).hexdigest()
                 for p in range(d):
                     grid[p, int(digest[p * 6 : p * 6 + 6], 16) % w] += 1
                 n_seen += 1
@@ -948,7 +956,8 @@ def cms_sketch_stream(
             )
 
     ev = events.select(
-        F.lit(1).alias("grid_id"), F.col(key_col).cast("long").alias("key")
+        # cast JVM-side: Spark's own string form IS what cms_build hashes
+        F.lit(1).alias("grid_id"), F.col(key_col).cast("string").alias("key")
     )
     return ev.groupBy("grid_id").applyInPandasWithState(
         update,

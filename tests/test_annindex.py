@@ -107,3 +107,25 @@ def test_dim_mismatch_refused(spark, built_index):
     ).limit(2)
     with pytest.raises(ValueError, match="dim"):
         annindex.search_ivf_index(spark, path, bad, "vec_id", "embedding", k=3)
+
+
+def test_build_refuses_ragged_or_null_corpus(spark, tmp_path):
+    """Build-time geometry guard (round-10 ADVICE): a ragged corpus
+    must be refused at build — a first-row-derived dim would persist a
+    valid-looking index whose mismatched cells search wrong."""
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        annindex.build_ivf_index(
+            ragged, str(tmp_path / "ix1"), "vec_id", "embedding", n_centroids=2
+        )
+    with_null = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        annindex.build_ivf_index(
+            with_null, str(tmp_path / "ix2"), "vec_id", "embedding", n_centroids=2
+        )

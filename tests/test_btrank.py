@@ -79,5 +79,25 @@ def test_bt_guards(spark, pairs):
     empty = spark.createDataFrame(
         [(None, "a")], "winner string, loser string"
     )
-    with pytest.raises(ValueError, match="no non-NULL"):
+    with pytest.raises(ValueError, match="no cross-item"):
         btrank.bt_strengths(empty, "winner", "loser")
+
+
+def test_bt_self_pairs_dropped(spark, pairs):
+    """winner == loser rows carry no information: they must not inflate
+    wins or the denominators, and an all-self-pair table is refused
+    loudly (the round-10 ADVICE finding — previously a raw
+    ZeroDivisionError)."""
+    selfed = pairs.union(
+        spark.createDataFrame(
+            [("a", "a")] * 5 + [("b", "b")], "winner string, loser string"
+        )
+    )
+    a = sorted(map(tuple, btrank.bt_strengths(pairs, "winner", "loser")[0].collect()))
+    b = sorted(map(tuple, btrank.bt_strengths(selfed, "winner", "loser")[0].collect()))
+    assert a == b
+    only_self = spark.createDataFrame(
+        [("a", "a"), ("b", "b")], "winner string, loser string"
+    )
+    with pytest.raises(ValueError, match="no cross-item"):
+        btrank.bt_strengths(only_self, "winner", "loser")

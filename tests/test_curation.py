@@ -507,6 +507,78 @@ def test_curriculum_order_stages(spark):
         curriculum_order(df, "id", "score", n_stages=0)
 
 
+def test_curriculum_order_matches_global_ntile(spark):
+    """The scalable two-pass rank (range partition + offset decode) must
+    reproduce the unpartitioned-NTILE semantics BIT-FOR-BIT — stage
+    sizes, tie order, and stage_pos — across n/k shapes including
+    n < k, ties, and both directions (the round-10 ADVICE rewrite)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators.curation import curriculum_order
+
+    cases = [(17, 4), (3, 5), (40, 7), (8, 1)]
+    for n, k in cases:
+        # deliberate score ties (i % 5): tie order must come from id
+        df = spark.createDataFrame(
+            [(i, float(i % 5)) for i in range(n)], "id long, score double"
+        ).repartition(6)
+        for asc in (True, False):
+            got = sorted(
+                map(
+                    tuple,
+                    curriculum_order(
+                        df, "id", "score", n_stages=k, ascending=asc
+                    ).collect(),
+                )
+            )
+            order = (
+                (F.col("score").asc(), F.col("id").asc())
+                if asc
+                else (F.col("score").desc(), F.col("id").desc())
+            )
+            ref = sorted(
+                map(
+                    tuple,
+                    df.select(
+                        "id",
+                        "score",
+                        F.ntile(k).over(W.orderBy(*order)).alias("stage"),
+                    )
+                    .select(
+                        "id",
+                        "score",
+                        "stage",
+                        F.row_number()
+                        .over(W.partitionBy("stage").orderBy(*order))
+                        .alias("stage_pos"),
+                    )
+                    .collect(),
+                )
+            )
+            assert got == ref, (n, k, asc)
+
+
+def test_global_row_number_exact_and_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators.curation import global_row_number
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 11)) for i in range(123)],
+        "id long, score double",
+    )
+    out = global_row_number(
+        df.repartition(9), (F.col("score").asc(), F.col("id").asc()),
+        rn_col="rn", num_partitions=5,
+    ).collect()
+    expect = sorted((r["score"], r["id"]) for r in out)
+    got = {(r["score"], r["id"]): r["rn"] for r in out}
+    assert sorted(got.values()) == list(range(1, 124))
+    for rank, key in enumerate(expect, start=1):
+        assert got[key] == rank
+
+
 def test_decontaminate_fuzzy_catches_near_matches(spark):
     from lightfusion_spark.operators.curation import decontaminate_fuzzy
 

@@ -989,6 +989,50 @@ def test_cms_sketch_stream_matches_batch_exactly(
     assert all(r["cms_count"] >= r["n"] for r in joined)
 
 
+def test_cms_sketch_stream_null_and_string_keys(spark, tmp_path):
+    """Key-canonicalization parity (the round-10 ADVICE finding): NULL
+    keys hash the concat_ws skip-NULL form f"{seed}" (not dropped), and
+    non-integer keys hash Spark's own string-cast text — so a stream
+    with NULLs and fractional keys still matches cms_build cell-for-
+    cell."""
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators import sketch
+
+    rows = [("u1",), ("u2",), (None,), ("u1",), (None,), ("x 9.5",)]
+    batch = spark.createDataFrame(rows, "k string")
+    src_dir = tmp_path / "cms_str_src"
+    batch.coalesce(1).write.parquet(str(src_dir / "f1"))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*/"))
+    )
+    q = (
+        ev.cms_sketch_stream(stream, "k", w=32, d=3, seed=47)
+        .writeStream.format("memory")
+        .queryName("cms_stream_str")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms_str"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("""
+        SELECT row, col, cnt FROM cms_stream_str t
+        WHERE n_processed = (SELECT MAX(n_processed) FROM cms_stream_str)
+    """)
+    expected = sketch.cms_build(batch, "k", w=32, d=3, seed=47).select(
+        F.col("row").cast("long"), F.col("col"), "cnt"
+    )
+    assert _sorted_rows(got) == _sorted_rows(expected)
+    # n_processed counts every row, NULL keys included
+    assert (
+        spark.sql("SELECT MAX(n_processed) FROM cms_stream_str").first()[0]
+        == len(rows)
+    )
+
+
 def test_cms_sketch_stream_guards(spark, batch_events):
     with pytest.raises(ValueError, match="d must"):
         ev.cms_sketch_stream(batch_events, "user_id", d=0)

@@ -426,3 +426,19 @@ def test_top_terms_tfidf_ranks_distinctive_terms(spark):
     again = {(r["doc_id"], r["rank"]): (r["term"], r["score"])
              for r in top_terms_tfidf(df.repartition(5), "doc_id", "text", k=2).collect()}
     assert again == rows
+
+
+def test_redact_pii_null_text_is_empty(spark):
+    """NULL documents (round-10 ADVICE): counts are 0 — never -1/NULL —
+    and text_redacted is '' rather than NULL."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "mail a@b.co")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in
+           text_ops.redact_pii(df, "doc_id", "text").collect()}
+    r1 = got[1]
+    assert r1["n_redacted"] == 0 and r1["text_redacted"] == ""
+    assert all(
+        v == 0 for k, v in r1.items() if k.startswith("n_") and k != "n_redacted"
+    )
+    assert got[2]["n_emails"] == 1
