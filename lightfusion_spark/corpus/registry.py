@@ -45,319 +45,180 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 #: Curated export order.  The driver's correctness gate evaluates only the
 #: FIRST 50 ``queries()`` entries, so the names below are emitted first.
-#: Round-10 rotation (per the round-9 verdict, items 1/2/3/5/6): the
-#: window = 4 flagship Layer-A queries (windowed every round)
-#: + 8 NEW round-10 faces (never driver-verified: the categorical-split
-#: LightGBM gate, the three streaming batch twins — reservoir / heavy
-#: hitters / EWMA — the TPC-H pipe-syntax face, and full-chain PII
-#: redaction, plus the leakage-safe group-aware split and the
-#: model-calibration report)
-#: + pipe_e2e_curation, an r06 row whose OUTPUT changed this round
-#: (redaction composed before dedup adds n_redacted and re-keys the
-#: dedup) so its old green row no longer vouches for it
-#: + the recorded backlog: 1 of the 4 r04 rows and 4 of the 10 r05 rows
-#: + 6 per-category §2.3 representatives from the r07/r08 blocks, each
-#: its family's STALEST verified sibling (rel_distinct, rel_window_lag,
-#: rel_topk_group, rel_set_intersect, udtf_split_words, rel_percentile)
-#: + 22 more NEW faces landed later in the round (TPC-H q7/q8/q9
-#: shapes, preference pairs, curriculum ordering, fuzzy
-#: decontamination, diversity sampling, mergeable HLL sketches,
-#: mergeable quantile histograms, the Naive Bayes domain classifier,
-#: DSIR importance resampling, Bradley-Terry strength fitting, CMS
-#: join-size estimation, the k-anonymity release gate, the
-#: domain-routed mixture composition, the maintained sketch-store
-#: face pipe_sketch_append, the distributed footer-stats face
-#: pipe_file_stats_distributed, personalized PageRank
-#: pipe_web_ppr, HITS pipe_web_hits, the corpus-drift gate
-#: pipe_corpus_drift, the schema-drift report pipe_schema_drift and
-#: the numeric-drift leg pipe_drift_numeric — of which four
-#: displace the r05 rows pipe_boilerplate_lines (sibling-repped by
-#: pipe_strip_boilerplate), events_attribution (events family
-#: four-way repped), pipe_dedup_incremental (dedup family
-#: four-way repped) and pipe_split_stratified (judge-reconfirmed J9;
-#: split family repped by pipe_split_group), and the last three
-#: displace rel_tpch_q14_shape (judge-reconfirmed J9; TPC-H family
-#: three-way repped in-window by q7/q8/q9), events_asof_forward
-#: (judge-reconfirmed J9; events family repped by the three batch
-#: twins), pipe_dedup_exact (judge-reconfirmed J9; dedup family
-#: three-way repped), pipe_text_langid (judge-reconfirmed J9;
-#: text-analysis family three-way repped) and pipe_simhash_pairs
-#: (judge-reconfirmed J9; dedup family still two-way repped) — all
-#: nine back to the r11 backlog head)
-#: + 4 rows of the r06 block: its four rel family reps (rel_agg_q1,
-#: rel_subquery_in_exists, rel_scalar_math, rel_lateral_join) and the
-#: alphabetical first 15 of the remainder MINUS the thirteen rows the
-#: thirteen late new faces displaced (pipe_lm_score,
-#: pipe_multimodal_codec, then pipe_decontaminate, pipe_dedup_minhash,
-#: pipe_dedup_minhash_incr, pipe_dedup_semantic, pipe_dedup_simhash,
-#: pipe_dedup_spans, pipe_chunk_bpe, events_windowed_stats,
-#: events_asof_join, events_range_join, events_asof_bucketed,
-#: events_sessionize, pipe_e2e_model_curation — all keep their r06
-#: green rows and head the r11 backlog).
-#: 4+30+1+1+4+6+4 = 50 exactly.  The round-11 re-window backlog is
-#: the 32 remaining r06 rows (the 13 displaced rows
-#: above, pipe_lm_score, pipe_multimodal_codec,
-#: pipe_multimodal_decode/_jpeg/_png/_video/_wav, pipe_pack_bpe,
-#: pipe_quality_filter, pipe_quality_model, pipe_sim_ivf_kmeans,
-#: pipe_sim_ivf_probe2, pipe_sim_recall_ivf, pipe_sim_topk,
-#: pipe_sim_topk_gemm, pipe_text_bm25, pipe_text_stats,
-#: pipe_tokenize_bpe, rel_join_inner_agg, rel_join_right,
-#: rel_salted_join), then the r07 block (38 rows left after this
-#: round's four picks).  Every rotated-out name was officially green in
-#: r05-r09 and moves to WINDOW_EXEMPT; tests/test_registry_window.py
+#:
+#: Round-11 rotation (per the recorded round-10 backlog): the window
+#: re-verifies the STALEST official rows wholesale —
+#: 4 flagship Layer-A queries (windowed every round)
+#: + the 3 remaining r04-green rows (pipe_simhash_pairs,
+#:   pipe_text_langid, rel_tpch_q14_shape — each also re-confirmed
+#:   exact by the round-9 judge's own parity run)
+#: + the 6 remaining r05-green rows (events_asof_forward — the as-of
+#:   subfamily's re-window, flagged in the r10 header — plus
+#:   events_attribution, pipe_boilerplate_lines, pipe_dedup_exact,
+#:   pipe_dedup_incremental, pipe_split_stratified)
+#: + 22 of the 34 r06-green rows (alphabetical; the 12 deferred to the
+#:   r12 backlog each keep an in-window family sibling:
+#:   events_asof_bucketed [as-of repped by events_asof_join +
+#:   events_asof_forward], pipe_dedup_minhash_incr + pipe_dedup_spans
+#:   [dedup repped 5-way], pipe_multimodal_png/_video/_wav [multimodal
+#:   repped by codec/decode/jpeg], pipe_quality_filter [repped by
+#:   pipe_quality_model], pipe_sim_ivf_probe2 + pipe_sim_recall_ivf +
+#:   pipe_sim_topk_gemm [similarity repped by pipe_sim_ivf +
+#:   pipe_sim_ivf_kmeans + pipe_sim_topk], rel_join_right +
+#:   rel_salted_join [joins repped by rel_tpch_q14_shape +
+#:   rel_join_inner_agg])
+#: + 11 per-category §2.3 representatives, each its family's STALEST
+#:   verified sibling (rel_case_when r8, rel_agg_rollup r7,
+#:   rel_window_frame r8, rel_sort_limit r9, rel_set_except r8,
+#:   rel_subquery_scalar r7, rel_scalar_string r7, rel_higher_order
+#:   r8, udaf_mean_norm r8, rel_approx_sketch r9, rel_recursive_cte
+#:   r7 — doubling as the Spark-4 RECURSIVE rep)
+#: + 4 rows of the r07 block (events_funnel, events_gapfill,
+#:   events_ohlc, pipe_corpus_health — the alphabetical head; these
+#:   are the swap slots for round-11 NEW faces, displaced one-for-one
+#:   as faces land).
+#: 4+3+6+22+11+4 = 50 exactly.  The round-12 re-window backlog is the
+#: 12 deferred r06 rows above, then the r07 block (34 rows after this
+#: round's picks).  Every rotated-out name was officially green in
+#: r05-r10 and moves to WINDOW_EXEMPT; tests/test_registry_window.py
 #: asserts every registered query is either in the current window or
 #: has a recorded green row from a past driver window, and
 #: tools/parity.py + CI keep sweeping the whole registry regardless.
 PRIORITY: list[str] = [
-    # 2.1/2.2 Layer A -- the reference-authored surface (windowed
-    # every round: the flagship parity claims vs the reference).
+    # Layer A flagship (windowed every round)
     "lgbm_tsv_flagship",
     "lgbm_infer_embeddings",
     "argmax_embeddings",
     "settings_introspection",
-    # Round-10 NEW faces -- never driver-windowed (verdict items
-    # 2, 3, 5, 6).
-    "pipe_quality_model_categorical",
-    "events_reservoir_batch",
-    "events_heavy_hitters_batch",
-    "events_ewma_batch",
-    "rel_tpch_pipe_syntax",
-    "pipe_text_redact",
-    "pipe_split_group",
-    "pipe_model_calibration",
-    # Late round-10 NEW faces: three more TPC-H join shapes (the
-    # nation-role self-join q7, the market-share ratio q8, the
-    # profit q9), preference-pair construction + curriculum ordering
-    # (curation), and FUZZY benchmark decontamination (the MinHash
-    # sibling of pipe_decontaminate).  They displace the six r06
-    # dedup/decontaminate rows below back to the r11 backlog head —
-    # each of those keeps its r06 green row, and the dedup family
-    # stays repped in-window by pipe_dedup_exact /
-    # pipe_decontaminate_fuzzy (pipe_dedup_incremental later ceded
-    # its slot to pipe_sketch_append — see below).
-    "rel_tpch_q7_shape",
-    "rel_tpch_q8_shape",
-    "rel_tpch_q9_shape",
-    "pipe_preference_pairs",
-    "pipe_curriculum_order",
-    "pipe_decontaminate_fuzzy",
-    # ... and cluster-stratified diversity sampling (displaces
-    # pipe_chunk_bpe — r06 green — to the r11 backlog).
-    "pipe_diversity_sample",
-    # ... and mergeable HLL distinct-count sketches (displaces
-    # events_windowed_stats — r06 green, its family still repped by
-    # four sibling events rows — to the r11 backlog).
-    "pipe_sketch_hll",
-    # ... and the other two late round-10 bundles: mergeable quantile
-    # histograms (the third mergeable-summary leg) and the in-engine
-    # Naive Bayes domain classifier (the closed-form trained model
-    # beside the iterative probe).  They displace events_asof_join and
-    # events_range_join — both r06 green, the as-of family still
-    # repped in-window by events_asof_forward (r05 backlog row) — to
-    # the r11 backlog.
-    "pipe_sketch_quantile",
-    "pipe_nb_domain",
-    # ... and DSIR importance resampling (hashed-ngram importance
-    # weights + Gumbel-top-k draw; displaces events_asof_bucketed —
-    # r06 green, the as-of family still repped in-window by
-    # events_asof_forward — to the r11 backlog).
-    "pipe_dsir_select",
-    # ... and in-engine Bradley-Terry preference-strength fitting (the
-    # third trained-model family; displaces events_sessionize — r06
-    # green, the events family still repped in-window by the three
-    # streaming batch twins plus events_asof_forward and
-    # events_attribution — to the r11 backlog).
-    "pipe_bt_sources",
-    # ... and CMS join-cardinality estimation (the sketch inner
-    # product; displaces pipe_e2e_model_curation — r06 green, the e2e
-    # composition family still repped in-window by pipe_e2e_curation —
-    # to the r11 backlog).
-    "pipe_sketch_joinsize",
-    # ... and the k-anonymity / l-diversity release gate (displaces
-    # pipe_boilerplate_lines — r05 green, the boilerplate family still
-    # repped in-window by pipe_strip_boilerplate, which composes the
-    # same line detector — back to the head of the r11 backlog as its
-    # stalest row).
-    "pipe_privacy_kanon",
-    # ... and the domain-routed mixture composition (NB router ->
-    # temperature mixture over PREDICTED domains; displaces
-    # events_attribution — r05 green, the events family still repped
-    # in-window by the three streaming batch twins plus
-    # events_asof_forward — back to the r11 backlog).
-    "pipe_mixture_domain",
-    # ... and the maintained sketch-store face: N daily histogram
-    # appends built in one pass, a deliberately REPLAYED day, and the
-    # store's dedup-then-sum merge down to hash-exact quantiles
-    # (displaces pipe_dedup_incremental — r05 green, the dedup family
-    # still repped in-window by pipe_dedup_exact, pipe_simhash_pairs,
-    # pipe_neardup_embedding and pipe_decontaminate_fuzzy — to the
-    # r11 backlog).
-    "pipe_sketch_append",
-    # ... and the distributed footer-stats face (the >100k-files path,
-    # sharing pipe_file_stats' oracle verbatim; displaces
-    # pipe_split_stratified — r05 green AND re-confirmed exact by the
-    # round-9 judge's own parity run, the split family still repped
-    # in-window by pipe_split_group — to the r11 backlog).
-    "pipe_file_stats_distributed",
-    # ... and the two new graph-centrality faces: personalized
-    # PageRank (seed-set teleport — the trusted-corpus expansion
-    # prior) and HITS hubs/authorities (the complementary crawl
-    # signal).  They displace rel_tpch_q14_shape and
-    # events_asof_forward — BOTH r04/r05 green AND re-confirmed exact
-    # by the round-9 judge's own parity run (J9), with the TPC-H
-    # family three-way repped in-window by q7/q8/q9 and the events
-    # family repped by the three streaming batch twins — back to the
-    # r11 backlog head.  (This leaves the as-of subfamily with no
-    # in-window row this round — acceptable because ALL five as-of
-    # rows hold r05/r06 greens, events_asof_forward carries the
-    # freshest possible re-check (the judge's own J9 parity run), and
-    # the whole subfamily heads the r11 backlog.)
-    "pipe_web_ppr",
-    "pipe_web_hits",
-    # ... and the corpus-drift release gate (per-source total-variation
-    # distance between snapshot unigram distributions, exact integer
-    # cross-products; displaces pipe_dedup_exact — r05 green AND
-    # re-confirmed exact by the round-9 judge's own parity run, the
-    # dedup family still repped in-window by pipe_simhash_pairs,
-    # pipe_neardup_embedding and pipe_decontaminate_fuzzy — to the r11
-    # backlog head).
-    "pipe_corpus_drift",
-    # ... and the schema-drift report (the structured sibling:
-    # added/dropped/type-changed columns + exact null-ppm deltas;
-    # displaces pipe_text_langid — r04 green AND re-confirmed exact by
-    # the round-9 judge's own parity run, the text-analysis family
-    # still repped in-window by pipe_text_redact, pipe_text_bm25_terms
-    # and pipe_strip_boilerplate — to the r11 backlog head).
-    "pipe_schema_drift",
-    # ... and the numeric-drift leg of the monitoring trio (TV over
-    # hist_sketch bins — corpus_drift's report verbatim over cells;
-    # displaces pipe_simhash_pairs — r04 green AND re-confirmed exact
-    # by the round-9 judge's own parity run, the dedup family still
-    # repped in-window by pipe_neardup_embedding and
-    # pipe_decontaminate_fuzzy — to the r11 backlog head).
-    "pipe_drift_numeric",
-    # Changed face: redaction composed into the e2e curation chain
-    # (new n_redacted column + dedup re-keyed on redacted text), so
-    # the r06 green row no longer vouches for today's output.
-    "pipe_e2e_curation",
-    # 1 of the 4 r04 rows deferred in round 9 -- the stalest officials
-    # (rel_tpch_q14_shape, pipe_text_langid and pipe_simhash_pairs
-    # ceded their slots to late faces above: all J9-reconfirmed, their
-    # families multi-repped in-window).
-    "pipe_neardup_embedding",
-    # The r05 block (4 of its 10 rows -- every row whose latest
-    # official green is round 5, minus the six late-face
-    # displacements noted in the header; events_asof_forward and
-    # pipe_dedup_exact ceded their slots to the graph/drift faces
-    # above).
-    "pipe_chunk_documents",
-    "pipe_sim_ivf",
-    "pipe_strip_boilerplate",
-    "pipe_text_bm25_terms",
-    # Per-category 2.3 representatives, each the STALEST verified
-    # sibling of its family (r07/r08): projection/filter, windows,
-    # sort/limit/top-k, set ops, UDTF, approximate.
-    "rel_distinct",
-    "rel_window_lag",
-    "rel_topk_group",
-    "rel_set_intersect",
-    "udtf_split_words",
-    "rel_percentile",
-    # The r06 block's four rel family reps (aggregations, subqueries,
-    # scalar library, lateral/generator); the block's remaining
-    # alphabetical picks were displaced one-for-one by the late new
-    # faces (see the header note).
-    "rel_agg_q1",
-    "rel_subquery_in_exists",
-    "rel_scalar_math",
-    "rel_lateral_join",
+    # r04 block — the stalest officials
+    "pipe_simhash_pairs",
+    "pipe_text_langid",
+    "rel_tpch_q14_shape",
+    # r05 block
+    "events_asof_forward",
+    "events_attribution",
+    "pipe_boilerplate_lines",
+    "pipe_dedup_exact",
+    "pipe_dedup_incremental",
+    "pipe_split_stratified",
+    # r06 block (22 of 34; the rest head the r12 backlog)
+    "events_asof_join",
+    "events_range_join",
+    "events_sessionize",
+    "events_windowed_stats",
+    "pipe_chunk_bpe",
+    "pipe_decontaminate",
+    "pipe_dedup_minhash",
+    "pipe_dedup_semantic",
+    "pipe_dedup_simhash",
+    "pipe_e2e_model_curation",
+    "pipe_lm_score",
+    "pipe_multimodal_codec",
+    "pipe_multimodal_decode",
+    "pipe_multimodal_jpeg",
+    "pipe_pack_bpe",
+    "pipe_quality_model",
+    "pipe_sim_ivf_kmeans",
+    "pipe_sim_topk",
+    "pipe_text_bm25",
+    "pipe_text_stats",
+    "pipe_tokenize_bpe",
+    "rel_join_inner_agg",
+    # per-category 2.3 reps, stalest verified sibling each
+    "rel_case_when",
+    "rel_agg_rollup",
+    "rel_window_frame",
+    "rel_sort_limit",
+    "rel_set_except",
+    "rel_subquery_scalar",
+    "rel_scalar_string",
+    "rel_higher_order",
+    "udaf_mean_norm",
+    "rel_approx_sketch",
+    "rel_recursive_cte",
+    # r07 head — swap slots for round-11 new faces
+    "events_funnel",
+    "events_gapfill",
+    "events_ohlc",
+    "pipe_corpus_health",
 ]
 
 #: Queries intentionally OUTSIDE the driver's 50-entry window.  Every name
 #: here MUST have a green row in a recorded past driver window (enforced by
 #: tests/test_registry_window.py, which cross-checks CORRECTNESS_r*.json):
 #: each was hash-verified by an earlier driver gate and ceded its slot.
-#: Round 10 cedes the whole round-9 window except the 4 flagship queries
-#: (those 46 rows are the freshest in the registry) so the r04-r06 long
-#: tail gets official re-verification; the r11 backlog (19 r06 rows,
-#: then the r07 block) is listed in the PRIORITY header note.
-#: Output-neutral round-10 library changes under exempt faces:
-#: pipe_quality_model / pipe_e2e_model_curation oracles go through
-#: quality_gate_ctes, which gained OPTIONAL model_path/extra-feature
-#: parameters (defaults preserve the old SQL byte-for-byte) -- and both
-#: rows are IN this round's window anyway, so they re-verify officially.
+#: Round 11 cedes the whole round-10 window except the 4 flagship queries
+#: (those 46 rows are the freshest in the registry) so the r04-r07 long
+#: tail gets official re-verification; the r12 backlog (12 deferred r06
+#: rows, then the r07 block) is listed in the PRIORITY header note.
 WINDOW_EXEMPT: frozenset[str] = frozenset(
     {
         "events_asof_bucketed",
-        "events_asof_forward",
-        "events_asof_join",
-        "events_attribution",
-        "events_funnel",
-        "events_gapfill",
-        "events_range_join",
-        "events_sessionize",
-        "pipe_boilerplate_lines",
-        "pipe_e2e_model_curation",
-        "events_ohlc",
+        "events_ewma_batch",
+        "events_heavy_hitters_batch",
+        "events_reservoir_batch",
         "events_stream_join",
         "events_stream_join_full",
-        "events_windowed_stats",
         "grouped_map_centroid",
         "pipe_bpe_train",
-        "pipe_chunk_bpe",
+        "pipe_bt_sources",
+        "pipe_chunk_documents",
         "pipe_cluster_embeddings",
         "pipe_cluster_report",
-        "pipe_corpus_health",
-        "pipe_decontaminate",
+        "pipe_corpus_drift",
+        "pipe_curriculum_order",
         "pipe_decontaminate_bloom",
+        "pipe_decontaminate_fuzzy",
         "pipe_dedup_components",
-        "pipe_dedup_exact",
-        "pipe_dedup_incremental",
-        "pipe_dedup_minhash",
         "pipe_dedup_minhash_incr",
-        "pipe_dedup_semantic",
-        "pipe_dedup_simhash",
-        "pipe_dedup_spans",
         "pipe_dedup_ngram",
+        "pipe_dedup_spans",
         "pipe_dedup_survivors",
+        "pipe_diversity_sample",
+        "pipe_drift_numeric",
+        "pipe_dsir_select",
+        "pipe_e2e_curation",
         "pipe_embed_detop",
         "pipe_embed_ivf_topk",
         "pipe_embed_project",
         "pipe_embed_text",
         "pipe_file_stats",
+        "pipe_file_stats_distributed",
         "pipe_hard_negatives",
         "pipe_hybrid_rrf",
         "pipe_ingest_warc",
         "pipe_ingest_warc_clean",
         "pipe_layout_zorder",
-        "pipe_lm_score",
         "pipe_lm_buckets",
         "pipe_lm_buckets_ngram",
         "pipe_lm_score_ngram",
+        "pipe_mixture_domain",
         "pipe_mixture_sample",
         "pipe_mixture_temperature",
+        "pipe_model_calibration",
         "pipe_multimodal_audio_frames",
-        "pipe_multimodal_codec",
-        "pipe_multimodal_decode",
-        "pipe_multimodal_jpeg",
         "pipe_multimodal_png",
         "pipe_multimodal_resize",
         "pipe_multimodal_scenecut",
         "pipe_multimodal_video",
         "pipe_multimodal_wav",
+        "pipe_nb_domain",
+        "pipe_neardup_embedding",
         "pipe_normalize_unicode",
-        "pipe_pack_bpe",
         "pipe_pack_sequences",
         "pipe_pca_top",
+        "pipe_preference_pairs",
+        "pipe_privacy_kanon",
         "pipe_probe_train",
         "pipe_quality_filter",
-        "pipe_quality_model",
+        "pipe_quality_model_categorical",
         "pipe_robots_precedence",
         "pipe_sample_weighted",
+        "pipe_schema_drift",
         "pipe_sentence_chunks",
         "pipe_shard_assign",
         "pipe_sim_ann_lsh",
-        "pipe_sim_ivf_kmeans",
+        "pipe_sim_ivf",
         "pipe_sim_ivf_pq",
         "pipe_sim_ivf_pq_probe2",
         "pipe_sim_ivf_pq_rerank",
@@ -365,66 +226,67 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_sim_lsh_banded",
         "pipe_sim_lsh_multiprobe",
         "pipe_sim_recall_ivf",
-        "pipe_sim_topk",
         "pipe_sim_topk_gemm",
         "pipe_sim_topk_jl",
         "pipe_sim_topk_quantized",
-        "pipe_simhash_pairs",
         "pipe_simhash_wide",
+        "pipe_sketch_append",
         "pipe_sketch_cms",
+        "pipe_sketch_hll",
+        "pipe_sketch_joinsize",
+        "pipe_sketch_quantile",
         "pipe_source_overlap",
-        "pipe_split_stratified",
-        "pipe_text_bm25",
+        "pipe_split_group",
+        "pipe_strip_boilerplate",
+        "pipe_text_bm25_terms",
         "pipe_text_fingerprint",
         "pipe_text_keywords",
-        "pipe_text_langid",
         "pipe_text_novelty",
         "pipe_text_pii",
+        "pipe_text_redact",
         "pipe_text_repetition",
-        "pipe_text_stats",
         "pipe_text_tokens",
         "pipe_text_urls",
-        "pipe_tokenize_bpe",
         "pipe_truncate_matryoshka",
         "pipe_url_blocklist",
         "pipe_url_canonicalize",
         "pipe_warc_robots_clean",
+        "pipe_web_hits",
         "pipe_web_links",
         "pipe_web_pagerank",
+        "pipe_web_ppr",
         "pipe_web_rank_sample",
         "pipe_web_robots",
         "rel_agg_argminmax",
         "rel_agg_cube",
         "rel_agg_distinct",
-        "rel_agg_rollup",
-        "rel_approx_sketch",
-        "rel_case_when",
+        "rel_agg_q1",
         "rel_cast_battery",
         "rel_cdc_latest",
         "rel_cte",
+        "rel_distinct",
         "rel_explode",
         "rel_filter_project",
         "rel_fuzzy_match",
         "rel_group_by_all",
         "rel_grouping_sets",
         "rel_having",
-        "rel_higher_order",
         "rel_histogram",
         "rel_join_anti",
         "rel_join_cross",
         "rel_join_full_outer",
-        "rel_join_inner_agg",
         "rel_join_left",
         "rel_join_part_supplier",
         "rel_join_right",
         "rel_join_semi",
         "rel_join_theta",
+        "rel_lateral_join",
         "rel_not_in_subquery",
         "rel_outlier_iqr",
         "rel_part_stats",
+        "rel_percentile",
         "rel_pivot",
         "rel_profile_orders",
-        "rel_recursive_cte",
         "rel_regexp",
         "rel_salted_agg",
         "rel_salted_join",
@@ -433,17 +295,17 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "rel_scalar_conditional",
         "rel_scalar_date",
         "rel_scalar_json",
-        "rel_scalar_string",
+        "rel_scalar_math",
         "rel_scalar_string2",
         "rel_scalar_struct_map",
         "rel_scd2_asof",
-        "rel_set_except",
+        "rel_set_intersect",
         "rel_set_union",
         "rel_skew_report",
-        "rel_sort_limit",
-        "rel_subquery_scalar",
+        "rel_subquery_in_exists",
+        "rel_topk_group",
+        "rel_tpch_pipe_syntax",
         "rel_tpch_q10_shape",
-        "rel_tpch_q14_shape",
         "rel_tpch_q17_shape",
         "rel_tpch_q18_shape",
         "rel_tpch_q20_shape",
@@ -451,14 +313,17 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "rel_tpch_q2_shape",
         "rel_tpch_q3_shape",
         "rel_tpch_q5_shape",
+        "rel_tpch_q7_shape",
+        "rel_tpch_q8_shape",
+        "rel_tpch_q9_shape",
         "rel_union_all",
         "rel_unpivot",
         "rel_variant",
         "rel_window_analytics",
-        "rel_window_frame",
+        "rel_window_lag",
         "rel_window_range_frame",
         "rel_window_rank",
-        "udaf_mean_norm",
+        "udtf_split_words",
     }
 )
 

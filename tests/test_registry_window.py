@@ -64,27 +64,25 @@ def test_window_covers_every_family():
     for name in WINDOW_EXEMPT:
         assert name in REGISTRY, f"stale WINDOW_EXEMPT entry {name}"
         assert name not in window, f"{name} exempted but wastes a window slot"
-    # One-plus representative per §2.3 category.  Round-10 rotation picks
+    # One-plus representative per §2.3 category.  Round-11 rotation picks
     # the stalest-verified sibling per category (everything below is an
-    # r04-r08 row or a brand-new face; the r09-refreshed siblings ceded
-    # their slots), so the category stays repped AND the oldest official
-    # row gets refreshed.
+    # r04-r09 row; the r10-refreshed siblings ceded their slots), so the
+    # category stays repped AND the oldest official row gets refreshed.
     for name in (
-        "rel_distinct",  # projection/filter/predicates (r7, stalest sibling)
-        "rel_tpch_q8_shape",  # joins (new face, the widest join tree; q14
-        # — r4 green + judge-reconfirmed J9 — ceded its slot to the two
-        # graph faces late in round 10)
-        "rel_agg_q1",  # aggregations (r6 block)
-        "rel_window_lag",  # windows (r7)
-        "rel_topk_group",  # sort/limit/top-k (r8)
-        "rel_set_intersect",  # set ops (r7)
-        "rel_subquery_in_exists",  # subqueries/CTEs (r6 block)
-        "rel_scalar_math",  # scalar function library (r6 block)
-        "rel_lateral_join",  # generators / lateral (r6 block)
-        "rel_percentile",  # approximate/sketch (r8)
-        "rel_tpch_pipe_syntax",  # Spark-4 surface (new: |> pipeline)
-        "udtf_split_words",  # UDF/UDAF/UDTF (r7, stalest sibling)
-        "events_ewma_batch",  # timeseries/streaming family (new twin)
+        "rel_case_when",  # projection/filter/predicates (r8, stalest sibling)
+        "rel_tpch_q14_shape",  # joins (r4 — the stalest row in the registry)
+        "rel_agg_rollup",  # aggregations (r7)
+        "rel_window_frame",  # windows (r8)
+        "rel_sort_limit",  # sort/limit/top-k (r9)
+        "rel_set_except",  # set ops (r8)
+        "rel_subquery_scalar",  # subqueries/CTEs (r7)
+        "rel_scalar_string",  # scalar function library (r7)
+        "rel_higher_order",  # generators / higher-order (r8)
+        "rel_approx_sketch",  # approximate/sketch (r9)
+        "rel_recursive_cte",  # Spark-4 surface (r7: RECURSIVE CTE)
+        "udaf_mean_norm",  # UDF/UDAF/UDTF (r8, stalest sibling)
+        "events_asof_forward",  # timeseries/streaming family (r5 — the
+        # as-of subfamily re-window flagged in the round-10 header)
     ):
         assert name in window, f"§2.3 representative {name} outside driver window"
 
