@@ -116,6 +116,9 @@ BENCH_QUERIES = [
     "pipe_corpus_drift",
     "pipe_schema_drift",
     "pipe_drift_numeric",
+    # round-11: label-propagation communities (the 4-round LPA loop is
+    # the same iterative join+agg shape as pagerank — benched beside it)
+    "pipe_web_lpa",
 ]
 
 

@@ -640,3 +640,73 @@ def pipe_robots_precedence(spark, sf_dir):
         & F.col("http_content_type").contains("text/html")
     ).select("record_idx", "target_uri")
     return urltools.filter_robots(pages, "target_uri", directives)
+
+
+def _lpa_oracle(iters: int) -> str:
+    """Unrolled synchronous label-propagation replay (DuckDB): the
+    60-host formula graph symmetrized, every node its own label at
+    round 0, then per round a (node, label) neighbor-vote count and a
+    ROW_NUMBER argmax (cnt DESC, label ASC — the deterministic
+    tie-break).  All integer arithmetic: nothing to round, so the face
+    is hash-exact by construction.  Label CTEs are ``AS MATERIALIZED``
+    for the same inlining-blowup reason as the pagerank/PPR/HITS
+    chains (each l{i} is referenced twice in round i+1)."""
+    parts = [
+        f"""WITH e0 AS (
+      SELECT DISTINCT (doc_id % {_N_HOSTS}) AS src,
+             ((doc_id % {_N_HOSTS}) * 7 + k.k) % {_N_HOSTS} AS dst
+      FROM documents CROSS JOIN (VALUES (1), (2), (3)) AS k(k)
+      WHERE (doc_id % {_N_HOSTS}) % 10 <> 0
+        AND (doc_id % {_N_HOSTS}) <> ((doc_id % {_N_HOSTS}) * 7 + k.k) % {_N_HOSTS}
+    ),
+    es AS MATERIALIZED (
+      SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM e0
+        UNION ALL SELECT dst AS a, src AS b FROM e0
+      ) u WHERE a <> b
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS community FROM es)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""v{i} AS (
+      SELECT e.b AS node, l.community, COUNT(*) AS cnt
+      FROM es e JOIN l{i - 1} l ON l.node = e.a
+      GROUP BY e.b, l.community
+    ),
+    l{i} AS MATERIALIZED (
+      SELECT node, community FROM (
+        SELECT node, community,
+               ROW_NUMBER() OVER (
+                 PARTITION BY node ORDER BY cnt DESC, community ASC
+               ) AS rn
+        FROM v{i}
+      ) t WHERE rn = 1
+    )"""
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT node AS host, community FROM l{iters}"""
+    )
+
+
+@register(
+    "pipe_web_lpa",
+    oracle=_lpa_oracle(4),
+    doc="label-propagation communities (Raghavan 2007), the link-"
+    "neighborhood grouping signal beside pagerank's ranking: the "
+    "60-host formula graph symmetrized, 4 fixed synchronous rounds of "
+    "operators/webgraph.py:label_propagation — every node starts as "
+    "its own label and simultaneously adopts its neighbors' most "
+    "frequent label, ties to the SMALLEST (no RNG, no visit order — "
+    "partition-invariant).  Per round: one equi-join + one (node, "
+    "label) count + a map-side-combinable min_by argmax.  The oracle unrolls all "
+    "4 rounds with the identical integer arithmetic, so the face is "
+    "hash-exact with no rounding at all",
+)
+def pipe_web_lpa(spark, sf_dir):
+    labels = webgraph.label_propagation(
+        _formula_edges(spark, sf_dir), iterations=4
+    )
+    return labels.select(F.col("node").alias("host"), "community")

@@ -73,6 +73,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #:   rel_subquery_scalar r7, rel_scalar_string r7, rel_higher_order
 #:   r8, udaf_mean_norm r8, rel_approx_sketch r9, rel_recursive_cte
 #:   r7 — doubling as the Spark-4 RECURSIVE rep)
+#: + round-11 NEW faces, displacing the r07 swap rows one-for-one as
+#:   they landed: pipe_web_lpa (displaced events_funnel — r07 green,
+#:   events repped 5-way in-window)
 #: + 4 rows of the r07 block (events_funnel, events_gapfill,
 #:   events_ohlc, pipe_corpus_health — the alphabetical head; these
 #:   are the swap slots for round-11 NEW faces, displaced one-for-one
@@ -136,8 +139,11 @@ PRIORITY: list[str] = [
     "udaf_mean_norm",
     "rel_approx_sketch",
     "rel_recursive_cte",
+    # round-11 NEW faces (never driver-verified), each displacing one
+    # r07 swap slot back to WINDOW_EXEMPT (r07 green; families repped:
+    # events by the five in-window events rows)
+    "pipe_web_lpa",
     # r07 head — swap slots for round-11 new faces
-    "events_funnel",
     "events_gapfill",
     "events_ohlc",
     "pipe_corpus_health",
@@ -155,6 +161,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
     {
         "events_asof_bucketed",
         "events_ewma_batch",
+        "events_funnel",
         "events_heavy_hitters_batch",
         "events_reservoir_batch",
         "events_stream_join",

@@ -586,3 +586,141 @@ def rank_weighted_sample(
         .withColumn("u", u)
         .where(F.col("u") < F.col("keep_rate"))
     )
+
+
+@dataclass
+class LPAResult:
+    """Per-call result of :func:`label_propagation_detailed`: the label
+    DataFrame plus the loop diagnostics (mirrors :class:`PRResult`)."""
+
+    labels: DataFrame
+    iterations: int
+    converged: bool
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int | None = None,
+    max_iterations: int = 20,
+    checkpoint_interval: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection over an edge
+    list (Raghavan et al. 2007); returns ``(node, community)`` for every
+    vertex.  The crawl-curation companion to :func:`pagerank`:
+    communities group hosts into link neighborhoods (mirror farms, SEO
+    rings, topical clusters), the unit at which curation policies —
+    sample caps, blocklists, per-community quotas — apply, where
+    connected components (``dedup.connected_components``) are far too
+    coarse (one giant component) and PageRank ranks but does not group.
+
+    Deterministic synchronous update: the graph is symmetrized (an edge
+    votes in both directions), every node starts as its own label, and
+    each round EVERY node simultaneously adopts the most frequent label
+    among its neighbors, ties broken by the SMALLEST label — no RNG, no
+    visit order, so the result is partition-invariant and replayable by
+    an unrolled SQL oracle (count → row_number argmax, all integer
+    arithmetic; nothing to round).
+
+    Two modes, exactly like :func:`pagerank`:
+
+    * ``iterations=k`` — exactly ``k`` synchronous rounds, no driver
+      round-trips inside the loop (the oracle-replayable mode);
+    * ``iterations=None`` — iterate until NO label changes (one scalar
+      to the driver per round) or ``max_iterations`` is exhausted,
+      which warns here and is loud in the ``converged`` flag of
+      :func:`label_propagation_detailed`.  Synchronous LPA can
+      oscillate with period 2 on bipartite-ish structures (the
+      classic two-node swap) — exhaustion is the documented loud
+      outcome, never a silently-wrong "converged" claim.
+
+    100 TB shape: per round, ONE equi-join propagating (node, label)
+    pairs along edges + ONE count aggregation keyed by (node, label) +
+    ONE map-side-combinable ``min_by`` argmax per node — a pure
+    aggregation chain with NO per-round sort (a windowed argmax would
+    re-sort the whole vote relation every round; the measured curve is
+    in SCALE.md).  Label payloads are node ids, so every intermediate
+    is two scalar columns regardless of graph size; skewed in-degree
+    is absorbed by map-side partial counting like pagerank's hot
+    keys.
+    """
+    return label_propagation_detailed(
+        edges, src, dst, iterations, max_iterations, checkpoint_interval
+    ).labels
+
+
+def label_propagation_detailed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int | None = None,
+    max_iterations: int = 20,
+    checkpoint_interval: int = 3,
+) -> LPAResult:
+    """:func:`label_propagation` returning :class:`LPAResult` with
+    per-call ``iterations``/``converged`` diagnostics."""
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = (
+        fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("a").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    labels = nodes.select("node", F.col("node").alias("community"))
+    total_iters = iterations if iterations is not None else max_iterations
+    converged = iterations is not None
+    done = 0
+    for i in range(total_iters):
+        votes = (
+            e.join(labels, e["a"] == labels["node"])
+            .groupBy(F.col("b").alias("node"), "community")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax by (cnt DESC, community ASC) as a map-side-combinable
+        # min_by over the lexicographic key (-cnt, community) — community
+        # is unique per vote row, so the key is total and the pick
+        # deterministic, and the label type stays free (string hosts
+        # work).  An equivalent per-node row_number window would SORT
+        # the vote relation every round (measured: curve exponent 0.87
+        # windowed vs 0.52 aggregated — see SCALE.md).
+        new_labels = votes.groupBy("node").agg(
+            F.min_by(
+                "community",
+                F.struct((-F.col("cnt")).alias("_negc"), F.col("community")),
+            ).alias("community")
+        )
+        done = i + 1
+        if iterations is None:
+            new_labels = new_labels.localCheckpoint(eager=True)
+            n_changed = (
+                labels.select("node", F.col("community").alias("_old"))
+                .join(new_labels, "node")
+                .where(F.col("community") != F.col("_old"))
+                .count()
+            )
+            labels = new_labels
+            if n_changed == 0:
+                converged = True
+                break
+        else:
+            if (
+                checkpoint_interval
+                and done % checkpoint_interval == 0
+                and done < total_iters
+            ):
+                new_labels = new_labels.localCheckpoint(eager=True)
+            labels = new_labels
+    if not converged:
+        warnings.warn(
+            f"label_propagation exhausted max_iterations={max_iterations} "
+            "with labels still changing (synchronous LPA can oscillate "
+            "with period 2) — labels are the round-"
+            f"{done} snapshot, not a fixed point",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    return LPAResult(labels=labels, iterations=done, converged=converged)

@@ -303,3 +303,80 @@ def test_rank_weighted_sample_redistributes_not_inflates(spark):
 
     per_host = Counter(r["host"] for r in kept.collect())
     assert per_host[9] == max(per_host.values())
+
+
+# ---------------------------------------------------------------- LPA
+
+
+def test_lpa_two_triangles_bridge(spark):
+    """Two triangles joined by one bridge edge: each triangle collapses
+    to its smallest member's label and the bridge does not merge them
+    (each endpoint's two in-triangle neighbors outvote the single
+    cross-bridge vote)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "src long, dst long",
+    )
+    out = {
+        r["node"]: r["community"]
+        for r in webgraph.label_propagation(edges, iterations=6).collect()
+    }
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[11] == out[12]
+    assert out[1] != out[10]
+
+
+def test_lpa_symmetrized_and_deterministic_tiebreak(spark):
+    """A directed edge votes both ways, and a node with equally frequent
+    neighbor labels takes the SMALLEST — one round on a path graph
+    makes 2's neighbors {1: one vote, 3: one vote} -> label 1."""
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    one = {
+        r["node"]: r["community"]
+        for r in webgraph.label_propagation(edges, iterations=1).collect()
+    }
+    assert one[2] == 1  # tie {1,3} -> smallest
+    assert one[1] == 2 and one[3] == 2  # only neighbor's label
+
+
+def test_lpa_partition_invariant(spark):
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 17) for i in range(17)] + [(5, 11), (2, 9)],
+        "src long, dst long",
+    )
+    a = sorted(
+        map(tuple, webgraph.label_propagation(edges, iterations=4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            webgraph.label_propagation(
+                edges.repartition(7), iterations=4
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_lpa_convergence_mode_and_oscillation_warns(spark):
+    """A triangle converges (everyone settles on label 1 by round 3); a
+    single symmetric pair — and even a star, hub and leaves swapping —
+    oscillates with period 2, so convergence mode must exhaust LOUDLY
+    and flag converged=False."""
+    import warnings as w
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    res = webgraph.label_propagation_detailed(tri, iterations=None, max_iterations=10)
+    assert res.converged
+    labels = {r["node"]: r["community"] for r in res.labels.collect()}
+    assert len(set(labels.values())) == 1
+    pair = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        res2 = webgraph.label_propagation_detailed(
+            pair, iterations=None, max_iterations=4
+        )
+        assert not res2.converged
+        assert any("oscillate" in str(c.message) for c in caught)

@@ -965,6 +965,12 @@ def main() -> None:
             lambda: noop(wg_mod.hits(g1, iterations=5)),
             lambda: noop(wg_mod.hits(g10, iterations=5)),
         )
+        # round-11: LPA — 4 synchronous rounds, matching the face
+        curve(
+            "curve_web_lpa",
+            lambda: noop(wg_mod.label_propagation(g1, iterations=4)),
+            lambda: noop(wg_mod.label_propagation(g10, iterations=4)),
+        )
 
     # round-10 (late): the corpus-drift gate's curve — both snapshot
     # sides scale with the corpus (the worst case; the indexed monitor
