@@ -118,7 +118,9 @@ BENCH_QUERIES = [
     "pipe_drift_numeric",
     # round-11: label-propagation communities (the 4-round LPA loop is
     # the same iterative join+agg shape as pagerank — benched beside it)
+    # + the token-entropy quality signal (the one shuffling text op)
     "pipe_web_lpa",
+    "pipe_text_entropy",
 ]
 
 

@@ -5369,3 +5369,52 @@ def pipe_hybrid_rrf(spark, sf_dir):
     )
     qv = e.where(F.col("vec_id") < 4)
     return retrieval.hybrid_topk_rrf(d, e, qt, qv, k=5, depth=10)
+
+
+_ENTROPY_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, u.tok AS tok, COUNT(*) AS c, MAX(len(tk)) AS nt
+  FROM base, UNNEST(tk) AS u(tok)
+  GROUP BY doc_id, u.tok
+),
+per_doc AS (
+  SELECT doc_id,
+         MAX(nt) AS n_tokens,
+         COUNT(*) AS n_types,
+         CAST(SUM(CAST(FLOOR(
+           (CAST(c AS DOUBLE) / CAST(nt AS DOUBLE))
+           * (-ROUND(LN(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE)), 6))
+           * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS entropy_e6
+  FROM cells GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types, entropy_e6,
+       CASE WHEN n_types > 1
+            THEN ROUND((CAST(entropy_e6 AS DOUBLE) / 1000000)
+                       / ROUND(LN(CAST(n_types AS DOUBLE)), 6), 6)
+            ELSE 0.0 END AS norm_entropy6
+FROM per_doc
+"""
+
+
+@register(
+    "pipe_text_entropy",
+    oracle=_ENTROPY_ORACLE,
+    doc="unigram Shannon entropy (text.token_entropy): the information-"
+    "density quality signal beside the Gopher repetition filters — "
+    "repetition_stats sees ADJACENT duplicate n-grams, entropy sees "
+    "GLOBAL token concentration (keyword stuffing, shuffled "
+    "templates).  One explode + two map-side-combinable aggs, no "
+    "joins/windows.  Exactness: per-type terms FLOOR((c/n)*"
+    "(-ROUND(LN(c/n),6))*1e6+0.5) summed as BIGINT micro-nats "
+    "(associative), norm_entropy6 = H/ln(n_types) via the identical "
+    "round-then-divide order in both engines",
+)
+def pipe_text_entropy(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return text_ops.token_entropy(d, "doc_id", "text")

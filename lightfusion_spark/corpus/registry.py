@@ -75,7 +75,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #:   r7 — doubling as the Spark-4 RECURSIVE rep)
 #: + round-11 NEW faces, displacing the r07 swap rows one-for-one as
 #:   they landed: pipe_web_lpa (displaced events_funnel — r07 green,
-#:   events repped 5-way in-window)
+#:   events repped 5-way in-window), pipe_text_entropy (displaced
+#:   events_gapfill — r07 green, same family rep story)
 #: + 4 rows of the r07 block (events_funnel, events_gapfill,
 #:   events_ohlc, pipe_corpus_health — the alphabetical head; these
 #:   are the swap slots for round-11 NEW faces, displaced one-for-one
@@ -143,8 +144,8 @@ PRIORITY: list[str] = [
     # r07 swap slot back to WINDOW_EXEMPT (r07 green; families repped:
     # events by the five in-window events rows)
     "pipe_web_lpa",
+    "pipe_text_entropy",
     # r07 head — swap slots for round-11 new faces
-    "events_gapfill",
     "events_ohlc",
     "pipe_corpus_health",
 ]
@@ -162,6 +163,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "events_asof_bucketed",
         "events_ewma_batch",
         "events_funnel",
+        "events_gapfill",
         "events_heavy_hitters_batch",
         "events_reservoir_batch",
         "events_stream_join",

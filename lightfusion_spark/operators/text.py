@@ -1186,3 +1186,65 @@ def bm25_scores_multi(
             (F.sum("_s_micro").cast("double") / F.lit(1e6)).alias("bm25")
         )
     )
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document unigram Shannon entropy — the information-density
+    quality signal beside :func:`repetition_stats`' duplicate-fraction
+    view: low entropy flags keyword-stuffed / template / boilerplate
+    documents whose token histogram is concentrated (repetition_stats
+    sees ADJACENT repeats; entropy sees GLOBAL concentration, e.g. the
+    same 5 tokens shuffled through 1000 positions).
+
+    Emits one row per document with >= 1 whitespace token (empty/NULL
+    documents carry no distribution — filter or default upstream):
+
+    * ``n_tokens`` / ``n_types`` — token count and distinct-type count;
+    * ``entropy_e6`` — ``H = -Σ p·ln p`` in exact micro-nats: each
+      type's term is ``FLOOR((c/n) · (-ROUND(LN(c/n), 6)) · 1e6 + 0.5)``
+      (IEEE-identical per-row doubles, 6-decimal-rounded transcendental),
+      then an associative BIGINT sum — partition order can never flip a
+      bit, and the DuckDB oracle replays it literally;
+    * ``norm_entropy6`` — ``H / ln(n_types)`` rounded to 6 decimals
+      (0..1 diversity within micro-nat rounding — the floored term sum
+      can overshoot ``ln(n)·1e6`` by a few units on uniform docs; 0.0
+      by convention for single-type documents).
+
+    Scale (100 TB): one explode over the token stream, one map-side-
+    combinable (doc, token) count, one map-side-combinable per-doc fold
+    — no joins, no windows; the token stream is never a shuffle-join
+    side.  Zipf does not bound the per-doc state here because the key
+    is (doc, token) — the shuffle carries the per-document TYPE
+    histogram, ~n_types rows per doc, the same relation BM25 shuffles.
+    """
+    toks = F.filter(_tokens(F.col(text_col)), lambda x: x != "")
+    cells = (
+        df.select(
+            F.col(id_col),
+            F.size(toks).alias("_n"),
+            F.explode(toks).alias("_tok"),
+        )
+        .groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"), F.max("_n").alias("_nt"))
+    )
+    p = F.col("_c").cast("double") / F.col("_nt").cast("double")
+    term = F.floor(p * (-F.round(F.log(p), 6)) * F.lit(1e6) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    per_doc = cells.groupBy(id_col).agg(
+        F.max("_nt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(term).alias("entropy_e6"),
+    )
+    h = F.col("entropy_e6").cast("double") / F.lit(1e6)
+    norm = F.when(
+        F.col("n_types") > 1,
+        F.round(h / F.round(F.log(F.col("n_types").cast("double")), 6), 6),
+    ).otherwise(F.lit(0.0))
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_types",
+        "entropy_e6",
+        norm.alias("norm_entropy6"),
+    )

@@ -442,3 +442,40 @@ def test_redact_pii_null_text_is_empty(spark):
         v == 0 for k, v in r1.items() if k.startswith("n_") and k != "n_redacted"
     )
     assert got[2]["n_emails"] == 1
+
+
+def test_token_entropy_values_and_bounds(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # uniform: H = ln 4, norm = 1
+            (2, "x x x"),            # single type: H = 0, norm = 0 by convention
+            (3, "a a a a b"),        # concentrated
+            (4, "a b c d e"),        # uniform, 5 types
+            (5, ""),                 # no tokens: excluded
+            (6, None),               # NULL: excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in
+           text_ops.token_entropy(df, "doc_id", "text").collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["n_tokens"] == 4 and got[1]["n_types"] == 4
+    assert abs(got[1]["entropy_e6"] / 1e6 - math.log(4)) < 2e-6
+    # micro-nat flooring can overshoot ln(n)*1e6 by a few units
+    assert abs(got[1]["norm_entropy6"] - 1.0) < 5e-6
+    assert got[2]["entropy_e6"] == 0 and got[2]["norm_entropy6"] == 0.0
+    # concentration lowers entropy below the uniform doc of equal length
+    assert got[3]["entropy_e6"] < got[4]["entropy_e6"]
+    assert 0.0 <= got[3]["norm_entropy6"] < 1.0
+
+
+def test_token_entropy_partition_invariant(spark):
+    rows = [(i, " ".join(f"w{j % (1 + i % 7)}" for j in range(20)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, text_ops.token_entropy(df, "doc_id", "text").collect()))
+    b = sorted(map(tuple, text_ops.token_entropy(
+        df.repartition(11), "doc_id", "text").collect()))
+    assert a == b
