@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     # + the token-entropy quality signal (the one shuffling text op)
     "pipe_web_lpa",
     "pipe_text_entropy",
+    "pipe_shard_balanced",
 ]
 
 

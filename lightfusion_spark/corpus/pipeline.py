@@ -5418,3 +5418,34 @@ FROM per_doc
 def pipe_text_entropy(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     return text_ops.token_entropy(d, "doc_id", "text")
+
+
+_SHARD_BALANCED_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(CASE WHEN ((rn - 1) // 8) % 2 = 0
+                 THEN (rn - 1) % 8
+                 ELSE 7 - ((rn - 1) % 8) END AS INT) AS shard
+FROM ranked
+"""
+
+
+@register(
+    "pipe_shard_balanced",
+    oracle=_SHARD_BALANCED_ORACLE,
+    doc="size-balanced training shards (curation.shard_balanced): snake "
+    "allocation over the size-sorted corpus — hash sharding balances "
+    "ROW counts, this balances TOTAL bytes/tokens per shard so the "
+    "data-parallel trainer has no straggler shard.  The global rank is "
+    "the two-pass range-partition pattern (curation.global_row_number "
+    "— NO single-task window), the snake fold is pure integer "
+    "arithmetic over it; the oracle replays both with ROW_NUMBER.  "
+    "Deterministic and hash-exact with no rounding",
+)
+def pipe_shard_balanced(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return curation.shard_balanced(d, "doc_id", "n_chars", n_shards=8)

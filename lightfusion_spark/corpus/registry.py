@@ -76,7 +76,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: + round-11 NEW faces, displacing the r07 swap rows one-for-one as
 #:   they landed: pipe_web_lpa (displaced events_funnel — r07 green,
 #:   events repped 5-way in-window), pipe_text_entropy (displaced
-#:   events_gapfill — r07 green, same family rep story)
+#:   events_gapfill — r07 green, same family rep story),
+#:   pipe_shard_balanced (displaced events_ohlc — r07 green, same
+#:   family rep story)
 #: + 4 rows of the r07 block (events_funnel, events_gapfill,
 #:   events_ohlc, pipe_corpus_health — the alphabetical head; these
 #:   are the swap slots for round-11 NEW faces, displaced one-for-one
@@ -145,8 +147,8 @@ PRIORITY: list[str] = [
     # events by the five in-window events rows)
     "pipe_web_lpa",
     "pipe_text_entropy",
+    "pipe_shard_balanced",
     # r07 head — swap slots for round-11 new faces
-    "events_ohlc",
     "pipe_corpus_health",
 ]
 
@@ -165,6 +167,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "events_funnel",
         "events_gapfill",
         "events_heavy_hitters_batch",
+        "events_ohlc",
         "events_reservoir_batch",
         "events_stream_join",
         "events_stream_join_full",

@@ -431,6 +431,58 @@ def shard_assign(
     )
 
 
+def shard_balanced(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Size-balanced shard assignment — the token-budget sibling of
+    :func:`shard_assign`: hash sharding balances ROW counts, but
+    training shards need balanced TOTAL size (tokens/bytes), or the
+    long tail of a skewed document-length distribution concentrates in
+    a few shards and the data-parallel step waits on stragglers.
+
+    Snake (boustrophedon) allocation over the size-sorted corpus: rank
+    rows by ``(size DESC, id ASC)`` — the exact global rank comes from
+    :func:`global_row_number`, the two-pass range-partition pattern, so
+    there is NO single-task window — then walk shards 0..k-1, k-1..0,
+    0..k-1, … so each shard receives one row per "block" of k and the
+    running totals stay within one document of each other (the classic
+    LPT-style bound: with sizes sorted descending, max-min shard load
+    is at most the largest item in the last block).  Deterministic,
+    partition-invariant, and oracle-replayable as pure integer
+    arithmetic over ROW_NUMBER.
+
+    Emits ``(id, size, shard)``; NULL sizes are refused loudly (they
+    cannot rank portably).  Scale: one range exchange + O(P) offsets —
+    the same cost envelope as any global sort, paid once per export.
+    """
+    if n_shards < 1:
+        raise ValueError(
+            f"shard_balanced: n_shards must be >= 1, got {n_shards}"
+        )
+    if df.where(F.col(size_col).isNull()).limit(1).count():
+        raise ValueError(
+            f"shard_balanced: NULL {size_col} rows present — size or drop "
+            "them explicitly before sharding"
+        )
+    ranked = global_row_number(
+        df.select(F.col(id_col), F.col(size_col)),
+        (F.col(size_col).desc(), F.col(id_col).asc()),
+        rn_col="_rn",
+    )
+    k = n_shards
+    block = F.expr(f"(_rn - 1) DIV {k}")
+    pos = F.expr(f"(_rn - 1) % {k}")
+    shard = F.when(block % 2 == 0, pos).otherwise(F.lit(k - 1) - pos)
+    return ranked.select(
+        F.col(id_col),
+        F.col(size_col),
+        shard.cast("int").alias("shard"),
+    )
+
+
 def corpus_health_report(
     df: DataFrame, id_col: str, text_col: str, source_col: str = "source"
 ) -> DataFrame:

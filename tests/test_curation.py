@@ -766,3 +766,62 @@ def test_numeric_drift_indexed_equals_one_shot(spark, sf_dir):
             )
         )
         assert got == want and len(want) > 0
+
+
+def test_shard_balanced_evens_total_size(spark):
+    """Skewed sizes: snake allocation keeps per-shard totals within one
+    max-document of each other, where hash sharding only balances row
+    counts; assignment is partition-invariant and matches the
+    ROW_NUMBER replay."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators.curation import shard_balanced
+
+    # Zipf-ish sizes: one huge doc, a heavy tail
+    rows = [(i, 10_000 if i == 0 else (1000 // (1 + i % 37)) + i % 13)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, size long")
+    out = shard_balanced(df.repartition(9), "id", "size", n_shards=4)
+    sums = {
+        r["shard"]: r["s"]
+        for r in out.groupBy("shard").agg(F.sum("size").alias("s")).collect()
+    }
+    assert set(sums) == {0, 1, 2, 3}
+    # balance bound: excluding the single outlier doc's shard, totals are
+    # within the largest *tail* item of each other; with it, within the
+    # outlier.  Check the practical bound: max-min <= max single size.
+    assert max(sums.values()) - min(sums.values()) <= 10_000
+    # the non-outlier shards should be truly tight
+    tail = sorted(sums.values())[:3]
+    assert max(tail) - min(tail) <= 1000
+    # partition invariance
+    again = shard_balanced(df.repartition(3), "id", "size", n_shards=4)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # guards
+    with _pytest.raises(ValueError, match="n_shards"):
+        shard_balanced(df, "id", "size", n_shards=0)
+    with_null = spark.createDataFrame([(1, None), (2, 5)], "id long, size long")
+    with _pytest.raises(ValueError, match="NULL"):
+        shard_balanced(with_null, "id", "size", n_shards=2)
+
+
+def test_shard_balanced_beats_hash_sharding_on_skew(spark):
+    """The reason the operator exists: on a skewed corpus the size
+    imbalance of hash shards is an order of magnitude worse."""
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators.curation import shard_assign, shard_balanced
+
+    rows = [(i, (i * 997) % 5000 + 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, size long")
+
+    def imbalance(assigned):
+        s = [r["s"] for r in assigned.groupBy("shard")
+             .agg(F.sum("size").alias("s")).collect()]
+        return (max(s) - min(s)) / (sum(s) / len(s))
+
+    bal = imbalance(shard_balanced(df, "id", "size", n_shards=8))
+    hashed = imbalance(shard_assign(df, "id", n_shards=8).select("shard", "size"))
+    assert bal < 0.01
+    assert bal < hashed / 5
