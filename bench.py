@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "pipe_web_lpa",
     "pipe_text_entropy",
     "pipe_shard_balanced",
+    "pipe_mad_outliers",
 ]
 
 

@@ -5449,3 +5449,53 @@ FROM ranked
 def pipe_shard_balanced(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     return curation.shard_balanced(d, "doc_id", "n_chars", n_shards=8)
+
+
+def _mad_oracle(k: float = 3.0) -> str:
+    """Replay of profile.mad_outlier_report: the fence coefficient is the
+    SAME pre-multiplied double literal (repr-exact), so both engines do
+    one multiply against the raw MAD."""
+    coeff = repr(float(k) * 1.4826)
+    return f"""
+WITH src AS (
+  SELECT event_type AS g, value AS v FROM events WHERE value IS NOT NULL
+),
+med AS (
+  SELECT g, quantile_cont(v, 0.5) AS med FROM src GROUP BY g
+),
+dev AS (
+  SELECT s.g, s.v, m.med, ABS(s.v - m.med) AS dev
+  FROM src s JOIN med m USING (g)
+),
+mad AS (
+  SELECT g, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY g
+)
+SELECT d.g AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(MAX(d.med), 6) AS median6,
+       ROUND(MAX(m.mad), 6) AS mad6,
+       CAST(SUM(CASE WHEN d.dev > {coeff} * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (g)
+GROUP BY d.g
+"""
+
+
+@register(
+    "pipe_mad_outliers",
+    oracle=_mad_oracle(3.0),
+    doc="median/MAD robust outlier screen (profile.mad_outlier_report), "
+    "the 50%-breakdown sibling of rel_outlier_iqr's Tukey fence: "
+    "per-group exact median, median absolute deviation, and a "
+    "k*1.4826*MAD fence count.  Three 2-column passes with the tiny "
+    "per-group medians broadcast back; exact percentile() (approx "
+    "sketches would be partition-order-dependent).  The fence "
+    "coefficient is ONE repr-exact double literal in both engines, "
+    "deviations/comparisons raw IEEE — hash-exact with rounding only "
+    "on the reported median6/mad6",
+)
+def pipe_mad_outliers(spark, sf_dir):
+    from ..operators import profile as profile_ops
+
+    ev = table(spark, sf_dir, "events")
+    return profile_ops.mad_outlier_report(ev, "event_type", "value", k=3.0)

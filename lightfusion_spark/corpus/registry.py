@@ -78,11 +78,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #:   events repped 5-way in-window), pipe_text_entropy (displaced
 #:   events_gapfill — r07 green, same family rep story),
 #:   pipe_shard_balanced (displaced events_ohlc — r07 green, same
-#:   family rep story)
-#: + 4 rows of the r07 block (events_funnel, events_gapfill,
-#:   events_ohlc, pipe_corpus_health — the alphabetical head; these
-#:   are the swap slots for round-11 NEW faces, displaced one-for-one
-#:   as faces land).
+#:   family rep story), pipe_mad_outliers (displaced
+#:   pipe_corpus_health — r07 green, profiling repped by the face
+#:   itself plus pipe_text_stats in-window)
+#: (The 4 r07 swap rows — events_funnel, events_gapfill, events_ohlc,
+#:   pipe_corpus_health — each ceded its slot to a round-11 face and
+#:   heads the r12 backlog with its r07 green.)
 #: 4+3+6+22+11+4 = 50 exactly.  The round-12 re-window backlog is the
 #: 12 deferred r06 rows above, then the r07 block (34 rows after this
 #: round's picks).  Every rotated-out name was officially green in
@@ -148,8 +149,10 @@ PRIORITY: list[str] = [
     "pipe_web_lpa",
     "pipe_text_entropy",
     "pipe_shard_balanced",
-    # r07 head — swap slots for round-11 new faces
-    "pipe_corpus_health",
+    "pipe_mad_outliers",
+    # (all four r07 swap slots now hold round-11 faces; the r07 head
+    # rows events_funnel/events_gapfill/events_ohlc/pipe_corpus_health
+    # keep their r07 greens at the front of the r12 backlog)
 ]
 
 #: Queries intentionally OUTSIDE the driver's 50-entry window.  Every name
@@ -178,6 +181,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_cluster_embeddings",
         "pipe_cluster_report",
         "pipe_corpus_drift",
+        "pipe_corpus_health",
         "pipe_curriculum_order",
         "pipe_decontaminate_bloom",
         "pipe_decontaminate_fuzzy",

@@ -228,3 +228,73 @@ def histogram(
         spine.join(binned, "bin", "left")
         .select("bin", "bin_lo", F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"))
     )
+
+
+#: Normal-consistency constant: for Gaussian data 1.4826·MAD ≈ σ, so the
+#: default fence k·1.4826·MAD matches the familiar k-sigma rule while
+#: staying robust to the outliers being hunted (mean/stddev are not).
+MAD_SIGMA = 1.4826
+
+
+def mad_outlier_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Median/MAD robust outlier screen per group — the heavy-tail-safe
+    sibling of the Tukey IQR fence (`rel_outlier_iqr`): with >25%
+    contamination or extreme skew the quartiles themselves move, while
+    the median absolute deviation has the maximum possible 50%
+    breakdown point.  Emits ``(group, n_events, median6, mad6,
+    n_outliers)`` with a row flagged when ``|x − median| >
+    k·1.4826·MAD`` (``MAD_SIGMA`` makes k read as sigmas under
+    normality).
+
+    Degenerate convention: MAD = 0 (a majority-constant group) flags
+    EVERY deviating row — the strict reading of the fence, documented
+    rather than silently returning zero outliers.  NULL values are
+    dropped (they carry no magnitude).
+
+    Exactness: medians are Spark's exact sort-based ``percentile`` —
+    IEEE-identical to DuckDB's ``quantile_cont`` interpolation (the
+    `rel_outlier_iqr` precedent); the fence coefficient is ONE
+    pre-multiplied double literal so both engines do a single multiply,
+    and deviations/comparisons are raw IEEE ops — hash-exact with
+    rounding only on the REPORTED median6/mad6.
+
+    Scale (100 TB): three passes over the (group, value) stream — group
+    median, deviation median, fence count — each a map-side-pruned
+    2-column scan with the tiny per-group medians broadcast back;
+    exact percentile buffers one group's values per agg state, the
+    documented exact-vs-approx_percentile trade (approx would be
+    partition-order-dependent and break replay).
+    """
+    coeff = float(k) * MAD_SIGMA
+    src = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    ).where(F.col("_v").isNotNull())
+    med = src.groupBy("_g").agg(
+        F.expr("percentile(_v, 0.5)").alias("_med")
+    )
+    dev = src.join(F.broadcast(med), "_g").withColumn(
+        "_dev", F.abs(F.col("_v") - F.col("_med"))
+    )
+    mad = dev.groupBy("_g").agg(
+        F.expr("percentile(_dev, 0.5)").alias("_mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "_g")
+        .groupBy(
+            F.col("_g").alias(group_col),
+            F.round(F.col("_med"), 6).alias("median6"),
+            F.round(F.col("_mad"), 6).alias("mad6"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("_dev") > F.lit(coeff) * F.col("_mad")).cast("bigint")
+            ).alias("n_outliers"),
+        )
+        .select(group_col, "n_events", "median6", "mad6", "n_outliers")
+    )

@@ -107,3 +107,58 @@ def test_schema_drift_identical_snapshots(spark):
     df = spark.createDataFrame([(1, "x"), (2, None)], "id long, s string")
     for r in schema_drift(df, df).collect():
         assert r["status"] == "kept" and r["null_ppm_delta"] == 0
+
+
+def test_mad_outlier_report_flags_the_planted_outlier(spark):
+    from lightfusion_spark.operators.profile import mad_outlier_report
+
+    rows = [("a", float(v)) for v in [10, 11, 12, 10, 11, 12, 10, 11, 1000]]
+    rows += [("b", 5.0)] * 6
+    rows += [("c", None)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = {r["grp"]: r.asDict()
+           for r in mad_outlier_report(df, "grp", "value", k=3.0).collect()}
+    # group a: median 11, MAD 1 -> fence 4.4478; only 1000 is out
+    assert got["a"]["n_events"] == 9
+    assert got["a"]["median6"] == 11.0 and got["a"]["mad6"] == 1.0
+    assert got["a"]["n_outliers"] == 1
+    # group b: constant -> MAD 0, no deviating rows, zero outliers
+    assert got["b"]["mad6"] == 0.0 and got["b"]["n_outliers"] == 0
+    # group c: only a NULL value -> dropped entirely
+    assert "c" not in got
+
+
+def test_mad_zero_flags_every_deviator(spark):
+    """Majority-constant group: MAD = 0, so EVERY deviating row is out
+    (the documented strict-fence convention)."""
+    from lightfusion_spark.operators.profile import mad_outlier_report
+
+    df = spark.createDataFrame(
+        [("g", 7.0)] * 5 + [("g", 7.1), ("g", 100.0)],
+        "grp string, value double",
+    )
+    r = mad_outlier_report(df, "grp", "value").collect()[0]
+    assert r["mad6"] == 0.0 and r["n_outliers"] == 2
+
+
+def test_mad_robust_where_iqr_quartiles_move(spark):
+    """30% contamination: the MAD fence still isolates the planted
+    cluster because the median/MAD have 50% breakdown."""
+    from lightfusion_spark.operators.profile import mad_outlier_report
+
+    clean = [("g", 100.0 + (i % 7) / 10.0) for i in range(14)]
+    contam = [("g", 100000.0 + i) for i in range(6)]
+    df = spark.createDataFrame(clean + contam, "grp string, value double")
+    r = mad_outlier_report(df, "grp", "value", k=3.0).collect()[0]
+    assert r["n_outliers"] == 6
+
+
+def test_mad_partition_invariant(spark):
+    from lightfusion_spark.operators.profile import mad_outlier_report
+
+    rows = [(f"g{i % 5}", float((i * 31) % 100) / 7.0) for i in range(300)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    a = sorted(map(tuple, mad_outlier_report(df, "grp", "value").collect()))
+    b = sorted(map(tuple, mad_outlier_report(
+        df.repartition(13), "grp", "value").collect()))
+    assert a == b
