@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "pipe_text_entropy",
     "pipe_shard_balanced",
     "pipe_mad_outliers",
+    "pipe_web_kcore",
 ]
 
 

@@ -710,3 +710,65 @@ def pipe_web_lpa(spark, sf_dir):
         _formula_edges(spark, sf_dir), iterations=4
     )
     return labels.select(F.col("node").alias("host"), "community")
+
+
+def _kcore_oracle(k: int, iters: int) -> str:
+    """Unrolled simultaneous-peeling replay (DuckDB): per round a degree
+    count over the current edge set, a >= k keep filter, and a
+    double-ended restriction of the edges to survivors (keep sets are
+    unique on node, so inner joins are semi-joins).  Pure integer
+    arithmetic — hash-exact with no rounding.  Edge CTEs are ``AS
+    MATERIALIZED`` (each es{i} is referenced three times in round
+    i+1)."""
+    parts = [
+        f"""WITH e0 AS (
+      SELECT DISTINCT (doc_id % {_N_HOSTS}) AS src,
+             ((doc_id % {_N_HOSTS}) * 7 + kk.k) % {_N_HOSTS} AS dst
+      FROM documents CROSS JOIN (VALUES (1), (2), (3)) AS kk(k)
+      WHERE (doc_id % {_N_HOSTS}) % 10 <> 0
+        AND (doc_id % {_N_HOSTS}) <> ((doc_id % {_N_HOSTS}) * 7 + kk.k) % {_N_HOSTS}
+    ),
+    es0 AS MATERIALIZED (
+      SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM e0
+        UNION ALL SELECT dst AS a, src AS b FROM e0
+      ) u WHERE a <> b
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""deg{i} AS (
+      SELECT a, COUNT(*) AS c FROM es{i - 1} GROUP BY a
+    ),
+    keep{i} AS MATERIALIZED (SELECT a FROM deg{i} WHERE c >= {k}),
+    es{i} AS MATERIALIZED (
+      SELECT e.a, e.b
+      FROM es{i - 1} e
+      JOIN keep{i} ka ON ka.a = e.a
+      JOIN keep{i} kb ON kb.a = e.b
+    )"""
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT a AS host, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM es{iters} GROUP BY a"""
+    )
+
+
+@register(
+    "pipe_web_kcore",
+    oracle=_kcore_oracle(4, 3),
+    doc="k-core graph pruning (webgraph.k_core), the cleanup step "
+    "BEFORE the centrality/grouping signals: link farms and orphan "
+    "hosts fall out of the k-core, so pagerank/LPA run on an embedded "
+    "subgraph.  Simultaneous peeling — drop ALL sub-k nodes per round, "
+    "restrict edges to survivors — is order-independent (the k-core is "
+    "unique; no tie-breaks exist to get wrong), so 3 fixed rounds at "
+    "k=4 on the 60-host formula graph replay as pure integer SQL and "
+    "the face is hash-exact with no rounding.  Per round: one "
+    "map-side-combinable degree count + two semi-joins, no windows",
+)
+def pipe_web_kcore(spark, sf_dir):
+    nodes = webgraph.k_core(_formula_edges(spark, sf_dir), k=4, iterations=3)
+    return nodes.select(F.col("node").alias("host"), "degree")

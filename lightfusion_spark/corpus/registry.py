@@ -56,7 +56,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #:   subfamily's re-window, flagged in the r10 header — plus
 #:   events_attribution, pipe_boilerplate_lines, pipe_dedup_exact,
 #:   pipe_dedup_incremental, pipe_split_stratified)
-#: + 22 of the 34 r06-green rows (alphabetical; the 12 deferred to the
+#: + 21 of the 34 r06-green rows (alphabetical; the 12+1 deferred to the
 #:   r12 backlog each keep an in-window family sibling:
 #:   events_asof_bucketed [as-of repped by events_asof_join +
 #:   events_asof_forward], pipe_dedup_minhash_incr + pipe_dedup_spans
@@ -84,9 +84,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: (The 4 r07 swap rows — events_funnel, events_gapfill, events_ohlc,
 #:   pipe_corpus_health — each ceded its slot to a round-11 face and
 #:   heads the r12 backlog with its r07 green.)
-#: 4+3+6+22+11+4 = 50 exactly.  The round-12 re-window backlog is the
-#: 12 deferred r06 rows above, then the r07 block (34 rows after this
-#: round's picks).  Every rotated-out name was officially green in
+#: 4+3+6+21+11+5 = 50 exactly (5 = the round-11 new faces).  The
+#: round-12 re-window backlog is the 13 deferred r06 rows above plus
+#: the 4 ceded r07 swap rows, then the rest of the r07 block (34 rows
+#: after this round's picks).  Every rotated-out name was officially green in
 #: r05-r10 and moves to WINDOW_EXEMPT; tests/test_registry_window.py
 #: asserts every registered query is either in the current window or
 #: has a recorded green row from a past driver window, and
@@ -122,7 +123,6 @@ PRIORITY: list[str] = [
     "pipe_lm_score",
     "pipe_multimodal_codec",
     "pipe_multimodal_decode",
-    "pipe_multimodal_jpeg",
     "pipe_pack_bpe",
     "pipe_quality_model",
     "pipe_sim_ivf_kmeans",
@@ -150,6 +150,10 @@ PRIORITY: list[str] = [
     "pipe_text_entropy",
     "pipe_shard_balanced",
     "pipe_mad_outliers",
+    # ... and a FIFTH round-11 face: k-core pruning (displaced
+    # pipe_multimodal_jpeg — r06 green, multimodal repped in-window by
+    # the codec and decode rows — to the r12 backlog head)
+    "pipe_web_kcore",
     # (all four r07 swap slots now hold round-11 faces; the r07 head
     # rows events_funnel/events_gapfill/events_ohlc/pipe_corpus_health
     # keep their r07 greens at the front of the r12 backlog)
@@ -213,6 +217,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_mixture_temperature",
         "pipe_model_calibration",
         "pipe_multimodal_audio_frames",
+        "pipe_multimodal_jpeg",
         "pipe_multimodal_png",
         "pipe_multimodal_resize",
         "pipe_multimodal_scenecut",

@@ -724,3 +724,103 @@ def label_propagation_detailed(
             stacklevel=3,
         )
     return LPAResult(labels=labels, iterations=done, converged=converged)
+
+
+@dataclass
+class KCoreResult:
+    """Per-call result of :func:`k_core_detailed`: the surviving-node
+    DataFrame plus the loop diagnostics (mirrors :class:`LPAResult`)."""
+
+    nodes: DataFrame
+    iterations: int
+    converged: bool
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int | None = None,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """k-core decomposition over an (undirected-ized) edge list: returns
+    ``(node, degree)`` for every vertex of the maximal subgraph in which
+    EVERY vertex has degree >= ``k`` — the standard link-graph pruning
+    step before centrality (PageRank) and grouping (LPA): link farms
+    and orphan pages fall out of the 2-/3-core, while genuinely
+    embedded hosts survive, so the expensive iterative signals run on a
+    cleaned graph.
+
+    Classic peeling, synchronous and deterministic: each round drops
+    ALL nodes whose current degree is < ``k`` simultaneously and
+    restricts the edge set to survivors; the fixed point is the k-core
+    (order-independent — the k-core is unique, and simultaneous
+    removal needs no tie-breaking at all).  ``degree`` in the output is
+    the node's degree WITHIN the returned subgraph.
+
+    Two modes, exactly like :func:`pagerank` / :func:`label_propagation`:
+    ``iterations=r`` runs exactly ``r`` peeling rounds (the
+    oracle-replayable mode — the result may still contain sub-``k``
+    nodes if peeling hasn't finished, which is the documented partial
+    state); ``iterations=None`` peels until no node drops (one scalar
+    per round) or exhausts ``max_iterations`` LOUDLY (``converged``
+    flag + RuntimeWarning).
+
+    100 TB shape: per round, one map-side-combinable degree count +
+    two semi-joins restricting the edge list to survivors — everything
+    keyed by node id, no windows, no all-pairs; ``localCheckpoint``
+    truncates the per-round lineage like every iterative operator here.
+    Peeling rounds needed in practice are tiny (a web graph's
+    degeneracy ordering collapses in a handful of simultaneous rounds).
+    """
+    return k_core_detailed(edges, k, src, dst, iterations, max_iterations).nodes
+
+
+def k_core_detailed(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int | None = None,
+    max_iterations: int = 30,
+) -> KCoreResult:
+    """:func:`k_core` returning :class:`KCoreResult` with per-call
+    ``iterations``/``converged`` diagnostics."""
+    if k < 1:
+        raise ValueError(f"k_core: k must be >= 1, got {k}")
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = (
+        fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    total_iters = iterations if iterations is not None else max_iterations
+    converged = iterations is not None
+    done = 0
+    for i in range(total_iters):
+        deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("a")
+        n_drop = deg.where(F.col("deg") < k).count() if iterations is None else None
+        e = (
+            e.join(keep, "a", "leftsemi")
+            .join(keep.select(F.col("a").alias("b")), "b", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+        done = i + 1
+        if iterations is None and n_drop == 0:
+            converged = True
+            break
+    if not converged:
+        warnings.warn(
+            f"k_core exhausted max_iterations={max_iterations} with nodes "
+            "still peeling — the result may contain sub-k nodes (a partial "
+            "peel), not the k-core fixed point",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    out = e.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return KCoreResult(nodes=out, iterations=done, converged=converged)

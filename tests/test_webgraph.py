@@ -380,3 +380,62 @@ def test_lpa_convergence_mode_and_oscillation_warns(spark):
         )
         assert not res2.converged
         assert any("oscillate" in str(c.message) for c in caught)
+
+
+# ---------------------------------------------------------------- k-core
+
+
+def test_kcore_peels_tail_into_clique(spark):
+    """A 4-clique with a pendant path: the path peels away round by
+    round (cascade), the clique survives as the exact 3-core with
+    in-subgraph degree 3."""
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(3, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + path, "src long, dst long")
+    res = webgraph.k_core_detailed(edges, k=3, iterations=None)
+    assert res.converged
+    got = {r["node"]: r["degree"] for r in res.nodes.collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert all(d == 3 for d in got.values())
+    # the whole sub-k path drops in ONE simultaneous round (every path
+    # node is already < 3), + one confirming round
+    assert res.iterations == 2
+
+
+def test_kcore_fixed_rounds_partial_state(spark):
+    """Fixed-round mode is the oracle-replayable partial peel: after 1
+    round only the leaf is gone; convergence needs more."""
+    chain = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(chain, "src long, dst long")
+    one = webgraph.k_core(edges, k=2, iterations=1)
+    assert {r["node"] for r in one.collect()} == {1, 2, 3}
+    full = webgraph.k_core_detailed(edges, k=2, iterations=None)
+    assert full.converged and full.nodes.count() == 0  # a path has no 2-core
+
+
+def test_kcore_partition_invariant_and_guard(spark):
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 23) for i in range(23)] + [(2, 9), (5, 17)],
+        "src long, dst long",
+    )
+    a = sorted(map(tuple, webgraph.k_core(edges, 2, iterations=3).collect()))
+    b = sorted(map(tuple, webgraph.k_core(
+        edges.repartition(7), 2, iterations=3).collect()))
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        webgraph.k_core(edges, 0)
+
+
+def test_kcore_exhaustion_warns(spark):
+    """max_iterations too small for the cascade: loud, not silent."""
+    import warnings as w
+
+    chain = [(i, i + 1) for i in range(12)]
+    edges = spark.createDataFrame(chain, "src long, dst long")
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        res = webgraph.k_core_detailed(edges, k=2, iterations=None, max_iterations=2)
+        assert not res.converged
+        assert any("partial peel" in str(c.message) for c in caught)

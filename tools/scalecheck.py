@@ -971,6 +971,12 @@ def main() -> None:
             lambda: noop(wg_mod.label_propagation(g1, iterations=4)),
             lambda: noop(wg_mod.label_propagation(g10, iterations=4)),
         )
+        # round-11: k-core — 3 peeling rounds at k=4, matching the face
+        curve(
+            "curve_web_kcore",
+            lambda: noop(wg_mod.k_core(g1, k=4, iterations=3)),
+            lambda: noop(wg_mod.k_core(g10, k=4, iterations=3)),
+        )
 
     # round-10 (late): the corpus-drift gate's curve — both snapshot
     # sides scale with the corpus (the worst case; the indexed monitor
