@@ -56,7 +56,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #:   subfamily's re-window, flagged in the r10 header — plus
 #:   events_attribution, pipe_boilerplate_lines, pipe_dedup_exact,
 #:   pipe_dedup_incremental, pipe_split_stratified)
-#: + 21 of the 34 r06-green rows (alphabetical; the 12+1 deferred to the
+#: + 20 of the 34 r06-green rows (alphabetical; the rows deferred to the
 #:   r12 backlog each keep an in-window family sibling:
 #:   events_asof_bucketed [as-of repped by events_asof_join +
 #:   events_asof_forward], pipe_dedup_minhash_incr + pipe_dedup_spans
@@ -84,8 +84,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: (The 4 r07 swap rows — events_funnel, events_gapfill, events_ohlc,
 #:   pipe_corpus_health — each ceded its slot to a round-11 face and
 #:   heads the r12 backlog with its r07 green.)
-#: 4+3+6+21+11+5 = 50 exactly (5 = the round-11 new faces).  The
-#: round-12 re-window backlog is the 13 deferred r06 rows above plus
+#: 4+3+6+20+11+6 = 50 exactly (6 = the round-11 new faces; the r06
+#: block shrank to 20 when pipe_dedup_simhash ceded its slot to
+#: pipe_web_triangles — dedup stays 5-way repped in-window).  The
+#: round-12 re-window backlog is the 14 deferred r06 rows above plus
 #: the 4 ceded r07 swap rows, then the rest of the r07 block (34 rows
 #: after this round's picks).  Every rotated-out name was officially green in
 #: r05-r10 and moves to WINDOW_EXEMPT; tests/test_registry_window.py
@@ -109,7 +111,7 @@ PRIORITY: list[str] = [
     "pipe_dedup_exact",
     "pipe_dedup_incremental",
     "pipe_split_stratified",
-    # r06 block (22 of 34; the rest head the r12 backlog)
+    # r06 block (20 of 34; the rest head the r12 backlog)
     "events_asof_join",
     "events_range_join",
     "events_sessionize",
@@ -118,7 +120,6 @@ PRIORITY: list[str] = [
     "pipe_decontaminate",
     "pipe_dedup_minhash",
     "pipe_dedup_semantic",
-    "pipe_dedup_simhash",
     "pipe_e2e_model_curation",
     "pipe_lm_score",
     "pipe_multimodal_codec",
@@ -154,6 +155,11 @@ PRIORITY: list[str] = [
     # pipe_multimodal_jpeg — r06 green, multimodal repped in-window by
     # the codec and decode rows — to the r12 backlog head)
     "pipe_web_kcore",
+    # ... and a SIXTH: exact triangle counting / clustering coefficients
+    # (displaced pipe_dedup_simhash — r06 green, dedup still repped
+    # 5-way in-window by simhash_pairs/exact/incremental/minhash/
+    # semantic — to the r12 backlog)
+    "pipe_web_triangles",
     # (all four r07 swap slots now hold round-11 faces; the r07 head
     # rows events_funnel/events_gapfill/events_ohlc/pipe_corpus_health
     # keep their r07 greens at the front of the r12 backlog)
@@ -192,6 +198,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_dedup_components",
         "pipe_dedup_minhash_incr",
         "pipe_dedup_ngram",
+        "pipe_dedup_simhash",
         "pipe_dedup_spans",
         "pipe_dedup_survivors",
         "pipe_diversity_sample",

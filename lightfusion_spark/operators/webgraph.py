@@ -824,3 +824,104 @@ def k_core_detailed(
         F.count(F.lit(1)).alias("degree")
     )
     return KCoreResult(nodes=out, iterations=done, converged=converged)
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact per-node triangle counts and local clustering coefficients
+    over an (undirected-ized) edge list: returns ``(node, degree,
+    triangles, clustering)`` for every vertex with at least one edge.
+
+    Triangles are the web-curation signal k-core can't see: a link farm
+    survives the k-core (its members HAVE degree) but its star/bipartite
+    wiring closes almost no triangles, while organically embedded hosts
+    show high local clustering — so ``clustering`` separates "many
+    links" from "links that know each other" (the classic spam-farm
+    discriminator alongside PageRank's global rank).
+
+    Algorithm is the standard degree-ordered edge orientation (the
+    node-iterator bound): every undirected edge is directed from its
+    lower to its higher endpoint in the total order ``(degree, node)``.
+    Out-degrees under this orientation are bounded by O(sqrt(2m)) no
+    matter how skewed the raw degree distribution is, so the wedge join
+    (pairs of out-neighbors of a common tail) generates at most
+    O(m^1.5) candidates globally — hub nodes NEVER pair their full
+    neighbor lists.  Each triangle {u,v,w} is emitted exactly once, at
+    its lowest-order vertex, as the wedge (v,w) closed by the oriented
+    edge v->w; a leftsemi equi-join checks closure.
+
+    ``clustering`` = 2*T / (deg*(deg-1)) with a single IEEE double
+    division of exact integers (bit-identical across engines; 0.0 when
+    degree < 2).  Everything else is integer-exact — no rounding
+    anywhere.
+
+    100 TB shape: symmetrize + distinct is one exchange on the edge
+    key; the orientation is two broadcast-size degree joins keyed by
+    node; the wedge self-join shuffles oriented edges once on their
+    tail; the closure check shuffles wedge candidates once on the
+    (v,w) pair key.  No windows, no all-pairs, no driver loops; the
+    O(m^1.5) wedge bound is the published cost of exact triangle
+    counting and is reached only by near-clique graphs.
+    """
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # (node, degree) — consumed by both orientation joins AND the final
+    # output join; one row per node, so materializing it once is cheap
+    # and saves two re-executions of the symmetrize+distinct subtree
+    deg = (
+        und.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    # Orient a->b iff (deg_a, a) < (deg_b, b): each undirected edge
+    # appears in `und` in both directions, so exactly one survives.
+    o = (
+        und.join(deg.select(F.col("a"), F.col("deg").alias("da")), "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("deg").alias("db")), "b"
+        )
+        .where(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+        )
+        .select("a", "b", "db")
+        # consumed THREE times (both wedge sides + the closure probe);
+        # without this the symmetrize+degree subtree re-executes per
+        # consumer — the same reuse fix as pagerank's edges
+        .localCheckpoint(eager=True)
+    )
+    o1 = o.select(F.col("a").alias("u"), F.col("b").alias("v"), F.col("db").alias("dv"))
+    o2 = o.select(F.col("a").alias("u"), F.col("b").alias("w"), F.col("db").alias("dw"))
+    wedges = o1.join(o2, "u").where(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = o.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    tris = wedges.join(closing, ["v", "w"], "leftsemi").select("u", "v", "w")
+    per_node = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.select(F.col("a").alias("node"), F.col("deg").alias("degree"))
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.when(F.col("degree") < 2, F.lit(0.0))
+            .otherwise(
+                (F.coalesce(F.col("triangles"), F.lit(0)) * F.lit(2)).cast("double")
+                / (F.col("degree") * (F.col("degree") - F.lit(1))).cast("double")
+            )
+            .alias("clustering"),
+        )
+    )

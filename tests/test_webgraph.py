@@ -439,3 +439,70 @@ def test_kcore_exhaustion_warns(spark):
         res = webgraph.k_core_detailed(edges, k=2, iterations=None, max_iterations=2)
         assert not res.converged
         assert any("partial peel" in str(c.message) for c in caught)
+
+
+def test_triangles_clique_path_star(spark):
+    """4-clique: C(4,3)=4 triangles, every node in 3 of them, cc=1.0.
+    A pendant path and a star contribute zero triangles; star center
+    cc=0.0 despite high degree (the link-farm signature)."""
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(3, 10), (10, 11)]
+    star = [(20, 21), (20, 22), (20, 23), (20, 24)]
+    edges = spark.createDataFrame(clique + path + star, "src long, dst long")
+    got = {r["node"]: r for r in webgraph.triangle_stats(edges).collect()}
+    for v in (0, 1, 2):
+        assert got[v]["triangles"] == 3
+        assert got[v]["clustering"] == 1.0
+    # node 3 has the pendant edge too: deg 4, still 3 triangles, cc = 6/12
+    assert got[3]["degree"] == 4 and got[3]["triangles"] == 3
+    assert got[3]["clustering"] == 0.5
+    assert got[20]["degree"] == 4 and got[20]["triangles"] == 0
+    assert got[20]["clustering"] == 0.0
+    assert got[11]["degree"] == 1 and got[11]["clustering"] == 0.0
+    # global count: sum of per-node triangles = 3 * number of triangles
+    assert sum(r["triangles"] for r in got.values()) == 3 * 4
+
+
+def test_triangles_direction_and_duplicate_invariant(spark):
+    """Symmetrization: reversed/duplicated/self-loop edges change
+    nothing — the undirected simple graph is what's counted."""
+    base = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0)]
+    noisy = base + [(b, a) for a, b in base] + [(1, 1), (0, 1), (2, 0)]
+    a = sorted(map(tuple, webgraph.triangle_stats(
+        spark.createDataFrame(base, "src long, dst long")).collect()))
+    b = sorted(map(tuple, webgraph.triangle_stats(
+        spark.createDataFrame(noisy, "src long, dst long")).collect()))
+    assert a == b
+    # the diamond 0-1-2 / 0-2-3: two triangles sharing edge (0,2)
+    got = dict((r[0], r[2]) for r in a)
+    assert got == {0: 2, 1: 1, 2: 2, 3: 1}
+
+
+def test_triangles_partition_invariant_vs_reference(spark):
+    """Random-ish graph vs an independent driver-side counter, and
+    bit-identical under repartitioning."""
+    import itertools
+
+    edges = [(i, (i * i + 3) % 29) for i in range(29)] + [
+        (i, (i * 7 + 1) % 29) for i in range(0, 29, 2)
+    ]
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    for v, ns in adj.items():
+        t = sum(1 for x, y in itertools.combinations(sorted(ns), 2)
+                if y in adj.get(x, ()))
+        expect[v] = (len(ns), t)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["degree"], r["triangles"])
+           for r in webgraph.triangle_stats(df).collect()}
+    assert got == expect
+    again = {r["node"]: (r["degree"], r["triangles"])
+             for r in webgraph.triangle_stats(df.repartition(13)).collect()}
+    assert again == expect
