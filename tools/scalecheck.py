@@ -923,7 +923,7 @@ def main() -> None:
     # directed edges) through the identical 5 fixed iterations.  The
     # per-round cost model says join+agg over the edge list => expect
     # ~linear in |E| once past fixed overhead.
-    if not ONLY or any(s in "curve_web_centrality" for s in ONLY):
+    if not ONLY or any(s in "curve_web_centrality" or "curve_web" in s for s in ONLY):
         from lightfusion_spark.operators import webgraph as wg_mod
 
         def _host_graph(n_hosts):
@@ -977,6 +977,14 @@ def main() -> None:
             lambda: noop(wg_mod.k_core(g1, k=4, iterations=3)),
             lambda: noop(wg_mod.k_core(g10, k=4, iterations=3)),
         )
+        # round-11: exact triangle counting — one-shot (no rounds); the
+        # degree-ordered orientation bounds the wedge join, so the
+        # formula graph's cost term is linear in |E|
+        curve(
+            "curve_web_triangles",
+            lambda: noop(wg_mod.triangle_stats(g1)),
+            lambda: noop(wg_mod.triangle_stats(g10)),
+        )
 
     # round-10 (late): the corpus-drift gate's curve — both snapshot
     # sides scale with the corpus (the worst case; the indexed monitor
@@ -997,6 +1005,44 @@ def main() -> None:
             lambda: _drift(docs),
             lambda: _drift(docs10),
         )
+
+    # round-11: the curriculum_order rewrite A/B (the round-10 ADVICE
+    # finding).  An unpartitioned ntile().over(Window.orderBy()) moves
+    # EVERY row into one task (WindowExec "No Partition Defined"); the
+    # two-pass global rank (range partition + offset decode) is a real
+    # distributed sort.  Same output bit-for-bit (pytest proves it);
+    # this measures the cost shape at 500k and 5M rows.
+    if not ONLY or any(s in "ab_curriculum_rank" for s in ONLY):
+        from pyspark.sql.window import Window as W2
+
+        from lightfusion_spark.operators import curation as cur3_mod
+
+        def _rows(n):
+            return spark.range(n).select(
+                F.col("id"), ((F.col("id") * 2654435761) % 1000003).alias("score")
+            ).localCheckpoint(eager=True)
+
+        def _windowed(src):
+            order = (F.col("score").asc(), F.col("id").asc())
+            w = W2.orderBy(*order)
+            staged = src.select(
+                "id", "score", F.ntile(4).over(w).alias("stage")
+            )
+            ws = W2.partitionBy("stage").orderBy(*order)
+            staged.select(
+                "id", "score", "stage",
+                F.row_number().over(ws).alias("stage_pos"),
+            ).write.format("noop").mode("overwrite").save()
+
+        def _twopass(src):
+            cur3_mod.curriculum_order(src, "id", "score", n_stages=4).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        for n in (500_000, 5_000_000):
+            src = _rows(n)
+            for label, fn in (("window", _windowed), ("twopass", _twopass)):
+                timed(f"ab_curriculum_rank_{label}_{n}", lambda fn=fn, src=src: fn(src) or 0)
 
 
 if __name__ == "__main__":
