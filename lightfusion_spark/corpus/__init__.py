@@ -21,6 +21,7 @@ from . import pipeline  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
 from . import tokenization  # noqa: E402,F401
 from . import graphqueries  # noqa: E402,F401
+from . import evalqueries  # noqa: E402,F401
 from . import udfs  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query_functions", "oracle_strings"]

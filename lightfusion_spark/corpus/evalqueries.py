@@ -1,0 +1,241 @@
+"""Evaluation-metric corpus queries: reference-based text grading.
+
+Round-11 addition to SURVEY §2.4's pipeline layer (the reference repo
+has no eval surface; training pipelines grade model outputs against
+references — eval harnesses, distillation QA, MT corpus filtering).
+
+The face needs deterministic (candidate, reference) pairs that every
+scale factor has, so it derives them from ``documents`` itself:
+reference = the document's own token stream, candidate = the same
+stream with every 7th token dropped (0-based positions ≡ 3 mod 7) —
+a known corruption whose BLEU is a meaningful, replayable number
+(unigram precision stays 1.0, higher orders lose every n-gram that
+straddled a dropped token, and the brevity penalty prices the ~14%
+length loss).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import evalmetrics
+from .registry import register
+from .util import table
+
+_BLEU_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS rt
+  FROM documents
+),
+pair AS MATERIALIZED (
+  SELECT doc_id, rt,
+         list_transform(
+           list_filter(range(1, len(rt) + 1), i -> (i - 1) % 7 <> 3),
+           i -> rt[i]) AS ct
+  FROM base
+),
+ns(n) AS (VALUES (1), (2), (3), (4)),
+cg AS (
+  SELECT doc_id, ns.n AS n,
+         array_to_string(ct[u.i:u.i + ns.n - 1], ' ') AS gram
+  FROM pair CROSS JOIN ns,
+       UNNEST(range(1, greatest(len(ct) - ns.n + 2, 1))) AS u(i)
+),
+rg AS (
+  SELECT doc_id, ns.n AS n,
+         array_to_string(rt[u.i:u.i + ns.n - 1], ' ') AS gram
+  FROM pair CROSS JOIN ns,
+       UNNEST(range(1, greatest(len(rt) - ns.n + 2, 1))) AS u(i)
+),
+cc AS MATERIALIZED (
+  SELECT doc_id, n, gram, COUNT(*) AS c FROM cg GROUP BY doc_id, n, gram
+),
+rc AS MATERIALIZED (
+  SELECT doc_id, n, gram, COUNT(*) AS c FROM rg GROUP BY doc_id, n, gram
+),
+m AS (
+  SELECT cc.n, CAST(SUM(LEAST(cc.c, rc.c)) AS BIGINT) AS matched
+  FROM cc JOIN rc ON rc.doc_id = cc.doc_id AND rc.n = cc.n
+                 AND rc.gram = cc.gram
+  GROUP BY cc.n
+),
+t AS (SELECT n, CAST(SUM(c) AS BIGINT) AS total FROM cc GROUP BY n),
+rl AS (SELECT CAST(SUM(c) AS BIGINT) AS ref_len FROM rc WHERE n = 1),
+flat AS (
+  SELECT
+    MAX(CASE WHEN t.n = 1 THEN t.total END) AS total_1,
+    MAX(CASE WHEN t.n = 2 THEN t.total END) AS total_2,
+    MAX(CASE WHEN t.n = 3 THEN t.total END) AS total_3,
+    MAX(CASE WHEN t.n = 4 THEN t.total END) AS total_4,
+    COALESCE(MAX(CASE WHEN t.n = 1 THEN m.matched END), 0) AS matched_1,
+    COALESCE(MAX(CASE WHEN t.n = 2 THEN m.matched END), 0) AS matched_2,
+    COALESCE(MAX(CASE WHEN t.n = 3 THEN m.matched END), 0) AS matched_3,
+    COALESCE(MAX(CASE WHEN t.n = 4 THEN m.matched END), 0) AS matched_4,
+    (SELECT ref_len FROM rl) AS ref_len
+  FROM t LEFT JOIN m ON m.n = t.n
+),
+calc AS (
+  SELECT *,
+    (matched_1 = 0 OR total_1 = 0 OR matched_2 = 0 OR total_2 = 0
+     OR matched_3 = 0 OR total_3 = 0
+     OR matched_4 = 0 OR total_4 = 0) AS any_zero,
+    CAST(FLOOR(ROUND(LN(CASE WHEN matched_1 = 0 OR total_1 = 0 THEN 1.0
+        ELSE CAST(matched_1 AS DOUBLE) / CAST(total_1 AS DOUBLE) END), 6)
+        * 1000000 + 0.5) AS BIGINT)
+    + CAST(FLOOR(ROUND(LN(CASE WHEN matched_2 = 0 OR total_2 = 0 THEN 1.0
+        ELSE CAST(matched_2 AS DOUBLE) / CAST(total_2 AS DOUBLE) END), 6)
+        * 1000000 + 0.5) AS BIGINT)
+    + CAST(FLOOR(ROUND(LN(CASE WHEN matched_3 = 0 OR total_3 = 0 THEN 1.0
+        ELSE CAST(matched_3 AS DOUBLE) / CAST(total_3 AS DOUBLE) END), 6)
+        * 1000000 + 0.5) AS BIGINT)
+    + CAST(FLOOR(ROUND(LN(CASE WHEN matched_4 = 0 OR total_4 = 0 THEN 1.0
+        ELSE CAST(matched_4 AS DOUBLE) / CAST(total_4 AS DOUBLE) END), 6)
+        * 1000000 + 0.5) AS BIGINT) AS micro,
+    CASE WHEN total_1 >= ref_len THEN CAST(1.0 AS DOUBLE)
+         ELSE ROUND(EXP(1.0 - CAST(ref_len AS DOUBLE)
+                        / CAST(total_1 AS DOUBLE)), 6) END AS bp_raw
+  FROM flat
+)
+SELECT
+  total_1 AS cand_len, ref_len,
+  matched_1, total_1,
+  CASE WHEN total_1 = 0 THEN 0.0
+       ELSE CAST(matched_1 AS DOUBLE) / CAST(total_1 AS DOUBLE) END AS p_1,
+  matched_2, total_2,
+  CASE WHEN total_2 = 0 THEN 0.0
+       ELSE CAST(matched_2 AS DOUBLE) / CAST(total_2 AS DOUBLE) END AS p_2,
+  matched_3, total_3,
+  CASE WHEN total_3 = 0 THEN 0.0
+       ELSE CAST(matched_3 AS DOUBLE) / CAST(total_3 AS DOUBLE) END AS p_3,
+  matched_4, total_4,
+  CASE WHEN total_4 = 0 THEN 0.0
+       ELSE CAST(matched_4 AS DOUBLE) / CAST(total_4 AS DOUBLE) END AS p_4,
+  CASE WHEN any_zero OR total_1 = 0 THEN 0.0 ELSE bp_raw END AS bp6,
+  CASE WHEN any_zero OR total_1 = 0 THEN 0.0
+       ELSE ROUND(bp_raw
+                  * ROUND(EXP(CAST(micro AS DOUBLE) / 4000000.0), 6), 6)
+  END AS bleu6
+FROM calc
+"""
+
+
+@register(
+    "pipe_eval_bleu",
+    oracle=_BLEU_ORACLE,
+    doc="corpus-level BLEU (evalmetrics.corpus_bleu, Papineni 2002): "
+    "clipped n-gram precisions n=1..4 summed over ALL pairs, geometric "
+    "mean, brevity penalty — the reference-based grading step of eval "
+    "harnesses and distillation QA.  Pairs are deterministic: "
+    "reference = each document's token stream, candidate = the same "
+    "stream with every 7th token dropped.  One explode per side into "
+    "(id,n,gram) map-side-combinable counts, clipping = inner "
+    "equi-join on that key (no corpus-wide skew — grams are "
+    "high-frequency only WITHIN an id), then a 4-row reduction to ONE "
+    "summary row.  Integer counts; each p_n is one IEEE division; "
+    "log-mean folds FLOOR(ROUND(LN,6)*1e6+0.5) micro-nats as BIGINT; "
+    "bleu6 = ROUND(bp6 * ROUND(EXP(mean),6), 6) — hash-exact",
+)
+def pipe_eval_bleu(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    rt = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    pairs = d.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.filter(rt, lambda x, i: i % F.lit(7) != F.lit(3)),
+        ).alias("cand"),
+        F.concat_ws(" ", rt).alias("ref"),
+    )
+    return evalmetrics.corpus_bleu(pairs, "doc_id", "cand", "ref", max_n=4)
+
+
+_KAPPA_ORACLE = """
+WITH ann AS (
+  SELECT (event_id // 50) AS item,
+         user_id % 4 AS annotator,
+         CASE WHEN value < 5 THEN 'low'
+              WHEN value < 15 THEN 'mid'
+              ELSE 'high' END AS label
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+resolved AS MATERIALIZED (
+  SELECT item, annotator, MIN(label) AS label
+  FROM ann GROUP BY item, annotator
+),
+pairs AS MATERIALIZED (
+  SELECT a.item, a.annotator AS annotator_a, b.annotator AS annotator_b,
+         a.label AS la, b.label AS lb
+  FROM resolved a
+  JOIN resolved b ON b.item = a.item AND a.annotator < b.annotator
+),
+base AS (
+  SELECT annotator_a, annotator_b,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM pairs GROUP BY annotator_a, annotator_b
+),
+ma AS (
+  SELECT annotator_a, annotator_b, la AS label, COUNT(*) AS ca
+  FROM pairs GROUP BY annotator_a, annotator_b, la
+),
+mb AS (
+  SELECT annotator_a, annotator_b, lb AS label, COUNT(*) AS cb
+  FROM pairs GROUP BY annotator_a, annotator_b, lb
+),
+cr AS (
+  SELECT ma.annotator_a, ma.annotator_b,
+         CAST(SUM(ma.ca * mb.cb) AS BIGINT) AS crs
+  FROM ma JOIN mb
+    ON mb.annotator_a = ma.annotator_a
+   AND mb.annotator_b = ma.annotator_b
+   AND mb.label = ma.label
+  GROUP BY ma.annotator_a, ma.annotator_b
+)
+SELECT b.annotator_a, b.annotator_b, b.n_items, b.n_agree,
+       CAST(b.n_agree AS DOUBLE) / CAST(b.n_items AS DOUBLE) AS p_o,
+       CAST(cr.crs AS DOUBLE)
+         / CAST(b.n_items * b.n_items AS DOUBLE) AS p_e,
+       CASE WHEN b.n_items * b.n_items - cr.crs = 0 THEN 0.0
+            ELSE CAST(b.n_agree * b.n_items - cr.crs AS DOUBLE)
+                 / CAST(b.n_items * b.n_items - cr.crs AS DOUBLE)
+       END AS kappa
+FROM base b
+JOIN cr ON cr.annotator_a = b.annotator_a
+       AND cr.annotator_b = b.annotator_b
+"""
+
+
+@register(
+    "pipe_eval_kappa",
+    oracle=_KAPPA_ORACLE,
+    doc="pairwise Cohen's kappa (evalmetrics.annotator_agreement), the "
+    "label-quality gate of RLHF/SFT pipelines: raw agreement p_o "
+    "discounted by the chance agreement p_e of the two annotators' "
+    "marginal label distributions, over the items BOTH labeled "
+    "(pairwise-complete).  Annotations derive deterministically from "
+    "events: item = event_id//50, annotator = user_id%4, label = "
+    "3-class value bucket, same-cell conflicts resolved to MIN(label). "
+    "One resolve agg + an item-keyed self-join fanning out only "
+    "k(k-1)/2 rows per item + map-side-combinable pair-keyed counts. "
+    "Exactness: the kappa identity (agree*n - cross)/(n^2 - cross) "
+    "keeps numerator and denominator INTEGER, so every output double "
+    "is ONE exact IEEE division — hash-exact with no rounding at all",
+)
+def pipe_eval_kappa(spark, sf_dir):
+    e = table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    ann = e.select(
+        F.expr("event_id div 50").alias("item"),
+        (F.col("user_id") % 4).alias("annotator"),
+        F.when(F.col("value") < 5, "low")
+        .when(F.col("value") < 15, "mid")
+        .otherwise("high")
+        .alias("label"),
+    )
+    return evalmetrics.annotator_agreement(ann, "item", "annotator", "label")

@@ -1,0 +1,311 @@
+"""Evaluation metrics over (candidate, reference) text pairs.
+
+A training-data pipeline doesn't just curate — it GRADES: model
+outputs against references (eval harnesses), synthetic rewrites
+against their sources (distillation QA), translations against gold
+(MT corpora filtering).  The reference repo has no eval surface;
+this extends SURVEY §2.4's pipeline layer with the classic corpus
+metric, computed distributedly and hash-exactly.
+
+* :func:`corpus_bleu` — Papineni et al. 2002 corpus-level BLEU:
+  clipped n-gram precision for n=1..max_n aggregated over ALL pairs
+  (corpus-level sums, NOT averaged sentence BLEU), geometric mean of
+  the precisions, multiplied by the brevity penalty
+  ``min(1, exp(1 - ref_len/cand_len))``;
+* :func:`annotator_agreement` — Cohen 1960 pairwise kappa over an
+  annotation table: grading the graders themselves, the label-quality
+  gate of RLHF/SFT data pipelines.
+
+100 TB shape: each side is one explode of (n, gram) struct cells
+into a map-side-combinable ``(id, n, gram) -> count`` aggregation;
+clipping is an inner equi-join of the two cell relations on the
+(id, n, gram) key (never a string crossing); everything after that
+is a 4-row-per-n reduction to ONE summary row.  Hot n-grams ("the",
+"of the") are high-cardinality only WITHIN a pair id, so the join
+key (id, n, gram) has no corpus-wide skew.  No windows, no driver
+loops, no Python crossings — the whole metric is JVM expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tok(col):
+    """Whitespace tokens of the lowercased text, empties dropped — the
+    repo's shared tokenizer convention (text.token_entropy et al.)."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != F.lit(""))
+
+
+def _gram_cells(toks, max_n: int):
+    """Array of (n, gram) structs: every n-gram of ``toks`` for
+    n=1..max_n, grams joined with a single space.  Guarded per n so a
+    short token list contributes an empty slice, never a descending
+    ``sequence`` artifact."""
+    empty = F.array().cast("array<struct<n:int,gram:string>>")
+
+    # a 2-parameter lambda would make pyspark's transform() pass
+    # (element, index) and silently clobber a default-arg n — build the
+    # single-parameter lambda through a factory instead
+    def slicer(n: int):
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.concat_ws(" ", F.slice(toks, i, n)).alias("gram"),
+        )
+
+    parts = []
+    for n in range(1, max_n + 1):
+        parts.append(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - n + 1), slicer(n)
+                ),
+            ).otherwise(empty)
+        )
+    return F.concat(*parts)
+
+
+def corpus_bleu(
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 4,
+) -> DataFrame:
+    """Corpus-level BLEU of ``cand_col`` against ``ref_col`` (one
+    reference per pair).  Returns ONE row:
+
+    ``cand_len``/``ref_len`` (total unigram counts), per-order
+    ``matched_k``/``total_k`` (clipped match / candidate n-gram
+    totals, pure integers), ``p_k`` (the exact double division
+    matched/total), ``bp6`` (brevity penalty, ROUND 6), and ``bleu6``.
+
+    Exactness contract: every count is an integer sum; each ``p_k``
+    is one IEEE division (bit-identical across engines); the log-mean
+    folds ``FLOOR(ROUND(LN(p_k),6)*1e6+0.5)`` micro-nats as a BIGINT
+    sum (associative — partial-aggregation order can't flip a bit);
+    ``bleu6 = ROUND(bp6 * ROUND(EXP(mean),6), 6)``.  If ANY order has
+    zero clipped matches, BLEU is exactly 0.0 (the standard
+    convention — no smoothing), and orders whose candidate total is
+    zero are treated the same way.
+
+    A NULL candidate or reference tokenizes to the empty list (zero
+    grams at every order), so NULL-bearing corpora degrade the
+    precisions instead of crashing.
+    """
+    if max_n < 1:
+        raise ValueError(f"corpus_bleu: max_n must be >= 1, got {max_n}")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _gram_cells(_tok(F.col(cand_col)), max_n).alias("cg"),
+        _gram_cells(_tok(F.col(ref_col)), max_n).alias("rg"),
+    ).localCheckpoint(eager=True)
+    # (id, n, gram) -> count, each side; map-side combinable
+    cand = (
+        base.select("id", F.explode("cg").alias("g"))
+        .groupBy("id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .agg(F.count(F.lit(1)).alias("c_cand"))
+    )
+    ref = (
+        base.select("id", F.explode("rg").alias("g"))
+        .groupBy("id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .agg(F.count(F.lit(1)).alias("c_ref"))
+    )
+    matched = (
+        cand.join(ref, ["id", "n", "gram"])
+        .groupBy("n")
+        .agg(F.sum(F.least("c_cand", "c_ref")).alias("matched"))
+    )
+    totals = cand.groupBy("n").agg(F.sum("c_cand").alias("total"))
+    ref_len = (
+        ref.where(F.col("n") == 1)
+        .agg(F.coalesce(F.sum("c_ref"), F.lit(0)).alias("ref_len"))
+    )
+    # 4-rows-per-n -> one summary row (conditional aggregation pivot)
+    per_n = totals.join(matched, "n", "left").select(
+        "n",
+        "total",
+        F.coalesce("matched", F.lit(0)).alias("matched"),
+    )
+    agg_cols = []
+    for n in range(1, max_n + 1):
+        agg_cols.append(
+            F.coalesce(
+                F.sum(F.when(F.col("n") == n, F.col("matched"))), F.lit(0)
+            ).alias(f"matched_{n}")
+        )
+        agg_cols.append(
+            F.coalesce(
+                F.sum(F.when(F.col("n") == n, F.col("total"))), F.lit(0)
+            ).alias(f"total_{n}")
+        )
+    flat = per_n.agg(*agg_cols).crossJoin(ref_len)
+
+    def p(n):
+        return F.col(f"matched_{n}").cast("double") / F.col(
+            f"total_{n}"
+        ).cast("double")
+
+    any_zero = F.lit(False)
+    micro_sum = F.lit(0).cast("long")
+    for n in range(1, max_n + 1):
+        zero_n = (F.col(f"matched_{n}") == 0) | (F.col(f"total_{n}") == 0)
+        any_zero = any_zero | zero_n
+        # LN(NaN/0) would poison the fold (and ANSI mode throws on the
+        # NaN->long cast), so a zero order logs 1.0 — the whole row is
+        # gated to BLEU 0.0 by any_zero anyway
+        safe_p = F.when(zero_n, F.lit(1.0)).otherwise(p(n))
+        micro_sum = micro_sum + F.floor(
+            F.round(F.log(safe_p), 6) * F.lit(1000000) + F.lit(0.5)
+        ).cast("long")
+    cand_len = F.col("total_1")
+    ratio = F.lit(1.0) - F.col("ref_len").cast("double") / cand_len.cast(
+        "double"
+    )
+    bp6 = F.when(cand_len >= F.col("ref_len"), F.lit(1.0)).otherwise(
+        F.round(F.exp(ratio), 6)
+    )
+    geo6 = F.round(
+        F.exp(micro_sum.cast("double") / F.lit(float(max_n) * 1e6)), 6
+    )
+    out_cols = [
+        cand_len.alias("cand_len"),
+        F.col("ref_len"),
+    ]
+    for n in range(1, max_n + 1):
+        out_cols.append(F.col(f"matched_{n}"))
+        out_cols.append(F.col(f"total_{n}"))
+        out_cols.append(
+            F.when(F.col(f"total_{n}") == 0, F.lit(0.0))
+            .otherwise(p(n))
+            .alias(f"p_{n}")
+        )
+    out_cols.append(
+        F.when(any_zero | (cand_len == 0), F.lit(0.0))
+        .otherwise(bp6)
+        .alias("bp6")
+    )
+    out_cols.append(
+        F.when(any_zero | (cand_len == 0), F.lit(0.0))
+        .otherwise(F.round(bp6 * geo6, 6))
+        .alias("bleu6")
+    )
+    return flat.select(*out_cols)
+
+
+def annotator_agreement(
+    df: DataFrame,
+    item_col: str,
+    annotator_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Pairwise inter-annotator agreement (Cohen 1960 kappa) over an
+    annotation table ``(item, annotator, label)`` — the label-quality
+    gate of RLHF/SFT data pipelines: raw agreement says how often two
+    graders match, kappa discounts the agreement their marginal label
+    distributions would produce BY CHANCE, so a pair that rubber-stamps
+    "good" 95% of the time stops looking reliable.
+
+    Returns one row per unordered annotator pair (a < b):
+    ``annotator_a, annotator_b, n_items, n_agree, p_o, p_e, kappa``,
+    computed over the items BOTH annotators labeled (pairwise-complete,
+    the standard convention for sparse annotation matrices).
+
+    Multiple labels by the same annotator on the same item are resolved
+    deterministically to the MINIMUM label before pairing (documented
+    resolution, replayed identically by the oracle — never
+    partition-order-dependent).
+
+    Exactness: with n = co-annotated items, agree = matching items, and
+    cross = Σ_labels n_a(label)·n_b(label) (all integers),
+
+    * ``p_o = agree / n``                     (one IEEE division)
+    * ``p_e = cross / n²``                    (one IEEE division)
+    * ``kappa = (agree·n − cross) / (n² − cross)``
+
+    — the kappa identity keeps numerator and denominator INTEGER, so
+    the result is a single exact double division with no rounding
+    anywhere.  When the chance-agreement denominator is 0 (both
+    annotators constant with the same label: p_e = 1), kappa is
+    reported as 0.0 — chance explains everything, no skill is
+    demonstrable.  Integer bound: n² must stay under 2^63 (n < 3·10⁹
+    co-annotated items per pair — beyond any human annotation set).
+
+    100 TB shape: one map-side-combinable resolve aggregation on
+    (item, annotator); the pairing self-join is keyed on the item and
+    fans out only k·(k−1)/2 rows per item for k annotators of THAT
+    item (annotation matrices are sparse — k is 2-5, never the corpus);
+    marginal and agreement counts are map-side-combinable aggs keyed by
+    the annotator pair.  No windows, no driver loops, no all-pairs
+    blowup.
+    """
+    resolved = (
+        df.select(
+            F.col(item_col).alias("item"),
+            F.col(annotator_col).alias("annotator"),
+            F.col(label_col).alias("label"),
+        )
+        .groupBy("item", "annotator")
+        .agg(F.min("label").alias("label"))
+    )
+    left = resolved.select(
+        "item",
+        F.col("annotator").alias("annotator_a"),
+        F.col("label").alias("label_a"),
+    )
+    right = resolved.select(
+        "item",
+        F.col("annotator").alias("annotator_b"),
+        F.col("label").alias("label_b"),
+    )
+    pairs = left.join(right, "item").where(
+        F.col("annotator_a") < F.col("annotator_b")
+    )
+    base = pairs.groupBy("annotator_a", "annotator_b").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            F.when(F.col("label_a") == F.col("label_b"), 1).otherwise(0)
+        ).alias("n_agree"),
+    )
+    marg_a = pairs.groupBy("annotator_a", "annotator_b", "label_a").agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    marg_b = pairs.groupBy("annotator_a", "annotator_b", "label_b").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    cross = (
+        marg_a.join(
+            marg_b,
+            (marg_a["annotator_a"] == marg_b["annotator_a"])
+            & (marg_a["annotator_b"] == marg_b["annotator_b"])
+            & (marg_a["label_a"] == marg_b["label_b"]),
+        )
+        .select(
+            marg_a["annotator_a"],
+            marg_a["annotator_b"],
+            (F.col("ca") * F.col("cb")).alias("prod"),
+        )
+        .groupBy("annotator_a", "annotator_b")
+        .agg(F.sum("prod").alias("cross"))
+    )
+    nn = F.col("n_items") * F.col("n_items")
+    num = F.col("n_agree") * F.col("n_items") - F.col("cross")
+    den = nn - F.col("cross")
+    return (
+        base.join(cross, ["annotator_a", "annotator_b"])
+        .select(
+            "annotator_a",
+            "annotator_b",
+            "n_items",
+            "n_agree",
+            (F.col("n_agree").cast("double") / F.col("n_items").cast("double")).alias(
+                "p_o"
+            ),
+            (F.col("cross").cast("double") / nn.cast("double")).alias("p_e"),
+            F.when(den == 0, F.lit(0.0))
+            .otherwise(num.cast("double") / den.cast("double"))
+            .alias("kappa"),
+        )
+    )

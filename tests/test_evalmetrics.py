@@ -1,0 +1,186 @@
+"""operators/evalmetrics.py: corpus BLEU.
+
+The registered face (pipe_eval_bleu) pins the DuckDB-replayable
+arithmetic; these tests pin the metric semantics against an
+independent driver-side implementation and the documented edge cases.
+"""
+
+import math
+from collections import Counter
+
+import pytest
+
+from lightfusion_spark.operators.evalmetrics import corpus_bleu
+
+
+def _reference_bleu(rows, max_n=4):
+    """Independent driver-side corpus BLEU with the same rounding
+    contract (micro-nat fold, ROUND 6)."""
+    cands = [(r[1] or "").lower().split() for r in rows]
+    refs = [(r[2] or "").lower().split() for r in rows]
+
+    def grams(toks, n):
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    micro, any_zero, out = 0, False, {}
+    for n in range(1, max_n + 1):
+        m = t = 0
+        for c, r in zip(cands, refs):
+            cc, rc = Counter(grams(c, n)), Counter(grams(r, n))
+            m += sum(min(v, rc[g]) for g, v in cc.items())
+            t += sum(cc.values())
+        out[f"matched_{n}"], out[f"total_{n}"] = m, t
+        out[f"p_{n}"] = 0.0 if t == 0 else m / t
+        if m == 0 or t == 0:
+            any_zero = True
+        else:
+            micro += math.floor(round(math.log(m / t), 6) * 1e6 + 0.5)
+    c_len = sum(map(len, cands))
+    r_len = sum(map(len, refs))
+    bp = 1.0 if c_len >= r_len else round(math.exp(1 - r_len / c_len), 6)
+    geo = round(math.exp(micro / (max_n * 1e6)), 6)
+    out["cand_len"], out["ref_len"] = c_len, r_len
+    out["bp6"] = 0.0 if any_zero or c_len == 0 else bp
+    out["bleu6"] = 0.0 if any_zero or c_len == 0 else round(bp * geo, 6)
+    return out
+
+
+def _run(spark, rows, max_n=4):
+    df = spark.createDataFrame(rows, "id long, cand string, ref string")
+    return corpus_bleu(df, "id", "cand", "ref", max_n=max_n).collect()[0].asDict()
+
+
+def test_bleu_matches_independent_reference(spark):
+    rows = [
+        (1, "the cat is on the mat", "the cat sat on the mat"),
+        (2, "quick brown fox jumps", "the quick brown fox jumps over"),
+        (3, "a b c d e f g", "a b c d e f g"),
+    ]
+    got = _run(spark, rows)
+    assert got == _reference_bleu(rows)
+
+
+def test_bleu_perfect_match_is_one(spark):
+    rows = [(1, "alpha beta gamma delta epsilon", "alpha beta gamma delta epsilon")]
+    got = _run(spark, rows)
+    assert got["bleu6"] == 1.0 and got["bp6"] == 1.0
+    assert all(got[f"p_{n}"] == 1.0 for n in range(1, 5))
+
+
+def test_bleu_zero_order_zeroes_the_score(spark):
+    # no 2-gram overlap at all -> standard (unsmoothed) BLEU is exactly 0
+    rows = [(1, "a x b y c z", "a b c d e f")]
+    got = _run(spark, rows)
+    assert got["matched_2"] == 0 and got["bleu6"] == 0.0 and got["bp6"] == 0.0
+    ref = _reference_bleu(rows)
+    assert got == ref
+
+
+def test_bleu_case_whitespace_and_null_discipline(spark):
+    a = _run(spark, [(1, "The  CAT sat", "the cat  SAT")])
+    b = _run(spark, [(1, "the cat sat", "the cat sat")])
+    assert a == b  # lowercase + empty-token drop
+    # NULL candidate tokenizes to the empty list: zero totals everywhere
+    got = _run(spark, [(1, None, "some reference text")])
+    assert got["cand_len"] == 0 and got["bleu6"] == 0.0 and got["bp6"] == 0.0
+
+
+def test_bleu_partition_invariant_and_guard(spark):
+    rows = [(i, f"tok{i} common words here now", "common words here now then")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, cand string, ref string")
+    a = corpus_bleu(df, "id", "cand", "ref").collect()[0].asDict()
+    b = corpus_bleu(df.repartition(11), "id", "cand", "ref").collect()[0].asDict()
+    assert a == b
+    with pytest.raises(ValueError, match="max_n"):
+        corpus_bleu(df, "id", "cand", "ref", max_n=0)
+
+
+def _kappa_ref(rows):
+    """Independent driver-side pairwise Cohen's kappa."""
+    from collections import defaultdict
+
+    resolved = {}
+    for item, ann, lab in rows:
+        key = (item, ann)
+        resolved[key] = lab if key not in resolved else min(resolved[key], lab)
+    by_item = defaultdict(dict)
+    for (item, ann), lab in resolved.items():
+        by_item[item][ann] = lab
+    stats = defaultdict(lambda: [0, 0, defaultdict(int), defaultdict(int)])
+    for labs in by_item.values():
+        anns = sorted(labs)
+        for i, a in enumerate(anns):
+            for b in anns[i + 1:]:
+                s = stats[(a, b)]
+                s[0] += 1
+                s[1] += labs[a] == labs[b]
+                s[2][labs[a]] += 1
+                s[3][labs[b]] += 1
+    out = {}
+    for (a, b), (n, agree, ma, mb) in stats.items():
+        cross = sum(c * mb[l] for l, c in ma.items())
+        den = n * n - cross
+        out[(a, b)] = (
+            n, agree, agree / n, cross / (n * n),
+            0.0 if den == 0 else (agree * n - cross) / den,
+        )
+    return out
+
+
+def test_kappa_matches_independent_reference(spark):
+    from lightfusion_spark.operators.evalmetrics import annotator_agreement
+
+    rows = []
+    for item in range(30):
+        for ann in range(3):
+            # deterministic, imperfectly-agreeing labels
+            rows.append((item, ann, f"l{(item * (ann + 2)) % 3}"))
+    rows += [(0, 0, "l0"), (0, 0, "a_conflict")]  # min-resolution exercised
+    df = spark.createDataFrame(rows, "item long, annotator long, label string")
+    got = {
+        (r["annotator_a"], r["annotator_b"]): (
+            r["n_items"], r["n_agree"], r["p_o"], r["p_e"], r["kappa"]
+        )
+        for r in annotator_agreement(df, "item", "annotator", "label").collect()
+    }
+    assert got == _kappa_ref(rows)
+    # and bitwise partition invariance
+    again = {
+        (r["annotator_a"], r["annotator_b"]): (
+            r["n_items"], r["n_agree"], r["p_o"], r["p_e"], r["kappa"]
+        )
+        for r in annotator_agreement(
+            df.repartition(7), "item", "annotator", "label"
+        ).collect()
+    }
+    assert again == got
+
+
+def test_kappa_extremes(spark):
+    from lightfusion_spark.operators.evalmetrics import annotator_agreement
+
+    # perfect agreement over a mixed label set -> kappa exactly 1.0
+    rows = [(i, a, f"l{i % 2}") for i in range(10) for a in (0, 1)]
+    r = annotator_agreement(
+        spark.createDataFrame(rows, "item long, annotator long, label string"),
+        "item", "annotator", "label",
+    ).collect()[0]
+    assert r["p_o"] == 1.0 and r["kappa"] == 1.0
+    # both annotators constant and identical -> p_e = 1, kappa gated to 0.0
+    rows = [(i, a, "same") for i in range(10) for a in (0, 1)]
+    r = annotator_agreement(
+        spark.createDataFrame(rows, "item long, annotator long, label string"),
+        "item", "annotator", "label",
+    ).collect()[0]
+    assert r["p_o"] == 1.0 and r["p_e"] == 1.0 and r["kappa"] == 0.0
+    # chance-level: independent coin flips across a big item set give
+    # kappa near 0 but p_o near 0.5 — sign test only (deterministic rows)
+    rows = [(i, 0, f"l{i % 2}") for i in range(100)] + [
+        (i, 1, f"l{(i // 2) % 2}") for i in range(100)
+    ]
+    r = annotator_agreement(
+        spark.createDataFrame(rows, "item long, annotator long, label string"),
+        "item", "annotator", "label",
+    ).collect()[0]
+    assert abs(r["kappa"]) < 0.1 < r["p_o"]
