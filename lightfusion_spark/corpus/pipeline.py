@@ -5499,3 +5499,87 @@ def pipe_mad_outliers(spark, sf_dir):
 
     ev = table(spark, sf_dir, "events")
     return profile_ops.mad_outlier_report(ev, "event_type", "value", k=3.0)
+
+
+_UNIMAX_ORACLE = """
+WITH sizes AS (
+  SELECT source AS strata,
+         CAST(COALESCE(SUM(CAST(n_chars AS BIGINT)), 0) AS BIGINT)
+           AS stratum_tokens
+  FROM documents GROUP BY source
+),
+staged AS (
+  SELECT strata, stratum_tokens, stratum_tokens * 3 AS cap,
+         ROW_NUMBER() OVER (ORDER BY stratum_tokens * 3 ASC, strata ASC)
+           AS i,
+         COALESCE(SUM(stratum_tokens * 3) OVER (
+             ORDER BY stratum_tokens * 3 ASC, strata ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prefix,
+         COUNT(*) OVER () AS n,
+         (SUM(stratum_tokens) OVER ()) * 1 // 2 AS budget
+  FROM sizes
+),
+flags AS (
+  SELECT *, (cap * (n - i + 1) <= budget - prefix) AS capped FROM staged
+),
+summary AS (
+  SELECT CAST(SUM(CASE WHEN capped THEN cap ELSE 0 END) AS BIGINT)
+           AS total_capped,
+         CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_capped
+  FROM flags
+),
+calc AS (
+  SELECT f.*,
+         CASE WHEN f.capped THEN f.cap
+              ELSE (CASE WHEN f.n - s.n_capped > 0
+                         THEN (f.budget - s.total_capped)
+                              // (f.n - s.n_capped)
+                         ELSE 0 END)
+                 + (CASE WHEN f.i - s.n_capped <=
+                         (CASE WHEN f.n - s.n_capped > 0
+                               THEN (f.budget - s.total_capped)
+                                    % (f.n - s.n_capped)
+                               ELSE 0 END)
+                         THEN 1 ELSE 0 END)
+         END AS alloc
+  FROM flags f CROSS JOIN summary s
+)
+SELECT strata AS source, stratum_tokens, CAST(cap AS BIGINT) AS cap,
+       CAST(alloc AS BIGINT) AS alloc,
+       CASE WHEN stratum_tokens > 0
+            THEN CAST(alloc AS DOUBLE) / CAST(stratum_tokens AS DOUBLE)
+            ELSE 0.0 END AS epochs
+FROM calc
+"""
+
+
+@register(
+    "pipe_mix_unimax",
+    oracle=_UNIMAX_ORACLE,
+    doc="UniMax mixture allocation (curation.unimax_allocate, Chung "
+    "2023): spread the token budget (here total/2) as uniformly as "
+    "possible across sources with a hard 3-epoch repetition cap per "
+    "source — the principled alternative to temperature mixing (no "
+    "tuned exponent, provable low-resource over-repetition bound).  "
+    "One map-side-combinable per-source token sum is the only "
+    "corpus-scale work; the water-filling windows sort the N-row "
+    "source relation (N = #sources, tens by construction).  The "
+    "capped set is a sort-prefix (monotone condition), uncapped "
+    "sources split the remainder as integers with largest-remainder "
+    "leftovers, so allocations sum EXACTLY to min(budget, sum caps); "
+    "epochs = alloc/size is the face's only division — hash-exact "
+    "with no rounding",
+)
+def pipe_mix_unimax(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return curation.unimax_allocate(
+        d, "source", "n_chars", max_epochs=3, budget_frac=(1, 2)
+    ).select(
+        F.col("strata").alias("source"),
+        "stratum_tokens",
+        "cap",
+        "alloc",
+        "epochs",
+    )

@@ -56,11 +56,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #:   subfamily's re-window, flagged in the r10 header — plus
 #:   events_attribution, pipe_boilerplate_lines, pipe_dedup_exact,
 #:   pipe_dedup_incremental, pipe_split_stratified)
-#: + 18 of the 34 r06-green rows (alphabetical; the rows deferred to the
+#: + 17 of the 34 r06-green rows (alphabetical; the rows deferred to the
 #:   r12 backlog each keep an in-window family sibling:
 #:   events_asof_bucketed [as-of repped by events_asof_join +
 #:   events_asof_forward], pipe_dedup_minhash_incr + pipe_dedup_spans
-#:   [dedup repped 4-way after the late swaps below], pipe_multimodal_png/_video/_wav [multimodal
+#:   [dedup repped 3-way after the late swaps below], pipe_multimodal_png/_video/_wav [multimodal
 #:   repped by codec/decode/jpeg], pipe_quality_filter [repped by
 #:   pipe_quality_model], pipe_sim_ivf_probe2 + pipe_sim_recall_ivf +
 #:   pipe_sim_topk_gemm [similarity repped by pipe_sim_ivf +
@@ -84,12 +84,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: (The 4 r07 swap rows — events_funnel, events_gapfill, events_ohlc,
 #:   pipe_corpus_health — each ceded its slot to a round-11 face and
 #:   heads the r12 backlog with its r07 green.)
-#: 4+3+6+18+11+8 = 50 exactly (8 = the round-11 new faces; the r06
-#: block shrank to 18 as pipe_dedup_simhash, events_windowed_stats and
-#: pipe_dedup_minhash ceded slots to pipe_web_triangles,
-#: pipe_eval_bleu and pipe_eval_kappa — dedup stays 4-way and events
-#: 5-way repped in-window).  The
-#: round-12 re-window backlog is the 16 deferred r06 rows above plus
+#: 4+3+6+17+11+9 = 50 exactly (9 = the round-11 new faces; the r06
+#: block shrank to 17 as pipe_dedup_simhash, events_windowed_stats,
+#: pipe_dedup_minhash and pipe_dedup_semantic ceded slots to the late
+#: faces below — dedup stays 3-way (simhash_pairs/exact/incremental)
+#: and events 5-way repped in-window).  The
+#: round-12 re-window backlog is the 17 deferred r06 rows above plus
 #: the 4 ceded r07 swap rows, then the rest of the r07 block (34 rows
 #: after this round's picks).  Every rotated-out name was officially green in
 #: r05-r10 and moves to WINDOW_EXEMPT; tests/test_registry_window.py
@@ -113,13 +113,12 @@ PRIORITY: list[str] = [
     "pipe_dedup_exact",
     "pipe_dedup_incremental",
     "pipe_split_stratified",
-    # r06 block (18 of 34; the rest head the r12 backlog)
+    # r06 block (17 of 34; the rest head the r12 backlog)
     "events_asof_join",
     "events_range_join",
     "events_sessionize",
     "pipe_chunk_bpe",
     "pipe_decontaminate",
-    "pipe_dedup_semantic",
     "pipe_e2e_model_curation",
     "pipe_lm_score",
     "pipe_multimodal_codec",
@@ -170,6 +169,11 @@ PRIORITY: list[str] = [
     # in-window by simhash_pairs/exact/incremental/semantic — to the
     # r12 backlog)
     "pipe_eval_kappa",
+    # ... and a NINTH: UniMax budget-capped mixture allocation
+    # (displaced pipe_dedup_semantic — r06 green, dedup still repped
+    # 3-way in-window by simhash_pairs/exact/incremental — to the r12
+    # backlog)
+    "pipe_mix_unimax",
     # (all four r07 swap slots now hold round-11 faces; the r07 head
     # rows events_funnel/events_gapfill/events_ohlc/pipe_corpus_health
     # keep their r07 greens at the front of the r12 backlog)
@@ -210,6 +214,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_dedup_minhash",
         "pipe_dedup_minhash_incr",
         "pipe_dedup_ngram",
+        "pipe_dedup_semantic",
         "pipe_dedup_simhash",
         "pipe_dedup_spans",
         "pipe_dedup_survivors",

@@ -1685,3 +1685,113 @@ def dsir_select(
         .where(F.col("rank") <= k)
         .select(id_col, "logw_micro", "rank")
     )
+
+
+def unimax_allocate(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    max_epochs: int,
+    budget_frac: tuple[int, int] = (1, 2),
+) -> DataFrame:
+    """UniMax mixture allocation (Chung et al. 2023): spread a total
+    token budget as UNIFORMLY as possible across strata (sources /
+    languages), except no stratum may repeat more than ``max_epochs``
+    epochs of its own data — the principled alternative to temperature
+    mixing that needs no tuned exponent and provably bounds
+    low-resource over-repetition.
+
+    The budget is ``B = total_tokens * num div den`` with
+    ``budget_frac = (num, den)`` (derived in-plan from the corpus, so
+    the same call works at every scale factor).  Water-filling in one
+    pass over the per-stratum totals, sorted by cap ``c = epochs *
+    size`` ascending: stratum i (of N, 1-based) is CAPPED iff
+    ``c_i * (N - i + 1) <= B - prefix_caps_before_i`` — the condition
+    is monotone along the sort, so the capped set is a prefix; every
+    uncapped stratum splits the remaining budget equally, as integers:
+    ``base = rem div K`` with the ``rem % K`` leftover tokens going to
+    the first ``leftover`` uncapped strata in sort order
+    (largest-remainder style — allocations SUM EXACTLY to min(B,
+    sum of caps), no rounding drift).
+
+    Returns one row per stratum: ``(strata, stratum_tokens, cap,
+    alloc, epochs)``.  Everything is integer arithmetic except
+    ``epochs = alloc / stratum_tokens`` — one exact IEEE division —
+    so the result is hash-exact with no rounding.
+
+    100 TB shape: the corpus-scale work is ONE map-side-combinable
+    aggregation (per-stratum token sums); the water-filling windows
+    run over the N-row stratum relation (N = number of sources /
+    languages — tens, by construction), so the unpartitioned sort is
+    N rows on one task, never the corpus.  Apply the result by
+    joining ``alloc``/``stratum_tokens`` back as a broadcast sampling
+    rate.
+    """
+    if max_epochs < 1:
+        raise ValueError(f"unimax_allocate: max_epochs must be >= 1, got {max_epochs}")
+    num, den = budget_frac
+    if num < 1 or den < 1:
+        raise ValueError(
+            f"unimax_allocate: budget_frac must be positive integers, got {budget_frac}"
+        )
+    sizes = (
+        df.groupBy(F.col(strata_col).alias("strata"))
+        .agg(F.coalesce(F.sum(F.col(token_col).cast("bigint")), F.lit(0)).alias(
+            "stratum_tokens"
+        ))
+        .select(
+            "strata",
+            "stratum_tokens",
+            (F.col("stratum_tokens") * F.lit(int(max_epochs))).alias("cap"),
+        )
+    )
+    # N is tens of strata: these windows sort N rows, not the corpus
+    w = Window.orderBy(F.col("cap").asc(), F.col("strata").asc())
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    staged = sizes.select(
+        "strata",
+        "stratum_tokens",
+        "cap",
+        F.row_number().over(w).alias("i"),
+        F.coalesce(
+            F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("prefix"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.expr(
+            f"(sum(stratum_tokens) over ()) * {int(num)} div {int(den)}"
+        ).alias("budget"),
+    ).withColumn(
+        "capped",
+        F.col("cap") * (F.col("n") - F.col("i") + 1)
+        <= F.col("budget") - F.col("prefix"),
+    )
+    summary = staged.agg(
+        F.sum(F.when(F.col("capped"), F.col("cap")).otherwise(0)).alias(
+            "total_capped"
+        ),
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).alias("n_capped"),
+    )
+    rem = F.col("budget") - F.col("total_capped")
+    k_unc = F.col("n") - F.col("n_capped")
+    base = F.when(k_unc > 0, F.expr(
+        "(budget - total_capped) div (n - n_capped)"
+    )).otherwise(F.lit(0))
+    leftover = F.when(k_unc > 0, rem % k_unc).otherwise(F.lit(0))
+    rank_unc = F.col("i") - F.col("n_capped")
+    alloc = F.when(F.col("capped"), F.col("cap")).otherwise(
+        base + F.when(rank_unc <= leftover, 1).otherwise(0)
+    )
+    return (
+        staged.crossJoin(F.broadcast(summary))
+        .select(
+            "strata",
+            "stratum_tokens",
+            "cap",
+            alloc.cast("bigint").alias("alloc"),
+            F.when(F.col("stratum_tokens") > 0, 
+                   alloc.cast("double") / F.col("stratum_tokens").cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("epochs"),
+        )
+    )

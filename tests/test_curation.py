@@ -825,3 +825,67 @@ def test_shard_balanced_beats_hash_sharding_on_skew(spark):
     hashed = imbalance(shard_assign(df, "id", n_shards=8).select("shard", "size"))
     assert bal < 0.01
     assert bal < hashed / 5
+
+
+def _unimax_ref(sizes, E, num, den):
+    """Independent driver-side water-filler."""
+    B = sum(sizes.values()) * num // den
+    caps = sorted(((sz * E, s) for s, sz in sizes.items()))
+    N = len(caps)
+    allocs, uncapped, prefix = {}, [], 0
+    for idx, (c, s) in enumerate(caps):
+        if not uncapped and c * (N - idx) <= B - prefix:
+            allocs[s] = c
+            prefix += c
+        else:
+            uncapped.append(s)
+    rem, K = B - prefix, len(uncapped)
+    base, lo = (rem // K, rem % K) if K else (0, 0)
+    for r, s in enumerate(uncapped, 1):
+        allocs[s] = base + (1 if r <= lo else 0)
+    return B, allocs
+
+
+def test_unimax_matches_water_filling_reference(spark):
+    sizes = {"s0": 10, "s1": 40, "s2": 40, "s3": 200, "s4": 1000}
+    data = []
+    for s, sz in sizes.items():
+        data += [(s, sz // 2), (s, sz - sz // 2)]
+    df = spark.createDataFrame(data, "src string, tok long")
+    out = curation.unimax_allocate(df, "src", "tok", max_epochs=3)
+    got = {r["strata"]: (r["stratum_tokens"], r["cap"], r["alloc"], r["epochs"])
+           for r in out.collect()}
+    B, allocs = _unimax_ref(sizes, 3, 1, 2)
+    assert got == {s: (sz, sz * 3, allocs[s], allocs[s] / sz)
+                   for s, sz in sizes.items()}
+    # allocations sum EXACTLY to the spendable budget — no rounding drift
+    assert sum(a for _, _, a, _ in got.values()) == min(
+        B, sum(sz * 3 for sz in sizes.values()))
+    # monster source is held at the equal share, tiny source fully repeated
+    assert got["s0"][3] == 3.0 and got["s4"][3] < 1.0
+    # partition invariance
+    again = {r["strata"]: r["alloc"] for r in curation.unimax_allocate(
+        df.repartition(7), "src", "tok", max_epochs=3).collect()}
+    assert again == {s: a for s, (_, _, a, _) in got.items()}
+
+
+def test_unimax_all_capped_and_guards(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 30)], "src string, tok long")
+    # budget 9x total: every source capped at its max epochs
+    out = curation.unimax_allocate(
+        df, "src", "tok", max_epochs=2, budget_frac=(9, 1)).collect()
+    assert all(r["alloc"] == r["cap"] and r["epochs"] == 2.0 for r in out)
+    # leftover tokens go to the FIRST uncapped strata in cap order
+    df2 = spark.createDataFrame(
+        [("a", 100), ("b", 100), ("c", 101)], "src string, tok long")
+    got = {r["strata"]: r["alloc"] for r in curation.unimax_allocate(
+        df2, "src", "tok", max_epochs=5, budget_frac=(1, 3)).collect()}
+    # budget = 301//3 = 100; nobody capped; base 33 rem 1 -> a gets 34
+    assert got == {"a": 34, "b": 33, "c": 33}
+    with _pytest.raises(ValueError, match="max_epochs"):
+        curation.unimax_allocate(df, "src", "tok", max_epochs=0)
+    with _pytest.raises(ValueError, match="budget_frac"):
+        curation.unimax_allocate(df, "src", "tok", 2, budget_frac=(0, 2))
