@@ -5583,3 +5583,77 @@ def pipe_mix_unimax(spark, sf_dir):
         "alloc",
         "epochs",
     )
+
+
+_KN_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         list_concat(list_concat([chr(2)],
+           list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                                             '\\s+'), x -> x <> '')),
+           [chr(3)]) AS pt
+  FROM documents
+),
+eb AS MATERIALIZED (
+  SELECT doc_id, pt[u.i] AS w1, pt[u.i + 1] AS w2,
+         CAST(COUNT(*) AS BIGINT) AS k_occ
+  FROM base, UNNEST(range(1, len(pt))) AS u(i)
+  GROUP BY doc_id, pt[u.i], pt[u.i + 1]
+),
+bc AS MATERIALIZED (
+  SELECT w1, w2, CAST(SUM(k_occ) AS BIGINT) AS c FROM eb GROUP BY w1, w2
+),
+ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS ctot FROM bc GROUP BY w1),
+n1f AS (SELECT w1, COUNT(*) AS nfollow FROM bc GROUP BY w1),
+ncont AS (SELECT w2, COUNT(*) AS nprec FROM bc GROUP BY w2),
+tt AS (SELECT COUNT(*) AS n_types FROM bc),
+model AS MATERIALIZED (
+  SELECT bc.w1, bc.w2,
+         CAST(FLOOR(ROUND(LN(
+           ((CAST(bc.c AS DOUBLE) - 0.75) / CAST(ctx.ctot AS DOUBLE))
+           + ((0.75 * CAST(n1f.nfollow AS DOUBLE))
+              / CAST(ctx.ctot AS DOUBLE))
+             * (CAST(ncont.nprec AS DOUBLE)
+                / CAST(tt.n_types AS DOUBLE))
+         ), 6) * 1000000 + 0.5) AS BIGINT) AS lnp_micro
+  FROM bc
+  JOIN ctx ON ctx.w1 = bc.w1
+  JOIN n1f ON n1f.w1 = bc.w1
+  JOIN ncont ON ncont.w2 = bc.w2
+  CROSS JOIN tt
+),
+folded AS (
+  SELECT eb.doc_id,
+         CAST(SUM(eb.k_occ) AS BIGINT) AS n_bigrams,
+         CAST(SUM(eb.k_occ * m.lnp_micro) AS BIGINT) AS logprob_micro
+  FROM eb JOIN model m ON m.w1 = eb.w1 AND m.w2 = eb.w2
+  GROUP BY eb.doc_id
+)
+SELECT doc_id, n_bigrams, logprob_micro,
+       CAST(logprob_micro AS DOUBLE)
+         / CAST(n_bigrams * 1000000 AS DOUBLE) AS avg_logprob,
+       ROUND(EXP(-(CAST(logprob_micro AS DOUBLE)
+                   / CAST(n_bigrams * 1000000 AS DOUBLE))), 6) AS ppl6
+FROM folded
+"""
+
+
+@register(
+    "pipe_lm_kneser_ney",
+    oracle=_KN_ORACLE,
+    doc="interpolated Kneser-Ney bigram LM (text.kn_bigram_lm_score, "
+    "D=0.75) trained on the corpus in ONE pass and scoring every "
+    "document — the smoothing that beats add-k/Jelinek-Mercer because "
+    "its backoff weighs words by DISTINCT-context count (continuation "
+    "probability), not raw frequency.  All four model relations (bigram "
+    "counts, context totals, follower/predecessor type counts) derive "
+    "from one (w1,w2) aggregation; scoring joins the per-doc distinct-"
+    "bigram relation (with multiplicities) against the model, never "
+    "the raw token stream.  Exactness: P(w2|w1) is fixed-order IEEE "
+    "arithmetic over integers, ln rounded-6, folded as k_occ-weighted "
+    "BIGINT micro-nats; avg_logprob is one exact division and "
+    "ppl6 = ROUND(EXP(-avg),6) — hash-exact",
+)
+def pipe_lm_kneser_ney(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return text_ops.kn_bigram_lm_score(d, "doc_id", "text")

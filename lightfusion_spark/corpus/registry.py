@@ -56,7 +56,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #:   subfamily's re-window, flagged in the r10 header — plus
 #:   events_attribution, pipe_boilerplate_lines, pipe_dedup_exact,
 #:   pipe_dedup_incremental, pipe_split_stratified)
-#: + 17 of the 34 r06-green rows (alphabetical; the rows deferred to the
+#: + 16 of the 34 r06-green rows (alphabetical; the rows deferred to the
 #:   r12 backlog each keep an in-window family sibling:
 #:   events_asof_bucketed [as-of repped by events_asof_join +
 #:   events_asof_forward], pipe_dedup_minhash_incr + pipe_dedup_spans
@@ -84,12 +84,13 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: (The 4 r07 swap rows — events_funnel, events_gapfill, events_ohlc,
 #:   pipe_corpus_health — each ceded its slot to a round-11 face and
 #:   heads the r12 backlog with its r07 green.)
-#: 4+3+6+17+11+9 = 50 exactly (9 = the round-11 new faces; the r06
-#: block shrank to 17 as pipe_dedup_simhash, events_windowed_stats,
-#: pipe_dedup_minhash and pipe_dedup_semantic ceded slots to the late
-#: faces below — dedup stays 3-way (simhash_pairs/exact/incremental)
-#: and events 5-way repped in-window).  The
-#: round-12 re-window backlog is the 17 deferred r06 rows above plus
+#: 4+3+6+16+11+10 = 50 exactly (10 = the round-11 new faces; the r06
+#: block shrank to 16 as pipe_dedup_simhash, events_windowed_stats,
+#: pipe_dedup_minhash, pipe_dedup_semantic and pipe_lm_score ceded
+#: slots to the late faces below — dedup stays 3-way
+#: (simhash_pairs/exact/incremental), events 5-way, and LM scoring is
+#: repped by pipe_lm_kneser_ney itself).  The
+#: round-12 re-window backlog is the 18 deferred r06 rows above plus
 #: the 4 ceded r07 swap rows, then the rest of the r07 block (34 rows
 #: after this round's picks).  Every rotated-out name was officially green in
 #: r05-r10 and moves to WINDOW_EXEMPT; tests/test_registry_window.py
@@ -113,14 +114,13 @@ PRIORITY: list[str] = [
     "pipe_dedup_exact",
     "pipe_dedup_incremental",
     "pipe_split_stratified",
-    # r06 block (17 of 34; the rest head the r12 backlog)
+    # r06 block (16 of 34; the rest head the r12 backlog)
     "events_asof_join",
     "events_range_join",
     "events_sessionize",
     "pipe_chunk_bpe",
     "pipe_decontaminate",
     "pipe_e2e_model_curation",
-    "pipe_lm_score",
     "pipe_multimodal_codec",
     "pipe_multimodal_decode",
     "pipe_pack_bpe",
@@ -174,6 +174,11 @@ PRIORITY: list[str] = [
     # 3-way in-window by simhash_pairs/exact/incremental — to the r12
     # backlog)
     "pipe_mix_unimax",
+    # ... and a TENTH: the Kneser-Ney bigram LM, a same-family swap
+    # (displaced pipe_lm_score — r06 green; the LM-scoring family is
+    # repped by this new face itself plus the r07/r08-green ngram
+    # variants)
+    "pipe_lm_kneser_ney",
     # (all four r07 swap slots now hold round-11 faces; the r07 head
     # rows events_funnel/events_gapfill/events_ohlc/pipe_corpus_health
     # keep their r07 greens at the front of the r12 backlog)
@@ -235,6 +240,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_layout_zorder",
         "pipe_lm_buckets",
         "pipe_lm_buckets_ngram",
+        "pipe_lm_score",
         "pipe_lm_score_ngram",
         "pipe_mixture_domain",
         "pipe_mixture_sample",

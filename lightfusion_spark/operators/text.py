@@ -1248,3 +1248,143 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "entropy_e6",
         norm.alias("norm_entropy6"),
     )
+
+
+_EOS = "\x03"
+
+
+def kn_bigram_lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document log-probability under an interpolated Kneser-Ney
+    bigram LM trained on the scored corpus itself — the smoothing that
+    beats Jelinek-Mercer/add-k (:func:`ngram_lm_score`) because its
+    backoff weighs a word by how many DISTINCT contexts it follows
+    (continuation probability), not raw frequency: "francisco" is
+    frequent but occurs after almost nothing except "san", so KN
+    correctly refuses to predict it in fresh contexts where a
+    frequency backoff would.
+
+    Every document is wrapped ``BOS … EOS`` (``\\x02``/``\\x03``
+    sentinels, same convention as :func:`ngram_lm_score`), so even an
+    empty document scores one (BOS, EOS) bigram.  With ``D`` the
+    absolute discount, ``c`` the corpus bigram count, ``ctot = c(w1·)``,
+    ``nfollow = N1+(w1·)``, ``nprec = N1+(·w2)``, ``T`` = distinct
+    bigram types::
+
+        P(w2|w1) = (c - D)/ctot + ((D·nfollow)/ctot) · (nprec/T)
+
+    (the ``max(c-D, 0)`` clip is vacuous when scoring the training
+    corpus: every scored bigram has ``c >= 1 > D``).  Per-type
+    ``ln P`` is rounded to 6 decimals and folded as
+    ``FLOOR(·*1e6+0.5)`` micro-nats; per-document sums weight each
+    type by its in-document multiplicity — pure BIGINT arithmetic, so
+    the result is partition-invariant and oracle-replayable bit for
+    bit.  Returns ``(id_col, n_bigrams, logprob_micro, avg_logprob,
+    ppl6)`` where ``avg_logprob`` is one exact IEEE division and
+    ``ppl6 = ROUND(EXP(-avg_logprob), 6)``.
+
+    Scale (100 TB): the bigram stream is a zero-shuffle projection +
+    posexplode; FOUR count tables derive from the single (w1, w2)
+    aggregation (never a second corpus pass) and are Zipf-bounded
+    (distinct bigrams ≪ token stream), so the scoring joins
+    AQE-broadcast when the model fits and shuffle-hash otherwise; the
+    per-document fold joins the doc-level (id, w1, w2, multiplicity)
+    relation — one row per distinct bigram per doc — against the
+    model, not the raw token stream.
+    """
+    d = float(discount)
+    if not (0.0 < d < 1.0):
+        raise ValueError(f"kn_bigram_lm_score: discount must be in (0,1), got {discount}")
+    # NULL text scores as the empty document (one BOS->EOS bigram) —
+    # without the coalesce the padded array is NULL and the document
+    # silently vanishes from both the model AND the output; the empty
+    # filter drops split('')'s [''] artifact so empty == NULL == no
+    # real tokens
+    toks = F.filter(
+        _tokens(F.coalesce(F.col(text_col), F.lit(""))),
+        lambda x: x != F.lit(""),
+    )
+    padded = F.concat(
+        F.array(F.lit(_BOS)), toks, F.array(F.lit(_EOS))
+    )
+    emit = (
+        df.select(F.col(id_col), padded.alias("_pt"))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    # slice position 2 (1-based) = bracket index 1
+                    # (0-based): x = _pt[i + 1], so its predecessor is
+                    # _pt[i]
+                    "transform(slice(_pt, 2, greatest(size(_pt) - 1, 0)), "
+                    "(x, i) -> named_struct('w1', _pt[i], 'w2', x))"
+                )
+            ).alias("_pos", "_g"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_g.w1").alias("w1"),
+            F.col("_g.w2").alias("w2"),
+        )
+    )
+    # one row per distinct bigram per document, with multiplicity —
+    # the corpus model derives from THIS relation (no second pass)
+    db = emit.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("k_occ")
+    ).localCheckpoint(eager=False)
+    bc = db.groupBy("w1", "w2").agg(F.sum("k_occ").alias("c")).localCheckpoint(
+        eager=False
+    )
+    ctx = bc.groupBy("w1").agg(F.sum("c").alias("ctot"))
+    n1f = bc.groupBy("w1").agg(F.count(F.lit(1)).alias("nfollow"))
+    ncont = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("nprec"))
+    tt = bc.agg(F.count(F.lit(1)).alias("n_types"))
+    p = (
+        (F.col("c").cast("double") - F.lit(d)) / F.col("ctot").cast("double")
+    ) + (
+        (F.lit(d) * F.col("nfollow").cast("double"))
+        / F.col("ctot").cast("double")
+    ) * (F.col("nprec").cast("double") / F.col("n_types").cast("double"))
+    model = (
+        bc.join(ctx, "w1")
+        .join(n1f, "w1")
+        .join(ncont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            F.floor(F.round(F.log(p), 6) * F.lit(1000000) + F.lit(0.5))
+            .cast("long")
+            .alias("lnp_micro"),
+        )
+    )
+    return (
+        db.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("k_occ").alias("n_bigrams"),
+            F.sum(F.col("k_occ") * F.col("lnp_micro")).alias("logprob_micro"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            "logprob_micro",
+            (
+                F.col("logprob_micro").cast("double")
+                / (F.col("n_bigrams") * F.lit(1000000)).cast("double")
+            ).alias("avg_logprob"),
+            F.round(
+                F.exp(
+                    -(
+                        F.col("logprob_micro").cast("double")
+                        / (F.col("n_bigrams") * F.lit(1000000)).cast("double")
+                    )
+                ),
+                6,
+            ).alias("ppl6"),
+        )
+    )

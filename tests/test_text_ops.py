@@ -479,3 +479,86 @@ def test_token_entropy_partition_invariant(spark):
     b = sorted(map(tuple, text_ops.token_entropy(
         df.repartition(11), "doc_id", "text").collect()))
     assert a == b
+
+
+def _kn_reference(docs, D=0.75):
+    """Independent driver-side interpolated Kneser-Ney bigram scorer."""
+    import math
+    from collections import Counter, defaultdict
+
+    BOS, EOS = "\x02", "\x03"
+    streams = {i: [BOS] + (t or "").lower().split() + [EOS] for i, t in docs}
+    bigrams = Counter()
+    for s in streams.values():
+        for a, b in zip(s, s[1:]):
+            bigrams[(a, b)] += 1
+    ctot, nfollow, nprec = defaultdict(int), defaultdict(int), defaultdict(int)
+    for (a, b), c in bigrams.items():
+        ctot[a] += c
+        nfollow[a] += 1
+        nprec[b] += 1
+    T = len(bigrams)
+
+    def lnp(a, b):
+        c = bigrams[(a, b)]
+        p = ((c - D) / ctot[a]) + ((D * nfollow[a]) / ctot[a]) * (nprec[b] / T)
+        return math.floor(round(math.log(p), 6) * 1e6 + 0.5)
+
+    out = {}
+    for i, s in streams.items():
+        ms = [lnp(a, b) for a, b in zip(s, s[1:])]
+        n, micro = len(ms), sum(ms)
+        avg = micro / (n * 1e6)
+        out[i] = (n, micro, avg, round(math.exp(-avg), 6))
+    return out, (bigrams, ctot, nfollow, nprec, T)
+
+
+def test_kn_matches_independent_reference(spark):
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "a cat and a dog"),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = {
+        r["id"]: (r["n_bigrams"], r["logprob_micro"], r["avg_logprob"], r["ppl6"])
+        for r in text_ops.kn_bigram_lm_score(df, "id", "text").collect()
+    }
+    exp, (bigrams, ctot, nfollow, nprec, T) = _kn_reference(docs)
+    assert got == exp
+    # empty and NULL documents both score exactly one BOS->EOS bigram
+    assert got[4][0] == 1 and got[4] == got[5]
+    # KN sanity on the underlying model: summing P(w2|w1) over the FULL
+    # vocab (max(c-D,0) for unseen bigrams) is exactly 1 per context
+    vocab = {b for _, b in bigrams} | {a for a, _ in bigrams}
+    D = 0.75
+    for w1 in ("the", "a", "\x02"):
+        tot = sum(
+            max(bigrams.get((w1, w2), 0) - D, 0) / ctot[w1]
+            + ((D * nfollow[w1]) / ctot[w1]) * (nprec.get(w2, 0) / T)
+            for w2 in vocab
+        )
+        assert abs(tot - 1.0) < 1e-9, (w1, tot)
+    # bitwise partition invariance
+    again = {
+        r["id"]: (r["n_bigrams"], r["logprob_micro"], r["avg_logprob"], r["ppl6"])
+        for r in text_ops.kn_bigram_lm_score(df.repartition(3), "id", "text").collect()
+    }
+    assert again == got
+
+
+def test_kn_discriminates_fluent_from_salad_and_guards(spark):
+    import pytest as _pytest
+
+    # 30 fluent repeats of the same sentence + 1 salad doc built from the
+    # SAME unigrams: a unigram model can't separate them, transitions can
+    fluent = [(i, "the quick brown fox jumps over the lazy dog") for i in range(30)]
+    salad = [(100, "dog the over quick lazy jumps brown the fox")]
+    df = spark.createDataFrame(fluent + salad, "id long, text string")
+    got = {r["id"]: r["ppl6"] for r in
+           text_ops.kn_bigram_lm_score(df, "id", "text").collect()}
+    assert got[100] > 2 * got[0]
+    with _pytest.raises(ValueError, match="discount"):
+        text_ops.kn_bigram_lm_score(df, "id", "text", discount=1.5)
