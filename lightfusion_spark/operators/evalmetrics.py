@@ -95,6 +95,27 @@ def corpus_bleu(
     grams at every order), so NULL-bearing corpora degrade the
     precisions instead of crashing.
     """
+    return corpus_bleu_from_cells(
+        bleu_cells(df, id_col, cand_col, ref_col, max_n=max_n), max_n=max_n
+    )
+
+
+def bleu_cells(
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 4,
+) -> DataFrame:
+    """The sufficient statistics of corpus BLEU as per-order cells:
+    ``(n, matched, cand_total, ref_total)`` for n=1..max_n — pure
+    integer sums, and ADDITIVE across disjoint pair sets (clipping
+    happens WITHIN each pair, so a pair contributes the same matched
+    count whichever batch carries it).  That additivity is what makes
+    the maintained BLEU store (:func:`bleu_append_batch`) exact: cells
+    summed over batches equal the cells of the union corpus, so the
+    streamed metric IS the batch metric, bit for bit.
+    """
     if max_n < 1:
         raise ValueError(f"corpus_bleu: max_n must be >= 1, got {max_n}")
     base = df.select(
@@ -116,19 +137,28 @@ def corpus_bleu(
     matched = (
         cand.join(ref, ["id", "n", "gram"])
         .groupBy("n")
-        .agg(F.sum(F.least("c_cand", "c_ref")).alias("matched"))
+        .agg(F.sum(F.least("c_cand", "c_ref")).alias("m"))
     )
-    totals = cand.groupBy("n").agg(F.sum("c_cand").alias("total"))
-    ref_len = (
-        ref.where(F.col("n") == 1)
-        .agg(F.coalesce(F.sum("c_ref"), F.lit(0)).alias("ref_len"))
+    cand_tot = cand.groupBy("n").agg(F.sum("c_cand").alias("ct"))
+    ref_tot = ref.groupBy("n").agg(F.sum("c_ref").alias("rt"))
+    return (
+        cand_tot.join(ref_tot, "n", "full")
+        .join(matched, "n", "full")
+        .select(
+            "n",
+            F.coalesce("m", F.lit(0)).cast("long").alias("matched"),
+            F.coalesce("ct", F.lit(0)).cast("long").alias("cand_total"),
+            F.coalesce("rt", F.lit(0)).cast("long").alias("ref_total"),
+        )
     )
-    # 4-rows-per-n -> one summary row (conditional aggregation pivot)
-    per_n = totals.join(matched, "n", "left").select(
-        "n",
-        "total",
-        F.coalesce("matched", F.lit(0)).alias("matched"),
-    )
+
+
+def corpus_bleu_from_cells(cells: DataFrame, max_n: int = 4) -> DataFrame:
+    """Finish corpus BLEU from :func:`bleu_cells` rows (possibly many
+    per ``n`` — e.g. one set per appended batch): cells are summed per
+    order first, so the finisher is shared VERBATIM by the one-shot
+    :func:`corpus_bleu` and the maintained store's
+    :func:`bleu_from_store` — output-identical by construction."""
     agg_cols = []
     for n in range(1, max_n + 1):
         agg_cols.append(
@@ -138,10 +168,15 @@ def corpus_bleu(
         )
         agg_cols.append(
             F.coalesce(
-                F.sum(F.when(F.col("n") == n, F.col("total"))), F.lit(0)
+                F.sum(F.when(F.col("n") == n, F.col("cand_total"))), F.lit(0)
             ).alias(f"total_{n}")
         )
-    flat = per_n.agg(*agg_cols).crossJoin(ref_len)
+    agg_cols.append(
+        F.coalesce(
+            F.sum(F.when(F.col("n") == 1, F.col("ref_total"))), F.lit(0)
+        ).alias("ref_len")
+    )
+    flat = cells.agg(*agg_cols)
 
     def p(n):
         return F.col(f"matched_{n}").cast("double") / F.col(
@@ -309,3 +344,62 @@ def annotator_agreement(
             .alias("kappa"),
         )
     )
+
+
+def bleu_append_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 4,
+) -> None:
+    """One append cycle of the maintained corpus-BLEU store — the
+    ``foreachBatch`` body of a continuously-graded eval stream (model
+    outputs trickle in; the corpus-level score must stay current
+    without re-scoring history).  Writes the arriving pairs'
+    :func:`bleu_cells` as ``(n, matched, cand_total, ref_total,
+    batch_id)`` parquet rows: O(max_n) integers per batch, however
+    many pairs arrived.
+
+    Replay safety is batch-id-ADDRESSED (the additive-sketch store's
+    mechanism, not the HLL store's idempotence): cells are a
+    deterministic function of the batch's rows, so a micro-batch
+    replayed after checkpoint recovery writes byte-identical rows
+    under the same ``batch_id``, and :func:`bleu_state_cells`
+    collapses duplicates (MAX per (n, batch_id)) before summing —
+    the reported BLEU can never double-count a replay.
+    """
+    cells = bleu_cells(batch_df, id_col, cand_col, ref_col, max_n=max_n)
+    cells.withColumn("batch_id", F.lit(int(batch_id)).cast("long")).write.mode(
+        "append"
+    ).parquet(state_dir)
+
+
+def bleu_state_cells(spark, state_dir: str) -> DataFrame:
+    """Read a :func:`bleu_append_batch` store back to clean per-order
+    cells: collapse replay duplicates (MAX per (n, batch_id) — replays
+    write identical values, so MAX is the identity on clean stores)
+    and return ``(n, matched, cand_total, ref_total)`` rows ready for
+    :func:`corpus_bleu_from_cells`."""
+    state = spark.read.parquet(state_dir)
+    return (
+        state.groupBy("n", "batch_id")
+        .agg(
+            F.max("matched").alias("matched"),
+            F.max("cand_total").alias("cand_total"),
+            F.max("ref_total").alias("ref_total"),
+        )
+        .select("n", "matched", "cand_total", "ref_total")
+    )
+
+
+def bleu_from_store(spark, state_dir: str, max_n: int = 4) -> DataFrame:
+    """Corpus BLEU over EVERYTHING the store has seen: because
+    :func:`bleu_cells` are additive over disjoint pair sets and the
+    finisher is shared verbatim, this equals :func:`corpus_bleu` over
+    the concatenation of all appended batches BIT FOR BIT — the
+    streamed metric is the batch metric (asserted by
+    ``tests/test_evalmetrics.py``)."""
+    return corpus_bleu_from_cells(bleu_state_cells(spark, state_dir), max_n=max_n)

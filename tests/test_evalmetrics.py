@@ -184,3 +184,75 @@ def test_kappa_extremes(spark):
         "item", "annotator", "label",
     ).collect()[0]
     assert abs(r["kappa"]) < 0.1 < r["p_o"]
+
+
+def test_bleu_store_stream_matches_batch_exactly(spark, tmp_path):
+    """Maintained BLEU store: pairs streamed over a two-file source and
+    appended inside foreachBatch; the store BLEU equals the one-shot
+    corpus_bleu over the union corpus BIT FOR BIT (cells are additive
+    because clipping happens within a pair)."""
+    from lightfusion_spark import operators
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = [
+        (i, f"tok{i} the quick brown fox {'x' * (i % 3 + 1)}",
+         f"the quick brown fox jumps tok{i}")
+        for i in range(60)
+    ]
+    pairs = spark.createDataFrame(rows, "id long, cand string, ref string")
+    src_dir = tmp_path / "bleu_src"
+    pairs.where("id % 2 = 0").coalesce(1).write.parquet(str(src_dir / "f1"))
+    import time
+
+    time.sleep(1.1)
+    pairs.where("id % 2 = 1").coalesce(1).write.parquet(str(src_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema(pairs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*/"))
+    )
+    state_dir = str(tmp_path / "bleu_state")
+
+    def process(batch_df, epoch_id):
+        em.bleu_append_batch(
+            batch_df, state_dir, epoch_id, "id", "cand", "ref"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_bleu"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    store = spark.read.parquet(state_dir)
+    # the append really spanned micro-batches
+    assert store.select("batch_id").distinct().count() >= 2
+    got = em.bleu_from_store(spark, state_dir).collect()[0].asDict()
+    want = em.corpus_bleu(pairs, "id", "cand", "ref").collect()[0].asDict()
+    assert got == want and want["bleu6"] > 0
+
+
+def test_bleu_store_replay_is_a_no_op(spark, tmp_path):
+    """Batch-id-addressed appends: replaying a batch under its original
+    id writes byte-identical cells, and the read-side MAX dedup makes
+    the reported BLEU identical — checkpoint recovery can never
+    double-count."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = [(i, f"a b c tok{i}", f"a b c d tok{i}") for i in range(20)]
+    pairs = spark.createDataFrame(rows, "id long, cand string, ref string")
+    state_dir = str(tmp_path / "bleu_replay")
+    b0 = pairs.where("id < 10")
+    b1 = pairs.where("id >= 10")
+    em.bleu_append_batch(b0, state_dir, 0, "id", "cand", "ref")
+    em.bleu_append_batch(b1, state_dir, 1, "id", "cand", "ref")
+    before = em.bleu_from_store(spark, state_dir).collect()[0].asDict()
+    em.bleu_append_batch(b1, state_dir, 1, "id", "cand", "ref")  # replay
+    after = em.bleu_from_store(spark, state_dir).collect()[0].asDict()
+    assert after == before
+    assert before == (
+        em.corpus_bleu(pairs, "id", "cand", "ref").collect()[0].asDict()
+    )
