@@ -124,6 +124,14 @@ BENCH_QUERIES = [
     "pipe_shard_balanced",
     "pipe_mad_outliers",
     "pipe_web_kcore",
+    # late round-11: exact triangles (the wedge join is the heaviest
+    # one-shot graph op), the eval-metrics pair, UniMax allocation, and
+    # the KN model (train + score over the whole corpus)
+    "pipe_web_triangles",
+    "pipe_eval_bleu",
+    "pipe_eval_kappa",
+    "pipe_mix_unimax",
+    "pipe_lm_kneser_ney",
 ]
 
 

@@ -5657,3 +5657,79 @@ FROM folded
 def pipe_lm_kneser_ney(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     return text_ops.kn_bigram_lm_score(d, "doc_id", "text")
+
+
+_ZIPF_ORACLE = """
+WITH toks AS (
+  SELECT u.tok
+  FROM (SELECT list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                                                 '\\s+'),
+                           x -> x <> '') AS tk
+        FROM documents) b,
+       UNNEST(tk) AS u(tok)
+),
+counts AS MATERIALIZED (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_tokens
+  FROM counts
+),
+ranked AS (
+  SELECT CAST(FLOOR(ROUND(LN(CAST(rank AS DOUBLE)), 6) * 1000000 + 0.5)
+              AS BIGINT) AS x,
+         CAST(FLOOR(ROUND(LN(CAST(c AS DOUBLE)), 6) * 1000000 + 0.5)
+              AS BIGINT) AS y
+  FROM (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS rank
+        FROM counts) t
+  WHERE rank <= 200
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_fit,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM ranked
+),
+calc AS (
+  SELECT n_fit,
+         n_fit * sxy - sx * sy AS num,
+         n_fit * sxx - sx * sx AS den_x,
+         n_fit * syy - sy * sy AS den_y
+  FROM s
+)
+SELECT c.n_fit, t.n_types, t.n_tokens,
+       CASE WHEN c.n_fit < 2 OR c.den_x = 0 OR c.den_y = 0 THEN 0.0
+            ELSE -(CAST(c.num AS DOUBLE) / CAST(c.den_x AS DOUBLE))
+       END AS alpha,
+       CASE WHEN c.n_fit < 2 OR c.den_x = 0 OR c.den_y = 0 THEN 0.0
+            ELSE (CAST(c.num AS DOUBLE) / CAST(c.den_x AS DOUBLE))
+                 * (CAST(c.num AS DOUBLE) / CAST(c.den_y AS DOUBLE))
+       END AS r2
+FROM calc c CROSS JOIN totals t
+"""
+
+
+@register(
+    "pipe_corpus_zipf",
+    oracle=_ZIPF_ORACLE,
+    doc="Zipf-law fit (profile.zipf_fit): OLS slope + R^2 of the "
+    "log-log rank-frequency curve over the top-200 token types — the "
+    "one-number language-health gate (natural text: alpha ~ 1, high "
+    "R^2; template spam and generated filler bend the line).  One "
+    "map-side-combinable token count (types << tokens by Zipf "
+    "itself), a top-k row_number over the TYPE table only (planned "
+    "as a distributed TakeOrderedAndProject(200), plan-verified), and "
+    "a 1-row reduction. "
+    "x/y are ROUND(ln,6) micro-ints; the five OLS sufficient "
+    "statistics are BIGINT sums, so alpha and r2 are two/three exact "
+    "IEEE operations over integers — hash-exact with no further "
+    "rounding",
+)
+def pipe_corpus_zipf(spark, sf_dir):
+    from ..operators import profile
+
+    d = table(spark, sf_dir, "documents")
+    return profile.zipf_fit(d, "doc_id", "text", top_k=200)

@@ -56,7 +56,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #:   subfamily's re-window, flagged in the r10 header — plus
 #:   events_attribution, pipe_boilerplate_lines, pipe_dedup_exact,
 #:   pipe_dedup_incremental, pipe_split_stratified)
-#: + 16 of the 34 r06-green rows (alphabetical; the rows deferred to the
+#: + 15 of the 34 r06-green rows (alphabetical; the rows deferred to the
 #:   r12 backlog each keep an in-window family sibling:
 #:   events_asof_bucketed [as-of repped by events_asof_join +
 #:   events_asof_forward], pipe_dedup_minhash_incr + pipe_dedup_spans
@@ -84,13 +84,14 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: (The 4 r07 swap rows — events_funnel, events_gapfill, events_ohlc,
 #:   pipe_corpus_health — each ceded its slot to a round-11 face and
 #:   heads the r12 backlog with its r07 green.)
-#: 4+3+6+16+11+10 = 50 exactly (10 = the round-11 new faces; the r06
-#: block shrank to 16 as pipe_dedup_simhash, events_windowed_stats,
-#: pipe_dedup_minhash, pipe_dedup_semantic and pipe_lm_score ceded
-#: slots to the late faces below — dedup stays 3-way
-#: (simhash_pairs/exact/incremental), events 5-way, and LM scoring is
-#: repped by pipe_lm_kneser_ney itself).  The
-#: round-12 re-window backlog is the 18 deferred r06 rows above plus
+#: 4+3+6+15+11+11 = 50 exactly (11 = the round-11 new faces; the r06
+#: block shrank to 15 as pipe_dedup_simhash, events_windowed_stats,
+#: pipe_dedup_minhash, pipe_dedup_semantic, pipe_lm_score and
+#: pipe_text_bm25 ceded slots to the late faces below — dedup stays
+#: 3-way (simhash_pairs/exact/incremental), events 5-way, LM scoring
+#: is repped by pipe_lm_kneser_ney itself, and text by
+#: langid/text_stats/entropy).  The
+#: round-12 re-window backlog is the 19 deferred r06 rows above plus
 #: the 4 ceded r07 swap rows, then the rest of the r07 block (34 rows
 #: after this round's picks).  Every rotated-out name was officially green in
 #: r05-r10 and moves to WINDOW_EXEMPT; tests/test_registry_window.py
@@ -114,7 +115,7 @@ PRIORITY: list[str] = [
     "pipe_dedup_exact",
     "pipe_dedup_incremental",
     "pipe_split_stratified",
-    # r06 block (16 of 34; the rest head the r12 backlog)
+    # r06 block (15 of 34; the rest head the r12 backlog)
     "events_asof_join",
     "events_range_join",
     "events_sessionize",
@@ -127,7 +128,6 @@ PRIORITY: list[str] = [
     "pipe_quality_model",
     "pipe_sim_ivf_kmeans",
     "pipe_sim_topk",
-    "pipe_text_bm25",
     "pipe_text_stats",
     "pipe_tokenize_bpe",
     "rel_join_inner_agg",
@@ -179,6 +179,11 @@ PRIORITY: list[str] = [
     # repped by this new face itself plus the r07/r08-green ngram
     # variants)
     "pipe_lm_kneser_ney",
+    # ... and an ELEVENTH: the Zipf-law corpus-health fit (displaced
+    # pipe_text_bm25 — r06 green; BM25 stays repped by the r10-green
+    # pipe_text_bm25_terms and text by langid/text_stats/entropy
+    # in-window)
+    "pipe_corpus_zipf",
     # (all four r07 swap slots now hold round-11 faces; the r07 head
     # rows events_funnel/events_gapfill/events_ohlc/pipe_corpus_health
     # keep their r07 greens at the front of the r12 backlog)
@@ -289,6 +294,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "pipe_source_overlap",
         "pipe_split_group",
         "pipe_strip_boilerplate",
+        "pipe_text_bm25",
         "pipe_text_bm25_terms",
         "pipe_text_fingerprint",
         "pipe_text_keywords",

@@ -298,3 +298,110 @@ def mad_outlier_report(
         )
         .select(group_col, "n_events", "median6", "mad6", "n_outliers")
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 200,
+) -> DataFrame:
+    """Zipf-law fit over the corpus rank-frequency curve — the
+    one-number language-health check of a scraped corpus: natural text
+    follows ``freq ∝ rank^(-alpha)`` with alpha ≈ 1; boilerplate
+    floods, template spam, and machine-generated filler bend the
+    log-log line (alpha drifts, R² collapses), so (alpha, r2) is a
+    cheap release-gate signal beside the per-document Gopher filters.
+
+    OLS on ``(x, y) = (ln rank, ln freq)`` over the ``top_k``
+    most-frequent token types (rank ties broken by token — fully
+    deterministic).  Returns ONE row: ``n_fit`` (types actually
+    fitted), ``n_types``/``n_tokens`` (whole-vocabulary scalars),
+    ``alpha`` (the negated OLS slope) and ``r2``.
+
+    Exactness: x and y are ROUND(ln, 6) micro-ints; the five OLS
+    sufficient statistics (Sx, Sy, Sxy, Sxx, Syy) are BIGINT sums of
+    micro-int products, so ``num = n·Sxy − Sx·Sy`` and the two
+    denominators are exact integers and
+
+    * ``alpha = −num / den_x``                      (one IEEE division)
+    * ``r2    = (num/den_x) · (num/den_y)``         (two divisions, one
+      multiply — fixed order)
+
+    are bit-stable across engines and partitionings with no further
+    rounding.  Integer headroom: |x|,|y| ≤ ~3·10⁷ micro-units at
+    web-scale counts, so Sxy terms are ≤ 10¹⁵ and ``n·Sxy`` at
+    ``top_k = 200`` stays ~10¹⁸ < 2⁶³ (the docstring bound:
+    ``top_k · (ln max_freq · 1e6)² < 2⁶³`` — raise top_k past ~10⁴
+    only with the DECIMAL fold).  Degenerate fits (fewer than 2
+    types, or a zero denominator — all ranks or all freqs equal)
+    return alpha = 0.0, r2 = 0.0 rather than NaN.
+
+    100 TB shape: one explode into a map-side-combinable token count
+    (Zipf itself guarantees distinct types ≪ tokens), one top-k
+    window over the type table ONLY (never the corpus; Catalyst plans
+    the rank<=k filter as a distributed TakeOrderedAndProject feeding
+    the window, so no task ever sorts the full vocabulary), and a
+    1-row reduction.  The whole-vocab scalars ride the same aggregation.
+    """
+    from pyspark.sql import Window
+
+    if top_k < 2:
+        raise ValueError(f"zipf_fit: top_k must be >= 2, got {top_k}")
+    toks = F.explode(
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda x: x != F.lit(""),
+        )
+    ).alias("tok")
+    counts = df.select(toks).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_tokens"),
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.floor(
+                F.round(F.log(F.col("rank").cast("double")), 6) * 1000000
+                + F.lit(0.5)
+            ).cast("long").alias("x"),
+            F.floor(
+                F.round(F.log(F.col("c").cast("double")), 6) * 1000000
+                + F.lit(0.5)
+            ).cast("long").alias("y"),
+        )
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n_fit"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n_fit") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n_fit") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n_fit") * F.col("syy") - F.col("sy") * F.col("sy")
+    degenerate = (F.col("n_fit") < 2) | (den_x == 0) | (den_y == 0)
+    return (
+        s.crossJoin(F.broadcast(totals))
+        .select(
+            "n_fit",
+            "n_types",
+            "n_tokens",
+            F.when(degenerate, F.lit(0.0))
+            .otherwise(-(num.cast("double") / den_x.cast("double")))
+            .alias("alpha"),
+            F.when(degenerate, F.lit(0.0))
+            .otherwise(
+                (num.cast("double") / den_x.cast("double"))
+                * (num.cast("double") / den_y.cast("double"))
+            )
+            .alias("r2"),
+        )
+    )

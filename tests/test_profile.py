@@ -162,3 +162,57 @@ def test_mad_partition_invariant(spark):
     b = sorted(map(tuple, mad_outlier_report(
         df.repartition(13), "grp", "value").collect()))
     assert a == b
+
+
+def test_zipf_fit_matches_independent_ols(spark):
+    import math
+    from collections import Counter
+
+    from lightfusion_spark.operators.profile import zipf_fit
+
+    words = []
+    for i in range(1, 101):
+        words += [f"t{i}"] * (1000 // i)
+    rows = [(j, " ".join(words[j:j + 50])) for j in range(0, len(words), 50)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = zipf_fit(df, "id", "text", top_k=80).collect()[0].asDict()
+
+    cnt = Counter(w for _, t in rows for w in t.split())
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:80]
+    X = [math.floor(round(math.log(r), 6) * 1e6 + 0.5)
+         for r in range(1, len(ranked) + 1)]
+    Y = [math.floor(round(math.log(c), 6) * 1e6 + 0.5) for _, c in ranked]
+    n, sx, sy = len(X), sum(X), sum(Y)
+    sxy = sum(a * b for a, b in zip(X, Y))
+    sxx = sum(a * a for a in X)
+    syy = sum(b * b for b in Y)
+    num, dx, dy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    assert out == {
+        "n_fit": n, "n_types": len(cnt), "n_tokens": len(words),
+        "alpha": -(num / dx), "r2": (num / dx) * (num / dy),
+    }
+    # a 1/i law should fit alpha ~ 1 tightly
+    assert 0.8 < out["alpha"] < 1.2 and out["r2"] > 0.97
+    # bitwise partition invariance
+    again = zipf_fit(df.repartition(7), "id", "text", top_k=80).collect()[0]
+    assert again.asDict() == out
+
+
+def test_zipf_fit_degenerate_and_guards(spark):
+    import pytest as _pytest
+
+    from lightfusion_spark.operators.profile import zipf_fit
+
+    # uniform frequencies: every type count identical -> den_y = 0 ->
+    # documented degenerate (0.0, 0.0), never NaN
+    rows = [(i, f"u{i}a u{i}b u{i}c") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = zipf_fit(df, "id", "text").collect()[0]
+    assert out["alpha"] == 0.0 and out["r2"] == 0.0 and out["n_fit"] == 60
+    # empty / NULL corpus -> n_fit 0, degenerate
+    empty = spark.createDataFrame([(1, None), (2, "")], "id long, text string")
+    out = zipf_fit(empty, "id", "text").collect()[0]
+    assert out["n_fit"] == 0 and out["n_tokens"] == 0
+    assert out["alpha"] == 0.0 and out["r2"] == 0.0
+    with _pytest.raises(ValueError, match="top_k"):
+        zipf_fit(df, "id", "text", top_k=1)

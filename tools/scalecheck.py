@@ -1044,6 +1044,54 @@ def main() -> None:
             for label, fn in (("window", _windowed), ("twopass", _twopass)):
                 timed(f"ab_curriculum_rank_{label}_{n}", lambda fn=fn, src=src: fn(src) or 0)
 
+    # round-11: the new heavy faces' cost curves.  Synthetic ~20-token
+    # documents/pairs from id arithmetic (deterministic, no RNG), 10x
+    # corpus growth each.
+    if not ONLY or any("curve_eval" in s or "curve_lm_kn" in s for s in ONLY):
+        from lightfusion_spark.operators import evalmetrics as em_mod
+        from lightfusion_spark.operators import text as text_mod
+
+        def _pairs(n):
+            return spark.range(n).select(
+                F.col("id"),
+                F.expr(
+                    "concat_ws(' ', transform(sequence(1, 20), "
+                    "i -> concat('t', (id * i) % 997)))"
+                ).alias("ref"),
+                F.expr(
+                    "concat_ws(' ', filter(transform(sequence(1, 20), "
+                    "i -> concat('t', (id * i) % 997)), "
+                    "(x, i) -> i % 7 != 3))"
+                ).alias("cand"),
+            ).localCheckpoint(eager=True)
+
+        noop2 = lambda df: df.write.format("noop").mode("overwrite").save()
+        p1, p10 = _pairs(50_000), _pairs(500_000)
+        curve(
+            "curve_eval_bleu",
+            lambda: noop2(em_mod.corpus_bleu(p1, "id", "cand", "ref")),
+            lambda: noop2(em_mod.corpus_bleu(p10, "id", "cand", "ref")),
+        )
+        curve(
+            "curve_lm_kn",
+            lambda: noop2(text_mod.kn_bigram_lm_score(p1, "id", "ref")),
+            lambda: noop2(text_mod.kn_bigram_lm_score(p10, "id", "ref")),
+        )
+
+        def _ann(n):
+            return spark.range(n).select(
+                (F.col("id") % (n // 100)).alias("item"),
+                ((F.col("id") * 7919) % 4).alias("annotator"),
+                F.concat(F.lit("l"), ((F.col("id") * 31) % 3)).alias("label"),
+            ).localCheckpoint(eager=True)
+
+        a1, a10 = _ann(300_000), _ann(3_000_000)
+        curve(
+            "curve_eval_kappa",
+            lambda: noop2(em_mod.annotator_agreement(a1, "item", "annotator", "label")),
+            lambda: noop2(em_mod.annotator_agreement(a10, "item", "annotator", "label")),
+        )
+
 
 if __name__ == "__main__":
     main()
