@@ -129,9 +129,10 @@ FROM calc
     "mean, brevity penalty — the reference-based grading step of eval "
     "harnesses and distillation QA.  Pairs are deterministic: "
     "reference = each document's token stream, candidate = the same "
-    "stream with every 7th token dropped.  One explode per side into "
-    "(id,n,gram) map-side-combinable counts, clipping = inner "
-    "equi-join on that key (no corpus-wide skew — grams are "
+    "stream with every 7th token dropped.  ONE side-tagged explode "
+    "into a single (id,n,gram) map-side-combinable aggregation with "
+    "conditional per-side counts; clipping = least() on the "
+    "aggregated row, NO join (no corpus-wide skew — grams are "
     "high-frequency only WITHIN an id), then a 4-row reduction to ONE "
     "summary row.  Integer counts; each p_n is one IEEE division; "
     "log-mean folds FLOOR(ROUND(LN,6)*1e6+0.5) micro-nats as BIGINT; "
