@@ -129,12 +129,12 @@ FROM calc
     "mean, brevity penalty — the reference-based grading step of eval "
     "harnesses and distillation QA.  Pairs are deterministic: "
     "reference = each document's token stream, candidate = the same "
-    "stream with every 7th token dropped.  ONE side-tagged explode "
-    "into a single (id,n,gram) map-side-combinable aggregation with "
-    "conditional per-side counts; clipping = least() on the "
-    "aggregated row, NO join (no corpus-wide skew — grams are "
-    "high-frequency only WITHIN an id), then a 4-row reduction to ONE "
-    "summary row.  Integer counts; each p_n is one IEEE division; "
+    "stream with every 7th token dropped.  Clipping never leaves its "
+    "row: JVM tokenization feeds an Arrow-batched mapInPandas that "
+    "multiset-min-counts each pair row-locally and folds every "
+    "partition to 4 partial rows — the metric's only exchange is a "
+    "4-row merge (three designs pinned by measurement: 114.2 / 43.6 / "
+    "1.9 s at sf0.1).  Integer counts; each p_n is one IEEE division; "
     "log-mean folds FLOOR(ROUND(LN,6)*1e6+0.5) micro-nats as BIGINT; "
     "bleu6 = ROUND(bp6 * ROUND(EXP(mean),6), 6) — hash-exact",
 )
