@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "pipe_eval_kappa",
     "pipe_mix_unimax",
     "pipe_lm_kneser_ney",
+    "pipe_lm_kn_trigram",
 ]
 
 

@@ -5733,3 +5733,93 @@ def pipe_corpus_zipf(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents")
     return profile.zipf_fit(d, "doc_id", "text", top_k=200)
+
+
+_KN3_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         list_concat(list_concat([chr(2), chr(2)],
+           list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                                             '\\s+'), x -> x <> '')),
+           [chr(3)]) AS pt
+  FROM documents
+),
+td AS MATERIALIZED (
+  SELECT doc_id, pt[u.i] AS w1, pt[u.i + 1] AS w2, pt[u.i + 2] AS w3,
+         CAST(COUNT(*) AS BIGINT) AS k_occ
+  FROM base, UNNEST(range(1, len(pt) - 1)) AS u(i)
+  GROUP BY doc_id, pt[u.i], pt[u.i + 1], pt[u.i + 2]
+),
+c3 AS MATERIALIZED (
+  SELECT w1, w2, w3, CAST(SUM(k_occ) AS BIGINT) AS c3
+  FROM td GROUP BY w1, w2, w3
+),
+ctx3 AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS ctot3
+         FROM c3 GROUP BY w1, w2),
+nf3 AS (SELECT w1, w2, COUNT(*) AS nf3 FROM c3 GROUP BY w1, w2),
+cont2 AS MATERIALIZED (
+  SELECT w2, w3, COUNT(*) AS cont2 FROM c3 GROUP BY w2, w3
+),
+mid2 AS (SELECT w2, CAST(SUM(cont2) AS BIGINT) AS mid2
+         FROM cont2 GROUP BY w2),
+nfc AS (SELECT w2, COUNT(*) AS nfc FROM cont2 GROUP BY w2),
+npre2 AS (SELECT w3, COUNT(*) AS npre2 FROM cont2 GROUP BY w3),
+t2c AS (SELECT COUNT(*) AS t2c FROM cont2),
+model AS MATERIALIZED (
+  SELECT c3.w1, c3.w2, c3.w3,
+         CAST(FLOOR(ROUND(LN(
+           ((CAST(c3.c3 AS DOUBLE) - 0.75) / CAST(ctx3.ctot3 AS DOUBLE))
+           + ((0.75 * CAST(nf3.nf3 AS DOUBLE))
+              / CAST(ctx3.ctot3 AS DOUBLE))
+             * (
+               ((CAST(cont2.cont2 AS DOUBLE) - 0.75)
+                / CAST(mid2.mid2 AS DOUBLE))
+               + ((0.75 * CAST(nfc.nfc AS DOUBLE))
+                  / CAST(mid2.mid2 AS DOUBLE))
+                 * (CAST(npre2.npre2 AS DOUBLE)
+                    / CAST(t2c.t2c AS DOUBLE))
+             )
+         ), 6) * 1000000 + 0.5) AS BIGINT) AS lnp_micro
+  FROM c3
+  JOIN ctx3 ON ctx3.w1 = c3.w1 AND ctx3.w2 = c3.w2
+  JOIN nf3 ON nf3.w1 = c3.w1 AND nf3.w2 = c3.w2
+  JOIN cont2 ON cont2.w2 = c3.w2 AND cont2.w3 = c3.w3
+  JOIN mid2 ON mid2.w2 = c3.w2
+  JOIN nfc ON nfc.w2 = c3.w2
+  JOIN npre2 ON npre2.w3 = c3.w3
+  CROSS JOIN t2c
+),
+folded AS (
+  SELECT td.doc_id,
+         CAST(SUM(td.k_occ) AS BIGINT) AS n_trigrams,
+         CAST(SUM(td.k_occ * m.lnp_micro) AS BIGINT) AS logprob_micro
+  FROM td JOIN model m
+    ON m.w1 = td.w1 AND m.w2 = td.w2 AND m.w3 = td.w3
+  GROUP BY td.doc_id
+)
+SELECT doc_id, n_trigrams, logprob_micro,
+       CAST(logprob_micro AS DOUBLE)
+         / CAST(n_trigrams * 1000000 AS DOUBLE) AS avg_logprob,
+       ROUND(EXP(-(CAST(logprob_micro AS DOUBLE)
+                   / CAST(n_trigrams * 1000000 AS DOUBLE))), 6) AS ppl6
+FROM folded
+"""
+
+
+@register(
+    "pipe_lm_kn_trigram",
+    oracle=_KN3_ORACLE,
+    doc="interpolated Kneser-Ney TRIGRAM LM (text.kn_trigram_lm_score, "
+    "D=0.75) — the full KenLM-shaped recursion over the bigram face: "
+    "middle and bottom orders use CONTINUATION counts derived from "
+    "the trigram type table (count-of-counts, never raw frequency), "
+    "and the probability provably sums to 1 per history (the KN "
+    "telescoping identity, test-asserted).  ALL six model relations "
+    "derive from one (w1,w2,w3) aggregation — one corpus explode, no "
+    "second pass; scoring joins per-doc distinct trigrams with "
+    "multiplicities.  Fixed-order IEEE arithmetic + ln ROUND 6 + "
+    "k_occ-weighted BIGINT micro-nat folds — hash-exact",
+)
+def pipe_lm_kn_trigram(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return text_ops.kn_trigram_lm_score(d, "doc_id", "text")

@@ -1388,3 +1388,154 @@ def kn_bigram_lm_score(
             ).alias("ppl6"),
         )
     )
+
+
+def kn_trigram_lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document log-probability under an interpolated Kneser-Ney
+    TRIGRAM LM trained on the scored corpus — the full KenLM-shaped
+    recursion over :func:`kn_bigram_lm_score`: the middle and bottom
+    orders use CONTINUATION counts derived from the trigram type table
+    (how many distinct left contexts a suffix appears in), exactly the
+    count-of-counts discipline that makes KN the standard pretraining
+    quality model.
+
+    Documents are wrapped ``BOS BOS … EOS``; every real token and the
+    EOS is scored with its full two-word history.  With ``D`` the
+    absolute discount and all statistics derived from ONE corpus
+    trigram aggregation (types with multiplicities):
+
+    * top (raw counts): ``c3(w1w2w3)``, ``ctx3(w1w2·)``,
+      ``nf3 = N1+(w1w2·)``
+    * middle (continuation): ``cont2(w2w3) = N1+(·w2w3)``,
+      ``mid2(w2) = N1+(·w2·)``, ``nfc(w2)`` = distinct suffix types
+      after ``w2``
+    * bottom: ``npre2(w3) = N1+(·`·`w3)`` distinct middles preceding
+      ``w3``, ``T2c`` = total distinct suffix types
+
+    and the probability is the fixed-order IEEE expression::
+
+        P2c = (cont2 - D)/mid2 + ((D*nfc)/mid2) * (npre2/T2c)
+        P3  = (c3 - D)/ctx3   + ((D*nf3)/ctx3)  * P2c
+
+    which sums to exactly 1 over the vocabulary per history (the KN
+    telescoping identity — asserted by test).  Per-type ``ln P3``
+    rounds to 6 decimals and folds as multiplicity-weighted BIGINT
+    micro-nats, so the result is partition-invariant bit for bit and
+    the whole train-then-score loop replays in one SQL oracle.
+    Returns ``(id_col, n_trigrams, logprob_micro, avg_logprob,
+    ppl6)``.
+
+    Scale (100 TB): one posexplode of the padded token stream; the
+    per-document distinct-trigram relation feeds BOTH the corpus
+    model (five Zipf-bounded aggregations, all derived from the one
+    (w1,w2,w3) aggregate — never a second corpus pass) and the
+    scoring join; the model join AQE-broadcasts when it fits.  No
+    windows, no driver loops, no Python crossings.
+    """
+    d = float(discount)
+    if not (0.0 < d < 1.0):
+        raise ValueError(
+            f"kn_trigram_lm_score: discount must be in (0,1), got {discount}"
+        )
+    toks = F.filter(
+        _tokens(F.coalesce(F.col(text_col), F.lit(""))),
+        lambda x: x != F.lit(""),
+    )
+    padded = F.concat(
+        F.array(F.lit(_BOS), F.lit(_BOS)), toks, F.array(F.lit(_EOS))
+    )
+    emit = (
+        df.select(F.col(id_col), padded.alias("_pt"))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    # slice position 3 (1-based) = bracket index 2
+                    # (0-based): x = _pt[i + 2], history = _pt[i],
+                    # _pt[i + 1]
+                    "transform(slice(_pt, 3, greatest(size(_pt) - 2, 0)), "
+                    "(x, i) -> named_struct("
+                    "'w1', _pt[i], 'w2', _pt[i + 1], 'w3', x))"
+                )
+            ).alias("_pos", "_g"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_g.w1").alias("w1"),
+            F.col("_g.w2").alias("w2"),
+            F.col("_g.w3").alias("w3"),
+        )
+    )
+    td = emit.groupBy(id_col, "w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("k_occ")
+    ).localCheckpoint(eager=False)
+    c3 = td.groupBy("w1", "w2", "w3").agg(F.sum("k_occ").alias("c3")).localCheckpoint(
+        eager=False
+    )
+    ctx3 = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("ctot3"))
+    nf3 = c3.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nf3"))
+    cont2 = c3.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("cont2")).localCheckpoint(
+        eager=False
+    )
+    mid2 = cont2.groupBy("w2").agg(F.sum("cont2").alias("mid2"))
+    nfc = cont2.groupBy("w2").agg(F.count(F.lit(1)).alias("nfc"))
+    npre2 = cont2.groupBy("w3").agg(F.count(F.lit(1)).alias("npre2"))
+    t2c = cont2.agg(F.count(F.lit(1)).alias("t2c"))
+    p2c = (
+        (F.col("cont2").cast("double") - F.lit(d)) / F.col("mid2").cast("double")
+    ) + (
+        (F.lit(d) * F.col("nfc").cast("double")) / F.col("mid2").cast("double")
+    ) * (F.col("npre2").cast("double") / F.col("t2c").cast("double"))
+    p3 = (
+        (F.col("c3").cast("double") - F.lit(d)) / F.col("ctot3").cast("double")
+    ) + (
+        (F.lit(d) * F.col("nf3").cast("double")) / F.col("ctot3").cast("double")
+    ) * p2c
+    model = (
+        c3.join(ctx3, ["w1", "w2"])
+        .join(nf3, ["w1", "w2"])
+        .join(cont2, ["w2", "w3"])
+        .join(mid2, "w2")
+        .join(nfc, "w2")
+        .join(npre2, "w3")
+        .crossJoin(F.broadcast(t2c))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.floor(F.round(F.log(p3), 6) * F.lit(1000000) + F.lit(0.5))
+            .cast("long")
+            .alias("lnp_micro"),
+        )
+    )
+    return (
+        td.join(model, ["w1", "w2", "w3"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("k_occ").alias("n_trigrams"),
+            F.sum(F.col("k_occ") * F.col("lnp_micro")).alias("logprob_micro"),
+        )
+        .select(
+            F.col(id_col),
+            "n_trigrams",
+            "logprob_micro",
+            (
+                F.col("logprob_micro").cast("double")
+                / (F.col("n_trigrams") * F.lit(1000000)).cast("double")
+            ).alias("avg_logprob"),
+            F.round(
+                F.exp(
+                    -(
+                        F.col("logprob_micro").cast("double")
+                        / (F.col("n_trigrams") * F.lit(1000000)).cast("double")
+                    )
+                ),
+                6,
+            ).alias("ppl6"),
+        )
+    )

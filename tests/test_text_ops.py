@@ -562,3 +562,109 @@ def test_kn_discriminates_fluent_from_salad_and_guards(spark):
     assert got[100] > 2 * got[0]
     with _pytest.raises(ValueError, match="discount"):
         text_ops.kn_bigram_lm_score(df, "id", "text", discount=1.5)
+
+
+def _kn3_reference(docs, D=0.75):
+    """Independent driver-side interpolated trigram KN."""
+    import math
+    from collections import Counter, defaultdict
+
+    B, E = "\x02", "\x03"
+    streams = {i: [B, B] + (t or "").lower().split() + [E] for i, t in docs}
+    tri = Counter()
+    for s in streams.values():
+        for a, b, c in zip(s, s[1:], s[2:]):
+            tri[(a, b, c)] += 1
+    ctx3, nf3, cont2 = defaultdict(int), defaultdict(int), defaultdict(int)
+    for (a, b, c), k in tri.items():
+        ctx3[(a, b)] += k
+        nf3[(a, b)] += 1
+        cont2[(b, c)] += 1
+    mid2, nfc, npre2 = defaultdict(int), defaultdict(int), defaultdict(int)
+    for (b, c), v in cont2.items():
+        mid2[b] += v
+        nfc[b] += 1
+        npre2[c] += 1
+    T2c = len(cont2)
+
+    def lnp(a, b, c):
+        p2c = ((cont2[(b, c)] - D) / mid2[b]) + (
+            (D * nfc[b]) / mid2[b]
+        ) * (npre2[c] / T2c)
+        p3 = ((tri[(a, b, c)] - D) / ctx3[(a, b)]) + (
+            (D * nf3[(a, b)]) / ctx3[(a, b)]
+        ) * p2c
+        return math.floor(round(math.log(p3), 6) * 1e6 + 0.5)
+
+    out = {}
+    for i, s in streams.items():
+        ms = [lnp(a, b, c) for a, b, c in zip(s, s[1:], s[2:])]
+        n, micro = len(ms), sum(ms)
+        avg = micro / (n * 1e6)
+        out[i] = (n, micro, avg, round(math.exp(-avg), 6))
+    return out, (tri, ctx3, nf3, cont2, mid2, nfc, npre2, T2c)
+
+
+def test_kn_trigram_matches_reference_and_normalizes(spark):
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "a cat and a dog sat"),
+        (4, ""),
+        (5, None),
+        (6, "the cat sat on the mat"),
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = {
+        r["id"]: (r["n_trigrams"], r["logprob_micro"],
+                  r["avg_logprob"], r["ppl6"])
+        for r in text_ops.kn_trigram_lm_score(df, "id", "text").collect()
+    }
+    exp, (tri, ctx3, nf3, cont2, mid2, nfc, npre2, T2c) = _kn3_reference(docs)
+    assert got == exp
+    # empty and NULL docs both score exactly two trigrams (BB->w=EOS
+    # has only one real position: BOS BOS EOS -> 1 trigram)
+    assert got[4] == got[5] and got[4][0] == 1
+    # the duplicated document scores strictly better than singletons
+    assert got[1][3] < got[2][3]
+    # KN telescoping identity: sum over the FULL vocab of P3(c|a,b)
+    # (max(.-D, 0) for unseen counts) is exactly 1 per seen history
+    D = 0.75
+    vocab = ({c for _, _, c in tri} | {b for _, b, _ in tri}
+             | {a for a, _, _ in tri})
+    for hist in [("the", "cat"), ("\x02", "\x02")]:
+        a, b = hist
+        tot = sum(
+            (max(tri.get((a, b, c), 0) - D, 0) / ctx3[hist])
+            + ((D * nf3[hist]) / ctx3[hist]) * (
+                (max(cont2.get((b, c), 0) - D, 0) / mid2[b])
+                + ((D * nfc[b]) / mid2[b]) * (npre2.get(c, 0) / T2c)
+            )
+            for c in vocab
+        )
+        assert abs(tot - 1.0) < 1e-9
+    # bitwise partition invariance
+    again = {
+        r["id"]: (r["n_trigrams"], r["logprob_micro"],
+                  r["avg_logprob"], r["ppl6"])
+        for r in text_ops.kn_trigram_lm_score(
+            df.repartition(3), "id", "text").collect()
+    }
+    assert again == got
+
+
+def test_kn_trigram_beats_bigram_on_order_and_guards(spark):
+    import pytest as _pytest
+
+    # trigram context separates texts a bigram model scores identically:
+    # both corpora share ALL bigrams, differ only in trigram composition
+    fluent = [(i, "a b c d a b c d") for i in range(20)]
+    # same bigram multiset pairs (a b, b c, c d, d a) but rarer trigram path
+    twisted = [(100, "a b c d a b c d"), (101, "c d a b c d a b")]
+    df = spark.createDataFrame(fluent + twisted, "id long, text string")
+    tri_scores = {r["id"]: r["ppl6"] for r in
+                  text_ops.kn_trigram_lm_score(df, "id", "text").collect()}
+    # the dominant pattern scores better than the rotated one
+    assert tri_scores[0] < tri_scores[101]
+    with _pytest.raises(ValueError, match="discount"):
+        text_ops.kn_trigram_lm_score(df, "id", "text", discount=0.0)
