@@ -240,3 +240,89 @@ def pipe_eval_kappa(spark, sf_dir):
         .alias("label"),
     )
     return evalmetrics.annotator_agreement(ann, "item", "annotator", "label")
+
+
+_FLEISS_ORACLE = """
+WITH ann AS (
+  SELECT (event_id // 40) AS item,
+         user_id % 5 AS annotator,
+         CASE WHEN value < 5 THEN 'low'
+              WHEN value < 15 THEN 'mid'
+              ELSE 'high' END AS label
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+resolved AS MATERIALIZED (
+  SELECT item, annotator, MIN(label) AS label
+  FROM ann GROUP BY item, annotator
+),
+rc AS MATERIALIZED (
+  SELECT item, COUNT(*) AS nr FROM resolved GROUP BY item
+),
+kept AS (SELECT item FROM rc WHERE nr = 5),
+nd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items_dropped
+  FROM rc WHERE nr <> 5
+),
+cells AS MATERIALIZED (
+  SELECT r.item, r.label, CAST(COUNT(*) AS BIGINT) AS nij
+  FROM resolved r JOIN kept k ON k.item = r.item
+  GROUP BY r.item, r.label
+),
+s1 AS (
+  SELECT CAST(COUNT(DISTINCT item) AS BIGINT) AS n_items,
+         CAST(COALESCE(SUM(nij * nij), 0) AS BIGINT) AS s1
+  FROM cells
+),
+s2 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+         CAST(COALESCE(SUM(cj * cj), 0) AS BIGINT) AS s2
+  FROM (SELECT label, SUM(nij) AS cj FROM cells GROUP BY label) c
+),
+calc AS (
+  SELECT s1.n_items, s2.n_categories, nd.n_items_dropped,
+         CAST(s1.s1 - s1.n_items * 5 AS DOUBLE)
+           / CAST(s1.n_items * 5 * 4 AS DOUBLE) AS p_bar,
+         CAST(s2.s2 AS DOUBLE)
+           / (CAST(s1.n_items * 5 AS DOUBLE)
+              * CAST(s1.n_items * 5 AS DOUBLE)) AS p_e
+  FROM s1 CROSS JOIN s2 CROSS JOIN nd
+)
+SELECT n_items, CAST(5 AS INT) AS n_raters, n_categories,
+       n_items_dropped,
+       CASE WHEN n_items = 0 THEN 0.0 ELSE p_bar END AS p_bar,
+       CASE WHEN n_items = 0 THEN 0.0 ELSE p_e END AS p_e_bar,
+       CASE WHEN n_items = 0 OR p_e = 1.0 THEN 0.0
+            ELSE (p_bar - p_e) / (1.0 - p_e) END AS fleiss_kappa
+FROM calc
+"""
+
+
+@register(
+    "pipe_eval_fleiss",
+    oracle=_FLEISS_ORACLE,
+    doc="Fleiss' kappa (evalmetrics.fleiss_kappa, 1971): panel-level "
+    "chance-corrected agreement — one number for the whole labeling "
+    "crew, beside pipe_eval_kappa's per-pair view.  Annotations derive "
+    "from events (item=event_id//40, annotator=user_id%5, 3-class "
+    "value labels); items without EXACTLY 5 raters are excluded and "
+    "counted in n_items_dropped (silent imbalance would bias P-bar).  "
+    "No self-join at all: resolve + per-(item,label) counts are "
+    "item-keyed map-side-combinable aggs, the balanced filter is a "
+    "semi-join, then per-item sums reduce to ONE row.  S1/S2 are "
+    "exact BIGINTs and the three divisions are fixed-order IEEE "
+    "doubles replicated by the oracle — hash-exact with no rounding",
+)
+def pipe_eval_fleiss(spark, sf_dir):
+    e = table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    ann = e.select(
+        F.expr("event_id div 40").alias("item"),
+        (F.col("user_id") % 5).alias("annotator"),
+        F.when(F.col("value") < 5, "low")
+        .when(F.col("value") < 15, "mid")
+        .otherwise("high")
+        .alias("label"),
+    )
+    return evalmetrics.fleiss_kappa(ann, "item", "annotator", "label", n_raters=5)

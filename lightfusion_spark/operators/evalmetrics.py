@@ -427,3 +427,111 @@ def bleu_from_store(spark, state_dir: str, max_n: int = 4) -> DataFrame:
     streamed metric is the batch metric (asserted by
     ``tests/test_evalmetrics.py``)."""
     return corpus_bleu_from_cells(bleu_state_cells(spark, state_dir), max_n=max_n)
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    annotator_col: str,
+    label_col: str,
+    n_raters: int,
+) -> DataFrame:
+    """Fleiss' kappa (1971) — chance-corrected agreement for MANY
+    raters at once, the panel-level complement of the pairwise
+    :func:`annotator_agreement`: one number for "does this labeling
+    crew agree beyond chance", where Cohen's kappa scores each pair.
+
+    Fleiss assumes a balanced design (every item rated by exactly
+    ``n_raters``), so after the same deterministic MIN-label conflict
+    resolution as the pairwise operator, items with any OTHER rater
+    count are EXCLUDED and reported in ``n_items_dropped`` — silent
+    imbalance would bias P̄ with no warning.  Returns ONE row::
+
+        (n_items, n_raters, n_categories, n_items_dropped,
+         p_bar, p_e_bar, fleiss_kappa)
+
+    With ``N`` kept items, ``n`` raters, ``n_ij`` the per-item
+    category counts, ``S1 = Σ n_ij²`` and category totals
+    ``c_j`` (``S2 = Σ c_j²``), the fixed-order IEEE arithmetic is::
+
+        p_bar   = (S1 − N·n) / (N·n·(n−1))
+        p_e_bar = S2 / ((N·n) · (N·n))
+        kappa   = (p_bar − p_e_bar) / (1 − p_e_bar)
+
+    Every input to the three divisions is an exact BIGINT (S1 ≤ N·n²,
+    S2 ≤ (N·n)² — headroom to N·n < 3·10⁹), the products and
+    divisions are correctly-rounded IEEE doubles evaluated in the
+    same order by the oracle, so the face is hash-exact with no
+    rounding anywhere.  Degenerate panels (p_e_bar = 1: one category
+    everywhere) gate kappa to 0.0, the Cohen convention shared with
+    the pairwise operator.
+
+    100 TB shape: the resolve and per-(item,label) counts are
+    map-side-combinable aggregations keyed by the item; the balanced
+    filter is a semi-join against the (item, rater-count) relation;
+    everything after that is one pass of per-item sums reduced to ONE
+    row plus a k-row category relation.  No windows, no self-join —
+    Fleiss is cheaper than pairwise Cohen by construction.
+    """
+    if n_raters < 2:
+        raise ValueError(f"fleiss_kappa: n_raters must be >= 2, got {n_raters}")
+    resolved = (
+        df.select(
+            F.col(item_col).alias("item"),
+            F.col(annotator_col).alias("annotator"),
+            F.col(label_col).alias("label"),
+        )
+        .groupBy("item", "annotator")
+        .agg(F.min("label").alias("label"))
+    )
+    rater_counts = resolved.groupBy("item").agg(
+        F.count(F.lit(1)).alias("_nr")
+    )
+    kept_items = rater_counts.where(F.col("_nr") == n_raters).select("item")
+    dropped = rater_counts.where(F.col("_nr") != n_raters).select("item")
+    cells = (
+        resolved.join(kept_items, "item", "leftsemi")
+        .groupBy("item", "label")
+        .agg(F.count(F.lit(1)).alias("nij"))
+    )
+    per_item = cells.groupBy("item").agg(
+        F.sum(F.col("nij") * F.col("nij")).alias("_sq")
+    )
+    s1 = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.coalesce(F.sum("_sq"), F.lit(0)).alias("s1"),
+    )
+    cats = cells.groupBy("label").agg(F.sum("nij").alias("cj"))
+    s2 = cats.agg(
+        F.count(F.lit(1)).alias("n_categories"),
+        F.coalesce(F.sum(F.col("cj") * F.col("cj")), F.lit(0)).alias("s2"),
+    )
+    nd = dropped.agg(F.count(F.lit(1)).alias("n_items_dropped"))
+    n = F.lit(int(n_raters))
+    nn = F.col("n_items") * n  # N·n
+    p_bar = (F.col("s1") - nn).cast("double") / (
+        nn * (n - F.lit(1))
+    ).cast("double")
+    p_e = F.col("s2").cast("double") / (
+        nn.cast("double") * nn.cast("double")
+    )
+    degenerate = (F.col("n_items") == 0) | (p_e == F.lit(1.0))
+    return (
+        s1.crossJoin(F.broadcast(s2))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "n_items",
+            n.alias("n_raters"),
+            "n_categories",
+            "n_items_dropped",
+            F.when(F.col("n_items") == 0, F.lit(0.0)).otherwise(p_bar).alias(
+                "p_bar"
+            ),
+            F.when(F.col("n_items") == 0, F.lit(0.0)).otherwise(p_e).alias(
+                "p_e_bar"
+            ),
+            F.when(degenerate, F.lit(0.0))
+            .otherwise((p_bar - p_e) / (F.lit(1.0) - p_e))
+            .alias("fleiss_kappa"),
+        )
+    )

@@ -256,3 +256,81 @@ def test_bleu_store_replay_is_a_no_op(spark, tmp_path):
     assert before == (
         em.corpus_bleu(pairs, "id", "cand", "ref").collect()[0].asDict()
     )
+
+
+def test_fleiss_matches_classic_example_and_drops_unbalanced(spark):
+    """Fleiss 1971 textbook table: N=10 items x n=14 raters x 5
+    categories -> kappa = 0.2099...; an unbalanced extra item is
+    excluded and reported, leaving the statistic untouched."""
+    from lightfusion_spark.operators.evalmetrics import fleiss_kappa
+
+    table = [
+        [0, 0, 0, 0, 14], [0, 2, 6, 4, 2], [0, 0, 3, 5, 6],
+        [0, 3, 9, 2, 0], [2, 2, 8, 1, 1], [7, 7, 0, 0, 0],
+        [3, 2, 6, 3, 0], [2, 5, 3, 2, 2], [6, 5, 2, 1, 0],
+        [0, 2, 2, 3, 7],
+    ]
+    rows = []
+    for i, cats in enumerate(table):
+        r = 0
+        for j, c in enumerate(cats):
+            for _ in range(c):
+                rows.append((i, r, f"cat{j}"))
+                r += 1
+    df = spark.createDataFrame(rows, "item long, annotator long, label string")
+    out = fleiss_kappa(df, "item", "annotator", "label", 14).collect()[0]
+    # independent exact arithmetic
+    N, n = 10, 14
+    S1 = sum(c * c for cats in table for c in cats)
+    cj = [sum(cats[j] for cats in table) for j in range(5)]
+    S2 = sum(c * c for c in cj)
+    p_bar = (S1 - N * n) / (N * n * (n - 1))
+    p_e = S2 / ((N * n) * (N * n))
+    kappa = (p_bar - p_e) / (1 - p_e)
+    assert out["p_bar"] == p_bar and out["p_e_bar"] == p_e
+    assert out["fleiss_kappa"] == kappa
+    assert abs(kappa - 0.2099307) < 1e-6  # the published value
+    assert out["n_items"] == 10 and out["n_items_dropped"] == 0
+    # unbalanced item: dropped, counted, statistic unchanged
+    df2 = spark.createDataFrame(
+        rows + [(99, 0, "cat0")], "item long, annotator long, label string")
+    o2 = fleiss_kappa(df2, "item", "annotator", "label", 14).collect()[0]
+    assert o2["n_items_dropped"] == 1 and o2["fleiss_kappa"] == kappa
+    # bitwise partition invariance
+    o3 = fleiss_kappa(
+        df.repartition(7), "item", "annotator", "label", 14).collect()[0]
+    assert o3.asDict() == out.asDict()
+
+
+def test_fleiss_extremes_and_guards(spark):
+    from lightfusion_spark.operators.evalmetrics import fleiss_kappa
+
+    # perfect agreement over mixed categories -> kappa exactly 1.0
+    rows = [(i, a, f"cat{i % 3}") for i in range(30) for a in range(4)]
+    out = fleiss_kappa(
+        spark.createDataFrame(rows, "item long, annotator long, label string"),
+        "item", "annotator", "label", 4,
+    ).collect()[0]
+    assert out["p_bar"] == 1.0 and out["fleiss_kappa"] == 1.0
+    # one category everywhere -> p_e = 1, gated to 0.0 (never NaN)
+    rows = [(i, a, "same") for i in range(10) for a in range(4)]
+    out = fleiss_kappa(
+        spark.createDataFrame(rows, "item long, annotator long, label string"),
+        "item", "annotator", "label", 4,
+    ).collect()[0]
+    assert out["p_e_bar"] == 1.0 and out["fleiss_kappa"] == 0.0
+    # everything unbalanced -> empty panel, zeros not NaN
+    rows = [(1, 0, "a"), (2, 0, "a"), (2, 1, "b")]
+    out = fleiss_kappa(
+        spark.createDataFrame(rows, "item long, annotator long, label string"),
+        "item", "annotator", "label", 4,
+    ).collect()[0]
+    assert out["n_items"] == 0 and out["n_items_dropped"] == 2
+    assert out["fleiss_kappa"] == 0.0 and out["p_bar"] == 0.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_raters"):
+        fleiss_kappa(
+            spark.createDataFrame(rows, "item long, annotator long, label string"),
+            "item", "annotator", "label", 1,
+        )
