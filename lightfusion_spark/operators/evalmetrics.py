@@ -535,3 +535,63 @@ def fleiss_kappa(
             .alias("fleiss_kappa"),
         )
     )
+
+
+def annotations_append_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    item_col: str,
+    annotator_col: str,
+    label_col: str,
+) -> None:
+    """One append cycle of the maintained ANNOTATION store — the
+    ``foreachBatch`` body of a live labeling pipeline (rater verdicts
+    trickle in; the agreement dashboards must stay current without
+    re-reading history).  Pre-resolves the arriving batch to its
+    per-(item, annotator) MIN label and appends those rows as parquet.
+
+    This is the THIRD replay-safety regime in the repo's maintained-
+    store taxonomy (docs/SCALE.md): the merge operation — label MIN
+    per (item, annotator) — is associative, commutative, and
+    IDEMPOTENT, so append can be completely blind: a replayed
+    micro-batch duplicates store rows but can never change any
+    downstream statistic, because both :func:`annotator_agreement`
+    and :func:`fleiss_kappa` BEGIN with exactly that MIN resolve.
+    No batch ids, no dedup pass, no compaction fence needed — the
+    HLL store's discipline with MIN in place of union.  (A
+    housekeeping compaction is just the resolve itself written back;
+    it changes nothing downstream.)
+
+    Cross-batch conflicts resolve identically to batch mode:
+    ``min(min(A), min(B)) == min(A ∪ B)``, so the store statistics
+    equal the one-shot operators over the concatenation of all
+    appended batches BIT FOR BIT — asserted by the parity tests.
+    """
+    resolved = (
+        batch_df.select(
+            F.col(item_col).alias("item"),
+            F.col(annotator_col).alias("annotator"),
+            F.col(label_col).alias("label"),
+        )
+        .groupBy("item", "annotator")
+        .agg(F.min("label").alias("label"))
+    )
+    resolved.write.mode("append").parquet(state_dir)
+
+
+def agreement_from_store(spark, state_dir: str) -> DataFrame:
+    """Pairwise Cohen's kappa over EVERYTHING the annotation store has
+    seen — :func:`annotator_agreement` applied to the store, whose
+    leading MIN resolve absorbs replays and cross-batch duplicates by
+    idempotence."""
+    return annotator_agreement(
+        spark.read.parquet(state_dir), "item", "annotator", "label"
+    )
+
+
+def fleiss_from_store(spark, state_dir: str, n_raters: int) -> DataFrame:
+    """Fleiss' panel kappa over the annotation store — same idempotent
+    MIN-merge guarantee as :func:`agreement_from_store`."""
+    return fleiss_kappa(
+        spark.read.parquet(state_dir), "item", "annotator", "label", n_raters
+    )

@@ -334,3 +334,82 @@ def test_fleiss_extremes_and_guards(spark):
             spark.createDataFrame(rows, "item long, annotator long, label string"),
             "item", "annotator", "label", 1,
         )
+
+
+def test_annotation_store_stream_matches_batch_exactly(spark, tmp_path):
+    """Min-merge annotation store: verdicts streamed over a two-file
+    source and blindly appended inside foreachBatch; Cohen AND Fleiss
+    over the store equal the one-shot operators over the full table
+    BIT FOR BIT (min-resolve idempotence — no batch ids needed)."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = []
+    for item in range(60):
+        for ann in range(4):
+            rows.append((item, ann, f"l{(item * (ann + 2)) % 3}"))
+    # a cross-batch conflict: the same cell labeled differently in each
+    # half — the store must resolve to the GLOBAL min, like batch mode
+    rows.append((0, 0, "a_early"))
+    rows.append((0, 0, "a_late"))
+    ann_df = spark.createDataFrame(rows, "item long, annotator long, label string")
+    src = tmp_path / "ann_src"
+    # split so the conflicting labels land in DIFFERENT files
+    spark.createDataFrame(rows[::2], ann_df.schema).coalesce(1).write.parquet(
+        str(src / "f1"))
+    import time
+
+    time.sleep(1.1)
+    spark.createDataFrame(rows[1::2], ann_df.schema).coalesce(1).write.parquet(
+        str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(ann_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*/"))
+    )
+    state_dir = str(tmp_path / "ann_state")
+
+    def process(batch_df, epoch_id):
+        em.annotations_append_batch(
+            batch_df, state_dir, "item", "annotator", "label")
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ann"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def rows_of(df):
+        return sorted(map(tuple, df.collect()))
+
+    got_pair = rows_of(em.agreement_from_store(spark, state_dir))
+    want_pair = rows_of(em.annotator_agreement(
+        ann_df, "item", "annotator", "label"))
+    assert got_pair == want_pair and len(got_pair) == 6
+    got_panel = rows_of(em.fleiss_from_store(spark, state_dir, 4))
+    want_panel = rows_of(em.fleiss_kappa(
+        ann_df, "item", "annotator", "label", 4))
+    assert got_panel == want_panel
+
+
+def test_annotation_store_replay_is_a_no_op(spark, tmp_path):
+    """Blind-append replay safety: re-appending a batch (no batch id
+    anywhere) leaves every downstream statistic bit-identical, because
+    the operators' leading MIN resolve is idempotent."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = [(i, a, f"l{(i * (a + 2)) % 3}") for i in range(30) for a in range(3)]
+    df = spark.createDataFrame(rows, "item long, annotator long, label string")
+    state_dir = str(tmp_path / "ann_replay")
+    b0, b1 = df.where("item < 15"), df.where("item >= 15")
+    em.annotations_append_batch(b0, state_dir, "item", "annotator", "label")
+    em.annotations_append_batch(b1, state_dir, "item", "annotator", "label")
+    before = sorted(map(tuple, em.agreement_from_store(spark, state_dir).collect()))
+    em.annotations_append_batch(b1, state_dir, "item", "annotator", "label")  # replay
+    em.annotations_append_batch(b0, state_dir, "item", "annotator", "label")  # replay
+    after = sorted(map(tuple, em.agreement_from_store(spark, state_dir).collect()))
+    assert after == before
+    assert before == sorted(map(tuple, em.annotator_agreement(
+        df, "item", "annotator", "label").collect()))
