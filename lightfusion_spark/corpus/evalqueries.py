@@ -326,3 +326,94 @@ def pipe_eval_fleiss(spark, sf_dir):
         .alias("label"),
     )
     return evalmetrics.fleiss_kappa(ann, "item", "annotator", "label", n_raters=5)
+
+
+_WINRATE_ORACLE = """
+WITH matches AS (
+  SELECT user_id % 6 AS a,
+         event_id % 6 AS b,
+         CASE WHEN CAST(FLOOR(value * 100) AS BIGINT) % 2 = 0
+              THEN user_id % 6 ELSE event_id % 6 END AS w
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+base AS MATERIALIZED (
+  SELECT LEAST(a, b) AS side_lo, GREATEST(a, b) AS side_hi,
+         CASE WHEN w = LEAST(a, b) THEN 1 ELSE 0 END AS win_lo,
+         COALESCE(a IS NOT NULL AND b IS NOT NULL AND a <> b
+                  AND (w = a OR w = b), FALSE) AS ok
+  FROM matches
+),
+nd AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_dropped
+  FROM base
+),
+agg AS (
+  SELECT side_lo, side_hi,
+         CAST(COUNT(*) AS BIGINT) AS n_games,
+         CAST(SUM(win_lo) AS BIGINT) AS n_wins_lo
+  FROM base WHERE ok GROUP BY side_lo, side_hi
+)
+SELECT side_lo, side_hi, n_games, n_wins_lo,
+       CAST(n_wins_lo AS DOUBLE) / CAST(n_games AS DOUBLE) AS win_rate,
+       GREATEST(0.0,
+         ((CAST(n_wins_lo AS DOUBLE) / CAST(n_games AS DOUBLE)
+           + (1.96 * 1.96) / (2.0 * CAST(n_games AS DOUBLE)))
+          - 1.96 * SQRT(
+              (CAST(n_wins_lo AS DOUBLE) / CAST(n_games AS DOUBLE))
+              * (1.0 - CAST(n_wins_lo AS DOUBLE)
+                       / CAST(n_games AS DOUBLE))
+              / CAST(n_games AS DOUBLE)
+              + (1.96 * 1.96)
+                / (4.0 * CAST(n_games AS DOUBLE)
+                   * CAST(n_games AS DOUBLE))))
+         / (1.0 + (1.96 * 1.96) / CAST(n_games AS DOUBLE))) AS wilson_lo,
+       LEAST(1.0,
+         ((CAST(n_wins_lo AS DOUBLE) / CAST(n_games AS DOUBLE)
+           + (1.96 * 1.96) / (2.0 * CAST(n_games AS DOUBLE)))
+          + 1.96 * SQRT(
+              (CAST(n_wins_lo AS DOUBLE) / CAST(n_games AS DOUBLE))
+              * (1.0 - CAST(n_wins_lo AS DOUBLE)
+                       / CAST(n_games AS DOUBLE))
+              / CAST(n_games AS DOUBLE)
+              + (1.96 * 1.96)
+                / (4.0 * CAST(n_games AS DOUBLE)
+                   * CAST(n_games AS DOUBLE))))
+         / (1.0 + (1.96 * 1.96) / CAST(n_games AS DOUBLE))) AS wilson_hi,
+       (SELECT n_dropped FROM nd) AS n_dropped
+FROM agg
+"""
+
+
+@register(
+    "pipe_eval_winrate",
+    oracle=_WINRATE_ORACLE,
+    doc="pairwise win-rates with Wilson score intervals "
+    "(evalmetrics.winrate_report, z=1.96) — the eval-dashboard "
+    "statistic beside the Bradley-Terry trainer: BT fits strengths, "
+    "this reports each matchup's rate WITH the uncertainty that "
+    "decides whether 55% over 20 games means anything.  Matches "
+    "derive from events (sides user_id%6 vs event_id%6, winner by "
+    "FLOOR(value*100) parity); self-matches and invalid winners are "
+    "EXCLUDED and counted in n_dropped.  One row-local canonicalize, "
+    "one map-side-combinable pair agg, a 1-row dropped broadcast.  "
+    "Counts are integers; the Wilson bounds are a fixed sequence of "
+    "correctly-rounded IEEE ops incl. ONE sqrt (the HITS guarantee), "
+    "clamped to [0,1] — hash-exact with NO rounding step",
+)
+def pipe_eval_winrate(spark, sf_dir):
+    e = table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    matches = e.select(
+        (F.col("user_id") % 6).alias("a"),
+        (F.col("event_id") % 6).alias("b"),
+        F.when(
+            F.floor(F.col("value") * 100).cast("bigint") % 2 == 0,
+            F.col("user_id") % 6,
+        )
+        .otherwise(F.col("event_id") % 6)
+        .alias("w"),
+    )
+    return evalmetrics.winrate_report(matches, "a", "b", "w", z=1.96)

@@ -56,7 +56,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #:   subfamily's re-window, flagged in the r10 header — plus
 #:   events_attribution, pipe_boilerplate_lines, pipe_dedup_exact,
 #:   pipe_dedup_incremental, pipe_split_stratified)
-#: + 13 of the 34 r06-green rows (alphabetical; the rows deferred to the
+#: + 12 of the 34 r06-green rows (alphabetical; the rows deferred to the
 #:   r12 backlog each keep an in-window family sibling:
 #:   events_asof_bucketed [as-of repped by events_asof_join +
 #:   events_asof_forward], pipe_dedup_minhash_incr + pipe_dedup_spans
@@ -84,16 +84,16 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: (The 4 r07 swap rows — events_funnel, events_gapfill, events_ohlc,
 #:   pipe_corpus_health — each ceded its slot to a round-11 face and
 #:   heads the r12 backlog with its r07 green.)
-#: 4+3+6+13+11+13 = 50 exactly (13 = the round-11 new faces; the r06
-#: block shrank to 13 as pipe_dedup_simhash, events_windowed_stats,
+#: 4+3+6+12+11+14 = 50 exactly (14 = the round-11 new faces; the r06
+#: block shrank to 12 as pipe_dedup_simhash, events_windowed_stats,
 #: pipe_dedup_minhash, pipe_dedup_semantic, pipe_lm_score,
-#: pipe_text_bm25, pipe_chunk_bpe and events_range_join ceded slots
-#: to the late faces below — dedup stays 3-way
-#: (simhash_pairs/exact/incremental), events 4-way
-#: (asof_forward/attribution/asof_join/sessionize), LM scoring is
-#: repped by the two new KN faces, text by langid/text_stats/entropy,
-#: tokenization by pack_bpe + tokenize_bpe).  The
-#: round-12 re-window backlog is the 21 deferred r06 rows above plus
+#: pipe_text_bm25, pipe_chunk_bpe, events_range_join and
+#: events_sessionize ceded slots to the late faces below — dedup
+#: stays 3-way (simhash_pairs/exact/incremental), events 3-way
+#: (asof_forward/attribution/asof_join), LM scoring is repped by the
+#: two new KN faces, text by langid/text_stats/entropy, tokenization
+#: by pack_bpe + tokenize_bpe).  The
+#: round-12 re-window backlog is the 22 deferred r06 rows above plus
 #: the 4 ceded r07 swap rows, then the rest of the r07 block (34 rows
 #: after this round's picks).  Every rotated-out name was officially green in
 #: r05-r10 and moves to WINDOW_EXEMPT; tests/test_registry_window.py
@@ -117,9 +117,8 @@ PRIORITY: list[str] = [
     "pipe_dedup_exact",
     "pipe_dedup_incremental",
     "pipe_split_stratified",
-    # r06 block (13 of 34; the rest head the r12 backlog)
+    # r06 block (12 of 34; the rest head the r12 backlog)
     "events_asof_join",
-    "events_sessionize",
     "pipe_decontaminate",
     "pipe_e2e_model_curation",
     "pipe_multimodal_codec",
@@ -192,6 +191,10 @@ PRIORITY: list[str] = [
     # events_range_join — r06 green, events repped 4-way in-window by
     # asof_forward/attribution/asof_join/sessionize)
     "pipe_eval_fleiss",
+    # ... and a FOURTEENTH: Wilson win-rate intervals (displaced
+    # events_sessionize — r06 green, events repped 3-way in-window by
+    # asof_forward/attribution/asof_join)
+    "pipe_eval_winrate",
     # (all four r07 swap slots now hold round-11 faces; the r07 head
     # rows events_funnel/events_gapfill/events_ohlc/pipe_corpus_health
     # keep their r07 greens at the front of the r12 backlog)
@@ -215,6 +218,7 @@ WINDOW_EXEMPT: frozenset[str] = frozenset(
         "events_ohlc",
         "events_range_join",
         "events_reservoir_batch",
+        "events_sessionize",
         "events_stream_join",
         "events_stream_join_full",
         "events_windowed_stats",

@@ -595,3 +595,97 @@ def fleiss_from_store(spark, state_dir: str, n_raters: int) -> DataFrame:
     return fleiss_kappa(
         spark.read.parquet(state_dir), "item", "annotator", "label", n_raters
     )
+
+
+def winrate_report(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    winner_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Pairwise win-rate report with Wilson score intervals — the
+    eval-dashboard statistic beside the Bradley-Terry trainer
+    (:mod:`..operators.btrank` fits strengths; this reports each
+    matchup's rate WITH its uncertainty, which is what decides
+    whether a 55% win rate over 20 games means anything).
+
+    Input rows are matches ``(a, b, winner)`` where ``winner`` equals
+    one of the two sides; rows whose winner is neither side (or NULL,
+    or a self-match a == b) are EXCLUDED and counted in the
+    ``n_dropped`` column of every output row — silent garbage would
+    bias rates.  Pairs are canonicalized to (lo, hi) by the natural
+    ordering, and the reported rate is LO's.
+
+    Returns one row per unordered pair: ``(side_lo, side_hi,
+    n_games, n_wins_lo, win_rate, wilson_lo, wilson_hi, n_dropped)``.
+
+    Exactness: ``n_games``/``n_wins_lo`` are integer sums;
+    ``win_rate = w/n`` is one IEEE division; the Wilson bounds::
+
+        denom  = 1 + z²/n
+        center = p + z²/(2n)
+        rad    = z · sqrt(p(1−p)/n + z²/(4n²))
+        lo, hi = (center ∓ rad) / denom
+
+    are a fixed sequence of correctly-rounded IEEE operations (the
+    sqrt is correctly rounded by IEEE-754 — the same guarantee the
+    HITS normalization relies on), replicated operation-for-operation
+    by the SQL oracle — hash-exact with NO rounding step anywhere.
+    Bounds are exact at the extremes (p=0 ⇒ wilson_lo=0, p=1 ⇒
+    wilson_hi=1 up to the final division) and never leave [0, 1].
+
+    100 TB shape: one row-local canonicalize/validate projection, one
+    map-side-combinable (lo, hi) aggregation, a 1-row dropped-count
+    broadcast — match logs reduce to one row per matchup however
+    many billions of games went in.
+    """
+    if not (z > 0):
+        raise ValueError(f"winrate_report: z must be > 0, got {z}")
+    a, b, w = F.col(a_col), F.col(b_col), F.col(winner_col)
+    # coalesce: a NULL winner makes the comparison NULL, which `where`
+    # would drop but `~NULL` would NOT count as dropped — force boolean
+    valid = F.coalesce(
+        a.isNotNull() & b.isNotNull() & (a != b) & ((w == a) | (w == b)),
+        F.lit(False),
+    )
+    base = df.select(
+        F.least(a, b).alias("side_lo"),
+        F.greatest(a, b).alias("side_hi"),
+        F.when(w == F.least(a, b), 1).otherwise(0).alias("win_lo"),
+        valid.alias("_ok"),
+    )
+    dropped = base.agg(
+        F.sum(F.when(~F.col("_ok"), 1).otherwise(0)).alias("n_dropped")
+    )
+    agg = (
+        base.where("_ok")
+        .groupBy("side_lo", "side_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_games"),
+            F.sum("win_lo").alias("n_wins_lo"),
+        )
+    )
+    zz = F.lit(float(z)) * F.lit(float(z))
+    n = F.col("n_games").cast("double")
+    p = F.col("n_wins_lo").cast("double") / n
+    denom = F.lit(1.0) + zz / n
+    center = p + zz / (F.lit(2.0) * n)
+    rad = F.lit(float(z)) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + zz / (F.lit(4.0) * n * n)
+    )
+    return (
+        agg.crossJoin(F.broadcast(dropped))
+        .select(
+            "side_lo",
+            "side_hi",
+            "n_games",
+            "n_wins_lo",
+            p.alias("win_rate"),
+            # clamp: at p=0/p=1 the center∓rad cancellation leaves a
+            # ±1e-17 residue outside [0,1]
+            F.greatest(F.lit(0.0), (center - rad) / denom).alias("wilson_lo"),
+            F.least(F.lit(1.0), (center + rad) / denom).alias("wilson_hi"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+        )
+    )

@@ -413,3 +413,60 @@ def test_annotation_store_replay_is_a_no_op(spark, tmp_path):
     assert after == before
     assert before == sorted(map(tuple, em.annotator_agreement(
         df, "item", "annotator", "label").collect()))
+
+
+def test_winrate_matches_reference_wilson(spark):
+    import math
+
+    from lightfusion_spark.operators.evalmetrics import winrate_report
+
+    rows = []
+    for i in range(20):
+        rows.append(("A", "B", "A" if i < 14 else "B"))
+    for i in range(8):
+        rows.append(("C", "B", "B" if i < 5 else "C"))
+    for i in range(5):
+        rows.append(("A", "C", "C"))
+    # garbage: self-match, foreign winner, NULL side, NULL winner
+    rows += [("A", "A", "A"), ("A", "B", "X"), (None, "B", "B"), ("A", "B", None)]
+    df = spark.createDataFrame(rows, "a string, b string, w string")
+    out = {(r["side_lo"], r["side_hi"]): r.asDict()
+           for r in winrate_report(df, "a", "b", "w").collect()}
+
+    def wilson(w, n, z=1.96):
+        p = w / n
+        zz = z * z
+        denom = 1.0 + zz / n
+        center = p + zz / (2.0 * n)
+        rad = z * math.sqrt(p * (1.0 - p) / n + zz / (4.0 * n * n))
+        return (max(0.0, (center - rad) / denom),
+                min(1.0, (center + rad) / denom))
+
+    for (lo, hi, w, n) in [("A", "B", 14, 20), ("B", "C", 5, 8),
+                           ("A", "C", 0, 5)]:
+        r = out[(lo, hi)]
+        wl, wh = wilson(w, n)
+        assert r["n_games"] == n and r["n_wins_lo"] == w
+        assert r["n_dropped"] == 4  # every garbage row counted
+        assert r["win_rate"] == w / n
+        assert r["wilson_lo"] == wl and r["wilson_hi"] == wh
+        assert 0.0 <= r["wilson_lo"] <= r["win_rate"] <= r["wilson_hi"] <= 1.0
+    # zero-wins pair clamps its lower bound to exactly 0.0
+    assert out[("A", "C")]["wilson_lo"] == 0.0
+    # the interval SHRINKS with more games at the same rate
+    more = [("A", "B", "A" if i < 140 else "B") for i in range(200)]
+    big = winrate_report(
+        spark.createDataFrame(more, "a string, b string, w string"),
+        "a", "b", "w").collect()[0]
+    small = out[("A", "B")]
+    assert (big["wilson_hi"] - big["wilson_lo"]
+            < small["wilson_hi"] - small["wilson_lo"])
+    # partition invariance + guard
+    again = {(r["side_lo"], r["side_hi"]): r.asDict()
+             for r in winrate_report(
+                 df.repartition(7), "a", "b", "w").collect()}
+    assert again == out
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="z must"):
+        winrate_report(df, "a", "b", "w", z=0)
