@@ -8,7 +8,7 @@ import json
 from pathlib import Path
 
 import __spark_entry__ as entry
-from lightfusion_spark.corpus.registry import PRIORITY, REGISTRY, WINDOW_EXEMPT
+from lightfusion_spark.corpus.registry import PRIORITY, REGISTRY, window_exempt
 
 DRIVER_WINDOW = 50
 REPO = Path(__file__).resolve().parent.parent
@@ -56,33 +56,34 @@ def test_window_covers_every_family():
     # Every pipeline / timeseries / UDF query currently registered, except
     # explicitly exempted redundant variants (whose windowed sibling runs
     # the same algorithm).
+    exempt = window_exempt()
     for name in REGISTRY:
         if name.startswith(("pipe_", "events_", "udaf_", "udtf_", "grouped_")):
-            assert name in window or name in WINDOW_EXEMPT, (
+            assert name in window or name in exempt, (
                 f"{name} outside driver window and not exempted"
             )
-    for name in WINDOW_EXEMPT:
-        assert name in REGISTRY, f"stale WINDOW_EXEMPT entry {name}"
+    for name in exempt:
+        assert name in REGISTRY, f"stale window_exempt entry {name}"
         assert name not in window, f"{name} exempted but wastes a window slot"
-    # One-plus representative per §2.3 category.  Round-11 rotation picks
+    # One-plus representative per §2.3 category.  Round-12 rotation picks
     # the stalest-verified sibling per category (everything below is an
-    # r04-r09 row; the r10-refreshed siblings ceded their slots), so the
+    # r06-r10 row; the r11-refreshed siblings ceded their slots), so the
     # category stays repped AND the oldest official row gets refreshed.
     for name in (
-        "rel_case_when",  # projection/filter/predicates (r8, stalest sibling)
-        "rel_tpch_q14_shape",  # joins (r4 — the stalest row in the registry)
-        "rel_agg_rollup",  # aggregations (r7)
-        "rel_window_frame",  # windows (r8)
-        "rel_sort_limit",  # sort/limit/top-k (r9)
-        "rel_set_except",  # set ops (r8)
-        "rel_subquery_scalar",  # subqueries/CTEs (r7)
-        "rel_scalar_string",  # scalar function library (r7)
-        "rel_higher_order",  # generators / higher-order (r8)
-        "rel_approx_sketch",  # approximate/sketch (r9)
-        "rel_recursive_cte",  # Spark-4 surface (r7: RECURSIVE CTE)
-        "udaf_mean_norm",  # UDF/UDAF/UDTF (r8, stalest sibling)
-        "events_asof_forward",  # timeseries/streaming family (r5 — the
-        # as-of subfamily re-window flagged in the round-10 header)
+        "rel_filter_project",  # projection/filter/predicates (r9, stalest sibling)
+        "rel_join_right",  # joins (r6 — with rel_salted_join, also r6)
+        "rel_grouping_sets",  # aggregations (r8)
+        "rel_window_analytics",  # windows (r8)
+        "rel_topk_group",  # sort/limit/top-k (r10, only non-r11 sibling)
+        "rel_union_all",  # set ops (r8)
+        "rel_not_in_subquery",  # subqueries/CTEs (r8)
+        "rel_scalar_date",  # scalar function library (r8)
+        "rel_explode",  # generators / higher-order (r9)
+        "pipe_sketch_cms",  # approximate/sketch (r8)
+        "rel_variant",  # Spark-4 surface (r8: VARIANT type)
+        "grouped_map_centroid",  # UDF/UDAF/UDTF (r9, stalest sibling)
+        "events_windowed_stats",  # timeseries/streaming family (r6 — the
+        # stalest events row, retired with the whole r06 block)
     ):
         assert name in window, f"§2.3 representative {name} outside driver window"
 
@@ -104,12 +105,13 @@ def test_every_query_windowed_now_or_green_in_a_past_window():
 
 
 def test_window_exempt_only_for_past_green_queries():
-    """WINDOW_EXEMPT's contract: exemption is only for queries the driver has
-    already hash-verified (the advisor flagged round 4 for breaking this)."""
+    """window_exempt()'s contract: exemption is only for queries the driver
+    has already hash-verified (the advisor flagged round 4 for breaking
+    this)."""
     green = _past_green_rows()
-    unearned = sorted(WINDOW_EXEMPT - green)
+    unearned = sorted(window_exempt() - green)
     assert not unearned, (
-        f"WINDOW_EXEMPT entries with no past green driver row: {unearned}"
+        f"window_exempt entries with no past green driver row: {unearned}"
     )
 
 
