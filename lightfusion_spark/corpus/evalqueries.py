@@ -160,13 +160,18 @@ WITH ann AS (
          user_id % 4 AS annotator,
          CASE WHEN value < 5 THEN 'low'
               WHEN value < 15 THEN 'mid'
-              ELSE 'high' END AS label
+              WHEN event_id % 97 <> 0 THEN 'high' END AS label
   FROM events
   WHERE value IS NOT NULL AND user_id IS NOT NULL
 ),
+rd AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN label IS NULL THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_rows_dropped
+  FROM ann
+),
 resolved AS MATERIALIZED (
   SELECT item, annotator, MIN(label) AS label
-  FROM ann GROUP BY item, annotator
+  FROM ann WHERE label IS NOT NULL GROUP BY item, annotator
 ),
 pairs AS MATERIALIZED (
   SELECT a.item, a.annotator AS annotator_a, b.annotator AS annotator_b,
@@ -204,10 +209,12 @@ SELECT b.annotator_a, b.annotator_b, b.n_items, b.n_agree,
        CASE WHEN b.n_items * b.n_items - cr.crs = 0 THEN 0.0
             ELSE CAST(b.n_agree * b.n_items - cr.crs AS DOUBLE)
                  / CAST(b.n_items * b.n_items - cr.crs AS DOUBLE)
-       END AS kappa
+       END AS kappa,
+       rd.n_rows_dropped
 FROM base b
 JOIN cr ON cr.annotator_a = b.annotator_a
        AND cr.annotator_b = b.annotator_b
+CROSS JOIN rd
 """
 
 
@@ -225,7 +232,10 @@ JOIN cr ON cr.annotator_a = b.annotator_a
     "k(k-1)/2 rows per item + map-side-combinable pair-keyed counts. "
     "Exactness: the kappa identity (agree*n - cross)/(n^2 - cross) "
     "keeps numerator and denominator INTEGER, so every output double "
-    "is ONE exact IEEE division — hash-exact with no rounding at all",
+    "is ONE exact IEEE division — hash-exact with no rounding at all. "
+    "A deterministic event_id%97 stripe of NULL labels exercises the "
+    "r12 NULL-label discipline: the operator excludes them and reports "
+    "the count in n_rows_dropped (winrate_report convention)",
 )
 def pipe_eval_kappa(spark, sf_dir):
     e = table(spark, sf_dir, "events").where(
@@ -236,7 +246,7 @@ def pipe_eval_kappa(spark, sf_dir):
         (F.col("user_id") % 4).alias("annotator"),
         F.when(F.col("value") < 5, "low")
         .when(F.col("value") < 15, "mid")
-        .otherwise("high")
+        .when(F.expr("event_id % 97 != 0"), "high")
         .alias("label"),
     )
     return evalmetrics.annotator_agreement(ann, "item", "annotator", "label")
@@ -248,13 +258,18 @@ WITH ann AS (
          user_id % 5 AS annotator,
          CASE WHEN value < 5 THEN 'low'
               WHEN value < 15 THEN 'mid'
-              ELSE 'high' END AS label
+              WHEN event_id % 89 <> 0 THEN 'high' END AS label
   FROM events
   WHERE value IS NOT NULL AND user_id IS NOT NULL
 ),
+rd AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN label IS NULL THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_rows_dropped
+  FROM ann
+),
 resolved AS MATERIALIZED (
   SELECT item, annotator, MIN(label) AS label
-  FROM ann GROUP BY item, annotator
+  FROM ann WHERE label IS NOT NULL GROUP BY item, annotator
 ),
 rc AS MATERIALIZED (
   SELECT item, COUNT(*) AS nr FROM resolved GROUP BY item
@@ -281,19 +296,21 @@ s2 AS (
 ),
 calc AS (
   SELECT s1.n_items, s2.n_categories, nd.n_items_dropped,
+         rd.n_rows_dropped,
          CAST(s1.s1 - s1.n_items * 5 AS DOUBLE)
            / CAST(s1.n_items * 5 * 4 AS DOUBLE) AS p_bar,
          CAST(s2.s2 AS DOUBLE)
            / (CAST(s1.n_items * 5 AS DOUBLE)
               * CAST(s1.n_items * 5 AS DOUBLE)) AS p_e
-  FROM s1 CROSS JOIN s2 CROSS JOIN nd
+  FROM s1 CROSS JOIN s2 CROSS JOIN nd CROSS JOIN rd
 )
 SELECT n_items, CAST(5 AS INT) AS n_raters, n_categories,
        n_items_dropped,
        CASE WHEN n_items = 0 THEN 0.0 ELSE p_bar END AS p_bar,
        CASE WHEN n_items = 0 THEN 0.0 ELSE p_e END AS p_e_bar,
        CASE WHEN n_items = 0 OR p_e = 1.0 THEN 0.0
-            ELSE (p_bar - p_e) / (1.0 - p_e) END AS fleiss_kappa
+            ELSE (p_bar - p_e) / (1.0 - p_e) END AS fleiss_kappa,
+       n_rows_dropped
 FROM calc
 """
 
@@ -311,7 +328,10 @@ FROM calc
     "item-keyed map-side-combinable aggs, the balanced filter is a "
     "semi-join, then per-item sums reduce to ONE row.  S1/S2 are "
     "exact BIGINTs and the three divisions are fixed-order IEEE "
-    "doubles replicated by the oracle — hash-exact with no rounding",
+    "doubles replicated by the oracle — hash-exact with no rounding. "
+    "A deterministic event_id%89 stripe of NULL labels exercises the "
+    "r12 NULL-label discipline (n_rows_dropped; dropping a rater cell "
+    "can also unbalance its item, which then shows in n_items_dropped)",
 )
 def pipe_eval_fleiss(spark, sf_dir):
     e = table(spark, sf_dir, "events").where(
@@ -322,7 +342,7 @@ def pipe_eval_fleiss(spark, sf_dir):
         (F.col("user_id") % 5).alias("annotator"),
         F.when(F.col("value") < 5, "low")
         .when(F.col("value") < 15, "mid")
-        .otherwise("high")
+        .when(F.expr("event_id % 89 != 0"), "high")
         .alias("label"),
     )
     return evalmetrics.fleiss_kappa(ann, "item", "annotator", "label", n_raters=5)

@@ -5395,8 +5395,9 @@ per_doc AS (
 )
 SELECT doc_id, n_tokens, n_types, entropy_e6,
        CASE WHEN n_types > 1
-            THEN ROUND((CAST(entropy_e6 AS DOUBLE) / 1000000)
-                       / ROUND(LN(CAST(n_types AS DOUBLE)), 6), 6)
+            THEN LEAST(1.0,
+                 ROUND((CAST(entropy_e6 AS DOUBLE) / 1000000)
+                       / ROUND(LN(CAST(n_types AS DOUBLE)), 6), 6))
             ELSE 0.0 END AS norm_entropy6
 FROM per_doc
 """
@@ -5412,8 +5413,8 @@ FROM per_doc
     "templates).  One explode + two map-side-combinable aggs, no "
     "joins/windows.  Exactness: per-type terms FLOOR((c/n)*"
     "(-ROUND(LN(c/n),6))*1e6+0.5) summed as BIGINT micro-nats "
-    "(associative), norm_entropy6 = H/ln(n_types) via the identical "
-    "round-then-divide order in both engines",
+    "(associative), norm_entropy6 = LEAST(1.0, H/ln(n_types)) via the "
+    "identical round-then-divide-then-clamp order in both engines",
 )
 def pipe_text_entropy(spark, sf_dir):
     d = table(spark, sf_dir, "documents")

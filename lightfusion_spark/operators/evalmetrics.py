@@ -268,9 +268,16 @@ def annotator_agreement(
     "good" 95% of the time stops looking reliable.
 
     Returns one row per unordered annotator pair (a < b):
-    ``annotator_a, annotator_b, n_items, n_agree, p_o, p_e, kappa``,
-    computed over the items BOTH annotators labeled (pairwise-complete,
-    the standard convention for sparse annotation matrices).
+    ``annotator_a, annotator_b, n_items, n_agree, p_o, p_e, kappa,
+    n_rows_dropped``, computed over the items BOTH annotators labeled
+    (pairwise-complete, the standard convention for sparse annotation
+    matrices).
+
+    Rows with a NULL item, annotator, or label are EXCLUDED and counted
+    in the ``n_rows_dropped`` column of every output row (the
+    :func:`winrate_report` convention) — before round 12 an
+    (item, annotator) cell whose labels were ALL NULL silently became
+    its own NULL category, biasing the marginals with no warning.
 
     Multiple labels by the same annotator on the same item are resolved
     deterministically to the MINIMUM label before pairing (documented
@@ -300,12 +307,23 @@ def annotator_agreement(
     the annotator pair.  No windows, no driver loops, no all-pairs
     blowup.
     """
+    src = df.select(
+        F.col(item_col).alias("item"),
+        F.col(annotator_col).alias("annotator"),
+        F.col(label_col).alias("label"),
+    )
+    valid = (
+        F.col("item").isNotNull()
+        & F.col("annotator").isNotNull()
+        & F.col("label").isNotNull()
+    )
+    dropped = src.agg(
+        F.coalesce(
+            F.sum(F.when(~valid, 1).otherwise(0)), F.lit(0)
+        ).alias("n_rows_dropped")
+    )
     resolved = (
-        df.select(
-            F.col(item_col).alias("item"),
-            F.col(annotator_col).alias("annotator"),
-            F.col(label_col).alias("label"),
-        )
+        src.where(valid)
         .groupBy("item", "annotator")
         .agg(F.min("label").alias("label"))
     )
@@ -354,6 +372,7 @@ def annotator_agreement(
     den = nn - F.col("cross")
     return (
         base.join(cross, ["annotator_a", "annotator_b"])
+        .crossJoin(F.broadcast(dropped))
         .select(
             "annotator_a",
             "annotator_b",
@@ -366,6 +385,7 @@ def annotator_agreement(
             F.when(den == 0, F.lit(0.0))
             .otherwise(num.cast("double") / den.cast("double"))
             .alias("kappa"),
+            "n_rows_dropped",
         )
     )
 
@@ -445,10 +465,15 @@ def fleiss_kappa(
     ``n_raters``), so after the same deterministic MIN-label conflict
     resolution as the pairwise operator, items with any OTHER rater
     count are EXCLUDED and reported in ``n_items_dropped`` — silent
-    imbalance would bias P̄ with no warning.  Returns ONE row::
+    imbalance would bias P̄ with no warning.  Rows with a NULL item,
+    annotator, or label are likewise EXCLUDED first and counted in
+    ``n_rows_dropped`` (the :func:`winrate_report` convention; an
+    all-NULL rater cell would otherwise become its own NULL category,
+    and dropping it may also unbalance the item — which then lands in
+    ``n_items_dropped``, both visible).  Returns ONE row::
 
         (n_items, n_raters, n_categories, n_items_dropped,
-         p_bar, p_e_bar, fleiss_kappa)
+         p_bar, p_e_bar, fleiss_kappa, n_rows_dropped)
 
     With ``N`` kept items, ``n`` raters, ``n_ij`` the per-item
     category counts, ``S1 = Σ n_ij²`` and category totals
@@ -475,12 +500,23 @@ def fleiss_kappa(
     """
     if n_raters < 2:
         raise ValueError(f"fleiss_kappa: n_raters must be >= 2, got {n_raters}")
+    src = df.select(
+        F.col(item_col).alias("item"),
+        F.col(annotator_col).alias("annotator"),
+        F.col(label_col).alias("label"),
+    )
+    valid = (
+        F.col("item").isNotNull()
+        & F.col("annotator").isNotNull()
+        & F.col("label").isNotNull()
+    )
+    rows_dropped = src.agg(
+        F.coalesce(
+            F.sum(F.when(~valid, 1).otherwise(0)), F.lit(0)
+        ).alias("n_rows_dropped")
+    )
     resolved = (
-        df.select(
-            F.col(item_col).alias("item"),
-            F.col(annotator_col).alias("annotator"),
-            F.col(label_col).alias("label"),
-        )
+        src.where(valid)
         .groupBy("item", "annotator")
         .agg(F.min("label").alias("label"))
     )
@@ -519,6 +555,7 @@ def fleiss_kappa(
     return (
         s1.crossJoin(F.broadcast(s2))
         .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(rows_dropped))
         .select(
             "n_items",
             n.alias("n_raters"),
@@ -533,6 +570,7 @@ def fleiss_kappa(
             F.when(degenerate, F.lit(0.0))
             .otherwise((p_bar - p_e) / (F.lit(1.0) - p_e))
             .alias("fleiss_kappa"),
+            "n_rows_dropped",
         )
     )
 

@@ -336,6 +336,82 @@ def test_fleiss_extremes_and_guards(spark):
         )
 
 
+def test_kappa_null_labels_dropped_and_counted(spark):
+    """r11 verdict nit: an (item, annotator) cell whose labels are ALL NULL
+    must not become its own NULL category — NULL rows are excluded and
+    counted in n_rows_dropped (the winrate_report convention)."""
+    from lightfusion_spark.operators.evalmetrics import annotator_agreement
+
+    clean = [(i, a, f"l{(i * (a + 2)) % 3}") for i in range(20) for a in (0, 1)]
+    # mixed-NULL cell: item 0 / annotator 0 also has a NULL vote (min over
+    # non-NULLs is unchanged) + an ALL-NULL cell on a fresh item 99 + a
+    # NULL item and a NULL annotator row
+    noisy = clean + [
+        (0, 0, None),
+        (99, 0, None),
+        (99, 1, None),
+        (None, 0, "l0"),
+        (5, None, "l1"),
+    ]
+    schema = "item long, annotator long, label string"
+    want = {
+        (r["annotator_a"], r["annotator_b"]): (
+            r["n_items"], r["n_agree"], r["p_o"], r["p_e"], r["kappa"]
+        )
+        for r in annotator_agreement(
+            spark.createDataFrame(clean, schema), "item", "annotator", "label"
+        ).collect()
+    }
+    got_rows = annotator_agreement(
+        spark.createDataFrame(noisy, schema), "item", "annotator", "label"
+    ).collect()
+    got = {
+        (r["annotator_a"], r["annotator_b"]): (
+            r["n_items"], r["n_agree"], r["p_o"], r["p_e"], r["kappa"]
+        )
+        for r in got_rows
+    }
+    assert got == want  # statistics identical to the clean table
+    assert all(r["n_rows_dropped"] == 5 for r in got_rows)
+    # clean table reports zero dropped
+    clean_rows = annotator_agreement(
+        spark.createDataFrame(clean, schema), "item", "annotator", "label"
+    ).collect()
+    assert all(r["n_rows_dropped"] == 0 for r in clean_rows)
+
+
+def test_fleiss_null_labels_dropped_and_counted(spark):
+    """NULL rows are excluded BEFORE the balanced-design check: dropping an
+    all-NULL rater cell unbalances its item, which then lands in
+    n_items_dropped — both counts visible, nothing silent."""
+    from lightfusion_spark.operators.evalmetrics import fleiss_kappa
+
+    clean = [(i, a, f"cat{(i + a) % 3}") for i in range(12) for a in range(4)]
+    schema = "item long, annotator long, label string"
+    want = fleiss_kappa(
+        spark.createDataFrame(clean, schema),
+        "item", "annotator", "label", 4,
+    ).collect()[0]
+    assert want["n_rows_dropped"] == 0 and want["n_items_dropped"] == 0
+    # item 50: four raters but one votes ALL-NULL -> cell dropped -> item
+    # unbalanced (3 raters) -> excluded and counted; plus a NULL-item row
+    noisy = clean + [
+        (50, 0, "cat0"),
+        (50, 1, "cat0"),
+        (50, 2, "cat1"),
+        (50, 3, None),
+        (None, 0, "cat2"),
+    ]
+    got = fleiss_kappa(
+        spark.createDataFrame(noisy, schema),
+        "item", "annotator", "label", 4,
+    ).collect()[0]
+    assert got["n_rows_dropped"] == 2
+    assert got["n_items_dropped"] == 1  # item 50, unbalanced after the drop
+    for k in ("n_items", "n_categories", "p_bar", "p_e_bar", "fleiss_kappa"):
+        assert got[k] == want[k]
+
+
 def test_annotation_store_stream_matches_batch_exactly(spark, tmp_path):
     """Min-merge annotation store: verdicts streamed over a two-file
     source and blindly appended inside foreachBatch; Cohen AND Fleiss

@@ -463,8 +463,11 @@ def test_token_entropy_values_and_bounds(spark):
     assert set(got) == {1, 2, 3, 4}
     assert got[1]["n_tokens"] == 4 and got[1]["n_types"] == 4
     assert abs(got[1]["entropy_e6"] / 1e6 - math.log(4)) < 2e-6
-    # micro-nat flooring can overshoot ln(n)*1e6 by a few units
+    # micro-nat flooring can overshoot ln(n)*1e6 by a few units, but the
+    # r12 LEAST clamp keeps the 0..1 contract literal
     assert abs(got[1]["norm_entropy6"] - 1.0) < 5e-6
+    assert got[1]["norm_entropy6"] <= 1.0
+    assert got[4]["norm_entropy6"] <= 1.0
     assert got[2]["entropy_e6"] == 0 and got[2]["norm_entropy6"] == 0.0
     # concentration lowers entropy below the uniform doc of equal length
     assert got[3]["entropy_e6"] < got[4]["entropy_e6"]
