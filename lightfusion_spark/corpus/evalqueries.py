@@ -154,6 +154,166 @@ def pipe_eval_bleu(spark, sf_dir):
     return evalmetrics.corpus_bleu(pairs, "doc_id", "cand", "ref", max_n=4)
 
 
+_BLEU_BY_SYSTEM_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'drop5'
+              WHEN doc_id % 3 = 1 THEN 'drop7'
+              ELSE 'drop11' END AS system,
+         CASE WHEN doc_id % 3 = 0 THEN 5
+              WHEN doc_id % 3 = 1 THEN 7
+              ELSE 11 END AS m,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS rt
+  FROM documents
+),
+pair AS MATERIALIZED (
+  SELECT doc_id, system, rt,
+         list_transform(
+           list_filter(range(1, len(rt) + 1), i -> (i - 1) % m <> 3),
+           i -> rt[i]) AS ct
+  FROM base
+),
+ns(n) AS (VALUES (1), (2), (3), (4)),
+cg AS (
+  SELECT doc_id, system, ns.n AS n,
+         array_to_string(ct[u.i:u.i + ns.n - 1], ' ') AS gram
+  FROM pair CROSS JOIN ns,
+       UNNEST(range(1, greatest(len(ct) - ns.n + 2, 1))) AS u(i)
+),
+rg AS (
+  SELECT doc_id, system, ns.n AS n,
+         array_to_string(rt[u.i:u.i + ns.n - 1], ' ') AS gram
+  FROM pair CROSS JOIN ns,
+       UNNEST(range(1, greatest(len(rt) - ns.n + 2, 1))) AS u(i)
+),
+cc AS MATERIALIZED (
+  SELECT doc_id, system, n, gram, COUNT(*) AS c
+  FROM cg GROUP BY doc_id, system, n, gram
+),
+rc AS MATERIALIZED (
+  SELECT doc_id, system, n, gram, COUNT(*) AS c
+  FROM rg GROUP BY doc_id, system, n, gram
+),
+m AS (
+  SELECT cc.system, cc.n, CAST(SUM(LEAST(cc.c, rc.c)) AS BIGINT) AS matched
+  FROM cc JOIN rc ON rc.doc_id = cc.doc_id AND rc.n = cc.n
+                 AND rc.gram = cc.gram
+  GROUP BY cc.system, cc.n
+),
+t AS (
+  SELECT system, n, CAST(SUM(c) AS BIGINT) AS total
+  FROM cc GROUP BY system, n
+),
+rl AS (
+  SELECT system, CAST(SUM(c) AS BIGINT) AS ref_len
+  FROM rc WHERE n = 1 GROUP BY system
+),
+flat AS (
+  SELECT t.system,
+    MAX(CASE WHEN t.n = 1 THEN t.total END) AS total_1,
+    MAX(CASE WHEN t.n = 2 THEN t.total END) AS total_2,
+    MAX(CASE WHEN t.n = 3 THEN t.total END) AS total_3,
+    MAX(CASE WHEN t.n = 4 THEN t.total END) AS total_4,
+    COALESCE(MAX(CASE WHEN t.n = 1 THEN m.matched END), 0) AS matched_1,
+    COALESCE(MAX(CASE WHEN t.n = 2 THEN m.matched END), 0) AS matched_2,
+    COALESCE(MAX(CASE WHEN t.n = 3 THEN m.matched END), 0) AS matched_3,
+    COALESCE(MAX(CASE WHEN t.n = 4 THEN m.matched END), 0) AS matched_4,
+    MAX(rl.ref_len) AS ref_len
+  FROM t
+  LEFT JOIN m ON m.system = t.system AND m.n = t.n
+  JOIN rl ON rl.system = t.system
+  GROUP BY t.system
+),
+calc AS (
+  SELECT *,
+    (matched_1 = 0 OR total_1 = 0 OR matched_2 = 0 OR total_2 = 0
+     OR matched_3 = 0 OR total_3 = 0
+     OR matched_4 = 0 OR total_4 = 0) AS any_zero,
+    CAST(FLOOR(ROUND(LN(CASE WHEN matched_1 = 0 OR total_1 = 0 THEN 1.0
+        ELSE CAST(matched_1 AS DOUBLE) / CAST(total_1 AS DOUBLE) END), 6)
+        * 1000000 + 0.5) AS BIGINT)
+    + CAST(FLOOR(ROUND(LN(CASE WHEN matched_2 = 0 OR total_2 = 0 THEN 1.0
+        ELSE CAST(matched_2 AS DOUBLE) / CAST(total_2 AS DOUBLE) END), 6)
+        * 1000000 + 0.5) AS BIGINT)
+    + CAST(FLOOR(ROUND(LN(CASE WHEN matched_3 = 0 OR total_3 = 0 THEN 1.0
+        ELSE CAST(matched_3 AS DOUBLE) / CAST(total_3 AS DOUBLE) END), 6)
+        * 1000000 + 0.5) AS BIGINT)
+    + CAST(FLOOR(ROUND(LN(CASE WHEN matched_4 = 0 OR total_4 = 0 THEN 1.0
+        ELSE CAST(matched_4 AS DOUBLE) / CAST(total_4 AS DOUBLE) END), 6)
+        * 1000000 + 0.5) AS BIGINT) AS micro,
+    CASE WHEN total_1 >= ref_len THEN CAST(1.0 AS DOUBLE)
+         ELSE ROUND(EXP(1.0 - CAST(ref_len AS DOUBLE)
+                        / CAST(total_1 AS DOUBLE)), 6) END AS bp_raw
+  FROM flat
+)
+SELECT
+  system,
+  total_1 AS cand_len, ref_len,
+  matched_1, total_1,
+  CASE WHEN total_1 = 0 THEN 0.0
+       ELSE CAST(matched_1 AS DOUBLE) / CAST(total_1 AS DOUBLE) END AS p_1,
+  matched_2, total_2,
+  CASE WHEN total_2 = 0 THEN 0.0
+       ELSE CAST(matched_2 AS DOUBLE) / CAST(total_2 AS DOUBLE) END AS p_2,
+  matched_3, total_3,
+  CASE WHEN total_3 = 0 THEN 0.0
+       ELSE CAST(matched_3 AS DOUBLE) / CAST(total_3 AS DOUBLE) END AS p_3,
+  matched_4, total_4,
+  CASE WHEN total_4 = 0 THEN 0.0
+       ELSE CAST(matched_4 AS DOUBLE) / CAST(total_4 AS DOUBLE) END AS p_4,
+  CASE WHEN any_zero OR total_1 = 0 THEN 0.0 ELSE bp_raw END AS bp6,
+  CASE WHEN any_zero OR total_1 = 0 THEN 0.0
+       ELSE ROUND(bp_raw
+                  * ROUND(EXP(CAST(micro AS DOUBLE) / 4000000.0), 6), 6)
+  END AS bleu6
+FROM calc
+"""
+
+
+@register(
+    "pipe_eval_bleu_by_system",
+    oracle=_BLEU_BY_SYSTEM_ORACLE,
+    doc="corpus BLEU PER SYSTEM (evalmetrics.corpus_bleu_by_group): the "
+    "multi-model eval-harness shape — grade N systems' outputs against "
+    "shared references in ONE pass, one row per system.  Systems are "
+    "deterministic: doc_id%3 picks a corruption severity (drop every "
+    "5th / 7th / 11th token of the document's own stream), so the "
+    "three BLEU rows RANK the systems — milder corruption must score "
+    "higher.  The group-keyed Arrow fold still counts each pair "
+    "row-locally and emits 4 partial rows per system per partition "
+    "(the exchange is O(systems*4*partitions) rows whatever the "
+    "corpus); the finisher is the single-system IEEE expression under "
+    "a groupBy — hash-exact, same micro-nat fold as pipe_eval_bleu",
+)
+def pipe_eval_bleu_by_system(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    rt = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    mod3 = F.col("doc_id") % 3
+    m = (
+        F.when(mod3 == 0, F.lit(5))
+        .when(mod3 == 1, F.lit(7))
+        .otherwise(F.lit(11))
+    )
+    system = (
+        F.when(mod3 == 0, "drop5").when(mod3 == 1, "drop7").otherwise("drop11")
+    )
+    pairs = d.select(
+        "doc_id",
+        system.alias("system"),
+        F.concat_ws(
+            " ",
+            F.filter(rt, lambda x, i: i % m != F.lit(3)),
+        ).alias("cand"),
+        F.concat_ws(" ", rt).alias("ref"),
+    )
+    return evalmetrics.corpus_bleu_by_group(
+        pairs, "system", "doc_id", "cand", "ref", max_n=4
+    )
+
+
 _KAPPA_ORACLE = """
 WITH ann AS (
   SELECT (event_id // 50) AS item,
@@ -346,6 +506,105 @@ def pipe_eval_fleiss(spark, sf_dir):
         .alias("label"),
     )
     return evalmetrics.fleiss_kappa(ann, "item", "annotator", "label", n_raters=5)
+
+
+_KRIPPENDORFF_ORACLE = """
+WITH ann AS (
+  SELECT (event_id // 30) AS item,
+         user_id % 6 AS annotator,
+         CASE WHEN value < 5 THEN 'low'
+              WHEN value < 15 THEN 'mid'
+              WHEN event_id % 83 <> 0 THEN 'high' END AS label
+  FROM events
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+rd AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN label IS NULL THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_rows_dropped
+  FROM ann
+),
+resolved AS MATERIALIZED (
+  SELECT item, annotator, MIN(label) AS label
+  FROM ann WHERE label IS NOT NULL GROUP BY item, annotator
+),
+cells AS MATERIALIZED (
+  SELECT item, label, CAST(COUNT(*) AS BIGINT) AS c
+  FROM resolved GROUP BY item, label
+),
+per_item AS MATERIALIZED (
+  SELECT item, CAST(SUM(c) AS BIGINT) AS m,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS pairs
+  FROM cells GROUP BY item
+),
+ud AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN m < 2 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_units_dropped
+  FROM per_item
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n_values,
+         CAST(COALESCE(SUM((pairs * 1000000 + ((m - 1) // 2)) // (m - 1)), 0)
+              AS BIGINT) AS a6
+  FROM per_item WHERE m >= 2
+),
+marg AS (
+  SELECT cells.label, CAST(SUM(cells.c) AS BIGINT) AS nc
+  FROM cells JOIN per_item ON per_item.item = cells.item
+  WHERE per_item.m >= 2
+  GROUP BY cells.label
+),
+cats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+         CAST(COALESCE(SUM(nc * nc), 0) AS BIGINT) AS sc2
+  FROM marg
+)
+SELECT n_values, n_units, n_categories, n_units_dropped, n_rows_dropped,
+       a6 AS coincidence_e6,
+       CASE WHEN n_units = 0 OR n_values * n_values - sc2 = 0 THEN 0.0
+            ELSE ROUND(1.0 -
+                 (CAST(n_values - 1 AS DOUBLE)
+                  * (CAST(n_values AS DOUBLE)
+                     - CAST(a6 AS DOUBLE) / 1000000.0))
+                 / CAST(n_values * n_values - sc2 AS DOUBLE), 6)
+       END AS alpha6
+FROM tot CROSS JOIN cats CROSS JOIN ud CROSS JOIN rd
+"""
+
+
+@register(
+    "pipe_eval_krippendorff",
+    oracle=_KRIPPENDORFF_ORACLE,
+    doc="Krippendorff's alpha, nominal (evalmetrics.krippendorff_alpha, "
+    "2011): the missing-data-tolerant agreement coefficient completing "
+    "the annotator-QA family — Cohen scores one pair, Fleiss needs a "
+    "balanced panel, alpha scores ANY sparse annotation matrix via the "
+    "coincidence formulation (each unit's value pairs at weight "
+    "1/(m_u-1)).  Annotations derive from events (item=event_id//30, "
+    "annotator=user_id%6 — naturally RAGGED rater counts, the case "
+    "Fleiss drops) with a NULL-label stripe (event_id%83) exercising "
+    "n_rows_dropped; single-rated units land in n_units_dropped (the "
+    "published worked example's unit 12, reproduced in tests).  "
+    "Exactness: all sums BIGINT; the one rational mass A is scaled by "
+    "round-half-up INTEGER division (Spark div == DuckDB //) into an "
+    "associative micro-unit sum; alpha6 is one fixed-order IEEE "
+    "expression ROUNDed at 6 — hash-exact.  Two item-keyed "
+    "map-side-combinable aggs + one label-keyed marginal, no windows, "
+    "no self-join",
+)
+def pipe_eval_krippendorff(spark, sf_dir):
+    e = table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    ann = e.select(
+        F.expr("event_id div 30").alias("item"),
+        (F.col("user_id") % 6).alias("annotator"),
+        F.when(F.col("value") < 5, "low")
+        .when(F.col("value") < 15, "mid")
+        .when(F.expr("event_id % 83 != 0"), "high")
+        .alias("label"),
+    )
+    return evalmetrics.krippendorff_alpha(ann, "item", "annotator", "label")
 
 
 _WINRATE_ORACLE = """

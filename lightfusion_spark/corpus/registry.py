@@ -131,10 +131,14 @@ PRIORITY: list[str] = [
     "pipe_sketch_cms",
     "rel_variant",
     # r07 swap slots — each cedes to a round-12 NEW face as it lands
-    # (the r11 displacement pattern: pipe_eval_bleu_by_system,
-    # pipe_eval_krippendorff, pipe_ingest_conversations, pipe_dedup_turns)
-    "pipe_hard_negatives",
-    "pipe_embed_ivf_topk",
+    # (the r11 displacement pattern; pipe_hard_negatives ceded first —
+    # r07 green, similarity repped in-window by pipe_sim_ivf_probe2 /
+    # _recall_ivf / _topk_gemm / _ivf_pq)
+    "pipe_eval_bleu_by_system",
+    # (pipe_embed_ivf_topk ceded to the alpha face — r07 green,
+    # similarity/embeddings repped in-window by the three sim recalls
+    # + pipe_sim_ivf_pq)
+    "pipe_eval_krippendorff",
     "pipe_web_links",
     "pipe_url_blocklist",
 ]

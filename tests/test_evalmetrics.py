@@ -186,6 +186,61 @@ def test_kappa_extremes(spark):
     assert abs(r["kappa"]) < 0.1 < r["p_o"]
 
 
+def test_bleu_by_group_matches_per_group_single_system(spark):
+    """corpus_bleu_by_group == corpus_bleu run per system slice, bit for
+    bit (same fold, same finisher under a groupBy), and is partition-
+    invariant."""
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = []
+    for i in range(45):
+        ref = f"the quick brown fox tok{i} jumps over the lazy dog"
+        toks = ref.split()
+        step = 3 + (i % 3) * 2  # per-system corruption severity
+        cand = " ".join(t for j, t in enumerate(toks) if j % step != 1)
+        rows.append((i, f"sys{i % 3}", cand, ref))
+    df = spark.createDataFrame(
+        rows, "pair_id long, system string, cand string, ref string"
+    )
+    by = {
+        r["system"]: r.asDict()
+        for r in em.corpus_bleu_by_group(
+            df, "system", "pair_id", "cand", "ref"
+        ).collect()
+    }
+    assert set(by) == {"sys0", "sys1", "sys2"}
+    for g in by:
+        want = em.corpus_bleu(
+            df.where(F.col("system") == g), "pair_id", "cand", "ref"
+        ).collect()[0].asDict()
+        got = dict(by[g])
+        got.pop("system")
+        assert got == want
+    # milder corruption (bigger step) scores higher
+    assert by["sys2"]["bleu6"] > by["sys1"]["bleu6"] > by["sys0"]["bleu6"]
+    # partition invariance of the group-keyed fold
+    again = {
+        r["system"]: r.asDict()
+        for r in em.corpus_bleu_by_group(
+            df.repartition(7), "system", "pair_id", "cand", "ref"
+        ).collect()
+    }
+    assert again == by
+    # NULL system forms its own group, Spark groupBy convention
+    with_null = df.union(
+        spark.createDataFrame(
+            [(99, None, "a b c", "a b c")],
+            "pair_id long, system string, cand string, ref string",
+        )
+    )
+    got = em.corpus_bleu_by_group(
+        with_null, "system", "pair_id", "cand", "ref"
+    ).collect()
+    assert sum(1 for r in got if r["system"] is None) == 1
+
+
 def test_bleu_store_stream_matches_batch_exactly(spark, tmp_path):
     """Maintained BLEU store: pairs streamed over a two-file source and
     appended inside foreachBatch; the store BLEU equals the one-shot
@@ -334,6 +389,77 @@ def test_fleiss_extremes_and_guards(spark):
             spark.createDataFrame(rows, "item long, annotator long, label string"),
             "item", "annotator", "label", 1,
         )
+
+
+def test_krippendorff_matches_published_worked_example(spark):
+    """Krippendorff (2011) 'Computing Krippendorff's Alpha-Reliability':
+    4 observers, 12 units, nominal data with missing cells; unit 12 is
+    single-rated and must be dropped (n = 40 pairable values), nominal
+    alpha = 0.743."""
+    from lightfusion_spark.operators.evalmetrics import krippendorff_alpha
+
+    grid = {
+        "A": [1, 2, 3, 3, 2, 1, 4, 1, 2, None, None, None],
+        "B": [1, 2, 3, 3, 2, 2, 4, 1, 2, 5, None, 3],
+        "C": [None, 3, 3, 3, 2, 3, 4, 2, 2, 5, 1, None],
+        "D": [1, 2, 3, 3, 2, 4, 4, 1, 2, 5, 1, None],
+    }
+    rows = [
+        (u + 1, obs, str(grid[obs][u]))
+        for obs in grid
+        for u in range(12)
+        if grid[obs][u] is not None
+    ]
+    df = spark.createDataFrame(rows, "item long, annotator string, label string")
+    out = krippendorff_alpha(df, "item", "annotator", "label").collect()[0]
+    assert out["n_values"] == 40
+    assert out["n_units"] == 11 and out["n_units_dropped"] == 1
+    assert out["n_categories"] == 5 and out["n_rows_dropped"] == 0
+    # exact fraction: 1 - 39*(40-32)/(1600-1296) = 226/304... = 0.7434210...
+    assert abs(out["alpha6"] - 0.743421) < 1e-6
+    assert round(out["alpha6"], 3) == 0.743
+    # partition invariance of the integer-sum pipeline
+    again = krippendorff_alpha(
+        df.repartition(7), "item", "annotator", "label"
+    ).collect()[0]
+    assert again.asDict() == out.asDict()
+
+
+def test_krippendorff_extremes_tolerance_and_null_discipline(spark):
+    from lightfusion_spark.operators.evalmetrics import krippendorff_alpha
+
+    schema = "item long, annotator long, label string"
+    # perfect agreement over mixed categories -> alpha exactly 1.0
+    rows = [(i, a, f"cat{i % 3}") for i in range(30) for a in range(4)]
+    out = krippendorff_alpha(
+        spark.createDataFrame(rows, schema), "item", "annotator", "label"
+    ).collect()[0]
+    assert out["alpha6"] == 1.0
+    # one category everywhere -> D_e = 0, gated to 0.0 (never NaN)
+    rows = [(i, a, "same") for i in range(10) for a in range(3)]
+    out = krippendorff_alpha(
+        spark.createDataFrame(rows, schema), "item", "annotator", "label"
+    ).collect()[0]
+    assert out["alpha6"] == 0.0
+    # missing-data tolerance: ragged panel (2-4 raters per unit) KEEPS
+    # every unit with >= 2 ratings — the case fleiss_kappa must drop
+    rows = [
+        (u, a, f"cat{(u + a) % 2}")
+        for u in range(20)
+        for a in range(2 + u % 3)
+    ]
+    out = krippendorff_alpha(
+        spark.createDataFrame(rows, schema), "item", "annotator", "label"
+    ).collect()[0]
+    assert out["n_units"] == 20 and out["n_units_dropped"] == 0
+    # NULL rows excluded and counted; single-rated unit dropped
+    rows = [(1, 0, "a"), (1, 1, "a"), (2, 0, "b"), (3, 0, None), (None, 1, "a")]
+    out = krippendorff_alpha(
+        spark.createDataFrame(rows, schema), "item", "annotator", "label"
+    ).collect()[0]
+    assert out["n_rows_dropped"] == 2
+    assert out["n_units_dropped"] == 1  # unit 2 (unit 3's only row was NULL)
+    assert out["n_values"] == 2 and out["n_units"] == 1
 
 
 def test_kappa_null_labels_dropped_and_counted(spark):
