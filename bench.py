@@ -133,6 +133,12 @@ BENCH_QUERIES = [
     "pipe_mix_unimax",
     "pipe_lm_kneser_ney",
     "pipe_lm_kn_trigram",
+    # round-12 faces
+    "pipe_eval_bleu_by_system",
+    "pipe_eval_krippendorff",
+    "pipe_ingest_conversations",
+    "pipe_dedup_turns",
+    "pipe_dedup_conversations",
 ]
 
 

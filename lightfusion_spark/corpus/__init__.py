@@ -22,6 +22,7 @@ from . import timeseries  # noqa: E402,F401
 from . import tokenization  # noqa: E402,F401
 from . import graphqueries  # noqa: E402,F401
 from . import evalqueries  # noqa: E402,F401
+from . import conversationqueries  # noqa: E402,F401
 from . import udfs  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query_functions", "oracle_strings"]

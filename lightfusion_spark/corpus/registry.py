@@ -113,11 +113,13 @@ PRIORITY: list[str] = [
     "events_ohlc",
     "pipe_corpus_health",
     # r07 family flagships (the other 25 r07 rows head the r13 backlog)
+    # (pipe_mixture_temperature ceded its flagship slot to the third
+    # conversation face — r07 green, mixtures repped by the r11-green
+    # pipe_mix_unimax, curation by pipe_quality_filter in-window)
     "pipe_web_pagerank",
     "pipe_sim_ivf_pq",
     "pipe_ingest_warc",
     "pipe_dedup_components",
-    "pipe_mixture_temperature",
     # per-category 2.3 reps, stalest verified sibling each
     "rel_filter_project",
     "rel_grouping_sets",
@@ -139,8 +141,13 @@ PRIORITY: list[str] = [
     # similarity/embeddings repped in-window by the three sim recalls
     # + pipe_sim_ivf_pq)
     "pipe_eval_krippendorff",
-    "pipe_web_links",
-    "pipe_url_blocklist",
+    # (pipe_web_links + pipe_url_blocklist ceded to the conversation
+    # faces — both r07 green, web repped in-window by pipe_web_pagerank
+    # + pipe_ingest_warc; the THIRD conversation face takes the slot
+    # budgeted for one more r07 row)
+    "pipe_ingest_conversations",
+    "pipe_dedup_turns",
+    "pipe_dedup_conversations",
 ]
 
 
