@@ -812,12 +812,28 @@ def annotations_append_batch(
     ``min(min(A), min(B)) == min(A ∪ B)``, so the store statistics
     equal the one-shot operators over the concatenation of all
     appended batches BIT FOR BIT — asserted by the parity tests.
+
+    NULL discipline (r12): rows with a NULL item/annotator/label are
+    dropped AT APPEND — a label store must never hold NULL labels
+    (``min`` would skip a mixed cell's NULLs anyway, but an ALL-NULL
+    cell would otherwise write a NULL row the readers then have to
+    re-drop).  Consequence for accounting: the one-shot operators'
+    ``n_rows_dropped`` counts RAW votes, while a from-store read
+    reports 0 (the store is clean by construction) — the agreement
+    STATISTICS are bit-identical either way, and a caller who needs
+    raw dropped-vote telemetry tracks it per batch where the raw rows
+    still exist.
     """
+    src = batch_df.select(
+        F.col(item_col).alias("item"),
+        F.col(annotator_col).alias("annotator"),
+        F.col(label_col).alias("label"),
+    )
     resolved = (
-        batch_df.select(
-            F.col(item_col).alias("item"),
-            F.col(annotator_col).alias("annotator"),
-            F.col(label_col).alias("label"),
+        src.where(
+            F.col("item").isNotNull()
+            & F.col("annotator").isNotNull()
+            & F.col("label").isNotNull()
         )
         .groupBy("item", "annotator")
         .agg(F.min("label").alias("label"))

@@ -553,6 +553,10 @@ def test_annotation_store_stream_matches_batch_exactly(spark, tmp_path):
     # half — the store must resolve to the GLOBAL min, like batch mode
     rows.append((0, 0, "a_early"))
     rows.append((0, 0, "a_late"))
+    # a NULL vote: dropped AT APPEND (the store never holds NULL labels);
+    # the agreement statistics stay identical, only the raw-row
+    # accounting column differs (store reads report 0, one-shot raw 1)
+    rows.append((1, 1, None))
     ann_df = spark.createDataFrame(rows, "item long, annotator long, label string")
     src = tmp_path / "ann_src"
     # split so the conflicting labels land in DIFFERENT files
@@ -584,12 +588,20 @@ def test_annotation_store_stream_matches_batch_exactly(spark, tmp_path):
     q.awaitTermination()
 
     def rows_of(df):
-        return sorted(map(tuple, df.collect()))
+        # statistics columns only: n_rows_dropped counts RAW votes in
+        # one-shot mode and is 0 by construction on a (clean) store
+        return sorted(
+            map(tuple, df.drop("n_rows_dropped").collect())
+        )
 
-    got_pair = rows_of(em.agreement_from_store(spark, state_dir))
+    store_pair = em.agreement_from_store(spark, state_dir)
+    got_pair = rows_of(store_pair)
     want_pair = rows_of(em.annotator_agreement(
         ann_df, "item", "annotator", "label"))
     assert got_pair == want_pair and len(got_pair) == 6
+    assert store_pair.select("n_rows_dropped").first()[0] == 0
+    one_shot = em.annotator_agreement(ann_df, "item", "annotator", "label")
+    assert one_shot.select("n_rows_dropped").first()[0] == 1  # the NULL vote
     got_panel = rows_of(em.fleiss_from_store(spark, state_dir, 4))
     want_panel = rows_of(em.fleiss_kappa(
         ann_df, "item", "annotator", "label", 4))

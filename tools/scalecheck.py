@@ -971,6 +971,17 @@ def main() -> None:
             lambda: noop(wg_mod.label_propagation(g1, iterations=4)),
             lambda: noop(wg_mod.label_propagation(g10, iterations=4)),
         )
+        # round-12: the THIRD decade for LPA — 3M vs 30M directed edges
+        # (10M hosts) — pinning the min_by rewrite's 0.52 exponent
+        # claim one scale up (r11 verdict item 6).  Gated behind an
+        # explicit --only so the default sweep stays fast.
+        if ONLY and any(s in "curve_web_lpa_30m" for s in ONLY):
+            g100 = _host_graph(10_000_000)
+            curve(
+                "curve_web_lpa_30m",
+                lambda: noop(wg_mod.label_propagation(g10, iterations=4)),
+                lambda: noop(wg_mod.label_propagation(g100, iterations=4)),
+            )
         # round-11: k-core — 3 peeling rounds at k=4, matching the face
         curve(
             "curve_web_kcore",
