@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "pipe_ingest_conversations",
     "pipe_dedup_turns",
     "pipe_dedup_conversations",
+    "pipe_eval_chrf",
+    "pipe_eval_distinct_n",
 ]
 
 

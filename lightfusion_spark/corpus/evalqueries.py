@@ -314,6 +314,183 @@ def pipe_eval_bleu_by_system(spark, sf_dir):
     )
 
 
+_CHRF_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS rt
+  FROM documents
+),
+pair AS MATERIALIZED (
+  SELECT doc_id,
+         regexp_replace(array_to_string(list_transform(
+           list_filter(range(1, len(rt) + 1), i -> (i - 1) % 7 <> 3),
+           i -> rt[i]), ' '), '\\s+', '', 'g') AS cs,
+         regexp_replace(array_to_string(rt, ' '), '\\s+', '', 'g') AS rs
+  FROM base
+),
+ns(n) AS (VALUES (1), (2), (3), (4), (5), (6)),
+cg AS (
+  SELECT doc_id, ns.n AS n, substr(cs, CAST(u.i AS INT), ns.n) AS gram
+  FROM pair CROSS JOIN ns,
+       UNNEST(range(1, greatest(len(cs) - ns.n + 2, 1))) AS u(i)
+),
+rg AS (
+  SELECT doc_id, ns.n AS n, substr(rs, CAST(u.i AS INT), ns.n) AS gram
+  FROM pair CROSS JOIN ns,
+       UNNEST(range(1, greatest(len(rs) - ns.n + 2, 1))) AS u(i)
+),
+cc AS MATERIALIZED (
+  SELECT doc_id, n, gram, COUNT(*) AS c FROM cg GROUP BY doc_id, n, gram
+),
+rc AS MATERIALIZED (
+  SELECT doc_id, n, gram, COUNT(*) AS c FROM rg GROUP BY doc_id, n, gram
+),
+m AS (
+  SELECT cc.n, CAST(SUM(LEAST(cc.c, rc.c)) AS BIGINT) AS matched
+  FROM cc JOIN rc ON rc.doc_id = cc.doc_id AND rc.n = cc.n
+                 AND rc.gram = cc.gram
+  GROUP BY cc.n
+),
+ct AS (SELECT n, CAST(SUM(c) AS BIGINT) AS total FROM cc GROUP BY n),
+rr AS (SELECT n, CAST(SUM(c) AS BIGINT) AS total FROM rc GROUP BY n),
+flat AS (
+  SELECT
+    COALESCE(MAX(CASE WHEN ct.n = 1 THEN m.matched END), 0) AS matched_1,
+    COALESCE(MAX(CASE WHEN ct.n = 2 THEN m.matched END), 0) AS matched_2,
+    COALESCE(MAX(CASE WHEN ct.n = 3 THEN m.matched END), 0) AS matched_3,
+    COALESCE(MAX(CASE WHEN ct.n = 4 THEN m.matched END), 0) AS matched_4,
+    COALESCE(MAX(CASE WHEN ct.n = 5 THEN m.matched END), 0) AS matched_5,
+    COALESCE(MAX(CASE WHEN ct.n = 6 THEN m.matched END), 0) AS matched_6,
+    COALESCE(MAX(CASE WHEN ct.n = 1 THEN ct.total END), 0) AS cand_1,
+    COALESCE(MAX(CASE WHEN ct.n = 2 THEN ct.total END), 0) AS cand_2,
+    COALESCE(MAX(CASE WHEN ct.n = 3 THEN ct.total END), 0) AS cand_3,
+    COALESCE(MAX(CASE WHEN ct.n = 4 THEN ct.total END), 0) AS cand_4,
+    COALESCE(MAX(CASE WHEN ct.n = 5 THEN ct.total END), 0) AS cand_5,
+    COALESCE(MAX(CASE WHEN ct.n = 6 THEN ct.total END), 0) AS cand_6,
+    COALESCE(MAX(CASE WHEN rr2.n = 1 THEN rr2.total END), 0) AS ref_1,
+    COALESCE(MAX(CASE WHEN rr2.n = 2 THEN rr2.total END), 0) AS ref_2,
+    COALESCE(MAX(CASE WHEN rr2.n = 3 THEN rr2.total END), 0) AS ref_3,
+    COALESCE(MAX(CASE WHEN rr2.n = 4 THEN rr2.total END), 0) AS ref_4,
+    COALESCE(MAX(CASE WHEN rr2.n = 5 THEN rr2.total END), 0) AS ref_5,
+    COALESCE(MAX(CASE WHEN rr2.n = 6 THEN rr2.total END), 0) AS ref_6
+  FROM ct
+  LEFT JOIN m ON m.n = ct.n
+  FULL JOIN rr AS rr2 ON rr2.n = ct.n
+),
+calc AS (
+  SELECT *,
+    (0.0
+     + CASE WHEN cand_1 = 0 THEN 0.0
+            ELSE CAST(matched_1 AS DOUBLE) / CAST(cand_1 AS DOUBLE) END
+     + CASE WHEN cand_2 = 0 THEN 0.0
+            ELSE CAST(matched_2 AS DOUBLE) / CAST(cand_2 AS DOUBLE) END
+     + CASE WHEN cand_3 = 0 THEN 0.0
+            ELSE CAST(matched_3 AS DOUBLE) / CAST(cand_3 AS DOUBLE) END
+     + CASE WHEN cand_4 = 0 THEN 0.0
+            ELSE CAST(matched_4 AS DOUBLE) / CAST(cand_4 AS DOUBLE) END
+     + CASE WHEN cand_5 = 0 THEN 0.0
+            ELSE CAST(matched_5 AS DOUBLE) / CAST(cand_5 AS DOUBLE) END
+     + CASE WHEN cand_6 = 0 THEN 0.0
+            ELSE CAST(matched_6 AS DOUBLE) / CAST(cand_6 AS DOUBLE) END
+    ) / 6.0 AS chr_p,
+    (0.0
+     + CASE WHEN ref_1 = 0 THEN 0.0
+            ELSE CAST(matched_1 AS DOUBLE) / CAST(ref_1 AS DOUBLE) END
+     + CASE WHEN ref_2 = 0 THEN 0.0
+            ELSE CAST(matched_2 AS DOUBLE) / CAST(ref_2 AS DOUBLE) END
+     + CASE WHEN ref_3 = 0 THEN 0.0
+            ELSE CAST(matched_3 AS DOUBLE) / CAST(ref_3 AS DOUBLE) END
+     + CASE WHEN ref_4 = 0 THEN 0.0
+            ELSE CAST(matched_4 AS DOUBLE) / CAST(ref_4 AS DOUBLE) END
+     + CASE WHEN ref_5 = 0 THEN 0.0
+            ELSE CAST(matched_5 AS DOUBLE) / CAST(ref_5 AS DOUBLE) END
+     + CASE WHEN ref_6 = 0 THEN 0.0
+            ELSE CAST(matched_6 AS DOUBLE) / CAST(ref_6 AS DOUBLE) END
+    ) / 6.0 AS chr_r
+  FROM flat
+)
+SELECT matched_1, cand_1, ref_1, matched_2, cand_2, ref_2,
+       matched_3, cand_3, ref_3, matched_4, cand_4, ref_4,
+       matched_5, cand_5, ref_5, matched_6, cand_6, ref_6,
+       chr_p, chr_r,
+       CASE WHEN 4.0 * chr_p + chr_r = 0.0 THEN 0.0
+            ELSE ROUND((1.0 + 4.0) * chr_p * chr_r
+                       / (4.0 * chr_p + chr_r), 6)
+       END AS chrf6
+FROM calc
+"""
+
+
+@register(
+    "pipe_eval_chrf",
+    oracle=_CHRF_ORACLE,
+    doc="corpus-level chrF (evalmetrics.chrf_score, Popovic 2015): the "
+    "character-n-gram F-beta score beside BLEU — tokenization-robust, "
+    "morphology-tolerant, the second standard MT/distillation metric. "
+    "Same pairs as pipe_eval_bleu (drop every 7th token), same "
+    "row-local additive-cell architecture with characters for tokens "
+    "(whitespace stripped, n=1..6, beta=2): no character leaves its "
+    "row, the fold emits 6 partial rows per partition, the only "
+    "exchange is the 6-row merge.  Integer cells; per-order ratios "
+    "one IEEE division each; fixed-order mean and F combination "
+    "ROUNDed at 6 — hash-exact with NO transcendentals",
+)
+def pipe_eval_chrf(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    rt = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    pairs = d.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.filter(rt, lambda x, i: i % F.lit(7) != F.lit(3)),
+        ).alias("cand"),
+        F.concat_ws(" ", rt).alias("ref"),
+    )
+    return evalmetrics.chrf_score(pairs, "doc_id", "cand", "ref")
+
+
+_DISTINCT_N_ORACLE = """
+WITH base AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+ns(n) AS (VALUES (1), (2), (3)),
+cells AS (
+  SELECT ns.n AS n,
+         array_to_string(tk[u.i:u.i + ns.n - 1], ' ') AS gram
+  FROM base CROSS JOIN ns,
+       UNNEST(range(1, greatest(len(tk) - ns.n + 2, 1))) AS u(i)
+)
+SELECT n,
+       CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(DISTINCT gram) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS distinct_ratio
+FROM cells GROUP BY n
+"""
+
+
+@register(
+    "pipe_eval_distinct_n",
+    oracle=_DISTINCT_N_ORACLE,
+    doc="distinct-n generation diversity (evalmetrics.distinct_ngrams, "
+    "Li 2016): distinct token n-grams over total, n=1..3 — the mode-"
+    "collapse dashboard for sampled model outputs (degeneracy shows "
+    "as distinct-2 cratering while reference-based metrics stay "
+    "flat).  One explode into (n, gram) cells + a gram-keyed "
+    "pre-aggregation + one count pass — no windows, no joins, no "
+    "Python; counts exact integers, the ratio one IEEE division — "
+    "hash-exact",
+)
+def pipe_eval_distinct_n(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return evalmetrics.distinct_ngrams(d, "doc_id", "text", max_n=3)
+
+
 _KAPPA_ORACLE = """
 WITH ann AS (
   SELECT (event_id // 50) AS item,

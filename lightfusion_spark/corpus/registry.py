@@ -124,12 +124,17 @@ PRIORITY: list[str] = [
     "rel_filter_project",
     "rel_grouping_sets",
     "rel_window_analytics",
-    "rel_topk_group",
+    # (rel_topk_group — r10 green, the window's FRESHEST non-flagship
+    # row — and grouped_map_centroid — r09 green — ceded their rep
+    # slots to the sixth/seventh round-12 faces; sort/limit stays
+    # repped by the r11-green rel_sort_limit, UDF/UDAF/UDTF by the
+    # r11-green udaf_mean_norm + r10-green udtf_split_words)
+    "pipe_eval_chrf",
     "rel_union_all",
     "rel_not_in_subquery",
     "rel_scalar_date",
     "rel_explode",
-    "grouped_map_centroid",
+    "pipe_eval_distinct_n",
     "pipe_sketch_cms",
     "rel_variant",
     # r07 swap slots — each cedes to a round-12 NEW face as it lands

@@ -469,6 +469,195 @@ def annotator_agreement(
     )
 
 
+def chrf_score(
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 6,
+    beta: float = 2.0,
+) -> DataFrame:
+    """Corpus-level chrF (Popović 2015) — the character-n-gram F-score
+    that complements BLEU: robust to tokenization and morphology
+    (inflections share most of their characters), the second standard
+    MT/distillation-QA metric.  Texts are lowercased and ALL
+    whitespace is removed (the paper's space-free character stream;
+    lowercasing is the repo's shared eval convention), then clipped
+    character n-gram matches for n=1..max_n are counted WITHIN each
+    pair — the same row-local additive-cell architecture as
+    :func:`bleu_cells`, with characters for tokens.
+
+    Returns ONE row: per-order ``matched_k``/``cand_k``/``ref_k``
+    integer sums, then::
+
+        chrP   = (1/N) Σ_n matched_n / cand_n   (0.0 where cand_n = 0)
+        chrR   = (1/N) Σ_n matched_n / ref_n    (0.0 where ref_n = 0)
+        chrf6  = ROUND((1+β²)·chrP·chrR / (β²·chrP + chrR), 6)
+
+    (0.0 when the denominator is 0 — both sides empty at every order.)
+    Exactness: cells are integer sums; each per-order ratio is one
+    IEEE division; the order-mean divides by the literal N; the F
+    combination is one fixed-order IEEE expression ROUNDed at 6 —
+    hash-exact, no transcendentals at all.
+
+    100 TB shape: identical to corpus BLEU — no character ever leaves
+    its row; the fold emits max_n partial rows per partition and the
+    metric's only exchange is that max_n-row merge.
+    """
+    if max_n < 1:
+        raise ValueError(f"chrf_score: max_n must be >= 1, got {max_n}")
+    if not (beta > 0):
+        raise ValueError(f"chrf_score: beta must be > 0, got {beta}")
+    strip = lambda c: F.regexp_replace(F.lower(c), r"\s+", "")
+    base = df.select(
+        strip(F.col(cand_col)).alias("cs"),
+        strip(F.col(ref_col)).alias("rs"),
+    )
+
+    def fold(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        matched = [0] * (max_n + 1)
+        cand_tot = [0] * (max_n + 1)
+        ref_tot = [0] * (max_n + 1)
+        for pdf in batches:
+            for cs, rs in zip(pdf["cs"], pdf["rs"]):
+                c = cs if cs is not None else ""
+                r = rs if rs is not None else ""
+                for n in range(1, max_n + 1):
+                    cg = Counter(
+                        c[i : i + n] for i in range(len(c) - n + 1)
+                    )
+                    rg = Counter(
+                        r[i : i + n] for i in range(len(r) - n + 1)
+                    )
+                    cand_tot[n] += sum(cg.values())
+                    ref_tot[n] += sum(rg.values())
+                    matched[n] += sum(
+                        min(k_c, rg[g]) for g, k_c in cg.items() if g in rg
+                    )
+        yield pd.DataFrame(
+            {
+                "n": list(range(1, max_n + 1)),
+                "matched": matched[1:],
+                "cand_total": cand_tot[1:],
+                "ref_total": ref_tot[1:],
+            }
+        )
+
+    cells = (
+        base.mapInPandas(
+            fold,
+            schema="n int, matched long, cand_total long, ref_total long",
+        )
+        .groupBy("n")
+        .agg(
+            F.sum("matched").cast("long").alias("matched"),
+            F.sum("cand_total").cast("long").alias("cand_total"),
+            F.sum("ref_total").cast("long").alias("ref_total"),
+        )
+    )
+    agg_cols = []
+    for n in range(1, max_n + 1):
+        for src, dst in (
+            ("matched", f"matched_{n}"),
+            ("cand_total", f"cand_{n}"),
+            ("ref_total", f"ref_{n}"),
+        ):
+            agg_cols.append(
+                F.coalesce(
+                    F.sum(F.when(F.col("n") == n, F.col(src))), F.lit(0)
+                ).alias(dst)
+            )
+    flat = cells.agg(*agg_cols)
+    p_sum = F.lit(0.0)
+    r_sum = F.lit(0.0)
+    for n in range(1, max_n + 1):
+        p_sum = p_sum + F.when(F.col(f"cand_{n}") == 0, F.lit(0.0)).otherwise(
+            F.col(f"matched_{n}").cast("double")
+            / F.col(f"cand_{n}").cast("double")
+        )
+        r_sum = r_sum + F.when(F.col(f"ref_{n}") == 0, F.lit(0.0)).otherwise(
+            F.col(f"matched_{n}").cast("double")
+            / F.col(f"ref_{n}").cast("double")
+        )
+    chr_p = p_sum / F.lit(float(max_n))
+    chr_r = r_sum / F.lit(float(max_n))
+    bb = F.lit(float(beta) * float(beta))
+    denom = bb * chr_p + chr_r
+    out_cols = []
+    for n in range(1, max_n + 1):
+        out_cols += [
+            F.col(f"matched_{n}"),
+            F.col(f"cand_{n}"),
+            F.col(f"ref_{n}"),
+        ]
+    out_cols += [
+        chr_p.alias("chr_p"),
+        chr_r.alias("chr_r"),
+        F.when(denom == F.lit(0.0), F.lit(0.0))
+        .otherwise(
+            F.round((F.lit(1.0) + bb) * chr_p * chr_r / denom, 6)
+        )
+        .alias("chrf6"),
+    ]
+    return flat.select(*out_cols)
+
+
+def distinct_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_n: int = 3,
+) -> DataFrame:
+    """Distinct-n generation-diversity report (Li et al. 2016): for
+    n=1..max_n, the number of DISTINCT token n-grams over the corpus
+    divided by the total n-gram count — the degeneracy dashboard for
+    sampled model outputs (mode collapse shows as distinct-2 falling
+    off a cliff while BLEU-ish metrics stay flat).
+
+    Returns ``max_n`` rows ``(n, n_distinct, n_total, distinct_ratio)``
+    — counts are exact integers (one explode + one distinct-agg per
+    relation), the ratio one IEEE division; tokenization is the shared
+    whitespace convention (:func:`corpus_bleu`'s ``_tok``).
+
+    100 TB shape: one explode over the token stream into (n, gram)
+    cells, then a single map-side-combinable count + approximate-free
+    exact distinct via a (n, gram) pre-aggregation — the shuffle key
+    is the gram, Zipf-bounded for small n and self-limiting for large
+    n (most long grams are unique, so the pre-agg output approaches
+    the input and the count is one pass either way).  No windows, no
+    joins, no Python.
+    """
+    if max_n < 1:
+        raise ValueError(f"distinct_ngrams: max_n must be >= 1, got {max_n}")
+    toks = _tok(F.col(text_col))
+    cells = df.select(_gram_cells(toks, max_n).alias("_g")).select(
+        F.explode("_g").alias("_c")
+    ).select(F.col("_c.n").alias("n"), F.col("_c.gram").alias("gram"))
+    per_gram = cells.groupBy("n", "gram").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    return (
+        per_gram.groupBy("n")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("_cnt").cast("long").alias("n_total"),
+        )
+        .select(
+            "n",
+            "n_distinct",
+            "n_total",
+            (
+                F.col("n_distinct").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("distinct_ratio"),
+        )
+    )
+
+
 def krippendorff_alpha(
     df: DataFrame,
     item_col: str,

@@ -391,6 +391,103 @@ def test_fleiss_extremes_and_guards(spark):
         )
 
 
+def _chrf_ref(pairs, max_n=6, beta=2.0):
+    """Independent chrF: per-order corpus sums, order-averaged P/R,
+    F-beta — straight from Popovic 2015."""
+    from collections import Counter
+
+    m = [0] * (max_n + 1)
+    ct = [0] * (max_n + 1)
+    rt = [0] * (max_n + 1)
+    for cand, ref in pairs:
+        c = "".join((cand or "").lower().split())
+        r = "".join((ref or "").lower().split())
+        for n in range(1, max_n + 1):
+            cg = Counter(c[i : i + n] for i in range(len(c) - n + 1))
+            rg = Counter(r[i : i + n] for i in range(len(r) - n + 1))
+            ct[n] += sum(cg.values())
+            rt[n] += sum(rg.values())
+            m[n] += sum(min(v, rg[g]) for g, v in cg.items() if g in rg)
+    p = sum(
+        (m[n] / ct[n] if ct[n] else 0.0) for n in range(1, max_n + 1)
+    ) / max_n
+    r = sum(
+        (m[n] / rt[n] if rt[n] else 0.0) for n in range(1, max_n + 1)
+    ) / max_n
+    bb = beta * beta
+    return 0.0 if bb * p + r == 0 else round((1 + bb) * p * r / (bb * p + r), 6)
+
+
+def test_chrf_matches_independent_reference(spark):
+    from lightfusion_spark.operators.evalmetrics import chrf_score
+
+    pairs = [
+        (i, f"the quick brown fox tok{i}", f"the quick brawn fox tok{i}")
+        for i in range(20)
+    ] + [(99, "completely different", "nothing shared here")]
+    df = spark.createDataFrame(pairs, "pid long, cand string, ref string")
+    out = chrf_score(df, "pid", "cand", "ref").collect()[0]
+    assert out["chrf6"] == _chrf_ref([(c, r) for _, c, r in pairs])
+    assert 0.0 < out["chrf6"] < 1.0
+    # identical corpus -> exactly 1.0 (P = R = 1 at every order)
+    same = spark.createDataFrame(
+        [(i, f"alpha beta tok{i}", f"alpha beta tok{i}") for i in range(8)],
+        "pid long, cand string, ref string",
+    )
+    assert chrf_score(same, "pid", "cand", "ref").collect()[0]["chrf6"] == 1.0
+    # empty/NULL candidates degrade, never crash; all-empty gates to 0.0
+    empty = spark.createDataFrame(
+        [(1, None, "some reference"), (2, "", "more text")],
+        "pid long, cand string, ref string",
+    )
+    out = chrf_score(empty, "pid", "cand", "ref").collect()[0]
+    assert out["chrf6"] == 0.0 and out["chr_r"] == 0.0
+    # partition invariance of the additive cells
+    a = chrf_score(df, "pid", "cand", "ref").collect()[0]
+    b = chrf_score(df.repartition(7), "pid", "cand", "ref").collect()[0]
+    assert a.asDict() == b.asDict()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_n"):
+        chrf_score(df, "pid", "cand", "ref", max_n=0)
+    with _pytest.raises(ValueError, match="beta"):
+        chrf_score(df, "pid", "cand", "ref", beta=0.0)
+
+
+def test_distinct_ngrams_counts_and_degeneracy_signal(spark):
+    from lightfusion_spark.operators.evalmetrics import distinct_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c d")],
+        "doc_id long, text string",
+    )
+    got = {r["n"]: r for r in distinct_ngrams(df, "doc_id", "text", 2).collect()}
+    # unigrams: 8 total, {a,b,c,d} distinct
+    assert got[1]["n_total"] == 8 and got[1]["n_distinct"] == 4
+    assert got[1]["distinct_ratio"] == 0.5
+    # bigrams: 6 total, {'a b','b a','b c','c d'} distinct
+    assert got[2]["n_total"] == 6 and got[2]["n_distinct"] == 4
+    # mode collapse: repeating one doc drops the ratio, diversity raises it
+    collapsed = spark.createDataFrame(
+        [(i, "a b a b") for i in range(10)], "doc_id long, text string"
+    )
+    diverse = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    rc = {r["n"]: r["distinct_ratio"]
+          for r in distinct_ngrams(collapsed, "doc_id", "text", 2).collect()}
+    rd = {r["n"]: r["distinct_ratio"]
+          for r in distinct_ngrams(diverse, "doc_id", "text", 2).collect()}
+    assert rc[2] < 0.1 < rd[2] == 1.0
+    # partition invariance
+    a = sorted(map(tuple, distinct_ngrams(df, "doc_id", "text", 2).collect()))
+    b = sorted(map(tuple,
+                   distinct_ngrams(df.repartition(5), "doc_id", "text", 2)
+                   .collect()))
+    assert a == b
+
+
 def test_krippendorff_matches_published_worked_example(spark):
     """Krippendorff (2011) 'Computing Krippendorff's Alpha-Reliability':
     4 observers, 12 units, nominal data with missing cells; unit 12 is
