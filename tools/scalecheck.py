@@ -1017,6 +1017,53 @@ def main() -> None:
             lambda: _drift(docs10),
         )
 
+    # round-12: conversation turn-dedup — synthetic turns with a fixed
+    # 20% template mass (every 5th turn draws from a 64-phrase canned
+    # pool), 500k vs 5M turns.  The projection-first shape predicts
+    # linear-in-rows: only (digest, id, idx, role) shuffles.
+    if not ONLY or any(s in "curve_conversations" for s in ONLY):
+        from lightfusion_spark.operators import conversations as conv_mod
+
+        def _turns(n_rows):
+            return (
+                spark.range(n_rows)
+                .select(
+                    (F.col("id") % 100_000).alias("conversation_id"),
+                    (F.col("id") % 17).cast("int").alias("turn_idx"),
+                    F.when((F.col("id") % 2) == 0, "user")
+                    .otherwise("assistant")
+                    .alias("role"),
+                    F.when(
+                        (F.col("id") % 5) == 0,
+                        F.concat(
+                            F.lit("canned reply "),
+                            (F.col("id") % 64).cast("string"),
+                        ),
+                    )
+                    .otherwise(
+                        F.concat(
+                            F.lit("unique content "),
+                            F.col("id").cast("string"),
+                        )
+                    )
+                    .alias("content"),
+                )
+                .localCheckpoint(eager=True)
+            )
+
+        t1, t10 = _turns(500_000), _turns(5_000_000)
+        noop2 = lambda df: df.write.format("noop").mode("overwrite").save()
+        curve(
+            "curve_conversations_dedup",
+            lambda: noop2(conv_mod.dedup_turns_exact(t1)),
+            lambda: noop2(conv_mod.dedup_turns_exact(t10)),
+        )
+        curve(
+            "curve_conversations_sig",
+            lambda: noop2(conv_mod.dedup_conversations_exact(t1)),
+            lambda: noop2(conv_mod.dedup_conversations_exact(t10)),
+        )
+
     # round-11: the curriculum_order rewrite A/B (the round-10 ADVICE
     # finding).  An unpartitioned ntile().over(Window.orderBy()) moves
     # EVERY row into one task (WindowExec "No Partition Defined"); the
