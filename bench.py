@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "pipe_dedup_conversations",
     "pipe_eval_chrf",
     "pipe_eval_distinct_n",
+    "pipe_multimodal_flac",
 ]
 
 

@@ -132,7 +132,11 @@ PRIORITY: list[str] = [
     "pipe_eval_chrf",
     "rel_union_all",
     "rel_not_in_subquery",
-    "rel_scalar_date",
+    # (rel_scalar_date — r08 — ceded its rep slot to the eighth
+    # round-12 face, the FLAC codec; the scalar family stays repped by
+    # the r11-green rel_scalar_string + r08-green siblings'
+    # recorded rows)
+    "pipe_multimodal_flac",
     "rel_explode",
     "pipe_eval_distinct_n",
     "pipe_sketch_cms",

@@ -15,9 +15,14 @@ Two decode paths:
   ``decode_image`` parses headers + pixel data and emits (format,
   width, height, per-channel mean) — byte-exact, so a SQL oracle
   replaying the pixel formula verifies the whole encode→decode round
-  trip.  Formats beyond that (JPEG/MP3/… and non-RGB8 PNG profiles)
-  still raise ``NotImplementedError``: their codec libraries are not in
-  this environment, and that seam is where PIL/ffmpeg would plug in.
+  trip.  Baseline JPEG is real too (:mod:`.jpegcodec`), and since r12
+  compressed audio has a real lossless member: **FLAC**
+  (:mod:`.flaccodec` — rice coding, fixed/LPC predictors, CRC-8/16,
+  STREAMINFO MD5; :func:`synthesize_flac`/:func:`decode_flac_audio`).
+  Formats beyond that (MP3/AAC, non-RGB8 PNG profiles, progressive
+  JPEG) still raise ``NotImplementedError``: their codec libraries are
+  not in this environment, and that seam is where PIL/ffmpeg would
+  plug in.
 * ``real=False`` — the original deterministic fake decoder (metadata
   from byte length only), kept for payloads in formats the real parser
   doesn't own.
@@ -446,6 +451,65 @@ def decode_audio(
             rows = []
             for p in pdf[payload_col]:
                 rate, n_ch, pcm = decode_wav(p)
+                sq = np.square(pcm.astype(np.int64)).sum()
+                rows.append(
+                    (rate, n_ch, pcm.shape[0], float(np.sqrt(sq / pcm.size)))
+                )
+            out = pd.DataFrame(
+                rows, columns=["sample_rate", "n_channels", "n_frames", "rms"]
+            )
+            out.insert(0, "doc_id", pdf[id_col].to_numpy())
+            yield out
+
+    return df.mapInPandas(decode, schema=AUDIO_SCHEMA)
+
+
+def synthesize_flac(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic COMPRESSED-audio payloads: the exact PCM formula of
+    :func:`synthesize_audio` (doc ``i``: ``1 + i%2`` channels,
+    ``256 + (i%7)*64`` frames at 8 kHz, sample ``(i*37 + 5*j) % 4096 -
+    2048``) encoded as real FLAC streams (fixed-predictor rice frames,
+    CRC-8/16, STREAMINFO MD5 — :mod:`.flaccodec`).  Sharing the formula
+    is the verification design: the WAV face's analytic SQL oracle
+    applies unchanged, so every bit-level stage of the FLAC decode has
+    to reproduce the closed form or the hash breaks."""
+    from . import flaccodec
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for i in ids:
+                i = int(i)
+                ch = 1 + i % 2
+                n = 256 + (i % 7) * 64
+                flat = (i * 37 + 5 * np.arange(n * ch)) % 4096 - 2048
+                payloads.append(
+                    flaccodec.encode_flac(
+                        8000, flat.astype(np.int16).reshape(n, ch)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+
+
+def decode_flac_audio(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched FLAC decode to the WAV path's feature schema
+    ``(sample_rate, n_channels, n_frames, rms)`` — rice/LPC/CRC bit
+    plumbing in :mod:`.flaccodec`, RMS the same exact int64
+    sum-of-squares + one float64 division + correctly-rounded sqrt."""
+    from . import flaccodec
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p in pdf[payload_col]:
+                rate, n_ch, pcm = flaccodec.decode_flac(bytes(p))
                 sq = np.square(pcm.astype(np.int64)).sum()
                 rows.append(
                     (rate, n_ch, pcm.shape[0], float(np.sqrt(sq / pcm.size)))

@@ -74,13 +74,12 @@ def test_window_covers_every_family():
         "rel_join_right",  # joins (r6 — with rel_salted_join, also r6)
         "rel_grouping_sets",  # aggregations (r8)
         "rel_window_analytics",  # windows (r8)
-        # sort/limit/top-k and UDF/UDAF/UDTF ceded their rep slots to
-        # round-12 faces: both families' remaining siblings are
-        # r10/r11-green (rel_sort_limit r11, udaf_mean_norm r11,
-        # udtf_split_words r10), the freshest rows in the registry
+        # sort/limit/top-k, UDF/UDAF/UDTF and the scalar library ceded
+        # their rep slots to round-12 faces: each family keeps fresh
+        # recorded greens (rel_sort_limit r11, udaf_mean_norm r11,
+        # udtf_split_words r10, rel_scalar_string r11)
         "rel_union_all",  # set ops (r8)
         "rel_not_in_subquery",  # subqueries/CTEs (r8)
-        "rel_scalar_date",  # scalar function library (r8)
         "rel_explode",  # generators / higher-order (r9)
         "pipe_sketch_cms",  # approximate/sketch (r8)
         "rel_variant",  # Spark-4 surface (r8: VARIANT type)
