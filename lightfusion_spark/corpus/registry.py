@@ -56,22 +56,27 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #:   reps rel_join_right + rel_salted_join)
 #: + the 4 ceded r07 swap rows (events_funnel, events_gapfill, events_ohlc,
 #:   pipe_corpus_health — each lent its slot to a round-11 face)
-#: + 5 more r07 rows chosen as family flagships (pipe_web_pagerank,
-#:   pipe_sim_ivf_pq, pipe_ingest_warc, pipe_dedup_components,
-#:   pipe_mixture_temperature); the remaining 25 r07 rows head the r13
-#:   backlog, each keeping an in-window or r10/r11-green family sibling
-#: + 11 per-category §2.3 representatives, each its family's STALEST
+#: + 4 more r07 rows chosen as family flagships (pipe_web_pagerank,
+#:   pipe_sim_ivf_pq, pipe_ingest_warc, pipe_dedup_components;
+#:   pipe_mixture_temperature ceded its planned slot to a late face);
+#:   the remaining 26 r07 rows head the r13 backlog, each keeping an
+#:   in-window or r10/r11-green family sibling
+#: + 8 per-category §2.3 representatives, each its family's STALEST
 #:   verified sibling (rel_filter_project r9, rel_grouping_sets r8,
-#:   rel_window_analytics r8, rel_topk_group r10, rel_union_all r8,
-#:   rel_not_in_subquery r8, rel_scalar_date r8, rel_explode r9,
-#:   grouped_map_centroid r9, pipe_sketch_cms r8 — doubling as the
-#:   approximate-ops rep, rel_variant r8 — doubling as the Spark-4 rep)
-#: + 4 round-12 NEW-face slots, seeded with 4 more r07 rows
-#:   (pipe_hard_negatives, pipe_embed_ivf_topk, pipe_web_links,
-#:   pipe_url_blocklist); each cedes to a round-12 face as it lands
-#:   (the r11 displacement pattern)
-#: 4+22+4+5+11+4 = 50 exactly.  After this round every registry row's
-#: last-green age is r07+ only for the 25 deferred r07 rows and the r08
+#:   rel_window_analytics r8, rel_union_all r8, rel_not_in_subquery r8,
+#:   rel_explode r9, pipe_sketch_cms r8 — doubling as the
+#:   approximate-ops rep, rel_variant r8 — doubling as the Spark-4 rep;
+#:   the sort/limit, UDF and scalar rep slots ceded to late faces, those
+#:   families keeping r10/r11-green recorded rows)
+#: + 8 round-12 NEW faces (the r11 displacement pattern: each landed by
+#:   displacing a multiply-repped r07/r08/r09/r10-green row, recorded at
+#:   its slot below): pipe_eval_bleu_by_system, pipe_eval_krippendorff,
+#:   pipe_ingest_conversations, pipe_dedup_turns,
+#:   pipe_dedup_conversations, pipe_eval_chrf, pipe_eval_distinct_n,
+#:   pipe_multimodal_flac
+#: 4+22+4+4+8+8 = 50 exactly (4 swap + 4 flagship r07 rows; the reps
+#: block ended at 8 after three slots ceded to late faces).  After this round every registry row's
+#: last-green age is r07+ only for the 26 deferred r07 rows and the r08
 #: long tail — the r13 backlog, listed stalest-first in docs/PLANS.md.
 #: Every rotated-out name was officially green in r05-r11 and moves to
 #: WINDOW_EXEMPT; tests/test_registry_window.py asserts every registered
