@@ -1,0 +1,108 @@
+"""Round-12 property-based tests (hypothesis).
+
+The FLAC codec is a bit-level state machine — exactly the code shape
+where randomized inputs find what example tests miss (block-boundary
+sample counts, extreme amplitudes, channel counts, rice parameter
+edges).  Also properties for the round's exact-metric operators whose
+oracles encode algebraic identities (chrF bounds, Krippendorff
+integer-division rounding).
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lightfusion_spark.operators.flaccodec import (
+    decode_flac,
+    encode_flac,
+    encode_utf8_number,
+    BitReader,
+    _read_utf8_number,
+    _zigzag,
+    _unzigzag,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=5000),
+    ch=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    amp=st.sampled_from([1, 7, 255, 4095, 32767]),
+)
+def test_flac_roundtrip_is_identity(n, ch, seed, amp):
+    """decode(encode(pcm)) == pcm for arbitrary shapes and amplitudes —
+    the lossless contract, including the 4096-block boundaries, the
+    short tail block, full-scale int16, and the CONSTANT path (amp=1
+    often degenerates whole blocks)."""
+    rng = np.random.RandomState(seed)
+    pcm = rng.randint(-amp - 1, amp + 1, size=(n, ch)).astype(np.int16)
+    rate, nch, out = decode_flac(encode_flac(32000, pcm))
+    assert rate == 32000 and nch == ch
+    assert (out == pcm).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(val=st.integers(min_value=0, max_value=(1 << 31) - 1))
+def test_flac_utf8_number_roundtrip(val):
+    blob = encode_utf8_number(val)
+    assert _read_utf8_number(BitReader(blob)) == val
+
+
+@settings(max_examples=200, deadline=None)
+@given(v=st.integers(min_value=-(1 << 40), max_value=(1 << 40) - 1))
+def test_flac_zigzag_roundtrip(v):
+    assert _unzigzag(_zigzag(v)) == v
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n=st.integers(min_value=2, max_value=200),
+)
+def test_krippendorff_term_rounding_matches_python(seed, n):
+    """The operator's round-half-up integer division — (pairs*1e6 +
+    (m-1) div 2) div (m-1) — must equal Python's round-half-up of the
+    rational pairs*1e6/(m-1) for every unit shape, because the oracle
+    replays the same integer expression in DuckDB."""
+    rng = np.random.RandomState(seed)
+    m = int(rng.randint(2, n + 1))
+    # category counts summing to m
+    k = int(rng.randint(1, min(5, m) + 1))
+    cuts = sorted(rng.choice(np.arange(1, m), size=k - 1, replace=False)) if k > 1 else []
+    counts = np.diff([0, *cuts, m])
+    pairs = int(sum(c * (c - 1) for c in counts))
+    d = m - 1
+    got = (pairs * 1_000_000 + (d // 2)) // d
+    from fractions import Fraction
+
+    exact = Fraction(pairs * 1_000_000, d)
+    floor = exact.numerator // exact.denominator
+    frac = exact - floor
+    want = floor + (1 if frac >= Fraction(1, 2) else 0)
+    assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_pairs=st.integers(min_value=1, max_value=30),
+)
+def test_chrf_reference_bounds(seed, n_pairs):
+    """Pure-Python chrF reference obeys the metric's algebraic bounds:
+    0 <= chrF <= 1, identical corpora score exactly 1.  (The Spark
+    operator equals this reference by the example test; properties here
+    extend the reference itself across random corpora.)"""
+    from tests.test_evalmetrics import _chrf_ref
+
+    rng = np.random.RandomState(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "x1", "yy", "zzz"]
+    pairs = []
+    for _ in range(n_pairs):
+        ref = " ".join(rng.choice(vocab, size=rng.randint(1, 12)))
+        cand = " ".join(rng.choice(vocab, size=rng.randint(1, 12)))
+        pairs.append((cand, ref))
+    v = _chrf_ref(pairs)
+    assert 0.0 <= v <= 1.0
+    same = [(r, r) for _, r in pairs]
+    assert _chrf_ref(same) == 1.0
