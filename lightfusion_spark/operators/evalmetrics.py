@@ -1144,6 +1144,15 @@ def winrate_report(
             F.sum("win_lo").alias("n_wins_lo"),
         )
     )
+    return _winrate_finish(agg, dropped, z)
+
+
+def _winrate_finish(agg: DataFrame, dropped: DataFrame, z: float) -> DataFrame:
+    """The Wilson epilogue over per-matchup integer cells ``(side_lo,
+    side_hi, n_games, n_wins_lo)`` plus a 1-row dropped count — shared
+    VERBATIM by the one-shot :func:`winrate_report` and the maintained
+    store's :func:`winrate_from_store`, so the streamed dashboard is
+    output-identical to batch by construction."""
     zz = F.lit(float(z)) * F.lit(float(z))
     n = F.col("n_games").cast("double")
     p = F.col("n_wins_lo").cast("double") / n
@@ -1167,3 +1176,95 @@ def winrate_report(
             F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
         )
     )
+
+
+def winrate_append_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    a_col: str,
+    b_col: str,
+    winner_col: str,
+) -> None:
+    """One append cycle of the maintained WIN-RATE store — the
+    ``foreachBatch`` body of a live eval arena (match verdicts trickle
+    in; the Wilson dashboard must stay current without re-reading
+    history).  Writes the batch's per-matchup integer cells
+    ``(side_lo, side_hi, n_games, n_wins_lo, n_dropped, batch_id)`` —
+    O(matchups) rows per batch however many games arrived.
+
+    Replay safety is batch-id-ADDRESSED (the additive regime shared
+    with the BLEU store, docs/SCALE.md): cells are a deterministic
+    function of the batch's rows, so a replayed micro-batch writes
+    byte-identical rows under the same ``batch_id`` and
+    :func:`winrate_from_store` collapses duplicates (MAX per
+    (matchup, batch)) before summing — a replay can never
+    double-count a game.  The dropped count is carried per batch on a
+    sentinel-free NULL matchup row so raw-vote accounting survives
+    the store (unlike the annotation store, where the resolve itself
+    absorbs what was dropped).  Sides are stringified at append (an
+    arena's systems are names; a stable store schema whatever the
+    caller's id type) — run the one-shot comparison on string sides
+    for bit parity.
+    """
+    a, b, w = F.col(a_col), F.col(b_col), F.col(winner_col)
+    valid = F.coalesce(
+        a.isNotNull() & b.isNotNull() & (a != b) & ((w == a) | (w == b)),
+        F.lit(False),
+    )
+    base = batch_df.select(
+        F.least(a, b).cast("string").alias("side_lo"),
+        F.greatest(a, b).cast("string").alias("side_hi"),
+        F.when(w == F.least(a, b), 1).otherwise(0).alias("win_lo"),
+        valid.alias("_ok"),
+    )
+    cells = (
+        base.where("_ok")
+        .groupBy("side_lo", "side_hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_games"),
+            F.sum("win_lo").cast("long").alias("n_wins_lo"),
+        )
+        .withColumn("n_dropped", F.lit(0).cast("long"))
+    )
+    dropped = base.agg(
+        F.coalesce(F.sum(F.when(~F.col("_ok"), 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_dropped")
+    ).select(
+        F.lit(None).cast("string").alias("side_lo"),
+        F.lit(None).cast("string").alias("side_hi"),
+        F.lit(0).cast("long").alias("n_games"),
+        F.lit(0).cast("long").alias("n_wins_lo"),
+        "n_dropped",
+    )
+    cells.unionByName(dropped).withColumn(
+        "batch_id", F.lit(int(batch_id)).cast("long")
+    ).write.mode("append").parquet(state_dir)
+
+
+def winrate_from_store(spark, state_dir: str, z: float = 1.96) -> DataFrame:
+    """Wilson win-rate report over EVERYTHING the store has seen:
+    per-(matchup, batch) cells are deduped (MAX — replays write
+    identical values) then summed, and the finisher is
+    :func:`_winrate_finish` verbatim, so the result equals
+    :func:`winrate_report` over the concatenation of all appended
+    batches BIT FOR BIT (asserted by ``tests/test_evalmetrics.py``)."""
+    state = spark.read.parquet(state_dir)
+    clean = state.groupBy("side_lo", "side_hi", "batch_id").agg(
+        F.max("n_games").alias("n_games"),
+        F.max("n_wins_lo").alias("n_wins_lo"),
+        F.max("n_dropped").alias("n_dropped"),
+    )
+    agg = (
+        clean.where(F.col("side_lo").isNotNull())
+        .groupBy("side_lo", "side_hi")
+        .agg(
+            F.sum("n_games").cast("long").alias("n_games"),
+            F.sum("n_wins_lo").cast("long").alias("n_wins_lo"),
+        )
+    )
+    dropped = clean.agg(
+        F.coalesce(F.sum("n_dropped"), F.lit(0)).cast("long").alias("n_dropped")
+    )
+    return _winrate_finish(agg, dropped, z)

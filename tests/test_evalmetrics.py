@@ -635,6 +635,63 @@ def test_fleiss_null_labels_dropped_and_counted(spark):
         assert got[k] == want[k]
 
 
+def test_winrate_store_stream_matches_batch_exactly(spark, tmp_path):
+    """Additive win-rate store: match verdicts streamed over a two-file
+    source and appended inside foreachBatch; the Wilson report over the
+    store equals the one-shot winrate_report over the full table BIT
+    FOR BIT (integer cells are additive over disjoint game sets; the
+    finisher is shared verbatim), including the raw dropped count
+    carried on per-batch sentinel rows."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = []
+    for i in range(400):
+        a, b = f"sys{i % 5}", f"sys{(i // 5) % 5}"
+        w = a if (i * 7) % 3 else b
+        rows.append((i, a, b, w))
+    # invalid rows: self-match, foreign winner, NULL winner
+    rows += [(900, "sys1", "sys1", "sys1"), (901, "sys0", "sys1", "sysX"),
+             (902, "sys2", "sys3", None)]
+    schema = "mid long, a string, b string, w string"
+    df = spark.createDataFrame(rows, schema)
+    src = tmp_path / "wr_src"
+    spark.createDataFrame(rows[::2], df.schema).coalesce(1).write.parquet(
+        str(src / "f1"))
+    import time
+
+    time.sleep(1.1)
+    spark.createDataFrame(rows[1::2], df.schema).coalesce(1).write.parquet(
+        str(src / "f2"))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*/"))
+    )
+    state_dir = str(tmp_path / "wr_state")
+
+    def process(batch_df, epoch_id):
+        em.winrate_append_batch(batch_df, state_dir, epoch_id, "a", "b", "w")
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_wr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, em.winrate_from_store(spark, state_dir).collect()))
+    want = sorted(map(tuple, em.winrate_report(df, "a", "b", "w").collect()))
+    assert got == want
+    # dropped accounting survives the store: 80 generated self-matches
+    # (i%5 == (i//5)%5) + the 3 explicit invalid rows
+    assert got and got[0][-1] == 83
+    # replaying a batch (same batch_id, same rows) is a no-op
+    half = spark.read.parquet(str(src / "f1"))
+    em.winrate_append_batch(half, state_dir, 0, "a", "b", "w")
+    again = sorted(map(tuple, em.winrate_from_store(spark, state_dir).collect()))
+    assert again == got
+
+
 def test_annotation_store_stream_matches_batch_exactly(spark, tmp_path):
     """Min-merge annotation store: verdicts streamed over a two-file
     source and blindly appended inside foreachBatch; Cohen AND Fleiss
