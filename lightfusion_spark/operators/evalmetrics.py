@@ -495,10 +495,15 @@ def chrf_score(
         chrf6  = ROUND((1+β²)·chrP·chrR / (β²·chrP + chrR), 6)
 
     (0.0 when the denominator is 0 — both sides empty at every order.)
-    Exactness: cells are integer sums; each per-order ratio is one
-    IEEE division; the order-mean divides by the literal N; the F
-    combination is one fixed-order IEEE expression ROUNDed at 6 —
-    hash-exact, no transcendentals at all.
+    FIXED-ORDER convention: the means always divide by ``max_n``, so a
+    corpus whose stripped texts are all shorter than ``max_n`` chars
+    caps below 1.0 even for identical pairs (empty orders contribute 0
+    — property-pinned in ``tests/test_property_round12.py``; use a
+    smaller ``max_n`` for micro-text corpora).  Exactness: cells are
+    integer sums; each per-order ratio is one IEEE division; the
+    order-mean divides by the literal N; the F combination is one
+    fixed-order IEEE expression ROUNDed at 6 — hash-exact, no
+    transcendentals at all.
 
     100 TB shape: identical to corpus BLEU — no character ever leaves
     its row; the fold emits max_n partial rows per partition and the

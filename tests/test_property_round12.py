@@ -96,13 +96,23 @@ def test_chrf_reference_bounds(seed, n_pairs):
     from tests.test_evalmetrics import _chrf_ref
 
     rng = np.random.RandomState(seed)
-    vocab = ["alpha", "beta", "gamma", "delta", "x1", "yy", "zzz"]
+    vocab = ["alpha", "beta", "gamma", "delta", "xx1", "yyy", "zzz"]
     pairs = []
     for _ in range(n_pairs):
-        ref = " ".join(rng.choice(vocab, size=rng.randint(1, 12)))
+        # every ref gets >= 2 words of >= 3 chars, so the stripped
+        # character stream has >= 6 chars and every chrF order 1..6
+        # carries mass — outside that regime "identical => 1.0" does
+        # NOT hold under the operator's documented fixed-order
+        # convention (empty orders contribute 0 to the means), which
+        # the first hypothesis run correctly flushed out
+        ref = " ".join(rng.choice(vocab, size=rng.randint(2, 12)))
         cand = " ".join(rng.choice(vocab, size=rng.randint(1, 12)))
         pairs.append((cand, ref))
     v = _chrf_ref(pairs)
     assert 0.0 <= v <= 1.0
     same = [(r, r) for _, r in pairs]
     assert _chrf_ref(same) == 1.0
+    # the degenerate regime, pinned explicitly: a corpus of all-short
+    # identical refs scores the fraction of orders that carry mass
+    short = [("xy", "xy")]
+    assert 0.0 < _chrf_ref(short) < 1.0
