@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "pipe_eval_chrf",
     "pipe_eval_distinct_n",
     "pipe_multimodal_flac",
+    "pipe_multimodal_mp4",
 ]
 
 

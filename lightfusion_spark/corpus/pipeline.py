@@ -1523,6 +1523,63 @@ def pipe_multimodal_wav(spark, sf_dir):
 
 
 @register(
+    "pipe_multimodal_mp4",
+    oracle="""
+    WITH p AS (SELECT doc_id FROM documents),
+    video AS (
+      SELECT doc_id, 0 AS track_idx, 'vide' AS handler, 'avc1' AS codec,
+             30000 AS timescale,
+             (2 + doc_id % 11) * 15000 AS track_duration,
+             30 + doc_id % 7 AS n_samples,
+             (30 + doc_id % 7) * (1000 + doc_id % 50) AS sample_bytes
+      FROM p),
+    audio AS (
+      SELECT doc_id, 1 AS track_idx, 'soun' AS handler, 'mp4a' AS codec,
+             8000 AS timescale,
+             (1 + doc_id % 5) * 8000 AS track_duration,
+             50 + doc_id % 13 AS n_samples,
+             (50 + doc_id % 13) * 100
+               + ((50 + doc_id % 13) * (50 + doc_id % 13 - 1)) // 2
+               AS sample_bytes
+      FROM p WHERE doc_id % 2 = 1),
+    tracks AS (SELECT * FROM video UNION ALL SELECT * FROM audio)
+    SELECT t.doc_id,
+           'isom' AS major_brand,
+           CAST(1000 AS INT) AS movie_timescale,
+           CAST(1000 + (t.doc_id % 11) * 500 AS INT) AS movie_duration,
+           CAST(CASE WHEN t.doc_id % 2 = 1 THEN 2 ELSE 1 END AS INT)
+             AS n_tracks,
+           CAST(8 + t.doc_id % 9 AS INT) AS mdat_bytes,
+           CAST(t.track_idx AS INT) AS track_idx,
+           t.handler, t.codec,
+           CAST(t.timescale AS INT) AS timescale,
+           CAST(t.track_duration AS INT) AS track_duration,
+           CAST(t.n_samples AS INT) AS n_samples,
+           CAST(t.sample_bytes AS INT) AS sample_bytes
+    FROM tracks t
+    """,
+    doc="REAL ISO-BMFF container walk (operators/mp4box.py, r12): box "
+    "tree parse — 32/64-bit sizes, container recursion, unknown boxes "
+    "skipped, v0/v1 full boxes — extracting movie + per-track metadata "
+    "(handler, codec fourcc, timescale, duration, stts sample counts, "
+    "stsz byte totals in BOTH uniform and per-sample forms) while "
+    "touching ZERO coded bytes: the asset-inventory pass a curation "
+    "pipeline runs before deciding what reaches the (ffmpeg-seam) "
+    "decoder.  Payloads are deterministic build_mp4 structures, so "
+    "every parsed field has a closed form the oracle replays — a box-"
+    "walk bug breaks the hash.  Codec decode stays the documented seam",
+)
+def pipe_multimodal_mp4(spark, sf_dir):
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    payload = multimodal.synthesize_mp4(d, "doc_id")
+    return multimodal.probe_mp4(payload)
+
+
+@register(
     "pipe_multimodal_flac",
     oracle="""
     WITH p AS (

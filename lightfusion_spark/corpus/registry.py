@@ -61,21 +61,21 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #:   pipe_mixture_temperature ceded its planned slot to a late face);
 #:   the remaining 26 r07 rows head the r13 backlog, each keeping an
 #:   in-window or r10/r11-green family sibling
-#: + 8 per-category §2.3 representatives, each its family's STALEST
-#:   verified sibling (rel_filter_project r9, rel_grouping_sets r8,
+#: + 7 per-category §2.3 representatives, each its family's STALEST
+#:   verified sibling (rel_filter_project r9,
 #:   rel_window_analytics r8, rel_union_all r8, rel_not_in_subquery r8,
 #:   rel_explode r9, pipe_sketch_cms r8 — doubling as the
 #:   approximate-ops rep, rel_variant r8 — doubling as the Spark-4 rep;
-#:   the sort/limit, UDF and scalar rep slots ceded to late faces, those
-#:   families keeping r10/r11-green recorded rows)
-#: + 8 round-12 NEW faces (the r11 displacement pattern: each landed by
+#:   the sort/limit, UDF, scalar and aggregations rep slots ceded to
+#:   late faces, those families keeping r10/r11-green recorded rows)
+#: + 9 round-12 NEW faces (the r11 displacement pattern: each landed by
 #:   displacing a multiply-repped r07/r08/r09/r10-green row, recorded at
 #:   its slot below): pipe_eval_bleu_by_system, pipe_eval_krippendorff,
 #:   pipe_ingest_conversations, pipe_dedup_turns,
 #:   pipe_dedup_conversations, pipe_eval_chrf, pipe_eval_distinct_n,
-#:   pipe_multimodal_flac
-#: 4+22+4+4+8+8 = 50 exactly (4 swap + 4 flagship r07 rows; the reps
-#: block ended at 8 after three slots ceded to late faces).  After this round every registry row's
+#:   pipe_multimodal_flac, pipe_multimodal_mp4
+#: 4+22+4+4+7+9 = 50 exactly (4 swap + 4 flagship r07 rows; the reps
+#: block ended at 7 after four slots ceded to late faces).  After this round every registry row's
 #: last-green age is r07+ only for the 26 deferred r07 rows and the r08
 #: long tail — the r13 backlog, listed stalest-first in docs/PLANS.md.
 #: Every rotated-out name was officially green in r05-r11 and moves to
@@ -127,7 +127,10 @@ PRIORITY: list[str] = [
     "pipe_dedup_components",
     # per-category 2.3 reps, stalest verified sibling each
     "rel_filter_project",
-    "rel_grouping_sets",
+    # (rel_grouping_sets — r08 — ceded its rep slot to the ninth
+    # round-12 face, the MP4 container walk; aggregations stay repped
+    # by the r11-green rel_agg_rollup + r08-green siblings' rows)
+    "pipe_multimodal_mp4",
     "rel_window_analytics",
     # (rel_topk_group — r10 green, the window's FRESHEST non-flagship
     # row — and grouped_map_centroid — r09 green — ceded their rep

@@ -1,0 +1,262 @@
+"""Dependency-free ISO-BMFF (MP4) container walk: box structure, track
+metadata, codec identification — WITHOUT codec decode.
+
+The MP4/WebM seam (r11 verdict "What's missing" item 2) has two
+halves: the CONTAINER (box layout, track tables — pure structure) and
+the CODECS (H.264/AAC bitstreams — the ffmpeg seam).  This module
+makes the container half real, which is the half a 100 TB curation
+pipeline actually runs on every asset: catalogue tracks, codecs,
+durations and sample counts WITHOUT touching a single coded frame —
+the skip-decode shape :func:`multimodal.sample_video_frames`
+established, taken to its limit (decode nothing, read tables only).
+
+* :func:`build_mp4` — a deterministic minimal-but-valid writer
+  (ftyp + mvhd/trak/mdia/hdlr/stbl tables + mdat), used by the driver
+  face's synthesizer so every parsed field has a closed form.
+* :func:`parse_mp4` — the reader: 32-bit sizes, 64-bit ``largesize``,
+  size-0 (to end of file), unknown boxes skipped by size, container
+  recursion (moov/trak/mdia/minf/stbl), version-0 AND version-1
+  mvhd/mdhd full boxes, ``stsd`` codec fourcc, ``stsz`` both uniform
+  and per-sample forms, ``stts`` sample counts.  Truncated or
+  overrunning boxes raise — a malformed asset is loud, never a silent
+  zero row.
+
+Codec payloads remain opaque: ``parse_mp4`` never inspects ``mdat``
+beyond its extent, and there is deliberately no decode entry point —
+that is the documented ffmpeg seam.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+# ---------------------------------------------------------------------------
+# writer (deterministic fixture synthesis)
+# ---------------------------------------------------------------------------
+
+
+def _box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def _full(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(tag, struct.pack(">B", version) + struct.pack(">I", flags)[1:] + body)
+
+
+def build_mp4(
+    movie_timescale: int,
+    movie_duration: int,
+    tracks: list[dict],
+    mdat: bytes = b"\x00" * 16,
+) -> bytes:
+    """Write a minimal valid MP4: ``ftyp`` + ``moov`` (mvhd + one trak
+    per entry) + ``mdat``.  Each track dict: ``handler`` (``'vide'`` /
+    ``'soun'``), ``codec`` (fourcc), ``timescale``, ``duration``,
+    ``n_samples``, ``sample_size``."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = _full(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">II", 0, 0)  # creation/modification
+        + struct.pack(">II", movie_timescale, movie_duration)
+        + struct.pack(">I", 0x00010000)  # rate
+        + struct.pack(">H", 0x0100)  # volume
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", len(tracks) + 1),  # next track id
+    )
+    traks = []
+    for idx, t in enumerate(tracks):
+        tkhd = _full(
+            b"tkhd",
+            0,
+            7,
+            struct.pack(">II", 0, 0)
+            + struct.pack(">I", idx + 1)  # track id
+            + b"\x00" * 4
+            + struct.pack(">I", t["duration"])
+            + b"\x00" * 52,
+        )
+        mdhd = _full(
+            b"mdhd",
+            0,
+            0,
+            struct.pack(">II", 0, 0)
+            + struct.pack(">II", t["timescale"], t["duration"])
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+        )
+        hdlr = _full(
+            b"hdlr",
+            0,
+            0,
+            b"\x00" * 4
+            + t["handler"].encode("ascii")
+            + b"\x00" * 12
+            + b"lf\x00",
+        )
+        entry = _box(t["codec"].encode("ascii"), b"\x00" * 6 + struct.pack(">H", 1))
+        stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+        stts = _full(
+            b"stts", 0, 0,
+            struct.pack(">I", 1) + struct.pack(">II", t["n_samples"], 1),
+        )
+        stsz = _full(
+            b"stsz", 0, 0,
+            struct.pack(">II", t["sample_size"], t["n_samples"])
+            if t["sample_size"]
+            else struct.pack(">II", 0, t["n_samples"])
+            + b"".join(struct.pack(">I", 100 + i) for i in range(t["n_samples"])),
+        )
+        stsc = _full(b"stsc", 0, 0, struct.pack(">I", 0))
+        stco = _full(b"stco", 0, 0, struct.pack(">I", 0))
+        stbl = _box(b"stbl", stsd + stts + stsz + stsc + stco)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        traks.append(_box(b"trak", tkhd + mdia))
+    moov = _box(b"moov", mvhd + b"".join(traks))
+    return ftyp + moov + _box(b"mdat", mdat)
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TrackInfo:
+    handler: str
+    codec: str
+    timescale: int
+    duration: int
+    n_samples: int
+    sample_bytes: int
+
+
+@dataclass
+class Mp4Info:
+    major_brand: str
+    movie_timescale: int
+    movie_duration: int
+    tracks: list[TrackInfo]
+    mdat_bytes: int
+
+
+def _iter_boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError(f"MP4: truncated box header at {pos}")
+        (size,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body_start = pos + 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("MP4: truncated largesize")
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            body_start = pos + 16
+        elif size == 0:  # to end of enclosing scope
+            size = end - pos
+        if size < body_start - pos or pos + size > end:
+            raise ValueError(
+                f"MP4: box {tag!r} at {pos} overruns its container "
+                f"(size {size}, scope ends {end})"
+            )
+        yield tag, body_start, pos + size
+        pos += size
+
+
+def _fullbox(data: bytes, start: int):
+    version = data[start]
+    return version, start + 4
+
+
+def parse_mp4(payload: bytes) -> Mp4Info:
+    """Walk the box tree and return movie + per-track metadata.  No
+    codec payload is touched; see the module docstring for the exact
+    profile."""
+    brand = ""
+    m_ts = m_dur = 0
+    mdat_bytes = 0
+    tracks: list[TrackInfo] = []
+    saw_moov = False
+    for tag, s, e in _iter_boxes(payload, 0, len(payload)):
+        if tag == b"ftyp":
+            brand = payload[s : s + 4].decode("latin1")
+        elif tag == b"mdat":
+            mdat_bytes += e - s
+        elif tag == b"moov":
+            saw_moov = True
+            for t2, s2, e2 in _iter_boxes(payload, s, e):
+                if t2 == b"mvhd":
+                    ver, p = _fullbox(payload, s2)
+                    if ver == 1:
+                        p += 16
+                        m_ts, m_dur = struct.unpack_from(">I", payload, p)[0], \
+                            struct.unpack_from(">Q", payload, p + 4)[0]
+                    else:
+                        p += 8
+                        m_ts, m_dur = struct.unpack_from(">II", payload, p)
+                elif t2 == b"trak":
+                    tracks.append(_parse_trak(payload, s2, e2))
+    if not brand or not saw_moov:
+        raise ValueError("not MP4: missing ftyp or moov box")
+    return Mp4Info(brand, m_ts, m_dur, tracks, mdat_bytes)
+
+
+def _parse_trak(data: bytes, start: int, end: int) -> TrackInfo:
+    handler = codec = ""
+    ts = dur = n_samples = sample_bytes = 0
+    for tag, s, e in _iter_boxes(data, start, end):
+        if tag != b"mdia":
+            continue
+        for t2, s2, e2 in _iter_boxes(data, s, e):
+            if t2 == b"mdhd":
+                ver, p = _fullbox(data, s2)
+                if ver == 1:
+                    p += 16
+                    ts = struct.unpack_from(">I", data, p)[0]
+                    dur = struct.unpack_from(">Q", data, p + 4)[0]
+                else:
+                    p += 8
+                    ts, dur = struct.unpack_from(">II", data, p)
+            elif t2 == b"hdlr":
+                _, p = _fullbox(data, s2)
+                handler = data[p + 4 : p + 8].decode("latin1")
+            elif t2 == b"minf":
+                for t3, s3, e3 in _iter_boxes(data, s2, e2):
+                    if t3 != b"stbl":
+                        continue
+                    for t4, s4, e4 in _iter_boxes(data, s3, e3):
+                        if t4 == b"stsd":
+                            _, p = _fullbox(data, s4)
+                            (n_entries,) = struct.unpack_from(">I", data, p)
+                            if n_entries >= 1:
+                                codec = data[p + 8 : p + 12].decode("latin1")
+                        elif t4 == b"stts":
+                            _, p = _fullbox(data, s4)
+                            (n_ent,) = struct.unpack_from(">I", data, p)
+                            n_samples = sum(
+                                struct.unpack_from(">I", data, p + 4 + 8 * i)[0]
+                                for i in range(n_ent)
+                            )
+                        elif t4 == b"stsz":
+                            _, p = _fullbox(data, s4)
+                            uniform, count = struct.unpack_from(">II", data, p)
+                            if uniform:
+                                sample_bytes = uniform * count
+                            else:
+                                sample_bytes = sum(
+                                    struct.unpack_from(
+                                        ">I", data, p + 8 + 4 * i
+                                    )[0]
+                                    for i in range(count)
+                                )
+    if not handler:
+        raise ValueError("MP4: trak without an hdlr box")
+    return TrackInfo(handler, codec, ts, dur, n_samples, sample_bytes)

@@ -523,6 +523,111 @@ def decode_flac_audio(
     return df.mapInPandas(decode, schema=AUDIO_SCHEMA)
 
 
+#: Output schema of the MP4 container-walk probe (one row per track).
+MP4_SCHEMA = (
+    "doc_id bigint, major_brand string, movie_timescale int, "
+    "movie_duration int, n_tracks int, mdat_bytes int, track_idx int, "
+    "handler string, codec string, timescale int, track_duration int, "
+    "n_samples int, sample_bytes int"
+)
+
+
+def synthesize_mp4(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic ISO-BMFF payloads (``mp4box.build_mp4``): doc ``i``
+    gets movie timescale 1000, duration ``1000 + (i%11)*500``, an
+    ``avc1`` video track (timescale 30000, duration ``(2+i%11)*15000``,
+    ``30 + i%7`` samples of ``1000 + i%50`` bytes) and, for odd ids, an
+    ``mp4a`` audio track with PER-SAMPLE sizes ``100..100+n-1``
+    (``50 + i%13`` samples — exercising the stsz table form; its byte
+    total ``100n + n(n-1)/2`` is closed-form for the oracle)."""
+    from . import mp4box
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for i in ids:
+                i = int(i)
+                tracks = [
+                    dict(
+                        handler="vide",
+                        codec="avc1",
+                        timescale=30000,
+                        duration=(2 + i % 11) * 15000,
+                        n_samples=30 + i % 7,
+                        sample_size=1000 + i % 50,
+                    )
+                ]
+                if i % 2:
+                    tracks.append(
+                        dict(
+                            handler="soun",
+                            codec="mp4a",
+                            timescale=8000,
+                            duration=(1 + i % 5) * 8000,
+                            n_samples=50 + i % 13,
+                            sample_size=0,
+                        )
+                    )
+                payloads.append(
+                    mp4box.build_mp4(
+                        1000, 1000 + (i % 11) * 500, tracks,
+                        mdat=b"\x00" * (8 + i % 9),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+
+
+def probe_mp4(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched MP4 container walk (``mp4box.parse_mp4``): one row
+    per track with movie + track metadata — codecs catalogued, sample
+    tables totalled, ZERO coded bytes inspected.  This is the asset-
+    inventory pass a curation pipeline runs over every clip before
+    deciding what is worth sending to the (ffmpeg-seam) decoder."""
+    from . import mp4box
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                info = mp4box.parse_mp4(bytes(p))
+                for idx, t in enumerate(info.tracks):
+                    rows.append(
+                        (
+                            int(i),
+                            info.major_brand,
+                            info.movie_timescale,
+                            info.movie_duration,
+                            len(info.tracks),
+                            info.mdat_bytes,
+                            idx,
+                            t.handler,
+                            t.codec,
+                            t.timescale,
+                            t.duration,
+                            t.n_samples,
+                            t.sample_bytes,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "major_brand", "movie_timescale",
+                    "movie_duration", "n_tracks", "mdat_bytes", "track_idx",
+                    "handler", "codec", "timescale", "track_duration",
+                    "n_samples", "sample_bytes",
+                ],
+            )
+
+    return df.mapInPandas(probe, schema=MP4_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # video plumbing: a minimal MJPEG-style container + frame sampling
 # ---------------------------------------------------------------------------

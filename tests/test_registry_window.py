@@ -72,12 +72,12 @@ def test_window_covers_every_family():
     for name in (
         "rel_filter_project",  # projection/filter/predicates (r9, stalest sibling)
         "rel_join_right",  # joins (r6 — with rel_salted_join, also r6)
-        "rel_grouping_sets",  # aggregations (r8)
         "rel_window_analytics",  # windows (r8)
-        # sort/limit/top-k, UDF/UDAF/UDTF and the scalar library ceded
-        # their rep slots to round-12 faces: each family keeps fresh
-        # recorded greens (rel_sort_limit r11, udaf_mean_norm r11,
-        # udtf_split_words r10, rel_scalar_string r11)
+        # sort/limit/top-k, UDF/UDAF/UDTF, the scalar library and
+        # aggregations ceded their rep slots to round-12 faces: each
+        # family keeps fresh recorded greens (rel_sort_limit r11,
+        # udaf_mean_norm r11, udtf_split_words r10, rel_scalar_string
+        # r11, rel_agg_rollup r11)
         "rel_union_all",  # set ops (r8)
         "rel_not_in_subquery",  # subqueries/CTEs (r8)
         "rel_explode",  # generators / higher-order (r9)
