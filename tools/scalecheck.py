@@ -1135,6 +1135,28 @@ def main() -> None:
             lambda: noop2(text_mod.kn_bigram_lm_score(p1, "id", "ref")),
             lambda: noop2(text_mod.kn_bigram_lm_score(p10, "id", "ref")),
         )
+        # round-12: chrF (the BLEU fold with characters — 6 orders over
+        # ~6x the gram count per pair) and the grouped BLEU variant
+        curve(
+            "curve_eval_chrf",
+            lambda: noop2(em_mod.chrf_score(p1, "id", "cand", "ref")),
+            lambda: noop2(em_mod.chrf_score(p10, "id", "cand", "ref")),
+        )
+        curve(
+            "curve_eval_bleu_by_group",
+            lambda: noop2(
+                em_mod.corpus_bleu_by_group(
+                    p1.withColumn("sys", F.col("id") % 4), "sys", "id",
+                    "cand", "ref",
+                )
+            ),
+            lambda: noop2(
+                em_mod.corpus_bleu_by_group(
+                    p10.withColumn("sys", F.col("id") % 4), "sys", "id",
+                    "cand", "ref",
+                )
+            ),
+        )
 
         def _ann(n):
             return spark.range(n).select(
