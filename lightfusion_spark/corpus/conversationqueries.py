@@ -72,8 +72,9 @@ turns AS (
   FROM segs WHERE trim(content) <> ''
 ),
 proj AS (
-  SELECT md5(role || chr(31)
-             || regexp_replace(trim(lower(content)), '\\s+', ' ', 'g'))
+  SELECT md5(coalesce(role, '') || chr(31)
+             || regexp_replace(trim(lower(coalesce(content, ''))),
+                               '\\s+', ' ', 'g'))
            AS digest,
          conversation_id, turn_idx, role
   FROM turns
@@ -146,8 +147,9 @@ WITH turns AS (
 ),
 per_turn AS (
   SELECT conversation_id, turn_idx,
-         md5(role || chr(31)
-             || regexp_replace(trim(lower(content)), '\\s+', ' ', 'g'))
+         md5(coalesce(role, '') || chr(31)
+             || regexp_replace(trim(lower(coalesce(content, ''))),
+                               '\\s+', ' ', 'g'))
            AS digest
   FROM turns
 ),

@@ -120,8 +120,22 @@ def turn_digest(role_col, content_col):
     role and normalized content): an assistant turn and a user turn
     with identical text are different training signals and must not
     collapse.  Reproducible in DuckDB as
-    ``md5(role || chr(31) || <norm>)``."""
-    return F.md5(F.concat_ws("\x1f", role_col, _norm(content_col)))
+    ``md5(coalesce(role,'') || chr(31) || <norm(coalesce(content,''))>)``.
+
+    The convention is TOTAL: NULL role and NULL content each coalesce
+    to the empty string BEFORE hashing, so a turn with a missing field
+    (a well-formed JSONL line omitting ``role`` or ``content`` — the
+    PERMISSIVE ``_corrupt`` gate does not catch absent struct fields)
+    lands in the same dedup class as its empty-string twin — one
+    documented class per role, never a silent ``concat_ws``-skip class
+    and never a Spark/oracle NULL divergence (DuckDB ``||`` yields
+    NULL; Spark's ``concat_ws`` skips — coalescing both sides
+    identically removes the trap).  Pinned by
+    ``tests/test_conversations.py::test_turn_digest_null_classes``.
+    """
+    role = F.coalesce(role_col, F.lit(""))
+    content = F.coalesce(content_col, F.lit(""))
+    return F.md5(F.concat_ws("\x1f", role, _norm(content)))
 
 
 def dedup_turns_exact(

@@ -1207,19 +1207,23 @@ def winrate_append_batch(
     double-count a game.  The dropped count is carried per batch on a
     sentinel-free NULL matchup row so raw-vote accounting survives
     the store (unlike the annotation store, where the resolve itself
-    absorbs what was dropped).  Sides are stringified at append (an
-    arena's systems are names; a stable store schema whatever the
-    caller's id type) — run the one-shot comparison on string sides
-    for bit parity.
+    absorbs what was dropped).  Sides are stringified BEFORE the
+    least/greatest pairing (an arena's systems are names; a stable
+    store schema whatever the caller's id type), so matchups pair
+    LEXICOGRAPHICALLY even for numeric ids — identical to running the
+    one-shot comparison on string sides, which is the documented
+    bit-parity recipe.
     """
-    a, b, w = F.col(a_col), F.col(b_col), F.col(winner_col)
+    a = F.col(a_col).cast("string")
+    b = F.col(b_col).cast("string")
+    w = F.col(winner_col).cast("string")
     valid = F.coalesce(
         a.isNotNull() & b.isNotNull() & (a != b) & ((w == a) | (w == b)),
         F.lit(False),
     )
     base = batch_df.select(
-        F.least(a, b).cast("string").alias("side_lo"),
-        F.greatest(a, b).cast("string").alias("side_hi"),
+        F.least(a, b).alias("side_lo"),
+        F.greatest(a, b).alias("side_hi"),
         F.when(w == F.least(a, b), 1).otherwise(0).alias("win_lo"),
         valid.alias("_ok"),
     )

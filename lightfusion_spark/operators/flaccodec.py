@@ -258,7 +258,7 @@ def encode_flac(sample_rate: int, samples: np.ndarray) -> bytes:
     """Encode (n_frames, n_channels) int16 PCM as a real FLAC stream:
     fLaC magic + STREAMINFO (with the PCM MD5) + fixed-blocksize frames
     of CONSTANT / FIXED-order-2 rice-coded subframes."""
-    pcm = np.ascontiguousarray(samples, dtype="<i2")
+    pcm = np.asarray(samples)
     if pcm.ndim != 2:
         raise ValueError("samples must be (n_frames, n_channels)")
     n_total, n_ch = pcm.shape
@@ -266,6 +266,15 @@ def encode_flac(sample_rate: int, samples: np.ndarray) -> bytes:
         raise ValueError(f"FLAC supports 1-8 channels, got {n_ch}")
     if not (1 <= sample_rate < (1 << 20)):
         raise ValueError(f"sample rate {sample_rate} out of STREAMINFO range")
+    if n_total >= (1 << 36):
+        # BitWriter masks to field width — without this guard an over-long
+        # input would write a silently truncated total-samples count and
+        # only surface later as a decoder sample-count/MD5 mismatch.
+        # Checked BEFORE the contiguous copy so the failure is cheap.
+        raise ValueError(
+            f"total sample count {n_total} exceeds STREAMINFO's 36-bit field"
+        )
+    pcm = np.ascontiguousarray(pcm, dtype="<i2")
     md5 = hashlib.md5(pcm.tobytes()).digest()
 
     frames = []
@@ -325,6 +334,12 @@ def encode_flac(sample_rate: int, samples: np.ndarray) -> bytes:
         frames.append(frame)
 
     frame_sizes = [len(f) for f in frames] or [0]
+    if max(frame_sizes) >= (1 << 24):
+        # same masking hazard as the 36-bit total: STREAMINFO's min/max
+        # framesize fields are 24-bit.
+        raise ValueError(
+            f"frame size {max(frame_sizes)} exceeds STREAMINFO's 24-bit field"
+        )
     min_bs = min(blocksizes) if blocksizes else _BLOCK
     max_bs = max(blocksizes) if blocksizes else _BLOCK
     info = BitWriter()

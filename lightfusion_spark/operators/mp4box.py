@@ -147,7 +147,7 @@ class Mp4Info:
     mdat_bytes: int
 
 
-def _iter_boxes(data: bytes, start: int, end: int):
+def _iter_boxes(data: bytes, start: int, end: int, top_level: bool = False):
     pos = start
     while pos < end:
         if pos + 8 > end:
@@ -160,7 +160,14 @@ def _iter_boxes(data: bytes, start: int, end: int):
                 raise ValueError("MP4: truncated largesize")
             (size,) = struct.unpack_from(">Q", data, pos + 8)
             body_start = pos + 16
-        elif size == 0:  # to end of enclosing scope
+        elif size == 0:  # to end of file — ISO 14496-12 §4.2 permits this
+            # ONLY for the last top-level box; a nested size-0 box is
+            # malformed and must not be silently scoped to its container.
+            if not top_level:
+                raise ValueError(
+                    f"MP4: size-0 box {tag!r} at {pos} inside a container "
+                    "(only the last top-level box may extend to EOF)"
+                )
             size = end - pos
         if size < body_start - pos or pos + size > end:
             raise ValueError(
@@ -185,7 +192,7 @@ def parse_mp4(payload: bytes) -> Mp4Info:
     mdat_bytes = 0
     tracks: list[TrackInfo] = []
     saw_moov = False
-    for tag, s, e in _iter_boxes(payload, 0, len(payload)):
+    for tag, s, e in _iter_boxes(payload, 0, len(payload), top_level=True):
         if tag == b"ftyp":
             brand = payload[s : s + 4].decode("latin1")
         elif tag == b"mdat":

@@ -112,6 +112,51 @@ def test_conversation_dedup_finds_planted_duplicates(spark, turns):
         assert n_by_sig[r["conv_sig"]] == r["n_turns"]
 
 
+def test_turn_digest_null_classes(spark):
+    """The digest convention is TOTAL (round-12 advice): NULL role and
+    NULL content coalesce to '' BEFORE hashing, so a missing struct
+    field (which the PERMISSIVE _corrupt gate does not catch) lands in
+    the same class as its empty-string twin — never a silent
+    concat_ws-skip class, never a Spark/oracle NULL divergence."""
+    import duckdb
+    import hashlib
+
+    rows = [
+        ("n1", 0, "assistant", None),  # NULL content
+        ("n2", 0, "assistant", ""),  # empty content — SAME class
+        ("n3", 0, None, "hello"),  # NULL role
+        ("n4", 0, "", "hello"),  # empty role — SAME class
+        ("n5", 0, "assistant", "hello"),  # distinct from all above
+    ]
+    df = spark.createDataFrame(
+        rows, "conversation_id string, turn_idx int, role string, content string"
+    )
+    got = {
+        r["conversation_id"]: r["digest"]
+        for r in df.select(
+            "conversation_id",
+            conv_ops.turn_digest(F.col("role"), F.col("content")).alias(
+                "digest"
+            ),
+        ).collect()
+    }
+    assert got["n1"] == got["n2"] == hashlib.md5(b"assistant\x1f").hexdigest()
+    assert got["n3"] == got["n4"] == hashlib.md5(b"\x1fhello").hexdigest()
+    assert got["n5"] == hashlib.md5(b"assistant\x1fhello").hexdigest()
+    assert len({got["n1"], got["n3"], got["n5"]}) == 3
+    # and the documented DuckDB expression agrees on the NULL rows too
+    oracle = duckdb.sql(
+        """
+        SELECT md5(coalesce(role, '') || chr(31)
+                   || regexp_replace(trim(lower(coalesce(content, ''))),
+                                     '\\s+', ' ', 'g')) AS d
+        FROM (VALUES ('assistant', NULL), (NULL, 'hello'),
+                     ('assistant', 'hello')) AS t(role, content)
+        """
+    ).fetchall()
+    assert [r[0] for r in oracle] == [got["n1"], got["n3"], got["n5"]]
+
+
 def test_turn_dedup_is_idempotent(spark, turns):
     once = conv_ops.dedup_turns_exact(turns)
     survivors_as_turns = once.select(

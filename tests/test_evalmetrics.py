@@ -9,6 +9,7 @@ import math
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 from lightfusion_spark.operators.evalmetrics import corpus_bleu
 
@@ -690,6 +691,37 @@ def test_winrate_store_stream_matches_batch_exactly(spark, tmp_path):
     em.winrate_append_batch(half, state_dir, 0, "a", "b", "w")
     again = sorted(map(tuple, em.winrate_from_store(spark, state_dir).collect()))
     assert again == got
+
+
+def test_winrate_store_numeric_sides_pair_lexicographically(spark, tmp_path):
+    """Round-12 advice: sides are stringified BEFORE least/greatest, so
+    numeric side ids pair the same way the documented parity recipe
+    (one-shot on string sides) pairs them — lexicographically.  Sides
+    2 and 10 are the distinguishing case: numeric order pairs (2, 10),
+    string order pairs ('10', '2')."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = [(i, 2, 10, 2 if i % 3 else 10) for i in range(30)]
+    df = spark.createDataFrame(rows, "mid long, a int, b int, w int")
+    state_dir = str(tmp_path / "wr_num")
+    em.winrate_append_batch(df, state_dir, 0, "a", "b", "w")
+    got = em.winrate_from_store(spark, state_dir).collect()
+    assert len(got) == 1 and (got[0]["side_lo"], got[0]["side_hi"]) == (
+        "10",
+        "2",
+    )
+    # bit-for-bit equal to the one-shot on string sides — the recipe
+    one_shot = em.winrate_report(
+        df.select(
+            F.col("a").cast("string").alias("a"),
+            F.col("b").cast("string").alias("b"),
+            F.col("w").cast("string").alias("w"),
+        ),
+        "a",
+        "b",
+        "w",
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, one_shot))
 
 
 def test_annotation_store_stream_matches_batch_exactly(spark, tmp_path):

@@ -45,6 +45,20 @@ def test_smooth_signal_actually_compresses():
     assert (out == pcm).all()
 
 
+def test_streaminfo_field_width_guards():
+    """Round-12 advice: BitWriter masks to field width, so an input
+    past STREAMINFO's 36-bit total-samples field must fail loudly at
+    encode time, not as a far-away decoder MD5 mismatch.  The guard
+    fires before the contiguous copy — a zero-copy broadcast view
+    exercises it without allocating 128 GiB."""
+    huge = np.broadcast_to(np.int16(0), ((1 << 36), 1))
+    with pytest.raises(ValueError, match="36-bit"):
+        encode_flac(8000, huge)
+    # one sample under the limit would pass the guard (don't run the
+    # encode — just the boundary arithmetic)
+    assert ((1 << 36) - 1) < (1 << 36)
+
+
 def test_corruption_is_loud_everywhere():
     pcm = np.arange(-300, 300, dtype=np.int16).reshape(-1, 2)
     blob = bytearray(encode_flac(8000, pcm))

@@ -118,6 +118,20 @@ def test_malformed_is_loud():
         parse_mp4(ftyp + _box(b"moov", mvhd + trak))
 
 
+def test_nested_size0_box_is_loud():
+    """Round-12 advice: ISO 14496-12 §4.2 permits size==0 (extends to
+    EOF) only for the LAST TOP-LEVEL box; a size-0 box nested inside a
+    container is malformed and must raise, never be silently scoped to
+    its container.  A top-level trailing size-0 box stays accepted
+    (covered by test_64bit_largesize_and_size0_mdat)."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(">II", 0, 0)
+                 + struct.pack(">II", 1000, 1) + b"\x00" * 80)
+    nested_size0 = struct.pack(">I", 0) + b"free" + b"\x00" * 4
+    with pytest.raises(ValueError, match="size-0"):
+        parse_mp4(ftyp + _box(b"moov", mvhd + nested_size0))
+
+
 def test_parse_result_shape():
     info = parse_mp4(build_mp4(1000, 2000, _tracks(2)))
     assert isinstance(info, Mp4Info) and len(info.tracks) == 2
