@@ -143,6 +143,11 @@ BENCH_QUERIES = [
     "pipe_eval_distinct_n",
     "pipe_multimodal_flac",
     "pipe_multimodal_mp4",
+    # round-13 faces
+    "pipe_eval_chrf_by_system",
+    "pipe_dedup_conversations_fuzzy",
+    "pipe_conversation_quality",
+    "pipe_sft_spans",
 ]
 
 

@@ -452,6 +452,176 @@ def pipe_eval_chrf(spark, sf_dir):
     return evalmetrics.chrf_score(pairs, "doc_id", "cand", "ref")
 
 
+_CHRF_BY_SYSTEM_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'drop5'
+              WHEN doc_id % 3 = 1 THEN 'drop7'
+              ELSE 'drop11' END AS system,
+         CASE WHEN doc_id % 3 = 0 THEN 5
+              WHEN doc_id % 3 = 1 THEN 7
+              ELSE 11 END AS m,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS rt
+  FROM documents
+),
+pair AS MATERIALIZED (
+  SELECT doc_id, system,
+         regexp_replace(array_to_string(list_transform(
+           list_filter(range(1, len(rt) + 1), i -> (i - 1) % m <> 3),
+           i -> rt[i]), ' '), '\\s+', '', 'g') AS cs,
+         regexp_replace(array_to_string(rt, ' '), '\\s+', '', 'g') AS rs
+  FROM base
+),
+ns(n) AS (VALUES (1), (2), (3), (4), (5), (6)),
+cg AS (
+  SELECT doc_id, system, ns.n AS n,
+         substr(cs, CAST(u.i AS INT), ns.n) AS gram
+  FROM pair CROSS JOIN ns,
+       UNNEST(range(1, greatest(len(cs) - ns.n + 2, 1))) AS u(i)
+),
+rg AS (
+  SELECT doc_id, system, ns.n AS n,
+         substr(rs, CAST(u.i AS INT), ns.n) AS gram
+  FROM pair CROSS JOIN ns,
+       UNNEST(range(1, greatest(len(rs) - ns.n + 2, 1))) AS u(i)
+),
+cc AS MATERIALIZED (
+  SELECT doc_id, system, n, gram, COUNT(*) AS c
+  FROM cg GROUP BY doc_id, system, n, gram
+),
+rc AS MATERIALIZED (
+  SELECT doc_id, system, n, gram, COUNT(*) AS c
+  FROM rg GROUP BY doc_id, system, n, gram
+),
+m AS (
+  SELECT cc.system, cc.n, CAST(SUM(LEAST(cc.c, rc.c)) AS BIGINT) AS matched
+  FROM cc JOIN rc ON rc.doc_id = cc.doc_id AND rc.n = cc.n
+                 AND rc.gram = cc.gram
+  GROUP BY cc.system, cc.n
+),
+ct AS (
+  SELECT system, n, CAST(SUM(c) AS BIGINT) AS total
+  FROM cc GROUP BY system, n
+),
+rr AS (
+  SELECT system, n, CAST(SUM(c) AS BIGINT) AS total
+  FROM rc GROUP BY system, n
+),
+flat AS (
+  SELECT COALESCE(ct.system, rr2.system) AS system,
+    COALESCE(MAX(CASE WHEN m.n = 1 THEN m.matched END), 0) AS matched_1,
+    COALESCE(MAX(CASE WHEN m.n = 2 THEN m.matched END), 0) AS matched_2,
+    COALESCE(MAX(CASE WHEN m.n = 3 THEN m.matched END), 0) AS matched_3,
+    COALESCE(MAX(CASE WHEN m.n = 4 THEN m.matched END), 0) AS matched_4,
+    COALESCE(MAX(CASE WHEN m.n = 5 THEN m.matched END), 0) AS matched_5,
+    COALESCE(MAX(CASE WHEN m.n = 6 THEN m.matched END), 0) AS matched_6,
+    COALESCE(MAX(CASE WHEN ct.n = 1 THEN ct.total END), 0) AS cand_1,
+    COALESCE(MAX(CASE WHEN ct.n = 2 THEN ct.total END), 0) AS cand_2,
+    COALESCE(MAX(CASE WHEN ct.n = 3 THEN ct.total END), 0) AS cand_3,
+    COALESCE(MAX(CASE WHEN ct.n = 4 THEN ct.total END), 0) AS cand_4,
+    COALESCE(MAX(CASE WHEN ct.n = 5 THEN ct.total END), 0) AS cand_5,
+    COALESCE(MAX(CASE WHEN ct.n = 6 THEN ct.total END), 0) AS cand_6,
+    COALESCE(MAX(CASE WHEN rr2.n = 1 THEN rr2.total END), 0) AS ref_1,
+    COALESCE(MAX(CASE WHEN rr2.n = 2 THEN rr2.total END), 0) AS ref_2,
+    COALESCE(MAX(CASE WHEN rr2.n = 3 THEN rr2.total END), 0) AS ref_3,
+    COALESCE(MAX(CASE WHEN rr2.n = 4 THEN rr2.total END), 0) AS ref_4,
+    COALESCE(MAX(CASE WHEN rr2.n = 5 THEN rr2.total END), 0) AS ref_5,
+    COALESCE(MAX(CASE WHEN rr2.n = 6 THEN rr2.total END), 0) AS ref_6
+  FROM ct
+  FULL JOIN rr AS rr2 ON rr2.system = ct.system AND rr2.n = ct.n
+  LEFT JOIN m ON m.system = COALESCE(ct.system, rr2.system)
+             AND m.n = COALESCE(ct.n, rr2.n)
+  GROUP BY COALESCE(ct.system, rr2.system)
+),
+calc AS (
+  SELECT *,
+    (0.0
+     + CASE WHEN cand_1 = 0 THEN 0.0
+            ELSE CAST(matched_1 AS DOUBLE) / CAST(cand_1 AS DOUBLE) END
+     + CASE WHEN cand_2 = 0 THEN 0.0
+            ELSE CAST(matched_2 AS DOUBLE) / CAST(cand_2 AS DOUBLE) END
+     + CASE WHEN cand_3 = 0 THEN 0.0
+            ELSE CAST(matched_3 AS DOUBLE) / CAST(cand_3 AS DOUBLE) END
+     + CASE WHEN cand_4 = 0 THEN 0.0
+            ELSE CAST(matched_4 AS DOUBLE) / CAST(cand_4 AS DOUBLE) END
+     + CASE WHEN cand_5 = 0 THEN 0.0
+            ELSE CAST(matched_5 AS DOUBLE) / CAST(cand_5 AS DOUBLE) END
+     + CASE WHEN cand_6 = 0 THEN 0.0
+            ELSE CAST(matched_6 AS DOUBLE) / CAST(cand_6 AS DOUBLE) END
+    ) / 6.0 AS chr_p,
+    (0.0
+     + CASE WHEN ref_1 = 0 THEN 0.0
+            ELSE CAST(matched_1 AS DOUBLE) / CAST(ref_1 AS DOUBLE) END
+     + CASE WHEN ref_2 = 0 THEN 0.0
+            ELSE CAST(matched_2 AS DOUBLE) / CAST(ref_2 AS DOUBLE) END
+     + CASE WHEN ref_3 = 0 THEN 0.0
+            ELSE CAST(matched_3 AS DOUBLE) / CAST(ref_3 AS DOUBLE) END
+     + CASE WHEN ref_4 = 0 THEN 0.0
+            ELSE CAST(matched_4 AS DOUBLE) / CAST(ref_4 AS DOUBLE) END
+     + CASE WHEN ref_5 = 0 THEN 0.0
+            ELSE CAST(matched_5 AS DOUBLE) / CAST(ref_5 AS DOUBLE) END
+     + CASE WHEN ref_6 = 0 THEN 0.0
+            ELSE CAST(matched_6 AS DOUBLE) / CAST(ref_6 AS DOUBLE) END
+    ) / 6.0 AS chr_r
+  FROM flat
+)
+SELECT system, matched_1, cand_1, ref_1, matched_2, cand_2, ref_2,
+       matched_3, cand_3, ref_3, matched_4, cand_4, ref_4,
+       matched_5, cand_5, ref_5, matched_6, cand_6, ref_6,
+       chr_p, chr_r,
+       CASE WHEN 4.0 * chr_p + chr_r = 0.0 THEN 0.0
+            ELSE ROUND((1.0 + 4.0) * chr_p * chr_r
+                       / (4.0 * chr_p + chr_r), 6)
+       END AS chrf6
+FROM calc
+"""
+
+
+@register(
+    "pipe_eval_chrf_by_system",
+    oracle=_CHRF_BY_SYSTEM_ORACLE,
+    doc="corpus chrF PER SYSTEM (evalmetrics.chrf_score_by_group): the "
+    "multi-model harness shape for the round's second metric, sliced "
+    "exactly like pipe_eval_bleu_by_system — doc_id%3 picks a "
+    "corruption severity (drop every 5th/7th/11th token), so the three "
+    "chrF rows RANK the systems.  The group-keyed Arrow fold counts "
+    "each pair row-locally and emits 6 partial rows per system per "
+    "partition (exchange O(systems*6*partitions) rows whatever the "
+    "corpus); the finisher is chrf_from_cells under a groupBy — the "
+    "single-system IEEE expression verbatim, per-slice bit-equality "
+    "test-asserted (tests/test_evalmetrics.py).  Integer cells, "
+    "per-order IEEE divisions, fixed-order mean, ROUND 6 — no "
+    "transcendentals",
+)
+def pipe_eval_chrf_by_system(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    rt = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    mod3 = F.col("doc_id") % 3
+    m = (
+        F.when(mod3 == 0, F.lit(5))
+        .when(mod3 == 1, F.lit(7))
+        .otherwise(F.lit(11))
+    )
+    system = (
+        F.when(mod3 == 0, "drop5").when(mod3 == 1, "drop7").otherwise("drop11")
+    )
+    pairs = d.select(
+        "doc_id",
+        system.alias("system"),
+        F.concat_ws(
+            " ",
+            F.filter(rt, lambda x, i: i % m != F.lit(3)),
+        ).alias("cand"),
+        F.concat_ws(" ", rt).alias("ref"),
+    )
+    return evalmetrics.chrf_score_by_group(
+        pairs, "system", "doc_id", "cand", "ref"
+    )
+
+
 _DISTINCT_N_ORACLE = """
 WITH base AS (
   SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),

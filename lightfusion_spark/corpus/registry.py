@@ -46,42 +46,31 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: Curated export order.  The driver's correctness gate evaluates only the
 #: FIRST 50 ``queries()`` entries, so the names below are emitted first.
 #:
-#: Round-12 rotation (per the round-11 verdict's top item): the window is
-#: spent wholesale on the registry's STALEST driver rows —
+#: Round-13 rotation (per the round-12 verdict's top item, following the
+#: backlog enumerated in docs/PLANS.md "Round-13 re-window backlog"):
 #: 4 flagship Layer-A queries (windowed every round)
-#: + ALL 22 deferred r06 rows (the entire r06 rotation debt retired in one
-#:   stroke: the four multimodal codecs, the five dedup variants, the two
-#:   LM-scoring rows, the four events rows, the three similarity recalls,
-#:   pipe_quality_filter, pipe_chunk_bpe, pipe_lm_score, and the two join
-#:   reps rel_join_right + rel_salted_join)
-#: + the 4 ceded r07 swap rows (events_funnel, events_gapfill, events_ohlc,
-#:   pipe_corpus_health — each lent its slot to a round-11 face)
-#: + 4 more r07 rows chosen as family flagships (pipe_web_pagerank,
-#:   pipe_sim_ivf_pq, pipe_ingest_warc, pipe_dedup_components;
-#:   pipe_mixture_temperature ceded its planned slot to a late face);
-#:   the remaining 26 r07 rows head the r13 backlog, each keeping an
-#:   in-window or r10/r11-green family sibling
-#: + 7 per-category §2.3 representatives, each its family's STALEST
-#:   verified sibling (rel_filter_project r9,
-#:   rel_window_analytics r8, rel_union_all r8, rel_not_in_subquery r8,
-#:   rel_explode r9, pipe_sketch_cms r8 — doubling as the
-#:   approximate-ops rep, rel_variant r8 — doubling as the Spark-4 rep;
-#:   the sort/limit, UDF, scalar and aggregations rep slots ceded to
-#:   late faces, those families keeping r10/r11-green recorded rows)
-#: + 9 round-12 NEW faces (the r11 displacement pattern: each landed by
-#:   displacing a multiply-repped r07/r08/r09/r10-green row, recorded at
-#:   its slot below): pipe_eval_bleu_by_system, pipe_eval_krippendorff,
-#:   pipe_ingest_conversations, pipe_dedup_turns,
-#:   pipe_dedup_conversations, pipe_eval_chrf, pipe_eval_distinct_n,
-#:   pipe_multimodal_flac, pipe_multimodal_mp4
-#: 4+22+4+4+7+9 = 50 exactly (4 swap + 4 flagship r07 rows; the reps
-#: block ended at 7 after four slots ceded to late faces).  After this round every registry row's
-#: last-green age is r07+ only for the 26 deferred r07 rows and the r08
-#: long tail — the r13 backlog, listed stalest-first in docs/PLANS.md.
-#: Every rotated-out name was officially green in r05-r11 and moves to
-#: WINDOW_EXEMPT; tests/test_registry_window.py asserts every registered
-#: query is either in the current window or has a recorded green row from
-#: a past driver window, and tools/parity.py + CI keep sweeping the whole
+#: + ALL 26 deferred r07 rows — the entire remaining r07 rotation debt
+#:   retired in one stroke (embeddings/similarity recalls, the two
+#:   n-gram LM rows, the three multimodal frame ops, the url/web block,
+#:   and the eight r07 relational reps)
+#: + 16 of the r08 block, displaced-reps first (rel_scalar_date and
+#:   rel_grouping_sets, which ceded their r12 rep slots to late faces)
+#:   then family spread: the five remaining join kinds + theta,
+#:   cube/distinct aggs, CTE, pivot/unpivot, range frame, the stream
+#:   join's batch twin, the Bloom decontaminator, and pipe_bpe_train
+#:   (the one rows-only face — its expected-merges fixture was
+#:   regenerated this round, so official re-verification is due)
+#: + 4 round-13 NEW faces (each named in the round-12 verdict):
+#:   pipe_eval_chrf_by_system (verdict item 5),
+#:   pipe_dedup_conversations_fuzzy (item 3),
+#:   pipe_conversation_quality (item 4), pipe_sft_spans (item 8)
+#: 4+26+16+4 = 50 exactly.  After this round no registry row's last
+#: driver grade is older than r08; the remaining r08 rows (18) head the
+#: r14 backlog, then the r09 block.  Every rotated-out name was
+#: officially green in r08-r12 and moves to WINDOW_EXEMPT;
+#: tests/test_registry_window.py asserts every registered query is
+#: either in the current window or has a recorded green row from a past
+#: driver window, and tools/parity.py + CI keep sweeping the whole
 #: registry regardless.
 PRIORITY: list[str] = [
     # Layer A flagship (windowed every round)
@@ -89,82 +78,55 @@ PRIORITY: list[str] = [
     "lgbm_infer_embeddings",
     "argmax_embeddings",
     "settings_introspection",
-    # r06 block — the ENTIRE deferred r06 rotation debt (22 rows)
-    "events_asof_bucketed",
-    "events_range_join",
-    "events_sessionize",
-    "events_windowed_stats",
-    "pipe_chunk_bpe",
-    "pipe_dedup_minhash",
-    "pipe_dedup_minhash_incr",
-    "pipe_dedup_semantic",
-    "pipe_dedup_simhash",
-    "pipe_dedup_spans",
-    "pipe_lm_score",
-    "pipe_multimodal_jpeg",
-    "pipe_multimodal_png",
-    "pipe_multimodal_video",
-    "pipe_multimodal_wav",
-    "pipe_quality_filter",
-    "pipe_sim_ivf_probe2",
-    "pipe_sim_recall_ivf",
-    "pipe_sim_topk_gemm",
-    "pipe_text_bm25",
-    "rel_join_right",
-    "rel_salted_join",
-    # r07 swap rows (ceded their slots to round-11 faces)
-    "events_funnel",
-    "events_gapfill",
-    "events_ohlc",
-    "pipe_corpus_health",
-    # r07 family flagships (the other 25 r07 rows head the r13 backlog)
-    # (pipe_mixture_temperature ceded its flagship slot to the third
-    # conversation face — r07 green, mixtures repped by the r11-green
-    # pipe_mix_unimax, curation by pipe_quality_filter in-window)
-    "pipe_web_pagerank",
-    "pipe_sim_ivf_pq",
-    "pipe_ingest_warc",
-    "pipe_dedup_components",
-    # per-category 2.3 reps, stalest verified sibling each
-    "rel_filter_project",
-    # (rel_grouping_sets — r08 — ceded its rep slot to the ninth
-    # round-12 face, the MP4 container walk; aggregations stay repped
-    # by the r11-green rel_agg_rollup + r08-green siblings' rows)
-    "pipe_multimodal_mp4",
-    "rel_window_analytics",
-    # (rel_topk_group — r10 green, the window's FRESHEST non-flagship
-    # row — and grouped_map_centroid — r09 green — ceded their rep
-    # slots to the sixth/seventh round-12 faces; sort/limit stays
-    # repped by the r11-green rel_sort_limit, UDF/UDAF/UDTF by the
-    # r11-green udaf_mean_norm + r10-green udtf_split_words)
-    "pipe_eval_chrf",
-    "rel_union_all",
-    "rel_not_in_subquery",
-    # (rel_scalar_date — r08 — ceded its rep slot to the eighth
-    # round-12 face, the FLAC codec; the scalar family stays repped by
-    # the r11-green rel_scalar_string + r08-green siblings'
-    # recorded rows)
-    "pipe_multimodal_flac",
-    "rel_explode",
-    "pipe_eval_distinct_n",
-    "pipe_sketch_cms",
-    "rel_variant",
-    # r07 swap slots — each cedes to a round-12 NEW face as it lands
-    # (the r11 displacement pattern; pipe_hard_negatives ceded first —
-    # r07 green, similarity repped in-window by pipe_sim_ivf_probe2 /
-    # _recall_ivf / _topk_gemm / _ivf_pq)
-    "pipe_eval_bleu_by_system",
-    # (pipe_embed_ivf_topk ceded to the alpha face — r07 green,
-    # similarity/embeddings repped in-window by the three sim recalls
-    # + pipe_sim_ivf_pq)
-    "pipe_eval_krippendorff",
-    # (pipe_web_links + pipe_url_blocklist ceded to the conversation
-    # faces — both r07 green, web repped in-window by pipe_web_pagerank
-    # + pipe_ingest_warc; the THIRD conversation face takes the slot
-    # budgeted for one more r07 row)
-    "pipe_ingest_conversations",
-    "pipe_dedup_turns",
-    "pipe_dedup_conversations",
+    # r07 block — the ENTIRE remaining r07 rotation debt (26 rows)
+    "pipe_embed_ivf_topk",
+    "pipe_hard_negatives",
+    "pipe_ingest_warc_clean",
+    "pipe_layout_zorder",
+    "pipe_lm_buckets_ngram",
+    "pipe_lm_score_ngram",
+    "pipe_mixture_temperature",
+    "pipe_multimodal_audio_frames",
+    "pipe_multimodal_resize",
+    "pipe_multimodal_scenecut",
+    "pipe_sim_ivf_pq_probe2",
+    "pipe_sim_ivf_pq_rerank",
+    "pipe_sim_lsh_banded",
+    "pipe_url_blocklist",
+    "pipe_url_canonicalize",
+    "pipe_web_links",
+    "pipe_web_rank_sample",
+    "pipe_web_robots",
+    "rel_cdc_latest",
+    "rel_fuzzy_match",
+    "rel_histogram",
+    "rel_join_left",
+    "rel_outlier_iqr",
+    "rel_profile_orders",
+    "rel_scd2_asof",
+    "rel_skew_report",
+    # r08 block — 16 rows, displaced-reps first, then family spread
+    "rel_scalar_date",
+    "rel_grouping_sets",
+    "pipe_bpe_train",
+    "rel_join_anti",
+    "rel_join_semi",
+    "rel_join_full_outer",
+    "rel_join_cross",
+    "rel_join_theta",
+    "rel_agg_cube",
+    "rel_agg_distinct",
+    "rel_cte",
+    "rel_pivot",
+    "rel_unpivot",
+    "rel_window_range_frame",
+    "events_stream_join",
+    "pipe_decontaminate_bloom",
+    # round-13 NEW faces (round-12 verdict items 5, 3, 4, 8)
+    "pipe_eval_chrf_by_system",
+    "pipe_dedup_conversations_fuzzy",
+    "pipe_conversation_quality",
+    "pipe_sft_spans",
 ]
 
 

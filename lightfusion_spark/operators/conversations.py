@@ -223,6 +223,409 @@ def conversation_signature(
     )
 
 
+def render_chat_segments(
+    turns: DataFrame,
+    id_col: str = "conversation_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    content_col: str = "content",
+) -> DataFrame:
+    """Chat-template rendering as SEGMENTS — two per turn, in order::
+
+        seg 2i   : "<|{role}|>\\n"      (header   — never trained on)
+        seg 2i+1 : "{content}\\n"       (body     — loss iff assistant)
+
+    The template is deliberately segment-aligned: a trainer masks
+    whole segments, so tokenizing each segment independently and
+    concatenating ids gives exact span boundaries with no sub-token
+    alignment pass (the standard per-message ``apply_chat_template``
+    construction).  Content is RAW (not normalized — training text is
+    preserved verbatim); NULL role/content coalesce to '' (the
+    :func:`turn_digest` total convention).  Returns
+    ``(conversation_id, seg_order, is_loss, seg_text)`` —
+    a pure zero-shuffle projection (posexplode of a 2-element array).
+    """
+    role = F.coalesce(F.col(role_col), F.lit(""))
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    pair = F.array(
+        F.struct(
+            F.concat(F.lit("<|"), role, F.lit("|>\n")).alias("seg_text"),
+            F.lit(False).alias("is_loss"),
+        ),
+        F.struct(
+            F.concat(content, F.lit("\n")).alias("seg_text"),
+            (role == F.lit("assistant")).alias("is_loss"),
+        ),
+    )
+    return turns.select(
+        F.col(id_col).alias("conversation_id"),
+        (F.col(idx_col) * 2).alias("_base"),
+        F.posexplode(pair).alias("_k", "_s"),
+    ).select(
+        "conversation_id",
+        (F.col("_base") + F.col("_k")).cast("int").alias("seg_order"),
+        F.col("_s.is_loss").alias("is_loss"),
+        F.col("_s.seg_text").alias("seg_text"),
+    )
+
+
+def sft_loss_spans(
+    turns: DataFrame,
+    id_col: str = "conversation_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    content_col: str = "content",
+    merges_path: str | None = None,
+    capacity: int = 512,
+    n_groups: int = 8,
+) -> DataFrame:
+    """The last step between dedup'd conversations and training
+    shards: render the chat template, tokenize, compute the
+    ASSISTANT-SPAN loss mask, and pack to fixed token budgets.
+
+    One row per conversation::
+
+        (conversation_id, n_tokens, n_loss_tokens, n_spans, spans,
+         pack_group, pack_no)
+
+    ``spans`` is the loss mask as ``"start:end"`` token-offset pairs
+    (end-exclusive, space-joined, in order) — one span per non-empty
+    assistant body segment; headers and non-assistant bodies are
+    masked out.  Because segments tokenize independently
+    (:func:`render_chat_segments`), span boundaries are EXACT token
+    offsets: ``start`` is the sum of all prior segments' token counts.
+    Packing is :func:`~.curation.pack_sequences` over the real token
+    counts (capacity ``capacity``, ``n_groups`` parallel fill groups).
+
+    100 TB shape: the render is a zero-shuffle projection; the BPE
+    crossing is one Arrow-batched ``mapInPandas`` that keeps only
+    ``(id, seg_order, is_loss, n_tokens)`` — segment TEXT never leaves
+    the map side; the span fold is one id-keyed aggregation of integer
+    triples plus a row-local ``aggregate`` lambda; packing adds the
+    documented 8-group window.  No join carries text.
+    """
+    import hashlib as _hashlib
+
+    from .curation import pack_sequences
+    from .tokenize import DEFAULT_MERGES_PATH, _get_tokenizer, parse_merges
+
+    path = merges_path or DEFAULT_MERGES_PATH
+    with open(path, "r", encoding="utf-8") as fh:
+        merges_text = fh.read()
+    parse_merges(merges_text)  # validate at plan time
+    digest = _hashlib.sha256(merges_text.encode("utf-8")).hexdigest()[:16]
+
+    segs = render_chat_segments(turns, id_col, idx_col, role_col, content_col)
+    id_type = dict(segs.dtypes)["conversation_id"]
+
+    def run(batches):
+        import pandas as pd
+
+        tok = _get_tokenizer(digest, merges_text)
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "conversation_id": pdf["conversation_id"],
+                    "seg_order": pdf["seg_order"],
+                    "is_loss": pdf["is_loss"],
+                    "n_toks": [
+                        len(tok.encode(t))
+                        for t in pdf["seg_text"].fillna("")
+                    ],
+                }
+            )
+
+    counted = segs.mapInPandas(
+        run,
+        schema=(
+            f"conversation_id {id_type}, seg_order int, "
+            "is_loss boolean, n_toks int"
+        ),
+    )
+    segs_sorted = F.array_sort(
+        F.collect_list(F.struct("seg_order", "n_toks", "is_loss"))
+    )
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("off"),
+        F.array().cast("array<struct<s:bigint,e:bigint>>").alias("sp"),
+    )
+    fold = F.aggregate(
+        segs_sorted,
+        acc0,
+        lambda a, s: F.struct(
+            (a["off"] + s["n_toks"]).alias("off"),
+            F.when(
+                s["is_loss"] & (s["n_toks"] > 0),
+                F.concat(
+                    a["sp"],
+                    F.array(
+                        F.struct(
+                            a["off"].alias("s"),
+                            (a["off"] + s["n_toks"])
+                            .cast("bigint")
+                            .alias("e"),
+                        )
+                    ),
+                ),
+            )
+            .otherwise(a["sp"])
+            .alias("sp"),
+        ),
+    )
+    per = counted.groupBy("conversation_id").agg(fold.alias("_f"))
+    sp = F.col("_f").getField("sp")
+    out = per.select(
+        "conversation_id",
+        F.col("_f").getField("off").alias("n_tokens"),
+        F.aggregate(
+            sp, F.lit(0).cast("long"), lambda a, s: a + (s["e"] - s["s"])
+        ).alias("n_loss_tokens"),
+        F.size(sp).alias("n_spans"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                sp,
+                lambda s: F.concat(
+                    s["s"].cast("string"), F.lit(":"), s["e"].cast("string")
+                ),
+            ),
+        ).alias("spans"),
+    )
+    packed = pack_sequences(
+        out, "conversation_id", "n_tokens", capacity=capacity, n_groups=n_groups
+    )
+    return out.join(
+        packed.select("conversation_id", "pack_group", "pack_no"),
+        "conversation_id",
+    )
+
+
+def conversation_quality(
+    df: DataFrame,
+    id_col: str = "conversation_id",
+    messages_col: str = "messages",
+) -> DataFrame:
+    """Per-conversation STRUCTURE/QUALITY gate — what a curator runs
+    between ingest and dedup: is this transcript even shaped like a
+    conversation before we spend dedup/training budget on it?
+
+    One row per conversation::
+
+        (conversation_id, n_turns, n_system, n_lead_system,
+         system_only_leading, alternates_ok, n_empty_content,
+         n_unknown_role, ends_with_assistant, min_len, max_len,
+         avg_len, valid)
+
+    Checks (NULL role/content coalesce to '' first — the
+    :func:`turn_digest` total convention):
+
+    * ``n_lead_system`` — leading ``system`` turns (any number is
+      fine); ``system_only_leading`` is False iff a system turn
+      appears mid-stream;
+    * ``alternates_ok`` — after the leading system block, roles are
+      exactly user, assistant, user, … (user-first); False for an
+      empty core (all-system or zero turns);
+    * ``n_empty_content`` — turns whose normalized content is ''
+      (covers NULL and whitespace-only);
+    * ``n_unknown_role`` — roles outside {system, user, assistant}
+      (covers NULL role, which coalesces to '');
+    * ``min/max/avg_len`` — normalized-content character lengths
+      (NULL for a zero-turn conversation; ``avg_len`` is one IEEE
+      division);
+    * ``valid`` — alternation AND leading-only system AND no empty
+      content AND no unknown roles.
+
+    100 TB shape: a PURE PROJECTION — every check is a row-local
+    higher-order array expression over the un-exploded ``messages``
+    column (transform/filter/aggregate/zip_with), so the gate runs at
+    scan speed with ZERO shuffles, unlike a turns-relation groupBy
+    which would re-pay the explode + id-keyed exchange.  The oracle
+    replays it as an independent UNNEST + window-free aggregation.
+    """
+    msgs = F.col(messages_col)
+    roles = F.transform(msgs, lambda m: F.coalesce(m["role"], F.lit("")))
+    norm_c = F.transform(
+        msgs, lambda m: _norm(F.coalesce(m["content"], F.lit("")))
+    )
+    n = F.size(msgs)
+    lead = F.aggregate(
+        roles,
+        F.struct(F.lit(0).alias("n"), F.lit(True).alias("go")),
+        lambda acc, r: F.struct(
+            (
+                acc["n"]
+                + F.when(acc["go"] & (r == "system"), 1).otherwise(0)
+            ).alias("n"),
+            (acc["go"] & (r == "system")).alias("go"),
+        ),
+    )["n"]
+    core = F.slice(roles, lead + 1, F.greatest(n - lead, F.lit(0)))
+    alt_ok = F.when(
+        F.size(core) > 0,
+        F.forall(
+            F.zip_with(
+                core,
+                F.sequence(F.lit(0), F.size(core) - 1),
+                lambda r, i: r
+                == F.when(i % 2 == 0, F.lit("user")).otherwise(
+                    F.lit("assistant")
+                ),
+            ),
+            lambda x: x,
+        ),
+    ).otherwise(F.lit(False))
+    n_system = F.size(F.filter(roles, lambda r: r == F.lit("system")))
+    sys_lead_only = n_system == lead
+    n_unknown = F.size(
+        F.filter(
+            roles,
+            lambda r: ~r.isin("system", "user", "assistant"),
+        )
+    )
+    n_empty = F.size(F.filter(norm_c, lambda c: c == F.lit("")))
+    ends_a = F.when(
+        n > 0, F.element_at(roles, -1) == F.lit("assistant")
+    ).otherwise(F.lit(False))
+    lens = F.transform(norm_c, lambda c: F.length(c))
+    sum_len = F.aggregate(lens, F.lit(0), lambda a, x: a + x)
+    avg_len = F.when(
+        n > 0, sum_len.cast("double") / n.cast("double")
+    )
+    valid = (
+        alt_ok & sys_lead_only & (n_empty == 0) & (n_unknown == 0)
+    )
+    return df.select(
+        F.col(id_col).alias("conversation_id"),
+        n.alias("n_turns"),
+        n_system.alias("n_system"),
+        lead.alias("n_lead_system"),
+        sys_lead_only.alias("system_only_leading"),
+        alt_ok.alias("alternates_ok"),
+        n_empty.alias("n_empty_content"),
+        n_unknown.alias("n_unknown_role"),
+        ends_a.alias("ends_with_assistant"),
+        F.array_min(lens).alias("min_len"),
+        F.array_max(lens).alias("max_len"),
+        avg_len.alias("avg_len"),
+        valid.alias("valid"),
+    )
+
+
+def conversation_flat_text(
+    turns: DataFrame,
+    id_col: str = "conversation_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    content_col: str = "content",
+) -> DataFrame:
+    """One row per conversation with its FLATTENED text: per-turn
+    ``role:normalized-content`` joined with single spaces in turn
+    order — the shingle substrate of the fuzzy tier.  Role prefixes
+    ride inside the token stream, so a user turn and an assistant turn
+    with the same words produce different shingles (the
+    :func:`turn_digest` role-scoping, carried into the fuzzy space).
+    NULL role/content coalesce to '' — the same total convention as
+    :func:`turn_digest`.  Returns ``(conversation_id, conv_text)``.
+
+    Reproducible in DuckDB as ``string_agg(coalesce(role,'') || ':' ||
+    <norm(coalesce(content,''))>, ' ' ORDER BY turn_idx)``.
+    """
+    per_turn = turns.select(
+        F.col(id_col).alias("conversation_id"),
+        F.col(idx_col).alias("turn_idx"),
+        F.concat(
+            F.coalesce(F.col(role_col), F.lit("")),
+            F.lit(":"),
+            _norm(F.coalesce(F.col(content_col), F.lit(""))),
+        ).alias("t"),
+    )
+    return per_turn.groupBy("conversation_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "t"))),
+                lambda s: s["t"],
+            ),
+        ).alias("conv_text")
+    )
+
+
+def dedup_conversations_fuzzy(
+    turns: DataFrame,
+    id_col: str = "conversation_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    content_col: str = "content",
+    n_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-duplicate conversation dedup — the fuzzy tier above
+    :func:`dedup_conversations_exact`: a paraphrased re-ingest (edited
+    system prompt, re-worded canned response, one appended
+    pleasantry) changes the exact signature but keeps most of the
+    flattened text's shingles, which is precisely what banded MinHash
+    measures.
+
+    Composition, not new machinery (the
+    :func:`~.curation.decontaminate_fuzzy` pattern): flatten each
+    conversation to role-tagged text (:func:`conversation_flat_text`),
+    run :func:`~.dedup.minhash_near_duplicates` (shingle → minhash →
+    LSH bands → exact-Jaccard verification — candidates come from
+    band-bucket equi-joins, NEVER an all-pairs scan), then one
+    per-conversation aggregation turns verified pairs into a verdict.
+    Every conversation is emitted: ``(conversation_id, n_near_dups,
+    max_jaccard, keep)`` — ``keep`` is False iff the conversation has
+    a verified near-duplicate with a LOWER id (the min-id survivor
+    convention of the exact tier), ``max_jaccard`` is NULL for
+    conversations with no near-duplicate.
+
+    Scale: the flatten is one id-keyed agg (the same shuffle the exact
+    tier already pays); everything after inherits the banded LSH story
+    of :func:`~.dedup.minhash_near_duplicates` wholesale, including
+    the ``checkpoint_path`` spill option for 100 TB corpora — here the
+    conversation-count relation is fixture-to-corpus sized, and only
+    flat text (not raw turns) feeds the shingle pass.
+    """
+    from .dedup import minhash_near_duplicates
+
+    flat = conversation_flat_text(
+        turns, id_col, idx_col, role_col, content_col
+    )
+    pairs = minhash_near_duplicates(
+        flat,
+        "conversation_id",
+        "conv_text",
+        n_hashes=n_hashes,
+        rows_per_band=rows_per_band,
+        shingle_n=shingle_n,
+        threshold=threshold,
+    )
+    touched = pairs.select(
+        F.col("id_a").alias("cid"), "jaccard", F.lit(False).alias("_lower")
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("cid"), "jaccard", F.lit(True).alias("_lower")
+        )
+    )
+    verdict = touched.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_near_dups"),
+        F.max("jaccard").alias("max_jaccard"),
+        F.max("_lower").alias("_has_lower"),
+    )
+    return (
+        flat.select("conversation_id")
+        .join(verdict, F.col("conversation_id") == F.col("cid"), "left")
+        .select(
+            "conversation_id",
+            F.coalesce("n_near_dups", F.lit(0)).alias("n_near_dups"),
+            "max_jaccard",
+            (~F.coalesce("_has_lower", F.lit(False))).alias("keep"),
+        )
+    )
+
+
 def dedup_conversations_exact(
     turns: DataFrame,
     id_col: str = "conversation_id",

@@ -509,61 +509,149 @@ def chrf_score(
     its row; the fold emits max_n partial rows per partition and the
     metric's only exchange is that max_n-row merge.
     """
+    return chrf_from_cells(
+        chrf_cells(df, id_col, cand_col, ref_col, max_n=max_n),
+        max_n=max_n,
+        beta=beta,
+    )
+
+
+def chrf_score_by_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 6,
+    beta: float = 2.0,
+) -> DataFrame:
+    """Corpus chrF PER GROUP — the multi-system shape, mirroring
+    :func:`corpus_bleu_by_group` for the round's second metric (an
+    eval harness comparing N systems wants BOTH metrics sliced the
+    same way; :func:`chrf_score` is the single-system special case).
+    Returns one row per distinct ``group_col`` value with the same
+    columns as :func:`chrf_score`, prefixed by the group.
+
+    The group key is cast to STRING (the Arrow fold keys a dict on
+    it); NULL groups form their own group, the Spark groupBy
+    convention.  Exactness and scale inherit verbatim: the fold still
+    counts each pair row-locally and emits ``max_n`` partial rows PER
+    GROUP PER PARTITION (O(systems · max_n · partitions) exchange
+    rows whatever the corpus), and the finisher is
+    :func:`chrf_from_cells` with ``group_cols`` — the identical
+    fixed-order IEEE expression under a groupBy, so every group's row
+    is bit-equal to :func:`chrf_score` over that group's slice
+    (test-asserted, the grouped-BLEU contract).
+    """
+    cells = chrf_cells(
+        df, id_col, cand_col, ref_col, max_n=max_n, group_col=group_col
+    )
+    return chrf_from_cells(
+        cells, max_n=max_n, beta=beta, group_cols=(group_col,)
+    )
+
+
+def chrf_cells(
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 6,
+    group_col: str | None = None,
+) -> DataFrame:
+    """The sufficient statistics of corpus chrF as per-order integer
+    cells ``(n, matched, cand_total, ref_total)`` — clipping happens
+    WITHIN a pair, so the cells are ADDITIVE across disjoint pair
+    sets (the :func:`bleu_cells` property, with characters for
+    tokens).  With ``group_col`` the fold keys its counters on the
+    stringified group value and emits per-group cells."""
     if max_n < 1:
         raise ValueError(f"chrf_score: max_n must be >= 1, got {max_n}")
-    if not (beta > 0):
-        raise ValueError(f"chrf_score: beta must be > 0, got {beta}")
     strip = lambda c: F.regexp_replace(F.lower(c), r"\s+", "")
-    base = df.select(
+    cols = [
         strip(F.col(cand_col)).alias("cs"),
         strip(F.col(ref_col)).alias("rs"),
-    )
+    ]
+    if group_col is not None:
+        cols.insert(0, F.col(group_col).cast("string").alias("_grp"))
+    base = df.select(*cols)
 
     def fold(batches):
         from collections import Counter
 
         import pandas as pd
 
-        matched = [0] * (max_n + 1)
-        cand_tot = [0] * (max_n + 1)
-        ref_tot = [0] * (max_n + 1)
+        stats: dict = {}
+
+        def bump(key, c, r):
+            triple = stats.get(key)
+            if triple is None:
+                triple = stats[key] = (
+                    [0] * (max_n + 1),
+                    [0] * (max_n + 1),
+                    [0] * (max_n + 1),
+                )
+            matched, cand_tot, ref_tot = triple
+            for n in range(1, max_n + 1):
+                cg = Counter(c[i : i + n] for i in range(len(c) - n + 1))
+                rg = Counter(r[i : i + n] for i in range(len(r) - n + 1))
+                cand_tot[n] += sum(cg.values())
+                ref_tot[n] += sum(rg.values())
+                matched[n] += sum(
+                    min(k_c, rg[g]) for g, k_c in cg.items() if g in rg
+                )
+
+        grouped = group_col is not None
         for pdf in batches:
-            for cs, rs in zip(pdf["cs"], pdf["rs"]):
+            grps = pdf["_grp"] if grouped else [0] * len(pdf)
+            for g, cs, rs in zip(grps, pdf["cs"], pdf["rs"]):
                 c = cs if cs is not None else ""
                 r = rs if rs is not None else ""
-                for n in range(1, max_n + 1):
-                    cg = Counter(
-                        c[i : i + n] for i in range(len(c) - n + 1)
-                    )
-                    rg = Counter(
-                        r[i : i + n] for i in range(len(r) - n + 1)
-                    )
-                    cand_tot[n] += sum(cg.values())
-                    ref_tot[n] += sum(rg.values())
-                    matched[n] += sum(
-                        min(k_c, rg[g]) for g, k_c in cg.items() if g in rg
-                    )
-        yield pd.DataFrame(
-            {
-                "n": list(range(1, max_n + 1)),
-                "matched": matched[1:],
-                "cand_total": cand_tot[1:],
-                "ref_total": ref_tot[1:],
-            }
-        )
+                bump(g if (not grouped or g is None) else str(g), c, r)
+        orders = list(range(1, max_n + 1))
+        out = {"n": [], "matched": [], "cand_total": [], "ref_total": []}
+        if grouped:
+            out = {"_grp": [], **out}
+        for key, (matched, cand_tot, ref_tot) in stats.items():
+            if grouped:
+                out["_grp"].extend([key] * max_n)
+            out["n"].extend(orders)
+            out["matched"].extend(matched[1:])
+            out["cand_total"].extend(cand_tot[1:])
+            out["ref_total"].extend(ref_tot[1:])
+        yield pd.DataFrame(out)
 
+    schema = "n int, matched long, cand_total long, ref_total long"
+    keys = ["n"]
+    if group_col is not None:
+        schema = "_grp string, " + schema
+        keys = ["_grp", "n"]
     cells = (
-        base.mapInPandas(
-            fold,
-            schema="n int, matched long, cand_total long, ref_total long",
-        )
-        .groupBy("n")
+        base.mapInPandas(fold, schema=schema)
+        .groupBy(*keys)
         .agg(
             F.sum("matched").cast("long").alias("matched"),
             F.sum("cand_total").cast("long").alias("cand_total"),
             F.sum("ref_total").cast("long").alias("ref_total"),
         )
     )
+    if group_col is not None:
+        cells = cells.withColumnRenamed("_grp", group_col)
+    return cells
+
+
+def chrf_from_cells(
+    cells: DataFrame,
+    max_n: int = 6,
+    beta: float = 2.0,
+    group_cols: tuple = (),
+) -> DataFrame:
+    """Finish corpus chrF from :func:`chrf_cells` rows — shared
+    VERBATIM by the one-shot :func:`chrf_score` and (under a groupBy
+    on ``group_cols``) the per-system :func:`chrf_score_by_group`, so
+    the two are output-identical by construction."""
+    if not (beta > 0):
+        raise ValueError(f"chrf_score: beta must be > 0, got {beta}")
     agg_cols = []
     for n in range(1, max_n + 1):
         for src, dst in (
@@ -576,7 +664,10 @@ def chrf_score(
                     F.sum(F.when(F.col("n") == n, F.col(src))), F.lit(0)
                 ).alias(dst)
             )
-    flat = cells.agg(*agg_cols)
+    if group_cols:
+        flat = cells.groupBy(*group_cols).agg(*agg_cols)
+    else:
+        flat = cells.agg(*agg_cols)
     p_sum = F.lit(0.0)
     r_sum = F.lit(0.0)
     for n in range(1, max_n + 1):
@@ -592,7 +683,7 @@ def chrf_score(
     chr_r = r_sum / F.lit(float(max_n))
     bb = F.lit(float(beta) * float(beta))
     denom = bb * chr_p + chr_r
-    out_cols = []
+    out_cols = [F.col(c) for c in group_cols]
     for n in range(1, max_n + 1):
         out_cols += [
             F.col(f"matched_{n}"),

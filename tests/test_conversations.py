@@ -23,11 +23,19 @@ def test_fixture_reads_clean_and_turns_explode(spark, turns):
     # cache first: Spark disallows queries whose referenced columns are
     # ONLY the internal corrupt-record column on an uncached json scan
     raw = conv_ops.read_jsonl_conversations(spark, FIXTURE).cache()
-    assert raw.count() == 135
+    assert raw.count() == 155
     assert raw.where(F.col("_corrupt").isNotNull()).count() == 0
     t = turns.collect()
-    # every turn has a role from the chat vocabulary and 0-based indices
-    assert {r["role"] for r in t} == {"system", "user", "assistant"}
+    # chat vocabulary plus the planted q-block deviants: role 'tool'
+    # and a MISSING role field (NULL — well-formed JSON the _corrupt
+    # gate can't catch; the quality gate reports it)
+    assert {r["role"] for r in t} == {
+        "system",
+        "user",
+        "assistant",
+        "tool",
+        None,
+    }
     per_conv = {}
     for r in t:
         per_conv.setdefault(r["conversation_id"], []).append(r["turn_idx"])
@@ -92,8 +100,12 @@ def test_turn_dedup_normalization_and_role_scoping(spark):
 def test_conversation_dedup_finds_planted_duplicates(spark, turns):
     surv = conv_ops.dedup_conversations_exact(turns).cache()
     rows = surv.collect()
-    # 135 fixture conversations, 15 planted whole-conversation dups
-    assert sum(r["n_dups"] for r in rows) == 135
+    # 155 fixture conversations minus the zero-turn q00007 (explode
+    # semantics), 15 planted whole-conversation dups (the 12 planted
+    # PARAPHRASES are distinct signatures by design — the exact tier
+    # must NOT collapse them; the fuzzy tier catches them,
+    # test_fuzzy_tier_catches_planted_paraphrases)
+    assert sum(r["n_dups"] for r in rows) == 154
     assert sum(r["n_dups"] - 1 for r in rows) >= 15
     # min-id survivor: a planted dup (d-prefixed id) can never survive,
     # because its source conversation (c-prefixed) sorts lower
@@ -110,6 +122,75 @@ def test_conversation_dedup_finds_planted_duplicates(spark, turns):
     }
     for r in rows:
         assert n_by_sig[r["conv_sig"]] == r["n_turns"]
+
+
+def test_fuzzy_tier_catches_planted_paraphrases(spark, turns):
+    """The near-dup tier (round-12 verdict item 3): the fixture's 12
+    p-prefixed conversations are paraphrased re-ingests (one
+    pleasantry appended to a user turn) — ALL clear the exact
+    signature tier; banded MinHash over the flattened text catches 10
+    of the 12 at Jaccard >= 0.75 (p00000/p00009 are the honest 4-band
+    LSH recall misses, pinned here so a recall change is loud)."""
+    exact_survivors = {
+        r["conversation_id"]
+        for r in conv_ops.dedup_conversations_exact(turns).collect()
+    }
+    p_ids = {f"p{j:05d}" for j in range(12)}
+    assert p_ids <= exact_survivors  # exact tier misses every paraphrase
+
+    out = {
+        r["conversation_id"]: r
+        for r in conv_ops.dedup_conversations_fuzzy(turns).collect()
+    }
+    # every conversation with >= 1 turn emitted (q00007 has zero)
+    assert set(out) >= p_ids and len(out) == 154
+    caught = {c for c in p_ids if not out[c]["keep"]}
+    assert caught == p_ids - {"p00000", "p00009"}
+    for c in caught:
+        assert out[c]["max_jaccard"] >= 0.75
+        assert out[c]["n_near_dups"] >= 1
+    # verbatim d-dups are also fuzzy dups, at jaccard exactly 1.0
+    d_caught = [
+        r for cid, r in out.items() if cid.startswith("d") and not r["keep"]
+    ]
+    assert d_caught and all(r["max_jaccard"] == 1.0 for r in d_caught)
+
+
+def test_quality_gate_flags_each_planted_violation(spark):
+    """conversation_quality (round-12 verdict item 4): the q-block
+    plants exactly one violation per check; the gate must flag each on
+    the right column, pass the well-formed corpus, and stay a pure
+    projection (no shuffle)."""
+    raw = conv_ops.read_jsonl_conversations(spark, FIXTURE)
+    q = conv_ops.conversation_quality(
+        raw.where(F.col("_corrupt").isNull())
+    ).cache()
+    rows = {r["conversation_id"]: r for r in q.collect()}
+    assert len(rows) == 155
+
+    assert not rows["q00000"]["alternates_ok"]  # assistant-first
+    assert not rows["q00001"]["alternates_ok"]  # double user
+    assert not rows["q00002"]["system_only_leading"]  # mid-stream system
+    assert rows["q00003"]["n_unknown_role"] == 1  # role 'tool'
+    assert rows["q00004"]["n_empty_content"] == 1  # whitespace-only
+    assert rows["q00005"]["n_empty_content"] == 1  # missing content key
+    assert rows["q00006"]["n_unknown_role"] == 1  # missing role key
+    q7 = rows["q00007"]  # zero turns
+    assert q7["n_turns"] == 0 and not q7["valid"]
+    assert q7["min_len"] is None and q7["avg_len"] is None
+    assert all(not rows[f"q{j:05d}"]["valid"] for j in range(8))
+
+    # the well-formed blocks all pass, and length stats are sane
+    good = [r for cid, r in rows.items() if not cid.startswith("q")]
+    assert good and all(r["valid"] for r in good)
+    for r in good:
+        assert 0 < r["min_len"] <= r["avg_len"] <= r["max_len"]
+    # leading system blocks are tolerated (fixture plants them)
+    assert any(r["n_lead_system"] > 0 for r in good)
+
+    # scale contract: a pure projection — no exchange in the plan
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
 
 
 def test_turn_digest_null_classes(spark):
@@ -155,6 +236,67 @@ def test_turn_digest_null_classes(spark):
         """
     ).fetchall()
     assert [r[0] for r in oracle] == [got["n1"], got["n3"], got["n5"]]
+
+
+def test_sft_loss_spans_arithmetic(spark):
+    """Span offsets are exact per-segment token sums: re-derive them
+    driver-side with the same tokenizer over the rendered segments and
+    compare, then check mask semantics (assistant bodies only) and the
+    mask/total accounting."""
+    from lightfusion_spark.operators.tokenize import (
+        BPETokenizer,
+        DEFAULT_MERGES_PATH,
+        parse_merges,
+    )
+
+    rows = [
+        ("cA", 0, "system", "be brief"),
+        ("cA", 1, "user", "what is a parquet file"),
+        ("cA", 2, "assistant", "a columnar storage format"),
+        ("cA", 3, "user", "thanks"),
+        ("cA", 4, "assistant", "you are welcome"),
+        ("cB", 0, "user", "only user turns here"),
+        ("cB", 1, "user", "still no assistant"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conversation_id string, turn_idx int, role string, content string"
+    )
+    out = {
+        r["conversation_id"]: r
+        for r in conv_ops.sft_loss_spans(df).collect()
+    }
+    with open(DEFAULT_MERGES_PATH, "r", encoding="utf-8") as fh:
+        tok = BPETokenizer(parse_merges(fh.read()))
+
+    def seglen(role, content):
+        return len(tok.encode(f"<|{role}|>\n")), len(tok.encode(content + "\n"))
+
+    # conversation A: spans cover exactly the two assistant bodies
+    offs, spans, total, loss = 0, [], 0, 0
+    for _, _, role, content in rows[:5]:
+        h, b = seglen(role, content)
+        offs += h
+        if role == "assistant":
+            spans.append(f"{offs}:{offs + b}")
+            loss += b
+        offs += b
+        total += h + b
+    a = out["cA"]
+    assert a["n_tokens"] == total and a["n_loss_tokens"] == loss
+    assert a["n_spans"] == 2 and a["spans"] == " ".join(spans)
+    assert 0 < a["n_loss_tokens"] < a["n_tokens"]
+    # conversation B: no assistant turn -> empty mask, still emitted
+    b = out["cB"]
+    assert b["n_spans"] == 0 and b["spans"] == "" and b["n_loss_tokens"] == 0
+    assert b["n_tokens"] > 0
+    # packing columns present and within the fixed group count
+    assert all(0 <= r["pack_group"] < 8 and r["pack_no"] == 0 for r in out.values())
+    # partition invariance
+    again = {
+        r["conversation_id"]: r
+        for r in conv_ops.sft_loss_spans(df.repartition(5)).collect()
+    }
+    assert again == out
 
 
 def test_turn_dedup_is_idempotent(spark, turns):

@@ -242,6 +242,60 @@ def test_bleu_by_group_matches_per_group_single_system(spark):
     assert sum(1 for r in got if r["system"] is None) == 1
 
 
+def test_chrf_by_group_matches_per_group_single_system(spark):
+    """chrf_score_by_group == chrf_score run per system slice, bit for
+    bit (same char-gram fold, same finisher under a groupBy), and is
+    partition-invariant — the corpus_bleu_by_group contract for the
+    round's second metric."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = []
+    for i in range(45):
+        ref = f"the quick brown fox tok{i} jumps over the lazy dog"
+        toks = ref.split()
+        step = 3 + (i % 3) * 2
+        cand = " ".join(t for j, t in enumerate(toks) if j % step != 1)
+        rows.append((i, f"sys{i % 3}", cand, ref))
+    df = spark.createDataFrame(
+        rows, "pair_id long, system string, cand string, ref string"
+    )
+    by = {
+        r["system"]: r.asDict()
+        for r in em.chrf_score_by_group(
+            df, "system", "pair_id", "cand", "ref"
+        ).collect()
+    }
+    assert set(by) == {"sys0", "sys1", "sys2"}
+    for g in by:
+        want = em.chrf_score(
+            df.where(F.col("system") == g), "pair_id", "cand", "ref"
+        ).collect()[0].asDict()
+        got = dict(by[g])
+        got.pop("system")
+        assert got == want
+    # milder corruption (bigger step) keeps more characters
+    assert by["sys2"]["chrf6"] > by["sys1"]["chrf6"] > by["sys0"]["chrf6"]
+    # partition invariance of the group-keyed fold
+    again = {
+        r["system"]: r.asDict()
+        for r in em.chrf_score_by_group(
+            df.repartition(7), "system", "pair_id", "cand", "ref"
+        ).collect()
+    }
+    assert again == by
+    # NULL system forms its own group, Spark groupBy convention
+    with_null = df.union(
+        spark.createDataFrame(
+            [(99, None, "a b c", "a b c")],
+            "pair_id long, system string, cand string, ref string",
+        )
+    )
+    got = em.chrf_score_by_group(
+        with_null, "system", "pair_id", "cand", "ref"
+    ).collect()
+    assert sum(1 for r in got if r["system"] is None) == 1
+
+
 def test_bleu_store_stream_matches_batch_exactly(spark, tmp_path):
     """Maintained BLEU store: pairs streamed over a two-file source and
     appended inside foreachBatch; the store BLEU equals the one-shot

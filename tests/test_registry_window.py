@@ -65,26 +65,33 @@ def test_window_covers_every_family():
     for name in exempt:
         assert name in REGISTRY, f"stale window_exempt entry {name}"
         assert name not in window, f"{name} exempted but wastes a window slot"
-    # One-plus representative per §2.3 category.  Round-12 rotation picks
+    # One-plus representative per §2.3 category.  Round-13 rotation picks
     # the stalest-verified sibling per category (everything below is an
-    # r06-r10 row; the r11-refreshed siblings ceded their slots), so the
-    # category stays repped AND the oldest official row gets refreshed.
+    # r07/r08 row; the r12-refreshed siblings ceded their slots — the
+    # established displacement precedent, each ceding family keeping an
+    # r11/r12-green recorded row).
     for name in (
-        "rel_filter_project",  # projection/filter/predicates (r9, stalest sibling)
-        "rel_join_right",  # joins (r6 — with rel_salted_join, also r6)
-        "rel_window_analytics",  # windows (r8)
-        # sort/limit/top-k, UDF/UDAF/UDTF, the scalar library and
-        # aggregations ceded their rep slots to round-12 faces: each
-        # family keeps fresh recorded greens (rel_sort_limit r11,
-        # udaf_mean_norm r11, udtf_split_words r10, rel_scalar_string
-        # r11, rel_agg_rollup r11)
-        "rel_union_all",  # set ops (r8)
-        "rel_not_in_subquery",  # subqueries/CTEs (r8)
-        "rel_explode",  # generators / higher-order (r9)
-        "pipe_sketch_cms",  # approximate/sketch (r8)
-        "rel_variant",  # Spark-4 surface (r8: VARIANT type)
-        "events_windowed_stats",  # timeseries/streaming family (r6 — the
-        # stalest events row, retired with the whole r06 block)
+        # projection/filter, set ops, generators/higher-order, the
+        # approximate/sketch family and the Spark-4 surface ceded their
+        # rep slots this rotation: each is repped by an r12-green
+        # recorded row (rel_filter_project, rel_union_all, rel_explode,
+        # pipe_sketch_cms, rel_variant — ALL refreshed in r12, the
+        # freshest rows in the registry)
+        "rel_join_left",  # joins (r7 — plus anti/semi/full/cross/theta, r8)
+        "rel_join_anti",
+        "rel_join_semi",
+        "rel_join_full_outer",
+        "rel_join_cross",
+        "rel_join_theta",
+        "rel_window_range_frame",  # windows (r8)
+        "rel_cte",  # subqueries/CTEs (r8)
+        "rel_agg_cube",  # aggregations (r8 — plus distinct, grouping sets)
+        "rel_agg_distinct",
+        "rel_grouping_sets",
+        "rel_scalar_date",  # scalar library (r8, the r12-displaced rep)
+        "events_stream_join",  # timeseries/streaming family (r8 — the
+        # stream join's driver-faced batch twin)
+        "pipe_bpe_train",  # UDF/Arrow crossing + the rows-only face (r8)
     ):
         assert name in window, f"§2.3 representative {name} outside driver window"
 

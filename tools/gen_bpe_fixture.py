@@ -175,6 +175,28 @@ def main() -> None:
                 continue
             ids = reference_encode(text, merges)
             seen[fp] = (len(ids), " ".join(map(str, ids)))
+    # plus the chat-template SEGMENT texts of the conversations fixture
+    # (the SFT loss-span face tokenizes per-segment — header "<|role|>\n"
+    # and body "content\n" — so the oracle joins segments by content hash
+    # exactly like documents)
+    import json
+
+    conv_path = os.path.join(
+        REPO_ROOT, "lightfusion_spark", "fixtures", "data",
+        "conversations.jsonl",
+    )
+    with open(conv_path, "r", encoding="ascii") as fh:
+        for line in fh:
+            obj = json.loads(line)
+            for m in obj.get("messages") or []:
+                role = m.get("role") or ""
+                content = m.get("content") or ""
+                for text in (f"<|{role}|>\n", content + "\n"):
+                    fp = hashlib.md5(text.encode("utf-8")).hexdigest()
+                    if fp in seen:
+                        continue
+                    ids = reference_encode(text, merges)
+                    seen[fp] = (len(ids), " ".join(map(str, ids)))
 
     fps = sorted(seen)
     table = pa.table(

@@ -113,6 +113,70 @@ def build() -> list[dict]:
             "messages": convs[src_idx]["messages"],
         }
         convs.append(dup)
+    # PARAPHRASED re-ingests under fresh ids (round-12 verdict item 3):
+    # one light edit — a pleasantry appended to the last user turn — that
+    # changes the exact conversation signature but keeps most of the
+    # flattened text's shingles, the fuzzy tier's catch target.  Appended
+    # AFTER the dup block so the c/d lines stay byte-identical to the
+    # round-12 fixture.
+    eligible = [i for i in range(120) if len(convs[i]["messages"]) >= 4]
+    for j, src_idx in enumerate(rng.sample(eligible, 12)):
+        msgs = [dict(m) for m in convs[src_idx]["messages"]]
+        k = max(i for i, m in enumerate(msgs) if m["role"] == "user")
+        msgs[k]["content"] = msgs[k]["content"] + " please"
+        convs.append(
+            {
+                "conversation_id": f"p{j:05d}",
+                "source": convs[src_idx]["source"],
+                "messages": msgs,
+            }
+        )
+    # STRUCTURALLY-MALFORMED conversations (the quality-gate targets,
+    # round-12 verdict item 4): each violates exactly one check so the
+    # gate's verdict columns are individually exercised — including
+    # MISSING role/content struct fields, which the PERMISSIVE _corrupt
+    # gate cannot catch (the line is well-formed JSON).
+    q_blocks = [
+        [  # assistant-first (alternation must start with user)
+            {"role": "assistant", "content": "hi there"},
+            {"role": "user", "content": "who are you"},
+        ],
+        [  # consecutive user turns
+            {"role": "user", "content": "first question"},
+            {"role": "user", "content": "second question no reply"},
+            {"role": "assistant", "content": "one answer"},
+        ],
+        [  # system turn mid-stream
+            {"role": "user", "content": "hello"},
+            {"role": "system", "content": "mid stream instruction"},
+            {"role": "assistant", "content": "ok"},
+        ],
+        [  # unknown role
+            {"role": "user", "content": "run the tool"},
+            {"role": "tool", "content": "tool output text"},
+        ],
+        [  # whitespace-only content
+            {"role": "user", "content": "say nothing"},
+            {"role": "assistant", "content": "   "},
+        ],
+        [  # missing content field
+            {"role": "user", "content": "no content key follows"},
+            {"role": "assistant"},
+        ],
+        [  # missing role field
+            {"content": "no role key on this turn"},
+            {"role": "assistant", "content": "fine"},
+        ],
+        [],  # zero turns
+    ]
+    for j, msgs in enumerate(q_blocks):
+        convs.append(
+            {
+                "conversation_id": f"q{j:05d}",
+                "source": "synth_malformed",
+                "messages": msgs,
+            }
+        )
     return convs
 
 
