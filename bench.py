@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "pipe_dedup_conversations_fuzzy",
     "pipe_conversation_quality",
     "pipe_sft_spans",
+    "pipe_eval_wer",
 ]
 
 

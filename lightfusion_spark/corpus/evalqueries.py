@@ -622,6 +622,90 @@ def pipe_eval_chrf_by_system(spark, sf_dir):
     )
 
 
+@register(
+    "pipe_eval_wer",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '')[1:40] AS rt
+  FROM documents
+),
+pair AS (
+  SELECT doc_id, rt,
+         list_transform(
+           list_filter(range(1, len(rt) + 1), i -> (i - 1) % 7 <> 3),
+           i -> rt[i]) AS ct
+  FROM base
+),
+enc AS (
+  SELECT doc_id,
+         list_distinct(list_concat(ct, rt)) AS words, ct, rt
+  FROM pair
+),
+pp AS (
+  SELECT doc_id,
+         len(words) <= 127 AS ok,
+         CASE WHEN len(words) <= 127 THEN CAST(levenshtein(
+           array_to_string(list_transform(ct,
+             w -> chr(CAST(list_position(words, w) AS INT))), ''),
+           array_to_string(list_transform(rt,
+             w -> chr(CAST(list_position(words, w) AS INT))), '')
+         ) AS BIGINT) END AS n_edits,
+         CAST(len(rt) AS BIGINT) AS ref_len
+  FROM enc
+)
+SELECT CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_pairs_dropped,
+       CAST(COALESCE(SUM(CASE WHEN ok THEN n_edits END), 0) AS BIGINT)
+         AS total_edits,
+       CAST(COALESCE(SUM(CASE WHEN ok THEN ref_len END), 0) AS BIGINT)
+         AS total_ref_words,
+       CASE WHEN COALESCE(SUM(CASE WHEN ok THEN ref_len END), 0) > 0
+            THEN ROUND(CAST(SUM(CASE WHEN ok THEN n_edits END) AS DOUBLE)
+                       / CAST(SUM(CASE WHEN ok THEN ref_len END) AS DOUBLE),
+                       6)
+       END AS wer6
+FROM pp
+""",
+    doc="corpus word error rate (evalmetrics.corpus_wer) — the "
+    "edit-distance member of the eval family beside the overlap-based "
+    "BLEU/chrF (the ASR/MT standard: minimum word edits over reference "
+    "length).  Each pair's distinct words map to ONE single-byte "
+    "character (edit distance is invariant under relabeling, so the "
+    "two engines may order their alphabets differently), and the "
+    "distance rides the engines' NATIVE levenshtein — Spark side is a "
+    "pure row-local JVM projection inside whole-stage codegen, ZERO "
+    "shuffles and zero Python (the counterpoint to the adjudicated "
+    "BLEU/chrF Arrow folds); pairs past the 127-word alphabet are "
+    "EXCLUDED AND COUNTED (n_pairs_dropped, the kappa/winrate "
+    "convention).  Pairs: first 40 tokens of each document (bounding "
+    "the alphabet), candidate drops every 7th token — WER prices "
+    "exactly the deletions.  Integer edits/lengths, one IEEE division "
+    "ROUNDed at 6",
+)
+def pipe_eval_wer(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    rt = F.slice(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"),
+            lambda x: x != F.lit(""),
+        ),
+        1,
+        40,
+    )
+    pairs = d.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.filter(rt, lambda x, i: i % F.lit(7) != F.lit(3)),
+        ).alias("cand"),
+        F.concat_ws(" ", rt).alias("ref"),
+    )
+    return evalmetrics.corpus_wer(pairs, "doc_id", "cand", "ref")
+
+
 _DISTINCT_N_ORACLE = """
 WITH base AS (
   SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),

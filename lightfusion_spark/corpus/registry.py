@@ -53,19 +53,20 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #:   retired in one stroke (embeddings/similarity recalls, the two
 #:   n-gram LM rows, the three multimodal frame ops, the url/web block,
 #:   and the eight r07 relational reps)
-#: + 16 of the r08 block, displaced-reps first (rel_scalar_date and
+#: + 15 of the r08 block, displaced-reps first (rel_scalar_date and
 #:   rel_grouping_sets, which ceded their r12 rep slots to late faces)
 #:   then family spread: the five remaining join kinds + theta,
 #:   cube/distinct aggs, CTE, pivot/unpivot, range frame, the stream
-#:   join's batch twin, the Bloom decontaminator, and pipe_bpe_train
-#:   (the one rows-only face — its expected-merges fixture was
-#:   regenerated this round, so official re-verification is due)
-#: + 4 round-13 NEW faces (each named in the round-12 verdict):
-#:   pipe_eval_chrf_by_system (verdict item 5),
-#:   pipe_dedup_conversations_fuzzy (item 3),
-#:   pipe_conversation_quality (item 4), pipe_sft_spans (item 8)
-#: 4+26+16+4 = 50 exactly.  After this round no registry row's last
-#: driver grade is older than r08; the remaining r08 rows (18) head the
+#:   join's batch twin, and pipe_bpe_train (whose expected-merges
+#:   fixture was regenerated this round, so official re-verification
+#:   is due; pipe_decontaminate_bloom ceded its planned slot to the
+#:   fifth face — see the slot note below)
+#: + 5 round-13 NEW faces (the round-12 verdict's items 5, 3, 4, 8
+#:   plus the WER metric): pipe_eval_chrf_by_system,
+#:   pipe_dedup_conversations_fuzzy, pipe_conversation_quality,
+#:   pipe_sft_spans, pipe_eval_wer
+#: 4+26+15+5 = 50 exactly.  After this round no registry row's last
+#: driver grade is older than r08; the remaining r08 rows (19) head the
 #: r14 backlog, then the r09 block.  Every rotated-out name was
 #: officially green in r08-r12 and moves to WINDOW_EXEMPT;
 #: tests/test_registry_window.py asserts every registered query is
@@ -121,12 +122,16 @@ PRIORITY: list[str] = [
     "rel_unpivot",
     "rel_window_range_frame",
     "events_stream_join",
-    "pipe_decontaminate_bloom",
-    # round-13 NEW faces (round-12 verdict items 5, 3, 4, 8)
+    # (pipe_decontaminate_bloom — r08 green — ceded its planned slot to
+    # the fifth round-13 face, the WER metric; it heads the r14 backlog
+    # and decontamination stays repped by the r10-green
+    # pipe_decontaminate_fuzzy + r11-green pipe_decontaminate rows)
+    # round-13 NEW faces (round-12 verdict items 5, 3, 4, 8 + WER)
     "pipe_eval_chrf_by_system",
     "pipe_dedup_conversations_fuzzy",
     "pipe_conversation_quality",
     "pipe_sft_spans",
+    "pipe_eval_wer",
 ]
 
 

@@ -333,6 +333,158 @@ def corpus_bleu_from_cells(
     return flat.select(*out_cols)
 
 
+#: WER's per-pair word-alphabet capacity: the encoding maps each distinct
+#: word of a (cand, ref) pair to ONE single-byte character (chr 1..127,
+#: where Spark's codepoint-based and DuckDB's byte-based levenshtein
+#: agree), so word-level edit distance rides the ENGINES' native
+#: levenshtein — JVM-only on the Spark side, no Python anywhere.
+WER_ALPHABET = 127
+
+
+def wer_pairs(
+    df: DataFrame, id_col: str, cand_col: str, ref_col: str
+) -> DataFrame:
+    """Per-pair word-level edit distance (the WER numerator): tokenize
+    both sides (lowercase whitespace tokens, the shared eval
+    convention), map each distinct word of the PAIR to one single-byte
+    character, and take the native ``levenshtein`` of the encoded
+    strings — edit distance is invariant under relabeling, so any
+    per-row bijection works and the two engines may order their
+    alphabets differently.  Returns ``(id, ok, n_edits, ref_len)``:
+    ``ok`` is False (and ``n_edits`` NULL) when a pair's distinct-word
+    count exceeds the 127-character alphabet — counted, never silent
+    (callers aggregate it into ``n_pairs_dropped``).
+
+    100 TB shape: a PURE ROW-LOCAL JVM PROJECTION — tokenize, distinct,
+    position-encode, levenshtein, all inside whole-stage codegen; zero
+    shuffles, zero Python (the counterpoint to BLEU/chrF's adjudicated
+    Arrow folds: the classic DP metric needs neither).
+    """
+    # NULL text tokenizes to the empty list (the corpus_bleu contract) —
+    # coalesced HERE because this tokenization never leaves the JVM
+    ct = _tok(F.coalesce(F.col(cand_col), F.lit("")))
+    rt = _tok(F.coalesce(F.col(ref_col), F.lit("")))
+    words = F.array_distinct(F.concat(ct, rt))
+    ok = F.size(words) <= WER_ALPHABET
+
+    def enc(toks):
+        return F.concat_ws(
+            "",
+            F.transform(toks, lambda w: F.chr(F.array_position(words, w))),
+        )
+
+    return df.select(
+        F.col(id_col),
+        ok.alias("ok"),
+        F.when(ok, F.levenshtein(enc(ct), enc(rt)))
+        .cast("long")
+        .alias("n_edits"),
+        F.size(rt).cast("long").alias("ref_len"),
+    )
+
+
+def corpus_wer(
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Corpus-level word error rate — the edit-distance member of the
+    eval family (the ASR/MT standard; BLEU and chrF are overlap-based,
+    WER prices the MINIMUM word edits): ``sum(edits) / sum(ref_len)``
+    over all in-alphabet pairs, one IEEE division ROUNDed at 6.
+
+    Returns ONE row (or one per ``group_col`` value): ``(n_pairs,
+    n_pairs_dropped, total_edits, total_ref_words, wer6)`` — pairs
+    whose distinct-word count exceeds the single-byte alphabet are
+    EXCLUDED and counted (the kappa/winrate loudness convention);
+    ``wer6`` is NULL when the reference side is empty (undefined, not
+    0).  Edits and lengths are exact integers, additive across
+    disjoint pair sets — the grouped variant is the same aggregation
+    under a groupBy, so each group's row equals the ungrouped operator
+    over that slice bit for bit.
+    """
+    pairs = wer_pairs(df, id_col, cand_col, ref_col)
+    if group_col is not None:
+        grp = df.select(
+            F.col(id_col), F.col(group_col).cast("string").alias("_grp")
+        )
+        pairs = pairs.join(grp, id_col)
+    keys = ["_grp"] if group_col is not None else []
+    agg = (pairs.groupBy(*keys) if keys else pairs.groupBy()).agg(
+        F.sum(F.when(F.col("ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pairs"),
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pairs_dropped"),
+        F.coalesce(F.sum(F.when(F.col("ok"), F.col("n_edits"))), F.lit(0))
+        .cast("long")
+        .alias("total_edits"),
+        F.coalesce(F.sum(F.when(F.col("ok"), F.col("ref_len"))), F.lit(0))
+        .cast("long")
+        .alias("total_ref_words"),
+    )
+    wer6 = F.when(
+        F.col("total_ref_words") > 0,
+        F.round(
+            F.col("total_edits").cast("double")
+            / F.col("total_ref_words").cast("double"),
+            6,
+        ),
+    )
+    cols = ([F.col("_grp").alias(group_col)] if group_col else []) + [
+        "n_pairs",
+        "n_pairs_dropped",
+        "total_edits",
+        "total_ref_words",
+        wer6.alias("wer6"),
+    ]
+    return agg.select(*cols)
+
+
+def chrf_append_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 6,
+) -> None:
+    """One append cycle of the maintained corpus-chrF store — the
+    chrF face of :func:`bleu_append_batch` (the round-13 symmetry:
+    :func:`chrf_cells` are additive for exactly the same reason BLEU's
+    are — clipping happens WITHIN a pair).  Writes the arriving
+    pairs' cells as ``(n, matched, cand_total, ref_total, batch_id)``
+    parquet rows; replay safety is batch-id-addressed identically."""
+    cells = chrf_cells(batch_df, id_col, cand_col, ref_col, max_n=max_n)
+    cells.withColumn("batch_id", F.lit(int(batch_id)).cast("long")).write.mode(
+        "append"
+    ).parquet(state_dir)
+
+
+def chrf_from_store(
+    spark, state_dir: str, max_n: int = 6, beta: float = 2.0
+) -> DataFrame:
+    """Corpus chrF over EVERYTHING the store has seen — equals
+    :func:`chrf_score` over the concatenation of all appended batches
+    BIT FOR BIT (additive cells + the shared :func:`chrf_from_cells`
+    finisher; asserted by ``tests/test_evalmetrics.py``)."""
+    state = spark.read.parquet(state_dir)
+    clean = (
+        state.groupBy("n", "batch_id")
+        .agg(
+            F.max("matched").alias("matched"),
+            F.max("cand_total").alias("cand_total"),
+            F.max("ref_total").alias("ref_total"),
+        )
+        .select("n", "matched", "cand_total", "ref_total")
+    )
+    return chrf_from_cells(clean, max_n=max_n, beta=beta)
+
+
 def annotator_agreement(
     df: DataFrame,
     item_col: str,

@@ -296,6 +296,157 @@ def test_chrf_by_group_matches_per_group_single_system(spark):
     assert sum(1 for r in got if r["system"] is None) == 1
 
 
+def _ref_word_levenshtein(a, b):
+    """Independent word-level edit distance (classic DP)."""
+    aw, bw = a.lower().split(), b.lower().split()
+    prev = list(range(len(bw) + 1))
+    for i, x in enumerate(aw, 1):
+        cur = [i]
+        for j, y in enumerate(bw, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (x != y))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_wer_matches_reference_dp(spark):
+    """corpus_wer's encoded-levenshtein trick == a driver-side word-level
+    DP, edit for edit: the per-pair word->char bijection leaves edit
+    distance invariant, so the JVM-native levenshtein IS word-level."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = [
+        (0, "the quick brown fox", "the quick brown fox"),  # 0 edits
+        (1, "the slow brown fox", "the quick brown fox"),  # 1 sub
+        (2, "quick brown fox", "the quick brown fox"),  # 1 del
+        (3, "the very quick brown fox", "the quick brown fox"),  # 1 ins
+        (4, "a b c", "x y z w"),  # all different + length change
+        (5, "", "nonempty reference here"),  # empty cand = |ref| edits
+        (6, "some words", ""),  # empty ref
+        (7, None, "null cand tokenizes empty"),  # NULL discipline
+    ]
+    df = spark.createDataFrame(rows, "pid long, cand string, ref string")
+    pp = {r["pid"]: r for r in em.wer_pairs(df, "pid", "cand", "ref").collect()}
+    total_e = total_r = 0
+    for pid, cand, ref in rows:
+        want = _ref_word_levenshtein(cand or "", ref or "")
+        assert pp[pid]["n_edits"] == want, (pid, pp[pid]["n_edits"], want)
+        assert pp[pid]["ok"]
+        total_e += want
+        total_r += len((ref or "").split())
+    out = em.corpus_wer(df, "pid", "cand", "ref").collect()[0]
+    assert out["n_pairs"] == 8 and out["n_pairs_dropped"] == 0
+    assert out["total_edits"] == total_e
+    assert out["total_ref_words"] == total_r
+    assert out["wer6"] == round(total_e / total_r, 6)
+    # partition invariance (pure row-local projection + one agg)
+    again = em.corpus_wer(df.repartition(5), "pid", "cand", "ref").collect()[0]
+    assert again == out
+
+
+def test_wer_alphabet_guard_counts_dropped(spark):
+    """A pair whose distinct-word count exceeds the 127-char alphabet is
+    EXCLUDED and counted (never silently mis-scored), and an all-empty
+    reference corpus yields wer6 NULL (undefined, not 0)."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    big = " ".join(f"w{i}" for i in range(130))
+    df = spark.createDataFrame(
+        [(0, big, big), (1, "a b", "a b c")],
+        "pid long, cand string, ref string",
+    )
+    out = em.corpus_wer(df, "pid", "cand", "ref").collect()[0]
+    assert out["n_pairs_dropped"] == 1 and out["n_pairs"] == 1
+    assert out["total_edits"] == 1 and out["total_ref_words"] == 3
+    empty = spark.createDataFrame(
+        [(0, "cand words", "")], "pid long, cand string, ref string"
+    )
+    assert em.corpus_wer(empty, "pid", "cand", "ref").collect()[0]["wer6"] is None
+
+
+def test_wer_grouped_matches_per_slice_and_is_jvm_only(spark):
+    """The grouped variant equals corpus_wer per slice bit for bit
+    (integer cells under a groupBy), and the whole plan is JVM-only —
+    no Python evaluation node anywhere (the counterpoint to the
+    adjudicated BLEU/chrF Arrow folds)."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = [
+        (i, f"sys{i % 3}",
+         " ".join(f"t{(i * j) % 11}" for j in range(1, 9) if j % (3 + i % 3)),
+         " ".join(f"t{(i * j) % 11}" for j in range(1, 9)))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "pid long, system string, cand string, ref string"
+    )
+    by = {
+        r["system"]: r.asDict()
+        for r in em.corpus_wer(df, "pid", "cand", "ref", group_col="system").collect()
+    }
+    assert set(by) == {"sys0", "sys1", "sys2"}
+    for g in by:
+        want = em.corpus_wer(
+            df.where(F.col("system") == g), "pid", "cand", "ref"
+        ).collect()[0].asDict()
+        got = dict(by[g])
+        got.pop("system")
+        assert got == want
+    plan = em.corpus_wer(df, "pid", "cand", "ref")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+
+
+def test_chrf_store_stream_matches_batch_exactly(spark, tmp_path):
+    """Maintained chrF store (the BLEU store's round-13 symmetry): pairs
+    streamed over a two-file source and appended inside foreachBatch;
+    the store chrF equals the one-shot chrf_score over the union corpus
+    BIT FOR BIT (cells additive because clipping happens within a pair;
+    finisher shared verbatim), and a replayed batch is a no-op."""
+    import time
+
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = [
+        (i, f"cand text variant {i % 7} tail{i}", f"cand text variant {i % 7} gold{i}")
+        for i in range(120)
+    ]
+    schema = "pid long, cand string, ref string"
+    df = spark.createDataFrame(rows, schema)
+    src = tmp_path / "chrf_src"
+    spark.createDataFrame(rows[::2], df.schema).coalesce(1).write.parquet(
+        str(src / "f1"))
+    time.sleep(1.1)
+    spark.createDataFrame(rows[1::2], df.schema).coalesce(1).write.parquet(
+        str(src / "f2"))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*/"))
+    )
+    state_dir = str(tmp_path / "chrf_state")
+
+    def process(batch_df, epoch_id):
+        em.chrf_append_batch(batch_df, state_dir, epoch_id, "pid", "cand", "ref")
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_chrf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = em.chrf_from_store(spark, state_dir).collect()
+    want = em.chrf_score(df, "pid", "cand", "ref").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # replaying a batch (same batch_id, same rows) is a no-op
+    half = spark.read.parquet(str(src / "f1"))
+    em.chrf_append_batch(half, state_dir, 0, "pid", "cand", "ref")
+    again = em.chrf_from_store(spark, state_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in want]
+
+
 def test_bleu_store_stream_matches_batch_exactly(spark, tmp_path):
     """Maintained BLEU store: pairs streamed over a two-file source and
     appended inside foreachBatch; the store BLEU equals the one-shot

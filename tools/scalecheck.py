@@ -1064,6 +1064,53 @@ def main() -> None:
             lambda: noop2(conv_mod.dedup_conversations_exact(t10)),
         )
 
+    # round-13: the conversation dedups' THIRD decade (5M -> 50M turns,
+    # the LPA precedent — small decades can hide the asymptote under
+    # stage machinery).  Separate label: the 50M build is seconds of
+    # generator time and shouldn't tax the default sweep.
+    if ONLY and any(s in "curve3_conversations" for s in ONLY):
+        from lightfusion_spark.operators import conversations as conv_mod3
+
+        def _turns3(n_rows):
+            return (
+                spark.range(n_rows)
+                .select(
+                    (F.col("id") % 100_000).alias("conversation_id"),
+                    (F.col("id") % 17).cast("int").alias("turn_idx"),
+                    F.when((F.col("id") % 2) == 0, "user")
+                    .otherwise("assistant")
+                    .alias("role"),
+                    F.when(
+                        (F.col("id") % 5) == 0,
+                        F.concat(
+                            F.lit("canned reply "),
+                            (F.col("id") % 64).cast("string"),
+                        ),
+                    )
+                    .otherwise(
+                        F.concat(
+                            F.lit("unique content "),
+                            F.col("id").cast("string"),
+                        )
+                    )
+                    .alias("content"),
+                )
+                .localCheckpoint(eager=True)
+            )
+
+        t10b, t100 = _turns3(5_000_000), _turns3(50_000_000)
+        noop3 = lambda df: df.write.format("noop").mode("overwrite").save()
+        curve(
+            "curve3_conversations_dedup",
+            lambda: noop3(conv_mod3.dedup_turns_exact(t10b)),
+            lambda: noop3(conv_mod3.dedup_turns_exact(t100)),
+        )
+        curve(
+            "curve3_conversations_sig",
+            lambda: noop3(conv_mod3.dedup_conversations_exact(t10b)),
+            lambda: noop3(conv_mod3.dedup_conversations_exact(t100)),
+        )
+
     # round-11: the curriculum_order rewrite A/B (the round-10 ADVICE
     # finding).  An unpartitioned ntile().over(Window.orderBy()) moves
     # EVERY row into one task (WindowExec "No Partition Defined"); the
@@ -1158,6 +1205,39 @@ def main() -> None:
             ),
         )
 
+    # round-13: chrF's THIRD decade (500k -> 5M pairs — the LPA/
+    # conversation-dedup precedent).  Own label so the default sweep
+    # stays light; the 5M build reuses the deterministic pair generator.
+    if ONLY and any(s in "curve3_eval_chrf" for s in ONLY):
+        from lightfusion_spark.operators import evalmetrics as em_mod3
+
+        def _pairs3(n):
+            return spark.range(n).select(
+                F.col("id"),
+                F.expr(
+                    "concat_ws(' ', transform(sequence(1, 20), "
+                    "i -> concat('t', (id * i) % 997)))"
+                ).alias("ref"),
+                F.expr(
+                    "concat_ws(' ', filter(transform(sequence(1, 20), "
+                    "i -> concat('t', (id * i) % 997)), "
+                    "(x, i) -> i % 7 != 3))"
+                ).alias("cand"),
+            ).localCheckpoint(eager=True)
+
+        noop3b = lambda df: df.write.format("noop").mode("overwrite").save()
+        q10, q100 = _pairs3(500_000), _pairs3(5_000_000)
+        curve(
+            "curve3_eval_chrf",
+            lambda: noop3b(em_mod3.chrf_score(q10, "id", "cand", "ref")),
+            lambda: noop3b(em_mod3.chrf_score(q100, "id", "cand", "ref")),
+        )
+
+    if not ONLY or any("curve_eval" in s or "curve_lm_kn" in s for s in ONLY):
+        from lightfusion_spark.operators import evalmetrics as em_mod  # noqa: F811
+
+        noop2b = lambda df: df.write.format("noop").mode("overwrite").save()
+
         def _ann(n):
             return spark.range(n).select(
                 (F.col("id") % (n // 100)).alias("item"),
@@ -1168,8 +1248,8 @@ def main() -> None:
         a1, a10 = _ann(300_000), _ann(3_000_000)
         curve(
             "curve_eval_kappa",
-            lambda: noop2(em_mod.annotator_agreement(a1, "item", "annotator", "label")),
-            lambda: noop2(em_mod.annotator_agreement(a10, "item", "annotator", "label")),
+            lambda: noop2b(em_mod.annotator_agreement(a1, "item", "annotator", "label")),
+            lambda: noop2b(em_mod.annotator_agreement(a10, "item", "annotator", "label")),
         )
 
 
