@@ -1189,6 +1189,14 @@ def main() -> None:
             lambda: noop2(em_mod.chrf_score(p1, "id", "cand", "ref")),
             lambda: noop2(em_mod.chrf_score(p10, "id", "cand", "ref")),
         )
+        # round-13: WER — the JVM-only eval metric (row-local encode +
+        # native levenshtein, zero Python); expected near-flat at these
+        # scales, linear-in-pairs at the asymptote
+        curve(
+            "curve_eval_wer",
+            lambda: noop2(em_mod.corpus_wer(p1, "id", "cand", "ref")),
+            lambda: noop2(em_mod.corpus_wer(p10, "id", "cand", "ref")),
+        )
         curve(
             "curve_eval_bleu_by_group",
             lambda: noop2(
