@@ -149,6 +149,10 @@ BENCH_QUERIES = [
     "pipe_conversation_quality",
     "pipe_sft_spans",
     "pipe_eval_wer",
+    "pipe_eval_wer_by_system",
+    "pipe_eval_ranking",
+    "pipe_eval_qa",
+    "pipe_eval_rouge",
 ]
 
 

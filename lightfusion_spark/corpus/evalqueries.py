@@ -706,6 +706,106 @@ def pipe_eval_wer(spark, sf_dir):
     return evalmetrics.corpus_wer(pairs, "doc_id", "cand", "ref")
 
 
+@register(
+    "pipe_eval_wer_by_system",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '')[1:40] AS rt
+  FROM documents
+),
+pair AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'drop5'
+                         WHEN 1 THEN 'drop7' ELSE 'drop11' END AS system,
+         rt,
+         list_transform(
+           list_filter(range(1, len(rt) + 1),
+             i -> (i - 1) % (CASE doc_id % 3 WHEN 0 THEN 5
+                                             WHEN 1 THEN 7
+                                             ELSE 11 END) <> 3),
+           i -> rt[i]) AS ct
+  FROM base
+),
+enc AS (
+  SELECT doc_id, system,
+         list_distinct(list_concat(ct, rt)) AS words, ct, rt
+  FROM pair
+),
+pp AS (
+  SELECT doc_id, system,
+         len(words) <= 127 AS ok,
+         CASE WHEN len(words) <= 127 THEN CAST(levenshtein(
+           array_to_string(list_transform(ct,
+             w -> chr(CAST(list_position(words, w) AS INT))), ''),
+           array_to_string(list_transform(rt,
+             w -> chr(CAST(list_position(words, w) AS INT))), '')
+         ) AS BIGINT) END AS n_edits,
+         CAST(len(rt) AS BIGINT) AS ref_len
+  FROM enc
+)
+SELECT system,
+       CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_pairs_dropped,
+       CAST(COALESCE(SUM(CASE WHEN ok THEN n_edits END), 0) AS BIGINT)
+         AS total_edits,
+       CAST(COALESCE(SUM(CASE WHEN ok THEN ref_len END), 0) AS BIGINT)
+         AS total_ref_words,
+       CASE WHEN COALESCE(SUM(CASE WHEN ok THEN ref_len END), 0) > 0
+            THEN ROUND(CAST(SUM(CASE WHEN ok THEN n_edits END) AS DOUBLE)
+                       / CAST(SUM(CASE WHEN ok THEN ref_len END) AS DOUBLE),
+                       6)
+       END AS wer6
+FROM pp GROUP BY system
+""",
+    doc="corpus WER PER SYSTEM (evalmetrics.corpus_wer with group_col) "
+    "— the ASR/MT leaderboard shape, completing the round-13 metric "
+    "symmetry (BLEU, chrF and WER each have one-shot, by-system and "
+    "store faces).  Systems are the pipe_eval_bleu_by_system trio "
+    "(doc_id%3 picks drop-every-5th/7th/11th corruption), so the three "
+    "WER rows must RANK the systems the OPPOSITE way BLEU does (WER is "
+    "an error: milder corruption scores LOWER).  The grouped variant "
+    "is the SAME zero-Python JVM projection (per-pair relabel + native "
+    "levenshtein inside whole-stage codegen) under a groupBy over "
+    "exact integer edits/lengths — each group's row equals the "
+    "ungrouped operator over that slice bit for bit; out-of-alphabet "
+    "pairs EXCLUDED AND COUNTED per system",
+)
+def pipe_eval_wer_by_system(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    rt = F.slice(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"),
+            lambda x: x != F.lit(""),
+        ),
+        1,
+        40,
+    )
+    mod3 = F.col("doc_id") % 3
+    m = (
+        F.when(mod3 == 0, F.lit(5))
+        .when(mod3 == 1, F.lit(7))
+        .otherwise(F.lit(11))
+    )
+    system = (
+        F.when(mod3 == 0, "drop5").when(mod3 == 1, "drop7").otherwise("drop11")
+    )
+    pairs = d.select(
+        "doc_id",
+        system.alias("system"),
+        F.concat_ws(
+            " ",
+            F.filter(rt, lambda x, i: i % m != F.lit(3)),
+        ).alias("cand"),
+        F.concat_ws(" ", rt).alias("ref"),
+    )
+    return evalmetrics.corpus_wer(
+        pairs, "doc_id", "cand", "ref", group_col="system"
+    )
+
+
 _DISTINCT_N_ORACLE = """
 WITH base AS (
   SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
@@ -1127,3 +1227,386 @@ def pipe_eval_winrate(spark, sf_dir):
         .alias("w"),
     )
     return evalmetrics.winrate_report(matches, "a", "b", "w", z=1.96)
+
+
+_RANKING_ORACLE = """
+WITH res AS (
+  SELECT o_custkey AS q, o_orderkey AS item,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+),
+topk AS (SELECT * FROM res WHERE rnk <= 10),
+gold AS (
+  SELECT o_custkey AS q, o_orderkey AS item
+  FROM orders WHERE o_orderstatus = 'F'
+),
+hits AS (
+  SELECT t.q, t.rnk
+  FROM topk t JOIN gold g ON t.q = g.q AND t.item = g.item
+),
+ha AS (
+  SELECT q, COUNT(*) AS n_hits, MIN(rnk) AS first_rnk,
+         SUM(CAST(ROUND(1.0 / log2(CAST(rnk AS DOUBLE) + 1.0), 6)
+                  AS DECIMAL(18,6))) AS dcg
+  FROM hits GROUP BY q
+),
+ng AS (SELECT q, COUNT(*) AS n_gold FROM gold GROUP BY q),
+ideal AS (
+  SELECT q, SUM(CAST(ROUND(1.0 / log2(CAST(pos AS DOUBLE) + 1.0), 6)
+                     AS DECIMAL(18,6))) AS idcg
+  FROM (SELECT q, ROW_NUMBER() OVER (PARTITION BY q ORDER BY item) AS pos
+        FROM gold)
+  WHERE pos <= 10 GROUP BY q
+),
+per AS (
+  SELECT ng.q, ng.n_gold,
+         COALESCE(ha.n_hits, 0) AS n_hits,
+         ROUND(COALESCE(CAST(1 AS DOUBLE) / CAST(ha.first_rnk AS DOUBLE),
+                        0.0), 6) AS rr6,
+         ROUND(CAST(COALESCE(ha.n_hits, 0) AS DOUBLE) / 10.0, 6)
+           AS precision6,
+         ROUND(CAST(COALESCE(ha.n_hits, 0) AS DOUBLE)
+               / CAST(ng.n_gold AS DOUBLE), 6) AS recall6,
+         CASE WHEN i.idcg > 0
+              THEN ROUND(CAST(COALESCE(ha.dcg, 0) AS DOUBLE)
+                         / CAST(i.idcg AS DOUBLE), 6)
+         END AS ndcg6
+  FROM ng JOIN ideal i ON ng.q = i.q LEFT JOIN ha ON ng.q = ha.q
+)
+SELECT CAST(10 AS INTEGER) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN ndcg6 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ndcg_ungraded,
+       CAST(SUM(n_hits) AS BIGINT) AS n_hits_total,
+       CAST(SUM(n_gold) AS BIGINT) AS n_gold_total,
+       CASE WHEN SUM(n_gold) > 0
+            THEN ROUND(CAST(SUM(n_hits) AS DOUBLE)
+                       / CAST(SUM(n_gold) AS DOUBLE), 6)
+       END AS micro_recall6,
+       ROUND(CAST(SUM(CAST(rr6 AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mrr6,
+       ROUND(CAST(SUM(CAST(precision6 AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_precision_k6,
+       ROUND(CAST(SUM(CAST(recall6 AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_recall_k6,
+       CASE WHEN SUM(CASE WHEN ndcg6 IS NOT NULL THEN 1 ELSE 0 END) > 0
+            THEN ROUND(CAST(SUM(CAST(ndcg6 AS DECIMAL(18,6))) AS DOUBLE)
+                       / CAST(SUM(CASE WHEN ndcg6 IS NOT NULL THEN 1
+                                       ELSE 0 END) AS DOUBLE), 6)
+       END AS mean_ndcg6
+FROM per
+"""
+
+
+@register(
+    "pipe_eval_ranking",
+    oracle=_RANKING_ORACLE,
+    doc="retrieval ranking report (ranking.ranking_report): nDCG@10 "
+    "(Jarvelin & Kekalainen 2002), MRR, P@10/R@10 macro means plus "
+    "pooled micro recall, ONE row — the IR-eval step that grades what "
+    "the similarity/BM25 operators retrieve (which embedding model "
+    "lifted nDCG vs just recall?).  This face grades a deterministic "
+    "ranked list over orders: each customer's orders ranked by "
+    "o_totalprice DESC (o_orderkey tie-break) as the results, their "
+    "'F'-status orders as binary gold — real skew (customers with "
+    "1..many gold orders, hits at every depth).  Pure JVM: two "
+    "query-keyed joins + one window, shuffles O(results-at-k + gold) "
+    "rows; the 1/log2 gains (the metric's one transcendental) are "
+    "ROUNDed at 6 per item and summed as exact DECIMAL(18,6), macro "
+    "means via the registry's DECIMAL recipe — hash-exact under any "
+    "partitioning.  Queries with zero-grade gold would be EXCLUDED "
+    "from the nDCG mean and counted in n_ndcg_ungraded (binary gold "
+    "here, so 0 — the column proves the accounting exists)",
+)
+def pipe_eval_ranking(spark, sf_dir):
+    from ..operators import ranking
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    results = o.select(
+        F.col("o_custkey").alias("q"),
+        F.col("o_orderkey").alias("item"),
+        F.row_number().over(w).alias("rnk"),
+    )
+    gold = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("q"), F.col("o_orderkey").alias("item")
+    )
+    return ranking.ranking_report(results, gold, "q", "item", "rnk", k=10)
+
+
+_QA_NORM_SQL = """array_to_string(
+  list_filter(
+    list_filter(
+      regexp_split_to_array(
+        regexp_replace(lower({src}), '[^a-z0-9\\s]', '', 'g'), '\\s+'),
+      x -> x <> ''),
+    x -> x NOT IN ('a', 'an', 'the')), ' ')"""
+
+_QA_ORACLE = (
+    """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+raw AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN array_to_string(tk[1:5], ' ')
+           WHEN 1 THEN array_to_string(list_reverse(tk[1:5]), ' ')
+           ELSE array_to_string(tk[3:7], ' ')
+         END AS pred,
+         g.gold
+  FROM base,
+       LATERAL (VALUES (array_to_string(tk[1:5], ' ')),
+                       (array_to_string(tk[1:4], ' '))) AS g(gold)
+),
+norm AS (
+  SELECT DISTINCT doc_id AS qid,
+         """
+    + _QA_NORM_SQL.format(src="pred")
+    + """ AS p,
+         """
+    + _QA_NORM_SQL.format(src="gold")
+    + """ AS g
+  FROM raw
+),
+toks AS (
+  SELECT qid, p, g,
+         list_filter(regexp_split_to_array(p, '\\s+'), x -> x <> '') AS pt,
+         list_filter(regexp_split_to_array(g, '\\s+'), x -> x <> '') AS gt
+  FROM norm
+),
+pc AS (
+  SELECT qid, g, u.w, COUNT(*) AS cp
+  FROM toks, UNNEST(pt) AS u(w) GROUP BY qid, g, u.w
+),
+gc AS (
+  SELECT qid, g, u.w, COUNT(*) AS cg
+  FROM toks, UNNEST(gt) AS u(w) GROUP BY qid, g, u.w
+),
+m AS (
+  SELECT pc.qid, pc.g, SUM(LEAST(cp, cg)) AS m
+  FROM pc JOIN gc ON pc.qid = gc.qid AND pc.g = gc.g AND pc.w = gc.w
+  GROUP BY pc.qid, pc.g
+),
+alt AS (
+  SELECT t.qid,
+         CASE WHEN t.p = t.g THEN 1 ELSE 0 END AS em,
+         CASE WHEN len(pt) = 0 OR len(gt) = 0
+              THEN CASE WHEN t.p = t.g THEN CAST(1 AS DOUBLE)
+                        ELSE CAST(0 AS DOUBLE) END
+              ELSE ROUND(CAST(2 * COALESCE(m.m, 0) AS DOUBLE)
+                         / CAST(len(pt) + len(gt) AS DOUBLE), 6)
+         END AS f1
+  FROM toks t LEFT JOIN m ON t.qid = m.qid AND t.g = m.g
+),
+perq AS (
+  SELECT qid, MAX(em) AS em, MAX(f1) AS f1_6 FROM alt GROUP BY qid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_questions,
+       CAST(SUM(em) AS BIGINT) AS n_em,
+       CASE WHEN COUNT(*) > 0
+            THEN ROUND(CAST(SUM(em) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       END AS em_rate6,
+       CASE WHEN COUNT(*) > 0
+            THEN ROUND(CAST(SUM(CAST(f1_6 AS DECIMAL(18,6))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE), 6)
+       END AS f1_mean6
+FROM perq
+"""
+)
+
+
+@register(
+    "pipe_eval_qa",
+    oracle=_QA_ORACLE,
+    doc="extractive-QA grading (evalmetrics.qa_report): SQuAD exact "
+    "match + token F1 (Rajpurkar et al. 2016), max over gold "
+    "alternatives, ONE leaderboard row — the reading-comprehension "
+    "member of the eval family beside the sequence metrics.  "
+    "Questions derive per document: two gold alternatives (first 5 / "
+    "first 4 raw tokens) and a doc_id%3 prediction — exact copy (EM 1 "
+    "F1 1), REVERSED copy (EM 0, bag-of-token F1 1: the pair that "
+    "separates the two grades), or a 2-token-shifted window (partial "
+    "overlap, F1 strictly between).  Normalization is the official "
+    "script's semantics engine-portably: lowercase, DELETE "
+    "punctuation, drop article tokens — applied identically in both "
+    "engines; alternatives dedupe on NORMALIZED strings (short docs "
+    "collapse g1 == g2).  The multiset unigram intersection is an "
+    "explode -> count -> equi-join on (qid, gold, word): shuffles "
+    "O(answer tokens), never the corpus; zero Python.  EM mean is an "
+    "exact integer ratio; F1 mean rides the registry's DECIMAL(18,6) "
+    "recipe",
+)
+def pipe_eval_qa(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    t5 = F.concat_ws(" ", F.slice(tk, 1, 5))
+    t4 = F.concat_ws(" ", F.slice(tk, 1, 4))
+    mod3 = F.col("doc_id") % 3
+    pred = (
+        F.when(mod3 == 0, t5)
+        .when(mod3 == 1, F.concat_ws(" ", F.reverse(F.slice(tk, 1, 5))))
+        .otherwise(F.concat_ws(" ", F.slice(tk, 3, 5)))
+    )
+    rows = d.select(
+        F.col("doc_id").alias("qid"),
+        pred.alias("pred"),
+        F.explode(F.array(t5, t4)).alias("gold"),
+    )
+    return evalmetrics.qa_report(rows, "qid", "pred", "gold")
+
+
+_ROUGE_ORACLE = """
+WITH RECURSIVE
+base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '')[1:40] AS rt
+  FROM documents
+),
+pair AS MATERIALIZED (
+  SELECT doc_id, rt,
+         CASE doc_id % 3
+           WHEN 0 THEN list_transform(
+             list_filter(range(1, len(rt) + 1), i -> (i - 1) % 7 <> 3),
+             i -> rt[i])
+           WHEN 1 THEN list_reverse(rt)
+           ELSE list_concat(rt[21:40], rt[1:20])
+         END AS ct
+  FROM base
+),
+ns(n) AS (VALUES (1), (2)),
+cg AS (
+  SELECT doc_id, ns.n AS n,
+         array_to_string(ct[u.i:u.i + ns.n - 1], ' ') AS gram
+  FROM pair CROSS JOIN ns,
+       UNNEST(range(1, greatest(len(ct) - ns.n + 2, 1))) AS u(i)
+),
+rg AS (
+  SELECT doc_id, ns.n AS n,
+         array_to_string(rt[u.i:u.i + ns.n - 1], ' ') AS gram
+  FROM pair CROSS JOIN ns,
+       UNNEST(range(1, greatest(len(rt) - ns.n + 2, 1))) AS u(i)
+),
+cc AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM cg GROUP BY doc_id, n, gram),
+rc AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM rg GROUP BY doc_id, n, gram),
+nm AS (
+  SELECT cc.n, CAST(SUM(LEAST(cc.c, rc.c)) AS BIGINT) AS matched
+  FROM cc JOIN rc ON rc.doc_id = cc.doc_id AND rc.n = cc.n
+                 AND rc.gram = cc.gram
+  GROUP BY cc.n
+),
+tot AS (
+  SELECT ns.n AS n,
+         CAST(SUM(greatest(len(ct) - ns.n + 1, 0)) AS BIGINT) AS cand_total,
+         CAST(SUM(greatest(len(rt) - ns.n + 1, 0)) AS BIGINT) AS ref_total
+  FROM pair CROSS JOIN ns GROUP BY ns.n
+),
+-- ROUGE-L: the SAME bit recurrence the Spark fold runs (Hyyro 2004),
+-- replayed over HUGEINT masks in a recursive CTE -- two engines, two
+-- implementations, one recurrence.  rt is capped at 40 tokens so the
+-- mask fits a HUGEINT with room to carry.
+pm AS (
+  SELECT doc_id, rt[ri.i] AS w,
+         SUM(CAST(1 AS HUGEINT) << (ri.i - 1)) AS mask
+  FROM pair, UNNEST(range(1, len(rt) + 1)) AS ri(i)
+  GROUP BY doc_id, rt[ri.i]
+),
+steps AS (
+  SELECT doc_id, 0 AS j,
+         (CAST(1 AS HUGEINT) << len(rt)) - 1 AS v
+  FROM pair
+  UNION ALL
+  SELECT s.doc_id, s.j + 1,
+         ((s.v + u.u) | (s.v - u.u))
+           & ((CAST(1 AS HUGEINT) << len(p.rt)) - 1) AS v
+  FROM steps s
+  JOIN pair p ON p.doc_id = s.doc_id
+  LEFT JOIN pm ON pm.doc_id = s.doc_id AND pm.w = p.ct[s.j + 1],
+  LATERAL (SELECT s.v & COALESCE(pm.mask, 0) AS u) u
+  WHERE s.j < len(p.ct)
+),
+fin AS (
+  SELECT s.doc_id, len(p.rt) - bit_count(s.v) AS lcs
+  FROM steps s JOIN pair p ON p.doc_id = s.doc_id
+  WHERE s.j = len(p.ct)
+),
+cells AS (
+  SELECT 'rouge' || CAST(tot.n AS VARCHAR) AS metric,
+         COALESCE(nm.matched, 0) AS matched,
+         tot.cand_total, tot.ref_total
+  FROM tot LEFT JOIN nm ON nm.n = tot.n
+  UNION ALL
+  SELECT 'rougeL' AS metric,
+         (SELECT CAST(COALESCE(SUM(lcs), 0) AS BIGINT) FROM fin) AS matched,
+         (SELECT CAST(COALESCE(SUM(len(ct)), 0) AS BIGINT) FROM pair)
+           AS cand_total,
+         (SELECT CAST(COALESCE(SUM(len(rt)), 0) AS BIGINT) FROM pair)
+           AS ref_total
+)
+SELECT metric, matched, cand_total, ref_total,
+       CASE WHEN cand_total > 0
+            THEN ROUND(CAST(matched AS DOUBLE)
+                       / CAST(cand_total AS DOUBLE), 6) END AS precision6,
+       CASE WHEN ref_total > 0
+            THEN ROUND(CAST(matched AS DOUBLE)
+                       / CAST(ref_total AS DOUBLE), 6) END AS recall6,
+       CASE WHEN cand_total + ref_total > 0
+            THEN ROUND(2.0 * CAST(matched AS DOUBLE)
+                       / CAST(cand_total + ref_total AS DOUBLE), 6)
+       END AS f1_6
+FROM cells
+"""
+
+
+@register(
+    "pipe_eval_rouge",
+    oracle=_ROUGE_ORACLE,
+    doc="corpus ROUGE-1/2/L (evalmetrics.corpus_rouge, Lin 2004) — the "
+    "summarization member of the eval family: three metric rows with "
+    "integer cells + micro P/R/F (the repo's corpus-level convention, "
+    "stated vs the per-sentence-averaged variant).  ROUGE-N rows "
+    "reuse bleu_cells VERBATIM (the clipped multiset intersection, "
+    "read recall-wise); ROUGE-L's per-pair LCS rides Hyyro's "
+    "bit-parallel recurrence over Python bigints in the adjudicated "
+    "Arrow-fold pattern — and the ORACLE replays the SAME recurrence "
+    "over HUGEINT masks in a recursive CTE, so the two engines "
+    "cross-check two independent implementations of one algorithm "
+    "(the classic DP is the third, in tests).  Pairs stress real LCS "
+    "structure: doc_id%3 picks drop-every-7th (subsequence), full "
+    "REVERSAL (LCS collapses to repeated-token runs), or a half-swap "
+    "block move (LCS ~ half) of the first 40 tokens.  Exchanges: "
+    "O(partitions) partial rows from each of the two folds, nothing "
+    "corpus-sized",
+)
+def pipe_eval_rouge(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    rt = F.slice(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"),
+            lambda x: x != F.lit(""),
+        ),
+        1,
+        40,
+    )
+    mod3 = F.col("doc_id") % 3
+    ct = (
+        F.when(mod3 == 0, F.filter(rt, lambda x, i: i % F.lit(7) != F.lit(3)))
+        .when(mod3 == 1, F.reverse(rt))
+        .otherwise(F.concat(F.slice(rt, 21, 20), F.slice(rt, 1, 20)))
+    )
+    pairs = d.select(
+        "doc_id",
+        F.concat_ws(" ", ct).alias("cand"),
+        F.concat_ws(" ", rt).alias("ref"),
+    )
+    return evalmetrics.corpus_rouge(pairs, "doc_id", "cand", "ref", max_n=2)

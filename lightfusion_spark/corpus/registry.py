@@ -53,20 +53,23 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #:   retired in one stroke (embeddings/similarity recalls, the two
 #:   n-gram LM rows, the three multimodal frame ops, the url/web block,
 #:   and the eight r07 relational reps)
-#: + 15 of the r08 block, displaced-reps first (rel_scalar_date and
+#: + 11 of the r08 block, displaced-reps first (rel_scalar_date and
 #:   rel_grouping_sets, which ceded their r12 rep slots to late faces)
-#:   then family spread: the five remaining join kinds + theta,
-#:   cube/distinct aggs, CTE, pivot/unpivot, range frame, the stream
-#:   join's batch twin, and pipe_bpe_train (whose expected-merges
-#:   fixture was regenerated this round, so official re-verification
-#:   is due; pipe_decontaminate_bloom ceded its planned slot to the
-#:   fifth face — see the slot note below)
-#: + 5 round-13 NEW faces (the round-12 verdict's items 5, 3, 4, 8
-#:   plus the WER metric): pipe_eval_chrf_by_system,
+#:   then family spread: anti/semi/full joins, cube/distinct aggs,
+#:   CTE, range frame, the stream join's batch twin, and
+#:   pipe_bpe_train (whose expected-merges fixture was regenerated
+#:   this round, so official re-verification is due;
+#:   pipe_decontaminate_bloom ceded its planned slot to the WER face,
+#:   and rel_join_cross/rel_join_theta/rel_pivot/rel_unpivot — all
+#:   r08-green — ceded theirs to the four late round-13 eval faces;
+#:   all five head the r14 backlog)
+#: + 9 round-13 NEW faces (the round-12 verdict's items 5, 3, 4, 8,
+#:   then the eval-family completion wave): pipe_eval_chrf_by_system,
 #:   pipe_dedup_conversations_fuzzy, pipe_conversation_quality,
-#:   pipe_sft_spans, pipe_eval_wer
-#: 4+26+15+5 = 50 exactly.  After this round no registry row's last
-#: driver grade is older than r08; the remaining r08 rows (19) head the
+#:   pipe_sft_spans, pipe_eval_wer, pipe_eval_wer_by_system,
+#:   pipe_eval_ranking, pipe_eval_qa, pipe_eval_rouge
+#: 4+26+11+9 = 50 exactly.  After this round no registry row's last
+#: driver grade is older than r08; the remaining r08 rows (23) head the
 #: r14 backlog, then the r09 block.  Every rotated-out name was
 #: officially green in r08-r12 and moves to WINDOW_EXEMPT;
 #: tests/test_registry_window.py asserts every registered query is
@@ -113,25 +116,29 @@ PRIORITY: list[str] = [
     "rel_join_anti",
     "rel_join_semi",
     "rel_join_full_outer",
-    "rel_join_cross",
-    "rel_join_theta",
     "rel_agg_cube",
     "rel_agg_distinct",
     "rel_cte",
-    "rel_pivot",
-    "rel_unpivot",
     "rel_window_range_frame",
     "events_stream_join",
-    # (pipe_decontaminate_bloom — r08 green — ceded its planned slot to
-    # the fifth round-13 face, the WER metric; it heads the r14 backlog
-    # and decontamination stays repped by the r10-green
-    # pipe_decontaminate_fuzzy + r11-green pipe_decontaminate rows)
-    # round-13 NEW faces (round-12 verdict items 5, 3, 4, 8 + WER)
+    # (pipe_decontaminate_bloom, rel_join_cross, rel_join_theta,
+    # rel_pivot and rel_unpivot — all r08-green — ceded their planned
+    # slots to the five late round-13 faces; they head the r14
+    # backlog.  Joins stay repped by anti/semi/full this window,
+    # decontamination by the r10-green pipe_decontaminate_fuzzy +
+    # r11-green pipe_decontaminate rows.)
+    # round-13 NEW faces (round-12 verdict items 5, 3, 4, 8, then the
+    # eval-family completion wave: grouped WER, ranking metrics,
+    # SQuAD EM/F1, ROUGE)
     "pipe_eval_chrf_by_system",
     "pipe_dedup_conversations_fuzzy",
     "pipe_conversation_quality",
     "pipe_sft_spans",
     "pipe_eval_wer",
+    "pipe_eval_wer_by_system",
+    "pipe_eval_ranking",
+    "pipe_eval_qa",
+    "pipe_eval_rouge",
 ]
 
 

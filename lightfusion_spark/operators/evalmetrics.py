@@ -426,7 +426,21 @@ def corpus_wer(
         .cast("long")
         .alias("total_ref_words"),
     )
-    wer6 = F.when(
+    cols = ([F.col("_grp").alias(group_col)] if group_col else []) + [
+        "n_pairs",
+        "n_pairs_dropped",
+        "total_edits",
+        "total_ref_words",
+        _wer6_expr().alias("wer6"),
+    ]
+    return agg.select(*cols)
+
+
+def _wer6_expr():
+    """The WER finisher — shared VERBATIM between :func:`corpus_wer`
+    (one-shot and grouped) and :func:`wer_from_store`, so streamed ==
+    one-shot is an identity of the expression tree, not a claim."""
+    return F.when(
         F.col("total_ref_words") > 0,
         F.round(
             F.col("total_edits").cast("double")
@@ -434,14 +448,358 @@ def corpus_wer(
             6,
         ),
     )
-    cols = ([F.col("_grp").alias(group_col)] if group_col else []) + [
+
+
+def wer_append_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+) -> None:
+    """One append cycle of the maintained corpus-WER store — the WER
+    face of :func:`bleu_append_batch` (round-13 symmetry: every corpus
+    metric whose cells are additive gets a store).  WER's cells are
+    the four totals themselves — ``(n_pairs, n_pairs_dropped,
+    total_edits, total_ref_words)`` — additive over disjoint pair sets
+    because edit distance is computed WITHIN a pair; one 4-long row
+    per batch, however many pairs arrived.  Replay safety is
+    batch-id-addressed identically (deterministic cells, MAX-collapse
+    on read)."""
+    cells = corpus_wer(batch_df, id_col, cand_col, ref_col).drop("wer6")
+    cells.withColumn("batch_id", F.lit(int(batch_id)).cast("long")).write.mode(
+        "append"
+    ).parquet(state_dir)
+
+
+def wer_state_cells(spark, state_dir: str) -> DataFrame:
+    """Read a :func:`wer_append_batch` store back to clean per-batch
+    cells: collapse replay duplicates (MAX per batch_id — replays
+    write identical values, so MAX is the identity on clean stores)."""
+    state = spark.read.parquet(state_dir)
+    return (
+        state.groupBy("batch_id")
+        .agg(
+            F.max("n_pairs").alias("n_pairs"),
+            F.max("n_pairs_dropped").alias("n_pairs_dropped"),
+            F.max("total_edits").alias("total_edits"),
+            F.max("total_ref_words").alias("total_ref_words"),
+        )
+        .select("n_pairs", "n_pairs_dropped", "total_edits", "total_ref_words")
+    )
+
+
+def wer_from_store(spark, state_dir: str) -> DataFrame:
+    """Corpus WER over EVERYTHING the store has seen — equals
+    :func:`corpus_wer` over the concatenation of all appended batches
+    BIT FOR BIT (additive integer cells + the shared
+    :func:`_wer6_expr` finisher; asserted by
+    ``tests/test_evalmetrics.py``)."""
+    agg = wer_state_cells(spark, state_dir).groupBy().agg(
+        F.coalesce(F.sum("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce(F.sum("n_pairs_dropped"), F.lit(0))
+        .cast("long")
+        .alias("n_pairs_dropped"),
+        F.coalesce(F.sum("total_edits"), F.lit(0))
+        .cast("long")
+        .alias("total_edits"),
+        F.coalesce(F.sum("total_ref_words"), F.lit(0))
+        .cast("long")
+        .alias("total_ref_words"),
+    )
+    return agg.select(
         "n_pairs",
         "n_pairs_dropped",
         "total_edits",
         "total_ref_words",
-        wer6.alias("wer6"),
-    ]
-    return agg.select(*cols)
+        _wer6_expr().alias("wer6"),
+    )
+
+
+#: SQuAD-style answer normalization drops these as whole tokens.
+QA_ARTICLES = ("a", "an", "the")
+
+
+def qa_normalize(col):
+    """SQuAD answer normalization (Rajpurkar et al. 2016 evaluation
+    script semantics, re-stated as engine-portable regex): lowercase,
+    DELETE punctuation (no space substituted — ``don't`` -> ``dont``,
+    the official script's behavior), whitespace-tokenize, drop the
+    articles a/an/the, re-join with single spaces.  NULL normalizes to
+    the empty string (the corpus_bleu NULL-text contract)."""
+    cleaned = F.regexp_replace(
+        F.lower(F.coalesce(col, F.lit(""))), r"[^a-z0-9\s]", ""
+    )
+    toks = F.filter(
+        F.split(cleaned, r"\s+"),
+        lambda x: (x != F.lit("")) & ~x.isin(*QA_ARTICLES),
+    )
+    return F.concat_ws(" ", toks)
+
+
+def qa_em_f1(
+    df: DataFrame, qid_col: str, pred_col: str, gold_col: str
+) -> DataFrame:
+    """Per-question extractive-QA grades — SQuAD exact match and token
+    F1 (Rajpurkar et al. 2016), the reading-comprehension member of
+    the eval family (BLEU/chrF/WER price whole-sequence fidelity; QA
+    pairs are short answers where bag-of-token overlap is the
+    standard).  Input: one row per (question, GOLD ALTERNATIVE) with
+    the prediction repeated — the multi-reference SQuAD shape.  The
+    prediction must be constant per question, but alternatives need
+    NOT be unique: rows are deduplicated on their NORMALIZED strings
+    first (two raw spellings of one normalized answer are one
+    alternative, and a duplicate can never double the token counts
+    under the intersection join).  Returns one row per question:
+    ``(qid, n_golds, em, f1_6)`` — ``n_golds`` counts DISTINCT
+    normalized alternatives, ``em``/``f1_6`` are the MAX over them
+    (the official scoring rule).
+
+    Grade semantics on :func:`qa_normalize` token bags:
+
+    * ``em`` — 1 when the normalized strings are equal;
+    * ``f1`` — ``2*m / (len_pred + len_gold)`` with ``m`` the MULTISET
+      unigram intersection; when either side normalizes to empty (the
+      no-answer convention), f1 = em — both-empty scores 1, one-empty
+      scores 0.  Rounded at 6 (one IEEE division).
+
+    100 TB shape: the multiset intersection is an explode -> count ->
+    equi-join on (qid, gold, word) — shuffles O(total answer tokens),
+    which for answer-length text is a projection-sized exchange, never
+    the corpus; no window, no Python, no collect.  The per-row
+    higher-order-lambda fold this replaces is the interpreted-lambda
+    trap docs/PLANS.md measured at ~0.5 ms/row — the join is the same
+    arithmetic map-side combined.
+    """
+    base = df.select(
+        F.col(qid_col).alias("_qid"),
+        qa_normalize(F.col(pred_col)).alias("_p"),
+        qa_normalize(F.col(gold_col)).alias("_g"),
+    ).dropDuplicates(["_qid", "_p", "_g"])
+    ptoks = F.filter(F.split(F.col("_p"), r"\s+"), lambda x: x != F.lit(""))
+    gtoks = F.filter(F.split(F.col("_g"), r"\s+"), lambda x: x != F.lit(""))
+    pairs = base.select(
+        "_qid",
+        "_p",
+        "_g",
+        F.size(ptoks).cast("long").alias("_lp"),
+        F.size(gtoks).cast("long").alias("_lg"),
+        ptoks.alias("_pt"),
+        gtoks.alias("_gt"),
+    )
+    pc = (
+        pairs.select("_qid", "_g", F.explode("_pt").alias("_w"))
+        .groupBy("_qid", "_g", "_w")
+        .agg(F.count(F.lit(1)).alias("_cp"))
+    )
+    gc = (
+        pairs.select("_qid", "_g", F.explode("_gt").alias("_w"))
+        .groupBy("_qid", "_g", "_w")
+        .agg(F.count(F.lit(1)).alias("_cg"))
+    )
+    matched = (
+        pc.join(gc, ["_qid", "_g", "_w"], "inner")
+        .groupBy("_qid", "_g")
+        .agg(F.sum(F.least("_cp", "_cg")).cast("long").alias("_m"))
+    )
+    per_alt = (
+        pairs.join(matched, ["_qid", "_g"], "left")
+        .withColumn("_m", F.coalesce(F.col("_m"), F.lit(0)))
+        .select(
+            "_qid",
+            (F.col("_p") == F.col("_g")).cast("int").alias("_em"),
+            F.when(
+                (F.col("_lp") == 0) | (F.col("_lg") == 0),
+                (F.col("_p") == F.col("_g")).cast("double"),
+            )
+            .otherwise(
+                F.round(
+                    F.lit(2.0)
+                    * F.col("_m").cast("double")
+                    / (F.col("_lp") + F.col("_lg")).cast("double"),
+                    6,
+                )
+            )
+            .alias("_f1"),
+        )
+    )
+    return per_alt.groupBy("_qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_golds"),
+        F.max("_em").cast("int").alias("em"),
+        F.max("_f1").alias("f1_6"),
+    ).select(F.col("_qid").alias(qid_col), "n_golds", "em", "f1_6")
+
+
+def qa_report(
+    df: DataFrame, qid_col: str, pred_col: str, gold_col: str
+) -> DataFrame:
+    """Corpus QA report — ONE row ``(n_questions, n_em, em_rate6,
+    f1_mean6)``: the two numbers a SQuAD-style leaderboard prints.
+    ``em_rate6`` is an exact integer ratio; ``f1_mean6`` averages the
+    per-question ROUND-6 F1 through exact DECIMAL(18,6) sums (the
+    registry recipe — partial-aggregation order can never change a
+    bit)."""
+    per = qa_em_f1(df, qid_col, pred_col, gold_col)
+    agg = per.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_questions"),
+        F.sum("em").cast("long").alias("n_em"),
+        F.sum(F.col("f1_6").cast("decimal(18,6)")).alias("_f1_sum"),
+    )
+    return agg.select(
+        "n_questions",
+        "n_em",
+        F.when(
+            F.col("n_questions") > 0,
+            F.round(
+                F.col("n_em").cast("double")
+                / F.col("n_questions").cast("double"),
+                6,
+            ),
+        ).alias("em_rate6"),
+        F.when(
+            F.col("n_questions") > 0,
+            F.round(
+                F.col("_f1_sum").cast("double")
+                / F.col("n_questions").cast("double"),
+                6,
+            ),
+        ).alias("f1_mean6"),
+    )
+
+
+def lcs_cells(
+    df: DataFrame, id_col: str, cand_col: str, ref_col: str
+) -> DataFrame:
+    """Sufficient statistics of corpus ROUGE-L as ONE cell row:
+    ``(matched, cand_total, ref_total)`` = (sum of per-pair LCS
+    lengths, sum of candidate lengths, sum of reference lengths) over
+    whitespace tokens — additive across disjoint pair sets because the
+    LCS is computed WITHIN a pair (the bleu_cells additivity argument
+    verbatim).
+
+    The per-pair LCS rides Hyyrö's bit-parallel algorithm (Hyyrö 2004:
+    ``u = V & PM[c]; V = (V + u) | (V - u)``, LCS = m - popcount(V))
+    over arbitrary-precision Python ints inside the same Arrow-batched
+    ``mapInPandas`` fold as :func:`bleu_cells` — O(|cand| * ceil(|ref|
+    / 64)) word ops per pair instead of the O(|cand| * |ref|) DP
+    table, no length cap needed (bigints grow with the reference).
+    The classic DP this replaces is kept as the independent reference
+    in tests; the DuckDB oracle replays the SAME bit recurrence in a
+    recursive CTE over HUGEINT masks — two engines, two
+    implementations, one recurrence.
+
+    100 TB shape: tokenization stays JVM; each partition folds to ONE
+    3-long row, and the metric's only exchange is that
+    O(partitions)-row merge.  No shuffle grows with the corpus.
+    """
+    base = df.select(
+        _tok(F.col(cand_col)).alias("ct"),
+        _tok(F.col(ref_col)).alias("rt"),
+    )
+
+    def fold(batches):
+        import pandas as pd
+
+        lcs_sum = cand_sum = ref_sum = 0
+        for pdf in batches:
+            for ct, rt in zip(pdf["ct"], pdf["rt"]):
+                c = list(ct) if ct is not None else []
+                r = list(rt) if rt is not None else []
+                cand_sum += len(c)
+                ref_sum += len(r)
+                m = len(r)
+                if m == 0 or not c:
+                    continue
+                pm: dict = {}
+                for i, t in enumerate(r):
+                    pm[t] = pm.get(t, 0) | (1 << i)
+                ones = (1 << m) - 1
+                v = ones
+                for tok in c:
+                    u = v & pm.get(tok, 0)
+                    v = ((v + u) | (v - u)) & ones
+                lcs_sum += m - bin(v).count("1")
+        yield pd.DataFrame(
+            {
+                "matched": [lcs_sum],
+                "cand_total": [cand_sum],
+                "ref_total": [ref_sum],
+            }
+        )
+
+    partials = base.mapInPandas(
+        fold, schema="matched long, cand_total long, ref_total long"
+    )
+    return partials.groupBy().agg(
+        F.coalesce(F.sum("matched"), F.lit(0)).cast("long").alias("matched"),
+        F.coalesce(F.sum("cand_total"), F.lit(0))
+        .cast("long")
+        .alias("cand_total"),
+        F.coalesce(F.sum("ref_total"), F.lit(0))
+        .cast("long")
+        .alias("ref_total"),
+    )
+
+
+def _rouge_finish(cells: DataFrame) -> DataFrame:
+    """The ROUGE finisher, shared by every metric row: micro P/R from
+    the integer cells and the exact-integer F1 identity ``2PR/(P+R) =
+    2*matched/(cand_total+ref_total)`` — one IEEE division each,
+    ROUNDed at 6; NULL (undefined, not 0) when a denominator is 0."""
+    m = F.col("matched").cast("double")
+    c = F.col("cand_total")
+    r = F.col("ref_total")
+    return cells.select(
+        "metric",
+        "matched",
+        "cand_total",
+        "ref_total",
+        F.when(c > 0, F.round(m / c.cast("double"), 6)).alias("precision6"),
+        F.when(r > 0, F.round(m / r.cast("double"), 6)).alias("recall6"),
+        F.when(
+            (c + r) > 0,
+            F.round(F.lit(2.0) * m / (c + r).cast("double"), 6),
+        ).alias("f1_6"),
+    )
+
+
+def corpus_rouge(
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 2,
+) -> DataFrame:
+    """Corpus-level ROUGE (Lin 2004) — the summarization member of the
+    eval family: ``rouge1``/``rouge2`` (unigram/bigram overlap) and
+    ``rougeL`` (longest common subsequence), one row per metric with
+    ``(matched, cand_total, ref_total, precision6, recall6, f1_6)``.
+
+    Convention stated, not hidden: these are MICRO-corpus scores —
+    integer match/length cells summed over all pairs, P/R/F taken
+    once at the end (the repo's corpus_bleu/chrf convention, exact and
+    additive) — not the per-sentence-averaged variant some packages
+    default to.  The n-gram rows reuse :func:`bleu_cells` VERBATIM
+    (ROUGE-N's clipped multiset intersection is BLEU's, read
+    recall-wise); the LCS row comes from :func:`lcs_cells`.  Two
+    row-local Arrow folds over the pairs, exchanges O(partitions)
+    rows; tokenization is the shared lower/whitespace contract.
+    """
+    ng = bleu_cells(df, id_col, cand_col, ref_col, max_n=max_n)
+    ngm = ng.select(
+        F.concat(F.lit("rouge"), F.col("n").cast("string")).alias("metric"),
+        "matched",
+        "cand_total",
+        "ref_total",
+    )
+    lcs = lcs_cells(df, id_col, cand_col, ref_col).select(
+        F.lit("rougeL").alias("metric"),
+        "matched",
+        "cand_total",
+        "ref_total",
+    )
+    return _rouge_finish(ngm.unionByName(lcs))
 
 
 def chrf_append_batch(

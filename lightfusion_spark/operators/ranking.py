@@ -1,0 +1,242 @@
+"""Retrieval ranking metrics — nDCG@k, MRR, precision/recall@k.
+
+The similarity-search operators (``similarity.py``, ``annindex.py``,
+BM25 in ``text.py``) PRODUCE ranked lists; a retrieval pipeline also
+has to GRADE them against labeled relevance — the IR-eval step of any
+RAG / embedding-training loop (which query set regressed after a
+re-index? did the new embedding model lift nDCG or just recall?).
+The reference repo has no eval surface; this extends SURVEY §2.4's
+eval family sideways from text-pair metrics (BLEU/chrF/WER) to
+ranked-list metrics (Järvelin & Kekäläinen 2002 nDCG; classic
+MRR/P@k/R@k).
+
+Contract: ``results`` carries 1-based ranks (ties already broken by
+the producer — every top-k operator in this repo emits deterministic
+ranks); ``(query, item)`` is unique in both inputs (the shape every
+top-k/gold join produces).  The query universe is the GOLD queries:
+a query with no labeled-relevant items cannot be graded, and results
+for unlabeled queries are ignored by construction of the join.
+
+100 TB shape: pure JVM joins + windows keyed on the query column —
+the only shuffles are O(|results at k| + |gold|) rows of (query,
+item, rank/rel); per-query state is bounded by k on the results side
+and by the gold list on the IDCG window.  No Python, no collect, no
+cross join; transcendental per-item gains (1/log2) are ROUNDed at 6
+and summed as DECIMAL(18,6) so partial-aggregation order can never
+change a bit (the registry's exactness convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _gain6(rel_col, pos_col):
+    """Per-item DCG gain ``round(rel / log2(pos + 1), 6)`` as
+    DECIMAL(18,6) — rounded BEFORE summing because log2 is the one
+    transcendental in the metric (libm may differ in the last ulp
+    across engines) and DECIMAL sums are exact and associative."""
+    return F.round(
+        rel_col.cast("double") / F.log2(pos_col.cast("double") + F.lit(1.0)),
+        6,
+    ).cast("decimal(18,6)")
+
+
+def ranking_report_per_query(
+    results: DataFrame,
+    gold: DataFrame,
+    query_col: str,
+    item_col: str,
+    rank_col: str,
+    k: int = 10,
+    rel_col: str | None = None,
+) -> DataFrame:
+    """Per-query ranking metrics at cutoff ``k``: one row per GOLD
+    query — ``(query, n_gold, n_hits_k, rr6, precision_k6, recall_k6,
+    dcg6, idcg6, ndcg6)``.
+
+    * ``rr6`` — reciprocal rank of the FIRST relevant result (0.0 when
+      nothing relevant lands in the top k: the MRR convention);
+    * ``precision_k6 = n_hits_k / k`` (the fixed-denominator P@k,
+      stated because the retrieved-count variant also exists);
+    * ``recall_k6 = n_hits_k / n_gold``;
+    * ``dcg6 / idcg6 / ndcg6`` — graded when ``rel_col`` is given
+      (gold items with relevance grades), binary (rel=1) otherwise;
+      the ideal ranking sorts gold by relevance descending with the
+      item id as the deterministic tie-break.  ``ndcg6`` is NULL when
+      ``idcg6`` is 0 (every gold grade 0 — undefined, not 0).
+
+    Relevant-for-RR/hits means rel > 0, so a graded gold row with
+    grade 0 ("judged irrelevant") neither counts as a hit nor stops
+    the reciprocal-rank scan — the TREC pooling convention.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q, i, r = query_col, item_col, rank_col
+    rel = (
+        F.col(rel_col).cast("double")
+        if rel_col is not None
+        else F.lit(1.0)
+    )
+    g = gold.select(F.col(q), F.col(i), rel.alias("_rel"))
+
+    topk = results.where(F.col(r) <= F.lit(k)).select(
+        F.col(q), F.col(i), F.col(r).cast("long").alias("_rank")
+    )
+    hits = topk.join(g, [q, i], "inner")
+    hit_agg = hits.groupBy(q).agg(
+        F.sum(F.when(F.col("_rel") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hits_k"),
+        F.min(F.when(F.col("_rel") > 0, F.col("_rank"))).alias("_first"),
+        F.coalesce(
+            F.sum(_gain6(F.col("_rel"), F.col("_rank"))), F.lit(0)
+        )
+        .cast("decimal(18,6)")
+        .alias("_dcg"),
+    )
+
+    # ideal ranking: gold sorted by grade desc (item asc tie-break),
+    # truncated at k — the same gain expression over ideal positions
+    w = Window.partitionBy(q).orderBy(F.col("_rel").desc(), F.col(i).asc())
+    ideal = (
+        g.withColumn("_pos", F.row_number().over(w))
+        .where(F.col("_pos") <= F.lit(k))
+        .groupBy(q)
+        .agg(
+            F.coalesce(
+                F.sum(_gain6(F.col("_rel"), F.col("_pos"))), F.lit(0)
+            )
+            .cast("decimal(18,6)")
+            .alias("_idcg")
+        )
+    )
+    n_gold = g.groupBy(q).agg(F.count(F.lit(1)).cast("long").alias("n_gold"))
+
+    per = (
+        n_gold.join(ideal, q, "inner")
+        .join(hit_agg, q, "left")
+        .select(
+            F.col(q),
+            F.col("n_gold"),
+            F.coalesce(F.col("n_hits_k"), F.lit(0))
+            .cast("long")
+            .alias("n_hits_k"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / F.col("_first").cast("double"), F.lit(0.0)
+                ),
+                6,
+            ).alias("rr6"),
+            F.round(
+                F.coalesce(F.col("n_hits_k"), F.lit(0)).cast("double")
+                / F.lit(float(k)),
+                6,
+            ).alias("precision_k6"),
+            F.round(
+                F.coalesce(F.col("n_hits_k"), F.lit(0)).cast("double")
+                / F.col("n_gold").cast("double"),
+                6,
+            ).alias("recall_k6"),
+            F.coalesce(F.col("_dcg"), F.lit(0))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("dcg6"),
+            F.col("_idcg").cast("double").alias("idcg6"),
+            F.when(
+                F.col("_idcg") > 0,
+                F.round(
+                    F.coalesce(F.col("_dcg"), F.lit(0)).cast("double")
+                    / F.col("_idcg").cast("double"),
+                    6,
+                ),
+            ).alias("ndcg6"),
+        )
+    )
+    return per
+
+
+def ranking_report(
+    results: DataFrame,
+    gold: DataFrame,
+    query_col: str,
+    item_col: str,
+    rank_col: str,
+    k: int = 10,
+    rel_col: str | None = None,
+) -> DataFrame:
+    """Corpus-level ranking report at cutoff ``k`` — ONE row:
+    ``(k, n_queries, n_ndcg_ungraded, n_hits_total, n_gold_total,
+    micro_recall6, mrr6, mean_precision_k6, mean_recall_k6,
+    mean_ndcg6)``.
+
+    Macro means average the per-query ROUND-6 values through exact
+    DECIMAL(18,6) sums (the registry recipe, so each mean is
+    bit-reproducible under any partitioning); ``micro_recall6`` is the
+    pooled ``sum(hits)/sum(gold)``.  Queries whose IDCG is 0 (all
+    gold grades 0) are EXCLUDED from the nDCG mean AND COUNTED in
+    ``n_ndcg_ungraded`` — the kappa/winrate loudness convention; they
+    still contribute to every other mean (their hits are genuinely 0
+    or graded-0).
+    """
+    per = ranking_report_per_query(
+        results, gold, query_col, item_col, rank_col, k=k, rel_col=rel_col
+    )
+
+    def dec6(col):
+        return F.col(col).cast("decimal(18,6)")
+
+    agg = per.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(F.when(F.col("ndcg6").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ndcg_ungraded"),
+        F.sum("n_hits_k").cast("long").alias("n_hits_total"),
+        F.sum("n_gold").cast("long").alias("n_gold_total"),
+        F.sum(dec6("rr6")).alias("_rr_sum"),
+        F.sum(dec6("precision_k6")).alias("_p_sum"),
+        F.sum(dec6("recall_k6")).alias("_r_sum"),
+        F.sum(dec6("ndcg6")).alias("_ndcg_sum"),
+        F.sum(F.when(F.col("ndcg6").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("_n_graded"),
+    )
+    return agg.select(
+        F.lit(int(k)).cast("int").alias("k"),
+        "n_queries",
+        "n_ndcg_ungraded",
+        "n_hits_total",
+        "n_gold_total",
+        F.when(
+            F.col("n_gold_total") > 0,
+            F.round(
+                F.col("n_hits_total").cast("double")
+                / F.col("n_gold_total").cast("double"),
+                6,
+            ),
+        ).alias("micro_recall6"),
+        F.round(
+            F.col("_rr_sum").cast("double")
+            / F.col("n_queries").cast("double"),
+            6,
+        ).alias("mrr6"),
+        F.round(
+            F.col("_p_sum").cast("double")
+            / F.col("n_queries").cast("double"),
+            6,
+        ).alias("mean_precision_k6"),
+        F.round(
+            F.col("_r_sum").cast("double")
+            / F.col("n_queries").cast("double"),
+            6,
+        ).alias("mean_recall_k6"),
+        F.when(
+            F.col("_n_graded") > 0,
+            F.round(
+                F.col("_ndcg_sum").cast("double")
+                / F.col("_n_graded").cast("double"),
+                6,
+            ),
+        ).alias("mean_ndcg6"),
+    )

@@ -1075,3 +1075,246 @@ def test_winrate_matches_reference_wilson(spark):
 
     with _pytest.raises(ValueError, match="z must"):
         winrate_report(df, "a", "b", "w", z=0)
+
+
+def test_wer_store_stream_matches_batch_exactly(spark, tmp_path):
+    """Maintained WER store: pairs streamed over a two-file source and
+    appended inside foreachBatch; the store WER equals the one-shot
+    corpus_wer over the union corpus BIT FOR BIT (the four integer
+    cells are additive because edit distance is computed within a
+    pair).  One pair per parity class blows the 127-word alphabet so
+    the dropped count is exercised ACROSS batches too."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = [
+        (i, f"the quick brown tok{i}", f"the quick brown fox tok{i}")
+        for i in range(60)
+    ]
+    # two out-of-alphabet pairs, one per micro-batch parity class
+    wide = " ".join(f"w{j}" for j in range(130))
+    rows += [(100, wide, "a b"), (101, wide, "a b")]
+    pairs = spark.createDataFrame(rows, "id long, cand string, ref string")
+    src_dir = tmp_path / "wer_src"
+    pairs.where("id % 2 = 0").coalesce(1).write.parquet(str(src_dir / "f1"))
+    import time
+
+    time.sleep(1.1)
+    pairs.where("id % 2 = 1").coalesce(1).write.parquet(str(src_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema(pairs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*/"))
+    )
+    state_dir = str(tmp_path / "wer_state")
+
+    def process(batch_df, epoch_id):
+        em.wer_append_batch(batch_df, state_dir, epoch_id, "id", "cand", "ref")
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_wer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    store = spark.read.parquet(state_dir)
+    assert store.select("batch_id").distinct().count() >= 2
+    got = em.wer_from_store(spark, state_dir).collect()[0].asDict()
+    want = em.corpus_wer(pairs, "id", "cand", "ref").collect()[0].asDict()
+    assert got == want
+    assert want["n_pairs_dropped"] == 2 and want["wer6"] > 0
+
+
+def test_wer_store_replay_is_a_no_op(spark, tmp_path):
+    """Batch-id-addressed appends: replaying a batch under its original
+    id writes byte-identical cells and the read-side MAX dedup keeps
+    the reported WER identical."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = [(i, f"a b tok{i}", f"a b c tok{i}") for i in range(20)]
+    pairs = spark.createDataFrame(rows, "id long, cand string, ref string")
+    state_dir = str(tmp_path / "wer_replay")
+    b0 = pairs.where("id < 10")
+    b1 = pairs.where("id >= 10")
+    em.wer_append_batch(b0, state_dir, 0, "id", "cand", "ref")
+    em.wer_append_batch(b1, state_dir, 1, "id", "cand", "ref")
+    before = em.wer_from_store(spark, state_dir).collect()[0].asDict()
+    em.wer_append_batch(b1, state_dir, 1, "id", "cand", "ref")  # replay
+    after = em.wer_from_store(spark, state_dir).collect()[0].asDict()
+    assert after == before
+    assert before == (
+        em.corpus_wer(pairs, "id", "cand", "ref").collect()[0].asDict()
+    )
+
+
+def test_qa_em_f1_squad_semantics(spark):
+    """SQuAD EM/F1 against hand-computed grades: normalization (punct
+    DELETED, articles dropped), multiset clipping, max over
+    alternatives, the no-answer rules, and the EM-vs-F1 separation."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = [
+        # exact after normalization: "The quick fox!" vs "quick fox"
+        (1, "The quick fox!", "quick fox"),
+        # reversed bag: EM 0, F1 1
+        (2, "fox quick", "quick fox"),
+        # partial: pred "e b c" vs gold "b c d" -> m=2, f1 = 4/6
+        (3, "e b c", "b c d"),
+        # multiset clipping: pred "x x x" vs gold "x" -> m=1, f1 = 2/4
+        (4, "x x x", "x"),
+        # two alternatives, max wins: second is exact
+        (5, "y z", "w v"),
+        (5, "y z", "y z"),
+        # duplicate alternative rows collapse (totality guard): the
+        # doubled row must NOT double token counts
+        (6, "p q", "p q"),
+        (6, "p q", "p  q"),  # same normalized alternative
+        # no-answer rules: both empty -> 1/1; one empty -> 0/0
+        (7, "!!!", "???"),
+        (8, "ans", "..."),
+        # "don't" -> "dont": deletion, not space-substitution
+        (9, "dont stop", "don't stop"),
+    ]
+    df = spark.createDataFrame(rows, "qid long, pred string, gold string")
+    per = {
+        r["qid"]: r.asDict()
+        for r in em.qa_em_f1(df, "qid", "pred", "gold").collect()
+    }
+    assert per[1]["em"] == 1 and per[1]["f1_6"] == 1.0
+    assert per[2]["em"] == 0 and per[2]["f1_6"] == 1.0
+    assert per[3]["em"] == 0 and per[3]["f1_6"] == round(4 / 6, 6)
+    assert per[4]["f1_6"] == 0.5
+    assert per[5]["n_golds"] == 2 and per[5]["em"] == 1 and per[5]["f1_6"] == 1.0
+    assert per[6]["n_golds"] == 1 and per[6]["f1_6"] == 1.0
+    assert per[7]["em"] == 1 and per[7]["f1_6"] == 1.0
+    assert per[8]["em"] == 0 and per[8]["f1_6"] == 0.0
+    assert per[9]["em"] == 1 and per[9]["f1_6"] == 1.0
+
+    rep = em.qa_report(df, "qid", "pred", "gold").collect()[0].asDict()
+    assert rep["n_questions"] == 9
+    assert rep["n_em"] == 5  # qids 1, 5, 6, 7, 9
+    assert rep["em_rate6"] == round(5 / 9, 6)
+    f1s = [per[q]["f1_6"] for q in sorted(per)]
+    assert rep["f1_mean6"] == round(sum(f1s) / 9, 6)
+    # partition invariance (DECIMAL mean)
+    again = (
+        em.qa_report(df.repartition(7), "qid", "pred", "gold")
+        .collect()[0]
+        .asDict()
+    )
+    assert again == rep
+
+
+def test_rouge_matches_hand_computation_and_lin_example(spark):
+    """corpus_rouge vs hand-derived cells, including Lin (2004)'s
+    worked pair ('police kill the gunman' vs 'police killed the
+    gunman': unigram overlap 3, LCS 3) and the reversal case that
+    separates ROUGE-L from ROUGE-1."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = [(1, "police kill the gunman", "police killed the gunman")]
+    out = {
+        r["metric"]: r.asDict()
+        for r in em.corpus_rouge(
+            spark.createDataFrame(rows, "id long, cand string, ref string"),
+            "id", "cand", "ref",
+        ).collect()
+    }
+    r1, rl = out["rouge1"], out["rougeL"]
+    assert r1["matched"] == 3 and r1["cand_total"] == 4 and r1["ref_total"] == 4
+    assert r1["precision6"] == 0.75 and r1["recall6"] == 0.75
+    assert r1["f1_6"] == 0.75
+    assert out["rouge2"]["matched"] == 1  # only "the gunman"
+    assert rl["matched"] == 3 and rl["f1_6"] == 0.75
+
+    # reversal: bag overlap is total but the LCS collapses
+    rows2 = [(1, "d c b a", "a b c d")]
+    out2 = {
+        r["metric"]: r.asDict()
+        for r in em.corpus_rouge(
+            spark.createDataFrame(rows2, "id long, cand string, ref string"),
+            "id", "cand", "ref",
+        ).collect()
+    }
+    assert out2["rouge1"]["matched"] == 4
+    assert out2["rougeL"]["matched"] == 1  # any single token
+    assert out2["rouge2"]["matched"] == 0
+
+
+def test_rouge_cells_additive_null_and_partition_invariant(spark):
+    """Cells are additive across disjoint pair sets (the store
+    argument), NULL/empty sides degrade to zero cells with NULL
+    ratios, and partitioning can't change a bit."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = [
+        (i, f"tok{i} a b c {'x ' * (i % 4)}".strip(), f"a b c d tok{i}")
+        for i in range(30)
+    ] + [(90, None, "a b"), (91, "a b", None), (92, None, None)]
+    df = spark.createDataFrame(rows, "id long, cand string, ref string")
+    whole = {
+        r["metric"]: r.asDict()
+        for r in em.corpus_rouge(df, "id", "cand", "ref").collect()
+    }
+    # split into two disjoint halves: integer cells must add exactly
+    h1 = {
+        r["metric"]: r.asDict()
+        for r in em.corpus_rouge(
+            df.where("id % 2 = 0"), "id", "cand", "ref"
+        ).collect()
+    }
+    h2 = {
+        r["metric"]: r.asDict()
+        for r in em.corpus_rouge(
+            df.where("id % 2 = 1"), "id", "cand", "ref"
+        ).collect()
+    }
+    for metric in ("rouge1", "rouge2", "rougeL"):
+        for cell in ("matched", "cand_total", "ref_total"):
+            assert h1[metric][cell] + h2[metric][cell] == whole[metric][cell]
+    again = {
+        r["metric"]: r.asDict()
+        for r in em.corpus_rouge(
+            df.repartition(7), "id", "cand", "ref"
+        ).collect()
+    }
+    assert again == whole
+    # all-NULL corpus: zero cells, NULL (undefined) ratios
+    empty = {
+        r["metric"]: r.asDict()
+        for r in em.corpus_rouge(
+            df.where("id >= 90"), "id", "cand", "ref"
+        ).collect()
+    }
+    for metric in ("rouge1", "rouge2", "rougeL"):
+        e = empty[metric]
+        assert e["matched"] == 0
+        assert e["precision6"] is None or e["cand_total"] > 0
+    # the fully-empty metric rows keep NULL f1 (0/0 is undefined)
+    assert empty["rouge2"]["f1_6"] is None or empty["rouge2"]["cand_total"] > 0
+
+
+def test_rouge_lcs_vs_reference_dp_on_spark(spark):
+    """The Spark-side bit-parallel LCS fold vs the classic DP, over
+    structured pairs (subsequence / reversal / block swap) — the same
+    trio pipe_eval_rouge grades."""
+    from tests.test_property_round13 import _lcs_dp
+    from lightfusion_spark.operators import evalmetrics as em
+
+    toks = [f"w{i % 7}" for i in range(24)]  # repeated tokens on purpose
+    ref = " ".join(toks)
+    cands = {
+        1: " ".join(t for i, t in enumerate(toks) if i % 7 != 3),
+        2: " ".join(reversed(toks)),
+        3: " ".join(toks[12:] + toks[:12]),
+    }
+    df = spark.createDataFrame(
+        [(k, c, ref) for k, c in cands.items()],
+        "id long, cand string, ref string",
+    )
+    got = em.lcs_cells(df, "id", "cand", "ref").collect()[0]
+    want = sum(_lcs_dp(c.split(), toks) for c in cands.values())
+    assert got["matched"] == want
+    assert got["ref_total"] == 3 * 24

@@ -103,3 +103,58 @@ def test_sft_span_arithmetic_invariants(turns):
     assert all(e1 <= s2 for (_, e1), (s2, _) in zip(spans, spans[1:]))
     assert all(0 <= s and e <= off for s, e in spans)
     assert sum(e - s for s, e in spans) == n_loss <= off
+
+
+def _lcs_dp(a, b):
+    """Classic O(nm) LCS DP — the third, independent implementation of
+    the recurrence (Spark runs Hyyro's bit-parallel form over Python
+    bigints; the DuckDB oracle replays it over HUGEINT masks)."""
+    m, n = len(a), len(b)
+    dp = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            dp[i][j] = (
+                dp[i - 1][j - 1] + 1
+                if a[i - 1] == b[j - 1]
+                else max(dp[i - 1][j], dp[i][j - 1])
+            )
+    return dp[m][n]
+
+
+def _lcs_bitparallel(cand, ref):
+    """The exact fold body of evalmetrics.lcs_cells, extracted."""
+    m = len(ref)
+    if m == 0 or not cand:
+        return 0
+    pm = {}
+    for i, t in enumerate(ref):
+        pm[t] = pm.get(t, 0) | (1 << i)
+    ones = (1 << m) - 1
+    v = ones
+    for tok in cand:
+        u = v & pm.get(tok, 0)
+        v = ((v + u) | (v - u)) & ones
+    return m - bin(v).count("1")
+
+
+@settings(max_examples=200, deadline=None)
+@given(cand=_WORDS, ref=_WORDS)
+def test_bitparallel_lcs_equals_classic_dp(cand, ref):
+    """Hyyro's bit-parallel LCS == the textbook DP on random token
+    sequences — the correctness claim under evalmetrics.lcs_cells and
+    the pipe_eval_rouge oracle's recursive CTE."""
+    assert _lcs_bitparallel(cand, ref) == _lcs_dp(cand, ref)
+
+
+@settings(max_examples=80, deadline=None)
+@given(cand=_WORDS, ref=_WORDS)
+def test_lcs_axioms(cand, ref):
+    """LCS axioms: symmetry, identity, subsequence bound, and the
+    indel identity len(a)+len(b)-2*LCS == substitution-free edit
+    distance (which is why ROUGE-L and WER price different things)."""
+    lab = _lcs_bitparallel(cand, ref)
+    assert lab == _lcs_bitparallel(ref, cand)
+    assert _lcs_bitparallel(cand, cand) == len(cand)
+    assert 0 <= lab <= min(len(cand), len(ref))
+    # monotone under concatenation
+    assert _lcs_bitparallel(cand + ref, ref) >= lab

@@ -1,0 +1,121 @@
+"""Retrieval ranking metrics (operators/ranking.py): nDCG@k / MRR /
+P@k / R@k against hand-computed references, graded relevance, the
+zero-IDCG guard, and partition invariance."""
+
+import math
+
+import pytest
+
+from lightfusion_spark.operators import ranking as rk
+
+
+def _g(pos):
+    return round(1.0 / math.log2(pos + 1), 6)
+
+
+RESULTS = [
+    # q1: gold {a,b,c}; hits at rank 1 and 3
+    (1, "a", 1), (1, "x", 2), (1, "b", 3),
+    # q2: gold {d}; hit at rank 3
+    (2, "x", 1), (2, "y", 2), (2, "d", 3),
+    # q3: gold {e,f}; full miss
+    (3, "p", 1),
+    # q4 appears in results but NOT in gold -> ignored entirely
+    (4, "z", 1),
+]
+GOLD = [(1, "a"), (1, "b"), (1, "c"), (2, "d"), (3, "e"), (3, "f")]
+
+
+def _frames(spark):
+    res = spark.createDataFrame(RESULTS, "q long, item string, rank long")
+    gold = spark.createDataFrame(GOLD, "q long, item string")
+    return res, gold
+
+
+def test_per_query_matches_hand_computation(spark):
+    res, gold = _frames(spark)
+    per = {
+        r["q"]: r.asDict()
+        for r in rk.ranking_report_per_query(
+            res, gold, "q", "item", "rank", k=3
+        ).collect()
+    }
+    # only gold queries are graded; q4 (results-only) must be absent
+    assert set(per) == {1, 2, 3}
+    q1 = per[1]
+    assert q1["n_gold"] == 3 and q1["n_hits_k"] == 2
+    assert q1["rr6"] == 1.0
+    assert q1["precision_k6"] == round(2 / 3, 6)
+    assert q1["recall_k6"] == round(2 / 3, 6)
+    dcg1, idcg1 = _g(1) + _g(3), _g(1) + _g(2) + _g(3)
+    assert q1["dcg6"] == dcg1 and q1["idcg6"] == idcg1
+    assert q1["ndcg6"] == round(dcg1 / idcg1, 6)
+    q2 = per[2]
+    assert q2["rr6"] == round(1 / 3, 6) and q2["recall_k6"] == 1.0
+    assert q2["ndcg6"] == round(_g(3) / _g(1), 6)
+    q3 = per[3]
+    # full miss: every metric 0, but idcg is the ideal of its 2 golds
+    assert q3["n_hits_k"] == 0 and q3["rr6"] == 0.0
+    assert q3["ndcg6"] == 0.0 and q3["idcg6"] == _g(1) + _g(2)
+
+
+def test_corpus_report_macro_micro_and_invariance(spark):
+    res, gold = _frames(spark)
+    rep = rk.ranking_report(res, gold, "q", "item", "rank", k=3)
+    got = rep.collect()[0].asDict()
+    assert got["k"] == 3 and got["n_queries"] == 3
+    assert got["n_hits_total"] == 3 and got["n_gold_total"] == 6
+    assert got["micro_recall6"] == 0.5
+    assert got["mrr6"] == round((1.0 + round(1 / 3, 6) + 0.0) / 3, 6)
+    assert got["n_ndcg_ungraded"] == 0
+    # partition invariance: DECIMAL sums make the macro means exact
+    again = (
+        rk.ranking_report(
+            res.repartition(7), gold.repartition(5), "q", "item", "rank", k=3
+        )
+        .collect()[0]
+        .asDict()
+    )
+    assert again == got
+
+
+def test_graded_relevance_and_zero_idcg_guard(spark):
+    res = spark.createDataFrame(
+        [(1, "a", 1), (1, "x", 2), (1, "b", 3), (9, "a", 1)],
+        "q long, item string, rank long",
+    )
+    gold = spark.createDataFrame(
+        [(1, "a", 2.0), (1, "b", 1.0), (1, "c", 0.0), (9, "a", 0.0)],
+        "q long, item string, rel double",
+    )
+    per = {
+        r["q"]: r.asDict()
+        for r in rk.ranking_report_per_query(
+            res, gold, "q", "item", "rank", k=3, rel_col="rel"
+        ).collect()
+    }
+    q1 = per[1]
+    # grade-0 gold rows are judged-irrelevant: not hits, don't stop RR
+    assert q1["n_hits_k"] == 2 and q1["rr6"] == 1.0
+    dcg = round(2 / _g_inv(1), 6) + round(1 / _g_inv(3), 6)
+    idcg = round(2 / _g_inv(1), 6) + round(1 / _g_inv(2), 6) + 0.0
+    assert q1["dcg6"] == dcg and q1["idcg6"] == idcg
+    assert q1["ndcg6"] == round(dcg / idcg, 6)
+    # all-zero grades: idcg 0 -> ndcg NULL (undefined, not 0)
+    q9 = per[9]
+    assert q9["idcg6"] == 0.0 and q9["ndcg6"] is None
+    rep = rk.ranking_report(
+        res, gold, "q", "item", "rank", k=3, rel_col="rel"
+    ).collect()[0]
+    assert rep["n_ndcg_ungraded"] == 1
+    # the ungraded query is excluded from the mean, not zero-filled
+    assert rep["mean_ndcg6"] == q1["ndcg6"]
+
+
+def _g_inv(pos):
+    return math.log2(pos + 1)
+
+
+def test_k_validation():
+    with pytest.raises(ValueError, match="k must"):
+        rk.ranking_report_per_query(None, None, "q", "i", "r", k=0)
