@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "pipe_eval_ranking",
     "pipe_eval_qa",
     "pipe_eval_rouge",
+    "pipe_eval_rouge_by_system",
 ]
 
 

@@ -1610,3 +1610,154 @@ def pipe_eval_rouge(spark, sf_dir):
         F.concat_ws(" ", rt).alias("ref"),
     )
     return evalmetrics.corpus_rouge(pairs, "doc_id", "cand", "ref", max_n=2)
+
+
+_ROUGE_BY_SYSTEM_ORACLE = """
+WITH RECURSIVE
+base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '')[1:40] AS rt
+  FROM documents
+),
+pair AS MATERIALIZED (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'drop7'
+                         WHEN 1 THEN 'reverse'
+                         ELSE 'blockswap' END AS system,
+         rt,
+         CASE doc_id % 3
+           WHEN 0 THEN list_transform(
+             list_filter(range(1, len(rt) + 1), i -> (i - 1) % 7 <> 3),
+             i -> rt[i])
+           WHEN 1 THEN list_reverse(rt)
+           ELSE list_concat(rt[21:40], rt[1:20])
+         END AS ct
+  FROM base
+),
+ns(n) AS (VALUES (1), (2)),
+cg AS (
+  SELECT doc_id, ns.n AS n,
+         array_to_string(ct[u.i:u.i + ns.n - 1], ' ') AS gram
+  FROM pair CROSS JOIN ns,
+       UNNEST(range(1, greatest(len(ct) - ns.n + 2, 1))) AS u(i)
+),
+rg AS (
+  SELECT doc_id, ns.n AS n,
+         array_to_string(rt[u.i:u.i + ns.n - 1], ' ') AS gram
+  FROM pair CROSS JOIN ns,
+       UNNEST(range(1, greatest(len(rt) - ns.n + 2, 1))) AS u(i)
+),
+cc AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM cg GROUP BY doc_id, n, gram),
+rc AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM rg GROUP BY doc_id, n, gram),
+nm AS (
+  SELECT p.system, cc.n, CAST(SUM(LEAST(cc.c, rc.c)) AS BIGINT) AS matched
+  FROM cc JOIN rc ON rc.doc_id = cc.doc_id AND rc.n = cc.n
+                 AND rc.gram = cc.gram
+          JOIN pair p ON p.doc_id = cc.doc_id
+  GROUP BY p.system, cc.n
+),
+tot AS (
+  SELECT system, ns.n AS n,
+         CAST(SUM(greatest(len(ct) - ns.n + 1, 0)) AS BIGINT) AS cand_total,
+         CAST(SUM(greatest(len(rt) - ns.n + 1, 0)) AS BIGINT) AS ref_total
+  FROM pair CROSS JOIN ns GROUP BY system, ns.n
+),
+pm AS (
+  SELECT doc_id, rt[ri.i] AS w,
+         SUM(CAST(1 AS HUGEINT) << (ri.i - 1)) AS mask
+  FROM pair, UNNEST(range(1, len(rt) + 1)) AS ri(i)
+  GROUP BY doc_id, rt[ri.i]
+),
+steps AS (
+  SELECT doc_id, 0 AS j,
+         (CAST(1 AS HUGEINT) << len(rt)) - 1 AS v
+  FROM pair
+  UNION ALL
+  SELECT s.doc_id, s.j + 1,
+         ((s.v + u.u) | (s.v - u.u))
+           & ((CAST(1 AS HUGEINT) << len(p.rt)) - 1) AS v
+  FROM steps s
+  JOIN pair p ON p.doc_id = s.doc_id
+  LEFT JOIN pm ON pm.doc_id = s.doc_id AND pm.w = p.ct[s.j + 1],
+  LATERAL (SELECT s.v & COALESCE(pm.mask, 0) AS u) u
+  WHERE s.j < len(p.ct)
+),
+fin AS (
+  SELECT p.system, len(p.rt) - bit_count(s.v) AS lcs,
+         len(p.ct) AS lc, len(p.rt) AS lr
+  FROM steps s JOIN pair p ON p.doc_id = s.doc_id
+  WHERE s.j = len(p.ct)
+),
+cells AS (
+  SELECT tot.system, 'rouge' || CAST(tot.n AS VARCHAR) AS metric,
+         COALESCE(nm.matched, 0) AS matched,
+         tot.cand_total, tot.ref_total
+  FROM tot LEFT JOIN nm ON nm.n = tot.n AND nm.system = tot.system
+  UNION ALL
+  SELECT system, 'rougeL' AS metric,
+         CAST(COALESCE(SUM(lcs), 0) AS BIGINT) AS matched,
+         CAST(COALESCE(SUM(lc), 0) AS BIGINT) AS cand_total,
+         CAST(COALESCE(SUM(lr), 0) AS BIGINT) AS ref_total
+  FROM fin GROUP BY system
+)
+SELECT system, metric, matched, cand_total, ref_total,
+       CASE WHEN cand_total > 0
+            THEN ROUND(CAST(matched AS DOUBLE)
+                       / CAST(cand_total AS DOUBLE), 6) END AS precision6,
+       CASE WHEN ref_total > 0
+            THEN ROUND(CAST(matched AS DOUBLE)
+                       / CAST(ref_total AS DOUBLE), 6) END AS recall6,
+       CASE WHEN cand_total + ref_total > 0
+            THEN ROUND(2.0 * CAST(matched AS DOUBLE)
+                       / CAST(cand_total + ref_total AS DOUBLE), 6)
+       END AS f1_6
+FROM cells
+"""
+
+
+@register(
+    "pipe_eval_rouge_by_system",
+    oracle=_ROUGE_BY_SYSTEM_ORACLE,
+    doc="corpus ROUGE PER SYSTEM (evalmetrics.corpus_rouge_by_group) "
+    "— the multi-system harness shape for the summarization metric, "
+    "sliced exactly like per-system BLEU/chrF/WER: one row per "
+    "(system, metric), 9 rows.  Systems ARE pipe_eval_rouge's LCS "
+    "trio labeled (drop7 / reverse / blockswap), so the slices "
+    "separate the metrics VISIBLY: reverse keeps rouge1 high while "
+    "rougeL collapses, blockswap keeps rouge1 perfect while rougeL "
+    "halves.  Both folds key their counters on the group (exchange "
+    "O(systems*metrics*partitions) rows) and the finisher is "
+    "_rouge_finish VERBATIM — each group's rows equal the one-shot "
+    "operator over that slice bit for bit, test-asserted",
+)
+def pipe_eval_rouge_by_system(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    rt = F.slice(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"),
+            lambda x: x != F.lit(""),
+        ),
+        1,
+        40,
+    )
+    mod3 = F.col("doc_id") % 3
+    system = (
+        F.when(mod3 == 0, "drop7")
+        .when(mod3 == 1, "reverse")
+        .otherwise("blockswap")
+    )
+    ct = (
+        F.when(mod3 == 0, F.filter(rt, lambda x, i: i % F.lit(7) != F.lit(3)))
+        .when(mod3 == 1, F.reverse(rt))
+        .otherwise(F.concat(F.slice(rt, 21, 20), F.slice(rt, 1, 20)))
+    )
+    pairs = d.select(
+        "doc_id",
+        system.alias("system"),
+        F.concat_ws(" ", ct).alias("cand"),
+        F.concat_ws(" ", rt).alias("ref"),
+    )
+    return evalmetrics.corpus_rouge_by_group(
+        pairs, "system", "doc_id", "cand", "ref", max_n=2
+    )

@@ -53,23 +53,24 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #:   retired in one stroke (embeddings/similarity recalls, the two
 #:   n-gram LM rows, the three multimodal frame ops, the url/web block,
 #:   and the eight r07 relational reps)
-#: + 11 of the r08 block, displaced-reps first (rel_scalar_date and
+#: + 10 of the r08 block, displaced-reps first (rel_scalar_date and
 #:   rel_grouping_sets, which ceded their r12 rep slots to late faces)
-#:   then family spread: anti/semi/full joins, cube/distinct aggs,
+#:   then family spread: anti/semi joins, cube/distinct aggs,
 #:   CTE, range frame, the stream join's batch twin, and
 #:   pipe_bpe_train (whose expected-merges fixture was regenerated
 #:   this round, so official re-verification is due;
 #:   pipe_decontaminate_bloom ceded its planned slot to the WER face,
-#:   and rel_join_cross/rel_join_theta/rel_pivot/rel_unpivot — all
-#:   r08-green — ceded theirs to the four late round-13 eval faces;
-#:   all five head the r14 backlog)
-#: + 9 round-13 NEW faces (the round-12 verdict's items 5, 3, 4, 8,
+#:   and rel_join_cross/rel_join_theta/rel_pivot/rel_unpivot/
+#:   rel_join_full_outer — all r08-green — ceded theirs to the five
+#:   late round-13 eval faces; all six head the r14 backlog)
+#: + 10 round-13 NEW faces (the round-12 verdict's items 5, 3, 4, 8,
 #:   then the eval-family completion wave): pipe_eval_chrf_by_system,
 #:   pipe_dedup_conversations_fuzzy, pipe_conversation_quality,
 #:   pipe_sft_spans, pipe_eval_wer, pipe_eval_wer_by_system,
-#:   pipe_eval_ranking, pipe_eval_qa, pipe_eval_rouge
-#: 4+26+11+9 = 50 exactly.  After this round no registry row's last
-#: driver grade is older than r08; the remaining r08 rows (23) head the
+#:   pipe_eval_ranking, pipe_eval_qa, pipe_eval_rouge,
+#:   pipe_eval_rouge_by_system
+#: 4+26+10+10 = 50 exactly.  After this round no registry row's last
+#: driver grade is older than r08; the remaining r08 rows (24) head the
 #: r14 backlog, then the r09 block.  Every rotated-out name was
 #: officially green in r08-r12 and moves to WINDOW_EXEMPT;
 #: tests/test_registry_window.py asserts every registered query is
@@ -115,7 +116,6 @@ PRIORITY: list[str] = [
     "pipe_bpe_train",
     "rel_join_anti",
     "rel_join_semi",
-    "rel_join_full_outer",
     "rel_agg_cube",
     "rel_agg_distinct",
     "rel_cte",
@@ -139,6 +139,7 @@ PRIORITY: list[str] = [
     "pipe_eval_ranking",
     "pipe_eval_qa",
     "pipe_eval_rouge",
+    "pipe_eval_rouge_by_system",
 ]
 
 

@@ -342,7 +342,11 @@ WER_ALPHABET = 127
 
 
 def wer_pairs(
-    df: DataFrame, id_col: str, cand_col: str, ref_col: str
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Per-pair word-level edit distance (the WER numerator): tokenize
     both sides (lowercase whitespace tokens, the shared eval
@@ -353,12 +357,23 @@ def wer_pairs(
     alphabets differently.  Returns ``(id, ok, n_edits, ref_len)``:
     ``ok`` is False (and ``n_edits`` NULL) when a pair's distinct-word
     count exceeds the 127-character alphabet — counted, never silent
-    (callers aggregate it into ``n_pairs_dropped``).
+    (callers aggregate it into ``n_pairs_dropped``).  With
+    ``group_col`` the (stringified) group rides the SAME projection as
+    a ``_grp`` column instead of the join-back it replaced (a
+    self-join of the pair relation for a column already in the row;
+    measured performance-NEUTRAL at sf0.1 — 6.0 s either way, the cost
+    is the encode itself, see below — but one Exchange fewer in the
+    plan and the grouped face stays a pure projection + single agg).
 
     100 TB shape: a PURE ROW-LOCAL JVM PROJECTION — tokenize, distinct,
     position-encode, levenshtein, all inside whole-stage codegen; zero
     shuffles, zero Python (the counterpoint to BLEU/chrF's adjudicated
-    Arrow folds: the classic DP metric needs neither).
+    Arrow folds: the classic DP metric needs neither).  The per-pair
+    cost is the encode's O(len * distinct) string compares plus the
+    engine's O(len^2) DP — ~120 us/pair at 40-token pairs (sf0.1
+    isolated floor 5.9 s / 50k docs; the 20-token curve in
+    docs/SCALE.md reads ~15 us/pair) — quadratic in PAIR length,
+    linear in pairs, embarrassingly parallel.
     """
     # NULL text tokenizes to the empty list (the corpus_bleu contract) —
     # coalesced HERE because this tokenization never leaves the JVM
@@ -373,14 +388,17 @@ def wer_pairs(
             F.transform(toks, lambda w: F.chr(F.array_position(words, w))),
         )
 
-    return df.select(
+    cols = [
         F.col(id_col),
         ok.alias("ok"),
         F.when(ok, F.levenshtein(enc(ct), enc(rt)))
         .cast("long")
         .alias("n_edits"),
         F.size(rt).cast("long").alias("ref_len"),
-    )
+    ]
+    if group_col is not None:
+        cols.insert(1, F.col(group_col).cast("string").alias("_grp"))
+    return df.select(*cols)
 
 
 def corpus_wer(
@@ -405,12 +423,7 @@ def corpus_wer(
     under a groupBy, so each group's row equals the ungrouped operator
     over that slice bit for bit.
     """
-    pairs = wer_pairs(df, id_col, cand_col, ref_col)
-    if group_col is not None:
-        grp = df.select(
-            F.col(id_col), F.col(group_col).cast("string").alias("_grp")
-        )
-        pairs = pairs.join(grp, id_col)
+    pairs = wer_pairs(df, id_col, cand_col, ref_col, group_col=group_col)
     keys = ["_grp"] if group_col is not None else []
     agg = (pairs.groupBy(*keys) if keys else pairs.groupBy()).agg(
         F.sum(F.when(F.col("ok"), 1).otherwise(0))
@@ -669,7 +682,11 @@ def qa_report(
 
 
 def lcs_cells(
-    df: DataFrame, id_col: str, cand_col: str, ref_col: str
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Sufficient statistics of corpus ROUGE-L as ONE cell row:
     ``(matched, cand_total, ref_total)`` = (sum of per-pair LCS
@@ -690,24 +707,35 @@ def lcs_cells(
     implementations, one recurrence.
 
     100 TB shape: tokenization stays JVM; each partition folds to ONE
-    3-long row, and the metric's only exchange is that
-    O(partitions)-row merge.  No shuffle grows with the corpus.
+    3-long row (one per group with ``group_col`` — the bleu_cells
+    group-keyed-counter pattern, exchange O(groups * partitions)
+    rows), and the metric's only exchange is that merge.  No shuffle
+    grows with the corpus.
     """
-    base = df.select(
+    cols = [
         _tok(F.col(cand_col)).alias("ct"),
         _tok(F.col(ref_col)).alias("rt"),
-    )
+    ]
+    grouped = group_col is not None
+    if grouped:
+        cols.insert(0, F.col(group_col).cast("string").alias("_grp"))
+    base = df.select(*cols)
 
     def fold(batches):
         import pandas as pd
 
-        lcs_sum = cand_sum = ref_sum = 0
+        stats: dict = {}
         for pdf in batches:
-            for ct, rt in zip(pdf["ct"], pdf["rt"]):
+            grps = pdf["_grp"] if grouped else [0] * len(pdf)
+            for g, ct, rt in zip(grps, pdf["ct"], pdf["rt"]):
+                key = g if (not grouped or g is None) else str(g)
+                triple = stats.get(key)
+                if triple is None:
+                    triple = stats[key] = [0, 0, 0]
                 c = list(ct) if ct is not None else []
                 r = list(rt) if rt is not None else []
-                cand_sum += len(c)
-                ref_sum += len(r)
+                triple[1] += len(c)
+                triple[2] += len(r)
                 m = len(r)
                 if m == 0 or not c:
                     continue
@@ -719,19 +747,25 @@ def lcs_cells(
                 for tok in c:
                     u = v & pm.get(tok, 0)
                     v = ((v + u) | (v - u)) & ones
-                lcs_sum += m - bin(v).count("1")
-        yield pd.DataFrame(
-            {
-                "matched": [lcs_sum],
-                "cand_total": [cand_sum],
-                "ref_total": [ref_sum],
-            }
-        )
+                triple[0] += m - bin(v).count("1")
+        out = {"matched": [], "cand_total": [], "ref_total": []}
+        if grouped:
+            out = {"_grp": [], **out}
+        for key, (lcs_sum, cand_sum, ref_sum) in stats.items():
+            if grouped:
+                out["_grp"].append(key)
+            out["matched"].append(lcs_sum)
+            out["cand_total"].append(cand_sum)
+            out["ref_total"].append(ref_sum)
+        yield pd.DataFrame(out)
 
-    partials = base.mapInPandas(
-        fold, schema="matched long, cand_total long, ref_total long"
-    )
-    return partials.groupBy().agg(
+    schema = "matched long, cand_total long, ref_total long"
+    keys: list[str] = []
+    if grouped:
+        schema = "_grp string, " + schema
+        keys = ["_grp"]
+    partials = base.mapInPandas(fold, schema=schema)
+    cells = (partials.groupBy(*keys) if keys else partials.groupBy()).agg(
         F.coalesce(F.sum("matched"), F.lit(0)).cast("long").alias("matched"),
         F.coalesce(F.sum("cand_total"), F.lit(0))
         .cast("long")
@@ -740,17 +774,22 @@ def lcs_cells(
         .cast("long")
         .alias("ref_total"),
     )
+    if grouped:
+        cells = cells.withColumnRenamed("_grp", group_col)
+    return cells
 
 
-def _rouge_finish(cells: DataFrame) -> DataFrame:
-    """The ROUGE finisher, shared by every metric row: micro P/R from
-    the integer cells and the exact-integer F1 identity ``2PR/(P+R) =
+def _rouge_finish(cells: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
+    """The ROUGE finisher, shared by every metric row (one-shot,
+    grouped and store): micro P/R from the integer cells and the
+    exact-integer F1 identity ``2PR/(P+R) =
     2*matched/(cand_total+ref_total)`` — one IEEE division each,
     ROUNDed at 6; NULL (undefined, not 0) when a denominator is 0."""
     m = F.col("matched").cast("double")
     c = F.col("cand_total")
     r = F.col("ref_total")
     return cells.select(
+        *keys,
         "metric",
         "matched",
         "cand_total",
@@ -786,20 +825,124 @@ def corpus_rouge(
     row-local Arrow folds over the pairs, exchanges O(partitions)
     rows; tokenization is the shared lower/whitespace contract.
     """
-    ng = bleu_cells(df, id_col, cand_col, ref_col, max_n=max_n)
+    return _rouge_finish(
+        _rouge_cells(df, id_col, cand_col, ref_col, max_n=max_n)
+    )
+
+
+def _rouge_cells(
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 2,
+    group_col: str | None = None,
+) -> DataFrame:
+    """ROUGE's sufficient statistics as metric-keyed integer cells
+    ``([group,] metric, matched, cand_total, ref_total)`` — the union
+    of :func:`bleu_cells` (relabeled ``rouge<n>``) and
+    :func:`lcs_cells` (``rougeL``).  Additive across disjoint pair
+    sets (both constituents are), which is what the grouped variant
+    and the maintained store lean on."""
+    keys = [group_col] if group_col is not None else []
+    ng = bleu_cells(
+        df, id_col, cand_col, ref_col, max_n=max_n, group_col=group_col
+    )
     ngm = ng.select(
+        *keys,
         F.concat(F.lit("rouge"), F.col("n").cast("string")).alias("metric"),
         "matched",
         "cand_total",
         "ref_total",
     )
-    lcs = lcs_cells(df, id_col, cand_col, ref_col).select(
+    lcs = lcs_cells(
+        df, id_col, cand_col, ref_col, group_col=group_col
+    ).select(
+        *keys,
         F.lit("rougeL").alias("metric"),
         "matched",
         "cand_total",
         "ref_total",
     )
-    return _rouge_finish(ngm.unionByName(lcs))
+    return ngm.unionByName(lcs)
+
+
+def corpus_rouge_by_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 2,
+) -> DataFrame:
+    """Corpus ROUGE PER GROUP — the multi-system harness shape for the
+    summarization metric, sliced exactly like per-system BLEU/chrF/WER
+    (one row per (group, metric)).  Both folds key their counters on
+    the stringified group (the bleu_cells pattern: exchange
+    O(groups * metrics * partitions) rows whatever the corpus) and the
+    finisher is :func:`_rouge_finish` VERBATIM, so each group's rows
+    equal :func:`corpus_rouge` over that slice bit for bit
+    (test-asserted).  NULL groups form their own group, the Spark
+    groupBy convention."""
+    return _rouge_finish(
+        _rouge_cells(
+            df, id_col, cand_col, ref_col, max_n=max_n, group_col=group_col
+        ),
+        keys=(group_col,),
+    )
+
+
+def rouge_append_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 2,
+) -> None:
+    """One append cycle of the maintained corpus-ROUGE store — the
+    fourth face of the additive-store regime (BLEU, chrF, WER, now
+    ROUGE): metric-keyed integer cells per batch (``max_n + 1`` rows,
+    however many pairs arrived), batch-id-addressed replay safety
+    (deterministic cells, MAX-collapse on read)."""
+    cells = _rouge_cells(batch_df, id_col, cand_col, ref_col, max_n=max_n)
+    cells.withColumn("batch_id", F.lit(int(batch_id)).cast("long")).write.mode(
+        "append"
+    ).parquet(state_dir)
+
+
+def rouge_state_cells(spark, state_dir: str) -> DataFrame:
+    """Read a :func:`rouge_append_batch` store back to clean per-batch
+    metric cells (MAX per (metric, batch_id) — replays write identical
+    values, so MAX is the identity on clean stores)."""
+    state = spark.read.parquet(state_dir)
+    return (
+        state.groupBy("metric", "batch_id")
+        .agg(
+            F.max("matched").alias("matched"),
+            F.max("cand_total").alias("cand_total"),
+            F.max("ref_total").alias("ref_total"),
+        )
+        .select("metric", "matched", "cand_total", "ref_total")
+    )
+
+
+def rouge_from_store(spark, state_dir: str) -> DataFrame:
+    """Corpus ROUGE over EVERYTHING the store has seen — equals
+    :func:`corpus_rouge` over the concatenation of all appended
+    batches BIT FOR BIT (additive integer cells + the shared
+    :func:`_rouge_finish`; asserted by ``tests/test_evalmetrics.py``)."""
+    summed = (
+        rouge_state_cells(spark, state_dir)
+        .groupBy("metric")
+        .agg(
+            F.sum("matched").cast("long").alias("matched"),
+            F.sum("cand_total").cast("long").alias("cand_total"),
+            F.sum("ref_total").cast("long").alias("ref_total"),
+        )
+    )
+    return _rouge_finish(summed)
 
 
 def chrf_append_batch(

@@ -1318,3 +1318,109 @@ def test_rouge_lcs_vs_reference_dp_on_spark(spark):
     want = sum(_lcs_dp(c.split(), toks) for c in cands.values())
     assert got["matched"] == want
     assert got["ref_total"] == 3 * 24
+
+
+def test_rouge_by_group_matches_per_group_single_system(spark):
+    """The grouped-metric contract: each group's ROUGE rows equal
+    corpus_rouge over that slice BIT FOR BIT (shared _rouge_finish),
+    and NULL groups form their own group."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = []
+    for i in range(40):
+        ref = f"the quick brown fox tok{i} jumps over"
+        toks = ref.split()
+        sys_id = i % 3
+        if sys_id == 0:
+            cand = " ".join(t for j, t in enumerate(toks) if j % 3 != 1)
+        elif sys_id == 1:
+            cand = " ".join(reversed(toks))
+        else:
+            cand = ref
+        rows.append((i, f"s{sys_id}" if i != 39 else None, cand, ref))
+    df = spark.createDataFrame(
+        rows, "id long, system string, cand string, ref string"
+    )
+    grouped = {
+        (r["system"], r["metric"]): r.asDict()
+        for r in em.corpus_rouge_by_group(
+            df, "system", "id", "cand", "ref"
+        ).collect()
+    }
+    assert len(grouped) == 4 * 3  # s0/s1/s2/NULL x rouge1/rouge2/rougeL
+    for sys_val in ("s0", "s1", "s2", None):
+        if sys_val is None:
+            sl = df.where("system IS NULL")
+        else:
+            sl = df.where(f"system = '{sys_val}'")
+        single = {
+            r["metric"]: r.asDict()
+            for r in em.corpus_rouge(sl, "id", "cand", "ref").collect()
+        }
+        for metric, want in single.items():
+            got = dict(grouped[(sys_val, metric)])
+            got.pop("system")
+            assert got == want, (sys_val, metric)
+    # the slices separate the metrics: reversal keeps rouge1, kills rougeL
+    assert grouped[("s1", "rouge1")]["recall6"] == 1.0
+    assert grouped[("s1", "rougeL")]["recall6"] < 0.5
+    assert grouped[("s2", "rougeL")]["f1_6"] == 1.0
+
+
+def test_rouge_store_stream_matches_batch_exactly(spark, tmp_path):
+    """Maintained ROUGE store: streamed two-file appends == one-shot
+    corpus_rouge over the union corpus bit for bit; replay no-op."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = [
+        (i, f"tok{i} a b c {'x ' * (i % 3)}".strip(), f"a b c d tok{i}")
+        for i in range(40)
+    ]
+    pairs = spark.createDataFrame(rows, "id long, cand string, ref string")
+    src_dir = tmp_path / "rouge_src"
+    pairs.where("id % 2 = 0").coalesce(1).write.parquet(str(src_dir / "f1"))
+    import time
+
+    time.sleep(1.1)
+    pairs.where("id % 2 = 1").coalesce(1).write.parquet(str(src_dir / "f2"))
+    stream = (
+        spark.readStream.schema(pairs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*/"))
+    )
+    state_dir = str(tmp_path / "rouge_state")
+
+    def process(batch_df, epoch_id):
+        em.rouge_append_batch(
+            batch_df, state_dir, epoch_id, "id", "cand", "ref"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_rouge"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert (
+        spark.read.parquet(state_dir).select("batch_id").distinct().count()
+        >= 2
+    )
+    got = {
+        r["metric"]: r.asDict()
+        for r in em.rouge_from_store(spark, state_dir).collect()
+    }
+    want = {
+        r["metric"]: r.asDict()
+        for r in em.corpus_rouge(pairs, "id", "cand", "ref").collect()
+    }
+    assert got == want
+    # replay no-op
+    em.rouge_append_batch(
+        pairs.where("id % 2 = 1"), state_dir, 1, "id", "cand", "ref"
+    )
+    again = {
+        r["metric"]: r.asDict()
+        for r in em.rouge_from_store(spark, state_dir).collect()
+    }
+    assert again == want

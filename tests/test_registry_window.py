@@ -77,13 +77,13 @@ def test_window_covers_every_family():
         # recorded row (rel_filter_project, rel_union_all, rel_explode,
         # pipe_sketch_cms, rel_variant — ALL refreshed in r12, the
         # freshest rows in the registry)
-        # (rel_join_cross / rel_join_theta / rel_pivot / rel_unpivot —
-        # r08-green — ceded their slots to the four late round-13 eval
-        # faces; joins stay repped by left/anti/semi/full this window)
-        "rel_join_left",  # joins (r7 — plus anti/semi/full, r8)
+        # (rel_join_cross / rel_join_theta / rel_pivot / rel_unpivot /
+        # rel_join_full_outer — r08-green — ceded their slots to the
+        # five late round-13 eval faces; joins stay repped by
+        # left/anti/semi this window)
+        "rel_join_left",  # joins (r7 — plus anti/semi, r8)
         "rel_join_anti",
         "rel_join_semi",
-        "rel_join_full_outer",
         "rel_window_range_frame",  # windows (r8)
         "rel_cte",  # subqueries/CTEs (r8)
         "rel_agg_cube",  # aggregations (r8 — plus distinct, grouping sets)
