@@ -540,14 +540,21 @@ def qa_normalize(col):
     DELETE punctuation (no space substituted — ``don't`` -> ``dont``,
     the official script's behavior), whitespace-tokenize, drop the
     articles a/an/the, re-join with single spaces.  NULL normalizes to
-    the empty string (the corpus_bleu NULL-text contract)."""
+    the empty string (the corpus_bleu NULL-text contract).
+
+    Implementation note: the article/empty drop is a chain of
+    ``array_remove`` calls, not a ``filter`` lambda — higher-order
+    functions evaluate interpreted (CodegenFallback) while array_remove
+    stays in whole-stage codegen; measured equivalent output on 1M
+    rows with the cost dominated by the two regex passes either way
+    (docs/SCALE.md), so this keeps the hot path lambda-free for free.
+    """
     cleaned = F.regexp_replace(
         F.lower(F.coalesce(col, F.lit(""))), r"[^a-z0-9\s]", ""
     )
-    toks = F.filter(
-        F.split(cleaned, r"\s+"),
-        lambda x: (x != F.lit("")) & ~x.isin(*QA_ARTICLES),
-    )
+    toks = F.split(cleaned, r"\s+")
+    for t in ("",) + QA_ARTICLES:
+        toks = F.array_remove(toks, t)
     return F.concat_ws(" ", toks)
 
 
@@ -578,53 +585,73 @@ def qa_em_f1(
       scores 0.  Rounded at 6 (one IEEE division).
 
     100 TB shape: the multiset intersection is an explode -> count ->
-    equi-join on (qid, gold, word) — shuffles O(total answer tokens),
-    which for answer-length text is a projection-sized exchange, never
-    the corpus; no window, no Python, no collect.  The per-row
-    higher-order-lambda fold this replaces is the interpreted-lambda
-    trap docs/PLANS.md measured at ~0.5 ms/row — the join is the same
-    arithmetic map-side combined.
+    equi-join — shuffles O(total answer tokens), which for
+    answer-length text is a projection-sized exchange, never the
+    corpus; no window, no Python, no collect.  Measured shuffle diet
+    (50k/500k 20-token curve): the prediction's tokens explode ONCE
+    per question (clipping uses min(pred_count, gold_count) and
+    pred_count does not depend on the alternative), exploded gold
+    tokens key on a 32-hex md5 of the alternative instead of its full
+    text, and the final join carries scalars only — together
+    10.1 -> 6.8 s at 50k and 117.0 -> 59.5 s at 500k pairs (2x),
+    hash parity at all four configs.  The REMAINING cost is
+    two-thirds ROW-LOCAL (profiled: the two regex passes of
+    qa_normalize read ~19 us/side at 20-token answers; a
+    position-keyed post-explode dedupe variant measured WORSE, 91 s —
+    it ships 20x the exchange rows), linear in pairs and
+    embarrassingly parallel.  The per-row higher-order-lambda fold
+    the join replaces is the interpreted-lambda trap docs/PLANS.md
+    measured at ~0.5 ms/row.
     """
-    base = df.select(
+    # everything derivable row-locally happens BEFORE any exchange (EM,
+    # lengths, token arrays, digests); every shuffle after this line
+    # carries scalars or single tokens, never an answer body
+    ptoks = F.array_remove(F.split(qa_normalize(F.col(pred_col)), " "), "")
+    gtoks = F.array_remove(F.split(qa_normalize(F.col(gold_col)), " "), "")
+    rows = df.select(
         F.col(qid_col).alias("_qid"),
-        qa_normalize(F.col(pred_col)).alias("_p"),
-        qa_normalize(F.col(gold_col)).alias("_g"),
-    ).dropDuplicates(["_qid", "_p", "_g"])
-    ptoks = F.filter(F.split(F.col("_p"), r"\s+"), lambda x: x != F.lit(""))
-    gtoks = F.filter(F.split(F.col("_g"), r"\s+"), lambda x: x != F.lit(""))
-    pairs = base.select(
-        "_qid",
-        "_p",
-        "_g",
+        F.md5(qa_normalize(F.col(pred_col))).alias("_pk"),
+        F.md5(qa_normalize(F.col(gold_col))).alias("_ak"),
+        (qa_normalize(F.col(pred_col)) == qa_normalize(F.col(gold_col)))
+        .cast("int")
+        .alias("_em"),
         F.size(ptoks).cast("long").alias("_lp"),
         F.size(gtoks).cast("long").alias("_lg"),
         ptoks.alias("_pt"),
         gtoks.alias("_gt"),
     )
+    # one row per DISTINCT normalized alternative (digest-keyed; the
+    # dedupe row carries the token arrays for the two count branches —
+    # measured CHEAPER than post-explode position-keyed dedupes, which
+    # ship ~20x the exchange rows)
+    pairs = rows.dropDuplicates(["_qid", "_pk", "_ak"])
     pc = (
-        pairs.select("_qid", "_g", F.explode("_pt").alias("_w"))
-        .groupBy("_qid", "_g", "_w")
+        pairs.select("_qid", "_pt")
+        .dropDuplicates(["_qid"])  # pred is constant per question
+        .select("_qid", F.explode("_pt").alias("_w"))
+        .groupBy("_qid", "_w")
         .agg(F.count(F.lit(1)).alias("_cp"))
     )
     gc = (
-        pairs.select("_qid", "_g", F.explode("_gt").alias("_w"))
-        .groupBy("_qid", "_g", "_w")
+        pairs.select("_qid", "_ak", F.explode("_gt").alias("_w"))
+        .groupBy("_qid", "_ak", "_w")
         .agg(F.count(F.lit(1)).alias("_cg"))
     )
     matched = (
-        pc.join(gc, ["_qid", "_g", "_w"], "inner")
-        .groupBy("_qid", "_g")
+        pc.join(gc, ["_qid", "_w"], "inner")
+        .groupBy("_qid", "_ak")
         .agg(F.sum(F.least("_cp", "_cg")).cast("long").alias("_m"))
     )
     per_alt = (
-        pairs.join(matched, ["_qid", "_g"], "left")
+        pairs.select("_qid", "_ak", "_em", "_lp", "_lg")
+        .join(matched, ["_qid", "_ak"], "left")
         .withColumn("_m", F.coalesce(F.col("_m"), F.lit(0)))
         .select(
             "_qid",
-            (F.col("_p") == F.col("_g")).cast("int").alias("_em"),
+            "_em",
             F.when(
                 (F.col("_lp") == 0) | (F.col("_lg") == 0),
-                (F.col("_p") == F.col("_g")).cast("double"),
+                F.col("_em").cast("double"),
             )
             .otherwise(
                 F.round(

@@ -119,3 +119,41 @@ def _g_inv(pos):
 def test_k_validation():
     with pytest.raises(ValueError, match="k must"):
         rk.ranking_report_per_query(None, None, "q", "i", "r", k=0)
+
+
+def test_ndcg_grades_ann_against_exact_ground_truth(spark, sf_dir):
+    """The integration the module exists for: grade the repo's own
+    IVF approximate search against the exact brute-force ground truth
+    with ranking metrics.  Exact top-k is its own gold (nDCG/MRR/
+    recall exactly 1); nprobe=1 IVF drops whole cells, so its nDCG
+    lands strictly below 1 and at-or-below its own micro recall's
+    ceiling — the number that turns nprobe tuning into an experiment
+    (the recall@k face is pipe_sim_recall_ivf; this adds the
+    rank-position-aware grade)."""
+    import os
+
+    from lightfusion_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.where("vec_id % 20 = 0").limit(40)
+    exact = similarity.topk_cosine(emb, queries, "vec_id", "embedding", k=3)
+    approx = similarity.topk_cosine_ivf(
+        emb, queries, "vec_id", "embedding", n_centroids=8, k=3
+    )
+    gold = exact.select("query_id", "neighbor_id")
+
+    perfect = rk.ranking_report(
+        exact, gold, "query_id", "neighbor_id", "rank", k=3
+    ).collect()[0]
+    assert perfect["mean_ndcg6"] == 1.0 and perfect["mrr6"] == 1.0
+    assert perfect["micro_recall6"] == 1.0
+
+    graded = rk.ranking_report(
+        approx, gold, "query_id", "neighbor_id", "rank", k=3
+    ).collect()[0]
+    assert graded["n_queries"] == perfect["n_queries"]
+    # nprobe=1 misses whole cells: strictly imperfect on this fixture
+    assert graded["micro_recall6"] < 1.0
+    assert 0.0 < graded["mean_ndcg6"] < 1.0
+    # position-aware nDCG can't exceed 1, and MRR is bounded by hit rate
+    assert graded["mrr6"] <= 1.0

@@ -1197,6 +1197,60 @@ def main() -> None:
             lambda: noop2(em_mod.corpus_wer(p1, "id", "cand", "ref")),
             lambda: noop2(em_mod.corpus_wer(p10, "id", "cand", "ref")),
         )
+        # round-13 continuation: ROUGE (two Arrow folds — n-gram cells
+        # + the bit-parallel LCS), QA EM/F1 (explode → count →
+        # equi-join on answer tokens), ranking metrics (query-keyed
+        # joins + one window, pure JVM)
+        curve(
+            "curve_eval_rouge",
+            lambda: noop2(em_mod.corpus_rouge(p1, "id", "cand", "ref")),
+            lambda: noop2(em_mod.corpus_rouge(p10, "id", "cand", "ref")),
+        )
+
+        def _qa(p):
+            rows = p.select(
+                F.col("id").alias("qid"),
+                F.col("cand").alias("pred"),
+                F.explode(
+                    F.array(F.col("ref"), F.col("cand"))
+                ).alias("gold"),
+            )
+            return em_mod.qa_report(rows, "qid", "pred", "gold")
+
+        curve(
+            "curve_eval_qa",
+            lambda: noop2(_qa(p1)),
+            lambda: noop2(_qa(p10)),
+        )
+
+        from lightfusion_spark.operators import ranking as rk_mod
+
+        def _rank(n):
+            q_count = n // 10
+            res = spark.range(n).select(
+                (F.col("id") % q_count).alias("q"),
+                F.col("id").alias("item"),
+                (F.floor(F.col("id") / q_count) + 1)
+                .cast("long")
+                .alias("rnk"),
+            )
+            # 5 gold per query at items hitting ranks 1,3,5,7,9
+            gold = spark.range(q_count * 5).select(
+                (F.col("id") % q_count).alias("q"),
+                (
+                    (F.col("id") % q_count)
+                    + F.floor(F.col("id") / q_count) * 2 * q_count
+                )
+                .cast("long")
+                .alias("item"),
+            )
+            return rk_mod.ranking_report(res, gold, "q", "item", "rnk", k=10)
+
+        curve(
+            "curve_eval_ranking",
+            lambda: noop2(_rank(50_000)),
+            lambda: noop2(_rank(500_000)),
+        )
         curve(
             "curve_eval_bleu_by_group",
             lambda: noop2(
