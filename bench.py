@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "pipe_eval_qa",
     "pipe_eval_rouge",
     "pipe_eval_rouge_by_system",
+    "pipe_eval_bleu_bootstrap",
 ]
 
 

@@ -1761,3 +1761,190 @@ def pipe_eval_rouge_by_system(spark, sf_dir):
     return evalmetrics.corpus_rouge_by_group(
         pairs, "system", "doc_id", "cand", "ref", max_n=2
     )
+
+
+def _boot_score_case() -> str:
+    """The one-shot BLEU finisher as a per-row SQL expression over
+    pivoted (m1..m4, t1..t4, rl) columns — the _BLEU oracle's calc
+    section, reused for every bootstrap replicate row."""
+    micro = " + ".join(
+        f"CAST(FLOOR(ROUND(LN(CAST(m{n} AS DOUBLE) / CAST(t{n} AS DOUBLE)), 6)"
+        f" * 1000000 + 0.5) AS BIGINT)"
+        for n in (1, 2, 3, 4)
+    )
+    zeros = " OR ".join(f"m{n} = 0 OR t{n} = 0" for n in (1, 2, 3, 4))
+    return f"""CASE WHEN ({zeros}) THEN 0.0
+         ELSE ROUND(
+           (CASE WHEN t1 >= rl THEN 1.0
+                 ELSE ROUND(EXP(1.0 - CAST(rl AS DOUBLE)
+                                / CAST(t1 AS DOUBLE)), 6) END)
+           * ROUND(EXP(CAST({micro} AS DOUBLE) / 4000000.0), 6), 6)
+    END"""
+
+
+def _boot_pivot(src: str) -> str:
+    cols = ", ".join(
+        f"COALESCE(MAX(CASE WHEN n = {n} THEN m END), 0) AS m{n}, "
+        f"COALESCE(MAX(CASE WHEN n = {n} THEN t END), 0) AS t{n}"
+        for n in (1, 2, 3, 4)
+    )
+    return (
+        f"SELECT {{key}} {cols}, "
+        f"COALESCE(MAX(CASE WHEN n = 1 THEN r END), 0) AS rl FROM {src} "
+        f"{{group}}"
+    )
+
+
+def _boot_side_sql(tag: str) -> str:
+    """Weighted per-replicate scores for one side's per-doc cells."""
+    pivot = _boot_pivot(f"p{tag}").format(key="b,", group="GROUP BY b")
+    return f"""
+p{tag} AS (
+  SELECT w.b, c.n, SUM(c.m * w.w) AS m, SUM(c.t * w.w) AS t,
+         SUM(c.r * w.w) AS r
+  FROM cells_{tag} c JOIN w ON w.doc_id = c.doc_id GROUP BY w.b, c.n
+),
+f{tag} AS ({pivot}),
+s{tag} AS (SELECT b, {_boot_score_case()} AS bleu FROM f{tag}),
+g{tag} AS (SELECT n, SUM(m) AS m, SUM(t) AS t, SUM(r) AS r
+           FROM cells_{tag} GROUP BY n),
+ff{tag} AS ({_boot_pivot(f"g{tag}").format(key="", group="")}),
+sf{tag} AS (SELECT {_boot_score_case()} AS bleu FROM ff{tag})"""
+
+
+def _boot_cells_sql(tag: str, ct: str) -> str:
+    """Per-doc clipped-match cells for one candidate column."""
+    return f"""
+cg{tag} AS (
+  SELECT doc_id, ns.n AS n,
+         array_to_string({ct}[u.i:u.i + ns.n - 1], ' ') AS gram
+  FROM pair CROSS JOIN ns,
+       UNNEST(range(1, greatest(len({ct}) - ns.n + 2, 1))) AS u(i)
+),
+cc{tag} AS MATERIALIZED (
+  SELECT doc_id, n, gram, COUNT(*) AS c FROM cg{tag} GROUP BY doc_id, n, gram
+),
+m{tag} AS (
+  SELECT cc{tag}.doc_id, cc{tag}.n,
+         CAST(SUM(LEAST(cc{tag}.c, rc.c)) AS BIGINT) AS m
+  FROM cc{tag} JOIN rc ON rc.doc_id = cc{tag}.doc_id AND rc.n = cc{tag}.n
+                      AND rc.gram = cc{tag}.gram
+  GROUP BY cc{tag}.doc_id, cc{tag}.n
+),
+cells_{tag} AS (
+  SELECT p.doc_id, ns.n AS n, COALESCE(m{tag}.m, 0) AS m,
+         greatest(len(p.{ct}) - ns.n + 1, 0) AS t,
+         greatest(len(p.rt) - ns.n + 1, 0) AS r
+  FROM pair p CROSS JOIN ns
+  LEFT JOIN m{tag} ON m{tag}.doc_id = p.doc_id AND m{tag}.n = ns.n
+)"""
+
+
+_BOOT_WEIGHT_CASE = """CASE WHEN h.h6 < 367879 THEN 0 WHEN h.h6 < 735758 THEN 1
+        WHEN h.h6 < 919698 THEN 2 WHEN h.h6 < 981011 THEN 3
+        WHEN h.h6 < 996340 THEN 4 WHEN h.h6 < 999405 THEN 5
+        WHEN h.h6 < 999916 THEN 6 WHEN h.h6 < 999989 THEN 7
+        WHEN h.h6 < 999998 THEN 8 ELSE 9 END"""
+
+_BLEU_BOOTSTRAP_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS rt
+  FROM documents
+),
+pair AS MATERIALIZED (
+  SELECT doc_id, rt,
+         list_transform(
+           list_filter(range(1, len(rt) + 1), i -> (i - 1) % 7 <> 3),
+           i -> rt[i]) AS cta,
+         list_transform(
+           list_filter(range(1, len(rt) + 1), i -> (i - 1) % 5 <> 2),
+           i -> rt[i]) AS ctb
+  FROM base
+),
+ns(n) AS (VALUES (1), (2), (3), (4)),
+rg AS (
+  SELECT doc_id, ns.n AS n,
+         array_to_string(rt[u.i:u.i + ns.n - 1], ' ') AS gram
+  FROM pair CROSS JOIN ns,
+       UNNEST(range(1, greatest(len(rt) - ns.n + 2, 1))) AS u(i)
+),
+rc AS MATERIALIZED (
+  SELECT doc_id, n, gram, COUNT(*) AS c FROM rg GROUP BY doc_id, n, gram
+),
+{_boot_cells_sql("a", "cta")},
+{_boot_cells_sql("b", "ctb")},
+bs AS (SELECT CAST(u.b AS BIGINT) AS b FROM UNNEST(range(0, 32)) AS u(b)),
+w AS (
+  SELECT p.doc_id, bs.b, {_BOOT_WEIGHT_CASE} AS w
+  FROM pair p CROSS JOIN bs,
+  LATERAL (
+    SELECT CAST(('0x' || substr(md5('7:' || CAST(p.doc_id AS VARCHAR)
+                                 || ':' || CAST(bs.b AS VARCHAR)), 1, 14))
+                AS BIGINT) % 1000000 AS h6
+  ) h
+),
+{_boot_side_sql("a")},
+{_boot_side_sql("b")},
+d AS (
+  SELECT sa.b, ROUND(sa.bleu - sb.bleu, 6) AS d
+  FROM sa JOIN sb ON sa.b = sb.b
+),
+dr AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS rk FROM d)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pair) AS n_pairs,
+       CAST(32 AS INTEGER) AS n_boot,
+       (SELECT bleu FROM sfa) AS bleu_a6,
+       (SELECT bleu FROM sfb) AS bleu_b6,
+       ROUND((SELECT bleu FROM sfa) - (SELECT bleu FROM sfb), 6) AS delta6,
+       (SELECT d FROM dr WHERE rk = 1) AS delta_lo6,
+       (SELECT d FROM dr WHERE rk = 32) AS delta_hi6,
+       (SELECT CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM d) AS n_delta_pos,
+       (SELECT CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM d) AS n_delta_neg,
+       ROUND((SELECT CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+              FROM d) / 32.0, 6) AS p_a_better6
+"""
+
+
+@register(
+    "pipe_eval_bleu_bootstrap",
+    oracle=_BLEU_BOOTSTRAP_ORACLE,
+    doc="paired bootstrap significance for corpus BLEU "
+    "(evalmetrics.bleu_paired_bootstrap, Koehn 2004) — the question "
+    "the point metrics cannot answer: is system A's lead REAL or "
+    "within resampling noise of this test set?  Systems are the "
+    "drop-every-7th (A) vs drop-every-5th (B) corruptions; both are "
+    "resampled with the SAME per-pair weights (pairing cancels "
+    "test-set difficulty), 32 replicates.  Resampling is "
+    "deterministic Poisson(1) — the distributed-bootstrap "
+    "approximation of the multinomial resample, STATED — drawn from "
+    "md5_56('seed:id:b') %% 1e6 against integer ppm thresholds "
+    "hardcoded identically in this oracle, so weights, replicate "
+    "scores and the nearest-rank 2.5/97.5 interval all replay "
+    "bit-for-bit in SQL (the per-replicate score is the one-shot "
+    "BLEU finisher VERBATIM under a groupBy on the replicate).  "
+    "Exchanges: O(pairs * 4 * 32) integer cell rows, no text; the "
+    "quantile step sorts 32 deltas inside one row.  Expected shape: "
+    "delta > 0 with p_a_better = 1.0 — milder corruption wins in "
+    "every resampled world",
+)
+def pipe_eval_bleu_bootstrap(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    rt = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    pairs = d.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.filter(rt, lambda x, i: i % F.lit(7) != F.lit(3))
+        ).alias("ca"),
+        F.concat_ws(
+            " ", F.filter(rt, lambda x, i: i % F.lit(5) != F.lit(2))
+        ).alias("cb"),
+        F.concat_ws(" ", rt).alias("ref"),
+    )
+    return evalmetrics.bleu_paired_bootstrap(
+        pairs, "doc_id", "ca", "cb", "ref", max_n=4, n_boot=32, seed=7
+    )

@@ -53,24 +53,24 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #:   retired in one stroke (embeddings/similarity recalls, the two
 #:   n-gram LM rows, the three multimodal frame ops, the url/web block,
 #:   and the eight r07 relational reps)
-#: + 10 of the r08 block, displaced-reps first (rel_scalar_date and
+#: + 9 of the r08 block, displaced-reps first (rel_scalar_date and
 #:   rel_grouping_sets, which ceded their r12 rep slots to late faces)
-#:   then family spread: anti/semi joins, cube/distinct aggs,
-#:   CTE, range frame, the stream join's batch twin, and
-#:   pipe_bpe_train (whose expected-merges fixture was regenerated
-#:   this round, so official re-verification is due;
-#:   pipe_decontaminate_bloom ceded its planned slot to the WER face,
-#:   and rel_join_cross/rel_join_theta/rel_pivot/rel_unpivot/
-#:   rel_join_full_outer — all r08-green — ceded theirs to the five
-#:   late round-13 eval faces; all six head the r14 backlog)
-#: + 10 round-13 NEW faces (the round-12 verdict's items 5, 3, 4, 8,
+#:   then family spread: anti/semi joins, cube agg, CTE, range frame,
+#:   the stream join's batch twin, and pipe_bpe_train (whose
+#:   expected-merges fixture was regenerated this round, so official
+#:   re-verification is due; pipe_decontaminate_bloom ceded its
+#:   planned slot to the WER face, and rel_join_cross/rel_join_theta/
+#:   rel_pivot/rel_unpivot/rel_join_full_outer/rel_agg_distinct — all
+#:   r08-green — ceded theirs to the six late round-13 eval faces;
+#:   all seven head the r14 backlog)
+#: + 11 round-13 NEW faces (the round-12 verdict's items 5, 3, 4, 8,
 #:   then the eval-family completion wave): pipe_eval_chrf_by_system,
 #:   pipe_dedup_conversations_fuzzy, pipe_conversation_quality,
 #:   pipe_sft_spans, pipe_eval_wer, pipe_eval_wer_by_system,
 #:   pipe_eval_ranking, pipe_eval_qa, pipe_eval_rouge,
-#:   pipe_eval_rouge_by_system
-#: 4+26+10+10 = 50 exactly.  After this round no registry row's last
-#: driver grade is older than r08; the remaining r08 rows (24) head the
+#:   pipe_eval_rouge_by_system, pipe_eval_bleu_bootstrap
+#: 4+26+9+11 = 50 exactly.  After this round no registry row's last
+#: driver grade is older than r08; the remaining r08 rows (25) head the
 #: r14 backlog, then the r09 block.  Every rotated-out name was
 #: officially green in r08-r12 and moves to WINDOW_EXEMPT;
 #: tests/test_registry_window.py asserts every registered query is
@@ -110,26 +110,26 @@ PRIORITY: list[str] = [
     "rel_profile_orders",
     "rel_scd2_asof",
     "rel_skew_report",
-    # r08 block — 16 rows, displaced-reps first, then family spread
+    # r08 block — 9 rows, displaced-reps first, then family spread
     "rel_scalar_date",
     "rel_grouping_sets",
     "pipe_bpe_train",
     "rel_join_anti",
     "rel_join_semi",
     "rel_agg_cube",
-    "rel_agg_distinct",
     "rel_cte",
     "rel_window_range_frame",
     "events_stream_join",
     # (pipe_decontaminate_bloom, rel_join_cross, rel_join_theta,
-    # rel_pivot and rel_unpivot — all r08-green — ceded their planned
-    # slots to the five late round-13 faces; they head the r14
-    # backlog.  Joins stay repped by anti/semi/full this window,
+    # rel_pivot, rel_unpivot, rel_join_full_outer and rel_agg_distinct
+    # — all r08-green — ceded their planned slots to the seven late
+    # round-13 faces; they head the r14 backlog.  Joins stay repped by
+    # left/anti/semi this window, aggs by cube + grouping sets,
     # decontamination by the r10-green pipe_decontaminate_fuzzy +
     # r11-green pipe_decontaminate rows.)
     # round-13 NEW faces (round-12 verdict items 5, 3, 4, 8, then the
     # eval-family completion wave: grouped WER, ranking metrics,
-    # SQuAD EM/F1, ROUGE)
+    # SQuAD EM/F1, ROUGE one-shot/by-system, BLEU paired bootstrap)
     "pipe_eval_chrf_by_system",
     "pipe_dedup_conversations_fuzzy",
     "pipe_conversation_quality",
@@ -140,6 +140,7 @@ PRIORITY: list[str] = [
     "pipe_eval_qa",
     "pipe_eval_rouge",
     "pipe_eval_rouge_by_system",
+    "pipe_eval_bleu_bootstrap",
 ]
 
 

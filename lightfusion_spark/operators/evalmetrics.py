@@ -333,6 +333,169 @@ def corpus_bleu_from_cells(
     return flat.select(*out_cols)
 
 
+#: Poisson(1) CDF as exact ppm integer thresholds (floor(cdf(k)*1e6)):
+#: the bootstrap weight of a pair in replicate b is the number of
+#: thresholds at or below its deterministic per-(pair, replicate)
+#: uniform h6 = md5_56("seed:id:b") % 1e6 — hardcoded identically in
+#: the DuckDB oracles, so resampling itself is engine-replayable.
+#: Residual mass past k=8 (~1e-6) caps the weight at 9.
+POISSON1_CDF_PPM = (
+    367879,
+    735758,
+    919698,
+    981011,
+    996340,
+    999405,
+    999916,
+    999989,
+    999998,
+)
+
+
+def _poisson1_weight(h6):
+    """Inverse-CDF Poisson(1) draw from an integer ppm uniform."""
+    w = F.lit(len(POISSON1_CDF_PPM))
+    for k in reversed(range(len(POISSON1_CDF_PPM))):
+        w = F.when(h6 < F.lit(POISSON1_CDF_PPM[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def bleu_paired_bootstrap(
+    df: DataFrame,
+    id_col: str,
+    cand_a_col: str,
+    cand_b_col: str,
+    ref_col: str,
+    max_n: int = 4,
+    n_boot: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """Paired bootstrap significance for corpus BLEU (Koehn 2004) —
+    the eval-harness question the point metrics cannot answer: is
+    system A's BLEU lead over system B REAL, or within resampling
+    noise of this test set?  Both systems' outputs are resampled with
+    the SAME per-pair weights (pairing is what cancels test-set
+    difficulty), the corpus metric is recomputed per replicate, and
+    the per-replicate deltas give a confidence interval plus the
+    fraction of worlds where A wins.
+
+    Resampling is the distributed-bootstrap standard: independent
+    Poisson(1) pair weights (the large-n approximation of Koehn's
+    multinomial resample — stated, not hidden), drawn DETERMINISTICALLY
+    from ``md5_56("seed:id:b") % 1e6`` against integer ppm thresholds
+    (:data:`POISSON1_CDF_PPM`), so the whole experiment — weights,
+    replicate scores, interval — is a pure function of (data, seed)
+    and replays bit-for-bit in the DuckDB oracle.
+
+    Returns ONE row: ``(n_pairs, n_boot, bleu_a6, bleu_b6, delta6,
+    delta_lo6, delta_hi6, n_delta_pos, n_delta_neg, p_a_better6)`` —
+    full-corpus scores and their difference, the nearest-rank
+    2.5%/97.5% bounds over the per-replicate deltas (rank
+    ``ceil(alpha * n_boot)``, the stated small-B convention), the
+    replicate win/loss counts, and the win fraction.
+
+    100 TB shape: per-pair BLEU cells are :func:`bleu_cells` keyed on
+    the pair id (the group-counter fold — row-local counting, a slim
+    integer shuffle), replicates explode those cells by ``n_boot``
+    (O(pairs * max_n * n_boot) integer rows, no text), and each
+    replicate finishes through :func:`corpus_bleu_from_cells`
+    VERBATIM under a groupBy — the per-replicate score is the
+    one-shot metric's expression tree, not a reimplementation.  The
+    final quantile step sorts ``n_boot`` deltas inside one row
+    (``sort_array`` over a collected 32-element array), never a
+    corpus-sized sort.
+    """
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2, got {n_boot}")
+    from .dedup import _md5_long
+
+    def replicate_scores(cand_col, side):
+        cells = bleu_cells(
+            df, id_col, cand_col, ref_col, max_n=max_n, group_col=id_col
+        ).withColumnRenamed(id_col, "_id")
+        reps = cells.select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(n_boot) - 1))
+            ).alias("b"),
+        )
+        h6 = (
+            _md5_long(
+                F.concat_ws(
+                    ":", F.col("_id"), F.col("b").cast("string")
+                ),
+                seed=seed,
+            )
+            % F.lit(1_000_000)
+        )
+        w = _poisson1_weight(h6)
+        weighted = reps.select(
+            F.col("b"),
+            F.col("n"),
+            (F.col("matched") * w).cast("long").alias("matched"),
+            (F.col("cand_total") * w).cast("long").alias("cand_total"),
+            (F.col("ref_total") * w).cast("long").alias("ref_total"),
+        )
+        scored = corpus_bleu_from_cells(
+            weighted, max_n=max_n, group_cols=("b",)
+        )
+        return scored.select(F.col("b"), F.col("bleu6").alias(f"bleu_{side}"))
+
+    per_b = replicate_scores(cand_a_col, "a").join(
+        replicate_scores(cand_b_col, "b"), "b"
+    )
+    deltas = per_b.select(
+        F.col("b"),
+        F.round(F.col("bleu_a") - F.col("bleu_b"), 6).alias("_d"),
+    )
+    lo_rank = max(1, -(-int(n_boot) * 25 // 1000))  # ceil(0.025 * B)
+    hi_rank = -(-int(n_boot) * 975 // 1000)  # ceil(0.975 * B)
+    summary = deltas.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("_nb"),
+        F.sort_array(F.collect_list("_d")).alias("_ds"),
+        F.sum(F.when(F.col("_d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_delta_pos"),
+        F.sum(F.when(F.col("_d") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_delta_neg"),
+    )
+    full_a = corpus_bleu(df, id_col, cand_a_col, ref_col, max_n=max_n).select(
+        F.col("bleu6").alias("bleu_a6")
+    )
+    full_b = corpus_bleu(df, id_col, cand_b_col, ref_col, max_n=max_n).select(
+        F.col("bleu6").alias("bleu_b6")
+    )
+    n_pairs = df.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    return (
+        summary.crossJoin(F.broadcast(full_a))
+        .crossJoin(F.broadcast(full_b))
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            "n_pairs",
+            F.lit(int(n_boot)).cast("int").alias("n_boot"),
+            "bleu_a6",
+            "bleu_b6",
+            F.round(F.col("bleu_a6") - F.col("bleu_b6"), 6).alias("delta6"),
+            # F.get (0-based, NULL out of bounds) not element_at: an
+            # empty corpus yields _ds = [] and must report NULL bounds,
+            # not an ANSI INVALID_ARRAY_INDEX
+            F.get("_ds", lo_rank - 1).alias("delta_lo6"),
+            F.get("_ds", hi_rank - 1).alias("delta_hi6"),
+            "n_delta_pos",
+            "n_delta_neg",
+            F.when(
+                F.col("_nb") > 0,
+                F.round(
+                    F.col("n_delta_pos").cast("double")
+                    / F.col("_nb").cast("double"),
+                    6,
+                ),
+            ).alias("p_a_better6"),
+        )
+    )
+
+
 #: WER's per-pair word-alphabet capacity: the encoding maps each distinct
 #: word of a (cand, ref) pair to ONE single-byte character (chr 1..127,
 #: where Spark's codepoint-based and DuckDB's byte-based levenshtein

@@ -1424,3 +1424,142 @@ def test_rouge_store_stream_matches_batch_exactly(spark, tmp_path):
         for r in em.rouge_from_store(spark, state_dir).collect()
     }
     assert again == want
+
+
+def _ref_bootstrap(rows, n_boot=32, seed=7, max_n=4):
+    """Independent driver-side reference of the paired bootstrap:
+    hashlib md5 weights, Counter cells, the micro-nat finisher —
+    shares NO code with the operator."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from lightfusion_spark.operators.evalmetrics import POISSON1_CDF_PPM
+
+    def weight(i, b):
+        h6 = (
+            int(
+                hashlib.md5(f"{seed}:{i}:{b}".encode()).hexdigest()[:14], 16
+            )
+            % 1_000_000
+        )
+        for k, t in enumerate(POISSON1_CDF_PPM):
+            if h6 < t:
+                return k
+        return len(POISSON1_CDF_PPM)
+
+    def cells(cand, ref):
+        c, r = cand.lower().split(), ref.lower().split()
+        out = {}
+        for n in range(1, max_n + 1):
+            cg = Counter(tuple(c[i:i + n]) for i in range(len(c) - n + 1))
+            rg = Counter(tuple(r[i:i + n]) for i in range(len(r) - n + 1))
+            m = sum(min(v, rg[g]) for g, v in cg.items() if g in rg)
+            out[n] = (m, sum(cg.values()), sum(rg.values()))
+        return out
+
+    def finish(agg):
+        any_zero = any(
+            agg[n][0] == 0 or agg[n][1] == 0 for n in range(1, max_n + 1)
+        )
+        cand_len, ref_len = agg[1][1], agg[1][2]
+        if any_zero or cand_len == 0:
+            return 0.0
+        micro = sum(
+            math.floor(round(math.log(agg[n][0] / agg[n][1]), 6) * 1e6 + 0.5)
+            for n in range(1, max_n + 1)
+        )
+        bp = (
+            1.0
+            if cand_len >= ref_len
+            else round(math.exp(1 - ref_len / cand_len), 6)
+        )
+        return round(bp * round(math.exp(micro / (max_n * 1e6)), 6), 6)
+
+    def rep(side, b):
+        agg = {n: [0, 0, 0] for n in range(1, max_n + 1)}
+        for (i, ca, cb, ref) in rows:
+            w = weight(i, b)
+            cl = cells(ca if side == "a" else cb, ref)
+            for n in range(1, max_n + 1):
+                for j in range(3):
+                    agg[n][j] += cl[n][j] * w
+        return finish({n: tuple(v) for n, v in agg.items()})
+
+    return sorted(
+        round(rep("a", b) - rep("b", b), 6) for b in range(n_boot)
+    )
+
+
+def _bootstrap_corpus():
+    """Heterogeneous pairs (varying lengths AND corruption offsets) —
+    a corpus of identical cells would make every replicate's weighted
+    precision ratios cancel and the bootstrap degenerate to a point."""
+    rows = []
+    for i in range(60):
+        extra = " ".join(f"x{i}y{k}" for k in range(i % 9))
+        ref = (
+            f"the quick brown fox tok{i} jumps over the lazy dog near "
+            f"bank w{i % 5} again {extra}"
+        ).strip()
+        toks = ref.split()
+        a = " ".join(t for j, t in enumerate(toks) if j % 7 != (i % 6))
+        b = " ".join(t for j, t in enumerate(toks) if j % 5 != (i % 4))
+        rows.append((i, a, b, ref))
+    return rows
+
+
+def test_bleu_bootstrap_matches_independent_reference(spark):
+    """The full experiment — weights, per-replicate scores, nearest-rank
+    interval, win counts — equals a shared-nothing driver-side
+    reference bit for bit (both corpora keep all four orders positive,
+    so the deltas genuinely vary across replicates)."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = _bootstrap_corpus()
+    df = spark.createDataFrame(rows, "id long, ca string, cb string, ref string")
+    got = (
+        em.bleu_paired_bootstrap(df, "id", "ca", "cb", "ref", n_boot=32)
+        .collect()[0]
+        .asDict()
+    )
+    deltas = _ref_bootstrap(rows)
+    assert len(set(deltas)) > 1, "degenerate fixture: deltas all equal"
+    assert got["delta_lo6"] == deltas[0] and got["delta_hi6"] == deltas[31]
+    assert got["n_delta_pos"] == sum(1 for d in deltas if d > 0)
+    assert got["n_delta_neg"] == sum(1 for d in deltas if d < 0)
+    assert got["p_a_better6"] == round(got["n_delta_pos"] / 32, 6)
+    # milder corruption must win decisively on this construction
+    assert got["delta6"] > 0 and got["bleu_a6"] > got["bleu_b6"] > 0
+    assert got["delta_lo6"] <= got["delta6"] <= got["delta_hi6"]
+
+
+def test_bleu_bootstrap_determinism_and_pairing(spark):
+    """Same seed -> bit-identical; different seed -> different interval
+    (resampling is a pure function of (data, seed)); identical systems
+    -> every delta exactly 0 whatever the weights (pairing cancels the
+    resample)."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = _bootstrap_corpus()
+    df = spark.createDataFrame(rows, "id long, ca string, cb string, ref string")
+    r1 = em.bleu_paired_bootstrap(df, "id", "ca", "cb", "ref").collect()[0]
+    r2 = em.bleu_paired_bootstrap(
+        df.repartition(7), "id", "ca", "cb", "ref"
+    ).collect()[0]
+    assert r1.asDict() == r2.asDict()
+    r3 = em.bleu_paired_bootstrap(
+        df, "id", "ca", "cb", "ref", seed=99
+    ).collect()[0]
+    assert (r3["delta_lo6"], r3["delta_hi6"]) != (
+        r1["delta_lo6"],
+        r1["delta_hi6"],
+    )
+    same = em.bleu_paired_bootstrap(df, "id", "ca", "ca", "ref").collect()[0]
+    assert same["delta_lo6"] == 0.0 and same["delta_hi6"] == 0.0
+    assert same["n_delta_pos"] == 0 and same["n_delta_neg"] == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_boot"):
+        em.bleu_paired_bootstrap(df, "id", "ca", "cb", "ref", n_boot=1)

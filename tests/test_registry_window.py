@@ -86,8 +86,9 @@ def test_window_covers_every_family():
         "rel_join_semi",
         "rel_window_range_frame",  # windows (r8)
         "rel_cte",  # subqueries/CTEs (r8)
-        "rel_agg_cube",  # aggregations (r8 — plus distinct, grouping sets)
-        "rel_agg_distinct",
+        # (rel_agg_distinct — r08-green — ceded its slot to the
+        # bootstrap face; aggs stay repped by cube + grouping sets)
+        "rel_agg_cube",  # aggregations (r8 — plus grouping sets)
         "rel_grouping_sets",
         "rel_scalar_date",  # scalar library (r8, the r12-displaced rep)
         "events_stream_join",  # timeseries/streaming family (r8 — the
