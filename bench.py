@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "pipe_eval_rouge",
     "pipe_eval_rouge_by_system",
     "pipe_eval_bleu_bootstrap",
+    "pipe_eval_wer_bootstrap",
 ]
 
 

@@ -1948,3 +1948,151 @@ def pipe_eval_bleu_bootstrap(spark, sf_dir):
     return evalmetrics.bleu_paired_bootstrap(
         pairs, "doc_id", "ca", "cb", "ref", max_n=4, n_boot=32, seed=7
     )
+
+
+_WER_BOOT_SIDE = """
+  SELECT doc_id,
+         len(list_distinct(list_concat({ct}, rt))) <= 127 AS ok,
+         CASE WHEN len(list_distinct(list_concat({ct}, rt))) <= 127
+              THEN CAST(levenshtein(
+           array_to_string(list_transform({ct},
+             w -> chr(CAST(list_position(list_distinct(list_concat({ct}, rt)),
+                                         w) AS INT))), ''),
+           array_to_string(list_transform(rt,
+             w -> chr(CAST(list_position(list_distinct(list_concat({ct}, rt)),
+                                         w) AS INT))), '')
+         ) AS BIGINT) END AS e,
+         CAST(len(rt) AS BIGINT) AS rl
+  FROM pair
+"""
+
+_WER_BOOTSTRAP_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '')[1:16] AS rt
+  FROM documents
+),
+pair AS MATERIALIZED (
+  SELECT doc_id, rt,
+         list_transform(
+           list_filter(range(1, len(rt) + 1), i -> (i - 1) % 7 <> 3),
+           i -> rt[i]) AS cta,
+         list_transform(
+           list_filter(range(1, len(rt) + 1), i -> (i - 1) % 5 <> 2),
+           i -> rt[i]) AS ctb
+  FROM base
+),
+sa AS ({_WER_BOOT_SIDE.format(ct="cta")}),
+sb AS ({_WER_BOOT_SIDE.format(ct="ctb")}),
+cells AS (
+  SELECT sa.doc_id, sa.e AS ea, sb.e AS eb, sa.rl,
+         sa.ok AND sb.ok AS ok
+  FROM sa JOIN sb ON sa.doc_id = sb.doc_id
+),
+kept AS (SELECT * FROM cells WHERE ok),
+bs AS (SELECT CAST(u.b AS BIGINT) AS b FROM UNNEST(range(0, 32)) AS u(b)),
+w AS (
+  SELECT k.doc_id, bs.b, {_BOOT_WEIGHT_CASE} AS w
+  FROM kept k CROSS JOIN bs,
+  LATERAL (
+    SELECT CAST(('0x' || substr(md5('7:' || CAST(k.doc_id AS VARCHAR)
+                                 || ':' || CAST(bs.b AS VARCHAR)), 1, 14))
+                AS BIGINT) % 1000000 AS h6
+  ) h
+),
+per_b AS (
+  SELECT w.b,
+         CAST(SUM(k.ea * w.w) AS BIGINT) AS wea,
+         CAST(SUM(k.eb * w.w) AS BIGINT) AS web,
+         CAST(SUM(k.rl * w.w) AS BIGINT) AS wrl
+  FROM kept k JOIN w ON w.doc_id = k.doc_id GROUP BY w.b
+),
+d AS (
+  SELECT b,
+         ROUND(
+           (CASE WHEN wrl > 0
+                 THEN ROUND(CAST(wea AS DOUBLE) / CAST(wrl AS DOUBLE), 6) END)
+           - (CASE WHEN wrl > 0
+                   THEN ROUND(CAST(web AS DOUBLE) / CAST(wrl AS DOUBLE), 6)
+              END), 6) AS d
+  FROM per_b
+),
+dr AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d NULLS FIRST) AS rk FROM d),
+wtot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(ea) AS BIGINT) AS fea,
+         CAST(SUM(eb) AS BIGINT) AS feb,
+         CAST(SUM(rl) AS BIGINT) AS frl
+  FROM kept
+)
+SELECT wtot.n_pairs,
+       (SELECT CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+        FROM cells) AS n_pairs_dropped,
+       CAST(32 AS INTEGER) AS n_boot,
+       CASE WHEN frl > 0
+            THEN ROUND(CAST(fea AS DOUBLE) / CAST(frl AS DOUBLE), 6)
+       END AS wer_a6,
+       CASE WHEN frl > 0
+            THEN ROUND(CAST(feb AS DOUBLE) / CAST(frl AS DOUBLE), 6)
+       END AS wer_b6,
+       ROUND((CASE WHEN frl > 0
+                   THEN ROUND(CAST(fea AS DOUBLE) / CAST(frl AS DOUBLE), 6)
+              END)
+             - (CASE WHEN frl > 0
+                     THEN ROUND(CAST(feb AS DOUBLE) / CAST(frl AS DOUBLE), 6)
+                END), 6) AS delta6,
+       (SELECT d FROM dr WHERE rk = 1) AS delta_lo6,
+       (SELECT d FROM dr WHERE rk = 32) AS delta_hi6,
+       (SELECT CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM d) AS n_delta_neg,
+       (SELECT CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM d) AS n_delta_pos,
+       ROUND((SELECT CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+              FROM d) / 32.0, 6) AS p_a_better6
+FROM wtot
+"""
+
+
+@register(
+    "pipe_eval_wer_bootstrap",
+    oracle=_WER_BOOTSTRAP_ORACLE,
+    doc="paired bootstrap significance for corpus WER "
+    "(evalmetrics.wer_paired_bootstrap) — the Koehn harness applied "
+    "to the ERROR metric: drop-every-7th (A) vs drop-every-5th (B) "
+    "on the first 16 tokens (the quadratic-in-length relabel encode "
+    "runs TWICE here, so the face bounds pair length tighter than "
+    "pipe_eval_wer's 40), same deterministic Poisson(1) weights from "
+    "md5_56('seed:id:b') %% 1e6, same nearest-rank interval.  A wins "
+    "when delta < 0 (fewer edits), so p_a_better counts NEGATIVE "
+    "deltas — expected 1.0.  Pairs where EITHER side blows the "
+    "alphabet are excluded from the whole experiment and counted "
+    "(a paired test grades both systems on identical pair sets).  "
+    "WER's cells are two integers per pair, so a replicate is one "
+    "weighted ratio — the oracle replays weights, replicate ratios "
+    "and rank selection verbatim; exchanges O(pairs * 32) integer "
+    "rows",
+)
+def pipe_eval_wer_bootstrap(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    rt = F.slice(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"),
+            lambda x: x != F.lit(""),
+        ),
+        1,
+        16,
+    )
+    pairs = d.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.filter(rt, lambda x, i: i % F.lit(7) != F.lit(3))
+        ).alias("ca"),
+        F.concat_ws(
+            " ", F.filter(rt, lambda x, i: i % F.lit(5) != F.lit(2))
+        ).alias("cb"),
+        F.concat_ws(" ", rt).alias("ref"),
+    )
+    return evalmetrics.wer_paired_bootstrap(
+        pairs, "doc_id", "ca", "cb", "ref", n_boot=32, seed=7
+    )

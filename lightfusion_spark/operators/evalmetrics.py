@@ -496,6 +496,131 @@ def bleu_paired_bootstrap(
     )
 
 
+def wer_paired_bootstrap(
+    df: DataFrame,
+    id_col: str,
+    cand_a_col: str,
+    cand_b_col: str,
+    ref_col: str,
+    n_boot: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """Paired bootstrap significance for corpus WER — the
+    :func:`bleu_paired_bootstrap` harness applied to the error metric
+    (same deterministic Poisson(1) weights from
+    ``md5_56("seed:id:b") % 1e6``, same pairing argument, same
+    nearest-rank interval).  WER's per-pair cells are just
+    ``(n_edits, ref_len)``, so a replicate's score is one weighted
+    integer ratio — no finisher pivot needed.
+
+    Pairs where EITHER side exceeds the relabel alphabet are excluded
+    from the whole experiment and counted (``n_pairs_dropped``) — a
+    paired test must grade both systems on identical pair sets.
+    WER is an error, so A beats B when delta = wer_a - wer_b < 0;
+    ``p_a_better6`` counts the NEGATIVE-delta replicates.
+
+    Returns ONE row: ``(n_pairs, n_pairs_dropped, n_boot, wer_a6,
+    wer_b6, delta6, delta_lo6, delta_hi6, n_delta_neg, n_delta_pos,
+    p_a_better6)``.
+    """
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2, got {n_boot}")
+    from .dedup import _md5_long
+
+    pa = wer_pairs(df, id_col, cand_a_col, ref_col).select(
+        F.col(id_col).alias("_id"),
+        F.col("ok").alias("_ok_a"),
+        F.col("n_edits").alias("_ea"),
+        F.col("ref_len").alias("_rl"),
+    )
+    pb = wer_pairs(df, id_col, cand_b_col, ref_col).select(
+        F.col(id_col).alias("_id"),
+        F.col("ok").alias("_ok_b"),
+        F.col("n_edits").alias("_eb"),
+    )
+    cells = pa.join(pb, "_id")
+    kept = cells.where(F.col("_ok_a") & F.col("_ok_b"))
+    reps = kept.select(
+        "_id",
+        "_ea",
+        "_eb",
+        "_rl",
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("b"),
+    )
+    h6 = (
+        _md5_long(
+            F.concat_ws(":", F.col("_id").cast("string"), F.col("b").cast("string")),
+            seed=seed,
+        )
+        % F.lit(1_000_000)
+    )
+    w = _poisson1_weight(h6)
+    per_b = reps.groupBy("b").agg(
+        F.sum(F.col("_ea") * w).cast("long").alias("_wea"),
+        F.sum(F.col("_eb") * w).cast("long").alias("_web"),
+        F.sum(F.col("_rl") * w).cast("long").alias("_wrl"),
+    )
+    wer6 = lambda e: F.when(  # noqa: E731 — tiny local expression
+        F.col("_wrl") > 0,
+        F.round(F.col(e).cast("double") / F.col("_wrl").cast("double"), 6),
+    )
+    deltas = per_b.select(
+        F.col("b"),
+        F.round(wer6("_wea") - wer6("_web"), 6).alias("_d"),
+    )
+    lo_rank = max(1, -(-int(n_boot) * 25 // 1000))
+    hi_rank = -(-int(n_boot) * 975 // 1000)
+    summary = deltas.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("_nb"),
+        F.sort_array(F.collect_list("_d")).alias("_ds"),
+        F.sum(F.when(F.col("_d") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_delta_neg"),
+        F.sum(F.when(F.col("_d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_delta_pos"),
+    )
+    full = kept.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("_ea").cast("long").alias("_fea"),
+        F.sum("_eb").cast("long").alias("_feb"),
+        F.sum("_rl").cast("long").alias("_frl"),
+    )
+    dropped = cells.groupBy().agg(
+        F.sum(F.when(F.col("_ok_a") & F.col("_ok_b"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_pairs_dropped")
+    )
+    fw6 = lambda e: F.when(  # noqa: E731
+        F.col("_frl") > 0,
+        F.round(F.col(e).cast("double") / F.col("_frl").cast("double"), 6),
+    )
+    return (
+        summary.crossJoin(F.broadcast(full))
+        .crossJoin(F.broadcast(dropped))
+        .select(
+            "n_pairs",
+            "n_pairs_dropped",
+            F.lit(int(n_boot)).cast("int").alias("n_boot"),
+            fw6("_fea").alias("wer_a6"),
+            fw6("_feb").alias("wer_b6"),
+            F.round(fw6("_fea") - fw6("_feb"), 6).alias("delta6"),
+            F.get("_ds", lo_rank - 1).alias("delta_lo6"),
+            F.get("_ds", hi_rank - 1).alias("delta_hi6"),
+            "n_delta_neg",
+            "n_delta_pos",
+            F.when(
+                F.col("_nb") > 0,
+                F.round(
+                    F.col("n_delta_neg").cast("double")
+                    / F.col("_nb").cast("double"),
+                    6,
+                ),
+            ).alias("p_a_better6"),
+        )
+    )
+
+
 #: WER's per-pair word-alphabet capacity: the encoding maps each distinct
 #: word of a (cand, ref) pair to ONE single-byte character (chr 1..127,
 #: where Spark's codepoint-based and DuckDB's byte-based levenshtein

@@ -1563,3 +1563,65 @@ def test_bleu_bootstrap_determinism_and_pairing(spark):
 
     with _pytest.raises(ValueError, match="n_boot"):
         em.bleu_paired_bootstrap(df, "id", "ca", "cb", "ref", n_boot=1)
+
+
+def test_wer_bootstrap_matches_independent_reference(spark):
+    """WER paired bootstrap vs a shared-nothing driver reference
+    (word-level DP edit distance + hashlib weights): interval, win
+    counts and the both-sides-ok exclusion all equal bit for bit."""
+    import hashlib
+
+    from lightfusion_spark.operators import evalmetrics as em
+    from lightfusion_spark.operators.evalmetrics import POISSON1_CDF_PPM
+
+    rows = []
+    for i in range(50):
+        extra = " ".join(f"x{i}y{k}" for k in range(i % 6))
+        ref = f"the quick brown fox tok{i} jumps over lazy {extra}".strip()
+        toks = ref.split()
+        a = " ".join(t for j, t in enumerate(toks) if j % 7 != (i % 5))
+        b = " ".join(t for j, t in enumerate(toks) if j % 4 != (i % 3))
+        rows.append((i, a, b, ref))
+    # one pair whose A side blows the alphabet: excluded AND counted
+    wide = " ".join(f"w{j}" for j in range(130))
+    rows.append((99, wide, "a b", "a b c"))
+    df = spark.createDataFrame(rows, "id long, ca string, cb string, ref string")
+    got = (
+        em.wer_paired_bootstrap(df, "id", "ca", "cb", "ref", n_boot=32)
+        .collect()[0]
+        .asDict()
+    )
+
+    def weight(i, b, seed=7):
+        h6 = (
+            int(hashlib.md5(f"{seed}:{i}:{b}".encode()).hexdigest()[:14], 16)
+            % 1_000_000
+        )
+        for k, t in enumerate(POISSON1_CDF_PPM):
+            if h6 < t:
+                return k
+        return len(POISSON1_CDF_PPM)
+
+    kept = [
+        (i, _ref_word_levenshtein(a, ref), _ref_word_levenshtein(b, ref),
+         len(ref.split()))
+        for (i, a, b, ref) in rows
+        if len(set(a.lower().split()) | set(ref.lower().split())) <= 127
+        and len(set(b.lower().split()) | set(ref.lower().split())) <= 127
+    ]
+    assert got["n_pairs"] == len(kept) == 50
+    assert got["n_pairs_dropped"] == 1
+    deltas = []
+    for b in range(32):
+        wea = sum(e * weight(i, b) for (i, e, _, _) in kept)
+        web = sum(e * weight(i, b) for (i, _, e, _) in kept)
+        wrl = sum(r * weight(i, b) for (i, _, _, r) in kept)
+        deltas.append(
+            round(round(wea / wrl, 6) - round(web / wrl, 6), 6)
+        )
+    deltas.sort()
+    assert got["delta_lo6"] == deltas[0] and got["delta_hi6"] == deltas[31]
+    assert got["n_delta_neg"] == sum(1 for d in deltas if d < 0)
+    assert got["p_a_better6"] == round(got["n_delta_neg"] / 32, 6)
+    # milder corruption = fewer edits: A must win decisively here
+    assert got["delta6"] < 0 and got["wer_a6"] < got["wer_b6"]

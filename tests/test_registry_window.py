@@ -81,9 +81,9 @@ def test_window_covers_every_family():
         # rel_join_full_outer — r08-green — ceded their slots to the
         # five late round-13 eval faces; joins stay repped by
         # left/anti/semi this window)
-        "rel_join_left",  # joins (r7 — plus anti/semi, r8)
+        "rel_join_left",  # joins (r7 — plus anti, r8; semi ceded its
+        # slot to the WER bootstrap face)
         "rel_join_anti",
-        "rel_join_semi",
         "rel_window_range_frame",  # windows (r8)
         "rel_cte",  # subqueries/CTEs (r8)
         # (rel_agg_distinct — r08-green — ceded its slot to the
