@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "pipe_eval_rouge_by_system",
     "pipe_eval_bleu_bootstrap",
     "pipe_eval_wer_bootstrap",
+    "pipe_eval_ranking_bootstrap",
 ]
 
 

@@ -2096,3 +2096,159 @@ def pipe_eval_wer_bootstrap(spark, sf_dir):
     return evalmetrics.wer_paired_bootstrap(
         pairs, "doc_id", "ca", "cb", "ref", n_boot=32, seed=7
     )
+
+
+def _rank_boot_perq_sql(tag: str, direction: str) -> str:
+    """Per-query nDCG@10 CTEs for one ranking policy (the
+    _RANKING_ORACLE pipeline parameterized by sort direction); gold /
+    ng / ideal are shared across policies."""
+    return f"""
+res{tag} AS (
+  SELECT o_custkey AS q, o_orderkey AS item,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice {direction}, o_orderkey)
+           AS rnk
+  FROM orders
+),
+topk{tag} AS (SELECT * FROM res{tag} WHERE rnk <= 10),
+hits{tag} AS (
+  SELECT t.q, t.rnk
+  FROM topk{tag} t JOIN gold g ON t.q = g.q AND t.item = g.item
+),
+ha{tag} AS (
+  SELECT q,
+         SUM(CAST(ROUND(1.0 / log2(CAST(rnk AS DOUBLE) + 1.0), 6)
+                  AS DECIMAL(18,6))) AS dcg
+  FROM hits{tag} GROUP BY q
+),
+per{tag} AS (
+  SELECT ng.q,
+         CASE WHEN i.idcg > 0
+              THEN ROUND(CAST(COALESCE(ha{tag}.dcg, 0) AS DOUBLE)
+                         / CAST(i.idcg AS DOUBLE), 6)
+         END AS ndcg
+  FROM ng JOIN ideal i ON ng.q = i.q
+  LEFT JOIN ha{tag} ON ng.q = ha{tag}.q
+)"""
+
+
+_RANKING_BOOTSTRAP_ORACLE = f"""
+WITH gold AS (
+  SELECT o_custkey AS q, o_orderkey AS item
+  FROM orders WHERE o_orderstatus = 'F'
+),
+ng AS (SELECT q, COUNT(*) AS n_gold FROM gold GROUP BY q),
+ideal AS (
+  SELECT q, SUM(CAST(ROUND(1.0 / log2(CAST(pos AS DOUBLE) + 1.0), 6)
+                     AS DECIMAL(18,6))) AS idcg
+  FROM (SELECT q, ROW_NUMBER() OVER (PARTITION BY q ORDER BY item) AS pos
+        FROM gold)
+  WHERE pos <= 10 GROUP BY q
+),
+{_rank_boot_perq_sql("a", "DESC")},
+{_rank_boot_perq_sql("b", "ASC")},
+per AS (
+  SELECT pa.q, pa.ndcg AS na, pb.ndcg AS nb
+  FROM pera pa JOIN perb pb ON pa.q = pb.q
+),
+graded AS (SELECT * FROM per WHERE na IS NOT NULL AND nb IS NOT NULL),
+bs AS (SELECT CAST(u.b AS BIGINT) AS b FROM UNNEST(range(0, 32)) AS u(b)),
+w AS (
+  SELECT g.q, bs.b, {_BOOT_WEIGHT_CASE} AS w
+  FROM graded g CROSS JOIN bs,
+  LATERAL (
+    SELECT CAST(('0x' || substr(md5('7:' || CAST(g.q AS VARCHAR)
+                                 || ':' || CAST(bs.b AS VARCHAR)), 1, 14))
+                AS BIGINT) % 1000000 AS h6
+  ) h
+),
+per_b AS (
+  SELECT w.b,
+         SUM(CAST(g.na AS DECIMAL(18,6)) * w.w) AS wa,
+         SUM(CAST(g.nb AS DECIMAL(18,6)) * w.w) AS wb,
+         CAST(SUM(w.w) AS BIGINT) AS ws
+  FROM graded g JOIN w ON w.q = g.q GROUP BY w.b
+),
+d AS (
+  SELECT b,
+         ROUND(
+           (CASE WHEN ws > 0
+                 THEN ROUND(CAST(wa AS DOUBLE) / CAST(ws AS DOUBLE), 6) END)
+           - (CASE WHEN ws > 0
+                   THEN ROUND(CAST(wb AS DOUBLE) / CAST(ws AS DOUBLE), 6)
+              END), 6) AS d
+  FROM per_b
+),
+dr AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d NULLS FIRST) AS rk FROM d),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS fn,
+         CAST(SUM(CAST(na AS DECIMAL(18,6))) AS DOUBLE) AS fa,
+         CAST(SUM(CAST(nb AS DECIMAL(18,6))) AS DOUBLE) AS fb
+  FROM graded
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM graded) AS n_queries,
+       (SELECT CAST(SUM(CASE WHEN na IS NULL OR nb IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) FROM per) AS n_queries_ungraded,
+       CAST(32 AS INTEGER) AS n_boot,
+       CASE WHEN fn > 0 THEN ROUND(fa / CAST(fn AS DOUBLE), 6) END AS ndcg_a6,
+       CASE WHEN fn > 0 THEN ROUND(fb / CAST(fn AS DOUBLE), 6) END AS ndcg_b6,
+       ROUND((CASE WHEN fn > 0 THEN ROUND(fa / CAST(fn AS DOUBLE), 6) END)
+             - (CASE WHEN fn > 0 THEN ROUND(fb / CAST(fn AS DOUBLE), 6) END),
+             6) AS delta6,
+       (SELECT d FROM dr WHERE rk = 1) AS delta_lo6,
+       (SELECT d FROM dr WHERE rk = 32) AS delta_hi6,
+       (SELECT CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM d) AS n_delta_pos,
+       (SELECT CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM d) AS n_delta_neg,
+       ROUND((SELECT CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+              FROM d) / 32.0, 6) AS p_a_better6
+FROM tot
+"""
+
+
+@register(
+    "pipe_eval_ranking_bootstrap",
+    oracle=_RANKING_BOOTSTRAP_ORACLE,
+    doc="paired bootstrap significance for nDCG@10 between two "
+    "retrieval policies (ranking.ranking_paired_bootstrap) — the "
+    "ranking member of the significance trio beside the BLEU and WER "
+    "bootstraps: resample QUERIES (customers) with the shared "
+    "deterministic Poisson(1) md5/ppm weights, the same weight "
+    "applied to both policies' per-query nDCG (pairing cancels query "
+    "difficulty), nearest-rank 2.5/97.5 interval over 32 weighted-"
+    "mean deltas.  Policies: each customer's orders ranked by "
+    "o_totalprice DESC (A) vs ASC (B) against 'F'-status binary gold "
+    "— same gold, so both policies share the query universe and the "
+    "zero-IDCG exclusions (binary gold: none, the column proves the "
+    "accounting).  Per-replicate numerators are DECIMAL(18,6)-exact; "
+    "the oracle replays weights, weighted means and rank selection — "
+    "the resampling exchange is O(queries * 32) scalars, no lists",
+)
+def pipe_eval_ranking_bootstrap(spark, sf_dir):
+    from ..operators import ranking
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    wa = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    wb = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    res_a = o.select(
+        F.col("o_custkey").alias("q"),
+        F.col("o_orderkey").alias("item"),
+        F.row_number().over(wa).alias("rnk"),
+    )
+    res_b = o.select(
+        F.col("o_custkey").alias("q"),
+        F.col("o_orderkey").alias("item"),
+        F.row_number().over(wb).alias("rnk"),
+    )
+    gold = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("q"), F.col("o_orderkey").alias("item")
+    )
+    return ranking.ranking_paired_bootstrap(
+        res_a, res_b, gold, "q", "item", "rnk", k=10, n_boot=32, seed=7
+    )

@@ -53,26 +53,28 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #:   retired in one stroke (embeddings/similarity recalls, the two
 #:   n-gram LM rows, the three multimodal frame ops, the url/web block,
 #:   and the eight r07 relational reps)
-#: + 8 of the r08 block, displaced-reps first (rel_scalar_date and
+#: + 7 of the r08 block, displaced-reps first (rel_scalar_date and
 #:   rel_grouping_sets, which ceded their r12 rep slots to late faces)
-#:   then family spread: the anti join, cube agg, CTE, range frame,
-#:   the stream join's batch twin, and pipe_bpe_train (whose
-#:   expected-merges fixture was regenerated this round, so official
-#:   re-verification is due; pipe_decontaminate_bloom ceded its
-#:   planned slot to the WER face, and rel_join_cross/rel_join_theta/
-#:   rel_pivot/rel_unpivot/rel_join_full_outer/rel_agg_distinct/
-#:   rel_join_semi — all r08-green — ceded theirs to the seven late
-#:   round-13 eval faces; all eight head the r14 backlog.  Joins stay
-#:   repped by left (r07, re-graded THIS window) + anti)
-#: + 12 round-13 NEW faces (the round-12 verdict's items 5, 3, 4, 8,
+#:   then family spread: the anti join, cube agg, CTE, the stream
+#:   join's batch twin, and pipe_bpe_train (whose expected-merges
+#:   fixture was regenerated this round, so official re-verification
+#:   is due; pipe_decontaminate_bloom ceded its planned slot to the
+#:   WER face, and rel_join_cross/rel_join_theta/rel_pivot/
+#:   rel_unpivot/rel_join_full_outer/rel_agg_distinct/rel_join_semi/
+#:   rel_window_range_frame — all r08-green — ceded theirs to the
+#:   eight late round-13 eval faces; all nine head the r14 backlog.
+#:   Joins stay repped by left (r07, re-graded THIS window) + anti;
+#:   the windows family cedes on the established fresh-recorded-row
+#:   pattern — rel_window_analytics is r12-green)
+#: + 13 round-13 NEW faces (the round-12 verdict's items 5, 3, 4, 8,
 #:   then the eval-family completion wave): pipe_eval_chrf_by_system,
 #:   pipe_dedup_conversations_fuzzy, pipe_conversation_quality,
 #:   pipe_sft_spans, pipe_eval_wer, pipe_eval_wer_by_system,
 #:   pipe_eval_ranking, pipe_eval_qa, pipe_eval_rouge,
 #:   pipe_eval_rouge_by_system, pipe_eval_bleu_bootstrap,
-#:   pipe_eval_wer_bootstrap
-#: 4+26+8+12 = 50 exactly.  After this round no registry row's last
-#: driver grade is older than r08; the remaining r08 rows (26) head the
+#:   pipe_eval_wer_bootstrap, pipe_eval_ranking_bootstrap
+#: 4+26+7+13 = 50 exactly.  After this round no registry row's last
+#: driver grade is older than r08; the remaining r08 rows (27) head the
 #: r14 backlog, then the r09 block.  Every rotated-out name was
 #: officially green in r08-r12 and moves to WINDOW_EXEMPT;
 #: tests/test_registry_window.py asserts every registered query is
@@ -112,14 +114,13 @@ PRIORITY: list[str] = [
     "rel_profile_orders",
     "rel_scd2_asof",
     "rel_skew_report",
-    # r08 block — 8 rows, displaced-reps first, then family spread
+    # r08 block — 7 rows, displaced-reps first, then family spread
     "rel_scalar_date",
     "rel_grouping_sets",
     "pipe_bpe_train",
     "rel_join_anti",
     "rel_agg_cube",
     "rel_cte",
-    "rel_window_range_frame",
     "events_stream_join",
     # (pipe_decontaminate_bloom, rel_join_cross, rel_join_theta,
     # rel_pivot, rel_unpivot, rel_join_full_outer and rel_agg_distinct
@@ -143,6 +144,7 @@ PRIORITY: list[str] = [
     "pipe_eval_rouge_by_system",
     "pipe_eval_bleu_bootstrap",
     "pipe_eval_wer_bootstrap",
+    "pipe_eval_ranking_bootstrap",
 ]
 
 

@@ -157,6 +157,155 @@ def ranking_report_per_query(
     return per
 
 
+def ranking_paired_bootstrap(
+    results_a: DataFrame,
+    results_b: DataFrame,
+    gold: DataFrame,
+    query_col: str,
+    item_col: str,
+    rank_col: str,
+    k: int = 10,
+    rel_col: str | None = None,
+    n_boot: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """Paired bootstrap significance for nDCG@k between two retrieval
+    policies over the SAME gold — the ranking member of the
+    significance trio (BLEU and WER carry the sequence- and
+    error-metric forms in ``evalmetrics``): resample QUERIES with
+    deterministic Poisson(1) weights from ``md5_56("seed:q:b") % 1e6``
+    (the shared :data:`evalmetrics.POISSON1_CDF_PPM` thresholds), the
+    same weight applied to both policies' per-query nDCG (pairing
+    cancels query difficulty), and a nearest-rank 2.5/97.5 interval
+    over the per-replicate weighted-mean deltas.
+
+    The query universe is the gold queries whose IDCG is positive
+    (zero-grade queries have no defined nDCG for EITHER policy — they
+    are excluded from the experiment and counted,
+    ``n_queries_ungraded``).  A replicate's score is
+    ``round(sum(w * ndcg6) / sum(w), 6)`` with the weighted numerator
+    summed as exact DECIMAL — partial-aggregation order can never
+    change a bit, and the DuckDB oracle replays weights, replicate
+    means and rank selection verbatim.
+
+    Returns ONE row: ``(n_queries, n_queries_ungraded, n_boot,
+    ndcg_a6, ndcg_b6, delta6, delta_lo6, delta_hi6, n_delta_pos,
+    n_delta_neg, p_a_better6)`` — the full-corpus means use the same
+    formula as :func:`ranking_report`'s ``mean_ndcg6`` and equal it
+    exactly because both policies share the gold (and therefore the
+    zero-IDCG exclusions; test-asserted); delta > 0 means A wins.
+
+    100 TB shape: per-query metrics are the two joins + window of
+    :func:`ranking_report_per_query`; the bootstrap adds an
+    O(graded-queries * n_boot) explode of (query, ndcg6, ndcg6)
+    scalars with one md5 per cell — no result lists, no gold, no text
+    in the resampling exchange.
+    """
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2, got {n_boot}")
+    from .dedup import _md5_long
+
+    q = query_col
+    pa = ranking_report_per_query(
+        results_a, gold, query_col, item_col, rank_col, k=k, rel_col=rel_col
+    ).select(F.col(q).alias("_q"), F.col("ndcg6").alias("_na"))
+    pb = ranking_report_per_query(
+        results_b, gold, query_col, item_col, rank_col, k=k, rel_col=rel_col
+    ).select(F.col(q).alias("_q"), F.col("ndcg6").alias("_nb"))
+    per = pa.join(pb, "_q")
+    graded = per.where(F.col("_na").isNotNull() & F.col("_nb").isNotNull())
+    reps = graded.select(
+        "_q",
+        "_na",
+        "_nb",
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("b"),
+    )
+    from .evalmetrics import _poisson1_weight
+
+    h6 = (
+        _md5_long(
+            F.concat_ws(
+                ":", F.col("_q").cast("string"), F.col("b").cast("string")
+            ),
+            seed=seed,
+        )
+        % F.lit(1_000_000)
+    )
+    w = _poisson1_weight(h6)
+    per_b = reps.groupBy("b").agg(
+        F.sum((F.col("_na").cast("decimal(18,6)") * w)).alias("_wa"),
+        F.sum((F.col("_nb").cast("decimal(18,6)") * w)).alias("_wb"),
+        F.sum(w).cast("long").alias("_ws"),
+    )
+    score = lambda c: F.when(  # noqa: E731
+        F.col("_ws") > 0,
+        F.round(F.col(c).cast("double") / F.col("_ws").cast("double"), 6),
+    )
+    deltas = per_b.select(
+        F.col("b"),
+        F.round(score("_wa") - score("_wb"), 6).alias("_d"),
+    )
+    lo_rank = max(1, -(-int(n_boot) * 25 // 1000))
+    hi_rank = -(-int(n_boot) * 975 // 1000)
+    summary = deltas.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("_nb_reps"),
+        F.sort_array(F.collect_list("_d")).alias("_ds"),
+        F.sum(F.when(F.col("_d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_delta_pos"),
+        F.sum(F.when(F.col("_d") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_delta_neg"),
+    )
+    counts = per.groupBy().agg(
+        F.sum(
+            F.when(F.col("_na").isNotNull() & F.col("_nb").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_queries"),
+        F.sum(
+            F.when(F.col("_na").isNull() | F.col("_nb").isNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_queries_ungraded"),
+    )
+    full = graded.groupBy().agg(
+        F.sum(F.col("_na").cast("decimal(18,6)")).alias("_fa"),
+        F.sum(F.col("_nb").cast("decimal(18,6)")).alias("_fb"),
+        F.count(F.lit(1)).cast("long").alias("_fn"),
+    )
+    fscore = lambda c: F.when(  # noqa: E731
+        F.col("_fn") > 0,
+        F.round(F.col(c).cast("double") / F.col("_fn").cast("double"), 6),
+    )
+    return (
+        summary.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(full))
+        .select(
+            "n_queries",
+            "n_queries_ungraded",
+            F.lit(int(n_boot)).cast("int").alias("n_boot"),
+            fscore("_fa").alias("ndcg_a6"),
+            fscore("_fb").alias("ndcg_b6"),
+            F.round(fscore("_fa") - fscore("_fb"), 6).alias("delta6"),
+            F.get("_ds", lo_rank - 1).alias("delta_lo6"),
+            F.get("_ds", hi_rank - 1).alias("delta_hi6"),
+            "n_delta_pos",
+            "n_delta_neg",
+            F.when(
+                F.col("_nb_reps") > 0,
+                F.round(
+                    F.col("n_delta_pos").cast("double")
+                    / F.col("_nb_reps").cast("double"),
+                    6,
+                ),
+            ).alias("p_a_better6"),
+        )
+    )
+
+
 def ranking_report(
     results: DataFrame,
     gold: DataFrame,

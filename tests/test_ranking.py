@@ -157,3 +157,82 @@ def test_ndcg_grades_ann_against_exact_ground_truth(spark, sf_dir):
     assert 0.0 < graded["mean_ndcg6"] < 1.0
     # position-aware nDCG can't exceed 1, and MRR is bounded by hit rate
     assert graded["mrr6"] <= 1.0
+
+
+def test_ranking_bootstrap_matches_independent_reference(spark):
+    """Paired query-bootstrap for nDCG vs a shared-nothing reference
+    (hashlib weights + hand nDCG): interval, win counts, and the
+    full-mean == ranking_report.mean_ndcg6 identity."""
+    import hashlib
+    import math
+
+    from lightfusion_spark.operators.evalmetrics import POISSON1_CDF_PPM
+
+    # heterogeneous queries: varying gold sizes and hit depths
+    res_a, res_b, gold = [], [], []
+    for q in range(40):
+        for r in range(1, 6):
+            res_a.append((q, f"i{q}_{r}", r))
+            # B reverses A's list
+            res_b.append((q, f"i{q}_{6 - r}", r))
+        for g in range(1 + q % 3):
+            gold.append((q, f"i{q}_{1 + g}"))
+    ra = spark.createDataFrame(res_a, "q long, item string, rank long")
+    rb = spark.createDataFrame(res_b, "q long, item string, rank long")
+    gd = spark.createDataFrame(gold, "q long, item string")
+    got = (
+        rk.ranking_paired_bootstrap(ra, rb, gd, "q", "item", "rank", k=5)
+        .collect()[0]
+        .asDict()
+    )
+
+    def g(pos):
+        return round(1.0 / math.log2(pos + 1), 6)
+
+    def ndcg(results, q, golds):
+        hits = sorted(
+            r for (qq, item, r) in results if qq == q and (q, item) in golds
+        )
+        dcg = sum(g(r) for r in hits)
+        idcg = sum(g(i + 1) for i in range(min(5, len([1 for (qq, _) in golds if qq == q]))))
+        return round(round(dcg, 6) / round(idcg, 6), 6) if idcg else None
+
+    golds = set(gold)
+    per = {}
+    for q in range(40):
+        per[q] = (ndcg(res_a, q, golds), ndcg(res_b, q, golds))
+
+    def weight(q, b, seed=7):
+        h6 = (
+            int(hashlib.md5(f"{seed}:{q}:{b}".encode()).hexdigest()[:14], 16)
+            % 1_000_000
+        )
+        for k_, t in enumerate(POISSON1_CDF_PPM):
+            if h6 < t:
+                return k_
+        return len(POISSON1_CDF_PPM)
+
+    from decimal import Decimal
+
+    deltas = []
+    for b in range(32):
+        wa = wb = Decimal(0)
+        ws = 0
+        for q, (na, nb) in per.items():
+            w = weight(q, b)
+            wa += Decimal(str(na)) * w
+            wb += Decimal(str(nb)) * w
+            ws += w
+        da = round(float(wa) / ws, 6) if ws else None
+        db = round(float(wb) / ws, 6) if ws else None
+        deltas.append(round(da - db, 6))
+    deltas.sort()
+    assert got["n_queries"] == 40 and got["n_queries_ungraded"] == 0
+    assert got["delta_lo6"] == deltas[0] and got["delta_hi6"] == deltas[31]
+    assert got["n_delta_pos"] == sum(1 for d in deltas if d > 0)
+    # A's gold always sits at the top ranks: it wins every world
+    assert got["p_a_better6"] == 1.0 and got["delta6"] > 0
+    # full means equal ranking_report's macro mean (same formula, same
+    # universe because gold is shared)
+    rep_a = rk.ranking_report(ra, gd, "q", "item", "rank", k=5).collect()[0]
+    assert got["ndcg_a6"] == rep_a["mean_ndcg6"]

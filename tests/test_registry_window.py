@@ -84,7 +84,10 @@ def test_window_covers_every_family():
         "rel_join_left",  # joins (r7 — plus anti, r8; semi ceded its
         # slot to the WER bootstrap face)
         "rel_join_anti",
-        "rel_window_range_frame",  # windows (r8)
+        # (rel_window_range_frame — r08-green — ceded its slot to the
+        # ranking bootstrap face; windows stay repped by the r12-green
+        # rel_window_analytics recorded row, the same fresh-recorded-
+        # row pattern the projection/set-op/sketch families use)
         "rel_cte",  # subqueries/CTEs (r8)
         # (rel_agg_distinct — r08-green — ceded its slot to the
         # bootstrap face; aggs stay repped by cube + grouping sets)

@@ -1295,6 +1295,77 @@ def main() -> None:
             lambda: noop3b(em_mod3.chrf_score(q100, "id", "cand", "ref")),
         )
 
+    # round-13 continuation third decades (500k -> 5M pairs), same
+    # pair generator; own labels so the default sweep stays light
+    if ONLY and any(
+        s in ("curve3_eval_rouge", "curve3_eval_qa", "curve3_eval_ranking")
+        for s in ONLY
+    ):
+        from lightfusion_spark.operators import evalmetrics as em_mod3b
+        from lightfusion_spark.operators import ranking as rk_mod3
+
+        def _pairs3b(n):
+            return spark.range(n).select(
+                F.col("id"),
+                F.expr(
+                    "concat_ws(' ', transform(sequence(1, 20), "
+                    "i -> concat('t', (id * i) % 997)))"
+                ).alias("ref"),
+                F.expr(
+                    "concat_ws(' ', filter(transform(sequence(1, 20), "
+                    "i -> concat('t', (id * i) % 997)), "
+                    "(x, i) -> i % 7 != 3))"
+                ).alias("cand"),
+            ).localCheckpoint(eager=True)
+
+        noop3c = lambda df: df.write.format("noop").mode("overwrite").save()
+        r10, r100 = _pairs3b(500_000), _pairs3b(5_000_000)
+        curve(
+            "curve3_eval_rouge",
+            lambda: noop3c(em_mod3b.corpus_rouge(r10, "id", "cand", "ref")),
+            lambda: noop3c(em_mod3b.corpus_rouge(r100, "id", "cand", "ref")),
+        )
+
+        def _qa3(p):
+            rows = p.select(
+                F.col("id").alias("qid"),
+                F.col("cand").alias("pred"),
+                F.explode(F.array(F.col("ref"), F.col("cand"))).alias("gold"),
+            )
+            return em_mod3b.qa_report(rows, "qid", "pred", "gold")
+
+        curve(
+            "curve3_eval_qa",
+            lambda: noop3c(_qa3(r10)),
+            lambda: noop3c(_qa3(r100)),
+        )
+
+        def _rank3(n):
+            q_count = n // 10
+            res = spark.range(n).select(
+                (F.col("id") % q_count).alias("q"),
+                F.col("id").alias("item"),
+                (F.floor(F.col("id") / q_count) + 1)
+                .cast("long")
+                .alias("rnk"),
+            )
+            gold = spark.range(q_count * 5).select(
+                (F.col("id") % q_count).alias("q"),
+                (
+                    (F.col("id") % q_count)
+                    + F.floor(F.col("id") / q_count) * 2 * q_count
+                )
+                .cast("long")
+                .alias("item"),
+            )
+            return rk_mod3.ranking_report(res, gold, "q", "item", "rnk", k=10)
+
+        curve(
+            "curve3_eval_ranking",
+            lambda: noop3c(_rank3(500_000)),
+            lambda: noop3c(_rank3(5_000_000)),
+        )
+
     if not ONLY or any("curve_eval" in s or "curve_lm_kn" in s for s in ONLY):
         from lightfusion_spark.operators import evalmetrics as em_mod  # noqa: F811
 
