@@ -158,3 +158,27 @@ def test_lcs_axioms(cand, ref):
     assert 0 <= lab <= min(len(cand), len(ref))
     # monotone under concatenation
     assert _lcs_bitparallel(cand + ref, ref) >= lab
+
+
+def test_poisson1_ppm_thresholds_are_correct():
+    """The bootstrap's hardcoded integer thresholds equal
+    floor(CDF_Poisson(1)(k) * 1e6) recomputed from first principles,
+    are strictly increasing, and the implied pmf has mean 1 to within
+    the 1e-6 quantization (the resample must be unbiased)."""
+    import math
+
+    from lightfusion_spark.operators.evalmetrics import POISSON1_CDF_PPM
+
+    cdf = 0.0
+    for k, t in enumerate(POISSON1_CDF_PPM):
+        cdf += math.exp(-1) / math.factorial(k)
+        assert t == math.floor(cdf * 1_000_000), k
+    assert list(POISSON1_CDF_PPM) == sorted(set(POISSON1_CDF_PPM))
+    # implied weight distribution over the exact integer uniform grid
+    prev = 0
+    mean = 0.0
+    for k, t in enumerate(POISSON1_CDF_PPM):
+        mean += k * (t - prev) / 1_000_000
+        prev = t
+    mean += len(POISSON1_CDF_PPM) * (1_000_000 - prev) / 1_000_000
+    assert abs(mean - 1.0) < 1e-4
