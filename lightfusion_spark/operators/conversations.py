@@ -649,3 +649,83 @@ def dedup_conversations_exact(
         )
         .select("conv_sig", "conversation_id", "n_turns", "n_dups")
     )
+
+
+def conversations_dedup_append_batch(
+    turns: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    id_col: str = "conversation_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    content_col: str = "content",
+) -> None:
+    """One append cycle of the maintained conversation-dedup store —
+    the SFT-ingest face of ``dedup.incremental_dedup``'s continual
+    regime (model-conversation logs trickle in; re-ingested
+    transcripts must not survive twice): signatures of the arriving
+    conversations are gated against everything PREVIOUS batches
+    admitted, the in-batch winner per fresh signature is the MIN
+    conversation id (the one-shot survivor rule), and the admitted
+    rows land in the store as ``(conv_sig, conversation_id, n_turns,
+    batch_id)``.
+
+    Replay safety is batch-id-addressed: the membership test excludes
+    rows the CURRENT batch id wrote (so a replayed micro-batch sees
+    exactly the pre-crash store and re-admits exactly its original
+    survivors, appending byte-identical rows), and the read side
+    (:func:`conversations_dedup_from_store`) collapses duplicates
+    per signature.  What shuffles is 32-hex digests and ids — turn
+    text never leaves the map side (the module invariant).
+    """
+    from pyspark.errors import AnalysisException
+
+    from .dedup import exact_dedup
+
+    spark = turns.sparkSession
+    sig = conversation_signature(turns, id_col, idx_col, role_col, content_col)
+    try:
+        store = spark.read.parquet(state_dir)
+        prior = (
+            store.where(F.col("batch_id") != int(batch_id))
+            .select("conv_sig")
+            .distinct()
+        )
+        fresh = sig.join(prior, "conv_sig", "left_anti")
+    except AnalysisException:  # first batch: no store yet
+        fresh = sig
+    admitted = exact_dedup(fresh, ["conv_sig"], "conversation_id")
+    (
+        admitted.select("conv_sig", "conversation_id", "n_turns")
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        .write.mode("append")
+        .parquet(state_dir)
+    )
+
+
+def conversations_dedup_from_store(spark, state_dir: str) -> DataFrame:
+    """Every conversation the store has admitted — one row per
+    signature ``(conv_sig, conversation_id, n_turns, batch_id)`` with
+    replay duplicates collapsed (MIN (batch_id, conversation_id) per
+    signature: replays write identical rows, so MIN is the identity
+    on clean stores).  With in-order batches (earlier ingests carry
+    smaller ids) this equals the one-shot
+    :func:`dedup_conversations_exact` survivor set over the
+    concatenated corpus, minus its ``n_dups`` column (a maintained
+    gate admits-or-drops; it does not re-count history) — asserted by
+    ``tests/test_conversations.py``."""
+    store = spark.read.parquet(state_dir)
+    return (
+        store.groupBy("conv_sig")
+        .agg(
+            F.min(
+                F.struct("batch_id", "conversation_id", "n_turns")
+            ).alias("_w")
+        )
+        .select(
+            "conv_sig",
+            F.col("_w.conversation_id").alias("conversation_id"),
+            F.col("_w.n_turns").alias("n_turns"),
+            F.col("_w.batch_id").alias("batch_id"),
+        )
+    )

@@ -310,3 +310,93 @@ def test_turn_dedup_is_idempotent(spark, turns):
     twice = conv_ops.dedup_turns_exact(survivors_as_turns)
     assert twice.count() == once.count()
     assert twice.where(F.col("n_dups") != 1).count() == 0
+
+
+def test_conversation_dedup_store_stream_matches_one_shot(spark, tmp_path):
+    """Maintained conversation-dedup store: turns streamed over a
+    two-file source (each file carries complete conversations, ids
+    in batch order), gated inside foreachBatch; the store's admitted
+    set equals the one-shot dedup_conversations_exact survivors over
+    the union, cross-batch re-ingests are dropped, and a replayed
+    batch is a no-op."""
+    from lightfusion_spark.operators import conversations as conv_ops
+
+    def turns_for(cid, texts):
+        return [
+            (cid, i, "user" if i % 2 == 0 else "assistant", t)
+            for i, t in enumerate(texts)
+        ]
+
+    batch1, batch2 = [], []
+    for c in range(100, 110):
+        batch1 += turns_for(c, [f"q{c}", f"a{c}"])
+    batch1 += turns_for(110, ["dup question", "dup answer"])
+    # in-batch duplicate of 110 -> min id 110 survives
+    batch1 += turns_for(111, ["dup question", "dup answer"])
+    for c in range(200, 205):
+        batch2 += turns_for(c, [f"q{c}", f"a{c}"])
+    # cross-batch re-ingest of 110's transcript -> must NOT survive
+    batch2 += turns_for(201_0, ["dup question", "dup answer"])
+
+    schema = "conversation_id long, turn_idx int, role string, content string"
+    df1 = spark.createDataFrame(batch1, schema)
+    df2 = spark.createDataFrame(batch2, schema)
+    src = tmp_path / "conv_src"
+    df1.coalesce(1).write.parquet(str(src / "f1"))
+    import time
+
+    time.sleep(1.1)
+    df2.coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*/"))
+    )
+    state_dir = str(tmp_path / "conv_state")
+
+    def process(batch_df, epoch_id):
+        conv_ops.conversations_dedup_append_batch(
+            batch_df, state_dir, epoch_id
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_conv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    store = spark.read.parquet(state_dir)
+    assert store.select("batch_id").distinct().count() == 2
+    got = {
+        r["conv_sig"]: r.asDict()
+        for r in conv_ops.conversations_dedup_from_store(
+            spark, state_dir
+        ).collect()
+    }
+    union_turns = df1.unionByName(df2)
+    want = {
+        r["conv_sig"]: r.asDict()
+        for r in conv_ops.dedup_conversations_exact(union_turns).collect()
+    }
+    assert set(got) == set(want)
+    for sig, w in want.items():
+        g = got[sig]
+        assert g["conversation_id"] == w["conversation_id"], sig
+        assert g["n_turns"] == w["n_turns"]
+    # the duplicated transcript survived ONCE, as batch-1's id 110
+    dup = [g for g in got.values() if g["conversation_id"] == 110]
+    assert len(dup) == 1 and dup[0]["batch_id"] == 0
+
+    # replay batch 1 under its original id: byte-identical re-admit,
+    # collapsed on read -> nothing changes
+    conv_ops.conversations_dedup_append_batch(df1, state_dir, 0)
+    again = {
+        r["conv_sig"]: r.asDict()
+        for r in conv_ops.conversations_dedup_from_store(
+            spark, state_dir
+        ).collect()
+    }
+    assert again == got
