@@ -914,8 +914,13 @@ def qa_em_f1(
     # ship ~20x the exchange rows)
     pairs = rows.dropDuplicates(["_qid", "_pk", "_ak"])
     pc = (
-        pairs.select("_qid", "_pt")
-        .dropDuplicates(["_qid"])  # pred is constant per question
+        pairs.select("_qid", "_pk", "_pt")
+        # keyed on the pred DIGEST, not bare qid: under the documented
+        # one-pred-per-question contract this is one row per question
+        # either way, but a violating caller gets a DETERMINISTIC
+        # result (every distinct pred counted once) instead of an
+        # arbitrary partition-dependent pick
+        .dropDuplicates(["_qid", "_pk"])
         .select("_qid", F.explode("_pt").alias("_w"))
         .groupBy("_qid", "_w")
         .agg(F.count(F.lit(1)).alias("_cp"))
