@@ -621,6 +621,237 @@ def wer_paired_bootstrap(
     )
 
 
+def chrf_paired_bootstrap(
+    df: DataFrame,
+    id_col: str,
+    cand_a_col: str,
+    cand_b_col: str,
+    ref_col: str,
+    max_n: int = 6,
+    beta: float = 2.0,
+    n_boot: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """Paired bootstrap significance for corpus chrF — the
+    :func:`bleu_paired_bootstrap` harness instantiated on the second
+    sequence metric (same deterministic Poisson(1) md5/ppm weights,
+    same pairing argument, same nearest-rank interval):
+    :func:`chrf_cells` keyed on the pair id give per-pair additive
+    cells, replicates are an O(pairs * max_n * n_boot) integer-cell
+    explode, and each replicate finishes through
+    :func:`chrf_from_cells` VERBATIM under a groupBy.
+
+    Returns ONE row: ``(n_pairs, n_boot, chrf_a6, chrf_b6, delta6,
+    delta_lo6, delta_hi6, n_delta_pos, n_delta_neg, p_a_better6)``.
+    Verified pytest-by-design against a shared-nothing driver
+    reference (the established store convention — chrF's oracle-faced
+    forms are the one-shot/per-system rows; this composes their
+    machinery with the bootstrap's).
+    """
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2, got {n_boot}")
+    from .dedup import _md5_long
+
+    def replicate_scores(cand_col, side):
+        cells = chrf_cells(
+            df, id_col, cand_col, ref_col, max_n=max_n, group_col=id_col
+        ).withColumnRenamed(id_col, "_id")
+        reps = cells.select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(n_boot) - 1))
+            ).alias("b"),
+        )
+        h6 = (
+            _md5_long(
+                F.concat_ws(
+                    ":", F.col("_id"), F.col("b").cast("string")
+                ),
+                seed=seed,
+            )
+            % F.lit(1_000_000)
+        )
+        w = _poisson1_weight(h6)
+        weighted = reps.select(
+            F.col("b"),
+            F.col("n"),
+            (F.col("matched") * w).cast("long").alias("matched"),
+            (F.col("cand_total") * w).cast("long").alias("cand_total"),
+            (F.col("ref_total") * w).cast("long").alias("ref_total"),
+        )
+        scored = chrf_from_cells(
+            weighted, max_n=max_n, beta=beta, group_cols=("b",)
+        )
+        return scored.select(F.col("b"), F.col("chrf6").alias(f"chrf_{side}"))
+
+    per_b = replicate_scores(cand_a_col, "a").join(
+        replicate_scores(cand_b_col, "b"), "b"
+    )
+    deltas = per_b.select(
+        F.col("b"),
+        F.round(F.col("chrf_a") - F.col("chrf_b"), 6).alias("_d"),
+    )
+    lo_rank = max(1, -(-int(n_boot) * 25 // 1000))
+    hi_rank = -(-int(n_boot) * 975 // 1000)
+    summary = deltas.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("_nb"),
+        F.sort_array(F.collect_list("_d")).alias("_ds"),
+        F.sum(F.when(F.col("_d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_delta_pos"),
+        F.sum(F.when(F.col("_d") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_delta_neg"),
+    )
+    full_a = chrf_score(
+        df, id_col, cand_a_col, ref_col, max_n=max_n, beta=beta
+    ).select(F.col("chrf6").alias("chrf_a6"))
+    full_b = chrf_score(
+        df, id_col, cand_b_col, ref_col, max_n=max_n, beta=beta
+    ).select(F.col("chrf6").alias("chrf_b6"))
+    n_pairs = df.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    return (
+        summary.crossJoin(F.broadcast(full_a))
+        .crossJoin(F.broadcast(full_b))
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            "n_pairs",
+            F.lit(int(n_boot)).cast("int").alias("n_boot"),
+            "chrf_a6",
+            "chrf_b6",
+            F.round(F.col("chrf_a6") - F.col("chrf_b6"), 6).alias("delta6"),
+            F.get("_ds", lo_rank - 1).alias("delta_lo6"),
+            F.get("_ds", hi_rank - 1).alias("delta_hi6"),
+            "n_delta_pos",
+            "n_delta_neg",
+            F.when(
+                F.col("_nb") > 0,
+                F.round(
+                    F.col("n_delta_pos").cast("double")
+                    / F.col("_nb").cast("double"),
+                    6,
+                ),
+            ).alias("p_a_better6"),
+        )
+    )
+
+
+def rouge_paired_bootstrap(
+    df: DataFrame,
+    id_col: str,
+    cand_a_col: str,
+    cand_b_col: str,
+    ref_col: str,
+    max_n: int = 2,
+    n_boot: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """Paired bootstrap significance for corpus ROUGE — one row PER
+    METRIC (``rouge1``/``rouge2``/``rougeL``), because a summarization
+    comparison can be significant on unigram overlap and noise on the
+    LCS at the same time: same deterministic Poisson(1) md5/ppm
+    weights, pairing, and nearest-rank interval as the BLEU/chrF/WER/
+    nDCG bootstraps, over the per-metric micro-F1 deltas.
+
+    Returns ``(metric, n_pairs, n_boot, f1_a6, f1_b6, delta6,
+    delta_lo6, delta_hi6, n_delta_pos, n_delta_neg, p_a_better6)``.
+    Cells are :func:`_rouge_cells` keyed on the pair id; each
+    replicate finishes through the exact-integer F1 identity
+    ``2m/(c+r)`` (the :func:`_rouge_finish` expression).  Verified
+    pytest-by-design against a shared-nothing driver reference.
+    """
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2, got {n_boot}")
+    from .dedup import _md5_long
+
+    def replicate_scores(cand_col, side):
+        cells = _rouge_cells(
+            df, id_col, cand_col, ref_col, max_n=max_n, group_col=id_col
+        ).withColumnRenamed(id_col, "_id")
+        reps = cells.select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(n_boot) - 1))
+            ).alias("b"),
+        )
+        h6 = (
+            _md5_long(
+                F.concat_ws(":", F.col("_id"), F.col("b").cast("string")),
+                seed=seed,
+            )
+            % F.lit(1_000_000)
+        )
+        w = _poisson1_weight(h6)
+        agg = reps.groupBy("metric", "b").agg(
+            F.sum(F.col("matched") * w).cast("long").alias("matched"),
+            F.sum(F.col("cand_total") * w).cast("long").alias("cand_total"),
+            F.sum(F.col("ref_total") * w).cast("long").alias("ref_total"),
+        )
+        f1 = F.when(
+            (F.col("cand_total") + F.col("ref_total")) > 0,
+            F.round(
+                F.lit(2.0)
+                * F.col("matched").cast("double")
+                / (F.col("cand_total") + F.col("ref_total")).cast("double"),
+                6,
+            ),
+        )
+        return agg.select("metric", "b", f1.alias(f"f1_{side}"))
+
+    per_b = replicate_scores(cand_a_col, "a").join(
+        replicate_scores(cand_b_col, "b"), ["metric", "b"]
+    )
+    deltas = per_b.select(
+        "metric",
+        F.col("b"),
+        F.round(F.col("f1_a") - F.col("f1_b"), 6).alias("_d"),
+    )
+    lo_rank = max(1, -(-int(n_boot) * 25 // 1000))
+    hi_rank = -(-int(n_boot) * 975 // 1000)
+    summary = deltas.groupBy("metric").agg(
+        F.count(F.lit(1)).cast("long").alias("_nb"),
+        F.sort_array(F.collect_list("_d")).alias("_ds"),
+        F.sum(F.when(F.col("_d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_delta_pos"),
+        F.sum(F.when(F.col("_d") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_delta_neg"),
+    )
+    full_a = corpus_rouge(df, id_col, cand_a_col, ref_col, max_n=max_n).select(
+        "metric", F.col("f1_6").alias("f1_a6")
+    )
+    full_b = corpus_rouge(df, id_col, cand_b_col, ref_col, max_n=max_n).select(
+        "metric", F.col("f1_6").alias("f1_b6")
+    )
+    n_pairs = df.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    return (
+        summary.join(full_a, "metric")
+        .join(full_b, "metric")
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            "metric",
+            "n_pairs",
+            F.lit(int(n_boot)).cast("int").alias("n_boot"),
+            "f1_a6",
+            "f1_b6",
+            F.round(F.col("f1_a6") - F.col("f1_b6"), 6).alias("delta6"),
+            F.get("_ds", lo_rank - 1).alias("delta_lo6"),
+            F.get("_ds", hi_rank - 1).alias("delta_hi6"),
+            "n_delta_pos",
+            "n_delta_neg",
+            F.when(
+                F.col("_nb") > 0,
+                F.round(
+                    F.col("n_delta_pos").cast("double")
+                    / F.col("_nb").cast("double"),
+                    6,
+                ),
+            ).alias("p_a_better6"),
+        )
+    )
+
+
 #: WER's per-pair word-alphabet capacity: the encoding maps each distinct
 #: word of a (cand, ref) pair to ONE single-byte character (chr 1..127,
 #: where Spark's codepoint-based and DuckDB's byte-based levenshtein

@@ -1625,3 +1625,121 @@ def test_wer_bootstrap_matches_independent_reference(spark):
     assert got["p_a_better6"] == round(got["n_delta_neg"] / 32, 6)
     # milder corruption = fewer edits: A must win decisively here
     assert got["delta6"] < 0 and got["wer_a6"] < got["wer_b6"]
+
+
+def test_chrf_bootstrap_matches_independent_reference(spark):
+    """chrF paired bootstrap vs a shared-nothing reference: a
+    replicate's weighted cells equal the cells of the pair list with
+    each pair REPEATED weight times, so _chrf_ref over the expanded
+    list reproduces every replicate score independently."""
+    import hashlib
+
+    from lightfusion_spark.operators import evalmetrics as em
+    from lightfusion_spark.operators.evalmetrics import POISSON1_CDF_PPM
+
+    rows = _bootstrap_corpus()
+    df = spark.createDataFrame(rows, "id long, ca string, cb string, ref string")
+    got = (
+        em.chrf_paired_bootstrap(df, "id", "ca", "cb", "ref", n_boot=32)
+        .collect()[0]
+        .asDict()
+    )
+
+    def weight(i, b, seed=7):
+        h6 = (
+            int(hashlib.md5(f"{seed}:{i}:{b}".encode()).hexdigest()[:14], 16)
+            % 1_000_000
+        )
+        for k, t in enumerate(POISSON1_CDF_PPM):
+            if h6 < t:
+                return k
+        return len(POISSON1_CDF_PPM)
+
+    deltas = []
+    for b in range(32):
+        ea, eb = [], []
+        for (i, ca, cb, ref) in rows:
+            w = weight(i, b)
+            ea += [(ca, ref)] * w
+            eb += [(cb, ref)] * w
+        deltas.append(round(_chrf_ref(ea) - _chrf_ref(eb), 6))
+    deltas.sort()
+    assert got["delta_lo6"] == deltas[0] and got["delta_hi6"] == deltas[31]
+    assert got["n_delta_pos"] == sum(1 for d in deltas if d > 0)
+    assert got["p_a_better6"] == round(got["n_delta_pos"] / 32, 6)
+    # full-corpus scores are the one-shot metric verbatim
+    assert (
+        got["chrf_a6"]
+        == em.chrf_score(df, "id", "ca", "ref").collect()[0]["chrf6"]
+    )
+    assert got["delta6"] > 0  # milder corruption wins
+
+
+def test_rouge_bootstrap_matches_independent_reference(spark):
+    """ROUGE paired bootstrap (one row per metric) vs a shared-nothing
+    reference: Counter cells + classic-DP LCS over weight-expanded
+    pair lists reproduce every replicate's per-metric F1."""
+    import hashlib
+    from collections import Counter
+
+    from tests.test_property_round13 import _lcs_dp
+    from lightfusion_spark.operators import evalmetrics as em
+    from lightfusion_spark.operators.evalmetrics import POISSON1_CDF_PPM
+
+    rows = _bootstrap_corpus()
+    df = spark.createDataFrame(rows, "id long, ca string, cb string, ref string")
+    got = {
+        r["metric"]: r.asDict()
+        for r in em.rouge_paired_bootstrap(
+            df, "id", "ca", "cb", "ref", n_boot=32
+        ).collect()
+    }
+    assert set(got) == {"rouge1", "rouge2", "rougeL"}
+
+    def weight(i, b, seed=7):
+        h6 = (
+            int(hashlib.md5(f"{seed}:{i}:{b}".encode()).hexdigest()[:14], 16)
+            % 1_000_000
+        )
+        for k, t in enumerate(POISSON1_CDF_PPM):
+            if h6 < t:
+                return k
+        return len(POISSON1_CDF_PPM)
+
+    def cells(cand, ref):
+        c, r = cand.lower().split(), ref.lower().split()
+        out = {}
+        for n in (1, 2):
+            cg = Counter(tuple(c[i:i + n]) for i in range(len(c) - n + 1))
+            rg = Counter(tuple(r[i:i + n]) for i in range(len(r) - n + 1))
+            m = sum(min(v, rg[g]) for g, v in cg.items() if g in rg)
+            out[f"rouge{n}"] = (m, sum(cg.values()), sum(rg.values()))
+        out["rougeL"] = (_lcs_dp(c, r), len(c), len(r))
+        return out
+
+    def rep_f1(side, b, metric):
+        m = c = r = 0
+        for (i, ca, cb, ref) in rows:
+            w = weight(i, b)
+            cl = cells(ca if side == "a" else cb, ref)[metric]
+            m += cl[0] * w
+            c += cl[1] * w
+            r += cl[2] * w
+        return round(2 * m / (c + r), 6) if c + r else None
+
+    for metric in ("rouge1", "rouge2", "rougeL"):
+        deltas = sorted(
+            round(rep_f1("a", b, metric) - rep_f1("b", b, metric), 6)
+            for b in range(32)
+        )
+        g = got[metric]
+        assert g["delta_lo6"] == deltas[0] and g["delta_hi6"] == deltas[31], metric
+        assert g["n_delta_pos"] == sum(1 for d in deltas if d > 0), metric
+        assert g["p_a_better6"] == round(g["n_delta_pos"] / 32, 6)
+        # the full scores are the one-shot operator verbatim
+    one = {
+        r["metric"]: r["f1_6"]
+        for r in em.corpus_rouge(df, "id", "ca", "ref").collect()
+    }
+    for metric in got:
+        assert got[metric]["f1_a6"] == one[metric]
