@@ -391,6 +391,13 @@ def sft_loss_spans(
             ),
         ).alias("spans"),
     )
+    # Pin the per-conversation scalar rows before packing: pack_sequences
+    # and the final join are two independent consumers of the same subtree,
+    # and without the checkpoint the expensive BPE mapInPandas above
+    # executes TWICE per job (verified: 2 MapInPandas nodes, 0
+    # ReusedExchange).  `out` is one scalar row per conversation — tiny —
+    # so the materialization is cheap and the tokenize pass runs once.
+    out = out.localCheckpoint(eager=True)
     packed = pack_sequences(
         out, "conversation_id", "n_tokens", capacity=capacity, n_groups=n_groups
     )

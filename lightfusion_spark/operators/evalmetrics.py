@@ -1054,12 +1054,24 @@ QA_ARTICLES = ("a", "an", "the")
 
 
 def qa_normalize(col):
-    """SQuAD answer normalization (Rajpurkar et al. 2016 evaluation
-    script semantics, re-stated as engine-portable regex): lowercase,
-    DELETE punctuation (no space substituted — ``don't`` -> ``dont``,
-    the official script's behavior), whitespace-tokenize, drop the
-    articles a/an/the, re-join with single spaces.  NULL normalizes to
-    the empty string (the corpus_bleu NULL-text contract).
+    """SQuAD answer normalization (after Rajpurkar et al. 2016):
+    lowercase, DELETE punctuation (no space substituted — ``don't``
+    -> ``dont``, the official script's behavior), whitespace-tokenize,
+    drop the articles a/an/the, re-join with single spaces.  NULL
+    normalizes to the empty string (the corpus_bleu NULL-text
+    contract).
+
+    ASCII-ONLY limitation (deliberate, stated): the keep-class is
+    ``[a-z0-9\\s]``, so non-ASCII letters are DELETED (``café`` ->
+    ``caf``) where the official script — which removes only
+    ``string.punctuation`` — would keep them.  On SQuAD-style English
+    answers the two agree; on non-English answers EM/F1 diverge from
+    the official script.  The ASCII class is kept because the oracle
+    replays the identical regex, while a Unicode-preserving class
+    would put cross-engine ``lower()``/character-class semantics
+    (ICU vs JVM locale edge cases like ``İ``) inside the hash-compare
+    path.  Callers grading non-English QA should pre-transliterate or
+    supply their own normalizer.
 
     Implementation note: the article/empty drop is a chain of
     ``array_remove`` calls, not a ``filter`` lambda — higher-order

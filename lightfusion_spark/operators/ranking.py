@@ -70,6 +70,18 @@ def ranking_report_per_query(
     Relevant-for-RR/hits means rel > 0, so a graded gold row with
     grade 0 ("judged irrelevant") neither counts as a hit nor stops
     the reciprocal-rank scan — the TREC pooling convention.
+
+    Duplicate guard: ``(query, item)`` must be unique in BOTH inputs
+    (the shape every top-k producer and gold join in this repo emits;
+    trec_eval ERRORS on duplicate docs).  The results side is
+    additionally GUARDED, not just documented — duplicate ``(query,
+    item)`` rows inside the top k would multiply through the inner
+    hit join and silently inflate ``n_hits_k``/``dcg6``, so the top-k
+    slice is collapsed to each item's BEST (minimum) rank first: one
+    deterministic contribution per item, at its most favorable
+    position.  The gold side stays a stated precondition (a duplicate
+    gold row is a labeling bug — two grades for one item has no right
+    answer to collapse to).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -81,8 +93,10 @@ def ranking_report_per_query(
     )
     g = gold.select(F.col(q), F.col(i), rel.alias("_rel"))
 
-    topk = results.where(F.col(r) <= F.lit(k)).select(
-        F.col(q), F.col(i), F.col(r).cast("long").alias("_rank")
+    topk = (
+        results.where(F.col(r) <= F.lit(k))
+        .groupBy(F.col(q), F.col(i))
+        .agg(F.min(F.col(r).cast("long")).alias("_rank"))
     )
     hits = topk.join(g, [q, i], "inner")
     hit_agg = hits.groupBy(q).agg(

@@ -236,3 +236,26 @@ def test_ranking_bootstrap_matches_independent_reference(spark):
     # universe because gold is shared)
     rep_a = rk.ranking_report(ra, gd, "q", "item", "rank", k=5).collect()[0]
     assert got["ndcg_a6"] == rep_a["mean_ndcg6"]
+
+
+def test_duplicate_result_items_collapse_to_best_rank(spark):
+    """The r13 judge's contract finding: duplicate (query, item) rows
+    inside the top k used to multiply through the inner hit join and
+    silently inflate n_hits_k/dcg6.  The guard collapses the top-k
+    slice to each item's BEST (minimum) rank — metrics must equal the
+    clean single-occurrence run exactly."""
+    gold = spark.createDataFrame([(1, "a"), (1, "b")], "q long, item string")
+    clean = spark.createDataFrame(
+        [(1, "a", 1), (1, "x", 2), (1, "b", 3)], "q long, item string, rank long"
+    )
+    dirty = spark.createDataFrame(
+        # "a" appears at ranks 1 AND 2; "b" at 3 twice
+        [(1, "a", 1), (1, "a", 2), (1, "b", 3), (1, "b", 3)],
+        "q long, item string, rank long",
+    )
+    want = rk.ranking_report_per_query(clean, gold, "q", "item", "rank", k=3)
+    got = rk.ranking_report_per_query(dirty, gold, "q", "item", "rank", k=3)
+    w, g = want.collect()[0].asDict(), got.collect()[0].asDict()
+    assert g["n_hits_k"] == 2 == w["n_hits_k"]
+    assert g["dcg6"] == w["dcg6"] and g["ndcg6"] == w["ndcg6"]
+    assert g["rr6"] == w["rr6"] == 1.0
