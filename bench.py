@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "pipe_eval_bleu_bootstrap",
     "pipe_eval_wer_bootstrap",
     "pipe_eval_ranking_bootstrap",
+    "pipe_eval_qa_by_system",
+    "pipe_eval_ranking_by_policy",
 ]
 
 

@@ -1090,7 +1090,11 @@ def qa_normalize(col):
 
 
 def qa_em_f1(
-    df: DataFrame, qid_col: str, pred_col: str, gold_col: str
+    df: DataFrame,
+    qid_col: str,
+    pred_col: str,
+    gold_col: str,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Per-question extractive-QA grades — SQuAD exact match and token
     F1 (Rajpurkar et al. 2016), the reading-comprehension member of
@@ -1106,6 +1110,16 @@ def qa_em_f1(
     ``(qid, n_golds, em, f1_6)`` — ``n_golds`` counts DISTINCT
     normalized alternatives, ``em``/``f1_6`` are the MAX over them
     (the official scoring rule).
+
+    With ``group_col`` (the leaderboard slice — system, language,
+    dataset split) the stringified group RIDES the row projection as
+    a ``_grp`` column and joins the per-question groupBy key — the
+    ``wer_pairs`` pattern: no join-back for a column already in the
+    row.  The group must be CONSTANT per question (a question belongs
+    to one system's eval set — the same contract as the prediction);
+    a violating caller gets one row per (question, group), each graded
+    deterministically, never a partition-dependent pick.  Output gains
+    the group as its first column (aliased back to ``group_col``).
 
     Grade semantics on :func:`qa_normalize` token bags:
 
@@ -1139,7 +1153,12 @@ def qa_em_f1(
     # carries scalars or single tokens, never an answer body
     ptoks = F.array_remove(F.split(qa_normalize(F.col(pred_col)), " "), "")
     gtoks = F.array_remove(F.split(qa_normalize(F.col(gold_col)), " "), "")
+    grouped = group_col is not None
+    grp_cols = (
+        [F.col(group_col).cast("string").alias("_grp")] if grouped else []
+    )
     rows = df.select(
+        *grp_cols,
         F.col(qid_col).alias("_qid"),
         F.md5(qa_normalize(F.col(pred_col))).alias("_pk"),
         F.md5(qa_normalize(F.col(gold_col))).alias("_ak"),
@@ -1178,11 +1197,13 @@ def qa_em_f1(
         .groupBy("_qid", "_ak")
         .agg(F.sum(F.least("_cp", "_cg")).cast("long").alias("_m"))
     )
+    grp_keys = ["_grp"] if grouped else []
     per_alt = (
-        pairs.select("_qid", "_ak", "_em", "_lp", "_lg")
+        pairs.select(*grp_keys, "_qid", "_ak", "_em", "_lp", "_lg")
         .join(matched, ["_qid", "_ak"], "left")
         .withColumn("_m", F.coalesce(F.col("_m"), F.lit(0)))
         .select(
+            *grp_keys,
             "_qid",
             "_em",
             F.when(
@@ -1200,29 +1221,21 @@ def qa_em_f1(
             .alias("_f1"),
         )
     )
-    return per_alt.groupBy("_qid").agg(
+    out_grp = [F.col("_grp").alias(group_col)] if grouped else []
+    return per_alt.groupBy(*grp_keys, "_qid").agg(
         F.count(F.lit(1)).cast("long").alias("n_golds"),
         F.max("_em").cast("int").alias("em"),
         F.max("_f1").alias("f1_6"),
-    ).select(F.col("_qid").alias(qid_col), "n_golds", "em", "f1_6")
+    ).select(*out_grp, F.col("_qid").alias(qid_col), "n_golds", "em", "f1_6")
 
 
-def qa_report(
-    df: DataFrame, qid_col: str, pred_col: str, gold_col: str
-) -> DataFrame:
-    """Corpus QA report — ONE row ``(n_questions, n_em, em_rate6,
-    f1_mean6)``: the two numbers a SQuAD-style leaderboard prints.
-    ``em_rate6`` is an exact integer ratio; ``f1_mean6`` averages the
-    per-question ROUND-6 F1 through exact DECIMAL(18,6) sums (the
-    registry recipe — partial-aggregation order can never change a
-    bit)."""
-    per = qa_em_f1(df, qid_col, pred_col, gold_col)
-    agg = per.groupBy().agg(
-        F.count(F.lit(1)).cast("long").alias("n_questions"),
-        F.sum("em").cast("long").alias("n_em"),
-        F.sum(F.col("f1_6").cast("decimal(18,6)")).alias("_f1_sum"),
-    )
-    return agg.select(
+def _qa_finisher_cols():
+    """The QA finisher — shared VERBATIM between :func:`qa_report`
+    (one-shot and grouped) and :func:`qa_from_store`, so grouped ==
+    sliced-one-shot and streamed == one-shot are identities of the
+    expression tree, not claims.  Input columns: ``n_questions``,
+    ``n_em``, ``f1_sum`` (DECIMAL(18,6))."""
+    return [
         "n_questions",
         "n_em",
         F.when(
@@ -1236,12 +1249,116 @@ def qa_report(
         F.when(
             F.col("n_questions") > 0,
             F.round(
-                F.col("_f1_sum").cast("double")
+                F.col("f1_sum").cast("double")
                 / F.col("n_questions").cast("double"),
                 6,
             ),
         ).alias("f1_mean6"),
+    ]
+
+
+def _qa_cells(per: DataFrame, keys: list[str]) -> DataFrame:
+    """Collapse per-question grades to the corpus QA cell row(s):
+    ``(n_questions, n_em, f1_sum)`` — exact integers plus an exact
+    DECIMAL(18,6) sum of the per-question ROUND-6 F1s, so the cells
+    are ADDITIVE over disjoint question sets and partial-aggregation
+    order can never change a bit (the registry recipe)."""
+    return (per.groupBy(*keys) if keys else per.groupBy()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_questions"),
+        F.sum("em").cast("long").alias("n_em"),
+        F.coalesce(
+            F.sum(F.col("f1_6").cast("decimal(18,6)")),
+            F.lit(0).cast("decimal(18,6)"),
+        )
+        .cast("decimal(18,6)")
+        .alias("f1_sum"),
     )
+
+
+def qa_report(
+    df: DataFrame,
+    qid_col: str,
+    pred_col: str,
+    gold_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Corpus QA report — ONE row (or one per ``group_col`` value):
+    ``(n_questions, n_em, em_rate6, f1_mean6)``: the two numbers a
+    SQuAD-style leaderboard prints.  ``em_rate6`` is an exact integer
+    ratio; ``f1_mean6`` averages the per-question ROUND-6 F1 through
+    exact DECIMAL(18,6) sums (the registry recipe — partial-
+    aggregation order can never change a bit).  The grouped variant
+    (the multi-system leaderboard, completing the corpus-metric form
+    matrix for QA) is the SAME cells + finisher under a groupBy over
+    the group carried by :func:`qa_em_f1`'s row projection — each
+    group's row equals the ungrouped operator over that slice bit for
+    bit."""
+    per = qa_em_f1(df, qid_col, pred_col, gold_col, group_col=group_col)
+    keys = [group_col] if group_col is not None else []
+    return _qa_cells(per, keys).select(*keys, *_qa_finisher_cols())
+
+
+def qa_append_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    qid_col: str,
+    pred_col: str,
+    gold_col: str,
+) -> None:
+    """One append cycle of the maintained corpus-QA store — the QA
+    face of :func:`bleu_append_batch` / :func:`wer_append_batch`
+    (round-14 symmetry: every corpus metric whose cells are additive
+    gets a store).  QA's cells are ``(n_questions, n_em, f1_sum)`` —
+    additive over DISJOINT question sets because grades are computed
+    WITHIN a question; one 3-long row per batch, however many
+    questions arrived.  Contract: question ids must not repeat across
+    batches (gold-alternative dedupe happens within a batch; a
+    question re-ingested in a later batch is counted again — the
+    caller owns batch boundaries, same as the conversation store).
+    Replay safety is batch-id-addressed identically (deterministic
+    cells, MAX-collapse on read)."""
+    cells = _qa_cells(
+        qa_em_f1(batch_df, qid_col, pred_col, gold_col), []
+    )
+    cells.withColumn("batch_id", F.lit(int(batch_id)).cast("long")).write.mode(
+        "append"
+    ).parquet(state_dir)
+
+
+def qa_state_cells(spark, state_dir: str) -> DataFrame:
+    """Read a :func:`qa_append_batch` store back to clean per-batch
+    cells: collapse replay duplicates (MAX per batch_id — replays
+    write identical values, so MAX is the identity on clean
+    stores)."""
+    state = spark.read.parquet(state_dir)
+    return (
+        state.groupBy("batch_id")
+        .agg(
+            F.max("n_questions").alias("n_questions"),
+            F.max("n_em").alias("n_em"),
+            F.max("f1_sum").alias("f1_sum"),
+        )
+        .select("n_questions", "n_em", "f1_sum")
+    )
+
+
+def qa_from_store(spark, state_dir: str) -> DataFrame:
+    """Corpus QA report over EVERYTHING the store has seen — equals
+    :func:`qa_report` over the concatenation of all appended batches
+    BIT FOR BIT (additive integer/DECIMAL cells + the shared
+    :func:`_qa_finisher_cols` finisher; asserted by
+    ``tests/test_evalmetrics.py``)."""
+    agg = qa_state_cells(spark, state_dir).groupBy().agg(
+        F.coalesce(F.sum("n_questions"), F.lit(0))
+        .cast("long")
+        .alias("n_questions"),
+        F.coalesce(F.sum("n_em"), F.lit(0)).cast("long").alias("n_em"),
+        F.coalesce(F.sum("f1_sum"), F.lit(0).cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("f1_sum"),
+    )
+    return agg.select(*_qa_finisher_cols())
 
 
 def lcs_cells(

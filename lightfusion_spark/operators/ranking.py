@@ -51,10 +51,23 @@ def ranking_report_per_query(
     rank_col: str,
     k: int = 10,
     rel_col: str | None = None,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Per-query ranking metrics at cutoff ``k``: one row per GOLD
     query — ``(query, n_gold, n_hits_k, rr6, precision_k6, recall_k6,
     dcg6, idcg6, ndcg6)``.
+
+    With ``group_col`` — a column of RESULTS naming the retrieval
+    policy/system that produced each ranked list (the N-system
+    leaderboard generalization of the two-frame bootstrap) — one row
+    per (group, GOLD query): every policy is graded on the FULL gold
+    query set against the SHARED labels, so a query a policy returned
+    nothing for still grades 0 (a full miss, not a missing row).  The
+    per-query gold statistics (``n_gold``, ``idcg6``) are group-
+    independent and computed once, then crossed with the DISTINCT
+    groups via a broadcast (groups are policies — a handful of rows,
+    the repo's broadcast-stats idiom).  Output gains the group as its
+    first column (aliased back to ``group_col``).
 
     * ``rr6`` — reciprocal rank of the FIRST relevant result (0.0 when
       nothing relevant lands in the top k: the MRR convention);
@@ -93,13 +106,21 @@ def ranking_report_per_query(
     )
     g = gold.select(F.col(q), F.col(i), rel.alias("_rel"))
 
-    topk = (
-        results.where(F.col(r) <= F.lit(k))
-        .groupBy(F.col(q), F.col(i))
-        .agg(F.min(F.col(r).cast("long")).alias("_rank"))
+    grouped = group_col is not None
+    grp_keys = ["_grp"] if grouped else []
+    res = results.where(F.col(r) <= F.lit(k)).select(
+        *(
+            [F.col(group_col).cast("string").alias("_grp")]
+            if grouped
+            else []
+        ),
+        F.col(q),
+        F.col(i),
+        F.col(r).cast("long").alias("_r0"),
     )
+    topk = res.groupBy(*grp_keys, q, i).agg(F.min("_r0").alias("_rank"))
     hits = topk.join(g, [q, i], "inner")
-    hit_agg = hits.groupBy(q).agg(
+    hit_agg = hits.groupBy(*grp_keys, q).agg(
         F.sum(F.when(F.col("_rel") > 0, 1).otherwise(0))
         .cast("long")
         .alias("n_hits_k"),
@@ -128,10 +149,16 @@ def ranking_report_per_query(
     )
     n_gold = g.groupBy(q).agg(F.count(F.lit(1)).cast("long").alias("n_gold"))
 
+    universe = n_gold.join(ideal, q, "inner")
+    if grouped:
+        universe = universe.crossJoin(
+            F.broadcast(res.select("_grp").distinct())
+        )
     per = (
-        n_gold.join(ideal, q, "inner")
-        .join(hit_agg, q, "left")
+        universe
+        .join(hit_agg, grp_keys + [q], "left")
         .select(
+            *([F.col("_grp").alias(group_col)] if grouped else []),
             F.col(q),
             F.col("n_gold"),
             F.coalesce(F.col("n_hits_k"), F.lit(0))
@@ -320,53 +347,54 @@ def ranking_paired_bootstrap(
     )
 
 
-def ranking_report(
-    results: DataFrame,
-    gold: DataFrame,
-    query_col: str,
-    item_col: str,
-    rank_col: str,
-    k: int = 10,
-    rel_col: str | None = None,
-) -> DataFrame:
-    """Corpus-level ranking report at cutoff ``k`` — ONE row:
-    ``(k, n_queries, n_ndcg_ungraded, n_hits_total, n_gold_total,
-    micro_recall6, mrr6, mean_precision_k6, mean_recall_k6,
-    mean_ndcg6)``.
-
-    Macro means average the per-query ROUND-6 values through exact
-    DECIMAL(18,6) sums (the registry recipe, so each mean is
-    bit-reproducible under any partitioning); ``micro_recall6`` is the
-    pooled ``sum(hits)/sum(gold)``.  Queries whose IDCG is 0 (all
-    gold grades 0) are EXCLUDED from the nDCG mean AND COUNTED in
-    ``n_ndcg_ungraded`` — the kappa/winrate loudness convention; they
-    still contribute to every other mean (their hits are genuinely 0
-    or graded-0).
-    """
-    per = ranking_report_per_query(
-        results, gold, query_col, item_col, rank_col, k=k, rel_col=rel_col
-    )
+def _ranking_cells(per: DataFrame, keys: list[str]) -> DataFrame:
+    """Collapse per-query grades to the corpus ranking cell row(s):
+    exact integer totals plus exact DECIMAL(18,6) sums of the
+    per-query ROUND-6 metrics — ADDITIVE over disjoint query sets
+    (every grade is computed WITHIN a query), so the grouped report
+    and the maintained store are the same cells under different
+    keys."""
 
     def dec6(col):
         return F.col(col).cast("decimal(18,6)")
 
-    agg = per.groupBy().agg(
+    def sum6(col, name):
+        return (
+            F.coalesce(F.sum(dec6(col)), F.lit(0).cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias(name)
+        )
+
+    return (per.groupBy(*keys) if keys else per.groupBy()).agg(
         F.count(F.lit(1)).cast("long").alias("n_queries"),
         F.sum(F.when(F.col("ndcg6").isNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_ndcg_ungraded"),
-        F.sum("n_hits_k").cast("long").alias("n_hits_total"),
-        F.sum("n_gold").cast("long").alias("n_gold_total"),
-        F.sum(dec6("rr6")).alias("_rr_sum"),
-        F.sum(dec6("precision_k6")).alias("_p_sum"),
-        F.sum(dec6("recall_k6")).alias("_r_sum"),
-        F.sum(dec6("ndcg6")).alias("_ndcg_sum"),
+        F.coalesce(F.sum("n_hits_k"), F.lit(0))
+        .cast("long")
+        .alias("n_hits_total"),
+        F.coalesce(F.sum("n_gold"), F.lit(0))
+        .cast("long")
+        .alias("n_gold_total"),
+        sum6("rr6", "rr_sum"),
+        sum6("precision_k6", "p_sum"),
+        sum6("recall_k6", "r_sum"),
+        sum6("ndcg6", "ndcg_sum"),
         F.sum(F.when(F.col("ndcg6").isNotNull(), 1).otherwise(0))
         .cast("long")
-        .alias("_n_graded"),
+        .alias("n_graded"),
     )
-    return agg.select(
-        F.lit(int(k)).cast("int").alias("k"),
+
+
+def _ranking_finisher_cols(k_col):
+    """The ranking finisher — shared VERBATIM between
+    :func:`ranking_report` (one-shot and grouped) and
+    :func:`ranking_from_store`, so grouped == sliced-one-shot and
+    streamed == one-shot are identities of the expression tree.
+    ``k_col`` is the cutoff column expression (a literal in the
+    report forms, the stored cell column in the store form)."""
+    return [
+        k_col.cast("int").alias("k"),
         "n_queries",
         "n_ndcg_ungraded",
         "n_hits_total",
@@ -380,26 +408,166 @@ def ranking_report(
             ),
         ).alias("micro_recall6"),
         F.round(
-            F.col("_rr_sum").cast("double")
+            F.col("rr_sum").cast("double")
             / F.col("n_queries").cast("double"),
             6,
         ).alias("mrr6"),
         F.round(
-            F.col("_p_sum").cast("double")
+            F.col("p_sum").cast("double")
             / F.col("n_queries").cast("double"),
             6,
         ).alias("mean_precision_k6"),
         F.round(
-            F.col("_r_sum").cast("double")
+            F.col("r_sum").cast("double")
             / F.col("n_queries").cast("double"),
             6,
         ).alias("mean_recall_k6"),
         F.when(
-            F.col("_n_graded") > 0,
+            F.col("n_graded") > 0,
             F.round(
-                F.col("_ndcg_sum").cast("double")
-                / F.col("_n_graded").cast("double"),
+                F.col("ndcg_sum").cast("double")
+                / F.col("n_graded").cast("double"),
                 6,
             ),
         ).alias("mean_ndcg6"),
+    ]
+
+
+def ranking_report(
+    results: DataFrame,
+    gold: DataFrame,
+    query_col: str,
+    item_col: str,
+    rank_col: str,
+    k: int = 10,
+    rel_col: str | None = None,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Corpus-level ranking report at cutoff ``k`` — ONE row (or one
+    per ``group_col`` value): ``(k, n_queries, n_ndcg_ungraded,
+    n_hits_total, n_gold_total, micro_recall6, mrr6,
+    mean_precision_k6, mean_recall_k6, mean_ndcg6)``.
+
+    Macro means average the per-query ROUND-6 values through exact
+    DECIMAL(18,6) sums (the registry recipe, so each mean is
+    bit-reproducible under any partitioning); ``micro_recall6`` is the
+    pooled ``sum(hits)/sum(gold)``.  Queries whose IDCG is 0 (all
+    gold grades 0) are EXCLUDED from the nDCG mean AND COUNTED in
+    ``n_ndcg_ungraded`` — the kappa/winrate loudness convention; they
+    still contribute to every other mean (their hits are genuinely 0
+    or graded-0).
+
+    With ``group_col`` (a RESULTS column naming the retrieval policy —
+    the N-system leaderboard, completing the corpus-metric form matrix
+    for ranking) each policy is graded on the FULL gold query set (see
+    :func:`ranking_report_per_query`), and each group's row equals the
+    ungrouped operator over that policy's results bit for bit: the
+    SAME cells + finisher under a groupBy.
+    """
+    per = ranking_report_per_query(
+        results,
+        gold,
+        query_col,
+        item_col,
+        rank_col,
+        k=k,
+        rel_col=rel_col,
+        group_col=group_col,
     )
+    keys = [group_col] if group_col is not None else []
+    return _ranking_cells(per, keys).select(
+        *keys, *_ranking_finisher_cols(F.lit(int(k)))
+    )
+
+
+def ranking_append_batch(
+    results: DataFrame,
+    gold: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    query_col: str,
+    item_col: str,
+    rank_col: str,
+    k: int = 10,
+    rel_col: str | None = None,
+) -> None:
+    """One append cycle of the maintained ranking-report store — the
+    ranking face of the corpus-metric store family (BLEU/chrF/WER/
+    ROUGE/QA).  Cells are the :func:`_ranking_cells` row — exact
+    integer totals + DECIMAL(18,6) metric sums, additive over
+    DISJOINT query sets; one row per batch, however many queries
+    arrived.  Contract: query ids must not repeat across batches (a
+    query re-graded in a later batch is counted again), and ``k``
+    must be constant for the life of the store (it is stored with
+    each cell and the read path MAX-collapses it — a mixed-k store is
+    a caller bug, not an average that silently means nothing).
+    Replay safety is batch-id-addressed identically (deterministic
+    cells, MAX-collapse on read)."""
+    per = ranking_report_per_query(
+        results, gold, query_col, item_col, rank_col, k=k, rel_col=rel_col
+    )
+    cells = _ranking_cells(per, []).withColumn(
+        "k", F.lit(int(k)).cast("int")
+    )
+    cells.withColumn("batch_id", F.lit(int(batch_id)).cast("long")).write.mode(
+        "append"
+    ).parquet(state_dir)
+
+
+_RANKING_CELL_COLS = (
+    "n_queries",
+    "n_ndcg_ungraded",
+    "n_hits_total",
+    "n_gold_total",
+    "rr_sum",
+    "p_sum",
+    "r_sum",
+    "ndcg_sum",
+    "n_graded",
+)
+
+
+def ranking_state_cells(spark, state_dir: str) -> DataFrame:
+    """Read a :func:`ranking_append_batch` store back to clean
+    per-batch cells: collapse replay duplicates (MAX per batch_id —
+    replays write identical values, so MAX is the identity on clean
+    stores)."""
+    state = spark.read.parquet(state_dir)
+    return state.groupBy("batch_id").agg(
+        *[F.max(c).alias(c) for c in _RANKING_CELL_COLS + ("k",)]
+    ).select(*_RANKING_CELL_COLS, "k")
+
+
+def ranking_from_store(spark, state_dir: str) -> DataFrame:
+    """Corpus ranking report over EVERYTHING the store has seen —
+    equals :func:`ranking_report` over the union of all appended
+    batches' (results, gold) BIT FOR BIT under the disjoint-queries
+    contract (additive cells + the shared
+    :func:`_ranking_finisher_cols` finisher; asserted by
+    ``tests/test_ranking.py``)."""
+    cells = ranking_state_cells(spark, state_dir)
+    agg = cells.groupBy().agg(
+        F.coalesce(F.sum("n_queries"), F.lit(0))
+        .cast("long")
+        .alias("n_queries"),
+        F.coalesce(F.sum("n_ndcg_ungraded"), F.lit(0))
+        .cast("long")
+        .alias("n_ndcg_ungraded"),
+        F.coalesce(F.sum("n_hits_total"), F.lit(0))
+        .cast("long")
+        .alias("n_hits_total"),
+        F.coalesce(F.sum("n_gold_total"), F.lit(0))
+        .cast("long")
+        .alias("n_gold_total"),
+        *[
+            F.coalesce(F.sum(c), F.lit(0).cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias(c)
+            for c in ("rr_sum", "p_sum", "r_sum", "ndcg_sum")
+        ],
+        F.coalesce(F.sum("n_graded"), F.lit(0))
+        .cast("long")
+        .alias("n_graded"),
+        F.max("k").alias("_k"),
+    )
+    return agg.select(*_ranking_finisher_cols(F.col("_k")))

@@ -1743,3 +1743,104 @@ def test_rouge_bootstrap_matches_independent_reference(spark):
     }
     for metric in got:
         assert got[metric]["f1_a6"] == one[metric]
+
+
+def test_qa_grouped_matches_per_slice(spark):
+    """qa_report(group_col=...) — the multi-system leaderboard slice —
+    equals qa_report over each slice bit for bit: the group rides the
+    row projection (the wer_pairs pattern, no join-back) into the same
+    cells + shared finisher under a groupBy."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = [
+        (f"sys{i % 3}", i,
+         " ".join(f"w{(i * j) % 7}" for j in range(1, 6 - i % 2)),
+         " ".join(f"w{(i * j) % 7}" for j in range(1, 6)))
+        for i in range(30)
+    ] + [("sys0", 100, "", ""), ("sys1", 101, "the a an", "x")]
+    df = spark.createDataFrame(
+        rows, "system string, qid long, pred string, gold string"
+    )
+    by = {
+        r["system"]: r.asDict()
+        for r in em.qa_report(
+            df, "qid", "pred", "gold", group_col="system"
+        ).collect()
+    }
+    assert set(by) == {"sys0", "sys1", "sys2"}
+    for g in by:
+        want = em.qa_report(
+            df.where(F.col("system") == g), "qid", "pred", "gold"
+        ).collect()[0].asDict()
+        got = dict(by[g])
+        got.pop("system")
+        assert got == want
+
+
+def test_qa_store_stream_matches_batch_exactly(spark, tmp_path):
+    """Maintained QA store: questions streamed over a two-file source
+    and appended inside foreachBatch; the store report equals the
+    one-shot qa_report over the union BIT FOR BIT (cells are additive
+    because grades are computed within a question; question ids are
+    disjoint across batches per the store contract)."""
+    import time
+
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = [
+        (i,
+         " ".join(f"w{(i * j) % 7}" for j in range(1, 6 - i % 2)),
+         " ".join(f"w{(i * j) % 7}" for j in range(1, 4 + (i % 3))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "qid long, pred string, gold string")
+    src = tmp_path / "qa_src"
+    df.where("qid % 2 = 0").coalesce(1).write.parquet(str(src / "f1"))
+    time.sleep(1.1)
+    df.where("qid % 2 = 1").coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*/"))
+    )
+    state_dir = str(tmp_path / "qa_state")
+
+    def process(batch_df, epoch_id):
+        em.qa_append_batch(batch_df, state_dir, epoch_id, "qid", "pred", "gold")
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_qa"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    store = spark.read.parquet(state_dir)
+    assert store.select("batch_id").distinct().count() >= 2
+    got = em.qa_from_store(spark, state_dir).collect()[0].asDict()
+    want = em.qa_report(df, "qid", "pred", "gold").collect()[0].asDict()
+    assert got == want and want["f1_mean6"] > 0
+
+
+def test_qa_store_replay_is_a_no_op(spark, tmp_path):
+    """Batch-id-addressed appends: replaying a batch under its
+    original id writes identical cells and the MAX-collapse read makes
+    the reported grades identical — checkpoint recovery can never
+    double-count."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = [(i, f"a b w{i}", f"a b c w{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "qid long, pred string, gold string")
+    state_dir = str(tmp_path / "qa_replay")
+    b0, b1 = df.where("qid < 10"), df.where("qid >= 10")
+    em.qa_append_batch(b0, state_dir, 0, "qid", "pred", "gold")
+    em.qa_append_batch(b1, state_dir, 1, "qid", "pred", "gold")
+    before = em.qa_from_store(spark, state_dir).collect()[0].asDict()
+    em.qa_append_batch(b1, state_dir, 1, "qid", "pred", "gold")  # replay
+    after = em.qa_from_store(spark, state_dir).collect()[0].asDict()
+    assert after == before
+    assert before == (
+        em.qa_report(df, "qid", "pred", "gold").collect()[0].asDict()
+    )

@@ -259,3 +259,80 @@ def test_duplicate_result_items_collapse_to_best_rank(spark):
     assert g["n_hits_k"] == 2 == w["n_hits_k"]
     assert g["dcg6"] == w["dcg6"] and g["ndcg6"] == w["ndcg6"]
     assert g["rr6"] == w["rr6"] == 1.0
+
+
+def _policy_frames(spark):
+    import pyspark.sql.functions as F  # noqa: F401
+
+    res = spark.createDataFrame(
+        [
+            ("p1", 1, "a", 1), ("p1", 1, "x", 2), ("p1", 1, "b", 3),
+            ("p1", 2, "d", 1),
+            ("p2", 1, "x", 1), ("p2", 1, "a", 2), ("p2", 3, "e", 1),
+        ],
+        "pol string, q long, item string, rank long",
+    )
+    gold = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "d"), (3, "e"), (3, "f")],
+        "q long, item string",
+    )
+    return res, gold
+
+
+def test_ranking_grouped_matches_per_slice_on_full_gold_universe(spark):
+    """ranking_report(group_col=...) — the N-policy leaderboard —
+    equals ranking_report over each policy's results bit for bit, and
+    EVERY policy is graded on the FULL gold query set: p2 returned
+    nothing for query 2, which must grade as a full miss (a row with
+    0 hits), not a missing row."""
+    from pyspark.sql import functions as F
+
+    res, gold = _policy_frames(spark)
+    by = {
+        r["pol"]: r.asDict()
+        for r in rk.ranking_report(
+            res, gold, "q", "item", "rank", k=3, group_col="pol"
+        ).collect()
+    }
+    assert set(by) == {"p1", "p2"}
+    for p in by:
+        want = rk.ranking_report(
+            res.where(F.col("pol") == p).drop("pol"),
+            gold, "q", "item", "rank", k=3,
+        ).collect()[0].asDict()
+        got = dict(by[p])
+        got.pop("pol")
+        assert got == want
+    # both policies graded over ALL 3 gold queries
+    assert by["p1"]["n_queries"] == 3 and by["p2"]["n_queries"] == 3
+    per = {
+        (r["pol"], r["q"]): r.asDict()
+        for r in rk.ranking_report_per_query(
+            res, gold, "q", "item", "rank", k=3, group_col="pol"
+        ).collect()
+    }
+    assert per[("p2", 2)]["n_hits_k"] == 0  # full miss present, graded 0
+
+
+def test_ranking_store_matches_one_shot_and_replay_is_no_op(spark, tmp_path):
+    """Maintained ranking store: per-batch cells (exact integer totals
+    + DECIMAL(18,6) metric sums) are additive over disjoint query
+    sets, so the store report equals ranking_report over the union of
+    all batches; a batch-id replay is collapsed by the MAX read."""
+    from pyspark.sql import functions as F
+
+    res, gold = _policy_frames(spark)
+    res = res.where(F.col("pol") == "p1").drop("pol")
+    state_dir = str(tmp_path / "rk_state")
+    b0r, b0g = res.where("q = 1"), gold.where("q = 1")
+    b1r, b1g = res.where("q > 1"), gold.where("q > 1")
+    rk.ranking_append_batch(b0r, b0g, state_dir, 0, "q", "item", "rank", k=3)
+    rk.ranking_append_batch(b1r, b1g, state_dir, 1, "q", "item", "rank", k=3)
+    before = rk.ranking_from_store(spark, state_dir).collect()[0].asDict()
+    rk.ranking_append_batch(  # replay under the original id
+        b1r, b1g, state_dir, 1, "q", "item", "rank", k=3
+    )
+    after = rk.ranking_from_store(spark, state_dir).collect()[0].asDict()
+    assert after == before
+    want = rk.ranking_report(res, gold, "q", "item", "rank", k=3)
+    assert before == want.collect()[0].asDict()
