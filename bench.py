@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "pipe_eval_ranking_bootstrap",
     "pipe_eval_qa_by_system",
     "pipe_eval_ranking_by_policy",
+    "pipe_train_shards",
 ]
 
 

