@@ -46,37 +46,30 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: Curated export order.  The driver's correctness gate evaluates only the
 #: FIRST 50 ``queries()`` entries, so the names below are emitted first.
 #:
-#: Round-13 rotation (per the round-12 verdict's top item, following the
-#: backlog enumerated in docs/PLANS.md "Round-13 re-window backlog"):
+#: Round-14 rotation (per the round-13 verdict's top item, following the
+#: backlog enumerated in docs/PLANS.md "Round-14 re-window backlog",
+#: which the judge re-tallied row-for-row from the raw CORRECTNESS
+#: files):
 #: 4 flagship Layer-A queries (windowed every round)
-#: + ALL 26 deferred r07 rows — the entire remaining r07 rotation debt
-#:   retired in one stroke (embeddings/similarity recalls, the two
-#:   n-gram LM rows, the three multimodal frame ops, the url/web block,
-#:   and the eight r07 relational reps)
-#: + 7 of the r08 block, displaced-reps first (rel_scalar_date and
-#:   rel_grouping_sets, which ceded their r12 rep slots to late faces)
-#:   then family spread: the anti join, cube agg, CTE, the stream
-#:   join's batch twin, and pipe_bpe_train (whose expected-merges
-#:   fixture was regenerated this round, so official re-verification
-#:   is due; pipe_decontaminate_bloom ceded its planned slot to the
-#:   WER face, and rel_join_cross/rel_join_theta/rel_pivot/
-#:   rel_unpivot/rel_join_full_outer/rel_agg_distinct/rel_join_semi/
-#:   rel_window_range_frame — all r08-green — ceded theirs to the
-#:   eight late round-13 eval faces; all nine head the r14 backlog.
-#:   Joins stay repped by left (r07, re-graded THIS window) + anti;
-#:   the windows family cedes on the established fresh-recorded-row
-#:   pattern — rel_window_analytics is r12-green)
-#: + 13 round-13 NEW faces (the round-12 verdict's items 5, 3, 4, 8,
-#:   then the eval-family completion wave): pipe_eval_chrf_by_system,
-#:   pipe_dedup_conversations_fuzzy, pipe_conversation_quality,
-#:   pipe_sft_spans, pipe_eval_wer, pipe_eval_wer_by_system,
-#:   pipe_eval_ranking, pipe_eval_qa, pipe_eval_rouge,
-#:   pipe_eval_rouge_by_system, pipe_eval_bleu_bootstrap,
-#:   pipe_eval_wer_bootstrap, pipe_eval_ranking_bootstrap
-#: 4+26+7+13 = 50 exactly.  After this round no registry row's last
-#: driver grade is older than r08; the remaining r08 rows (27) head the
-#: r14 backlog, then the r09 block.  Every rotated-out name was
-#: officially green in r08-r12 and moves to WINDOW_EXEMPT;
+#: + ALL 27 r08 rows — the entire remaining r08 rotation debt retired
+#:   in one stroke (the bloom decontaminator, the five embedding/
+#:   sampling rows, the JL top-k, source overlap, the two text rows,
+#:   and the sixteen r08 relational reps: argminmax/distinct aggs,
+#:   HAVING, the five join kinds, part stats, pivot/unpivot, the three
+#:   scalar batteries, the two TPC-H shapes, the range-frame window)
+#: + 16 of the 42 r09 rows, stalest-first per the backlog (the stream
+#:   join's full twin, the grouped-map centroid, the two cluster rows,
+#:   the two dedup rows, file stats, hybrid RRF, LM buckets, mixture
+#:   sample, unicode normalization, pack sequences, probe train,
+#:   robots precedence, sentence chunks, shard assign); the remaining
+#:   26 r09 rows head the r15 backlog
+#: + 3 round-14 NEW faces (the round-13 verdict's items 3 and 8):
+#:   pipe_eval_qa_by_system, pipe_eval_ranking_by_policy — completing
+#:   the corpus-metric form matrix for QA and ranking — and
+#:   pipe_train_shards, the trainer-export manifest
+#: 4+27+16+3 = 50 exactly.  After this round no registry row's last
+#: driver grade is older than r09.  Every rotated-out name was
+#: officially green in r09-r13 and moves to WINDOW_EXEMPT;
 #: tests/test_registry_window.py asserts every registered query is
 #: either in the current window or has a recorded green row from a past
 #: driver window, and tools/parity.py + CI keep sweeping the whole
@@ -87,64 +80,58 @@ PRIORITY: list[str] = [
     "lgbm_infer_embeddings",
     "argmax_embeddings",
     "settings_introspection",
-    # r07 block — the ENTIRE remaining r07 rotation debt (26 rows)
-    "pipe_embed_ivf_topk",
-    "pipe_hard_negatives",
-    "pipe_ingest_warc_clean",
-    "pipe_layout_zorder",
-    "pipe_lm_buckets_ngram",
-    "pipe_lm_score_ngram",
-    "pipe_mixture_temperature",
-    "pipe_multimodal_audio_frames",
-    "pipe_multimodal_resize",
-    "pipe_multimodal_scenecut",
-    "pipe_sim_ivf_pq_probe2",
-    "pipe_sim_ivf_pq_rerank",
-    "pipe_sim_lsh_banded",
-    "pipe_url_blocklist",
-    "pipe_url_canonicalize",
-    "pipe_web_links",
-    "pipe_web_rank_sample",
-    "pipe_web_robots",
-    "rel_cdc_latest",
-    "rel_fuzzy_match",
-    "rel_histogram",
-    "rel_join_left",
-    "rel_outlier_iqr",
-    "rel_profile_orders",
-    "rel_scd2_asof",
-    "rel_skew_report",
-    # r08 block — 7 rows, displaced-reps first, then family spread
-    "rel_scalar_date",
-    "rel_grouping_sets",
-    "pipe_bpe_train",
-    "rel_join_anti",
-    "rel_agg_cube",
-    "rel_cte",
-    "events_stream_join",
-    # (pipe_decontaminate_bloom, rel_join_cross, rel_join_theta,
-    # rel_pivot, rel_unpivot, rel_join_full_outer and rel_agg_distinct
-    # — all r08-green — ceded their planned slots to the seven late
-    # round-13 faces; they head the r14 backlog.  Joins stay repped by
-    # left/anti/semi this window, aggs by cube + grouping sets,
-    # decontamination by the r10-green pipe_decontaminate_fuzzy +
-    # r11-green pipe_decontaminate rows.)
-    # round-13 NEW faces (round-12 verdict items 5, 3, 4, 8, then the
-    # eval-family completion wave: grouped WER, ranking metrics,
-    # SQuAD EM/F1, ROUGE one-shot/by-system, BLEU paired bootstrap)
-    "pipe_eval_chrf_by_system",
-    "pipe_dedup_conversations_fuzzy",
-    "pipe_conversation_quality",
-    "pipe_sft_spans",
-    "pipe_eval_wer",
-    "pipe_eval_wer_by_system",
-    "pipe_eval_ranking",
-    "pipe_eval_qa",
-    "pipe_eval_rouge",
-    "pipe_eval_rouge_by_system",
-    "pipe_eval_bleu_bootstrap",
-    "pipe_eval_wer_bootstrap",
-    "pipe_eval_ranking_bootstrap",
+    # r08 block — the ENTIRE remaining r08 rotation debt (27 rows)
+    "pipe_decontaminate_bloom",
+    "pipe_embed_detop",
+    "pipe_embed_project",
+    "pipe_embed_text",
+    "pipe_pca_top",
+    "pipe_sample_weighted",
+    "pipe_sim_topk_jl",
+    "pipe_source_overlap",
+    "pipe_text_keywords",
+    "pipe_text_novelty",
+    "rel_agg_argminmax",
+    "rel_agg_distinct",
+    "rel_having",
+    "rel_join_cross",
+    "rel_join_full_outer",
+    "rel_join_part_supplier",
+    "rel_join_semi",
+    "rel_join_theta",
+    "rel_part_stats",
+    "rel_pivot",
+    "rel_scalar_array",
+    "rel_scalar_json",
+    "rel_scalar_string2",
+    "rel_tpch_q3_shape",
+    "rel_tpch_q5_shape",
+    "rel_unpivot",
+    "rel_window_range_frame",
+    # r09 block — 16 rows, stalest-first per the r14 backlog; the
+    # remaining 26 r09 rows head the r15 backlog
+    "events_stream_join_full",
+    "grouped_map_centroid",
+    "pipe_cluster_embeddings",
+    "pipe_cluster_report",
+    "pipe_dedup_ngram",
+    "pipe_dedup_survivors",
+    "pipe_file_stats",
+    "pipe_hybrid_rrf",
+    "pipe_lm_buckets",
+    "pipe_mixture_sample",
+    "pipe_normalize_unicode",
+    "pipe_pack_sequences",
+    "pipe_probe_train",
+    "pipe_robots_precedence",
+    "pipe_sentence_chunks",
+    "pipe_shard_assign",
+    # round-14 NEW faces (round-13 verdict items 3 and 8: the QA and
+    # ranking by-group leaderboard slices completing the corpus-metric
+    # form matrix, and the trainer-shard export manifest)
+    "pipe_eval_qa_by_system",
+    "pipe_eval_ranking_by_policy",
+    "pipe_train_shards",
 ]
 
 

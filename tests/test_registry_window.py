@@ -65,38 +65,35 @@ def test_window_covers_every_family():
     for name in exempt:
         assert name in REGISTRY, f"stale window_exempt entry {name}"
         assert name not in window, f"{name} exempted but wastes a window slot"
-    # One-plus representative per §2.3 category.  Round-13 rotation picks
+    # One-plus representative per §2.3 category.  Round-14 rotation picks
     # the stalest-verified sibling per category (everything below is an
-    # r07/r08 row; the r12-refreshed siblings ceded their slots — the
+    # r08/r09 row; the r13-refreshed siblings ceded their slots — the
     # established displacement precedent, each ceding family keeping an
-    # r11/r12-green recorded row).
+    # r12/r13-green recorded row).
     for name in (
         # projection/filter, set ops, generators/higher-order, the
-        # approximate/sketch family and the Spark-4 surface ceded their
-        # rep slots this rotation: each is repped by an r12-green
-        # recorded row (rel_filter_project, rel_union_all, rel_explode,
-        # pipe_sketch_cms, rel_variant — ALL refreshed in r12, the
-        # freshest rows in the registry)
-        # (rel_join_cross / rel_join_theta / rel_pivot / rel_unpivot /
-        # rel_join_full_outer — r08-green — ceded their slots to the
-        # five late round-13 eval faces; joins stay repped by
-        # left/anti/semi this window)
-        "rel_join_left",  # joins (r7 — plus anti, r8; semi ceded its
-        # slot to the WER bootstrap face)
-        "rel_join_anti",
-        # (rel_window_range_frame — r08-green — ceded its slot to the
-        # ranking bootstrap face; windows stay repped by the r12-green
-        # rel_window_analytics recorded row, the same fresh-recorded-
-        # row pattern the projection/set-op/sketch families use)
-        "rel_cte",  # subqueries/CTEs (r8)
-        # (rel_agg_distinct — r08-green — ceded its slot to the
-        # bootstrap face; aggs stay repped by cube + grouping sets)
-        "rel_agg_cube",  # aggregations (r8 — plus grouping sets)
-        "rel_grouping_sets",
-        "rel_scalar_date",  # scalar library (r8, the r12-displaced rep)
-        "events_stream_join",  # timeseries/streaming family (r8 — the
-        # stream join's driver-faced batch twin)
-        "pipe_bpe_train",  # UDF/Arrow crossing + the rows-only face (r8)
+        # approximate/sketch family and the Spark-4 surface stay repped
+        # by r12-green recorded rows (rel_filter_project, rel_union_all,
+        # rel_explode, pipe_sketch_cms, rel_variant); subqueries/CTEs by
+        # the r13-green rel_cte row — the freshest in the registry —
+        # per the same fresh-recorded-row pattern.
+        "rel_join_cross",  # joins: the ENTIRE remaining r08 join debt
+        "rel_join_semi",
+        "rel_join_theta",
+        "rel_join_full_outer",
+        "rel_join_part_supplier",
+        "rel_agg_argminmax",  # aggregations (r8 — plus distinct, HAVING)
+        "rel_agg_distinct",
+        "rel_having",
+        "rel_window_range_frame",  # windows (r8)
+        "rel_scalar_array",  # scalar library (r8: array/json/string2)
+        "rel_scalar_json",
+        "rel_scalar_string2",
+        "events_stream_join_full",  # timeseries/streaming family (r9 —
+        # the stream join's full-outer batch twin)
+        "grouped_map_centroid",  # UDF/Arrow crossing (r9)
+        "rel_pivot",  # reshaping (r8, with unpivot)
+        "rel_unpivot",
     ):
         assert name in window, f"§2.3 representative {name} outside driver window"
 
