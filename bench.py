@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "pipe_eval_qa_by_system",
     "pipe_eval_ranking_by_policy",
     "pipe_train_shards",
+    "pipe_eval_chrf_bootstrap",
+    "pipe_eval_rouge_bootstrap",
 ]
 
 

@@ -57,17 +57,20 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #:   and the sixteen r08 relational reps: argminmax/distinct aggs,
 #:   HAVING, the five join kinds, part stats, pivot/unpivot, the three
 #:   scalar batteries, the two TPC-H shapes, the range-frame window)
-#: + 16 of the 42 r09 rows, stalest-first per the backlog (the stream
+#: + 14 of the 42 r09 rows, stalest-first per the backlog (the stream
 #:   join's full twin, the grouped-map centroid, the two cluster rows,
 #:   the two dedup rows, file stats, hybrid RRF, LM buckets, mixture
 #:   sample, unicode normalization, pack sequences, probe train,
-#:   robots precedence, sentence chunks, shard assign); the remaining
-#:   26 r09 rows head the r15 backlog
-#: + 3 round-14 NEW faces (the round-13 verdict's items 3 and 8):
-#:   pipe_eval_qa_by_system, pipe_eval_ranking_by_policy — completing
-#:   the corpus-metric form matrix for QA and ranking — and
-#:   pipe_train_shards, the trainer-export manifest
-#: 4+27+16+3 = 50 exactly.  After this round no registry row's last
+#:   robots precedence; sentence chunks and shard assign ceded to the
+#:   two late bootstrap faces); the remaining 28 r09 rows head the
+#:   r15 backlog
+#: + 5 round-14 NEW faces (the round-13 verdict's items 3 and 8 plus
+#:   its bootstrap symmetry gap): pipe_eval_qa_by_system,
+#:   pipe_eval_ranking_by_policy — completing the corpus-metric form
+#:   matrix for QA and ranking — pipe_train_shards, the trainer-export
+#:   manifest, and pipe_eval_chrf_bootstrap/pipe_eval_rouge_bootstrap,
+#:   the last two members of the bootstrap family gaining oracle faces
+#: 4+27+14+5 = 50 exactly.  After this round no registry row's last
 #: driver grade is older than r09.  Every rotated-out name was
 #: officially green in r09-r13 and moves to WINDOW_EXEMPT;
 #: tests/test_registry_window.py asserts every registered query is
@@ -108,8 +111,9 @@ PRIORITY: list[str] = [
     "rel_tpch_q5_shape",
     "rel_unpivot",
     "rel_window_range_frame",
-    # r09 block — 16 rows, stalest-first per the r14 backlog; the
-    # remaining 26 r09 rows head the r15 backlog
+    # r09 block — 14 rows, stalest-first per the r14 backlog; the
+    # remaining 28 r09 rows (incl. the two displaced below) head the
+    # r15 backlog
     "events_stream_join_full",
     "grouped_map_centroid",
     "pipe_cluster_embeddings",
@@ -124,14 +128,21 @@ PRIORITY: list[str] = [
     "pipe_pack_sequences",
     "pipe_probe_train",
     "pipe_robots_precedence",
-    "pipe_sentence_chunks",
-    "pipe_shard_assign",
-    # round-14 NEW faces (round-13 verdict items 3 and 8: the QA and
-    # ranking by-group leaderboard slices completing the corpus-metric
-    # form matrix, and the trainer-shard export manifest)
+    # (pipe_sentence_chunks and pipe_shard_assign — both r09-green —
+    # ceded their planned slots to the two late round-14 bootstrap
+    # faces, the established displacement pattern; they head the r15
+    # backlog with the remaining 26 r09 rows.  shard_assign's plan is
+    # additionally exercised THIS window inside pipe_train_shards.)
+    # round-14 NEW faces (round-13 verdict items 3 and 8 plus the
+    # bootstrap symmetry gap: the QA and ranking by-group leaderboard
+    # slices completing the corpus-metric form matrix, the
+    # trainer-shard export manifest, and the chrF/ROUGE paired
+    # bootstraps gaining their oracle faces)
     "pipe_eval_qa_by_system",
     "pipe_eval_ranking_by_policy",
     "pipe_train_shards",
+    "pipe_eval_chrf_bootstrap",
+    "pipe_eval_rouge_bootstrap",
 ]
 
 
