@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "pipe_train_shards",
     "pipe_eval_chrf_bootstrap",
     "pipe_eval_rouge_bootstrap",
+    "pipe_eval_auc",
+    "pipe_eval_calibration",
 ]
 
 

@@ -2840,3 +2840,157 @@ def pipe_eval_rouge_bootstrap(spark, sf_dir):
     return evalmetrics.rouge_paired_bootstrap(
         pairs, "doc_id", "ca", "cb", "ref", max_n=2, n_boot=32, seed=7
     )
+
+
+_AUC_CAL_SRC_SQL = """
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 14)
+              AS BIGINT) % 1000000 AS u1,
+         CAST('0x' || substr(md5('12:' || CAST(doc_id AS VARCHAR)), 1, 14)
+              AS BIGINT) % 1000000 AS u2
+  FROM documents
+),
+s AS (
+  SELECT ROUND(CAST(u1 AS DOUBLE) / 1000000.0, 6) AS sc,
+         CASE WHEN u2 * 1000000 < u1 * u1 THEN 1 ELSE 0 END AS y
+  FROM h
+)"""
+
+
+@register(
+    "pipe_eval_auc",
+    oracle=f"""
+WITH {_AUC_CAL_SRC_SQL},
+ps AS (
+  SELECT sc, SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
+         SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS nn
+  FROM s GROUP BY sc
+),
+c AS (
+  SELECT sc, np, nn,
+         COALESCE(SUM(nn) OVER (ORDER BY sc
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM ps
+),
+agg AS (
+  SELECT CAST(SUM(np + nn) AS BIGINT) AS n_samples,
+         CAST(SUM(np) AS BIGINT) AS n_pos,
+         CAST(SUM(nn) AS BIGINT) AS n_neg,
+         CAST(SUM(np * (2 * below + nn)) AS BIGINT) AS numer2
+  FROM c
+)
+SELECT n_samples, CAST(0 AS BIGINT) AS n_excluded, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN ROUND(CAST(numer2 AS DOUBLE)
+                       / (2.0 * CAST(n_pos AS DOUBLE)
+                          * CAST(n_neg AS DOUBLE)), 6) END AS auc6,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN ROUND(2.0 * ROUND(CAST(numer2 AS DOUBLE)
+                       / (2.0 * CAST(n_pos AS DOUBLE)
+                          * CAST(n_neg AS DOUBLE)), 6) - 1.0, 6)
+       END AS gini6
+FROM agg
+""",
+    doc="ROC AUC via the Mann-Whitney rank-sum identity "
+    "(evalmetrics.auc_report) — the classifier-quality member of the "
+    "eval family: the repo's quality models (probe_train, the n-gram "
+    "scorer, quality_model_filter) emit scores, and this grades them "
+    "against labels THRESHOLD-FREE, with AVERAGE-RANK tie handling "
+    "computed ENTIRELY in exact integers until one final division "
+    "(auc = sum over distinct scores of n_pos*(2*neg_below+n_neg) "
+    "over 2*P*N — each tie group's positives pair against "
+    "strictly-lower negatives plus HALF its own negatives, doubled "
+    "into integer arithmetic).  Scores/labels derive deterministically "
+    "from md5 ppm uniforms (label ~ Bernoulli(score^2) via an exact "
+    "INTEGER compare u2*1e6 < u1*u1 — no transcendental), so both "
+    "engines replay the whole experiment bit-for-bit.  Scale contract "
+    "stated: scores ROUND at 6 first, so the post-groupBy windowed "
+    "relation is DISTINCT ROUNDED SCORES (<= ~2e6 narrow integer rows "
+    "whatever the corpus) — nothing corpus-sized sorts in one task, "
+    "zero Python",
+)
+def pipe_eval_auc(spark, sf_dir):
+    from ..operators.dedup import _md5_long
+
+    d = table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    u1 = _md5_long(sid, seed=11) % F.lit(1_000_000)
+    u2 = _md5_long(sid, seed=12) % F.lit(1_000_000)
+    rows = d.select(
+        "doc_id",
+        F.round(u1.cast("double") / F.lit(1_000_000.0), 6).alias("score"),
+        (u2 * F.lit(1_000_000) < u1 * u1).cast("int").alias("label"),
+    )
+    return evalmetrics.auc_report(rows, "doc_id", "score", "label")
+
+
+@register(
+    "pipe_eval_calibration",
+    oracle=f"""
+WITH {_AUC_CAL_SRC_SQL},
+b AS (
+  SELECT LEAST(CAST(FLOOR(sc * 10) AS INT), 9) AS bin,
+         CAST(sc AS DECIMAL(18,6)) AS c6, y
+  FROM s
+),
+agg AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_correct,
+         CAST(SUM(c6) AS DECIMAL(18,6)) AS conf_sum
+  FROM b GROUP BY bin
+),
+gaps AS (
+  SELECT bin, n, n_correct,
+         ROUND(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc6,
+         ROUND(CAST(conf_sum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avgc6
+  FROM agg
+),
+g2 AS (
+  SELECT bin, n, n_correct, acc6, avgc6,
+         ROUND(ABS(acc6 - avgc6), 6) AS gap6
+  FROM gaps
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_samples,
+       CAST(0 AS BIGINT) AS n_excluded,
+       CAST(10 AS INTEGER) AS n_bins,
+       CAST(COUNT(*) AS INTEGER) AS n_bins_nonempty,
+       ROUND(CAST(SUM(n_correct) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+         AS accuracy6,
+       ROUND(CAST(SUM(CAST(avgc6 AS DECIMAL(18,6)) * CAST(n AS DECIMAL(18,0)))
+                  AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS avg_conf6,
+       ROUND(CAST(SUM(CAST(gap6 AS DECIMAL(18,6)) * CAST(n AS DECIMAL(18,0)))
+                  AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS ece6,
+       MAX(gap6) AS mce6
+FROM g2
+""",
+    doc="expected/maximum calibration error (evalmetrics."
+    "calibration_report; Naeini 2015 ECE, Guo 2017's evaluation form) "
+    "— does the model's stated confidence MEAN anything?  The "
+    "eval-family member every LLM leaderboard quotes beside accuracy. "
+    "Confidences/correctness derive deterministically from md5 ppm "
+    "uniforms with TRUE P(correct|conf) = conf^2 via the exact "
+    "integer compare (a visibly OVERCONFIDENT model by construction: "
+    "per-bin accuracy ~ conf^2 < conf, so ECE is large and every bin "
+    "gap positive — the shape a calibration dashboard exists to "
+    "catch).  ECE rides per-bin ROUND-6 gaps through exact DECIMAL "
+    "weighted sums (bin-summation order can never change a bit); MCE "
+    "is the order-proof max.  One map-side-combinable groupBy to 10 "
+    "bins, then arithmetic over that bounded relation — no window, no "
+    "Python, nothing corpus-sized past the first exchange",
+)
+def pipe_eval_calibration(spark, sf_dir):
+    from ..operators.dedup import _md5_long
+
+    d = table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    u1 = _md5_long(sid, seed=11) % F.lit(1_000_000)
+    u2 = _md5_long(sid, seed=12) % F.lit(1_000_000)
+    rows = d.select(
+        "doc_id",
+        F.round(u1.cast("double") / F.lit(1_000_000.0), 6).alias("conf"),
+        (u2 * F.lit(1_000_000) < u1 * u1).cast("int").alias("correct"),
+    )
+    return evalmetrics.calibration_report(
+        rows, "doc_id", "conf", "correct", n_bins=10
+    )

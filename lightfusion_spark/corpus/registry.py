@@ -57,20 +57,23 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #:   and the sixteen r08 relational reps: argminmax/distinct aggs,
 #:   HAVING, the five join kinds, part stats, pivot/unpivot, the three
 #:   scalar batteries, the two TPC-H shapes, the range-frame window)
-#: + 14 of the 42 r09 rows, stalest-first per the backlog (the stream
+#: + 12 of the 42 r09 rows, stalest-first per the backlog (the stream
 #:   join's full twin, the grouped-map centroid, the two cluster rows,
 #:   the two dedup rows, file stats, hybrid RRF, LM buckets, mixture
-#:   sample, unicode normalization, pack sequences, probe train,
-#:   robots precedence; sentence chunks and shard assign ceded to the
-#:   two late bootstrap faces); the remaining 28 r09 rows head the
+#:   sample, unicode normalization, pack sequences; probe train,
+#:   robots precedence, sentence chunks and shard assign ceded to the
+#:   four late round-14 faces); the remaining 30 r09 rows head the
 #:   r15 backlog
-#: + 5 round-14 NEW faces (the round-13 verdict's items 3 and 8 plus
-#:   its bootstrap symmetry gap): pipe_eval_qa_by_system,
-#:   pipe_eval_ranking_by_policy — completing the corpus-metric form
-#:   matrix for QA and ranking — pipe_train_shards, the trainer-export
-#:   manifest, and pipe_eval_chrf_bootstrap/pipe_eval_rouge_bootstrap,
-#:   the last two members of the bootstrap family gaining oracle faces
-#: 4+27+14+5 = 50 exactly.  After this round no registry row's last
+#: + 7 round-14 NEW faces (the round-13 verdict's items 3 and 8, its
+#:   bootstrap symmetry gap, and two new eval-family members):
+#:   pipe_eval_qa_by_system, pipe_eval_ranking_by_policy — completing
+#:   the corpus-metric form matrix for QA and ranking —
+#:   pipe_train_shards (the trainer-export manifest),
+#:   pipe_eval_chrf_bootstrap/pipe_eval_rouge_bootstrap (the last two
+#:   bootstraps gaining oracle faces), and pipe_eval_auc/
+#:   pipe_eval_calibration (threshold-free classifier quality and ECE
+#:   calibration — the two leaderboard numbers the family lacked)
+#: 4+27+12+7 = 50 exactly.  After this round no registry row's last
 #: driver grade is older than r09.  Every rotated-out name was
 #: officially green in r09-r13 and moves to WINDOW_EXEMPT;
 #: tests/test_registry_window.py asserts every registered query is
@@ -111,8 +114,8 @@ PRIORITY: list[str] = [
     "rel_tpch_q5_shape",
     "rel_unpivot",
     "rel_window_range_frame",
-    # r09 block — 14 rows, stalest-first per the r14 backlog; the
-    # remaining 28 r09 rows (incl. the two displaced below) head the
+    # r09 block — 12 rows, stalest-first per the r14 backlog; the
+    # remaining 30 r09 rows (incl. the four displaced below) head the
     # r15 backlog
     "events_stream_join_full",
     "grouped_map_centroid",
@@ -126,13 +129,13 @@ PRIORITY: list[str] = [
     "pipe_mixture_sample",
     "pipe_normalize_unicode",
     "pipe_pack_sequences",
-    "pipe_probe_train",
-    "pipe_robots_precedence",
-    # (pipe_sentence_chunks and pipe_shard_assign — both r09-green —
-    # ceded their planned slots to the two late round-14 bootstrap
-    # faces, the established displacement pattern; they head the r15
-    # backlog with the remaining 26 r09 rows.  shard_assign's plan is
-    # additionally exercised THIS window inside pipe_train_shards.)
+    # (pipe_probe_train, pipe_robots_precedence, pipe_sentence_chunks
+    # and pipe_shard_assign — all r09-green — ceded their planned
+    # slots to the four late round-14 faces (the two bootstrap oracle
+    # faces and the AUC/calibration pair), the established
+    # displacement pattern; they head the r15 backlog with the
+    # remaining 26 r09 rows.  shard_assign's plan is additionally
+    # exercised THIS window inside pipe_train_shards.)
     # round-14 NEW faces (round-13 verdict items 3 and 8 plus the
     # bootstrap symmetry gap: the QA and ranking by-group leaderboard
     # slices completing the corpus-metric form matrix, the
@@ -143,6 +146,8 @@ PRIORITY: list[str] = [
     "pipe_train_shards",
     "pipe_eval_chrf_bootstrap",
     "pipe_eval_rouge_bootstrap",
+    "pipe_eval_auc",
+    "pipe_eval_calibration",
 ]
 
 

@@ -29,7 +29,7 @@ loops, no joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -2701,3 +2701,314 @@ def winrate_from_store(spark, state_dir: str, z: float = 1.96) -> DataFrame:
         F.coalesce(F.sum("n_dropped"), F.lit(0)).cast("long").alias("n_dropped")
     )
     return _winrate_finish(agg, dropped, z)
+
+
+def auc_report(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    label_col: str,
+    group_col: str | None = None,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """ROC AUC via the Mann–Whitney rank-sum identity — the
+    classifier-quality member of the eval family (the repo's quality
+    models — ``quality_model_filter``, ``probe_train``, the fastText-
+    style n-gram scorer — emit scores; this grades the scores against
+    labels, threshold-free).  One row (or one per ``group_col``)::
+
+        (n_samples, n_excluded, n_pos, n_neg, auc6, gini6)
+
+    AUC with AVERAGE-RANK tie handling, computed entirely in exact
+    integers until one final division::
+
+        auc = [ sum_s n_pos(s) * (2*neg_below(s) + n_neg(s)) ]
+              / (2 * P * N)
+
+    where the sum runs over DISTINCT scores (each tie group
+    contributes its positives paired against strictly-lower negatives
+    plus HALF its own negatives — the average-rank convention,
+    doubled into integer arithmetic).  ``auc6`` is NULL when either
+    class is empty (undefined, not 0.5); ``gini6 = 2*auc - 1``.
+    Rows with a NULL score or a NULL label are EXCLUDED AND COUNTED
+    (the kappa/winrate loudness convention); labels are cast to int
+    and must be 0/1.
+
+    100 TB shape: scores are ROUNDED at ``score_decimals`` first
+    (stated contract — at the default 6 the tie-averaging granularity
+    is 1e-6, which moves AUC negligibly and is the registry's float
+    convention anyway), so the post-groupBy relation is DISTINCT
+    ROUNDED SCORES — at most ~2e6 narrow integer rows whatever the
+    corpus.  The strictly-below cumulative is one window over that
+    BOUNDED relation (partitioned by the group when given); nothing
+    corpus-sized sorts in one task, no Python, and the only
+    corpus-sized exchange is the map-side-combinable (score ->
+    counts) aggregation.
+    """
+    grouped = group_col is not None
+    grp_sel = (
+        [F.col(group_col).cast("string").alias("_grp")] if grouped else []
+    )
+    keys = ["_grp"] if grouped else []
+    valid = (
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    base = df.select(
+        *grp_sel,
+        valid.alias("_ok"),
+        F.round(F.col(score_col).cast("double"), score_decimals).alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+    )
+    per_score = (
+        base.where(F.col("_ok"))
+        .groupBy(*keys, "_s")
+        .agg(
+            F.sum(F.when(F.col("_y") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("_np"),
+            F.sum(F.when(F.col("_y") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("_nn"),
+        )
+    )
+    w = (
+        Window.partitionBy(*keys).orderBy("_s")
+        if grouped
+        else Window.orderBy("_s")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_score.withColumn(
+        "_below", F.coalesce(F.sum("_nn").over(w), F.lit(0)).cast("long")
+    )
+    cells = cum.groupBy(*keys).agg(
+        F.coalesce(F.sum(F.col("_np") + F.col("_nn")), F.lit(0))
+        .cast("long")
+        .alias("_n"),
+        F.coalesce(F.sum("_np"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.sum("_nn"), F.lit(0)).cast("long").alias("n_neg"),
+        F.coalesce(
+            F.sum(
+                F.col("_np")
+                * (F.lit(2) * F.col("_below") + F.col("_nn"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("_numer2"),
+    )
+    excl = (
+        base.groupBy(*keys)
+        .agg(
+            F.sum(F.when(~F.col("_ok"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_excluded")
+        )
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round(
+            F.col("_numer2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            ),
+            6,
+        ),
+    )
+    out_grp = [F.col("_grp").alias(group_col)] if grouped else []
+    return (
+        cells.join(excl, keys) if keys else cells.crossJoin(F.broadcast(excl))
+    ).select(
+        *out_grp,
+        F.col("_n").alias("n_samples"),
+        "n_excluded",
+        "n_pos",
+        "n_neg",
+        auc.alias("auc6"),
+        F.round(F.lit(2.0) * auc - F.lit(1.0), 6).alias("gini6"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    id_col: str,
+    conf_col: str,
+    correct_col: str,
+    n_bins: int = 10,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Reliability-diagram bins — the per-bin relation under
+    :func:`calibration_report`: equal-width confidence bins over
+    [0, 1], one row per NON-EMPTY bin (and per group)::
+
+        ([group,] bin, n, n_correct, accuracy6, avg_conf6, gap6)
+
+    ``bin = min(floor(conf * n_bins), n_bins - 1)`` (the 1.0 edge
+    belongs to the last bin); ``gap6 = round(|accuracy - avg_conf|,
+    6)``.  Rows with NULL or out-of-[0,1] confidence, or a NULL
+    correctness flag, are EXCLUDED here and COUNTED by the report.
+    Per-bin confidence sums ride row-level ROUND 6 values through
+    exact DECIMAL(18,6) (the registry recipe).
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    grouped = group_col is not None
+    grp_sel = (
+        [F.col(group_col).cast("string").alias("_grp")] if grouped else []
+    )
+    keys = ["_grp"] if grouped else []
+    conf = F.col(conf_col).cast("double")
+    ok = (
+        conf.isNotNull()
+        & (conf >= 0.0)
+        & (conf <= 1.0)
+        & F.col(correct_col).isNotNull()
+    )
+    base = df.select(
+        *grp_sel,
+        F.least(
+            F.floor(conf * F.lit(int(n_bins))).cast("int"),
+            F.lit(int(n_bins) - 1),
+        ).alias("bin"),
+        F.round(conf, 6).cast("decimal(18,6)").alias("_c6"),
+        F.col(correct_col).cast("int").alias("_y"),
+    ).where(ok)
+    agg = base.groupBy(*keys, "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("n_correct"),
+        F.sum("_c6").cast("decimal(18,6)").alias("_conf_sum"),
+    )
+    acc = F.round(
+        F.col("n_correct").cast("double") / F.col("n").cast("double"), 6
+    )
+    avg_c = F.round(
+        F.col("_conf_sum").cast("double") / F.col("n").cast("double"), 6
+    )
+    out_grp = [F.col("_grp").alias(group_col)] if grouped else []
+    return agg.select(
+        *out_grp,
+        "bin",
+        "n",
+        "n_correct",
+        acc.alias("accuracy6"),
+        avg_c.alias("avg_conf6"),
+        F.round(F.abs(acc - avg_c), 6).alias("gap6"),
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    id_col: str,
+    conf_col: str,
+    correct_col: str,
+    n_bins: int = 10,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Expected / maximum calibration error (Naeini et al. 2015 ECE;
+    Guo et al. 2017's evaluation form) — does the model's stated
+    confidence MEAN anything?  The eval-family member every LLM
+    leaderboard quotes beside accuracy.  One row (or one per
+    ``group_col``)::
+
+        (n_samples, n_excluded, n_bins, n_bins_nonempty, accuracy6,
+         avg_conf6, ece6, mce6)
+
+    ``ece6 = round(sum_b n_b * gap_b / N, 6)`` over the
+    :func:`calibration_bins` relation, with each per-bin gap ROUNDED
+    at 6 first and the weighted sum carried as exact DECIMAL — so the
+    bin-summation order can never change a bit; ``mce6`` is the max
+    gap (order-proof by construction).  NULL / out-of-[0,1]
+    confidences and NULL correctness flags are EXCLUDED AND COUNTED.
+
+    100 TB shape: one map-side-combinable groupBy to ``n_bins`` rows
+    per group, then arithmetic over that bounded relation — no
+    window, no Python, nothing corpus-sized past the first exchange.
+    """
+    grouped = group_col is not None
+    keys = [group_col] if grouped else []
+    bins = calibration_bins(
+        df, id_col, conf_col, correct_col, n_bins=n_bins, group_col=group_col
+    )
+    cells = (bins.groupBy(*keys) if keys else bins.groupBy()).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_samples"),
+        F.count(F.lit(1)).cast("int").alias("n_bins_nonempty"),
+        F.coalesce(F.sum("n_correct"), F.lit(0))
+        .cast("long")
+        .alias("_correct"),
+        F.coalesce(
+            F.sum(
+                F.col("avg_conf6").cast("decimal(18,6)")
+                * F.col("n").cast("decimal(18,0)")
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(28,6)")
+        .alias("_conf_wsum"),
+        F.coalesce(
+            F.sum(
+                F.col("gap6").cast("decimal(18,6)")
+                * F.col("n").cast("decimal(18,0)")
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(28,6)")
+        .alias("_gap_wsum"),
+        F.max("gap6").alias("mce6"),
+    )
+    grp_sel = (
+        [F.col(group_col).cast("string").alias("_grp")] if grouped else []
+    )
+    conf = F.col(conf_col).cast("double")
+    bad = (
+        conf.isNull()
+        | (conf < 0.0)
+        | (conf > 1.0)
+        | F.col(correct_col).isNull()
+    )
+    excl_base = df.select(*grp_sel, bad.alias("_bad"))
+    excl = (
+        excl_base.groupBy(*(["_grp"] if grouped else []))
+        .agg(
+            F.sum(F.when(F.col("_bad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_excluded")
+        )
+    )
+    if grouped:
+        excl = excl.select(F.col("_grp").alias(group_col), "n_excluded")
+        joined = cells.join(excl, keys)
+    else:
+        joined = cells.crossJoin(F.broadcast(excl))
+    nz = F.col("n_samples") > 0
+    return joined.select(
+        *keys,
+        "n_samples",
+        "n_excluded",
+        F.lit(int(n_bins)).cast("int").alias("n_bins"),
+        "n_bins_nonempty",
+        F.when(
+            nz,
+            F.round(
+                F.col("_correct").cast("double")
+                / F.col("n_samples").cast("double"),
+                6,
+            ),
+        ).alias("accuracy6"),
+        F.when(
+            nz,
+            F.round(
+                F.col("_conf_wsum").cast("double")
+                / F.col("n_samples").cast("double"),
+                6,
+            ),
+        ).alias("avg_conf6"),
+        F.when(
+            nz,
+            F.round(
+                F.col("_gap_wsum").cast("double")
+                / F.col("n_samples").cast("double"),
+                6,
+            ),
+        ).alias("ece6"),
+        "mce6",
+    )

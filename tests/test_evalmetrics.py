@@ -1844,3 +1844,163 @@ def test_qa_store_replay_is_a_no_op(spark, tmp_path):
     assert before == (
         em.qa_report(df, "qid", "pred", "gold").collect()[0].asDict()
     )
+
+
+def _auc_reference(pairs):
+    """Shared-nothing AUC reference: average-rank Mann-Whitney over
+    (score, label) tuples."""
+    import collections
+
+    by_score = collections.defaultdict(lambda: [0, 0])
+    for s, y in pairs:
+        by_score[round(s, 6)][y] += 1
+    below_neg, numer2 = 0, 0
+    for s in sorted(by_score):
+        neg, pos = by_score[s][0], by_score[s][1]
+        numer2 += pos * (2 * below_neg + neg)
+        below_neg += neg
+    P = sum(v[1] for v in by_score.values())
+    N = sum(v[0] for v in by_score.values())
+    return round(numer2 / (2.0 * P * N), 6)
+
+
+def test_auc_matches_reference_and_handles_ties(spark):
+    """auc_report equals the average-rank Mann-Whitney reference on a
+    tie-heavy sample; perfect/inverted/random edge shapes pin the
+    scale; NULL rows excluded-and-counted; single-class AUC is NULL."""
+    import random
+
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rng = random.Random(5)
+    pairs = [
+        (round(rng.choice([0.1, 0.3, 0.5, 0.7, 0.7, 0.9]), 6),
+         1 if rng.random() < 0.5 else 0)
+        for _ in range(300)
+    ]
+    rows = [(i, s, y) for i, (s, y) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "id long, score double, label int")
+    got = em.auc_report(df, "id", "score", "label").collect()[0].asDict()
+    assert got["auc6"] == _auc_reference(pairs)
+    assert got["n_samples"] == 300 and got["n_excluded"] == 0
+    assert got["gini6"] == round(2 * got["auc6"] - 1, 6)
+
+    # perfect separation -> 1.0; inverted -> 0.0; all-tied -> 0.5
+    perfect = spark.createDataFrame(
+        [(1, 0.9, 1), (2, 0.8, 1), (3, 0.2, 0), (4, 0.1, 0)],
+        "id long, score double, label int",
+    )
+    assert em.auc_report(perfect, "id", "score", "label").collect()[0][
+        "auc6"
+    ] == 1.0
+    inv = perfect.withColumn("label", 1 - F.col("label"))
+    assert em.auc_report(inv, "id", "score", "label").collect()[0][
+        "auc6"
+    ] == 0.0
+    tied = spark.createDataFrame(
+        [(1, 0.5, 1), (2, 0.5, 0), (3, 0.5, 1), (4, 0.5, 0)],
+        "id long, score double, label int",
+    )
+    assert em.auc_report(tied, "id", "score", "label").collect()[0][
+        "auc6"
+    ] == 0.5
+
+    # NULLs excluded + counted; one-class -> NULL auc
+    withnull = spark.createDataFrame(
+        [(1, 0.9, 1), (2, None, 1), (3, 0.2, None), (4, 0.1, 1)],
+        "id long, score double, label int",
+    )
+    r = em.auc_report(withnull, "id", "score", "label").collect()[0].asDict()
+    assert r["n_excluded"] == 2 and r["n_samples"] == 2
+    assert r["auc6"] is None and r["gini6"] is None
+
+
+def test_auc_grouped_matches_per_slice(spark):
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = [
+        (i, f"m{i % 2}", round(((i * 37) % 100) / 100.0, 6),
+         1 if ((i * 53) % 100) < ((i * 37) % 100) else 0)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, model string, score double, label int"
+    )
+    by = {
+        r["model"]: r.asDict()
+        for r in em.auc_report(
+            df, "id", "score", "label", group_col="model"
+        ).collect()
+    }
+    for m in ("m0", "m1"):
+        want = em.auc_report(
+            df.where(F.col("model") == m), "id", "score", "label"
+        ).collect()[0].asDict()
+        got = dict(by[m])
+        got.pop("model")
+        assert got == want
+
+
+def test_calibration_matches_hand_computation(spark):
+    """calibration_report against a hand-built two-bin case, the
+    perfectly-calibrated zero-ECE shape, out-of-range exclusion, and
+    grouped == sliced."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    # two bins (n_bins=2): bin0 = [0,.5): conf .2/.4 acc 0/2 ;
+    # bin1 = [.5,1]: conf .6/1.0 acc 2/2
+    rows = [
+        (1, 0.2, 0), (2, 0.4, 0), (3, 0.6, 1), (4, 1.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "id long, conf double, correct int")
+    bins = {
+        r["bin"]: r.asDict()
+        for r in em.calibration_bins(
+            df, "id", "conf", "correct", n_bins=2
+        ).collect()
+    }
+    assert bins[0]["n"] == 2 and bins[0]["accuracy6"] == 0.0
+    assert bins[0]["avg_conf6"] == 0.3 and bins[0]["gap6"] == 0.3
+    assert bins[1]["accuracy6"] == 1.0 and bins[1]["avg_conf6"] == 0.8
+    assert bins[1]["gap6"] == round(abs(1.0 - 0.8), 6)
+    rep = em.calibration_report(
+        df, "id", "conf", "correct", n_bins=2
+    ).collect()[0].asDict()
+    # ece = (2*0.3 + 2*0.2) / 4
+    assert rep["ece6"] == round((2 * 0.3 + 2 * 0.2) / 4, 6)
+    assert rep["mce6"] == 0.3
+    assert rep["accuracy6"] == 0.5 and rep["n_bins_nonempty"] == 2
+
+    # the 1.0 edge lands in the LAST bin, not a phantom bin n_bins
+    assert set(bins) == {0, 1}
+
+    # out-of-range / NULL excluded and counted
+    dirty = spark.createDataFrame(
+        rows + [(5, 1.5, 1), (6, -0.1, 0), (7, None, 1), (8, 0.5, None)],
+        "id long, conf double, correct int",
+    )
+    rep2 = em.calibration_report(
+        dirty, "id", "conf", "correct", n_bins=2
+    ).collect()[0].asDict()
+    assert rep2["n_excluded"] == 4 and rep2["n_samples"] == 4
+    assert rep2["ece6"] == rep["ece6"]
+
+    # grouped == sliced
+    g = spark.createDataFrame(
+        [(i, f"m{i % 2}", round((i % 10) / 10.0, 6), 1 if i % 3 else 0)
+         for i in range(100)],
+        "id long, model string, conf double, correct int",
+    )
+    by = {
+        r["model"]: r.asDict()
+        for r in em.calibration_report(
+            g, "id", "conf", "correct", group_col="model"
+        ).collect()
+    }
+    for m in ("m0", "m1"):
+        want = em.calibration_report(
+            g.where(F.col("model") == m), "id", "conf", "correct"
+        ).collect()[0].asDict()
+        got = dict(by[m])
+        got.pop("model")
+        assert got == want
