@@ -926,14 +926,21 @@ def training_shard_plan(
     id.  One row per conversation::
 
         (pack_id, conversation_id, n_tokens, n_loss_tokens, n_spans,
-         spans, pack_group, pack_no, shard, pack_pos)
+         spans, pack_group, pack_no, shard, pack_pos, pack_offset)
 
     ``shard``/``pack_pos`` come from :func:`~.curation.shard_assign`
     over the DISTINCT pack units (``pack_id = "group:pack_no"``,
     uniform md5 shard + reproducible in-shard position — a global
     permutation of packs with no global sort), joined back on the pack
-    id.  Deterministic end to end: same corpus + merges + seed ==
-    same assignment, whatever the partitioning.
+    id.  ``pack_offset`` is the conversation's TOKEN offset within
+    its pack (running sum of prior members' ``n_tokens`` in
+    conversation-id order — the same order :func:`~.curation.
+    pack_sequences` filled the pack in), so a trainer's reader can
+    place each sequence in the packed buffer without re-counting:
+    ``pack_offset + n_tokens <= capacity`` for all but the
+    documented straddling member.  Deterministic end to end: same
+    corpus + merges + seed == same assignment, whatever the
+    partitioning.
 
     100 TB shape: the pack-unit relation is |conversations| / ~packing
     factor rows of two integers — the shard_assign exchange and the
@@ -956,7 +963,17 @@ def training_shard_plan(
     )
     packs = spans.select("pack_id").distinct()
     sharded = shard_assign(packs, "pack_id", n_shards=n_shards, seed=seed)
-    return spans.join(
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("pack_group", "pack_no")
+        .orderBy("conversation_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spans.withColumn(
+        "pack_offset",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"),
+    ).join(
         sharded.select(
             "pack_id",
             F.col("shard").cast("int").alias("shard"),

@@ -3012,3 +3012,185 @@ def calibration_report(
         ).alias("ece6"),
         "mce6",
     )
+
+
+def qa_paired_bootstrap(
+    df: DataFrame,
+    qid_col: str,
+    pred_a_col: str,
+    pred_b_col: str,
+    gold_col: str,
+    n_boot: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """Paired bootstrap significance for extractive QA — the
+    :func:`bleu_paired_bootstrap` harness on the reading-comprehension
+    metric, completing QA's form matrix (one-shot / by-system / store
+    / bootstrap).  Two systems' predictions over the SAME questions
+    and gold alternatives (one row per (question, gold alternative)
+    with both predictions repeated — the paired SQuAD shape); QUESTIONS
+    are resampled with the shared deterministic Poisson(1) md5/ppm
+    weights, and because EM and F1 can disagree about significance (a
+    bag-of-tokens-preserving system loses EM while holding F1), the
+    result is one row PER METRIC::
+
+        (metric, n_questions, n_boot, score_a6, score_b6, delta6,
+         delta_lo6, delta_hi6, n_delta_pos, n_delta_neg, p_a_better6)
+
+    with ``metric`` in ``('em', 'f1')``.  Per-replicate scores are
+    weighted means of the PER-QUESTION grades: the EM numerator is an
+    exact integer sum (w * em), the F1 numerator an exact
+    DECIMAL(18,6) sum of (w * f1_6), each over the replicate weight
+    total — rounded at 6, so the whole experiment is a deterministic
+    function of (data, seed) like every bootstrap in the family.
+    Verified pytest-by-design against a shared-nothing driver
+    reference (the established convention — the five oracle-faced
+    bootstraps carry both harness shapes: cell-weighted BLEU/chrF/
+    WER/ROUGE and per-item-weighted nDCG, which this instantiates).
+
+    100 TB shape: the expensive part is the two :func:`qa_em_f1`
+    passes (answer-token-sized exchanges, see there); the resample
+    explodes O(questions * n_boot) SCALAR grade rows — two integers
+    and one decimal each, never text.
+    """
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2, got {n_boot}")
+    from .dedup import _md5_long
+
+    per_a = qa_em_f1(df, qid_col, pred_a_col, gold_col).select(
+        F.col(qid_col).alias("_qid"),
+        F.col("em").alias("_em_a"),
+        F.col("f1_6").alias("_f1_a"),
+    )
+    per_b = qa_em_f1(df, qid_col, pred_b_col, gold_col).select(
+        F.col(qid_col).alias("_qid"),
+        F.col("em").alias("_em_b"),
+        F.col("f1_6").alias("_f1_b"),
+    )
+    j = per_a.join(per_b, "_qid")
+    reps = j.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("b"),
+    )
+    h6 = (
+        _md5_long(
+            F.concat_ws(":", F.col("_qid"), F.col("b").cast("string")),
+            seed=seed,
+        )
+        % F.lit(1_000_000)
+    )
+    w = _poisson1_weight(h6)
+    weighted = reps.select(
+        F.col("b"),
+        w.alias("_w"),
+        (w * F.col("_em_a")).cast("long").alias("_wea"),
+        (w * F.col("_em_b")).cast("long").alias("_web"),
+        (F.col("_f1_a").cast("decimal(18,6)") * w).alias("_wfa"),
+        (F.col("_f1_b").cast("decimal(18,6)") * w).alias("_wfb"),
+    )
+    per_b_scores = weighted.groupBy("b").agg(
+        F.sum("_w").cast("long").alias("_n"),
+        F.sum("_wea").cast("long").alias("_ea"),
+        F.sum("_web").cast("long").alias("_eb"),
+        F.sum("_wfa").cast("decimal(28,6)").alias("_fa"),
+        F.sum("_wfb").cast("decimal(28,6)").alias("_fb"),
+    )
+
+    def rate(num):
+        return F.when(
+            F.col("_n") > 0,
+            F.round(
+                F.col(num).cast("double") / F.col("_n").cast("double"), 6
+            ),
+        )
+
+    rep_scores = per_b_scores.select(
+        F.col("b"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("em").alias("metric"),
+                    rate("_ea").alias("_sa"),
+                    rate("_eb").alias("_sb"),
+                ),
+                F.struct(
+                    F.lit("f1").alias("metric"),
+                    rate("_fa").alias("_sa"),
+                    rate("_fb").alias("_sb"),
+                ),
+            )
+        ).alias("_m"),
+    ).select(
+        "b",
+        F.col("_m.metric").alias("metric"),
+        F.col("_m._sa").alias("_sa"),
+        F.col("_m._sb").alias("_sb"),
+    )
+    deltas = rep_scores.select(
+        "metric", "b", F.round(F.col("_sa") - F.col("_sb"), 6).alias("_d")
+    )
+    lo_rank = max(1, -(-int(n_boot) * 25 // 1000))
+    hi_rank = -(-int(n_boot) * 975 // 1000)
+    summary = deltas.groupBy("metric").agg(
+        F.count(F.lit(1)).cast("long").alias("_nb"),
+        F.sort_array(F.collect_list("_d")).alias("_ds"),
+        F.sum(F.when(F.col("_d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_delta_pos"),
+        F.sum(F.when(F.col("_d") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_delta_neg"),
+    )
+
+    def full(pred_col, side):
+        return qa_report(df, qid_col, pred_col, gold_col).select(
+            F.lit(1).alias("_k"),
+            F.col("em_rate6").alias(f"_em_{side}"),
+            F.col("f1_mean6").alias(f"_f1_{side}"),
+            *( [F.col("n_questions")] if side == "a" else [] ),
+        )
+
+    fa = full(pred_a_col, "a")
+    fb = full(pred_b_col, "b")
+    fulls = fa.join(fb, "_k").select(
+        "n_questions",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("em").alias("metric"),
+                    F.col("_em_a").alias("score_a6"),
+                    F.col("_em_b").alias("score_b6"),
+                ),
+                F.struct(
+                    F.lit("f1").alias("metric"),
+                    F.col("_f1_a").alias("score_a6"),
+                    F.col("_f1_b").alias("score_b6"),
+                ),
+            )
+        ).alias("_m"),
+    ).select(
+        "n_questions",
+        F.col("_m.metric").alias("metric"),
+        F.col("_m.score_a6").alias("score_a6"),
+        F.col("_m.score_b6").alias("score_b6"),
+    )
+    return summary.join(F.broadcast(fulls), "metric").select(
+        "metric",
+        "n_questions",
+        F.lit(int(n_boot)).cast("int").alias("n_boot"),
+        "score_a6",
+        "score_b6",
+        F.round(F.col("score_a6") - F.col("score_b6"), 6).alias("delta6"),
+        F.get("_ds", lo_rank - 1).alias("delta_lo6"),
+        F.get("_ds", hi_rank - 1).alias("delta_hi6"),
+        "n_delta_pos",
+        "n_delta_neg",
+        F.when(
+            F.col("_nb") > 0,
+            F.round(
+                F.col("n_delta_pos").cast("double")
+                / F.col("_nb").cast("double"),
+                6,
+            ),
+        ).alias("p_a_better6"),
+    )

@@ -585,3 +585,43 @@ def test_training_shard_writer_round_trip(spark, tmp_path):
         tuple(r[c] for c in cols) for r in data2.select(*cols).collect()
     )
     assert got2 == got_rows
+
+
+def test_training_shard_plan_pack_offsets_are_exact(spark):
+    """pack_offset is the running token offset within each pack in
+    conversation-id order (the pack_sequences fill order): offsets
+    start at 0 per pack, successive members abut exactly, and only
+    the straddling member may cross the capacity line."""
+    from lightfusion_spark.operators import conversations as conv_ops
+
+    fixture = "lightfusion_spark/fixtures/data/conversations.jsonl"
+    raw = conv_ops.read_jsonl_conversations(spark, fixture)
+    turns = conv_ops.conversation_turns(raw.where(F.col("_corrupt").isNull()))
+    plan = conv_ops.training_shard_plan(turns, n_shards=4, seed=3)
+    rows = sorted(
+        (
+            (r["pack_group"], r["pack_no"], r["conversation_id"],
+             r["pack_offset"], r["n_tokens"])
+            for r in plan.collect()
+        )
+    )
+    assert rows
+    by_pack = {}
+    for g, p, cid, off, n in rows:
+        by_pack.setdefault((g, p), []).append((cid, off, n))
+    crossing = 0
+    for members in by_pack.values():
+        members.sort()
+        expect = 0
+        for cid, off, n in members:
+            assert off == expect, (cid, off, expect)
+            expect += n
+        # at most the LAST member straddles the 512 line
+        for cid, off, n in members[:-1]:
+            assert off + n <= 512 or off == 0
+    # abutting total == pack totals
+    assert all(
+        members[-1][1] + members[-1][2]
+        == sum(n for _, _, n in members)
+        for members in by_pack.values()
+    )

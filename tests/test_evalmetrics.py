@@ -2004,3 +2004,122 @@ def test_calibration_matches_hand_computation(spark):
         got = dict(by[m])
         got.pop("model")
         assert got == want
+
+
+def test_qa_bootstrap_matches_independent_reference(spark):
+    """qa_paired_bootstrap against a shared-nothing driver reference
+    (hashlib + Counter over weight-expanded question lists), the
+    family convention: every replicate EM/F1 score, the deltas, the
+    nearest-rank interval, and the full-score identity with
+    qa_report.  Systems are chosen so EM and F1 DISAGREE: system A
+    reverses the gold (EM 0, bag-of-token F1 1), system B copies it
+    with one token dropped (EM 0... so instead: A = exact copy on
+    half the questions, B = reversed copy always — A wins EM
+    decisively while F1 is much closer)."""
+    import hashlib
+
+    from lightfusion_spark.operators import evalmetrics as em
+    from lightfusion_spark.operators.evalmetrics import POISSON1_CDF_PPM
+
+    def norm_toks(s):
+        import re
+
+        cleaned = re.sub(r"[^a-z0-9\s]", "", s.lower())
+        toks = [t for t in cleaned.split() if t and t not in ("a", "an", "the")]
+        return toks
+
+    def grade(pred, golds):
+        import collections
+
+        best_em, best_f1 = 0, 0.0
+        seen = set()
+        for g in golds:
+            ng = " ".join(norm_toks(g))
+            if ng in seen:
+                continue
+            seen.add(ng)
+            np_ = " ".join(norm_toks(pred))
+            em_ = 1 if np_ == ng else 0
+            pt, gt = norm_toks(pred), norm_toks(g)
+            if not pt or not gt:
+                f1 = float(em_)
+            else:
+                cp, cg = collections.Counter(pt), collections.Counter(gt)
+                m = sum(min(cp[w], cg[w]) for w in cp)
+                f1 = round(2.0 * m / (len(pt) + len(gt)), 6)
+            best_em, best_f1 = max(best_em, em_), max(best_f1, f1)
+        return best_em, best_f1
+
+    rows, golds_by_q = [], {}
+    for q in range(60):
+        gold1 = " ".join(f"w{(q * j) % 11}" for j in range(1, 6))
+        gold2 = " ".join(f"w{(q * j) % 11}" for j in range(1, 5))
+        golds_by_q[q] = [gold1, gold2]
+        pa = gold1 if q % 2 == 0 else " ".join(reversed(gold1.split()))
+        pb = " ".join(reversed(gold1.split()))
+        for g in (gold1, gold2):
+            rows.append((q, pa, pb, g))
+    df = spark.createDataFrame(
+        rows, "qid long, pa string, pb string, gold string"
+    )
+    n_boot, seed = 16, 7
+    got = {
+        r["metric"]: r.asDict()
+        for r in em.qa_paired_bootstrap(
+            df, "qid", "pa", "pb", "gold", n_boot=n_boot, seed=seed
+        ).collect()
+    }
+
+    # shared-nothing reference
+    def md5_56(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+    def poisson_w(qid, b):
+        h6 = md5_56(f"{seed}:{qid}:{b}") % 1_000_000
+        for k, thr in enumerate(POISSON1_CDF_PPM):
+            if h6 < thr:
+                return k
+        return len(POISSON1_CDF_PPM)
+
+    per_q = {}
+    for q in golds_by_q:
+        pa = golds_by_q[q][0] if q % 2 == 0 else " ".join(
+            reversed(golds_by_q[q][0].split())
+        )
+        pb = " ".join(reversed(golds_by_q[q][0].split()))
+        per_q[q] = (grade(pa, golds_by_q[q]), grade(pb, golds_by_q[q]))
+
+    deltas = {"em": [], "f1": []}
+    for b in range(n_boot):
+        tot = ea = eb = 0
+        fa = fb = 0.0
+        for q, ((ema, f1a), (emb, f1b)) in per_q.items():
+            w = poisson_w(q, b)
+            tot += w
+            ea += w * ema
+            eb += w * emb
+            fa += w * f1a
+            fb += w * f1b
+        deltas["em"].append(
+            round(round(ea / tot, 6) - round(eb / tot, 6), 6)
+        )
+        deltas["f1"].append(
+            round(round(fa / tot, 6) - round(fb / tot, 6), 6)
+        )
+    for metric in ("em", "f1"):
+        ds = sorted(deltas[metric])
+        g = got[metric]
+        assert g["n_boot"] == n_boot and g["n_questions"] == 60
+        assert g["delta_lo6"] == ds[0] and g["delta_hi6"] == ds[-1], metric
+        assert g["n_delta_pos"] == sum(1 for d in ds if d > 0)
+        assert g["n_delta_neg"] == sum(1 for d in ds if d < 0)
+    # full-score identity with qa_report
+    full_a = em.qa_report(df, "qid", "pa", "gold").collect()[0]
+    full_b = em.qa_report(df, "qid", "pb", "gold").collect()[0]
+    assert got["em"]["score_a6"] == full_a["em_rate6"]
+    assert got["em"]["score_b6"] == full_b["em_rate6"]
+    assert got["f1"]["score_a6"] == full_a["f1_mean6"]
+    assert got["f1"]["score_b6"] == full_b["f1_mean6"]
+    # the designed disagreement: A wins EM decisively; F1 gap smaller
+    assert got["em"]["delta6"] > got["f1"]["delta6"] >= 0
+    assert got["em"]["p_a_better6"] == 1.0
