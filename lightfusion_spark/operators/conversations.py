@@ -942,12 +942,21 @@ def training_shard_plan(
     corpus + merges + seed == same assignment, whatever the
     partitioning.
 
-    100 TB shape: the pack-unit relation is |conversations| / ~packing
-    factor rows of two integers — the shard_assign exchange and the
-    join-back key on it, never on text; everything upstream inherits
+    100 TB shape: SINGLE-CONSUMPTION of the spans relation — the
+    shard and its ordering hash are ROW-LOCAL md5 expressions of the
+    pack id (`shard_assign`'s exact hashes), and the per-pack
+    in-shard position is a ``dense_rank`` over the row relation
+    (equal ``(order_hash, pack_id)`` rows share a rank, so it equals
+    ``shard_assign``'s ``row_number`` over the DISTINCT packs — no
+    ``.distinct()`` pass and no join-back, which would each re-execute
+    the spans subtree's pack windows over the corpus).  Two windows
+    total (pack-offset, shard-position), both keyed on bounded
+    partitions; nothing shuffles text; everything upstream inherits
     :func:`sft_loss_spans`'s single-BPE-crossing story.
     """
-    from .curation import shard_assign
+    from pyspark.sql import Window
+
+    from .dedup import _md5_long
 
     spans = sft_loss_spans(
         turns,
@@ -961,25 +970,26 @@ def training_shard_plan(
     ).withColumn(
         "pack_id", F.concat_ws(":", F.col("pack_group"), F.col("pack_no"))
     )
-    packs = spans.select("pack_id").distinct()
-    sharded = shard_assign(packs, "pack_id", n_shards=n_shards, seed=seed)
-    from pyspark.sql import Window
-
-    w = (
+    woff = (
         Window.partitionBy("pack_group", "pack_no")
         .orderBy("conversation_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return spans.withColumn(
-        "pack_offset",
-        (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"),
-    ).join(
-        sharded.select(
-            "pack_id",
-            F.col("shard").cast("int").alias("shard"),
-            F.col("shard_pos").cast("long").alias("pack_pos"),
-        ),
-        "pack_id",
+    shard = (_md5_long(F.col("pack_id"), seed=seed) % F.lit(int(n_shards))).cast(
+        "int"
+    )
+    wpos = Window.partitionBy("shard").orderBy("_order_h", "pack_id")
+    return (
+        spans.withColumn(
+            "pack_offset",
+            (F.sum("n_tokens").over(woff) - F.col("n_tokens")).cast("long"),
+        )
+        .withColumn("shard", shard)
+        .withColumn("_order_h", _md5_long(F.col("pack_id"), seed=seed + 1))
+        .withColumn(
+            "pack_pos", (F.dense_rank().over(wpos) - F.lit(1)).cast("long")
+        )
+        .drop("_order_h")
     )
 
 

@@ -2756,20 +2756,35 @@ def auc_report(
     base = df.select(
         *grp_sel,
         valid.alias("_ok"),
-        F.round(F.col(score_col).cast("double"), score_decimals).alias("_s"),
-        F.col(label_col).cast("int").alias("_y"),
+        # excluded rows carry a NULL score so they land in one
+        # (ok=false, s=NULL) group per slice: ONE aggregation (one
+        # corpus scan, one exchange) feeds both the metric and the
+        # exclusion count, and the two downstream filters share the
+        # exchange (ReusedExchange — plan-test pinned) instead of the
+        # two-scan shape the first draft had.
+        F.when(
+            valid, F.round(F.col(score_col).cast("double"), score_decimals)
+        ).alias("_s"),
+        F.when(valid, F.col(label_col).cast("int")).alias("_y"),
     )
-    per_score = (
-        base.where(F.col("_ok"))
-        .groupBy(*keys, "_s")
-        .agg(
-            F.sum(F.when(F.col("_y") == 1, 1).otherwise(0))
-            .cast("long")
-            .alias("_np"),
-            F.sum(F.when(F.col("_y") == 0, 1).otherwise(0))
-            .cast("long")
-            .alias("_nn"),
-        )
+    per_group = base.groupBy(*keys, "_ok", "_s").agg(
+        F.sum(F.when(F.col("_y") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("_np"),
+        F.sum(F.when(F.col("_y") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("_nn"),
+        F.count(F.lit(1)).cast("long").alias("_cnt"),
+    ).localCheckpoint(eager=True)
+    # pinned, not merely shared: Catalyst pushes the _ok filter of the
+    # metric branch THROUGH the aggregate (it is a grouping key), so
+    # the two branches' exchanges stop being structurally identical
+    # and ReuseExchange cannot fire — measured as two full corpus
+    # scans.  The checkpoint is safe at any corpus size because this
+    # relation is <= ~2e6 narrow rows per slice BY THE ROUND-6
+    # CONTRACT (distinct rounded scores + the one excluded group).
+    per_score = per_group.where(F.col("_ok")).select(
+        *keys, "_s", "_np", "_nn"
     )
     w = (
         Window.partitionBy(*keys).orderBy("_s")
@@ -2796,9 +2811,11 @@ def auc_report(
         .alias("_numer2"),
     )
     excl = (
-        base.groupBy(*keys)
+        per_group.groupBy(*keys)
         .agg(
-            F.sum(F.when(~F.col("_ok"), 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(~F.col("_ok"), F.col("_cnt"))), F.lit(0)
+            )
             .cast("long")
             .alias("n_excluded")
         )
@@ -2829,6 +2846,56 @@ def auc_report(
     )
 
 
+def _calibration_groups(
+    df: DataFrame,
+    conf_col: str,
+    correct_col: str,
+    n_bins: int,
+    group_col: str | None,
+) -> DataFrame:
+    """ONE aggregation feeding both the reliability bins and the
+    exclusion count: rows with a NULL/out-of-[0,1] confidence or a
+    NULL correctness flag land in a NULL-``bin`` group per slice (one
+    corpus scan, one exchange — the bins/report consumers filter the
+    same grouped relation and share the exchange, ReusedExchange by
+    construction instead of the two-scan shape the first draft had).
+    Returns ``([_grp,] bin, n, n_correct, _conf_sum)`` with ``bin``
+    NULL exactly for the excluded group."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    grouped = group_col is not None
+    grp_sel = (
+        [F.col(group_col).cast("string").alias("_grp")] if grouped else []
+    )
+    keys = ["_grp"] if grouped else []
+    conf = F.col(conf_col).cast("double")
+    ok = (
+        conf.isNotNull()
+        & (conf >= 0.0)
+        & (conf <= 1.0)
+        & F.col(correct_col).isNotNull()
+    )
+    base = df.select(
+        *grp_sel,
+        F.when(
+            ok,
+            F.least(
+                F.floor(conf * F.lit(int(n_bins))).cast("int"),
+                F.lit(int(n_bins) - 1),
+            ),
+        ).alias("bin"),
+        F.when(ok, F.round(conf, 6).cast("decimal(18,6)")).alias("_c6"),
+        F.when(ok, F.col(correct_col).cast("int")).alias("_y"),
+    )
+    return base.groupBy(*keys, "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("_y"), F.lit(0)).cast("long").alias("n_correct"),
+        F.coalesce(F.sum("_c6"), F.lit(0).cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("_conf_sum"),
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     id_col: str,
@@ -2850,34 +2917,20 @@ def calibration_bins(
     Per-bin confidence sums ride row-level ROUND 6 values through
     exact DECIMAL(18,6) (the registry recipe).
     """
-    if n_bins < 1:
-        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    groups = _calibration_groups(
+        df, conf_col, correct_col, n_bins, group_col
+    )
+    return _bins_from_groups(groups, group_col)
+
+
+def _bins_from_groups(groups: DataFrame, group_col: str | None) -> DataFrame:
+    """Finish reliability bins from a (possibly pinned)
+    :func:`_calibration_groups` relation — shared by
+    :func:`calibration_bins` and :func:`calibration_report` so the
+    report can derive bins and the exclusion count from ONE pinned
+    relation instead of re-deriving the corpus aggregation."""
+    agg = groups.where(F.col("bin").isNotNull())
     grouped = group_col is not None
-    grp_sel = (
-        [F.col(group_col).cast("string").alias("_grp")] if grouped else []
-    )
-    keys = ["_grp"] if grouped else []
-    conf = F.col(conf_col).cast("double")
-    ok = (
-        conf.isNotNull()
-        & (conf >= 0.0)
-        & (conf <= 1.0)
-        & F.col(correct_col).isNotNull()
-    )
-    base = df.select(
-        *grp_sel,
-        F.least(
-            F.floor(conf * F.lit(int(n_bins))).cast("int"),
-            F.lit(int(n_bins) - 1),
-        ).alias("bin"),
-        F.round(conf, 6).cast("decimal(18,6)").alias("_c6"),
-        F.col(correct_col).cast("int").alias("_y"),
-    ).where(ok)
-    agg = base.groupBy(*keys, "bin").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("_y").cast("long").alias("n_correct"),
-        F.sum("_c6").cast("decimal(18,6)").alias("_conf_sum"),
-    )
     acc = F.round(
         F.col("n_correct").cast("double") / F.col("n").cast("double"), 6
     )
@@ -2926,9 +2979,15 @@ def calibration_report(
     """
     grouped = group_col is not None
     keys = [group_col] if grouped else []
-    bins = calibration_bins(
-        df, id_col, conf_col, correct_col, n_bins=n_bins, group_col=group_col
-    )
+    # ONE corpus aggregation, pinned (it is <= (n_bins + 1) rows per
+    # slice), feeding BOTH the bins and the exclusion count — without
+    # the pin the two branches re-derive the corpus scan (the
+    # NULL-bin filter pushes through the aggregate and breaks
+    # exchange reuse, the auc_report finding).
+    groups = _calibration_groups(
+        df, conf_col, correct_col, n_bins, group_col
+    ).localCheckpoint(eager=True)
+    bins = _bins_from_groups(groups, group_col)
     cells = (bins.groupBy(*keys) if keys else bins.groupBy()).agg(
         F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_samples"),
         F.count(F.lit(1)).cast("int").alias("n_bins_nonempty"),
@@ -2955,21 +3014,13 @@ def calibration_report(
         .alias("_gap_wsum"),
         F.max("gap6").alias("mce6"),
     )
-    grp_sel = (
-        [F.col(group_col).cast("string").alias("_grp")] if grouped else []
-    )
-    conf = F.col(conf_col).cast("double")
-    bad = (
-        conf.isNull()
-        | (conf < 0.0)
-        | (conf > 1.0)
-        | F.col(correct_col).isNull()
-    )
-    excl_base = df.select(*grp_sel, bad.alias("_bad"))
     excl = (
-        excl_base.groupBy(*(["_grp"] if grouped else []))
+        groups
+        .groupBy(*(["_grp"] if grouped else []))
         .agg(
-            F.sum(F.when(F.col("_bad"), 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("bin").isNull(), F.col("n"))), F.lit(0)
+            )
             .cast("long")
             .alias("n_excluded")
         )

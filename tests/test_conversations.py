@@ -625,3 +625,28 @@ def test_training_shard_plan_pack_offsets_are_exact(spark):
         == sum(n for _, _, n in members)
         for members in by_pack.values()
     )
+
+
+def test_training_shard_plan_positions_match_shard_assign(spark):
+    """The single-consumption rewrite must be assignment-identical to
+    the shard_assign composition it replaced: same md5 shard, and the
+    dense_rank over the row relation equals shard_assign's row_number
+    over the DISTINCT packs (equal (order_hash, pack_id) rows share a
+    rank)."""
+    from lightfusion_spark.operators import conversations as conv_ops
+    from lightfusion_spark.operators.curation import shard_assign
+
+    fixture = "lightfusion_spark/fixtures/data/conversations.jsonl"
+    raw = conv_ops.read_jsonl_conversations(spark, fixture)
+    turns = conv_ops.conversation_turns(raw.where(F.col("_corrupt").isNull()))
+    plan = conv_ops.training_shard_plan(turns, n_shards=4, seed=3)
+    got = {
+        r["pack_id"]: (r["shard"], r["pack_pos"])
+        for r in plan.select("pack_id", "shard", "pack_pos").collect()
+    }
+    packs = plan.select("pack_id").distinct()
+    want = {
+        r["pack_id"]: (r["shard"], r["shard_pos"])
+        for r in shard_assign(packs, "pack_id", n_shards=4, seed=3).collect()
+    }
+    assert got == want and len(got) > 1

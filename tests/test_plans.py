@@ -142,3 +142,18 @@ def test_sft_spans_tokenizes_once(spark, queries):
     assert python_eval_nodes(plan) == [], (
         "pipe_sft_spans: BPE re-derivation crept back into the packed plan"
     )
+
+
+def test_auc_and_calibration_pin_one_corpus_scan(spark, queries):
+    """auc_report/calibration_report derive BOTH their metric and
+    their exclusion count from one PINNED bounded aggregation (the
+    round-6/bin contracts cap it at ~2e6 / n_bins+1 narrow rows):
+    without the pin, the exclusion filter pushes through the
+    aggregate and the two branches re-scan the corpus.  The faces'
+    final plans must contain NO parquet scan at all — the single scan
+    happened once, at checkpoint time."""
+    for name in ("pipe_eval_auc", "pipe_eval_calibration"):
+        plan = formatted_plan(queries[name](spark, SF_DIR))
+        assert read_schemas(plan) == [], (
+            f"{name}: corpus re-scan crept back past the pinned aggregation"
+        )
