@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "pipe_eval_rouge_bootstrap",
     "pipe_eval_auc",
     "pipe_eval_calibration",
+    "pipe_eval_spearman",
 ]
 
 

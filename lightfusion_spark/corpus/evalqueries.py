@@ -2994,3 +2994,99 @@ def pipe_eval_calibration(spark, sf_dir):
     return evalmetrics.calibration_report(
         rows, "doc_id", "conf", "correct", n_bins=10
     )
+
+
+@register(
+    "pipe_eval_spearman",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 14)
+              AS BIGINT) % 1000 AS a_pm,
+         CAST('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 14)
+              AS BIGINT) % 500 AS b_noise
+  FROM documents
+),
+s AS (
+  SELECT ROUND(CAST(a_pm AS DOUBLE) / 1000.0, 6) AS a,
+         ROUND(CAST(a_pm + b_noise AS DOUBLE) / 1000.0, 6) AS b
+  FROM h
+),
+pairs AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY a, b),
+va AS (SELECT a, SUM(n) AS nv FROM pairs GROUP BY a),
+vb AS (SELECT b, SUM(n) AS nv FROM pairs GROUP BY b),
+rka AS (
+  SELECT a, 2 * COALESCE(SUM(nv) OVER (ORDER BY a
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + nv + 1 AS x
+  FROM va
+),
+rkb AS (
+  SELECT b, 2 * COALESCE(SUM(nv) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + nv + 1 AS y
+  FROM vb
+),
+j AS (
+  SELECT p.n, rka.x, rkb.y
+  FROM pairs p JOIN rka USING (a) JOIN rkb USING (b)
+),
+cells AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_samples,
+         CAST(SUM(n * x) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(n * y) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(n * x * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(n * x * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(n * y * y) AS DECIMAL(38,0)) AS syy
+  FROM j
+)
+SELECT n_samples,
+       CAST(0 AS BIGINT) AS n_excluded,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM va) AS n_distinct_a,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM vb) AS n_distinct_b,
+       CASE WHEN CAST(n_samples AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n_samples AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN ROUND(
+              (CAST(n_samples AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / SQRT((CAST(n_samples AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n_samples AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       END AS rho6
+FROM cells
+""",
+    doc="Spearman rank correlation between two scoring systems "
+    "(evalmetrics.spearman_report) — the META-EVALUATION member of "
+    "the eval family: does the LLM judge correlate with the human "
+    "scores (the standard judge-validation statistic), or one "
+    "quality model with another?  Average-rank tie handling, exact "
+    "until the final combination: each side's ranks are DOUBLED "
+    "average ranks r2 = 2*below + n_v + 1 over its DISTINCT ROUNDED "
+    "SCORES (exact integers even for ties; Pearson is shift/scale "
+    "invariant so doubling cancels), sufficient sums are exact "
+    "DECIMAL(38,0), and the one float step is the closed-form "
+    "combination over exact integers, identical in both engines, "
+    "ROUNDed at 6.  Scores derive from md5 ppm uniforms on a COARSE "
+    "1/1000 grid (real ties on both sides) with b = a + independent "
+    "noise — rho visibly high but below 1.  Scale: the AUC design "
+    "twice over — bounded rank tables (round-6 contract), bounded "
+    "windows, broadcast join-backs, zero Python",
+)
+def pipe_eval_spearman(spark, sf_dir):
+    from ..operators.dedup import _md5_long
+
+    d = table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    a_pm = _md5_long(sid, seed=11) % F.lit(1000)
+    b_noise = _md5_long(sid, seed=13) % F.lit(500)
+    rows = d.select(
+        "doc_id",
+        F.round(a_pm.cast("double") / F.lit(1000.0), 6).alias("judge"),
+        F.round(
+            (a_pm + b_noise).cast("double") / F.lit(1000.0), 6
+        ).alias("human"),
+    )
+    return evalmetrics.spearman_report(rows, "doc_id", "judge", "human")

@@ -57,23 +57,24 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #:   and the sixteen r08 relational reps: argminmax/distinct aggs,
 #:   HAVING, the five join kinds, part stats, pivot/unpivot, the three
 #:   scalar batteries, the two TPC-H shapes, the range-frame window)
-#: + 12 of the 42 r09 rows, stalest-first per the backlog (the stream
+#: + 11 of the 42 r09 rows, stalest-first per the backlog (the stream
 #:   join's full twin, the grouped-map centroid, the two cluster rows,
 #:   the two dedup rows, file stats, hybrid RRF, LM buckets, mixture
-#:   sample, unicode normalization, pack sequences; probe train,
+#:   sample, unicode normalization; pack sequences, probe train,
 #:   robots precedence, sentence chunks and shard assign ceded to the
-#:   four late round-14 faces); the remaining 30 r09 rows head the
+#:   five late round-14 faces); the remaining 31 r09 rows head the
 #:   r15 backlog
-#: + 7 round-14 NEW faces (the round-13 verdict's items 3 and 8, its
-#:   bootstrap symmetry gap, and two new eval-family members):
+#: + 8 round-14 NEW faces (the round-13 verdict's items 3 and 8, its
+#:   bootstrap symmetry gap, and three new eval-family members):
 #:   pipe_eval_qa_by_system, pipe_eval_ranking_by_policy — completing
 #:   the corpus-metric form matrix for QA and ranking —
 #:   pipe_train_shards (the trainer-export manifest),
 #:   pipe_eval_chrf_bootstrap/pipe_eval_rouge_bootstrap (the last two
-#:   bootstraps gaining oracle faces), and pipe_eval_auc/
+#:   bootstraps gaining oracle faces), pipe_eval_auc/
 #:   pipe_eval_calibration (threshold-free classifier quality and ECE
-#:   calibration — the two leaderboard numbers the family lacked)
-#: 4+27+12+7 = 50 exactly.  After this round no registry row's last
+#:   calibration), and pipe_eval_spearman (judge-vs-human rank
+#:   correlation — the meta-evaluation statistic)
+#: 4+27+11+8 = 50 exactly.  After this round no registry row's last
 #: driver grade is older than r09.  Every rotated-out name was
 #: officially green in r09-r13 and moves to WINDOW_EXEMPT;
 #: tests/test_registry_window.py asserts every registered query is
@@ -114,8 +115,8 @@ PRIORITY: list[str] = [
     "rel_tpch_q5_shape",
     "rel_unpivot",
     "rel_window_range_frame",
-    # r09 block — 12 rows, stalest-first per the r14 backlog; the
-    # remaining 30 r09 rows (incl. the four displaced below) head the
+    # r09 block — 11 rows, stalest-first per the r14 backlog; the
+    # remaining 31 r09 rows (incl. the five displaced below) head the
     # r15 backlog
     "events_stream_join_full",
     "grouped_map_centroid",
@@ -128,8 +129,10 @@ PRIORITY: list[str] = [
     "pipe_lm_buckets",
     "pipe_mixture_sample",
     "pipe_normalize_unicode",
-    "pipe_pack_sequences",
-    # (pipe_probe_train, pipe_robots_precedence, pipe_sentence_chunks
+    # (pipe_pack_sequences — r09-green — ceded its slot to the late
+    # Spearman face; its pack arithmetic is additionally exercised
+    # THIS window inside pipe_sft_spans and pipe_train_shards.
+    # pipe_probe_train, pipe_robots_precedence, pipe_sentence_chunks
     # and pipe_shard_assign — all r09-green — ceded their planned
     # slots to the four late round-14 faces (the two bootstrap oracle
     # faces and the AUC/calibration pair), the established
@@ -148,6 +151,7 @@ PRIORITY: list[str] = [
     "pipe_eval_rouge_bootstrap",
     "pipe_eval_auc",
     "pipe_eval_calibration",
+    "pipe_eval_spearman",
 ]
 
 

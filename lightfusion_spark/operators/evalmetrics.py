@@ -3245,3 +3245,159 @@ def qa_paired_bootstrap(
             ),
         ).alias("p_a_better6"),
     )
+
+
+def spearman_report(
+    df: DataFrame,
+    id_col: str,
+    score_a_col: str,
+    score_b_col: str,
+    group_col: str | None = None,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation between two scoring systems — the
+    META-EVALUATION member of the eval family: an eval harness that
+    grades with an LLM judge has to know whether the judge CORRELATES
+    with human scores (Spearman over per-item pairs is the standard
+    meta-eval statistic), and a curation pipeline comparing two
+    quality models asks the same question.  One row (or one per
+    ``group_col``)::
+
+        (n_samples, n_excluded, n_distinct_a, n_distinct_b, rho6)
+
+    Average-rank tie handling, exact until the final combination:
+    each side's ranks come from its DISTINCT ROUNDED SCORES as
+    DOUBLED average ranks ``r2 = 2*below + n_v + 1`` (twice the
+    average rank — an exact INTEGER even for ties), Pearson over the
+    doubled ranks equals Pearson over the ranks (shift/scale
+    invariance), and the five sufficient sums (sum x, y, xy, x^2,
+    y^2) are exact DECIMAL(38,0) integer sums — the one float step is
+    the closed-form combination, a fixed expression tree over exact
+    integers, identical in both engines, ROUNDed at 6.  ``rho6`` is
+    NULL when either side is constant (zero variance — undefined).
+    Rows with a NULL on either side are EXCLUDED AND COUNTED.
+
+    100 TB shape: the AUC design twice over — scores ROUND at
+    ``score_decimals`` (stated contract), so each rank table is a
+    DISTINCT-ROUNDED-SCORES relation (<= ~2e6 narrow rows whatever
+    the corpus), its cumulative a window over that bounded relation,
+    and the join-back of ranks to rows keys on the bounded tables
+    (broadcast-sized by construction).  One corpus-scan projection,
+    two bounded windows, one final aggregation; zero Python.
+    """
+    grouped = group_col is not None
+    grp_sel = (
+        [F.col(group_col).cast("string").alias("_grp")] if grouped else []
+    )
+    keys = ["_grp"] if grouped else []
+    ok = F.col(score_a_col).isNotNull() & F.col(score_b_col).isNotNull()
+    base = df.select(
+        *grp_sel,
+        ok.alias("_ok"),
+        F.when(
+            ok, F.round(F.col(score_a_col).cast("double"), score_decimals)
+        ).alias("_a"),
+        F.when(
+            ok, F.round(F.col(score_b_col).cast("double"), score_decimals)
+        ).alias("_b"),
+    )
+    # one corpus aggregation to the bounded (a, b) pair relation —
+    # excluded rows land in the (_ok=false, NULL, NULL) group; pinned
+    # (the auc_report finding: downstream filters push through the
+    # aggregate and break exchange reuse).  Bounded: <= distinct
+    # rounded (a, b) PAIRS + 1 — for independent 6-decimal scores this
+    # can reach ~n at pathological cardinality, so the contract is the
+    # same as AUC's: callers with truly continuous scores accept the
+    # round-6 tie granularity, and the relation is bounded by 1e6^2
+    # only in theory, in practice by the score grids (document).
+    pairs = (
+        base.groupBy(*keys, "_ok", "_a", "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .localCheckpoint(eager=True)
+    )
+    valid = pairs.where(F.col("_ok"))
+
+    def rank2(col):
+        per_v = valid.groupBy(*keys, col).agg(
+            F.sum("_n").cast("long").alias("_nv")
+        )
+        w = (
+            Window.partitionBy(*keys).orderBy(col)
+            if grouped
+            else Window.orderBy(col)
+        ).rowsBetween(Window.unboundedPreceding, -1)
+        return per_v.select(
+            *keys,
+            col,
+            (
+                F.lit(2)
+                * F.coalesce(F.sum("_nv").over(w), F.lit(0)).cast("long")
+                + F.col("_nv")
+                + F.lit(1)
+            ).alias(f"_r2{col}"),
+            F.col("_nv").alias(f"_nv{col}"),
+        )
+    ra = rank2("_a")
+    rb = rank2("_b")
+    joined = (
+        valid.join(F.broadcast(ra.drop("_nv_a")), keys + ["_a"])
+        .join(F.broadcast(rb.drop("_nv_b")), keys + ["_b"])
+    )
+
+    def dsum(expr, name):
+        return (
+            F.coalesce(F.sum(expr), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias(name)
+        )
+
+    x, y, n = F.col("_r2_a"), F.col("_r2_b"), F.col("_n")
+    cells = (joined.groupBy(*keys) if keys else joined.groupBy()).agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_samples"),
+        dsum(n * x, "_sx"),
+        dsum(n * y, "_sy"),
+        dsum(n * x * y, "_sxy"),
+        dsum(n * x * x, "_sxx"),
+        dsum(n * y * y, "_syy"),
+    )
+    nda = (ra.groupBy(*keys) if keys else ra.groupBy()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_a")
+    )
+    ndb = (rb.groupBy(*keys) if keys else rb.groupBy()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_b")
+    )
+    excl = (pairs.groupBy(*keys) if keys else pairs.groupBy()).agg(
+        F.coalesce(F.sum(F.when(~F.col("_ok"), F.col("_n"))), F.lit(0))
+        .cast("long")
+        .alias("n_excluded")
+    )
+    if keys:
+        out = (
+            cells.join(excl, keys).join(nda, keys).join(ndb, keys)
+        )
+    else:
+        out = (
+            cells.crossJoin(F.broadcast(excl))
+            .crossJoin(F.broadcast(nda))
+            .crossJoin(F.broadcast(ndb))
+        )
+    nn = F.col("n_samples").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    var_x = nn * sxx - sx * sx
+    var_y = nn * syy - sy * sy
+    out_grp = [F.col("_grp").alias(group_col)] if grouped else []
+    return out.select(
+        *out_grp,
+        "n_samples",
+        "n_excluded",
+        "n_distinct_a",
+        "n_distinct_b",
+        F.when(
+            (var_x > 0) & (var_y > 0),
+            F.round(
+                (nn * sxy - sx * sy) / F.sqrt(var_x * var_y), 6
+            ),
+        ).alias("rho6"),
+    )

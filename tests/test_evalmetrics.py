@@ -2123,3 +2123,93 @@ def test_qa_bootstrap_matches_independent_reference(spark):
     # the designed disagreement: A wins EM decisively; F1 gap smaller
     assert got["em"]["delta6"] > got["f1"]["delta6"] >= 0
     assert got["em"]["p_a_better6"] == 1.0
+
+
+def _spearman_reference(pairs):
+    """Shared-nothing Spearman with average ranks (no scipy)."""
+    def avg_ranks(vals):
+        s = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(s):
+            j = i
+            while j + 1 < len(s) and vals[s[j + 1]] == vals[s[i]]:
+                j += 1
+            r = (i + j) / 2.0 + 1.0
+            for k in range(i, j + 1):
+                ranks[s[k]] = r
+            i = j + 1
+        return ranks
+
+    a = avg_ranks([round(p[0], 6) for p in pairs])
+    b = avg_ranks([round(p[1], 6) for p in pairs])
+    n = len(pairs)
+    sx, sy = sum(a), sum(b)
+    sxy = sum(x * y for x, y in zip(a, b))
+    sxx, syy = sum(x * x for x in a), sum(y * y for y in b)
+    num = n * sxy - sx * sy
+    den = ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+    return round(num / den, 6)
+
+
+def test_spearman_matches_reference_and_edges(spark):
+    """spearman_report equals the average-rank reference on a
+    tie-heavy sample; monotonic -> 1, reversed -> -1, constant side
+    -> NULL, NULLs excluded-and-counted, grouped == sliced."""
+    import random
+
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rng = random.Random(11)
+    pairs = [
+        (rng.choice([1, 2, 2, 3, 5]) / 10.0,
+         (rng.choice([1, 2, 2, 3, 5]) + rng.choice([0, 1])) / 10.0)
+        for _ in range(200)
+    ]
+    rows = [(i, a, b) for i, (a, b) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "id long, sa double, sb double")
+    got = em.spearman_report(df, "id", "sa", "sb").collect()[0].asDict()
+    assert got["rho6"] == _spearman_reference(pairs)
+    assert got["n_samples"] == 200 and got["n_excluded"] == 0
+
+    mono = spark.createDataFrame(
+        [(i, i / 10.0, (i * i) / 100.0) for i in range(20)],
+        "id long, sa double, sb double",
+    )
+    assert em.spearman_report(mono, "id", "sa", "sb").collect()[0][
+        "rho6"
+    ] == 1.0
+    rev = mono.withColumn("sb", -F.col("sb"))
+    assert em.spearman_report(rev, "id", "sa", "sb").collect()[0][
+        "rho6"
+    ] == -1.0
+    const = mono.withColumn("sb", F.lit(0.5))
+    r = em.spearman_report(const, "id", "sa", "sb").collect()[0]
+    assert r["rho6"] is None and r["n_distinct_b"] == 1
+
+    withnull = spark.createDataFrame(
+        [(1, 0.1, 0.2), (2, None, 0.3), (3, 0.4, None), (4, 0.5, 0.9)],
+        "id long, sa double, sb double",
+    )
+    r2 = em.spearman_report(withnull, "id", "sa", "sb").collect()[0]
+    assert r2["n_excluded"] == 2 and r2["n_samples"] == 2
+
+    g = spark.createDataFrame(
+        [(i, f"m{i % 2}", ((i * 37) % 50) / 50.0,
+          (((i * 37) % 50) + ((i * 53) % 30)) / 80.0)
+         for i in range(120)],
+        "id long, model string, sa double, sb double",
+    )
+    by = {
+        r["model"]: r.asDict()
+        for r in em.spearman_report(
+            g, "id", "sa", "sb", group_col="model"
+        ).collect()
+    }
+    for m in ("m0", "m1"):
+        want = em.spearman_report(
+            g.where(F.col("model") == m), "id", "sa", "sb"
+        ).collect()[0].asDict()
+        gotm = dict(by[m])
+        gotm.pop("model")
+        assert gotm == want
