@@ -3277,13 +3277,18 @@ def spearman_report(
     NULL when either side is constant (zero variance — undefined).
     Rows with a NULL on either side are EXCLUDED AND COUNTED.
 
-    100 TB shape: the AUC design twice over — scores ROUND at
-    ``score_decimals`` (stated contract), so each rank table is a
-    DISTINCT-ROUNDED-SCORES relation (<= ~2e6 narrow rows whatever
-    the corpus), its cumulative a window over that bounded relation,
-    and the join-back of ranks to rows keys on the bounded tables
-    (broadcast-sized by construction).  One corpus-scan projection,
-    two bounded windows, one final aggregation; zero Python.
+    100 TB shape: TWO corpus scans and nothing corpus-sized ever
+    pins.  Scan 1 is one exploded (side, value) aggregation whose
+    output is <= 2 * (10^score_decimals + 1) narrow rows by the
+    ROUND contract — THAT bounded relation is pinned and both rank
+    tables derive from it (one bounded window each).  Scan 2
+    broadcast-joins every row to the two bounded rank tables and
+    folds the five sums plus the exclusion count in a single
+    aggregation.  (A one-scan variant pinning the grouped (a, b)
+    PAIR relation was rejected: distinct pairs are bounded only for
+    gridded scores and degenerate to corpus size for independent
+    6-decimal scores — this design's pin is bounded unconditionally.)
+    Zero Python.
     """
     grouped = group_col is not None
     grp_sel = (
@@ -3301,86 +3306,85 @@ def spearman_report(
             ok, F.round(F.col(score_b_col).cast("double"), score_decimals)
         ).alias("_b"),
     )
-    # one corpus aggregation to the bounded (a, b) pair relation —
-    # excluded rows land in the (_ok=false, NULL, NULL) group; pinned
-    # (the auc_report finding: downstream filters push through the
-    # aggregate and break exchange reuse).  Bounded: <= distinct
-    # rounded (a, b) PAIRS + 1 — for independent 6-decimal scores this
-    # can reach ~n at pathological cardinality, so the contract is the
-    # same as AUC's: callers with truly continuous scores accept the
-    # round-6 tie granularity, and the relation is bounded by 1e6^2
-    # only in theory, in practice by the score grids (document).
-    pairs = (
-        base.groupBy(*keys, "_ok", "_a", "_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    # scan 1: per-(side, value) counts in ONE exchange; pinned —
+    # bounded unconditionally by the round contract
+    vals = (
+        base.where(F.col("_ok"))
+        .select(
+            *keys,
+            F.explode(
+                F.array(
+                    F.struct(F.lit("a").alias("s"), F.col("_a").alias("v")),
+                    F.struct(F.lit("b").alias("s"), F.col("_b").alias("v")),
+                )
+            ).alias("_sv"),
+        )
+        .select(*keys, F.col("_sv.s").alias("_side"), F.col("_sv.v").alias("_v"))
+        .groupBy(*keys, "_side", "_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_nv"))
         .localCheckpoint(eager=True)
     )
-    valid = pairs.where(F.col("_ok"))
 
-    def rank2(col):
-        per_v = valid.groupBy(*keys, col).agg(
-            F.sum("_n").cast("long").alias("_nv")
-        )
+    def rank2(side, out_v, out_r):
+        per_v = vals.where(F.col("_side") == side)
         w = (
-            Window.partitionBy(*keys).orderBy(col)
+            Window.partitionBy(*keys).orderBy("_v")
             if grouped
-            else Window.orderBy(col)
+            else Window.orderBy("_v")
         ).rowsBetween(Window.unboundedPreceding, -1)
         return per_v.select(
             *keys,
-            col,
+            F.col("_v").alias(out_v),
             (
                 F.lit(2)
                 * F.coalesce(F.sum("_nv").over(w), F.lit(0)).cast("long")
                 + F.col("_nv")
                 + F.lit(1)
-            ).alias(f"_r2{col}"),
-            F.col("_nv").alias(f"_nv{col}"),
+            ).alias(out_r),
         )
-    ra = rank2("_a")
-    rb = rank2("_b")
-    joined = (
-        valid.join(F.broadcast(ra.drop("_nv_a")), keys + ["_a"])
-        .join(F.broadcast(rb.drop("_nv_b")), keys + ["_b"])
+
+    ra = rank2("a", "_a", "_x")
+    rb = rank2("b", "_b", "_y")
+    # scan 2: one pass over the rows, broadcast-joined to the bounded
+    # rank tables; the excluded rows ride the same pass (left joins —
+    # their NULL scores match nothing) into the same aggregation
+    joined = base.join(F.broadcast(ra), keys + ["_a"], "left").join(
+        F.broadcast(rb), keys + ["_b"], "left"
     )
 
     def dsum(expr, name):
         return (
-            F.coalesce(F.sum(expr), F.lit(0))
+            F.coalesce(F.sum(F.when(F.col("_ok"), expr)), F.lit(0))
             .cast("decimal(38,0)")
             .alias(name)
         )
 
-    x, y, n = F.col("_r2_a"), F.col("_r2_b"), F.col("_n")
+    x, y = F.col("_x"), F.col("_y")
     cells = (joined.groupBy(*keys) if keys else joined.groupBy()).agg(
-        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_samples"),
-        dsum(n * x, "_sx"),
-        dsum(n * y, "_sy"),
-        dsum(n * x * y, "_sxy"),
-        dsum(n * x * x, "_sxx"),
-        dsum(n * y * y, "_syy"),
-    )
-    nda = (ra.groupBy(*keys) if keys else ra.groupBy()).agg(
-        F.count(F.lit(1)).cast("long").alias("n_distinct_a")
-    )
-    ndb = (rb.groupBy(*keys) if keys else rb.groupBy()).agg(
-        F.count(F.lit(1)).cast("long").alias("n_distinct_b")
-    )
-    excl = (pairs.groupBy(*keys) if keys else pairs.groupBy()).agg(
-        F.coalesce(F.sum(F.when(~F.col("_ok"), F.col("_n"))), F.lit(0))
+        F.coalesce(F.sum(F.when(F.col("_ok"), 1)), F.lit(0))
         .cast("long")
-        .alias("n_excluded")
+        .alias("n_samples"),
+        F.coalesce(F.sum(F.when(~F.col("_ok"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_excluded"),
+        dsum(x, "_sx"),
+        dsum(y, "_sy"),
+        dsum(x * y, "_sxy"),
+        dsum(x * x, "_sxx"),
+        dsum(y * y, "_syy"),
+    )
+    nd = (vals.groupBy(*keys) if keys else vals.groupBy()).agg(
+        F.sum(F.when(F.col("_side") == "a", 1).otherwise(0))
+        .cast("long")
+        .alias("n_distinct_a"),
+        F.sum(F.when(F.col("_side") == "b", 1).otherwise(0))
+        .cast("long")
+        .alias("n_distinct_b"),
     )
     if keys:
-        out = (
-            cells.join(excl, keys).join(nda, keys).join(ndb, keys)
-        )
+        out = cells.join(nd, keys, "left")
     else:
-        out = (
-            cells.crossJoin(F.broadcast(excl))
-            .crossJoin(F.broadcast(nda))
-            .crossJoin(F.broadcast(ndb))
-        )
+        out = cells.crossJoin(F.broadcast(nd))
     nn = F.col("n_samples").cast("double")
     sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
     sxy = F.col("_sxy").cast("double")
@@ -3392,8 +3396,12 @@ def spearman_report(
         *out_grp,
         "n_samples",
         "n_excluded",
-        "n_distinct_a",
-        "n_distinct_b",
+        F.coalesce("n_distinct_a", F.lit(0)).cast("long").alias(
+            "n_distinct_a"
+        ),
+        F.coalesce("n_distinct_b", F.lit(0)).cast("long").alias(
+            "n_distinct_b"
+        ),
         F.when(
             (var_x > 0) & (var_y > 0),
             F.round(
