@@ -303,6 +303,14 @@ def sft_loss_spans(
     the map side; the span fold is one id-keyed aggregation of integer
     triples plus a row-local ``aggregate`` lambda; packing adds the
     documented 8-group window.  No join carries text.
+
+    NOT a pure plan constructor: the per-conversation scalar rows are
+    pinned via ``localCheckpoint(eager=True)`` before packing (one
+    tokenize pass instead of two), so a Spark job — including the BPE
+    crossing — runs at CALL time and lineage truncates to
+    executor-local blocks; executor loss under preemption/dynamic
+    allocation is unrecoverable downstream (use reliable
+    ``checkpoint()`` when that matters).
     """
     import hashlib as _hashlib
 
@@ -802,6 +810,16 @@ def conversations_dedup_append_batch_fuzzy(
     asserted on a planted cross-batch paraphrase by
     ``tests/test_conversations.py``.
 
+    Crash ordering: ``bands/`` is written BEFORE ``admitted/``, so a
+    crash between the two writes leaves a CONSERVATIVE store (orphan
+    band rows can only drop extra near-dups later, never re-admit),
+    and the two store reads are probed independently — a missing
+    ``bands/`` disables only the fuzzy gate, never the exact one.
+    Eager execution: the admitted survivors are pinned via
+    ``localCheckpoint(eager=True)`` (two store writes consume them),
+    so this call runs Spark jobs immediately and the pinned blocks
+    live only on executors until the writes land.
+
     What shuffles: 32-hex digests, 8-byte shingle hashes, and band
     signature strings — turn text never leaves the map side (the
     module invariant; the flatten's id-keyed agg is the same shuffle
@@ -832,28 +850,34 @@ def conversations_dedup_append_batch_fuzzy(
         rows_per_band,
     )
 
-    try:
-        prior_sigs = (
-            spark.read.parquet(admitted_dir)
-            .where(F.col("batch_id") != int(batch_id))
-            .select("conv_sig")
-            .distinct()
-        )
-        prior_bands = (
-            spark.read.parquet(bands_dir)
-            .where(F.col("batch_id") != int(batch_id))
-            .select("band", "sig")
-            .distinct()
-        )
-        fresh = sig.join(prior_sigs, "conv_sig", "left_anti")
+    # the two store relations are probed INDEPENDENTLY: a single
+    # try/except around both reads would let a missing bands/ dir
+    # (e.g. a crash between the two store writes of an earlier
+    # batch) silently disable the EXACT gate too, re-admitting
+    # duplicates of already-admitted conversations with no error
+    def _prior(path: str, cols: list[str]) -> DataFrame | None:
+        try:
+            return (
+                spark.read.parquet(path)
+                .where(F.col("batch_id") != int(batch_id))
+                .select(*cols)
+                .distinct()
+            )
+        except AnalysisException:  # this tier has no store yet
+            return None
+
+    prior_sigs = _prior(admitted_dir, ["conv_sig"])
+    prior_bands = _prior(bands_dir, ["band", "sig"])
+    fresh = sig
+    if prior_sigs is not None:
+        fresh = fresh.join(prior_sigs, "conv_sig", "left_anti")
+    if prior_bands is not None:
         fuzzy_hit = (
             arriving_bands.join(prior_bands, ["band", "sig"], "left_semi")
             .select("conversation_id")
             .distinct()
         )
         fresh = fresh.join(fuzzy_hit, "conversation_id", "left_anti")
-    except AnalysisException:  # first batch: no store yet
-        fresh = sig
 
     exact_survivors = exact_dedup(fresh, ["conv_sig"], "conversation_id")
     batch_turns = turns.join(
@@ -880,12 +904,12 @@ def conversations_dedup_append_batch_fuzzy(
         "left_semi",
     ).localCheckpoint(eager=True)  # two consumers below; pin once
 
-    (
-        admitted.select("conv_sig", "conversation_id", "n_turns")
-        .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
-        .write.mode("append")
-        .parquet(admitted_dir)
-    )
+    # bands/ is written FIRST: a crash between the two writes then
+    # leaves a store that is CONSERVATIVE (the orphaned band rows can
+    # only drop extra near-duplicates on later batches) instead of one
+    # that re-admits paraphrases of admitted-but-bandless
+    # conversations; a same-batch replay excludes the orphans anyway
+    # via the batch_id != batch filters above
     (
         arriving_bands.join(
             admitted.select("conversation_id"), "conversation_id", "left_semi"
@@ -893,6 +917,12 @@ def conversations_dedup_append_batch_fuzzy(
         .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
         .write.mode("append")
         .parquet(bands_dir)
+    )
+    (
+        admitted.select("conv_sig", "conversation_id", "n_turns")
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        .write.mode("append")
+        .parquet(admitted_dir)
     )
     hashes.unpersist()
 

@@ -1174,33 +1174,40 @@ def qa_em_f1(
     # dedupe row carries the token arrays for the two count branches —
     # measured CHEAPER than post-explode position-keyed dedupes, which
     # ship ~20x the exchange rows)
-    pairs = rows.dropDuplicates(["_qid", "_pk", "_ak"])
+    # _grp rides every dedupe/count key when grouped: under the
+    # documented group-constant-per-question contract the keys are
+    # equivalent (qid determines the group), but a violating caller
+    # now really does get one row per (question, group), each graded
+    # deterministically — without _grp in the dropDuplicates key an
+    # arbitrary row would survive and the winning group would be
+    # partition-dependent, contradicting the docstring
+    grp_keys = ["_grp"] if grouped else []
+    pairs = rows.dropDuplicates(grp_keys + ["_qid", "_pk", "_ak"])
     pc = (
-        pairs.select("_qid", "_pk", "_pt")
+        pairs.select(*grp_keys, "_qid", "_pk", "_pt")
         # keyed on the pred DIGEST, not bare qid: under the documented
         # one-pred-per-question contract this is one row per question
         # either way, but a violating caller gets a DETERMINISTIC
         # result (every distinct pred counted once) instead of an
         # arbitrary partition-dependent pick
-        .dropDuplicates(["_qid", "_pk"])
-        .select("_qid", F.explode("_pt").alias("_w"))
-        .groupBy("_qid", "_w")
+        .dropDuplicates(grp_keys + ["_qid", "_pk"])
+        .select(*grp_keys, "_qid", F.explode("_pt").alias("_w"))
+        .groupBy(*grp_keys, "_qid", "_w")
         .agg(F.count(F.lit(1)).alias("_cp"))
     )
     gc = (
-        pairs.select("_qid", "_ak", F.explode("_gt").alias("_w"))
-        .groupBy("_qid", "_ak", "_w")
+        pairs.select(*grp_keys, "_qid", "_ak", F.explode("_gt").alias("_w"))
+        .groupBy(*grp_keys, "_qid", "_ak", "_w")
         .agg(F.count(F.lit(1)).alias("_cg"))
     )
     matched = (
-        pc.join(gc, ["_qid", "_w"], "inner")
-        .groupBy("_qid", "_ak")
+        pc.join(gc, grp_keys + ["_qid", "_w"], "inner")
+        .groupBy(*grp_keys, "_qid", "_ak")
         .agg(F.sum(F.least("_cp", "_cg")).cast("long").alias("_m"))
     )
-    grp_keys = ["_grp"] if grouped else []
     per_alt = (
         pairs.select(*grp_keys, "_qid", "_ak", "_em", "_lp", "_lg")
-        .join(matched, ["_qid", "_ak"], "left")
+        .join(matched, grp_keys + ["_qid", "_ak"], "left")
         .withColumn("_m", F.coalesce(F.col("_m"), F.lit(0)))
         .select(
             *grp_keys,
@@ -2744,6 +2751,14 @@ def auc_report(
     corpus-sized sorts in one task, no Python, and the only
     corpus-sized exchange is the map-side-combinable (score ->
     counts) aggregation.
+
+    NOT a pure plan constructor: the bounded per-score relation is
+    pinned via ``localCheckpoint(eager=True)``, which runs a Spark
+    job at CALL time and truncates lineage to executor-local blocks —
+    under dynamic allocation / preemptible executors a lost executor
+    makes downstream stages unrecoverable (no lineage to replay).
+    Deployments needing fault-tolerant recovery should use reliable
+    ``checkpoint()`` with a checkpoint dir at the pin site instead.
     """
     grouped = group_col is not None
     grp_sel = (
@@ -2800,14 +2815,22 @@ def auc_report(
         .alias("_n"),
         F.coalesce(F.sum("_np"), F.lit(0)).cast("long").alias("n_pos"),
         F.coalesce(F.sum("_nn"), F.lit(0)).cast("long").alias("n_neg"),
+        # decimal operands, not long: the rank-sum numerator is
+        # bounded by 2*P*N, which clears int64 only below ~4.3e9
+        # balanced rows — the decimal(19,0) casts make the per-score
+        # products and their accumulation exact at any corpus size
+        # (the spearman_report convention), at zero cost on the
+        # bounded <=2e6-row relation this aggregates
         F.coalesce(
             F.sum(
-                F.col("_np")
-                * (F.lit(2) * F.col("_below") + F.col("_nn"))
+                F.col("_np").cast("decimal(19,0)")
+                * (F.lit(2) * F.col("_below") + F.col("_nn")).cast(
+                    "decimal(19,0)"
+                )
             ),
             F.lit(0),
         )
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("_numer2"),
     )
     excl = (
@@ -2833,14 +2856,22 @@ def auc_report(
         ),
     )
     out_grp = [F.col("_grp").alias(group_col)] if grouped else []
+    # excl drives the grouped join: cells is built from _ok rows only,
+    # so a group whose rows are ALL excluded has no cells row — an
+    # inner join would silently drop its n_excluded row, violating the
+    # EXCLUDED AND COUNTED contract (spearman_report, which aggregates
+    # over ALL rows, never had the hole).  Left-join from excl and
+    # coalesce the counts to 0; auc6/gini6 stay NULL (undefined).
     return (
-        cells.join(excl, keys) if keys else cells.crossJoin(F.broadcast(excl))
+        excl.join(cells, keys, "left")
+        if keys
+        else cells.crossJoin(F.broadcast(excl))
     ).select(
         *out_grp,
-        F.col("_n").alias("n_samples"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_samples"),
         "n_excluded",
-        "n_pos",
-        "n_neg",
+        F.coalesce(F.col("n_pos"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.col("n_neg"), F.lit(0)).cast("long").alias("n_neg"),
         auc.alias("auc6"),
         F.round(F.lit(2.0) * auc - F.lit(1.0), 6).alias("gini6"),
     )
@@ -2976,6 +3007,13 @@ def calibration_report(
     100 TB shape: one map-side-combinable groupBy to ``n_bins`` rows
     per group, then arithmetic over that bounded relation — no
     window, no Python, nothing corpus-sized past the first exchange.
+
+    NOT a pure plan constructor: the bounded per-bin relation is
+    pinned via ``localCheckpoint(eager=True)`` (a Spark job runs at
+    CALL time; lineage truncates to executor-local blocks, so
+    executor loss under preemption/dynamic allocation is
+    unrecoverable downstream — swap in reliable ``checkpoint()``
+    when that matters).
     """
     grouped = group_col is not None
     keys = [group_col] if grouped else []
@@ -3027,16 +3065,25 @@ def calibration_report(
     )
     if grouped:
         excl = excl.select(F.col("_grp").alias(group_col), "n_excluded")
-        joined = cells.join(excl, keys)
+        # excl drives the join: bins drops the NULL (excluded) bin, so
+        # a fully-excluded group has no cells row — an inner join
+        # would silently drop its n_excluded row (the auc_report
+        # hole).  Left-join from excl; counts coalesce to 0 and the
+        # rate columns stay NULL (undefined over zero samples).
+        joined = excl.join(cells, keys, "left")
     else:
         joined = cells.crossJoin(F.broadcast(excl))
-    nz = F.col("n_samples") > 0
+    nz = F.coalesce(F.col("n_samples"), F.lit(0)) > 0
     return joined.select(
         *keys,
-        "n_samples",
+        F.coalesce(F.col("n_samples"), F.lit(0))
+        .cast("long")
+        .alias("n_samples"),
         "n_excluded",
         F.lit(int(n_bins)).cast("int").alias("n_bins"),
-        "n_bins_nonempty",
+        F.coalesce(F.col("n_bins_nonempty"), F.lit(0))
+        .cast("int")
+        .alias("n_bins_nonempty"),
         F.when(
             nz,
             F.round(
@@ -3289,6 +3336,12 @@ def spearman_report(
     gridded scores and degenerate to corpus size for independent
     6-decimal scores — this design's pin is bounded unconditionally.)
     Zero Python.
+
+    NOT a pure plan constructor: the pin is
+    ``localCheckpoint(eager=True)`` — a Spark job runs at CALL time
+    and lineage truncates to executor-local blocks (executor loss
+    under preemption/dynamic allocation is unrecoverable downstream;
+    use reliable ``checkpoint()`` when that matters).
     """
     grouped = group_col is not None
     grp_sel = (
@@ -3352,14 +3405,27 @@ def spearman_report(
         F.broadcast(rb), keys + ["_b"], "left"
     )
 
+    # the cast rides the SUMMAND (the repo convention — qa_em_f1's
+    # f1_sum, the bootstrap weight sums), not the aggregate: doubled
+    # ranks scale with the ROW count (mean doubled rank is exactly
+    # n+1), so long-typed products would overflow int64 inside the
+    # sum at ~1.3e6 valid rows (sum x*y ~ 4n^3) — ARITHMETIC_OVERFLOW
+    # under ANSI, silent wrap otherwise.  decimal(19,0) operands keep
+    # every product exact and the decimal(38,0) accumulation holds
+    # past 10^11 rows (4n^3 < 10^38); regression-pinned by
+    # tests/test_evalmetrics.py::test_spearman_sums_exact_past_int64.
     def dsum(expr, name):
         return (
-            F.coalesce(F.sum(F.when(F.col("_ok"), expr)), F.lit(0))
+            F.coalesce(
+                F.sum(F.when(F.col("_ok"), expr.cast("decimal(38,0)"))),
+                F.lit(0),
+            )
             .cast("decimal(38,0)")
             .alias(name)
         )
 
-    x, y = F.col("_x"), F.col("_y")
+    x = F.col("_x").cast("decimal(19,0)")
+    y = F.col("_y").cast("decimal(19,0)")
     cells = (joined.groupBy(*keys) if keys else joined.groupBy()).agg(
         F.coalesce(F.sum(F.when(F.col("_ok"), 1)), F.lit(0))
         .cast("long")

@@ -650,3 +650,62 @@ def test_training_shard_plan_positions_match_shard_assign(spark):
         for r in shard_assign(packs, "pack_id", n_shards=4, seed=3).collect()
     }
     assert got == want and len(got) > 1
+
+
+def test_fuzzy_store_missing_bands_dir_keeps_exact_gate(spark, tmp_path):
+    """Round-15 regression (ADVICE): the two store relations are
+    probed INDEPENDENTLY — a missing bands/ dir (crash between the
+    two store writes) must disable only the fuzzy gate, never the
+    exact one.  The old single try/except around both reads raised on
+    the missing bands/ read and silently skipped the exact anti-join
+    too, re-admitting verbatim duplicates."""
+    import shutil
+
+    from lightfusion_spark.operators import conversations as conv_ops
+
+    def turns_for(cid, texts):
+        return [
+            (cid, i, "user" if i % 2 == 0 else "assistant", t)
+            for i, t in enumerate(texts)
+        ]
+
+    q = "how do i configure the retry backoff for the ingest client"
+    a = (
+        "set the retry backoff in the client config block "
+        "start with one second and double it on every failed attempt"
+    )
+    batch1 = turns_for(100, [q, a]) + turns_for(
+        101,
+        [
+            "what is the difference between a view and a table",
+            "a table stores rows a view stores a query that runs "
+            "when you read it so a view is always as fresh as its inputs",
+        ],
+    )
+    # batch 2: an EXACT duplicate of 100's transcript + one new conv
+    batch2 = turns_for(300, [q, a]) + turns_for(
+        301,
+        [
+            "how large can a parquet row group be",
+            "row groups are typically sized between 64 and 512 "
+            "megabytes so a reader can fetch one group per task",
+        ],
+    )
+    schema = "conversation_id long, turn_idx int, role string, content string"
+    df1 = spark.createDataFrame(batch1, schema)
+    df2 = spark.createDataFrame(batch2, schema)
+    state_dir = str(tmp_path / "fuzzy_state_nobands")
+
+    conv_ops.conversations_dedup_append_batch_fuzzy(df1, state_dir, 0)
+    shutil.rmtree(f"{state_dir}/bands")  # simulate the torn store
+    conv_ops.conversations_dedup_append_batch_fuzzy(df2, state_dir, 1)
+
+    got = {
+        r["conversation_id"]
+        for r in conv_ops.conversations_dedup_from_store_fuzzy(
+            spark, state_dir
+        ).collect()
+    }
+    # 300 (verbatim dup of 100) dropped by the still-active exact
+    # gate; 301 admitted; the fuzzy tier simply had nothing to gate on
+    assert got == {100, 101, 301}
