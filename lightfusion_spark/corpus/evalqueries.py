@@ -3090,3 +3090,322 @@ def pipe_eval_spearman(spark, sf_dir):
         ).alias("human"),
     )
     return evalmetrics.spearman_report(rows, "doc_id", "judge", "human")
+
+
+def _qa_boot_perq_sql(tag: str, pred_col: str) -> str:
+    """One side's per-question (em, f1) grades over the shared ``raw``
+    (qid, pred_a, pred_b, gold) relation — the _QA_ORACLE_BODY chain
+    with tagged CTE names so the paired bootstrap can replay BOTH
+    systems in one statement."""
+    norm_p = _QA_NORM_SQL.format(src=pred_col)
+    norm_g = _QA_NORM_SQL.format(src="gold")
+    return f"""
+norm_{tag} AS (
+  SELECT DISTINCT doc_id AS qid, {norm_p} AS p, {norm_g} AS g FROM raw
+),
+toks_{tag} AS (
+  SELECT qid, p, g,
+         list_filter(regexp_split_to_array(p, '\\s+'), x -> x <> '') AS pt,
+         list_filter(regexp_split_to_array(g, '\\s+'), x -> x <> '') AS gt
+  FROM norm_{tag}
+),
+pc_{tag} AS (
+  SELECT qid, g, u.w, COUNT(*) AS cp
+  FROM toks_{tag}, UNNEST(pt) AS u(w) GROUP BY qid, g, u.w
+),
+gc_{tag} AS (
+  SELECT qid, g, u.w, COUNT(*) AS cg
+  FROM toks_{tag}, UNNEST(gt) AS u(w) GROUP BY qid, g, u.w
+),
+m_{tag} AS (
+  SELECT pc_{tag}.qid, pc_{tag}.g, SUM(LEAST(cp, cg)) AS m
+  FROM pc_{tag} JOIN gc_{tag} ON pc_{tag}.qid = gc_{tag}.qid
+       AND pc_{tag}.g = gc_{tag}.g AND pc_{tag}.w = gc_{tag}.w
+  GROUP BY pc_{tag}.qid, pc_{tag}.g
+),
+alt_{tag} AS (
+  SELECT t.qid,
+         CASE WHEN t.p = t.g THEN 1 ELSE 0 END AS em,
+         CASE WHEN len(pt) = 0 OR len(gt) = 0
+              THEN CASE WHEN t.p = t.g THEN CAST(1 AS DOUBLE)
+                        ELSE CAST(0 AS DOUBLE) END
+              ELSE ROUND(CAST(2 * COALESCE(m_{tag}.m, 0) AS DOUBLE)
+                         / CAST(len(pt) + len(gt) AS DOUBLE), 6)
+         END AS f1
+  FROM toks_{tag} t
+  LEFT JOIN m_{tag} ON t.qid = m_{tag}.qid AND t.g = m_{tag}.g
+),
+perq_{tag} AS (
+  SELECT qid, MAX(em) AS em, MAX(f1) AS f1_6 FROM alt_{tag} GROUP BY qid
+)"""
+
+
+_QA_BOOTSTRAP_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+raw AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN array_to_string(tk[1:5], ' ')
+              ELSE array_to_string(tk[3:7], ' ') END AS pred_a,
+         array_to_string(list_reverse(tk[1:5]), ' ') AS pred_b,
+         g.gold
+  FROM base,
+       LATERAL (VALUES (array_to_string(tk[1:5], ' ')),
+                       (array_to_string(tk[1:4], ' '))) AS g(gold)
+),
+{_qa_boot_perq_sql("a", "pred_a")},
+{_qa_boot_perq_sql("b", "pred_b")},
+j AS MATERIALIZED (
+  SELECT a.qid, a.em AS em_a, a.f1_6 AS f1_a, b2.em AS em_b, b2.f1_6 AS f1_b
+  FROM perq_a a JOIN perq_b b2 USING (qid)
+),
+bs AS (SELECT CAST(u.b AS BIGINT) AS b FROM UNNEST(range(0, 32)) AS u(b)),
+w AS (
+  SELECT j.qid, bs.b, {_BOOT_WEIGHT_CASE} AS w
+  FROM j CROSS JOIN bs,
+  LATERAL (
+    SELECT CAST(('0x' || substr(md5('7:' || CAST(j.qid AS VARCHAR)
+                                 || ':' || CAST(bs.b AS VARCHAR)), 1, 14))
+                AS BIGINT) % 1000000 AS h6
+  ) h
+),
+perb AS (
+  SELECT w.b, CAST(SUM(w.w) AS BIGINT) AS n,
+         CAST(SUM(w.w * j.em_a) AS BIGINT) AS ea,
+         CAST(SUM(w.w * j.em_b) AS BIGINT) AS eb,
+         CAST(SUM(CAST(j.f1_a AS DECIMAL(18,6)) * w.w) AS DECIMAL(28,6))
+             AS fa,
+         CAST(SUM(CAST(j.f1_b AS DECIMAL(18,6)) * w.w) AS DECIMAL(28,6))
+             AS fb
+  FROM j JOIN w ON w.qid = j.qid GROUP BY w.b
+),
+reps AS (
+  SELECT perb.b, m.metric,
+         CASE WHEN n > 0 THEN ROUND(m.na / CAST(n AS DOUBLE), 6) END AS sa,
+         CASE WHEN n > 0 THEN ROUND(m.nb / CAST(n AS DOUBLE), 6) END AS sb
+  FROM perb,
+       LATERAL (VALUES ('em', CAST(ea AS DOUBLE), CAST(eb AS DOUBLE)),
+                       ('f1', CAST(fa AS DOUBLE), CAST(fb AS DOUBLE)))
+           AS m(metric, na, nb)
+),
+d AS (SELECT metric, b, ROUND(sa - sb, 6) AS d FROM reps),
+dr AS (SELECT metric, d,
+              ROW_NUMBER() OVER (PARTITION BY metric ORDER BY d) AS rk
+       FROM d),
+agg AS (
+  SELECT metric,
+         MAX(CASE WHEN rk = 1 THEN d END) AS delta_lo6,
+         MAX(CASE WHEN rk = 32 THEN d END) AS delta_hi6,
+         CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_delta_pos,
+         CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_delta_neg
+  FROM dr GROUP BY metric
+),
+f AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_questions,
+         ROUND(CAST(SUM(em_a) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS ema,
+         ROUND(CAST(SUM(em_b) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS emb,
+         ROUND(CAST(SUM(CAST(f1_a AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS f1a,
+         ROUND(CAST(SUM(CAST(f1_b AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS f1b
+  FROM j
+),
+fulls AS (
+  SELECT m.metric, f.n_questions, m.sa AS score_a6, m.sb AS score_b6
+  FROM f, LATERAL (VALUES ('em', f.ema, f.emb), ('f1', f.f1a, f.f1b))
+              AS m(metric, sa, sb)
+)
+SELECT fulls.metric, fulls.n_questions, CAST(32 AS INTEGER) AS n_boot,
+       fulls.score_a6, fulls.score_b6,
+       ROUND(fulls.score_a6 - fulls.score_b6, 6) AS delta6,
+       agg.delta_lo6, agg.delta_hi6, agg.n_delta_pos, agg.n_delta_neg,
+       ROUND(CAST(agg.n_delta_pos AS DOUBLE) / 32.0, 6) AS p_a_better6
+FROM fulls JOIN agg USING (metric)
+"""
+
+
+@register(
+    "pipe_eval_qa_bootstrap",
+    oracle=_QA_BOOTSTRAP_ORACLE,
+    doc="paired bootstrap significance for extractive QA "
+    "(evalmetrics.qa_paired_bootstrap) — the sixth and last member "
+    "of the bootstrap family to gain an oracle face (it was the only "
+    "pytest-by-design one; the r14 verdict's symmetry item).  Built "
+    "to make EM and F1 DISAGREE about significance: system A answers "
+    "the exact first-5-token gold on even questions and a 2-token-"
+    "shifted window on odd ones; system B always answers the "
+    "REVERSED gold — bag-of-tokens-preserving, so B holds F1 ~ 1 "
+    "while scoring EM 0.  A wins EM in every resampled world "
+    "(p_a_better = 1 on the em row), B wins F1 (p_a_better = 0 on "
+    "the f1 row) — one experiment, two verdicts, which is the reason "
+    "the operator emits one row PER METRIC.  Questions resample with "
+    "the family's deterministic Poisson(1) md5/ppm weights "
+    "(md5_56('7:qid:b') %% 1e6 against hardcoded integer "
+    "thresholds); per-replicate scores are weighted means of the "
+    "per-question grades — integer EM numerators, DECIMAL(18,6) F1 "
+    "numerators — and the nearest-rank 2.5/97.5 interval replays "
+    "bit-for-bit in SQL.  Exchanges: answer-token-sized for the two "
+    "qa_em_f1 passes, then O(questions * 32) scalar grade rows",
+)
+def pipe_eval_qa_bootstrap(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    t5 = F.concat_ws(" ", F.slice(tk, 1, 5))
+    t4 = F.concat_ws(" ", F.slice(tk, 1, 4))
+    pred_a = F.when(F.col("doc_id") % 2 == 0, t5).otherwise(
+        F.concat_ws(" ", F.slice(tk, 3, 5))
+    )
+    pred_b = F.concat_ws(" ", F.reverse(F.slice(tk, 1, 5)))
+    rows = d.select(
+        F.col("doc_id").alias("qid"),
+        pred_a.alias("pred_a"),
+        pred_b.alias("pred_b"),
+        F.explode(F.array(t5, t4)).alias("gold"),
+    )
+    return evalmetrics.qa_paired_bootstrap(
+        rows, "qid", "pred_a", "pred_b", "gold"
+    )
+
+
+@register(
+    "pipe_eval_spearman_by_judge",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         'judge_' || CAST(doc_id % 3 AS VARCHAR) AS judge,
+         CAST('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 14)
+              AS BIGINT) % 1000 AS a_pm,
+         CAST('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 14)
+              AS BIGINT) AS bn
+  FROM documents
+),
+s AS (
+  SELECT judge,
+         CASE WHEN doc_id % 7 <> 0
+              THEN ROUND(CAST(a_pm AS DOUBLE) / 1000.0, 6) END AS a,
+         ROUND(CAST(CASE doc_id % 3
+                      WHEN 0 THEN a_pm + bn % 100
+                      WHEN 1 THEN a_pm + bn % 500
+                      ELSE bn % 1000 END AS DOUBLE) / 1000.0, 6) AS b
+  FROM h
+),
+excl AS (
+  SELECT judge,
+         CAST(SUM(CASE WHEN a IS NULL OR b IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_excluded
+  FROM s GROUP BY judge
+),
+ok AS (SELECT judge, a, b FROM s WHERE a IS NOT NULL AND b IS NOT NULL),
+pairs AS (
+  SELECT judge, a, b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ok GROUP BY judge, a, b
+),
+va AS (SELECT judge, a, SUM(n) AS nv FROM pairs GROUP BY judge, a),
+vb AS (SELECT judge, b, SUM(n) AS nv FROM pairs GROUP BY judge, b),
+rka AS (
+  SELECT judge, a, 2 * COALESCE(SUM(nv) OVER (PARTITION BY judge ORDER BY a
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + nv + 1 AS x
+  FROM va
+),
+rkb AS (
+  SELECT judge, b, 2 * COALESCE(SUM(nv) OVER (PARTITION BY judge ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + nv + 1 AS y
+  FROM vb
+),
+jj AS (
+  SELECT p.judge, p.n, rka.x, rkb.y
+  FROM pairs p
+  JOIN rka ON rka.judge = p.judge AND rka.a = p.a
+  JOIN rkb ON rkb.judge = p.judge AND rkb.b = p.b
+),
+cells AS (
+  SELECT judge, CAST(SUM(n) AS BIGINT) AS n_samples,
+         CAST(SUM(n * x) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(n * y) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(n * x * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(n * x * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(n * y * y) AS DECIMAL(38,0)) AS syy
+  FROM jj GROUP BY judge
+),
+nda AS (SELECT judge, CAST(COUNT(*) AS BIGINT) AS n_distinct_a
+        FROM va GROUP BY judge),
+ndb AS (SELECT judge, CAST(COUNT(*) AS BIGINT) AS n_distinct_b
+        FROM vb GROUP BY judge)
+SELECT e.judge,
+       COALESCE(c.n_samples, 0) AS n_samples,
+       e.n_excluded,
+       COALESCE(nda.n_distinct_a, 0) AS n_distinct_a,
+       COALESCE(ndb.n_distinct_b, 0) AS n_distinct_b,
+       CASE WHEN CAST(c.n_samples AS DOUBLE) * CAST(c.sxx AS DOUBLE)
+                 - CAST(c.sx AS DOUBLE) * CAST(c.sx AS DOUBLE) > 0
+             AND CAST(c.n_samples AS DOUBLE) * CAST(c.syy AS DOUBLE)
+                 - CAST(c.sy AS DOUBLE) * CAST(c.sy AS DOUBLE) > 0
+            THEN ROUND(
+              (CAST(c.n_samples AS DOUBLE) * CAST(c.sxy AS DOUBLE)
+               - CAST(c.sx AS DOUBLE) * CAST(c.sy AS DOUBLE))
+              / SQRT((CAST(c.n_samples AS DOUBLE) * CAST(c.sxx AS DOUBLE)
+                      - CAST(c.sx AS DOUBLE) * CAST(c.sx AS DOUBLE))
+                     * (CAST(c.n_samples AS DOUBLE) * CAST(c.syy AS DOUBLE)
+                        - CAST(c.sy AS DOUBLE) * CAST(c.sy AS DOUBLE))), 6)
+       END AS rho6
+FROM excl e
+LEFT JOIN cells c USING (judge)
+LEFT JOIN nda USING (judge)
+LEFT JOIN ndb USING (judge)
+""",
+    doc="Spearman rank correlation PER JUDGE "
+    "(evalmetrics.spearman_report with group_col) — the r14 "
+    "verdict's optional item 8: the judge-validation statistic is "
+    "most useful SLICED per judge (which LLM judge tracks the human "
+    "scores, which has drifted?), and the grouped path existed "
+    "without a face.  Three judges with planted correlation tiers: "
+    "judge_0 = human + small noise (rho near 1), judge_1 = human + "
+    "medium noise, judge_2 = independent uniforms (rho near 0); "
+    "every 7th question's judge score is NULL — EXCLUDED AND COUNTED "
+    "per group, exercising the exclusion path the round-15 "
+    "fully-excluded-group fix hardened (excl left-joins cells, so "
+    "even an all-NULL judge would keep its row).  Grouped = sliced "
+    "one-shot by construction: the group key rides the row "
+    "projection into every aggregation and both bounded rank "
+    "windows partition by it — same two-scan shape, same "
+    "DECIMAL(38,0) summand sums, zero Python",
+)
+def pipe_eval_spearman_by_judge(spark, sf_dir):
+    from ..operators.dedup import _md5_long
+
+    d = table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    mod3 = F.col("doc_id") % 3
+    a_pm = _md5_long(sid, seed=11) % F.lit(1000)
+    bn = _md5_long(sid, seed=13)
+    human_pm = (
+        F.when(mod3 == 0, a_pm + bn % 100)
+        .when(mod3 == 1, a_pm + bn % 500)
+        .otherwise(bn % 1000)
+    )
+    rows = d.select(
+        "doc_id",
+        F.concat(F.lit("judge_"), mod3.cast("string")).alias("judge"),
+        F.when(
+            F.col("doc_id") % 7 != 0,
+            F.round(a_pm.cast("double") / F.lit(1000.0), 6),
+        ).alias("judge_score"),
+        F.round(human_pm.cast("double") / F.lit(1000.0), 6).alias(
+            "human_score"
+        ),
+    )
+    return evalmetrics.spearman_report(
+        rows, "doc_id", "judge_score", "human_score", group_col="judge"
+    )

@@ -46,37 +46,37 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: Curated export order.  The driver's correctness gate evaluates only the
 #: FIRST 50 ``queries()`` entries, so the names below are emitted first.
 #:
-#: Round-14 rotation (per the round-13 verdict's top item, following the
-#: backlog enumerated in docs/PLANS.md "Round-14 re-window backlog",
-#: which the judge re-tallied row-for-row from the raw CORRECTNESS
-#: files):
+#: Round-15 rotation (per the round-14 verdict's item 2, with the
+#: membership now DERIVED FROM DATA instead of a hand-enumerated
+#: backlog — the verdict's item 3: the r14 PLANS.md backlog listed 30
+#: of the 31 r09 rows, dropping pipe_pack_sequences.
+#: tests/test_registry_window.py::test_window_takes_the_stalest_rows_first
+#: recomputes last-green ages from the committed CORRECTNESS_r*.json
+#: files and asserts the ENTIRE oldest bucket is in this window unless
+#: a row is explicitly listed in WINDOW_DISPLACED below, so that class
+#: of drift is now test-impossible):
 #: 4 flagship Layer-A queries (windowed every round)
-#: + ALL 27 r08 rows — the entire remaining r08 rotation debt retired
-#:   in one stroke (the bloom decontaminator, the five embedding/
-#:   sampling rows, the JL top-k, source overlap, the two text rows,
-#:   and the sixteen r08 relational reps: argminmax/distinct aggs,
-#:   HAVING, the five join kinds, part stats, pivot/unpivot, the three
-#:   scalar batteries, the two TPC-H shapes, the range-frame window)
-#: + 11 of the 42 r09 rows, stalest-first per the backlog (the stream
-#:   join's full twin, the grouped-map centroid, the two cluster rows,
-#:   the two dedup rows, file stats, hybrid RRF, LM buckets, mixture
-#:   sample, unicode normalization; pack sequences, probe train,
-#:   robots precedence, sentence chunks and shard assign ceded to the
-#:   five late round-14 faces); the remaining 31 r09 rows head the
-#:   r15 backlog
-#: + 8 round-14 NEW faces (the round-13 verdict's items 3 and 8, its
-#:   bootstrap symmetry gap, and three new eval-family members):
-#:   pipe_eval_qa_by_system, pipe_eval_ranking_by_policy — completing
-#:   the corpus-metric form matrix for QA and ranking —
-#:   pipe_train_shards (the trainer-export manifest),
-#:   pipe_eval_chrf_bootstrap/pipe_eval_rouge_bootstrap (the last two
-#:   bootstraps gaining oracle faces), pipe_eval_auc/
-#:   pipe_eval_calibration (threshold-free classifier quality and ECE
-#:   calibration), and pipe_eval_spearman (judge-vs-human rank
-#:   correlation — the meta-evaluation statistic)
-#: 4+27+11+8 = 50 exactly.  After this round no registry row's last
-#: driver grade is older than r09.  Every rotated-out name was
-#: officially green in r09-r13 and moves to WINDOW_EXEMPT;
+#: + ALL 31 r09 rows — the entire remaining r09 rotation debt retired
+#:   in one stroke, pipe_pack_sequences included (the five r14-
+#:   displaced reps first, then the sampling/similarity/text rows and
+#:   the eleven r09 relational reps: cast battery, GROUP BY ALL,
+#:   regexp, salted agg, the three scalar batteries, set union, the
+#:   six TPC-H shapes, the rank window)
+#: + 13 of the 46 r10 rows, stalest-first (the three bounded-state
+#:   event monitors' batch twins, BT source ranking, chunking, corpus
+#:   drift, curriculum order, fuzzy decontamination, diversity
+#:   sampling, numeric drift, DSIR selection, the e2e curation
+#:   composition, distributed file stats); the remaining 33 r10 rows
+#:   head the r16 backlog
+#: + 2 round-15 NEW faces (r14 verdict items 5 and 8):
+#:   pipe_eval_qa_bootstrap (the sixth and last bootstrap gaining an
+#:   oracle face — EM and F1 disagreeing about significance) and
+#:   pipe_eval_spearman_by_judge (the judge-validation statistic
+#:   sliced per judge, exercising the grouped path and the round-15
+#:   fully-excluded-group join fix)
+#: 4+31+13+2 = 50 exactly.  After this round no registry row's last
+#: driver grade is older than r10.  Every rotated-out name was
+#: officially green in r09-r14 and moves to WINDOW_EXEMPT;
 #: tests/test_registry_window.py asserts every registered query is
 #: either in the current window or has a recorded green row from a past
 #: driver window, and tools/parity.py + CI keep sweeping the whole
@@ -87,72 +87,66 @@ PRIORITY: list[str] = [
     "lgbm_infer_embeddings",
     "argmax_embeddings",
     "settings_introspection",
-    # r08 block — the ENTIRE remaining r08 rotation debt (27 rows)
-    "pipe_decontaminate_bloom",
-    "pipe_embed_detop",
-    "pipe_embed_project",
-    "pipe_embed_text",
-    "pipe_pca_top",
-    "pipe_sample_weighted",
-    "pipe_sim_topk_jl",
-    "pipe_source_overlap",
-    "pipe_text_keywords",
-    "pipe_text_novelty",
-    "rel_agg_argminmax",
-    "rel_agg_distinct",
-    "rel_having",
-    "rel_join_cross",
-    "rel_join_full_outer",
-    "rel_join_part_supplier",
-    "rel_join_semi",
-    "rel_join_theta",
-    "rel_part_stats",
-    "rel_pivot",
-    "rel_scalar_array",
-    "rel_scalar_json",
-    "rel_scalar_string2",
-    "rel_tpch_q3_shape",
-    "rel_tpch_q5_shape",
-    "rel_unpivot",
-    "rel_window_range_frame",
-    # r09 block — 11 rows, stalest-first per the r14 backlog; the
-    # remaining 31 r09 rows (incl. the five displaced below) head the
-    # r15 backlog
-    "events_stream_join_full",
-    "grouped_map_centroid",
-    "pipe_cluster_embeddings",
-    "pipe_cluster_report",
-    "pipe_dedup_ngram",
-    "pipe_dedup_survivors",
-    "pipe_file_stats",
-    "pipe_hybrid_rrf",
-    "pipe_lm_buckets",
-    "pipe_mixture_sample",
-    "pipe_normalize_unicode",
-    # (pipe_pack_sequences — r09-green — ceded its slot to the late
-    # Spearman face; its pack arithmetic is additionally exercised
-    # THIS window inside pipe_sft_spans and pipe_train_shards.
-    # pipe_probe_train, pipe_robots_precedence, pipe_sentence_chunks
-    # and pipe_shard_assign — all r09-green — ceded their planned
-    # slots to the four late round-14 faces (the two bootstrap oracle
-    # faces and the AUC/calibration pair), the established
-    # displacement pattern; they head the r15 backlog with the
-    # remaining 26 r09 rows.  shard_assign's plan is additionally
-    # exercised THIS window inside pipe_train_shards.)
-    # round-14 NEW faces (round-13 verdict items 3 and 8 plus the
-    # bootstrap symmetry gap: the QA and ranking by-group leaderboard
-    # slices completing the corpus-metric form matrix, the
-    # trainer-shard export manifest, and the chrF/ROUGE paired
-    # bootstraps gaining their oracle faces)
-    "pipe_eval_qa_by_system",
-    "pipe_eval_ranking_by_policy",
-    "pipe_train_shards",
-    "pipe_eval_chrf_bootstrap",
-    "pipe_eval_rouge_bootstrap",
-    "pipe_eval_auc",
-    "pipe_eval_calibration",
-    "pipe_eval_spearman",
+    # r09 block — the ENTIRE remaining r09 rotation debt (31 rows):
+    # the five r14-displaced reps first, then alphabetical
+    "pipe_pack_sequences",
+    "pipe_probe_train",
+    "pipe_robots_precedence",
+    "pipe_sentence_chunks",
+    "pipe_shard_assign",
+    "pipe_sim_ann_lsh",
+    "pipe_sim_lsh_multiprobe",
+    "pipe_sim_topk_quantized",
+    "pipe_simhash_wide",
+    "pipe_text_fingerprint",
+    "pipe_text_pii",
+    "pipe_text_repetition",
+    "pipe_text_tokens",
+    "pipe_text_urls",
+    "pipe_truncate_matryoshka",
+    "pipe_warc_robots_clean",
+    "rel_cast_battery",
+    "rel_group_by_all",
+    "rel_regexp",
+    "rel_salted_agg",
+    "rel_scalar_bitwise",
+    "rel_scalar_conditional",
+    "rel_scalar_struct_map",
+    "rel_set_union",
+    "rel_tpch_q2_shape",
+    "rel_tpch_q10_shape",
+    "rel_tpch_q17_shape",
+    "rel_tpch_q18_shape",
+    "rel_tpch_q20_shape",
+    "rel_tpch_q21_shape",
+    "rel_window_rank",
+    # r10 block — 13 rows, stalest-first; the remaining 33 r10 rows
+    # head the r16 backlog
+    "events_ewma_batch",
+    "events_heavy_hitters_batch",
+    "events_reservoir_batch",
+    "pipe_bt_sources",
+    "pipe_chunk_documents",
+    "pipe_corpus_drift",
+    "pipe_curriculum_order",
+    "pipe_decontaminate_fuzzy",
+    "pipe_diversity_sample",
+    "pipe_drift_numeric",
+    "pipe_dsir_select",
+    "pipe_e2e_curation",
+    "pipe_file_stats_distributed",
+    # round-15 NEW faces (r14 verdict items 5 and 8)
+    "pipe_eval_qa_bootstrap",
+    "pipe_eval_spearman_by_judge",
 ]
+
+#: Stalest-bucket rows EXPLICITLY displaced from the current window
+#: (the displacement pattern: a new face may take a backlog row's
+#: slot, but the trade must be recorded HERE, where
+#: tests/test_registry_window.py::test_window_takes_the_stalest_rows_first
+#: audits it against the CORRECTNESS record — never in a prose list
+#: that can drift).  Empty for round 15: the whole r09 bucket fit.
+WINDOW_DISPLACED: frozenset[str] = frozenset()
 
 
 #: Queries intentionally OUTSIDE the driver's 50-entry window.  Every name

@@ -5,10 +5,16 @@ leaving the whole ML/pipeline surface driver-unverified).
 """
 
 import json
+import re
 from pathlib import Path
 
 import __spark_entry__ as entry
-from lightfusion_spark.corpus.registry import PRIORITY, REGISTRY, window_exempt
+from lightfusion_spark.corpus.registry import (
+    PRIORITY,
+    REGISTRY,
+    WINDOW_DISPLACED,
+    window_exempt,
+)
 
 DRIVER_WINDOW = 50
 REPO = Path(__file__).resolve().parent.parent
@@ -65,35 +71,39 @@ def test_window_covers_every_family():
     for name in exempt:
         assert name in REGISTRY, f"stale window_exempt entry {name}"
         assert name not in window, f"{name} exempted but wastes a window slot"
-    # One-plus representative per §2.3 category.  Round-14 rotation picks
+    # One-plus representative per §2.3 category.  Round-15 rotation picks
     # the stalest-verified sibling per category (everything below is an
-    # r08/r09 row; the r13-refreshed siblings ceded their slots — the
+    # r09/r10 row; the r14-refreshed siblings ceded their slots — the
     # established displacement precedent, each ceding family keeping an
-    # r12/r13-green recorded row).
+    # r13/r14-green recorded row).
     for name in (
-        # projection/filter, set ops, generators/higher-order, the
-        # approximate/sketch family and the Spark-4 surface stay repped
-        # by r12-green recorded rows (rel_filter_project, rel_union_all,
-        # rel_explode, pipe_sketch_cms, rel_variant); subqueries/CTEs by
-        # the r13-green rel_cte row — the freshest in the registry —
-        # per the same fresh-recorded-row pattern.
-        "rel_join_cross",  # joins: the ENTIRE remaining r08 join debt
-        "rel_join_semi",
-        "rel_join_theta",
-        "rel_join_full_outer",
-        "rel_join_part_supplier",
-        "rel_agg_argminmax",  # aggregations (r8 — plus distinct, HAVING)
-        "rel_agg_distinct",
-        "rel_having",
-        "rel_window_range_frame",  # windows (r8)
-        "rel_scalar_array",  # scalar library (r8: array/json/string2)
-        "rel_scalar_json",
-        "rel_scalar_string2",
-        "events_stream_join_full",  # timeseries/streaming family (r9 —
-        # the stream join's full-outer batch twin)
-        "grouped_map_centroid",  # UDF/Arrow crossing (r9)
-        "rel_pivot",  # reshaping (r8, with unpivot)
-        "rel_unpivot",
+        # projection/filter, set-op siblings, generators/higher-order,
+        # reshaping, the approximate/sketch family and the Spark-4
+        # surface stay repped by r12-r14-green recorded rows
+        # (rel_filter_project, rel_union_all, rel_explode, rel_pivot/
+        # rel_unpivot, pipe_sketch_cms, rel_variant); the join kinds and
+        # plain aggs by the r14-green rel_join_*/rel_agg_* block — the
+        # freshest in the registry — per the fresh-recorded-row pattern.
+        "rel_tpch_q2_shape",  # joins + subqueries: the six r09 TPC-H
+        "rel_tpch_q10_shape",  # shapes are the join-heaviest rows left
+        "rel_tpch_q17_shape",
+        "rel_tpch_q18_shape",
+        "rel_tpch_q20_shape",
+        "rel_tpch_q21_shape",
+        "rel_salted_agg",  # aggregations (r9 — skew-salted two-stage)
+        "rel_group_by_all",
+        "rel_window_rank",  # windows (r9)
+        "rel_cast_battery",  # scalar library (r9: cast/bitwise/
+        "rel_regexp",  # conditional/struct-map/regexp batteries)
+        "rel_scalar_bitwise",
+        "rel_scalar_conditional",
+        "rel_scalar_struct_map",
+        "rel_set_union",  # set ops (r9)
+        "events_ewma_batch",  # timeseries/streaming family (r10 — the
+        "events_heavy_hitters_batch",  # bounded-state monitors' twins)
+        "events_reservoir_batch",
+        "lgbm_infer_embeddings",  # UDF/Arrow crossing (flagship, every
+        # round; grouped_map_centroid keeps its r14-green recorded row)
     ):
         assert name in window, f"§2.3 representative {name} outside driver window"
 
@@ -111,6 +121,47 @@ def test_every_query_windowed_now_or_green_in_a_past_window():
     assert not never_verified, (
         "queries neither in the current driver window nor green in any past "
         f"window — rotate them into PRIORITY: {never_verified}"
+    )
+
+
+def _last_green_round() -> dict[str, int]:
+    """name -> the latest round whose driver window graded it green,
+    recomputed from the committed CORRECTNESS_r*.json files."""
+    last: dict[str, int] = {}
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", path.name).group(1))
+        rows = json.loads(path.read_text())
+        for name, row in rows.items():
+            if row.get("rows_match") and row.get("schema_match") and not row.get("err"):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def test_window_takes_the_stalest_rows_first():
+    """r14 verdict item 3: the rotation backlog is DERIVED FROM DATA,
+    not hand-enumerated (the r14 PLANS.md backlog listed 30 of the 31
+    r09 rows, silently dropping pipe_pack_sequences).  Every registered
+    row in the OLDEST last-green bucket must be in the current driver
+    window; trading a stalest slot for a new face requires recording
+    the row in registry.WINDOW_DISPLACED, where this test audits it."""
+    last = _last_green_round()
+    ages = {n: r for n, r in last.items() if n in REGISTRY}
+    assert ages, "no CORRECTNESS record to derive the backlog from"
+    oldest = min(ages.values())
+    stalest = {n for n, r in ages.items() if r == oldest}
+    window = set(list(entry.queries())[:DRIVER_WINDOW])
+    missed = sorted(stalest - window - WINDOW_DISPLACED)
+    assert not missed, (
+        f"rows last driver-graded r{oldest:02d} neither in the current "
+        f"window nor recorded in WINDOW_DISPLACED: {missed}"
+    )
+    # displacement is only for rows the driver has already verified,
+    # and a displaced row must actually be from the stalest bucket —
+    # anything else in the set is stale bookkeeping
+    bogus = sorted(WINDOW_DISPLACED - stalest)
+    assert not bogus, (
+        f"WINDOW_DISPLACED entries not in the current stalest bucket "
+        f"(r{oldest:02d}): {bogus}"
     )
 
 
