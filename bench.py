@@ -165,6 +165,9 @@ BENCH_QUERIES = [
     "pipe_eval_auc",
     "pipe_eval_calibration",
     "pipe_eval_spearman",
+    # round-15 faces
+    "pipe_eval_qa_bootstrap",
+    "pipe_eval_spearman_by_judge",
 ]
 
 

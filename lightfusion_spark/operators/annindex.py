@@ -45,6 +45,32 @@ from .similarity import (
 )
 
 
+def _geometry_guard(df: DataFrame, vec_col: str, caller: str) -> None:
+    """Refuse empty / NULL-bearing / ragged vector relations in ONE
+    bounded agg — a ragged corpus would build (or append into) a
+    valid-looking index whose mismatched cells pass the search-side
+    dim check yet return wrong/NULL cosines."""
+    geo = df.select(F.size(as_double(vec_col)).alias("d")).agg(
+        F.min("d").alias("dmin"),
+        F.max("d").alias("dmax"),
+        F.count(F.lit(1)).alias("n"),
+        F.count("d").alias("nd"),  # ANSI: size(NULL) is NULL — catch it
+    ).first()
+    if geo is None or geo["dmin"] is None:
+        raise ValueError(f"{caller}: empty corpus or all-NULL {vec_col!r}")
+    if geo["nd"] != geo["n"]:
+        raise ValueError(
+            f"{caller}: {geo['n'] - geo['nd']} NULL {vec_col!r} "
+            "rows — filter or impute upstream."
+        )
+    if geo["dmin"] != geo["dmax"] or geo["dmin"] < 1:
+        raise ValueError(
+            f"{caller}: ragged {vec_col!r} geometry — vector sizes "
+            f"span [{geo['dmin']}, {geo['dmax']}]; every row must carry "
+            "the same-dimension vector. Filter or impute upstream."
+        )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -60,8 +86,10 @@ def build_ivf_index(
     Layout::
 
         {path}/centroids/   (centroid_id, _cent)            — codebook
-        {path}/cells/       (id, _v) partitioned by centroid_id
+        {path}/cells/       (id, _v, batch_id) partitioned by centroid_id
         {path}/meta/        one row: the build knobs + corpus stats
+        {path}/batches/     (batch_id, n_rows) — applied-batch ledger
+                            (build = batch 0; see ivf_append_batch)
 
     The cells table stores the (already cast-to-double) vectors so a
     search needs ONLY the index — the source corpus can be cold
@@ -69,39 +97,20 @@ def build_ivf_index(
     search-side pruning: each cell is its own directory, and a probe
     filter on the partition column never opens the others.
     """
-    # geometry guard (pca-style): a ragged corpus would build a
-    # valid-looking index whose mismatched cells pass the search-side
-    # dim check yet return wrong/NULL cosines — refuse at build time,
-    # in ONE bounded agg over the corpus
-    geo = corpus.select(F.size(as_double(vec_col)).alias("d")).agg(
-        F.min("d").alias("dmin"),
-        F.max("d").alias("dmax"),
-        F.count(F.lit(1)).alias("n"),
-        F.count("d").alias("nd"),  # ANSI: size(NULL) is NULL — catch it
-    ).first()
-    if geo is None or geo["dmin"] is None:
-        raise ValueError(
-            f"build_ivf_index: empty corpus or all-NULL {vec_col!r}"
-        )
-    if geo["nd"] != geo["n"]:
-        raise ValueError(
-            f"build_ivf_index: {geo['n'] - geo['nd']} NULL {vec_col!r} "
-            "rows — filter or impute upstream."
-        )
-    if geo["dmin"] != geo["dmax"] or geo["dmin"] < 1:
-        raise ValueError(
-            f"build_ivf_index: ragged {vec_col!r} geometry — vector sizes "
-            f"span [{geo['dmin']}, {geo['dmax']}]; every row must carry "
-            "the same-dimension vector. Filter or impute upstream."
-        )
+    _geometry_guard(corpus, vec_col, "build_ivf_index")
     cents = kmeans_centroids(
         corpus, id_col, vec_col, n_centroids, n_iters, round_digits
     )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     assign = assign_to_centroids(corpus, cents, id_col, vec_col, round_digits)
-    assign.select(F.col(id_col), F.col("_v"), F.col("centroid_id")).write.partitionBy(
-        "centroid_id"
-    ).mode("overwrite").parquet(f"{path}/cells")
+    assign.select(
+        F.col(id_col),
+        F.col("_v"),
+        F.lit(0).cast("long").alias("batch_id"),
+        F.col("centroid_id"),
+    ).write.partitionBy("centroid_id").mode("overwrite").parquet(
+        f"{path}/cells"
+    )
     spark = corpus.sparkSession
     dim_row = corpus.select(F.size(as_double(vec_col)).alias("d")).first()
     meta = {
@@ -112,6 +121,13 @@ def build_ivf_index(
         "dim": int(dim_row["d"]) if dim_row else 0,
         "n_rows": int(corpus.count()),
     }
+    # applied-batch ledger: build is batch 0; ivf_append_batch appends
+    # one row per applied batch (its replay guard) and live row counts
+    # are SUM(n_rows) over this relation — meta.n_rows stays the
+    # build-time stat
+    spark.createDataFrame(
+        [(0, meta["n_rows"])], "batch_id bigint, n_rows bigint"
+    ).write.mode("overwrite").parquet(f"{path}/batches")
     spark.createDataFrame(
         [tuple(meta.values())],
         schema=(
@@ -125,6 +141,81 @@ def build_ivf_index(
 def read_index_meta(spark: SparkSession, path: str) -> dict:
     row = spark.read.parquet(f"{path}/meta").first()
     return row.asDict()
+
+
+def ivf_append_batch(
+    batch: DataFrame,
+    path: str,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental index maintenance — the store regime applied to the
+    IVF index (r14 verdict item 7): assign an arriving embedding batch
+    to the PERSISTED codebook's cells and append partition-aligned
+    parquet, so a build-once index survives continual ingest without a
+    full rebuild.  Searches are unchanged: an appended row is exactly
+    where a frozen-codebook one-shot assignment of the union would
+    have put it (the parity test's invariant), landing in the same
+    ``centroid_id=`` directory the partition-pruned probe already
+    reads.  The CODEBOOK is frozen by design — appends do not retrain
+    k-means, so a drifting embedding distribution degrades recall
+    gradually (cells grow lopsided) rather than results becoming
+    wrong; rebuild when the batches/ ledger says the appended volume
+    warrants it (the honest production policy — stated, not hidden).
+
+    Replay safety is LEDGER-addressed: each applied batch writes one
+    ``(batch_id, n_rows)`` row under ``batches/``, and an arriving
+    batch whose id the ledger already holds is a NO-OP (returns
+    ``applied=False``).  Cells are written BEFORE the ledger row, so a
+    crash between the two writes leaves duplicate-candidate rows on
+    replay — which the search side collapses deterministically
+    (``dropDuplicates`` over the probed subset; duplicates are
+    bit-identical rows, the assignment being a pure function of
+    (vector, codebook)) — never a lost batch.
+
+    100 TB shape: one bounded geometry agg over the batch, one
+    broadcast-codebook assignment projection (the build's own
+    machinery), one partition-aligned append.  Nothing corpus-sized is
+    read — the index's existing cells are never touched.
+    """
+    spark = batch.sparkSession
+    meta = read_index_meta(spark, path)
+    if id_col != meta["id_col"]:
+        raise ValueError(
+            f"ivf_append_batch: id_col {id_col!r} != index id_col "
+            f"{meta['id_col']!r} (built at {path})"
+        )
+    _geometry_guard(batch, vec_col, "ivf_append_batch")
+    bdim = batch.select(F.size(as_double(vec_col)).alias("d")).first()
+    if bdim and int(bdim["d"]) != int(meta["dim"]):
+        raise ValueError(
+            f"ivf_append_batch: batch dim {bdim['d']} != index dim "
+            f"{meta['dim']} (built at {path})"
+        )
+    applied = {
+        r["batch_id"]
+        for r in spark.read.parquet(f"{path}/batches").collect()
+    }
+    if int(batch_id) in applied:
+        return {"applied": False, "batch_id": int(batch_id), "n_rows": 0}
+    cents = spark.read.parquet(f"{path}/centroids")
+    assign = assign_to_centroids(
+        batch, cents, id_col, vec_col, int(meta["round_digits"])
+    )
+    assign.select(
+        F.col(id_col),
+        F.col("_v"),
+        F.lit(int(batch_id)).cast("long").alias("batch_id"),
+        F.col("centroid_id"),
+    ).write.partitionBy("centroid_id").mode("append").parquet(
+        f"{path}/cells"
+    )
+    n_rows = int(batch.count())
+    spark.createDataFrame(
+        [(int(batch_id), n_rows)], "batch_id bigint, n_rows bigint"
+    ).write.mode("append").parquet(f"{path}/batches")
+    return {"applied": True, "batch_id": int(batch_id), "n_rows": n_rows}
 
 
 def search_ivf_index(
@@ -177,6 +268,12 @@ def search_ivf_index(
             F.col("_v").alias("_cv"),
             F.col("centroid_id").cast("long").alias("centroid_id"),
         )
+        # torn-append healing (see ivf_append_batch): a crash between
+        # the cells append and its ledger row leaves bit-identical
+        # duplicate rows after replay; collapse them so a neighbor can
+        # never occupy two ranks.  Bounded by the PROBED subset, never
+        # the corpus — and smaller than the scored relation it feeds.
+        .dropDuplicates(["neighbor_id"])
     )
     scored = (
         q.join(cells, "centroid_id")

@@ -129,3 +129,132 @@ def test_build_refuses_ragged_or_null_corpus(spark, tmp_path):
         annindex.build_ivf_index(
             with_null, str(tmp_path / "ix2"), "vec_id", "embedding", n_centroids=2
         )
+
+
+def test_append_batch_frozen_codebook_parity_and_replay(
+    spark, sf_dir, tmp_path
+):
+    """r14 verdict item 7: the store regime applied to the index.
+    Appended batches assign to the PERSISTED codebook, so the cells
+    relation after streaming b1+b2 into a b0-built index equals the
+    frozen-codebook one-shot assignment of the union, row for row;
+    a batch-id replay is a ledger-addressed no-op; and a full-probe
+    search of the appended index is EXACT brute force."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b0 = emb.where(F.col("vec_id") % 3 == 0)
+    b1 = emb.where(F.col("vec_id") % 3 == 1)
+    b2 = emb.where(F.col("vec_id") % 3 == 2)
+    path = str(tmp_path / "idx_inc")
+    annindex.build_ivf_index(
+        b0, path, "vec_id", "embedding", n_centroids=8, n_iters=2
+    )
+    r1 = annindex.ivf_append_batch(b1, path, 1)
+    r2 = annindex.ivf_append_batch(b2, path, 2)
+    assert r1["applied"] and r2["applied"]
+    assert r1["n_rows"] == b1.count() and r2["n_rows"] == b2.count()
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    want = sorted(
+        map(
+            tuple,
+            similarity.assign_to_centroids(emb, cents, "vec_id", "embedding")
+            .select("vec_id", F.col("centroid_id").cast("long"))
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{path}/cells")
+            .select("vec_id", F.col("centroid_id").cast("long"))
+            .collect(),
+        )
+    )
+    assert got == want
+
+    # replay under the original batch id: NO-OP
+    before = spark.read.parquet(f"{path}/cells").count()
+    r1b = annindex.ivf_append_batch(b1, path, 1)
+    assert r1b == {"applied": False, "batch_id": 1, "n_rows": 0}
+    assert spark.read.parquet(f"{path}/cells").count() == before
+
+    # full probe (nprobe = n_centroids) == exact brute force over the
+    # union — searches unchanged by ingest, the done-criterion
+    q = emb.where(F.col("vec_id") < 5)
+    got_s = annindex.search_ivf_index(
+        spark, path, q, "vec_id", "embedding", k=3, nprobe=8
+    )
+    want_s = similarity.topk_cosine(emb, q, "vec_id", "embedding", k=3)
+    assert _rows(got_s) == _rows(want_s)
+
+
+def test_torn_append_duplicates_collapse_on_search(spark, sf_dir, tmp_path):
+    """Crash ordering: cells are written BEFORE the ledger row, so a
+    crash between the writes + a replay leaves bit-identical duplicate
+    cell rows.  The search side must collapse them (a neighbor can
+    never occupy two ranks)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b0 = emb.where(F.col("vec_id") % 3 == 0)
+    b1 = emb.where(F.col("vec_id") % 3 == 1)
+    path = str(tmp_path / "idx_torn")
+    annindex.build_ivf_index(
+        b0, path, "vec_id", "embedding", n_centroids=8, n_iters=2
+    )
+    annindex.ivf_append_batch(b1, path, 1)
+    q = emb.where(F.col("vec_id") < 5)
+    baseline = _rows(
+        annindex.search_ivf_index(
+            spark, path, q, "vec_id", "embedding", k=3, nprobe=2
+        )
+    )
+    # simulate the torn write: erase batch 1's ledger row (as if the
+    # crash hit after the cells append, before the ledger append)
+    ledger = [
+        (r["batch_id"], r["n_rows"])
+        for r in spark.read.parquet(f"{path}/batches").collect()
+        if r["batch_id"] != 1
+    ]
+    spark.createDataFrame(
+        ledger, "batch_id bigint, n_rows bigint"
+    ).write.mode("overwrite").parquet(f"{path}/batches")
+    # replay: ledger says batch 1 never applied -> cells get a second,
+    # bit-identical copy of every batch-1 row
+    r = annindex.ivf_append_batch(b1, path, 1)
+    assert r["applied"]
+    n_dupes = (
+        spark.read.parquet(f"{path}/cells")
+        .groupBy("vec_id")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert n_dupes == b1.count()
+    got = _rows(
+        annindex.search_ivf_index(
+            spark, path, q, "vec_id", "embedding", k=3, nprobe=2
+        )
+    )
+    assert got == baseline
+
+
+def test_append_refuses_mismatched_geometry(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "idx_guard")
+    annindex.build_ivf_index(
+        emb, path, "vec_id", "embedding", n_centroids=8, n_iters=2
+    )
+    bad_dim = emb.select(
+        "vec_id", F.slice("embedding", 1, 3).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="dim"):
+        annindex.ivf_append_batch(bad_dim, path, 9)
+    with pytest.raises(ValueError, match="id_col"):
+        annindex.ivf_append_batch(emb, path, 9, id_col="other")
+    null_vec = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 2 == 0, F.col("embedding")).alias(
+            "embedding"
+        ),
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        annindex.ivf_append_batch(null_vec, path, 9)
