@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     # round-15 faces
     "pipe_eval_qa_bootstrap",
     "pipe_eval_spearman_by_judge",
+    "pipe_eval_pr",
 ]
 
 

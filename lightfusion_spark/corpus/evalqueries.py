@@ -3409,3 +3409,101 @@ def pipe_eval_spearman_by_judge(spark, sf_dir):
     return evalmetrics.spearman_report(
         rows, "doc_id", "judge_score", "human_score", group_col="judge"
     )
+
+
+@register(
+    "pipe_eval_pr",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 14)
+              AS BIGINT) % 1000000 AS u1,
+         CAST('0x' || substr(md5('12:' || CAST(doc_id AS VARCHAR)), 1, 14)
+              AS BIGINT) % 1000000 AS u2
+  FROM documents
+),
+s AS (
+  SELECT ROUND(CAST(u1 AS DOUBLE) / 1000000.0, 6) AS sc,
+         CASE WHEN u2 * 1000000 < u1 * u1 THEN 1 ELSE 0 END AS y
+  FROM h
+),
+g AS (
+  SELECT sc, CAST(SUM(y) AS BIGINT) AS np,
+         CAST(SUM(1 - y) AS BIGINT) AS nn
+  FROM s GROUP BY sc
+),
+t AS (
+  SELECT CAST(SUM(np) AS BIGINT) AS p, CAST(SUM(nn) AS BIGINT) AS n FROM g
+),
+b AS (
+  SELECT sc, np,
+         SUM(np) OVER (ORDER BY sc DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         SUM(nn) OVER (ORDER BY sc DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+  FROM g
+),
+pb AS (
+  SELECT b.sc, b.np,
+         ROUND(CAST(b.tp AS DOUBLE) / CAST(b.tp + b.fp AS DOUBLE), 6)
+             AS prec6,
+         ROUND(2.0 * CAST(b.tp AS DOUBLE)
+               / CAST(b.tp + b.fp + t.p AS DOUBLE), 6) AS f16,
+         ROUND(CAST(b.tp AS DOUBLE) / CAST(t.p AS DOUBLE), 6) AS rec6
+  FROM b, t
+),
+cells AS (
+  SELECT CAST(SUM(CAST(np AS DECIMAL(18,0)) * CAST(prec6 AS DECIMAL(18,6)))
+              AS DECIMAL(38,6)) AS ap_sum
+  FROM pb
+),
+best AS (
+  SELECT f16, sc, prec6, rec6 FROM pb ORDER BY f16 DESC, sc DESC LIMIT 1
+)
+SELECT (SELECT p + n FROM t) AS n_samples,
+       CAST(0 AS BIGINT) AS n_excluded,
+       (SELECT p FROM t) AS n_pos,
+       (SELECT n FROM t) AS n_neg,
+       CASE WHEN (SELECT p FROM t) > 0 THEN
+         ROUND(CAST((SELECT ap_sum FROM cells) AS DOUBLE)
+               / CAST((SELECT p FROM t) AS DOUBLE), 6) END AS ap6,
+       CASE WHEN (SELECT p FROM t) > 0
+            THEN (SELECT f16 FROM best) END AS best_f1_6,
+       CASE WHEN (SELECT p FROM t) > 0
+            THEN (SELECT sc FROM best) END AS best_f1_threshold6,
+       CASE WHEN (SELECT p FROM t) > 0
+            THEN (SELECT prec6 FROM best) END AS best_f1_precision6,
+       CASE WHEN (SELECT p FROM t) > 0
+            THEN (SELECT rec6 FROM best) END AS best_f1_recall6
+""",
+    doc="precision-recall report (evalmetrics.pr_report) — average "
+    "precision (AUPRC, the sklearn one-threshold-per-tie-block "
+    "convention over DISTINCT ROUNDED SCORES, descending) plus the "
+    "best-F1 operating point, the class-imbalance-honest companion "
+    "to pipe_eval_auc on the SAME scored corpus (u1 md5 ppm scores, "
+    "label ~ Bernoulli(score^2) via the exact integer compare) — a "
+    "curation pipeline reads AP where AUC flatters rare positives, "
+    "and deploys its quality model at the reported threshold.  "
+    "Order-proof by construction: per-block precision ROUNDED at 6 "
+    "rides an exact DECIMAL weighted sum over integer block weights "
+    "(the calibration ece6 recipe), the argmax is one struct max "
+    "with the higher-threshold tiebreak, and the one float step is "
+    "the final division by n_pos.  Scale: the one corpus-sized "
+    "exchange is the shared pinned (score -> class counts) "
+    "aggregation (auc_report's relation, literally — "
+    "_binary_score_groups); window, join-back, DECIMAL fold and "
+    "argmax all run over <= ~1e6+1 bounded rows.  Zero Python",
+)
+def pipe_eval_pr(spark, sf_dir):
+    from ..operators.dedup import _md5_long
+
+    d = table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    u1 = _md5_long(sid, seed=11) % F.lit(1_000_000)
+    u2 = _md5_long(sid, seed=12) % F.lit(1_000_000)
+    rows = d.select(
+        "doc_id",
+        F.round(u1.cast("double") / F.lit(1_000_000.0), 6).alias("score"),
+        (u2 * F.lit(1_000_000) < u1 * u1).cast("int").alias("label"),
+    )
+    return evalmetrics.pr_report(rows, "doc_id", "score", "label")

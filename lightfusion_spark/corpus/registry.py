@@ -62,19 +62,21 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #:   the eleven r09 relational reps: cast battery, GROUP BY ALL,
 #:   regexp, salted agg, the three scalar batteries, set union, the
 #:   six TPC-H shapes, the rank window)
-#: + 13 of the 46 r10 rows, stalest-first (the three bounded-state
+#: + 12 of the 46 r10 rows, stalest-first (the three bounded-state
 #:   event monitors' batch twins, BT source ranking, chunking, corpus
 #:   drift, curriculum order, fuzzy decontamination, diversity
 #:   sampling, numeric drift, DSIR selection, the e2e curation
-#:   composition, distributed file stats); the remaining 33 r10 rows
-#:   head the r16 backlog
-#: + 2 round-15 NEW faces (r14 verdict items 5 and 8):
+#:   composition); the remaining 34 r10 rows head the r16 backlog
+#: + 3 round-15 NEW faces (r14 verdict items 5 and 8, plus the PR
+#:   companion to AUC):
 #:   pipe_eval_qa_bootstrap (the sixth and last bootstrap gaining an
-#:   oracle face — EM and F1 disagreeing about significance) and
+#:   oracle face — EM and F1 disagreeing about significance),
 #:   pipe_eval_spearman_by_judge (the judge-validation statistic
 #:   sliced per judge, exercising the grouped path and the round-15
-#:   fully-excluded-group join fix)
-#: 4+31+13+2 = 50 exactly.  After this round no registry row's last
+#:   fully-excluded-group join fix), and pipe_eval_pr (average
+#:   precision + best-F1 operating point on auc_report's shared
+#:   pinned relation)
+#: 4+31+12+3 = 50 exactly.  After this round no registry row's last
 #: driver grade is older than r10.  Every rotated-out name was
 #: officially green in r09-r14 and moves to WINDOW_EXEMPT;
 #: tests/test_registry_window.py asserts every registered query is
@@ -134,10 +136,16 @@ PRIORITY: list[str] = [
     "pipe_drift_numeric",
     "pipe_dsir_select",
     "pipe_e2e_curation",
-    "pipe_file_stats_distributed",
-    # round-15 NEW faces (r14 verdict items 5 and 8)
+    # (pipe_file_stats_distributed — r10-green — ceded its planned
+    # slot to the late pipe_eval_pr face; it heads the r16 backlog
+    # with the remaining r10 rows.  r10 rows are not stalest-bucket
+    # members, so this is an ordinary swap, not a WINDOW_DISPLACED
+    # entry.)
+    # round-15 NEW faces (r14 verdict items 5 and 8, plus the
+    # precision-recall companion to AUC)
     "pipe_eval_qa_bootstrap",
     "pipe_eval_spearman_by_judge",
+    "pipe_eval_pr",
 ]
 
 #: Stalest-bucket rows EXPLICITLY displaced from the current window

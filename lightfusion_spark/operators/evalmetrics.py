@@ -2710,6 +2710,61 @@ def winrate_from_store(spark, state_dir: str, z: float = 1.96) -> DataFrame:
     return _winrate_finish(agg, dropped, z)
 
 
+def _binary_score_groups(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str | None,
+    score_decimals: int,
+):
+    """The shared (rounded score -> class counts) relation behind
+    :func:`auc_report` and :func:`pr_report`: one corpus aggregation
+    whose output is bounded by the ROUND contract (distinct rounded
+    scores + the one excluded group per slice), PINNED so both the
+    metric and the exclusion branch read it instead of re-scanning.
+    Returns ``(grouped, keys, per_group)`` with ``per_group`` columns
+    ``(*keys, _ok, _s, _np, _nn, _cnt)``."""
+    grouped = group_col is not None
+    grp_sel = (
+        [F.col(group_col).cast("string").alias("_grp")] if grouped else []
+    )
+    keys = ["_grp"] if grouped else []
+    valid = (
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    base = df.select(
+        *grp_sel,
+        valid.alias("_ok"),
+        # excluded rows carry a NULL score so they land in one
+        # (ok=false, s=NULL) group per slice: ONE aggregation (one
+        # corpus scan, one exchange) feeds both the metric and the
+        # exclusion count, and the two downstream filters share the
+        # exchange (ReusedExchange — plan-test pinned) instead of the
+        # two-scan shape the first draft had.
+        F.when(
+            valid, F.round(F.col(score_col).cast("double"), score_decimals)
+        ).alias("_s"),
+        F.when(valid, F.col(label_col).cast("int")).alias("_y"),
+    )
+    per_group = base.groupBy(*keys, "_ok", "_s").agg(
+        F.sum(F.when(F.col("_y") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("_np"),
+        F.sum(F.when(F.col("_y") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("_nn"),
+        F.count(F.lit(1)).cast("long").alias("_cnt"),
+    ).localCheckpoint(eager=True)
+    # pinned, not merely shared: Catalyst pushes the _ok filter of the
+    # metric branch THROUGH the aggregate (it is a grouping key), so
+    # the two branches' exchanges stop being structurally identical
+    # and ReuseExchange cannot fire — measured as two full corpus
+    # scans.  The checkpoint is safe at any corpus size because this
+    # relation is <= ~2e6 narrow rows per slice BY THE ROUND-6
+    # CONTRACT (distinct rounded scores + the one excluded group).
+    return grouped, keys, per_group
+
+
 def auc_report(
     df: DataFrame,
     id_col: str,
@@ -2760,44 +2815,9 @@ def auc_report(
     Deployments needing fault-tolerant recovery should use reliable
     ``checkpoint()`` with a checkpoint dir at the pin site instead.
     """
-    grouped = group_col is not None
-    grp_sel = (
-        [F.col(group_col).cast("string").alias("_grp")] if grouped else []
+    grouped, keys, per_group = _binary_score_groups(
+        df, score_col, label_col, group_col, score_decimals
     )
-    keys = ["_grp"] if grouped else []
-    valid = (
-        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
-    )
-    base = df.select(
-        *grp_sel,
-        valid.alias("_ok"),
-        # excluded rows carry a NULL score so they land in one
-        # (ok=false, s=NULL) group per slice: ONE aggregation (one
-        # corpus scan, one exchange) feeds both the metric and the
-        # exclusion count, and the two downstream filters share the
-        # exchange (ReusedExchange — plan-test pinned) instead of the
-        # two-scan shape the first draft had.
-        F.when(
-            valid, F.round(F.col(score_col).cast("double"), score_decimals)
-        ).alias("_s"),
-        F.when(valid, F.col(label_col).cast("int")).alias("_y"),
-    )
-    per_group = base.groupBy(*keys, "_ok", "_s").agg(
-        F.sum(F.when(F.col("_y") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("_np"),
-        F.sum(F.when(F.col("_y") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("_nn"),
-        F.count(F.lit(1)).cast("long").alias("_cnt"),
-    ).localCheckpoint(eager=True)
-    # pinned, not merely shared: Catalyst pushes the _ok filter of the
-    # metric branch THROUGH the aggregate (it is a grouping key), so
-    # the two branches' exchanges stop being structurally identical
-    # and ReuseExchange cannot fire — measured as two full corpus
-    # scans.  The checkpoint is safe at any corpus size because this
-    # relation is <= ~2e6 narrow rows per slice BY THE ROUND-6
-    # CONTRACT (distinct rounded scores + the one excluded group).
     per_score = per_group.where(F.col("_ok")).select(
         *keys, "_s", "_np", "_nn"
     )
@@ -2874,6 +2894,174 @@ def auc_report(
         F.coalesce(F.col("n_neg"), F.lit(0)).cast("long").alias("n_neg"),
         auc.alias("auc6"),
         F.round(F.lit(2.0) * auc - F.lit(1.0), 6).alias("gini6"),
+    )
+
+
+def pr_report(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    label_col: str,
+    group_col: str | None = None,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Precision-recall report — average precision (AUPRC) plus the
+    best-F1 operating point, the class-imbalance-honest companion to
+    :func:`auc_report`: a curation pipeline whose positives are 1% of
+    the corpus (toxic pages, contaminated docs, gold-quality samples)
+    reads AUC as rosy while AP collapses, and the same pipeline needs
+    an actual THRESHOLD to deploy its quality model at — the best-F1
+    row is that number.  One row (or one per ``group_col``)::
+
+        (n_samples, n_excluded, n_pos, n_neg, ap6,
+         best_f1_6, best_f1_threshold6, best_f1_precision6,
+         best_f1_recall6)
+
+    Definitions (stated, order-proof):
+
+    * thresholds are the DISTINCT ROUNDED SCORES, descending; at
+      threshold ``t`` everything scoring ``>= t`` is predicted
+      positive (each tie block is ONE threshold — the sklearn
+      ``average_precision_score`` convention);
+    * ``ap = sum_t (delta_recall_t * precision_t)`` with each block's
+      precision ROUNDED at 6 first and the weighted sum carried as an
+      exact DECIMAL over integer block weights (the calibration ece6
+      recipe), so partial-aggregation order can never change a bit;
+      the one remaining float step is the final division by n_pos,
+      ROUNDed at 6;
+    * the best-F1 row maximizes the block F1 (``2tp / (tp + fp +
+      n_pos)``, ROUNDED at 6) with the HIGHER threshold winning exact
+      ties — a deterministic argmax via one struct max, never a
+      partition-dependent pick.
+
+    ``ap6`` and the ``best_f1_*`` columns are NULL when there are no
+    positives (undefined, not 0); rows with a NULL score or label are
+    EXCLUDED AND COUNTED, and a fully-excluded group still emits its
+    row (the exclusion relation drives the join).
+
+    100 TB shape: the ONE corpus-sized exchange is the shared
+    map-side-combinable (score -> class counts) aggregation (pinned —
+    see :func:`auc_report`); the cumulative tp/fp window, the totals
+    join-back, the DECIMAL ap fold and the struct argmax all run over
+    that bounded relation (<= ~1e6+1 rows per slice by the ROUND
+    contract).  Zero Python.
+
+    NOT a pure plan constructor: the shared pin is
+    ``localCheckpoint(eager=True)`` — a Spark job runs at CALL time
+    and lineage truncates to executor-local blocks (use reliable
+    ``checkpoint()`` where executor loss must be recoverable).
+    """
+    grouped, keys, per_group = _binary_score_groups(
+        df, score_col, label_col, group_col, score_decimals
+    )
+    per_score = per_group.where(F.col("_ok")).select(
+        *keys, "_s", "_np", "_nn"
+    )
+    totals = per_score.groupBy(*keys).agg(
+        F.coalesce(F.sum("_np"), F.lit(0)).cast("long").alias("_p"),
+        F.coalesce(F.sum("_nn"), F.lit(0)).cast("long").alias("_n"),
+    )
+    w = (
+        Window.partitionBy(*keys).orderBy(F.col("_s").desc())
+        if grouped
+        else Window.orderBy(F.col("_s").desc())
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    blocks = per_score.select(
+        *keys,
+        "_s",
+        "_np",
+        F.sum("_np").over(w).cast("long").alias("_tp"),
+        F.sum("_nn").over(w).cast("long").alias("_fp"),
+    )
+    joined = (
+        blocks.join(F.broadcast(totals), keys)
+        if keys
+        else blocks.crossJoin(F.broadcast(totals))
+    )
+    prec6 = F.round(
+        F.col("_tp").cast("double")
+        / (F.col("_tp") + F.col("_fp")).cast("double"),
+        6,
+    )
+    rec6 = F.when(
+        F.col("_p") > 0,
+        F.round(F.col("_tp").cast("double") / F.col("_p").cast("double"), 6),
+    )
+    # 2tp + fp + fn = 2tp + fp + (P - tp) = tp + fp + P; the block with
+    # zero predictions cannot occur (every threshold is an occupied
+    # score), so the denominator is always >= 1
+    f16 = F.round(
+        (F.lit(2.0) * F.col("_tp").cast("double"))
+        / (F.col("_tp") + F.col("_fp") + F.col("_p")).cast("double"),
+        6,
+    )
+    scored = joined.select(
+        *keys,
+        F.col("_p"),
+        F.col("_n"),
+        F.col("_np"),
+        prec6.alias("_prec6"),
+        F.struct(
+            f16.alias("f"),
+            F.col("_s").alias("t"),
+            prec6.alias("p"),
+            rec6.alias("r"),
+        ).alias("_cand"),
+    )
+    cells = (scored.groupBy(*keys) if keys else scored.groupBy()).agg(
+        F.max("_p").alias("n_pos"),
+        F.max("_n").alias("n_neg"),
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("_np").cast("decimal(18,0)")
+                    * F.col("_prec6").cast("decimal(18,6)")
+                ).cast("decimal(38,6)")
+            ),
+            F.lit(0).cast("decimal(38,6)"),
+        ).alias("_ap_sum"),
+        F.max("_cand").alias("_best"),
+    )
+    excl = per_group.groupBy(*keys).agg(
+        F.coalesce(
+            F.sum(F.when(~F.col("_ok"), F.col("_cnt"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_excluded")
+    )
+    # the exclusion relation drives the join (the round-15 auc/
+    # calibration fix's shape): a fully-excluded group has no cells
+    # row but must still emit its n_excluded count
+    out = (
+        excl.join(cells, keys, "left")
+        if keys
+        else cells.crossJoin(F.broadcast(excl))
+    )
+    haspos = F.col("n_pos") > 0
+    out_grp = [F.col("_grp").alias(group_col)] if grouped else []
+    return out.select(
+        *out_grp,
+        (
+            F.coalesce(F.col("n_pos"), F.lit(0))
+            + F.coalesce(F.col("n_neg"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_samples"),
+        "n_excluded",
+        F.coalesce(F.col("n_pos"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.col("n_neg"), F.lit(0)).cast("long").alias("n_neg"),
+        F.when(
+            haspos,
+            F.round(
+                F.col("_ap_sum").cast("double")
+                / F.col("n_pos").cast("double"),
+                6,
+            ),
+        ).alias("ap6"),
+        F.when(haspos, F.col("_best.f")).alias("best_f1_6"),
+        F.when(haspos, F.col("_best.t")).alias("best_f1_threshold6"),
+        F.when(haspos, F.col("_best.p")).alias("best_f1_precision6"),
+        F.when(haspos, F.col("_best.r")).alias("best_f1_recall6"),
     )
 
 

@@ -2326,3 +2326,143 @@ def test_qa_em_f1_group_violation_is_per_group_deterministic(spark):
     # f1 = 2*1 / (1 + 2) on the multiset unigram overlap
     assert out[("sysA", "q2")]["em"] == 0
     assert out[("sysA", "q2")]["f1_6"] == round(2 * 1 / 3.0, 6)
+
+
+def _pr_reference(pairs):
+    """Shared-nothing PR reference: sklearn-convention AP (each tie
+    block one threshold, descending) with block precisions ROUNDED at
+    6 and the weighted sum exact (the operator's stated definition),
+    plus the best-F1 operating point with higher-threshold tiebreak."""
+    import collections
+    from decimal import Decimal
+
+    by_score = collections.defaultdict(lambda: [0, 0])
+    for s, y in pairs:
+        by_score[round(s, 6)][y] += 1
+    P = sum(v[1] for v in by_score.values())
+    N = sum(v[0] for v in by_score.values())
+    if P == 0:
+        return {"ap6": None, "best": None, "P": P, "N": N}
+    tp = fp = 0
+    apsum = Decimal(0)
+    best = None
+    for s in sorted(by_score, reverse=True):
+        neg, pos = by_score[s][0], by_score[s][1]
+        tp += pos
+        fp += neg
+        prec6 = round(tp / (tp + fp), 6)
+        f16 = round(2 * tp / (tp + fp + P), 6)
+        rec6 = round(tp / P, 6)
+        apsum += Decimal(pos) * Decimal(f"{prec6:.6f}")
+        cand = (f16, s, prec6, rec6)
+        best = cand if best is None else max(best, cand)
+    return {
+        "ap6": round(float(apsum) / P, 6),
+        "best": best,
+        "P": P,
+        "N": N,
+    }
+
+
+def test_pr_matches_reference_and_edges(spark):
+    """pr_report equals the shared-nothing reference on a tie-heavy
+    sample; perfect separation gives AP 1.0 / F1 1.0; no-positive
+    slices yield NULL metrics; NULLs excluded-and-counted; grouped ==
+    sliced; fully-excluded group emits its row."""
+    import random
+
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rng = random.Random(23)
+    pairs = [
+        (round(rng.choice([0.1, 0.3, 0.5, 0.5, 0.7, 0.9]), 6),
+         1 if rng.random() < 0.3 else 0)
+        for _ in range(400)
+    ]
+    rows = [(i, s, y) for i, (s, y) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "id long, score double, label int")
+    got = em.pr_report(df, "id", "score", "label").collect()[0].asDict()
+    want = _pr_reference(pairs)
+    assert got["n_samples"] == 400 and got["n_excluded"] == 0
+    assert got["n_pos"] == want["P"] and got["n_neg"] == want["N"]
+    assert got["ap6"] == want["ap6"]
+    assert (
+        got["best_f1_6"],
+        got["best_f1_threshold6"],
+        got["best_f1_precision6"],
+        got["best_f1_recall6"],
+    ) == want["best"]
+
+    perfect = spark.createDataFrame(
+        [(1, 0.9, 1), (2, 0.8, 1), (3, 0.2, 0), (4, 0.1, 0)],
+        "id long, score double, label int",
+    )
+    p = em.pr_report(perfect, "id", "score", "label").collect()[0].asDict()
+    assert p["ap6"] == 1.0 and p["best_f1_6"] == 1.0
+    assert p["best_f1_threshold6"] == 0.8
+    assert p["best_f1_precision6"] == 1.0 and p["best_f1_recall6"] == 1.0
+
+    # no positives -> NULL metrics (undefined, not 0)
+    nopos = perfect.withColumn("label", F.lit(0))
+    r = em.pr_report(nopos, "id", "score", "label").collect()[0].asDict()
+    assert r["n_pos"] == 0 and r["n_neg"] == 4
+    assert r["ap6"] is None and r["best_f1_6"] is None
+
+    # all positives -> AP exactly 1 (precision 1 at every block)
+    allpos = perfect.withColumn("label", F.lit(1))
+    r2 = em.pr_report(allpos, "id", "score", "label").collect()[0].asDict()
+    assert r2["ap6"] == 1.0 and r2["best_f1_6"] == 1.0
+
+    # NULLs excluded + counted
+    withnull = spark.createDataFrame(
+        [(1, 0.9, 1), (2, None, 1), (3, 0.2, None), (4, 0.1, 0)],
+        "id long, score double, label int",
+    )
+    r3 = em.pr_report(withnull, "id", "score", "label").collect()[0].asDict()
+    assert r3["n_excluded"] == 2 and r3["n_samples"] == 2
+
+    # grouped == sliced, and a fully-excluded group keeps its row
+    grows = [
+        (i, f"m{i % 2}", round(((i * 37) % 100) / 100.0, 6),
+         1 if ((i * 53) % 100) < ((i * 37) % 100) else 0)
+        for i in range(200)
+    ] + [(900, "m2", None, 1), (901, "m2", 0.5, None)]
+    gdf = spark.createDataFrame(
+        grows, "id long, model string, score double, label int"
+    )
+    by = {
+        r["model"]: r.asDict()
+        for r in em.pr_report(
+            gdf, "id", "score", "label", group_col="model"
+        ).collect()
+    }
+    assert set(by) == {"m0", "m1", "m2"}
+    for m in ("m0", "m1"):
+        want_m = em.pr_report(
+            gdf.where(F.col("model") == m), "id", "score", "label"
+        ).collect()[0].asDict()
+        got_m = dict(by[m])
+        got_m.pop("model")
+        assert got_m == want_m
+    m2 = by["m2"]
+    assert m2["n_excluded"] == 2 and m2["n_samples"] == 0
+    assert m2["ap6"] is None and m2["best_f1_6"] is None
+
+
+def test_pr_best_f1_tiebreak_is_higher_threshold(spark):
+    """Two blocks with identical F1 must resolve to the HIGHER
+    threshold deterministically (the struct-max contract)."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    # engineered exact tie with P = 2 positives:
+    #   block t=0.9: tp=1, fp=1 -> f1 = 2*1/(1+1+2) = 0.5
+    #   block t=0.4: tp=2, fp=4 -> f1 = 2*2/(2+4+2) = 0.5
+    # identical f1 -> the struct max must pick the HIGHER threshold
+    rows = (
+        [(1, 0.9, 1), (2, 0.9, 0)]          # hi block: 1 pos, 1 neg
+        + [(3, 0.4, 1), (4, 0.4, 0), (5, 0.4, 0), (6, 0.4, 0)]
+    )
+    df = spark.createDataFrame(rows, "id long, score double, label int")
+    r = em.pr_report(df, "id", "score", "label").collect()[0].asDict()
+    assert r["best_f1_6"] == 0.5
+    assert r["best_f1_threshold6"] == 0.9

@@ -152,7 +152,7 @@ def test_auc_and_calibration_pin_one_corpus_scan(spark, queries):
     aggregate and the two branches re-scan the corpus.  The faces'
     final plans must contain NO parquet scan at all — the single scan
     happened once, at checkpoint time."""
-    for name in ("pipe_eval_auc", "pipe_eval_calibration"):
+    for name in ("pipe_eval_auc", "pipe_eval_calibration", "pipe_eval_pr"):
         plan = formatted_plan(queries[name](spark, SF_DIR))
         assert read_schemas(plan) == [], (
             f"{name}: corpus re-scan crept back past the pinned aggregation"
