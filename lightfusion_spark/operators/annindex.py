@@ -45,11 +45,14 @@ from .similarity import (
 )
 
 
-def _geometry_guard(df: DataFrame, vec_col: str, caller: str) -> None:
+def _geometry_guard(df: DataFrame, vec_col: str, caller: str) -> dict:
     """Refuse empty / NULL-bearing / ragged vector relations in ONE
     bounded agg — a ragged corpus would build (or append into) a
     valid-looking index whose mismatched cells pass the search-side
-    dim check yet return wrong/NULL cosines."""
+    dim check yet return wrong/NULL cosines.  Returns ``{"dim",
+    "n_rows"}`` so callers never re-scan the relation for stats the
+    guard already computed (at build time that was TWO extra corpus
+    passes)."""
     geo = df.select(F.size(as_double(vec_col)).alias("d")).agg(
         F.min("d").alias("dmin"),
         F.max("d").alias("dmax"),
@@ -69,6 +72,7 @@ def _geometry_guard(df: DataFrame, vec_col: str, caller: str) -> None:
             f"span [{geo['dmin']}, {geo['dmax']}]; every row must carry "
             "the same-dimension vector. Filter or impute upstream."
         )
+    return {"dim": int(geo["dmin"]), "n_rows": int(geo["n"])}
 
 
 def build_ivf_index(
@@ -97,29 +101,35 @@ def build_ivf_index(
     search-side pruning: each cell is its own directory, and a probe
     filter on the partition column never opens the others.
     """
-    _geometry_guard(corpus, vec_col, "build_ivf_index")
+    geo = _geometry_guard(corpus, vec_col, "build_ivf_index")
     cents = kmeans_centroids(
         corpus, id_col, vec_col, n_centroids, n_iters, round_digits
     )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     assign = assign_to_centroids(corpus, cents, id_col, vec_col, round_digits)
+    # repartition BY THE PARTITION COLUMN before the partitioned write:
+    # without it every write task touches every cell it saw and the
+    # layout degenerates to tasks x cells tiny files (measured 2048 at
+    # 2M rows / 64 cells / 32 tasks); with it each cell is one file —
+    # parquet stays splittable, so read parallelism survives, and the
+    # probe-side directory listing stays O(batches).  The extra
+    # shuffle is the honest price, paid once at build.
     assign.select(
         F.col(id_col),
         F.col("_v"),
         F.lit(0).cast("long").alias("batch_id"),
         F.col("centroid_id"),
-    ).write.partitionBy("centroid_id").mode("overwrite").parquet(
-        f"{path}/cells"
-    )
+    ).repartition("centroid_id").write.partitionBy("centroid_id").mode(
+        "overwrite"
+    ).parquet(f"{path}/cells")
     spark = corpus.sparkSession
-    dim_row = corpus.select(F.size(as_double(vec_col)).alias("d")).first()
     meta = {
         "id_col": id_col,
         "n_centroids": int(n_centroids),
         "n_iters": int(n_iters),
         "round_digits": int(round_digits),
-        "dim": int(dim_row["d"]) if dim_row else 0,
-        "n_rows": int(corpus.count()),
+        "dim": geo["dim"],
+        "n_rows": geo["n_rows"],
     }
     # applied-batch ledger: build is batch 0; ivf_append_batch appends
     # one row per applied batch (its replay guard) and live row counts
@@ -186,11 +196,10 @@ def ivf_append_batch(
             f"ivf_append_batch: id_col {id_col!r} != index id_col "
             f"{meta['id_col']!r} (built at {path})"
         )
-    _geometry_guard(batch, vec_col, "ivf_append_batch")
-    bdim = batch.select(F.size(as_double(vec_col)).alias("d")).first()
-    if bdim and int(bdim["d"]) != int(meta["dim"]):
+    geo = _geometry_guard(batch, vec_col, "ivf_append_batch")
+    if geo["dim"] != int(meta["dim"]):
         raise ValueError(
-            f"ivf_append_batch: batch dim {bdim['d']} != index dim "
+            f"ivf_append_batch: batch dim {geo['dim']} != index dim "
             f"{meta['dim']} (built at {path})"
         )
     applied = {
@@ -203,15 +212,17 @@ def ivf_append_batch(
     assign = assign_to_centroids(
         batch, cents, id_col, vec_col, int(meta["round_digits"])
     )
+    # one file per touched cell per batch (the build-side layout note):
+    # appends otherwise multiply the small-files problem every ingest
     assign.select(
         F.col(id_col),
         F.col("_v"),
         F.lit(int(batch_id)).cast("long").alias("batch_id"),
         F.col("centroid_id"),
-    ).write.partitionBy("centroid_id").mode("append").parquet(
-        f"{path}/cells"
-    )
-    n_rows = int(batch.count())
+    ).repartition("centroid_id").write.partitionBy("centroid_id").mode(
+        "append"
+    ).parquet(f"{path}/cells")
+    n_rows = geo["n_rows"]
     spark.createDataFrame(
         [(int(batch_id), n_rows)], "batch_id bigint, n_rows bigint"
     ).write.mode("append").parquet(f"{path}/batches")
