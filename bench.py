@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "pipe_eval_qa_bootstrap",
     "pipe_eval_spearman_by_judge",
     "pipe_eval_pr",
+    "pipe_eval_auc_bootstrap",
 ]
 
 

@@ -3507,3 +3507,168 @@ def pipe_eval_pr(spark, sf_dir):
         (u2 * F.lit(1_000_000) < u1 * u1).cast("int").alias("label"),
     )
     return evalmetrics.pr_report(rows, "doc_id", "score", "label")
+
+
+_AUC_BOOTSTRAP_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 14)
+              AS BIGINT) % 1000000 AS u1,
+         CAST('0x' || substr(md5('12:' || CAST(doc_id AS VARCHAR)), 1, 14)
+              AS BIGINT) % 1000000 AS u2,
+         CAST('0x' || substr(md5('14:' || CAST(doc_id AS VARCHAR)), 1, 14)
+              AS BIGINT) % 1000000 AS u4,
+         CAST('0x' || substr(md5('15:' || CAST(doc_id AS VARCHAR)), 1, 14)
+              AS BIGINT) % 1000000 AS u5
+  FROM documents
+),
+s AS MATERIALIZED (
+  SELECT doc_id,
+         ROUND(CAST(u1 AS DOUBLE) / 1000000.0, 6) AS sa,
+         ROUND(CAST(CASE WHEN u4 < 700000 THEN u1 ELSE u5 END AS DOUBLE)
+               / 1000000.0, 6) AS sb,
+         CASE WHEN u2 * 1000000 < u1 * u1 THEN 1 ELSE 0 END AS y
+  FROM h
+),
+bs AS (SELECT CAST(u.b AS BIGINT) AS b FROM UNNEST(range(0, 32)) AS u(b)),
+w AS (
+  SELECT s.doc_id, bs.b, {_BOOT_WEIGHT_CASE} AS w
+  FROM s CROSS JOIN bs,
+  LATERAL (
+    SELECT CAST(('0x' || substr(md5('7:' || CAST(s.doc_id AS VARCHAR)
+                                 || ':' || CAST(bs.b AS VARCHAR)), 1, 14))
+                AS BIGINT) % 1000000 AS h6
+  ) h
+),
+sided AS (
+  SELECT w.b, sv.side, sv.v,
+         w.w * s.y AS wp, w.w * (1 - s.y) AS wn
+  FROM s JOIN w ON w.doc_id = s.doc_id,
+  LATERAL (VALUES ('a', s.sa), ('b', s.sb)) AS sv(side, v)
+),
+ps AS (
+  SELECT b, side, v, CAST(SUM(wp) AS BIGINT) AS np,
+         CAST(SUM(wn) AS BIGINT) AS nn
+  FROM sided GROUP BY b, side, v
+),
+cum AS (
+  SELECT b, side, np, nn,
+         COALESCE(SUM(nn) OVER (PARTITION BY b, side ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM ps
+),
+rc AS (
+  SELECT b, side, CAST(SUM(np) AS BIGINT) AS p,
+         CAST(SUM(nn) AS BIGINT) AS n,
+         CAST(SUM(CAST(np AS DECIMAL(19,0))
+                  * CAST(2 * below + nn AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS numer2
+  FROM cum GROUP BY b, side
+),
+ra AS (
+  SELECT b, side,
+         CASE WHEN p > 0 AND n > 0
+              THEN ROUND(CAST(numer2 AS DOUBLE)
+                         / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+         END AS auc
+  FROM rc
+),
+d AS (
+  SELECT x.b, ROUND(x.auc - y2.auc, 6) AS d
+  FROM ra x JOIN ra y2 ON x.b = y2.b AND x.side = 'a' AND y2.side = 'b'
+  WHERE x.auc IS NOT NULL AND y2.auc IS NOT NULL
+),
+dr AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS rk FROM d),
+fs AS (
+  SELECT sv.side, sv.v, s.y
+  FROM s, LATERAL (VALUES ('a', s.sa), ('b', s.sb)) AS sv(side, v)
+),
+fps AS (
+  SELECT side, v, CAST(SUM(y) AS BIGINT) AS np,
+         CAST(SUM(1 - y) AS BIGINT) AS nn
+  FROM fs GROUP BY side, v
+),
+fcum AS (
+  SELECT side, np, nn,
+         COALESCE(SUM(nn) OVER (PARTITION BY side ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM fps
+),
+frc AS (
+  SELECT side, CAST(SUM(np) AS BIGINT) AS p, CAST(SUM(nn) AS BIGINT) AS n,
+         CAST(SUM(CAST(np AS DECIMAL(19,0))
+                  * CAST(2 * below + nn AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS numer2
+  FROM fcum GROUP BY side
+),
+fra AS (
+  SELECT side,
+         CASE WHEN p > 0 AND n > 0
+              THEN ROUND(CAST(numer2 AS DOUBLE)
+                         / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+         END AS auc
+  FROM frc
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_samples,
+       CAST(0 AS BIGINT) AS n_excluded,
+       CAST(32 AS INTEGER) AS n_boot,
+       (SELECT auc FROM fra WHERE side = 'a') AS auc_a6,
+       (SELECT auc FROM fra WHERE side = 'b') AS auc_b6,
+       ROUND((SELECT auc FROM fra WHERE side = 'a')
+             - (SELECT auc FROM fra WHERE side = 'b'), 6) AS delta6,
+       (SELECT d FROM dr WHERE rk = 1) AS delta_lo6,
+       (SELECT d FROM dr WHERE rk = 32) AS delta_hi6,
+       (SELECT CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM d) AS n_delta_pos,
+       (SELECT CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM d) AS n_delta_neg,
+       ROUND((SELECT CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+              FROM d)
+             / (SELECT CAST(COUNT(*) AS DOUBLE) FROM d), 6) AS p_a_better6
+"""
+
+
+@register(
+    "pipe_eval_auc_bootstrap",
+    oracle=_AUC_BOOTSTRAP_ORACLE,
+    doc="paired bootstrap significance for ROC AUC "
+    "(evalmetrics.auc_paired_bootstrap) — is model A's AUC lead over "
+    "model B real, or resampling noise?  The seventh member of the "
+    "bootstrap family, on the classifier-quality metric: model A "
+    "scores with the true signal (u1 md5 ppm, label ~ "
+    "Bernoulli(score^2)); model B sees the same signal only 70% of "
+    "the time and uniform noise otherwise — a strictly worse "
+    "classifier whose lead-gap the resample prices.  ITEMS resample "
+    "under the family's deterministic Poisson(1) md5/ppm weights; "
+    "integer weights keep the weighted per-score class counts "
+    "integral, so every replicate's average-rank Mann-Whitney "
+    "numerator is the same exact-DECIMAL arithmetic auc_report uses, "
+    "and the whole experiment — weights, 64 weighted rank-sums, "
+    "deltas, nearest-rank interval — replays bit-for-bit in SQL.  "
+    "Scale: ONE corpus-sized explode of scalar rows (rows x 32 "
+    "replicates x 2 sides) into a map-side-combinable aggregation "
+    "bounded by 2 * 32 * (1e6+1) rows; windows and the 32-delta "
+    "quantile run over that bounded relation.  Zero Python",
+)
+def pipe_eval_auc_bootstrap(spark, sf_dir):
+    from ..operators.dedup import _md5_long
+
+    d = table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    u1 = _md5_long(sid, seed=11) % F.lit(1_000_000)
+    u2 = _md5_long(sid, seed=12) % F.lit(1_000_000)
+    u4 = _md5_long(sid, seed=14) % F.lit(1_000_000)
+    u5 = _md5_long(sid, seed=15) % F.lit(1_000_000)
+    rows = d.select(
+        "doc_id",
+        F.round(u1.cast("double") / F.lit(1_000_000.0), 6).alias("score_a"),
+        F.round(
+            F.when(u4 < 700_000, u1).otherwise(u5).cast("double")
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("score_b"),
+        (u2 * F.lit(1_000_000) < u1 * u1).cast("int").alias("label"),
+    )
+    return evalmetrics.auc_paired_bootstrap(
+        rows, "doc_id", "score_a", "score_b", "label"
+    )

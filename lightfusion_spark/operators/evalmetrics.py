@@ -2897,6 +2897,210 @@ def auc_report(
     )
 
 
+def auc_paired_bootstrap(
+    df: DataFrame,
+    id_col: str,
+    score_a_col: str,
+    score_b_col: str,
+    label_col: str,
+    n_boot: int = 32,
+    seed: int = 7,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Paired bootstrap significance for ROC AUC — is model A's AUC
+    lead over model B REAL, or resampling noise of this labeled set?
+    The :func:`bleu_paired_bootstrap` harness on the classifier-
+    quality metric: two models' scores over the SAME labeled items,
+    ITEMS resampled with the shared deterministic Poisson(1) md5/ppm
+    weights (pairing cancels test-set difficulty), the average-rank
+    Mann-Whitney AUC recomputed per replicate IN EXACT INTEGERS
+    (integer Poisson weights keep the weighted per-score class counts
+    integral, so each replicate's rank-sum numerator is the same
+    exact-DECIMAL arithmetic :func:`auc_report` uses), and the
+    per-replicate deltas give the nearest-rank 2.5/97.5 interval plus
+    the fraction of worlds where A wins.  One row::
+
+        (n_samples, n_excluded, n_boot, auc_a6, auc_b6, delta6,
+         delta_lo6, delta_hi6, n_delta_pos, n_delta_neg, p_a_better6)
+
+    Rows with a NULL label or EITHER score NULL are EXCLUDED AND
+    COUNTED (a paired resample needs both systems scored).
+    Replicates where either class is empty after weighting yield a
+    NULL side AUC and drop out of that replicate's delta — loud in
+    ``n_delta_pos + n_delta_neg < n_boot``, impossible in practice
+    past a few hundred items.  ``auc_a6``/``auc_b6`` are the
+    full-sample :func:`auc_report` values (weights 1 everywhere).
+
+    100 TB shape: the corpus-sized exchange is ONE explode of scalar
+    rows — ``rows x n_boot x 2 sides`` integer tuples, no text — into
+    a map-side-combinable (replicate, side, score) aggregation whose
+    output is bounded by ``2 * n_boot * (10^score_decimals + 1)``
+    narrow rows by the ROUND contract; the per-replicate cumulative
+    windows and the 32-delta quantile run over THAT bounded relation.
+    Zero Python.
+    """
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2, got {n_boot}")
+    from .dedup import _md5_long
+
+    ok = (
+        F.col(score_a_col).isNotNull()
+        & F.col(score_b_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    )
+    base = df.select(
+        ok.alias("_ok"),
+        F.col(id_col).cast("string").alias("_id"),
+        F.when(
+            ok, F.round(F.col(score_a_col).cast("double"), score_decimals)
+        ).alias("_sa"),
+        F.when(
+            ok, F.round(F.col(score_b_col).cast("double"), score_decimals)
+        ).alias("_sb"),
+        F.when(ok, F.col(label_col).cast("int")).alias("_y"),
+    )
+    counts = base.agg(
+        F.coalesce(F.sum(F.when(F.col("_ok"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_samples"),
+        F.coalesce(F.sum(F.when(~F.col("_ok"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_excluded"),
+    )
+    reps = base.where(F.col("_ok")).select(
+        "_id",
+        "_sa",
+        "_sb",
+        "_y",
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("b"),
+    )
+    h6 = (
+        _md5_long(
+            F.concat_ws(":", F.col("_id"), F.col("b").cast("string")),
+            seed=seed,
+        )
+        % F.lit(1_000_000)
+    )
+    w = _poisson1_weight(h6)
+    sided = reps.select(
+        "b",
+        w.alias("_w"),
+        "_y",
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("s"), F.col("_sa").alias("v")),
+                F.struct(F.lit("b").alias("s"), F.col("_sb").alias("v")),
+            )
+        ).alias("_sv"),
+    ).select(
+        "b",
+        F.col("_sv.s").alias("_side"),
+        F.col("_sv.v").alias("_v"),
+        (F.col("_w") * F.when(F.col("_y") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("_wp"),
+        (F.col("_w") * F.when(F.col("_y") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("_wn"),
+    )
+    per_score = sided.groupBy("b", "_side", "_v").agg(
+        F.sum("_wp").cast("long").alias("_np"),
+        F.sum("_wn").cast("long").alias("_nn"),
+    )
+    wv = Window.partitionBy("b", "_side").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = per_score.withColumn(
+        "_below", F.coalesce(F.sum("_nn").over(wv), F.lit(0)).cast("long")
+    )
+    rep_cells = cum.groupBy("b", "_side").agg(
+        F.coalesce(F.sum("_np"), F.lit(0)).cast("long").alias("_p"),
+        F.coalesce(F.sum("_nn"), F.lit(0)).cast("long").alias("_n"),
+        F.coalesce(
+            F.sum(
+                F.col("_np").cast("decimal(19,0)")
+                * (F.lit(2) * F.col("_below") + F.col("_nn")).cast(
+                    "decimal(19,0)"
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("_numer2"),
+    )
+    rep_auc = rep_cells.select(
+        "b",
+        "_side",
+        F.when(
+            (F.col("_p") > 0) & (F.col("_n") > 0),
+            F.round(
+                F.col("_numer2").cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("_p").cast("double")
+                    * F.col("_n").cast("double")
+                ),
+                6,
+            ),
+        ).alias("_auc"),
+    )
+    deltas = (
+        rep_auc.groupBy("b")
+        .agg(
+            F.max(F.when(F.col("_side") == "a", F.col("_auc"))).alias("_aa"),
+            F.max(F.when(F.col("_side") == "b", F.col("_auc"))).alias("_ab"),
+        )
+        .where(F.col("_aa").isNotNull() & F.col("_ab").isNotNull())
+        .select(F.round(F.col("_aa") - F.col("_ab"), 6).alias("_d"))
+    )
+    lo_rank = max(1, -(-int(n_boot) * 25 // 1000))
+    hi_rank = -(-int(n_boot) * 975 // 1000)
+    summary = deltas.agg(
+        F.count(F.lit(1)).cast("long").alias("_nb"),
+        F.sort_array(F.collect_list("_d")).alias("_ds"),
+        F.sum(F.when(F.col("_d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_delta_pos"),
+        F.sum(F.when(F.col("_d") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_delta_neg"),
+    )
+    # full AUCs over the PAIRED valid set (both scores + label present)
+    # so the headline numbers grade exactly the items the resample does
+    paired = df.where(ok)
+    full_a = auc_report(paired, id_col, score_a_col, label_col).select(
+        F.col("auc6").alias("auc_a6")
+    )
+    full_b = auc_report(paired, id_col, score_b_col, label_col).select(
+        F.col("auc6").alias("auc_b6")
+    )
+    return (
+        summary.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(full_a))
+        .crossJoin(F.broadcast(full_b))
+        .select(
+            "n_samples",
+            "n_excluded",
+            F.lit(int(n_boot)).cast("int").alias("n_boot"),
+            "auc_a6",
+            "auc_b6",
+            F.round(F.col("auc_a6") - F.col("auc_b6"), 6).alias("delta6"),
+            F.get("_ds", lo_rank - 1).alias("delta_lo6"),
+            F.get("_ds", hi_rank - 1).alias("delta_hi6"),
+            "n_delta_pos",
+            "n_delta_neg",
+            F.when(
+                F.col("_nb") > 0,
+                F.round(
+                    F.col("n_delta_pos").cast("double")
+                    / F.col("_nb").cast("double"),
+                    6,
+                ),
+            ).alias("p_a_better6"),
+        )
+    )
+
+
 def pr_report(
     df: DataFrame,
     id_col: str,

@@ -2466,3 +2466,111 @@ def test_pr_best_f1_tiebreak_is_higher_threshold(spark):
     r = em.pr_report(df, "id", "score", "label").collect()[0].asDict()
     assert r["best_f1_6"] == 0.5
     assert r["best_f1_threshold6"] == 0.9
+
+
+def _auc_weighted_reference(items, n_boot=32, seed=7):
+    """Shared-nothing paired-AUC bootstrap reference: md5/ppm
+    Poisson(1) weights per (id, b), weighted average-rank
+    Mann-Whitney per replicate, nearest-rank interval."""
+    import collections
+    import hashlib
+
+    def h6(i, b):
+        s = f"{seed}:{i}:{b}".encode()
+        return int(hashlib.md5(s).hexdigest()[:14], 16) % 1_000_000
+
+    def pois(u):
+        from lightfusion_spark.operators.evalmetrics import POISSON1_CDF_PPM
+
+        for k, thr in enumerate(POISSON1_CDF_PPM):
+            if u < thr:
+                return k
+        return len(POISSON1_CDF_PPM)
+
+    def wauc(pairs):
+        by = collections.defaultdict(lambda: [0, 0])
+        for s, y, w in pairs:
+            by[round(s, 6)][y] += w
+        below, numer2 = 0, 0
+        for s in sorted(by):
+            neg, pos = by[s][0], by[s][1]
+            numer2 += pos * (2 * below + neg)
+            below += neg
+        P = sum(v[1] for v in by.values())
+        N = sum(v[0] for v in by.values())
+        if P == 0 or N == 0:
+            return None
+        return round(numer2 / (2.0 * P * N), 6)
+
+    deltas = []
+    for b in range(n_boot):
+        ws = {i: pois(h6(i, b)) for i, _, _, _ in items}
+        sa = wauc([(a, y, ws[i]) for i, a, _, y in items])
+        sb = wauc([(bb, y, ws[i]) for i, _, bb, y in items])
+        if sa is not None and sb is not None:
+            deltas.append(round(sa - sb, 6))
+    ds = sorted(deltas)
+    full_a = wauc([(a, y, 1) for i, a, _, y in items])
+    full_b = wauc([(bb, y, 1) for i, _, bb, y in items])
+    return {
+        "auc_a6": full_a,
+        "auc_b6": full_b,
+        "delta6": round(full_a - full_b, 6),
+        "delta_lo6": ds[0],
+        "delta_hi6": ds[len(ds) - 1],
+        "n_delta_pos": sum(1 for d in deltas if d > 0),
+        "n_delta_neg": sum(1 for d in deltas if d < 0),
+        "p_a_better6": round(
+            sum(1 for d in deltas if d > 0) / len(deltas), 6
+        ),
+    }
+
+
+def test_auc_paired_bootstrap_matches_reference(spark):
+    """auc_paired_bootstrap reproduces every replicate of the
+    shared-nothing reference (weights, weighted rank-sums, deltas,
+    nearest-rank interval) on systems where A genuinely leads;
+    NULL-on-either-side rows excluded-and-counted."""
+    import random
+
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rng = random.Random(31)
+    items = []
+    for i in range(300):
+        signal = rng.random()
+        y = 1 if rng.random() < signal else 0
+        a = round(signal, 6)
+        # B sees the signal 60% of the time, noise otherwise
+        bscore = round(signal if rng.random() < 0.6 else rng.random(), 6)
+        items.append((i, a, bscore, y))
+    df = spark.createDataFrame(
+        [(i, a, b, y) for i, a, b, y in items],
+        "id long, sa double, sb double, label int",
+    )
+    got = em.auc_paired_bootstrap(df, "id", "sa", "sb", "label").collect()[
+        0
+    ].asDict()
+    want = _auc_weighted_reference(items)
+    assert got["n_samples"] == 300 and got["n_excluded"] == 0
+    assert got["n_boot"] == 32
+    for k, v in want.items():
+        assert got[k] == v, (k, got[k], v)
+    # A's lead is real in (almost) every resampled world
+    assert got["delta6"] > 0 and got["p_a_better6"] >= 0.9
+
+    # NULL on either side excludes the pair
+    withnull = spark.createDataFrame(
+        [
+            (1, 0.9, 0.8, 1),
+            (2, None, 0.5, 1),
+            (3, 0.4, None, 0),
+            (4, 0.2, 0.1, None),
+            (5, 0.7, 0.6, 0),
+        ],
+        "id long, sa double, sb double, label int",
+    )
+    r = em.auc_paired_bootstrap(
+        withnull, "id", "sa", "sb", "label"
+    ).collect()[0].asDict()
+    assert r["n_samples"] == 2 and r["n_excluded"] == 3
