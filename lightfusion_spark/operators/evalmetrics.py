@@ -2818,6 +2818,16 @@ def auc_report(
     grouped, keys, per_group = _binary_score_groups(
         df, score_col, label_col, group_col, score_decimals
     )
+    return _auc_from_groups(grouped, keys, per_group, group_col)
+
+
+def _auc_from_groups(
+    grouped: bool, keys: list[str], per_group: DataFrame, group_col
+) -> DataFrame:
+    """The AUC finisher over a ``(_ok, _s, _np, _nn, _cnt)`` relation —
+    shared VERBATIM between :func:`auc_report` and
+    :func:`auc_from_store`, so streamed == one-shot is an identity of
+    the expression tree, not a claim."""
     per_score = per_group.where(F.col("_ok")).select(
         *keys, "_s", "_np", "_nn"
     )
@@ -3158,6 +3168,15 @@ def pr_report(
     grouped, keys, per_group = _binary_score_groups(
         df, score_col, label_col, group_col, score_decimals
     )
+    return _pr_from_groups(grouped, keys, per_group, group_col)
+
+
+def _pr_from_groups(
+    grouped: bool, keys: list[str], per_group: DataFrame, group_col
+) -> DataFrame:
+    """The PR finisher over a ``(_ok, _s, _np, _nn, _cnt)`` relation —
+    shared VERBATIM between :func:`pr_report` and
+    :func:`pr_from_store` (the :func:`_auc_from_groups` regime)."""
     per_score = per_group.where(F.col("_ok")).select(
         *keys, "_s", "_np", "_nn"
     )
@@ -3266,6 +3285,78 @@ def pr_report(
         F.when(haspos, F.col("_best.t")).alias("best_f1_threshold6"),
         F.when(haspos, F.col("_best.p")).alias("best_f1_precision6"),
         F.when(haspos, F.col("_best.r")).alias("best_f1_recall6"),
+    )
+
+
+def binary_scores_append_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    id_col: str,
+    score_col: str,
+    label_col: str,
+    score_decimals: int = 6,
+) -> None:
+    """One append cycle of the maintained binary-score store — the
+    classifier-metrics face of :func:`qa_append_batch` /
+    ``bleu_append_batch`` (the family rule: every corpus metric whose
+    cells are additive gets a store).  The cells here are the
+    per-ROUNDED-SCORE class counts ``(_ok, _s, _np, _nn, _cnt)`` —
+    additive over disjoint item sets, and BOUNDED at ~1e6+1 rows per
+    batch by the ROUND contract, so the store grows
+    O(batches * distinct scores), never O(items).  ONE store serves
+    both :func:`auc_from_store` and :func:`pr_from_store` (and any
+    future threshold metric — the counts are the sufficient
+    statistic).  Contract: item ids must not repeat across batches (a
+    re-ingested item is counted again — the caller owns batch
+    boundaries, the qa-store rule).  Replay safety is
+    batch-id-addressed: cells are a deterministic function of the
+    batch, so replays write identical rows and the read side
+    MAX-collapses per (batch_id, _ok, _s)."""
+    _, _, per_group = _binary_score_groups(
+        batch_df, score_col, label_col, None, score_decimals
+    )
+    per_group.select("_ok", "_s", "_np", "_nn", "_cnt").withColumn(
+        "batch_id", F.lit(int(batch_id)).cast("long")
+    ).write.mode("append").parquet(state_dir)
+
+
+def binary_scores_state_groups(spark, state_dir: str) -> DataFrame:
+    """Read a :func:`binary_scores_append_batch` store back to the
+    ``(_ok, _s, _np, _nn, _cnt)`` relation the one-shot reports build
+    from raw rows: MAX-collapse replay duplicates per
+    (batch_id, _ok, _s), then SUM across batches."""
+    state = spark.read.parquet(state_dir)
+    per_batch = state.groupBy("batch_id", "_ok", "_s").agg(
+        F.max("_np").alias("_np"),
+        F.max("_nn").alias("_nn"),
+        F.max("_cnt").alias("_cnt"),
+    )
+    return per_batch.groupBy("_ok", "_s").agg(
+        F.sum("_np").cast("long").alias("_np"),
+        F.sum("_nn").cast("long").alias("_nn"),
+        F.sum("_cnt").cast("long").alias("_cnt"),
+    )
+
+
+def auc_from_store(spark, state_dir: str) -> DataFrame:
+    """ROC AUC over EVERYTHING the store has seen — equals
+    :func:`auc_report` over the concatenation of all appended batches
+    BIT FOR BIT (additive bounded cells + the shared
+    :func:`_auc_from_groups` finisher; asserted by
+    ``tests/test_evalmetrics.py``)."""
+    return _auc_from_groups(
+        False, [], binary_scores_state_groups(spark, state_dir), None
+    )
+
+
+def pr_from_store(spark, state_dir: str) -> DataFrame:
+    """Average precision + best-F1 over everything the store has seen
+    — equals :func:`pr_report` over the concatenation bit for bit
+    (the same store serves AUC and PR: the per-score class counts are
+    the sufficient statistic for every threshold metric)."""
+    return _pr_from_groups(
+        False, [], binary_scores_state_groups(spark, state_dir), None
     )
 
 

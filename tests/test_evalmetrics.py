@@ -2574,3 +2574,44 @@ def test_auc_paired_bootstrap_matches_reference(spark):
         withnull, "id", "sa", "sb", "label"
     ).collect()[0].asDict()
     assert r["n_samples"] == 2 and r["n_excluded"] == 3
+
+
+def test_binary_score_store_streamed_equals_one_shot(spark, tmp_path):
+    """The binary-score store: three appended batches == the one-shot
+    auc_report AND pr_report over the union, bit for bit (shared
+    finishers over the summed bounded cells); a batch-id replay is a
+    no-op; exclusions ride the store."""
+    import random
+
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rng = random.Random(41)
+    rows = []
+    for i in range(600):
+        s = round(rng.choice([0.1, 0.25, 0.5, 0.5, 0.75, 0.9]), 6)
+        y = 1 if rng.random() < s else 0
+        if i % 97 == 0:
+            s = None  # excluded, must be counted through the store
+        rows.append((i, s, y))
+    df = spark.createDataFrame(rows, "id long, score double, label int")
+    state = str(tmp_path / "bin_store")
+    for b in range(3):
+        em.binary_scores_append_batch(
+            df.where(F.col("id") % 3 == b), state, b, "id", "score", "label"
+        )
+
+    want_auc = em.auc_report(df, "id", "score", "label").collect()
+    got_auc = em.auc_from_store(spark, state).collect()
+    assert [r.asDict() for r in got_auc] == [r.asDict() for r in want_auc]
+
+    want_pr = em.pr_report(df, "id", "score", "label").collect()
+    got_pr = em.pr_from_store(spark, state).collect()
+    assert [r.asDict() for r in got_pr] == [r.asDict() for r in want_pr]
+    assert got_auc[0]["n_excluded"] > 0  # the exclusions really rode
+
+    # replay batch 1 under its original id: MAX-collapse makes it a no-op
+    em.binary_scores_append_batch(
+        df.where(F.col("id") % 3 == 1), state, 1, "id", "score", "label"
+    )
+    again = em.auc_from_store(spark, state).collect()
+    assert [r.asDict() for r in again] == [r.asDict() for r in want_auc]
