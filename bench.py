@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "pipe_eval_spearman_by_judge",
     "pipe_eval_pr",
     "pipe_eval_auc_bootstrap",
+    "pipe_pack_efficiency",
 ]
 
 

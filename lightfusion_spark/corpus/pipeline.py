@@ -5922,3 +5922,85 @@ FROM folded
 def pipe_lm_kn_trigram(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     return text_ops.kn_trigram_lm_score(d, "doc_id", "text")
+
+
+@register(
+    "pipe_pack_efficiency",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LEN(string_split_regex(text, '\s+')) AS BIGINT) AS tok,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT)
+               % 8 AS grp
+      FROM documents
+    ),
+    c AS (
+      SELECT grp, tok,
+             SUM(tok) OVER (PARTITION BY grp ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS prev
+      FROM t
+    ),
+    caps(capacity) AS (VALUES (CAST(512 AS BIGINT)), (CAST(2048 AS BIGINT)),
+                              (CAST(8192 AS BIGINT))),
+    pd AS (
+      SELECT cap.capacity,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(c.tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN c.tok > 0 AND
+                  FLOOR((c.prev + c.tok - 1) / CAST(cap.capacity AS DOUBLE))
+                  - FLOOR(c.prev / CAST(cap.capacity AS DOUBLE)) > 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+             CAST(SUM(CASE WHEN c.tok > 0 THEN
+                  CAST(FLOOR((c.prev + c.tok - 1)
+                             / CAST(cap.capacity AS DOUBLE)) AS BIGINT)
+                  - CAST(FLOOR(c.prev / CAST(cap.capacity AS DOUBLE)) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS n_crossings
+      FROM c CROSS JOIN caps cap GROUP BY cap.capacity
+    ),
+    gt AS (SELECT grp, CAST(SUM(tok) AS BIGINT) AS total FROM c GROUP BY grp),
+    pg AS (
+      SELECT cap.capacity,
+             CAST(SUM(CAST(FLOOR((gt.total - 1)
+                                 / CAST(cap.capacity AS DOUBLE)) AS BIGINT)
+                      + 1) AS BIGINT) AS n_packs,
+             CAST(SUM((CAST(FLOOR((gt.total - 1)
+                                  / CAST(cap.capacity AS DOUBLE)) AS BIGINT)
+                       + 1) * cap.capacity - gt.total) AS BIGINT)
+                 AS tail_waste_tokens
+      FROM gt CROSS JOIN caps cap WHERE gt.total > 0 GROUP BY cap.capacity
+    )
+    SELECT pd.capacity, pd.n_docs, pd.n_tokens,
+           COALESCE(pg.n_packs, 0) AS n_packs,
+           pd.n_split_docs, pd.n_crossings,
+           CASE WHEN pd.n_docs > 0
+                THEN ROUND(CAST(pd.n_split_docs AS DOUBLE)
+                           / CAST(pd.n_docs AS DOUBLE), 6) END AS split_rate6,
+           COALESCE(pg.tail_waste_tokens, 0) AS tail_waste_tokens,
+           CASE WHEN COALESCE(pg.n_packs, 0) > 0
+                THEN ROUND(CAST(pd.n_tokens AS DOUBLE)
+                           / CAST(pg.n_packs * pd.capacity AS DOUBLE), 6)
+           END AS fill_rate6
+    FROM pd LEFT JOIN pg ON pd.capacity = pg.capacity
+    """,
+    doc="capacity-sweep packing report (curation.pack_efficiency_report) "
+    "— the number a trainer reads BEFORE committing to a context "
+    "length: at 512/2048/8192 tokens, how many fixed-capacity "
+    "training sequences does the corpus make (ceil(group_total/cap) "
+    "per hash group, pack_sequences' token-stream convention), how "
+    "many documents get split across a sequence boundary (attention "
+    "fragmentation — the capacity-sensitive column; falls as capacity "
+    "grows), and how much tail padding do the 8 parallel fill groups "
+    "leave.  The prev running total is ONE window computed once "
+    "(capacity-independent); the sweep is a scalar explode (rows x 3 "
+    "integer tuples) into a map-side-combinable per-capacity "
+    "aggregation plus 8x3 rows of group-tail arithmetic — no join "
+    "carries text, zero Python.  Power-of-two capacities keep the "
+    "floor divisions exact in both engines (the pack_sequences "
+    "convention)",
+)
+def pipe_pack_efficiency(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    n_ws_tokens = F.size(F.split(F.col("text"), r"\s+"))
+    return curation.pack_efficiency_report(
+        d, "doc_id", n_ws_tokens, capacities=(512, 2048, 8192), n_groups=8
+    )

@@ -62,22 +62,24 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #:   the eleven r09 relational reps: cast battery, GROUP BY ALL,
 #:   regexp, salted agg, the three scalar batteries, set union, the
 #:   six TPC-H shapes, the rank window)
-#: + 11 of the 46 r10 rows, stalest-first (the three bounded-state
+#: + 10 of the 46 r10 rows, stalest-first (the three bounded-state
 #:   event monitors' batch twins, BT source ranking, chunking, corpus
 #:   drift, curriculum order, fuzzy decontamination, diversity
-#:   sampling, numeric drift, DSIR selection); the remaining 35 r10
-#:   rows head the r16 backlog
-#: + 4 round-15 NEW faces (r14 verdict items 5 and 8, the PR
-#:   companion to AUC, and the AUC paired bootstrap):
+#:   sampling, numeric drift); the remaining 36 r10 rows head the
+#:   r16 backlog
+#: + 5 round-15 NEW faces (r14 verdict items 5 and 8, the PR
+#:   companion to AUC, the AUC paired bootstrap, and the packing
+#:   capacity sweep):
 #:   pipe_eval_qa_bootstrap (the sixth and last bootstrap gaining an
 #:   oracle face — EM and F1 disagreeing about significance),
 #:   pipe_eval_spearman_by_judge (the judge-validation statistic
 #:   sliced per judge, exercising the grouped path and the round-15
 #:   fully-excluded-group join fix), pipe_eval_pr (average
 #:   precision + best-F1 operating point on auc_report's shared
-#:   pinned relation), and pipe_eval_auc_bootstrap (is model A's
-#:   AUC lead real — integer-weighted Mann-Whitney per replicate)
-#: 4+31+11+4 = 50 exactly.  After this round no registry row's last
+#:   pinned relation), pipe_eval_auc_bootstrap (is model A's
+#:   AUC lead real — integer-weighted Mann-Whitney per replicate),
+#:   and pipe_pack_efficiency (the context-length capacity sweep)
+#: 4+31+10+5 = 50 exactly.  After this round no registry row's last
 #: driver grade is older than r10.  Every rotated-out name was
 #: officially green in r09-r14 and moves to WINDOW_EXEMPT;
 #: tests/test_registry_window.py asserts every registered query is
@@ -123,7 +125,7 @@ PRIORITY: list[str] = [
     "rel_tpch_q20_shape",
     "rel_tpch_q21_shape",
     "rel_window_rank",
-    # r10 block — 11 rows, stalest-first; the remaining 35 r10 rows
+    # r10 block — 10 rows, stalest-first; the remaining 36 r10 rows
     # head the r16 backlog
     "events_ewma_batch",
     "events_heavy_hitters_batch",
@@ -135,20 +137,21 @@ PRIORITY: list[str] = [
     "pipe_decontaminate_fuzzy",
     "pipe_diversity_sample",
     "pipe_drift_numeric",
-    "pipe_dsir_select",
-    # (pipe_file_stats_distributed and pipe_e2e_curation — both
-    # r10-green — ceded their planned slots to the late pipe_eval_pr
-    # and pipe_eval_auc_bootstrap faces; they head the r16 backlog
-    # with the remaining r10 rows.  r10 rows are not stalest-bucket
-    # members, so these are ordinary swaps, not WINDOW_DISPLACED
-    # entries.)
+    # (pipe_file_stats_distributed, pipe_e2e_curation and
+    # pipe_dsir_select — all r10-green — ceded their planned slots to
+    # the late pipe_eval_pr, pipe_eval_auc_bootstrap and
+    # pipe_pack_efficiency faces; they head the r16 backlog with the
+    # remaining r10 rows.  r10 rows are not stalest-bucket members,
+    # so these are ordinary swaps, not WINDOW_DISPLACED entries.)
     # round-15 NEW faces (r14 verdict items 5 and 8, the
-    # precision-recall companion to AUC, and the AUC paired
-    # bootstrap — the bootstrap family's seventh member)
+    # precision-recall companion to AUC, the AUC paired bootstrap —
+    # the bootstrap family's seventh member — and the packing
+    # capacity sweep)
     "pipe_eval_qa_bootstrap",
     "pipe_eval_spearman_by_judge",
     "pipe_eval_pr",
     "pipe_eval_auc_bootstrap",
+    "pipe_pack_efficiency",
 ]
 
 #: Stalest-bucket rows EXPLICITLY displaced from the current window

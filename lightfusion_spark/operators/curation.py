@@ -189,6 +189,146 @@ def pack_sequences(
     )
 
 
+def pack_efficiency_report(
+    df: DataFrame,
+    id_col: str,
+    token_col,
+    capacities: tuple[int, ...] = (512, 1024, 2048, 4096, 8192),
+    n_groups: int = 8,
+) -> DataFrame:
+    """Capacity-sweep packing statistics — the number a trainer needs
+    BEFORE committing to a context length: at each candidate
+    ``capacity``, how many packs does this corpus make, how often is
+    a document split across a pack boundary (attention
+    fragmentation), and how much tail padding does each parallel fill
+    group leave?  One row per capacity::
+
+        (capacity, n_docs, n_tokens, n_packs, n_split_docs,
+         n_crossings, split_rate6, tail_waste_tokens, fill_rate6)
+
+    Semantics are :func:`pack_sequences`'s streaming-fill convention
+    (same hash groups, same id order, same straddle rule) read as the
+    TOKEN STREAM the trainer actually consumes: ``n_packs`` counts the
+    fixed-capacity training sequences each group's concatenated
+    stream yields (``ceil(group_total / capacity)``), ``n_crossings``
+    counts pack boundaries landing INSIDE documents (``(prev + tok -
+    1) div cap - prev div cap``; a document longer than the capacity
+    crosses several — attention fragmentation), ``n_split_docs``
+    counts documents with at least one crossing,
+    ``tail_waste_tokens`` is the padding in each group's final
+    partial sequence, and ``fill_rate6 = n_tokens / (n_packs *
+    capacity)`` — under the straddle convention ALL waste is group
+    tails, so fill approaches 1 as corpora grow and the
+    capacity-sensitive column is the split rate (falls as capacity
+    grows; the sweep prices it against sequence count).  Relation to
+    :func:`pack_sequences`'s ASSIGNMENT ids (a doc belongs wholly to
+    ``floor(prev/cap)``): ``n_packs`` exceeds ``max(pack_no)+1``
+    summed over groups by exactly the crossings of each group's FINAL
+    document (test-pinned identity).  Empty corpus -> empty report.
+
+    100 TB shape: the ``prev`` running total is ONE window over the
+    hash groups (capacity-independent, computed once); the sweep is a
+    scalar explode (rows x |capacities| integer tuples) into a
+    map-side-combinable per-capacity aggregation, and the group-tail
+    arithmetic runs over ``n_groups x |capacities|`` rows.  No join
+    carries text; zero Python.
+    """
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    grp = (_md5_long(F.col(id_col).cast("string")) % n_groups).alias(
+        "pack_group"
+    )
+    base = df.select(F.col(id_col), tok.cast("bigint").alias("n_tokens"), grp)
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("_prev")
+    docs = base.select("pack_group", "n_tokens", prev)
+    caps = F.explode(
+        F.array(*[F.lit(int(c)).cast("bigint") for c in capacities])
+    ).alias("capacity")
+    crossings = F.when(
+        F.col("n_tokens") > 0,
+        F.floor(
+            (F.col("_prev") + F.col("n_tokens") - 1)
+            / F.col("capacity").cast("double")
+        )
+        - F.floor(F.col("_prev") / F.col("capacity").cast("double")),
+    ).otherwise(F.lit(0))
+    per_cap_docs = (
+        docs.select("n_tokens", "_prev", caps)
+        .select(
+            "capacity",
+            "n_tokens",
+            crossings.cast("bigint").alias("_x"),
+        )
+        .groupBy("capacity")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_x") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_split_docs"),
+            F.sum("_x").cast("long").alias("n_crossings"),
+        )
+    )
+    totals = docs.groupBy("pack_group").agg(
+        F.sum("n_tokens").cast("long").alias("_total")
+    )
+    packs_g = F.floor(
+        (F.col("_total") - 1) / F.col("capacity").cast("double")
+    ) + F.lit(1)
+    per_cap_groups = (
+        totals.where(F.col("_total") > 0)
+        .select("_total", caps)
+        .select(
+            "capacity",
+            packs_g.cast("bigint").alias("_packs"),
+            (packs_g.cast("bigint") * F.col("capacity") - F.col("_total"))
+            .cast("bigint")
+            .alias("_waste"),
+        )
+        .groupBy("capacity")
+        .agg(
+            F.sum("_packs").cast("long").alias("n_packs"),
+            F.sum("_waste").cast("long").alias("tail_waste_tokens"),
+        )
+    )
+    return (
+        per_cap_docs.join(per_cap_groups, "capacity", "left")
+        .select(
+            "capacity",
+            "n_docs",
+            "n_tokens",
+            F.coalesce(F.col("n_packs"), F.lit(0))
+            .cast("long")
+            .alias("n_packs"),
+            "n_split_docs",
+            "n_crossings",
+            F.when(
+                F.col("n_docs") > 0,
+                F.round(
+                    F.col("n_split_docs").cast("double")
+                    / F.col("n_docs").cast("double"),
+                    6,
+                ),
+            ).alias("split_rate6"),
+            F.coalesce(F.col("tail_waste_tokens"), F.lit(0))
+            .cast("long")
+            .alias("tail_waste_tokens"),
+            F.when(
+                F.coalesce(F.col("n_packs"), F.lit(0)) > 0,
+                F.round(
+                    F.col("n_tokens").cast("double")
+                    / (F.col("n_packs") * F.col("capacity")).cast("double"),
+                    6,
+                ),
+            ).alias("fill_rate6"),
+        )
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     strata_col: str,

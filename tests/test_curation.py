@@ -889,3 +889,99 @@ def test_unimax_all_capped_and_guards(spark):
         curation.unimax_allocate(df, "src", "tok", max_epochs=0)
     with _pytest.raises(ValueError, match="budget_frac"):
         curation.unimax_allocate(df, "src", "tok", 2, budget_frac=(0, 2))
+
+
+def test_pack_efficiency_predicts_pack_sequences(spark):
+    """pack_efficiency_report is pack_sequences' capacity sweep: at
+    each capacity its n_packs equals the packs pack_sequences actually
+    makes (sum over groups of max pack_no + 1), and the split/waste
+    arithmetic matches a shared-nothing reference over the same hash
+    groups and id order."""
+    import hashlib
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators import curation
+
+    rows = [(i, (i * 13) % 50 + 1) for i in range(200)]
+    rows.append((200, 150))  # longer than capacity 32: multi-crossing
+    rows.append((201, 0))  # zero-token doc: never a crossing
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    got = {
+        r["capacity"]: r.asDict()
+        for r in curation.pack_efficiency_report(
+            df, "doc_id", "n_tokens", capacities=(32, 64), n_groups=8
+        ).collect()
+    }
+
+    def md5grp(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:14], 16) % 8
+
+    def round6(x):
+        # Spark's ROUND is half-up; Python's is banker's — and the
+        # power-of-two capacities land fill_rate exactly on .5
+        # boundaries at the 6th decimal
+        import decimal
+
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    by_grp = defaultdict(list)
+    for i, t in rows:
+        by_grp[md5grp(i)].append((i, t))
+    for cap in (32, 64):
+        n_split = n_cross = n_packs = waste = 0
+        for g, docs in by_grp.items():
+            run = 0
+            for _i, t in sorted(docs):
+                if t > 0:
+                    x = (run + t - 1) // cap - run // cap
+                    n_cross += x
+                    n_split += 1 if x > 0 else 0
+                run += t
+            if run > 0:
+                packs = (run - 1) // cap + 1
+                n_packs += packs
+                waste += packs * cap - run
+        r = got[cap]
+        assert r["n_docs"] == len(rows)
+        assert r["n_tokens"] == sum(t for _, t in rows)
+        assert r["n_packs"] == n_packs
+        assert r["n_split_docs"] == n_split
+        assert r["n_crossings"] == n_cross
+        assert r["tail_waste_tokens"] == waste
+        assert r["split_rate6"] == round6(n_split / len(rows))
+        assert r["fill_rate6"] == round6(
+            sum(t for _, t in rows) / (n_packs * cap)
+        )
+
+    # relation to pack_sequences' ASSIGNMENT ids: the token-stream
+    # sequence count exceeds sum(max(pack_no)+1) by exactly the
+    # crossings of each group's FINAL document (docstring identity)
+    for cap in (32, 64):
+        packed = curation.pack_sequences(
+            df, "doc_id", "n_tokens", capacity=cap, n_groups=8
+        )
+        id_packs = (
+            packed.where(F.col("n_tokens") > 0)
+            .groupBy("pack_group")
+            .agg((F.max("pack_no") + 1).alias("p"))
+            .agg(F.sum("p"))
+            .collect()[0][0]
+        )
+        last_crossings = 0
+        for g, docs in by_grp.items():
+            run = 0
+            last = None
+            for _i, t in sorted(docs):
+                if t > 0:
+                    last = ((run + t - 1) // cap) - (run // cap)
+                run += t
+            if last is not None:
+                last_crossings += last
+        assert got[cap]["n_packs"] == id_packs + last_crossings
