@@ -196,18 +196,25 @@ def ivf_append_batch(
             f"ivf_append_batch: id_col {id_col!r} != index id_col "
             f"{meta['id_col']!r} (built at {path})"
         )
-    geo = _geometry_guard(batch, vec_col, "ivf_append_batch")
-    if geo["dim"] != int(meta["dim"]):
-        raise ValueError(
-            f"ivf_append_batch: batch dim {geo['dim']} != index dim "
-            f"{meta['dim']} (built at {path})"
-        )
+    # replay check FIRST: the ledger read is O(batches) tiny rows, the
+    # geometry guard is a full-batch scan — a replayed 100M-row batch
+    # must no-op without paying it.  Consequence (stated): a replay
+    # under a known batch_id short-circuits BEFORE validation, so a
+    # caller replaying a DIFFERENT (even malformed) payload under an
+    # applied id gets the no-op, not an error — batch ids name
+    # immutable payloads, the store-family contract.
     applied = {
         r["batch_id"]
         for r in spark.read.parquet(f"{path}/batches").collect()
     }
     if int(batch_id) in applied:
         return {"applied": False, "batch_id": int(batch_id), "n_rows": 0}
+    geo = _geometry_guard(batch, vec_col, "ivf_append_batch")
+    if geo["dim"] != int(meta["dim"]):
+        raise ValueError(
+            f"ivf_append_batch: batch dim {geo['dim']} != index dim "
+            f"{meta['dim']} (built at {path})"
+        )
     cents = spark.read.parquet(f"{path}/centroids")
     assign = assign_to_centroids(
         batch, cents, id_col, vec_col, int(meta["round_digits"])

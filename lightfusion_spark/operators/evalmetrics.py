@@ -352,6 +352,28 @@ POISSON1_CDF_PPM = (
 )
 
 
+def _grp_key(col):
+    """Non-null INTERNAL group key: ``'v:' + str(value)``, NULL ->
+    ``'null:'``.  Grouped operators carry the slice key through
+    joins, and Spark's column-name joins are NOT null-safe — a NULL
+    group value would silently never match (dropped rows, zeroed
+    counts; the round-15 review's finding).  The prefix keeps a
+    literal user value ``'null:'`` (encoded ``'v:null:'``) from
+    colliding with the NULL sentinel.  Decode with :func:`_grp_val`
+    at the output boundary."""
+    return F.coalesce(
+        F.concat(F.lit("v:"), col.cast("string")), F.lit("null:")
+    )
+
+
+def _grp_val(c):
+    """Decode a :func:`_grp_key` back to the user-facing value
+    (NULL-preserving)."""
+    return F.when(c == F.lit("null:"), F.lit(None).cast("string")).otherwise(
+        c.substr(F.lit(3), F.length(c))
+    )
+
+
 def _poisson1_weight(h6):
     """Inverse-CDF Poisson(1) draw from an integer ppm uniform."""
     w = F.lit(len(POISSON1_CDF_PPM))
@@ -1155,7 +1177,7 @@ def qa_em_f1(
     gtoks = F.array_remove(F.split(qa_normalize(F.col(gold_col)), " "), "")
     grouped = group_col is not None
     grp_cols = (
-        [F.col(group_col).cast("string").alias("_grp")] if grouped else []
+        [_grp_key(F.col(group_col)).alias("_grp")] if grouped else []
     )
     rows = df.select(
         *grp_cols,
@@ -1228,7 +1250,7 @@ def qa_em_f1(
             .alias("_f1"),
         )
     )
-    out_grp = [F.col("_grp").alias(group_col)] if grouped else []
+    out_grp = [_grp_val(F.col("_grp")).alias(group_col)] if grouped else []
     return per_alt.groupBy(*grp_keys, "_qid").agg(
         F.count(F.lit(1)).cast("long").alias("n_golds"),
         F.max("_em").cast("int").alias("em"),
@@ -2716,6 +2738,7 @@ def _binary_score_groups(
     label_col: str,
     group_col: str | None,
     score_decimals: int,
+    pin: bool = True,
 ):
     """The shared (rounded score -> class counts) relation behind
     :func:`auc_report` and :func:`pr_report`: one corpus aggregation
@@ -2726,7 +2749,7 @@ def _binary_score_groups(
     ``(*keys, _ok, _s, _np, _nn, _cnt)``."""
     grouped = group_col is not None
     grp_sel = (
-        [F.col(group_col).cast("string").alias("_grp")] if grouped else []
+        [_grp_key(F.col(group_col)).alias("_grp")] if grouped else []
     )
     keys = ["_grp"] if grouped else []
     valid = (
@@ -2754,14 +2777,18 @@ def _binary_score_groups(
         .cast("long")
         .alias("_nn"),
         F.count(F.lit(1)).cast("long").alias("_cnt"),
-    ).localCheckpoint(eager=True)
-    # pinned, not merely shared: Catalyst pushes the _ok filter of the
-    # metric branch THROUGH the aggregate (it is a grouping key), so
-    # the two branches' exchanges stop being structurally identical
-    # and ReuseExchange cannot fire — measured as two full corpus
-    # scans.  The checkpoint is safe at any corpus size because this
-    # relation is <= ~2e6 narrow rows per slice BY THE ROUND-6
-    # CONTRACT (distinct rounded scores + the one excluded group).
+    )
+    if pin:
+        # pinned, not merely shared: Catalyst pushes the _ok filter of
+        # the metric branch THROUGH the aggregate (it is a grouping
+        # key), so the two branches' exchanges stop being structurally
+        # identical and ReuseExchange cannot fire — measured as two
+        # full corpus scans.  The checkpoint is safe at any corpus
+        # size because this relation is <= ~2e6 narrow rows per slice
+        # BY THE ROUND-6 CONTRACT (distinct rounded scores + the one
+        # excluded group).  Single-consumer callers (the store writer)
+        # pass pin=False and skip the extra materialization job.
+        per_group = per_group.localCheckpoint(eager=True)
     return grouped, keys, per_group
 
 
@@ -2885,7 +2912,7 @@ def _auc_from_groups(
             6,
         ),
     )
-    out_grp = [F.col("_grp").alias(group_col)] if grouped else []
+    out_grp = [_grp_val(F.col("_grp")).alias(group_col)] if grouped else []
     # excl drives the grouped join: cells is built from _ok rows only,
     # so a group whose rows are ALL excluded has no cells row — an
     # inner join would silently drop its n_excluded row, violating the
@@ -2939,15 +2966,19 @@ def auc_paired_bootstrap(
     NULL side AUC and drop out of that replicate's delta — loud in
     ``n_delta_pos + n_delta_neg < n_boot``, impossible in practice
     past a few hundred items.  ``auc_a6``/``auc_b6`` are the
-    full-sample :func:`auc_report` values (weights 1 everywhere).
+    full-sample values over the paired valid set, computed as a
+    weight-1 pseudo-replicate riding the same pipeline (same
+    ``score_decimals`` rounding and tie structure as every resampled
+    world — equal to :func:`auc_report` over the paired rows).
 
     100 TB shape: the corpus-sized exchange is ONE explode of scalar
-    rows — ``rows x n_boot x 2 sides`` integer tuples, no text — into
-    a map-side-combinable (replicate, side, score) aggregation whose
-    output is bounded by ``2 * n_boot * (10^score_decimals + 1)``
-    narrow rows by the ROUND contract; the per-replicate cumulative
-    windows and the 32-delta quantile run over THAT bounded relation.
-    Zero Python.
+    rows — ``rows x (n_boot + 1) x 2 sides`` integer tuples (the +1
+    is the full-sample world), no text — into a map-side-combinable
+    (replicate, side, score) aggregation whose output is bounded by
+    ``2 * (n_boot + 1) * (10^score_decimals + 1)`` narrow rows by the
+    ROUND contract; the per-replicate cumulative windows and the
+    32-delta quantile run over THAT bounded relation.  Zero Python,
+    zero extra corpus scans.
     """
     if n_boot < 2:
         raise ValueError(f"n_boot must be >= 2, got {n_boot}")
@@ -2977,12 +3008,17 @@ def auc_paired_bootstrap(
         .cast("long")
         .alias("n_excluded"),
     )
+    # b = -1 is the FULL-SAMPLE pseudo-replicate (weight 1 for every
+    # item): the headline auc_a6/auc_b6 ride the SAME single explode/
+    # aggregation/window pipeline as the resampled worlds — same
+    # rounding, same tie structure, one corpus pass — instead of two
+    # extra eager auc_report scans (round-15 review findings 3 and 5)
     reps = base.where(F.col("_ok")).select(
         "_id",
         "_sa",
         "_sb",
         "_y",
-        F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("b"),
+        F.explode(F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))).alias("b"),
     )
     h6 = (
         _md5_long(
@@ -2991,7 +3027,7 @@ def auc_paired_bootstrap(
         )
         % F.lit(1_000_000)
     )
-    w = _poisson1_weight(h6)
+    w = F.when(F.col("b") == -1, F.lit(1)).otherwise(_poisson1_weight(h6))
     sided = reps.select(
         "b",
         w.alias("_w"),
@@ -3055,7 +3091,8 @@ def auc_paired_bootstrap(
         ).alias("_auc"),
     )
     deltas = (
-        rep_auc.groupBy("b")
+        rep_auc.where(F.col("b") >= 0)
+        .groupBy("b")
         .agg(
             F.max(F.when(F.col("_side") == "a", F.col("_auc"))).alias("_aa"),
             F.max(F.when(F.col("_side") == "b", F.col("_auc"))).alias("_ab"),
@@ -3075,19 +3112,16 @@ def auc_paired_bootstrap(
         .cast("long")
         .alias("n_delta_neg"),
     )
-    # full AUCs over the PAIRED valid set (both scores + label present)
-    # so the headline numbers grade exactly the items the resample does
-    paired = df.where(ok)
-    full_a = auc_report(paired, id_col, score_a_col, label_col).select(
-        F.col("auc6").alias("auc_a6")
-    )
-    full_b = auc_report(paired, id_col, score_b_col, label_col).select(
-        F.col("auc6").alias("auc_b6")
+    # full AUCs from the weight-1 pseudo-replicate: the PAIRED valid
+    # set (both scores + label present), same rounding and tie
+    # structure as every resampled world, zero extra corpus scans
+    fulls = rep_auc.where(F.col("b") == -1).agg(
+        F.max(F.when(F.col("_side") == "a", F.col("_auc"))).alias("auc_a6"),
+        F.max(F.when(F.col("_side") == "b", F.col("_auc"))).alias("auc_b6"),
     )
     return (
         summary.crossJoin(F.broadcast(counts))
-        .crossJoin(F.broadcast(full_a))
-        .crossJoin(F.broadcast(full_b))
+        .crossJoin(F.broadcast(fulls))
         .select(
             "n_samples",
             "n_excluded",
@@ -3261,7 +3295,7 @@ def _pr_from_groups(
         else cells.crossJoin(F.broadcast(excl))
     )
     haspos = F.col("n_pos") > 0
-    out_grp = [F.col("_grp").alias(group_col)] if grouped else []
+    out_grp = [_grp_val(F.col("_grp")).alias(group_col)] if grouped else []
     return out.select(
         *out_grp,
         (
@@ -3313,8 +3347,10 @@ def binary_scores_append_batch(
     batch-id-addressed: cells are a deterministic function of the
     batch, so replays write identical rows and the read side
     MAX-collapses per (batch_id, _ok, _s)."""
+    # pin=False: the parquet write is this relation's ONLY consumer,
+    # so the shared-branch checkpoint would just double-materialize
     _, _, per_group = _binary_score_groups(
-        batch_df, score_col, label_col, None, score_decimals
+        batch_df, score_col, label_col, None, score_decimals, pin=False
     )
     per_group.select("_ok", "_s", "_np", "_nn", "_cnt").withColumn(
         "batch_id", F.lit(int(batch_id)).cast("long")
@@ -3379,7 +3415,7 @@ def _calibration_groups(
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     grouped = group_col is not None
     grp_sel = (
-        [F.col(group_col).cast("string").alias("_grp")] if grouped else []
+        [_grp_key(F.col(group_col)).alias("_grp")] if grouped else []
     )
     keys = ["_grp"] if grouped else []
     conf = F.col(conf_col).cast("double")
@@ -3437,12 +3473,17 @@ def calibration_bins(
     return _bins_from_groups(groups, group_col)
 
 
-def _bins_from_groups(groups: DataFrame, group_col: str | None) -> DataFrame:
+def _bins_from_groups(
+    groups: DataFrame, group_col: str | None, _keep_key: bool = False
+) -> DataFrame:
     """Finish reliability bins from a (possibly pinned)
     :func:`_calibration_groups` relation — shared by
     :func:`calibration_bins` and :func:`calibration_report` so the
     report can derive bins and the exclusion count from ONE pinned
-    relation instead of re-deriving the corpus aggregation."""
+    relation instead of re-deriving the corpus aggregation.
+    ``_keep_key=True`` emits the raw non-null ``_grp`` join key
+    instead of the decoded user-facing value (the report joins on it;
+    decoding first would reopen the NULL-group join hole)."""
     agg = groups.where(F.col("bin").isNotNull())
     grouped = group_col is not None
     acc = F.round(
@@ -3451,7 +3492,14 @@ def _bins_from_groups(groups: DataFrame, group_col: str | None) -> DataFrame:
     avg_c = F.round(
         F.col("_conf_sum").cast("double") / F.col("n").cast("double"), 6
     )
-    out_grp = [F.col("_grp").alias(group_col)] if grouped else []
+    if grouped:
+        out_grp = (
+            [F.col("_grp")]
+            if _keep_key
+            else [_grp_val(F.col("_grp")).alias(group_col)]
+        )
+    else:
+        out_grp = []
     return agg.select(
         *out_grp,
         "bin",
@@ -3499,7 +3547,7 @@ def calibration_report(
     when that matters).
     """
     grouped = group_col is not None
-    keys = [group_col] if grouped else []
+    keys = ["_grp"] if grouped else []
     # ONE corpus aggregation, pinned (it is <= (n_bins + 1) rows per
     # slice), feeding BOTH the bins and the exclusion count — without
     # the pin the two branches re-derive the corpus scan (the
@@ -3508,7 +3556,8 @@ def calibration_report(
     groups = _calibration_groups(
         df, conf_col, correct_col, n_bins, group_col
     ).localCheckpoint(eager=True)
-    bins = _bins_from_groups(groups, group_col)
+    # join on the raw non-null _grp key; decode only at the output
+    bins = _bins_from_groups(groups, group_col, _keep_key=True)
     cells = (bins.groupBy(*keys) if keys else bins.groupBy()).agg(
         F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_samples"),
         F.count(F.lit(1)).cast("int").alias("n_bins_nonempty"),
@@ -3547,18 +3596,22 @@ def calibration_report(
         )
     )
     if grouped:
-        excl = excl.select(F.col("_grp").alias(group_col), "n_excluded")
         # excl drives the join: bins drops the NULL (excluded) bin, so
         # a fully-excluded group has no cells row — an inner join
         # would silently drop its n_excluded row (the auc_report
-        # hole).  Left-join from excl; counts coalesce to 0 and the
-        # rate columns stay NULL (undefined over zero samples).
+        # hole).  Left-join from excl on the raw NON-NULL _grp key
+        # (the encoded form — a NULL group value would never match a
+        # name-equality join); counts coalesce to 0 and the rate
+        # columns stay NULL (undefined over zero samples).
         joined = excl.join(cells, keys, "left")
     else:
         joined = cells.crossJoin(F.broadcast(excl))
     nz = F.coalesce(F.col("n_samples"), F.lit(0)) > 0
+    out_grp = (
+        [_grp_val(F.col("_grp")).alias(group_col)] if grouped else []
+    )
     return joined.select(
-        *keys,
+        *out_grp,
         F.coalesce(F.col("n_samples"), F.lit(0))
         .cast("long")
         .alias("n_samples"),
@@ -3828,7 +3881,7 @@ def spearman_report(
     """
     grouped = group_col is not None
     grp_sel = (
-        [F.col(group_col).cast("string").alias("_grp")] if grouped else []
+        [_grp_key(F.col(group_col)).alias("_grp")] if grouped else []
     )
     keys = ["_grp"] if grouped else []
     ok = F.col(score_a_col).isNotNull() & F.col(score_b_col).isNotNull()
@@ -3940,7 +3993,7 @@ def spearman_report(
     sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
     var_x = nn * sxx - sx * sx
     var_y = nn * syy - sy * sy
-    out_grp = [F.col("_grp").alias(group_col)] if grouped else []
+    out_grp = [_grp_val(F.col("_grp")).alias(group_col)] if grouped else []
     return out.select(
         *out_grp,
         "n_samples",

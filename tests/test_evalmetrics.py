@@ -2615,3 +2615,103 @@ def test_binary_score_store_streamed_equals_one_shot(spark, tmp_path):
     )
     again = em.auc_from_store(spark, state).collect()
     assert [r.asDict() for r in again] == [r.asDict() for r in want_auc]
+
+
+def test_null_group_values_grade_correctly(spark):
+    """Round-15 review regression: grouped operators carry the slice
+    key through JOINS, and Spark's column-name joins are not
+    null-safe — a NULL group value silently never matched (zeroed F1,
+    vanished AUC/PR/calibration/Spearman slices).  The internal group
+    key is now NULL-encoded, so a NULL slice grades exactly like the
+    same data under a non-NULL label, and the output still reports
+    the group as NULL."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    # qa_em_f1: NULL-group row must score f1 == em == 1
+    qa = spark.createDataFrame(
+        [
+            ("q1", None, "paris france", "paris france"),
+            ("q2", "sysA", "london", "london"),
+        ],
+        "qid string, sys string, pred string, gold string",
+    )
+    got = {
+        (r["sys"], r["qid"]): r.asDict()
+        for r in em.qa_em_f1(qa, "qid", "pred", "gold", group_col="sys").collect()
+    }
+    assert got[(None, "q1")]["em"] == 1 and got[(None, "q1")]["f1_6"] == 1.0
+    assert got[("sysA", "q2")]["f1_6"] == 1.0
+
+    # auc/pr: two valid rows under model=NULL must NOT vanish
+    bi = spark.createDataFrame(
+        [(1, None, 0.9, 1), (2, None, 0.1, 0), (3, "m0", 0.8, 1), (4, "m0", 0.2, 0)],
+        "id long, model string, score double, label int",
+    )
+    for fn in (em.auc_report, em.pr_report):
+        by = {
+            r["model"]: r.asDict()
+            for r in fn(bi, "id", "score", "label", group_col="model").collect()
+        }
+        assert set(by) == {None, "m0"}
+        assert by[None]["n_samples"] == 2 and by[None]["n_excluded"] == 0
+        sliced = fn(
+            bi.where(F.col("model").isNull()), "id", "score", "label"
+        ).collect()[0].asDict()
+        got_null = dict(by[None])
+        got_null.pop("model")
+        assert got_null == sliced
+
+    # calibration: NULL group slice == ungrouped over the slice
+    cal = spark.createDataFrame(
+        [(1, None, 0.9, 1), (2, None, 0.2, 0), (3, "m0", 0.7, 1)],
+        "id long, model string, conf double, correct int",
+    )
+    by = {
+        r["model"]: r.asDict()
+        for r in em.calibration_report(
+            cal, "id", "conf", "correct", n_bins=10, group_col="model"
+        ).collect()
+    }
+    assert set(by) == {None, "m0"} and by[None]["n_samples"] == 2
+    want = em.calibration_report(
+        cal.where(F.col("model").isNull()), "id", "conf", "correct", n_bins=10
+    ).collect()[0].asDict()
+    got_null = dict(by[None])
+    got_null.pop("model")
+    assert got_null == want
+
+    # calibration_bins still reports the raw (NULL) group value
+    bins = em.calibration_bins(
+        cal, "id", "conf", "correct", n_bins=10, group_col="model"
+    ).collect()
+    assert {r["model"] for r in bins} == {None, "m0"}
+
+    # spearman: NULL-group rows must join their rank tables
+    sp = spark.createDataFrame(
+        [(i, None if i % 2 == 0 else "j0", i / 10.0, (i * i) / 100.0)
+         for i in range(20)],
+        "id long, judge string, a double, b double",
+    )
+    by = {
+        r["judge"]: r.asDict()
+        for r in em.spearman_report(
+            sp, "id", "a", "b", group_col="judge"
+        ).collect()
+    }
+    assert set(by) == {None, "j0"}
+    assert by[None]["rho6"] == 1.0 and by[None]["n_samples"] == 10
+    assert by["j0"]["rho6"] == 1.0
+
+    # the sentinel cannot collide with a literal 'null:' group value
+    tricky = spark.createDataFrame(
+        [(1, "null:", 0.9, 1), (2, "null:", 0.1, 0), (3, None, 0.7, 1), (4, None, 0.3, 0)],
+        "id long, model string, score double, label int",
+    )
+    by = {
+        r["model"]: r.asDict()
+        for r in em.auc_report(
+            tricky, "id", "score", "label", group_col="model"
+        ).collect()
+    }
+    assert set(by) == {"null:", None}
+    assert by["null:"]["n_samples"] == 2 and by[None]["n_samples"] == 2

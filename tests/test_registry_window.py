@@ -5,7 +5,7 @@ leaving the whole ML/pipeline surface driver-unverified).
 """
 
 import json
-import re
+import sys
 from pathlib import Path
 
 import __spark_entry__ as entry
@@ -125,16 +125,15 @@ def test_every_query_windowed_now_or_green_in_a_past_window():
 
 
 def _last_green_round() -> dict[str, int]:
-    """name -> the latest round whose driver window graded it green,
-    recomputed from the committed CORRECTNESS_r*.json files."""
-    last: dict[str, int] = {}
-    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
-        rnd = int(re.search(r"r(\d+)", path.name).group(1))
-        rows = json.loads(path.read_text())
-        for name, row in rows.items():
-            if row.get("rows_match") and row.get("schema_match") and not row.get("err"):
-                last[name] = max(last.get(name, 0), rnd)
-    return last
+    """name -> the latest round whose driver window graded it green.
+    ONE derivation, shared with the planning tool: this test imports
+    tools/backlog.py's implementation, so the printed backlog and the
+    enforced rotation can never disagree (the r14 30-vs-31 drift was
+    two hand-maintained copies of the same list)."""
+    sys.path.insert(0, str(REPO / "tools"))
+    from backlog import last_green_rounds
+
+    return last_green_rounds()
 
 
 def test_window_takes_the_stalest_rows_first():

@@ -43,10 +43,9 @@ def last_green_rounds() -> dict[str, int]:
 
 
 def main() -> None:
-    from lightfusion_spark.corpus import registry  # triggers registration
-    import lightfusion_spark.corpus  # noqa: F401
+    from lightfusion_spark.corpus import registry
 
-    # importing the corpus package registers every query
+    # importing __spark_entry__ registers every corpus query
     from __spark_entry__ import queries
 
     window = set(list(queries())[:50])
