@@ -46,112 +46,90 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: Curated export order.  The driver's correctness gate evaluates only the
 #: FIRST 50 ``queries()`` entries, so the names below are emitted first.
 #:
-#: Round-15 rotation (per the round-14 verdict's item 2, with the
-#: membership now DERIVED FROM DATA instead of a hand-enumerated
-#: backlog — the verdict's item 3: the r14 PLANS.md backlog listed 30
-#: of the 31 r09 rows, dropping pipe_pack_sequences.
-#: tests/test_registry_window.py::test_window_takes_the_stalest_rows_first
-#: recomputes last-green ages from the committed CORRECTNESS_r*.json
-#: files and asserts the ENTIRE oldest bucket is in this window unless
-#: a row is explicitly listed in WINDOW_DISPLACED below, so that class
-#: of drift is now test-impossible):
+#: Round-16 rotation (per the round-15 verdict's item 1; membership is
+#: DERIVED FROM DATA — ``python tools/backlog.py`` prints the
+#: stalest-first backlog from the committed CORRECTNESS_r*.json files,
+#: and tests/test_registry_window.py::test_window_takes_the_stalest_rows_first
+#: enforces the same derivation, scoped to the grade files this window
+#: was built against — see WINDOW_BUILT_FROM):
 #: 4 flagship Layer-A queries (windowed every round)
-#: + ALL 31 r09 rows — the entire remaining r09 rotation debt retired
-#:   in one stroke, pipe_pack_sequences included (the five r14-
-#:   displaced reps first, then the sampling/similarity/text rows and
-#:   the eleven r09 relational reps: cast battery, GROUP BY ALL,
-#:   regexp, salted agg, the three scalar batteries, set union, the
-#:   six TPC-H shapes, the rank window)
-#: + 10 of the 46 r10 rows, stalest-first (the three bounded-state
-#:   event monitors' batch twins, BT source ranking, chunking, corpus
-#:   drift, curriculum order, fuzzy decontamination, diversity
-#:   sampling, numeric drift); the remaining 36 r10 rows head the
-#:   r16 backlog
-#: + 5 round-15 NEW faces (r14 verdict items 5 and 8, the PR
-#:   companion to AUC, the AUC paired bootstrap, and the packing
-#:   capacity sweep):
-#:   pipe_eval_qa_bootstrap (the sixth and last bootstrap gaining an
-#:   oracle face — EM and F1 disagreeing about significance),
-#:   pipe_eval_spearman_by_judge (the judge-validation statistic
-#:   sliced per judge, exercising the grouped path and the round-15
-#:   fully-excluded-group join fix), pipe_eval_pr (average
-#:   precision + best-F1 operating point on auc_report's shared
-#:   pinned relation), pipe_eval_auc_bootstrap (is model A's
-#:   AUC lead real — integer-weighted Mann-Whitney per replicate),
-#:   and pipe_pack_efficiency (the context-length capacity sweep)
-#: 4+31+10+5 = 50 exactly.  After this round no registry row's last
-#: driver grade is older than r10.  Every rotated-out name was
-#: officially green in r09-r14 and moves to WINDOW_EXEMPT;
-#: tests/test_registry_window.py asserts every registered query is
-#: either in the current window or has a recorded green row from a past
-#: driver window, and tools/parity.py + CI keep sweeping the whole
-#: registry regardless.
+#: + ALL 36 r10 rows — the entire stalest bucket in one stroke (the
+#:   three r15 swap-outs pipe_dsir_select / pipe_e2e_curation /
+#:   pipe_file_stats_distributed first among equals, then
+#:   alphabetical: DSIR selection, e2e curation, file stats, mixtures,
+#:   calibration, naive-Bayes domain, embedding near-dup, preference
+#:   pairs, k-anonymity, categorical quality model, schema drift, the
+#:   IVF face, the four sketch rows, group split, boilerplate strip,
+#:   BM25 terms, redaction, the two web-graph rows, and the thirteen
+#:   r10 relational reps + udtf_split_words)
+#: + 10 of the 46 r11 rows (next-stalest bucket, a family spread: the
+#:   three as-of/attribution event rows, BLEU, exact dedup, Fleiss'
+#:   kappa, Cohen's kappa, language ID, BPE tokenize, the UDAF rep)
+#: 4+36+10 = 50 exactly.  After this round no registry row's last
+#: driver grade is older than r11.  Round-16 NEW faces take r11 slots
+#: via ordinary swaps (r11 rows are not stalest-bucket members) noted
+#: inline below.  Every rotated-out name was officially green in
+#: r09-r15 and moves to WINDOW_EXEMPT; tests/test_registry_window.py
+#: asserts every registered query is either in the current window or
+#: has a recorded green row from a past driver window, and
+#: tools/parity.py + CI keep sweeping the whole registry regardless.
 PRIORITY: list[str] = [
     # Layer A flagship (windowed every round)
     "lgbm_tsv_flagship",
     "lgbm_infer_embeddings",
     "argmax_embeddings",
     "settings_introspection",
-    # r09 block — the ENTIRE remaining r09 rotation debt (31 rows):
-    # the five r14-displaced reps first, then alphabetical
-    "pipe_pack_sequences",
-    "pipe_probe_train",
-    "pipe_robots_precedence",
-    "pipe_sentence_chunks",
-    "pipe_shard_assign",
-    "pipe_sim_ann_lsh",
-    "pipe_sim_lsh_multiprobe",
-    "pipe_sim_topk_quantized",
-    "pipe_simhash_wide",
-    "pipe_text_fingerprint",
-    "pipe_text_pii",
-    "pipe_text_repetition",
-    "pipe_text_tokens",
-    "pipe_text_urls",
-    "pipe_truncate_matryoshka",
-    "pipe_warc_robots_clean",
-    "rel_cast_battery",
-    "rel_group_by_all",
-    "rel_regexp",
-    "rel_salted_agg",
-    "rel_scalar_bitwise",
-    "rel_scalar_conditional",
-    "rel_scalar_struct_map",
-    "rel_set_union",
-    "rel_tpch_q2_shape",
-    "rel_tpch_q10_shape",
-    "rel_tpch_q17_shape",
-    "rel_tpch_q18_shape",
-    "rel_tpch_q20_shape",
-    "rel_tpch_q21_shape",
-    "rel_window_rank",
-    # r10 block — 10 rows, stalest-first; the remaining 36 r10 rows
-    # head the r16 backlog
-    "events_ewma_batch",
-    "events_heavy_hitters_batch",
-    "events_reservoir_batch",
-    "pipe_bt_sources",
-    "pipe_chunk_documents",
-    "pipe_corpus_drift",
-    "pipe_curriculum_order",
-    "pipe_decontaminate_fuzzy",
-    "pipe_diversity_sample",
-    "pipe_drift_numeric",
-    # (pipe_file_stats_distributed, pipe_e2e_curation and
-    # pipe_dsir_select — all r10-green — ceded their planned slots to
-    # the late pipe_eval_pr, pipe_eval_auc_bootstrap and
-    # pipe_pack_efficiency faces; they head the r16 backlog with the
-    # remaining r10 rows.  r10 rows are not stalest-bucket members,
-    # so these are ordinary swaps, not WINDOW_DISPLACED entries.)
-    # round-15 NEW faces (r14 verdict items 5 and 8, the
-    # precision-recall companion to AUC, the AUC paired bootstrap —
-    # the bootstrap family's seventh member — and the packing
-    # capacity sweep)
-    "pipe_eval_qa_bootstrap",
-    "pipe_eval_spearman_by_judge",
-    "pipe_eval_pr",
-    "pipe_eval_auc_bootstrap",
-    "pipe_pack_efficiency",
+    # r10 block — the ENTIRE stalest bucket (36 rows): the three r15
+    # swap-outs first among equals, then alphabetical
+    "pipe_dsir_select",
+    "pipe_e2e_curation",
+    "pipe_file_stats_distributed",
+    "pipe_mixture_domain",
+    "pipe_model_calibration",
+    "pipe_nb_domain",
+    "pipe_neardup_embedding",
+    "pipe_preference_pairs",
+    "pipe_privacy_kanon",
+    "pipe_quality_model_categorical",
+    "pipe_schema_drift",
+    "pipe_sim_ivf",
+    "pipe_sketch_append",
+    "pipe_sketch_hll",
+    "pipe_sketch_joinsize",
+    "pipe_sketch_quantile",
+    "pipe_split_group",
+    "pipe_strip_boilerplate",
+    "pipe_text_bm25_terms",
+    "pipe_text_redact",
+    "pipe_web_hits",
+    "pipe_web_ppr",
+    "rel_agg_q1",
+    "rel_distinct",
+    "rel_lateral_join",
+    "rel_percentile",
+    "rel_scalar_math",
+    "rel_set_intersect",
+    "rel_subquery_in_exists",
+    "rel_topk_group",
+    "rel_tpch_pipe_syntax",
+    "rel_tpch_q7_shape",
+    "rel_tpch_q8_shape",
+    "rel_tpch_q9_shape",
+    "rel_window_lag",
+    "udtf_split_words",
+    # r11 block — 10 rows, next-stalest bucket, family spread; the
+    # remaining 36 r11 rows head the r17 backlog.  Round-16 new faces
+    # take slots from this block via ordinary swaps (noted inline).
+    "events_asof_forward",
+    "events_asof_join",
+    "events_attribution",
+    "pipe_eval_bleu",
+    "pipe_dedup_exact",
+    "pipe_eval_fleiss",
+    "pipe_eval_kappa",
+    "pipe_text_langid",
+    "pipe_tokenize_bpe",
+    "udaf_mean_norm",
 ]
 
 #: Stalest-bucket rows EXPLICITLY displaced from the current window
@@ -159,8 +137,20 @@ PRIORITY: list[str] = [
 #: slot, but the trade must be recorded HERE, where
 #: tests/test_registry_window.py::test_window_takes_the_stalest_rows_first
 #: audits it against the CORRECTNESS record — never in a prose list
-#: that can drift).  Empty for round 15: the whole r09 bucket fit.
+#: that can drift).  Empty for round 16: the whole r10 bucket fit.
 WINDOW_DISPLACED: frozenset[str] = frozenset()
+
+#: The CORRECTNESS generation this window was BUILT against: the
+#: round-N rotation is derived from the grade files r01..r(N-1) that
+#: existed when PRIORITY was written.  The enforcement test scopes its
+#: stalest-bucket derivation to files <= this round, so a driver grade
+#: landing AFTER the final commit (CORRECTNESS_r{N}.json, untracked)
+#: can never fail the tree the builder shipped — the r15 judge found
+#: exactly that: the freshly-landed r15 grades moved the oldest bucket
+#: from r09 to r10 and the test demanded the r16 rotation a round
+#: early.  tools/backlog.py stays UNSCOPED (it plans the NEXT window,
+#: so it should see every grade file); only the test pins.
+WINDOW_BUILT_FROM: int = 15
 
 
 #: Queries intentionally OUTSIDE the driver's 50-entry window.  Every name

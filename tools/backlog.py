@@ -23,13 +23,23 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO_ROOT)
 
 
-def last_green_rounds() -> dict[str, int]:
+def last_green_rounds(through: int | None = None) -> dict[str, int]:
+    """name -> latest round whose driver window graded it green.
+
+    ``through`` scopes the derivation to grade files r01..r{through}:
+    the window-enforcement test passes ``registry.WINDOW_BUILT_FROM``
+    so a CORRECTNESS file the driver drops AFTER the builder's final
+    commit can never redden the shipped tree.  The CLI report stays
+    unscoped — it plans the NEXT window and should see every file.
+    """
     last: dict[str, int] = {}
     for fname in sorted(os.listdir(REPO_ROOT)):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
         if not m:
             continue
         rnd = int(m.group(1))
+        if through is not None and rnd > through:
+            continue
         with open(os.path.join(REPO_ROOT, fname)) as fh:
             rows = json.load(fh)
         for name, row in rows.items():
