@@ -2335,13 +2335,14 @@ def pipe_quality_filter(spark, sf_dir):
       FROM t
     )
     SELECT doc_id, n_tokens, pack_group,
-           CAST(FLOOR(prev / CAST(2048 AS DOUBLE)) AS BIGINT) AS pack_no
+           CAST(prev // CAST(2048 AS BIGINT) AS BIGINT) AS pack_no
     FROM c
     """,
     doc="token-budget shard packing: docs stream into ~2048-token packs, "
     "sequential fill inside 8 parallel hash groups (never a global "
-    "single-partition cumulative sum); capacity is a power of two so the "
-    "floor division is exact in both engines",
+    "single-partition cumulative sum); integer DIV on both engines "
+    "(Spark `div`, DuckDB `//`) — exact at any running total, not just "
+    "under the double-precision 2^53 bound",
 )
 def pipe_pack_sequences(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
@@ -5947,25 +5948,22 @@ def pipe_lm_kn_trigram(spark, sf_dir):
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(c.tok) AS BIGINT) AS n_tokens,
              CAST(SUM(CASE WHEN c.tok > 0 AND
-                  FLOOR((c.prev + c.tok - 1) / CAST(cap.capacity AS DOUBLE))
-                  - FLOOR(c.prev / CAST(cap.capacity AS DOUBLE)) > 0
+                  (c.prev + c.tok - 1) // cap.capacity
+                  - c.prev // cap.capacity > 0
                   THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
              CAST(SUM(CASE WHEN c.tok > 0 THEN
-                  CAST(FLOOR((c.prev + c.tok - 1)
-                             / CAST(cap.capacity AS DOUBLE)) AS BIGINT)
-                  - CAST(FLOOR(c.prev / CAST(cap.capacity AS DOUBLE)) AS BIGINT)
+                  (c.prev + c.tok - 1) // cap.capacity
+                  - c.prev // cap.capacity
                   ELSE 0 END) AS BIGINT) AS n_crossings
       FROM c CROSS JOIN caps cap GROUP BY cap.capacity
     ),
     gt AS (SELECT grp, CAST(SUM(tok) AS BIGINT) AS total FROM c GROUP BY grp),
     pg AS (
       SELECT cap.capacity,
-             CAST(SUM(CAST(FLOOR((gt.total - 1)
-                                 / CAST(cap.capacity AS DOUBLE)) AS BIGINT)
-                      + 1) AS BIGINT) AS n_packs,
-             CAST(SUM((CAST(FLOOR((gt.total - 1)
-                                  / CAST(cap.capacity AS DOUBLE)) AS BIGINT)
-                       + 1) * cap.capacity - gt.total) AS BIGINT)
+             CAST(SUM((gt.total - 1) // cap.capacity + 1) AS BIGINT)
+                 AS n_packs,
+             CAST(SUM(((gt.total - 1) // cap.capacity + 1)
+                       * cap.capacity - gt.total) AS BIGINT)
                  AS tail_waste_tokens
       FROM gt CROSS JOIN caps cap WHERE gt.total > 0 GROUP BY cap.capacity
     )
@@ -5994,9 +5992,9 @@ def pipe_lm_kn_trigram(spark, sf_dir):
     "(capacity-independent); the sweep is a scalar explode (rows x 3 "
     "integer tuples) into a map-side-combinable per-capacity "
     "aggregation plus 8x3 rows of group-tail arithmetic — no join "
-    "carries text, zero Python.  Power-of-two capacities keep the "
-    "floor divisions exact in both engines (the pack_sequences "
-    "convention)",
+    "carries text, zero Python.  Integer DIV on both engines (Spark "
+    "`div`, DuckDB `//`) — exact at any group total and any capacity, "
+    "not just the power-of-two/under-2^53 regime",
 )
 def pipe_pack_efficiency(spark, sf_dir):
     d = table(spark, sf_dir, "documents")

@@ -174,6 +174,16 @@ def ivf_append_batch(
     wrong; rebuild when the batches/ ledger says the appended volume
     warrants it (the honest production policy — stated, not hidden).
 
+    Contract (the store-family disjointness rule): vector ids are
+    DISJOINT across batches — an id names one immutable vector for the
+    index's lifetime.  The append path never validates this (checking
+    would re-read the corpus-sized cells, exactly what an append
+    exists to avoid); a violating re-use of an id with a different
+    vector is not healed downstream — search deduplicates on the full
+    (id, cell, vector) row, so only bit-identical replay duplicates
+    collapse and a contract breach surfaces as the id occupying
+    multiple candidate rows.  To re-vector an id, rebuild the index.
+
     Replay safety is LEDGER-addressed: each applied batch writes one
     ``(batch_id, n_rows)`` row under ``batches/``, and an arriving
     batch whose id the ledger already holds is a NO-OP (returns
@@ -289,9 +299,15 @@ def search_ivf_index(
         # torn-append healing (see ivf_append_batch): a crash between
         # the cells append and its ledger row leaves bit-identical
         # duplicate rows after replay; collapse them so a neighbor can
-        # never occupy two ranks.  Bounded by the PROBED subset, never
-        # the corpus — and smaller than the scored relation it feeds.
-        .dropDuplicates(["neighbor_id"])
+        # never occupy two ranks.  Keyed on the FULL row (id, cell,
+        # vector) — replay duplicates are bit-identical so they still
+        # collapse, but a contract-violating append that reuses an id
+        # with a DIFFERENT vector is surfaced as two candidate rows
+        # rather than silently resolved to a partition-order-dependent
+        # arbitrary one (ids are disjoint across batches by the
+        # ivf_append_batch contract).  Bounded by the PROBED subset,
+        # never the corpus — and smaller than the scored relation.
+        .dropDuplicates(["neighbor_id", "centroid_id", "_cv"])
     )
     scored = (
         q.join(cells, "centroid_id")

@@ -184,8 +184,15 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prev = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    return base.withColumn(
-        "pack_no", F.floor(prev / F.lit(capacity)).cast("bigint")
+    # integer DIV, not floor-after-double-division: double quotients
+    # can round up across a pack boundary once running totals pass
+    # ~2^53/capacity tokens (r15 advice) — `div` is exact at any scale
+    return (
+        base.withColumn("_prev", prev)
+        .withColumn(
+            "pack_no", F.expr(f"_prev div {int(capacity)}").cast("bigint")
+        )
+        .drop("_prev")
     )
 
 
@@ -248,13 +255,14 @@ def pack_efficiency_report(
     caps = F.explode(
         F.array(*[F.lit(int(c)).cast("bigint") for c in capacities])
     ).alias("capacity")
+    # integer DIV throughout (r15 advice): floor-after-double-division
+    # is exact only for totals under ~2^53; `div` on bigints is exact
+    # at any corpus size and any capacity, matching the docstring's
+    # advertised integer-div semantics
     crossings = F.when(
         F.col("n_tokens") > 0,
-        F.floor(
-            (F.col("_prev") + F.col("n_tokens") - 1)
-            / F.col("capacity").cast("double")
-        )
-        - F.floor(F.col("_prev") / F.col("capacity").cast("double")),
+        F.expr("(_prev + n_tokens - 1) div capacity")
+        - F.expr("_prev div capacity"),
     ).otherwise(F.lit(0))
     per_cap_docs = (
         docs.select("n_tokens", "_prev", caps)
@@ -276,9 +284,7 @@ def pack_efficiency_report(
     totals = docs.groupBy("pack_group").agg(
         F.sum("n_tokens").cast("long").alias("_total")
     )
-    packs_g = F.floor(
-        (F.col("_total") - 1) / F.col("capacity").cast("double")
-    ) + F.lit(1)
+    packs_g = F.expr("(_total - 1) div capacity") + F.lit(1)
     per_cap_groups = (
         totals.where(F.col("_total") > 0)
         .select("_total", caps)

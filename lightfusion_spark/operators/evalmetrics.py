@@ -2965,7 +2965,14 @@ def auc_paired_bootstrap(
     Replicates where either class is empty after weighting yield a
     NULL side AUC and drop out of that replicate's delta — loud in
     ``n_delta_pos + n_delta_neg < n_boot``, impossible in practice
-    past a few hundred items.  ``auc_a6``/``auc_b6`` are the
+    past a few hundred items.  When replicates DO drop, the interval
+    columns go NULL rather than silently narrowing: the nearest-rank
+    indices are fixed at ceil(.025/.975 * n_boot) for family
+    consistency (every bootstrap here prices the interval against the
+    REQUESTED replicate count), so ``delta_hi6`` (and for deep drops
+    ``delta_lo6``) is NULL whenever the surviving-delta array is too
+    short — the honest answer for a degenerate labeled set.  With
+    ZERO surviving deltas the counts still read 0, not NULL.  ``auc_a6``/``auc_b6`` are the
     full-sample values over the paired valid set, computed as a
     weight-1 pseudo-replicate riding the same pipeline (same
     ``score_decimals`` rounding and tie structure as every resampled
@@ -3102,13 +3109,17 @@ def auc_paired_bootstrap(
     )
     lo_rank = max(1, -(-int(n_boot) * 25 // 1000))
     hi_rank = -(-int(n_boot) * 975 // 1000)
+    # coalesce: with ZERO surviving deltas (a degenerate one-class
+    # corpus drops every replicate) the sums over the empty relation
+    # are NULL — the counts must read 0 while the interval columns go
+    # NULL (r15 advice; the docstring's dropped-replicate contract)
     summary = deltas.agg(
         F.count(F.lit(1)).cast("long").alias("_nb"),
         F.sort_array(F.collect_list("_d")).alias("_ds"),
-        F.sum(F.when(F.col("_d") > 0, 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("_d") > 0, 1).otherwise(0)), F.lit(0))
         .cast("long")
         .alias("n_delta_pos"),
-        F.sum(F.when(F.col("_d") < 0, 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("_d") < 0, 1).otherwise(0)), F.lit(0))
         .cast("long")
         .alias("n_delta_neg"),
     )
@@ -3346,7 +3357,42 @@ def binary_scores_append_batch(
     boundaries, the qa-store rule).  Replay safety is
     batch-id-addressed: cells are a deterministic function of the
     batch, so replays write identical rows and the read side
-    MAX-collapses per (batch_id, _ok, _s)."""
+    MAX-collapses per (batch_id, _ok, _s).
+
+    The first append writes a one-row ``_meta`` manifest
+    (score_decimals + the score/label column names) beside the cells
+    (``_``-prefixed, so the cell reads never see it); every later
+    append validates against it and REFUSES a mismatch — cells rounded
+    at different decimals (or scored from different columns) would
+    otherwise merge into one store silently, skewing every metric with
+    no error (r15 advice; the IVF store's dim guard, applied here)."""
+    from pyspark.errors import AnalysisException
+
+    spark = batch_df.sparkSession
+    meta_path = f"{state_dir}/_meta"
+    try:
+        meta = spark.read.parquet(meta_path).first()
+    except AnalysisException:  # first batch: no store yet
+        meta = None
+    if meta is None:
+        spark.createDataFrame(
+            [(int(score_decimals), score_col, label_col)],
+            "score_decimals int, score_col string, label_col string",
+        ).write.mode("overwrite").parquet(meta_path)
+    elif (
+        int(meta["score_decimals"]) != int(score_decimals)
+        or meta["score_col"] != score_col
+        or meta["label_col"] != label_col
+    ):
+        raise ValueError(
+            "binary_scores_append_batch: batch contract "
+            f"(score_decimals={score_decimals}, score_col={score_col!r}, "
+            f"label_col={label_col!r}) != store manifest "
+            f"(score_decimals={meta['score_decimals']}, "
+            f"score_col={meta['score_col']!r}, "
+            f"label_col={meta['label_col']!r}) at {state_dir} — cells "
+            "rounded or scored differently cannot merge"
+        )
     # pin=False: the parquet write is this relation's ONLY consumer,
     # so the shared-branch checkpoint would just double-materialize
     _, _, per_group = _binary_score_groups(

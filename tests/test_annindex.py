@@ -258,3 +258,34 @@ def test_append_refuses_mismatched_geometry(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="NULL"):
         annindex.ivf_append_batch(null_vec, path, 9)
+
+
+def test_id_reuse_with_different_vector_surfaces_not_silently_resolved(
+    spark, sf_dir, tmp_path
+):
+    """ivf_append_batch's disjoint-ids contract (r15 advice): search
+    dedupes on the FULL (id, cell, vector) row, so bit-identical replay
+    duplicates collapse (the torn-append test) but a contract-breaching
+    append that reuses an id with a DIFFERENT vector shows up as the id
+    occupying multiple candidate rows — visible, never resolved to a
+    partition-order-dependent arbitrary vector."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b0 = emb.where(F.col("vec_id") % 3 == 0)
+    path = str(tmp_path / "idx_reuse")
+    annindex.build_ivf_index(
+        b0, path, "vec_id", "embedding", n_centroids=4, n_iters=2
+    )
+    # contract breach: id 0 re-appended with id 3's vector
+    breach = (
+        emb.where(F.col("vec_id") == 3)
+        .select(F.lit(0).cast("long").alias("vec_id"), "embedding")
+    )
+    annindex.ivf_append_batch(breach, path, 1)
+    q = emb.where(F.col("vec_id") == 6).select("vec_id", "embedding")
+    got = annindex.search_ivf_index(
+        spark, path, q, "vec_id", "embedding", k=1000, nprobe=4
+    )
+    per_neighbor = (
+        got.groupBy("neighbor_id").count().where(F.col("count") > 1).collect()
+    )
+    assert [r["neighbor_id"] for r in per_neighbor] == [0]

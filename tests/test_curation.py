@@ -985,3 +985,40 @@ def test_pack_efficiency_predicts_pack_sequences(spark):
             if last is not None:
                 last_crossings += last
         assert got[cap]["n_packs"] == id_packs + last_crossings
+
+
+def test_pack_division_exact_past_double_precision(spark):
+    """r15 advice: pack/crossing counts now use integer DIV, not
+    floor-after-double-division.  At prev = 2^45*2048 - 1 the double
+    quotient 2^45 - 1/2048 rounds UP to 2^45 (ulp at 2^45 is 2^-7 >
+    2/2048), so the old floor(double) path mis-assigned the next doc
+    by one whole pack; `div` is exact at any running total."""
+    cap = 2048
+    big = (1 << 45) * cap - 1  # prev of the second doc
+    rows = [(1, big), (2, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, tok long")
+    got = {
+        r["doc_id"]: r["pack_no"]
+        for r in curation.pack_sequences(
+            df, "doc_id", "tok", capacity=cap, n_groups=1
+        ).collect()
+    }
+    assert got[1] == 0
+    assert got[2] == big // cap == (1 << 45) - 1  # double path said 2^45
+
+    rep = {
+        r["capacity"]: r.asDict()
+        for r in curation.pack_efficiency_report(
+            df, "doc_id", "tok", capacities=(cap,), n_groups=1
+        ).collect()
+    }[cap]
+    total = big + 5
+    n_packs = (total - 1) // cap + 1
+    assert rep["n_packs"] == n_packs
+    assert rep["tail_waste_tokens"] == n_packs * cap - total
+    # doc 2 starts at offset big = 2^45*2048 - 1, one token before a
+    # boundary, and is 5 tokens long -> exactly one crossing
+    assert rep["n_crossings"] == ((big - 1) // cap - 0) + (
+        (big + 5 - 1) // cap - big // cap
+    )
+    assert rep["n_split_docs"] == 2

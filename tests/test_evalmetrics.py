@@ -2575,6 +2575,23 @@ def test_auc_paired_bootstrap_matches_reference(spark):
     ).collect()[0].asDict()
     assert r["n_samples"] == 2 and r["n_excluded"] == 3
 
+    # r15 advice: a one-class corpus drops EVERY replicate — the
+    # delta counts must read 0 (not NULL) while the interval and
+    # p_a_better columns go NULL (the documented dropped-replicate
+    # contract; AUC itself is undefined with one class)
+    oneclass = spark.createDataFrame(
+        [(i, 0.5 + i / 100.0, 0.4 + i / 100.0, 1) for i in range(8)],
+        "id long, sa double, sb double, label int",
+    )
+    d = em.auc_paired_bootstrap(
+        oneclass, "id", "sa", "sb", "label"
+    ).collect()[0].asDict()
+    assert d["n_samples"] == 8
+    assert d["n_delta_pos"] == 0 and d["n_delta_neg"] == 0
+    for col in ("auc_a6", "auc_b6", "delta6", "delta_lo6", "delta_hi6",
+                "p_a_better6"):
+        assert d[col] is None, col
+
 
 def test_binary_score_store_streamed_equals_one_shot(spark, tmp_path):
     """The binary-score store: three appended batches == the one-shot
@@ -2615,6 +2632,24 @@ def test_binary_score_store_streamed_equals_one_shot(spark, tmp_path):
     )
     again = em.auc_from_store(spark, state).collect()
     assert [r.asDict() for r in again] == [r.asDict() for r in want_auc]
+
+    # r15 advice: the store manifests its rounding + column contract on
+    # first append and REFUSES an incompatible one — cells rounded at
+    # different decimals (or scored from a different column) must not
+    # merge silently
+    with pytest.raises(ValueError, match="score_decimals"):
+        em.binary_scores_append_batch(
+            df.where(F.col("id") % 3 == 0), state, 7, "id", "score",
+            "label", score_decimals=4,
+        )
+    with pytest.raises(ValueError, match="score_col"):
+        em.binary_scores_append_batch(
+            df.selectExpr("id", "score AS other", "label").where(
+                F.col("id") % 3 == 0
+            ), state, 7, "id", "other", "label",
+        )
+    final = em.auc_from_store(spark, state).collect()  # nothing merged
+    assert [r.asDict() for r in final] == [r.asDict() for r in want_auc]
 
 
 def test_null_group_values_grade_correctly(spark):
