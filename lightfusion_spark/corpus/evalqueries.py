@@ -3672,3 +3672,164 @@ def pipe_eval_auc_bootstrap(spark, sf_dir):
     return evalmetrics.auc_paired_bootstrap(
         rows, "doc_id", "score_a", "score_b", "label"
     )
+
+
+_PR_BOOTSTRAP_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 14)
+              AS BIGINT) % 1000000 AS u1,
+         CAST('0x' || substr(md5('12:' || CAST(doc_id AS VARCHAR)), 1, 14)
+              AS BIGINT) % 1000000 AS u2,
+         CAST('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 14)
+              AS BIGINT) % 1000000 AS u3,
+         CAST('0x' || substr(md5('14:' || CAST(doc_id AS VARCHAR)), 1, 14)
+              AS BIGINT) % 1000000 AS u4
+  FROM documents
+),
+s AS MATERIALIZED (
+  SELECT doc_id,
+         ROUND(CAST(CASE WHEN u2 < 80000 AND u4 < 500000
+                         THEN 900000 + u1 % 100000
+                         ELSE u1 % 900000 END AS DOUBLE) / 1000000.0, 6)
+             AS sa,
+         ROUND(CAST(CASE WHEN u2 < 80000
+                         THEN 550000 + u3 % 450000
+                         ELSE u3 END AS DOUBLE) / 1000000.0, 6) AS sb,
+         CASE WHEN u2 < 80000 THEN 1 ELSE 0 END AS y
+  FROM h
+),
+bs AS (SELECT CAST(u.b AS BIGINT) AS b FROM UNNEST(range(-1, 32)) AS u(b)),
+w AS (
+  SELECT s.doc_id, bs.b,
+         CASE WHEN bs.b = -1 THEN 1 ELSE {_BOOT_WEIGHT_CASE} END AS w
+  FROM s CROSS JOIN bs,
+  LATERAL (
+    SELECT CAST(('0x' || substr(md5('7:' || CAST(s.doc_id AS VARCHAR)
+                                 || ':' || CAST(bs.b AS VARCHAR)), 1, 14))
+                AS BIGINT) % 1000000 AS h6
+  ) h
+),
+sided AS (
+  SELECT w.b, sv.side, sv.v,
+         w.w * s.y AS wp, w.w * (1 - s.y) AS wn
+  FROM s JOIN w ON w.doc_id = s.doc_id,
+  LATERAL (VALUES ('a', s.sa), ('b', s.sb)) AS sv(side, v)
+),
+ps AS (
+  SELECT b, side, v, CAST(SUM(wp) AS BIGINT) AS np,
+         CAST(SUM(wn) AS BIGINT) AS nn
+  FROM sided GROUP BY b, side, v
+),
+tot AS (
+  SELECT b, side, CAST(SUM(np) AS BIGINT) AS p FROM ps GROUP BY b, side
+),
+blk AS (
+  SELECT b, side, np,
+         SUM(np) OVER (PARTITION BY b, side ORDER BY v DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         SUM(nn) OVER (PARTITION BY b, side ORDER BY v DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+  FROM ps WHERE np > 0 OR nn > 0
+),
+cells AS (
+  SELECT b, side,
+         CAST(SUM(CAST(np AS DECIMAL(18,0))
+                  * CAST(ROUND(CAST(tp AS DOUBLE)
+                               / CAST(tp + fp AS DOUBLE), 6)
+                         AS DECIMAL(18,6)))
+              AS DECIMAL(38,6)) AS ap_sum
+  FROM blk GROUP BY b, side
+),
+rap AS (
+  SELECT cells.b, cells.side,
+         CASE WHEN tot.p > 0
+              THEN ROUND(CAST(cells.ap_sum AS DOUBLE)
+                         / CAST(tot.p AS DOUBLE), 6)
+         END AS ap
+  FROM cells JOIN tot ON cells.b = tot.b AND cells.side = tot.side
+),
+d AS (
+  SELECT x.b, ROUND(x.ap - y2.ap, 6) AS d
+  FROM rap x JOIN rap y2 ON x.b = y2.b AND x.side = 'a' AND y2.side = 'b'
+  WHERE x.b >= 0 AND x.ap IS NOT NULL AND y2.ap IS NOT NULL
+),
+dr AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS rk FROM d)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_samples,
+       CAST(0 AS BIGINT) AS n_excluded,
+       CAST(32 AS INTEGER) AS n_boot,
+       (SELECT ap FROM rap WHERE b = -1 AND side = 'a') AS ap_a6,
+       (SELECT ap FROM rap WHERE b = -1 AND side = 'b') AS ap_b6,
+       ROUND((SELECT ap FROM rap WHERE b = -1 AND side = 'a')
+             - (SELECT ap FROM rap WHERE b = -1 AND side = 'b'), 6)
+           AS delta6,
+       (SELECT d FROM dr WHERE rk = 1) AS delta_lo6,
+       (SELECT d FROM dr WHERE rk = 32) AS delta_hi6,
+       COALESCE((SELECT CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END)
+                             AS BIGINT) FROM d), 0) AS n_delta_pos,
+       COALESCE((SELECT CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END)
+                             AS BIGINT) FROM d), 0) AS n_delta_neg,
+       ROUND((SELECT CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+              FROM d)
+             / (SELECT CAST(COUNT(*) AS DOUBLE) FROM d), 6) AS p_a_better6
+"""
+
+
+@register(
+    "pipe_eval_pr_bootstrap",
+    oracle=_PR_BOOTSTRAP_ORACLE,
+    doc="paired bootstrap significance for AVERAGE PRECISION "
+    "(evalmetrics.pr_paired_bootstrap) — the eighth bootstrap, on the "
+    "class-imbalance metric, built for the case where AUC and AP "
+    "DISAGREE: 8% positives (u2 ppm draw); model A promotes half the "
+    "positives above everything (u4 coin) and scores the rest as "
+    "noise — high early precision; model B boosts EVERY positive "
+    "mildly into the upper bulk — equal whole-ranking separation.  "
+    "AUC reads the two as a coin flip (p_a_better ~0.53 at sf0.01) "
+    "while AP calls A's lead in EVERY resampled world (p 1.0, delta "
+    "+0.43) — the verdict only this harness can issue.  ITEMS "
+    "resample under the family's deterministic Poisson(1) md5/ppm "
+    "weights; integer weights keep the per-score class counts "
+    "integral, so each replicate's AP is pr_report's exact fold "
+    "(per-tie-block precision ROUNDED at 6 riding a DECIMAL sum "
+    "over integer block weights) and the whole experiment replays "
+    "bit-for-bit in SQL; the headline ap_a6/ap_b6 ride the "
+    "weight-1 pseudo-replicate.  A zero-weight tie block is absent "
+    "from its resampled world (as if resampled away).  Scale: ONE "
+    "corpus-sized explode of scalar rows (rows x 33 x 2 sides) into "
+    "a map-side-combinable aggregation bounded by 2 * 33 * (1e6+1) "
+    "rows; the per-replicate tp/fp windows, DECIMAL ap folds and "
+    "the 32-delta quantile run over that bounded relation.  Zero "
+    "Python",
+)
+def pipe_eval_pr_bootstrap(spark, sf_dir):
+    from ..operators.dedup import _md5_long
+
+    d = table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    u1 = _md5_long(sid, seed=11) % F.lit(1_000_000)
+    u2 = _md5_long(sid, seed=12) % F.lit(1_000_000)
+    u3 = _md5_long(sid, seed=13) % F.lit(1_000_000)
+    u4 = _md5_long(sid, seed=14) % F.lit(1_000_000)
+    y = u2 < 80_000
+    rows = d.select(
+        "doc_id",
+        F.round(
+            F.when(y & (u4 < 500_000), F.lit(900_000) + u1 % 100_000)
+            .otherwise(u1 % 900_000)
+            .cast("double")
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("score_a"),
+        F.round(
+            F.when(y, F.lit(550_000) + u3 % 450_000)
+            .otherwise(u3)
+            .cast("double")
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("score_b"),
+        y.cast("int").alias("label"),
+    )
+    return evalmetrics.pr_paired_bootstrap(
+        rows, "doc_id", "score_a", "score_b", "label"
+    )

@@ -2934,6 +2934,177 @@ def _auc_from_groups(
     )
 
 
+def _paired_binary_replicates(
+    df: DataFrame,
+    id_col: str,
+    score_a_col: str,
+    score_b_col: str,
+    label_col: str,
+    n_boot: int,
+    seed: int,
+    score_decimals: int,
+):
+    """The shared front half of the paired binary-classifier
+    bootstraps (:func:`auc_paired_bootstrap` /
+    :func:`pr_paired_bootstrap`): exclusion-count aggregate plus the
+    integer-weighted per-(replicate, side, rounded score) class
+    counts, with ``b = -1`` the weight-1 full-sample pseudo-replicate
+    that carries the headline metrics through the same pipeline.
+    Returns ``(counts, per_score)`` where ``per_score`` has columns
+    ``(b, _side, _v, _np, _nn)`` and is bounded by
+    ``2 * (n_boot + 1) * (10^score_decimals + 1)`` rows by the ROUND
+    contract — the ONE corpus-sized exchange either metric needs."""
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2, got {n_boot}")
+    from .dedup import _md5_long
+
+    ok = (
+        F.col(score_a_col).isNotNull()
+        & F.col(score_b_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    )
+    base = df.select(
+        ok.alias("_ok"),
+        F.col(id_col).cast("string").alias("_id"),
+        F.when(
+            ok, F.round(F.col(score_a_col).cast("double"), score_decimals)
+        ).alias("_sa"),
+        F.when(
+            ok, F.round(F.col(score_b_col).cast("double"), score_decimals)
+        ).alias("_sb"),
+        F.when(ok, F.col(label_col).cast("int")).alias("_y"),
+    )
+    counts = base.agg(
+        F.coalesce(F.sum(F.when(F.col("_ok"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_samples"),
+        F.coalesce(F.sum(F.when(~F.col("_ok"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_excluded"),
+    )
+    # b = -1 is the FULL-SAMPLE pseudo-replicate (weight 1 for every
+    # item): the headline metrics ride the SAME single explode/
+    # aggregation/window pipeline as the resampled worlds — same
+    # rounding, same tie structure, one corpus pass — instead of two
+    # extra eager report scans (round-15 review findings 3 and 5)
+    reps = base.where(F.col("_ok")).select(
+        "_id",
+        "_sa",
+        "_sb",
+        "_y",
+        F.explode(F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))).alias("b"),
+    )
+    h6 = (
+        _md5_long(
+            F.concat_ws(":", F.col("_id"), F.col("b").cast("string")),
+            seed=seed,
+        )
+        % F.lit(1_000_000)
+    )
+    w = F.when(F.col("b") == -1, F.lit(1)).otherwise(_poisson1_weight(h6))
+    sided = reps.select(
+        "b",
+        w.alias("_w"),
+        "_y",
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("s"), F.col("_sa").alias("v")),
+                F.struct(F.lit("b").alias("s"), F.col("_sb").alias("v")),
+            )
+        ).alias("_sv"),
+    ).select(
+        "b",
+        F.col("_sv.s").alias("_side"),
+        F.col("_sv.v").alias("_v"),
+        (F.col("_w") * F.when(F.col("_y") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("_wp"),
+        (F.col("_w") * F.when(F.col("_y") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("_wn"),
+    )
+    per_score = sided.groupBy("b", "_side", "_v").agg(
+        F.sum("_wp").cast("long").alias("_np"),
+        F.sum("_wn").cast("long").alias("_nn"),
+    )
+    return counts, per_score
+
+
+def _paired_bootstrap_report(
+    rep_metric: DataFrame, counts: DataFrame, n_boot: int, prefix: str
+) -> DataFrame:
+    """The shared back half: ``rep_metric`` is ``(b, _side, _m)`` with
+    a NULL ``_m`` dropping that replicate's delta (the documented
+    degenerate-world contract); emits the standard one-row summary
+    with the headline columns named ``{prefix}_a6`` / ``{prefix}_b6``.
+    Interval ranks are fixed at ceil(.025/.975 * n_boot) — family
+    consistency; see :func:`auc_paired_bootstrap`'s docstring for the
+    dropped-replicate semantics."""
+    deltas = (
+        rep_metric.where(F.col("b") >= 0)
+        .groupBy("b")
+        .agg(
+            F.max(F.when(F.col("_side") == "a", F.col("_m"))).alias("_aa"),
+            F.max(F.when(F.col("_side") == "b", F.col("_m"))).alias("_ab"),
+        )
+        .where(F.col("_aa").isNotNull() & F.col("_ab").isNotNull())
+        .select(F.round(F.col("_aa") - F.col("_ab"), 6).alias("_d"))
+    )
+    lo_rank = max(1, -(-int(n_boot) * 25 // 1000))
+    hi_rank = -(-int(n_boot) * 975 // 1000)
+    # coalesce: with ZERO surviving deltas (a degenerate one-class
+    # corpus drops every replicate) the sums over the empty relation
+    # are NULL — the counts must read 0 while the interval columns go
+    # NULL (r15 advice; the docstring's dropped-replicate contract)
+    summary = deltas.agg(
+        F.count(F.lit(1)).cast("long").alias("_nb"),
+        F.sort_array(F.collect_list("_d")).alias("_ds"),
+        F.coalesce(F.sum(F.when(F.col("_d") > 0, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_delta_pos"),
+        F.coalesce(F.sum(F.when(F.col("_d") < 0, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_delta_neg"),
+    )
+    # full metrics from the weight-1 pseudo-replicate: the PAIRED
+    # valid set (both scores + label present), same rounding and tie
+    # structure as every resampled world, zero extra corpus scans
+    fulls = rep_metric.where(F.col("b") == -1).agg(
+        F.max(F.when(F.col("_side") == "a", F.col("_m"))).alias(
+            f"{prefix}_a6"
+        ),
+        F.max(F.when(F.col("_side") == "b", F.col("_m"))).alias(
+            f"{prefix}_b6"
+        ),
+    )
+    return (
+        summary.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(fulls))
+        .select(
+            "n_samples",
+            "n_excluded",
+            F.lit(int(n_boot)).cast("int").alias("n_boot"),
+            f"{prefix}_a6",
+            f"{prefix}_b6",
+            F.round(
+                F.col(f"{prefix}_a6") - F.col(f"{prefix}_b6"), 6
+            ).alias("delta6"),
+            F.get("_ds", lo_rank - 1).alias("delta_lo6"),
+            F.get("_ds", hi_rank - 1).alias("delta_hi6"),
+            "n_delta_pos",
+            "n_delta_neg",
+            F.when(
+                F.col("_nb") > 0,
+                F.round(
+                    F.col("n_delta_pos").cast("double")
+                    / F.col("_nb").cast("double"),
+                    6,
+                ),
+            ).alias("p_a_better6"),
+        )
+    )
+
+
 def auc_paired_bootstrap(
     df: DataFrame,
     id_col: str,
@@ -2987,78 +3158,15 @@ def auc_paired_bootstrap(
     32-delta quantile run over THAT bounded relation.  Zero Python,
     zero extra corpus scans.
     """
-    if n_boot < 2:
-        raise ValueError(f"n_boot must be >= 2, got {n_boot}")
-    from .dedup import _md5_long
-
-    ok = (
-        F.col(score_a_col).isNotNull()
-        & F.col(score_b_col).isNotNull()
-        & F.col(label_col).isNotNull()
-    )
-    base = df.select(
-        ok.alias("_ok"),
-        F.col(id_col).cast("string").alias("_id"),
-        F.when(
-            ok, F.round(F.col(score_a_col).cast("double"), score_decimals)
-        ).alias("_sa"),
-        F.when(
-            ok, F.round(F.col(score_b_col).cast("double"), score_decimals)
-        ).alias("_sb"),
-        F.when(ok, F.col(label_col).cast("int")).alias("_y"),
-    )
-    counts = base.agg(
-        F.coalesce(F.sum(F.when(F.col("_ok"), 1)), F.lit(0))
-        .cast("long")
-        .alias("n_samples"),
-        F.coalesce(F.sum(F.when(~F.col("_ok"), 1)), F.lit(0))
-        .cast("long")
-        .alias("n_excluded"),
-    )
-    # b = -1 is the FULL-SAMPLE pseudo-replicate (weight 1 for every
-    # item): the headline auc_a6/auc_b6 ride the SAME single explode/
-    # aggregation/window pipeline as the resampled worlds — same
-    # rounding, same tie structure, one corpus pass — instead of two
-    # extra eager auc_report scans (round-15 review findings 3 and 5)
-    reps = base.where(F.col("_ok")).select(
-        "_id",
-        "_sa",
-        "_sb",
-        "_y",
-        F.explode(F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))).alias("b"),
-    )
-    h6 = (
-        _md5_long(
-            F.concat_ws(":", F.col("_id"), F.col("b").cast("string")),
-            seed=seed,
-        )
-        % F.lit(1_000_000)
-    )
-    w = F.when(F.col("b") == -1, F.lit(1)).otherwise(_poisson1_weight(h6))
-    sided = reps.select(
-        "b",
-        w.alias("_w"),
-        "_y",
-        F.explode(
-            F.array(
-                F.struct(F.lit("a").alias("s"), F.col("_sa").alias("v")),
-                F.struct(F.lit("b").alias("s"), F.col("_sb").alias("v")),
-            )
-        ).alias("_sv"),
-    ).select(
-        "b",
-        F.col("_sv.s").alias("_side"),
-        F.col("_sv.v").alias("_v"),
-        (F.col("_w") * F.when(F.col("_y") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("_wp"),
-        (F.col("_w") * F.when(F.col("_y") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("_wn"),
-    )
-    per_score = sided.groupBy("b", "_side", "_v").agg(
-        F.sum("_wp").cast("long").alias("_np"),
-        F.sum("_wn").cast("long").alias("_nn"),
+    counts, per_score = _paired_binary_replicates(
+        df,
+        id_col,
+        score_a_col,
+        score_b_col,
+        label_col,
+        n_boot,
+        seed,
+        score_decimals,
     )
     wv = Window.partitionBy("b", "_side").orderBy("_v").rowsBetween(
         Window.unboundedPreceding, -1
@@ -3095,65 +3203,120 @@ def auc_paired_bootstrap(
                 ),
                 6,
             ),
-        ).alias("_auc"),
+        ).alias("_m"),
     )
-    deltas = (
-        rep_auc.where(F.col("b") >= 0)
-        .groupBy("b")
-        .agg(
-            F.max(F.when(F.col("_side") == "a", F.col("_auc"))).alias("_aa"),
-            F.max(F.when(F.col("_side") == "b", F.col("_auc"))).alias("_ab"),
-        )
-        .where(F.col("_aa").isNotNull() & F.col("_ab").isNotNull())
-        .select(F.round(F.col("_aa") - F.col("_ab"), 6).alias("_d"))
+    return _paired_bootstrap_report(rep_auc, counts, n_boot, "auc")
+
+
+def pr_paired_bootstrap(
+    df: DataFrame,
+    id_col: str,
+    score_a_col: str,
+    score_b_col: str,
+    label_col: str,
+    n_boot: int = 32,
+    seed: int = 7,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Paired bootstrap significance for AVERAGE PRECISION — is model
+    A's AP lead over model B real?  The class-imbalance companion to
+    :func:`auc_paired_bootstrap` (r15 verdict item 5): on a rare-
+    positive corpus AUC and AP can DISAGREE about the winner (AUC
+    prices bulk ranking, AP prices early precision), and this is the
+    harness that says which lead survives resampling.  Same shared
+    machinery: items resample under the deterministic Poisson(1)
+    md5/ppm weights, integer weights keep the weighted per-score
+    class counts integral, and each replicate's AP is
+    :func:`pr_report`'s exact fold — per-tie-block precision ROUNDED
+    at 6 riding a DECIMAL weighted sum over the integer block
+    weights, divided by that replicate's weighted positive count.
+    One row::
+
+        (n_samples, n_excluded, n_boot, ap_a6, ap_b6, delta6,
+         delta_lo6, delta_hi6, n_delta_pos, n_delta_neg, p_a_better6)
+
+    Rows with a NULL label or EITHER score NULL are EXCLUDED AND
+    COUNTED.  A replicate whose weighting leaves a side with zero
+    positives has an undefined AP on that side and drops out of the
+    delta — loud in ``n_delta_pos + n_delta_neg < n_boot``; with zero
+    surviving deltas the counts read 0 and the interval/probability
+    columns are NULL (the family's degenerate-input contract).
+    ``ap_a6``/``ap_b6`` are the full-sample values over the paired
+    valid set, computed as the weight-1 pseudo-replicate — equal to
+    :func:`pr_report` over the paired rows.
+
+    100 TB shape: identical to the AUC bootstrap — ONE corpus-sized
+    explode of scalar rows (``rows x (n_boot + 1) x 2 sides``) into a
+    map-side-combinable aggregation bounded by
+    ``2 * (n_boot + 1) * (10^score_decimals + 1)`` rows; the
+    per-replicate cumulative tp/fp windows, the DECIMAL ap folds and
+    the 32-delta quantile all run over that bounded relation.  Zero
+    Python, zero extra corpus scans.
+    """
+    counts, per_score = _paired_binary_replicates(
+        df,
+        id_col,
+        score_a_col,
+        score_b_col,
+        label_col,
+        n_boot,
+        seed,
+        score_decimals,
     )
-    lo_rank = max(1, -(-int(n_boot) * 25 // 1000))
-    hi_rank = -(-int(n_boot) * 975 // 1000)
-    # coalesce: with ZERO surviving deltas (a degenerate one-class
-    # corpus drops every replicate) the sums over the empty relation
-    # are NULL — the counts must read 0 while the interval columns go
-    # NULL (r15 advice; the docstring's dropped-replicate contract)
-    summary = deltas.agg(
-        F.count(F.lit(1)).cast("long").alias("_nb"),
-        F.sort_array(F.collect_list("_d")).alias("_ds"),
-        F.coalesce(F.sum(F.when(F.col("_d") > 0, 1).otherwise(0)), F.lit(0))
-        .cast("long")
-        .alias("n_delta_pos"),
-        F.coalesce(F.sum(F.when(F.col("_d") < 0, 1).otherwise(0)), F.lit(0))
-        .cast("long")
-        .alias("n_delta_neg"),
+    # pr_report's fold per (replicate, side): descending-score
+    # cumulative tp/fp, per-block precision rounded at 6, exact
+    # DECIMAL sum over integer block weights (same types, same
+    # rounding — the shared-definition guarantee the face's oracle
+    # replays)
+    totals = per_score.groupBy("b", "_side").agg(
+        F.coalesce(F.sum("_np"), F.lit(0)).cast("long").alias("_p")
     )
-    # full AUCs from the weight-1 pseudo-replicate: the PAIRED valid
-    # set (both scores + label present), same rounding and tie
-    # structure as every resampled world, zero extra corpus scans
-    fulls = rep_auc.where(F.col("b") == -1).agg(
-        F.max(F.when(F.col("_side") == "a", F.col("_auc"))).alias("auc_a6"),
-        F.max(F.when(F.col("_side") == "b", F.col("_auc"))).alias("auc_b6"),
+    wv = (
+        Window.partitionBy("b", "_side")
+        .orderBy(F.col("_v").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        summary.crossJoin(F.broadcast(counts))
-        .crossJoin(F.broadcast(fulls))
-        .select(
-            "n_samples",
-            "n_excluded",
-            F.lit(int(n_boot)).cast("int").alias("n_boot"),
-            "auc_a6",
-            "auc_b6",
-            F.round(F.col("auc_a6") - F.col("auc_b6"), 6).alias("delta6"),
-            F.get("_ds", lo_rank - 1).alias("delta_lo6"),
-            F.get("_ds", hi_rank - 1).alias("delta_hi6"),
-            "n_delta_pos",
-            "n_delta_neg",
-            F.when(
-                F.col("_nb") > 0,
-                F.round(
-                    F.col("n_delta_pos").cast("double")
-                    / F.col("_nb").cast("double"),
-                    6,
-                ),
-            ).alias("p_a_better6"),
-        )
+    # a resampled world's thresholds are its OCCUPIED scores: a tie
+    # block whose items all drew weight 0 is absent from that world
+    # (it adds nothing to tp/fp/apsum, and at the very top it would be
+    # a 0/0 precision), exactly as if the rows were resampled away
+    blocks = per_score.where(
+        (F.col("_np") > 0) | (F.col("_nn") > 0)
+    ).select(
+        "b",
+        "_side",
+        "_np",
+        F.sum("_np").over(wv).cast("long").alias("_tp"),
+        F.sum("_nn").over(wv).cast("long").alias("_fp"),
     )
+    prec6 = F.round(
+        F.col("_tp").cast("double")
+        / (F.col("_tp") + F.col("_fp")).cast("double"),
+        6,
+    )
+    ap_cells = blocks.groupBy("b", "_side").agg(
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("_np").cast("decimal(18,0)")
+                    * prec6.cast("decimal(18,6)")
+                ).cast("decimal(38,6)")
+            ),
+            F.lit(0).cast("decimal(38,6)"),
+        ).alias("_ap_sum")
+    )
+    rep_ap = ap_cells.join(totals, ["b", "_side"]).select(
+        "b",
+        "_side",
+        F.when(
+            F.col("_p") > 0,
+            F.round(
+                F.col("_ap_sum").cast("double") / F.col("_p").cast("double"),
+                6,
+            ),
+        ).alias("_m"),
+    )
+    return _paired_bootstrap_report(rep_ap, counts, n_boot, "ap")
 
 
 def pr_report(

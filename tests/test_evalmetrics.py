@@ -2593,6 +2593,149 @@ def test_auc_paired_bootstrap_matches_reference(spark):
         assert d[col] is None, col
 
 
+def _ap_weighted_reference(items, n_boot=32, seed=7):
+    """Shared-nothing paired-AP bootstrap reference: md5/ppm
+    Poisson(1) weights per (id, b), pr_report's exact AP fold
+    (per-block precision rounded at 6, Decimal weighted sum over
+    integer block weights) per replicate, nearest-rank interval."""
+    import collections
+    import hashlib
+    from decimal import Decimal
+
+    def h6(i, b):
+        s = f"{seed}:{i}:{b}".encode()
+        return int(hashlib.md5(s).hexdigest()[:14], 16) % 1_000_000
+
+    def pois(u):
+        from lightfusion_spark.operators.evalmetrics import POISSON1_CDF_PPM
+
+        for k, thr in enumerate(POISSON1_CDF_PPM):
+            if u < thr:
+                return k
+        return len(POISSON1_CDF_PPM)
+
+    def wap(pairs):
+        by = collections.defaultdict(lambda: [0, 0])
+        for s, y, w in pairs:
+            by[round(s, 6)][y] += w
+        P = sum(v[1] for v in by.values())
+        if P == 0:
+            return None
+        tp = fp = 0
+        apsum = Decimal(0)
+        for s in sorted(by, reverse=True):
+            neg, pos = by[s][0], by[s][1]
+            if neg == 0 and pos == 0:
+                continue  # zero-weight block: absent from this world
+            tp += pos
+            fp += neg
+            prec6 = round(tp / (tp + fp), 6)
+            apsum += Decimal(pos) * Decimal(f"{prec6:.6f}")
+        return round(float(apsum) / P, 6)
+
+    deltas = []
+    for b in range(n_boot):
+        ws = {i: pois(h6(i, b)) for i, _, _, _ in items}
+        sa = wap([(a, y, ws[i]) for i, a, _, y in items])
+        sb = wap([(bb, y, ws[i]) for i, _, bb, y in items])
+        if sa is not None and sb is not None:
+            deltas.append(round(sa - sb, 6))
+    ds = sorted(deltas)
+    full_a = wap([(a, y, 1) for i, a, _, y in items])
+    full_b = wap([(bb, y, 1) for i, _, bb, y in items])
+    return {
+        "ap_a6": full_a,
+        "ap_b6": full_b,
+        "delta6": round(full_a - full_b, 6),
+        "delta_lo6": ds[0] if len(ds) >= 1 else None,
+        "delta_hi6": ds[31] if len(ds) >= 32 else None,
+        "n_delta_pos": sum(1 for d in deltas if d > 0),
+        "n_delta_neg": sum(1 for d in deltas if d < 0),
+        "p_a_better6": round(
+            sum(1 for d in deltas if d > 0) / len(deltas), 6
+        )
+        if deltas
+        else None,
+    }
+
+
+def test_pr_paired_bootstrap_matches_reference(spark):
+    """pr_paired_bootstrap reproduces every replicate of the
+    shared-nothing reference (weights, per-replicate exact AP folds,
+    deltas, nearest-rank interval) on the imbalance case the metric
+    exists for: model A nails the TOP of the ranking (early
+    precision -> AP) while model B wins the bulk ordering (-> AUC) —
+    the two harnesses must disagree about the winner."""
+    import random
+
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rng = random.Random(47)
+    items = []
+    for i in range(400):
+        y = 1 if rng.random() < 0.08 else 0  # rare positives
+        # A: half the positives promoted above everything, rest noise
+        a = round(
+            0.9 + rng.random() / 10 if y and rng.random() < 0.5
+            else rng.random() * 0.9,
+            6,
+        )
+        # B: every positive mildly boosted into the upper bulk
+        bscore = round(
+            0.55 + rng.random() * 0.45 if y else rng.random(), 6
+        )
+        items.append((i, a, bscore, y))
+    df = spark.createDataFrame(
+        items, "id long, sa double, sb double, label int"
+    )
+    got = em.pr_paired_bootstrap(df, "id", "sa", "sb", "label").collect()[
+        0
+    ].asDict()
+    want = _ap_weighted_reference(items)
+    assert got["n_samples"] == 400 and got["n_excluded"] == 0
+    assert got["n_boot"] == 32
+    for k, v in want.items():
+        assert got[k] == v, (k, got[k], v)
+    # the disagreement the face narrates: A's AP lead is real...
+    assert got["delta6"] > 0 and got["p_a_better6"] >= 0.9
+    # ...while AUC says B wins the same corpus
+    auc = em.auc_paired_bootstrap(df, "id", "sa", "sb", "label").collect()[
+        0
+    ].asDict()
+    assert auc["delta6"] < 0 and auc["p_a_better6"] <= 0.2
+
+    # NULL on either side excludes the pair
+    withnull = spark.createDataFrame(
+        [
+            (1, 0.9, 0.8, 1),
+            (2, None, 0.5, 1),
+            (3, 0.4, None, 0),
+            (4, 0.2, 0.1, None),
+            (5, 0.7, 0.6, 0),
+        ],
+        "id long, sa double, sb double, label int",
+    )
+    r = em.pr_paired_bootstrap(
+        withnull, "id", "sa", "sb", "label"
+    ).collect()[0].asDict()
+    assert r["n_samples"] == 2 and r["n_excluded"] == 3
+
+    # zero-positive corpus: AP undefined on every replicate AND the
+    # full sample — counts 0, value columns NULL (family contract)
+    nopos = spark.createDataFrame(
+        [(i, 0.5 + i / 100.0, 0.4 + i / 100.0, 0) for i in range(8)],
+        "id long, sa double, sb double, label int",
+    )
+    d = em.pr_paired_bootstrap(
+        nopos, "id", "sa", "sb", "label"
+    ).collect()[0].asDict()
+    assert d["n_samples"] == 8
+    assert d["n_delta_pos"] == 0 and d["n_delta_neg"] == 0
+    for col in ("ap_a6", "ap_b6", "delta6", "delta_lo6", "delta_hi6",
+                "p_a_better6"):
+        assert d[col] is None, col
+
+
 def test_binary_score_store_streamed_equals_one_shot(spark, tmp_path):
     """The binary-score store: three appended batches == the one-shot
     auc_report AND pr_report over the union, bit for bit (shared
