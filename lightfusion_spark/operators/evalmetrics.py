@@ -2943,6 +2943,7 @@ def _paired_binary_replicates(
     n_boot: int,
     seed: int,
     score_decimals: int,
+    group_col: str | None = None,
 ):
     """The shared front half of the paired binary-classifier
     bootstraps (:func:`auc_paired_bootstrap` /
@@ -2950,20 +2951,33 @@ def _paired_binary_replicates(
     integer-weighted per-(replicate, side, rounded score) class
     counts, with ``b = -1`` the weight-1 full-sample pseudo-replicate
     that carries the headline metrics through the same pipeline.
-    Returns ``(counts, per_score)`` where ``per_score`` has columns
-    ``(b, _side, _v, _np, _nn)`` and is bounded by
-    ``2 * (n_boot + 1) * (10^score_decimals + 1)`` rows by the ROUND
-    contract — the ONE corpus-sized exchange either metric needs."""
+    Returns ``(keys, counts, per_score)`` where ``per_score`` has
+    columns ``([_grp,] b, _side, _v, _np, _nn)`` and is bounded by
+    ``2 * (n_boot + 1) * (10^score_decimals + 1)`` rows per slice by
+    the ROUND contract — the ONE corpus-sized exchange either metric
+    needs.  ``keys`` is ``["_grp"]`` when ``group_col`` is set (the
+    NULL-encoded internal slice key — decode at the output boundary),
+    else ``[]``.  The Poisson weight of an item in a replicate is a
+    pure function of (id, b) — independent of the slicing — so every
+    slice of a grouped run is BIT-IDENTICAL to the ungrouped run over
+    that slice alone (test-asserted)."""
     if n_boot < 2:
         raise ValueError(f"n_boot must be >= 2, got {n_boot}")
     from .dedup import _md5_long
 
+    keys = ["_grp"] if group_col is not None else []
+    grp_sel = (
+        [_grp_key(F.col(group_col)).alias("_grp")]
+        if group_col is not None
+        else []
+    )
     ok = (
         F.col(score_a_col).isNotNull()
         & F.col(score_b_col).isNotNull()
         & F.col(label_col).isNotNull()
     )
     base = df.select(
+        *grp_sel,
         ok.alias("_ok"),
         F.col(id_col).cast("string").alias("_id"),
         F.when(
@@ -2974,13 +2988,16 @@ def _paired_binary_replicates(
         ).alias("_sb"),
         F.when(ok, F.col(label_col).cast("int")).alias("_y"),
     )
-    counts = base.agg(
+    count_aggs = [
         F.coalesce(F.sum(F.when(F.col("_ok"), 1)), F.lit(0))
         .cast("long")
         .alias("n_samples"),
         F.coalesce(F.sum(F.when(~F.col("_ok"), 1)), F.lit(0))
         .cast("long")
         .alias("n_excluded"),
+    ]
+    counts = (
+        base.groupBy(*keys).agg(*count_aggs) if keys else base.agg(*count_aggs)
     )
     # b = -1 is the FULL-SAMPLE pseudo-replicate (weight 1 for every
     # item): the headline metrics ride the SAME single explode/
@@ -2988,6 +3005,7 @@ def _paired_binary_replicates(
     # rounding, same tie structure, one corpus pass — instead of two
     # extra eager report scans (round-15 review findings 3 and 5)
     reps = base.where(F.col("_ok")).select(
+        *keys,
         "_id",
         "_sa",
         "_sb",
@@ -3003,6 +3021,7 @@ def _paired_binary_replicates(
     )
     w = F.when(F.col("b") == -1, F.lit(1)).otherwise(_poisson1_weight(h6))
     sided = reps.select(
+        *keys,
         "b",
         w.alias("_w"),
         "_y",
@@ -3013,6 +3032,7 @@ def _paired_binary_replicates(
             )
         ).alias("_sv"),
     ).select(
+        *keys,
         "b",
         F.col("_sv.s").alias("_side"),
         F.col("_sv.v").alias("_v"),
@@ -3023,32 +3043,42 @@ def _paired_binary_replicates(
         .cast("long")
         .alias("_wn"),
     )
-    per_score = sided.groupBy("b", "_side", "_v").agg(
+    per_score = sided.groupBy(*keys, "b", "_side", "_v").agg(
         F.sum("_wp").cast("long").alias("_np"),
         F.sum("_wn").cast("long").alias("_nn"),
     )
-    return counts, per_score
+    return keys, counts, per_score
 
 
 def _paired_bootstrap_report(
-    rep_metric: DataFrame, counts: DataFrame, n_boot: int, prefix: str
+    rep_metric: DataFrame,
+    counts: DataFrame,
+    n_boot: int,
+    prefix: str,
+    keys: list[str] | None = None,
+    group_col: str | None = None,
 ) -> DataFrame:
-    """The shared back half: ``rep_metric`` is ``(b, _side, _m)`` with
-    a NULL ``_m`` dropping that replicate's delta (the documented
-    degenerate-world contract); emits the standard one-row summary
-    with the headline columns named ``{prefix}_a6`` / ``{prefix}_b6``.
-    Interval ranks are fixed at ceil(.025/.975 * n_boot) — family
-    consistency; see :func:`auc_paired_bootstrap`'s docstring for the
-    dropped-replicate semantics."""
+    """The shared back half: ``rep_metric`` is ``([_grp,] b, _side,
+    _m)`` with a NULL ``_m`` dropping that replicate's delta (the
+    documented degenerate-world contract); emits the standard summary
+    row (one per slice when ``keys``) with the headline columns named
+    ``{prefix}_a6`` / ``{prefix}_b6``.  Interval ranks are fixed at
+    ceil(.025/.975 * n_boot) — family consistency; see
+    :func:`auc_paired_bootstrap`'s docstring for the
+    dropped-replicate semantics.  Grouped: the COUNTS relation drives
+    the join (the round-15 fully-excluded-group shape), so a slice
+    whose rows are all excluded still emits its row — delta counts 0,
+    every value column NULL."""
+    keys = keys or []
     deltas = (
         rep_metric.where(F.col("b") >= 0)
-        .groupBy("b")
+        .groupBy(*keys, "b")
         .agg(
             F.max(F.when(F.col("_side") == "a", F.col("_m"))).alias("_aa"),
             F.max(F.when(F.col("_side") == "b", F.col("_m"))).alias("_ab"),
         )
         .where(F.col("_aa").isNotNull() & F.col("_ab").isNotNull())
-        .select(F.round(F.col("_aa") - F.col("_ab"), 6).alias("_d"))
+        .select(*keys, F.round(F.col("_aa") - F.col("_ab"), 6).alias("_d"))
     )
     lo_rank = max(1, -(-int(n_boot) * 25 // 1000))
     hi_rank = -(-int(n_boot) * 975 // 1000)
@@ -3056,7 +3086,7 @@ def _paired_bootstrap_report(
     # corpus drops every replicate) the sums over the empty relation
     # are NULL — the counts must read 0 while the interval columns go
     # NULL (r15 advice; the docstring's dropped-replicate contract)
-    summary = deltas.agg(
+    delta_aggs = [
         F.count(F.lit(1)).cast("long").alias("_nb"),
         F.sort_array(F.collect_list("_d")).alias("_ds"),
         F.coalesce(F.sum(F.when(F.col("_d") > 0, 1).otherwise(0)), F.lit(0))
@@ -3065,43 +3095,65 @@ def _paired_bootstrap_report(
         F.coalesce(F.sum(F.when(F.col("_d") < 0, 1).otherwise(0)), F.lit(0))
         .cast("long")
         .alias("n_delta_neg"),
+    ]
+    summary = (
+        deltas.groupBy(*keys).agg(*delta_aggs)
+        if keys
+        else deltas.agg(*delta_aggs)
     )
     # full metrics from the weight-1 pseudo-replicate: the PAIRED
     # valid set (both scores + label present), same rounding and tie
     # structure as every resampled world, zero extra corpus scans
-    fulls = rep_metric.where(F.col("b") == -1).agg(
+    full_aggs = [
         F.max(F.when(F.col("_side") == "a", F.col("_m"))).alias(
             f"{prefix}_a6"
         ),
         F.max(F.when(F.col("_side") == "b", F.col("_m"))).alias(
             f"{prefix}_b6"
         ),
+    ]
+    full_src = rep_metric.where(F.col("b") == -1)
+    fulls = (
+        full_src.groupBy(*keys).agg(*full_aggs)
+        if keys
+        else full_src.agg(*full_aggs)
     )
-    return (
-        summary.crossJoin(F.broadcast(counts))
-        .crossJoin(F.broadcast(fulls))
-        .select(
-            "n_samples",
-            "n_excluded",
-            F.lit(int(n_boot)).cast("int").alias("n_boot"),
-            f"{prefix}_a6",
-            f"{prefix}_b6",
-            F.round(
-                F.col(f"{prefix}_a6") - F.col(f"{prefix}_b6"), 6
-            ).alias("delta6"),
-            F.get("_ds", lo_rank - 1).alias("delta_lo6"),
-            F.get("_ds", hi_rank - 1).alias("delta_hi6"),
-            "n_delta_pos",
-            "n_delta_neg",
-            F.when(
-                F.col("_nb") > 0,
-                F.round(
-                    F.col("n_delta_pos").cast("double")
-                    / F.col("_nb").cast("double"),
-                    6,
-                ),
-            ).alias("p_a_better6"),
+    if keys:
+        # counts drives: a fully-excluded slice has no summary/fulls
+        # rows but must still emit (NULL values, zero delta counts)
+        out = counts.join(summary, keys, "left").join(fulls, keys, "left")
+        grp_out = [_grp_val(F.col("_grp")).alias(group_col)]
+        pos = F.coalesce(F.col("n_delta_pos"), F.lit(0)).cast("long")
+        neg = F.coalesce(F.col("n_delta_neg"), F.lit(0)).cast("long")
+    else:
+        out = summary.crossJoin(F.broadcast(counts)).crossJoin(
+            F.broadcast(fulls)
         )
+        grp_out = []
+        pos = F.col("n_delta_pos")
+        neg = F.col("n_delta_neg")
+    return out.select(
+        *grp_out,
+        "n_samples",
+        "n_excluded",
+        F.lit(int(n_boot)).cast("int").alias("n_boot"),
+        f"{prefix}_a6",
+        f"{prefix}_b6",
+        F.round(F.col(f"{prefix}_a6") - F.col(f"{prefix}_b6"), 6).alias(
+            "delta6"
+        ),
+        F.get("_ds", lo_rank - 1).alias("delta_lo6"),
+        F.get("_ds", hi_rank - 1).alias("delta_hi6"),
+        pos.alias("n_delta_pos"),
+        neg.alias("n_delta_neg"),
+        F.when(
+            F.col("_nb") > 0,
+            F.round(
+                F.col("n_delta_pos").cast("double")
+                / F.col("_nb").cast("double"),
+                6,
+            ),
+        ).alias("p_a_better6"),
     )
 
 
@@ -3114,6 +3166,7 @@ def auc_paired_bootstrap(
     n_boot: int = 32,
     seed: int = 7,
     score_decimals: int = 6,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Paired bootstrap significance for ROC AUC — is model A's AUC
     lead over model B REAL, or resampling noise of this labeled set?
@@ -3149,6 +3202,16 @@ def auc_paired_bootstrap(
     ``score_decimals`` rounding and tie structure as every resampled
     world — equal to :func:`auc_report` over the paired rows).
 
+    ``group_col`` (r15 verdict item 6 — family symmetry: every other
+    corpus metric has one-shot/by-group variants) emits one row per
+    slice with a leading group column.  An item's Poisson weight in
+    replicate ``b`` is a pure function of (id, b) — independent of
+    the slicing — so every slice is BIT-IDENTICAL to the ungrouped
+    run over that slice alone (test-asserted), and a fully-excluded
+    slice still emits its row (zero delta counts, NULL values).
+    :func:`pr_paired_bootstrap` shares the machinery and the
+    contract.
+
     100 TB shape: the corpus-sized exchange is ONE explode of scalar
     rows — ``rows x (n_boot + 1) x 2 sides`` integer tuples (the +1
     is the full-sample world), no text — into a map-side-combinable
@@ -3158,7 +3221,7 @@ def auc_paired_bootstrap(
     32-delta quantile run over THAT bounded relation.  Zero Python,
     zero extra corpus scans.
     """
-    counts, per_score = _paired_binary_replicates(
+    keys, counts, per_score = _paired_binary_replicates(
         df,
         id_col,
         score_a_col,
@@ -3167,14 +3230,17 @@ def auc_paired_bootstrap(
         n_boot,
         seed,
         score_decimals,
+        group_col,
     )
-    wv = Window.partitionBy("b", "_side").orderBy("_v").rowsBetween(
-        Window.unboundedPreceding, -1
+    wv = (
+        Window.partitionBy(*keys, "b", "_side")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum = per_score.withColumn(
         "_below", F.coalesce(F.sum("_nn").over(wv), F.lit(0)).cast("long")
     )
-    rep_cells = cum.groupBy("b", "_side").agg(
+    rep_cells = cum.groupBy(*keys, "b", "_side").agg(
         F.coalesce(F.sum("_np"), F.lit(0)).cast("long").alias("_p"),
         F.coalesce(F.sum("_nn"), F.lit(0)).cast("long").alias("_n"),
         F.coalesce(
@@ -3190,6 +3256,7 @@ def auc_paired_bootstrap(
         .alias("_numer2"),
     )
     rep_auc = rep_cells.select(
+        *keys,
         "b",
         "_side",
         F.when(
@@ -3205,7 +3272,9 @@ def auc_paired_bootstrap(
             ),
         ).alias("_m"),
     )
-    return _paired_bootstrap_report(rep_auc, counts, n_boot, "auc")
+    return _paired_bootstrap_report(
+        rep_auc, counts, n_boot, "auc", keys, group_col
+    )
 
 
 def pr_paired_bootstrap(
@@ -3217,6 +3286,7 @@ def pr_paired_bootstrap(
     n_boot: int = 32,
     seed: int = 7,
     score_decimals: int = 6,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Paired bootstrap significance for AVERAGE PRECISION — is model
     A's AP lead over model B real?  The class-imbalance companion to
@@ -3253,7 +3323,7 @@ def pr_paired_bootstrap(
     the 32-delta quantile all run over that bounded relation.  Zero
     Python, zero extra corpus scans.
     """
-    counts, per_score = _paired_binary_replicates(
+    keys, counts, per_score = _paired_binary_replicates(
         df,
         id_col,
         score_a_col,
@@ -3262,17 +3332,18 @@ def pr_paired_bootstrap(
         n_boot,
         seed,
         score_decimals,
+        group_col,
     )
     # pr_report's fold per (replicate, side): descending-score
     # cumulative tp/fp, per-block precision rounded at 6, exact
     # DECIMAL sum over integer block weights (same types, same
     # rounding — the shared-definition guarantee the face's oracle
     # replays)
-    totals = per_score.groupBy("b", "_side").agg(
+    totals = per_score.groupBy(*keys, "b", "_side").agg(
         F.coalesce(F.sum("_np"), F.lit(0)).cast("long").alias("_p")
     )
     wv = (
-        Window.partitionBy("b", "_side")
+        Window.partitionBy(*keys, "b", "_side")
         .orderBy(F.col("_v").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -3283,6 +3354,7 @@ def pr_paired_bootstrap(
     blocks = per_score.where(
         (F.col("_np") > 0) | (F.col("_nn") > 0)
     ).select(
+        *keys,
         "b",
         "_side",
         "_np",
@@ -3294,7 +3366,7 @@ def pr_paired_bootstrap(
         / (F.col("_tp") + F.col("_fp")).cast("double"),
         6,
     )
-    ap_cells = blocks.groupBy("b", "_side").agg(
+    ap_cells = blocks.groupBy(*keys, "b", "_side").agg(
         F.coalesce(
             F.sum(
                 (
@@ -3305,7 +3377,8 @@ def pr_paired_bootstrap(
             F.lit(0).cast("decimal(38,6)"),
         ).alias("_ap_sum")
     )
-    rep_ap = ap_cells.join(totals, ["b", "_side"]).select(
+    rep_ap = ap_cells.join(totals, [*keys, "b", "_side"]).select(
+        *keys,
         "b",
         "_side",
         F.when(
@@ -3316,7 +3389,9 @@ def pr_paired_bootstrap(
             ),
         ).alias("_m"),
     )
-    return _paired_bootstrap_report(rep_ap, counts, n_boot, "ap")
+    return _paired_bootstrap_report(
+        rep_ap, counts, n_boot, "ap", keys, group_col
+    )
 
 
 def pr_report(

@@ -2593,6 +2593,56 @@ def test_auc_paired_bootstrap_matches_reference(spark):
         assert d[col] is None, col
 
 
+def test_paired_bootstrap_grouped_equals_per_slice(spark):
+    """r15 verdict item 6: group_col on the paired bootstraps.  An
+    item's Poisson weight is a pure function of (id, b) — independent
+    of the slicing — so each grouped slice must equal the ungrouped
+    run over that slice alone BIT FOR BIT, for BOTH harnesses; a NULL
+    group value is a real slice; a fully-excluded slice still emits
+    (zero delta counts, NULL values)."""
+    import random
+
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rng = random.Random(59)
+    rows = []
+    for i in range(240):
+        g = [None, "m0", "m1"][i % 3]
+        signal = rng.random()
+        y = 1 if rng.random() < max(signal, 0.15) else 0
+        a = round(signal, 6)
+        bscore = round(signal if rng.random() < 0.5 else rng.random(), 6)
+        rows.append((i, g, a, bscore, y))
+    rows += [(900, "dead", None, 0.5, 1), (901, "dead", 0.4, None, 0)]
+    df = spark.createDataFrame(
+        rows, "id long, model string, sa double, sb double, label int"
+    )
+    for fn in (em.auc_paired_bootstrap, em.pr_paired_bootstrap):
+        by = {
+            r["model"]: r.asDict()
+            for r in fn(
+                df, "id", "sa", "sb", "label", group_col="model"
+            ).collect()
+        }
+        assert set(by) == {None, "m0", "m1", "dead"}
+        for g in (None, "m0", "m1"):
+            sliced = (
+                df.where(F.col("model").isNull())
+                if g is None
+                else df.where(F.col("model") == g)
+            )
+            want = fn(sliced, "id", "sa", "sb", "label").collect()[
+                0
+            ].asDict()
+            got = dict(by[g])
+            got.pop("model")
+            assert got == want, (fn.__name__, g, got, want)
+        dead = by["dead"]
+        assert dead["n_samples"] == 0 and dead["n_excluded"] == 2
+        assert dead["n_delta_pos"] == 0 and dead["n_delta_neg"] == 0
+        assert dead["delta6"] is None and dead["p_a_better6"] is None
+
+
 def _ap_weighted_reference(items, n_boot=32, seed=7):
     """Shared-nothing paired-AP bootstrap reference: md5/ppm
     Poisson(1) weights per (id, b), pr_report's exact AP fold
