@@ -328,3 +328,94 @@ def search_ivf_index(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def ivf_compact(spark: SparkSession, path: str) -> dict:
+    """Fold the per-batch cell files down to ONE file per cell — the
+    layout-maintenance half of incremental ingest (r15 verdict item
+    4): :func:`ivf_append_batch` deliberately writes one file per
+    touched cell per batch (the cheapest correct append), so a
+    long-lived index accumulates small files until every probe pays a
+    task per file.  This rewrite restores the build-time layout
+    (``centroid_id=`` partition directories, one file each) without a
+    rebuild and without touching the codebook.
+
+    The LEDGER IS THE FENCE: only rows whose ``batch_id`` the
+    ``batches/`` ledger holds survive the rewrite.
+
+    * Bit-identical replay residue (a torn append's ledger row landed
+      but a crashed replay doubled its cell rows) collapses under a
+      full-row ``dropDuplicates`` — safe because an assignment is a
+      pure function of (vector, codebook), so equal rows ARE the same
+      logical row.
+    * Rows of an UN-ledgered batch (cells written, crash before the
+      ledger row) are DROPPED: by the ledger's contract that batch
+      never happened, and its replay re-appends cells AND ledger row
+      cleanly afterwards — compaction cannot resurrect it early, and
+      a batch the ledger holds can never be double-counted.
+
+    The rewrite is validated before it replaces anything: surviving
+    rows must equal ``SUM(ledger.n_rows)`` exactly (the ledger's own
+    row accounting), else the compaction ABORTS with the temp
+    directory left for inspection and the live index untouched.  The
+    swap itself is two renames (``cells`` -> ``cells_pre`` ->
+    deleted); a crash mid-swap leaves ``cells_pre`` on disk — never
+    data loss, recover by renaming it back.  Run compaction offline
+    (no concurrent appends), the standard maintenance contract.
+
+    100 TB shape: ONE scan of the cells (never the corpus), a
+    broadcast semi-join against the O(batches) ledger, one exchange
+    keyed by the partition column, one partitioned write.  Search
+    plans are unchanged — same schema, same partition pruning, fewer
+    files; results are bit-identical pre/post (test-pinned).
+    """
+    import glob as _glob
+
+    meta = read_index_meta(spark, path)
+    id_col = meta["id_col"]
+    ledger = spark.read.parquet(f"{path}/batches")
+    expected = ledger.agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long").alias("n")
+    ).first()["n"]
+    cells = spark.read.parquet(f"{path}/cells")
+    files_before = len(_glob.glob(f"{path}/cells/centroid_id=*/*.parquet"))
+    kept = (
+        cells.join(
+            F.broadcast(ledger.select("batch_id").distinct()),
+            "batch_id",
+            "semi",
+        )
+        # full-row collapse: only bit-identical replay residue merges
+        .dropDuplicates([id_col, "_v", "batch_id", "centroid_id"])
+    )
+    tmp = f"{path}/cells_compacting"
+    # one spark partition holds whole cells -> partitionBy emits ONE
+    # file per cell, the build-time layout
+    kept.select(id_col, "_v", "batch_id", "centroid_id").repartition(
+        "centroid_id"
+    ).write.partitionBy("centroid_id").mode("error").parquet(tmp)
+    written = spark.read.parquet(tmp)
+    got = written.count()
+    if got != expected:
+        raise RuntimeError(
+            f"ivf_compact: rewrite holds {got} rows but the ledger "
+            f"accounts for {expected} at {path} — aborting with the "
+            f"live index untouched; inspect {tmp}"
+        )
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    pre = f"{path}/cells_pre"
+    if not fs.rename(hpath(f"{path}/cells"), hpath(pre)):
+        raise RuntimeError(f"ivf_compact: could not stage {path}/cells")
+    if not fs.rename(hpath(tmp), hpath(f"{path}/cells")):
+        # put the original back; tmp still holds the rewrite
+        fs.rename(hpath(pre), hpath(f"{path}/cells"))
+        raise RuntimeError(f"ivf_compact: could not swap in {tmp}")
+    fs.delete(hpath(pre), True)
+    files_after = len(_glob.glob(f"{path}/cells/centroid_id=*/*.parquet"))
+    return {
+        "rows": int(got),
+        "files_before": files_before,
+        "files_after": files_after,
+    }

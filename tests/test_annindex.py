@@ -289,3 +289,113 @@ def test_id_reuse_with_different_vector_surfaces_not_silently_resolved(
         got.groupBy("neighbor_id").count().where(F.col("count") > 1).collect()
     )
     assert [r["neighbor_id"] for r in per_neighbor] == [0]
+
+
+def test_ivf_compact_bounds_files_and_preserves_search(spark, sf_dir, tmp_path):
+    """r15 verdict item 4: after N appends each touched cell holds up
+    to N+1 files; ivf_compact folds the store to ONE file per cell,
+    search results are bit-identical pre/post, the row count equals
+    the ledger's accounting, and batch-id replay stays a no-op."""
+    import glob
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "idx_compact")
+    annindex.build_ivf_index(
+        emb.where(F.col("vec_id") % 4 == 0), path, "vec_id", "embedding",
+        n_centroids=8, n_iters=2,
+    )
+    for b in (1, 2, 3):
+        annindex.ivf_append_batch(
+            emb.where(F.col("vec_id") % 4 == b), path, b
+        )
+    q = emb.where(F.col("vec_id") < 8)
+    before = _rows(
+        annindex.search_ivf_index(
+            spark, path, q, "vec_id", "embedding", k=5, nprobe=2
+        )
+    )
+    n_cells = spark.read.parquet(f"{path}/centroids").count()
+    files_before = len(glob.glob(f"{path}/cells/centroid_id=*/*.parquet"))
+    assert files_before > n_cells  # the small-files problem is real
+
+    r = annindex.ivf_compact(spark, path)
+    files_after = len(glob.glob(f"{path}/cells/centroid_id=*/*.parquet"))
+    assert r["files_after"] == files_after <= n_cells  # ONE file per cell
+    assert r["rows"] == emb.count()
+    # temp/staging directories are gone
+    assert not glob.glob(f"{path}/cells_pre") + glob.glob(
+        f"{path}/cells_compacting"
+    )
+
+    after = _rows(
+        annindex.search_ivf_index(
+            spark, path, q, "vec_id", "embedding", k=5, nprobe=2
+        )
+    )
+    assert after == before
+    # the ledger fence survives compaction: replay stays a no-op
+    rep = annindex.ivf_append_batch(
+        emb.where(F.col("vec_id") % 4 == 2), path, 2
+    )
+    assert not rep["applied"]
+
+
+def test_ivf_compact_drops_unledgered_and_collapses_replay_residue(
+    spark, sf_dir, tmp_path
+):
+    """The two fence cases: (1) a TORN append (cells written, ledger
+    row lost) is dropped by compaction — the batch never happened, and
+    its replay afterwards re-applies cleanly, exactly once; (2) replay
+    residue (duplicate rows under a LEDGERED batch id) collapses to
+    one copy."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b0 = emb.where(F.col("vec_id") % 3 == 0)
+    b1 = emb.where(F.col("vec_id") % 3 == 1)
+    path = str(tmp_path / "idx_fence")
+    annindex.build_ivf_index(
+        b0, path, "vec_id", "embedding", n_centroids=4, n_iters=2
+    )
+    annindex.ivf_append_batch(b1, path, 1)
+    # simulate the torn write + replay: erase batch 1's ledger row,
+    # then replay it -> cells hold TWO bit-identical copies of batch 1
+    ledger = [
+        (r["batch_id"], r["n_rows"])
+        for r in spark.read.parquet(f"{path}/batches").collect()
+        if r["batch_id"] != 1
+    ]
+    spark.createDataFrame(
+        ledger, "batch_id bigint, n_rows bigint"
+    ).write.mode("overwrite").parquet(f"{path}/batches")
+    annindex.ivf_append_batch(b1, path, 1)  # re-applies (fence case 2 setup)
+    # now ALSO write a torn batch 9: cells land, ledger row does not
+    from lightfusion_spark.operators.similarity import assign_to_centroids
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    b9 = emb.where(F.col("vec_id") % 3 == 2).limit(10)
+    assign_to_centroids(b9, cents, "vec_id", "embedding", 6).select(
+        F.col("vec_id"),
+        F.col("_v"),
+        F.lit(9).cast("long").alias("batch_id"),
+        F.col("centroid_id"),
+    ).repartition("centroid_id").write.partitionBy("centroid_id").mode(
+        "append"
+    ).parquet(f"{path}/cells")
+
+    r = annindex.ivf_compact(spark, path)
+    cells = spark.read.parquet(f"{path}/cells")
+    # torn batch 9 gone; batch 1's residue collapsed to one copy
+    assert cells.where(F.col("batch_id") == 9).count() == 0
+    assert r["rows"] == b0.count() + b1.count()
+    assert (
+        cells.groupBy("vec_id").count().where(F.col("count") > 1).count()
+        == 0
+    )
+    # the torn batch replays cleanly AFTER compaction — exactly once
+    rep = annindex.ivf_append_batch(b9, path, 9)
+    assert rep["applied"] and rep["n_rows"] == 10
+    assert (
+        spark.read.parquet(f"{path}/cells")
+        .where(F.col("batch_id") == 9)
+        .count()
+        == 10
+    )
