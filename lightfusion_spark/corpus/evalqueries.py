@@ -3833,3 +3833,116 @@ def pipe_eval_pr_bootstrap(spark, sf_dir):
     return evalmetrics.pr_paired_bootstrap(
         rows, "doc_id", "score_a", "score_b", "label"
     )
+
+
+_KENDALL_ORACLE = """
+WITH h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 14)
+              AS BIGINT) % 1000000 AS u1,
+         CAST('0x' || substr(md5('12:' || CAST(doc_id AS VARCHAR)), 1, 14)
+              AS BIGINT) % 1000000 AS u2,
+         CAST('0x' || substr(md5('14:' || CAST(doc_id AS VARCHAR)), 1, 14)
+              AS BIGINT) % 1000000 AS u4
+  FROM documents
+),
+r AS (
+  SELECT CAST(u1 % 11 AS DOUBLE) AS a,
+         CASE WHEN u4 >= 30000
+              THEN CAST(GREATEST(0, LEAST(10, u1 % 11 + u2 % 5 - 2))
+                        AS DOUBLE) END AS b
+  FROM h
+),
+cells AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM r WHERE b IS NOT NULL GROUP BY a, b
+),
+pr AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN x.b < y.b
+                   THEN CAST(x.c AS DECIMAL(19,0))
+                        * CAST(y.c AS DECIMAL(19,0)) END), 0)
+              AS DECIMAL(38,0)) AS cc,
+         CAST(COALESCE(SUM(CASE WHEN x.b > y.b
+                   THEN CAST(x.c AS DECIMAL(19,0))
+                        * CAST(y.c AS DECIMAL(19,0)) END), 0)
+              AS DECIMAL(38,0)) AS dd
+  FROM cells x JOIN cells y ON x.a < y.a
+),
+ma AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nda,
+         CAST(SUM(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sta2
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY a)
+),
+mb AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS ndb,
+         CAST(SUM(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS stb2
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY b)
+),
+cn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells),
+ct AS (
+  SELECT CAST(SUM(CASE WHEN b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_samples,
+         CAST(SUM(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_excluded
+  FROM r
+),
+n2 AS (
+  SELECT CAST(CAST(ct.n_samples AS DECIMAL(19,0))
+              * CAST(ct.n_samples AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS nn
+  FROM ct
+)
+SELECT ct.n_samples, ct.n_excluded,
+       ma.nda AS n_distinct_a, mb.ndb AS n_distinct_b, cn.n_cells,
+       CAST(pr.cc AS BIGINT) AS n_concordant,
+       CAST(pr.dd AS BIGINT) AS n_discordant,
+       CASE WHEN CAST(n2.nn - ma.sta2 AS DOUBLE) > 0
+             AND CAST(n2.nn - mb.stb2 AS DOUBLE) > 0
+            THEN ROUND(2.0 * CAST(pr.cc - pr.dd AS DOUBLE)
+                       / SQRT(CAST(n2.nn - ma.sta2 AS DOUBLE)
+                              * CAST(n2.nn - mb.stb2 AS DOUBLE)), 6)
+       END AS tau_b6
+FROM ct, ma, mb, cn, pr, n2
+"""
+
+
+@register(
+    "pipe_eval_kendall",
+    oracle=_KENDALL_ORACLE,
+    doc="Kendall's tau-b (evalmetrics.kendall_report) — the second "
+    "standard judge-validation statistic beside Spearman: pairwise "
+    "ORDER AGREEMENT with the tie-correct denominator, on the "
+    "statistic's actual use case — an 11-point judge grid (u1 ppm "
+    "draw % 11) against a noisy judge (grid plus a {-2..+2} u2 "
+    "perturbation, clamped), ~3% NULL second scores (u4 draw) "
+    "excluded-and-counted.  Exact to the last float: C/D pair counts "
+    "from ONE self-join over the joint distinct-score cells "
+    "(DECIMAL(38,0) products), tie correction via the marginal-square "
+    "identity n0 - n1 = (n^2 - sum t^2)/2 — no pair terms at all — "
+    "and ONE float step (2*(C-D)/sqrt(...)), ROUNDed at 6, identical "
+    "expression tree in both engines.  Scale: one corpus-sized "
+    "joint-cell aggregation (map-side combinable, pinned), then "
+    "everything runs over the bounded cells; the operator REFUSES "
+    "continuous-score inputs past max_cells BEFORE building the "
+    "quadratic join (the stated O(distinct^2) bound).  Zero Python",
+)
+def pipe_eval_kendall(spark, sf_dir):
+    from ..operators.dedup import _md5_long
+
+    d = table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    u1 = _md5_long(sid, seed=11) % F.lit(1_000_000)
+    u2 = _md5_long(sid, seed=12) % F.lit(1_000_000)
+    u4 = _md5_long(sid, seed=14) % F.lit(1_000_000)
+    rows = d.select(
+        "doc_id",
+        (u1 % 11).cast("double").alias("score_a"),
+        F.when(
+            u4 >= 30_000,
+            F.greatest(
+                F.lit(0), F.least(F.lit(10), u1 % 11 + u2 % 5 - 2)
+            ).cast("double"),
+        ).alias("score_b"),
+    )
+    return evalmetrics.kendall_report(rows, "doc_id", "score_a", "score_b")

@@ -4295,3 +4295,195 @@ def spearman_report(
             ),
         ).alias("rho6"),
     )
+
+
+def kendall_report(
+    df: DataFrame,
+    id_col: str,
+    score_a_col: str,
+    score_b_col: str,
+    group_col: str | None = None,
+    score_decimals: int = 6,
+    max_cells: int = 8192,
+) -> DataFrame:
+    """Kendall's tau-b between two scoring systems — the SECOND
+    standard judge-validation statistic beside
+    :func:`spearman_report` (r15 verdict item 8): Spearman prices
+    rank DISTANCE, tau-b prices pairwise ORDER AGREEMENT with the
+    tie-correct denominator, and meta-evaluation papers report both.
+    One row (or one per ``group_col``)::
+
+        (n_samples, n_excluded, n_distinct_a, n_distinct_b, n_cells,
+         n_concordant, n_discordant, tau_b6)
+
+    Exact integer formulation over the JOINT distinct-rounded-score
+    relation: group valid rows by ``(a, b)`` into cells; concordant/
+    discordant pair counts are one self-join over cells with
+    ``a1 < a2`` (each unordered pair once; equal-``a`` pairs are ties,
+    never C/D), products and sums carried as DECIMAL(38,0).  The tie
+    correction needs no pair terms at all: with ``t_v`` the marginal
+    count at value ``v`` and ``n`` the valid rows,
+    ``n0 - n1 = (n^2 - sum t_a^2) / 2`` (same for b), so
+
+        tau_b = 2 * (C - D) / sqrt((n^2 - sum_ta^2) * (n^2 - sum_tb^2))
+
+    — every operand an exact integer, ONE float step (the division +
+    sqrt), ROUNDed at 6.  NULL when either side is constant.  Rows
+    with a NULL on either side are EXCLUDED AND COUNTED; a fully
+    excluded slice still emits its row.
+
+    THE STATED BOUND (the honest difference from Spearman, whose pin
+    is bounded unconditionally): the joint-cell relation is bounded
+    only for GRIDDED scores — the statistic's actual use case (judge
+    grades, Likert scales, star ratings); for continuous 6-decimal
+    scores it degenerates toward corpus size and the C/D self-join
+    toward O(n^2).  The operator REFUSES that regime: after the cell
+    aggregation it checks cells-per-slice against ``max_cells``
+    (default 8192 -> <= ~33M cell-pair comparisons per slice) and
+    raises with advice (coarsen ``score_decimals`` or raise the knob)
+    BEFORE constructing the quadratic join.
+
+    100 TB shape: one corpus-sized exchange (the joint-cell
+    aggregation, map-side combinable) plus the exclusion scan riding
+    the same base; everything after — the guarded O(cells^2)
+    broadcast join, two marginal aggs, the final fold — runs over the
+    bounded pinned relation.  Zero Python.
+
+    NOT a pure plan constructor: the cell relation is
+    ``localCheckpoint(eager=True)`` (shared by four consumers) and
+    the ``max_cells`` guard runs AT CALL TIME — a Spark job executes
+    before this function returns.
+    """
+    grouped = group_col is not None
+    grp_sel = [_grp_key(F.col(group_col)).alias("_grp")] if grouped else []
+    keys = ["_grp"] if grouped else []
+    ok = F.col(score_a_col).isNotNull() & F.col(score_b_col).isNotNull()
+    base = df.select(
+        *grp_sel,
+        ok.alias("_ok"),
+        F.when(
+            ok, F.round(F.col(score_a_col).cast("double"), score_decimals)
+        ).alias("_a"),
+        F.when(
+            ok, F.round(F.col(score_b_col).cast("double"), score_decimals)
+        ).alias("_b"),
+    )
+    cells = (
+        base.where(F.col("_ok"))
+        .groupBy(*keys, "_a", "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    worst = (
+        (cells.groupBy(*keys).count() if keys else cells.groupBy().count())
+        .agg(F.max("count").alias("m"))
+        .first()
+    )
+    n_cells_max = int(worst["m"]) if worst and worst["m"] is not None else 0
+    if n_cells_max > max_cells:
+        raise ValueError(
+            f"kendall_report: {n_cells_max} joint distinct (a, b) cells "
+            f"in one slice exceeds max_cells={max_cells} — the C/D "
+            "self-join is O(cells^2) and tau-b is meant for GRIDDED "
+            "scores (judge grades, ratings).  Coarsen score_decimals "
+            "or raise max_cells if the quadratic cost is intended."
+        )
+    counts = (base.groupBy(*keys) if keys else base.groupBy()).agg(
+        F.coalesce(F.sum(F.when(F.col("_ok"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_samples"),
+        F.coalesce(F.sum(F.when(~F.col("_ok"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_excluded"),
+    )
+    ca = cells.select(
+        *keys,
+        F.col("_a").alias("_a1"),
+        F.col("_b").alias("_b1"),
+        F.col("_c").cast("decimal(19,0)").alias("_c1"),
+    )
+    cb = cells.select(
+        *[F.col(k).alias(f"{k}2") for k in keys],
+        F.col("_a").alias("_a2"),
+        F.col("_b").alias("_b2"),
+        F.col("_c").cast("decimal(19,0)").alias("_c2"),
+    )
+    cond = F.col("_a1") < F.col("_a2")
+    if keys:
+        cond = (F.col("_grp") == F.col("_grp2")) & cond
+    prod = (F.col("_c1") * F.col("_c2")).cast("decimal(38,0)")
+    pair_aggs = [
+        F.coalesce(
+            F.sum(F.when(F.col("_b1") < F.col("_b2"), prod)), F.lit(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("_C"),
+        F.coalesce(
+            F.sum(F.when(F.col("_b1") > F.col("_b2"), prod)), F.lit(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("_D"),
+    ]
+    joined_pairs = ca.join(F.broadcast(cb), cond)
+    pairs = (
+        joined_pairs.groupBy(*keys).agg(*pair_aggs)
+        if keys
+        else joined_pairs.agg(*pair_aggs)
+    )
+
+    def marginal(col, nd_name, st_name):
+        t = cells.groupBy(*keys, col).agg(
+            F.sum("_c").cast("decimal(19,0)").alias("_t")
+        )
+        return (t.groupBy(*keys) if keys else t.groupBy()).agg(
+            F.count(F.lit(1)).cast("long").alias(nd_name),
+            F.sum((F.col("_t") * F.col("_t")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias(st_name),
+        )
+
+    ma = marginal("_a", "n_distinct_a", "_sta2")
+    mb = marginal("_b", "n_distinct_b", "_stb2")
+    ncells = (
+        cells.groupBy(*keys).count() if keys else cells.groupBy().count()
+    ).withColumnRenamed("count", "n_cells")
+    if keys:
+        out = (
+            counts.join(ma, keys, "left")
+            .join(mb, keys, "left")
+            .join(ncells, keys, "left")
+            .join(pairs, keys, "left")
+        )
+    else:
+        out = (
+            counts.crossJoin(F.broadcast(ma))
+            .crossJoin(F.broadcast(mb))
+            .crossJoin(F.broadcast(ncells))
+            .crossJoin(F.broadcast(pairs))
+        )
+    n2 = (
+        F.col("n_samples").cast("decimal(19,0)")
+        * F.col("n_samples").cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    da = (n2 - F.col("_sta2")).cast("double")
+    db = (n2 - F.col("_stb2")).cast("double")
+    cd = (F.col("_C") - F.col("_D")).cast("double")
+    out_grp = [_grp_val(F.col("_grp")).alias(group_col)] if grouped else []
+    zero = F.lit(0).cast("long")
+    return out.select(
+        *out_grp,
+        "n_samples",
+        "n_excluded",
+        F.coalesce("n_distinct_a", zero).cast("long").alias("n_distinct_a"),
+        F.coalesce("n_distinct_b", zero).cast("long").alias("n_distinct_b"),
+        F.coalesce("n_cells", zero).cast("long").alias("n_cells"),
+        # diagnostics exact as BIGINT; past ~4.3e9 valid rows/slice the
+        # pair counts exceed int64 and this cast aborts LOUDLY under
+        # ANSI (tau_b6 itself rides DECIMAL(38,0), good past 10^18)
+        F.coalesce(F.col("_C").cast("long"), zero).alias("n_concordant"),
+        F.coalesce(F.col("_D").cast("long"), zero).alias("n_discordant"),
+        F.when(
+            (da > 0) & (db > 0),
+            F.round(F.lit(2.0) * cd / F.sqrt(da * db), 6),
+        ).alias("tau_b6"),
+    )

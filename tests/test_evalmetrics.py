@@ -2943,3 +2943,165 @@ def test_null_group_values_grade_correctly(spark):
     }
     assert set(by) == {"null:", None}
     assert by["null:"]["n_samples"] == 2 and by[None]["n_samples"] == 2
+
+
+def _kendall_reference(pairs):
+    """Shared-nothing tau-b reference: joint-cell C/D counting with
+    exact integers, the marginal-square tie identity, one float step."""
+    import collections
+    import math
+
+    by = collections.Counter((round(a, 6), round(b, 6)) for a, b in pairs)
+    cells = list(by.items())
+    C = D = 0
+    for i, ((a1, b1), c1) in enumerate(cells):
+        for (a2, b2), c2 in cells[i + 1:]:
+            if a1 == a2 or b1 == b2:
+                continue
+            if (a1 < a2) == (b1 < b2):
+                C += c1 * c2
+            else:
+                D += c1 * c2
+    n = sum(by.values())
+    ta = collections.Counter()
+    tb = collections.Counter()
+    for (a, b), c in by.items():
+        ta[a] += c
+        tb[b] += c
+    da = n * n - sum(t * t for t in ta.values())
+    db = n * n - sum(t * t for t in tb.values())
+    tau = (
+        round(2.0 * (C - D) / math.sqrt(float(da) * float(db)), 6)
+        if da > 0 and db > 0
+        else None
+    )
+    return {
+        "n_samples": n,
+        "n_distinct_a": len(ta),
+        "n_distinct_b": len(tb),
+        "n_cells": len(by),
+        "n_concordant": C,
+        "n_discordant": D,
+        "tau_b6": tau,
+    }
+
+
+def test_kendall_matches_reference_and_edges(spark):
+    """kendall_report equals the shared-nothing reference on a
+    tie-heavy grid; perfect agreement/reversal hit +/-1; constant
+    side -> NULL; NULLs excluded-and-counted; scipy cross-check value
+    pinned on a hand sample."""
+    import random
+
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rng = random.Random(61)
+    pairs = [
+        (g, max(0, min(10, g + rng.choice([-2, -1, -1, 0, 0, 0, 1, 1, 2]))))
+        for g in (rng.randrange(11) for _ in range(500))
+    ]
+    rows = [(i, float(a), float(b)) for i, (a, b) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "id long, sa double, sb double")
+    got = em.kendall_report(df, "id", "sa", "sb").collect()[0].asDict()
+    want = _kendall_reference(pairs)
+    want["n_excluded"] = 0
+    assert got == want
+
+    # hand sample cross-checked against scipy.stats.kendalltau
+    # (variant='b'): x=[1,2,2,3], y=[1,2,3,3] -> C=4 ((1,1) beats all
+    # three others, (2,2)<(3,3)), D=0, one tied-a pair, one tied-b
+    # pair; ta: {1:1,2:2,3:1} sum t^2=6; tb: {1:1,2:1,3:2} sum t^2=6;
+    # tau = 2*4/sqrt((16-6)*(16-6)) = 0.8 (scipy agrees)
+    hand = spark.createDataFrame(
+        [(0, 1.0, 1.0), (1, 2.0, 2.0), (2, 2.0, 3.0), (3, 3.0, 3.0)],
+        "id long, sa double, sb double",
+    )
+    h = em.kendall_report(hand, "id", "sa", "sb").collect()[0].asDict()
+    assert (h["n_concordant"], h["n_discordant"]) == (4, 0)
+    assert h["tau_b6"] == 0.8
+
+    # one discordance breaks it: swap the last y down
+    hand2 = spark.createDataFrame(
+        [(0, 1.0, 1.0), (1, 2.0, 2.0), (2, 2.0, 3.0), (3, 3.0, 1.0)],
+        "id long, sa double, sb double",
+    )
+    h2 = em.kendall_report(hand2, "id", "sa", "sb").collect()[0].asDict()
+    # C: (1,1)<(2,2) c, (1,1)<(2,3) c, (2,2)?(3,1) d, (2,3)?(3,1) d,
+    # (1,1)?(3,1) tied-b; ta sum t^2 = 6, tb {1:2,2:1,3:1} sum = 6
+    assert (h2["n_concordant"], h2["n_discordant"]) == (2, 2)
+    assert h2["tau_b6"] == 0.0
+
+    rev = spark.createDataFrame(
+        [(i, float(i), float(9 - i)) for i in range(10)],
+        "id long, sa double, sb double",
+    )
+    assert em.kendall_report(rev, "id", "sa", "sb").collect()[0][
+        "tau_b6"
+    ] == -1.0
+
+    const = spark.createDataFrame(
+        [(i, 1.0, float(i)) for i in range(5)],
+        "id long, sa double, sb double",
+    )
+    c = em.kendall_report(const, "id", "sa", "sb").collect()[0].asDict()
+    assert c["tau_b6"] is None and c["n_distinct_a"] == 1
+
+    withnull = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, None, 2.0), (3, 2.0, None), (4, 3.0, 2.0)],
+        "id long, sa double, sb double",
+    )
+    w = em.kendall_report(withnull, "id", "sa", "sb").collect()[0].asDict()
+    assert w["n_samples"] == 2 and w["n_excluded"] == 2
+    assert w["tau_b6"] == 1.0
+
+
+def test_kendall_grouped_equals_sliced_and_guard(spark):
+    """Grouped == per-slice ungrouped (NULL group value included);
+    fully-excluded slice emits; the max_cells guard refuses the
+    continuous-score regime BEFORE the quadratic join."""
+    import random
+
+    import pytest as _pytest
+
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rng = random.Random(67)
+    rows = []
+    for i in range(300):
+        g = [None, "j0", "j1"][i % 3]
+        a = rng.randrange(7)
+        b = max(0, min(6, a + rng.choice([-1, 0, 0, 1])))
+        rows.append((i, g, float(a), float(b)))
+    rows += [(900, "dead", None, 1.0), (901, "dead", 2.0, None)]
+    df = spark.createDataFrame(
+        rows, "id long, judge string, sa double, sb double"
+    )
+    by = {
+        r["judge"]: r.asDict()
+        for r in em.kendall_report(
+            df, "id", "sa", "sb", group_col="judge"
+        ).collect()
+    }
+    assert set(by) == {None, "j0", "j1", "dead"}
+    for g in (None, "j0", "j1"):
+        sliced = (
+            df.where(F.col("judge").isNull())
+            if g is None
+            else df.where(F.col("judge") == g)
+        )
+        want = em.kendall_report(sliced, "id", "sa", "sb").collect()[
+            0
+        ].asDict()
+        got = dict(by[g])
+        got.pop("judge")
+        assert got == want, (g, got, want)
+    dead = by["dead"]
+    assert dead["n_samples"] == 0 and dead["n_excluded"] == 2
+    assert dead["tau_b6"] is None and dead["n_cells"] == 0
+
+    cont = spark.createDataFrame(
+        [(i, i / 1000.0, ((i * 37) % 1000) / 1000.0) for i in range(1000)],
+        "id long, sa double, sb double",
+    )
+    with _pytest.raises(ValueError, match="max_cells"):
+        em.kendall_report(cont, "id", "sa", "sb", max_cells=100)
