@@ -35,6 +35,8 @@ re-typing a column).  Everything downstream is pure DataFrame algebra.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -766,55 +768,65 @@ def conversations_dedup_append_batch_fuzzy(
     re-worded canned response) slips what the one-shot
     :func:`dedup_conversations_fuzzy` catches within a corpus.
 
-    State layout (two parquet relations under ``state_dir``)::
+    State layout (three parquet relations under ``state_dir``)::
 
         admitted/  (conv_sig, conversation_id, n_turns, batch_id)
         bands/     (band, sig, conversation_id, batch_id)
+        sigs/      (conversation_id, n_sh, m0..m{n-1}, batch_id)
 
     ``bands/`` persists the LSH band signatures of every ADMITTED
-    conversation — O(n_bands) narrow rows per conversation, NOT the
+    conversation and ``sigs/`` its full minhash signature —
+    O(n_bands) + O(n_hashes) narrow values per conversation, NOT the
     corpus-sized shingle relation (persisting hashed shingles for
     exact cross-batch Jaccard replay is the stated production seam;
-    the band store is the 100 TB-viable membership structure).
+    these are the 100 TB-viable membership structures).
 
     Gate order for an arriving batch:
 
     1. EXACT gate — signatures anti-join everything previous batches
        admitted (the exact store's rule, verbatim).
-    2. CROSS-BATCH FUZZY gate — the arrivals' band signatures
-       (:func:`conversation_flat_text` -> shingle -> minhash -> LSH
-       bands, the one-shot tier's machinery) anti-join the prior
-       admitted band rows on ``(band, sig)``: an arrival sharing ANY
-       band with a prior admitted conversation is an LSH candidate
-       and is DROPPED.  This gates on CANDIDACY, not verified
-       Jaccard — at ``rows_per_band`` 56-bit min-hashes a band
-       collision needs every hash in the band to agree (probability
-       ~ jaccard^rows_per_band per band for unrelated texts, i.e.
-       vanishing without real shingle overlap), so the gate is the
-       detection event of the same LSH family, recall-biased by
-       construction: it can drop a sub-threshold near-miss, it
-       cannot re-admit a paraphrase the bands catch.
+    2. CROSS-BATCH FUZZY gate, VERIFIED (r15 verdict item 7) — the
+       arrivals' band signatures (:func:`conversation_flat_text` ->
+       shingle -> minhash -> LSH bands, the one-shot tier's
+       machinery) equi-join the prior admitted band rows on
+       ``(band, sig)`` to form CANDIDATE PAIRS, and each candidate is
+       then verified against the prior conversation's persisted
+       minhash signature: the arrival is dropped only when the
+       signature-agreement Jaccard ESTIMATE (matching hash positions
+       / ``n_hashes`` — the standard MinHash estimator) reaches
+       ``threshold``.  A sub-threshold band collision (one unlucky
+       band, low real overlap) now SURVIVES where the pre-r16 gate
+       dropped it; a paraphrase (high true Jaccard, most positions
+       agreeing) still dies.  Estimator honesty: at ``n_hashes`` 8
+       the estimate has 1/8 granularity — it is the same-family
+       statistic the bands are built from, not the exact shingle
+       Jaccard the within-batch tier computes (THAT would need the
+       shingle relation the store deliberately does not persist).
+       Legacy stores without ``sigs/`` fall back to the conservative
+       candidacy-drop.
     3. WITHIN-BATCH — exact min-id survivor per signature, then the
        full VERIFIED fuzzy tier (:func:`dedup_conversations_fuzzy`,
-       threshold Jaccard) over the batch's survivors.
+       exact threshold Jaccard) over the batch's survivors.
 
-    Survivors land in ``admitted/`` and their band rows in ``bands/``.
-    Replay safety is batch-id-addressed in BOTH relations (membership
-    tests exclude rows the current batch id wrote; verdicts are
-    deterministic, so a replayed batch re-admits exactly its original
-    survivors).  Parity with the one-shot pipeline (exact survivors
-    filtered by fuzzy ``keep``) holds when near-dup relations do not
-    CHAIN across dropped arrivals — a maintained gate admits-or-drops
-    against what it ADMITTED, not against what it dropped (the exact
-    store's in-order-batches caveat, extended to the fuzzy relation);
+    Survivors land in ``admitted/``, their band rows in ``bands/``,
+    their signatures in ``sigs/``.  Replay safety is
+    batch-id-addressed in ALL relations (membership tests exclude
+    rows the current batch id wrote; verdicts are deterministic, so a
+    replayed batch re-admits exactly its original survivors).  Parity
+    with the one-shot pipeline (exact survivors filtered by fuzzy
+    ``keep``) holds when near-dup relations do not CHAIN across
+    dropped arrivals — a maintained gate admits-or-drops against what
+    it ADMITTED, not against what it dropped (the exact store's
+    in-order-batches caveat, extended to the fuzzy relation);
     asserted on a planted cross-batch paraphrase by
     ``tests/test_conversations.py``.
 
-    Crash ordering: ``bands/`` is written BEFORE ``admitted/``, so a
-    crash between the two writes leaves a CONSERVATIVE store (orphan
-    band rows can only drop extra near-dups later, never re-admit),
-    and the two store reads are probed independently — a missing
-    ``bands/`` disables only the fuzzy gate, never the exact one.
+    Crash ordering: ``sigs/`` then ``bands/`` are written BEFORE
+    ``admitted/``, so a crash between the writes leaves a
+    CONSERVATIVE store (orphan band/sig rows can only drop extra
+    near-dups later, never re-admit), and the store reads are probed
+    independently — a missing ``bands/`` disables only the fuzzy
+    gate, never the exact one.
     Eager execution: the admitted survivors are pinned via
     ``localCheckpoint(eager=True)`` (two store writes consume them),
     so this call runs Spark jobs immediately and the pinned blocks
@@ -837,17 +849,17 @@ def conversations_dedup_append_batch_fuzzy(
     spark = turns.sparkSession
     admitted_dir = f"{state_dir}/admitted"
     bands_dir = f"{state_dir}/bands"
+    sigs_dir = f"{state_dir}/sigs"
+    sig_cols = [f"m{k}" for k in range(n_hashes)]
 
     sig = conversation_signature(turns, id_col, idx_col, role_col, content_col)
     flat = conversation_flat_text(turns, id_col, idx_col, role_col, content_col)
     hashes = doc_shingle_hashes(
         flat, "conversation_id", "conv_text", shingle_n
     ).cache()
+    arriving_sigs = minhash_signatures(hashes, "conversation_id", n_hashes)
     arriving_bands = _band_table(
-        minhash_signatures(hashes, "conversation_id", n_hashes),
-        "conversation_id",
-        n_hashes,
-        rows_per_band,
+        arriving_sigs, "conversation_id", n_hashes, rows_per_band
     )
 
     # the two store relations are probed INDEPENDENTLY: a single
@@ -867,16 +879,58 @@ def conversations_dedup_append_batch_fuzzy(
             return None
 
     prior_sigs = _prior(admitted_dir, ["conv_sig"])
-    prior_bands = _prior(bands_dir, ["band", "sig"])
+    prior_bands = _prior(bands_dir, ["band", "sig", "conversation_id"])
     fresh = sig
     if prior_sigs is not None:
         fresh = fresh.join(prior_sigs, "conv_sig", "left_anti")
     if prior_bands is not None:
-        fuzzy_hit = (
-            arriving_bands.join(prior_bands, ["band", "sig"], "left_semi")
-            .select("conversation_id")
+        # candidate PAIRS from the band equi-join (never all-pairs):
+        # (arrival, prior admitted) sharing at least one band
+        cand = (
+            arriving_bands.join(
+                prior_bands.withColumnRenamed("conversation_id", "_prior_id"),
+                ["band", "sig"],
+            )
+            .select("conversation_id", "_prior_id")
             .distinct()
         )
+        prior_minsigs = _prior(sigs_dir, ["conversation_id", *sig_cols])
+        if prior_minsigs is not None:
+            # VERIFY each candidate at threshold (r15 verdict item 7):
+            # signature-agreement Jaccard estimate — matching hash
+            # positions / n_hashes, the standard MinHash estimator —
+            # against the prior side's persisted signature.  A
+            # one-unlucky-band sub-threshold collision survives; a
+            # paraphrase (most positions agreeing) dies.
+            a_side = arriving_sigs.select(
+                "conversation_id",
+                *[F.col(c).alias(f"_a_{c}") for c in sig_cols],
+            )
+            p_side = prior_minsigs.select(
+                F.col("conversation_id").alias("_prior_id"),
+                *[F.col(c).alias(f"_p_{c}") for c in sig_cols],
+            )
+            agree = functools.reduce(
+                lambda x, y: x + y,
+                [
+                    F.when(
+                        F.col(f"_a_{c}") == F.col(f"_p_{c}"), 1
+                    ).otherwise(0)
+                    for c in sig_cols
+                ],
+            )
+            fuzzy_hit = (
+                cand.join(a_side, "conversation_id")
+                .join(p_side, "_prior_id")
+                .where(
+                    agree.cast("double") / F.lit(float(n_hashes))
+                    >= F.lit(float(threshold))
+                )
+                .select("conversation_id")
+                .distinct()
+            )
+        else:  # legacy store without sigs/: conservative candidacy-drop
+            fuzzy_hit = cand.select("conversation_id").distinct()
         fresh = fresh.join(fuzzy_hit, "conversation_id", "left_anti")
 
     exact_survivors = exact_dedup(fresh, ["conv_sig"], "conversation_id")
@@ -904,12 +958,21 @@ def conversations_dedup_append_batch_fuzzy(
         "left_semi",
     ).localCheckpoint(eager=True)  # two consumers below; pin once
 
-    # bands/ is written FIRST: a crash between the two writes then
-    # leaves a store that is CONSERVATIVE (the orphaned band rows can
-    # only drop extra near-duplicates on later batches) instead of one
-    # that re-admits paraphrases of admitted-but-bandless
+    # sigs/ then bands/ are written FIRST: a crash between the writes
+    # then leaves a store that is CONSERVATIVE (orphaned sig/band rows
+    # can only drop extra near-duplicates on later batches) instead of
+    # one that re-admits paraphrases of admitted-but-bandless
     # conversations; a same-batch replay excludes the orphans anyway
     # via the batch_id != batch filters above
+    (
+        arriving_sigs.join(
+            admitted.select("conversation_id"), "conversation_id", "left_semi"
+        )
+        .select("conversation_id", "n_sh", *sig_cols)
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        .write.mode("append")
+        .parquet(sigs_dir)
+    )
     (
         arriving_bands.join(
             admitted.select("conversation_id"), "conversation_id", "left_semi"

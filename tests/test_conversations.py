@@ -709,3 +709,73 @@ def test_fuzzy_store_missing_bands_dir_keeps_exact_gate(spark, tmp_path):
     # 300 (verbatim dup of 100) dropped by the still-active exact
     # gate; 301 admitted; the fuzzy tier simply had nothing to gate on
     assert got == {100, 101, 301}
+
+
+def test_fuzzy_store_verifies_cross_batch_candidates_at_threshold(
+    spark, tmp_path
+):
+    """r15 verdict item 7: the cross-batch fuzzy gate VERIFIES its
+    band candidates against the persisted minhash signatures instead
+    of dropping on candidacy.  A planted SUB-THRESHOLD collision (one
+    shared band, true Jaccard ~0.29, signature agreement 3/8 < 0.5)
+    must SURVIVE where the pre-r16 gate dropped it; a planted
+    paraphrase still dies; replay is still a no-op.  The collider is
+    deterministic: md5-seeded minhashes over the flattened text, found
+    by exhaustive search and pinned here."""
+    from lightfusion_spark.operators import conversations as conv_ops
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    collider = shared + " " + " ".join(f"w0q{j}" for j in range(10))
+    schema = "conversation_id long, turn_idx int, role string, content string"
+    df1 = spark.createDataFrame([(100, 0, "user", base)], schema)
+    df2 = spark.createDataFrame(
+        [
+            # the sub-threshold collider: shares a band with 100 but
+            # only 3/8 signature positions agree
+            (300, 0, "user", collider),
+            # a true paraphrase of 100: most positions agree
+            (301, 0, "user", base + " hope that helps"),
+        ],
+        schema,
+    )
+    state_dir = str(tmp_path / "verified_fuzzy_state")
+    conv_ops.conversations_dedup_append_batch_fuzzy(df1, state_dir, 0)
+    conv_ops.conversations_dedup_append_batch_fuzzy(df2, state_dir, 1)
+    got = {
+        r["conversation_id"]
+        for r in conv_ops.conversations_dedup_from_store_fuzzy(
+            spark, state_dir
+        ).collect()
+    }
+    assert got == {100, 300}  # collider admitted, paraphrase dead
+
+    # replay both batches: no-op
+    conv_ops.conversations_dedup_append_batch_fuzzy(df1, state_dir, 0)
+    conv_ops.conversations_dedup_append_batch_fuzzy(df2, state_dir, 1)
+    again = {
+        r["conversation_id"]
+        for r in conv_ops.conversations_dedup_from_store_fuzzy(
+            spark, state_dir
+        ).collect()
+    }
+    assert again == got
+
+    # legacy-store fallback: without sigs/ the gate degrades to the
+    # conservative candidacy-drop (the collider dies, nothing errors)
+    import shutil
+
+    legacy = str(tmp_path / "legacy_state")
+    conv_ops.conversations_dedup_append_batch_fuzzy(df1, legacy, 0)
+    shutil.rmtree(f"{legacy}/sigs")
+    conv_ops.conversations_dedup_append_batch_fuzzy(df2, legacy, 1)
+    leg = {
+        r["conversation_id"]
+        for r in conv_ops.conversations_dedup_from_store_fuzzy(
+            spark, legacy
+        ).collect()
+    }
+    assert leg == {100}
