@@ -171,6 +171,9 @@ BENCH_QUERIES = [
     "pipe_eval_pr",
     "pipe_eval_auc_bootstrap",
     "pipe_pack_efficiency",
+    # round-16 faces
+    "pipe_eval_pr_bootstrap",
+    "pipe_eval_kendall",
 ]
 
 

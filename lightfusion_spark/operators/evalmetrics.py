@@ -4408,9 +4408,18 @@ def kendall_report(
         F.col("_b").alias("_b2"),
         F.col("_c").cast("decimal(19,0)").alias("_c2"),
     )
-    cond = F.col("_a1") < F.col("_a2")
+    # ungrouped: no equi key, the nested-loop join needs the (guarded,
+    # bounded) broadcast.  Grouped: the slice key IS an equi key — a
+    # hash join on _grp scales to any number of slices, where a
+    # broadcast of slices x max_cells rows would not.
     if keys:
-        cond = (F.col("_grp") == F.col("_grp2")) & cond
+        cond = (F.col("_grp") == F.col("_grp2")) & (
+            F.col("_a1") < F.col("_a2")
+        )
+        joined_pairs_src = (ca, cb)
+    else:
+        cond = F.col("_a1") < F.col("_a2")
+        joined_pairs_src = (ca, F.broadcast(cb))
     prod = (F.col("_c1") * F.col("_c2")).cast("decimal(38,0)")
     pair_aggs = [
         F.coalesce(
@@ -4424,7 +4433,7 @@ def kendall_report(
         .cast("decimal(38,0)")
         .alias("_D"),
     ]
-    joined_pairs = ca.join(F.broadcast(cb), cond)
+    joined_pairs = joined_pairs_src[0].join(joined_pairs_src[1], cond)
     pairs = (
         joined_pairs.groupBy(*keys).agg(*pair_aggs)
         if keys
