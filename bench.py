@@ -174,7 +174,6 @@ BENCH_QUERIES = [
     # round-16 faces
     "pipe_eval_pr_bootstrap",
     "pipe_eval_kendall",
-    "pipe_eval_krippendorff",
 ]
 
 

@@ -3947,156 +3947,3 @@ def pipe_eval_kendall(spark, sf_dir):
     )
     return evalmetrics.kendall_report(rows, "doc_id", "score_a", "score_b")
 
-
-_KRIPPENDORFF_ORACLE = """
-WITH raters AS (SELECT CAST(u.r AS BIGINT) AS r FROM UNNEST(range(0, 5)) AS u(r)),
-draws AS (
-  SELECT d.doc_id, raters.r,
-         CAST('0x' || substr(md5('19:' || CAST(d.doc_id AS VARCHAR)), 1, 14)
-              AS BIGINT) % 1000000 AS u_truth,
-         CAST('0x' || substr(md5(CAST(20 + raters.r AS VARCHAR) || ':'
-                                 || CAST(d.doc_id AS VARCHAR)), 1, 14)
-              AS BIGINT) % 1000000 AS u_pres,
-         CAST('0x' || substr(md5(CAST(30 + raters.r AS VARCHAR) || ':'
-                                 || CAST(d.doc_id AS VARCHAR)), 1, 14)
-              AS BIGINT) % 1000000 AS u_lab
-  FROM documents d CROSS JOIN raters
-),
-src AS (
-  SELECT doc_id AS item, 'a' || CAST(r AS VARCHAR) AS annotator,
-         CASE WHEN u_lab < 20000 THEN NULL
-              WHEN u_lab < 770000 THEN 'L' || CAST(u_truth % 4 AS VARCHAR)
-              ELSE 'L' || CAST(u_lab % 4 AS VARCHAR) END AS label
-  FROM draws WHERE u_pres < 700000 - r * 100000
-),
-dropped AS (
-  SELECT CAST(SUM(CASE WHEN label IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_rows_dropped
-  FROM src
-),
-resolved AS (
-  SELECT item, annotator, MIN(label) AS label
-  FROM src WHERE label IS NOT NULL GROUP BY item, annotator
-),
-cells AS (
-  SELECT item, label, CAST(COUNT(*) AS BIGINT) AS niv
-  FROM resolved GROUP BY item, label
-),
-per_item AS (
-  SELECT item, CAST(SUM(niv) AS BIGINT) AS m,
-         CAST(SUM(niv * niv) AS BIGINT) AS sq
-  FROM cells GROUP BY item
-),
-per_m AS (
-  SELECT m, CAST(COUNT(*) AS BIGINT) AS items,
-         CAST(SUM(CAST(m * m - sq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s
-  FROM per_item WHERE m >= 2 GROUP BY m
-),
-tsum AS (
-  SELECT CAST(COALESCE(SUM(items), 0) AS BIGINT) AS n_items,
-         CAST(COALESCE(SUM(CAST(s * CAST(5354228880 // (m - 1)
-                                         AS DECIMAL(19,0))
-                                 AS DECIMAL(38,0))), 0)
-              AS DECIMAL(38,0)) AS t
-  FROM per_m
-),
-nd AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_items_dropped
-  FROM per_item WHERE m < 2
-),
-marg AS (
-  SELECT c.label, CAST(SUM(c.niv) AS BIGINT) AS nv
-  FROM cells c JOIN per_item p ON c.item = p.item AND p.m >= 2
-  GROUP BY c.label
-),
-mstats AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
-         CAST(COALESCE(SUM(nv), 0) AS BIGINT) AS n_values,
-         CAST(COALESCE(SUM(CAST(nv * nv AS DECIMAL(38,0))), 0)
-              AS DECIMAL(38,0)) AS snv2
-  FROM marg
-)
-SELECT tsum.n_items, nd.n_items_dropped, dropped.n_rows_dropped,
-       mstats.n_values, mstats.n_categories,
-       CASE WHEN CAST(CAST(CAST(mstats.n_values AS DECIMAL(19,0))
-                           * CAST(mstats.n_values AS DECIMAL(19,0))
-                           AS DECIMAL(38,0)) - mstats.snv2 AS DOUBLE) > 0
-            THEN ROUND(1.0 - (CAST(mstats.n_values - 1 AS DOUBLE)
-                              * CAST(tsum.t AS DOUBLE))
-                       / (5354228880.0
-                          * CAST(CAST(CAST(mstats.n_values AS DECIMAL(19,0))
-                                      * CAST(mstats.n_values AS DECIMAL(19,0))
-                                      AS DECIMAL(38,0)) - mstats.snv2
-                                 AS DOUBLE)), 6)
-       END AS alpha6
-FROM tsum, nd, dropped, mstats
-"""
-
-
-@register(
-    "pipe_eval_krippendorff",
-    oracle=_KRIPPENDORFF_ORACLE,
-    doc="Krippendorff's alpha, nominal (evalmetrics.krippendorff_alpha) "
-    "— the agreement statistic for the panels Fleiss refuses: five "
-    "candidate raters with md5-drawn presence (70%..30% each, so "
-    "items carry 0..5 ratings and unpairable singletons are "
-    "dropped-and-counted), labels = a 4-way truth draw kept 75% of "
-    "the time, ~2% NULL ratings excluded-and-counted.  Exact to the "
-    "single float step: the per-item 1/(m-1) weights would make a "
-    "float sum partial-aggregation-order-dependent, so items group "
-    "by rater count (<= 24 rows), each group's integer disagreement "
-    "sum rescales by lcm(1..24)/(m-1) — an exact integer — and the "
-    "rescaled terms fold into ONE DECIMAL(38,0); alpha is a fixed "
-    "expression tree over exact integers, ROUNDed at 6, identical in "
-    "both engines.  Scale: resolve + per-(item,value) counts are "
-    "map-side-combinable item-keyed aggregations; everything after "
-    "runs over a <= 24-row rater-count relation and a k-row category "
-    "relation.  No windows, no self-join, zero Python",
-)
-def pipe_eval_krippendorff(spark, sf_dir):
-    from ..operators.dedup import _md5_long
-
-    d = table(spark, sf_dir, "documents")
-    raters = spark.range(5).select(F.col("id").cast("long").alias("r"))
-    sid = F.col("doc_id").cast("string")
-    draws = d.crossJoin(F.broadcast(raters)).select(
-        "doc_id",
-        "r",
-        (_md5_long(sid, seed=19) % F.lit(1_000_000)).alias("u_truth"),
-        (
-            _md5_long(
-                F.concat(
-                    (F.lit(20) + F.col("r")).cast("string"),
-                    F.lit(":"),
-                    sid,
-                ),
-            )
-            % F.lit(1_000_000)
-        ).alias("u_pres"),
-        (
-            _md5_long(
-                F.concat(
-                    (F.lit(30) + F.col("r")).cast("string"),
-                    F.lit(":"),
-                    sid,
-                ),
-            )
-            % F.lit(1_000_000)
-        ).alias("u_lab"),
-    )
-    src = draws.where(
-        F.col("u_pres") < F.lit(700_000) - F.col("r") * 100_000
-    ).select(
-        F.col("doc_id").alias("item"),
-        F.concat(F.lit("a"), F.col("r").cast("string")).alias("annotator"),
-        F.when(F.col("u_lab") < 20_000, F.lit(None).cast("string"))
-        .when(
-            F.col("u_lab") < 770_000,
-            F.concat(F.lit("L"), (F.col("u_truth") % 4).cast("string")),
-        )
-        .otherwise(
-            F.concat(F.lit("L"), (F.col("u_lab") % 4).cast("string"))
-        )
-        .alias("label"),
-    )
-    return evalmetrics.krippendorff_alpha(src, "item", "annotator", "label")

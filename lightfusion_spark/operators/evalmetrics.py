@@ -4497,165 +4497,3 @@ def kendall_report(
         ).alias("tau_b6"),
     )
 
-
-#: lcm(1..24): every pairable-rater-count denominator (m - 1 for m in
-#: 2..25) divides it, so the per-rater-count disagreement terms of
-#: Krippendorff's alpha stay EXACT INTEGERS after the common-multiple
-#: rescale — see :func:`krippendorff_alpha`.
-_KRIPP_LCM = 5_354_228_880
-_KRIPP_MAX_RATERS = 25
-
-
-def krippendorff_alpha(
-    df: DataFrame,
-    item_col: str,
-    annotator_col: str,
-    label_col: str,
-) -> DataFrame:
-    """Krippendorff's alpha (nominal) — the third member of the
-    annotation-agreement family, and the statistic the other two
-    can't replace: Cohen's kappa scores one rater PAIR,
-    :func:`fleiss_kappa` demands a BALANCED panel (every item rated
-    by exactly n raters), while real labeling crews produce items
-    with two raters here, five there, and holes everywhere — alpha is
-    the standard statistic for exactly that design (Krippendorff
-    2004, the content-analysis canon).  One row::
-
-        (n_items, n_items_dropped, n_rows_dropped, n_values,
-         n_categories, alpha6)
-
-    Semantics (nominal metric), after the family's deterministic
-    MIN-label conflict resolution per (item, annotator) and the
-    NULL-drop accounting (``n_rows_dropped``): items with FEWER THAN
-    TWO raters are unpairable — excluded and counted in
-    ``n_items_dropped`` (Krippendorff's own rule); ``n_values`` is
-    the total pairable value count ``n = sum m_i``.  With ``n_iv``
-    the per-item value counts and ``n_v`` the marginals::
-
-        D_o * n = sum_i (m_i^2 - sum_v n_iv^2) / (m_i - 1)
-        D_e     = (n^2 - sum_v n_v^2) / (n * (n - 1))
-        alpha   = 1 - D_o / D_e
-                = 1 - (n - 1) * sum_i(...) / (n^2 - sum_v n_v^2)
-
-    EXACTNESS (the family's decimal discipline, with a twist the
-    other operators don't need): the per-item ``1/(m_i - 1)`` weights
-    vary by item, so a naive float sum would be partial-aggregation-
-    order-dependent.  Instead items group by their rater count ``m``
-    (a bounded relation — m <= 25), each group's integer sum
-    ``S_m = sum (m^2 - sum n_iv^2)`` is rescaled by
-    ``lcm(1..24) / (m - 1)`` — an exact integer because every
-    denominator divides the constant — and the rescaled terms sum to
-    ONE exact DECIMAL(38,0).  The single float step is the final
-    ``1 - (n-1)*T / (LCM * (n^2 - sum n_v^2))``, a fixed expression
-    tree over exact integers, ROUNDed at 6.  Panels with a rater
-    count ABOVE 25 raise in-plan (``raise_error`` — the constant's
-    stated domain; widen ``_KRIPP_LCM`` for bigger crews).  ``alpha6``
-    is NULL when expected disagreement is zero (one category overall,
-    or n < 2 pairable values) — undefined, not 0 (Krippendorff's own
-    verdict for no-variation data).
-
-    100 TB shape: resolve + per-(item, value) counts are map-side-
-    combinable aggregations keyed by item; per-item squares reduce to
-    a <= 24-row per-rater-count relation; marginals to a k-row
-    category relation.  No windows, no self-join, no corpus-sized
-    state.  Zero Python.
-    """
-    src = df.select(
-        F.col(item_col).alias("item"),
-        F.col(annotator_col).alias("annotator"),
-        F.col(label_col).alias("label"),
-    )
-    valid = (
-        F.col("item").isNotNull()
-        & F.col("annotator").isNotNull()
-        & F.col("label").isNotNull()
-    )
-    rows_dropped = src.agg(
-        F.coalesce(F.sum(F.when(~valid, 1).otherwise(0)), F.lit(0))
-        .cast("long")
-        .alias("n_rows_dropped")
-    )
-    resolved = (
-        src.where(valid)
-        .groupBy("item", "annotator")
-        .agg(F.min("label").alias("label"))
-    )
-    cells = resolved.groupBy("item", "label").agg(
-        F.count(F.lit(1)).cast("long").alias("niv")
-    )
-    per_item = cells.groupBy("item").agg(
-        F.sum("niv").cast("long").alias("_m"),
-        F.sum(F.col("niv") * F.col("niv")).cast("long").alias("_sq"),
-    )
-    pairable = per_item.where(F.col("_m") >= 2)
-    # bounded per-rater-count relation: the LCM rescale keeps every
-    # term integral, so the cross-item sum is ONE exact decimal
-    per_m = pairable.groupBy("_m").agg(
-        F.count(F.lit(1)).cast("long").alias("_items"),
-        F.sum(
-            (F.col("_m") * F.col("_m") - F.col("_sq")).cast("decimal(38,0)")
-        )
-        .cast("decimal(38,0)")
-        .alias("_s"),
-    )
-    term = F.col("_s") * F.when(
-        F.col("_m") <= _KRIPP_MAX_RATERS,
-        (F.lit(_KRIPP_LCM) / (F.col("_m") - 1)).cast("decimal(19,0)"),
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                "krippendorff_alpha: an item has more than "
-                f"{_KRIPP_MAX_RATERS} raters — beyond the exact-integer "
-                "rescale constant's domain (widen _KRIPP_LCM)"
-            )
-        ).cast("decimal(19,0)")
-    )
-    tsum = per_m.agg(
-        F.coalesce(F.sum("_items"), F.lit(0)).cast("long").alias("n_items"),
-        F.coalesce(F.sum(term.cast("decimal(38,0)")), F.lit(0))
-        .cast("decimal(38,0)")
-        .alias("_t"),
-    )
-    n_dropped = per_item.where(F.col("_m") < 2).agg(
-        F.count(F.lit(1)).cast("long").alias("n_items_dropped")
-    )
-    # marginals over PAIRABLE items only (the coincidence-matrix base)
-    marg = (
-        cells.join(pairable.select("item"), "item", "leftsemi")
-        .groupBy("label")
-        .agg(F.sum("niv").cast("long").alias("_nv"))
-    )
-    mstats = marg.agg(
-        F.count(F.lit(1)).cast("long").alias("n_categories"),
-        F.coalesce(F.sum("_nv"), F.lit(0)).cast("long").alias("n_values"),
-        F.coalesce(
-            F.sum((F.col("_nv") * F.col("_nv")).cast("decimal(38,0)")),
-            F.lit(0),
-        )
-        .cast("decimal(38,0)")
-        .alias("_snv2"),
-    )
-    out = (
-        tsum.crossJoin(F.broadcast(mstats))
-        .crossJoin(F.broadcast(n_dropped))
-        .crossJoin(F.broadcast(rows_dropped))
-    )
-    n = F.col("n_values").cast("decimal(19,0)")
-    de_num = (n * n).cast("decimal(38,0)") - F.col("_snv2")
-    alpha = F.round(
-        F.lit(1.0)
-        - (
-            (F.col("n_values") - 1).cast("double")
-            * F.col("_t").cast("double")
-        )
-        / (F.lit(float(_KRIPP_LCM)) * de_num.cast("double")),
-        6,
-    )
-    return out.select(
-        "n_items",
-        "n_items_dropped",
-        "n_rows_dropped",
-        "n_values",
-        "n_categories",
-        F.when(de_num.cast("double") > 0, alpha).alias("alpha6"),
-    )

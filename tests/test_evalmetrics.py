@@ -3106,97 +3106,3 @@ def test_kendall_grouped_equals_sliced_and_guard(spark):
     with _pytest.raises(ValueError, match="max_cells"):
         em.kendall_report(cont, "id", "sa", "sb", max_cells=100)
 
-
-def _krippendorff_reference(rows):
-    """Shared-nothing nominal-alpha reference via the CANONICAL
-    coincidence-matrix formulation in exact Fractions (independent of
-    the operator's LCM-rescale derivation): o_ck = sum_i (ordered
-    (c,k) pairs within item i) / (m_i - 1); D_o = sum_{c!=k} o_ck / n;
-    D_e = sum_{c!=k} n_c n_k / (n (n-1))."""
-    import collections
-    from fractions import Fraction
-
-    by_item = collections.defaultdict(collections.Counter)
-    resolved = {}
-    for item, ann, lab in rows:
-        if item is None or ann is None or lab is None:
-            continue
-        k = (item, ann)
-        resolved[k] = lab if k not in resolved else min(resolved[k], lab)
-    for (item, _), lab in resolved.items():
-        by_item[item][lab] += 1
-    pairable = {i: c for i, c in by_item.items() if sum(c.values()) >= 2}
-    n_c = collections.Counter()
-    for c in pairable.values():
-        n_c.update(c)
-    n = sum(n_c.values())
-    disagree = Fraction(0)
-    for c in pairable.values():
-        m = sum(c.values())
-        cross = m * m - sum(v * v for v in c.values())
-        disagree += Fraction(cross, m - 1)
-    d_o = disagree / n if n else None
-    de_num = n * n - sum(v * v for v in n_c.values())
-    if n < 2 or de_num == 0:
-        return None
-    d_e = Fraction(de_num, n * (n - 1))
-    return round(float(1 - d_o / d_e), 6)
-
-
-def test_krippendorff_alpha_matches_reference(spark):
-    """krippendorff_alpha equals the exact-Fraction coincidence-matrix
-    reference on an unbalanced panel with holes (the design Fleiss
-    refuses); perfect agreement -> 1; single-category -> NULL;
-    unpairable items dropped-and-counted; NULL rows counted; >25
-    raters raises (the LCM constant's stated domain)."""
-    import random
-
-    from lightfusion_spark.operators import evalmetrics as em
-
-    rng = random.Random(71)
-    rows = []
-    for item in range(200):
-        truth = rng.randrange(4)
-        n_raters = rng.choice([1, 2, 2, 3, 3, 3, 4, 5])
-        for r in range(n_raters):
-            lab = truth if rng.random() < 0.75 else rng.randrange(4)
-            rows.append((item, f"a{r}", f"L{lab}"))
-    rows += [(None, "a0", "L0"), (5, None, "L1"), (6, "a0", None)]
-    df = spark.createDataFrame(
-        rows, "item long, annotator string, label string"
-    )
-    got = em.krippendorff_alpha(df, "item", "annotator", "label").collect()[
-        0
-    ].asDict()
-    assert got["alpha6"] == _krippendorff_reference(rows)
-    assert got["n_rows_dropped"] == 3
-    assert got["n_items"] + got["n_items_dropped"] >= 200
-    assert 0.3 < got["alpha6"] < 0.9  # real agreement, not chance
-
-    perfect = spark.createDataFrame(
-        [(i, f"a{r}", f"L{i % 3}") for i in range(30) for r in range(2 + i % 3)],
-        "item long, annotator string, label string",
-    )
-    p = em.krippendorff_alpha(
-        perfect, "item", "annotator", "label"
-    ).collect()[0].asDict()
-    assert p["alpha6"] == 1.0 and p["n_items_dropped"] == 0
-
-    onecat = spark.createDataFrame(
-        [(i, f"a{r}", "same") for i in range(10) for r in range(3)],
-        "item long, annotator string, label string",
-    )
-    o = em.krippendorff_alpha(onecat, "item", "annotator", "label").collect()[
-        0
-    ].asDict()
-    assert o["alpha6"] is None and o["n_categories"] == 1
-
-    import pytest as _pytest
-    from pyspark.errors import SparkRuntimeException
-
-    wide = spark.createDataFrame(
-        [(1, f"a{r}", f"L{r % 2}") for r in range(30)],
-        "item long, annotator string, label string",
-    )
-    with _pytest.raises(SparkRuntimeException, match="raters"):
-        em.krippendorff_alpha(wide, "item", "annotator", "label").collect()
