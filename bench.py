@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     # round-16 faces
     "pipe_eval_pr_bootstrap",
     "pipe_eval_kendall",
+    "pipe_eval_brier",
 ]
 
 

@@ -3947,3 +3947,93 @@ def pipe_eval_kendall(spark, sf_dir):
     )
     return evalmetrics.kendall_report(rows, "doc_id", "score_a", "score_b")
 
+
+
+_BRIER_ORACLE = """
+WITH h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 14)
+              AS BIGINT) % 1000000 AS u1,
+         CAST('0x' || substr(md5('12:' || CAST(doc_id AS VARCHAR)), 1, 14)
+              AS BIGINT) % 1000000 AS u2
+  FROM documents
+),
+s AS (
+  SELECT ROUND(CAST(u1 AS DOUBLE) / 1000000.0, 6) AS sc,
+         CASE WHEN u2 * 1000000 < u1 * u1 THEN 1 ELSE 0 END AS y
+  FROM h
+),
+g AS (
+  SELECT sc, CAST(SUM(y) AS BIGINT) AS np,
+         CAST(SUM(1 - y) AS BIGINT) AS nn
+  FROM s GROUP BY sc
+),
+cl AS (
+  SELECT sc, np, nn,
+         GREATEST(LEAST(sc, 1.0 - 0.000001), 0.000001) AS c
+  FROM g
+),
+cells AS (
+  SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+         CAST(SUM(nn) AS BIGINT) AS n_neg,
+         CAST(SUM(CAST(np AS DECIMAL(12,0))
+                  * ((1 - CAST(sc AS DECIMAL(8,6)))
+                     * (1 - CAST(sc AS DECIMAL(8,6))))
+                  + CAST(nn AS DECIMAL(12,0))
+                  * (CAST(sc AS DECIMAL(8,6)) * CAST(sc AS DECIMAL(8,6))))
+              AS DECIMAL(38,12)) AS bsum,
+         CAST(SUM(CAST(np AS DECIMAL(12,0))
+                  * CAST(ROUND(-LN(c), 6) AS DECIMAL(18,6))
+                  + CAST(nn AS DECIMAL(12,0))
+                  * CAST(ROUND(-LN(1.0 - c), 6) AS DECIMAL(18,6)))
+              AS DECIMAL(38,6)) AS llsum
+  FROM cl
+)
+SELECT CAST(n_pos + n_neg AS BIGINT) AS n_samples,
+       CAST(0 AS BIGINT) AS n_excluded,
+       n_pos, n_neg,
+       CASE WHEN n_pos + n_neg > 0
+            THEN ROUND(CAST(bsum AS DOUBLE)
+                       / CAST(n_pos + n_neg AS DOUBLE), 6) END AS brier6,
+       CASE WHEN n_pos + n_neg > 0
+            THEN ROUND(CAST(llsum AS DOUBLE)
+                       / CAST(n_pos + n_neg AS DOUBLE), 6) END AS logloss6
+FROM cells
+"""
+
+
+@register(
+    "pipe_eval_brier",
+    oracle=_BRIER_ORACLE,
+    doc="proper-scoring-rules report (evalmetrics.brier_report) — Brier "
+    "score AND log loss on pipe_eval_auc's scored corpus (u1 md5 ppm "
+    "probabilities, label ~ Bernoulli(score^2) via the exact integer "
+    "compare): AUC prices the RANKING, AP the early precision, ECE "
+    "the binned calibration — Brier/log-loss price the probabilities "
+    "themselves, the number a distillation or reward-model pipeline "
+    "trains against.  Both ride the SAME pinned (rounded score -> "
+    "class counts) relation as auc/pr (the sufficient statistic for "
+    "any pointwise score functional, and the SAME binary-score store "
+    "serves them streamed via brier_from_store).  Exact: (1-s)^2 and "
+    "s^2 are exact DECIMALs at scale 12 over integer cell counts — "
+    "no float aggregation; the -ln terms ROUND at 6 per distinct "
+    "score (the registry's libm rule, sklearn's eps-clip at 1e-6) "
+    "and ride an exact DECIMAL(38,6) integer-weighted sum; one "
+    "rounded float division per metric.  Out-of-[0,1] scores are "
+    "excluded-and-counted (none here by construction).  Scale: ONE "
+    "corpus exchange (the shared pinned aggregation); both folds run "
+    "over the bounded per-score relation.  Zero Python",
+)
+def pipe_eval_brier(spark, sf_dir):
+    from ..operators.dedup import _md5_long
+
+    d = table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    u1 = _md5_long(sid, seed=11) % F.lit(1_000_000)
+    u2 = _md5_long(sid, seed=12) % F.lit(1_000_000)
+    rows = d.select(
+        "doc_id",
+        F.round(u1.cast("double") / F.lit(1_000_000.0), 6).alias("score"),
+        (u2 * F.lit(1_000_000) < u1 * u1).cast("int").alias("label"),
+    )
+    return evalmetrics.brier_report(rows, "doc_id", "score", "label")

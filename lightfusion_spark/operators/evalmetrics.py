@@ -3680,6 +3680,167 @@ def pr_from_store(spark, state_dir: str) -> DataFrame:
     )
 
 
+def brier_report(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    label_col: str,
+    group_col: str | None = None,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Proper-scoring-rules report — Brier score AND log loss, the
+    two standard strictly-proper rules for probabilistic binary
+    classifiers, completing the score-quality family: AUC prices
+    RANKING, AP prices early precision, ECE prices calibration in
+    bins, while Brier/log-loss price the PROBABILITIES themselves
+    (a model that ranks perfectly but says 0.51 for everything has
+    great AUC and terrible log loss — the number a distillation or
+    reward-model pipeline actually trains against).  One row (or one
+    per ``group_col``)::
+
+        (n_samples, n_excluded, n_pos, n_neg, brier6, logloss6)
+
+    Definitions over the SAME pinned (rounded score -> class counts)
+    relation as :func:`auc_report`/:func:`pr_report` (the per-score
+    class counts are the sufficient statistic for any pointwise score
+    functional)::
+
+        brier   = (1/n) * sum_cells [np*(1-s)^2 + nn*s^2]
+        logloss = (1/n) * sum_cells [np*r(s) + nn*r(1-s)],
+                  r(x) = round(-ln(clip(x)), 6),
+                  clip to [10^-score_decimals, 1 - 10^-score_decimals]
+
+    A Brier/log-loss score is only meaningful for PROBABILITIES:
+    valid rows whose score falls outside [0, 1] are EXCLUDED AND
+    COUNTED alongside the NULL rows (the calibration operator's
+    out-of-range rule), and the clip keeps a hard 0/1 probability
+    from producing an infinite log loss (stated: sklearn's eps-clip
+    convention, at the rounding grid's own resolution).
+
+    Exactness: ``s`` is exact at ``score_decimals`` decimals, so
+    ``(1-s)^2`` is an EXACT DECIMAL (scale ``2*score_decimals``) and
+    the Brier numerator is one exact DECIMAL(38,*) sum over integer
+    cell counts — no float aggregation anywhere; the log terms are
+    transcendental, so they ROUND at 6 per distinct score (the
+    registry's libm rule) and ride the same exact integer-weighted
+    decimal sum.  The single float step per metric is the final
+    division by ``n``, ROUNDed at 6.  ``brier6``/``logloss6`` are
+    NULL when no graded rows remain; a fully-excluded slice still
+    emits its row.
+
+    100 TB shape: the ONE corpus-sized exchange is the shared pinned
+    aggregation; both folds run over the bounded (<= ~1e6+1 rows per
+    slice) relation.  Zero Python.  NOT a pure plan constructor (the
+    shared pin — see :func:`pr_report`).
+    """
+    grouped, keys, per_group = _binary_score_groups(
+        df, score_col, label_col, group_col, score_decimals
+    )
+    return _brier_from_groups(
+        grouped, keys, per_group, group_col, score_decimals
+    )
+
+
+def _brier_from_groups(
+    grouped: bool,
+    keys: list[str],
+    per_group: DataFrame,
+    group_col,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """The Brier/log-loss finisher over a ``(_ok, _s, _np, _nn,
+    _cnt)`` relation — shared VERBATIM between :func:`brier_report`
+    and :func:`brier_from_store` (the family regime)."""
+    sd = int(score_decimals)
+    in_range = F.col("_ok") & (F.col("_s") >= 0.0) & (F.col("_s") <= 1.0)
+    eps = 10.0 ** (-sd)
+    s_dec = F.col("_s").cast(f"decimal({2 + sd},{sd})")
+    one_m = (F.lit(1).cast(f"decimal({2 + sd},{sd})") - s_dec)
+    npd = F.col("_np").cast("decimal(12,0)")
+    nnd = F.col("_nn").cast("decimal(12,0)")
+    brier_cell = npd * (one_m * one_m) + nnd * (s_dec * s_dec)
+    clip = F.greatest(
+        F.least(F.col("_s"), F.lit(1.0 - eps)), F.lit(eps)
+    )
+    r_pos = F.round(-F.log(clip), 6).cast("decimal(18,6)")
+    r_neg = F.round(-F.log(F.lit(1.0) - clip), 6).cast("decimal(18,6)")
+    ll_cell = npd * r_pos + nnd * r_neg
+    cells = (per_group.groupBy(*keys) if keys else per_group.groupBy()).agg(
+        F.coalesce(
+            F.sum(F.when(in_range, F.col("_np"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_pos"),
+        F.coalesce(
+            F.sum(F.when(in_range, F.col("_nn"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_neg"),
+        F.coalesce(
+            F.sum(
+                F.when(~F.col("_ok"), F.col("_cnt")).when(
+                    ~in_range, F.col("_np") + F.col("_nn")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_excluded"),
+        F.coalesce(
+            F.sum(F.when(in_range, brier_cell.cast(f"decimal(38,{2 * sd})"))),
+            F.lit(0),
+        )
+        .cast(f"decimal(38,{2 * sd})")
+        .alias("_bsum"),
+        F.coalesce(
+            F.sum(F.when(in_range, ll_cell.cast("decimal(38,6)"))),
+            F.lit(0),
+        )
+        .cast("decimal(38,6)")
+        .alias("_llsum"),
+    )
+    out_grp = [_grp_val(F.col("_grp")).alias(group_col)] if grouped else []
+    n = (F.col("n_pos") + F.col("n_neg")).cast("long")
+    has = n > 0
+    return cells.select(
+        *out_grp,
+        n.alias("n_samples"),
+        "n_excluded",
+        "n_pos",
+        "n_neg",
+        F.when(
+            has,
+            F.round(
+                F.col("_bsum").cast("double") / n.cast("double"), 6
+            ),
+        ).alias("brier6"),
+        F.when(
+            has,
+            F.round(
+                F.col("_llsum").cast("double") / n.cast("double"), 6
+            ),
+        ).alias("logloss6"),
+    )
+
+
+def brier_from_store(spark, state_dir: str) -> DataFrame:
+    """Brier + log loss over everything the store has seen — equals
+    :func:`brier_report` over the concatenation bit for bit (the SAME
+    binary-score store now serves AUC, PR and the proper scoring
+    rules: the per-rounded-score class counts are the sufficient
+    statistic for every pointwise score functional).  The store's
+    ``_meta`` score_decimals is honored for the Brier decimal scale
+    and the log-loss clip."""
+    meta = spark.read.parquet(f"{state_dir}/_meta").first()
+    return _brier_from_groups(
+        False,
+        [],
+        binary_scores_state_groups(spark, state_dir),
+        None,
+        int(meta["score_decimals"]),
+    )
+
+
 def _calibration_groups(
     df: DataFrame,
     conf_col: str,

@@ -3106,3 +3106,102 @@ def test_kendall_grouped_equals_sliced_and_guard(spark):
     with _pytest.raises(ValueError, match="max_cells"):
         em.kendall_report(cont, "id", "sa", "sb", max_cells=100)
 
+
+
+def test_brier_and_logloss_match_reference(spark, tmp_path):
+    """brier_report equals the shared-nothing reference (exact decimal
+    Brier; per-score rounded -ln terms for log loss); out-of-[0,1]
+    scores and NULLs excluded-and-counted; grouped == sliced with a
+    fully-excluded slice emitting; the binary-score store serves the
+    same numbers bit for bit (its third and fourth metrics)."""
+    import math
+    import random
+    from decimal import Decimal
+
+    from lightfusion_spark.operators import evalmetrics as em
+
+    def reference(pairs, sd=6):
+        eps = 10.0 ** (-sd)
+        bsum = Decimal(0)
+        llsum = Decimal(0)
+        n = 0
+        for s, y in pairs:
+            s = round(s, sd)
+            if not (0.0 <= s <= 1.0):
+                continue
+            n += 1
+            sq = Decimal(f"{s:.{sd}f}")
+            bsum += (1 - sq) * (1 - sq) if y == 1 else sq * sq
+            c = min(max(s, eps), 1.0 - eps)
+            r = round(-math.log(c), 6) if y == 1 else round(
+                -math.log(1.0 - c), 6
+            )
+            llsum += Decimal(f"{r:.6f}")
+        return (
+            round(float(bsum) / n, 6),
+            round(float(llsum) / n, 6),
+            n,
+        )
+
+    rng = random.Random(79)
+    pairs = []
+    for _ in range(500):
+        s = round(rng.choice([0.0, 0.1, 0.25, 0.5, 0.5, 0.75, 0.9, 1.0]), 6)
+        y = 1 if rng.random() < s else 0
+        pairs.append((s, y))
+    rows = [(i, s, y) for i, (s, y) in enumerate(pairs)]
+    rows += [(900, None, 1), (901, 0.5, None), (902, 1.7, 1), (903, -0.2, 0)]
+    df = spark.createDataFrame(rows, "id long, score double, label int")
+    got = em.brier_report(df, "id", "score", "label").collect()[0].asDict()
+    want_b, want_ll, want_n = reference(pairs)
+    assert got["n_samples"] == want_n == 500
+    assert got["n_excluded"] == 4  # two NULLs + two out-of-range
+    assert got["brier6"] == want_b
+    assert got["logloss6"] == want_ll
+
+    # grouped == sliced; fully-excluded slice emits NULL metrics
+    grows = [(i, ["m0", "m1", None][i % 3], s, y)
+             for i, (s, y) in enumerate(pairs)]
+    grows += [(900, "dead", None, 1), (901, "dead", 3.0, 0)]
+    gdf = spark.createDataFrame(
+        grows, "id long, model string, score double, label int"
+    )
+    by = {
+        r["model"]: r.asDict()
+        for r in em.brier_report(
+            gdf, "id", "score", "label", group_col="model"
+        ).collect()
+    }
+    assert set(by) == {"m0", "m1", None, "dead"}
+    for g in ("m0", "m1", None):
+        sliced = (
+            gdf.where(F.col("model").isNull())
+            if g is None
+            else gdf.where(F.col("model") == g)
+        )
+        want = em.brier_report(sliced, "id", "score", "label").collect()[
+            0
+        ].asDict()
+        gd = dict(by[g])
+        gd.pop("model")
+        assert gd == want, (g, gd, want)
+    dead = by["dead"]
+    assert dead["n_samples"] == 0 and dead["n_excluded"] == 2
+    assert dead["brier6"] is None and dead["logloss6"] is None
+
+    # the store's third/fourth metrics: streamed == one-shot
+    state = str(tmp_path / "brier_store")
+    clean = spark.createDataFrame(
+        [(i, s, y) for i, (s, y) in enumerate(pairs)],
+        "id long, score double, label int",
+    )
+    for b in range(3):
+        em.binary_scores_append_batch(
+            clean.where(F.col("id") % 3 == b), state, b, "id", "score",
+            "label",
+        )
+    want_store = em.brier_report(clean, "id", "score", "label").collect()
+    got_store = em.brier_from_store(spark, state).collect()
+    assert [r.asDict() for r in got_store] == [
+        r.asDict() for r in want_store
+    ]
