@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "pipe_eval_pr_bootstrap",
     "pipe_eval_kendall",
     "pipe_eval_brier",
+    "pipe_eval_pass_at_k",
 ]
 
 

@@ -4037,3 +4037,88 @@ def pipe_eval_brier(spark, sf_dir):
         (u2 * F.lit(1_000_000) < u1 * u1).cast("int").alias("label"),
     )
     return evalmetrics.brier_report(rows, "doc_id", "score", "label")
+
+
+_PASS_AT_K_ORACLE = """
+WITH h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 14)
+              AS BIGINT) % 1000000 AS u1
+  FROM documents
+),
+t AS (
+  SELECT doc_id // 20 AS task,
+         CASE WHEN u1 < 200000 + ((doc_id // 20) % 3) * 150000
+              THEN 1 ELSE 0 END AS ok
+  FROM h
+),
+pt AS (
+  SELECT task, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(ok) AS BIGINT) AS c
+  FROM t GROUP BY task
+),
+ks(k) AS (VALUES (1), (5), (10), (25)),
+per AS (
+  SELECT ks.k,
+         CAST(ROUND(1.0 - list_reduce(list_prepend(1.0,
+              list_transform(range(0, ks.k),
+                i -> CAST(pt.n - pt.c - i AS DOUBLE)
+                     / CAST(pt.n - i AS DOUBLE))),
+              (acc, x) -> acc * x), 6) AS DECIMAL(18,6)) AS p6
+  FROM pt CROSS JOIN ks WHERE pt.n >= ks.k
+),
+agg AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_tasks,
+         CAST(SUM(p6) AS DECIMAL(38,6)) AS psum
+  FROM per GROUP BY k
+),
+excl AS (
+  SELECT ks.k,
+         CAST(SUM(CASE WHEN pt.n < ks.k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tasks_excluded
+  FROM pt CROSS JOIN ks GROUP BY ks.k
+)
+SELECT ks.k,
+       COALESCE(agg.n_tasks, 0) AS n_tasks,
+       COALESCE(excl.n_tasks_excluded, 0) AS n_tasks_excluded,
+       CAST(0 AS BIGINT) AS n_rows_dropped,
+       CASE WHEN COALESCE(agg.n_tasks, 0) > 0
+            THEN ROUND(CAST(agg.psum AS DOUBLE)
+                       / CAST(agg.n_tasks AS DOUBLE), 6)
+       END AS pass_at_k6
+FROM ks LEFT JOIN agg ON ks.k = agg.k LEFT JOIN excl ON ks.k = excl.k
+ORDER BY ks.k
+"""
+
+
+@register(
+    "pipe_eval_pass_at_k",
+    oracle=_PASS_AT_K_ORACLE,
+    doc="pass@k functional-correctness estimator (evalmetrics."
+    "pass_at_k) — the HumanEval-convention unbiased estimator "
+    "1 - C(n-c,k)/C(n,k) averaged over tasks (Chen et al. 2021), the "
+    "number a code/reasoning eval pipeline actually reports: tasks "
+    "are 20-sample doc_id blocks with three planted difficulty tiers "
+    "(u1 ppm pass draws at 20/35/50%), graded at k = 1/5/10/25 — the "
+    "25 row has NO eligible task and must still emit (NULL mean, all "
+    "tasks excluded).  The per-task ratio is the fixed-order product "
+    "prod (n-c-i)/(n-i) — free of the factorial overflow that caps "
+    "exact-integer approaches at n ~ 128, bit-identical across "
+    "engines as a left fold of IEEE ops (DuckDB replays it with "
+    "list_reduce), exactly 1 when c > n-k (a zero factor) and "
+    "exactly 0 when c = 0; per-task values ROUND at 6 and the corpus "
+    "mean rides an exact DECIMAL sum.  Scale: ONE map-side-"
+    "combinable per-task aggregation; the ks explode, fold and means "
+    "run over |tasks| x |ks| narrow rows.  Zero Python",
+)
+def pipe_eval_pass_at_k(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    from ..operators.dedup import _md5_long
+
+    sid = F.col("doc_id").cast("string")
+    u1 = _md5_long(sid, seed=11) % F.lit(1_000_000)
+    task = F.expr("doc_id div 20")
+    rows = d.select(
+        task.alias("task"),
+        (u1 < F.lit(200_000) + (task % 3) * 150_000).cast("int").alias("ok"),
+    )
+    return evalmetrics.pass_at_k(rows, "task", "ok", ks=(1, 5, 10, 25))

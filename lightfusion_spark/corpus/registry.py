@@ -125,16 +125,17 @@ PRIORITY: list[str] = [
     "events_attribution",
     "pipe_dedup_exact",
     "pipe_eval_fleiss",
-    "pipe_eval_kappa",
     "udaf_mean_norm",
-    # round-16 NEW faces (r15 verdict items 5 and 8 + the
-    # proper-scoring-rules report): each took an r11 slot via an
-    # ordinary swap (pipe_tokenize_bpe, pipe_text_langid and
-    # pipe_eval_bleu -> r17 backlog; r11 rows are not stalest-bucket
-    # members, so WINDOW_DISPLACED stays empty)
+    # round-16 NEW faces (r15 verdict items 5 and 8, the
+    # proper-scoring-rules report, and the pass@k estimator): each
+    # took an r11 slot via an ordinary swap (pipe_tokenize_bpe,
+    # pipe_text_langid, pipe_eval_bleu and pipe_eval_kappa -> r17
+    # backlog; r11 rows are not stalest-bucket members, so
+    # WINDOW_DISPLACED stays empty)
     "pipe_eval_pr_bootstrap",
     "pipe_eval_kendall",
     "pipe_eval_brier",
+    "pipe_eval_pass_at_k",
 ]
 
 #: Stalest-bucket rows EXPLICITLY displaced from the current window

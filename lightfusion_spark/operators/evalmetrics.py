@@ -4658,3 +4658,124 @@ def kendall_report(
         ).alias("tau_b6"),
     )
 
+
+
+def pass_at_k(
+    df: DataFrame,
+    task_col: str,
+    correct_col: str,
+    ks: tuple[int, ...] = (1, 5, 10),
+) -> DataFrame:
+    """pass@k — the standard functional-correctness estimator for
+    code/reasoning model evaluation (Chen et al. 2021, the HumanEval
+    convention): each task has ``n`` sampled attempts of which ``c``
+    passed, and the UNBIASED estimator of "at least one of k random
+    samples passes" is ``1 - C(n-c, k) / C(n, k)``, averaged over
+    tasks.  The naive ``1 - (1 - c/n)^k`` is biased high; this is the
+    combinatorial form every published eval harness uses.  One row
+    per requested ``k``::
+
+        (k, n_tasks, n_tasks_excluded, n_rows_dropped, pass_at_k6)
+
+    Per task the ratio is computed as the FIXED-ORDER product
+    ``prod_{i=0}^{k-1} (n-c-i)/(n-i)`` — mathematically identical to
+    the binomial form but free of the factorial overflow that caps
+    exact-integer approaches at n ~ 128 (C(200,100) overflows
+    DECIMAL(38)), and, being a left fold of correctly-rounded IEEE
+    ops, bit-identical across engines (the oracle replays it with
+    DuckDB's ``list_reduce``; the ``c > n-k`` case hits a zero factor
+    and yields exactly 1.0, the ``c = 0`` case an empty-win product
+    of 1.0 and yields exactly 0.0).  The per-task value ROUNDs at 6
+    and the corpus mean rides an exact DECIMAL(18,6) sum — partial
+    aggregation order can never change a bit.
+
+    Rows with a NULL task or verdict are EXCLUDED AND COUNTED in
+    ``n_rows_dropped``; tasks with fewer than ``k`` samples cannot
+    support the estimator and are EXCLUDED AND COUNTED per k in
+    ``n_tasks_excluded`` (silently padding them would bias the mean);
+    a ``k`` no task supports still emits its row with a NULL mean.
+    ``correct_col`` is boolean-like (numeric nonzero = pass).
+
+    100 TB shape: ONE map-side-combinable per-task aggregation; the
+    ks explode, the fold and the per-k means all run over the
+    per-task relation (|tasks| x |ks| narrow rows).  The fold is a
+    JVM higher-order expression — zero Python.
+    """
+    if not ks or any(int(k) < 1 for k in ks):
+        raise ValueError(f"ks must be positive ints, got {ks!r}")
+    ks = tuple(int(k) for k in dict.fromkeys(ks))
+    valid = F.col(task_col).isNotNull() & F.col(correct_col).isNotNull()
+    base = df.select(
+        valid.alias("_ok"),
+        F.when(valid, F.col(task_col).cast("string")).alias("_task"),
+        F.when(
+            valid, F.col(correct_col).cast("boolean")
+        ).alias("_pass"),
+    )
+    rows_dropped = base.agg(
+        F.coalesce(F.sum(F.when(~F.col("_ok"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_rows_dropped")
+    )
+    per_task = (
+        base.where(F.col("_ok"))
+        .groupBy("_task")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.coalesce(F.sum(F.when(F.col("_pass"), 1)), F.lit(0))
+            .cast("long")
+            .alias("_c"),
+        )
+    )
+    ks_df = per_task.sparkSession.createDataFrame(
+        [(int(k),) for k in ks], "k int"
+    )
+    exploded = per_task.select(
+        "_n",
+        "_c",
+        F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k"),
+    )
+    prod = F.aggregate(
+        F.sequence(F.lit(0), F.col("k") - 1),
+        F.lit(1.0),
+        lambda acc, i: acc
+        * (
+            (F.col("_n") - F.col("_c") - i).cast("double")
+            / (F.col("_n") - i).cast("double")
+        ),
+    )
+    p6 = F.round(F.lit(1.0) - prod, 6).cast("decimal(18,6)")
+    per_k = exploded.groupBy("k").agg(
+        F.coalesce(F.sum(F.when(F.col("_n") >= F.col("k"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_tasks"),
+        F.coalesce(F.sum(F.when(F.col("_n") < F.col("k"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_tasks_excluded"),
+        F.coalesce(
+            F.sum(F.when(F.col("_n") >= F.col("k"), p6)),
+            F.lit(0).cast("decimal(18,6)"),
+        )
+        .cast("decimal(38,6)")
+        .alias("_psum"),
+    )
+    # the ks dimension drives the join: a k NO task supports (or an
+    # empty corpus) still emits its row with a NULL mean
+    out = ks_df.join(per_k, "k", "left").crossJoin(
+        F.broadcast(rows_dropped)
+    )
+    n_tasks = F.coalesce(F.col("n_tasks"), F.lit(0)).cast("long")
+    return out.select(
+        "k",
+        n_tasks.alias("n_tasks"),
+        F.coalesce(F.col("n_tasks_excluded"), F.lit(0))
+        .cast("long")
+        .alias("n_tasks_excluded"),
+        "n_rows_dropped",
+        F.when(
+            n_tasks > 0,
+            F.round(
+                F.col("_psum").cast("double") / n_tasks.cast("double"), 6
+            ),
+        ).alias("pass_at_k6"),
+    ).orderBy("k")

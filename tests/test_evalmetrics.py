@@ -3205,3 +3205,89 @@ def test_brier_and_logloss_match_reference(spark, tmp_path):
     assert [r.asDict() for r in got_store] == [
         r.asDict() for r in want_store
     ]
+
+
+def test_pass_at_k_matches_reference(spark):
+    """pass_at_k equals the exact-Fraction unbiased estimator
+    (1 - C(n-c,k)/C(n,k) averaged over tasks) on a mixed-difficulty
+    panel; the biased naive estimator disagrees (sanity that we
+    implement the right formula); c=0 -> exactly 0, c > n-k -> task
+    contributes exactly 1; under-sampled tasks excluded per k; a k no
+    task supports emits a NULL row; NULL rows dropped-and-counted."""
+    import math
+    import random
+    from fractions import Fraction
+
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rng = random.Random(83)
+    rows = []
+    per_task = {}
+    for t in range(60):
+        n = rng.choice([8, 12, 20])
+        p = [0.0, 0.1, 0.3, 0.8][t % 4]
+        c = sum(1 for _ in range(n) if rng.random() < p)
+        per_task[t] = (n, c)
+        rows += [(t, 1) for _ in range(c)] + [(t, 0) for _ in range(n - c)]
+    rows += [(None, 1), (3, None)]
+    df = spark.createDataFrame(rows, "task long, ok int")
+    got = {
+        r["k"]: r.asDict()
+        for r in em.pass_at_k(df, "task", "ok", ks=(1, 5, 10, 64)).collect()
+    }
+
+    def ref(k):
+        vals = []
+        for n, c in per_task.values():
+            if n < k:
+                continue
+            frac = 1 - Fraction(math.comb(n - c, k), math.comb(n, k))
+            vals.append(round(float(frac), 6))
+        if not vals:
+            return None
+        from decimal import Decimal
+
+        s = sum(Decimal(f"{v:.6f}") for v in vals)
+        return round(float(s) / len(vals), 6)
+
+    for k in (1, 5, 10):
+        g = got[k]
+        assert g["n_rows_dropped"] == 2
+        want = ref(k)
+        assert g["pass_at_k6"] == want, (k, g["pass_at_k6"], want)
+        n_elig = sum(1 for n, _ in per_task.values() if n >= k)
+        assert g["n_tasks"] == n_elig
+        assert g["n_tasks_excluded"] == 60 - n_elig
+    # the biased naive estimator 1-(1-c/n)^k must NOT match at k=5
+    naive = round(
+        sum(
+            1 - (1 - c / n) ** 5
+            for n, c in per_task.values()
+            if n >= 5
+        )
+        / sum(1 for n, _ in per_task.values() if n >= 5),
+        6,
+    )
+    assert got[5]["pass_at_k6"] != naive
+    # k=64: no task has 64 samples -> row emits with NULL mean
+    g64 = got[64]
+    assert g64["n_tasks"] == 0 and g64["n_tasks_excluded"] == 60
+    assert g64["pass_at_k6"] is None
+
+    # exact endpoints: all-fail task -> 0; c > n-k forces a hit -> 1
+    ends = spark.createDataFrame(
+        [("z", 0)] * 10 + [("w", 1)] * 9 + [("w", 0)],
+        "task string, ok int",
+    )
+    e = {
+        r["k"]: r.asDict()
+        for r in em.pass_at_k(ends, "task", "ok", ks=(2,)).collect()
+    }
+    # task z: pass@2 = 0; task w: c=9, n=10, k=2 -> 1 - C(1,2)/C(10,2)
+    # and C(1,2)=0 -> exactly 1; mean = 0.5
+    assert e[2]["pass_at_k6"] == 0.5
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ks"):
+        em.pass_at_k(ends, "task", "ok", ks=(0,))
