@@ -4665,6 +4665,7 @@ def pass_at_k(
     task_col: str,
     correct_col: str,
     ks: tuple[int, ...] = (1, 5, 10),
+    group_col: str | None = None,
 ) -> DataFrame:
     """pass@k — the standard functional-correctness estimator for
     code/reasoning model evaluation (Chen et al. 2021, the HumanEval
@@ -4696,16 +4697,34 @@ def pass_at_k(
     a ``k`` no task supports still emits its row with a NULL mean.
     ``correct_col`` is boolean-like (numeric nonzero = pass).
 
-    100 TB shape: ONE map-side-combinable per-task aggregation; the
-    ks explode, the fold and the per-k means all run over the
-    per-task relation (|tasks| x |ks| narrow rows).  The fold is a
-    JVM higher-order expression — zero Python.
+    ``group_col`` (the leaderboard form — pass@k PER MODEL is how the
+    estimator is actually reported) emits one row per (group, k) with
+    a leading group column; a task is scoped WITHIN its group (model
+    A's and model B's samples for the same task are different
+    attempt pools), each slice equals the ungrouped run over that
+    slice alone (test-asserted, the family rule), and every requested
+    k emits for every observed group.  ``n_rows_dropped`` stays
+    CORPUS-GLOBAL on every row (stated: a dropped row's group may
+    itself be the NULL being dropped, so per-slice attribution would
+    be partial anyway — the task-eligibility exclusions, which ARE
+    attributable, are per slice).
+
+    100 TB shape: ONE map-side-combinable per-(group, task)
+    aggregation; the ks explode, the fold and the per-k means all run
+    over the per-task relation (|tasks| x |ks| narrow rows).  The
+    fold is a JVM higher-order expression — zero Python.
     """
     if not ks or any(int(k) < 1 for k in ks):
         raise ValueError(f"ks must be positive ints, got {ks!r}")
     ks = tuple(int(k) for k in dict.fromkeys(ks))
+    grouped = group_col is not None
+    grp_sel = (
+        [_grp_key(F.col(group_col)).alias("_grp")] if grouped else []
+    )
+    keys = ["_grp"] if grouped else []
     valid = F.col(task_col).isNotNull() & F.col(correct_col).isNotNull()
     base = df.select(
+        *grp_sel,
         valid.alias("_ok"),
         F.when(valid, F.col(task_col).cast("string")).alias("_task"),
         F.when(
@@ -4719,7 +4738,7 @@ def pass_at_k(
     )
     per_task = (
         base.where(F.col("_ok"))
-        .groupBy("_task")
+        .groupBy(*keys, "_task")
         .agg(
             F.count(F.lit(1)).cast("long").alias("_n"),
             F.coalesce(F.sum(F.when(F.col("_pass"), 1)), F.lit(0))
@@ -4730,7 +4749,13 @@ def pass_at_k(
     ks_df = per_task.sparkSession.createDataFrame(
         [(int(k),) for k in ks], "k int"
     )
+    if grouped:
+        # every requested k emits for every OBSERVED group
+        ks_df = (
+            per_task.select("_grp").distinct().crossJoin(F.broadcast(ks_df))
+        )
     exploded = per_task.select(
+        *keys,
         "_n",
         "_c",
         F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k"),
@@ -4745,7 +4770,7 @@ def pass_at_k(
         ),
     )
     p6 = F.round(F.lit(1.0) - prod, 6).cast("decimal(18,6)")
-    per_k = exploded.groupBy("k").agg(
+    per_k = exploded.groupBy(*keys, "k").agg(
         F.coalesce(F.sum(F.when(F.col("_n") >= F.col("k"), 1)), F.lit(0))
         .cast("long")
         .alias("n_tasks"),
@@ -4761,11 +4786,13 @@ def pass_at_k(
     )
     # the ks dimension drives the join: a k NO task supports (or an
     # empty corpus) still emits its row with a NULL mean
-    out = ks_df.join(per_k, "k", "left").crossJoin(
+    out = ks_df.join(per_k, [*keys, "k"], "left").crossJoin(
         F.broadcast(rows_dropped)
     )
     n_tasks = F.coalesce(F.col("n_tasks"), F.lit(0)).cast("long")
+    out_grp = [_grp_val(F.col("_grp")).alias(group_col)] if grouped else []
     return out.select(
+        *out_grp,
         "k",
         n_tasks.alias("n_tasks"),
         F.coalesce(F.col("n_tasks_excluded"), F.lit(0))
@@ -4778,4 +4805,4 @@ def pass_at_k(
                 F.col("_psum").cast("double") / n_tasks.cast("double"), 6
             ),
         ).alias("pass_at_k6"),
-    ).orderBy("k")
+    ).orderBy(*([group_col] if grouped else []), "k")

@@ -3291,3 +3291,51 @@ def test_pass_at_k_matches_reference(spark):
 
     with _pytest.raises(ValueError, match="ks"):
         em.pass_at_k(ends, "task", "ok", ks=(0,))
+
+
+def test_pass_at_k_grouped_equals_per_slice(spark):
+    """pass@k per MODEL (the leaderboard form): each grouped slice
+    equals the ungrouped run over that slice alone, modulo the
+    corpus-global n_rows_dropped column (documented); a NULL group
+    value is a real slice; every requested k emits for every observed
+    group."""
+    import random
+
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rng = random.Random(89)
+    rows = []
+    for model in (None, "m0", "m1"):
+        for t in range(25):
+            n = rng.choice([6, 12])
+            p = 0.15 + (0.3 if model == "m1" else 0.0)
+            for _ in range(n):
+                rows.append((model, t, 1 if rng.random() < p else 0))
+    rows += [("m0", None, 1), (None, 3, None)]
+    df = spark.createDataFrame(rows, "model string, task long, ok int")
+    by = {
+        (r["model"], r["k"]): r.asDict()
+        for r in em.pass_at_k(
+            df, "task", "ok", ks=(1, 5, 10), group_col="model"
+        ).collect()
+    }
+    assert {m for m, _ in by} == {None, "m0", "m1"}
+    assert all((m, k) in by for m in (None, "m0", "m1") for k in (1, 5, 10))
+    for m in (None, "m0", "m1"):
+        sliced = (
+            df.where(F.col("model").isNull())
+            if m is None
+            else df.where(F.col("model") == m)
+        )
+        want = {
+            r["k"]: r.asDict()
+            for r in em.pass_at_k(sliced, "task", "ok", ks=(1, 5, 10)).collect()
+        }
+        for k in (1, 5, 10):
+            got = dict(by[(m, k)])
+            got.pop("model")
+            got.pop("n_rows_dropped")
+            w = dict(want[k])
+            w.pop("n_rows_dropped")
+            assert got == w, (m, k, got, w)
+    assert by[("m0", 1)]["n_rows_dropped"] == 2  # corpus-global
