@@ -34,9 +34,23 @@ class QuerySpec:
 
 
 def register(name: str, oracle: str | None, doc: str = ""):
-    """Decorator: ``@register("rel_agg_q1", oracle="SELECT ...")``."""
+    """Decorator: ``@register("rel_agg_q1", oracle="SELECT ...")``.
+
+    Duplicate names REFUSE loudly: registrations happen once at module
+    import, so a second ``register`` under an existing name is always a
+    bug — round 16 briefly shipped one (a re-built
+    ``pipe_eval_krippendorff`` silently overwrote the r12-green face,
+    its operator shadowed by a same-named duplicate function); a dict
+    assignment hid it until the full test battery failed.
+    """
 
     def wrap(fn):
+        if name in REGISTRY:
+            raise ValueError(
+                f"duplicate registry entry {name!r} — the face already "
+                "exists (check docs/EVAL.md's form matrix and SURVEY.md "
+                "§8 before building a 'missing' operator)"
+            )
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
         return fn
 

@@ -228,3 +228,17 @@ def test_all_registered_queries_still_exported():
     assert set(qs) == set(REGISTRY)
     oracles = entry.oracle_sql()
     assert set(oracles) == {n for n, s in REGISTRY.items() if s.oracle is not None}
+
+
+def test_duplicate_registration_refuses_loudly():
+    """Round-16 regression: REGISTRY is a plain dict, so a re-built
+    operator re-registering an existing face silently overwrote the
+    green one (the krippendorff duplicate, reverted in 5ae1c0a).
+    register() now refuses duplicates at import time."""
+    import pytest
+
+    from lightfusion_spark.corpus.registry import register
+
+    existing = next(iter(REGISTRY))
+    with pytest.raises(ValueError, match="duplicate registry entry"):
+        register(existing, oracle=None)(lambda spark, sf: None)
