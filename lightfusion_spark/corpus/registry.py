@@ -60,96 +60,89 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: Curated export order.  The driver's correctness gate evaluates only the
 #: FIRST 50 ``queries()`` entries, so the names below are emitted first.
 #:
-#: Round-16 rotation (per the round-15 verdict's item 1; membership is
+#: Round-17 rotation (per the round-16 verdict's item 1; membership is
 #: DERIVED FROM DATA — ``python tools/backlog.py`` prints the
 #: stalest-first backlog from the committed CORRECTNESS_r*.json files,
 #: and tests/test_registry_window.py::test_window_takes_the_stalest_rows_first
 #: enforces the same derivation, scoped to the grade files this window
 #: was built against — see WINDOW_BUILT_FROM):
 #: 4 flagship Layer-A queries (windowed every round)
-#: + ALL 36 r10 rows — the entire stalest bucket in one stroke (the
-#:   three r15 swap-outs pipe_dsir_select / pipe_e2e_curation /
-#:   pipe_file_stats_distributed first among equals, then
-#:   alphabetical: DSIR selection, e2e curation, file stats, mixtures,
-#:   calibration, naive-Bayes domain, embedding near-dup, preference
-#:   pairs, k-anonymity, categorical quality model, schema drift, the
-#:   IVF face, the four sketch rows, group split, boilerplate strip,
-#:   BM25 terms, redaction, the two web-graph rows, and the thirteen
-#:   r10 relational reps + udtf_split_words)
-#: + 10 of the 46 r11 rows (next-stalest bucket, a family spread: the
-#:   three as-of/attribution event rows, BLEU, exact dedup, Fleiss'
-#:   kappa, Cohen's kappa, language ID, BPE tokenize, the UDAF rep)
-#: 4+36+10 = 50 exactly.  After this round no registry row's last
-#: driver grade is older than r11.  Round-16 NEW faces take r11 slots
-#: via ordinary swaps (r11 rows are not stalest-bucket members) noted
-#: inline below.  Every rotated-out name was officially green in
-#: r09-r15 and moves to WINDOW_EXEMPT; tests/test_registry_window.py
-#: asserts every registered query is either in the current window or
-#: has a recorded green row from a past driver window, and
-#: tools/parity.py + CI keep sweeping the whole registry regardless.
+#: + ALL 40 r11 rows — the entire stalest bucket in one stroke,
+#:   alphabetical (boilerplate lines, zipf, decontaminate, incremental
+#:   dedup, e2e model curation, BLEU, Cohen's kappa, winrate, the two
+#:   Kneser-Ney LM rows, MAD outliers, UniMax mixture, the two
+#:   multimodal codec rows, BPE pack, quality model, balanced shards,
+#:   IVF k-means, brute top-k, SimHash pairs, stratified split, the
+#:   three text rows, BPE tokenize, the three web-graph rows, and the
+#:   twelve r11 relational reps)
+#: + 6 of the 46 r12 rows (next-stalest bucket, alphabetical head: the
+#:   six events/timeseries rows — as-of bucketed, funnel, gapfill,
+#:   OHLC, range join, sessionize)
+#: 4+40+6 = 50 exactly.  After this round no registry row's last
+#: driver grade is older than r12.  Round-17 NEW faces (if any) take
+#: r12 slots via ordinary swaps (r12 rows are not stalest-bucket
+#: members) noted inline below.  Every rotated-out name was officially
+#: green in r10-r16 and moves to WINDOW_EXEMPT;
+#: tests/test_registry_window.py asserts every registered query is
+#: either in the current window or has a recorded green row from a
+#: past driver window, and tools/parity.py + CI keep sweeping the
+#: whole registry regardless.
 PRIORITY: list[str] = [
     # Layer A flagship (windowed every round)
     "lgbm_tsv_flagship",
     "lgbm_infer_embeddings",
     "argmax_embeddings",
     "settings_introspection",
-    # r10 block — the ENTIRE stalest bucket (36 rows): the three r15
-    # swap-outs first among equals, then alphabetical
-    "pipe_dsir_select",
-    "pipe_e2e_curation",
-    "pipe_file_stats_distributed",
-    "pipe_mixture_domain",
-    "pipe_model_calibration",
-    "pipe_nb_domain",
-    "pipe_neardup_embedding",
-    "pipe_preference_pairs",
-    "pipe_privacy_kanon",
-    "pipe_quality_model_categorical",
-    "pipe_schema_drift",
-    "pipe_sim_ivf",
-    "pipe_sketch_append",
-    "pipe_sketch_hll",
-    "pipe_sketch_joinsize",
-    "pipe_sketch_quantile",
-    "pipe_split_group",
-    "pipe_strip_boilerplate",
-    "pipe_text_bm25_terms",
-    "pipe_text_redact",
-    "pipe_web_hits",
-    "pipe_web_ppr",
-    "rel_agg_q1",
-    "rel_distinct",
-    "rel_lateral_join",
-    "rel_percentile",
-    "rel_scalar_math",
-    "rel_set_intersect",
-    "rel_subquery_in_exists",
-    "rel_topk_group",
-    "rel_tpch_pipe_syntax",
-    "rel_tpch_q7_shape",
-    "rel_tpch_q8_shape",
-    "rel_tpch_q9_shape",
-    "rel_window_lag",
-    "udtf_split_words",
-    # r11 block — 10 rows, next-stalest bucket, family spread; the
-    # remaining 36 r11 rows head the r17 backlog.  Round-16 new faces
+    # r11 block — the ENTIRE stalest bucket (40 rows), alphabetical
+    "pipe_boilerplate_lines",
+    "pipe_corpus_zipf",
+    "pipe_decontaminate",
+    "pipe_dedup_incremental",
+    "pipe_e2e_model_curation",
+    "pipe_eval_bleu",
+    "pipe_eval_kappa",
+    "pipe_eval_winrate",
+    "pipe_lm_kn_trigram",
+    "pipe_lm_kneser_ney",
+    "pipe_mad_outliers",
+    "pipe_mix_unimax",
+    "pipe_multimodal_codec",
+    "pipe_multimodal_decode",
+    "pipe_pack_bpe",
+    "pipe_quality_model",
+    "pipe_shard_balanced",
+    "pipe_sim_ivf_kmeans",
+    "pipe_sim_topk",
+    "pipe_simhash_pairs",
+    "pipe_split_stratified",
+    "pipe_text_entropy",
+    "pipe_text_langid",
+    "pipe_text_stats",
+    "pipe_tokenize_bpe",
+    "pipe_web_kcore",
+    "pipe_web_lpa",
+    "pipe_web_triangles",
+    "rel_agg_rollup",
+    "rel_approx_sketch",
+    "rel_case_when",
+    "rel_higher_order",
+    "rel_join_inner_agg",
+    "rel_recursive_cte",
+    "rel_scalar_string",
+    "rel_set_except",
+    "rel_sort_limit",
+    "rel_subquery_scalar",
+    "rel_tpch_q14_shape",
+    "rel_window_frame",
+    # r12 block — 6 rows, next-stalest bucket, alphabetical head; the
+    # remaining 40 r12 rows head the r18 backlog.  Round-17 new faces
     # take slots from this block via ordinary swaps (noted inline).
-    "events_asof_forward",
-    "events_asof_join",
-    "events_attribution",
-    "pipe_dedup_exact",
-    "pipe_eval_fleiss",
-    "udaf_mean_norm",
-    # round-16 NEW faces (r15 verdict items 5 and 8, the
-    # proper-scoring-rules report, and the pass@k estimator): each
-    # took an r11 slot via an ordinary swap (pipe_tokenize_bpe,
-    # pipe_text_langid, pipe_eval_bleu and pipe_eval_kappa -> r17
-    # backlog; r11 rows are not stalest-bucket members, so
-    # WINDOW_DISPLACED stays empty)
-    "pipe_eval_pr_bootstrap",
-    "pipe_eval_kendall",
-    "pipe_eval_brier",
-    "pipe_eval_pass_at_k",
+    "events_asof_bucketed",
+    "events_funnel",
+    "events_gapfill",
+    "events_ohlc",
+    "events_range_join",
+    "events_sessionize",
 ]
 
 #: Stalest-bucket rows EXPLICITLY displaced from the current window
@@ -157,7 +150,7 @@ PRIORITY: list[str] = [
 #: slot, but the trade must be recorded HERE, where
 #: tests/test_registry_window.py::test_window_takes_the_stalest_rows_first
 #: audits it against the CORRECTNESS record — never in a prose list
-#: that can drift).  Empty for round 16: the whole r10 bucket fit.
+#: that can drift).  Empty for round 17: the whole r11 bucket fit.
 WINDOW_DISPLACED: frozenset[str] = frozenset()
 
 #: The CORRECTNESS generation this window was BUILT against: the
@@ -170,7 +163,7 @@ WINDOW_DISPLACED: frozenset[str] = frozenset()
 #: from r09 to r10 and the test demanded the r16 rotation a round
 #: early.  tools/backlog.py stays UNSCOPED (it plans the NEXT window,
 #: so it should see every grade file); only the test pins.
-WINDOW_BUILT_FROM: int = 15
+WINDOW_BUILT_FROM: int = 16
 
 
 #: Queries intentionally OUTSIDE the driver's 50-entry window.  Every name

@@ -71,36 +71,38 @@ def test_window_covers_every_family():
     for name in exempt:
         assert name in REGISTRY, f"stale window_exempt entry {name}"
         assert name not in window, f"{name} exempted but wastes a window slot"
-    # One-plus representative per §2.3 category.  Round-16 rotation picks
+    # One-plus representative per §2.3 category.  Round-17 rotation picks
     # the stalest-verified sibling per category (everything below is an
-    # r10/r11 row; the r15-refreshed siblings ceded their slots — the
+    # r11/r12 row; the r16-refreshed siblings ceded their slots — the
     # established displacement precedent, each ceding family keeping an
-    # r14/r15-green recorded row).
+    # r15/r16-green recorded row).
     for name in (
-        # projection/filter, reshaping, recursive CTEs and the Spark-4
-        # surface stay repped by r12-r15-green recorded rows
-        # (rel_filter_project, rel_pivot/rel_unpivot,
-        # rel_recursive_cte, rel_variant, rel_group_by_all); the join
-        # kinds and grouping-set aggs by the r15-green rel_join_*/
-        # rel_grouping_sets block per the fresh-recorded-row pattern.
-        "rel_tpch_q7_shape",  # joins + subqueries: the r10 TPC-H
-        "rel_tpch_q8_shape",  # shapes are the join-heaviest rows left
-        "rel_tpch_q9_shape",
-        "rel_tpch_pipe_syntax",
-        "rel_lateral_join",
-        "rel_subquery_in_exists",
-        "rel_agg_q1",  # aggregations (r10 — the TPC-H q1 shape)
-        "rel_distinct",
-        "rel_topk_group",  # windows (r10: top-k per group, lag)
-        "rel_window_lag",
-        "rel_scalar_math",  # scalar library (r10)
-        "rel_percentile",  # approximate / percentile family (r10)
-        "rel_set_intersect",  # set ops (r10)
-        "events_asof_join",  # timeseries family (r11 — the as-of
-        "events_asof_forward",  # joins + attribution windows)
-        "events_attribution",
-        "udtf_split_words",  # UDTF (r10) + UDAF (r11) crossings
-        "udaf_mean_norm",
+        # projection/filter, reshaping, and the Spark-4 surface stay
+        # repped by r12-r16-green recorded rows (rel_filter_project,
+        # rel_pivot/rel_unpivot, rel_variant, rel_group_by_all,
+        # rel_lateral_join, rel_tpch_pipe_syntax); the join kinds by
+        # the r15-green rel_join_* block, the window/lag analytics by
+        # the r16-green rel_window_lag/rel_topk_group, UDAF/UDTF by
+        # the r16-green udaf_mean_norm/udtf_split_words — all per the
+        # fresh-recorded-row pattern.
+        "rel_tpch_q14_shape",  # joins: the r11 TPC-H shape is the
+        "rel_join_inner_agg",  # join-heaviest row left in the bucket
+        "rel_subquery_scalar",  # subqueries (r11 — scalar subquery)
+        "rel_recursive_cte",  # recursive CTE (r11)
+        "rel_agg_rollup",  # aggregations (r11 — ROLLUP grouping sets)
+        "rel_window_frame",  # windows (r11 — explicit frames)
+        "rel_scalar_string",  # scalar library (r11)
+        "rel_case_when",
+        "rel_higher_order",  # array/lambda higher-order fns (r11)
+        "rel_approx_sketch",  # approximate / sketch family (r11)
+        "rel_set_except",  # set ops (r11)
+        "rel_sort_limit",  # global sort + limit (r11)
+        "events_asof_bucketed",  # timeseries family (r12 — bucketed
+        "events_range_join",  # as-of, range join, sessionize, OHLC,
+        "events_sessionize",  # funnel, gapfill)
+        "events_ohlc",
+        "events_funnel",
+        "events_gapfill",
         "lgbm_infer_embeddings",  # UDF/Arrow crossing (flagship, every
         # round; grouped_map_centroid keeps its r14-green recorded row)
     ):
