@@ -2148,6 +2148,7 @@ def krippendorff_alpha(
     item_col: str,
     annotator_col: str,
     label_col: str,
+    metric: str = "nominal",
 ) -> DataFrame:
     """Krippendorff's alpha (nominal) — the MISSING-DATA-TOLERANT
     agreement coefficient that completes the annotator-QA family:
@@ -2194,7 +2195,26 @@ def krippendorff_alpha(
     then three 1-row broadcasts folded into ONE row — no windows, no
     self-join, no driver loops; the annotation stream reduces to
     O(categories) state.
+
+    ``metric`` selects the difference function (Krippendorff 2011 §C):
+    ``"nominal"`` (default — this path, byte-identical to the r12
+    original), or ``"ordinal"`` / ``"interval"`` which dispatch to
+    :func:`_krippendorff_weighted` — Likert-grid judge scores are
+    ORDINAL, and the ordinal coincidence weighting is the variant
+    annotation papers report for them (r16 verdict item 2).  The
+    weighted forms require a NUMERIC label (rank for ordinal, value
+    for interval) and return a slightly different diagnostic row —
+    see the helper's docstring.
     """
+    if metric in ("ordinal", "interval"):
+        return _krippendorff_weighted(
+            df, item_col, annotator_col, label_col, metric
+        )
+    if metric != "nominal":
+        raise ValueError(
+            "krippendorff_alpha: metric must be one of "
+            f"'nominal', 'ordinal', 'interval' — got {metric!r}"
+        )
     src = df.select(
         F.col(item_col).alias("item"),
         F.col(annotator_col).alias("annotator"),
@@ -2265,6 +2285,222 @@ def krippendorff_alpha(
             "n_units_dropped",
             "n_rows_dropped",
             F.col("a6").alias("coincidence_e6"),
+            F.when(degenerate, F.lit(0.0))
+            .otherwise(F.round(alpha, 6))
+            .alias("alpha6"),
+        )
+    )
+
+
+def _krippendorff_weighted(
+    df: DataFrame,
+    item_col: str,
+    annotator_col: str,
+    label_col: str,
+    metric: str,
+) -> DataFrame:
+    """Krippendorff's alpha with ORDINAL or INTERVAL difference
+    weighting (Krippendorff 2011 §C) — the generalized form::
+
+        α = 1 − (n−1) · D_o_num / D_e_num
+        D_o_num = Σ_u Σ_{c<k} 2·c_uc·c_uk·δ²(c,k) / (m_u − 1)
+        D_e_num = Σ_{c<k} 2·n_c·n_k·δ²(c,k)
+
+    with ``δ²`` per metric (α is invariant to scaling δ², so each is
+    kept in its exact-integer-friendly scaling):
+
+    * ``ordinal``: 4δ²(c,k) = (2·S_ck − n_c − n_k)² where S_ck sums
+      the coincidence marginals of every observed category ranked
+      between c and k inclusive — the Likert-grid weighting;
+    * ``interval``: δ²(c,k) = (v_c − v_k)² on the numeric values.
+
+    The label column must be NUMERIC (a rank for ordinal, a value for
+    interval); it is read at 6-decimal precision via a
+    ``DECIMAL(18,6)`` cast, and rows whose cast is NULL (non-numeric
+    labels) are excluded into ``n_rows_dropped`` alongside NULL rows.
+    Resolution/drop conventions match the nominal path: duplicate
+    (item, annotator) votes resolve to the MIN value, units with < 2
+    ratings are excluded into ``n_units_dropped``, and δ² marginals
+    are computed over KEPT units only.
+
+    Exactness: category pair weights, per-unit disagreement masses and
+    both numerators are exact ``DECIMAL(38,12)`` sums (associative —
+    partition order can never change a bit).  The only rounding is the
+    per-rater-count division ``Σ_{m_u=m} X_u / (m−1)``: performed ONCE
+    per distinct panel size m (not per unit) as a Spark decimal
+    division (deterministic HALF_UP at scale ≥ 6), then summed
+    exactly, so the error is < 5e-7 per DISTINCT m — tighter than the
+    nominal path's per-unit e6 rounding.  ``alpha6`` is one
+    fixed-order IEEE double expression rounded at 6.  Bounds: ordinal
+    weights grow as n², so the decimal pipeline holds to n ≈ 10⁷
+    pairable values and m_u ≤ 3·10⁶ — beyond any human panel.
+
+    Returns ONE row::
+
+        (metric, n_values, n_units, n_categories, n_units_dropped,
+         n_rows_dropped, d_o, d_e, alpha6)
+
+    where ``d_o = D_o_num/n`` and ``d_e = D_e_num/(n·(n−1))`` are the
+    textbook observed/expected disagreements (doubles, in squared
+    scaled-δ units — their RATIO is the meaningful part).  Degenerate
+    inputs (no units, or D_e = 0: a single category) gate alpha to
+    0.0, the family convention.
+
+    100 TB shape: the only per-row work is two map-side-combinable
+    aggregations keyed by item; category-pair structures are
+    |C|²-sized (|C| = distinct scores, e.g. 5 for Likert) and
+    broadcast; the per-unit pair join fans each unit into at most
+    |C_u|² ≤ |C|² rows — never a rater-pair or unit-pair product.  No
+    driver loops; the single tiny window runs over |C| marginal rows.
+    """
+    src = df.select(
+        F.col(item_col).alias("item"),
+        F.col(annotator_col).alias("annotator"),
+        F.col(label_col).try_cast("decimal(18,6)").alias("v"),
+    )
+    valid = (
+        F.col("item").isNotNull()
+        & F.col("annotator").isNotNull()
+        & F.col("v").isNotNull()
+    )
+    rows_dropped = src.agg(
+        F.coalesce(
+            F.sum(F.when(~valid, 1).otherwise(0)), F.lit(0)
+        ).alias("n_rows_dropped")
+    )
+    resolved = (
+        src.where(valid)
+        .groupBy("item", "annotator")
+        .agg(F.min("v").alias("v"))
+    )
+    cells = resolved.groupBy("item", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_item = cells.groupBy("item").agg(
+        F.sum("c").cast("long").alias("m")
+    )
+    kept = per_item.where(F.col("m") >= 2)
+    units_dropped = per_item.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("m") < 2, 1).otherwise(0)), F.lit(0)
+        ).alias("n_units_dropped")
+    )
+    totals = kept.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("n_values"),
+    )
+    kcells = cells.join(kept.select("item"), "item", "leftsemi")
+    marg = kcells.groupBy("v").agg(F.sum("c").cast("long").alias("nc"))
+    cats = marg.agg(F.count(F.lit(1)).alias("n_categories"))
+    # |C|² category-pair weight matrix (v_a < v_b), broadcast
+    if metric == "ordinal":
+        # inclusive prefix sums of the marginals in rank order (|C| rows
+        # — the one window, over a frame that fits in a cache line)
+        cum = marg.withColumn(
+            "cum", F.sum("nc").over(Window.orderBy("v"))
+        )
+        a, b = cum.alias("a"), cum.alias("b")
+        span = (
+            F.lit(2) * (F.col("b.cum") - F.col("a.cum") + F.col("a.nc"))
+            - F.col("a.nc")
+            - F.col("b.nc")
+        )
+        weight = (span * span).cast("decimal(38,12)")
+    else:  # interval
+        a, b = marg.alias("a"), marg.alias("b")
+        d = F.col("b.v") - F.col("a.v")
+        weight = (d * d).cast("decimal(38,12)")
+    wmat = (
+        a.join(b, F.col("a.v") < F.col("b.v"))
+        .select(
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+            F.col("a.nc").alias("na"),
+            F.col("b.nc").alias("nb"),
+            weight.alias("w"),
+        )
+    )
+    de_row = wmat.agg(
+        F.coalesce(
+            F.sum(
+                (F.lit(2) * F.col("na") * F.col("nb")).cast("decimal(20,0)")
+                * F.col("w")
+            ),
+            F.lit(0).cast("decimal(38,12)"),
+        ).alias("de_num")
+    )
+    # per-unit disagreement mass: within-unit category pairs × weights
+    ca, cb = kcells.alias("ca"), kcells.alias("cb")
+    pairs = (
+        ca.join(
+            cb,
+            (F.col("ca.item") == F.col("cb.item"))
+            & (F.col("ca.v") < F.col("cb.v")),
+        )
+        .join(
+            F.broadcast(wmat.select("va", "vb", "w")),
+            (F.col("ca.v") == F.col("va")) & (F.col("cb.v") == F.col("vb")),
+        )
+        .select(
+            F.col("ca.item").alias("item"),
+            (
+                (F.lit(2) * F.col("ca.c") * F.col("cb.c")).cast(
+                    "decimal(20,0)"
+                )
+                * F.col("w")
+            ).alias("contrib"),
+        )
+    )
+    x_per_unit = pairs.groupBy("item").agg(
+        F.sum("contrib").alias("x")
+    )
+    # divide ONCE per distinct rater count m, then sum exactly: the
+    # decimal division is deterministic HALF_UP, the outer sum exact
+    by_m = (
+        kept.join(x_per_unit, "item", "left")
+        .groupBy("m")
+        .agg(
+            F.coalesce(
+                F.sum("x"), F.lit(0).cast("decimal(38,12)")
+            ).alias("sx")
+        )
+    )
+    do_row = by_m.agg(
+        F.coalesce(
+            F.sum(
+                F.col("sx") / (F.col("m") - F.lit(1)).cast("decimal(10,0)")
+            ),
+            F.lit(0).cast("decimal(38,12)"),
+        ).alias("do_num")
+    )
+    n = F.col("n_values")
+    do_d = F.col("do_num").cast("double")
+    de_d = F.col("de_num").cast("double")
+    alpha = F.lit(1.0) - ((n - F.lit(1)).cast("double") * do_d) / de_d
+    degenerate = (
+        (F.col("n_units") == 0)
+        | F.col("de_num").isNull()
+        | (F.col("de_num") == F.lit(0).cast("decimal(38,12)"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(cats))
+        .crossJoin(F.broadcast(units_dropped))
+        .crossJoin(F.broadcast(rows_dropped))
+        .crossJoin(F.broadcast(de_row))
+        .crossJoin(F.broadcast(do_row))
+        .select(
+            F.lit(metric).alias("metric"),
+            "n_values",
+            "n_units",
+            "n_categories",
+            "n_units_dropped",
+            "n_rows_dropped",
+            F.when(degenerate | (n < 1), F.lit(0.0))
+            .otherwise(do_d / n.cast("double"))
+            .alias("d_o"),
+            F.when(degenerate | (n < 2), F.lit(0.0))
+            .otherwise(de_d / (n * (n - F.lit(1))).cast("double"))
+            .alias("d_e"),
             F.when(degenerate, F.lit(0.0))
             .otherwise(F.round(alpha, 6))
             .alias("alpha6"),

@@ -3339,3 +3339,236 @@ def test_pass_at_k_grouped_equals_per_slice(spark):
             w.pop("n_rows_dropped")
             assert got == w, (m, k, got, w)
     assert by[("m0", 1)]["n_rows_dropped"] == 2  # corpus-global
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha — ordinal / interval weighting (r16 verdict item 2)
+
+
+def _alpha_ref(rows, metric):
+    """Exact-Fraction reference for weighted Krippendorff's alpha,
+    straight from the 2011 coincidence-matrix formulation — the
+    independent implementation the Spark operator is asserted against.
+    Returns a Fraction, or None when degenerate (Spark gates to 0.0).
+    """
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    res = {}
+    for it, an, v in rows:
+        if it is None or an is None or v is None:
+            continue
+        key = (it, an)
+        vv = Fraction(str(v))
+        res[key] = vv if key not in res else min(res[key], vv)
+    units = defaultdict(Counter)
+    for (it, _), v in res.items():
+        units[it][v] += 1
+    units = {u: c for u, c in units.items() if sum(c.values()) >= 2}
+    n = sum(sum(c.values()) for c in units.values())
+    if n < 2:
+        return None
+    marg = Counter()
+    for c in units.values():
+        marg.update(c)
+    vals = sorted(marg)
+
+    def d2(a, b):  # a < b in rank order
+        if metric == "interval":
+            return (b - a) ** 2
+        if metric == "nominal":
+            return Fraction(1)
+        s = sum(marg[g] for g in vals if a <= g <= b)
+        return Fraction((2 * s - marg[a] - marg[b]) ** 2, 4)
+
+    de = sum(
+        2 * marg[a] * marg[b] * d2(a, b)
+        for i, a in enumerate(vals)
+        for b in vals[i + 1 :]
+    )
+    if de == 0:
+        return None
+    do = Fraction(0)
+    for c in units.values():
+        m = sum(c.values())
+        ks = sorted(c)
+        x = sum(
+            2 * c[a] * c[b] * d2(a, b)
+            for i, a in enumerate(ks)
+            for b in ks[i + 1 :]
+        )
+        do += Fraction(x, m - 1)
+    return 1 - Fraction(n - 1) * do / de
+
+
+_K2011_GRID = {
+    "A": [1, 2, 3, 3, 2, 1, 4, 1, 2, None, None, None],
+    "B": [1, 2, 3, 3, 2, 2, 4, 1, 2, 5, None, 3],
+    "C": [None, 3, 3, 3, 2, 3, 4, 2, 2, 5, 1, None],
+    "D": [1, 2, 3, 3, 2, 4, 4, 1, 2, 5, 1, None],
+}
+
+
+def _k2011_rows():
+    return [
+        (u + 1, obs, _K2011_GRID[obs][u])
+        for obs in _K2011_GRID
+        for u in range(12)
+        if _K2011_GRID[obs][u] is not None
+    ]
+
+
+def test_alpha_ref_harness_reproduces_published_nominal():
+    """Validates the Fraction harness itself: on the Krippendorff 2011
+    worked example its NOMINAL mode must reproduce the paper's
+    published 0.743 (the number the r12 operator already pins)."""
+    from fractions import Fraction
+
+    a = _alpha_ref(_k2011_rows(), "nominal")
+    assert a == Fraction(226, 304)  # 1 - 39*(40-32)/(1600-1296)
+    assert round(float(a), 3) == 0.743
+
+
+def test_krippendorff_ordinal_matches_fraction_reference(spark):
+    from lightfusion_spark.operators.evalmetrics import krippendorff_alpha
+
+    rows = _k2011_rows()
+    df = spark.createDataFrame(
+        rows, "item long, annotator string, label long"
+    )
+    out = krippendorff_alpha(
+        df, "item", "annotator", "label", metric="ordinal"
+    ).collect()[0]
+    ref = _alpha_ref(rows, "ordinal")
+    assert out["metric"] == "ordinal"
+    assert out["n_values"] == 40
+    assert out["n_units"] == 11 and out["n_units_dropped"] == 1
+    assert out["n_categories"] == 5 and out["n_rows_dropped"] == 0
+    assert abs(out["alpha6"] - float(ref)) < 1e-6
+    assert out["alpha6"] == round(float(ref), 6)
+    # the known qualitative fact for this grid: ordinal credit for
+    # near-miss Likert disagreements beats the nominal coefficient
+    nom = krippendorff_alpha(df, "item", "annotator", "label").collect()[0]
+    assert out["alpha6"] > nom["alpha6"]
+    # partition invariance (exact DECIMAL sums + one per-m division)
+    again = krippendorff_alpha(
+        df.repartition(7), "item", "annotator", "label", metric="ordinal"
+    ).collect()[0]
+    assert again.asDict() == out.asDict()
+
+
+def test_krippendorff_interval_matches_fraction_reference(spark):
+    from lightfusion_spark.operators.evalmetrics import krippendorff_alpha
+
+    rows = _k2011_rows()
+    df = spark.createDataFrame(
+        rows, "item long, annotator string, label long"
+    )
+    out = krippendorff_alpha(
+        df, "item", "annotator", "label", metric="interval"
+    ).collect()[0]
+    ref = _alpha_ref(rows, "interval")
+    assert out["metric"] == "interval"
+    assert abs(out["alpha6"] - float(ref)) < 1e-6
+    assert out["alpha6"] == round(float(ref), 6)
+    # non-integer values exercise the DECIMAL(18,6) read: halve every
+    # score — interval alpha is scale-invariant, so it must not move
+    half = spark.createDataFrame(
+        [(i, a, v / 2.0) for i, a, v in rows],
+        "item long, annotator string, label double",
+    )
+    out2 = krippendorff_alpha(
+        half, "item", "annotator", "label", metric="interval"
+    ).collect()[0]
+    assert out2["alpha6"] == out["alpha6"]
+
+
+def test_krippendorff_weighted_random_panels_match_reference(spark):
+    """Ragged random panels (2-5 raters, missing cells, duplicate votes,
+    NULL rows) across three seeds: ordinal AND interval alpha6 must
+    equal the exact-Fraction reference rounded at 6."""
+    import random
+
+    from lightfusion_spark.operators.evalmetrics import krippendorff_alpha
+
+    for seed in (7, 21, 1234):
+        rng = random.Random(seed)
+        rows = []
+        for u in range(40):
+            for a in range(5):
+                if rng.random() < 0.35:
+                    continue  # missing cell
+                rows.append((u, a, rng.choice([1, 2, 3, 4, 5])))
+        rows.append((0, 0, rows[0][2]))  # duplicate vote (min-resolves)
+        rows += [(None, 0, 1), (3, None, 2), (5, 1, None)]
+        df = spark.createDataFrame(
+            rows, "item long, annotator long, label long"
+        )
+        for metric in ("ordinal", "interval"):
+            out = krippendorff_alpha(
+                df, "item", "annotator", "label", metric=metric
+            ).collect()[0]
+            ref = _alpha_ref(rows, metric)
+            assert abs(out["alpha6"] - float(ref)) < 1e-6, (seed, metric)
+            assert out["n_rows_dropped"] == 3, (seed, metric)
+
+
+def test_krippendorff_two_categories_all_metrics_agree(spark):
+    """With exactly two observed categories every difference function is
+    a single scalar, which cancels between D_o and D_e — nominal,
+    ordinal and interval alpha must coincide bit-for-bit at round-6."""
+    import random
+
+    from lightfusion_spark.operators.evalmetrics import krippendorff_alpha
+
+    rng = random.Random(99)
+    rows = [
+        (u, a, rng.choice([0, 1]))
+        for u in range(30)
+        for a in range(3)
+        if rng.random() < 0.8
+    ]
+    df = spark.createDataFrame(rows, "item long, annotator long, label long")
+    nom = krippendorff_alpha(df, "item", "annotator", "label").collect()[0]
+    for metric in ("ordinal", "interval"):
+        out = krippendorff_alpha(
+            df, "item", "annotator", "label", metric=metric
+        ).collect()[0]
+        assert out["alpha6"] == nom["alpha6"], metric
+
+
+def test_krippendorff_weighted_degenerate_and_validation(spark):
+    import pytest
+
+    from lightfusion_spark.operators.evalmetrics import krippendorff_alpha
+
+    schema = "item long, annotator long, label long"
+    # single category -> D_e = 0, gated to 0.0 (never NaN)
+    df = spark.createDataFrame(
+        [(i, a, 3) for i in range(5) for a in range(3)], schema
+    )
+    out = krippendorff_alpha(
+        df, "item", "annotator", "label", metric="ordinal"
+    ).collect()[0]
+    assert out["alpha6"] == 0.0 and out["d_o"] == 0.0 and out["d_e"] == 0.0
+    # empty input -> zero row, not a crash
+    out = krippendorff_alpha(
+        spark.createDataFrame([], schema),
+        "item",
+        "annotator",
+        "label",
+        metric="interval",
+    ).collect()[0]
+    assert out["n_values"] == 0 and out["alpha6"] == 0.0
+    # non-numeric labels cast to NULL -> counted as dropped rows
+    df = spark.createDataFrame(
+        [(1, 0, "good"), (1, 1, "bad"), (2, 0, "1"), (2, 1, "2")],
+        "item long, annotator long, label string",
+    )
+    out = krippendorff_alpha(
+        df, "item", "annotator", "label", metric="ordinal"
+    ).collect()[0]
+    assert out["n_rows_dropped"] == 2 and out["n_values"] == 2
+    # unknown metric refuses loudly
+    with pytest.raises(ValueError, match="metric must be one of"):
+        krippendorff_alpha(df, "item", "annotator", "label", metric="ratio")
