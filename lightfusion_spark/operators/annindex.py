@@ -354,22 +354,56 @@ def ivf_compact(spark: SparkSession, path: str) -> dict:
       cleanly afterwards — compaction cannot resurrect it early, and
       a batch the ledger holds can never be double-counted.
 
-    The rewrite is validated before it replaces anything: surviving
-    rows must equal ``SUM(ledger.n_rows)`` exactly (the ledger's own
-    row accounting), else the compaction ABORTS with the temp
-    directory left for inspection and the live index untouched.  The
-    swap itself is two renames (``cells`` -> ``cells_pre`` ->
-    deleted); a crash mid-swap leaves ``cells_pre`` on disk — never
-    data loss, recover by renaming it back.  Run compaction offline
-    (no concurrent appends), the standard maintenance contract.
+    The rewrite is validated before it replaces anything (r16 advisory:
+    the old strict ``got == SUM(ledger.n_rows)`` equality aborted
+    FOREVER on a batch that legitimately contained bit-identical
+    duplicate input rows — the ledger counts them, the full-row
+    collapse merges them).  Three checks, each catching a distinct
+    failure:
 
-    100 TB shape: ONE scan of the cells (never the corpus), a
-    broadcast semi-join against the O(batches) ledger, one exchange
-    keyed by the partition column, one partitioned write.  Search
-    plans are unchanged — same schema, same partition pruning, fewer
-    files; results are bit-identical pre/post (test-pinned).
+    * WRITE integrity: the rewritten row count must equal the kept
+      (post-collapse) count taken from the source scan — a partial or
+      torn rewrite aborts;
+    * LEDGER coverage: every ledgered batch with ``n_rows > 0`` must
+      survive into the rewrite — a semi-join bug dropping a whole
+      batch aborts;
+    * ACCOUNTING bound: the rewrite can never hold MORE rows than the
+      ledger accounts for.  Fewer is legitimate (replay residue or
+      within-batch duplicate rows collapsed) and is reported as
+      ``rows_collapsed`` instead of aborting.
+
+    After the cells swap the LEDGER's ``n_rows`` are rewritten to the
+    surviving per-batch counts — every ``batch_id`` is kept (the
+    replay fence is the id set, untouched), only the row accounting
+    converges to reality, so a second compaction validates strictly
+    and reports ``rows_collapsed = 0``.  A crash between the two
+    swaps leaves the ledger overstating — benign: the next compaction
+    just reports the collapse again.
+
+    On abort the temp directory is left for inspection and the live
+    index is untouched; the NEXT run deletes and rewrites it (an
+    aborted run never blocks a retry).  The swap itself is two renames
+    (``cells`` -> ``cells_pre`` -> deleted); a crash mid-swap leaves
+    ``cells_pre`` on disk — never data loss, recover by renaming it
+    back.  Run compaction offline (no concurrent appends), the
+    standard maintenance contract.
+
+    100 TB shape: TWO scans of the cells (count + rewrite — the price
+    of validating before the swap; never the corpus), a broadcast
+    semi-join against the O(batches) ledger, one exchange keyed by
+    the partition column, one partitioned write.  File counts come
+    from the Hadoop ``FileSystem`` glob (correct on HDFS/S3, not just
+    local disk — r16 advisory).  Search plans are unchanged — same
+    schema, same partition pruning, fewer files; results are
+    bit-identical pre/post (test-pinned).
     """
-    import glob as _glob
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _cell_files() -> int:
+        stats = fs.globStatus(hpath(f"{path}/cells/centroid_id=*/*.parquet"))
+        return 0 if stats is None else len(stats)
 
     meta = read_index_meta(spark, path)
     id_col = meta["id_col"]
@@ -377,18 +411,48 @@ def ivf_compact(spark: SparkSession, path: str) -> dict:
     expected = ledger.agg(
         F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long").alias("n")
     ).first()["n"]
+    live_batches = {
+        r["batch_id"]
+        for r in ledger.where(F.col("n_rows") > 0)
+        .select("batch_id")
+        .distinct()
+        .collect()
+    }
     cells = spark.read.parquet(f"{path}/cells")
-    files_before = len(_glob.glob(f"{path}/cells/centroid_id=*/*.parquet"))
+    files_before = _cell_files()
     kept = (
         cells.join(
             F.broadcast(ledger.select("batch_id").distinct()),
             "batch_id",
             "semi",
         )
-        # full-row collapse: only bit-identical replay residue merges
+        # full-row collapse: bit-identical replay residue AND
+        # legitimate within-batch duplicate input rows merge
         .dropDuplicates([id_col, "_v", "batch_id", "centroid_id"])
     )
+    n_kept = kept.count()
+    per_batch = {
+        r["batch_id"]: r["n"]
+        for r in kept.groupBy("batch_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    missing = sorted(live_batches - set(per_batch))
+    if missing:
+        raise RuntimeError(
+            f"ivf_compact: ledgered batches {missing} hold no surviving "
+            f"cell rows at {path} — aborting with the live index untouched"
+        )
+    if n_kept > expected:
+        raise RuntimeError(
+            f"ivf_compact: {n_kept} surviving rows exceed the ledger's "
+            f"accounting of {expected} at {path} — aborting with the "
+            "live index untouched"
+        )
     tmp = f"{path}/cells_compacting"
+    # a previous aborted run's temp dir never blocks a retry
+    if fs.exists(hpath(tmp)):
+        fs.delete(hpath(tmp), True)
     # one spark partition holds whole cells -> partitionBy emits ONE
     # file per cell, the build-time layout
     kept.select(id_col, "_v", "batch_id", "centroid_id").repartition(
@@ -396,15 +460,12 @@ def ivf_compact(spark: SparkSession, path: str) -> dict:
     ).write.partitionBy("centroid_id").mode("error").parquet(tmp)
     written = spark.read.parquet(tmp)
     got = written.count()
-    if got != expected:
+    if got != n_kept:
         raise RuntimeError(
-            f"ivf_compact: rewrite holds {got} rows but the ledger "
-            f"accounts for {expected} at {path} — aborting with the "
-            f"live index untouched; inspect {tmp}"
+            f"ivf_compact: rewrite holds {got} rows but the source scan "
+            f"kept {n_kept} at {path} — aborting with the live index "
+            f"untouched; inspect {tmp}"
         )
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
     pre = f"{path}/cells_pre"
     if not fs.rename(hpath(f"{path}/cells"), hpath(pre)):
         raise RuntimeError(f"ivf_compact: could not stage {path}/cells")
@@ -413,9 +474,31 @@ def ivf_compact(spark: SparkSession, path: str) -> dict:
         fs.rename(hpath(pre), hpath(f"{path}/cells"))
         raise RuntimeError(f"ivf_compact: could not swap in {tmp}")
     fs.delete(hpath(pre), True)
-    files_after = len(_glob.glob(f"{path}/cells/centroid_id=*/*.parquet"))
+    # converge the ledger's row accounting to the surviving counts
+    # (same batch_id set — the replay fence — O(batches) rows)
+    all_batches = sorted(
+        {r["batch_id"] for r in ledger.select("batch_id").collect()}
+    )
+    new_ledger = [
+        (int(b), int(per_batch.get(b, 0))) for b in all_batches
+    ]
+    ltmp = f"{path}/batches_compacting"
+    if fs.exists(hpath(ltmp)):
+        fs.delete(hpath(ltmp), True)
+    spark.createDataFrame(
+        new_ledger, "batch_id bigint, n_rows bigint"
+    ).coalesce(1).write.mode("error").parquet(ltmp)
+    lpre = f"{path}/batches_pre"
+    if not fs.rename(hpath(f"{path}/batches"), hpath(lpre)):
+        raise RuntimeError(f"ivf_compact: could not stage {path}/batches")
+    if not fs.rename(hpath(ltmp), hpath(f"{path}/batches")):
+        fs.rename(hpath(lpre), hpath(f"{path}/batches"))
+        raise RuntimeError(f"ivf_compact: could not swap in {ltmp}")
+    fs.delete(hpath(lpre), True)
+    files_after = _cell_files()
     return {
         "rows": int(got),
+        "rows_collapsed": int(expected - got),
         "files_before": files_before,
         "files_after": files_after,
     }

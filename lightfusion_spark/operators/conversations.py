@@ -803,7 +803,11 @@ def conversations_dedup_append_batch_fuzzy(
        Jaccard the within-batch tier computes (THAT would need the
        shingle relation the store deliberately does not persist).
        Legacy stores without ``sigs/`` fall back to the conservative
-       candidacy-drop.
+       candidacy-drop — and on a MIXED store (``sigs/`` created
+       mid-life), any individual candidate whose prior side has no
+       sig row degrades to the same conservative drop (r16 advice:
+       an inner sig join would re-admit paraphrases of every
+       pre-upgrade admission).
     3. WITHIN-BATCH — exact min-id survivor per signature, then the
        full VERIFIED fuzzy tier (:func:`dedup_conversations_fuzzy`,
        exact threshold Jaccard) over the batch's survivors.
@@ -919,12 +923,22 @@ def conversations_dedup_append_batch_fuzzy(
                     for c in sig_cols
                 ],
             )
+            # LEFT join onto the prior signatures (r16 advice): on a
+            # MIXED store (sigs/ created mid-life), a candidate whose
+            # prior conversation pre-dates sigs/ has band rows but no
+            # sig row — an inner join would silently drop the pair and
+            # re-admit paraphrases of every pre-upgrade admission.  A
+            # missing prior signature degrades that PAIR to the
+            # conservative candidacy-drop instead.
             fuzzy_hit = (
                 cand.join(a_side, "conversation_id")
-                .join(p_side, "_prior_id")
+                .join(p_side, "_prior_id", "left")
                 .where(
-                    agree.cast("double") / F.lit(float(n_hashes))
-                    >= F.lit(float(threshold))
+                    F.col(f"_p_{sig_cols[0]}").isNull()
+                    | (
+                        agree.cast("double") / F.lit(float(n_hashes))
+                        >= F.lit(float(threshold))
+                    )
                 )
                 .select("conversation_id")
                 .distinct()
@@ -996,6 +1010,36 @@ def conversations_dedup_from_store_fuzzy(spark, state_dir: str) -> DataFrame:
     replay duplicates per signature) over the ``admitted/`` relation
     of :func:`conversations_dedup_append_batch_fuzzy`."""
     return conversations_dedup_from_store(spark, f"{state_dir}/admitted")
+
+
+def conversations_dedup_compact_store(spark, state_dir: str) -> dict:
+    """Fold the conversation-dedup store's per-batch files down to one
+    file per relation (r16 verdict item 3 — this store grows THREE
+    files per batch, the fastest in the family).  Pure layout
+    maintenance via :func:`~lightfusion_spark.operators.storemaint.
+    compact_cell_store`: admitted/bands/sigs each collapse
+    bit-identical replay residue and rewrite behind a validated swap;
+    batch ids stay in the rows, so the replay guards and the
+    ``batch_id != current`` membership probes are unchanged, and both
+    the exact and fuzzy gates read the same admissions afterwards
+    (test-pinned).  Works on the EXACT-tier store too (``state_dir``
+    is then the flat admitted relation itself).  Legacy fuzzy stores
+    missing ``sigs/`` just skip that relation.  Run offline, the
+    standard maintenance contract."""
+    from .storemaint import compact_cell_store
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(state_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath(f"{state_dir}/admitted")):
+        # exact-tier store: the state dir IS the admitted relation
+        return {"admitted": compact_cell_store(spark, state_dir)}
+    out = {}
+    for sub in ("admitted", "bands", "sigs"):
+        p = f"{state_dir}/{sub}"
+        if fs.exists(hpath(p)):
+            out[sub] = compact_cell_store(spark, p)
+    return out
 
 
 def training_shard_plan(

@@ -2069,6 +2069,7 @@ def distinct_ngrams(
     id_col: str,
     text_col: str,
     max_n: int = 3,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Distinct-n generation-diversity report (Li et al. 2016): for
     n=1..max_n, the number of DISTINCT token n-grams over the corpus
@@ -2080,6 +2081,15 @@ def distinct_ngrams(
     — counts are exact integers (one explode + one distinct-agg per
     relation), the ratio one IEEE division; tokenization is the shared
     whitespace convention (:func:`corpus_bleu`'s ``_tok``).
+
+    ``group_col`` (r16 verdict item 6 — per-MODEL distinct-n is how
+    mode collapse is compared across checkpoints) emits one row per
+    (group, n) with a leading group column; distinctness is scoped
+    WITHIN the slice (two checkpoints emitting the same gram are not
+    each other's diversity), each slice equals the ungrouped run over
+    that slice alone (test-asserted, the family rule), and the group
+    key rides the same (gram-keyed) exchange — NULL groups carried
+    null-safely via the shared ``_grp_key`` encoding.
 
     100 TB shape: PER-ORDER gram projections unioned into (n, gram)
     cells, then a map-side-combinable (n, gram) pre-aggregation + one
@@ -2102,6 +2112,11 @@ def distinct_ngrams(
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism)
+    grouped = group_col is not None
+    grp_sel = (
+        [_grp_key(F.col(group_col)).alias("_grp")] if grouped else []
+    )
+    keys = ["_grp"] if grouped else []
     toks = _tok(F.col(text_col))
 
     def slicer(n: int):
@@ -2117,21 +2132,25 @@ def distinct_ngrams(
             F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1), slicer(n)),
         ).otherwise(empty)
         parts.append(
-            df.select(F.lit(n).alias("n"), F.explode(grams).alias("gram"))
+            df.select(
+                *grp_sel, F.lit(n).alias("n"), F.explode(grams).alias("gram")
+            )
         )
     cells = parts[0]
     for p in parts[1:]:
         cells = cells.unionAll(p)
-    per_gram = cells.groupBy("n", "gram").agg(
+    per_gram = cells.groupBy(*keys, "n", "gram").agg(
         F.count(F.lit(1)).alias("_cnt")
     )
+    out_grp = [_grp_val(F.col("_grp")).alias(group_col)] if grouped else []
     return (
-        per_gram.groupBy("n")
+        per_gram.groupBy(*keys, "n")
         .agg(
             F.count(F.lit(1)).alias("n_distinct"),
             F.sum("_cnt").cast("long").alias("n_total"),
         )
         .select(
+            *out_grp,
             "n",
             "n_distinct",
             "n_total",
@@ -3849,6 +3868,26 @@ def binary_scores_append_batch(
     except AnalysisException:  # first batch: no store yet
         meta = None
     if meta is None:
+        # r16 advisory: a LEGACY store (cells written before the _meta
+        # guard existed) must not be retroactively blessed with this
+        # call's arguments — that is exactly the silent-merge skew the
+        # manifest exists to prevent.  Missing manifest + existing
+        # cells => refuse with the backfill instruction.
+        try:
+            has_cells = bool(spark.read.parquet(state_dir).head(1))
+        except AnalysisException:
+            has_cells = False
+        if has_cells:
+            raise ValueError(
+                f"binary_scores_append_batch: {state_dir} holds cells "
+                "but no _meta manifest (a pre-manifest legacy store). "
+                "Refusing to stamp it with this call's contract — "
+                "verify the existing cells' score_decimals/score_col/"
+                "label_col and backfill the manifest explicitly: "
+                "spark.createDataFrame([(decimals, score_col, "
+                "label_col)], 'score_decimals int, score_col string, "
+                f"label_col string').write.parquet('{state_dir}/_meta')"
+            )
         spark.createDataFrame(
             [(int(score_decimals), score_col, label_col)],
             "score_decimals int, score_col string, label_col string",
@@ -4066,8 +4105,21 @@ def brier_from_store(spark, state_dir: str) -> DataFrame:
     rules: the per-rounded-score class counts are the sufficient
     statistic for every pointwise score functional).  The store's
     ``_meta`` score_decimals is honored for the Brier decimal scale
-    and the log-loss clip."""
-    meta = spark.read.parquet(f"{state_dir}/_meta").first()
+    and the log-loss clip.  A legacy store without a manifest gets a
+    clear refusal (with the backfill instruction) instead of a raw
+    AnalysisException (r16 advisory)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        meta = spark.read.parquet(f"{state_dir}/_meta").first()
+    except AnalysisException:
+        raise ValueError(
+            f"brier_from_store: {state_dir} has no _meta manifest (a "
+            "pre-manifest legacy store, or not a binary-score store). "
+            "Brier/log-loss need the store's score_decimals — verify "
+            "the cells' rounding and backfill _meta as documented in "
+            "binary_scores_append_batch, then retry"
+        ) from None
     return _brier_from_groups(
         False,
         [],
@@ -4939,7 +4991,10 @@ def pass_at_k(
     A's and model B's samples for the same task are different
     attempt pools), each slice equals the ungrouped run over that
     slice alone (test-asserted, the family rule), and every requested
-    k emits for every observed group.  ``n_rows_dropped`` stays
+    k emits for every group observed IN THE INPUT — a slice whose
+    rows are all NULL-verdict emits zero-task rows rather than
+    vanishing (r16 advisory), matching what the ungrouped form does
+    on an all-invalid input.  ``n_rows_dropped`` stays
     CORPUS-GLOBAL on every row (stated: a dropped row's group may
     itself be the NULL being dropped, so per-slice attribution would
     be partial anyway — the task-eligibility exclusions, which ARE
@@ -4986,9 +5041,13 @@ def pass_at_k(
         [(int(k),) for k in ks], "k int"
     )
     if grouped:
-        # every requested k emits for every OBSERVED group
+        # every requested k emits for every OBSERVED group — observed
+        # in the INPUT, not just in the valid rows (r16 advisory: a
+        # slice whose rows are all NULL-verdict must still emit its
+        # zero-task rows rather than vanish; its group key is the
+        # _grp_key encoding of the raw column, NULL group included)
         ks_df = (
-            per_task.select("_grp").distinct().crossJoin(F.broadcast(ks_df))
+            base.select("_grp").distinct().crossJoin(F.broadcast(ks_df))
         )
     exploded = per_task.select(
         *keys,

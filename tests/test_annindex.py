@@ -399,3 +399,69 @@ def test_ivf_compact_drops_unledgered_and_collapses_replay_residue(
         .count()
         == 10
     )
+
+
+def test_ivf_compact_tolerates_duplicate_input_rows_and_stale_tmp(
+    spark, sf_dir, tmp_path
+):
+    """r16 advisory: (1) a batch that LEGITIMATELY contained
+    bit-identical duplicate input rows (ledger counts them, full-row
+    collapse merges them) must compact successfully, reporting the
+    collapse instead of aborting forever; (2) an aborted run's
+    ``cells_compacting`` leftover must not block the retry."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b0 = emb.where(F.col("vec_id") % 2 == 0)
+    b1 = emb.where(F.col("vec_id") % 2 == 1).limit(20)
+    path = str(tmp_path / "idx_dups")
+    annindex.build_ivf_index(
+        b0, path, "vec_id", "embedding", n_centroids=4, n_iters=2
+    )
+    # batch 1 arrives with every row doubled — ledger records 40
+    r = annindex.ivf_append_batch(b1.unionAll(b1), path, 1)
+    assert r["applied"] and r["n_rows"] == 40
+    # simulate an aborted prior compaction leaving the temp dir behind
+    (tmp_path / "idx_dups" / "cells_compacting").mkdir()
+    (tmp_path / "idx_dups" / "cells_compacting" / "junk").write_text("x")
+
+    q = emb.where(F.col("vec_id") < 8)
+    before = _rows(
+        annindex.search_ivf_index(
+            spark, path, q, "vec_id", "embedding", k=5, nprobe=2
+        )
+    )
+    r = annindex.ivf_compact(spark, path)
+    assert r["rows"] == b0.count() + 20
+    assert r["rows_collapsed"] == 20  # the doubled batch-1 rows
+    after = _rows(
+        annindex.search_ivf_index(
+            spark, path, q, "vec_id", "embedding", k=5, nprobe=2
+        )
+    )
+    assert after == before
+    # a second compaction is a no-op that keeps the bounded layout
+    r2 = annindex.ivf_compact(spark, path)
+    assert r2["rows"] == r["rows"] and r2["rows_collapsed"] == 0
+    assert r2["files_after"] <= r2["files_before"]
+
+
+def test_ivf_compact_file_counts_come_from_the_fs_api(
+    spark, sf_dir, tmp_path
+):
+    """r16 advisory: files_before/files_after must come from the Hadoop
+    FileSystem glob (portable to HDFS/S3), and on local disk they must
+    agree with what glob.glob sees."""
+    import glob
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "idx_fsapi")
+    annindex.build_ivf_index(
+        emb.where(F.col("vec_id") % 2 == 0), path, "vec_id", "embedding",
+        n_centroids=4, n_iters=2,
+    )
+    annindex.ivf_append_batch(emb.where(F.col("vec_id") % 2 == 1), path, 1)
+    want_before = len(glob.glob(f"{path}/cells/centroid_id=*/*.parquet"))
+    r = annindex.ivf_compact(spark, path)
+    assert r["files_before"] == want_before > 0
+    assert r["files_after"] == len(
+        glob.glob(f"{path}/cells/centroid_id=*/*.parquet")
+    )

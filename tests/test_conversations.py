@@ -779,3 +779,62 @@ def test_fuzzy_store_verifies_cross_batch_candidates_at_threshold(
         ).collect()
     }
     assert leg == {100}
+
+
+def test_fuzzy_store_mixed_sig_coverage_stays_conservative(spark, tmp_path):
+    """r16 advice (medium): a store created BEFORE the sigs/ tier
+    existed gets sigs/ on its first post-upgrade batch.  From then on
+    candidates against pre-upgrade admissions have band rows but no
+    sig row — the gate must degrade those PAIRS to the conservative
+    candidacy-drop, not silently admit them via an inner sig join.
+    Candidates against post-upgrade admissions still get the verified
+    treatment (the sub-threshold collider survives)."""
+    import shutil
+
+    from lightfusion_spark.operators import conversations as conv_ops
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    other = (
+        "zulu yankee xray whiskey victor uniform sierra2 quebec2 papa2 "
+        "oscar2 november2 mike2 lima2 kilo2 juliet2 india2 hotel2 golf2"
+    )
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    collider = shared + " " + " ".join(f"w0q{j}" for j in range(10))
+    schema = "conversation_id long, turn_idx int, role string, content string"
+    state = str(tmp_path / "mixed_state")
+    # batch 0 admits conversation 100, then loses its sigs (pre-upgrade)
+    conv_ops.conversations_dedup_append_batch_fuzzy(
+        spark.createDataFrame([(100, 0, "user", base)], schema), state, 0
+    )
+    shutil.rmtree(f"{state}/sigs")
+    # batch 1 (post-upgrade) admits 200 and recreates sigs/ — a MIXED
+    # store: 100 has bands but no sig row, 200 has both
+    conv_ops.conversations_dedup_append_batch_fuzzy(
+        spark.createDataFrame([(200, 0, "user", other)], schema), state, 1
+    )
+    # batch 2: a paraphrase of pre-upgrade 100 (bands collide, no prior
+    # sig -> conservative drop) and the sub-threshold collider of 100
+    # (also no prior sig -> ALSO dropped, the stated conservative cost)
+    conv_ops.conversations_dedup_append_batch_fuzzy(
+        spark.createDataFrame(
+            [
+                (300, 0, "user", base + " hope that helps"),
+                (301, 0, "user", collider),
+            ],
+            schema,
+        ),
+        state,
+        2,
+    )
+    got = {
+        r["conversation_id"]
+        for r in conv_ops.conversations_dedup_from_store_fuzzy(
+            spark, state
+        ).collect()
+    }
+    assert 300 not in got  # the paraphrase of the sig-less admission dies
+    assert 301 not in got  # conservative: candidacy alone drops it
+    assert {100, 200} <= got

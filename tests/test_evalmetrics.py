@@ -3572,3 +3572,129 @@ def test_krippendorff_weighted_degenerate_and_validation(spark):
     # unknown metric refuses loudly
     with pytest.raises(ValueError, match="metric must be one of"):
         krippendorff_alpha(df, "item", "annotator", "label", metric="ratio")
+
+
+def test_pass_at_k_all_invalid_group_still_emits(spark):
+    """r16 advisory: a slice whose rows are ALL NULL-verdict must emit
+    zero-task rows per k rather than vanish from the grouped output —
+    matching the ungrouped form's behavior on an all-invalid input."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = [
+        ("m0", "t1", True),
+        ("m0", "t1", False),
+        ("m1", "t1", None),  # m1's only evidence: an invalid row
+        ("m1", None, True),
+        (None, "t2", None),  # NULL group, invalid row
+    ]
+    df = spark.createDataFrame(
+        rows, "model string, task string, ok boolean"
+    )
+    by = {
+        (r["model"], r["k"]): r.asDict()
+        for r in em.pass_at_k(
+            df, "task", "ok", ks=(1, 2), group_col="model"
+        ).collect()
+    }
+    assert {m for m, _ in by} == {"m0", "m1", None}
+    for m in ("m1", None):
+        for k in (1, 2):
+            r = by[(m, k)]
+            assert r["n_tasks"] == 0 and r["n_tasks_excluded"] == 0
+            assert r["pass_at_k6"] is None
+    assert by[("m0", 1)]["n_tasks"] == 1
+    assert by[("m0", 1)]["n_rows_dropped"] == 3  # corpus-global, unchanged
+
+
+def test_binary_store_legacy_without_meta_refused(spark, tmp_path):
+    """r16 advisory: a pre-manifest legacy store (cells, no _meta) must
+    not be retroactively stamped with the next append's contract, and
+    brier_from_store must give a clear error instead of a raw
+    AnalysisException."""
+    import pytest
+
+    from lightfusion_spark.operators import evalmetrics as em
+
+    path = str(tmp_path / "legacy_scores")
+    df = spark.createDataFrame(
+        [(1, 0.9, 1), (2, 0.2, 0), (3, 0.7, 1)],
+        "id long, score double, label int",
+    )
+    em.binary_scores_append_batch(df, path, 0, "id", "score", "label")
+    # simulate the legacy store: cells present, manifest gone
+    import shutil
+
+    shutil.rmtree(f"{path}/_meta")
+    with pytest.raises(ValueError, match="no _meta manifest"):
+        em.binary_scores_append_batch(df, path, 1, "id", "score", "label")
+    with pytest.raises(ValueError, match="no _meta manifest"):
+        em.brier_from_store(spark, path).collect()
+    # AUC/PR (which never needed the manifest) still read the cells
+    assert em.auc_from_store(spark, path).collect()[0]["n_pos"] == 2
+    # backfilling the manifest as instructed re-enables appends
+    spark.createDataFrame(
+        [(6, "score", "label")],
+        "score_decimals int, score_col string, label_col string",
+    ).write.parquet(f"{path}/_meta")
+    em.binary_scores_append_batch(
+        spark.createDataFrame([(4, 0.4, 0)], "id long, score double, label int"),
+        path, 1, "id", "score", "label",
+    )
+    assert em.auc_from_store(spark, path).collect()[0]["n_pos"] == 2
+
+
+def test_distinct_ngrams_by_system_slices_equal_ungrouped(spark):
+    """r16 verdict item 6: per-model distinct-n — each slice must equal
+    the ungrouped run over that slice alone (family rule), the NULL
+    group carried null-safely, and distinctness scoped WITHIN a slice
+    (a gram two models share counts as distinct in each)."""
+    from lightfusion_spark.operators.evalmetrics import distinct_ngrams
+
+    rows = [
+        ("m0", 1, "the cat sat on the mat"),
+        ("m0", 2, "the cat sat again"),
+        ("m1", 3, "the cat sat on the mat"),  # same text as m0's first
+        ("m1", 4, "entirely different words here"),
+        (None, 5, "the cat sat"),
+    ]
+    df = spark.createDataFrame(rows, "model string, doc_id long, text string")
+    by = {
+        (r["model"], r["n"]): r.asDict()
+        for r in distinct_ngrams(
+            df, "doc_id", "text", 2, group_col="model"
+        ).collect()
+    }
+    assert {m for m, _ in by} == {"m0", "m1", None}
+    for m in ("m0", "m1", None):
+        sliced = (
+            df.where(F.col("model").isNull())
+            if m is None
+            else df.where(F.col("model") == m)
+        )
+        want = {
+            r["n"]: r.asDict()
+            for r in distinct_ngrams(sliced, "doc_id", "text", 2).collect()
+        }
+        for n in (1, 2):
+            got = dict(by[(m, n)])
+            got.pop("model")
+            assert got == want[n], (m, n, got, want[n])
+    # shared text counts as distinct within EACH slice
+    assert by[("m0", 2)]["n_distinct"] > 0 and by[("m1", 2)]["n_distinct"] > 0
+    # partition invariance of the grouped integer pipeline
+    a = sorted(
+        map(
+            tuple,
+            distinct_ngrams(df, "doc_id", "text", 2, group_col="model")
+            .collect(),
+        )
+    , key=str)
+    b = sorted(
+        map(
+            tuple,
+            distinct_ngrams(
+                df.repartition(5), "doc_id", "text", 2, group_col="model"
+            ).collect(),
+        )
+    , key=str)
+    assert a == b
