@@ -5037,6 +5037,32 @@ def pass_at_k(
             .alias("_c"),
         )
     )
+    return _pass_at_k_finish(
+        per_task,
+        ks,
+        rows_dropped,
+        group_col,
+        base.select("_grp") if grouped else None,
+    )
+
+
+def _pass_at_k_finish(
+    per_task: DataFrame,
+    ks: tuple[int, ...],
+    rows_dropped: DataFrame,
+    group_col: str | None,
+    obs_groups: DataFrame | None,
+) -> DataFrame:
+    """The pass@k finisher over a per-task ``([_grp,] _task, _n, _c)``
+    relation — shared VERBATIM between :func:`pass_at_k` (which builds
+    it from raw attempt rows) and :func:`pass_at_k_from_store` (which
+    builds it by summing the store's additive per-task cells), so
+    streamed == one-shot is an expression-tree identity, the store
+    family's rule.  ``obs_groups`` is the observed-groups frame for
+    the grouped form (derived from the INPUT, invalid rows included —
+    r16 advisory); ``rows_dropped`` one row ``(n_rows_dropped)``."""
+    grouped = group_col is not None
+    keys = ["_grp"] if grouped else []
     ks_df = per_task.sparkSession.createDataFrame(
         [(int(k),) for k in ks], "k int"
     )
@@ -5046,9 +5072,7 @@ def pass_at_k(
         # slice whose rows are all NULL-verdict must still emit its
         # zero-task rows rather than vanish; its group key is the
         # _grp_key encoding of the raw column, NULL group included)
-        ks_df = (
-            base.select("_grp").distinct().crossJoin(F.broadcast(ks_df))
-        )
+        ks_df = obs_groups.distinct().crossJoin(F.broadcast(ks_df))
     exploded = per_task.select(
         *keys,
         "_n",
@@ -5101,3 +5125,103 @@ def pass_at_k(
             ),
         ).alias("pass_at_k6"),
     ).orderBy(*([group_col] if grouped else []), "k")
+
+
+def pass_at_k_append_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    task_col: str,
+    correct_col: str,
+) -> None:
+    """One append cycle of the maintained pass@k store (r16 verdict
+    item 7) — the functional-correctness face of
+    :func:`wer_append_batch` (the family rule: every corpus metric
+    with additive cells gets a store).  The cells are per-task
+    ``(n, c)`` attempt counts — additive over DISJOINT SAMPLE SETS,
+    which inverts the usual store contract: tasks are EXPECTED to
+    repeat across batches (today's 5 samples of task X merge with
+    yesterday's 15 into one 20-sample pool — that IS the use case:
+    sampling runs trickle in, the leaderboard stays current), while
+    the SAMPLES themselves must not replay across batch ids (the
+    caller owns batch boundaries).  Each batch writes one row per
+    observed task plus one NULL-task row carrying the batch's
+    ``n_rows_dropped`` (unambiguous: a valid task id is never NULL),
+    so exclusions ride the store.  Replay safety is
+    batch-id-addressed: cells are a deterministic function of the
+    batch, replays write identical rows, the read side MAX-collapses
+    per (batch_id, task).  O(tasks-in-batch) rows per append; compact
+    with :func:`~lightfusion_spark.operators.storemaint.
+    compact_cell_store` when the file count warrants it."""
+    valid = F.col(task_col).isNotNull() & F.col(correct_col).isNotNull()
+    base = batch_df.select(
+        valid.alias("_ok"),
+        F.when(valid, F.col(task_col).cast("string")).alias("_task"),
+        F.when(valid, F.col(correct_col).cast("boolean")).alias("_pass"),
+    )
+    per_task = (
+        base.where(F.col("_ok"))
+        .groupBy("_task")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.coalesce(F.sum(F.when(F.col("_pass"), 1)), F.lit(0))
+            .cast("long")
+            .alias("_c"),
+        )
+        .select("_task", "_n", "_c", F.lit(0).cast("long").alias("_dropped"))
+    )
+    dropped_row = base.agg(
+        F.lit(None).cast("string").alias("_task"),
+        F.lit(0).cast("long").alias("_n"),
+        F.lit(0).cast("long").alias("_c"),
+        F.coalesce(F.sum(F.when(~F.col("_ok"), 1)), F.lit(0))
+        .cast("long")
+        .alias("_dropped"),
+    )
+    per_task.unionByName(dropped_row).withColumn(
+        "batch_id", F.lit(int(batch_id)).cast("long")
+    ).write.mode("append").parquet(state_dir)
+
+
+def pass_at_k_state_tasks(spark, state_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Read a :func:`pass_at_k_append_batch` store back to the
+    ``(_task, _n, _c)`` per-task relation (replay duplicates
+    MAX-collapsed per (batch_id, task), then attempt pools SUMMED per
+    task across batches) and the one-row dropped-count frame."""
+    state = spark.read.parquet(state_dir)
+    per_batch = state.groupBy("batch_id", "_task").agg(
+        F.max("_n").alias("_n"),
+        F.max("_c").alias("_c"),
+        F.max("_dropped").alias("_dropped"),
+    )
+    tasks = (
+        per_batch.where(F.col("_task").isNotNull())
+        .groupBy("_task")
+        .agg(
+            F.sum("_n").cast("long").alias("_n"),
+            F.sum("_c").cast("long").alias("_c"),
+        )
+    )
+    dropped = per_batch.where(F.col("_task").isNull()).agg(
+        F.coalesce(F.sum("_dropped"), F.lit(0))
+        .cast("long")
+        .alias("n_rows_dropped")
+    )
+    return tasks, dropped
+
+
+def pass_at_k_from_store(
+    spark, state_dir: str, ks: tuple[int, ...] = (1, 5, 10)
+) -> DataFrame:
+    """pass@k over EVERYTHING the store has seen — equals
+    :func:`pass_at_k` over the concatenation of all appended batches
+    BIT FOR BIT (per-task ``(n, c)`` cells are additive over disjoint
+    sample sets + the :func:`_pass_at_k_finish` finisher is shared
+    verbatim; asserted by ``tests/test_evalmetrics.py``).  ``ks`` is a
+    READ-time choice — the store holds attempt pools, not estimates,
+    so yesterday's store answers today's new k."""
+    if not ks or any(int(k) < 1 for k in ks):
+        raise ValueError(f"ks must be positive ints, got {ks!r}")
+    ks = tuple(int(k) for k in dict.fromkeys(ks))
+    tasks, dropped = pass_at_k_state_tasks(spark, state_dir)
+    return _pass_at_k_finish(tasks, ks, dropped, None, None)

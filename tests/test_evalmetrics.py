@@ -3698,3 +3698,75 @@ def test_distinct_ngrams_by_system_slices_equal_ungrouped(spark):
         )
     , key=str)
     assert a == b
+
+
+def test_pass_at_k_store_stream_matches_one_shot(spark, tmp_path):
+    """r16 verdict item 7: the pass@k store — per-task (n, c) attempt
+    pools are additive over disjoint sample sets, so batches SPLITTING
+    a task's samples must merge back to the one-shot estimate bit for
+    bit; replay is MAX-collapsed; exclusions ride the store; ks is a
+    read-time choice; compaction preserves the read."""
+    from lightfusion_spark.operators import evalmetrics as em
+    from lightfusion_spark.operators.storemaint import compact_cell_store
+
+    rows = []
+    for t in range(8):
+        for s in range(12):  # 12 samples per task, passes vary by tier
+            rows.append((f"t{t}", s % (t + 2) == 0))
+    rows += [(None, True), ("t0", None), (None, None)]  # 3 invalid
+    schema = "task string, ok boolean"
+    all_df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "passk_cells")
+    # split so every task's samples SPAN batches (the use case)
+    chunks = [rows[0::3], rows[1::3], rows[2::3]]
+    for b, chunk in enumerate(chunks):
+        em.pass_at_k_append_batch(
+            spark.createDataFrame(chunk, schema), path, b, "task", "ok"
+        )
+    want = sorted(
+        map(tuple, em.pass_at_k(all_df, "task", "ok", ks=(1, 5, 10, 20)).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            em.pass_at_k_from_store(spark, path, ks=(1, 5, 10, 20)).collect(),
+        )
+    )
+    assert got == want
+    # replay batch 1: bit-identical rows, MAX-collapse -> no-op
+    em.pass_at_k_append_batch(
+        spark.createDataFrame(chunks[1], schema), path, 1, "task", "ok"
+    )
+    assert (
+        sorted(
+            map(
+                tuple,
+                em.pass_at_k_from_store(
+                    spark, path, ks=(1, 5, 10, 20)
+                ).collect(),
+            )
+        )
+        == want
+    )
+    # a different read-time k works off the same pools
+    assert em.pass_at_k_from_store(spark, path, ks=(12,)).collect()[0][
+        "n_tasks"
+    ] == 8
+    # exclusions rode the store
+    assert got[0][-2] == 3 or want[0][-2] == 3  # n_rows_dropped column
+    # generic compaction preserves the read bit for bit
+    r = compact_cell_store(spark, path)
+    assert r["files_after"] == 1 and r["rows_collapsed"] > 0
+    assert (
+        sorted(
+            map(
+                tuple,
+                em.pass_at_k_from_store(
+                    spark, path, ks=(1, 5, 10, 20)
+                ).collect(),
+            )
+        )
+        == want
+    )
+    with pytest.raises(ValueError, match="positive ints"):
+        em.pass_at_k_from_store(spark, path, ks=(0,))
