@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .storemaint import atomic_replace
+
 
 def latest_snapshot(
     changes: DataFrame,
@@ -137,8 +139,16 @@ def merge_into_state(
         merged = batch_df
     snap = latest_snapshot(
         merged, key_cols, seq_col, op_col=None, tiebreak_cols=tiebreak_cols
-    ).localCheckpoint(eager=True)
-    snap.write.mode("overwrite").parquet(state_dir)
+    )
+    # staging write + two-rename swap (r17): the old in-place
+    # overwrite deleted the store before writing, so a crash in
+    # between lost it — and the checkpointed replay then saw "no
+    # store" and silently rebuilt from the arriving batch alone,
+    # exactly the prior-state discard the existence probe above
+    # guards against.  The swap also retires the pre-overwrite
+    # localCheckpoint (the staging write materializes the plan off
+    # the live directory — one materialization instead of two).
+    atomic_replace(spark, snap, state_dir)
 
 
 def read_state(

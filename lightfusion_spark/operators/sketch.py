@@ -197,16 +197,20 @@ def hll_compact_state(
     (``hll_union_agg`` — the same merge every estimate goes through, so
     compaction is estimate-preserving by construction) and replace the
     store.  ``batch_id`` keeps the latest id folded in, recording how
-    far the compacted row has seen.  The result is pinned with
-    ``localCheckpoint`` BEFORE the overwrite (the CDC-store lesson: the
-    lazy read of the directory being replaced must never feed its own
-    overwrite)."""
+    far the compacted row has seen.  The replacement goes through
+    :func:`~lightfusion_spark.operators.storemaint.atomic_replace`
+    (r17 — staging write + two-rename swap: a crash can no longer
+    catch the store between the overwrite's delete and its write, and
+    the pre-overwrite ``localCheckpoint`` the in-place write needed
+    is gone with the in-place write)."""
+    from .storemaint import atomic_replace
+
     state = spark.read.parquet(state_dir)
     compacted = state.groupBy(stratum_col).agg(
         F.max("batch_id").alias("batch_id"),
         F.expr("hll_union_agg(hll_sketch)").alias("hll_sketch"),
-    ).select(stratum_col, "batch_id", "hll_sketch").localCheckpoint(eager=True)
-    compacted.write.mode("overwrite").parquet(state_dir)
+    ).select(stratum_col, "batch_id", "hll_sketch")
+    atomic_replace(spark, compacted, state_dir)
 
 
 def sketch_append_batch(
@@ -320,8 +324,11 @@ def sketch_compact_state(
     can still replay must stay raw (addressed, deduplicable) — once
     folded, a late replay of it is dropped by the fence rather than
     double-counted, which is the correct outcome for a committed batch.
-    The result is pinned with ``localCheckpoint`` before the overwrite
-    (the CDC-store lesson)."""
+    The replacement goes through
+    :func:`~lightfusion_spark.operators.storemaint.atomic_replace`
+    (r17 — staging write + two-rename swap; the pre-overwrite
+    ``localCheckpoint`` went with the in-place write)."""
+    from .storemaint import atomic_replace
     state = spark.read.parquet(state_dir)
     fence = _probe_fence(state)
     cell_cols, compacted, deduped = _split_state(state, cnt_col, fence)
@@ -346,8 +353,7 @@ def sketch_compact_state(
             F.lit("compacted").alias("segment"),
         )
     )
-    new_state = folded.unionByName(keep).localCheckpoint(eager=True)
-    new_state.write.mode("overwrite").parquet(state_dir)
+    atomic_replace(spark, folded.unionByName(keep), state_dir)
 
 
 def hist_sketch(

@@ -29,8 +29,57 @@ collapses — all test-pinned in ``tests/test_storemaint.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def atomic_replace(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Crash-safe whole-relation replacement for maintained stores —
+    the write-side half of the :func:`compact_cell_store` contract,
+    factored out for stores whose replacement is SEMANTIC (the HLL
+    union-fold, the additive-sketch fence fold, the CDC snapshot)
+    rather than a row-identical rewrite (r17; closes a real
+    crash-recovery hole: ``mode("overwrite")`` on the directory being
+    replaced deletes it BEFORE writing, so a crash in between loses
+    the store — and in the CDC ``foreachBatch`` case the streaming
+    replay then sees "no store" and silently rebuilds from the
+    arriving batch alone, exactly the prior-state discard its
+    existence probe exists to prevent).
+
+    ``df`` MAY lazily read from ``path``: the plan materializes into a
+    sibling ``{path}_staging`` directory first (which also makes the
+    defensive pre-overwrite ``localCheckpoint`` the old call sites
+    carried unnecessary — one materialization instead of two), then
+    the two-rename swap replaces the live directory.  Crash windows:
+    before the first rename the store is untouched; between renames
+    ``{path}_pre`` holds the original (recover by renaming back) and
+    the next call REFUSES until an operator resolves it; a stale
+    ``_staging`` never blocks a retry.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    pre = f"{path}_pre"
+    if fs.exists(hpath(pre)):
+        raise RuntimeError(
+            f"atomic_replace: {pre} exists — a previous replacement "
+            "crashed mid-swap and it may be the only copy of the store; "
+            "rename it back over the store (or remove it after "
+            "verifying the store reads) before retrying"
+        )
+    tmp = f"{path}_staging"
+    if fs.exists(hpath(tmp)):
+        fs.delete(hpath(tmp), True)
+    df.write.mode("error").parquet(tmp)
+    had_prior = fs.exists(hpath(path))
+    if had_prior and not fs.rename(hpath(path), hpath(pre)):
+        raise RuntimeError(f"atomic_replace: could not stage {path}")
+    if not fs.rename(hpath(tmp), hpath(path)):
+        if had_prior:
+            fs.rename(hpath(pre), hpath(path))
+        raise RuntimeError(f"atomic_replace: could not swap in {tmp}")
+    if had_prior:
+        fs.delete(hpath(pre), True)
 
 
 def compact_cell_store(

@@ -207,3 +207,40 @@ def test_compact_cell_store_guards(spark, tmp_path):
         compact_cell_store(spark, path)
     with pytest.raises(ValueError, match="target_files"):
         compact_cell_store(spark, path, target_files=0)
+
+
+def test_atomic_replace_semantics(spark, tmp_path):
+    """atomic_replace (r17): the staging-write + two-rename swap behind
+    the HLL/sketch compactions and the CDC snapshot — the plan may
+    read the directory it replaces, stale staging never blocks, a
+    crashed-swap _pre refuses, and a first write (no prior store)
+    works."""
+    from lightfusion_spark.operators.storemaint import atomic_replace
+
+    path = str(tmp_path / "store")
+    # first write: no prior directory
+    atomic_replace(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        path,
+    )
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == [
+        (1, 10),
+        (2, 20),
+    ]
+    # replacement whose plan READS the store it replaces (the compaction
+    # shape) — with a stale staging dir in the way
+    (tmp_path / "store_staging").mkdir()
+    (tmp_path / "store_staging" / "junk").write_text("x")
+    doubled = spark.read.parquet(path).withColumn(
+        "v", F.col("v") * 2
+    )
+    atomic_replace(spark, doubled, path)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == [
+        (1, 20),
+        (2, 40),
+    ]
+    # a crashed-swap _pre refuses until the operator resolves it
+    (tmp_path / "store_pre").mkdir()
+    with pytest.raises(RuntimeError, match="crashed mid-swap"):
+        atomic_replace(spark, doubled, path)
