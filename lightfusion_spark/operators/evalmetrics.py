@@ -169,13 +169,26 @@ def bleu_cells(
     # pairs): (id, n, gram) shuffle + join 114.2 s, the side-tagged
     # single-shuffle rewrite 43.6 s, this row-local counting 2.7 s —
     # and 1.9 s isolated over sf0.1's 50k real documents.
+    # Degenerate-parallelism guard (r17): fan the raw pair rows out
+    # before tokenize+fold — on a single-split scan the whole Arrow fold
+    # otherwise runs in ONE Python worker.  Cells are additive integer
+    # counters, so partitioning cannot change the sums.
+    from .fanout import fan_out
+
+    keep = list(
+        dict.fromkeys(
+            [cand_col, ref_col]
+            + ([group_col] if group_col is not None else [])
+        )
+    )
+    src = fan_out(df.select(*keep))
     cols = [
         _tok(F.col(cand_col)).alias("ct"),
         _tok(F.col(ref_col)).alias("rt"),
     ]
     if group_col is not None:
         cols.insert(0, F.col(group_col).cast("string").alias("_grp"))
-    base = df.select(*cols)
+    base = src.select(*cols)
 
     def fold(batches):
         from collections import Counter
@@ -918,6 +931,22 @@ def wer_pairs(
     """
     # NULL text tokenizes to the empty list (the corpus_bleu contract) —
     # coalesced HERE because this tokenization never leaves the JVM
+    #
+    # Degenerate-parallelism guard (r17): project the three (four) input
+    # columns and fan the rows out BEFORE the encode+DP projection — on a
+    # single-split scan the whole O(len·distinct + len²) per-pair cost
+    # otherwise runs in ONE task (measured 7.1 s → 0.9 s at sf0.1 on 32
+    # slots, bit-identical integer cells).  No-op when the scan already
+    # has cluster parallelism.
+    from .fanout import fan_out
+
+    keep = list(
+        dict.fromkeys(
+            [id_col, cand_col, ref_col]
+            + ([group_col] if group_col is not None else [])
+        )
+    )
+    df = fan_out(df.select(*keep))
     ct = _tok(F.coalesce(F.col(cand_col), F.lit("")))
     rt = _tok(F.coalesce(F.col(ref_col), F.lit("")))
     words = F.array_distinct(F.concat(ct, rt))
@@ -1929,6 +1958,19 @@ def chrf_cells(
     stringified group value and emits per-group cells."""
     if max_n < 1:
         raise ValueError(f"chrf_score: max_n must be >= 1, got {max_n}")
+    # Degenerate-parallelism guard (r17): same as bleu_cells — fan the
+    # raw pair rows out so the char-n-gram Arrow fold runs wide instead
+    # of in one Python worker on single-split scans.  Integer cells are
+    # additive, so partitioning cannot change the sums.
+    from .fanout import fan_out
+
+    keep = list(
+        dict.fromkeys(
+            [cand_col, ref_col]
+            + ([group_col] if group_col is not None else [])
+        )
+    )
+    src = fan_out(df.select(*keep))
     strip = lambda c: F.regexp_replace(F.lower(c), r"\s+", "")
     cols = [
         strip(F.col(cand_col)).alias("cs"),
@@ -1936,7 +1978,7 @@ def chrf_cells(
     ]
     if group_col is not None:
         cols.insert(0, F.col(group_col).cast("string").alias("_grp"))
-    base = df.select(*cols)
+    base = src.select(*cols)
 
     def fold(batches):
         from collections import Counter

@@ -1,0 +1,92 @@
+"""Degenerate-parallelism guard for per-row-heavy operators.
+
+Several operators in this package do expensive per-row work — dynamic-
+programming edit distance, Arrow-batched n-gram folds, codec decodes —
+whose cost is linear in rows but heavy per row.  When their input scan
+arrives with fewer splits than the cluster has slots (one small parquet
+file, one unsplittable row group, one gzip member), that whole cost
+lands on ONE task while the rest of the cluster idles: the classic
+"input skew" failure mode (optimization guide §2.5 — "one huge
+unsplittable file … repartition immediately after the read").
+
+:func:`fan_out` is the shared fix: repartition the (already projected,
+narrow) relation to the cluster's default parallelism — but ONLY when
+the source scan's split count is below it.  At warehouse scale a scan
+arrives with thousands of splits and this is a structural no-op (no
+exchange is added); the repartition fires exactly in the degenerate
+case, where the shuffle moves a few MB once so that the heavy compute
+runs wide.
+
+The gate is metadata-only and never runs a job: it reads the relation's
+input-file list (already resolved by the scan) and estimates the split
+count the way ``FilePartition`` packs splits — ``bytes /
+maxPartitionBytes``, floored at one split per file.  Relations with no
+file source (in-memory fixtures, checkpointed intermediates) are left
+untouched: their parallelism was chosen by whoever materialized them.
+
+Correctness: a round-robin repartition changes row order and row-to-
+partition placement, so callers must be partition-order-insensitive.
+Every caller in this package is — their downstream aggregations are
+exact integer/DECIMAL cell sums (associative and commutative) or
+per-row projections, the repo-wide exactness convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _max_partition_bytes(spark) -> int:
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+    try:
+        return int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                raw
+            )
+        )
+    except Exception:  # pragma: no cover — exotic conf strings
+        return 128 * 1024 * 1024
+
+
+def scan_splits(df: DataFrame) -> int | None:
+    """Estimated scan-task count of ``df``'s file source, or ``None``
+    when the relation has no file source.  Metadata-only — reuses the
+    scan's already-resolved file index, no job, no extra listing."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # pragma: no cover
+        return None
+    if not files:
+        return None
+    spark = df.sparkSession
+    mpb = _max_partition_bytes(spark)
+    try:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        splits = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            fs = p.getFileSystem(hconf)
+            size = fs.getFileStatus(p).getLen()
+            splits += max(1, -(-int(size) // mpb))
+        return splits
+    except Exception:  # pragma: no cover — unreachable paths, perms
+        return len(files)
+
+
+def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Spread ``df`` to ``target`` partitions if its source scan has
+    fewer splits; return it unchanged otherwise.
+
+    ``target`` defaults to ``sparkContext.defaultParallelism`` — the
+    session's slot count, never a constant (the same query scales down
+    to a 2-core driver run and up to a cluster without edits).
+    """
+    spark = df.sparkSession
+    tgt = int(target) if target else int(spark.sparkContext.defaultParallelism)
+    if tgt <= 1:
+        return df
+    cur = scan_splits(df)
+    if cur is None or cur >= tgt:
+        return df
+    return df.repartition(tgt)

@@ -1218,9 +1218,17 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     is (doc, token) — the shuffle carries the per-document TYPE
     histogram, ~n_types rows per doc, the same relation BM25 shuffles.
     """
+    # Degenerate-parallelism guard (r17): tokenize+explode is the heavy
+    # map-side pass (the partial (doc, token) aggregation runs on the
+    # exploded stream); fan the raw rows out so it runs wide instead of
+    # in one task on single-split scans.  All downstream sums are exact
+    # integers — partitioning cannot flip a bit.
+    from .fanout import fan_out
+
+    src = fan_out(df.select(id_col, text_col))
     toks = F.filter(_tokens(F.col(text_col)), lambda x: x != "")
     cells = (
-        df.select(
+        src.select(
             F.col(id_col),
             F.size(toks).alias("_n"),
             F.explode(toks).alias("_tok"),
