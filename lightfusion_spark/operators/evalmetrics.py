@@ -439,19 +439,27 @@ def bleu_paired_bootstrap(
     final quantile step sorts ``n_boot`` deltas inside one row
     (``sort_array`` over a collected 32-element array), never a
     corpus-sized sort.
+
+    The full-corpus scores ride the SAME per-pair cells as a ``b = -1``
+    weight-1 pseudo-replicate (cells are additive, so weight-1 sums ARE
+    the one-shot corpus cells and the shared finisher yields
+    :func:`corpus_bleu` bit for bit — the binary-bootstrap harness
+    pattern): each side makes ONE text pass, not two, and the cells
+    exchange is shared between the replicate and full branches
+    (ReusedExchange in the plan).
     """
     if n_boot < 2:
         raise ValueError(f"n_boot must be >= 2, got {n_boot}")
     from .dedup import _md5_long
 
-    def replicate_scores(cand_col, side):
+    def replicate_and_full(cand_col, side):
         cells = bleu_cells(
             df, id_col, cand_col, ref_col, max_n=max_n, group_col=id_col
         ).withColumnRenamed(id_col, "_id")
         reps = cells.select(
             "*",
             F.explode(
-                F.sequence(F.lit(0), F.lit(int(n_boot) - 1))
+                F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))
             ).alias("b"),
         )
         h6 = (
@@ -463,7 +471,9 @@ def bleu_paired_bootstrap(
             )
             % F.lit(1_000_000)
         )
-        w = _poisson1_weight(h6)
+        w = F.when(F.col("b") == -1, F.lit(1)).otherwise(
+            _poisson1_weight(h6)
+        )
         weighted = reps.select(
             F.col("b"),
             F.col("n"),
@@ -472,13 +482,25 @@ def bleu_paired_bootstrap(
             (F.col("ref_total") * w).cast("long").alias("ref_total"),
         )
         scored = corpus_bleu_from_cells(
-            weighted, max_n=max_n, group_cols=("b",)
+            weighted.where(F.col("b") >= 0), max_n=max_n, group_cols=("b",)
         )
-        return scored.select(F.col("b"), F.col("bleu6").alias(f"bleu_{side}"))
+        # full corpus = the b = -1 slice through the UNGROUPED finisher
+        # (always one row, zero-cells on an empty corpus — exactly
+        # corpus_bleu's empty behavior)
+        full = corpus_bleu_from_cells(
+            weighted.where(F.col("b") == -1).select(
+                "n", "matched", "cand_total", "ref_total"
+            ),
+            max_n=max_n,
+        )
+        return (
+            scored.select(F.col("b"), F.col("bleu6").alias(f"bleu_{side}")),
+            full.select(F.col("bleu6").alias(f"bleu_{side}6")),
+        )
 
-    per_b = replicate_scores(cand_a_col, "a").join(
-        replicate_scores(cand_b_col, "b"), "b"
-    )
+    scored_a, full_a = replicate_and_full(cand_a_col, "a")
+    scored_b, full_b = replicate_and_full(cand_b_col, "b")
+    per_b = scored_a.join(scored_b, "b")
     deltas = per_b.select(
         F.col("b"),
         F.round(F.col("bleu_a") - F.col("bleu_b"), 6).alias("_d"),
@@ -494,12 +516,6 @@ def bleu_paired_bootstrap(
         F.sum(F.when(F.col("_d") < 0, 1).otherwise(0))
         .cast("long")
         .alias("n_delta_neg"),
-    )
-    full_a = corpus_bleu(df, id_col, cand_a_col, ref_col, max_n=max_n).select(
-        F.col("bleu6").alias("bleu_a6")
-    )
-    full_b = corpus_bleu(df, id_col, cand_b_col, ref_col, max_n=max_n).select(
-        F.col("bleu6").alias("bleu_b6")
     )
     n_pairs = df.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     return (
@@ -557,30 +573,65 @@ def wer_paired_bootstrap(
     Returns ONE row: ``(n_pairs, n_pairs_dropped, n_boot, wer_a6,
     wer_b6, delta6, delta_lo6, delta_hi6, n_delta_neg, n_delta_pos,
     p_a_better6)``.
+
+    Plan shape (r17): ONE pass computes BOTH sides' edit distances in
+    the same JVM projection (the two DPs share the reference
+    tokenization; the per-side ``wer_pairs`` + id-join this replaces
+    ran the corpus scan twice and shuffled the pair cells), and the
+    full-corpus sums ride the ``b = -1`` weight-1 pseudo-replicate of
+    the same explode — exact long sums, so every output value is
+    unchanged bit for bit.
     """
     if n_boot < 2:
         raise ValueError(f"n_boot must be >= 2, got {n_boot}")
     from .dedup import _md5_long
+    from .fanout import fan_out
 
-    pa = wer_pairs(df, id_col, cand_a_col, ref_col).select(
-        F.col(id_col).alias("_id"),
-        F.col("ok").alias("_ok_a"),
-        F.col("n_edits").alias("_ea"),
-        F.col("ref_len").alias("_rl"),
+    # both sides in one row-local projection (the wer_pairs expression
+    # pair, sharing the reference tokens), fanned out like wer_pairs
+    src = fan_out(
+        df.select(
+            *dict.fromkeys([id_col, cand_a_col, cand_b_col, ref_col])
+        )
     )
-    pb = wer_pairs(df, id_col, cand_b_col, ref_col).select(
+
+    def side(cand_col):
+        ct = _tok(F.coalesce(F.col(cand_col), F.lit("")))
+        rt = _tok(F.coalesce(F.col(ref_col), F.lit("")))
+        words = F.array_distinct(F.concat(ct, rt))
+        ok = F.size(words) <= WER_ALPHABET
+
+        def enc(toks):
+            return F.concat_ws(
+                "",
+                F.transform(toks, lambda t: F.chr(F.array_position(words, t))),
+            )
+
+        return ok, F.when(ok, F.levenshtein(enc(ct), enc(rt))).cast("long")
+
+    ok_a, ea = side(cand_a_col)
+    ok_b, eb = side(cand_b_col)
+    cells = src.select(
         F.col(id_col).alias("_id"),
-        F.col("ok").alias("_ok_b"),
-        F.col("n_edits").alias("_eb"),
+        ok_a.alias("_ok_a"),
+        ea.alias("_ea"),
+        ok_b.alias("_ok_b"),
+        eb.alias("_eb"),
+        F.size(_tok(F.coalesce(F.col(ref_col), F.lit("")))).cast("long").alias(
+            "_rl"
+        ),
     )
-    cells = pa.join(pb, "_id")
-    kept = cells.where(F.col("_ok_a") & F.col("_ok_b"))
-    reps = kept.select(
+    kept = F.col("_ok_a") & F.col("_ok_b")
+    # b = -1 is the weight-1 full-sample pseudo-replicate; dropped rows
+    # ride the same explode (weights masked by `kept`) so ONE groupBy
+    # aggregation serves replicates, full sums, and the exclusion count
+    reps = cells.select(
         "_id",
+        kept.alias("_k"),
         "_ea",
         "_eb",
         "_rl",
-        F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("b"),
+        F.explode(F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))).alias("b"),
     )
     h6 = (
         _md5_long(
@@ -589,17 +640,22 @@ def wer_paired_bootstrap(
         )
         % F.lit(1_000_000)
     )
-    w = _poisson1_weight(h6)
+    w = F.when(F.col("b") == -1, F.lit(1)).otherwise(_poisson1_weight(h6))
     per_b = reps.groupBy("b").agg(
-        F.sum(F.col("_ea") * w).cast("long").alias("_wea"),
-        F.sum(F.col("_eb") * w).cast("long").alias("_web"),
-        F.sum(F.col("_rl") * w).cast("long").alias("_wrl"),
+        F.sum(F.when(F.col("_k"), F.col("_ea") * w)).cast("long").alias("_wea"),
+        F.sum(F.when(F.col("_k"), F.col("_eb") * w)).cast("long").alias("_web"),
+        F.sum(F.when(F.col("_k"), F.col("_rl") * w)).cast("long").alias("_wrl"),
+        F.sum(F.when(F.col("_k"), 1).otherwise(0)).cast("long").alias("_nk"),
+        F.sum(F.when(F.col("_k"), 0).otherwise(1)).cast("long").alias("_nd"),
     )
     wer6 = lambda e: F.when(  # noqa: E731 — tiny local expression
         F.col("_wrl") > 0,
         F.round(F.col(e).cast("double") / F.col("_wrl").cast("double"), 6),
     )
-    deltas = per_b.select(
+    # _nk > 0 keeps replicate-group existence identical to the kept-only
+    # explode this replaces: with zero in-alphabet pairs there are no
+    # replicate rows at all (summary counts 0/NULL, not 32 NULL deltas)
+    deltas = per_b.where((F.col("b") >= 0) & (F.col("_nk") > 0)).select(
         F.col("b"),
         F.round(wer6("_wea") - wer6("_web"), 6).alias("_d"),
     )
@@ -615,16 +671,15 @@ def wer_paired_bootstrap(
         .cast("long")
         .alias("n_delta_pos"),
     )
-    full = kept.groupBy().agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum("_ea").cast("long").alias("_fea"),
-        F.sum("_eb").cast("long").alias("_feb"),
-        F.sum("_rl").cast("long").alias("_frl"),
-    )
-    dropped = cells.groupBy().agg(
-        F.sum(F.when(F.col("_ok_a") & F.col("_ok_b"), 0).otherwise(1))
-        .cast("long")
-        .alias("n_pairs_dropped")
+    # ungrouped agg over the b = -1 slice: always ONE row, with the
+    # empty-corpus values the separate kept/dropped aggregations used
+    # to produce (n_pairs 0, sums NULL, dropped NULL)
+    full = per_b.where(F.col("b") == -1).groupBy().agg(
+        F.coalesce(F.max("_nk"), F.lit(0)).cast("long").alias("n_pairs"),
+        F.max("_nd").cast("long").alias("n_pairs_dropped"),
+        F.max("_wea").cast("long").alias("_fea"),
+        F.max("_web").cast("long").alias("_feb"),
+        F.max("_wrl").cast("long").alias("_frl"),
     )
     fw6 = lambda e: F.when(  # noqa: E731
         F.col("_frl") > 0,
@@ -632,7 +687,6 @@ def wer_paired_bootstrap(
     )
     return (
         summary.crossJoin(F.broadcast(full))
-        .crossJoin(F.broadcast(dropped))
         .select(
             "n_pairs",
             "n_pairs_dropped",
@@ -687,14 +741,17 @@ def chrf_paired_bootstrap(
         raise ValueError(f"n_boot must be >= 2, got {n_boot}")
     from .dedup import _md5_long
 
-    def replicate_scores(cand_col, side):
+    def replicate_and_full(cand_col, side):
+        # b = -1 is the weight-1 full-corpus pseudo-replicate (the
+        # bleu_paired_bootstrap pattern): one text pass per side, the
+        # cells exchange shared between replicate and full branches
         cells = chrf_cells(
             df, id_col, cand_col, ref_col, max_n=max_n, group_col=id_col
         ).withColumnRenamed(id_col, "_id")
         reps = cells.select(
             "*",
             F.explode(
-                F.sequence(F.lit(0), F.lit(int(n_boot) - 1))
+                F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))
             ).alias("b"),
         )
         h6 = (
@@ -706,7 +763,9 @@ def chrf_paired_bootstrap(
             )
             % F.lit(1_000_000)
         )
-        w = _poisson1_weight(h6)
+        w = F.when(F.col("b") == -1, F.lit(1)).otherwise(
+            _poisson1_weight(h6)
+        )
         weighted = reps.select(
             F.col("b"),
             F.col("n"),
@@ -715,13 +774,26 @@ def chrf_paired_bootstrap(
             (F.col("ref_total") * w).cast("long").alias("ref_total"),
         )
         scored = chrf_from_cells(
-            weighted, max_n=max_n, beta=beta, group_cols=("b",)
+            weighted.where(F.col("b") >= 0),
+            max_n=max_n,
+            beta=beta,
+            group_cols=("b",),
         )
-        return scored.select(F.col("b"), F.col("chrf6").alias(f"chrf_{side}"))
+        full = chrf_from_cells(
+            weighted.where(F.col("b") == -1).select(
+                "n", "matched", "cand_total", "ref_total"
+            ),
+            max_n=max_n,
+            beta=beta,
+        )
+        return (
+            scored.select(F.col("b"), F.col("chrf6").alias(f"chrf_{side}")),
+            full.select(F.col("chrf6").alias(f"chrf_{side}6")),
+        )
 
-    per_b = replicate_scores(cand_a_col, "a").join(
-        replicate_scores(cand_b_col, "b"), "b"
-    )
+    scored_a, full_a = replicate_and_full(cand_a_col, "a")
+    scored_b, full_b = replicate_and_full(cand_b_col, "b")
+    per_b = scored_a.join(scored_b, "b")
     deltas = per_b.select(
         F.col("b"),
         F.round(F.col("chrf_a") - F.col("chrf_b"), 6).alias("_d"),
@@ -738,12 +810,6 @@ def chrf_paired_bootstrap(
         .cast("long")
         .alias("n_delta_neg"),
     )
-    full_a = chrf_score(
-        df, id_col, cand_a_col, ref_col, max_n=max_n, beta=beta
-    ).select(F.col("chrf6").alias("chrf_a6"))
-    full_b = chrf_score(
-        df, id_col, cand_b_col, ref_col, max_n=max_n, beta=beta
-    ).select(F.col("chrf6").alias("chrf_b6"))
     n_pairs = df.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     return (
         summary.crossJoin(F.broadcast(full_a))
@@ -799,14 +865,17 @@ def rouge_paired_bootstrap(
         raise ValueError(f"n_boot must be >= 2, got {n_boot}")
     from .dedup import _md5_long
 
-    def replicate_scores(cand_col, side):
+    def replicate_and_full(cand_col, side):
+        # b = -1 is the weight-1 full-corpus pseudo-replicate (the
+        # bleu_paired_bootstrap pattern): one pair of Arrow folds per
+        # side instead of two, full scores from the same additive cells
         cells = _rouge_cells(
             df, id_col, cand_col, ref_col, max_n=max_n, group_col=id_col
         ).withColumnRenamed(id_col, "_id")
         reps = cells.select(
             "*",
             F.explode(
-                F.sequence(F.lit(0), F.lit(int(n_boot) - 1))
+                F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))
             ).alias("b"),
         )
         h6 = (
@@ -816,7 +885,9 @@ def rouge_paired_bootstrap(
             )
             % F.lit(1_000_000)
         )
-        w = _poisson1_weight(h6)
+        w = F.when(F.col("b") == -1, F.lit(1)).otherwise(
+            _poisson1_weight(h6)
+        )
         agg = reps.groupBy("metric", "b").agg(
             F.sum(F.col("matched") * w).cast("long").alias("matched"),
             F.sum(F.col("cand_total") * w).cast("long").alias("cand_total"),
@@ -831,11 +902,17 @@ def rouge_paired_bootstrap(
                 6,
             ),
         )
-        return agg.select("metric", "b", f1.alias(f"f1_{side}"))
+        scored = agg.where(F.col("b") >= 0).select(
+            "metric", "b", f1.alias(f"f1_{side}")
+        )
+        full = agg.where(F.col("b") == -1).select(
+            "metric", f1.alias(f"f1_{side}6")
+        )
+        return scored, full
 
-    per_b = replicate_scores(cand_a_col, "a").join(
-        replicate_scores(cand_b_col, "b"), ["metric", "b"]
-    )
+    scored_a, full_a = replicate_and_full(cand_a_col, "a")
+    scored_b, full_b = replicate_and_full(cand_b_col, "b")
+    per_b = scored_a.join(scored_b, ["metric", "b"])
     deltas = per_b.select(
         "metric",
         F.col("b"),
@@ -852,12 +929,6 @@ def rouge_paired_bootstrap(
         F.sum(F.when(F.col("_d") < 0, 1).otherwise(0))
         .cast("long")
         .alias("n_delta_neg"),
-    )
-    full_a = corpus_rouge(df, id_col, cand_a_col, ref_col, max_n=max_n).select(
-        "metric", F.col("f1_6").alias("f1_a6")
-    )
-    full_b = corpus_rouge(df, id_col, cand_b_col, ref_col, max_n=max_n).select(
-        "metric", F.col("f1_6").alias("f1_b6")
     )
     n_pairs = df.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     return (
@@ -4477,9 +4548,13 @@ def qa_paired_bootstrap(
         F.col("f1_6").alias("_f1_b"),
     )
     j = per_a.join(per_b, "_qid")
+    # b = -1 is the weight-1 full-corpus pseudo-replicate (the
+    # bleu_paired_bootstrap pattern): the two qa_report passes this
+    # replaces re-ran the whole qa_em_f1 pipeline per side; the full
+    # EM/F1 means are the same exact integer/DECIMAL sums at weight 1
     reps = j.select(
         "*",
-        F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("b"),
+        F.explode(F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))).alias("b"),
     )
     h6 = (
         _md5_long(
@@ -4488,7 +4563,7 @@ def qa_paired_bootstrap(
         )
         % F.lit(1_000_000)
     )
-    w = _poisson1_weight(h6)
+    w = F.when(F.col("b") == -1, F.lit(1)).otherwise(_poisson1_weight(h6))
     weighted = reps.select(
         F.col("b"),
         w.alias("_w"),
@@ -4513,7 +4588,7 @@ def qa_paired_bootstrap(
             ),
         )
 
-    rep_scores = per_b_scores.select(
+    rep_scores = per_b_scores.where(F.col("b") >= 0).select(
         F.col("b"),
         F.explode(
             F.array(
@@ -4551,29 +4626,22 @@ def qa_paired_bootstrap(
         .alias("n_delta_neg"),
     )
 
-    def full(pred_col, side):
-        return qa_report(df, qid_col, pred_col, gold_col).select(
-            F.lit(1).alias("_k"),
-            F.col("em_rate6").alias(f"_em_{side}"),
-            F.col("f1_mean6").alias(f"_f1_{side}"),
-            *( [F.col("n_questions")] if side == "a" else [] ),
-        )
-
-    fa = full(pred_a_col, "a")
-    fb = full(pred_b_col, "b")
-    fulls = fa.join(fb, "_k").select(
-        "n_questions",
+    # full scores from the b = -1 slice: at weight 1, _n is the paired
+    # question count and the rate() expressions ARE qa_report's
+    # em_rate6/f1_mean6 finisher over the same exact sums
+    fulls = per_b_scores.where(F.col("b") == -1).select(
+        F.col("_n").alias("n_questions"),
         F.explode(
             F.array(
                 F.struct(
                     F.lit("em").alias("metric"),
-                    F.col("_em_a").alias("score_a6"),
-                    F.col("_em_b").alias("score_b6"),
+                    rate("_ea").alias("score_a6"),
+                    rate("_eb").alias("score_b6"),
                 ),
                 F.struct(
                     F.lit("f1").alias("metric"),
-                    F.col("_f1_a").alias("score_a6"),
-                    F.col("_f1_b").alias("score_b6"),
+                    rate("_fa").alias("score_a6"),
+                    rate("_fb").alias("score_b6"),
                 ),
             )
         ).alias("_m"),
