@@ -254,12 +254,23 @@ def ranking_paired_bootstrap(
         results_b, gold, query_col, item_col, rank_col, k=k, rel_col=rel_col
     ).select(F.col(q).alias("_q"), F.col("ndcg6").alias("_nb"))
     per = pa.join(pb, "_q")
-    graded = per.where(F.col("_na").isNotNull() & F.col("_nb").isNotNull())
-    reps = graded.select(
+    # Plan shape (r17): the replicate explode, the full-corpus means
+    # AND the graded/ungraded counts all ride ONE aggregation of one
+    # explode — ``b = -1`` is the weight-1 full-sample pseudo-replicate
+    # and ungraded rows travel with weights masked by ``_g`` (the
+    # wer_paired_bootstrap pattern).  The three separate consumers this
+    # replaces re-ran the per-query join+window pipelines 3x; now the
+    # groupBy("b") exchange is shared (ReusedExchange) and the per-query
+    # pipeline executes once.  All sums are the same exact DECIMAL/long
+    # cells at the same weights — every output value is unchanged bit
+    # for bit.
+    graded_flag = F.col("_na").isNotNull() & F.col("_nb").isNotNull()
+    reps = per.select(
         "_q",
         "_na",
         "_nb",
-        F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("b"),
+        graded_flag.alias("_g"),
+        F.explode(F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))).alias("b"),
     )
     from .evalmetrics import _poisson1_weight
 
@@ -272,17 +283,24 @@ def ranking_paired_bootstrap(
         )
         % F.lit(1_000_000)
     )
-    w = _poisson1_weight(h6)
+    w = F.when(F.col("b") == -1, F.lit(1)).otherwise(_poisson1_weight(h6))
     per_b = reps.groupBy("b").agg(
-        F.sum((F.col("_na").cast("decimal(18,6)") * w)).alias("_wa"),
-        F.sum((F.col("_nb").cast("decimal(18,6)") * w)).alias("_wb"),
-        F.sum(w).cast("long").alias("_ws"),
+        F.sum(F.when(F.col("_g"), F.col("_na").cast("decimal(18,6)") * w))
+        .alias("_wa"),
+        F.sum(F.when(F.col("_g"), F.col("_nb").cast("decimal(18,6)") * w))
+        .alias("_wb"),
+        F.sum(F.when(F.col("_g"), w)).cast("long").alias("_ws"),
+        F.sum(F.when(F.col("_g"), 1).otherwise(0)).cast("long").alias("_ng"),
+        F.sum(F.when(F.col("_g"), 0).otherwise(1)).cast("long").alias("_nu"),
     )
     score = lambda c: F.when(  # noqa: E731
         F.col("_ws") > 0,
         F.round(F.col(c).cast("double") / F.col("_ws").cast("double"), 6),
     )
-    deltas = per_b.select(
+    # _ng > 0 keeps replicate-group existence identical to the
+    # graded-only explode this replaces: with zero graded queries there
+    # are no replicate rows at all (summary counts 0, not n_boot NULLs)
+    deltas = per_b.where((F.col("b") >= 0) & (F.col("_ng") > 0)).select(
         F.col("b"),
         F.round(score("_wa") - score("_wb"), 6).alias("_d"),
     )
@@ -298,32 +316,22 @@ def ranking_paired_bootstrap(
         .cast("long")
         .alias("n_delta_neg"),
     )
-    counts = per.groupBy().agg(
-        F.sum(
-            F.when(F.col("_na").isNotNull() & F.col("_nb").isNotNull(), 1)
-            .otherwise(0)
-        )
-        .cast("long")
-        .alias("n_queries"),
-        F.sum(
-            F.when(F.col("_na").isNull() | F.col("_nb").isNull(), 1)
-            .otherwise(0)
-        )
-        .cast("long")
-        .alias("n_queries_ungraded"),
-    )
-    full = graded.groupBy().agg(
-        F.sum(F.col("_na").cast("decimal(18,6)")).alias("_fa"),
-        F.sum(F.col("_nb").cast("decimal(18,6)")).alias("_fb"),
-        F.count(F.lit(1)).cast("long").alias("_fn"),
+    # ungrouped agg over the b = -1 slice: always ONE row, with the
+    # empty-input values (NULL counts/sums) the separate counts/full
+    # aggregations used to produce on an empty query universe
+    fulls = per_b.where(F.col("b") == -1).groupBy().agg(
+        F.max("_ng").cast("long").alias("n_queries"),
+        F.max("_nu").cast("long").alias("n_queries_ungraded"),
+        F.max("_wa").alias("_fa"),
+        F.max("_wb").alias("_fb"),
+        F.max("_ng").cast("long").alias("_fn"),
     )
     fscore = lambda c: F.when(  # noqa: E731
         F.col("_fn") > 0,
         F.round(F.col(c).cast("double") / F.col("_fn").cast("double"), 6),
     )
     return (
-        summary.crossJoin(F.broadcast(counts))
-        .crossJoin(F.broadcast(full))
+        summary.crossJoin(F.broadcast(fulls))
         .select(
             "n_queries",
             "n_queries_ungraded",

@@ -498,7 +498,15 @@ def hits(
     def _half_step(scores, score_col, edge_from, edge_to, out_col):
         """One reinforcement pass: fold `score_col` across edges from
         `edge_from` onto `edge_to`, then L2-normalize — both reductions
-        exact-DECIMAL, the norm attached as a broadcast 1-row relation."""
+        exact-DECIMAL, the norm attached as a broadcast 1-row relation.
+
+        Scores stay SPARSE between iterations (r17): a node absent from
+        the frame has score exactly 0.0, contributes exactly 0 to every
+        DECIMAL sum (edge fold and squared-norm alike) and would
+        normalize to ``0.0 / n = 0.0`` — so the per-half-step dense-fill
+        join against ``nodes`` the sparse form replaces (2 joins per
+        half-step -> 1) cannot change a bit.  The dense (node, hub,
+        authority) output is restored by ONE fill at the end."""
         raw = (
             e.join(scores, e[edge_from] == scores["node"])
             .groupBy(edge_to)
@@ -508,20 +516,15 @@ def hits(
                 .alias("_raw")
             )
         )
-        filled = nodes.join(
-            raw, nodes["node"] == raw[edge_to], "left"
-        ).select(
-            "node", F.coalesce(F.col("_raw"), F.lit(0.0)).alias("_raw")
-        )
-        norm = filled.agg(
+        norm = raw.agg(
             F.sqrt(
                 F.sum((F.col("_raw") * F.col("_raw")).cast(_PR_DEC)).cast(
                     "double"
                 )
             ).alias("_n")
         )
-        return filled.crossJoin(F.broadcast(norm)).select(
-            "node",
+        return raw.crossJoin(F.broadcast(norm)).select(
+            F.col(edge_to).alias("node"),
             F.when(F.col("_n") > 0, F.col("_raw") / F.col("_n"))
             .otherwise(F.lit(0.0))
             .alias(out_col),
@@ -537,8 +540,16 @@ def hits(
         ):
             auth = auth.localCheckpoint(eager=True)
             hubs = hubs.localCheckpoint(eager=True)
-    return hubs.join(auth, "node").select(
-        "node", F.col("h").alias("hub"), F.col("a").alias("authority")
+    # one dense fill restores the every-vertex contract (absent = 0.0,
+    # exactly what the per-step fill produced)
+    return (
+        nodes.join(hubs, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("h"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("a"), F.lit(0.0)).alias("authority"),
+        )
     )
 
 
