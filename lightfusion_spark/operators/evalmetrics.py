@@ -444,15 +444,17 @@ def bleu_paired_bootstrap(
     weight-1 pseudo-replicate (cells are additive, so weight-1 sums ARE
     the one-shot corpus cells and the shared finisher yields
     :func:`corpus_bleu` bit for bit — the binary-bootstrap harness
-    pattern): each side makes ONE text pass, not two, and the cells
-    exchange is shared between the replicate and full branches
-    (ReusedExchange in the plan).
+    pattern): each side makes ONE text pass, not two, and replicate
+    summary + full scores come out of ONE conditional aggregation over
+    the joined per-replicate scores (a second consumer of the cells
+    would re-run the whole text pass — the ``b``-filters push below the
+    aggregation, so exchange reuse never fires; measured, not assumed).
     """
     if n_boot < 2:
         raise ValueError(f"n_boot must be >= 2, got {n_boot}")
     from .dedup import _md5_long
 
-    def replicate_and_full(cand_col, side):
+    def replicate_scores(cand_col, side):
         cells = bleu_cells(
             df, id_col, cand_col, ref_col, max_n=max_n, group_col=id_col
         ).withColumnRenamed(id_col, "_id")
@@ -482,46 +484,45 @@ def bleu_paired_bootstrap(
             (F.col("ref_total") * w).cast("long").alias("ref_total"),
         )
         scored = corpus_bleu_from_cells(
-            weighted.where(F.col("b") >= 0), max_n=max_n, group_cols=("b",)
+            weighted, max_n=max_n, group_cols=("b",)
         )
-        # full corpus = the b = -1 slice through the UNGROUPED finisher
-        # (always one row, zero-cells on an empty corpus — exactly
-        # corpus_bleu's empty behavior)
-        full = corpus_bleu_from_cells(
-            weighted.where(F.col("b") == -1).select(
-                "n", "matched", "cand_total", "ref_total"
-            ),
-            max_n=max_n,
-        )
-        return (
-            scored.select(F.col("b"), F.col("bleu6").alias(f"bleu_{side}")),
-            full.select(F.col("bleu6").alias(f"bleu_{side}6")),
-        )
+        return scored.select(F.col("b"), F.col("bleu6").alias(f"bleu_{side}"))
 
-    scored_a, full_a = replicate_and_full(cand_a_col, "a")
-    scored_b, full_b = replicate_and_full(cand_b_col, "b")
-    per_b = scored_a.join(scored_b, "b")
-    deltas = per_b.select(
-        F.col("b"),
+    per_b = replicate_scores(cand_a_col, "a").join(
+        replicate_scores(cand_b_col, "b"), "b"
+    )
+    pb = per_b.select(
+        "b",
+        "bleu_a",
+        "bleu_b",
         F.round(F.col("bleu_a") - F.col("bleu_b"), 6).alias("_d"),
     )
     lo_rank = max(1, -(-int(n_boot) * 25 // 1000))  # ceil(0.025 * B)
     hi_rank = -(-int(n_boot) * 975 // 1000)  # ceil(0.975 * B)
-    summary = deltas.groupBy().agg(
-        F.count(F.lit(1)).cast("long").alias("_nb"),
-        F.sort_array(F.collect_list("_d")).alias("_ds"),
-        F.sum(F.when(F.col("_d") > 0, 1).otherwise(0))
+    rep = F.col("b") >= 0
+    # replicate summary AND full-corpus scores in one aggregation: the
+    # b = -1 score IS corpus_bleu (weight-1 sums through the shared
+    # finisher), coalesced to the finisher's 0.0 zero-cells value on an
+    # empty corpus (bleu6 is never NULL otherwise)
+    summary = pb.groupBy().agg(
+        F.count(F.when(rep, 1)).cast("long").alias("_nb"),
+        F.sort_array(F.collect_list(F.when(rep, F.col("_d")))).alias("_ds"),
+        F.sum(F.when(rep, F.when(F.col("_d") > 0, 1).otherwise(0)))
         .cast("long")
         .alias("n_delta_pos"),
-        F.sum(F.when(F.col("_d") < 0, 1).otherwise(0))
+        F.sum(F.when(rep, F.when(F.col("_d") < 0, 1).otherwise(0)))
         .cast("long")
         .alias("n_delta_neg"),
+        F.coalesce(
+            F.max(F.when(F.col("b") == -1, F.col("bleu_a"))), F.lit(0.0)
+        ).alias("bleu_a6"),
+        F.coalesce(
+            F.max(F.when(F.col("b") == -1, F.col("bleu_b"))), F.lit(0.0)
+        ).alias("bleu_b6"),
     )
     n_pairs = df.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     return (
-        summary.crossJoin(F.broadcast(full_a))
-        .crossJoin(F.broadcast(full_b))
-        .crossJoin(F.broadcast(n_pairs))
+        summary.crossJoin(F.broadcast(n_pairs))
         .select(
             "n_pairs",
             F.lit(int(n_boot)).cast("int").alias("n_boot"),
@@ -652,41 +653,51 @@ def wer_paired_bootstrap(
         F.col("_wrl") > 0,
         F.round(F.col(e).cast("double") / F.col("_wrl").cast("double"), 6),
     )
-    # _nk > 0 keeps replicate-group existence identical to the kept-only
-    # explode this replaces: with zero in-alphabet pairs there are no
-    # replicate rows at all (summary counts 0/NULL, not 32 NULL deltas)
-    deltas = per_b.where((F.col("b") >= 0) & (F.col("_nk") > 0)).select(
-        F.col("b"),
+    pb = per_b.select(
+        "b",
+        "_wea",
+        "_web",
+        "_wrl",
+        "_nk",
+        "_nd",
         F.round(wer6("_wea") - wer6("_web"), 6).alias("_d"),
     )
     lo_rank = max(1, -(-int(n_boot) * 25 // 1000))
     hi_rank = -(-int(n_boot) * 975 // 1000)
-    summary = deltas.groupBy().agg(
-        F.count(F.lit(1)).cast("long").alias("_nb"),
-        F.sort_array(F.collect_list("_d")).alias("_ds"),
-        F.sum(F.when(F.col("_d") < 0, 1).otherwise(0))
+    # _nk > 0 keeps replicate existence identical to the kept-only
+    # explode this replaces: with zero in-alphabet pairs there are no
+    # replicate entries at all (summary counts 0/NULL, not 32 NULL
+    # deltas).  Replicate summary AND the full-corpus sums (the b = -1
+    # row) come out of ONE ungrouped aggregation — a second consumer of
+    # per_b would re-run the dual-side DP pass (the b-filters push
+    # below the aggregation, so exchange reuse never fires).
+    rep = (F.col("b") >= 0) & (F.col("_nk") > 0)
+    isfull = F.col("b") == -1
+    summary = pb.groupBy().agg(
+        F.count(F.when(rep, 1)).cast("long").alias("_nb"),
+        F.sort_array(F.collect_list(F.when(rep, F.col("_d")))).alias("_ds"),
+        F.sum(F.when(rep, F.when(F.col("_d") < 0, 1).otherwise(0)))
         .cast("long")
         .alias("n_delta_neg"),
-        F.sum(F.when(F.col("_d") > 0, 1).otherwise(0))
+        F.sum(F.when(rep, F.when(F.col("_d") > 0, 1).otherwise(0)))
         .cast("long")
         .alias("n_delta_pos"),
-    )
-    # ungrouped agg over the b = -1 slice: always ONE row, with the
-    # empty-corpus values the separate kept/dropped aggregations used
-    # to produce (n_pairs 0, sums NULL, dropped NULL)
-    full = per_b.where(F.col("b") == -1).groupBy().agg(
-        F.coalesce(F.max("_nk"), F.lit(0)).cast("long").alias("n_pairs"),
-        F.max("_nd").cast("long").alias("n_pairs_dropped"),
-        F.max("_wea").cast("long").alias("_fea"),
-        F.max("_web").cast("long").alias("_feb"),
-        F.max("_wrl").cast("long").alias("_frl"),
+        F.coalesce(F.max(F.when(isfull, F.col("_nk"))), F.lit(0))
+        .cast("long")
+        .alias("n_pairs"),
+        F.max(F.when(isfull, F.col("_nd")))
+        .cast("long")
+        .alias("n_pairs_dropped"),
+        F.max(F.when(isfull, F.col("_wea"))).cast("long").alias("_fea"),
+        F.max(F.when(isfull, F.col("_web"))).cast("long").alias("_feb"),
+        F.max(F.when(isfull, F.col("_wrl"))).cast("long").alias("_frl"),
     )
     fw6 = lambda e: F.when(  # noqa: E731
         F.col("_frl") > 0,
         F.round(F.col(e).cast("double") / F.col("_frl").cast("double"), 6),
     )
     return (
-        summary.crossJoin(F.broadcast(full))
+        summary
         .select(
             "n_pairs",
             "n_pairs_dropped",
@@ -741,10 +752,10 @@ def chrf_paired_bootstrap(
         raise ValueError(f"n_boot must be >= 2, got {n_boot}")
     from .dedup import _md5_long
 
-    def replicate_and_full(cand_col, side):
+    def replicate_scores(cand_col, side):
         # b = -1 is the weight-1 full-corpus pseudo-replicate (the
-        # bleu_paired_bootstrap pattern): one text pass per side, the
-        # cells exchange shared between replicate and full branches
+        # bleu_paired_bootstrap pattern): one text pass per side, full
+        # scores and replicate summary out of ONE aggregation below
         cells = chrf_cells(
             df, id_col, cand_col, ref_col, max_n=max_n, group_col=id_col
         ).withColumnRenamed(id_col, "_id")
@@ -774,47 +785,45 @@ def chrf_paired_bootstrap(
             (F.col("ref_total") * w).cast("long").alias("ref_total"),
         )
         scored = chrf_from_cells(
-            weighted.where(F.col("b") >= 0),
-            max_n=max_n,
-            beta=beta,
-            group_cols=("b",),
+            weighted, max_n=max_n, beta=beta, group_cols=("b",)
         )
-        full = chrf_from_cells(
-            weighted.where(F.col("b") == -1).select(
-                "n", "matched", "cand_total", "ref_total"
-            ),
-            max_n=max_n,
-            beta=beta,
-        )
-        return (
-            scored.select(F.col("b"), F.col("chrf6").alias(f"chrf_{side}")),
-            full.select(F.col("chrf6").alias(f"chrf_{side}6")),
-        )
+        return scored.select(F.col("b"), F.col("chrf6").alias(f"chrf_{side}"))
 
-    scored_a, full_a = replicate_and_full(cand_a_col, "a")
-    scored_b, full_b = replicate_and_full(cand_b_col, "b")
-    per_b = scored_a.join(scored_b, "b")
-    deltas = per_b.select(
-        F.col("b"),
+    per_b = replicate_scores(cand_a_col, "a").join(
+        replicate_scores(cand_b_col, "b"), "b"
+    )
+    pb = per_b.select(
+        "b",
+        "chrf_a",
+        "chrf_b",
         F.round(F.col("chrf_a") - F.col("chrf_b"), 6).alias("_d"),
     )
     lo_rank = max(1, -(-int(n_boot) * 25 // 1000))
     hi_rank = -(-int(n_boot) * 975 // 1000)
-    summary = deltas.groupBy().agg(
-        F.count(F.lit(1)).cast("long").alias("_nb"),
-        F.sort_array(F.collect_list("_d")).alias("_ds"),
-        F.sum(F.when(F.col("_d") > 0, 1).otherwise(0))
+    rep = F.col("b") >= 0
+    # one aggregation serves replicate summary AND full scores (the
+    # b = -1 row IS corpus chrF; coalesce covers the empty corpus,
+    # where the finisher's zero-cells value is 0.0 — chrf6 is never
+    # NULL otherwise)
+    summary = pb.groupBy().agg(
+        F.count(F.when(rep, 1)).cast("long").alias("_nb"),
+        F.sort_array(F.collect_list(F.when(rep, F.col("_d")))).alias("_ds"),
+        F.sum(F.when(rep, F.when(F.col("_d") > 0, 1).otherwise(0)))
         .cast("long")
         .alias("n_delta_pos"),
-        F.sum(F.when(F.col("_d") < 0, 1).otherwise(0))
+        F.sum(F.when(rep, F.when(F.col("_d") < 0, 1).otherwise(0)))
         .cast("long")
         .alias("n_delta_neg"),
+        F.coalesce(
+            F.max(F.when(F.col("b") == -1, F.col("chrf_a"))), F.lit(0.0)
+        ).alias("chrf_a6"),
+        F.coalesce(
+            F.max(F.when(F.col("b") == -1, F.col("chrf_b"))), F.lit(0.0)
+        ).alias("chrf_b6"),
     )
     n_pairs = df.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     return (
-        summary.crossJoin(F.broadcast(full_a))
-        .crossJoin(F.broadcast(full_b))
-        .crossJoin(F.broadcast(n_pairs))
+        summary.crossJoin(F.broadcast(n_pairs))
         .select(
             "n_pairs",
             F.lit(int(n_boot)).cast("int").alias("n_boot"),
@@ -865,7 +874,7 @@ def rouge_paired_bootstrap(
         raise ValueError(f"n_boot must be >= 2, got {n_boot}")
     from .dedup import _md5_long
 
-    def replicate_and_full(cand_col, side):
+    def replicate_scores(cand_col, side):
         # b = -1 is the weight-1 full-corpus pseudo-replicate (the
         # bleu_paired_bootstrap pattern): one pair of Arrow folds per
         # side instead of two, full scores from the same additive cells
@@ -902,39 +911,39 @@ def rouge_paired_bootstrap(
                 6,
             ),
         )
-        scored = agg.where(F.col("b") >= 0).select(
-            "metric", "b", f1.alias(f"f1_{side}")
-        )
-        full = agg.where(F.col("b") == -1).select(
-            "metric", f1.alias(f"f1_{side}6")
-        )
-        return scored, full
+        return agg.select("metric", "b", f1.alias(f"f1_{side}"))
 
-    scored_a, full_a = replicate_and_full(cand_a_col, "a")
-    scored_b, full_b = replicate_and_full(cand_b_col, "b")
+    scored_a = replicate_scores(cand_a_col, "a")
+    scored_b = replicate_scores(cand_b_col, "b")
     per_b = scored_a.join(scored_b, ["metric", "b"])
-    deltas = per_b.select(
+    pb = per_b.select(
         "metric",
-        F.col("b"),
+        "b",
+        "f1_a",
+        "f1_b",
         F.round(F.col("f1_a") - F.col("f1_b"), 6).alias("_d"),
     )
     lo_rank = max(1, -(-int(n_boot) * 25 // 1000))
     hi_rank = -(-int(n_boot) * 975 // 1000)
-    summary = deltas.groupBy("metric").agg(
-        F.count(F.lit(1)).cast("long").alias("_nb"),
-        F.sort_array(F.collect_list("_d")).alias("_ds"),
-        F.sum(F.when(F.col("_d") > 0, 1).otherwise(0))
+    rep = F.col("b") >= 0
+    # one per-metric aggregation serves replicate summary AND the full
+    # scores (the b = -1 row; its f1 may be NULL on zero totals, which
+    # the old separate full branch preserved — no coalesce)
+    summary = pb.groupBy("metric").agg(
+        F.count(F.when(rep, 1)).cast("long").alias("_nb"),
+        F.sort_array(F.collect_list(F.when(rep, F.col("_d")))).alias("_ds"),
+        F.sum(F.when(rep, F.when(F.col("_d") > 0, 1).otherwise(0)))
         .cast("long")
         .alias("n_delta_pos"),
-        F.sum(F.when(F.col("_d") < 0, 1).otherwise(0))
+        F.sum(F.when(rep, F.when(F.col("_d") < 0, 1).otherwise(0)))
         .cast("long")
         .alias("n_delta_neg"),
+        F.max(F.when(F.col("b") == -1, F.col("f1_a"))).alias("f1_a6"),
+        F.max(F.when(F.col("b") == -1, F.col("f1_b"))).alias("f1_b6"),
     )
     n_pairs = df.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     return (
-        summary.join(full_a, "metric")
-        .join(full_b, "metric")
-        .crossJoin(F.broadcast(n_pairs))
+        summary.crossJoin(F.broadcast(n_pairs))
         .select(
             "metric",
             "n_pairs",
@@ -3438,65 +3447,69 @@ def _paired_bootstrap_report(
     whose rows are all excluded still emits its row — delta counts 0,
     every value column NULL."""
     keys = keys or []
-    deltas = (
-        rep_metric.where(F.col("b") >= 0)
-        .groupBy(*keys, "b")
-        .agg(
-            F.max(F.when(F.col("_side") == "a", F.col("_m"))).alias("_aa"),
-            F.max(F.when(F.col("_side") == "b", F.col("_m"))).alias("_ab"),
-        )
-        .where(F.col("_aa").isNotNull() & F.col("_ab").isNotNull())
-        .select(*keys, F.round(F.col("_aa") - F.col("_ab"), 6).alias("_d"))
+    # one (keys, b)-level side fold over ALL replicates INCLUDING the
+    # b = -1 full-sample row, then ONE aggregation per slice serves
+    # replicate summary and full metrics alike — separate deltas/fulls
+    # consumers re-ran the whole metric pipeline twice (the b-filters
+    # push below the aggregation, so exchange reuse never fires;
+    # measured r17)
+    per_rep = rep_metric.groupBy(*keys, "b").agg(
+        F.max(F.when(F.col("_side") == "a", F.col("_m"))).alias("_aa"),
+        F.max(F.when(F.col("_side") == "b", F.col("_m"))).alias("_ab"),
+    )
+    pb = per_rep.select(
+        *keys,
+        "b",
+        "_aa",
+        "_ab",
+        F.round(F.col("_aa") - F.col("_ab"), 6).alias("_d"),
     )
     lo_rank = max(1, -(-int(n_boot) * 25 // 1000))
     hi_rank = -(-int(n_boot) * 975 // 1000)
-    # coalesce: with ZERO surviving deltas (a degenerate one-class
-    # corpus drops every replicate) the sums over the empty relation
-    # are NULL — the counts must read 0 while the interval columns go
-    # NULL (r15 advice; the docstring's dropped-replicate contract)
+    # a replicate survives when BOTH sides scored (the documented
+    # dropped-replicate contract); coalesce: with ZERO surviving
+    # deltas (a degenerate one-class corpus drops every replicate) the
+    # sums are NULL — the counts must read 0 while the interval
+    # columns go NULL (r15 advice)
+    rep = (
+        (F.col("b") >= 0)
+        & F.col("_aa").isNotNull()
+        & F.col("_ab").isNotNull()
+    )
+    isfull = F.col("b") == -1
     delta_aggs = [
-        F.count(F.lit(1)).cast("long").alias("_nb"),
-        F.sort_array(F.collect_list("_d")).alias("_ds"),
-        F.coalesce(F.sum(F.when(F.col("_d") > 0, 1).otherwise(0)), F.lit(0))
+        F.count(F.when(rep, 1)).cast("long").alias("_nb"),
+        F.sort_array(F.collect_list(F.when(rep, F.col("_d")))).alias("_ds"),
+        F.coalesce(
+            F.sum(F.when(rep, F.when(F.col("_d") > 0, 1).otherwise(0))),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_delta_pos"),
-        F.coalesce(F.sum(F.when(F.col("_d") < 0, 1).otherwise(0)), F.lit(0))
+        F.coalesce(
+            F.sum(F.when(rep, F.when(F.col("_d") < 0, 1).otherwise(0))),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_delta_neg"),
+        # full metrics from the weight-1 pseudo-replicate: the PAIRED
+        # valid set, same rounding and tie structure as every
+        # resampled world, zero extra corpus scans
+        F.max(F.when(isfull, F.col("_aa"))).alias(f"{prefix}_a6"),
+        F.max(F.when(isfull, F.col("_ab"))).alias(f"{prefix}_b6"),
     ]
     summary = (
-        deltas.groupBy(*keys).agg(*delta_aggs)
-        if keys
-        else deltas.agg(*delta_aggs)
-    )
-    # full metrics from the weight-1 pseudo-replicate: the PAIRED
-    # valid set (both scores + label present), same rounding and tie
-    # structure as every resampled world, zero extra corpus scans
-    full_aggs = [
-        F.max(F.when(F.col("_side") == "a", F.col("_m"))).alias(
-            f"{prefix}_a6"
-        ),
-        F.max(F.when(F.col("_side") == "b", F.col("_m"))).alias(
-            f"{prefix}_b6"
-        ),
-    ]
-    full_src = rep_metric.where(F.col("b") == -1)
-    fulls = (
-        full_src.groupBy(*keys).agg(*full_aggs)
-        if keys
-        else full_src.agg(*full_aggs)
+        pb.groupBy(*keys).agg(*delta_aggs) if keys else pb.agg(*delta_aggs)
     )
     if keys:
-        # counts drives: a fully-excluded slice has no summary/fulls
-        # rows but must still emit (NULL values, zero delta counts)
-        out = counts.join(summary, keys, "left").join(fulls, keys, "left")
+        # counts drives: a fully-excluded slice has no summary rows
+        # but must still emit (NULL values, zero delta counts)
+        out = counts.join(summary, keys, "left")
         grp_out = [_grp_val(F.col("_grp")).alias(group_col)]
         pos = F.coalesce(F.col("n_delta_pos"), F.lit(0)).cast("long")
         neg = F.coalesce(F.col("n_delta_neg"), F.lit(0)).cast("long")
     else:
-        out = summary.crossJoin(F.broadcast(counts)).crossJoin(
-            F.broadcast(fulls)
-        )
+        out = summary.crossJoin(F.broadcast(counts))
         grp_out = []
         pos = F.col("n_delta_pos")
         neg = F.col("n_delta_neg")
@@ -4588,8 +4601,17 @@ def qa_paired_bootstrap(
             ),
         )
 
-    rep_scores = per_b_scores.where(F.col("b") >= 0).select(
+    # explode BOTH metrics for every replicate INCLUDING the b = -1
+    # full-sample row, then one per-metric aggregation serves replicate
+    # summary and full scores alike — a second consumer of
+    # per_b_scores would re-run both qa_em_f1 passes (the b-filters
+    # push below the aggregation, so exchange reuse never fires).  At
+    # weight 1, _n is the paired question count and the rate()
+    # expressions ARE qa_report's em_rate6/f1_mean6 finisher over the
+    # same exact sums.
+    all_scores = per_b_scores.select(
         F.col("b"),
+        F.col("_n"),
         F.explode(
             F.array(
                 F.struct(
@@ -4606,52 +4628,37 @@ def qa_paired_bootstrap(
         ).alias("_m"),
     ).select(
         "b",
+        "_n",
         F.col("_m.metric").alias("metric"),
         F.col("_m._sa").alias("_sa"),
         F.col("_m._sb").alias("_sb"),
     )
-    deltas = rep_scores.select(
-        "metric", "b", F.round(F.col("_sa") - F.col("_sb"), 6).alias("_d")
+    pb = all_scores.select(
+        "b",
+        "_n",
+        "metric",
+        "_sa",
+        "_sb",
+        F.round(F.col("_sa") - F.col("_sb"), 6).alias("_d"),
     )
     lo_rank = max(1, -(-int(n_boot) * 25 // 1000))
     hi_rank = -(-int(n_boot) * 975 // 1000)
-    summary = deltas.groupBy("metric").agg(
-        F.count(F.lit(1)).cast("long").alias("_nb"),
-        F.sort_array(F.collect_list("_d")).alias("_ds"),
-        F.sum(F.when(F.col("_d") > 0, 1).otherwise(0))
+    rep = F.col("b") >= 0
+    isfull = F.col("b") == -1
+    summary = pb.groupBy("metric").agg(
+        F.count(F.when(rep, 1)).cast("long").alias("_nb"),
+        F.sort_array(F.collect_list(F.when(rep, F.col("_d")))).alias("_ds"),
+        F.sum(F.when(rep, F.when(F.col("_d") > 0, 1).otherwise(0)))
         .cast("long")
         .alias("n_delta_pos"),
-        F.sum(F.when(F.col("_d") < 0, 1).otherwise(0))
+        F.sum(F.when(rep, F.when(F.col("_d") < 0, 1).otherwise(0)))
         .cast("long")
         .alias("n_delta_neg"),
+        F.max(F.when(isfull, F.col("_n"))).cast("long").alias("n_questions"),
+        F.max(F.when(isfull, F.col("_sa"))).alias("score_a6"),
+        F.max(F.when(isfull, F.col("_sb"))).alias("score_b6"),
     )
-
-    # full scores from the b = -1 slice: at weight 1, _n is the paired
-    # question count and the rate() expressions ARE qa_report's
-    # em_rate6/f1_mean6 finisher over the same exact sums
-    fulls = per_b_scores.where(F.col("b") == -1).select(
-        F.col("_n").alias("n_questions"),
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("em").alias("metric"),
-                    rate("_ea").alias("score_a6"),
-                    rate("_eb").alias("score_b6"),
-                ),
-                F.struct(
-                    F.lit("f1").alias("metric"),
-                    rate("_fa").alias("score_a6"),
-                    rate("_fb").alias("score_b6"),
-                ),
-            )
-        ).alias("_m"),
-    ).select(
-        "n_questions",
-        F.col("_m.metric").alias("metric"),
-        F.col("_m.score_a6").alias("score_a6"),
-        F.col("_m.score_b6").alias("score_b6"),
-    )
-    return summary.join(F.broadcast(fulls), "metric").select(
+    return summary.select(
         "metric",
         "n_questions",
         F.lit(int(n_boot)).cast("int").alias("n_boot"),

@@ -123,25 +123,25 @@ def pq_train_codebook(
     """
     import pandas as pd
 
-    first = corpus.select(as_double(vec_col).alias("_v")).first()
-    if first is None:
-        return [[] for _ in range(m)]
-    dim = len(first["_v"])
-    if dim % m != 0:
-        raise ValueError(f"pq: dim {dim} not divisible by m={m} subspaces")
-    sub = dim // m
     # ONE seed job for all m subspaces (slice driver-side), then ONE
     # corpus pass per Lloyd iteration that assigns EVERY subspace in the
     # same Arrow crossing and feeds one (subspace, code, pos) aggregation
     # — m x fewer corpus scans than the per-subspace loop this replaces
     # (at 100 TB, m fewer crawls per iteration; at bench scale,
-    # job-overhead x m fewer round trips).
+    # job-overhead x m fewer round trips).  The seed rows also carry the
+    # dimensionality, so there is no separate first() probe job (r17).
     seeds = (
         corpus.select(F.col(id_col), as_double(vec_col).alias("_v"))
         .orderBy(id_col)
         .limit(pq_k)
         .collect()
     )
+    if not seeds:
+        return [[] for _ in range(m)]
+    dim = len(seeds[0]["_v"])
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
     books: list[list[tuple[int, list[float]]]] = [
         [
             (c, [float(x) for x in r["_v"][j * sub : (j + 1) * sub]])

@@ -259,11 +259,11 @@ def ranking_paired_bootstrap(
     # explode — ``b = -1`` is the weight-1 full-sample pseudo-replicate
     # and ungraded rows travel with weights masked by ``_g`` (the
     # wer_paired_bootstrap pattern).  The three separate consumers this
-    # replaces re-ran the per-query join+window pipelines 3x; now the
-    # groupBy("b") exchange is shared (ReusedExchange) and the per-query
-    # pipeline executes once.  All sums are the same exact DECIMAL/long
-    # cells at the same weights — every output value is unchanged bit
-    # for bit.
+    # replaces re-ran the per-query join+window pipelines 3x; now ONE
+    # consumer (the conditional aggregation below) reads per_b, so the
+    # per-query pipeline executes once.  All sums are the same exact
+    # DECIMAL/long cells at the same weights — every output value is
+    # unchanged bit for bit.
     graded_flag = F.col("_na").isNotNull() & F.col("_nb").isNotNull()
     reps = per.select(
         "_q",
@@ -297,41 +297,52 @@ def ranking_paired_bootstrap(
         F.col("_ws") > 0,
         F.round(F.col(c).cast("double") / F.col("_ws").cast("double"), 6),
     )
-    # _ng > 0 keeps replicate-group existence identical to the
-    # graded-only explode this replaces: with zero graded queries there
-    # are no replicate rows at all (summary counts 0, not n_boot NULLs)
-    deltas = per_b.where((F.col("b") >= 0) & (F.col("_ng") > 0)).select(
-        F.col("b"),
+    pb = per_b.select(
+        "b",
+        "_ws",
+        "_ng",
+        "_nu",
+        "_wa",
+        "_wb",
         F.round(score("_wa") - score("_wb"), 6).alias("_d"),
     )
     lo_rank = max(1, -(-int(n_boot) * 25 // 1000))
     hi_rank = -(-int(n_boot) * 975 // 1000)
-    summary = deltas.groupBy().agg(
-        F.count(F.lit(1)).cast("long").alias("_nb_reps"),
-        F.sort_array(F.collect_list("_d")).alias("_ds"),
-        F.sum(F.when(F.col("_d") > 0, 1).otherwise(0))
+    # _ng > 0 keeps replicate existence identical to the graded-only
+    # explode this replaces (zero graded queries -> 0 replicate
+    # entries, not n_boot NULL deltas).  Replicate summary AND the
+    # full-corpus means/counts (the b = -1 row) come out of ONE
+    # ungrouped aggregation — a second consumer of per_b would re-run
+    # the per-query join+window pipelines (the b-filters push below the
+    # aggregation, so exchange reuse never fires; measured).  On an
+    # empty query universe the aggregation still emits its one row,
+    # with the same NULL counts/sums the separate aggregations
+    # produced.
+    rep = (F.col("b") >= 0) & (F.col("_ng") > 0)
+    isfull = F.col("b") == -1
+    summary = pb.groupBy().agg(
+        F.count(F.when(rep, 1)).cast("long").alias("_nb_reps"),
+        F.sort_array(F.collect_list(F.when(rep, F.col("_d")))).alias("_ds"),
+        F.sum(F.when(rep, F.when(F.col("_d") > 0, 1).otherwise(0)))
         .cast("long")
         .alias("n_delta_pos"),
-        F.sum(F.when(F.col("_d") < 0, 1).otherwise(0))
+        F.sum(F.when(rep, F.when(F.col("_d") < 0, 1).otherwise(0)))
         .cast("long")
         .alias("n_delta_neg"),
-    )
-    # ungrouped agg over the b = -1 slice: always ONE row, with the
-    # empty-input values (NULL counts/sums) the separate counts/full
-    # aggregations used to produce on an empty query universe
-    fulls = per_b.where(F.col("b") == -1).groupBy().agg(
-        F.max("_ng").cast("long").alias("n_queries"),
-        F.max("_nu").cast("long").alias("n_queries_ungraded"),
-        F.max("_wa").alias("_fa"),
-        F.max("_wb").alias("_fb"),
-        F.max("_ng").cast("long").alias("_fn"),
+        F.max(F.when(isfull, F.col("_ng"))).cast("long").alias("n_queries"),
+        F.max(F.when(isfull, F.col("_nu")))
+        .cast("long")
+        .alias("n_queries_ungraded"),
+        F.max(F.when(isfull, F.col("_wa"))).alias("_fa"),
+        F.max(F.when(isfull, F.col("_wb"))).alias("_fb"),
+        F.max(F.when(isfull, F.col("_ng"))).cast("long").alias("_fn"),
     )
     fscore = lambda c: F.when(  # noqa: E731
         F.col("_fn") > 0,
         F.round(F.col(c).cast("double") / F.col("_fn").cast("double"), 6),
     )
     return (
-        summary.crossJoin(F.broadcast(fulls))
+        summary
         .select(
             "n_queries",
             "n_queries_ungraded",

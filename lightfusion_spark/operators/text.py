@@ -436,7 +436,14 @@ def embed_text_tfidf(
     """
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
-    toks = df.select(
+    # Degenerate-parallelism guard (r17): fan the raw rows out so the
+    # tokenize+explode (the corpus-heavy map side of tf) runs wide
+    # instead of in one task on single-split scans.  tf/df are exact
+    # integer counts — partitioning cannot change a component.
+    from .fanout import fan_out
+
+    src = fan_out(df.select(id_col, text_col))
+    toks = src.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
     )
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
