@@ -1735,14 +1735,22 @@ def dsir_weights(
         _md5_long(F.col("gram"), seed=seed) % F.lit(int(n_buckets))
     ).alias("bucket")
 
+    # Degenerate-parallelism guard (r17): the gram explode + md5 bucket
+    # hash runs over the raw corpus TWICE (bag counts + doc scoring) and
+    # the target once; fan the projected rows out so those passes run
+    # wide instead of in one task on single-split scans.  Bucket counts
+    # and ratio sums are exact integers — partitioning-proof.
+    from .fanout import fan_out as _fan_out
+
+    src = _fan_out(df.select(id_col, text_col))
     raw_counts = (
-        _dsir_grams(df, text_col)
+        _dsir_grams(src, text_col)
         .select(bucket)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cr"))
     )
     tgt_counts = (
-        _dsir_grams(target_df, text_col)
+        _dsir_grams(_fan_out(target_df.select(text_col)), text_col)
         .select(bucket)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("ct"))
@@ -1775,7 +1783,7 @@ def dsir_weights(
         )
     )
     doc_sums = (
-        _dsir_grams(df, text_col)
+        _dsir_grams(src, text_col)
         .select(F.col(id_col).alias("_id"), bucket)
         .join(F.broadcast(ratios), "bucket")
         .groupBy("_id")

@@ -455,10 +455,15 @@ def bleu_paired_bootstrap(
     from .dedup import _md5_long
 
     def replicate_scores(cand_col, side):
+        from .fanout import spread
+
         cells = bleu_cells(
             df, id_col, cand_col, ref_col, max_n=max_n, group_col=id_col
         ).withColumnRenamed(id_col, "_id")
-        reps = cells.select(
+        # spread() before the n_boot explode: AQE coalesces the small
+        # cells frame to one partition by bytes, which would run the
+        # 33x-amplified md5/weight CPU on one core (fanout.spread)
+        reps = spread(cells).select(
             "*",
             F.explode(
                 F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))
@@ -753,13 +758,16 @@ def chrf_paired_bootstrap(
     from .dedup import _md5_long
 
     def replicate_scores(cand_col, side):
+        from .fanout import spread
+
         # b = -1 is the weight-1 full-corpus pseudo-replicate (the
         # bleu_paired_bootstrap pattern): one text pass per side, full
-        # scores and replicate summary out of ONE aggregation below
+        # scores and replicate summary out of ONE aggregation below;
+        # spread() pins the n_boot explode wide (fanout.spread)
         cells = chrf_cells(
             df, id_col, cand_col, ref_col, max_n=max_n, group_col=id_col
         ).withColumnRenamed(id_col, "_id")
-        reps = cells.select(
+        reps = spread(cells).select(
             "*",
             F.explode(
                 F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))
@@ -875,13 +883,16 @@ def rouge_paired_bootstrap(
     from .dedup import _md5_long
 
     def replicate_scores(cand_col, side):
+        from .fanout import spread
+
         # b = -1 is the weight-1 full-corpus pseudo-replicate (the
         # bleu_paired_bootstrap pattern): one pair of Arrow folds per
-        # side instead of two, full scores from the same additive cells
+        # side instead of two, full scores from the same additive
+        # cells; spread() pins the n_boot explode wide (fanout.spread)
         cells = _rouge_cells(
             df, id_col, cand_col, ref_col, max_n=max_n, group_col=id_col
         ).withColumnRenamed(id_col, "_id")
-        reps = cells.select(
+        reps = spread(cells).select(
             "*",
             F.explode(
                 F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))
@@ -3380,8 +3391,11 @@ def _paired_binary_replicates(
     # item): the headline metrics ride the SAME single explode/
     # aggregation/window pipeline as the resampled worlds — same
     # rounding, same tie structure, one corpus pass — instead of two
-    # extra eager report scans (round-15 review findings 3 and 5)
-    reps = base.where(F.col("_ok")).select(
+    # extra eager report scans (round-15 review findings 3 and 5).
+    # spread() pins the n_boot explode wide (fanout.spread).
+    from .fanout import spread
+
+    reps = spread(base.where(F.col("_ok"))).select(
         *keys,
         "_id",
         "_sa",
@@ -4560,12 +4574,15 @@ def qa_paired_bootstrap(
         F.col("em").alias("_em_b"),
         F.col("f1_6").alias("_f1_b"),
     )
+    from .fanout import spread
+
     j = per_a.join(per_b, "_qid")
     # b = -1 is the weight-1 full-corpus pseudo-replicate (the
     # bleu_paired_bootstrap pattern): the two qa_report passes this
     # replaces re-ran the whole qa_em_f1 pipeline per side; the full
-    # EM/F1 means are the same exact integer/DECIMAL sums at weight 1
-    reps = j.select(
+    # EM/F1 means are the same exact integer/DECIMAL sums at weight 1.
+    # spread() pins the n_boot explode wide (fanout.spread).
+    reps = spread(j).select(
         "*",
         F.explode(F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))).alias("b"),
     )

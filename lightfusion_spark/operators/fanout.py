@@ -90,3 +90,32 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     if cur is None or cur >= tgt:
         return df
     return df.repartition(tgt)
+
+
+def spread(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Unconditional explicit repartition to the session's default
+    parallelism — the EXPLODE-AMPLIFICATION guard (guide §2.5's skew
+    family, the post-shuffle variant :func:`fan_out` cannot see).
+
+    AQE coalesces small shuffle outputs by BYTES, so a few-MB
+    intermediate (per-pair metric cells, per-query scalar grades)
+    collapses to one partition — and a downstream ``n_boot``-wide
+    explode with one md5 per exploded row then runs its entire
+    33x-amplified CPU on ONE core (measured 6.6 s -> 1.7 s on the
+    ranking bootstrap at sf0.1, bit-identical output).  An EXPLICIT
+    user repartition is exempt from AQE coalescing, so this pins the
+    stage wide.
+
+    Cost model at scale: the exchange moves the PRE-explode relation —
+    a fixed ``1/n_boot``-th of the stream the exploded stage processes
+    — so the guard costs a few percent of the work it parallelizes at
+    ANY scale; callers apply it right before the explode.  Correctness:
+    round-robin placement only — callers are partition-order-
+    insensitive (exact integer/DECIMAL cell sums, the repo-wide
+    exactness convention).
+    """
+    spark = df.sparkSession
+    tgt = int(target) if target else int(spark.sparkContext.defaultParallelism)
+    if tgt <= 1:
+        return df
+    return df.repartition(tgt)

@@ -79,20 +79,44 @@ def train_naive_bayes(
     text would silently contribute nothing while still counting toward
     its class prior.
     """
-    n_bad = df.where(
-        F.col(label_col).isNull() | F.col(text_col).isNull()
-    ).count()
+    # ONE validation/count job instead of two separate scans (r17): the
+    # NULL-guard count and the doc total ride the same aggregation.
+    guard = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col(label_col).isNull() | F.col(text_col).isNull(), 1
+                )
+            ),
+            F.lit(0),
+        ).alias("_bad"),
+    ).collect()[0]
+    n_total, n_bad = guard["_n"], guard["_bad"]
     if n_bad:
         raise ValueError(
             f"train_naive_bayes: {n_bad} rows carry NULL {label_col}/"
             f"{text_col} — a NULL label trains a phantom class and a NULL "
             "text skews its class prior. Filter or impute upstream."
         )
-    toks = df.select(F.col(label_col).alias("label"), _tokens(df, text_col)).where(
-        F.col("token") != ""
-    )
-    counts = toks.groupBy("label", "token").agg(
-        F.count(F.lit(1)).alias("c")
+    # Degenerate-parallelism guard (r17): fan the projected rows out so
+    # tokenize+explode runs wide on single-split scans; the (label,
+    # token) counts are exact integers — partitioning-proof.
+    from .fanout import fan_out
+
+    src = fan_out(df.select(label_col, text_col))
+    toks = src.select(
+        F.col(label_col).alias("label"), _tokens(src, text_col)
+    ).where(F.col("token") != "")
+    # Lazy checkpoint: the vocabulary count below materializes the
+    # Zipf-bounded (label, token) table once at build time, so the
+    # scoring action reuses it instead of re-running the corpus
+    # tokenize for every one of its three plan occurrences (tf/vocab,
+    # class totals, the dense grid join).
+    counts = (
+        toks.groupBy("label", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     tf = counts.groupBy("token").agg(F.sum("c").alias("tf"))
     if max_vocab is not None:
@@ -108,7 +132,6 @@ def train_naive_bayes(
     classes = df.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    n_total = df.count()
     priors = classes.select(
         "label",
         F.round(
@@ -160,9 +183,15 @@ def apply_naive_bayes(
     with no vocabulary tokens falls back to the class priors alone.
     Ties break (score DESC, label ASC) — deterministic everywhere.
     """
-    doc_toks = df.select(F.col(id_col).alias("_id"), _tokens(df, text_col)).where(
-        F.col("token") != ""
-    )
+    # Degenerate-parallelism guard (r17): fan the projected rows out so
+    # the scoring tokenize+explode runs wide on single-split scans; the
+    # per-(doc, label) micro sums are exact BIGINTs.
+    from .fanout import fan_out
+
+    src = fan_out(df.select(id_col, text_col))
+    doc_toks = src.select(
+        F.col(id_col).alias("_id"), _tokens(src, text_col)
+    ).where(F.col("token") != "")
     tok_scores = (
         doc_toks.join(
             F.broadcast(

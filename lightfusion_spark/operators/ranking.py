@@ -264,8 +264,13 @@ def ranking_paired_bootstrap(
     # per-query pipeline executes once.  All sums are the same exact
     # DECIMAL/long cells at the same weights — every output value is
     # unchanged bit for bit.
+    from .fanout import spread
+
     graded_flag = F.col("_na").isNotNull() & F.col("_nb").isNotNull()
-    reps = per.select(
+    # spread() before the n_boot explode: AQE coalesces the small
+    # per-query frame to one partition by bytes, which would run the
+    # 33x-amplified md5/weight CPU on one core (see fanout.spread)
+    reps = spread(per).select(
         "_q",
         "_na",
         "_nb",
