@@ -361,7 +361,15 @@ def unigram_lm_score(
     and summed as DECIMAL so partial-aggregation order can't change a
     bit (ln differs in the last ulp across libm implementations).
     """
-    toks = df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok"))
+    # Degenerate-parallelism guard (r17): both corpus passes (vocab and
+    # scoring) re-run tokenize+explode — fan the raw rows out so they
+    # run wide on single-split scans (integer counts, DECIMAL sums).
+    from .fanout import fan_out
+
+    src = fan_out(df.select(id_col, text_col))
+    toks = src.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    )
     # The vocabulary is tiny (one row per distinct token) but feeds two
     # branches (the (N, V) scalars and the model); without a lineage cut
     # each branch would re-tokenize the full corpus — localCheckpoint
@@ -536,10 +544,18 @@ def ngram_lm_score(
     toks = _tokens(F.col(text_col))
     # one row per real token: (id, w, ctx1, ctx2) — contexts from the
     # BOS-padded array; token arrays are materialized as a projection
-    # before the lambda references them (the doc_shingles trick)
+    # before the lambda references them (the doc_shingles trick).
+    # Degenerate-parallelism guard (r17): emit is recomputed by FOUR
+    # consumers (three count tables + the scoring join) and each pass
+    # re-runs tokenize+posexplode — fan the raw rows out so all four
+    # run wide instead of in one task on single-split scans (all
+    # downstream sums are exact integers/DECIMAL).
+    from .fanout import fan_out
+
     padded = F.concat(F.array(F.lit(_BOS), F.lit(_BOS)), toks)
     emit = (
-        df.select(F.col(id_col), padded.alias("_pt"))
+        fan_out(df.select(id_col, text_col))
+        .select(F.col(id_col), padded.alias("_pt"))
         .select(
             F.col(id_col),
             F.posexplode(
@@ -1468,8 +1484,14 @@ def kn_trigram_lm_score(
     padded = F.concat(
         F.array(F.lit(_BOS), F.lit(_BOS)), toks, F.array(F.lit(_EOS))
     )
+    # Degenerate-parallelism guard (r17): fan the raw rows out so the
+    # tokenize+posexplode (one corpus pass — td below is checkpointed)
+    # runs wide on single-split scans; all counts are exact integers.
+    from .fanout import fan_out
+
     emit = (
-        df.select(F.col(id_col), padded.alias("_pt"))
+        fan_out(df.select(id_col, text_col))
+        .select(F.col(id_col), padded.alias("_pt"))
         .select(
             F.col(id_col),
             F.posexplode(

@@ -256,9 +256,16 @@ def pagerank_detailed(
                 converged = True
                 break
         else:
-            if checkpoint_interval and done % checkpoint_interval == 0 and done < total_iters:
-                new_ranks = new_ranks.localCheckpoint(eager=True)
-            ranks = new_ranks
+            # Lazy checkpoint EVERY iteration (r17): ranks(i) has TWO
+            # consumers in round i+1 — the dangling-mass broadcast and
+            # the contribution join — so an unmaterialized plan doubles
+            # per round (2^k copies of round 1 by round k; the interval
+            # eager checkpoint paid build-time jobs to contain it).
+            # eager=False keeps plan construction job-free; the final
+            # action materializes each round exactly once and both
+            # consumers read the stored partitions.  Same arithmetic —
+            # bit-identical ranks.
+            ranks = new_ranks.localCheckpoint(eager=False)
     if not converged:
         warnings.warn(
             f"pagerank exhausted max_iterations={max_iterations} before the "
@@ -434,9 +441,16 @@ def personalized_pagerank_detailed(
                 converged = True
                 break
         else:
-            if checkpoint_interval and done % checkpoint_interval == 0 and done < total_iters:
-                new_ranks = new_ranks.localCheckpoint(eager=True)
-            ranks = new_ranks
+            # Lazy checkpoint EVERY iteration (r17): ranks(i) has TWO
+            # consumers in round i+1 — the dangling-mass broadcast and
+            # the contribution join — so an unmaterialized plan doubles
+            # per round (2^k copies of round 1 by round k; the interval
+            # eager checkpoint paid build-time jobs to contain it).
+            # eager=False keeps plan construction job-free; the final
+            # action materializes each round exactly once and both
+            # consumers read the stored partitions.  Same arithmetic —
+            # bit-identical ranks.
+            ranks = new_ranks.localCheckpoint(eager=False)
     if not converged:
         warnings.warn(
             f"personalized_pagerank exhausted max_iterations={max_iterations} "
@@ -507,6 +521,13 @@ def hits(
         join against ``nodes`` the sparse form replaces (2 joins per
         half-step -> 1) cannot change a bit.  The dense (node, hub,
         authority) output is restored by ONE fill at the end."""
+        # Lazy checkpoint per half-step (r17): raw has TWO consumers —
+        # the squared-norm broadcast and the normalized output — so an
+        # unmaterialized plan doubles per half-step (2^k copies of the
+        # first fold by half-step k; the old interval-2 eager
+        # checkpoints paid build-time jobs to contain it).  eager=False
+        # keeps plan construction job-free; the final action
+        # materializes each half-step's node-bounded sums exactly once.
         raw = (
             e.join(scores, e[edge_from] == scores["node"])
             .groupBy(edge_to)
@@ -515,6 +536,7 @@ def hits(
                 .cast("double")
                 .alias("_raw")
             )
+            .localCheckpoint(eager=False)
         )
         norm = raw.agg(
             F.sqrt(
@@ -533,13 +555,6 @@ def hits(
     for i in range(iterations):
         auth = _half_step(hubs, "h", "src", "dst", "a")
         hubs = _half_step(auth, "a", "dst", "src", "h")
-        if (
-            checkpoint_interval
-            and (i + 1) % checkpoint_interval == 0
-            and (i + 1) < iterations
-        ):
-            auth = auth.localCheckpoint(eager=True)
-            hubs = hubs.localCheckpoint(eager=True)
     # one dense fill restores the every-vertex contract (absent = 0.0,
     # exactly what the per-step fill produced)
     return (
