@@ -292,8 +292,15 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
         f"transform(slice(tk, 1, greatest(size(tk) - {n - 1}, 0)), "
         f"(x, i) -> concat_ws(' ', {gram}))"
     )
+    # Degenerate-parallelism guard (r17): the tokenize + n-gram
+    # transform + explode runs wide on single-split scans (consumers
+    # hash/count shingles — exact min-hashes and integer counts, so
+    # partitioning cannot change a bit).
+    from .fanout import fan_out
+
     return (
-        df.select(F.col(id_col), toks.alias("tk"))
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), toks.alias("tk"))
         .select(F.col(id_col), F.explode(F.array_distinct(F.expr(grams))).alias("shingle"))
     )
 
@@ -571,7 +578,12 @@ def simhash(
             "bit 63, so wider fingerprints lose cross-engine reproducibility"
         )
     n_lanes = (bits + _SIMHASH_LANE_BITS - 1) // _SIMHASH_LANE_BITS
-    words = df.select(
+    # Degenerate-parallelism guard (r17): the explode + per-word md5
+    # lanes + `bits` conditional votes are the heavy map side — fan the
+    # projected rows out on single-split scans (integer votes).
+    from .fanout import fan_out
+
+    words = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(
             F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))

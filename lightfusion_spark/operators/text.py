@@ -165,7 +165,14 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     so the token array materializes exactly once per row.  The top-word
     count is a sorted-run fold — O(n log n), not O(distinct · n).
     """
-    step1 = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
+    # Degenerate-parallelism guard (r17): the per-row HOF folds are the
+    # heavy map side — fan the projected rows out on single-split scans
+    # (pure per-row projection; partitioning cannot change a row).
+    from .fanout import fan_out
+
+    step1 = fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("__toks")
+    )
 
     t = F.col("__toks")
     nw = F.size(t)
@@ -654,7 +661,12 @@ def bm25_scores(
     recompute the wide branch after an executor loss).
     """
     tok_expr = _tokens(F.col(text_col))
-    base = df.select(F.col(id_col), F.col(text_col))
+    # Degenerate-parallelism guard (r17): both tokenize passes (doc
+    # lengths + the match explode) run wide on single-split scans;
+    # integer tf counts and micro-long sums are partitioning-proof.
+    from .fanout import fan_out
+
+    base = fan_out(df.select(F.col(id_col), F.col(text_col)))
     d = base.select(
         F.col(id_col), F.size(tok_expr).alias("dl")
     ).localCheckpoint(eager=False)  # (id, dl) only — tiny, feeds 2 branches
@@ -699,7 +711,12 @@ def bm25_scores_terms(
     the semi join is the same three bounded exchanges.
     """
     tok_expr = _tokens(F.col(text_col))
-    base = df.select(F.col(id_col), F.col(text_col))
+    # Degenerate-parallelism guard (r17): both tokenize passes (doc
+    # lengths + the match explode) run wide on single-split scans;
+    # integer tf counts and micro-long sums are partitioning-proof.
+    from .fanout import fan_out
+
+    base = fan_out(df.select(F.col(id_col), F.col(text_col)))
     d = base.select(
         F.col(id_col), F.size(tok_expr).alias("dl")
     ).localCheckpoint(eager=False)  # (id, dl) only — tiny, feeds 2 branches
@@ -1163,7 +1180,11 @@ def bm25_scores_multi(
         F.col(query_col).alias("_qid"), F.col(term_col).alias("tok")
     ).distinct()
     term_set = qt.select("tok").distinct()
-    base = df.select(F.col(id_col), F.col(text_col))
+    # Degenerate-parallelism guard (r17): both tokenize passes run wide
+    # on single-split scans (integer counts, micro-long sums).
+    from .fanout import fan_out
+
+    base = fan_out(df.select(F.col(id_col), F.col(text_col)))
     d = base.select(F.col(id_col), F.size(tok_expr).alias("dl"))
     stats = d.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1346,8 +1367,14 @@ def kn_bigram_lm_score(
     padded = F.concat(
         F.array(F.lit(_BOS)), toks, F.array(F.lit(_EOS))
     )
+    # Degenerate-parallelism guard (r17): fan the raw rows out so the
+    # tokenize+posexplode runs wide on single-split scans (exact
+    # integer counts downstream).
+    from .fanout import fan_out
+
     emit = (
-        df.select(F.col(id_col), padded.alias("_pt"))
+        fan_out(df.select(id_col, text_col))
+        .select(F.col(id_col), padded.alias("_pt"))
         .select(
             F.col(id_col),
             F.posexplode(
