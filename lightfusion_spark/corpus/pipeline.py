@@ -2064,8 +2064,11 @@ def pipe_embed_ivf_topk(spark, sf_dir):
     # tf -> idf-join -> assemble pipeline (9.2 s -> 4.9 s at sf0.1,
     # docs/PLANS.md round-7 A/B).  At 100 TB this is the "land embeddings
     # to parquet first" note made executable.
+    # eager=False (r17): the k-means seed job (TakeOrdered over every
+    # partition) is the checkpoint's first consumer and materializes it
+    # in passing — one fewer job than checkpoint-then-seed, same pin.
     emb = text_ops.embed_text_tfidf(d, "doc_id", "text", dim=64).localCheckpoint(
-        eager=True
+        eager=False
     )
     q = emb.where(F.col("doc_id") < 20)
     return similarity.topk_cosine_ivf_kmeans(

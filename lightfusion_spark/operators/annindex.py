@@ -37,11 +37,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .similarity import (
+    _assign_gemm,
     as_double,
     assign_to_centroids,
     assign_topn_centroids,
     cosine_expr,
-    kmeans_centroids,
+    kmeans_centroid_pairs,
+    seed_centroids,
 )
 
 
@@ -102,11 +104,17 @@ def build_ivf_index(
     filter on the partition column never opens the others.
     """
     geo = _geometry_guard(corpus, vec_col, "build_ivf_index")
-    cents = kmeans_centroids(
+    pairs = kmeans_centroid_pairs(
         corpus, id_col, vec_col, n_centroids, n_iters, round_digits
     )
+    cents = corpus.sparkSession.createDataFrame(
+        [(cid, vec) for cid, vec in pairs],
+        schema=seed_centroids(corpus, id_col, vec_col, n_centroids).schema,
+    )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    assign = assign_to_centroids(corpus, cents, id_col, vec_col, round_digits)
+    # trained pairs are already driver-side: inline them instead of
+    # re-collecting the local cents relation (one job less)
+    assign = _assign_gemm(corpus, pairs, id_col, vec_col, round_digits)
     # repartition BY THE PARTITION COLUMN before the partitioned write:
     # without it every write task touches every cell it saw and the
     # layout degenerates to tasks x cells tiny files (measured 2048 at

@@ -859,7 +859,12 @@ def _cc_two_phase(
             .union(mins2.select(F.col("src"), F.col("_m").alias("dst")))
             .where(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the signature aggregation below is this round's ONE
+            # job — it materializes the checkpoint as it computes (ss has
+            # a single consumer in that job), halving the per-round job
+            # count vs eager-checkpoint-then-probe.  Next round's
+            # two-branch union reads the already-stored partitions.
+            .localCheckpoint(eager=False)
         )
         rounds += 1
         # order-insensitive set signature; bit_xor (not sum) — edges are
@@ -912,7 +917,10 @@ def _cc_propagation(
                     "comp"
                 ),
             )
-            .localCheckpoint(eager=True)
+            # lazy for the same reason as the two-phase loop: the
+            # `changed` count is the round's one job and materializes
+            # the checkpoint in passing.
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_comp.alias("n")

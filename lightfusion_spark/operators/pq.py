@@ -35,11 +35,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .similarity import (
+    _assign_gemm,
+    _assign_topn_gemm,
     as_double,
-    assign_to_centroids,
-    assign_topn_centroids,
     dot_expr,
-    kmeans_centroids,
+    kmeans_centroid_pairs,
     planes_lit,
 )
 
@@ -209,6 +209,142 @@ def pq_train_codebook(
     ]
 
 
+def _train_coarse_and_pq(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    coarse_iters: int,
+    m: int,
+    pq_k: int,
+    pq_iters: int,
+    round_digits: int,
+) -> tuple[list[tuple[int, list[float]]], list[list[tuple[int, list[float]]]]]:
+    """Train the coarse quantizer AND all ``m`` PQ subspace codebooks in
+    ONE seed job plus ONE corpus pass per Lloyd round (when both loops
+    run the same iteration count — the registered IVF-PQ shape; unequal
+    counts fall back to the two separate trainers unchanged).
+
+    Fusion is job-level only — every branch keeps its exact arithmetic:
+    the coarse branch is ``_assign_gemm``'s rounded-cosine argmax and the
+    subspace branches are the L2 argmin, emitted from the same Arrow
+    crossing and aggregated by (subspace, code, pos) with the scaled-
+    BIGINT exact sum (associative, so sharing one hash aggregate with
+    the coarse rows at subspace=-1 cannot move any group's result).
+    Returns ``(coarse_pairs, books)`` — both driver-side, ready to
+    inline; the separate-trainer path returned the identical values
+    through 2x the seed jobs and 2x the per-round corpus passes.
+    """
+    import pandas as pd
+
+    if coarse_iters != pq_iters:
+        return (
+            kmeans_centroid_pairs(
+                corpus, id_col, vec_col, n_centroids, coarse_iters, round_digits
+            ),
+            pq_train_codebook(
+                corpus, id_col, vec_col, m, pq_k, pq_iters, round_digits
+            ),
+        )
+    seeds = (
+        corpus.select(F.col(id_col), as_double(vec_col).alias("_v"))
+        .orderBy(id_col)
+        .limit(max(n_centroids, pq_k))
+        .collect()
+    )
+    if not seeds:
+        return [], [[] for _ in range(m)]
+    dim = len(seeds[0]["_v"])
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    coarse: list[tuple[int, list[float]]] = [
+        (r[id_col], [float(x) for x in r["_v"]]) for r in seeds[:n_centroids]
+    ]
+    books: list[list[tuple[int, list[float]]]] = [
+        [
+            (c, [float(x) for x in r["_v"][j * sub : (j + 1) * sub]])
+            for c, r in enumerate(seeds[:pq_k])
+        ]
+        for j in range(m)
+    ]
+    src = corpus.select(as_double(vec_col).alias("_v"))
+    sum_col = F.expr("CAST(sum(FLOOR(_x * 1e9 + 0.5D)) AS DOUBLE) / 1e9")
+    for _ in range(pq_iters):
+        co_ids = np.array([int(cid) for cid, _ in coarse], dtype=np.int64)
+        co_mat = np.array([vec for _, vec in coarse], dtype=np.float64)
+        co_norm = np.sqrt(np.einsum("ij,ij->i", co_mat, co_mat))
+        mats = [np.array([v for _, v in pairs], dtype=np.float64) for pairs in books]
+        code_ids = [np.array([c for c, _ in pairs], dtype=np.int64) for pairs in books]
+        c_sqs = [np.einsum("ij,ij->i", cm, cm) for cm in mats]
+
+        def assign_all(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                # coarse: rounded-cosine argmax, the _assign_gemm
+                # arithmetic verbatim (same float64 ops row-wise, so
+                # Arrow batch boundaries cannot move a result)
+                nv = np.sqrt(np.einsum("ij,ij->i", v, v))
+                scores = np.round(
+                    (v @ co_mat.T) / (nv[:, None] * co_norm[None, :]),
+                    round_digits,
+                )
+                frames = [
+                    pd.DataFrame(
+                        {
+                            "subspace": -1,
+                            "code": co_ids[np.argmax(scores, axis=1)],
+                            "_sv": list(v),
+                        }
+                    )
+                ]
+                for j in range(m):
+                    vj = v[:, j * sub : (j + 1) * sub]
+                    xj_sq = np.einsum("ij,ij->i", vj, vj)
+                    d2 = np.round(
+                        xj_sq[:, None] - 2.0 * (vj @ mats[j].T) + c_sqs[j][None, :],
+                        round_digits,
+                    )
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "subspace": j,
+                                "code": code_ids[j][np.argmin(d2, axis=1)],
+                                "_sv": list(vj),
+                            }
+                        )
+                    )
+                yield pd.concat(frames, ignore_index=True)
+
+        assigned = src.mapInPandas(
+            assign_all, "subspace int, code bigint, _sv array<double>"
+        )
+        sums = (
+            assigned.select("subspace", "code", F.posexplode("_sv").alias("_pos", "_x"))
+            .groupBy("subspace", "code", "_pos")
+            .agg(sum_col.alias("_s"), F.count(F.lit(1)).alias("_n"))
+        )
+        acc_coarse: dict[int, list[float]] = {}
+        accs: list[dict[int, list[float]]] = [{} for _ in range(m)]
+        for r in sums.collect():
+            if r["subspace"] < 0:
+                acc_coarse.setdefault(r["code"], [0.0] * dim)[r["_pos"]] = (
+                    r["_s"] / r["_n"]
+                )
+            else:
+                accs[r["subspace"]].setdefault(r["code"], [0.0] * sub)[r["_pos"]] = (
+                    r["_s"] / r["_n"]
+                )
+        coarse = sorted(acc_coarse.items())
+        books = [sorted(acc.items()) for acc in accs]
+    # same re-densify as pq_train_codebook (see its comment)
+    return coarse, [
+        [(rank, vec) for rank, (_, vec) in enumerate(pairs)] for pairs in books
+    ]
+
+
 def pq_encode(
     df: DataFrame,
     codebook: list[list[tuple[int, list[float]]]],
@@ -318,13 +454,11 @@ def topk_cosine_ivf_pq(
     40; a richer codebook (m=8 x 64) reaches 0.92 at depth 20.  Output
     column is then the exact ``cos_sim``.
     """
-    cents = kmeans_centroids(
-        corpus, id_col, vec_col, n_centroids, coarse_iters, round_digits
+    cent_pairs, codebook = _train_coarse_and_pq(
+        corpus, id_col, vec_col, n_centroids, coarse_iters, m, pq_k, pq_iters,
+        round_digits,
     )
-    codebook = pq_train_codebook(
-        corpus, id_col, vec_col, m, pq_k, pq_iters, round_digits
-    )
-    c_assign = assign_to_centroids(corpus, cents, id_col, vec_col, round_digits)
+    c_assign = _assign_gemm(corpus, cent_pairs, id_col, vec_col, round_digits)
     c_codes = pq_encode(
         c_assign, codebook, id_col, "_v", round_digits, keep_cols=["centroid_id"]
     )
@@ -332,10 +466,10 @@ def topk_cosine_ivf_pq(
     # knob) — candidates stay an equi-join; a neighbor lives in exactly
     # one cell, so no dedup pass is needed.
     q_assign = (
-        assign_to_centroids(queries, cents, id_col, vec_col, round_digits)
+        _assign_gemm(queries, cent_pairs, id_col, vec_col, round_digits)
         if nprobe == 1
-        else assign_topn_centroids(
-            queries, cents, id_col, vec_col, nprobe, round_digits
+        else _assign_topn_gemm(
+            queries, cent_pairs, id_col, vec_col, nprobe, round_digits
         )
     )
 

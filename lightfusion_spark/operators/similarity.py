@@ -523,11 +523,19 @@ def assign_to_centroids(
     — 170 s for 200k rows, measured in tools/scalecheck.py — vs ~2 s
     for the GEMM path, same rounded scores.
     """
-    rows = centroids.select("centroid_id", "_cent").orderBy("centroid_id").collect()
-    pairs = [(r["centroid_id"], [float(x) for x in r["_cent"]]) for r in rows]
+    pairs = _collect_cent_pairs(centroids)
     if use_gemm:
         return _assign_gemm(df, pairs, id_col, vec_col, round_digits)
     return _assign_inline(df, pairs, id_col, vec_col, round_digits)
+
+
+def _collect_cent_pairs(centroids: DataFrame) -> list[tuple]:
+    """Collect a (centroid_id, _cent) relation to the driver-side pair
+    list every inline assignment consumes — ONE job per codebook; search
+    paths that assign both join sides share the result instead of
+    collecting twice."""
+    rows = centroids.select("centroid_id", "_cent").orderBy("centroid_id").collect()
+    return [(r["centroid_id"], [float(x) for x in r["_cent"]]) for r in rows]
 
 
 def _assign_gemm(
@@ -697,10 +705,38 @@ def kmeans_centroids(
     earlier DECIMAL(28,9) exact path paid (18 s vs 1.3 s).
     """
     seed = seed_centroids(corpus, id_col, vec_col, n_centroids)
+    pairs = kmeans_centroid_pairs(
+        corpus, id_col, vec_col, n_centroids, n_iters, round_digits, exact_reduce
+    )
+    if not pairs:
+        return seed
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(cid, vec) for cid, vec in pairs], schema=seed.schema
+    )
+
+
+def kmeans_centroid_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    round_digits: int = 6,
+    exact_reduce: bool = True,
+) -> list[tuple]:
+    """The :func:`kmeans_centroids` Lloyd loop returning the DRIVER-side
+    ``(centroid_id, vector)`` pair list directly — the form every inline
+    assignment consumes.  Same seed, arithmetic, tie behavior, and
+    iteration structure as the DataFrame wrapper (which delegates here);
+    composed search paths use this to skip the createDataFrame ->
+    re-collect round trip (one local-relation job per assignment side).
+    """
+    seed = seed_centroids(corpus, id_col, vec_col, n_centroids)
     rows = seed.collect()
     pairs = [(r["centroid_id"], [float(x) for x in r["_cent"]]) for r in rows]
     if not pairs:
-        return seed
+        return []
     dim = len(pairs[0][1])
     vecs = corpus.select(F.col(id_col), as_double(vec_col).alias("_v"))
     if exact_reduce:
@@ -726,24 +762,31 @@ def kmeans_centroids(
                 r["_s"] / r["_n"]
             )
         pairs = sorted(acc.items())
-    spark = corpus.sparkSession
-    return spark.createDataFrame(
-        [(cid, vec) for cid, vec in pairs], schema=seed.schema
-    )
+    return pairs
 
 
 def _ivf_search(
     corpus: DataFrame,
     queries: DataFrame,
-    cents: DataFrame,
+    cents: DataFrame | None,
     id_col: str,
     vec_col: str,
     k: int,
     round_digits: int,
+    cent_pairs: list[tuple] | None = None,
 ) -> DataFrame:
-    """Shared IVF tail: assign both sides -> equi-join on cell -> top-k."""
-    c_assign = assign_to_centroids(corpus, cents, id_col, vec_col, round_digits)
-    q_assign = assign_to_centroids(queries, cents, id_col, vec_col, round_digits)
+    """Shared IVF tail: assign both sides -> equi-join on cell -> top-k.
+
+    The codebook is collected ONCE and both assignment sides share the
+    driver pairs (previously each side's ``assign_to_centroids`` re-ran
+    the centroid query — a duplicated job per search).  Callers that
+    already hold driver pairs (the k-means trainers) pass ``cent_pairs``
+    and skip the collect entirely.
+    """
+    if cent_pairs is None:
+        cent_pairs = _collect_cent_pairs(cents)
+    c_assign = _assign_gemm(corpus, cent_pairs, id_col, vec_col, round_digits)
+    q_assign = _assign_gemm(queries, cent_pairs, id_col, vec_col, round_digits)
     q = q_assign.select(
         F.col(id_col).alias("query_id"), F.col("_v").alias("_qv"), "centroid_id"
     )
@@ -801,8 +844,12 @@ def topk_cosine_ivf_kmeans(
 ) -> DataFrame:
     """IVF top-k with a k-means-trained coarse quantizer (see
     ``kmeans_centroids`` for the deterministic, oracle-replayable loop)."""
-    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, n_iters, round_digits)
-    return _ivf_search(corpus, queries, cents, id_col, vec_col, k, round_digits)
+    pairs = kmeans_centroid_pairs(
+        corpus, id_col, vec_col, n_centroids, n_iters, round_digits
+    )
+    return _ivf_search(
+        corpus, queries, None, id_col, vec_col, k, round_digits, cent_pairs=pairs
+    )
 
 
 def assign_topn_centroids(
@@ -820,12 +867,25 @@ def assign_topn_centroids(
     ties toward the lower centroid id, identical to the oracle's
     ``ROW_NUMBER() OVER (ORDER BY score DESC, centroid_id)``.
     """
+    return _assign_topn_gemm(
+        df, _collect_cent_pairs(centroids), id_col, vec_col, nprobe, round_digits
+    )
+
+
+def _assign_topn_gemm(
+    df,
+    pairs: Sequence[tuple],
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """:func:`assign_topn_centroids` against driver-held pairs (shared
+    with the corpus side's assignment instead of re-collecting)."""
     import pandas as pd
 
     if nprobe < 1:
         raise ValueError(f"assign_topn_centroids: nprobe must be >= 1, got {nprobe}")
-    rows = centroids.select("centroid_id", "_cent").orderBy("centroid_id").collect()
-    pairs = [(r["centroid_id"], [float(x) for x in r["_cent"]]) for r in rows]
     if len(pairs) > MAX_INLINE_CENTROIDS:
         raise ValueError(
             f"assign_topn_centroids: {len(pairs)} centroids exceeds the "
@@ -884,9 +944,12 @@ def topk_cosine_ivf_probe(
     query through at most one of its probed cells — no dedup pass.
     """
     cents = seed_centroids(corpus, id_col, vec_col, n_centroids)
-    c_assign = assign_to_centroids(corpus, cents, id_col, vec_col, round_digits)
-    q_assign = assign_topn_centroids(
-        queries, cents, id_col, vec_col, nprobe, round_digits
+    # ONE codebook collect shared by both assignment sides (previously
+    # the seed query ran twice, once per side)
+    pairs = _collect_cent_pairs(cents)
+    c_assign = _assign_gemm(corpus, pairs, id_col, vec_col, round_digits)
+    q_assign = _assign_topn_gemm(
+        queries, pairs, id_col, vec_col, nprobe, round_digits
     )
     q = q_assign.select(
         F.col(id_col).alias("query_id"), F.col("_v").alias("_qv"), "centroid_id"
@@ -987,9 +1050,13 @@ def semantic_dedup(
     shape the DuckDB oracle replays literally); both paths round the
     cosine to ``round_digits`` before the threshold, so they agree.
     """
-    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, n_iters, round_digits)
-    assigned = assign_to_centroids(
-        corpus, cents, id_col, vec_col, round_digits, use_gemm=use_gemm
+    pairs = kmeans_centroid_pairs(
+        corpus, id_col, vec_col, n_centroids, n_iters, round_digits
+    )
+    assigned = (
+        _assign_gemm(corpus, pairs, id_col, vec_col, round_digits)
+        if use_gemm
+        else _assign_inline(corpus, pairs, id_col, vec_col, round_digits)
     )
     if use_gemm:
         return _cluster_dominated_gemm(assigned, id_col, threshold, round_digits)
@@ -1270,11 +1337,16 @@ def hard_negatives(
     training pair) broadcasts onto the query side.  Output:
     ``(query_id, positive_id, negative_id, rank, cos_sim)``.
     """
-    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, n_iters, round_digits)
+    cent_pairs = kmeans_centroid_pairs(
+        corpus, id_col, vec_col, n_centroids, n_iters, round_digits
+    )
     queries = corpus.join(
         F.broadcast(pairs.select(F.col(query_col).alias(id_col))), id_col, "left_semi"
     )
-    hits = _ivf_search(corpus, queries, cents, id_col, vec_col, k + 1, round_digits)
+    hits = _ivf_search(
+        corpus, queries, None, id_col, vec_col, k + 1, round_digits,
+        cent_pairs=cent_pairs,
+    )
     p = pairs.select(
         F.col(query_col).alias("query_id"), F.col(positive_col).alias("positive_id")
     )
@@ -1509,17 +1581,18 @@ def knn_graph(
     c = assign.select(
         F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_cv"), "centroid_id"
     )
-    scored = (
+    # corpus-as-queries makes the candidate set cell-QUADRATIC (~n²/cells
+    # pairs), so the scoring tail rides the Arrow GEMM crossing like the
+    # banded-LSH face instead of the interpreted zip_with fold (measured
+    # 3.4 s -> 0.4 s at sf0.1's 250k pairs; same rounded scores — the
+    # repo-wide _cosine_pairs_gemm exactness argument, hash-green on the
+    # registered LSH face since r6).
+    joined = (
         q.join(c, "centroid_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), round_digits).alias(
-                "cos_sim"
-            ),
-        )
+        .select("query_id", "neighbor_id", "_qv", "_cv")
     )
+    scored = _cosine_pairs_gemm(joined, "_qv", "_cv", round_digits)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )

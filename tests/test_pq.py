@@ -120,3 +120,43 @@ def test_rerank_deep_equals_exact_ivf(spark):
     got = sorted(map(tuple, pq_res.collect()))
     want = sorted(map(tuple, ivf_res.collect()))
     assert got == want
+
+
+def test_fused_trainer_bitwise_matches_separate(spark):
+    """_train_coarse_and_pq fuses the coarse + subspace Lloyd loops into
+    one job per round; the driver-side results must be BIT-identical to
+    the two separate trainers (the fusion is job-level only — same
+    seeds, same assignment arithmetic, same exact aggregation)."""
+    rows = [
+        (i, [((i * 7 + j * 13) % 11) / 3.0 - 1.0 for j in range(8)])
+        for i in range(40)
+    ]
+    df = _vecs(spark, rows, dim=8)
+    pairs_sep = similarity.kmeans_centroid_pairs(
+        df, "vec_id", "embedding", n_centroids=4, n_iters=2
+    )
+    books_sep = pq.pq_train_codebook(
+        df, "vec_id", "embedding", m=2, pq_k=4, n_iters=2
+    )
+    pairs_f, books_f = pq._train_coarse_and_pq(
+        df, "vec_id", "embedding",
+        n_centroids=4, coarse_iters=2, m=2, pq_k=4, pq_iters=2, round_digits=6,
+    )
+    assert pairs_f == pairs_sep
+    assert books_f == books_sep
+
+
+def test_fused_trainer_unequal_iters_falls_back(spark):
+    """coarse_iters != pq_iters takes the separate-trainer fallback and
+    must still return the identical (pairs, books)."""
+    df = _block_corpus(spark)
+    pairs_f, books_f = pq._train_coarse_and_pq(
+        df, "vec_id", "embedding",
+        n_centroids=2, coarse_iters=1, m=2, pq_k=4, pq_iters=2, round_digits=6,
+    )
+    assert pairs_f == similarity.kmeans_centroid_pairs(
+        df, "vec_id", "embedding", n_centroids=2, n_iters=1
+    )
+    assert books_f == pq.pq_train_codebook(
+        df, "vec_id", "embedding", m=2, pq_k=4, n_iters=2
+    )

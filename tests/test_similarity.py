@@ -364,3 +364,22 @@ def test_knn_graph_auto_centroids(spark, sf_dir):
 
     deg = Counter(r["id_a"] for r in many.collect())
     assert deg and max(deg.values()) <= 2
+
+
+def test_kmeans_pairs_match_dataframe_wrapper(spark):
+    """kmeans_centroid_pairs is the driver-side core the search paths
+    inline; the DataFrame wrapper must expose the identical centroids."""
+    corpus = _vecs(spark, 30)
+    pairs = similarity.kmeans_centroid_pairs(
+        corpus, "vec_id", "embedding", n_centroids=4, n_iters=2
+    )
+    rows = (
+        similarity.kmeans_centroids(
+            corpus, "vec_id", "embedding", n_centroids=4, n_iters=2
+        )
+        .orderBy("centroid_id")
+        .collect()
+    )
+    assert [(r["centroid_id"], list(r["_cent"])) for r in rows] == [
+        (cid, list(vec)) for cid, vec in pairs
+    ]
