@@ -4040,7 +4040,15 @@ def pipe_mixture_domain(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents")
     priors, model = nbayes.train_naive_bayes(d, "source", "text")
-    pred = nbayes.apply_naive_bayes(d, "doc_id", "text", priors, model)
+    # Pin the per-doc predictions (3 narrow columns): the temperature
+    # chain consumes the routed frame twice (stratum counts + the
+    # keep-join), and without the pin each consumer re-ran the whole
+    # NB scoring tokenize/explode/argmax — the baseline plan carried
+    # FIVE copies of the apply subtree (50 parquet scans).  One
+    # materialization, every consumer reads stored partitions.
+    from ..operators.fanout import pin
+
+    pred = pin(nbayes.apply_naive_bayes(d, "doc_id", "text", priors, model))
     routed = d.join(pred.select("doc_id", "pred"), "doc_id")
     kept = curation.temperature_mixture_sample(
         routed, "pred", "doc_id", "n_chars", temperature=2.0,

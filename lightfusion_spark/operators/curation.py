@@ -1026,7 +1026,18 @@ def temperature_mixture_sample(
     alpha = 1.0 / temperature
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
     base = df.withColumn("_tok", tok.cast("bigint"))
-    counts = base.groupBy(strata_col).agg(F.sum("_tok").alias("_stratum_tokens"))
+    # Pin the per-stratum aggregate (one row per stratum — tiny at any
+    # scale): the rate chain below consumes it three times (total,
+    # wsum, rates), and without the pin each consumer re-runs the full
+    # upstream of ``df`` — for a composed input like
+    # pipe_mixture_domain's NB-routed corpus that is three extra
+    # corpus passes.  The final keep-join is then the only other
+    # consumer of ``base``.
+    from .fanout import pin
+
+    counts = pin(
+        base.groupBy(strata_col).agg(F.sum("_tok").alias("_stratum_tokens"))
+    )
     total = counts.agg(F.sum("_stratum_tokens").alias("_total_tokens"))
     weighted = (
         counts.crossJoin(F.broadcast(total))

@@ -1324,7 +1324,16 @@ def qa_em_f1(
     # arbitrary row would survive and the winning group would be
     # partition-dependent, contradicting the docstring
     grp_keys = ["_grp"] if grouped else []
-    pairs = rows.dropDuplicates(grp_keys + ["_qid", "_pk", "_ak"])
+    # Pin ``pairs``: it has THREE consumers (pred counts, gold counts,
+    # the per-alternative join-back), and without the pin each one
+    # re-ran the two qa_normalize regex passes AND the dedupe shuffle
+    # over the corpus — 3 full passes per qa_em_f1 call (6 in the
+    # paired bootstrap, which calls it per side).  One materialization
+    # of the per-(question, alternative) rows — answer-sized, never
+    # corpus-sized — and every consumer reads stored partitions.
+    from .fanout import pin
+
+    pairs = pin(rows.dropDuplicates(grp_keys + ["_qid", "_pk", "_ak"]))
     pc = (
         pairs.select(*grp_keys, "_qid", "_pk", "_pt")
         # keyed on the pred DIGEST, not bare qid: under the documented

@@ -119,3 +119,31 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     if tgt <= 1:
         return df
     return df.repartition(tgt)
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Share a MULTI-CONSUMER intermediate: ``localCheckpoint`` the
+    frame so it materializes once and every consumer reads stored
+    partitions (guide §1.4 "the same relation computed twice", §5).
+
+    Catalyst cannot collapse the duplication this fixes: each consumer
+    prunes different columns into its branch, so the branch subplans
+    differ and ReuseExchange never fires — the baseline
+    pipe_mixture_domain plan carried FIVE copies of the NB-scoring
+    subtree (50 parquet scans).  Implementation choice is MEASURED
+    (interleaved same-session A/B at sf0.1, 4 samples each):
+    ``persist()`` lost to no-pin everywhere (the columnar cache
+    write/read costs more than the recompute it saves — qa 2.54 vs
+    1.91 s best), while ``localCheckpoint(eager=False)`` won (qa 1.48,
+    mixture_domain 2.91 vs 3.83 base).  Note the AQE caveat: a "lazy"
+    localCheckpoint still materializes the child's SHUFFLE stages at
+    construction time (``.toRdd`` drives ``getFinalPhysicalPlan``),
+    so the pin moves that work from exec to build — the total is what
+    the A/B accepts, and only the final stage stays lazy.
+
+    Callers pin only BOUNDED intermediates (per-stratum aggregates,
+    per-question grade rows, per-doc predictions — never a raw corpus
+    payload), so the stored bytes are the same size class as the
+    shuffle that produced them.
+    """
+    return df.localCheckpoint(eager=False)

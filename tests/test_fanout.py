@@ -84,3 +84,55 @@ def test_guarded_cells_bit_identical(spark, one_file_parquet):
     )
     assert [r.asDict() for r in cells] == [r.asDict() for r in wide]
     assert cells[0]["matched"] > 0
+
+
+def test_pin_preserves_rows_and_dedups_consumers(spark):
+    # pin() shares a multi-consumer intermediate: results are identical
+    # to the unpinned plan, and the pinned frame's consumers read ONE
+    # materialization (the qa_em_f1 / temperature_mixture_sample /
+    # pipe_mixture_domain shape).
+    from lightfusion_spark.operators.fanout import pin
+
+    base = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+    pinned = pin(base)
+    a = pinned.groupBy("k").agg(F.sum("v").alias("s"))
+    b = pinned.select(F.sum("v").alias("t"))
+    joined = a.crossJoin(b).orderBy("k").collect()
+    ref_a = base.groupBy("k").agg(F.sum("v").alias("s"))
+    ref_b = base.select(F.sum("v").alias("t"))
+    ref = ref_a.crossJoin(ref_b).orderBy("k").collect()
+    assert [r.asDict() for r in joined] == [r.asDict() for r in ref]
+
+
+def test_qa_em_f1_bit_identical_with_and_without_pin(spark, monkeypatch):
+    # the pin is a sharing optimization only: grades are bit-identical
+    # when it is disabled (identity), across a multi-alternative input
+    # with empty-normalization and duplicate-alternative edge cases
+    from lightfusion_spark.operators import evalmetrics, fanout
+
+    rows = spark.createDataFrame(
+        [
+            (1, "the cat sat", "a cat sat"),
+            (1, "the cat sat", "the cat sat"),
+            (1, "the cat sat", "A Cat Sat!"),  # dup after normalize
+            (2, "", "no answer"),
+            (2, "", ""),
+            (3, "alpha beta", "beta alpha"),
+        ],
+        "qid long, pred string, gold string",
+    )
+    with_pin = evalmetrics.qa_em_f1(rows, "qid", "pred", "gold").orderBy(
+        "qid"
+    ).collect()
+    monkeypatch.setattr(fanout, "pin", lambda df: df)
+    without = evalmetrics.qa_em_f1(rows, "qid", "pred", "gold").orderBy(
+        "qid"
+    ).collect()
+    assert [r.asDict() for r in with_pin] == [r.asDict() for r in without]
+    # article-stripping normalize collapses all three alternatives of
+    # qid 1 ("a cat sat" == "the cat sat" == "A Cat Sat!") into ONE
+    assert with_pin[0]["n_golds"] == 1
