@@ -748,7 +748,15 @@ def _bm25_score_matches(
     """Shared BM25 tail: per-term scoring over the pruned ``(id, dl, tok,
     tf)`` matches, then the every-document left join (docs with no match
     score 0.0).  ``d`` is the checkpointed ``(id, dl)`` frame; ``stats``
-    the one-row ``(n_docs, avgdl)`` aggregate."""
+    the one-row ``(n_docs, avgdl)`` aggregate.
+
+    ``matches`` is pinned here because BOTH dfreq and the scoring
+    projection consume it — without the pin each consumer re-ran the
+    corpus tokenize + explode + term prune + tf shuffle.  The relation
+    is |matching (doc, term)| rows, bounded by the query-term set."""
+    from .fanout import pin
+
+    matches = pin(matches)
     dfreq = matches.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
     # per-term scores quantize to integer micro-units via FLOOR(x*1e6+0.5)
     # — explicit IEEE arithmetic identical across engines, where engine
@@ -1190,7 +1198,15 @@ def bm25_scores_multi(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    matches = (
+    # Pin the per-(doc, term) matches: BOTH dfreq and the scoring
+    # projection consume them, and without the pin each consumer
+    # re-ran the corpus tokenize + explode + semi-join + tf shuffle.
+    # The relation is |matching (doc, term)| rows — bounded by the
+    # query-term union, never |tokens| — so the stored bytes are the
+    # same size class as the tf exchange that produced them.
+    from .fanout import pin
+
+    matches = pin(
         base.select(
             F.col(id_col),
             F.size(tok_expr).alias("dl"),
