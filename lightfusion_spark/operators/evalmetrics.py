@@ -271,22 +271,22 @@ def corpus_bleu_from_cells(
     :func:`corpus_bleu`, the maintained store's :func:`bleu_from_store`,
     and (under a groupBy on ``group_cols``) the per-system
     :func:`corpus_bleu_by_group` — output-identical by construction."""
-    agg_cols = []
-    for n in range(1, max_n + 1):
-        agg_cols.append(
-            F.coalesce(
-                F.sum(F.when(F.col("n") == n, F.col("matched"))), F.lit(0)
-            ).alias(f"matched_{n}")
+    # Columns are built as SQL text and parsed in one expr call each:
+    # the Column-API loops issued thousands of py4j round trips
+    # (~0.5 s of driver time per call — this finisher runs twice per
+    # bootstrap construction).  The parsed expressions are the same
+    # arithmetic: D-suffixed double literals (plain 0.0 would parse as
+    # DECIMAL), the same zero-order gating, floor/round/ln order, and
+    # BIGINT micro sums.
+    agg_cols = [
+        F.expr(
+            f"coalesce(sum(CASE WHEN n = {n} THEN {src} END), 0) AS {dst}"
         )
-        agg_cols.append(
-            F.coalesce(
-                F.sum(F.when(F.col("n") == n, F.col("cand_total"))), F.lit(0)
-            ).alias(f"total_{n}")
-        )
+        for n in range(1, max_n + 1)
+        for src, dst in (("matched", f"matched_{n}"), ("cand_total", f"total_{n}"))
+    ]
     agg_cols.append(
-        F.coalesce(
-            F.sum(F.when(F.col("n") == 1, F.col("ref_total"))), F.lit(0)
-        ).alias("ref_len")
+        F.expr("coalesce(sum(CASE WHEN n = 1 THEN ref_total END), 0) AS ref_len")
     )
     flat = (
         cells.groupBy(*[F.col(c) for c in group_cols]).agg(*agg_cols)
@@ -295,53 +295,51 @@ def corpus_bleu_from_cells(
     )
 
     def p(n):
-        return F.col(f"matched_{n}").cast("double") / F.col(
-            f"total_{n}"
-        ).cast("double")
+        return f"(CAST(matched_{n} AS DOUBLE) / CAST(total_{n} AS DOUBLE))"
 
-    any_zero = F.lit(False)
-    micro_sum = F.lit(0).cast("long")
-    for n in range(1, max_n + 1):
-        zero_n = (F.col(f"matched_{n}") == 0) | (F.col(f"total_{n}") == 0)
-        any_zero = any_zero | zero_n
-        # LN(NaN/0) would poison the fold (and ANSI mode throws on the
-        # NaN->long cast), so a zero order logs 1.0 — the whole row is
-        # gated to BLEU 0.0 by any_zero anyway
-        safe_p = F.when(zero_n, F.lit(1.0)).otherwise(p(n))
-        micro_sum = micro_sum + F.floor(
-            F.round(F.log(safe_p), 6) * F.lit(1000000) + F.lit(0.5)
-        ).cast("long")
-    cand_len = F.col("total_1")
-    ratio = F.lit(1.0) - F.col("ref_len").cast("double") / cand_len.cast(
-        "double"
+    def zero(n):
+        return f"(matched_{n} = 0 OR total_{n} = 0)"
+
+    any_zero = " OR ".join(zero(n) for n in range(1, max_n + 1))
+    # LN(NaN/0) would poison the fold (and ANSI mode throws on the
+    # NaN->long cast), so a zero order logs 1.0 — the whole row is
+    # gated to BLEU 0.0 by any_zero anyway
+    micro_sum = "CAST(0 AS BIGINT)" + "".join(
+        f" + floor(round(ln(CASE WHEN {zero(n)} THEN 1.0D"
+        f" ELSE {p(n)} END), 6) * 1000000 + 0.5D)"
+        for n in range(1, max_n + 1)
     )
-    bp6 = F.when(cand_len >= F.col("ref_len"), F.lit(1.0)).otherwise(
-        F.round(F.exp(ratio), 6)
+    ratio = "(1.0D - CAST(ref_len AS DOUBLE) / CAST(total_1 AS DOUBLE))"
+    bp6 = (
+        f"(CASE WHEN total_1 >= ref_len THEN 1.0D"
+        f" ELSE round(exp({ratio}), 6) END)"
     )
-    geo6 = F.round(
-        F.exp(micro_sum.cast("double") / F.lit(float(max_n) * 1e6)), 6
+    geo6 = (
+        f"round(exp(CAST(({micro_sum}) AS DOUBLE)"
+        f" / {float(max_n) * 1e6!r}D), 6)"
     )
+    gate = f"(({any_zero}) OR total_1 = 0)"
     out_cols = [F.col(c) for c in group_cols] + [
-        cand_len.alias("cand_len"),
+        F.expr("total_1 AS cand_len"),
         F.col("ref_len"),
     ]
     for n in range(1, max_n + 1):
         out_cols.append(F.col(f"matched_{n}"))
         out_cols.append(F.col(f"total_{n}"))
         out_cols.append(
-            F.when(F.col(f"total_{n}") == 0, F.lit(0.0))
-            .otherwise(p(n))
-            .alias(f"p_{n}")
+            F.expr(
+                f"CASE WHEN total_{n} = 0 THEN 0.0D"
+                f" ELSE {p(n)} END AS p_{n}"
+            )
         )
     out_cols.append(
-        F.when(any_zero | (cand_len == 0), F.lit(0.0))
-        .otherwise(bp6)
-        .alias("bp6")
+        F.expr(f"CASE WHEN {gate} THEN 0.0D ELSE {bp6} END AS bp6")
     )
     out_cols.append(
-        F.when(any_zero | (cand_len == 0), F.lit(0.0))
-        .otherwise(F.round(bp6 * geo6, 6))
-        .alias("bleu6")
+        F.expr(
+            f"CASE WHEN {gate} THEN 0.0D"
+            f" ELSE round({bp6} * {geo6}, 6) END AS bleu6"
+        )
     )
     return flat.select(*out_cols)
 
@@ -2156,52 +2154,56 @@ def chrf_from_cells(
     the two are output-identical by construction."""
     if not (beta > 0):
         raise ValueError(f"chrf_score: beta must be > 0, got {beta}")
-    agg_cols = []
-    for n in range(1, max_n + 1):
+    # Columns are built as SQL text and parsed in one expr call each:
+    # the Column-API loops issued ~3000 py4j round trips (~0.9 s of
+    # driver time PER CALL — this finisher runs twice per bootstrap
+    # construction).  The parsed expressions are the same arithmetic:
+    # D-suffixed double literals (plain 0.0 would parse as DECIMAL),
+    # the same no-ELSE sums, casts, division order, and round-at-6.
+    agg_cols = [
+        F.expr(
+            f"coalesce(sum(CASE WHEN n = {n} THEN {src} END), 0) AS {dst}"
+        )
+        for n in range(1, max_n + 1)
         for src, dst in (
             ("matched", f"matched_{n}"),
             ("cand_total", f"cand_{n}"),
             ("ref_total", f"ref_{n}"),
-        ):
-            agg_cols.append(
-                F.coalesce(
-                    F.sum(F.when(F.col("n") == n, F.col(src))), F.lit(0)
-                ).alias(dst)
-            )
+        )
+    ]
     if group_cols:
         flat = cells.groupBy(*group_cols).agg(*agg_cols)
     else:
         flat = cells.agg(*agg_cols)
-    p_sum = F.lit(0.0)
-    r_sum = F.lit(0.0)
-    for n in range(1, max_n + 1):
-        p_sum = p_sum + F.when(F.col(f"cand_{n}") == 0, F.lit(0.0)).otherwise(
-            F.col(f"matched_{n}").cast("double")
-            / F.col(f"cand_{n}").cast("double")
-        )
-        r_sum = r_sum + F.when(F.col(f"ref_{n}") == 0, F.lit(0.0)).otherwise(
-            F.col(f"matched_{n}").cast("double")
-            / F.col(f"ref_{n}").cast("double")
-        )
-    chr_p = p_sum / F.lit(float(max_n))
-    chr_r = r_sum / F.lit(float(max_n))
-    bb = F.lit(float(beta) * float(beta))
-    denom = bb * chr_p + chr_r
+    p_sum = "0.0D" + "".join(
+        f" + (CASE WHEN cand_{n} = 0 THEN 0.0D ELSE"
+        f" CAST(matched_{n} AS DOUBLE) / CAST(cand_{n} AS DOUBLE) END)"
+        for n in range(1, max_n + 1)
+    )
+    r_sum = "0.0D" + "".join(
+        f" + (CASE WHEN ref_{n} = 0 THEN 0.0D ELSE"
+        f" CAST(matched_{n} AS DOUBLE) / CAST(ref_{n} AS DOUBLE) END)"
+        for n in range(1, max_n + 1)
+    )
+    mx = repr(float(max_n))
+    chr_p = f"(({p_sum}) / {mx}D)"
+    chr_r = f"(({r_sum}) / {mx}D)"
+    bb = repr(float(beta) * float(beta))
+    denom = f"({bb}D * {chr_p} + {chr_r})"
     out_cols = [F.col(c) for c in group_cols]
-    for n in range(1, max_n + 1):
-        out_cols += [
-            F.col(f"matched_{n}"),
-            F.col(f"cand_{n}"),
-            F.col(f"ref_{n}"),
-        ]
     out_cols += [
-        chr_p.alias("chr_p"),
-        chr_r.alias("chr_r"),
-        F.when(denom == F.lit(0.0), F.lit(0.0))
-        .otherwise(
-            F.round((F.lit(1.0) + bb) * chr_p * chr_r / denom, 6)
-        )
-        .alias("chrf6"),
+        F.col(c)
+        for n in range(1, max_n + 1)
+        for c in (f"matched_{n}", f"cand_{n}", f"ref_{n}")
+    ]
+    out_cols += [
+        F.expr(f"{chr_p} AS chr_p"),
+        F.expr(f"{chr_r} AS chr_r"),
+        F.expr(
+            f"CASE WHEN {denom} = 0.0D THEN 0.0D ELSE"
+            f" round((1.0D + {bb}D) * {chr_p} * {chr_r} / {denom}, 6)"
+            f" END AS chrf6"
+        ),
     ]
     return flat.select(*out_cols)
 
