@@ -1385,6 +1385,124 @@ def qa_em_f1(
     ).select(*out_grp, F.col("_qid").alias(qid_col), "n_golds", "em", "f1_6")
 
 
+def _qa_em_f1_paired(
+    df: DataFrame,
+    qid_col: str,
+    pred_a_col: str,
+    pred_b_col: str,
+    gold_col: str,
+) -> DataFrame:
+    """Both systems' QA grades in ONE corpus pass — the WER
+    both-sides-in-one-projection pattern applied to :func:`qa_em_f1`
+    for :func:`qa_paired_bootstrap`, which previously ran the full
+    grading pipeline once per side (two rows projections, two dedupe
+    shuffles, two gold-token explodes) and then joined the sides back
+    on the question id.  Under the paired contract (one row per
+    (question, gold alternative) with BOTH predictions repeated) the
+    alternatives are the same relation on both sides, so the rows
+    projection, the per-(question, alternative) dedupe, and the gold
+    count explode are computed once and SHARED; only the pred-token
+    counts and the intersection joins stay per side — the same
+    expressions as the one-sided grader, verbatim, per side.
+
+    Returns one row per question:
+    ``(_qid, _em_a, _f1_a, _em_b, _f1_b)`` — each side's ``em``/
+    ``f1_6`` bit-identical to ``qa_em_f1(df, qid, pred_side, gold)``
+    (asserted in tests/test_evalmetrics.py), with the side join
+    eliminated by construction.
+    """
+    gtoks = F.array_remove(F.split(qa_normalize(F.col(gold_col)), " "), "")
+
+    def side_cols(pred_col, s):
+        ptoks = F.array_remove(
+            F.split(qa_normalize(F.col(pred_col)), " "), ""
+        )
+        return [
+            F.md5(qa_normalize(F.col(pred_col))).alias(f"_pk{s}"),
+            (qa_normalize(F.col(pred_col)) == qa_normalize(F.col(gold_col)))
+            .cast("int")
+            .alias(f"_em{s}"),
+            F.size(ptoks).cast("long").alias(f"_lp{s}"),
+            ptoks.alias(f"_pt{s}"),
+        ]
+
+    rows = df.select(
+        F.col(qid_col).alias("_qid"),
+        *side_cols(pred_a_col, "a"),
+        *side_cols(pred_b_col, "b"),
+        F.md5(qa_normalize(F.col(gold_col))).alias("_ak"),
+        F.size(gtoks).cast("long").alias("_lg"),
+        gtoks.alias("_gt"),
+    )
+    from .fanout import pin
+
+    # one dedupe for both sides: under the paired contract _pka/_pkb
+    # are constant per question, so the key set equals each side's
+    # (qid, pk, ak) dedupe; the pin shares the materialization across
+    # the five consumers below
+    pairs = pin(rows.dropDuplicates(["_qid", "_pka", "_pkb", "_ak"]))
+
+    def pred_counts(s):
+        return (
+            pairs.select("_qid", f"_pk{s}", f"_pt{s}")
+            .dropDuplicates(["_qid", f"_pk{s}"])
+            .select("_qid", F.explode(f"_pt{s}").alias("_w"))
+            .groupBy("_qid", "_w")
+            .agg(F.count(F.lit(1)).alias("_cp"))
+        )
+
+    gc = (
+        pairs.select("_qid", "_ak", F.explode("_gt").alias("_w"))
+        .groupBy("_qid", "_ak", "_w")
+        .agg(F.count(F.lit(1)).alias("_cg"))
+    )
+    gc = pin(gc)  # consumed by both sides' intersection joins
+
+    def matched(s):
+        return (
+            pred_counts(s)
+            .join(gc, ["_qid", "_w"], "inner")
+            .groupBy("_qid", "_ak")
+            .agg(F.sum(F.least("_cp", "_cg")).cast("long").alias(f"_m{s}"))
+        )
+
+    def f1(s):
+        return F.when(
+            (F.col(f"_lp{s}") == 0) | (F.col("_lg") == 0),
+            F.col(f"_em{s}").cast("double"),
+        ).otherwise(
+            F.round(
+                F.lit(2.0)
+                * F.col(f"_m{s}").cast("double")
+                / (F.col(f"_lp{s}") + F.col("_lg")).cast("double"),
+                6,
+            )
+        )
+
+    per_alt = (
+        pairs.select(
+            "_qid", "_ak", "_ema", "_lpa", "_emb", "_lpb", "_lg"
+        )
+        .join(matched("a"), ["_qid", "_ak"], "left")
+        .join(matched("b"), ["_qid", "_ak"], "left")
+        .withColumn("_ma", F.coalesce(F.col("_ma"), F.lit(0)))
+        .withColumn("_mb", F.coalesce(F.col("_mb"), F.lit(0)))
+        .select(
+            "_qid",
+            "_ema",
+            "_emb",
+            f1("a").alias("_f1a"),
+            f1("b").alias("_f1b"),
+        )
+    )
+    return per_alt.groupBy("_qid").agg(
+        F.max("_ema").cast("int").alias("_em_a"),
+        F.max("_f1a").alias("_f1_a"),
+        F.max("_emb").cast("int").alias("_em_b"),
+        F.max("_f1b").alias("_f1_b"),
+    )
+
+
 def _qa_finisher_cols():
     """The QA finisher — shared VERBATIM between :func:`qa_report`
     (one-shot and grouped) and :func:`qa_from_store`, so grouped ==
@@ -4566,28 +4684,23 @@ def qa_paired_bootstrap(
     bootstraps carry both harness shapes: cell-weighted BLEU/chrF/
     WER/ROUGE and per-item-weighted nDCG, which this instantiates).
 
-    100 TB shape: the expensive part is the two :func:`qa_em_f1`
-    passes (answer-token-sized exchanges, see there); the resample
-    explodes O(questions * n_boot) SCALAR grade rows — two integers
-    and one decimal each, never text.
+    100 TB shape: the expensive part is the grading pass
+    (:func:`_qa_em_f1_paired` — ONE shared rows projection / dedupe /
+    gold-count explode for both sides, answer-token-sized exchanges);
+    the resample explodes O(questions * n_boot) SCALAR grade rows —
+    two integers and one decimal each, never text.
     """
     if n_boot < 2:
         raise ValueError(f"n_boot must be >= 2, got {n_boot}")
     from .dedup import _md5_long
 
-    per_a = qa_em_f1(df, qid_col, pred_a_col, gold_col).select(
-        F.col(qid_col).alias("_qid"),
-        F.col("em").alias("_em_a"),
-        F.col("f1_6").alias("_f1_a"),
-    )
-    per_b = qa_em_f1(df, qid_col, pred_b_col, gold_col).select(
-        F.col(qid_col).alias("_qid"),
-        F.col("em").alias("_em_b"),
-        F.col("f1_6").alias("_f1_b"),
-    )
     from .fanout import spread
 
-    j = per_a.join(per_b, "_qid")
+    # both sides graded in ONE shared pass (rows projection, dedupe,
+    # gold counts computed once — see _qa_em_f1_paired); the previous
+    # shape ran the full qa_em_f1 pipeline per side and joined on the
+    # question id
+    j = _qa_em_f1_paired(df, qid_col, pred_a_col, pred_b_col, gold_col)
     # b = -1 is the weight-1 full-corpus pseudo-replicate (the
     # bleu_paired_bootstrap pattern): the two qa_report passes this
     # replaces re-ran the whole qa_em_f1 pipeline per side; the full

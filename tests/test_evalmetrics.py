@@ -3770,3 +3770,37 @@ def test_pass_at_k_store_stream_matches_one_shot(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="positive ints"):
         em.pass_at_k_from_store(spark, path, ks=(0,))
+
+
+def test_qa_em_f1_paired_matches_per_side_graders(spark):
+    """_qa_em_f1_paired (the shared-pass grader qa_paired_bootstrap
+    uses) is bit-identical per side to two independent qa_em_f1 runs,
+    across multi-alternative, duplicate-alternative, empty-normalize,
+    and clipped-multiset edge cases."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = spark.createDataFrame(
+        [
+            (1, "the cat sat", "sat cat the", "a cat sat"),
+            (1, "the cat sat", "sat cat the", "the dog ran"),
+            (1, "the cat sat", "sat cat the", "A Cat Sat!"),
+            (2, "", "no answer", "no answer"),
+            (2, "", "no answer", ""),
+            (3, "alpha beta beta", "alpha", "beta alpha"),
+            (4, "x y z", "q r s", "x q z"),
+        ],
+        "qid long, pa string, pb string, gold string",
+    )
+    paired = {
+        r["_qid"]: r.asDict()
+        for r in em._qa_em_f1_paired(rows, "qid", "pa", "pb", "gold").collect()
+    }
+    for side, col in (("a", "pa"), ("b", "pb")):
+        solo = {
+            r["qid"]: r.asDict()
+            for r in em.qa_em_f1(rows, "qid", col, "gold").collect()
+        }
+        assert set(solo) == set(paired)
+        for qid, want in solo.items():
+            assert paired[qid][f"_em_{side}"] == want["em"], (side, qid)
+            assert paired[qid][f"_f1_{side}"] == want["f1_6"], (side, qid)
