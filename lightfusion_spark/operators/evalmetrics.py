@@ -262,6 +262,184 @@ def bleu_cells(
     return cells
 
 
+def _seq_cells_paired(
+    df: DataFrame,
+    id_col: str,
+    cand_a_col: str,
+    cand_b_col: str,
+    ref_col: str,
+    max_n: int,
+    chars: bool,
+) -> DataFrame:
+    """BOTH systems' per-pair metric cells in ONE Arrow fold — the
+    shared-pass backbone of :func:`bleu_paired_bootstrap` and
+    :func:`chrf_paired_bootstrap`, which previously ran
+    ``bleu_cells``/``chrf_cells`` once per side: two corpus folds,
+    each tokenizing and Counter-ing the SAME reference.  One row per
+    (pair, order): ``(_grp, n, matched_a, cand_total_a, matched_b,
+    cand_total_b, ref_total)`` — the reference grams are counted once
+    and clipped against each side with the per-side folds' exact
+    counting logic (same tuple/substring grams, same multiset min).
+
+    ``chars`` selects the chrF projection (lowercase, whitespace
+    stripped, character substr grams) over the BLEU one (shared
+    ``_tok`` whitespace tokens, tuple grams)."""
+    from .fanout import fan_out
+
+    keep = list(dict.fromkeys([id_col, cand_a_col, cand_b_col, ref_col]))
+    src = fan_out(df.select(*keep))
+    if chars:
+        proj = lambda c: F.regexp_replace(F.lower(c), r"\s+", "")  # noqa: E731
+    else:
+        proj = _tok
+    base = src.select(
+        F.col(id_col).cast("string").alias("_grp"),
+        proj(F.col(cand_a_col)).alias("ca"),
+        proj(F.col(cand_b_col)).alias("cb"),
+        proj(F.col(ref_col)).alias("rf"),
+    )
+
+    def fold(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        stats: dict = {}
+
+        def grams(s, n):
+            if chars:
+                return Counter(s[i : i + n] for i in range(len(s) - n + 1))
+            return Counter(
+                tuple(s[i : i + n]) for i in range(len(s) - n + 1)
+            )
+
+        def bump(key, a, b, r):
+            cells = stats.get(key)
+            if cells is None:
+                cells = stats[key] = [
+                    [0] * (max_n + 1) for _ in range(5)
+                ]  # ma, ca, mb, cb, rt
+            ma, ca, mb, cb, rt = cells
+            for n in range(1, max_n + 1):
+                rg = grams(r, n)
+                ag = grams(a, n)
+                bg = grams(b, n)
+                rt[n] += sum(rg.values())
+                ca[n] += sum(ag.values())
+                cb[n] += sum(bg.values())
+                ma[n] += sum(
+                    min(k_c, rg[g]) for g, k_c in ag.items() if g in rg
+                )
+                mb[n] += sum(
+                    min(k_c, rg[g]) for g, k_c in bg.items() if g in rg
+                )
+
+        empty = "" if chars else []
+        for pdf in batches:
+            for g, a, b, r in zip(
+                pdf["_grp"], pdf["ca"], pdf["cb"], pdf["rf"]
+            ):
+                a = a if a is not None else empty
+                b = b if b is not None else empty
+                r = r if r is not None else empty
+                if not chars:
+                    a, b, r = list(a), list(b), list(r)
+                bump(g, a, b, r)
+        orders = list(range(1, max_n + 1))
+        out = {
+            "_grp": [],
+            "n": [],
+            "matched_a": [],
+            "cand_total_a": [],
+            "matched_b": [],
+            "cand_total_b": [],
+            "ref_total": [],
+        }
+        for key, (ma, ca, mb, cb, rt) in stats.items():
+            out["_grp"].extend([key] * max_n)
+            out["n"].extend(orders)
+            out["matched_a"].extend(ma[1:])
+            out["cand_total_a"].extend(ca[1:])
+            out["matched_b"].extend(mb[1:])
+            out["cand_total_b"].extend(cb[1:])
+            out["ref_total"].extend(rt[1:])
+        yield pd.DataFrame(out)
+
+    schema = (
+        "_grp string, n int, matched_a long, cand_total_a long,"
+        " matched_b long, cand_total_b long, ref_total long"
+    )
+    return (
+        base.mapInPandas(fold, schema=schema)
+        .groupBy("_grp", "n")
+        .agg(
+            F.sum("matched_a").cast("long").alias("matched_a"),
+            F.sum("cand_total_a").cast("long").alias("cand_total_a"),
+            F.sum("matched_b").cast("long").alias("matched_b"),
+            F.sum("cand_total_b").cast("long").alias("cand_total_b"),
+            F.sum("ref_total").cast("long").alias("ref_total"),
+        )
+    )
+
+
+def _paired_seq_replicates(
+    cells: DataFrame, n_boot: int, seed: int
+) -> DataFrame:
+    """Shared explode + per-(replicate, order) aggregation over
+    :func:`_seq_cells_paired` rows: ONE md5/ppm weight per (pair,
+    replicate) — the pairing property means both sides share it — and
+    ONE exchange carrying both sides' weighted sums.  Returns the
+    pinned ``(b, n, matched_a, cand_total_a, matched_b, cand_total_b,
+    ref_total)`` frame ((n_boot+1) * max_n rows) that each side's
+    finisher projects from."""
+    from .dedup import _md5_long
+    from .fanout import pin, spread
+
+    reps = spread(cells).select(
+        "*",
+        F.explode(F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))).alias("b"),
+    )
+    h6 = (
+        _md5_long(
+            F.concat_ws(":", F.col("_grp"), F.col("b").cast("string")),
+            seed=seed,
+        )
+        % F.lit(1_000_000)
+    )
+    w = F.when(F.col("b") == -1, F.lit(1)).otherwise(_poisson1_weight(h6))
+    weighted = reps.select(
+        F.col("b"),
+        F.col("n"),
+        (F.col("matched_a") * w).cast("long").alias("matched_a"),
+        (F.col("cand_total_a") * w).cast("long").alias("cand_total_a"),
+        (F.col("matched_b") * w).cast("long").alias("matched_b"),
+        (F.col("cand_total_b") * w).cast("long").alias("cand_total_b"),
+        (F.col("ref_total") * w).cast("long").alias("ref_total"),
+    )
+    return pin(
+        weighted.groupBy("b", "n").agg(
+            F.sum("matched_a").cast("long").alias("matched_a"),
+            F.sum("cand_total_a").cast("long").alias("cand_total_a"),
+            F.sum("matched_b").cast("long").alias("matched_b"),
+            F.sum("cand_total_b").cast("long").alias("cand_total_b"),
+            F.sum("ref_total").cast("long").alias("ref_total"),
+        )
+    )
+
+
+def _side_cells(agg: DataFrame, side: str) -> DataFrame:
+    """Project one system's ``(b, n, matched, cand_total, ref_total)``
+    view from the shared paired aggregate — the shape the one-shot
+    finishers consume VERBATIM."""
+    return agg.select(
+        "b",
+        "n",
+        F.col(f"matched_{side}").alias("matched"),
+        F.col(f"cand_total_{side}").alias("cand_total"),
+        F.col("ref_total"),
+    )
+
+
 def corpus_bleu_from_cells(
     cells: DataFrame, max_n: int = 4, group_cols: tuple = ()
 ) -> DataFrame:
@@ -442,58 +620,29 @@ def bleu_paired_bootstrap(
     weight-1 pseudo-replicate (cells are additive, so weight-1 sums ARE
     the one-shot corpus cells and the shared finisher yields
     :func:`corpus_bleu` bit for bit — the binary-bootstrap harness
-    pattern): each side makes ONE text pass, not two, and replicate
-    summary + full scores come out of ONE conditional aggregation over
-    the joined per-replicate scores (a second consumer of the cells
-    would re-run the whole text pass — the ``b``-filters push below the
-    aggregation, so exchange reuse never fires; measured, not assumed).
+    pattern).  Both systems' cells come out of ONE shared Arrow fold
+    (:func:`_seq_cells_paired` — the reference is tokenized and
+    Counter-ed once, not once per side), one explode carries one
+    md5/ppm weight per (pair, replicate) for both sides (pairing means
+    the weights are shared), and one per-(replicate, order) aggregation
+    feeds each side's :func:`corpus_bleu_from_cells` VERBATIM off a
+    pinned (n_boot+1) * max_n-row frame.
     """
     if n_boot < 2:
         raise ValueError(f"n_boot must be >= 2, got {n_boot}")
-    from .dedup import _md5_long
 
-    def replicate_scores(cand_col, side):
-        from .fanout import spread
+    cells = _seq_cells_paired(
+        df, id_col, cand_a_col, cand_b_col, ref_col, max_n, chars=False
+    )
+    agg = _paired_seq_replicates(cells, n_boot, seed)
 
-        cells = bleu_cells(
-            df, id_col, cand_col, ref_col, max_n=max_n, group_col=id_col
-        ).withColumnRenamed(id_col, "_id")
-        # spread() before the n_boot explode: AQE coalesces the small
-        # cells frame to one partition by bytes, which would run the
-        # 33x-amplified md5/weight CPU on one core (fanout.spread)
-        reps = spread(cells).select(
-            "*",
-            F.explode(
-                F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))
-            ).alias("b"),
-        )
-        h6 = (
-            _md5_long(
-                F.concat_ws(
-                    ":", F.col("_id"), F.col("b").cast("string")
-                ),
-                seed=seed,
-            )
-            % F.lit(1_000_000)
-        )
-        w = F.when(F.col("b") == -1, F.lit(1)).otherwise(
-            _poisson1_weight(h6)
-        )
-        weighted = reps.select(
-            F.col("b"),
-            F.col("n"),
-            (F.col("matched") * w).cast("long").alias("matched"),
-            (F.col("cand_total") * w).cast("long").alias("cand_total"),
-            (F.col("ref_total") * w).cast("long").alias("ref_total"),
-        )
+    def replicate_scores(side):
         scored = corpus_bleu_from_cells(
-            weighted, max_n=max_n, group_cols=("b",)
+            _side_cells(agg, side), max_n=max_n, group_cols=("b",)
         )
         return scored.select(F.col("b"), F.col("bleu6").alias(f"bleu_{side}"))
 
-    per_b = replicate_scores(cand_a_col, "a").join(
-        replicate_scores(cand_b_col, "b"), "b"
-    )
+    per_b = replicate_scores("a").join(replicate_scores("b"), "b")
     pb = per_b.select(
         "b",
         "bleu_a",
@@ -753,51 +902,26 @@ def chrf_paired_bootstrap(
     """
     if n_boot < 2:
         raise ValueError(f"n_boot must be >= 2, got {n_boot}")
-    from .dedup import _md5_long
 
-    def replicate_scores(cand_col, side):
-        from .fanout import spread
+    # b = -1 is the weight-1 full-corpus pseudo-replicate (the
+    # bleu_paired_bootstrap pattern); both systems' cells come out of
+    # ONE shared char-gram Arrow fold (_seq_cells_paired — the
+    # reference is stripped and Counter-ed once), one explode carries
+    # one shared md5/ppm weight per (pair, replicate), and each side's
+    # chrf_from_cells finisher projects VERBATIM off the pinned
+    # per-(replicate, order) aggregate.
+    cells = _seq_cells_paired(
+        df, id_col, cand_a_col, cand_b_col, ref_col, max_n, chars=True
+    )
+    agg = _paired_seq_replicates(cells, n_boot, seed)
 
-        # b = -1 is the weight-1 full-corpus pseudo-replicate (the
-        # bleu_paired_bootstrap pattern): one text pass per side, full
-        # scores and replicate summary out of ONE aggregation below;
-        # spread() pins the n_boot explode wide (fanout.spread)
-        cells = chrf_cells(
-            df, id_col, cand_col, ref_col, max_n=max_n, group_col=id_col
-        ).withColumnRenamed(id_col, "_id")
-        reps = spread(cells).select(
-            "*",
-            F.explode(
-                F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))
-            ).alias("b"),
-        )
-        h6 = (
-            _md5_long(
-                F.concat_ws(
-                    ":", F.col("_id"), F.col("b").cast("string")
-                ),
-                seed=seed,
-            )
-            % F.lit(1_000_000)
-        )
-        w = F.when(F.col("b") == -1, F.lit(1)).otherwise(
-            _poisson1_weight(h6)
-        )
-        weighted = reps.select(
-            F.col("b"),
-            F.col("n"),
-            (F.col("matched") * w).cast("long").alias("matched"),
-            (F.col("cand_total") * w).cast("long").alias("cand_total"),
-            (F.col("ref_total") * w).cast("long").alias("ref_total"),
-        )
+    def replicate_scores(side):
         scored = chrf_from_cells(
-            weighted, max_n=max_n, beta=beta, group_cols=("b",)
+            _side_cells(agg, side), max_n=max_n, beta=beta, group_cols=("b",)
         )
         return scored.select(F.col("b"), F.col("chrf6").alias(f"chrf_{side}"))
 
-    per_b = replicate_scores(cand_a_col, "a").join(
-        replicate_scores(cand_b_col, "b"), "b"
-    )
+    per_b = replicate_scores("a").join(replicate_scores("b"), "b")
     pb = per_b.select(
         "b",
         "chrf_a",
@@ -879,52 +1003,53 @@ def rouge_paired_bootstrap(
     if n_boot < 2:
         raise ValueError(f"n_boot must be >= 2, got {n_boot}")
     from .dedup import _md5_long
+    from .fanout import spread
 
-    def replicate_scores(cand_col, side):
-        from .fanout import spread
+    # b = -1 is the weight-1 full-corpus pseudo-replicate (the
+    # bleu_paired_bootstrap pattern); both systems' cells come out of
+    # ONE shared fold pair (_rouge_cells_paired — the reference is
+    # tokenized / Hyyrö-masked once, not once per side), the explode
+    # carries one shared md5/ppm weight per (pair, replicate), one
+    # per-(metric, replicate) aggregation sums both sides, and the
+    # per-replicate side join disappears — both sides' F1 read off the
+    # same row.  spread() pins the explode wide (fanout.spread).
+    cells = _rouge_cells_paired(
+        df, id_col, cand_a_col, cand_b_col, ref_col, max_n=max_n
+    )
+    reps = spread(cells).select(
+        "*",
+        F.explode(F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))).alias("b"),
+    )
+    h6 = (
+        _md5_long(
+            F.concat_ws(":", F.col("_grp"), F.col("b").cast("string")),
+            seed=seed,
+        )
+        % F.lit(1_000_000)
+    )
+    w = F.when(F.col("b") == -1, F.lit(1)).otherwise(_poisson1_weight(h6))
+    agg = reps.groupBy("metric", "b").agg(
+        F.sum(F.col("matched_a") * w).cast("long").alias("matched_a"),
+        F.sum(F.col("cand_total_a") * w).cast("long").alias("cand_total_a"),
+        F.sum(F.col("matched_b") * w).cast("long").alias("matched_b"),
+        F.sum(F.col("cand_total_b") * w).cast("long").alias("cand_total_b"),
+        F.sum(F.col("ref_total") * w).cast("long").alias("ref_total"),
+    )
 
-        # b = -1 is the weight-1 full-corpus pseudo-replicate (the
-        # bleu_paired_bootstrap pattern): one pair of Arrow folds per
-        # side instead of two, full scores from the same additive
-        # cells; spread() pins the n_boot explode wide (fanout.spread)
-        cells = _rouge_cells(
-            df, id_col, cand_col, ref_col, max_n=max_n, group_col=id_col
-        ).withColumnRenamed(id_col, "_id")
-        reps = spread(cells).select(
-            "*",
-            F.explode(
-                F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))
-            ).alias("b"),
-        )
-        h6 = (
-            _md5_long(
-                F.concat_ws(":", F.col("_id"), F.col("b").cast("string")),
-                seed=seed,
-            )
-            % F.lit(1_000_000)
-        )
-        w = F.when(F.col("b") == -1, F.lit(1)).otherwise(
-            _poisson1_weight(h6)
-        )
-        agg = reps.groupBy("metric", "b").agg(
-            F.sum(F.col("matched") * w).cast("long").alias("matched"),
-            F.sum(F.col("cand_total") * w).cast("long").alias("cand_total"),
-            F.sum(F.col("ref_total") * w).cast("long").alias("ref_total"),
-        )
-        f1 = F.when(
-            (F.col("cand_total") + F.col("ref_total")) > 0,
+    def f1(side):
+        return F.when(
+            (F.col(f"cand_total_{side}") + F.col("ref_total")) > 0,
             F.round(
                 F.lit(2.0)
-                * F.col("matched").cast("double")
-                / (F.col("cand_total") + F.col("ref_total")).cast("double"),
+                * F.col(f"matched_{side}").cast("double")
+                / (
+                    F.col(f"cand_total_{side}") + F.col("ref_total")
+                ).cast("double"),
                 6,
             ),
         )
-        return agg.select("metric", "b", f1.alias(f"f1_{side}"))
 
-    scored_a = replicate_scores(cand_a_col, "a")
-    scored_b = replicate_scores(cand_b_col, "b")
-    per_b = scored_a.join(scored_b, ["metric", "b"])
+    per_b = agg.select("metric", "b", f1("a").alias("f1_a"), f1("b").alias("f1_b"))
     pb = per_b.select(
         "metric",
         "b",
@@ -1782,6 +1907,136 @@ def corpus_rouge(
     return _rouge_finish(
         _rouge_cells(df, id_col, cand_col, ref_col, max_n=max_n)
     )
+
+
+def _lcs_cells_paired(
+    df: DataFrame,
+    id_col: str,
+    cand_a_col: str,
+    cand_b_col: str,
+    ref_col: str,
+) -> DataFrame:
+    """Both systems' per-pair ROUGE-L cells in ONE Arrow fold — the
+    :func:`_seq_cells_paired` companion for :func:`lcs_cells`: the
+    reference is tokenized and its Hyyrö bit-mask table built once per
+    pair, then the bit-parallel scan runs once per side (the same
+    recurrence as the one-sided fold, verbatim).  One row per pair:
+    ``(_grp, matched_a, cand_total_a, matched_b, cand_total_b,
+    ref_total)``."""
+    from .fanout import fan_out
+
+    keep = list(dict.fromkeys([id_col, cand_a_col, cand_b_col, ref_col]))
+    src = fan_out(df.select(*keep))
+    base = src.select(
+        F.col(id_col).cast("string").alias("_grp"),
+        _tok(F.col(cand_a_col)).alias("ca"),
+        _tok(F.col(cand_b_col)).alias("cb"),
+        _tok(F.col(ref_col)).alias("rt"),
+    )
+
+    def fold(batches):
+        import pandas as pd
+
+        stats: dict = {}
+
+        def lcs(c, pm, m, ones):
+            if m == 0 or not c:
+                return 0
+            v = ones
+            for tok in c:
+                u = v & pm.get(tok, 0)
+                v = ((v + u) | (v - u)) & ones
+            return m - bin(v).count("1")
+
+        for pdf in batches:
+            for g, ca, cb, rt in zip(
+                pdf["_grp"], pdf["ca"], pdf["cb"], pdf["rt"]
+            ):
+                cells = stats.get(g)
+                if cells is None:
+                    cells = stats[g] = [0, 0, 0, 0, 0]
+                a = list(ca) if ca is not None else []
+                b = list(cb) if cb is not None else []
+                r = list(rt) if rt is not None else []
+                m = len(r)
+                cells[1] += len(a)
+                cells[3] += len(b)
+                cells[4] += m
+                pm: dict = {}
+                for i, t in enumerate(r):
+                    pm[t] = pm.get(t, 0) | (1 << i)
+                ones = (1 << m) - 1
+                cells[0] += lcs(a, pm, m, ones)
+                cells[2] += lcs(b, pm, m, ones)
+        out = {
+            "_grp": [],
+            "matched_a": [],
+            "cand_total_a": [],
+            "matched_b": [],
+            "cand_total_b": [],
+            "ref_total": [],
+        }
+        for key, (ma, ca_t, mb, cb_t, rt_t) in stats.items():
+            out["_grp"].append(key)
+            out["matched_a"].append(ma)
+            out["cand_total_a"].append(ca_t)
+            out["matched_b"].append(mb)
+            out["cand_total_b"].append(cb_t)
+            out["ref_total"].append(rt_t)
+        yield pd.DataFrame(out)
+
+    schema = (
+        "_grp string, matched_a long, cand_total_a long,"
+        " matched_b long, cand_total_b long, ref_total long"
+    )
+    return (
+        base.mapInPandas(fold, schema=schema)
+        .groupBy("_grp")
+        .agg(
+            F.sum("matched_a").cast("long").alias("matched_a"),
+            F.sum("cand_total_a").cast("long").alias("cand_total_a"),
+            F.sum("matched_b").cast("long").alias("matched_b"),
+            F.sum("cand_total_b").cast("long").alias("cand_total_b"),
+            F.sum("ref_total").cast("long").alias("ref_total"),
+        )
+    )
+
+
+def _rouge_cells_paired(
+    df: DataFrame,
+    id_col: str,
+    cand_a_col: str,
+    cand_b_col: str,
+    ref_col: str,
+    max_n: int = 2,
+) -> DataFrame:
+    """Both systems' metric-keyed per-pair ROUGE cells — the paired
+    union of :func:`_seq_cells_paired` (``rouge<n>``) and
+    :func:`_lcs_cells_paired` (``rougeL``), for
+    :func:`rouge_paired_bootstrap`."""
+    ng = _seq_cells_paired(
+        df, id_col, cand_a_col, cand_b_col, ref_col, max_n, chars=False
+    ).select(
+        "_grp",
+        F.concat(F.lit("rouge"), F.col("n").cast("string")).alias("metric"),
+        "matched_a",
+        "cand_total_a",
+        "matched_b",
+        "cand_total_b",
+        "ref_total",
+    )
+    lcs = _lcs_cells_paired(
+        df, id_col, cand_a_col, cand_b_col, ref_col
+    ).select(
+        "_grp",
+        F.lit("rougeL").alias("metric"),
+        "matched_a",
+        "cand_total_a",
+        "matched_b",
+        "cand_total_b",
+        "ref_total",
+    )
+    return ng.unionByName(lcs)
 
 
 def _rouge_cells(

@@ -3804,3 +3804,51 @@ def test_qa_em_f1_paired_matches_per_side_graders(spark):
         for qid, want in solo.items():
             assert paired[qid][f"_em_{side}"] == want["em"], (side, qid)
             assert paired[qid][f"_f1_{side}"] == want["f1_6"], (side, qid)
+
+
+def test_paired_seq_and_lcs_cells_match_per_side_folds(spark):
+    """_seq_cells_paired / _lcs_cells_paired (the shared-pass folds the
+    BLEU/chrF/ROUGE bootstraps use) produce, per side, exactly the
+    per-pair cells of the one-sided bleu_cells / chrf_cells /
+    lcs_cells folds — across empty, whitespace-only, and repeated-gram
+    edge cases."""
+    from lightfusion_spark.operators import evalmetrics as em
+
+    rows = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "cat the sat", "the cat sat"),
+            (2, "", "x", "a b c"),
+            (3, "a a a b", "b a", "a a b"),
+            (4, "q w e", "", ""),
+        ],
+        "pid long, a string, b string, ref string",
+    )
+
+    def keyed(df, keys, vals):
+        return {
+            tuple(r[k] for k in keys): tuple(r[v] for v in vals)
+            for r in df.collect()
+        }
+
+    for chars, one_sided in ((False, em.bleu_cells), (True, em.chrf_cells)):
+        mx = 6 if chars else 4
+        paired = em._seq_cells_paired(rows, "pid", "a", "b", "ref", mx, chars)
+        got_a = keyed(paired, ["_grp", "n"], ["matched_a", "cand_total_a", "ref_total"])
+        got_b = keyed(paired, ["_grp", "n"], ["matched_b", "cand_total_b", "ref_total"])
+        for side_col, got in (("a", got_a), ("b", got_b)):
+            want = keyed(
+                one_sided(rows, "pid", side_col, "ref", max_n=mx, group_col="pid"),
+                ["pid", "n"],
+                ["matched", "cand_total", "ref_total"],
+            )
+            assert got == want, (chars, side_col)
+    lp = em._lcs_cells_paired(rows, "pid", "a", "b", "ref")
+    got_a = keyed(lp, ["_grp"], ["matched_a", "cand_total_a", "ref_total"])
+    got_b = keyed(lp, ["_grp"], ["matched_b", "cand_total_b", "ref_total"])
+    for side_col, got in (("a", got_a), ("b", got_b)):
+        want = keyed(
+            em.lcs_cells(rows, "pid", side_col, "ref", group_col="pid"),
+            ["pid"],
+            ["matched", "cand_total", "ref_total"],
+        )
+        assert got == want, side_col
