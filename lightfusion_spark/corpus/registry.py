@@ -60,89 +60,85 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: Curated export order.  The driver's correctness gate evaluates only the
 #: FIRST 50 ``queries()`` entries, so the names below are emitted first.
 #:
-#: Round-17 rotation (per the round-16 verdict's item 1; membership is
+#: Round-18 rotation (per the round-17 verdict's item 7; membership is
 #: DERIVED FROM DATA — ``python tools/backlog.py`` prints the
 #: stalest-first backlog from the committed CORRECTNESS_r*.json files,
 #: and tests/test_registry_window.py::test_window_takes_the_stalest_rows_first
 #: enforces the same derivation, scoped to the grade files this window
 #: was built against — see WINDOW_BUILT_FROM):
 #: 4 flagship Layer-A queries (windowed every round)
-#: + ALL 40 r11 rows — the entire stalest bucket in one stroke,
-#:   alphabetical (boilerplate lines, zipf, decontaminate, incremental
-#:   dedup, e2e model curation, BLEU, Cohen's kappa, winrate, the two
-#:   Kneser-Ney LM rows, MAD outliers, UniMax mixture, the two
-#:   multimodal codec rows, BPE pack, quality model, balanced shards,
-#:   IVF k-means, brute top-k, SimHash pairs, stratified split, the
-#:   three text rows, BPE tokenize, the three web-graph rows, and the
-#:   twelve r11 relational reps)
-#: + 6 of the 46 r12 rows (next-stalest bucket, alphabetical head: the
-#:   six events/timeseries rows — as-of bucketed, funnel, gapfill,
-#:   OHLC, range join, sessionize)
+#: + ALL 40 remaining r12 rows — the entire stalest bucket in one
+#:   stroke, alphabetical (windowed event stats, BPE chunking, corpus
+#:   health, the seven dedup rows, by-system BLEU, chrF, distinct-n,
+#:   Krippendorff, conversation/WARC ingest, unigram LM score, the six
+#:   multimodal codec rows, quality filter, the four IVF/top-k rows,
+#:   CMS sketch, BM25, PageRank, and the eight r12 relational reps)
+#: + 6 of the 46 r13 rows (next-stalest bucket, alphabetical head:
+#:   stream join, BPE train, conversation quality, fuzzy conversation
+#:   dedup, IVF embed top-k, BLEU bootstrap)
 #: 4+40+6 = 50 exactly.  After this round no registry row's last
-#: driver grade is older than r12.  Round-17 NEW faces (if any) take
-#: r12 slots via ordinary swaps (r12 rows are not stalest-bucket
-#: members) noted inline below.  Every rotated-out name was officially
-#: green in r10-r16 and moves to WINDOW_EXEMPT;
-#: tests/test_registry_window.py asserts every registered query is
-#: either in the current window or has a recorded green row from a
-#: past driver window, and tools/parity.py + CI keep sweeping the
-#: whole registry regardless.
+#: driver grade is older than r13.  Round-18 is an optimization round
+#: and adds no faces; the r13 tail (40 rows) heads the r19 backlog.
+#: Every rotated-out name was officially green in r11-r17 and moves to
+#: WINDOW_EXEMPT; tests/test_registry_window.py asserts every
+#: registered query is either in the current window or has a recorded
+#: green row from a past driver window, and tools/parity.py + CI keep
+#: sweeping the whole registry regardless.
 PRIORITY: list[str] = [
     # Layer A flagship (windowed every round)
     "lgbm_tsv_flagship",
     "lgbm_infer_embeddings",
     "argmax_embeddings",
     "settings_introspection",
-    # r11 block — the ENTIRE stalest bucket (40 rows), alphabetical
-    "pipe_boilerplate_lines",
-    "pipe_corpus_zipf",
-    "pipe_decontaminate",
-    "pipe_dedup_incremental",
-    "pipe_e2e_model_curation",
-    "pipe_eval_bleu",
-    "pipe_eval_kappa",
-    "pipe_eval_winrate",
-    "pipe_lm_kn_trigram",
-    "pipe_lm_kneser_ney",
-    "pipe_mad_outliers",
-    "pipe_mix_unimax",
-    "pipe_multimodal_codec",
-    "pipe_multimodal_decode",
-    "pipe_pack_bpe",
-    "pipe_quality_model",
-    "pipe_shard_balanced",
-    "pipe_sim_ivf_kmeans",
-    "pipe_sim_topk",
-    "pipe_simhash_pairs",
-    "pipe_split_stratified",
-    "pipe_text_entropy",
-    "pipe_text_langid",
-    "pipe_text_stats",
-    "pipe_tokenize_bpe",
-    "pipe_web_kcore",
-    "pipe_web_lpa",
-    "pipe_web_triangles",
-    "rel_agg_rollup",
-    "rel_approx_sketch",
-    "rel_case_when",
-    "rel_higher_order",
-    "rel_join_inner_agg",
-    "rel_recursive_cte",
-    "rel_scalar_string",
-    "rel_set_except",
-    "rel_sort_limit",
-    "rel_subquery_scalar",
-    "rel_tpch_q14_shape",
-    "rel_window_frame",
-    # r12 block — 6 rows, next-stalest bucket, alphabetical head; the
-    # remaining 40 r12 rows head the r18 backlog.  Round-17 new faces
-    # take slots from this block via ordinary swaps (noted inline).
-    "events_asof_bucketed",
-    "events_funnel",
-    "events_gapfill",
-    "events_ohlc",
-    "events_range_join",
-    "events_sessionize",
+    # r12 block — the ENTIRE stalest bucket (40 rows), alphabetical
+    "events_windowed_stats",
+    "pipe_chunk_bpe",
+    "pipe_corpus_health",
+    "pipe_dedup_components",
+    "pipe_dedup_conversations",
+    "pipe_dedup_minhash",
+    "pipe_dedup_minhash_incr",
+    "pipe_dedup_semantic",
+    "pipe_dedup_simhash",
+    "pipe_dedup_spans",
+    "pipe_dedup_turns",
+    "pipe_eval_bleu_by_system",
+    "pipe_eval_chrf",
+    "pipe_eval_distinct_n",
+    "pipe_eval_krippendorff",
+    "pipe_ingest_conversations",
+    "pipe_ingest_warc",
+    "pipe_lm_score",
+    "pipe_multimodal_flac",
+    "pipe_multimodal_jpeg",
+    "pipe_multimodal_mp4",
+    "pipe_multimodal_png",
+    "pipe_multimodal_video",
+    "pipe_multimodal_wav",
+    "pipe_quality_filter",
+    "pipe_sim_ivf_pq",
+    "pipe_sim_ivf_probe2",
+    "pipe_sim_recall_ivf",
+    "pipe_sim_topk_gemm",
+    "pipe_sketch_cms",
+    "pipe_text_bm25",
+    "pipe_web_pagerank",
+    "rel_explode",
+    "rel_filter_project",
+    "rel_join_right",
+    "rel_not_in_subquery",
+    "rel_salted_join",
+    "rel_union_all",
+    "rel_variant",
+    "rel_window_analytics",
+    # r13 block — 6 rows, next-stalest bucket, alphabetical head; the
+    # remaining 40 r13 rows head the r19 backlog.
+    "events_stream_join",
+    "pipe_bpe_train",
+    "pipe_conversation_quality",
+    "pipe_dedup_conversations_fuzzy",
+    "pipe_embed_ivf_topk",
+    "pipe_eval_bleu_bootstrap",
 ]
 
 #: Stalest-bucket rows EXPLICITLY displaced from the current window
@@ -150,7 +146,7 @@ PRIORITY: list[str] = [
 #: slot, but the trade must be recorded HERE, where
 #: tests/test_registry_window.py::test_window_takes_the_stalest_rows_first
 #: audits it against the CORRECTNESS record — never in a prose list
-#: that can drift).  Empty for round 17: the whole r11 bucket fit.
+#: that can drift).  Empty for round 18: the whole r12 bucket fit.
 WINDOW_DISPLACED: frozenset[str] = frozenset()
 
 #: The CORRECTNESS generation this window was BUILT against: the
@@ -163,7 +159,7 @@ WINDOW_DISPLACED: frozenset[str] = frozenset()
 #: from r09 to r10 and the test demanded the r16 rotation a round
 #: early.  tools/backlog.py stays UNSCOPED (it plans the NEXT window,
 #: so it should see every grade file); only the test pins.
-WINDOW_BUILT_FROM: int = 16
+WINDOW_BUILT_FROM: int = 17
 
 
 #: Queries intentionally OUTSIDE the driver's 50-entry window.  Every name

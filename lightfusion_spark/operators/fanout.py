@@ -48,16 +48,28 @@ def _max_partition_bytes(spark) -> int:
         return 128 * 1024 * 1024
 
 
-def scan_splits(df: DataFrame) -> int | None:
+def scan_splits(df: DataFrame, enough: int | None = None) -> int | None:
     """Estimated scan-task count of ``df``'s file source, or ``None``
     when the relation has no file source.  Metadata-only — reuses the
-    scan's already-resolved file index, no job, no extra listing."""
+    scan's already-resolved file index, no job, no extra listing.
+
+    ``enough`` short-circuits the per-file size lookup: every file packs
+    into at least one split, so ``len(files)`` is a lower bound on the
+    split count — when it already reaches ``enough``, the exact number
+    cannot change the caller's decision and the function returns the
+    bound without issuing a single ``getFileStatus`` RPC.  That keeps
+    plan construction O(1) driver calls on a warehouse table with 10^5
+    files, where the per-file loop would be minutes of namenode/object-
+    store latency for a branch that can never be taken.
+    """
     try:
         files = df.inputFiles()
     except Exception:  # pragma: no cover
         return None
     if not files:
         return None
+    if enough is not None and len(files) >= enough:
+        return len(files)
     spark = df.sparkSession
     mpb = _max_partition_bytes(spark)
     try:
@@ -86,7 +98,7 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     tgt = int(target) if target else int(spark.sparkContext.defaultParallelism)
     if tgt <= 1:
         return df
-    cur = scan_splits(df)
+    cur = scan_splits(df, enough=tgt)
     if cur is None or cur >= tgt:
         return df
     return df.repartition(tgt)

@@ -44,6 +44,27 @@ def test_fan_out_spreads_narrow_scan(spark, one_file_parquet):
     assert out.rdd.getNumPartitions() == target
 
 
+def test_scan_splits_enough_skips_file_stats(spark, tmp_path, monkeypatch):
+    # the wide-scan short-circuit: when the file count already reaches
+    # ``enough``, scan_splits must decide from the file list alone —
+    # zero per-file getFileStatus RPCs (a warehouse table can have 10^5
+    # files; the repartition branch can never fire there anyway)
+    path = str(tmp_path / "many.parquet")
+    spark.range(1000).repartition(6).write.parquet(path)
+    df = spark.read.parquet(path)
+    from lightfusion_spark.operators import fanout
+
+    def _boom(spark_):  # any stat attempt would need maxPartitionBytes first
+        raise AssertionError("file stats must not be consulted")
+
+    monkeypatch.setattr(fanout, "_max_partition_bytes", _boom)
+    assert fanout.scan_splits(df, enough=4) == 6
+    assert fanout.fan_out(df, target=4) is df
+    # below the bound the exact path still runs (and would call _boom)
+    with pytest.raises(AssertionError):
+        fanout.scan_splits(df, enough=100)
+
+
 def test_fan_out_noop_on_memory_relation(spark):
     df = spark.range(10)
     assert fan_out(df) is df

@@ -71,38 +71,31 @@ def test_window_covers_every_family():
     for name in exempt:
         assert name in REGISTRY, f"stale window_exempt entry {name}"
         assert name not in window, f"{name} exempted but wastes a window slot"
-    # One-plus representative per §2.3 category.  Round-17 rotation picks
+    # One-plus representative per §2.3 category.  Round-18 rotation picks
     # the stalest-verified sibling per category (everything below is an
-    # r11/r12 row; the r16-refreshed siblings ceded their slots — the
+    # r12/r13 row; the r17-refreshed siblings ceded their slots — the
     # established displacement precedent, each ceding family keeping an
-    # r15/r16-green recorded row).
+    # r16/r17-green recorded row).
     for name in (
-        # projection/filter, reshaping, and the Spark-4 surface stay
-        # repped by r12-r16-green recorded rows (rel_filter_project,
-        # rel_pivot/rel_unpivot, rel_variant, rel_group_by_all,
-        # rel_lateral_join, rel_tpch_pipe_syntax); the join kinds by
-        # the r15-green rel_join_* block, the window/lag analytics by
-        # the r16-green rel_window_lag/rel_topk_group, UDAF/UDTF by
-        # the r16-green udaf_mean_norm/udtf_split_words — all per the
+        # aggregations, subquery-scalar, recursive CTE, grouping sets,
+        # window frames, the scalar library, CASE, higher-order fns,
+        # approx sketches, set ops and sort+limit all hold FRESH
+        # r17-green recorded rows (rel_agg_rollup, rel_subquery_scalar,
+        # rel_recursive_cte, rel_window_frame, rel_scalar_string,
+        # rel_case_when, rel_higher_order, rel_approx_sketch,
+        # rel_set_except, rel_sort_limit, rel_tpch_q14_shape) and the
+        # six events/timeseries rows are r17-green — all per the
         # fresh-recorded-row pattern.
-        "rel_tpch_q14_shape",  # joins: the r11 TPC-H shape is the
-        "rel_join_inner_agg",  # join-heaviest row left in the bucket
-        "rel_subquery_scalar",  # subqueries (r11 — scalar subquery)
-        "rel_recursive_cte",  # recursive CTE (r11)
-        "rel_agg_rollup",  # aggregations (r11 — ROLLUP grouping sets)
-        "rel_window_frame",  # windows (r11 — explicit frames)
-        "rel_scalar_string",  # scalar library (r11)
-        "rel_case_when",
-        "rel_higher_order",  # array/lambda higher-order fns (r11)
-        "rel_approx_sketch",  # approximate / sketch family (r11)
-        "rel_set_except",  # set ops (r11)
-        "rel_sort_limit",  # global sort + limit (r11)
-        "events_asof_bucketed",  # timeseries family (r12 — bucketed
-        "events_range_join",  # as-of, range join, sessionize, OHLC,
-        "events_sessionize",  # funnel, gapfill)
-        "events_ohlc",
-        "events_funnel",
-        "events_gapfill",
+        "rel_filter_project",  # projection/filter (r12)
+        "rel_explode",  # reshaping / generators (r12)
+        "rel_join_right",  # join kinds (r12 — right outer)
+        "rel_salted_join",  # skew-salted join (r12)
+        "rel_not_in_subquery",  # subqueries (r12 — NOT IN null semantics)
+        "rel_union_all",  # set ops (r12)
+        "rel_variant",  # Spark-4 VARIANT surface (r12)
+        "rel_window_analytics",  # window analytics (r12)
+        "events_windowed_stats",  # timeseries family (r12); the other
+        "events_stream_join",  # six events rows keep r17-green rows
         "lgbm_infer_embeddings",  # UDF/Arrow crossing (flagship, every
         # round; grouped_map_centroid keeps its r14-green recorded row)
     ):
