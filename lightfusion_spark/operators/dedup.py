@@ -849,7 +849,11 @@ def _cc_two_phase(
                 F.col("dst").alias("src"),
                 F.least(F.col("_mn"), F.col("src")).alias("dst"),
             )
-            .distinct()
+            # no .distinct() here (r18): duplicates from mutual pairs in
+            # sym are absorbed by the min-aggregations and the round's
+            # final distinct, so the extra exchange bought nothing —
+            # result-identical by construction (A/B: same labels, same
+            # round count, one fewer shuffle stage per round).
         )
         # small-star over edges oriented large -> small
         directed = ls.select(

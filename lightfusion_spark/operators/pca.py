@@ -59,11 +59,16 @@ def column_means(df: DataFrame, vec_col: str) -> tuple[list[float], int]:
     vectors or NULL embedding rows would otherwise feed an
     arbitrary-position count into every mean (the ``collect()`` is
     unordered) and silently skew the whole covariance chain downstream.
+
+    ONE corpus pass: ``posexplode_outer`` emits a ``pos = NULL`` row
+    for each NULL/empty vector, so the NULL group carries the row count
+    the guard needs and the separate ``count()`` job the pre-r18
+    implementation ran is gone (guide §1.2 job count — this is one of
+    two eager jobs every covariance/PCA construction paid).
     """
     src = df.select(as_double(vec_col).alias("_v"))
-    n_rows = src.count()
-    sums = (
-        src.select(F.posexplode("_v").alias("pos", "x"))
+    rows = (
+        src.select(F.posexplode_outer("_v").alias("pos", "x"))
         .groupBy("pos")
         .agg(
             F.sum(F.expr(f"CAST(FLOOR(x * {_S} + 0.5D) AS BIGINT)")).alias("s"),
@@ -72,12 +77,24 @@ def column_means(df: DataFrame, vec_col: str) -> tuple[list[float], int]:
         )
         .collect()
     )
-    if not sums:
-        if n_rows:
-            raise ValueError(
-                f"pca: all {n_rows} rows have NULL/empty {vec_col!r} vectors"
-            )
+    if not rows:
         return [], 0
+    null_rows = 0
+    sums = []
+    for r in rows:
+        if r["pos"] is None:
+            null_rows = r["n"]  # rows whose vector is NULL or empty
+        else:
+            sums.append(r)
+    if not sums:
+        raise ValueError(
+            f"pca: all {null_rows} rows have NULL/empty {vec_col!r} vectors"
+        )
+    # every non-empty vector contributes a pos-0 row, so the input row
+    # count is the pos-0 group plus the NULL/empty group
+    n_rows = next(
+        (r["n"] for r in sums if r["pos"] == 0), 0
+    ) + null_rows
     counts = {r["n"] for r in sums} | {r["nx"] for r in sums}
     positions = {r["pos"] for r in sums}
     if counts != {n_rows} or positions != set(range(len(sums))):

