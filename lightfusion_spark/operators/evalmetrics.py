@@ -2010,33 +2010,122 @@ def _rouge_cells_paired(
     ref_col: str,
     max_n: int = 2,
 ) -> DataFrame:
-    """Both systems' metric-keyed per-pair ROUGE cells — the paired
-    union of :func:`_seq_cells_paired` (``rouge<n>``) and
-    :func:`_lcs_cells_paired` (``rougeL``), for
-    :func:`rouge_paired_bootstrap`."""
-    ng = _seq_cells_paired(
-        df, id_col, cand_a_col, cand_b_col, ref_col, max_n, chars=False
-    ).select(
-        "_grp",
-        F.concat(F.lit("rouge"), F.col("n").cast("string")).alias("metric"),
-        "matched_a",
-        "cand_total_a",
-        "matched_b",
-        "cand_total_b",
-        "ref_total",
+    """Both systems' metric-keyed per-pair ROUGE cells in ONE Arrow
+    fold — the paired fusion of :func:`_seq_cells_paired`
+    (``rouge<n>``) and :func:`_lcs_cells_paired` (``rougeL``), for
+    :func:`rouge_paired_bootstrap`.  The pre-r18 shape unioned the two
+    paired folds, tokenizing the corpus twice and building the
+    reference's Hyyrö mask table separately from its gram Counters;
+    one pass now emits both metric families' cells (guide §1.4).
+    Cells bit-identical to the union (test-pinned): same gram
+    counting, same bit recurrence, per-(pair, metric) rows."""
+    from .fanout import fan_out
+
+    keep = list(dict.fromkeys([id_col, cand_a_col, cand_b_col, ref_col]))
+    src = fan_out(df.select(*keep))
+    base = src.select(
+        F.col(id_col).cast("string").alias("_grp"),
+        _tok(F.col(cand_a_col)).alias("ca"),
+        _tok(F.col(cand_b_col)).alias("cb"),
+        _tok(F.col(ref_col)).alias("rf"),
     )
-    lcs = _lcs_cells_paired(
-        df, id_col, cand_a_col, cand_b_col, ref_col
-    ).select(
-        "_grp",
-        F.lit("rougeL").alias("metric"),
-        "matched_a",
-        "cand_total_a",
-        "matched_b",
-        "cand_total_b",
-        "ref_total",
+    metrics = [f"rouge{n}" for n in range(1, max_n + 1)] + ["rougeL"]
+
+    def fold(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        stats: dict = {}
+
+        def grams(s, n):
+            return Counter(
+                tuple(s[i : i + n]) for i in range(len(s) - n + 1)
+            )
+
+        def lcs(c, pm, m, ones):
+            if m == 0 or not c:
+                return 0
+            v = ones
+            for tok in c:
+                u = v & pm.get(tok, 0)
+                v = ((v + u) | (v - u)) & ones
+            return m - bin(v).count("1")
+
+        def bump(key, a, b, r):
+            cells = stats.get(key)
+            if cells is None:
+                cells = stats[key] = (
+                    [[0] * (max_n + 1) for _ in range(5)],  # ma, ca, mb, cb, rt
+                    [0, 0, 0, 0, 0],  # rougeL: ma, ca, mb, cb, rt
+                )
+            (ma, ca, mb, cb, rt), lc = cells
+            for n in range(1, max_n + 1):
+                rg = grams(r, n)
+                ag = grams(a, n)
+                bg = grams(b, n)
+                rt[n] += sum(rg.values())
+                ca[n] += sum(ag.values())
+                cb[n] += sum(bg.values())
+                ma[n] += sum(
+                    min(k_c, rg[g]) for g, k_c in ag.items() if g in rg
+                )
+                mb[n] += sum(
+                    min(k_c, rg[g]) for g, k_c in bg.items() if g in rg
+                )
+            m = len(r)
+            lc[1] += len(a)
+            lc[3] += len(b)
+            lc[4] += m
+            pm: dict = {}
+            for i, t in enumerate(r):
+                pm[t] = pm.get(t, 0) | (1 << i)
+            ones = (1 << m) - 1
+            lc[0] += lcs(a, pm, m, ones)
+            lc[2] += lcs(b, pm, m, ones)
+
+        for pdf in batches:
+            for g, a, b, r in zip(
+                pdf["_grp"], pdf["ca"], pdf["cb"], pdf["rf"]
+            ):
+                a = list(a) if a is not None else []
+                b = list(b) if b is not None else []
+                r = list(r) if r is not None else []
+                bump(g, a, b, r)
+        out = {
+            "_grp": [],
+            "metric": [],
+            "matched_a": [],
+            "cand_total_a": [],
+            "matched_b": [],
+            "cand_total_b": [],
+            "ref_total": [],
+        }
+        for key, ((ma, ca, mb, cb, rt), lc) in stats.items():
+            out["_grp"].extend([key] * (max_n + 1))
+            out["metric"].extend(metrics)
+            out["matched_a"].extend(ma[1:] + [lc[0]])
+            out["cand_total_a"].extend(ca[1:] + [lc[1]])
+            out["matched_b"].extend(mb[1:] + [lc[2]])
+            out["cand_total_b"].extend(cb[1:] + [lc[3]])
+            out["ref_total"].extend(rt[1:] + [lc[4]])
+        yield pd.DataFrame(out)
+
+    schema = (
+        "_grp string, metric string, matched_a long, cand_total_a long,"
+        " matched_b long, cand_total_b long, ref_total long"
     )
-    return ng.unionByName(lcs)
+    return (
+        base.mapInPandas(fold, schema=schema)
+        .groupBy("_grp", "metric")
+        .agg(
+            F.sum("matched_a").cast("long").alias("matched_a"),
+            F.sum("cand_total_a").cast("long").alias("cand_total_a"),
+            F.sum("matched_b").cast("long").alias("matched_b"),
+            F.sum("cand_total_b").cast("long").alias("cand_total_b"),
+            F.sum("ref_total").cast("long").alias("ref_total"),
+        )
+    )
 
 
 def _rouge_cells(
@@ -2048,32 +2137,138 @@ def _rouge_cells(
     group_col: str | None = None,
 ) -> DataFrame:
     """ROUGE's sufficient statistics as metric-keyed integer cells
-    ``([group,] metric, matched, cand_total, ref_total)`` — the union
-    of :func:`bleu_cells` (relabeled ``rouge<n>``) and
-    :func:`lcs_cells` (``rougeL``).  Additive across disjoint pair
+    ``([group,] metric, matched, cand_total, ref_total)`` — the
+    ``rouge<n>`` rows carry :func:`bleu_cells`' clipped-multiset
+    counting and the ``rougeL`` row :func:`lcs_cells`' Hyyrö
+    bit-parallel LCS, emitted from ONE Arrow fold over the pairs
+    (guide §1.4: the pre-r18 shape unioned the two operators, running
+    two corpus tokenize+fold passes per call — every ROUGE surface
+    paid the corpus twice).  Cell values are bit-identical to the
+    two-fold union (test-pinned: same gram counting, same bit
+    recurrence, same tokenization).  Additive across disjoint pair
     sets (both constituents are), which is what the grouped variant
-    and the maintained store lean on."""
-    keys = [group_col] if group_col is not None else []
-    ng = bleu_cells(
-        df, id_col, cand_col, ref_col, max_n=max_n, group_col=group_col
+    and the maintained store lean on.
+
+    The ungrouped empty-corpus contract is preserved: ``lcs_cells``'
+    global aggregation always emits one ``rougeL`` row, so a literal
+    all-zero ``rougeL`` partial is unioned below the aggregation —
+    cells are additive, a zero row changes no sum, and on an empty
+    corpus it is the one surviving row, exactly the old output."""
+    from .fanout import fan_out
+
+    grouped = group_col is not None
+    keep = list(
+        dict.fromkeys([cand_col, ref_col] + ([group_col] if grouped else []))
     )
-    ngm = ng.select(
-        *keys,
-        F.concat(F.lit("rouge"), F.col("n").cast("string")).alias("metric"),
+    src = fan_out(df.select(*keep))
+    cols = [
+        _tok(F.col(cand_col)).alias("ct"),
+        _tok(F.col(ref_col)).alias("rt"),
+    ]
+    if grouped:
+        cols.insert(0, F.col(group_col).cast("string").alias("_grp"))
+    base = src.select(*cols)
+
+    def fold(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        stats: dict = {}
+
+        def bump(key, c, r):
+            cells = stats.get(key)
+            if cells is None:
+                cells = stats[key] = (
+                    [0] * (max_n + 1),  # matched per order
+                    [0] * (max_n + 1),  # cand_total per order
+                    [0] * (max_n + 1),  # ref_total per order
+                    [0, 0, 0],  # rougeL: lcs_sum, cand_sum, ref_sum
+                )
+            matched, cand_tot, ref_tot, lcs_t = cells
+            for n in range(1, max_n + 1):
+                cg = Counter(
+                    tuple(c[i : i + n]) for i in range(len(c) - n + 1)
+                )
+                rg = Counter(
+                    tuple(r[i : i + n]) for i in range(len(r) - n + 1)
+                )
+                cand_tot[n] += sum(cg.values())
+                ref_tot[n] += sum(rg.values())
+                matched[n] += sum(
+                    min(k_c, rg[g]) for g, k_c in cg.items() if g in rg
+                )
+            lcs_t[1] += len(c)
+            lcs_t[2] += len(r)
+            m = len(r)
+            if m == 0 or not c:
+                return
+            pm: dict = {}
+            for i, t in enumerate(r):
+                pm[t] = pm.get(t, 0) | (1 << i)
+            ones = (1 << m) - 1
+            v = ones
+            for tok in c:
+                u = v & pm.get(tok, 0)
+                v = ((v + u) | (v - u)) & ones
+            lcs_t[0] += m - bin(v).count("1")
+
+        for pdf in batches:
+            grps = pdf["_grp"] if grouped else [0] * len(pdf)
+            for g, ct, rt in zip(grps, pdf["ct"], pdf["rt"]):
+                c = list(ct) if ct is not None else []
+                r = list(rt) if rt is not None else []
+                bump(g if (not grouped or g is None) else str(g), c, r)
+        metrics = [f"rouge{n}" for n in range(1, max_n + 1)] + ["rougeL"]
+        out = {
+            "metric": [],
+            "matched": [],
+            "cand_total": [],
+            "ref_total": [],
+        }
+        if grouped:
+            out = {"_grp": [], **out}
+        for key, (matched, cand_tot, ref_tot, lcs_t) in stats.items():
+            if grouped:
+                out["_grp"].extend([key] * (max_n + 1))
+            out["metric"].extend(metrics)
+            out["matched"].extend(matched[1:] + [lcs_t[0]])
+            out["cand_total"].extend(cand_tot[1:] + [lcs_t[1]])
+            out["ref_total"].extend(ref_tot[1:] + [lcs_t[2]])
+        yield pd.DataFrame(out)
+
+    schema = "metric string, matched long, cand_total long, ref_total long"
+    keys = ["metric"]
+    if grouped:
+        schema = "_grp string, " + schema
+        keys = ["_grp", "metric"]
+    partials = base.mapInPandas(fold, schema=schema)
+    if not grouped:
+        # the empty-corpus rougeL row (see docstring): a zero partial is
+        # the additive identity, so it only changes the output when no
+        # real partial exists
+        spark = df.sparkSession
+        zero = spark.range(1).select(
+            F.lit("rougeL").alias("metric"),
+            F.lit(0).cast("long").alias("matched"),
+            F.lit(0).cast("long").alias("cand_total"),
+            F.lit(0).cast("long").alias("ref_total"),
+        )
+        partials = partials.unionByName(zero)
+    cells = partials.groupBy(*keys).agg(
+        F.sum("matched").cast("long").alias("matched"),
+        F.sum("cand_total").cast("long").alias("cand_total"),
+        F.sum("ref_total").cast("long").alias("ref_total"),
+    )
+    if grouped:
+        cells = cells.withColumnRenamed("_grp", group_col)
+    return cells.select(
+        *([group_col] if grouped else []),
+        "metric",
         "matched",
         "cand_total",
         "ref_total",
     )
-    lcs = lcs_cells(
-        df, id_col, cand_col, ref_col, group_col=group_col
-    ).select(
-        *keys,
-        F.lit("rougeL").alias("metric"),
-        "matched",
-        "cand_total",
-        "ref_total",
-    )
-    return ngm.unionByName(lcs)
 
 
 def corpus_rouge_by_group(

@@ -3852,3 +3852,90 @@ def test_paired_seq_and_lcs_cells_match_per_side_folds(spark):
             ["matched", "cand_total", "ref_total"],
         )
         assert got == want, side_col
+
+
+def test_fused_rouge_cells_match_constituent_folds(spark):
+    """r18: _rouge_cells runs ONE Arrow fold for both metric families;
+    its cells must equal the pre-r18 union of bleu_cells (relabeled
+    rouge<n>) and lcs_cells (rougeL) bit for bit — ungrouped, grouped,
+    and on the empty corpus (where the old lcs_cells global aggregate
+    guaranteed exactly one all-zero rougeL row)."""
+    from lightfusion_spark.operators import evalmetrics as em
+    from pyspark.sql import functions as F
+
+    rows = spark.createDataFrame(
+        [
+            (1, "s1", "the cat sat on the mat", "the cat sat"),
+            (2, "s1", "", "a b c"),
+            (3, "s2", "a a a b", "a a b"),
+            (4, "s2", "q w e", ""),
+            (5, None, "x y", "x y"),
+        ],
+        "pid long, sys string, cand string, ref string",
+    )
+
+    def union_ref(df, group_col=None):
+        keys = [group_col] if group_col is not None else []
+        ng = em.bleu_cells(df, "pid", "cand", "ref", max_n=2, group_col=group_col).select(
+            *keys,
+            F.concat(F.lit("rouge"), F.col("n").cast("string")).alias("metric"),
+            "matched", "cand_total", "ref_total",
+        )
+        lcs = em.lcs_cells(df, "pid", "cand", "ref", group_col=group_col).select(
+            *keys, F.lit("rougeL").alias("metric"),
+            "matched", "cand_total", "ref_total",
+        )
+        return ng.unionByName(lcs)
+
+    def rowset(df):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    assert rowset(em._rouge_cells(rows, "pid", "cand", "ref", max_n=2)) == rowset(
+        union_ref(rows)
+    )
+    assert rowset(
+        em._rouge_cells(rows, "pid", "cand", "ref", max_n=2, group_col="sys")
+    ) == rowset(union_ref(rows, group_col="sys"))
+    empty = rows.where(F.lit(False))
+    assert rowset(em._rouge_cells(empty, "pid", "cand", "ref", max_n=2)) == rowset(
+        union_ref(empty)
+    )
+    assert rowset(em._rouge_cells(empty, "pid", "cand", "ref", max_n=2)) == [
+        ("rougeL", 0, 0, 0)
+    ]
+
+
+def test_fused_paired_rouge_cells_match_constituent_folds(spark):
+    """r18: _rouge_cells_paired emits both sides' rouge<n> AND rougeL
+    cells from one fold; must equal the pre-r18 union of
+    _seq_cells_paired and _lcs_cells_paired bit for bit."""
+    from lightfusion_spark.operators import evalmetrics as em
+    from pyspark.sql import functions as F
+
+    rows = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "cat the sat", "the cat sat"),
+            (2, "", "x", "a b c"),
+            (3, "a a a b", "b a", "a a b"),
+            (4, "q w e", "", ""),
+        ],
+        "pid long, a string, b string, ref string",
+    )
+    ng = em._seq_cells_paired(rows, "pid", "a", "b", "ref", 2, chars=False).select(
+        "_grp",
+        F.concat(F.lit("rouge"), F.col("n").cast("string")).alias("metric"),
+        "matched_a", "cand_total_a", "matched_b", "cand_total_b", "ref_total",
+    )
+    lcs = em._lcs_cells_paired(rows, "pid", "a", "b", "ref").select(
+        "_grp", F.lit("rougeL").alias("metric"),
+        "matched_a", "cand_total_a", "matched_b", "cand_total_b", "ref_total",
+    )
+    want = sorted(tuple(r) for r in ng.unionByName(lcs).collect())
+    got = sorted(
+        tuple(r)
+        for r in em._rouge_cells_paired(rows, "pid", "a", "b", "ref", max_n=2).collect()
+    )
+    assert got == want
