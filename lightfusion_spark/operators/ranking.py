@@ -247,13 +247,75 @@ def ranking_paired_bootstrap(
     from .dedup import _md5_long
 
     q = query_col
-    pa = ranking_report_per_query(
-        results_a, gold, query_col, item_col, rank_col, k=k, rel_col=rel_col
-    ).select(F.col(q).alias("_q"), F.col("ndcg6").alias("_na"))
-    pb = ranking_report_per_query(
-        results_b, gold, query_col, item_col, rank_col, k=k, rel_col=rel_col
-    ).select(F.col(q).alias("_q"), F.col("ndcg6").alias("_nb"))
-    per = pa.join(pb, "_q")
+    # Paired per-query nDCG in ONE pipeline (r18, guide §1.4): the two
+    # ranking_report_per_query calls this replaces each re-derived the
+    # SHARED gold's ideal-DCG window and n_gold aggregation (gold is
+    # common to both policies by definition of the paired experiment),
+    # and computed rr/precision/recall columns the bootstrap never
+    # reads.  Gold stats are now computed once and each policy
+    # contributes only its top-k DCG aggregation; the ndcg6 expression
+    # is the per-query report's VERBATIM (same rounding, same NULL-on-
+    # zero-IDCG), so every per-query grade is bit-identical and the
+    # inner join on the shared query universe is the identity it was.
+    rel = (
+        F.col(rel_col).cast("double") if rel_col is not None else F.lit(1.0)
+    )
+    g = gold.select(F.col(q), F.col(item_col), rel.alias("_rel"))
+
+    def side_dcg(results, out):
+        res = results.where(F.col(rank_col) <= F.lit(k)).select(
+            F.col(q),
+            F.col(item_col),
+            F.col(rank_col).cast("long").alias("_r0"),
+        )
+        topk = res.groupBy(q, item_col).agg(F.min("_r0").alias("_rank"))
+        return (
+            topk.join(g, [q, item_col], "inner")
+            .groupBy(q)
+            .agg(
+                F.coalesce(
+                    F.sum(_gain6(F.col("_rel"), F.col("_rank"))), F.lit(0)
+                )
+                .cast("decimal(18,6)")
+                .alias(out)
+            )
+        )
+
+    w_ideal = Window.partitionBy(q).orderBy(
+        F.col("_rel").desc(), F.col(item_col).asc()
+    )
+    ideal = (
+        g.withColumn("_pos", F.row_number().over(w_ideal))
+        .where(F.col("_pos") <= F.lit(k))
+        .groupBy(q)
+        .agg(
+            F.coalesce(
+                F.sum(_gain6(F.col("_rel"), F.col("_pos"))), F.lit(0)
+            )
+            .cast("decimal(18,6)")
+            .alias("_idcg")
+        )
+    )
+
+    def ndcg6(dcg_col):
+        return F.when(
+            F.col("_idcg") > 0,
+            F.round(
+                F.coalesce(F.col(dcg_col), F.lit(0)).cast("double")
+                / F.col("_idcg").cast("double"),
+                6,
+            ),
+        )
+
+    per = (
+        ideal.join(side_dcg(results_a, "_dcga"), q, "left")
+        .join(side_dcg(results_b, "_dcgb"), q, "left")
+        .select(
+            F.col(q).alias("_q"),
+            ndcg6("_dcga").alias("_na"),
+            ndcg6("_dcgb").alias("_nb"),
+        )
+    )
     # Plan shape (r17): the replicate explode, the full-corpus means
     # AND the graded/ungraded counts all ride ONE aggregation of one
     # explode — ``b = -1`` is the weight-1 full-sample pseudo-replicate
