@@ -487,6 +487,8 @@ def minhash_near_duplicates(
     verification joins co-locate on it, exchange-free) and nothing
     corpus-sized pins executor MEMORY_AND_DISK.
     """
+    from .fanout import pin
+
     hashes = doc_shingle_hashes(df, id_col, text_col, shingle_n)
     if checkpoint_path is not None:
         hashes = _materialize_bucketed(
@@ -494,7 +496,14 @@ def minhash_near_duplicates(
         )
     else:
         hashes = hashes.cache()
-    sig = minhash_signatures(hashes, id_col, n_hashes)
+    # pin the signature relation (r18, guide §1.4): it has FOUR plan
+    # consumers (both band-table sides of the LSH self-join and both
+    # n_sh count sides of the verification), and each prunes different
+    # columns, so ReuseExchange never fires and the groupBy aggregation
+    # over the whole hash relation re-ran per consumer.  One narrow row
+    # per doc — the bounded-intermediate pin contract.  Measured at
+    # sf0.1: 17 -> 10 jobs, ~0.7-1.2 s/call, pairs bit-identical.
+    sig = pin(minhash_signatures(hashes, id_col, n_hashes))
     cand = lsh_candidate_pairs(sig, id_col, n_hashes, rows_per_band)
     return jaccard_verified_pairs(
         hashes, cand, id_col, threshold,
@@ -531,10 +540,14 @@ def minhash_incremental(
     verification join); the CALLER owns the cache lifecycle, as in
     :func:`minhash_near_duplicates`.
     """
+    from .fanout import pin
+
     nh = doc_shingle_hashes(new, id_col, text_col, shingle_n).cache()
     ch = doc_shingle_hashes(corpus, id_col, text_col, shingle_n).cache()
-    ns = minhash_signatures(nh, id_col, n_hashes)
-    cs = minhash_signatures(ch, id_col, n_hashes)
+    # each signature table has two pruned consumers (band table +
+    # n_sh counts) — pinned for the minhash_near_duplicates reason
+    ns = pin(minhash_signatures(nh, id_col, n_hashes))
+    cs = pin(minhash_signatures(ch, id_col, n_hashes))
     cand = lsh_candidate_pairs(ns, id_col, n_hashes, rows_per_band, signatures_b=cs)
     return jaccard_verified_pairs(
         nh, cand, id_col, threshold,
