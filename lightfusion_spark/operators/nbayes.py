@@ -79,20 +79,29 @@ def train_naive_bayes(
     text would silently contribute nothing while still counting toward
     its class prior.
     """
-    # ONE validation/count job instead of two separate scans (r17): the
-    # NULL-guard count and the doc total ride the same aggregation.
-    guard = df.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.coalesce(
-            F.sum(
-                F.when(
-                    F.col(label_col).isNull() | F.col(text_col).isNull(), 1
-                )
-            ),
-            F.lit(0),
-        ).alias("_bad"),
-    ).collect()[0]
-    n_total, n_bad = guard["_n"], guard["_bad"]
+    # ONE validation/count job for the NULL guard, the doc total AND the
+    # per-class doc counts (r18; r17 had merged guard+total, but the
+    # class counts still re-scanned the corpus inside the priors and
+    # dense-grid subtrees): a NULL label is just another group here, so
+    # one groupBy(label) collect answers all three questions, and the
+    # collected counts become a C-row local relation the priors/grid
+    # expressions build from — the corpus never re-scans for class
+    # stats.  The count table is one row per class, driver-bounded by
+    # construction.
+    class_rows = (
+        df.groupBy(F.col(label_col).alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col(text_col).isNull(), 1)), F.lit(0)
+            ).alias("_bad_text"),
+        )
+        .collect()
+    )
+    n_total = sum(r["n_docs"] for r in class_rows)
+    n_bad = sum(r["_bad_text"] for r in class_rows) + sum(
+        r["n_docs"] for r in class_rows if r["label"] is None
+    )
     if n_bad:
         raise ValueError(
             f"train_naive_bayes: {n_bad} rows carry NULL {label_col}/"
@@ -129,8 +138,12 @@ def train_naive_bayes(
         raise ValueError("train_naive_bayes: empty vocabulary")
     in_vocab = counts.join(F.broadcast(vocab), "token")
     tc = in_vocab.groupBy("label").agg(F.sum("c").alias("tc"))
-    classes = df.groupBy(F.col(label_col).alias("label")).agg(
-        F.count(F.lit(1)).alias("n_docs")
+    classes = df.sparkSession.createDataFrame(
+        [(r["label"], r["n_docs"]) for r in class_rows],
+        schema=df.select(
+            F.col(label_col).alias("label"),
+            F.lit(0).cast("long").alias("n_docs"),
+        ).schema,
     )
     priors = classes.select(
         "label",
@@ -177,68 +190,115 @@ def apply_naive_bayes(
     row per input document, ``score_micro`` the winning class's
     log-posterior in micro units (BIGINT; exact, associative).
 
-    Out-of-vocabulary tokens contribute nothing (both engines drop them
-    via the same inner join — at scale this is the standard NB
-    treatment, and it keeps the broadcast model ``V × C``); a document
-    with no vocabulary tokens falls back to the class priors alone.
-    Ties break (score DESC, label ASC) — deterministic everywhere.
+    Out-of-vocabulary tokens contribute nothing (the standard NB
+    treatment — the scorer simply skips tokens outside the ``V × C``
+    model); a document with no vocabulary tokens falls back to the
+    class priors alone.  Ties break (score DESC, label ASC) —
+    deterministic everywhere.
+
+    Shape (r18, guide §2.3/§4.2): tokenization stays JVM (the
+    engine-identical lower/split contract) but emits the token ARRAY,
+    and one ``mapInPandas`` scores whole batches against the
+    sc.broadcast model — a vocab index lookup plus int64 segment adds,
+    all exact integer arithmetic, so every (prediction, score_micro)
+    is bit-identical to the join formulation it replaces
+    (test-pinned).  The pre-r18 plan joined every token occurrence
+    against the model (xC row amplification), shuffled the
+    (doc, label) partial sums, and ranked them with a window — three
+    exchanges that all disappear: scoring is now embarrassingly
+    parallel, nothing shuffles at all.  The model crosses to the
+    driver once (the old ``F.broadcast`` built the same driver-side
+    relation) and ships to executors via ``sc.broadcast``.
+
+    ``id_col`` is treated per ROW — the usual unique-key contract.
+    (The old window formulation silently pooled tokens across
+    duplicate-id rows and emitted one row; duplicate ids are a caller
+    bug either way, and every registered face keys on a unique id.)
     """
+    import numpy as np
+    import pandas as pd
+
     # Degenerate-parallelism guard (r17): fan the projected rows out so
-    # the scoring tokenize+explode runs wide on single-split scans; the
-    # per-(doc, label) micro sums are exact BIGINTs.
+    # the scoring tokenize runs wide on single-split scans; scoring is
+    # per-row, so partitioning cannot change a bit.
     from .fanout import fan_out
 
-    src = fan_out(df.select(id_col, text_col))
-    doc_toks = src.select(
-        F.col(id_col).alias("_id"), _tokens(src, text_col)
-    ).where(F.col("token") != "")
-    tok_scores = (
-        doc_toks.join(
-            F.broadcast(
-                token_logps.select(
-                    "token",
-                    "label",
-                    F.floor(F.col("logp6") * _M + F.lit(0.5)).alias("lp_micro"),
-                )
-            ),
-            "token",
-        )
-        .groupBy("_id", "label")
-        .agg(F.sum("lp_micro").alias("tok_micro"))
+    spark = df.sparkSession
+    # floor(x * 1e6 + 0.5) stays a JVM expression during the collect, so
+    # the micro integers are the exact values the old join path summed
+    prior_rows = priors.select(
+        "label",
+        F.floor(F.col("logprior6") * _M + F.lit(0.5))
+        .cast("long")
+        .alias("pm"),
+    ).collect()
+    labels = sorted(r["label"] for r in prior_rows)
+    lab_idx = {lab: i for i, lab in enumerate(labels)}
+    n_labels = len(labels)
+    prior_vec = np.zeros(n_labels, dtype=np.int64)
+    for r in prior_rows:
+        prior_vec[lab_idx[r["label"]]] = r["pm"]
+    model_rows = token_logps.select(
+        "token",
+        "label",
+        F.floor(F.col("logp6") * _M + F.lit(0.5)).cast("long").alias("lp"),
+    ).collect()
+    vocab: dict = {}
+    for r in model_rows:
+        e = vocab.get(r["token"])
+        if e is None:
+            e = vocab[r["token"]] = np.zeros(n_labels, dtype=np.int64)
+        e[lab_idx[r["label"]]] = r["lp"]
+    tok_list = sorted(vocab)
+    lp_mat = (
+        np.stack([vocab[t] for t in tok_list])
+        if tok_list
+        else np.zeros((0, n_labels), dtype=np.int64)
     )
-    scored = (
-        df.select(F.col(id_col).alias("_id"))
-        .crossJoin(
-            F.broadcast(
-                priors.select(
-                    "label",
-                    F.floor(F.col("logprior6") * _M + F.lit(0.5)).alias(
-                        "prior_micro"
-                    ),
-                )
-            )
-        )
-        .join(tok_scores, ["_id", "label"], "left")
-        .select(
-            "_id",
-            "label",
-            (
-                F.col("prior_micro")
-                + F.coalesce(F.col("tok_micro"), F.lit(0))
-            ).alias("score_micro"),
-        )
+    bc = spark.sparkContext.broadcast(
+        (tok_list, lp_mat, prior_vec, np.array(labels, dtype=object))
     )
-    from pyspark.sql.window import Window
 
-    w = Window.partitionBy("_id").orderBy(
-        F.col("score_micro").desc(), F.col("label").asc()
+    id_type = df.schema[id_col].dataType.simpleString()
+    lab_type = priors.schema["label"].dataType.simpleString()
+    schema = f"`{id_col}` {id_type}, pred {lab_type}, score_micro long"
+    src = fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"),
+            lambda t: t != F.lit(""),
+        ).alias("_tk"),
     )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("label").alias("pred"),
-            "score_micro",
-        )
-    )
+
+    def score(batches):
+        tok_list_w, lp_mat_w, prior_w, lab_arr = bc.value
+        vindex = pd.Index(tok_list_w)
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            toks = pdf["_tk"]
+            lens = np.fromiter(
+                ((len(t) if t is not None else 0) for t in toks),
+                dtype=np.int64,
+                count=n,
+            )
+            flat = [x for t in toks if t is not None for x in t]
+            scores = np.tile(prior_w, (n, 1))
+            if flat:
+                idx = vindex.get_indexer(flat)
+                row_idx = np.repeat(np.arange(n), lens)
+                valid = idx >= 0
+                np.add.at(scores, row_idx[valid], lp_mat_w[idx[valid]])
+            # first maximum over asc-sorted labels == (score DESC,
+            # label ASC) — the old window's tie-break
+            best = np.argmax(scores, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "pred": lab_arr[best],
+                    "score_micro": scores[np.arange(n), best],
+                }
+            )
+
+    return src.mapInPandas(score, schema)
