@@ -392,21 +392,15 @@ def _paired_seq_replicates(
     pinned ``(b, n, matched_a, cand_total_a, matched_b, cand_total_b,
     ref_total)`` frame ((n_boot+1) * max_n rows) that each side's
     finisher projects from."""
-    from .dedup import _md5_long
     from .fanout import pin, spread
 
     reps = spread(cells).select(
         "*",
         F.explode(F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))).alias("b"),
     )
-    h6 = (
-        _md5_long(
-            F.concat_ws(":", F.col("_grp"), F.col("b").cast("string")),
-            seed=seed,
-        )
-        % F.lit(1_000_000)
-    )
-    w = F.when(F.col("b") == -1, F.lit(1)).otherwise(_poisson1_weight(h6))
+    # one parsed expression instead of the _md5_long + nested-WHEN
+    # Column chain (~50 py4j calls per construction) — same arithmetic
+    w = _boot_weight_expr("_grp", seed)
     weighted = reps.select(
         F.col("b"),
         F.col("n"),
@@ -569,6 +563,33 @@ def _poisson1_weight(h6):
     for k in reversed(range(len(POISSON1_CDF_PPM))):
         w = F.when(h6 < F.lit(POISSON1_CDF_PPM[k]), F.lit(k)).otherwise(w)
     return w
+
+
+def _boot_weight_expr(grp_sql: str, seed: int, b_sql: str = "b") -> "F.Column":
+    """The bootstrap weight column as ONE parsed SQL expression —
+    ``1`` for the ``b = -1`` full-sample pseudo-replicate, else the
+    Poisson(1) inverse-CDF draw from ``md5_56("seed:grp:b") % 1e6``
+    against the ppm thresholds.  The same arithmetic as
+    ``_md5_long`` + :func:`_poisson1_weight` (the nested WHEN chain
+    and this flat CASE pick the identical smallest matching k —
+    thresholds are increasing), built in one ``F.expr`` parse instead
+    of ~50 py4j round trips per construction (guide §1.2 step 2 —
+    the r17 SQL-text discipline applied to the weight tail).
+    ``grp_sql``/``b_sql`` are SQL fragments naming the pair key and
+    replicate columns."""
+    h6 = (
+        f"(CAST(conv(substring(md5(concat_ws(':', '{int(seed)}', "
+        f"{grp_sql}, CAST({b_sql} AS STRING))), 1, 14), 16, 10) AS BIGINT)"
+        f" % 1000000)"
+    )
+    whens = " ".join(
+        f"WHEN {h6} < {v} THEN {k}"
+        for k, v in enumerate(POISSON1_CDF_PPM)
+    )
+    return F.expr(
+        f"CASE WHEN {b_sql} = -1 THEN 1 {whens} "
+        f"ELSE {len(POISSON1_CDF_PPM)} END"
+    )
 
 
 def bleu_paired_bootstrap(
@@ -737,7 +758,6 @@ def wer_paired_bootstrap(
     """
     if n_boot < 2:
         raise ValueError(f"n_boot must be >= 2, got {n_boot}")
-    from .dedup import _md5_long
     from .fanout import fan_out
 
     # both sides in one row-local projection (the wer_pairs expression
@@ -786,14 +806,7 @@ def wer_paired_bootstrap(
         "_rl",
         F.explode(F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))).alias("b"),
     )
-    h6 = (
-        _md5_long(
-            F.concat_ws(":", F.col("_id").cast("string"), F.col("b").cast("string")),
-            seed=seed,
-        )
-        % F.lit(1_000_000)
-    )
-    w = F.when(F.col("b") == -1, F.lit(1)).otherwise(_poisson1_weight(h6))
+    w = _boot_weight_expr("CAST(_id AS STRING)", seed)
     per_b = reps.groupBy("b").agg(
         F.sum(F.when(F.col("_k"), F.col("_ea") * w)).cast("long").alias("_wea"),
         F.sum(F.when(F.col("_k"), F.col("_eb") * w)).cast("long").alias("_web"),
@@ -1002,7 +1015,6 @@ def rouge_paired_bootstrap(
     """
     if n_boot < 2:
         raise ValueError(f"n_boot must be >= 2, got {n_boot}")
-    from .dedup import _md5_long
     from .fanout import spread
 
     # b = -1 is the weight-1 full-corpus pseudo-replicate (the
@@ -1020,14 +1032,7 @@ def rouge_paired_bootstrap(
         "*",
         F.explode(F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))).alias("b"),
     )
-    h6 = (
-        _md5_long(
-            F.concat_ws(":", F.col("_grp"), F.col("b").cast("string")),
-            seed=seed,
-        )
-        % F.lit(1_000_000)
-    )
-    w = F.when(F.col("b") == -1, F.lit(1)).otherwise(_poisson1_weight(h6))
+    w = _boot_weight_expr("_grp", seed)
     agg = reps.groupBy("metric", "b").agg(
         F.sum(F.col("matched_a") * w).cast("long").alias("matched_a"),
         F.sum(F.col("cand_total_a") * w).cast("long").alias("cand_total_a"),
@@ -1536,17 +1541,19 @@ def _qa_em_f1_paired(
     (asserted in tests/test_evalmetrics.py), with the side join
     eliminated by construction.
     """
-    gtoks = F.array_remove(F.split(qa_normalize(F.col(gold_col)), " "), "")
+    # Column objects are reusable: build each normalize chain once and
+    # share it (qa_normalize is ~25 py4j round trips per call; this
+    # cuts 10 constructions to 3 — same expression tree, Catalyst CSE
+    # already collapsed the duplicates at execution)
+    gnorm = qa_normalize(F.col(gold_col))
+    gtoks = F.array_remove(F.split(gnorm, " "), "")
 
     def side_cols(pred_col, s):
-        ptoks = F.array_remove(
-            F.split(qa_normalize(F.col(pred_col)), " "), ""
-        )
+        pnorm = qa_normalize(F.col(pred_col))
+        ptoks = F.array_remove(F.split(pnorm, " "), "")
         return [
-            F.md5(qa_normalize(F.col(pred_col))).alias(f"_pk{s}"),
-            (qa_normalize(F.col(pred_col)) == qa_normalize(F.col(gold_col)))
-            .cast("int")
-            .alias(f"_em{s}"),
+            F.md5(pnorm).alias(f"_pk{s}"),
+            (pnorm == gnorm).cast("int").alias(f"_em{s}"),
             F.size(ptoks).cast("long").alias(f"_lp{s}"),
             ptoks.alias(f"_pt{s}"),
         ]
@@ -1555,7 +1562,7 @@ def _qa_em_f1_paired(
         F.col(qid_col).alias("_qid"),
         *side_cols(pred_a_col, "a"),
         *side_cols(pred_b_col, "b"),
-        F.md5(qa_normalize(F.col(gold_col))).alias("_ak"),
+        F.md5(gnorm).alias("_ak"),
         F.size(gtoks).cast("long").alias("_lg"),
         gtoks.alias("_gt"),
     )
@@ -3930,7 +3937,6 @@ def _paired_binary_replicates(
     that slice alone (test-asserted)."""
     if n_boot < 2:
         raise ValueError(f"n_boot must be >= 2, got {n_boot}")
-    from .dedup import _md5_long
 
     keys = ["_grp"] if group_col is not None else []
     grp_sel = (
@@ -3982,14 +3988,7 @@ def _paired_binary_replicates(
         "_y",
         F.explode(F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))).alias("b"),
     )
-    h6 = (
-        _md5_long(
-            F.concat_ws(":", F.col("_id"), F.col("b").cast("string")),
-            seed=seed,
-        )
-        % F.lit(1_000_000)
-    )
-    w = F.when(F.col("b") == -1, F.lit(1)).otherwise(_poisson1_weight(h6))
+    w = _boot_weight_expr("CAST(_id AS STRING)", seed)
     sided = reps.select(
         *keys,
         "b",
@@ -5142,7 +5141,6 @@ def qa_paired_bootstrap(
     """
     if n_boot < 2:
         raise ValueError(f"n_boot must be >= 2, got {n_boot}")
-    from .dedup import _md5_long
 
     from .fanout import spread
 
@@ -5160,14 +5158,7 @@ def qa_paired_bootstrap(
         "*",
         F.explode(F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))).alias("b"),
     )
-    h6 = (
-        _md5_long(
-            F.concat_ws(":", F.col("_qid"), F.col("b").cast("string")),
-            seed=seed,
-        )
-        % F.lit(1_000_000)
-    )
-    w = F.when(F.col("b") == -1, F.lit(1)).otherwise(_poisson1_weight(h6))
+    w = _boot_weight_expr("CAST(_qid AS STRING)", seed)
     weighted = reps.select(
         F.col("b"),
         w.alias("_w"),

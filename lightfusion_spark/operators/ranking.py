@@ -244,7 +244,6 @@ def ranking_paired_bootstrap(
     """
     if n_boot < 2:
         raise ValueError(f"n_boot must be >= 2, got {n_boot}")
-    from .dedup import _md5_long
 
     q = query_col
     # Paired per-query nDCG in ONE pipeline (r18, guide §1.4): the two
@@ -339,18 +338,9 @@ def ranking_paired_bootstrap(
         graded_flag.alias("_g"),
         F.explode(F.sequence(F.lit(-1), F.lit(int(n_boot) - 1))).alias("b"),
     )
-    from .evalmetrics import _poisson1_weight
+    from .evalmetrics import _boot_weight_expr
 
-    h6 = (
-        _md5_long(
-            F.concat_ws(
-                ":", F.col("_q").cast("string"), F.col("b").cast("string")
-            ),
-            seed=seed,
-        )
-        % F.lit(1_000_000)
-    )
-    w = F.when(F.col("b") == -1, F.lit(1)).otherwise(_poisson1_weight(h6))
+    w = _boot_weight_expr("CAST(_q AS STRING)", seed)
     per_b = reps.groupBy("b").agg(
         F.sum(F.when(F.col("_g"), F.col("_na").cast("decimal(18,6)") * w))
         .alias("_wa"),
