@@ -3939,3 +3939,40 @@ def test_fused_paired_rouge_cells_match_constituent_folds(spark):
         for r in em._rouge_cells_paired(rows, "pid", "a", "b", "ref", max_n=2).collect()
     )
     assert got == want
+
+
+def test_boot_weight_expr_matches_reference_chain(spark):
+    """r18: _boot_weight_expr (one parsed SQL CASE) must reproduce the
+    _md5_long + _poisson1_weight Column chain bit for bit — including
+    the b = -1 full-sample branch, NULL group keys (concat_ws skips
+    NULLs identically), and every ppm threshold boundary."""
+    from pyspark.sql import functions as F
+
+    from lightfusion_spark.operators import evalmetrics as em
+    from lightfusion_spark.operators.dedup import _md5_long
+
+    rows = spark.createDataFrame(
+        [(g, b) for g in ["q1", "17", "", None] for b in range(-1, 33)],
+        "_grp string, b int",
+    )
+    h6 = (
+        _md5_long(
+            F.concat_ws(":", F.col("_grp"), F.col("b").cast("string")),
+            seed=7,
+        )
+        % F.lit(1_000_000)
+    )
+    ref = F.when(F.col("b") == -1, F.lit(1)).otherwise(
+        em._poisson1_weight(h6)
+    )
+    got = rows.select(
+        "_grp",
+        "b",
+        ref.alias("w_ref"),
+        em._boot_weight_expr("_grp", 7).alias("w_new"),
+    ).collect()
+    assert all(r["w_ref"] == r["w_new"] for r in got), [
+        r for r in got if r["w_ref"] != r["w_new"]
+    ][:5]
+    # at least one weight must exceed 1 across 33 replicates x 4 keys
+    assert any(r["w_new"] > 1 for r in got)
