@@ -29,6 +29,8 @@ loops, no joins.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1417,6 +1419,14 @@ def qa_em_f1(
     embarrassingly parallel.  The per-row higher-order-lambda fold
     the join replaces is the interpreted-lambda trap docs/PLANS.md
     measured at ~0.5 ms/row.
+
+    Eager-materialization side effect (r17 advice): the deduped
+    ``pairs`` frame is pinned (``localCheckpoint(eager=False)``), and
+    under AQE the pin executes the upstream shuffle stages at PLAN
+    CONSTRUCTION — composing this grader without executing it (plan
+    inspection, dry runs) still launches those jobs and stores the
+    per-(question, alternative) rows on executors.  The A/B-measured
+    trade is documented at :func:`~.fanout.pin`.
     """
     # everything derivable row-locally happens BEFORE any exchange (EM,
     # lengths, token arrays, digests); every shuffle after this line
@@ -1540,6 +1550,16 @@ def _qa_em_f1_paired(
     ``f1_6`` bit-identical to ``qa_em_f1(df, qid, pred_side, gold)``
     (asserted in tests/test_evalmetrics.py), with the side join
     eliminated by construction.
+
+    Contract caveat (r17 advice): the shared dedupe keys on the JOINT
+    ``(_qid, _pka, _pkb, _ak)``.  If a caller VIOLATES the
+    one-prediction-per-question contract on either side, duplicate
+    ``(_qid, _ak)`` rows survive and inflate the shared gold token
+    counts for BOTH sides — where the one-sided ``qa_em_f1`` gives a
+    violating caller a deterministic per-side dedupe instead.  Under
+    the stated contract (every registered face and test) the key sets
+    are identical and the grades match the one-sided operator bit for
+    bit.
     """
     # Column objects are reusable: build each normalize chain once and
     # share it (qa_normalize is ~25 py4j round trips per call; this
@@ -2727,8 +2747,10 @@ def chrf_from_cells(
     VERBATIM by the one-shot :func:`chrf_score` and (under a groupBy
     on ``group_cols``) the per-system :func:`chrf_score_by_group`, so
     the two are output-identical by construction."""
-    if not (beta > 0):
-        raise ValueError(f"chrf_score: beta must be > 0, got {beta}")
+    if not (beta > 0) or not math.isfinite(beta):
+        # isfinite: inf passes beta > 0 but repr(inf*inf)+'D' is
+        # unparseable SQL in the text-built finisher (r17 advice)
+        raise ValueError(f"chrf_score: beta must be > 0 and finite, got {beta}")
     # Columns are built as SQL text and parsed in one expr call each:
     # the Column-API loops issued ~3000 py4j round trips (~0.9 s of
     # driver time PER CALL — this finisher runs twice per bootstrap

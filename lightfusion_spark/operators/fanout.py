@@ -157,5 +157,13 @@ def pin(df: DataFrame) -> DataFrame:
     per-question grade rows, per-doc predictions — never a raw corpus
     payload), so the stored bytes are the same size class as the
     shuffle that produced them.
+
+    Fault-tolerance trade (r17 advice): a localCheckpoint truncates
+    lineage, so the stored partitions are UNRECOVERABLE on executor
+    loss — the job fails and is retried from the top instead of
+    recomputing the lost partition.  Acceptable here because every
+    pinned frame is rebuilt per query construction anyway (nothing is
+    shared across runs); long-lived production pipelines wanting
+    recomputability should land the intermediate to storage instead.
     """
     return df.localCheckpoint(eager=False)
